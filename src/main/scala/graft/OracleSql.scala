@@ -1,0 +1,258 @@
+package graft
+
+/**
+ * DuckDB parity SQL for every entry in [[SparkEntry.queries]] (driver runs
+ * these over views named after the parquet tables). Column names, types,
+ * ordering, and rounding are aligned with the Spark plans.
+ */
+object OracleSql {
+
+  // Shared fragments.
+  private val words = "string_split(lower(trim(text)), ' ')"
+  private val stops = "('the','a','an','of','and','to','in','is','it','for')"
+
+  val all: Map[String, String] = Map(
+    "p10_event_score" ->
+      """SELECT event_id, event_type,
+        |  CAST(CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'click' THEN 0.1
+        |    WHEN 'view' THEN 0.01 WHEN 'signup' THEN 0.5 WHEN 'error' THEN 0.0
+        |    ELSE 0.0 END AS DOUBLE) AS score
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p11_freshness" ->
+      """SELECT event_id,
+        |  round(exp(-0.1 * (epoch_ms(TIMESTAMP '2024-02-01 00:00:00') - epoch_ms(ts)) / 3600000.0), 6) AS freshness
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p12_minmax_norm" ->
+      """SELECT user_id, event_id,
+        |  round(CASE WHEN mx - mn > 0 THEN value / (mx - mn) ELSE 0.0 END, 6) AS norm
+        |FROM (SELECT user_id, event_id, value,
+        |        max(value) OVER (PARTITION BY user_id) mx,
+        |        min(value) OVER (PARTITION BY user_id) mn FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "p13_time_parse" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  epoch_ms(o_orderdate) AS epoch_ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "p15_json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p16_cosine_pairs" ->
+      """WITH p AS (SELECT a.vec_id ida, b.vec_id idb, a.embedding ea, b.embedding eb
+        |             FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+        |u AS (SELECT ida, idb, unnest(ea)::DOUBLE x, unnest(eb)::DOUBLE y FROM p)
+        |SELECT ida, idb, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS sim
+        |FROM u GROUP BY ida, idb ORDER BY ida""".stripMargin,
+
+    "j_star_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "j3_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j7_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j5_hybrid_full_outer" ->
+      """WITH c AS (SELECT user_id, sum(value) cs FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |b AS (SELECT user_id, sum(value) bs FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+        |  round(COALESCE(cs, 0), 4) AS click_score,
+        |  round(COALESCE(bs, 0), 4) AS buy_score,
+        |  round(COALESCE(cs, 0) * 0.5 + COALESCE(bs, 0) * 0.5, 4) AS score
+        |FROM c FULL OUTER JOIN b ON c.user_id = b.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "j6_jaccard_sets" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey g, l_partkey p FROM lineitem),
+        |sz AS (SELECT g, count(*) n FROM m GROUP BY g),
+        |i AS (SELECT a.g ga, b.g gb, count(*) inter FROM m a JOIN m b ON a.p = b.p GROUP BY 1, 2),
+        |j AS (SELECT ga id_a, gb id_b, inter,
+        |        inter::DOUBLE / (x.n + y.n - inter) jac
+        |      FROM i JOIN sz x ON x.g = ga JOIN sz y ON y.g = gb)
+        |SELECT id_a, id_b, inter, round(jac, 6) AS jaccard
+        |FROM j WHERE jac >= 0.5 AND id_a < id_b ORDER BY id_a, id_b""".stripMargin,
+
+    "j8_knn_cosine" ->
+      """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT qid, c.vec_id nid, qe, c.embedding ce
+        |        FROM q CROSS JOIN embeddings c WHERE c.vec_id <> qid),
+        |u AS (SELECT qid, nid, unnest(qe)::DOUBLE x, unnest(ce)::DOUBLE y FROM p),
+        |s AS (SELECT qid, nid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) sim
+        |        FROM u GROUP BY qid, nid),
+        |r AS (SELECT qid, nid, sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn FROM s)
+        |SELECT qid AS query_id, nid AS neighbor_id, round(sim, 6) AS sim,
+        |  CAST(rn AS INTEGER) AS rank
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "j1_centroid_assign" ->
+      """WITH u AS (SELECT label, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+        |             FROM embeddings),
+        |cent AS (SELECT label clabel, pos, avg(x) m FROM u GROUP BY 1, 2),
+        |ev AS (SELECT vec_id, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+        |         FROM embeddings),
+        |s AS (SELECT vec_id, clabel,
+        |        sum(ev.x * cent.m) / (sqrt(sum(ev.x * ev.x)) * sqrt(sum(cent.m * cent.m))) sim
+        |      FROM ev JOIN cent ON ev.pos = cent.pos GROUP BY vec_id, clabel),
+        |r AS (SELECT vec_id, clabel, sim,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) rn FROM s)
+        |SELECT vec_id, CAST(CASE WHEN sim >= 0.3 THEN clabel ELSE -1 END AS BIGINT) AS assigned_id,
+        |  round(sim, 6) AS sim
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "a1_popularity" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 50""".stripMargin,
+
+    "a2_drift" ->
+      """SELECT round(CASE WHEN hist IS NULL OR hist = 0 THEN 0.0
+        |  ELSE abs(COALESCE(rec, 0) - hist) / hist END, 6) AS drift_score
+        |FROM (SELECT avg(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN value END) rec,
+        |             avg(value) hist FROM events)""".stripMargin,
+
+    "a3_vector_mean" ->
+      """SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+        |FROM (SELECT label, pos, avg(x) m
+        |      FROM (SELECT label, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+        |            FROM embeddings) GROUP BY label, pos)
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "a5_set_union" ->
+      """SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts,
+        |  CAST(len(list(DISTINCT l_partkey)) AS INTEGER) AS n_parts
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "a7_string_agg" ->
+      """SELECT lang, string_agg(substr(text, 1, 20), ' | ' ORDER BY doc_id) AS txt
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "a8_diversity" ->
+      """SELECT lang, count(DISTINCT source) AS n_sources, count(*) AS n_docs,
+        |  round(count(DISTINCT source)::DOUBLE / count(*), 6) AS diversity
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "a9_sentiment" ->
+      s"""WITH w AS (SELECT lang, $words wds FROM documents),
+         |s AS (SELECT lang,
+         |  (len(list_filter(wds, t -> t IN ('fast','big','win','good','great'))) -
+         |   len(list_filter(wds, t -> t IN ('slow','small','error','bad','fail'))))::DOUBLE
+         |   / len(wds) sent FROM w)
+         |SELECT lang, round(avg(sent), 6) AS avg_sentiment FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t1_topk_per_key" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) rn
+        |  FROM events) WHERE rn <= 10
+        |ORDER BY user_id, value DESC, event_id""".stripMargin,
+
+    "t2_latest_n" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
+
+    "d2_keep_first" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "d5_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "x_token_stats" ->
+      s"""WITH w AS (SELECT doc_id, length(text) nc, $words wds FROM documents)
+         |SELECT doc_id, CAST(len(wds) AS INTEGER) AS n_tokens, CAST(nc AS INTEGER) AS n_chars2,
+         |  round(list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds), 6) AS avg_word_len,
+         |  round(len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds), 6) AS stopword_ratio
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "x_quality" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |m AS (SELECT doc_id, len(wds) nt,
+         |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
+         |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w)
+         |SELECT doc_id, round(
+         |  least(nt / 50.0, 1.0) * 0.5 +
+         |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "x_langid" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(wds, t -> t IN ('the','and','of','is','a'))) s_en,
+         |  len(list_filter(wds, t -> t IN ('der','die','und','ist','das'))) s_de,
+         |  len(list_filter(wds, t -> t IN ('el','los','y','es','una'))) s_es,
+         |  len(list_filter(wds, t -> t IN ('le','la','et','est','une'))) s_fr FROM w)
+         |SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |  ELSE 'fr' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_exact_dup_groups" ->
+      """SELECT md5(lower(trim(text))) AS fp, count(*) AS n, list_sort(list(doc_id)) AS ids
+        |FROM documents GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+    "x_minhash_sig" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
+         |  FROM w)
+         |SELECT doc_id, [
+         |  list_min(list_transform(s, x -> md5('0|' || x))),
+         |  list_min(list_transform(s, x -> md5('1|' || x))),
+         |  list_min(list_transform(s, x -> md5('2|' || x))),
+         |  list_min(list_transform(s, x -> md5('3|' || x)))] AS sig
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "x_lsh_pairs" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
+         |  FROM w),
+         |sig AS (SELECT doc_id, [
+         |  list_min(list_transform(s, x -> md5('0|' || x))),
+         |  list_min(list_transform(s, x -> md5('1|' || x))),
+         |  list_min(list_transform(s, x -> md5('2|' || x))),
+         |  list_min(list_transform(s, x -> md5('3|' || x)))] sg FROM sh),
+         |b AS (SELECT doc_id, generate_subscripts(sg, 1) band, unnest(sg) bv FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x_neardup_cosine" ->
+      """WITH p AS (SELECT a.vec_id ia, b.vec_id ib, a.embedding ea, b.embedding eb
+        |             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |u AS (SELECT ia, ib, unnest(ea)::DOUBLE x, unnest(eb)::DOUBLE y FROM p),
+        |s AS (SELECT ia, ib, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) sim FROM u GROUP BY ia, ib)
+        |SELECT ia AS id_a, ib AS id_b, round(sim, 6) AS sim
+        |FROM s WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+  )
+}

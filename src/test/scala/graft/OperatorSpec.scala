@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{DedupOps, Recommend, SimilarityOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorSpec extends AnyFunSuite with SparkSpec {
+
+  test("drift: zero historical mean guards to 0 (reference recommendation-trainer.py:55)") {
+    import spark.implicits._
+    val df = Seq(0.0, 0.0, 0.0).toDF("v")
+    val got = Recommend.drift(df, col("v"), lit(true)).collect()(0).getDouble(0)
+    assert(got == 0.0)
+  }
+
+  test("drift: |recent-hist|/hist") {
+    import spark.implicits._
+    // hist mean = 2.0 over (1,2,3); recent mean = 3.0 → drift 0.5
+    val df = Seq((1.0, false), (2.0, false), (3.0, true)).toDF("v", "r")
+    val got = Recommend.drift(df, col("v"), col("r")).collect()(0).getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-12)
+  }
+
+  test("minMaxNorm: zero range guards to 0 (reference recommendation-trainer.py:141)") {
+    import spark.implicits._
+    val df = Seq(("u", 5.0), ("u", 5.0)).toDF("k", "v")
+    val got = Recommend.minMaxNorm(df, "k", "v", "n").select("n").collect().map(_.getDouble(0))
+    assert(got.forall(_ == 0.0))
+  }
+
+  test("eventScore: unknown event types score 0 (reference recommendation-trainer.py:42)") {
+    import spark.implicits._
+    val got = Seq("like", "nonsense").toDF("e")
+      .select(Recommend.score(col("e"))).collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(1.0, 0.0))
+  }
+
+  test("jaccardJoin: known overlap") {
+    import spark.implicits._
+    // A={1,2,3}, B={2,3,4} → |∩|=2, |∪|=4, jaccard 0.5
+    val l = Seq(("A", 1), ("A", 2), ("A", 3)).toDF("id_a", "m")
+    val r = Seq(("B", 2), ("B", 3), ("B", 4)).toDF("id_b", "m")
+    val got = SimilarityOps.jaccardJoin(l, r, "id_a", "id_b", "m", 0.4).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("jaccardJoin: below threshold drops pair (empty-union edge handled upstream)") {
+    import spark.implicits._
+    val l = Seq(("A", 1)).toDF("id_a", "m")
+    val r = Seq(("B", 2)).toDF("id_b", "m")
+    // no shared member → no pair at all (join-based |∩| never emits 0 rows)
+    assert(SimilarityOps.jaccardJoin(l, r, "id_a", "id_b", "m", 0.0).isEmpty)
+  }
+
+  test("keepFirst is deterministic: smallest order key survives") {
+    import spark.implicits._
+    val df = Seq(("u", "click", 3L), ("u", "click", 1L), ("u", "click", 2L)).toDF("u", "e", "seq")
+    val got = DedupOps.keepFirst(df, Seq("u", "e"), Seq(col("seq"))).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 1L)
+  }
+
+  test("knnJoinCosine: self excluded, k respected, rank ordered") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.knnJoinCosine(vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 1L))
+  }
+
+  test("assignNearestCentroid: below threshold → -1") {
+    import spark.implicits._
+    val items = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(-1.0, 0.0))).toDF("id", "v")
+    val cents = Seq((7L, Seq(1.0, 0.0))).toDF("cid", "cv")
+    val got = SimilarityOps.assignNearestCentroid(items, cents, "id", "v", "cid", "cv", 0.5)
+      .orderBy("item_id").collect()
+    assert(got(0).getAs[Long]("assigned_id") == 7L)
+    assert(got(1).getAs[Long]("assigned_id") == -1L)
+  }
+
+  test("exact dup groups finds planted duplicate") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val got = DedupOps.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(got.length == 1)
+    assert(got(0).getSeq[Long](got(0).fieldIndex("ids")).toList == List(1L, 2L))
+  }
+
+  test("lsh candidate pairs finds near-identical docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, base), (2L, base + " tail"), (3L, "completely different words here nothing shared at all ok"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.lshCandidatePairs(docs, "doc_id", "text", 3, 4, 4).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("popularity: ordered, limited, deterministic ties") {
+    import spark.implicits._
+    val df = Seq("a", "a", "b", "b", "c").map(Tuple1(_)).toDF("item")
+    val got = Recommend.popularity(df, "item", 2).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("a", "b"))
+  }
+}
