@@ -254,5 +254,99 @@ object OracleSql {
         |s AS (SELECT ia, ib, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) sim FROM u GROUP BY ia, ib)
         |SELECT ia AS id_a, ib AS id_b, round(sim, 6) AS sim
         |FROM s WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    // ──────────── wave 2 ────────────
+    "p1_projection" ->
+      """SELECT o_orderkey, COALESCE(o_orderpriority, 'NONE') AS priority,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "p2_filter_notnull" ->
+      """SELECT event_id FROM events WHERE props IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "p3_filter_nonempty" ->
+      """SELECT doc_id FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id""".stripMargin,
+
+    "p4_needs_summary" ->
+      """WITH s AS (SELECT user_id, max(ts) lu,
+        |             max(CASE WHEN event_type = 'signup' THEN ts END) ls
+        |           FROM events GROUP BY user_id)
+        |SELECT user_id FROM s WHERE ls IS NULL OR lu > ls ORDER BY user_id""".stripMargin,
+
+    "p5_recent_filter" ->
+      """SELECT event_id FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "p6_score_filter" ->
+      """SELECT event_id, value FROM events
+        |WHERE value IS NOT NULL AND value >= 100.0 ORDER BY event_id""".stripMargin,
+
+    "p9_nonempty_vec" ->
+      """SELECT vec_id FROM embeddings WHERE len(embedding) > 0 ORDER BY vec_id""".stripMargin,
+
+    "p14_concat" ->
+      """SELECT doc_id, concat_ws(' ', lang, substr(text, 1, 10)) AS headline
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p18_cast_project" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id_str, CAST(o_custkey AS INTEGER) AS cust_int
+        |FROM orders ORDER BY id_str""".stripMargin,
+
+    "j2_explode_join" ->
+      """SELECT o_custkey AS story_id, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_custkey ORDER BY story_id""".stripMargin,
+
+    "a6_member_list" ->
+      """SELECT label, list_sort(list(vec_id)) AS members, count(*) AS n_members
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "a10_minmax_agg" ->
+      """SELECT user_id, max(value) AS mx, min(value) AS mn,
+        |  round(max(value) - min(value), 4) AS rng
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a11_counts" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "t5_order_limit" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms FROM events
+        |ORDER BY ts DESC, event_id LIMIT 20""".stripMargin,
+
+    "t6_argmax" ->
+      """SELECT user_id, value, event_id FROM (
+        |  SELECT user_id, value, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "d1_ttl_dedup" ->
+      """SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS day, event_id
+        |FROM (SELECT user_id, event_type, ts, event_id,
+        |        row_number() OVER (PARTITION BY user_id, event_type, date_trunc('day', ts)
+        |                           ORDER BY ts, event_id) rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type, day""".stripMargin,
+
+    "d3_jaccard_scalar" ->
+      """WITH p AS (SELECT l_orderkey k, list_sort(list(DISTINCT l_partkey)) parts
+        |           FROM lineitem GROUP BY l_orderkey)
+        |SELECT a.k AS ka, b.k AS kb,
+        |  CAST(len(list_intersect(a.parts, b.parts)) AS INTEGER) AS inter,
+        |  CAST(len(list_distinct(a.parts || b.parts)) AS INTEGER) AS uni,
+        |  round(len(list_intersect(a.parts, b.parts))::DOUBLE /
+        |        len(list_distinct(a.parts || b.parts)), 6) AS jaccard
+        |FROM p a JOIN p b ON b.k = a.k + 1 ORDER BY ka""".stripMargin,
+
+    "m4_l2_normalize" ->
+      """SELECT vec_id,
+        |  list_transform(embedding, x -> round(x::DOUBLE /
+        |    sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))), 6)) AS unit
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
+
+    "x_mm_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
+        |  sha256(text) AS payload_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

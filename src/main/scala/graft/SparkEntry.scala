@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{text, vector, VectorMean}
-import graft.operators.{DedupOps, Recommend, SimilarityOps}
+import graft.operators.{ClusterRefine, DedupOps, IvfAnn, MultimodalOps, Recommend, RecommendML, SimilarityOps, StoryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -280,6 +280,172 @@ object SparkEntry {
       T(s, d, "documents")
         .select(col("doc_id"), DedupOps.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")
+    }),
+    // ──────────── wave 2: remaining §2 operator ids ────────────
+    "p1_projection" -> ((s, d) => {
+      T(s, d, "orders")
+        .select(col("o_orderkey"),
+          coalesce(col("o_orderpriority"), lit("NONE")).as("priority"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"))
+        .orderBy("o_orderkey")
+    }),
+    "p2_filter_notnull" -> ((s, d) => {
+      T(s, d, "events").filter(col("props").isNotNull)
+        .select(col("event_id")).orderBy("event_id")
+    }),
+    "p3_filter_nonempty" -> ((s, d) => {
+      T(s, d, "documents").filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    "p4_needs_summary" -> ((s, d) => {
+      val st = T(s, d, "events").groupBy("user_id").agg(
+        max(col("ts")).as("last_updated"),
+        max(when(col("event_type") === "signup", col("ts"))).as("last_summarized"))
+      StoryOps.needsSummary(st, "last_updated", "last_summarized")
+        .select(col("user_id")).orderBy("user_id")
+    }),
+    "p5_recent_filter" -> ((s, d) => {
+      T(s, d, "events")
+        .filter(col("ts") >= lit(RecentCutoff).cast("timestamp"))
+        .select(col("event_id")).orderBy("event_id")
+    }),
+    "p6_score_filter" -> ((s, d) => {
+      T(s, d, "events")
+        .filter(col("value").isNotNull && col("value") >= 100.0)
+        .select(col("event_id"), col("value")).orderBy("event_id")
+    }),
+    "p9_nonempty_vec" -> ((s, d) => {
+      T(s, d, "embeddings").filter(size(col("embedding")) > 0)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+    "p14_concat" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", col("lang"), substring(col("text"), 1, 10)).as("headline"))
+        .orderBy("doc_id")
+    }),
+    "p18_cast_project" -> ((s, d) => {
+      T(s, d, "orders")
+        .select(col("o_orderkey").cast("string").as("id_str"),
+          col("o_custkey").cast("int").as("cust_int"))
+        .orderBy("id_str")
+    }),
+    "j2_explode_join" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      val stories = o.groupBy(col("o_custkey").as("story_id"))
+        .agg(collect_list(col("o_orderkey")).as("arr"))
+      StoryOps.explodeJoinMembers(stories, o.select("o_orderkey", "o_totalprice"),
+          "story_id", "arr", "o_orderkey")
+        .groupBy("story_id")
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("story_id")
+    }),
+    "a6_member_list" -> ((s, d) => {
+      T(s, d, "embeddings").groupBy("label")
+        .agg(sort_array(collect_list(col("vec_id"))).as("members"),
+          count(lit(1)).as("n_members"))
+        .orderBy("label")
+    }),
+    "a10_minmax_agg" -> ((s, d) => {
+      T(s, d, "events").groupBy("user_id")
+        .agg(max(col("value")).as("mx"), min(col("value")).as("mn"))
+        .withColumn("rng", round(col("mx") - col("mn"), 4))
+        .orderBy("user_id")
+    }),
+    "a11_counts" -> ((s, d) => {
+      T(s, d, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n")).orderBy("event_type")
+    }),
+    "t5_order_limit" -> ((s, d) => {
+      T(s, d, "events")
+        .orderBy(desc("ts"), col("event_id")).limit(20)
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+    }),
+    "t6_argmax" -> ((s, d) => {
+      T(s, d, "events").groupBy("user_id")
+        .agg(max(struct(col("value"), (-col("event_id")).as("neg"))).as("b"))
+        .select(col("user_id"), col("b.value").as("value"), (-col("b.neg")).as("event_id"))
+        .orderBy("user_id")
+    }),
+    "d1_ttl_dedup" -> ((s, d) => {
+      val ev = T(s, d, "events").withColumn("day", to_date(col("ts")))
+      DedupOps.keepFirst(ev, Seq("user_id", "event_type", "day"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("day"), col("event_id"))
+        .orderBy("user_id", "event_type", "day")
+    }),
+    "d3_jaccard_scalar" -> ((s, d) => {
+      val p = T(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      val a = p.select(col("l_orderkey").as("ka"), col("parts").as("pa"))
+      val b = p.select(col("l_orderkey").as("kb"), col("parts").as("pb"))
+      a.join(b, col("kb") === col("ka") + 1)
+        .select(col("ka"), col("kb"),
+          size(array_intersect(col("pa"), col("pb"))).as("inter"),
+          size(array_union(col("pa"), col("pb"))).as("uni"))
+        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+        .orderBy("ka")
+    }),
+    "m4_l2_normalize" -> ((s, d) => {
+      T(s, d, "embeddings").filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          transform(vector.l2Normalize(col("embedding").cast("array<double>")),
+            x => round(x, 6)).as("unit"))
+        .orderBy("vec_id")
+    }),
+    "x_mm_meta" -> ((s, d) => {
+      MultimodalOps.withPayloadMeta(
+          T(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+          col("payload"))
+        .select(col("doc_id"), col("payload_bytes"), col("payload_sha256"))
+        .orderBy("doc_id")
+    }),
+    // rows-only: deterministic fake decode over binary payloads (stub —
+    // xxhash64-derived dims, not oracle-portable).
+    "x_mm_decode" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), MultimodalOps.decodeStub(col("payload")).as("m"),
+          MultimodalOps.sampleOffsets(col("payload"), 4).as("offsets"))
+        .select(col("doc_id"), col("m.width"), col("m.height"), col("m.channels"), col("offsets"))
+        .orderBy("doc_id")
+    }),
+    // rows-only: IVF approximate NN (recall vs exact checked in ScalaTest).
+    "x_ann_ivf" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val cells = IvfAnn.buildCells(e, "vec_id", "embedding", nlist = 16)
+      val corpus = IvfAnn.assignCells(e, "vec_id", "embedding", cells)
+      IvfAnn.annSearch(e.filter(col("vec_id") < 20), corpus, cells,
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+    // rows-only: ALS top-5 recommendations (M7-M9), one distributed job.
+    "m7_als_recommend" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val ratings = ev
+        .select(col("user_id").cast("string").as("user_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("item"),
+          eventsScore(col("event_type")).as("score"))
+        .groupBy("user_id", "item").agg(sum(col("score")).as("score"))
+      RecommendML.alsTopK(ratings, "user_id", "item", "score", k = 5)
+        .orderBy(col("user_id").cast("long"), col("rank"))
+    }),
+    // rows-only: M4-M6 surrogate refinement (contract: noise label -1,
+    // clusters ≥ min size; memberships are surrogate-specific).
+    "m5m6_cluster_refine" -> ((s, d) => {
+      ClusterRefine.refine(T(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+    // rows-only: greedy 1-to-1 Jaccard matching (J6 full semantics).
+    "j6_greedy_match" -> ((s, d) => {
+      val m = T(s, d, "lineitem").select(col("l_orderkey").as("g"), col("l_partkey").as("m")).distinct()
+      val cand = SimilarityOps.jaccardJoin(
+          m.select(col("g").as("id_a"), col("m")),
+          m.select(col("g").as("id_b"), col("m")),
+          "id_a", "id_b", "m", 0.5)
+        .filter(col("id_a") < col("id_b"))
+      StoryOps.greedyMatch(cand, "id_a", "id_b", "jaccard")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
     }),
   )
 

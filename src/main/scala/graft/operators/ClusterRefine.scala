@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{PCA, Normalizer}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch cluster refinement (reference batch-cluster-service.py:205-232):
+ * L2-normalize (M4) → dimensionality reduction (M5: PCA surrogate for
+ * UMAP) → clustering (M6: KMeans surrogate for HDBSCAN) → small clusters
+ * relabeled as noise (-1), preserving the reference's noise contract.
+ *
+ * Documented divergence (SURVEY §7.4): UMAP/HDBSCAN have no Spark
+ * equivalents; the correctness contract here is stable cluster-id
+ * semantics + noise filtering, not identical memberships (the reference
+ * is itself nondeterministic — unseeded UMAP).
+ */
+object ClusterRefine {
+
+  /**
+   * @return input + `cluster` column (int; -1 = noise, clusters with
+   *         fewer than minClusterSize members are noise — reference
+   *         min_cluster_size=5, batch-cluster-service.py:28)
+   */
+  def refine(items: DataFrame, idCol: String, vecCol: String,
+             pcaK: Int = 5, numClusters: Int = 10, minClusterSize: Int = 5,
+             seed: Long = 42L): DataFrame = {
+    val vecs = items.select(col(idCol), array_to_vector(col(vecCol).cast("array<double>")).as("v"))
+    val normed = new Normalizer().setInputCol("v").setOutputCol("vn").setP(2.0).transform(vecs)
+    val pca = new PCA().setInputCol("vn").setOutputCol("vp").setK(pcaK).fit(normed)
+    val reduced = pca.transform(normed)
+    val km = new KMeans().setK(numClusters).setSeed(seed)
+      .setFeaturesCol("vp").setPredictionCol("raw_cluster").fit(reduced)
+    val labeled = km.transform(reduced).select(col(idCol), col("raw_cluster"))
+    // Noise semantics: clusters below min size → -1 (one windowless
+    // groupBy on the small (cluster → count) side, broadcast back).
+    val sizes = labeled.groupBy("raw_cluster").agg(count(lit(1)).as("n"))
+    labeled.join(broadcast(sizes), "raw_cluster")
+      .select(col(idCol),
+        when(col("n") >= minClusterSize, col("raw_cluster")).otherwise(-1).as("cluster"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Streaming ingestion surface (reference: ingestion_service.py +
+ * duplication_service.py re-expressed as ONE Structured Streaming query):
+ * Kafka/file source → JSON decode → TTL dedup → stateful story assignment
+ * → idempotent sink.
+ *
+ * Delivery semantics upgrade over the reference (ST2): the reference is
+ * at-least-once (auto-commit consumer); checkpointed Structured Streaming
+ * + idempotent foreachBatch upsert gives exactly-once table state.
+ */
+object ArticleStream {
+
+  /** S4: Kafka source decoded from keyed JSON (schema explicit, never inferred). */
+  def fromKafka(spark: SparkSession, servers: String, topic: String,
+                schema: StructType): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("a"))
+      .select("a.*")
+
+  /** S3/S5 shape: keyed JSON Kafka sink for any streaming frame. */
+  def toKafka(df: DataFrame, servers: String, topic: String, keyCol: String,
+              checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.selectExpr(s"CAST($keyCol AS STRING) AS key", "to_json(struct(*)) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /**
+   * D1: streaming dedup with TTL — the Redis seen-set
+   * (ingestion_service.py:74-77, 24 h expiry) replaced by watermarked
+   * state: duplicates arriving within the watermark horizon are dropped,
+   * state for keys older than the TTL is evicted automatically.
+   */
+  def dedupWithTtl(df: DataFrame, eventTimeCol: String, keyCol: String,
+                   ttl: String = "24 hours"): DataFrame =
+    df.withWatermark(eventTimeCol, ttl)
+      .dropDuplicatesWithinWatermark(keyCol)
+}

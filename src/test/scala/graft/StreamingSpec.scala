@@ -1,0 +1,81 @@
+package graft
+
+import graft.streaming.{ArticleStream, Incoming, OnlineClustering, StoryState}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(h: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+  private def tsDay(d: Int, h: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+
+  test("D1: duplicate keys within the watermark horizon are dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val deduped = ArticleStream.dedupWithTtl(
+      mem.toDF().toDF("ingestion_time", "link"), "ingestion_time", "link")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // same link twice within an hour + a distinct link
+      mem.addData((ts(1), "a"), (ts(1), "b"), (ts(2), "a"))
+      q.processAllAvailable()
+      val links = spark.table("dedup_out").select("link").as[String].collect().sorted
+      assert(links.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+
+  test("D1: key reappearing after the TTL horizon is accepted again") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val deduped = ArticleStream.dedupWithTtl(
+      mem.toDF().toDF("ingestion_time", "link"), "ingestion_time", "link")
+    val q = deduped.writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((tsDay(1, 0), "a"))
+      q.processAllAvailable()
+      // advance watermark far past 24h, then send "a" again
+      mem.addData((tsDay(5, 0), "advance"))
+      q.processAllAvailable()
+      mem.addData((tsDay(5, 1), "a"))
+      q.processAllAvailable()
+      val n = spark.table("dedup_ttl_out").filter(col("link") === "a").count()
+      assert(n == 2, "link must be re-admitted after TTL state eviction")
+    } finally q.stop()
+  }
+
+  test("ST4: article joins story created by the previous article in the same batch") {
+    val batch = Seq(
+      Incoming("a1", Array(1.0, 0.0)),
+      Incoming("a2", Array(0.99, 0.01)), // similar to a1 → joins a1's story
+      Incoming("a3", Array(0.0, 1.0)))   // dissimilar → new story
+    val (assigned, state) = OnlineClustering.foldBatch(batch, Seq.empty, 0.8, i => s"new-$i")
+    assert(assigned(0).isNew && assigned(0).storyId == "new-0")
+    assert(!assigned(1).isNew && assigned(1).storyId == "new-0",
+      "sequential semantics: a2 must join the story a1 just created")
+    assert(assigned(2).isNew && assigned(2).storyId == "new-1")
+    assert(state.map(_.storyId).toSet == Set("new-0", "new-1"))
+    assert(state.find(_.storyId == "new-0").get.n == 2)
+  }
+
+  test("ST4: existing story state is matched before creating new ones") {
+    val stories = Seq(StoryState("s-old", Array(1.0, 0.0), 5L))
+    val (assigned, state) = OnlineClustering.foldBatch(
+      Seq(Incoming("a1", Array(0.95, 0.05))), stories, 0.8, i => s"new-$i")
+    assert(assigned(0).storyId == "s-old" && !assigned(0).isNew)
+    assert(state.find(_.storyId == "s-old").get.n == 6)
+  }
+
+  test("ST4: centroid running mean moves toward joined article") {
+    val stories = Seq(StoryState("s", Array(1.0, 0.0), 1L))
+    val (_, state) = OnlineClustering.foldBatch(
+      Seq(Incoming("a", Array(0.0, 0.0))), stories, -2.0, i => s"n-$i")
+    // mean of (1,0) and (0,0) = (0.5, 0)
+    assert(state.head.centroid.toSeq == Seq(0.5, 0.0))
+  }
+}
