@@ -435,6 +435,36 @@ object SparkEntry {
       ClusterRefine.refine(T(s, d, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id")
     }),
+    // rows-only: §3.1 e2e — documents as raw articles through filter →
+    // dedup → featurize → story assignment → story build.
+    "pipe_ingest_cluster" -> ((s, d) => {
+      val raw = T(s, d, "documents").select(
+        concat(lit("doc-"), col("doc_id")).as("link"), col("lang").as("title"),
+        col("text").as("txt"), lit("2024-01-01 00:00:00").cast("timestamp").as("ingestion_time"))
+      val (_, stories) = graft.pipelines.NewsPipeline.ingestAndCluster(raw, s.emptyDataFrame)
+      stories.select(col("story_id"), col("n_members"), size(col("entities")).as("n_entities"))
+        .orderBy("story_id")
+    }),
+    // rows-only: §3.2 e2e — hybrid ALS + content-kNN + freshness + top-N.
+    "pipe_hybrid_e2e" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val interactions = ev.select(
+        col("user_id").cast("string").as("user_id"),
+        concat(lit("story-"), pmod(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"), lit(50))).as("story_id"),
+        when(col("event_type") === "purchase", "like")
+          .when(col("event_type") === "signup", "share")
+          .when(col("event_type") === "click", "click").otherwise("read").as("event_type"),
+        col("ts").as("event_time"))
+      val stories = T(s, d, "embeddings").limit(200)
+        .select(concat(lit("story-"), pmod(col("vec_id"), lit(50))).as("story_id"),
+          col("embedding"))
+        .groupBy("story_id")
+        .agg(VectorMean(col("embedding").cast("array<double>")).as("centroid"))
+        .withColumn("last_updated", lit("2024-01-20 00:00:00").cast("timestamp"))
+      graft.pipelines.NewsPipeline.hybridRecommend(
+          interactions, stories, lit(NowTs).cast("timestamp"), topN = 10, candK = 20)
+        .orderBy(col("user_id").cast("long"), col("rank"))
+    }),
     // rows-only: greedy 1-to-1 Jaccard matching (J6 full semantics).
     "j6_greedy_match" -> ((s, d) => {
       val m = T(s, d, "lineitem").select(col("l_orderkey").as("g"), col("l_partkey").as("m")).distinct()

@@ -52,3 +52,35 @@ object TopK {
     (score, id) => fn(score, id)
   }
 }
+
+/** String-keyed variant of [[Scored]]/[[TopKAgg]] (same bounded-heap
+  * map-side-partial property; tie-break id asc lexicographically). */
+case class ScoredS(score: Double, id: String)
+
+class TopKAggS(k: Int) extends Aggregator[ScoredS, ArrayBuffer[ScoredS], Seq[ScoredS]] {
+  private val ord: Ordering[ScoredS] = Ordering.by((s: ScoredS) => (-s.score, s.id))
+  private def trim(b: ArrayBuffer[ScoredS]): ArrayBuffer[ScoredS] = {
+    if (b.length > k) { val kept = b.sorted(ord).take(k); b.clear(); b ++= kept }
+    b
+  }
+  override def zero: ArrayBuffer[ScoredS] = new ArrayBuffer[ScoredS](k + 8)
+  override def reduce(b: ArrayBuffer[ScoredS], a: ScoredS): ArrayBuffer[ScoredS] = {
+    if (a != null) { b += a; if (b.length >= 2 * k) trim(b) }
+    b
+  }
+  override def merge(x: ArrayBuffer[ScoredS], y: ArrayBuffer[ScoredS]): ArrayBuffer[ScoredS] = {
+    x ++= y; trim(x)
+  }
+  override def finish(b: ArrayBuffer[ScoredS]): Seq[ScoredS] = b.sorted(ord).take(k).toSeq
+  override def bufferEncoder: Encoder[ArrayBuffer[ScoredS]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[ScoredS]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
+object TopKStr {
+  def apply(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKAggS(k), Encoders.product[ScoredS])
+    (score, id) => fn(score, id)
+  }
+}

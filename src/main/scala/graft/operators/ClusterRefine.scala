@@ -28,12 +28,17 @@ object ClusterRefine {
              pcaK: Int = 5, numClusters: Int = 10, minClusterSize: Int = 5,
              seed: Long = 42L): DataFrame = {
     val vecs = items.select(col(idCol), array_to_vector(col(vecCol).cast("array<double>")).as("v"))
-    val normed = new Normalizer().setInputCol("v").setOutputCol("vn").setP(2.0).transform(vecs)
+    // Cache before the iterative fitters: PCA and KMeans each scan their
+    // input many times (per power/Lloyd iteration) — uncached they re-run
+    // the whole upstream plan every pass.
+    val normed = new Normalizer().setInputCol("v").setOutputCol("vn").setP(2.0)
+      .transform(vecs).cache()
     val pca = new PCA().setInputCol("vn").setOutputCol("vp").setK(pcaK).fit(normed)
-    val reduced = pca.transform(normed)
-    val km = new KMeans().setK(numClusters).setSeed(seed)
+    val reduced = pca.transform(normed).select(col(idCol), col("vp")).cache()
+    val km = new KMeans().setK(numClusters).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("vp").setPredictionCol("raw_cluster").fit(reduced)
     val labeled = km.transform(reduced).select(col(idCol), col("raw_cluster"))
+    normed.unpersist()
     // Noise semantics: clusters below min size → -1 (one windowless
     // groupBy on the small (cluster → count) side, broadcast back).
     val sizes = labeled.groupBy("raw_cluster").agg(count(lit(1)).as("n"))

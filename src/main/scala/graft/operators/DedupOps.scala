@@ -94,15 +94,20 @@ object DedupOps {
    * SimHash (64-bit) per document: each token hashes to 64 bits (xxhash64);
    * bit-weighted majority vote forms the fingerprint. Near-dups differ in
    * few bits (Hamming distance). Pure column expressions — map-only.
+   *
+   * Single-pass formulation: token hashes computed once (`transform`),
+   * votes folded as one 64-wide `zip_with` per token; a naive
+   * per-bit-position fold would re-hash every token 64 times.
    */
   def simhash(textCol: Column): Column = {
-    val toks = text.tokens(textCol)
-    // For each bit position, sum(+1/-1 votes) over tokens; bit = vote > 0.
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(toks, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }
-    bits.reduce(_.bitwiseOR(_))
+    val hashes = transform(text.tokens(textCol), t => xxhash64(t))
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(63L)),
+        (a, b) => a + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0L), lit(63L)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 }

@@ -29,19 +29,27 @@ object IvfAnn {
   def buildCells(corpus: DataFrame, idCol: String, vecCol: String,
                  nlist: Int, iters: Int = 3): DataFrame = {
     // Deterministic init: cell = xxhash64(id) mod nlist; then Lloyd steps
-    // expressed as (assign → vector-mean) DataFrame passes.
-    var cells = corpus
-      .withColumn("cell_id", pmod(xxhash64(col(idCol)), lit(nlist.toLong)))
+    // expressed as (assign → vector-mean) DataFrame passes. The corpus
+    // projection is cached across iterations (each Lloyd step scans it);
+    // per-step cell tables are tiny (nlist rows) and get broadcast by the
+    // assignment's crossJoin.
+    val base = corpus.select(col(idCol).as("item_id"), col(vecCol).cast("array<double>").as("v"))
+      .cache()
+    var cells = base
+      .withColumn("cell_id", pmod(xxhash64(col("item_id")), lit(nlist.toLong)))
       .groupBy("cell_id")
-      .agg(VectorMean(col(vecCol).cast("array<double>")).as("cell_vec"))
+      .agg(VectorMean(col("v")).as("cell_vec"))
     (1 to iters).foreach { _ =>
       val assigned = SimilarityOps.assignNearestCentroid(
-        corpus, cells, idCol, vecCol, "cell_id", "cell_vec", threshold = -2.0)
-      cells = assigned.join(corpus.select(col(idCol).as("item_id"), col(vecCol).as("v")), "item_id")
+        base, cells, "item_id", "v", "cell_id", "cell_vec", threshold = -2.0)
+      cells = assigned.join(base, "item_id")
         .groupBy(col("assigned_id").as("cell_id"))
-        .agg(VectorMean(col("v").cast("array<double>")).as("cell_vec"))
+        .agg(VectorMean(col("v")).as("cell_vec"))
     }
-    cells
+    val out = cells.cache()
+    out.count()
+    base.unpersist()
+    out
   }
 
   /**

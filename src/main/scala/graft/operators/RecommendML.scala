@@ -25,9 +25,11 @@ object RecommendML {
     val ii = new StringIndexer().setInputCol(itemCol).setOutputCol("i_idx").setHandleInvalid("skip")
     val uiM = ui.fit(ratings)
     val iiM = ii.fit(ratings)
+    // Cached: ALS scans the ratings once per iteration per factor side.
     val indexed = iiM.transform(uiM.transform(ratings))
       .select(col("u_idx").cast("int").as("user"), col("i_idx").cast("int").as("item"),
         col(scoreCol).cast("float").as("rating"))
+      .cache()
     val als = new ALS()
       .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
       .setImplicitPrefs(true).setColdStartStrategy("drop").setSeed(seed)

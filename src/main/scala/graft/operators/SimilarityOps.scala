@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{vector, TopK}
+import graft.functions.{vector, TopK, TopKStr}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,7 +35,11 @@ object SimilarityOps {
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         vector.cosineSim(col("qv"), col("cv")).as("sim"))
-    val topk = TopK(k)
+    // Bounded-heap aggregate keyed by the corpus id type.
+    val topk = corpus.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType => TopKStr(k)
+      case _ => TopK(k)
+    }
     pairs.groupBy("query_id")
       .agg(topk(col("sim"), col("neighbor_id")).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("rank", "n")))
