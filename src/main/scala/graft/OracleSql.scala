@@ -281,6 +281,9 @@ object OracleSql {
       """SELECT event_id, value FROM events
         |WHERE value IS NOT NULL AND value >= 100.0 ORDER BY event_id""".stripMargin,
 
+    "p8_unprocessed" ->
+      """SELECT event_id FROM events WHERE NOT (value > 100.0) ORDER BY event_id""".stripMargin,
+
     "p9_nonempty_vec" ->
       """SELECT vec_id FROM embeddings WHERE len(embedding) > 0 ORDER BY vec_id""".stripMargin,
 

@@ -32,11 +32,14 @@ object SparkEntry {
       else df
     } else s.read.parquet(s"$dir/$name.parquet")
     // The test fixtures are single-row-group parquet files, which scan as
-    // ONE partition and serialize every map stage. Spread them across the
-    // cluster once at load. On production multi-file/multi-row-group data
-    // the scan already yields ≥ defaultParallelism splits → no-op.
+    // ONE partition and serialize every map stage. Spread non-tiny tables
+    // across the cluster once at load; tiny dimension tables stay as-is
+    // (they get broadcast by their joins — spreading them only adds an
+    // exchange). On production multi-file/multi-row-group data the scan
+    // already yields ≥ defaultParallelism splits → no-op.
     val target = s.sparkContext.defaultParallelism
-    if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
+    val tiny = new java.io.File(s"$dir/$name.parquet").length() < 100000L
+    if (!tiny && raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
   }
 
   /** Flagship (SURVEY §7.2): scored-popularity top-50 over the events stream. */
@@ -314,6 +317,12 @@ object SparkEntry {
         .filter(col("value").isNotNull && col("value") >= 100.0)
         .select(col("event_id"), col("value")).orderBy("event_id")
     }),
+    "p8_unprocessed" -> ((s, d) => {
+      T(s, d, "events")
+        .withColumn("processed", col("value") > 100.0)
+        .filter(!col("processed"))
+        .select(col("event_id")).orderBy("event_id")
+    }),
     "p9_nonempty_vec" -> ((s, d) => {
       T(s, d, "embeddings").filter(size(col("embedding")) > 0)
         .select(col("vec_id")).orderBy("vec_id")
@@ -433,6 +442,12 @@ object SparkEntry {
     // clusters ≥ min size; memberships are surrogate-specific).
     "m5m6_cluster_refine" -> ((s, d) => {
       ClusterRefine.refine(T(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+    // rows-only: P7 — drop noise rows (cluster == -1) from refinement output.
+    "p7_noise_filter" -> ((s, d) => {
+      ClusterRefine.refine(T(s, d, "embeddings"), "vec_id", "embedding")
+        .filter(col("cluster") =!= -1)
         .orderBy("vec_id")
     }),
     // rows-only: §3.1 e2e — documents as raw articles through filter →
