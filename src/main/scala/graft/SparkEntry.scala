@@ -333,6 +333,14 @@ object SparkEntry {
           concat_ws(" ", col("lang"), substring(col("text"), 1, 10)).as("headline"))
         .orderBy("doc_id")
     }),
+    // rows-only: P17 — distributed id generation (uuid is nondeterministic
+    // by design; the driver checks shape/row-count only).
+    "p17_idgen" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(col("doc_id"), expr("uuid()").as("gen_id"),
+          monotonically_increasing_id().as("seq_id"))
+        .orderBy("doc_id")
+    }),
     "p18_cast_project" -> ((s, d) => {
       T(s, d, "orders")
         .select(col("o_orderkey").cast("string").as("id_str"),

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.pipelines.NewsPipeline
+import graft.sources.TableSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * The complete streaming ingest job (reference §3.1 as ONE StreamingQuery):
+ * articles source → watermark TTL dedup (D1) → featurize (M1/M2) →
+ * per-batch sequential story assignment (ST4) → idempotent MERGE into the
+ * articles + stories tables (S7, exactly-once via checkpoint + idempotent
+ * upsert).
+ *
+ * The source is any streaming DataFrame with (link, title, txt,
+ * ingestion_time) — Kafka via [[ArticleStream.fromKafka]], files, or a
+ * MemoryStream in tests.
+ */
+object StreamingJob {
+
+  def start(articles: DataFrame, articlesDir: String, storiesDir: String,
+            checkpoint: String, simThreshold: Double = 0.8,
+            trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val spark = articles.sparkSession
+    val deduped = ArticleStream.dedupWithTtl(
+      articles.filter(col("link").isNotNull)                 // P2
+        .filter(length(trim(col("txt"))) > 0),               // P3
+      "ingestion_time", "link")
+    deduped.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty) processBatch(spark, batch, articlesDir, storiesDir, simThreshold, epoch)
+      }
+      .start()
+  }
+
+  /** One micro-batch: featurize (distributed) → sequential assignment fold
+    * against current story state → MERGE both tables. */
+  private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
+                                      articlesDir: String, storiesDir: String,
+                                      simThreshold: Double, epoch: Long): Unit = {
+    val featured = batch
+      .withColumn("content", concat_ws(" ", col("title"), col("txt")))
+      .withColumn("embedding", NewsPipeline.hashEmbedding(col("content")))
+      .withColumn("entities", graft.functions.text.entities(col("content")))
+    val storySchema = spark.range(0).select(
+      lit("").as("story_id"), array().cast("array<double>").as("centroid"), lit(0L).as("n"))
+    val stories = TableSink.read(spark, storiesDir, storySchema)
+    val (assigned, newState) = OnlineClustering.processBatch(
+      featured, stories, "link", "embedding", simThreshold, epoch)
+    val articlesOut = featured.join(
+        assigned.select(col("id").as("link"), col("storyId").as("story_id")), "link")
+      .withColumn("processed_at", current_timestamp())
+      .drop("content")
+    TableSink.upsert(spark, articlesDir,
+      articlesOut.withColumn("__v", lit(epoch)), Seq("link"), "__v")
+    TableSink.upsert(spark, storiesDir,
+      newState.withColumn("__v", lit(epoch)), Seq("story_id"), "__v")
+  }
+}
