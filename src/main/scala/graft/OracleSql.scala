@@ -347,6 +347,18 @@ object OracleSql {
         |    sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))), 6)) AS unit
         |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
 
+    "a8a9_bias_reports" ->
+      """WITH r AS (SELECT doc_id % 50 log_id, source, substr(text, 1, 50) headline FROM documents),
+        |s AS (SELECT log_id, source,
+        |  (len(list_filter(w, t -> t IN ('fast','big','win','good','great'))) -
+        |   len(list_filter(w, t -> t IN ('slow','small','error','bad','fail'))))::DOUBLE / len(w) sent
+        |  FROM (SELECT log_id, source, string_split(lower(trim(headline)), ' ') w FROM r)),
+        |g AS (SELECT log_id, count(DISTINCT source)::DOUBLE / count(*) d, avg(sent) m
+        |      FROM s GROUP BY log_id)
+        |SELECT log_id, round(d, 6) AS diversity_score, round(m, 6) AS average_sentiment,
+        |  (d < 0.5 OR m < 0.0) AS bias_flag
+        |FROM g ORDER BY log_id""".stripMargin,
+
     "x_mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
         |  sha256(text) AS payload_sha256

@@ -458,6 +458,21 @@ object SparkEntry {
         .filter(col("cluster") =!= -1)
         .orderBy("vec_id")
     }),
+    "a8a9_bias_reports" -> ((s, d) => {
+      val logs = T(s, d, "documents")
+        .select((col("doc_id") % 50).as("log_id"),
+          struct(col("doc_id").cast("string").as("story_id"), col("source"),
+            substring(col("text"), 1, 50).as("headline")).as("r"))
+        .groupBy("log_id")
+        .agg(collect_list(col("r")).as("recommendations"))
+        .withColumn("user_id", col("log_id").cast("string"))
+      graft.operators.Bias.processLogs(logs)
+        .select(col("log_id"),
+          round(col("diversity_score"), 6).as("diversity_score"),
+          round(col("average_sentiment"), 6).as("average_sentiment"),
+          col("bias_flag"))
+        .orderBy("log_id")
+    }),
     // rows-only: §3.1 e2e — documents as raw articles through filter →
     // dedup → featurize → story assignment → story build.
     "pipe_ingest_cluster" -> ((s, d) => {

@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.vector
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom expressions are reachable from SQL after registration. */
+class SqlRegistrationSpec extends AnyFunSuite with SparkSpec {
+
+  test("cosine_sim / l2_dist / l2_normalize usable in spark.sql") {
+    vector.register(spark)
+    import spark.implicits._
+    Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val rows = spark.sql(
+      """SELECT round(cosine_sim(a, b), 6) c, round(l2_dist(a, b), 6) d,
+        |       l2_normalize(a) n, round(dot_product(a, b), 6) p
+        |FROM vecs""".stripMargin).collect()
+    assert(rows(0).getDouble(0) == 0.0)
+    assert(rows(1).getDouble(0) == 1.0)
+    assert(math.abs(rows(0).getDouble(1) - math.sqrt(2)) < 1e-6)
+    assert(rows(1).getSeq[Double](2).map(x => math.abs(x - 1 / math.sqrt(2)) < 1e-12).forall(identity))
+    assert(rows(1).getDouble(3) == 2.0)
+  }
+
+  test("typed Dataset round-trip for the entity model") {
+    import graft.core._
+    import java.sql.Timestamp
+    val spark0 = spark
+    import spark0.implicits._
+    val s = Story("s1", Seq("l1"), Seq(0.1f), Seq("e"), Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-02 00:00:00"), None, None)
+    val ds = spark.createDataset(Seq(s))(Schema.storyEnc)
+    assert(ds.filter(col("storyId") === "s1").as[Story](Schema.storyEnc).head() == s)
+  }
+}
