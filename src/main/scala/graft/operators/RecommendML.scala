@@ -30,9 +30,17 @@ object RecommendML {
       .select(col("u_idx").cast("int").as("user"), col("i_idx").cast("int").as("item"),
         col(scoreCol).cast("float").as("rating"))
       .cache()
+    // Block count scales with data: MLlib's default 10 blocks costs ~4×
+    // wall-clock in scheduling overhead on small inputs, while huge inputs
+    // want at least one block per core (count is cheap — `indexed` is
+    // cached and consumed many times by ALS anyway).
+    val nRatings = indexed.count()
+    val maxBlocks = math.max(10, ratings.sparkSession.sparkContext.defaultParallelism)
+    val blocks = math.max(2, math.min(maxBlocks.toLong, nRatings / 25000L).toInt)
     val als = new ALS()
       .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
       .setImplicitPrefs(true).setColdStartStrategy("drop").setSeed(seed)
+      .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
     val model = als.fit(indexed)
     val recs = model.recommendForAllUsers(k)

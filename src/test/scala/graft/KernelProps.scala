@@ -1,0 +1,63 @@
+package graft
+
+import graft.streaming.{Incoming, OnlineClustering, StoryState}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties over the pure kernels (no SparkSession needed). */
+object KernelProps extends Properties("kernels") {
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.listOfN(6, Gen.choose(-5.0, 5.0)).map(_.toArray)
+      .suchThat(v => v.exists(_ != 0.0))
+
+  private val batchGen: Gen[List[Incoming]] = for {
+    n <- Gen.choose(1, 12)
+    vs <- Gen.listOfN(n, vecGen)
+  } yield vs.zipWithIndex.map { case (v, i) => Incoming(s"a$i", v) }
+
+  property("foldBatch assigns every input exactly once") = forAll(batchGen) { batch =>
+    val (assigned, _) = OnlineClustering.foldBatch(batch, Seq.empty, 0.9, i => s"n-$i")
+    assigned.map(_.id).sorted == batch.map(_.id).sorted
+  }
+
+  property("foldBatch conserves member counts") = forAll(batchGen) { batch =>
+    val (_, state) = OnlineClustering.foldBatch(batch, Seq.empty, 0.9, i => s"n-$i")
+    state.map(_.n).sum == batch.length.toLong
+  }
+
+  property("foldBatch with threshold -2 puts everything in the first story") =
+    forAll(batchGen) { batch =>
+      val (assigned, state) = OnlineClustering.foldBatch(batch, Seq.empty, -2.0, i => s"n-$i")
+      state.length == 1 && assigned.count(_.isNew) == 1
+    }
+
+  property("foldBatch with threshold > 1 isolates every record") =
+    forAll(batchGen) { batch =>
+      val (assigned, state) = OnlineClustering.foldBatch(batch, Seq.empty, 1.5, i => s"n-$i")
+      state.length == batch.length && assigned.forall(_.isNew)
+    }
+
+  property("foldBatch is deterministic") = forAll(batchGen) { batch =>
+    val a = OnlineClustering.foldBatch(batch, Seq.empty, 0.7, i => s"n-$i")
+    val b = OnlineClustering.foldBatch(batch, Seq.empty, 0.7, i => s"n-$i")
+    a._1 == b._1 && a._2.map(s => (s.storyId, s.n)) == b._2.map(s => (s.storyId, s.n))
+  }
+
+  private val scoredGen: Gen[List[graft.functions.Scored]] = for {
+    n <- Gen.choose(0, 40)
+    xs <- Gen.listOfN(n, Gen.zip(Gen.choose(-1.0, 1.0), Gen.choose(0L, 20L)))
+  } yield xs.map { case (s, i) => graft.functions.Scored(s, i) }
+
+  property("TopKAgg equals sort-prefix regardless of arrival order and merge splits") =
+    forAll(scoredGen, Gen.choose(1, 8)) { (xs, k) =>
+      val agg = new graft.functions.TopKAgg(k)
+      // arbitrary split into partials, merged — must equal the global sorted prefix
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val bufL = l.foldLeft(agg.zero)(agg.reduce)
+      val bufR = r.foldLeft(agg.zero)(agg.reduce)
+      val got = agg.finish(agg.merge(bufL, bufR))
+      val want = xs.sortBy(s => (-s.score, s.id)).take(k)
+      got == want
+    }
+}
