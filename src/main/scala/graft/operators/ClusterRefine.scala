@@ -27,13 +27,16 @@ object ClusterRefine {
   def refine(items: DataFrame, idCol: String, vecCol: String,
              pcaK: Int = 5, numClusters: Int = 10, minClusterSize: Int = 5,
              seed: Long = 42L): DataFrame = {
+    // Clamp the PCA target to the actual vector dimensionality.
+    val dim = items.select(size(col(vecCol))).first().getInt(0)
+    val k = math.min(pcaK, dim)
     val vecs = items.select(col(idCol), array_to_vector(col(vecCol).cast("array<double>")).as("v"))
     // Cache before the iterative fitters: PCA and KMeans each scan their
     // input many times (per power/Lloyd iteration) — uncached they re-run
     // the whole upstream plan every pass.
     val normed = new Normalizer().setInputCol("v").setOutputCol("vn").setP(2.0)
       .transform(vecs).cache()
-    val pca = new PCA().setInputCol("vn").setOutputCol("vp").setK(pcaK).fit(normed)
+    val pca = new PCA().setInputCol("vn").setOutputCol("vp").setK(k).fit(normed)
     val reduced = pca.transform(normed).select(col(idCol), col("vp")).cache()
     val km = new KMeans().setK(numClusters).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("vp").setPredictionCol("raw_cluster").fit(reduced)

@@ -36,4 +36,42 @@ object MultimodalOps {
   def sampleOffsets(payload: Column, n: Int): Column =
     transform(sequence(lit(0), lit(n - 1)),
       i => (i * octet_length(payload) / n).cast("long"))
+
+  /** Extracted feature row of the batch decode stage. */
+  case class MediaFeatures(id: Long, width: Int, height: Int, channels: Int,
+                           meanByte: Double)
+
+  /**
+   * Partition-batched decode: the Scala analogue of `mapInPandas` — each
+   * partition's payloads are processed through one (stubbed) codec
+   * instance, amortizing per-batch setup the way a vectorized Python UDF
+   * amortizes Arrow batches. The iterator-in/iterator-out shape means no
+   * partition is ever materialized whole; payload bytes never shuffle.
+   *
+   * Input: (id long, payload binary). The codec stub derives deterministic
+   * dimensions + a real byte statistic; swapping in a JNI/ONNX decoder
+   * changes only `decodeOne`.
+   */
+  def decodeBatches(df: DataFrame): org.apache.spark.sql.Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // one "codec" per partition (stub: a reusable digest instance)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) => decodeOne(md, id, bytes) }
+      }
+  }
+
+  private def decodeOne(md: java.security.MessageDigest, id: Long,
+                        bytes: Array[Byte]): MediaFeatures = {
+    md.reset()
+    val digest = md.digest(bytes)
+    val h = java.nio.ByteBuffer.wrap(digest).getLong
+    val mean = if (bytes.isEmpty) 0.0
+      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+    MediaFeatures(id, (math.floorMod(h, 1920L) + 1).toInt,
+      (math.floorMod(h >> 16, 1080L) + 1).toInt, 3, mean)
+  }
 }

@@ -122,6 +122,46 @@ object NewsPipeline {
         .select(col("story_id"), col("cnt").cast("double").as("score"))))
 
   /**
+   * Batch cluster refinement with STABLE STORY IDENTITY (reference
+   * batch-cluster-service.py:205-232 + 45-70): re-cluster all articles
+   * (M4-M6 surrogate), then match new clusters to existing stories by
+   * greedy 1-to-1 Jaccard overlap of member sets — matched clusters KEEP
+   * the old story id, unmatched clusters mint fresh ids, unmatched old
+   * stories are dropped (J7 anti-join delete). Noise articles (cluster -1)
+   * leave their stories (reference P7).
+   *
+   * @param articles (link, embedding) — current corpus
+   * @param oldStories (story_id, members array<string>)
+   * @return (assignment (link, story_id), stories rebuilt via buildStories)
+   */
+  def refreshStories(articles: DataFrame, oldStories: DataFrame,
+                     jaccardThreshold: Double = 0.5, numClusters: Int = 10,
+                     minClusterSize: Int = 5): (DataFrame, DataFrame) = {
+    val clustered = ClusterRefine.refine(
+        articles, "link", "embedding", numClusters = numClusters,
+        minClusterSize = minClusterSize)
+      .filter(col("cluster") =!= -1)                                      // P7
+    val newMembers = clustered.select(col("cluster"), col("link"))
+    val oldMembers = oldStories.select(col("story_id"),
+      explode(col("members")).as("link"))
+    val cand = SimilarityOps.jaccardJoin(
+      newMembers.withColumnRenamed("cluster", "id_a"),
+      oldMembers.withColumnRenamed("story_id", "id_b"),
+      "id_a", "id_b", "link", jaccardThreshold)
+    val matches = StoryOps.greedyMatch(cand, "id_a", "id_b", "jaccard")     // J6
+      .select(col("id_a").cast("int").as("cluster"), col("id_b").as("story_id"))
+    val assignment = clustered
+      .join(broadcast(matches), Seq("cluster"), "left")
+      .withColumn("story_id",
+        coalesce(col("story_id"), concat(lit("story-c"), col("cluster"))))  // J9
+      .select(col("link"), col("story_id"))
+    val stories = StoryOps.buildStories(
+      assignment.join(articles, "link").withColumn("entities", array().cast("array<string>")),
+      "story_id", "link", "embedding", "entities")
+    (assignment, stories)
+  }
+
+  /**
    * P4+J2+A7: incremental summarization input — stories needing (re)summary
    * hydrated with member text, lead-k extractive summary (M10 stand-in).
    */

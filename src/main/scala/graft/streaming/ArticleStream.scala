@@ -46,4 +46,18 @@ object ArticleStream {
                    ttl: String = "24 hours"): DataFrame =
     df.withWatermark(eventTimeCol, ttl)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /**
+   * A11 streaming form: per-source ingest counts over tumbling event-time
+   * windows (observability metric the reference logs per cycle,
+   * ingestion_service.py:105-116). Watermark bounds the agg state; late
+   * rows beyond it are dropped rather than accumulating state forever.
+   */
+  def windowedCounts(df: DataFrame, eventTimeCol: String, keyCol: String,
+                     windowLen: String = "5 minutes",
+                     lateness: String = "10 minutes"): DataFrame =
+    df.withWatermark(eventTimeCol, lateness)
+      .groupBy(window(col(eventTimeCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
 }

@@ -75,6 +75,25 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_.getString(1)).toSet == Set("s1", "s2"))
   }
 
+  test("refreshStories: matched clusters keep their old story id, new clusters mint ids") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def near(base: Array[Double]) = base.map(_ + rnd.nextGaussian() * 0.01).toSeq
+    val c1 = Array(1.0, 0.0, 0.0, 0.0); val c2 = Array(0.0, 1.0, 0.0, 0.0)
+    val articles = (
+      (1 to 6).map(i => (s"a$i", near(c1))) ++ (1 to 6).map(i => (s"b$i", near(c2)))
+    ).toDF("link", "embedding")
+    // old story "keep-me" holds most of cluster-1's members
+    val oldStories = Seq(("keep-me", (1 to 5).map(i => s"a$i"))).toDF("story_id", "members")
+    val (assignment, stories) = graft.pipelines.NewsPipeline.refreshStories(
+      articles, oldStories, jaccardThreshold = 0.5, numClusters = 2, minClusterSize = 2)
+    val byLink = assignment.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byLink("a1") == "keep-me", "overlapping cluster keeps stable story id")
+    assert((1 to 6).map(i => byLink(s"a$i")).toSet.size == 1, "cluster a stays together")
+    assert(byLink("b1").startsWith("story-c"), "unmatched cluster mints a fresh id")
+    assert(stories.count() == 2)
+  }
+
   test("summarize: only stale stories, member text in deterministic order") {
     import spark.implicits._
     val stories = Seq(

@@ -71,6 +71,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(state.find(_.storyId == "s-old").get.n == 6)
   }
 
+  test("windowed counts: tumbling event-time windows per key") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val counts = graft.streaming.ArticleStream.windowedCounts(
+      mem.toDF().toDF("ts", "src"), "ts", "src", "1 hour", "2 hours")
+    val q = counts.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), "a"), (ts(1), "a"), (ts(1), "b"), (ts(2), "a"))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 01:00 and 02:00 windows
+      mem.addData((tsDay(2, 0), "advance"))
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select(col("window_start").cast("string"), col("src"), col("n")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got.contains(("2024-01-01 01:00:00", "a", 2L)))
+      assert(got.contains(("2024-01-01 01:00:00", "b", 1L)))
+      assert(got.contains(("2024-01-01 02:00:00", "a", 1L)))
+    } finally q.stop()
+  }
+
+  test("multimodal decodeBatches: partition-batched stub decode") {
+    import spark.implicits._
+    val df = Seq((1L, "hello".getBytes), (2L, "world!!".getBytes), (3L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val got = graft.operators.MultimodalOps.decodeBatches(df).collect()
+      .map(m => m.id -> m).toMap
+    assert(got.size == 3)
+    assert(got(1L).width >= 1 && got(1L).width <= 1920)
+    assert(got(1L).height >= 1 && got(1L).height <= 1080)
+    assert(got(3L).meanByte == 0.0)
+    // deterministic across runs
+    val again = graft.operators.MultimodalOps.decodeBatches(df).collect().map(m => m.id -> m).toMap
+    assert(again(1L) == got(1L) && again(2L) == got(2L))
+  }
+
   test("ST4: centroid running mean moves toward joined article") {
     val stories = Seq(StoryState("s", Array(1.0, 0.0), 1L))
     val (_, state) = OnlineClustering.foldBatch(
