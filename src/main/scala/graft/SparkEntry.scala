@@ -284,6 +284,19 @@ object SparkEntry {
         .select(col("doc_id"), DedupOps.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // rows-only: simhash near-dup pairs by Hamming distance (bit_count of
+    // xor) — the verify stage over the 64-bit fingerprints, never bodies.
+    "x_simhash_pairs" -> ((s, d) => {
+      val sh = T(s, d, "documents")
+        .select(col("doc_id"), DedupOps.simhash(col("text")).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+        .filter(col("hamming") <= 8)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
     // ──────────── wave 2: remaining §2 operator ids ────────────
     "p1_projection" -> ((s, d) => {
       T(s, d, "orders")

@@ -23,6 +23,17 @@ class SqlRegistrationSpec extends AnyFunSuite with SparkSpec {
     assert(rows(1).getDouble(3) == 2.0)
   }
 
+  test("GraftExtensions injects functions via withExtensions") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // same metastore-less JVM: the extension registers into this session
+    val r = s2.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) c").collect()
+    assert(r(0).getDouble(0) == 1.0)
+  }
+
   test("typed Dataset round-trip for the entity model") {
     import graft.core._
     import java.sql.Timestamp
