@@ -109,6 +109,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(again(1L) == got(1L) && again(2L) == got(2L))
   }
 
+  test("ST4 state-store variant: assignments persist across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.Incoming]
+    val out = graft.streaming.StatefulClustering.assignStream(mem.toDS(), 0.8)
+    val q = out.writeStream.format("memory").queryName("st4_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(graft.streaming.Incoming("a1", Array(1.0, 0.0)))
+      q.processAllAvailable()
+      // second batch: similar article must join the story created in batch 1
+      mem.addData(graft.streaming.Incoming("a2", Array(0.99, 0.01)),
+        graft.streaming.Incoming("a3", Array(0.0, 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("st4_out").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(3))).toMap
+      assert(rows("a1")._2, "a1 opens a story")
+      assert(rows("a2")._1 == rows("a1")._1 && !rows("a2")._2,
+        "a2 joins the story created in the PREVIOUS batch via state store")
+      assert(rows("a3")._2 && rows("a3")._1 != rows("a1")._1)
+    } finally q.stop()
+  }
+
   test("ST4: centroid running mean moves toward joined article") {
     val stories = Seq(StoryState("s", Array(1.0, 0.0), 1L))
     val (_, state) = OnlineClustering.foldBatch(
