@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{text, vector, VectorMean}
+import graft.functions.{text, vector, VectorMeanFast}
 import graft.operators.{ClusterRefine, DedupOps, IvfAnn, MultimodalOps, Recommend, RecommendML, SimilarityOps, StoryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -165,7 +165,7 @@ object SparkEntry {
     "j1_centroid_assign" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val cents = e.groupBy("label")
-        .agg(VectorMean(col("embedding").cast("array<double>")).as("cent"))
+        .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("cent"))
       SimilarityOps.assignNearestCentroid(
           e, cents, "vec_id", "embedding", "label", "cent", 0.3)
         .select(col("item_id").as("vec_id"), col("assigned_id"),
@@ -184,7 +184,7 @@ object SparkEntry {
     }),
     "a3_vector_mean" -> ((s, d) => {
       T(s, d, "embeddings").groupBy("label")
-        .agg(VectorMean(col("embedding").cast("array<double>")).as("c"))
+        .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("c"))
         .select(col("label"), transform(col("c"), x => round(x, 6)).as("centroid"))
         .orderBy("label")
     }),
@@ -522,7 +522,7 @@ object SparkEntry {
         .select(concat(lit("story-"), pmod(col("vec_id"), lit(50))).as("story_id"),
           col("embedding"))
         .groupBy("story_id")
-        .agg(VectorMean(col("embedding").cast("array<double>")).as("centroid"))
+        .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("centroid"))
         .withColumn("last_updated", lit("2024-01-20 00:00:00").cast("timestamp"))
       graft.pipelines.NewsPipeline.hybridRecommend(
           interactions, stories, lit(NowTs).cast("timestamp"), topN = 10, candK = 20)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorMean
+import graft.functions.VectorMeanFast
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -38,13 +38,13 @@ object IvfAnn {
     var cells = base
       .withColumn("cell_id", pmod(xxhash64(col("item_id")), lit(nlist.toLong)))
       .groupBy("cell_id")
-      .agg(VectorMean(col("v")).as("cell_vec"))
+      .agg(VectorMeanFast(col("v")).as("cell_vec"))
     (1 to iters).foreach { _ =>
       val assigned = SimilarityOps.assignNearestCentroid(
         base, cells, "item_id", "v", "cell_id", "cell_vec", threshold = -2.0)
       cells = assigned.join(base, "item_id")
         .groupBy(col("assigned_id").as("cell_id"))
-        .agg(VectorMean(col("v")).as("cell_vec"))
+        .agg(VectorMeanFast(col("v")).as("cell_vec"))
     }
     val out = cells.cache()
     out.count()

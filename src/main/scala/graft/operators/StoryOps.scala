@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorMean
+import graft.functions.VectorMeanFast
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,7 +32,7 @@ object StoryOps {
                    vecCol: String, entitiesCol: String): DataFrame =
     members.groupBy(col(storyId))
       .agg(
-        VectorMean(col(vecCol).cast("array<double>")).as("centroid"),
+        VectorMeanFast(col(vecCol).cast("array<double>")).as("centroid"),
         array_sort(array_distinct(flatten(collect_list(col(entitiesCol))))).as("entities"),
         sort_array(collect_list(col(memberKey))).as("members"),
         count(lit(1)).as("n_members"))

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import graft.functions.{text, VectorMean}
+import graft.functions.{text, VectorMeanFast}
 import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -89,7 +89,7 @@ object NewsPipeline {
     val profiles = interactions.filter(col("event_type") === "like")
       .join(stories.select(col("story_id"), col("centroid")), "story_id")
       .groupBy("user_id")
-      .agg(VectorMean(col("centroid").cast("array<double>")).as("profile"))
+      .agg(VectorMeanFast(col("centroid").cast("array<double>")).as("profile"))
     val knn = SimilarityOps.knnJoinCosine(
         profiles.select(col("user_id").as("qid"), col("profile")),
         stories.select(col("story_id").as("qid"), col("centroid").cast("array<double>").as("profile")),
