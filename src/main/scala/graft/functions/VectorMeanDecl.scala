@@ -14,6 +14,12 @@ import org.apache.spark.sql.types._
  * buffer — no per-row object serialization like the `Aggregator`-based
  * [[VectorMean]] (ObjectHashAggregate). Same semantics: null/empty inputs
  * ignored; empty group → empty array.
+ *
+ * Dimension contract: all vectors in a group must share one length —
+ * `zip_with` null-pads a shorter array, so a mixed-length group yields
+ * null elements beyond the shortest prefix (the Aggregator variant
+ * truncates instead). Both are garbage-in signals; fixed-dim embedding
+ * columns never hit it.
  */
 case class VectorMeanDecl(child: Expression)
   extends DeclarativeAggregate with UnaryLike[Expression] {

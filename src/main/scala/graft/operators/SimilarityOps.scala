@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
  * corpus side stays partitioned — the similarity compute is a map-only
  * stage. Top-k reduction uses a bounded-heap aggregate so only k candidates
  * per query per partition reach the shuffle (vs. a window-rank over the
- * full Q×C cross product).
+ * full Q×C cross product) — the classic distributed block-partial-top-k /
+ * merge pattern (cf. REPOSE, ICDE 2021, and the top-k similarity-search
+ * line in PAPERS.md). For the set-similarity join we evaluated PPJoin-style
+ * prefix filtering; with the reference workload's tiny sets (~4 members)
+ * the prefix is nearly the whole set, so the direct member-equi-join wins —
+ * revisit if member sets grow.
  */
 object SimilarityOps {
 

@@ -55,6 +55,22 @@ object TableSink {
     merged.write.mode(SaveMode.Overwrite).parquet(s"$dir/$gen")
     new java.io.File(dir).mkdirs()
     java.nio.file.Files.writeString(new java.io.File(ptrPath(dir)).toPath, gen)
+    gcGenerations(dir, keep = 2)
+  }
+
+  /** Drop all but the newest `keep` generation dirs (readers of the
+    * current pointer are unaffected; one older gen is kept as rollback). */
+  private def gcGenerations(dir: String, keep: Int): Unit = {
+    val gens = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .sortBy(_.getName)
+    gens.dropRight(keep).foreach { g =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(g)
+    }
   }
 
   /** Keyed delete (reference S7 delete_one / J7 anti-join rewrite). */
