@@ -247,6 +247,20 @@ object OracleSql {
          |FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "x_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END) s
+         |  FROM w),
+         |m AS (SELECT doc_id, unnest(s) sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
+         |i AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+         |        FROM m a JOIN m b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |j AS (SELECT ia, ib, inter, inter::DOUBLE / (x.n + y.n - inter) jac
+         |        FROM i JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib)
+         |SELECT ia AS id_a, ib AS id_b, round(jac, 6) AS jaccard
+         |FROM j WHERE jac >= 0.02 ORDER BY id_a, id_b""".stripMargin,
+
     "x_neardup_cosine" ->
       """WITH p AS (SELECT a.vec_id ia, b.vec_id ib, a.embedding ea, b.embedding eb
         |             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),

@@ -273,6 +273,11 @@ object SparkEntry {
       DedupOps.lshCandidatePairs(T(s, d, "documents"), "doc_id", "text", 3, 4, 4)
         .orderBy("id_a", "id_b")
     }),
+    "x_ngram_jaccard" -> ((s, d) => {
+      DedupOps.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text", 3, 0.02)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     "x_neardup_cosine" -> ((s, d) => {
       SimilarityOps.nearDupByCosine(T(s, d, "embeddings"), "vec_id", "embedding", 0.3)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))

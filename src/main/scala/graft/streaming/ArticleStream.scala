@@ -16,7 +16,11 @@ import org.apache.spark.sql.types.StructType
  */
 object ArticleStream {
 
-  /** S4: Kafka source decoded from keyed JSON (schema explicit, never inferred). */
+  /** S4: Kafka source decoded from keyed JSON (schema explicit, never
+    * inferred). Deploy note: requires the `spark-sql-kafka-0-10` connector
+    * on the classpath (`--packages org.apache.spark:spark-sql-kafka-0-10_2.13`);
+    * this environment ships without it, so the Kafka path is exercised in
+    * tests through MemoryStream sources with identical downstream plans. */
   def fromKafka(spark: SparkSession, servers: String, topic: String,
                 schema: StructType): DataFrame =
     spark.readStream.format("kafka")
