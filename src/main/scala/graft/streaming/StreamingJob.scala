@@ -27,11 +27,21 @@ object StreamingJob {
       articles.filter(col("link").isNotNull)                 // P2
         .filter(length(trim(col("txt"))) > 0),               // P3
       "ingestion_time", "link")
+      // A11 streaming observability: per-trigger accepted-article count,
+      // surfaced in StreamingQueryProgress.observedMetrics (the reference
+      // logs this per cycle, ingestion_service.py:105-116).
+      .observe("ingest", count(lit(1)).as("n_articles"))
     deduped.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        if (!batch.isEmpty) processBatch(spark, batch, articlesDir, storiesDir, simThreshold, epoch)
+        // Persist the micro-batch: downstream uses it twice (assignment
+        // fold + table join) — uncached, the whole source plan re-runs per
+        // use and per-trigger observed metrics double-count.
+        batch.persist()
+        try {
+          if (!batch.isEmpty) processBatch(spark, batch, articlesDir, storiesDir, simThreshold, epoch)
+        } finally batch.unpersist()
       }
       .start()
   }

@@ -37,6 +37,10 @@ class StreamingJobSpec extends AnyFunSuite with SparkSpec {
       assert(byLink("l1") != byLink("l3"), "different text opens a new story")
       val stories = TableSink.read(spark, s"$tmp/stories", schemaLike)
       assert(stories.count() == 2)
+      // A11: per-trigger observed metric is reported in progress
+      val observed = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("ingest")).map(_.getAs[Long]("n_articles")))
+      assert(observed.sum == 3, s"observed ingest counts: ${observed.mkString(",")}")
     } finally q.stop()
   }
 }
