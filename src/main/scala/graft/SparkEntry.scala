@@ -444,6 +444,15 @@ object SparkEntry {
         .select(col("doc_id"), col("m.width"), col("m.height"), col("m.channels"), col("offsets"))
         .orderBy("doc_id")
     }),
+    // rows-only: partition-batched media decode (mapPartitions path — one
+    // codec instance per partition, iterator-in/iterator-out).
+    "x_mm_batch_decode" -> ((s, d) => {
+      MultimodalOps.decodeBatches(
+          T(s, d, "documents").select(col("doc_id").as("id"),
+            col("text").cast("binary").as("payload")))
+        .toDF()
+        .orderBy("id")
+    }),
     // rows-only: IVF approximate NN (recall vs exact checked in ScalaTest).
     "x_ann_ivf" -> ((s, d) => {
       val e = T(s, d, "embeddings")

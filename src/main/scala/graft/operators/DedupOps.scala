@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
  * (Reference analogue: the URL-dedup seen-set, ingestion_service.py:74-77,
  * and `dropDuplicates` on ratings, recommendation-trainer.py:216 —
  * generalized here to content-level dedup at scale.)
+ *
+ * Algorithms per the published literature: MinHash resemblance sketching
+ * (Broder, 1997), banded LSH candidate generation (Leskovec/Rajaraman/
+ * Ullman, Mining of Massive Datasets ch. 3), SimHash fingerprints
+ * (Charikar, 2002) as deployed for web-scale near-dup detection
+ * (Manku et al., WWW 2007).
  */
 object DedupOps {
 

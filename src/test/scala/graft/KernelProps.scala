@@ -60,4 +60,14 @@ object KernelProps extends Properties("kernels") {
       val want = xs.sortBy(s => (-s.score, s.id)).take(k)
       got == want
     }
+
+  property("TopKAggS (string keys) equals sort-prefix under merge splits") =
+    forAll(scoredGen, Gen.choose(1, 8)) { (xs, k) =>
+      val ss = xs.map(s => graft.functions.ScoredS(s.score, s"id-${s.id}"))
+      val agg = new graft.functions.TopKAggS(k)
+      val (l, r) = ss.splitAt(ss.length / 3)
+      val got = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      got == ss.sortBy(s => (-s.score, s.id)).take(k)
+    }
 }
