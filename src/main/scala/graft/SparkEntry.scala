@@ -278,6 +278,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    // rows-only: cosine-LSH candidate generation (signed random
+    // projections; xxhash-derived hyperplanes not oracle-portable).
+    "x_cosine_lsh_pairs" -> ((s, d) => {
+      SimilarityOps.sketchCandidatePairs(T(s, d, "embeddings"), "vec_id", "embedding", nbits = 8)
+        .orderBy("id_a", "id_b")
+    }),
     "x_neardup_cosine" -> ((s, d) => {
       SimilarityOps.nearDupByCosine(T(s, d, "embeddings"), "vec_id", "embedding", 0.3)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))

@@ -76,6 +76,46 @@ object SimilarityOps {
         col("best.sim").as("sim"))
   }
 
+  /**
+   * Random-hyperplane (signed random projection) sketch for cosine LSH
+   * (Charikar, 2002): bit j = sign(v · h_j) with h_j a deterministic ±1
+   * hyperplane derived from xxhash64(j, i). Vectors with high cosine
+   * similarity agree on most bits; bucketing sketches (or banding them)
+   * yields near-dup candidates without any pairwise scan — the cosine
+   * analogue of the MinHash/LSH path, and an alternative to IVF probing.
+   * Map-only column expression; the nbits-wide sketch is all that ever
+   * shuffles.
+   */
+  def cosineSketch(vec: Column, nbits: Int = 16): Column = {
+    val bits = (0 until nbits).map { j =>
+      // v · h_j folded in one pass; h_j component i = ±1 from hash(j,i)
+      val dot = aggregate(
+        zip_with(vec,
+          transform(sequence(lit(0), size(vec) - 1),
+            i => when(pmod(xxhash64(lit(j), i), lit(2L)) === 0L, 1.0).otherwise(-1.0)),
+          (v, h) => v * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1), j)).otherwise(0)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /**
+   * Candidate near-dup pairs via cosine-sketch buckets: exact-sketch
+   * collisions (plus optional verification by true cosine). With nbits=16
+   * two vectors at cosine θ collide with prob (1 − θ_angle/π)^16.
+   */
+  def sketchCandidatePairs(vecs: DataFrame, idCol: String, vecCol: String,
+                           nbits: Int = 16): DataFrame = {
+    val sk = vecs.select(col(idCol).as("id"),
+      cosineSketch(col(vecCol).cast("array<double>"), nbits).as("sk"))
+    sk.groupBy("sk").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+  }
+
   /** All pairs (a<b) with cosine similarity ≥ threshold (near-dup by embedding). */
   def nearDupByCosine(vecs: DataFrame, idCol: String, vecCol: String,
                       threshold: Double): DataFrame = {

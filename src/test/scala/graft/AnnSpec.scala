@@ -12,6 +12,26 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     df.select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("cosine sketch: near-identical vectors collide, opposite vectors never do") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq.tabulate(16)(i => math.sin(i + 1.0))
+    val vecs = Seq(
+      (1L, base), (2L, base.map(_ * 1.0001)),        // near-dup pair
+      (3L, base.map(-_)),                            // antipode
+      (4L, Seq.tabulate(16)(i => math.cos(3.0 * i))) // unrelated
+    ).toDF("vec_id", "embedding")
+    val sk = vecs.select(col("vec_id"),
+      graft.operators.SimilarityOps.cosineSketch(col("embedding"), 16).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sk(1L) == sk(2L), "scaled copy has the identical sketch")
+    assert((sk(1L) ^ sk(3L)) == 0xffff, "antipode flips every bit")
+    val pairs = graft.operators.SimilarityOps.sketchCandidatePairs(vecs, "vec_id", "embedding", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
   test("IVF recall ≥ 0.7 at nprobe=8/nlist=16 and improves with nprobe") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet").repartition(8).cache()
     val q = e.filter(col("vec_id") < 20)
