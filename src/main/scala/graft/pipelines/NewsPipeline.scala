@@ -122,6 +122,23 @@ object NewsPipeline {
         .select(col("story_id"), col("cnt").cast("double").as("score"))))
 
   /**
+   * The complete §3.2 output: hybrid recommendations for users the model
+   * can serve, popularity fallback for everyone else (cold users = in
+   * `allUsers` but absent from the hybrid output — the reference's
+   * "no likes" branch generalized). One union, still no per-user loops.
+   */
+  def recommendAll(interactions: DataFrame, stories: DataFrame, allUsers: DataFrame,
+                   now: Column, topN: Int = 10, candK: Int = 50): DataFrame = {
+    val warm = hybridRecommend(interactions, stories, now, topN, candK)
+    val cold = allUsers.join(warm.select("user_id").distinct(), Seq("user_id"), "left_anti")
+    val fallback = popularityFallback(interactions, cold, topN)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("score"), col("story_id"))))
+    warm.withColumn("src", lit("hybrid"))
+      .unionByName(fallback.withColumn("src", lit("popularity")))
+  }
+
+  /**
    * Batch cluster refinement with STABLE STORY IDENTITY (reference
    * batch-cluster-service.py:205-232 + 45-70): re-cluster all articles
    * (M4-M6 surrogate), then match new clusters to existing stories by

@@ -64,6 +64,31 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("recommendAll: warm users get hybrid recs, cold users get popularity") {
+    import spark.implicits._
+    val interactions = Seq(
+      ("w1", "s1", "like", ts("2024-01-15 10:00:00")),
+      ("w1", "s2", "click", ts("2024-01-15 10:00:00")),
+      ("w2", "s2", "like", ts("2024-01-15 10:00:00")),
+      ("w2", "s1", "share", ts("2024-01-15 10:00:00")))
+      .toDF("user_id", "story_id", "event_type", "event_time")
+    val stories = Seq(
+      ("s1", Seq(1.0, 0.0), ts("2024-01-20 00:00:00")),
+      ("s2", Seq(0.9, 0.1), ts("2024-01-20 00:00:00")),
+      ("s3", Seq(0.0, 1.0), ts("2024-01-20 00:00:00")))
+      .toDF("story_id", "centroid", "last_updated")
+    val allUsers = Seq("w1", "w2", "cold1").toDF("user_id")
+    val got = graft.pipelines.NewsPipeline.recommendAll(
+        interactions, stories, allUsers, lit("2024-01-21 00:00:00").cast("timestamp"),
+        topN = 2, candK = 5)
+      .collect().groupBy(_.getString(0))
+    assert(got.keySet == Set("w1", "w2", "cold1"))
+    assert(got("cold1").forall(_.getAs[String]("src") == "popularity"))
+    assert(got("w1").forall(_.getAs[String]("src") == "hybrid"))
+    assert(got("cold1").map(_.getString(1)).toSet.subsetOf(Set("s1", "s2")),
+      "fallback serves the globally popular stories")
+  }
+
   test("popularityFallback: every cold user gets the same global top-N") {
     import spark.implicits._
     val interactions = Seq(

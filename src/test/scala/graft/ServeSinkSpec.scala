@@ -39,6 +39,34 @@ class ServeSinkSpec extends AnyFunSuite with SparkSpec {
     assert(got.length == 1 && got(0).getString(1) == "sum two")
   }
 
+  test("driftScore serves A2 on demand; registerViews enables SQL reads") {
+    import spark.implicits._
+    val interactions = Seq(
+      ("u1", "like", ts("2024-01-01 00:00:00")),
+      ("u1", "click", ts("2024-01-20 00:00:00")))
+      .toDF("user_id", "event_type", "event_time")
+    // hist mean = (1.0 + 0.1)/2 = 0.55; recent mean = 0.1 → drift ≈ 0.818
+    val d = Serve.driftScore(interactions, lit("2024-01-10 00:00:00").cast("timestamp"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(d - 0.45 / 0.55) < 1e-12)
+    Serve.registerViews(spark, Map("stories_v" -> storiesDf))
+    assert(spark.sql("SELECT count(*) FROM stories_v").collect()(0).getLong(0) == 3)
+  }
+
+  test("bias reports: thresholds flag low diversity or negative sentiment") {
+    import spark.implicits._
+    val logs = Seq(
+      (1L, "u1", Seq(("s1", "srcA", "big win today"), ("s2", "srcB", "fast good news"))),
+      (2L, "u2", Seq(("s3", "srcC", "slow bad error"), ("s4", "srcC", "fail small crash"))))
+      .toDF("log_id", "user_id", "recs")
+      .select(col("log_id"), col("user_id"),
+        expr("transform(recs, r -> struct(r._1 AS story_id, r._2 AS source, r._3 AS headline))").as("recommendations"))
+    val got = graft.operators.Bias.processLogs(logs)
+      .collect().map(r => r.getAs[Long]("log_id") -> r.getAs[Boolean]("bias_flag")).toMap
+    assert(!got(1L), "diverse sources + positive sentiment → no flag")
+    assert(got(2L), "single source + negative sentiment → flagged")
+  }
+
   test("TableSink upsert: batch wins, old keys survive, delete drops") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sink").toString
