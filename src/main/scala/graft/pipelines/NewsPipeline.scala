@@ -14,19 +14,14 @@ import org.apache.spark.sql.functions._
 object NewsPipeline {
 
   /**
-   * M1 stand-in: deterministic hashing embedding — each token votes into
-   * dim buckets by hash, L2-normalized (SURVEY §2.7 M1: semantic model
-   * swapped for a deterministic, oracle-able projection; same column
-   * contract array<double>, unit norm).
+   * M1 stand-in: deterministic hashing embedding — each token votes ±1
+   * into one of dim buckets, L2-normalized (SURVEY §2.7 M1: semantic model
+   * swapped for a deterministic projection; same column contract
+   * array<double>, unit norm). Backed by the codegen
+   * [[graft.functions.HashEmbedding]] expression: O(tokens) per row.
    */
-  def hashEmbedding(textCol: Column, dim: Int = 64): Column = {
-    val toks = text.tokens(textCol)
-    val votes = aggregate(toks, array_repeat(lit(0.0), dim),
-      (acc, t) => zip_with(acc, sequence(lit(0), lit(dim - 1)),
-        (a, i) => a + when(pmod(xxhash64(t), lit(dim.toLong)).cast("int") === i,
-          when(pmod(xxhash64(t, lit(7)), lit(2L)) === 0L, 1.0).otherwise(-1.0)).otherwise(0.0)))
-    graft.functions.vector.l2Normalize(votes)
-  }
+  def hashEmbedding(textCol: Column, dim: Int = 64): Column =
+    graft.functions.HashEmbed(textCol, dim)
 
   /**
    * §3.1 batch form: raw articles → projection/filters (P1-P3) →
