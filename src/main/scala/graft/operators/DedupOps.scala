@@ -50,7 +50,7 @@ object DedupOps {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, k: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      text.minhashSignature(text.shingles(text.tokens(col(textCol)), shingleN), k).as("sig"))
+      graft.functions.sig.minhash(col(textCol), shingleN, k).as("sig"))
 
   /**
    * MinHash-LSH candidate pairs: signatures split into bands; documents
@@ -97,23 +97,12 @@ object DedupOps {
   }
 
   /**
-   * SimHash (64-bit) per document: each token hashes to 64 bits (xxhash64);
+   * SimHash (64-bit) per document: each token hashes to 64 bits,
    * bit-weighted majority vote forms the fingerprint. Near-dups differ in
-   * few bits (Hamming distance). Pure column expressions — map-only.
-   *
-   * Single-pass formulation: token hashes computed once (`transform`),
-   * votes folded as one 64-wide `zip_with` per token; a naive
-   * per-bit-position fold would re-hash every token 64 times.
+   * few bits (Hamming distance). Backed by the codegen
+   * [[graft.functions.SimHash64]] expression — one hash per token; the
+   * earlier higher-order-function formulation paid interpreted lambda
+   * calls per (token × bit).
    */
-  def simhash(textCol: Column): Column = {
-    val hashes = transform(text.tokens(textCol), t => xxhash64(t))
-    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0L), lit(63L)),
-        (a, b) => a + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L)))
-    aggregate(
-      zip_with(votes, sequence(lit(0L), lit(63L)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(textCol: Column): Column = graft.functions.sig.simhash(textCol)
 }
