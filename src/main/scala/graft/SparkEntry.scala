@@ -208,8 +208,11 @@ object SparkEntry {
         .orderBy("lang")
     }),
     "a9_sentiment" -> ((s, d) => {
+      val st = graft.functions.textStats(col("text"))
+      val sent = when(st("n_tokens") === 0, 0.0)
+        .otherwise((st("n_pos") - st("n_neg")).cast("double") / st("n_tokens"))
       T(s, d, "documents").groupBy("lang")
-        .agg(round(avg(text.sentiment(col("text"))), 6).as("avg_sentiment"))
+        .agg(round(avg(sent), 6).as("avg_sentiment"))
         .orderBy("lang")
     }),
     // ─────────────────────────── top-k / sort ───────────────────────────
@@ -238,17 +241,26 @@ object SparkEntry {
     }),
     // ─────────────── LLM-training-data pipeline operators ───────────────
     "x_token_stats" -> ((s, d) => {
-      val t = T(s, d, "documents")
-      t.select(col("doc_id"),
-          text.tokenCount(col("text")).as("n_tokens"),
+      val st = graft.functions.textStats(col("text"))
+      T(s, d, "documents").select(col("doc_id"),
+          st("n_tokens").as("n_tokens"),
           length(col("text")).as("n_chars2"),
-          round(text.avgWordLen(text.tokens(col("text"))), 6).as("avg_word_len"),
-          round(text.stopwordRatio(text.tokens(col("text"))), 6).as("stopword_ratio"))
+          round(when(st("n_tokens") === 0, 0.0)
+            .otherwise(st("sum_len").cast("double") / st("n_tokens")), 6).as("avg_word_len"),
+          round(when(st("n_tokens") === 0, 0.0)
+            .otherwise(st("n_stop").cast("double") / st("n_tokens")), 6).as("stopword_ratio"))
         .orderBy("doc_id")
     }),
     "x_quality" -> ((s, d) => {
+      val st = graft.functions.textStats(col("text"))
+      val stopRatio = st("n_stop").cast("double") / st("n_tokens")
+      val awl = st("sum_len").cast("double") / st("n_tokens")
+      val quality = round(
+        least(st("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.5 +
+          when(stopRatio > 0.01, 1.0).otherwise(0.5) * 0.25 +
+          when(awl.between(2.0, 12.0), 1.0).otherwise(0.5) * 0.25, 6)
       T(s, d, "documents")
-        .select(col("doc_id"), text.qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"), quality.as("quality"))
         .orderBy("doc_id")
     }),
     "x_langid" -> ((s, d) => {
