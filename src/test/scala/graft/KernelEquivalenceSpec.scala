@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.{sig, text, textStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The codegen kernel expressions must stay byte-identical to the column
+ * (built-in-function) formulations they replaced — the oracle checks the
+ * kernels, these tests pin the equivalence so future kernel edits can't
+ * drift silently.
+ */
+class KernelEquivalenceSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("the", "fast", "slow", "spark", "query", "a", "of", "BIG", "Win", "error")
+    val texts = (1 to 30).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    } :+ (31L, "ab") :+ (32L, "one two")  // fewer tokens than the shingle width
+    texts.toDF("id", "text")
+  }
+
+  test("MinhashSignature kernel == column formulation") {
+    val kernel = docs.select(col("id"), sig.minhash(col("text"), 3, 4).as("s"))
+    val column = docs.select(col("id"),
+      text.minhashSignature(text.shingles(text.tokens(col("text")), 3), 4).as("s"))
+    val k = kernel.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val c = column.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(k == c)
+  }
+
+  test("TextStats kernel matches tokenCount/avgWordLen/stopwordRatio/sentiment columns") {
+    val st = textStats(col("text"))
+    val kernel = docs.select(col("id"),
+      st("n_tokens").as("n"),
+      when(st("n_tokens") === 0, 0.0)
+        .otherwise(st("sum_len").cast("double") / st("n_tokens")).as("awl"),
+      when(st("n_tokens") === 0, 0.0)
+        .otherwise(st("n_stop").cast("double") / st("n_tokens")).as("sr"),
+      when(st("n_tokens") === 0, 0.0)
+        .otherwise((st("n_pos") - st("n_neg")).cast("double") / st("n_tokens")).as("sent"))
+    val column = docs.select(col("id"),
+      text.tokenCount(col("text")).as("n"),
+      text.avgWordLen(text.tokens(col("text"))).as("awl"),
+      text.stopwordRatio(text.tokens(col("text"))).as("sr"),
+      text.sentiment(col("text")).as("sent"))
+    val k = kernel.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val c = column.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(k == c)
+  }
+
+  test("HashEmbedding: unit norm, deterministic, token-order invariant in aggregate") {
+    val e1 = docs.select(col("id"), graft.functions.HashEmbed(col("text"), 32).as("e"))
+    val norms = e1.select(
+      sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)).as("n")).collect().map(_.getDouble(0))
+    assert(norms.forall(n => n == 0.0 || math.abs(n - 1.0) < 1e-9))
+    val again = docs.select(col("id"), graft.functions.HashEmbed(col("text"), 32).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val first = e1.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == first)
+  }
+}
