@@ -131,14 +131,15 @@ object OracleSql {
         |             avg(value) hist FROM events)""".stripMargin,
 
     "a3_vector_mean" ->
-      """SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+      """SELECT label, string_agg(printf('%.6f', round(m, 6)), ',' ORDER BY pos) AS centroid
         |FROM (SELECT label, pos, avg(x) m
         |      FROM (SELECT label, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
         |            FROM embeddings) GROUP BY label, pos)
         |GROUP BY label ORDER BY label""".stripMargin,
 
     "a5_set_union" ->
-      """SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts,
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS parts,
         |  CAST(len(list(DISTINCT l_partkey)) AS INTEGER) AS n_parts
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
@@ -217,7 +218,8 @@ object OracleSql {
       """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id""".stripMargin,
 
     "x_exact_dup_groups" ->
-      """SELECT md5(lower(trim(text))) AS fp, count(*) AS n, list_sort(list(doc_id)) AS ids
+      """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS ids
         |FROM documents GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
 
     "x_minhash_sig" ->
@@ -225,11 +227,12 @@ object OracleSql {
          |sh AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
          |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
          |  FROM w)
-         |SELECT doc_id, [
+         |SELECT doc_id, array_to_string(list_transform([
          |  list_min(list_transform(s, x -> md5('0|' || x))),
          |  list_min(list_transform(s, x -> md5('1|' || x))),
          |  list_min(list_transform(s, x -> md5('2|' || x))),
-         |  list_min(list_transform(s, x -> md5('3|' || x)))] AS sig
+         |  list_min(list_transform(s, x -> md5('3|' || x)))],
+         |  h -> coalesce(h, 'null')), ',') AS sig
          |FROM sh ORDER BY doc_id""".stripMargin,
 
     "x_lsh_pairs" ->
@@ -320,7 +323,8 @@ object OracleSql {
         |FROM orders GROUP BY o_custkey ORDER BY story_id""".stripMargin,
 
     "a6_member_list" ->
-      """SELECT label, list_sort(list(vec_id)) AS members, count(*) AS n_members
+      """SELECT label, array_to_string(list_sort(list(vec_id)), ',') AS members,
+        |  count(*) AS n_members
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "a10_minmax_agg" ->
@@ -362,8 +366,8 @@ object OracleSql {
 
     "m4_l2_normalize" ->
       """SELECT vec_id,
-        |  list_transform(embedding, x -> round(x::DOUBLE /
-        |    sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))), 6)) AS unit
+        |  array_to_string(list_transform(embedding, x -> printf('%.6f', round(x::DOUBLE /
+        |    sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))), 6))), ',') AS unit
         |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
 
     "a8a9_bias_reports" ->

@@ -182,16 +182,22 @@ object SparkEntry {
           col("ts") >= lit(RecentCutoff).cast("timestamp"))
         .select(round(col("drift_score"), 6).as("drift_score"))
     }),
+    // Array results are serialized to canonical strings (fixed 6-decimal
+    // element format, comma-joined) so the driver's checker — which sorts
+    // result columns — can hash them; comparison stays element-level.
     "a3_vector_mean" -> ((s, d) => {
       T(s, d, "embeddings").groupBy("label")
         .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("c"))
-        .select(col("label"), transform(col("c"), x => round(x, 6)).as("centroid"))
+        .select(col("label"),
+          array_join(transform(col("c"), x => format_string("%.6f", round(x, 6))), ",").as("centroid"))
         .orderBy("label")
     }),
     "a5_set_union" -> ((s, d) => {
       T(s, d, "lineitem").groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-        .select(col("l_orderkey"), col("parts"), size(col("parts")).as("n_parts"))
+        .select(col("l_orderkey"),
+          array_join(transform(col("parts"), _.cast("string")), ",").as("parts"),
+          size(col("parts")).as("n_parts"))
         .orderBy("l_orderkey")
     }),
     "a7_string_agg" -> ((s, d) => {
@@ -275,10 +281,13 @@ object SparkEntry {
     }),
     "x_exact_dup_groups" -> ((s, d) => {
       DedupOps.exactDupGroups(T(s, d, "documents"), "doc_id", "text")
+        .select(col("fp"), col("n"),
+          array_join(transform(col("ids"), _.cast("string")), ",").as("ids"))
         .orderBy("fp")
     }),
     "x_minhash_sig" -> ((s, d) => {
       DedupOps.minhashSignatures(T(s, d, "documents"), "doc_id", "text", 3, 4)
+        .select(col("doc_id"), array_join(col("sig"), ",", "null").as("sig"))
         .orderBy("doc_id")
     }),
     "x_lsh_pairs" -> ((s, d) => {
@@ -395,8 +404,11 @@ object SparkEntry {
     }),
     "a6_member_list" -> ((s, d) => {
       T(s, d, "embeddings").groupBy("label")
-        .agg(sort_array(collect_list(col("vec_id"))).as("members"),
+        .agg(sort_array(collect_list(col("vec_id"))).as("m"),
           count(lit(1)).as("n_members"))
+        .select(col("label"),
+          array_join(transform(col("m"), _.cast("string")), ",").as("members"),
+          col("n_members"))
         .orderBy("label")
     }),
     "a10_minmax_agg" -> ((s, d) => {
@@ -441,8 +453,8 @@ object SparkEntry {
     "m4_l2_normalize" -> ((s, d) => {
       T(s, d, "embeddings").filter(col("vec_id") < 50)
         .select(col("vec_id"),
-          transform(vector.l2Normalize(col("embedding").cast("array<double>")),
-            x => round(x, 6)).as("unit"))
+          array_join(transform(vector.l2Normalize(col("embedding").cast("array<double>")),
+            x => format_string("%.6f", round(x, 6))), ",").as("unit"))
         .orderBy("vec_id")
     }),
     "x_mm_meta" -> ((s, d) => {
@@ -459,7 +471,8 @@ object SparkEntry {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .select(col("doc_id"), MultimodalOps.decodeStub(col("payload")).as("m"),
           MultimodalOps.sampleOffsets(col("payload"), 4).as("offsets"))
-        .select(col("doc_id"), col("m.width"), col("m.height"), col("m.channels"), col("offsets"))
+        .select(col("doc_id"), col("m.width"), col("m.height"), col("m.channels"),
+          array_join(transform(col("offsets"), _.cast("string")), ",").as("offsets"))
         .orderBy("doc_id")
     }),
     // rows-only: partition-batched media decode (mapPartitions path — one
