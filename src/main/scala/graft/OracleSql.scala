@@ -264,6 +264,48 @@ object OracleSql {
          |SELECT ia AS id_a, ib AS id_b, round(jac, 6) AS jaccard
          |FROM j WHERE jac >= 0.02 ORDER BY id_a, id_b""".stripMargin,
 
+    // SimHash: per-token 64-bit hash = md5_number_lower (same byte order as
+    // the JVM kernel), ±1 votes per bit, majority sign; built as HUGEINT
+    // then wrapped to signed 64-bit to match Spark's LongType.
+    "x_simhash" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') wds FROM documents),
+        |t AS (SELECT doc_id, md5_number_lower(unnest(wds)) h FROM w),
+        |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) vote
+        |      FROM t CROSS JOIN range(64) r(b) GROUP BY doc_id, b),
+        |u AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::HUGEINT << b ELSE 0 END) sh FROM v GROUP BY doc_id)
+        |SELECT doc_id, (CASE WHEN sh >= 9223372036854775808 THEN sh - 18446744073709551616
+        |                     ELSE sh END)::BIGINT AS simhash
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    "x_simhash_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') wds FROM documents),
+        |t AS (SELECT doc_id, md5_number_lower(unnest(wds)) h FROM w),
+        |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) vote
+        |      FROM t CROSS JOIN range(64) r(b) GROUP BY doc_id, b),
+        |u AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::HUGEINT << b ELSE 0 END) sh FROM v GROUP BY doc_id),
+        |s AS (SELECT doc_id, (CASE WHEN sh >= 9223372036854775808 THEN sh - 18446744073709551616
+        |                          ELSE sh END)::BIGINT sh FROM u)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Cosine LSH: hyperplane component (j,i) = ±1 from bit 0 of
+    // md5_number_lower('j|i') — identical to the kernel's sign table.
+    "x_cosine_lsh_pairs" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 i, unnest(embedding)::DOUBLE x
+        |      FROM embeddings),
+        |hp AS (SELECT j, i,
+        |    CASE WHEN md5_number_lower(j || '|' || i) & 1 = 0 THEN 1.0 ELSE -1.0 END h
+        |  FROM range(8) a(j) CROSS JOIN (SELECT DISTINCT i FROM u) b),
+        |d AS (SELECT vec_id, j, sum(x * h) dot FROM u JOIN hp USING (i) GROUP BY vec_id, j),
+        |sk AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (1 << j) ELSE 0 END) AS INTEGER) sk
+        |       FROM d GROUP BY vec_id)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM sk a JOIN sk b ON a.sk = b.sk AND a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "x_neardup_cosine" ->
       """WITH p AS (SELECT a.vec_id ia, b.vec_id ib, a.embedding ea, b.embedding eb
         |             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),

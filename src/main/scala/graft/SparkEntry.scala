@@ -299,34 +299,28 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
-    // rows-only: cosine-LSH candidate generation (signed random
-    // projections; xxhash-derived hyperplanes not oracle-portable).
+    // Cosine-LSH candidate generation (signed random projections; md5-
+    // derived hyperplanes, reproducible by the SQL oracle).
     "x_cosine_lsh_pairs" -> ((s, d) => {
       SimilarityOps.sketchCandidatePairs(T(s, d, "embeddings"), "vec_id", "embedding", nbits = 8)
         .orderBy("id_a", "id_b")
     }),
+    // Exact epsilon-grid join (candidates-then-verify); output identical
+    // to the all-pairs form, plan free of any nested-loop join.
     "x_neardup_cosine" -> ((s, d) => {
       SimilarityOps.nearDupByCosine(T(s, d, "embeddings"), "vec_id", "embedding", 0.3)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy("id_a", "id_b")
     }),
-    // rows-only check (xxhash64 not portable to the oracle):
     "x_simhash" -> ((s, d) => {
       T(s, d, "documents")
         .select(col("doc_id"), DedupOps.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
-    // rows-only: simhash near-dup pairs by Hamming distance (bit_count of
-    // xor) — the verify stage over the 64-bit fingerprints, never bodies.
+    // SimHash near-dup pairs via Manku banding: candidates from per-band
+    // buckets, Hamming verify inside buckets — fingerprints, never bodies.
     "x_simhash_pairs" -> ((s, d) => {
-      val sh = T(s, d, "documents")
-        .select(col("doc_id"), DedupOps.simhash(col("text")).as("sh"))
-      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
-      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sb"))
-      a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
-        .filter(col("hamming") <= 8)
-        .select(col("id_a"), col("id_b"), col("hamming"))
+      DedupOps.simhashNearDupPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 8)
         .orderBy("id_a", "id_b")
     }),
     // ──────────── wave 2: remaining §2 operator ids ────────────

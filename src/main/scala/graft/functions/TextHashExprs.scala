@@ -36,6 +36,21 @@ object SigKernels extends Serializable {
   }
 
   /**
+   * Lower 64 bits of md5(s): digest bytes 8..15 read little-endian — the
+   * exact layout DuckDB's `md5_number_lower` uses, so every hash-derived
+   * artifact (SimHash fingerprints, LSH hyperplanes) is reproducible by
+   * the SQL oracle.
+   */
+  def md5Lower64(s: String): Long = {
+    val md = md5tl.get(); md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 7
+    while (b >= 0) { h = (h << 8) | (d(8 + b) & 0xffL); b -= 1 }
+    h
+  }
+
+  /**
    * MinHash signature — byte-for-byte identical to the column formulation
    * in [[text.minhashSignature]] (and so to the DuckDB oracle): word
    * n-gram shingles joined by spaces, k salted md5-hex hashes, per-seed
@@ -65,17 +80,15 @@ object SigKernels extends Serializable {
     new GenericArrayData(mins.asInstanceOf[Array[AnyRef]])
   }
 
-  /** 64-bit SimHash: per-token 64-bit hash (two 32-bit string hashes),
-    * ±1 bit votes, majority sign — one pass, O(tokens·1) hashing. */
+  /** 64-bit SimHash (Charikar, 2002): per-token 64-bit md5-derived hash,
+    * ±1 bit votes, majority sign — one pass, O(tokens) hashing. The token
+    * hash is [[md5Lower64]] so the fingerprint is oracle-reproducible. */
   def simhash64(s: UTF8String): Long = {
     val toks = tokenize(s)
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      val t = toks(i)
-      val h1 = t.hashCode
-      val h2 = (t + "#").hashCode
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      val h = md5Lower64(toks(i))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -87,6 +100,36 @@ object SigKernels extends Serializable {
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  /**
+   * Signed-random-projection hyperplanes for cosine LSH: component i of
+   * plane j is ±1 from bit 0 of md5Lower64("j|i") — deterministic, data-
+   * independent, and reproducible in SQL. The (nbits × dim) sign table is
+   * memoized per shape; it never ships with the plan.
+   */
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]
+  def hyperplanes(nbits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nbits.toLong << 32) | dim.toLong, _ =>
+      Array.tabulate(nbits, dim)((j, i) =>
+        if ((md5Lower64(j + "|" + i) & 1L) == 0L) 1.0 else -1.0))
+
+  /** Cosine sketch: bit j = sign(v · h_j). One pass per plane over the
+    * vector; the hot loop is plain double multiply-adds. */
+  def cosineSketch(v: ArrayData, nbits: Int): Int = {
+    val dim = v.numElements()
+    val hp = hyperplanes(nbits, dim)
+    var sk = 0
+    var j = 0
+    while (j < nbits) {
+      val h = hp(j)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += v.getDouble(i) * h(i); i += 1 }
+      if (dot >= 0) sk |= 1 << j
+      j += 1
+    }
+    sk
   }
 }
 
@@ -112,8 +155,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+case class CosineSketch(child: Expression, nbits: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "cosine_sketch"
+  override def nullSafeEval(input: Any): Any =
+    SigKernels.cosineSketch(input.asInstanceOf[ArrayData], nbits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigKernels.cosineSketch($c, $nbits)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object sig {
   def minhash(c: Column, n: Int, k: Int): Column =
     Bridge.column(MinhashSignature(Bridge.expression(c), n, k))
   def simhash(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
+  def cosineSketch(c: Column, nbits: Int): Column =
+    Bridge.column(CosineSketch(Bridge.expression(c), nbits))
 }

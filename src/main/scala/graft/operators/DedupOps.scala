@@ -97,12 +97,70 @@ object DedupOps {
   }
 
   /**
-   * SimHash (64-bit) per document: each token hashes to 64 bits,
-   * bit-weighted majority vote forms the fingerprint. Near-dups differ in
-   * few bits (Hamming distance). Backed by the codegen
-   * [[graft.functions.SimHash64]] expression — one hash per token; the
-   * earlier higher-order-function formulation paid interpreted lambda
-   * calls per (token × bit).
+   * SimHash (64-bit) per document: each token hashes to 64 bits
+   * (md5-derived, oracle-reproducible), bit-weighted majority vote forms
+   * the fingerprint. Near-dups differ in few bits (Hamming distance).
+   * Backed by the codegen [[graft.functions.SimHash64]] expression — one
+   * hash per token; the earlier higher-order-function formulation paid
+   * interpreted lambda calls per (token × bit).
    */
   def simhash(textCol: Column): Column = graft.functions.sig.simhash(textCol)
+
+  /**
+   * Split a 64-bit SimHash into `bands` contiguous bit ranges (widths as
+   * even as possible). Pigeonhole: two fingerprints within Hamming
+   * distance k agree EXACTLY on at least one of k+1 bands, so banding is
+   * a lossless candidate generator for Hamming ≤ k.
+   */
+  def simhashBands(sh: Column, bands: Int): Column = {
+    val base = 64 / bands
+    val rem = 64 % bands
+    val widths = Seq.tabulate(bands)(t => if (t < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    array(Seq.tabulate(bands) { t =>
+      val mask = if (widths(t) == 64) -1L else (1L << widths(t)) - 1L
+      shiftrightunsigned(sh, offsets(t)).bitwiseAND(lit(mask))
+    }: _*)
+  }
+
+  /**
+   * SimHash near-duplicate pairs with Hamming distance ≤ maxHamming, the
+   * Manku et al. (WWW 2007) deployment pattern: fingerprints are banded
+   * into maxHamming+1 pieces, candidates come from per-band bucket
+   * equi-joins (ONE groupBy — no self-join, no cross product), and the
+   * exact Hamming verify runs inside buckets. Output is identical to the
+   * all-pairs form (pigeonhole guarantees no candidate is missed) while
+   * only fingerprints — never bodies — shuffle, keyed by band value.
+   */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 8): DataFrame = {
+    val bands = maxHamming + 1
+    // Materialization barrier: the text scan + fingerprint runs once; both
+    // sides of the band self-join read the SAME exchange (ReusedExchange).
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .repartition(col("id"))
+    val e = sigs.select(col("id"), col("sh"),
+      posexplode(simhashBands(col("sh"), bands)).as(Seq("band", "bv")))
+    val l = e.select(col("id").as("id_a"), col("sh").as("sa"), col("band"), col("bv"))
+    val r = e.select(col("id").as("id_b"), col("sh").as("sb"), col("band"), col("bv"))
+    // Candidates stream out of a hash join keyed by (band, bandValue) —
+    // no struct materialization, and AQE splits any pathological bucket.
+    // Each pair is emitted ONLY from its first agreeing band (a codegen
+    // comparison chain), so no post-join distinct shuffle is needed.
+    val base = 64 / bands
+    val rem = 64 % bands
+    val widths = Seq.tabulate(bands)(t => if (t < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def bandVal(c: Column, t: Int): Column = {
+      val mask = if (widths(t) == 64) -1L else (1L << widths(t)) - 1L
+      shiftrightunsigned(c, offsets(t)).bitwiseAND(lit(mask))
+    }
+    val earlierBandAgrees = (0 until bands).map(t =>
+      col("band") > t && bandVal(col("sa"), t) === bandVal(col("sb"), t)).reduce(_ || _)
+    l.join(r, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .filter(!earlierBandAgrees)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -79,26 +79,15 @@ object SimilarityOps {
   /**
    * Random-hyperplane (signed random projection) sketch for cosine LSH
    * (Charikar, 2002): bit j = sign(v · h_j) with h_j a deterministic ±1
-   * hyperplane derived from xxhash64(j, i). Vectors with high cosine
-   * similarity agree on most bits; bucketing sketches (or banding them)
-   * yields near-dup candidates without any pairwise scan — the cosine
-   * analogue of the MinHash/LSH path, and an alternative to IVF probing.
-   * Map-only column expression; the nbits-wide sketch is all that ever
-   * shuffles.
+   * hyperplane derived from md5 bits (oracle-reproducible). Vectors with
+   * high cosine similarity agree on most bits; bucketing sketches (or
+   * banding them) yields near-dup candidates without any pairwise scan —
+   * the cosine analogue of the MinHash/LSH path, and an alternative to
+   * IVF probing. Codegen kernel, map-only; the nbits-wide sketch is all
+   * that ever shuffles.
    */
-  def cosineSketch(vec: Column, nbits: Int = 16): Column = {
-    val bits = (0 until nbits).map { j =>
-      // v · h_j folded in one pass; h_j component i = ±1 from hash(j,i)
-      val dot = aggregate(
-        zip_with(vec,
-          transform(sequence(lit(0), size(vec) - 1),
-            i => when(pmod(xxhash64(lit(j), i), lit(2L)) === 0L, 1.0).otherwise(-1.0)),
-          (v, h) => v * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1), j)).otherwise(0)
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def cosineSketch(vec: Column, nbits: Int = 16): Column =
+    graft.functions.sig.cosineSketch(vec.cast("array<double>"), nbits)
 
   /**
    * Candidate near-dup pairs via cosine-sketch buckets: exact-sketch
@@ -116,13 +105,54 @@ object SimilarityOps {
       .select(col("p.id_a"), col("p.id_b"))
   }
 
-  /** All pairs (a<b) with cosine similarity ≥ threshold (near-dup by embedding). */
+  /**
+   * All pairs (a&lt;b) with cosine similarity ≥ threshold, via an EXACT
+   * epsilon-grid self-join (candidates-then-verify — never an all-pairs
+   * broadcast): cos(a,b) ≥ t implies the L2-normalized vectors satisfy
+   * ‖â−b̂‖ ≤ w = √(2−2t), so each of the first `gridDims` unit-vector
+   * coordinates differs by less than one cell of width w. Every vector
+   * lands in its home grid cell; one side is additionally replicated to
+   * the lexicographically-positive half of the {−1,0,1}^d neighbor
+   * offsets, so each qualifying pair meets on EXACTLY one (cell) key —
+   * a plain shuffled equi-join (no cross product, nothing broadcast),
+   * then the exact cosine kernel verifies. Output is provably identical
+   * to brute force (pinned by a spec); the grid only prunes.
+   *
+   * Scale: shuffle volume is (1 + (3^d+1)/2)·n vector copies keyed by
+   * cell. At near-dup thresholds (t ≥ 0.8 ⇒ w ≤ 0.63) cells are small
+   * and pruning is aggressive; at loose thresholds it degrades to a
+   * hash-join pair enumeration — still never a BroadcastNestedLoopJoin.
+   */
   def nearDupByCosine(vecs: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), vector.cosineSim(col("va"), col("vb")).as("sim"))
+                      threshold: Double, gridDims: Int = 2): DataFrame = {
+    // Slightly inflated cell width absorbs fp jitter at cell boundaries so
+    // a true-qualifying pair can never straddle two cells per coordinate.
+    val w = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12)) * (1.0 + 1e-9)
+    val nvd = vector.l2Normalize(col("v").cast("array<double>"))
+    val pts = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nv", nvd)
+      .select(Seq(col("id"), col("v")) ++
+        (0 until gridDims).map(i =>
+          floor(element_at(col("nv"), i + 1) / w).cast("int").as(s"c$i")): _*)
+    def key(cs: Seq[Column]): Column = struct(cs.zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*)
+    val home = pts.select(col("id").as("id_l"), col("v").as("v_l"),
+      key((0 until gridDims).map(i => col(s"c$i"))).as("key"))
+    // zero offset + lexicographically-positive half of {-1,0,1}^gridDims:
+    // each unordered pair meets on exactly one key (same-cell pairs are
+    // ordered by id instead).
+    val offsets = Seq.fill(gridDims)(Seq(-1, 0, 1))
+      .foldLeft(Seq(Seq.empty[Int]))((acc, ds) => for (a <- acc; x <- ds) yield a :+ x)
+      .filter(o => o.dropWhile(_ == 0).headOption.forall(_ > 0))
+    val repl = pts.select(col("id").as("id_r"), col("v").as("v_r"),
+        explode(array(offsets.map(o => struct(
+          key((0 until gridDims).map(i => col(s"c$i") + lit(o(i)))).as("key"),
+          lit(o.forall(_ == 0)).as("zero"))): _*)).as("x"))
+      .select(col("id_r"), col("v_r"), col("x.key").as("key"), col("x.zero").as("zero"))
+    home.join(repl, "key")
+      .filter(!col("zero") || col("id_l") < col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        vector.cosineSim(col("v_l"), col("v_r")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

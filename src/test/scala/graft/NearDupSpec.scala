@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps}
+import graft.functions.vector
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Scale-safe near-duplicate paths must equal their brute-force forms:
+ * banded SimHash (Manku WWW'07 pigeonhole) vs all-pairs Hamming, and the
+ * epsilon-grid cosine join vs the all-pairs broadcast — and neither plan
+ * may contain a nested-loop pair enumeration.
+ */
+class NearDupSpec extends AnyFunSuite with SparkSpec {
+
+  test("banded simhash pairs == all-pairs Hamming filter; no nested-loop join") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val banded = DedupOps.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 8)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded plan must not enumerate all pairs:\n$plan")
+
+    val sh = docs.select(col("doc_id"), DedupOps.simhash(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+    val brute = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= 8)
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exp = brute.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exp, s"banded=${got.size} brute=${exp.size}")
+    assert(exp.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
+
+  test("simhash bands cover all 64 bits exactly once") {
+    import spark.implicits._
+    val fp = Seq(-1L, 0L, 0x123456789abcdefL, Long.MinValue).toDF("sh")
+    // Reassembling the bands must reproduce the fingerprint.
+    val widths = {
+      val base = 64 / 9; val rem = 64 % 9
+      Seq.tabulate(9)(t => if (t < rem) base + 1 else base)
+    }
+    val offsets = widths.scanLeft(0)(_ + _)
+    val back = fp.select(col("sh"),
+      (0 until 9).map(t => shiftleft(element_at(DedupOps.simhashBands(col("sh"), 9), t + 1), offsets(t)))
+        .reduce((x, y) => x.bitwiseOR(y)).as("re"))
+    assert(back.filter(col("sh") =!= col("re")).count() == 0)
+  }
+
+  test("epsilon-grid cosine near-dup == brute force at loose and tight thresholds; no nested-loop join") {
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet")
+    for (t <- Seq(0.3, 0.9)) {
+      val grid = SimilarityOps.nearDupByCosine(vecs, "vec_id", "embedding", t)
+      val plan = grid.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"grid plan must not enumerate all pairs:\n$plan")
+      val a = vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val brute = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), vector.cosineSim(col("va"), col("vb")).as("sim"))
+        .filter(col("sim") >= t)
+      val got = grid.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exp = brute.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exp, s"t=$t grid=${got.size} brute=${exp.size} " +
+        s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    }
+  }
+
+  test("epsilon-grid emits each candidate pair exactly once (no distinct needed)") {
+    import spark.implicits._
+    // All vectors in one tight cluster → every pair qualifies; duplicates
+    // in the join would show up as repeated (id_a, id_b) rows.
+    val base = Seq.tabulate(8)(i => math.sin(i + 1.0))
+    val vecs = (0L until 20L).map(i => (i, base.map(_ * (1.0 + i * 1e-4)))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.nearDupByCosine(vecs, "vec_id", "embedding", 0.99)
+    assert(out.count() == 190)
+    assert(out.select("id_a", "id_b").distinct().count() == 190)
+  }
+}
