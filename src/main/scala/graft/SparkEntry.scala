@@ -292,6 +292,7 @@ object SparkEntry {
     }),
     "x_lsh_pairs" -> ((s, d) => {
       DedupOps.lshCandidatePairs(T(s, d, "documents"), "doc_id", "text", 3, 4, 4)
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
     "x_ngram_jaccard" -> ((s, d) => {

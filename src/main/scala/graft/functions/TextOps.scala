@@ -105,9 +105,15 @@ object text {
   /**
    * Heuristic language ID: score = |tokens ∩ profile| per language, argmax
    * with deterministic tie-break on language code; "und" (undetermined)
-   * when no profile matches.
+   * when no profile matches. Backed by the single-pass [[TextStatsExpr]]
+   * kernel (the profile counters ride the same token scan as the other
+   * text statistics); [[langIdColumns]] keeps the declarative column
+   * formulation, pinned equivalent by KernelEquivalenceSpec.
    */
-  def langId(textCol: Column): Column = {
+  def langId(textCol: Column): Column = textStats(textCol)("lang_pred")
+
+  /** Column-formulation language ID (the kernel's executable spec). */
+  def langIdColumns(textCol: Column): Column = {
     val toks = tokens(textCol)
     val scored = langProfiles.map { case (lang, words) =>
       val wordArr = array(words.map(lit): _*)

@@ -19,9 +19,27 @@ object StatsKernels extends Serializable {
       hs
     })
 
-  /** One pass over whitespace tokens: (n_tokens, sum_len, n_stop, n_pos, n_neg). */
-  def textStats(s: UTF8String, stopSpec: String, posSpec: String, negSpec: String): InternalRow = {
+  // language profiles memoized per spec "en|the,and,...;de|der,..." — langs
+  // kept in code-sorted order so the argmax tie-break (smallest code wins)
+  // is a strict-greater update during the scan.
+  private val profCache = new java.util.concurrent.ConcurrentHashMap[String, Array[(UTF8String, java.util.HashSet[String])]]()
+  private def profiles(spec: String): Array[(UTF8String, java.util.HashSet[String])] =
+    profCache.computeIfAbsent(spec, s =>
+      s.split(";").filter(_.nonEmpty).map { p =>
+        val Array(lang, words) = p.split("\\|", 2)
+        (UTF8String.fromString(lang), wordSet(words))
+      }.sortBy(_._1.toString))
+
+  private val und = UTF8String.fromString("und")
+
+  /** One pass over whitespace tokens:
+    * (n_tokens, sum_len, n_stop, n_pos, n_neg, lang_pred). */
+  def textStats(s: UTF8String, stopSpec: String, posSpec: String,
+                negSpec: String, profSpec: String): InternalRow = {
     val stops = wordSet(stopSpec); val pos = wordSet(posSpec); val neg = wordSet(negSpec)
+    val profs = profiles(profSpec)
+    val nProf = profs.length
+    val profCounts = new Array[Int](nProf)
     val str = s.toString.toLowerCase.trim
     var n = 0; var sumLen = 0L; var nStop = 0; var nPos = 0; var nNeg = 0
     var i = 0; var start = -1
@@ -32,6 +50,8 @@ object StatsKernels extends Serializable {
       if (stops.contains(t)) nStop += 1
       if (pos.contains(t)) nPos += 1
       if (neg.contains(t)) nNeg += 1
+      var p = 0
+      while (p < nProf) { if (profs(p)._2.contains(t)) profCounts(p) += 1; p += 1 }
       start = -1
     }
     while (i < len) {
@@ -40,7 +60,14 @@ object StatsKernels extends Serializable {
       i += 1
     }
     flush(len)
-    new GenericInternalRow(Array[Any](n, sumLen, nStop, nPos, nNeg))
+    var best = -1; var bestScore = 0
+    var p = 0
+    while (p < nProf) {
+      if (profCounts(p) > bestScore) { best = p; bestScore = profCounts(p) }
+      p += 1
+    }
+    val lang = if (best < 0) und else profs(best)._1
+    new GenericInternalRow(Array[Any](n, sumLen, nStop, nPos, nNeg, lang))
   }
 }
 
@@ -55,7 +82,8 @@ object StatsKernels extends Serializable {
  * whitespace split, character lengths, set membership.
  */
 case class TextStatsExpr(child: Expression, stopwords: Seq[String],
-                         posWords: Seq[String], negWords: Seq[String])
+                         posWords: Seq[String], negWords: Seq[String],
+                         langProfiles: Seq[(String, Seq[String])])
   extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = StructType(Seq(
@@ -63,19 +91,22 @@ case class TextStatsExpr(child: Expression, stopwords: Seq[String],
     StructField("sum_len", LongType, nullable = false),
     StructField("n_stop", IntegerType, nullable = false),
     StructField("n_pos", IntegerType, nullable = false),
-    StructField("n_neg", IntegerType, nullable = false)))
+    StructField("n_neg", IntegerType, nullable = false),
+    StructField("lang_pred", StringType, nullable = false)))
   override def prettyName: String = "text_stats"
   private val stopSpec = stopwords.mkString(",")
   private val posSpec = posWords.mkString(",")
   private val negSpec = negWords.mkString(",")
+  private val profSpec = langProfiles.map { case (l, ws) => l + "|" + ws.mkString(",") }.mkString(";")
   override def nullSafeEval(input: Any): Any =
-    StatsKernels.textStats(input.asInstanceOf[UTF8String], stopSpec, posSpec, negSpec)
+    StatsKernels.textStats(input.asInstanceOf[UTF8String], stopSpec, posSpec, negSpec, profSpec)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val stopRef = ctx.addReferenceObj("stopSpec", stopSpec)
     val posRef = ctx.addReferenceObj("posSpec", posSpec)
     val negRef = ctx.addReferenceObj("negSpec", negSpec)
+    val profRef = ctx.addReferenceObj("profSpec", profSpec)
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.StatsKernels.textStats($c, $stopRef, $posRef, $negRef)")
+      s"graft.functions.StatsKernels.textStats($c, $stopRef, $posRef, $negRef, $profRef)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -84,6 +115,7 @@ object textStats {
   def apply(c: Column,
             stop: Seq[String] = text.defaultStopwords,
             pos: Seq[String] = text.posWords,
-            neg: Seq[String] = text.negWords): Column =
-    Bridge.column(TextStatsExpr(Bridge.expression(c), stop, pos, neg))
+            neg: Seq[String] = text.negWords,
+            profiles: Seq[(String, Seq[String])] = text.langProfiles): Column =
+    Bridge.column(TextStatsExpr(Bridge.expression(c), stop, pos, neg, profiles))
 }

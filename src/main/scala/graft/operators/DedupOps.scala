@@ -62,22 +62,43 @@ object DedupOps {
    * exactly once — downstream stages shuffle 4×32-char digests, never
    * document bodies; (2) buckets come from ONE groupBy (no self-join, so
    * no second evaluation of the corpus), and pairs are enumerated inside
-   * each bucket. Production note: at 100 TB a `size(ids) < cap` guard on
-   * pathological buckets (boilerplate shingles) bounds the quadratic
-   * enumeration; unbounded here to match the exact-semantics oracle.
+   * each bucket; (3) `bucketCap` bounds the quadratic enumeration on
+   * pathological buckets (boilerplate shingles): buckets are ranked and
+   * truncated BEFORE the list aggregation — bounded memory per bucket,
+   * not a post-collect slice — and pairs from truncated buckets carry
+   * `capped = true` so downstream knows the candidate set is incomplete
+   * there. The default (unbounded) path matches the exact-semantics
+   * oracle and skips the ranking window entirely.
    */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, k: Int, bands: Int): DataFrame = {
+                        shingleN: Int, k: Int, bands: Int,
+                        bucketCap: Int = Int.MaxValue): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
       .repartition(col("doc_id"))
-    sigs.select(col("doc_id"), posexplode(text.minhashBands(col("sig"), k, bands)).as(Seq("band", "bv")))
-      .groupBy("band", "bv")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val e = sigs.select(col("doc_id"),
+      posexplode(text.minhashBands(col("sig"), k, bands)).as(Seq("band", "bv")))
+    val pairsOf = (buckets: DataFrame) => buckets
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
+      .select(col("capped"), explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(max(col("capped")).as("capped"))
+    if (bucketCap == Int.MaxValue) {
+      pairsOf(e.groupBy("band", "bv")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .withColumn("capped", lit(false)))
+    } else {
+      // Rank-then-truncate: the window and the groupBy share the
+      // (band, bv) partitioning, so capping costs no extra exchange.
+      val w = Window.partitionBy("band", "bv")
+      pairsOf(e
+        .withColumn("rn", row_number().over(w.orderBy("doc_id")))
+        .withColumn("bsz", count(lit(1)).over(w))
+        .filter(col("rn") <= bucketCap)
+        .groupBy("band", "bv")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+          (first(col("bsz")) > bucketCap).as("capped")))
+    }
   }
 
   /**

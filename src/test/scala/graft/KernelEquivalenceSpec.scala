@@ -52,6 +52,27 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSpec {
     assert(k == c)
   }
 
+  test("langId kernel == column formulation (incl. ties and 'und')") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the cat and the dog of a house is a win"),
+      (2L, "der hund und die katze ist das tier"),
+      (3L, "el perro y los gatos es una casa"),
+      (4L, "le chien et la maison est une grande"),
+      (5L, "xyzzy plugh qwerty"),                    // no profile hit → und
+      (6L, "the der"),                               // en/de tie → smallest code (de)
+      (7L, "es is"),                                 // es/en tie
+      (8L, " "),
+      (9L, "le the el der und la")                   // multi-way scoring
+    ).toDF("id", "text")
+    val kernel = texts.select(col("id"), text.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val column = texts.select(col("id"), text.langIdColumns(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kernel == column)
+    assert(kernel(5L) == "und" && kernel(8L) == "und")
+  }
+
   test("HashEmbedding: unit norm, deterministic, token-order invariant in aggregate") {
     val e1 = docs.select(col("id"), graft.functions.HashEmbed(col("text"), 32).as("e"))
     val norms = e1.select(

@@ -67,6 +67,33 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("LSH bucket cap bounds pair counts on boilerplate-heavy data and flags capped pairs") {
+    import spark.implicits._
+    val boiler = "the same boilerplate header appears on every single page of this corpus"
+    val docs = ((0L until 200L).map(i => (i, boiler)) ++
+      Seq((900L, "a genuinely unique document about alpine marmots and their burrows"),
+          (901L, "a genuinely unique document about alpine marmots and their burrows"))).toDF("doc_id", "text")
+    val capped = DedupOps.lshCandidatePairs(docs, "doc_id", "text", 3, 4, 4, bucketCap = 10)
+    val rows = capped.collect()
+    // 200 identical docs would give C(200,2)=19900 pairs; the cap bounds
+    // enumeration to C(10,2) per band over the truncated bucket.
+    val fromBoiler = rows.filter(_.getLong(0) < 200L)
+    assert(fromBoiler.length <= 45, s"cap must bound pairs, got ${fromBoiler.length}")
+    assert(fromBoiler.nonEmpty && fromBoiler.forall(_.getBoolean(2)), "boilerplate pairs are flagged capped")
+    // The small genuine near-dup bucket is untouched and unflagged.
+    val marmots = rows.filter(_.getLong(0) == 900L)
+    assert(marmots.length == 1 && !marmots.head.getBoolean(2))
+    // With no bucket over the cap, capped output == unbounded output.
+    val unique = (0L until 40L).map(i =>
+      (i, s"document number $i talks about topic ${i % 7} in considerable depth with words $i"))
+      .toDF("doc_id", "text")
+    val a = DedupOps.lshCandidatePairs(unique, "doc_id", "text", 3, 4, 4)
+      .select("id_a", "id_b", "capped").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val b = DedupOps.lshCandidatePairs(unique, "doc_id", "text", 3, 4, 4, bucketCap = 100)
+      .select("id_a", "id_b", "capped").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(a == b)
+  }
+
   test("epsilon-grid emits each candidate pair exactly once (no distinct needed)") {
     import spark.implicits._
     // All vectors in one tight cluster → every pair qualifies; duplicates
