@@ -3,82 +3,208 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.io.File
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
 /**
  * Parquet table store with MERGE-style upsert (reference S7: the Mongo
  * insert/upsert/update_many/delete call sites — here last-write-wins
  * keyed upserts; S8's `ON CONFLICT DO UPDATE` is the same shape).
  *
- * Mechanics: new batch ∪ current table, keep the newest row per key
- * (batch rows win), write to a fresh generation directory, then flip a
- * pointer file — readers never see a partial write, and a crashed writer
- * leaves the previous generation intact (idempotent re-run = exactly-once
- * table state for streaming foreachBatch, ST2).
+ * Layout — hash-bucketed with copy-on-write manifests:
+ * {{{
+ *   dir/_CURRENT                  name of the live manifest (atomic flip)
+ *   dir/_manifests/m-<seq>        "buckets=N" header + (bucket TAB path) rows
+ *   dir/data/g<seq>/__bucket=<k>  parquet data for bucket k written at gen seq
+ * }}}
+ * Rows hash to `pmod(hash(keys), numBuckets)` buckets. An upsert touches
+ * ONLY the buckets its batch keys fall in: it reads those buckets' current
+ * files, merges (batch wins; `versionCol` desc breaks ties), writes the
+ * merged dirty buckets under a fresh generation dir (one Spark job,
+ * `partitionBy(__bucket)`), and publishes a new manifest that points dirty
+ * buckets at the new files and clean buckets at their EXISTING files —
+ * untouched buckets are never rewritten (byte-identical across upserts),
+ * so I/O per upsert is O(dirty fraction), not O(table). At 100 TB with
+ * enough buckets a streaming micro-batch rewrites a few shards, never the
+ * table.
  *
- * On a production deployment this maps 1:1 onto Delta/Iceberg MERGE; the
- * generation-pointer scheme keeps the same contract with nothing but a
- * filesystem.
+ * Crash safety / exactly-once (ST2): the manifest and the `_CURRENT`
+ * pointer are each written to a temp file and published with
+ * `Files.move(..., ATOMIC_MOVE)` — readers see the old generation or the
+ * new one, never a partial write; a writer crash at ANY point leaves the
+ * previous generation fully readable (orphan data dirs are GC'd by the
+ * next successful commit). Re-running the same micro-batch (same
+ * `versionCol`) converges to the same table state, which is what makes
+ * `foreachBatch` + checkpoint exactly-once end-to-end.
+ *
+ * Single-writer (a streaming query's serialized micro-batches); on a
+ * production deployment this maps 1:1 onto Delta/Iceberg MERGE.
  */
 object TableSink {
 
-  private def ptrPath(dir: String) = s"$dir/_CURRENT"
+  /** Bucket count for a table's first write (manifest-pinned thereafter).
+    * Tests/toy tables: 16. A 100 TB table wants O(10k) so each bucket is
+    * a few GB — pass `numBuckets` explicitly on the first upsert. */
+  val DefaultBuckets = 16
 
-  private def currentGen(spark: SparkSession, dir: String): Option[String] = {
-    val p = new java.io.File(ptrPath(dir))
-    if (p.exists()) Some(java.nio.file.Files.readString(p.toPath).trim) else None
+  private def ptrPath(dir: String): Path = Paths.get(dir, "_CURRENT")
+  private def manifestDir(dir: String): Path = Paths.get(dir, "_manifests")
+
+  private case class Manifest(seq: Long, buckets: Int, paths: Map[Int, String])
+
+  /** Write `content` to a temp file in the same directory, then ATOMIC_MOVE
+    * onto `target` — readers of `target` see old bytes or new, never both. */
+  private def atomicWrite(target: Path, content: String): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(target.getParent, "." + target.getFileName.toString, ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Read the current table state (empty frame with batch schema if absent). */
-  def read(spark: SparkSession, dir: String, like: DataFrame): DataFrame =
-    currentGen(spark, dir) match {
-      case Some(gen) => spark.read.parquet(s"$dir/$gen")
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
-    }
+  private def currentManifest(dir: String): Option[Manifest] = {
+    val p = ptrPath(dir)
+    if (!Files.exists(p)) return None
+    val name = Files.readString(p).trim
+    val mf = manifestDir(dir).resolve(name)
+    val lines = Files.readAllLines(mf).asScala.toSeq
+    val buckets = lines.head.stripPrefix("buckets=").toInt
+    val paths = lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(b, rel) = l.split('\t')
+      b.toInt -> rel
+    }.toMap
+    Some(Manifest(name.stripPrefix("m-").toLong, buckets, paths))
+  }
+
+  /** The bucket a key tuple hashes to (exposed for tests/partitioned readers). */
+  def bucketCol(keys: Seq[String], numBuckets: Int) =
+    pmod(hash(keys.map(col): _*), lit(numBuckets))
+
+  /** Absolute data paths of the current generation (empty when no table). */
+  private def currentPaths(dir: String, m: Option[Manifest]): Seq[String] =
+    m.map(_.paths.values.toSeq.sorted.map(rel => s"$dir/$rel")).getOrElse(Nil)
+
+  /** Read the current table state (empty frame with `like` schema if absent;
+    * an existing table keeps its own on-disk schema). */
+  def read(spark: SparkSession, dir: String, like: DataFrame): DataFrame = {
+    val paths = currentPaths(dir, currentManifest(dir))
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+    else spark.read.parquet(paths: _*)
+  }
 
   /**
    * Upsert `batch` into the table keyed by `keys`: batch rows replace
    * same-key rows; `versionCol` breaks ties deterministically (higher
-   * wins; batch preferred on equal versions).
+   * wins; batch preferred on equal versions). Only buckets containing
+   * batch keys are rewritten. `numBuckets` applies to the table's FIRST
+   * write; afterwards the manifest-pinned count wins.
    */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
-             keys: Seq[String], versionCol: String): Unit = {
-    val existing = read(spark, dir, batch)
-    val merged = batch.withColumn("__src", lit(1))
-      .unionByName(existing.withColumn("__src", lit(0)))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*)
-          .orderBy(desc(versionCol), desc("__src"))))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__src")
-    val gen = s"gen-${System.currentTimeMillis()}"
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$dir/$gen")
-    new java.io.File(dir).mkdirs()
-    java.nio.file.Files.writeString(new java.io.File(ptrPath(dir)).toPath, gen)
-    gcGenerations(dir, keep = 2)
-  }
-
-  /** Drop all but the newest `keep` generation dirs (readers of the
-    * current pointer are unaffected; one older gen is kept as rollback). */
-  private def gcGenerations(dir: String, keep: Int): Unit = {
-    val gens = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
-      .sortBy(_.getName)
-    gens.dropRight(keep).foreach { g =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(g)
+             keys: Seq[String], versionCol: String,
+             numBuckets: Int = DefaultBuckets): Unit =
+    commit(spark, dir, keys, numBuckets, batch, Some(batch.schema)) {
+      existingDirty =>
+        batch.withColumn("__src", lit(1))
+          .unionByName(existingDirty.withColumn("__src", lit(0)))
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*)
+              .orderBy(desc(versionCol), desc("__src"))))
+          .filter(col("__rn") === 1)
+          .drop("__rn", "__src")
     }
+
+  /** Keyed delete (reference S7 delete_one / J7 anti-join rewrite) — also
+    * rewrites only the buckets the dropped keys fall in. */
+  def delete(spark: SparkSession, dir: String, keysToDrop: DataFrame,
+             keys: Seq[String]): Unit =
+    commit(spark, dir, keys, DefaultBuckets, keysToDrop, None) {
+      existingDirty =>
+        existingDirty.join(keysToDrop.select(keys.map(col): _*), keys, "left_anti")
+    }
+
+  /**
+   * Shared copy-on-write commit: compute dirty buckets from `touched`'s
+   * keys, read ONLY those buckets, let `merge` rebuild their contents,
+   * write them under a new generation, publish atomically, GC.
+   */
+  private def commit(spark: SparkSession, dir: String, keys: Seq[String],
+                     numBuckets: Int, touched: DataFrame,
+                     schemaHint: Option[org.apache.spark.sql.types.StructType])
+                    (merge: DataFrame => DataFrame): Unit = {
+    val cur = currentManifest(dir)
+    val nb = cur.map(_.buckets).getOrElse(numBuckets)
+    val seq = cur.map(_.seq + 1).getOrElse(1L)
+    val bucketOf = bucketCol(keys, nb)
+
+    // Dirty bucket ids: bounded by nb (a small constant), so the collect
+    // is a driver-side set of ints, never data.
+    val dirty = touched.select(bucketOf.as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (dirty.isEmpty && cur.isDefined) return
+
+    val dirtyPaths = cur.toSeq.flatMap(m =>
+      m.paths.filter { case (b, _) => dirty(b) }.values.map(rel => s"$dir/$rel"))
+    // Upserts pin the batch schema; deletes infer the table's own schema
+    // (the drop-keys frame carries key columns only).
+    val existingDirty =
+      if (dirtyPaths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schemaHint.getOrElse(touched.schema))
+      else {
+        val r = spark.read
+        schemaHint.fold(r)(r.schema).parquet(dirtyPaths: _*)
+      }
+
+    // One job writes every dirty bucket: partitionBy splits them into
+    // __bucket=<k> subdirs of this generation.
+    val genRel = f"data/g$seq%010d"
+    merge(existingDirty)
+      .withColumn("__bucket", bucketOf)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__bucket")
+      .parquet(s"$dir/$genRel")
+
+    // New manifest: clean buckets keep their existing paths; dirty buckets
+    // point at this generation (absent subdir = bucket emptied by delete).
+    val written = Option(new File(s"$dir/$genRel").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map(f => f.getName.stripPrefix("__bucket=").toInt -> s"$genRel/${f.getName}")
+      .toMap
+    val cleanPaths = cur.map(_.paths.view.filterKeys(b => !dirty(b)).toMap)
+      .getOrElse(Map.empty[Int, String])
+    val entries = (cleanPaths ++ written).toSeq.sortBy(_._1)
+    val name = f"m-$seq%010d"
+    atomicWrite(manifestDir(dir).resolve(name),
+      (s"buckets=$nb" +: entries.map { case (b, p) => s"$b\t$p" }).mkString("\n"))
+    atomicWrite(ptrPath(dir), name)
+    gc(dir, keepManifests = 2)
   }
 
-  /** Keyed delete (reference S7 delete_one / J7 anti-join rewrite). */
-  def delete(spark: SparkSession, dir: String, keysToDrop: DataFrame, keys: Seq[String]): Unit = {
-    val existing = read(spark, dir, keysToDrop)
-    val kept = existing.join(keysToDrop.select(keys.map(col): _*), keys, "left_anti")
-    val gen = s"gen-${System.currentTimeMillis()}"
-    kept.write.mode(SaveMode.Overwrite).parquet(s"$dir/$gen")
-    java.nio.file.Files.writeString(new java.io.File(ptrPath(dir)).toPath, gen)
+  /** Drop manifests beyond the newest `keepManifests` and any data subdir
+    * no kept manifest references (current readers are unaffected; one older
+    * generation survives as rollback). */
+  private def gc(dir: String, keepManifests: Int): Unit = {
+    val mfs = Option(manifestDir(dir).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("m-")).sortBy(_.getName)
+    val (old, kept) = mfs.splitAt(math.max(0, mfs.length - keepManifests))
+    val referenced = kept.flatMap(m =>
+      Files.readAllLines(m.toPath).asScala.drop(1).filter(_.nonEmpty)
+        .map(_.split('\t')(1))).toSet
+    old.foreach(_.delete())
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    val dataRoot = new File(s"$dir/data")
+    Option(dataRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).foreach { gen =>
+        Option(gen.listFiles()).getOrElse(Array.empty)
+          .filter(b => b.isDirectory && !referenced(s"data/${gen.getName}/${b.getName}"))
+          .foreach(rm)
+        if (Option(gen.listFiles()).getOrElse(Array.empty).isEmpty) gen.delete()
+      }
   }
 }

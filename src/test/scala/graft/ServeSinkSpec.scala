@@ -67,6 +67,70 @@ class ServeSinkSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L), "single source + negative sentiment → flagged")
   }
 
+  /** Parse the live manifest: bucket -> relative data path. */
+  private def liveManifest(dir: String): Map[Int, String] = {
+    val name = Files.readString(java.nio.file.Paths.get(dir, "_CURRENT")).trim
+    scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(java.nio.file.Paths.get(dir, "_manifests", name))).asScala
+      .drop(1).filter(_.nonEmpty)
+      .map { l => val Array(b, p) = l.split('\t'); b.toInt -> p }.toMap
+  }
+
+  private def fileBytes(root: String, rel: String): Map[String, Long] = {
+    val d = new java.io.File(s"$root/$rel")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length()).toMap
+  }
+
+  test("TableSink: untouched buckets are byte-identical across an upsert") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sinkb").toString
+    val v1 = (1 to 40).map(i => (s"k$i", s"p$i", 1L)).toDF("key", "payload", "ver")
+    TableSink.upsert(spark, dir, v1, Seq("key"), "ver")
+    val m1 = liveManifest(dir)
+    assert(m1.size > 1, "fixture keys must span several buckets")
+    // One-key batch: exactly one dirty bucket.
+    val dirtyBucket = v1.filter(col("key") === "k7")
+      .select(TableSink.bucketCol(Seq("key"), TableSink.DefaultBuckets))
+      .collect()(0).getInt(0)
+    val cleanSnapshot = (m1 - dirtyBucket).map { case (b, p) => b -> fileBytes(dir, p) }
+    TableSink.upsert(spark, dir, Seq(("k7", "p7b", 2L)).toDF("key", "payload", "ver"),
+      Seq("key"), "ver")
+    val m2 = liveManifest(dir)
+    assert(m2(dirtyBucket) != m1(dirtyBucket), "dirty bucket rewritten")
+    (m1 - dirtyBucket).foreach { case (b, p) =>
+      assert(m2(b) == p, s"clean bucket $b must keep its existing files")
+      assert(fileBytes(dir, p) == cleanSnapshot(b), s"clean bucket $b bytes unchanged")
+    }
+    val state = TableSink.read(spark, dir, v1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state("k7") == "p7b" && state("k1") == "p1" && state.size == 40)
+  }
+
+  test("TableSink: crashed writer leaves the old generation readable; GC reclaims orphans") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sinkc").toString
+    val v1 = Seq(("a", 1L, 1L), ("b", 2L, 1L)).toDF("key", "value", "ver")
+    TableSink.upsert(spark, dir, v1, Seq("key"), "ver")
+    // Simulate a writer that crashed AFTER writing data + a temp manifest
+    // but BEFORE the atomic pointer flip: orphan artifacts, stale pointer.
+    val orphan = java.nio.file.Paths.get(dir, "data", "g0000000099", "__bucket=0")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-junk.parquet"), "partial write")
+    Files.writeString(java.nio.file.Paths.get(dir, "_manifests", ".m-0000000099.tmp"), "buckets=16")
+    val state = TableSink.read(spark, dir, v1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state == Map("a" -> 1L, "b" -> 2L), "old generation intact after crash")
+    // The next successful commit publishes atomically and GCs the orphan.
+    TableSink.upsert(spark, dir, Seq(("b", 20L, 2L)).toDF("key", "value", "ver"),
+      Seq("key"), "ver")
+    val state2 = TableSink.read(spark, dir, v1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state2 == Map("a" -> 1L, "b" -> 20L))
+    assert(!Files.exists(orphan), "unreferenced data from the crashed writer reclaimed")
+  }
+
   test("TableSink upsert: batch wins, old keys survive, delete drops") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sink").toString
