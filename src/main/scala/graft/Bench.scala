@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Per-query median over `runs` passes: machine-load spikes hit one
+    // pass, not the median — two load-contaminated recordings in a row
+    // made earlier rounds' numbers unreadable.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,18 +22,43 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val (results, failures) = run(spark, sfDir, SparkEntry.queries, runs)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fs = failures.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + "\"" + v.replace("\"", "'") + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    spark.stop()
+    // A bench with failing queries must look failed to the driver too.
+    if (failures.nonEmpty) sys.exit(1)
+  }
+
+  /** Timed passes over `queries`: per-query median of `runs` wall times,
+    * plus an explicit failure map — a crashed query is excluded from the
+    * timings (never recorded as ~0 s) and reported by name. */
+  def run(spark: SparkSession, sfDir: String,
+          queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+          runs: Int): (Seq[(String, Double)], Map[String, String]) = {
+    val names = queries.keys.toSeq.sorted
+    val timings = collection.mutable.Map.empty[String, List[Double]]
+    val failures = collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to runs; name <- names if !failures.contains(name)) {
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column (a bare
       // count() would let Catalyst prune the computation under test).
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        timings(name) = ((System.nanoTime() - t0) / 1e9) :: timings.getOrElse(name, Nil)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          failures(name) = e.toString.takeWhile(_ != '\n').take(200)
+          timings.remove(name)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    def median(xs: List[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    (names.filter(timings.contains).map(n => n -> median(timings(n))), failures.toMap)
   }
 }

@@ -7,8 +7,12 @@ package graft
  */
 object OracleSql {
 
-  // Shared fragments.
-  private val words = "string_split(lower(trim(text)), ' ')"
+  // Shared fragments. Tokenization mirrors the JVM kernels exactly: split
+  // on RUNS of whitespace and drop empty tokens, so multi-space/tab/empty
+  // documents produce the same token stream as Spark's `\s+` split (a
+  // single-space string_split would vote phantom '' tokens into hashes).
+  private val words =
+    """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')"""
   private val stops = "('the','a','an','of','and','to','in','is','it','for')"
 
   val all: Map[String, String] = Map(
@@ -268,7 +272,7 @@ object OracleSql {
     // the JVM kernel), ±1 votes per bit, majority sign; built as HUGEINT
     // then wrapped to signed 64-bit to match Spark's LongType.
     "x_simhash" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') wds FROM documents),
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
         |t AS (SELECT doc_id, md5_number_lower(unnest(wds)) h FROM w),
         |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) vote
         |      FROM t CROSS JOIN range(64) r(b) GROUP BY doc_id, b),
@@ -278,7 +282,7 @@ object OracleSql {
         |FROM u ORDER BY doc_id""".stripMargin,
 
     "x_simhash_pairs" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') wds FROM documents),
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
         |t AS (SELECT doc_id, md5_number_lower(unnest(wds)) h FROM w),
         |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) vote
         |      FROM t CROSS JOIN range(64) r(b) GROUP BY doc_id, b),
@@ -299,7 +303,7 @@ object OracleSql {
         |hp AS (SELECT j, i,
         |    CASE WHEN md5_number_lower(j || '|' || i) & 1 = 0 THEN 1.0 ELSE -1.0 END h
         |  FROM range(8) a(j) CROSS JOIN (SELECT DISTINCT i FROM u) b),
-        |d AS (SELECT vec_id, j, sum(x * h) dot FROM u JOIN hp USING (i) GROUP BY vec_id, j),
+        |d AS (SELECT vec_id, j, sum(x * h ORDER BY i) dot FROM u JOIN hp USING (i) GROUP BY vec_id, j),
         |sk AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (1 << j) ELSE 0 END) AS INTEGER) sk
         |       FROM d GROUP BY vec_id)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -417,7 +421,8 @@ object OracleSql {
         |s AS (SELECT log_id, source,
         |  (len(list_filter(w, t -> t IN ('fast','big','win','good','great'))) -
         |   len(list_filter(w, t -> t IN ('slow','small','error','bad','fail'))))::DOUBLE / len(w) sent
-        |  FROM (SELECT log_id, source, string_split(lower(trim(headline)), ' ') w FROM r)),
+        |  FROM (SELECT log_id, source,
+        |        list_filter(regexp_split_to_array(lower(trim(headline)), '\s+'), t -> t <> '') w FROM r)),
         |g AS (SELECT log_id, count(DISTINCT source)::DOUBLE / count(*) d, avg(sent) m
         |      FROM s GROUP BY log_id)
         |SELECT log_id, round(d, 6) AS diversity_score, round(m, 6) AS average_sentiment,

@@ -72,10 +72,25 @@ object VectorKernels extends Serializable {
   }
 }
 
-/** Base for binary vector→double expressions dispatching on element type. */
+/** Base for binary vector→double expressions dispatching on element type.
+  * Both children must be arrays of the SAME float/double element type —
+  * the kernel reads both operands with one accessor, so a silent
+  * float/double mix would reinterpret raw bytes; `checkInputDataTypes`
+  * makes that an analysis-time error instead. */
 abstract class BinaryVectorExpression extends BinaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _))
+        if (a == FloatType || a == DoubleType) && a == b =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two arrays with the same float or double " +
+            s"element type, got ${l.catalogString} and ${r.catalogString} " +
+            "(cast both sides to array<double> to mix precisions)")
+    }
   protected def isFloat: Boolean = left.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -116,6 +131,14 @@ case class L2Distance(left: Expression, right: Expression) extends BinaryVectorE
 case class L2Normalize(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = child.dataType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float> or array<double>, got ${t.catalogString}")
+    }
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

@@ -41,7 +41,12 @@ object ClusterRefine {
     val km = new KMeans().setK(numClusters).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("vp").setPredictionCol("raw_cluster").fit(reduced)
     val labeled = km.transform(reduced).select(col(idCol), col("raw_cluster"))
+    // Both caches exist for the iterative fitters, which have now
+    // consumed them; release before returning so a long Verify run does
+    // not accumulate plans. The caller's single final pass recomputes the
+    // (map-only) transform chain once — the honest trade vs. leaking.
     normed.unpersist()
+    reduced.unpersist()
     // Noise semantics: clusters below min size → -1 (one windowless
     // groupBy on the small (cluster → count) side, broadcast back).
     val sizes = labeled.groupBy("raw_cluster").agg(count(lit(1)).as("n"))

@@ -46,10 +46,14 @@ object IvfAnn {
         .groupBy(col("assigned_id").as("cell_id"))
         .agg(VectorMeanFast(col("v")).as("cell_vec"))
     }
-    val out = cells.cache()
-    out.count()
+    // Materialize the finished cell table as a local relation — it is
+    // nlist rows by construction (the caller sizes nlist; even at 100 TB
+    // scale it is O(√n) centroids, MBs not GBs) — so the corpus cache can
+    // be released here and nothing stays pinned in the block manager.
+    val spark = corpus.sparkSession
+    val rows = cells.collect()
     base.unpersist()
-    out
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), cells.schema)
   }
 
   /**

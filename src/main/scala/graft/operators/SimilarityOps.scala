@@ -29,15 +29,32 @@ object SimilarityOps {
    * Output: (queryIdOut, neighborId, sim) — k rows per query, ordered
    * sim desc with id-asc tie-break.
    *
-   * @param queries  small side (broadcast), columns (idCol, vecCol)
-   * @param corpus   big side (stays partitioned), columns (idCol, vecCol)
+   * Exactly ONE side is ever broadcast, and the caller picks which by
+   * what is bounded in its workload:
+   *  - `broadcastQueries = true` (default): few queries against a huge
+   *    corpus (the ad-hoc J8 shape) — queries broadcast, corpus streams.
+   *  - `broadcastQueries = false`: unbounded query set against a bounded
+   *    corpus (all-users recommendation: every user profile vs the
+   *    active-story centroids — the same boundedness assumption as the
+   *    reference's in-memory FAISS index,
+   *    recommendation-trainer.py:89-100) — corpus broadcast, profiles
+   *    stream. The heap aggregation is map-side partial either way, so
+   *    only k rows per query ever reach the shuffle.
+   * Neither mode broadcasts an unbounded relation; for corpora too big
+   * to broadcast with few queries per batch, route through [[IvfAnn]].
+   *
+   * @param queries  columns (idCol, vecCol)
+   * @param corpus   columns (idCol, vecCol)
    */
   def knnJoinCosine(queries: DataFrame, corpus: DataFrame, idCol: String,
-                    vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
+                    vecCol: String, k: Int, excludeSelf: Boolean = true,
+                    broadcastQueries: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val pairs = c.join(broadcast(q),
-        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val cond = if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val joined = if (broadcastQueries) c.join(broadcast(q), cond)
+                 else q.join(broadcast(c), cond)
+    val pairs = joined
       .select(col("query_id"), col("neighbor_id"),
         vector.cosineSim(col("qv"), col("cv")).as("sim"))
     // Bounded-heap aggregate keyed by the corpus id type.
@@ -125,15 +142,24 @@ object SimilarityOps {
    */
   def nearDupByCosine(vecs: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, gridDims: Int = 2): DataFrame = {
+    // t ≤ 0 degenerates the cell-width bound (w ≥ √2 covers the whole
+    // sphere) and breaks the zero-vector argument below — refuse loudly.
+    require(threshold > 0.0, s"nearDupByCosine needs threshold > 0, got $threshold")
     // Slightly inflated cell width absorbs fp jitter at cell boundaries so
     // a true-qualifying pair can never straddle two cells per coordinate.
     val w = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12)) * (1.0 + 1e-9)
     val nvd = vector.l2Normalize(col("v").cast("array<double>"))
+    // Vectors shorter than gridDims grid on 0.0 for the missing
+    // coordinates — EXACT, not approximate, because the cosine kernel
+    // zero-pads the shorter operand (dot over min length), so a short
+    // vector truly sits at 0 in those dimensions. Zero-norm vectors pass
+    // through l2Normalize unchanged (all-zero coords → home cell) and
+    // every cosine against them is 0.0 < threshold, matching brute force.
     val pts = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nv", nvd)
       .select(Seq(col("id"), col("v")) ++
         (0 until gridDims).map(i =>
-          floor(element_at(col("nv"), i + 1) / w).cast("int").as(s"c$i")): _*)
+          floor(coalesce(try_element_at(col("nv"), lit(i + 1)), lit(0.0)) / w).cast("int").as(s"c$i")): _*)
     def key(cs: Seq[Column]): Column = struct(cs.zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*)
     val home = pts.select(col("id").as("id_l"), col("v").as("v_l"),
       key((0 until gridDims).map(i => col(s"c$i"))).as("key"))

@@ -48,13 +48,24 @@ object StoryOps {
    * candidates, exactly like the reference, but with a deterministic
    * (jaccard desc, cluster, story) order the reference's dict iteration
    * lacks. Returns (cluster, story, jaccard) matches.
+   *
+   * The collect is BOUNDED: candidates are truncated to the first
+   * `maxCandidates` in that same greedy order (a distributed
+   * TakeOrderedAndProject, never a full sort). Because truncation and
+   * the greedy scan share one order, every match produced from the kept
+   * prefix is identical to what the unbounded scan would decide —
+   * dropping the tail can only lose extra (lowest-jaccard) matches,
+   * never change one. A skewed corpus therefore degrades gracefully
+   * instead of OOMing the driver (see docs/DIVERGENCES.md).
    */
   def greedyMatch(candidates: DataFrame, clusterCol: String, storyCol: String,
-                  jaccardCol: String): DataFrame = {
+                  jaccardCol: String, maxCandidates: Int = 1 << 20): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val rows = candidates
       .select(col(clusterCol).cast("string"), col(storyCol).cast("string"), col(jaccardCol).cast("double"))
+      .orderBy(desc(jaccardCol), col(clusterCol), col(storyCol))
+      .limit(maxCandidates)
       .as[(String, String, Double)]
       .collect()
       .sortBy { case (c, s, j) => (-j, c, s) }

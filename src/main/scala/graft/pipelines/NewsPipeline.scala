@@ -85,10 +85,12 @@ object NewsPipeline {
       .join(stories.select(col("story_id"), col("centroid")), "story_id")
       .groupBy("user_id")
       .agg(VectorMeanFast(col("centroid").cast("array<double>")).as("profile"))
+    // All-users path: profiles are unbounded, the active-story corpus is
+    // the bounded relation — broadcast the corpus, stream the profiles.
     val knn = SimilarityOps.knnJoinCosine(
         profiles.select(col("user_id").as("qid"), col("profile")),
         stories.select(col("story_id").as("qid"), col("centroid").cast("array<double>").as("profile")),
-        "qid", "profile", candK, excludeSelf = true)
+        "qid", "profile", candK, excludeSelf = true, broadcastQueries = false)
       .select(col("query_id").as("user_id"), col("neighbor_id").as("story_id"),
         col("sim").as("knn_score"))
     // J5 hybrid merge + P11 freshness + P12 normalization

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness must surface crashed queries explicitly — a
+  * regression that makes a query throw must not shrink the total. */
+class BenchSpec extends AnyFunSuite with SparkSpec {
+
+  test("poisoned query lands in failures, healthy queries still timed") {
+    val qs = Map[String, (SparkSession, String) => DataFrame](
+      "ok_query" -> ((s, _) => s.range(100).toDF("n")),
+      "poisoned" -> ((_, _) => throw new RuntimeException("boom")))
+    val (results, failures) = Bench.run(spark, sf(), qs, runs = 2)
+    assert(results.map(_._1) === Seq("ok_query"))
+    assert(results.head._2 > 0.0)
+    assert(failures.keySet === Set("poisoned"))
+    assert(failures("poisoned").contains("boom"))
+  }
+
+  test("median of 3 runs discards a single outlier pass") {
+    // Warm the plan path so the cold-start pass is not itself an outlier.
+    spark.range(10).toDF("n").write.format("noop").mode("overwrite").save()
+    var call = 0
+    val qs = Map[String, (SparkSession, String) => DataFrame](
+      "q" -> ((s, _) => {
+        call += 1
+        // Second pass simulates a load spike with a sleep.
+        if (call == 2) Thread.sleep(3000)
+        s.range(10).toDF("n")
+      }))
+    val (results, _) = Bench.run(spark, sf(), qs, runs = 3)
+    assert(results.head._2 < 3.0, s"median should not absorb the outlier: ${results.head._2}")
+  }
+}

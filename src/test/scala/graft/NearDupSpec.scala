@@ -94,6 +94,46 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("epsilon-grid keeps short and zero-norm vectors, matching brute force") {
+    import spark.implicits._
+    // Vectors shorter than gridDims (size 1 < 2) and an all-zero vector:
+    // the guard grids missing coordinates at 0.0 instead of dropping the
+    // row on a null cell key; the kernel zero-pads, so this stays exact.
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.99, 0.1, 0.0)),
+      (2L, Seq(0.97)),                      // short: near-dup of 0 and 1
+      (3L, Seq(0.0, 0.0, 0.0)),             // zero-norm: matches nothing
+      (4L, Seq(-1.0, 0.05, 0.0))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.nearDupByCosine(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exp = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .filter(vector.cosineSim(col("va"), col("vb")) >= 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exp.contains((0L, 2L)), "fixture must exercise a short-vector pair")
+    assert(got == exp, s"grid=$got brute=$exp")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.nearDupByCosine(vecs, "vec_id", "embedding", 0.0)
+    }
+  }
+
+  test("greedyMatch candidate cap is prefix-exact and bounds the collect") {
+    import spark.implicits._
+    val cands = Seq(
+      ("c1", "s1", 0.9), ("c2", "s1", 0.8), ("c2", "s2", 0.7),
+      ("c3", "s3", 0.6), ("c4", "s4", 0.5)).toDF("cluster", "story", "jaccard")
+    val full = graft.operators.StoryOps.greedyMatch(cands, "cluster", "story", "jaccard")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // cap=3 keeps the top-3 pairs in greedy order; matches decided there
+    // are identical to the unbounded run's decisions on that prefix.
+    val capped = graft.operators.StoryOps.greedyMatch(cands, "cluster", "story", "jaccard",
+        maxCandidates = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped == Set(("c1", "s1"), ("c2", "s2")))
+    assert(capped.subsetOf(full))
+  }
+
   test("epsilon-grid emits each candidate pair exactly once (no distinct needed)") {
     import spark.implicits._
     // All vectors in one tight cluster → every pair qualifies; duplicates

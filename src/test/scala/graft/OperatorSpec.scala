@@ -70,6 +70,26 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 1L))
   }
 
+  test("knnJoinCosine broadcastQueries=false: corpus broadcast, profiles stream, same result") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val profiles = (0L until 200L).map(i => (i, Seq.fill(4)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    val corpus = (1000L until 1010L).map(i => (i, Seq.fill(4)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    val streamed = SimilarityOps.knnJoinCosine(profiles, corpus, "vec_id", "embedding", 3,
+      broadcastQueries = false)
+    // The broadcast hint must sit on the corpus relation (neighbor_id/cv),
+    // never on the unbounded query/profiles side.
+    val hinted = streamed.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.child.output.map(_.name)
+    }.flatten
+    assert(hinted.contains("neighbor_id") && !hinted.contains("query_id"),
+      s"broadcast hint on wrong side: $hinted")
+    val viaBroadcastQ = SimilarityOps.knnJoinCosine(profiles, corpus, "vec_id", "embedding", 3)
+    assert(streamed.orderBy("query_id", "rank").collect().toSeq ===
+      viaBroadcastQ.orderBy("query_id", "rank").collect().toSeq)
+  }
+
   test("assignNearestCentroid: below threshold → -1") {
     import spark.implicits._
     val items = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(-1.0, 0.0))).toDF("id", "v")

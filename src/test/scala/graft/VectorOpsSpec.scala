@@ -25,6 +25,26 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(cosineOf(Seq(0.0, 0.0), Seq(1.0, 2.0)) == 0.0)
   }
 
+  test("mixed float/double operands fail at analysis, never read garbage") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0, 2.0))).toDF("f", "d")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(vector.cosineSim(col("f"), col("d"))).collect()
+    }
+    assert(e.getMessage.contains("same float or double"), e.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(vector.dotProduct(col("d"), col("f"))).collect()
+    }
+    // non-array input to l2_normalize also fails loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("x").select(vector.l2Normalize(col("x"))).collect()
+    }
+    // aligned via explicit cast: works
+    val ok = df.select(vector.cosineSim(col("f").cast("array<double>"), col("d")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(ok - 1.0) < 1e-6)
+  }
+
   test("cosine is symmetric and bounded (seeded random vectors)") {
     val rnd = new scala.util.Random(42)
     (1 to 20).foreach { _ =>
