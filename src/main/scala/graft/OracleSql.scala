@@ -47,6 +47,27 @@ object OracleSql {
       """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "p19_map_metadata" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS time_spent,
+        |  regexp_extract(props, '"([a-z_]+)"', 1) AS keys
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "m10_summarize" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    regexp_extract(text, '^(?:[^.!?]*[.!?]+){1,2}', 0) p FROM documents)
+        |SELECT doc_id, substr(CASE WHEN p = '' THEN text ELSE p END, 1, 80) AS summary
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x_mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(md5_number_lower(text) % 1920 + 1 AS INTEGER) AS width,
+        |  CAST(md5_number_lower(md5(text)) % 1080 + 1 AS INTEGER) AS height,
+        |  3 AS channels,
+        |  array_to_string(list_transform(generate_series(0, 3),
+        |    i -> CAST(floor(i * octet_length(encode(text)) / 4.0) AS BIGINT)), ',') AS offsets
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "p16_cosine_pairs" ->
       """WITH p AS (SELECT a.vec_id ida, b.vec_id idb, a.embedding ea, b.embedding eb
         |             FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),

@@ -96,6 +96,18 @@ object SparkEntry {
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
         .orderBy("event_id")
     }),
+    // MapType surface (reference user_behaviour_service.py:61 metadata
+    // map<string,string>): parse, element access, key enumeration.
+    "p19_map_metadata" -> ((s, d) => {
+      T(s, d, "events")
+        .withColumn("metadata", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+        .select(col("event_id"),
+          col("metadata")("k").cast("int").as("time_spent"),
+          array_join(map_keys(col("metadata")), ",").as("keys"))
+        .orderBy("event_id")
+    }),
     "p16_cosine_pairs" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
@@ -459,8 +471,8 @@ object SparkEntry {
         .select(col("doc_id"), col("payload_bytes"), col("payload_sha256"))
         .orderBy("doc_id")
     }),
-    // rows-only: deterministic fake decode over binary payloads (stub —
-    // xxhash64-derived dims, not oracle-portable).
+    // Deterministic fake decode over binary payloads (stub dims derived
+    // from md5 lower-64 — oracle-checked via md5_number_lower).
     "x_mm_decode" -> ((s, d) => {
       T(s, d, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -505,8 +517,8 @@ object SparkEntry {
       ClusterRefine.refine(T(s, d, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id")
     }),
-    // rows-only: M10 — extractive lead-k summarization stand-in (sentence
-    // split uses lookbehind regex, not expressible in the RE2 oracle).
+    // M10 — extractive lead-k summarization stand-in (RE2-safe sentence
+    // prefix, mirrored exactly by the DuckDB oracle).
     "m10_summarize" -> ((s, d) => {
       T(s, d, "documents")
         .select(col("doc_id"),

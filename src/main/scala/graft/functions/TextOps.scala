@@ -143,9 +143,14 @@ object text {
         size(filter(toks, t => array_contains(neg, t)))).cast("double") / size(toks))
   }
 
-  /** Extractive lead-k summary: first k sentences (reference M10 stand-in). */
-  def leadKSummary(textCol: Column, k: Int): Column =
-    array_join(slice(split(textCol, "(?<=[.!?])\\s+"), 1, k), " ")
+  /** Extractive lead-k summary: the prefix through the k-th sentence
+    * terminator (reference M10 stand-in). RE2-expressible on purpose (no
+    * lookbehind) so the DuckDB oracle can run the identical pattern; a
+    * document with no terminator summarizes to itself. */
+  def leadKSummary(textCol: Column, k: Int): Column = {
+    val ex = regexp_extract(textCol, s"^(?:[^.!?]*[.!?]+){1,$k}", 0)
+    when(ex === "", textCol).otherwise(ex)
+  }
 
   /**
    * Rule-based NER stand-in (reference M2): capitalized-word spans not at

@@ -22,14 +22,24 @@ object MultimodalOps {
     df.withColumn("payload_sha256", sha2(payload, 256))
       .withColumn("payload_bytes", octet_length(payload))
 
+  /** Lower 64 bits of md5 read little-endian (digest bytes 8..15, MSB =
+    * byte 15) as an unsigned decimal — the exact value DuckDB's
+    * `md5_number_lower` returns, so stub dimensions are oracle-checkable.
+    * Pure column expressions: hex-pair reversal + conv, all codegen'd. */
+  private def md5Lower64LE(c: Column): Column = {
+    val h = md5(c)
+    conv(concat((0 until 8).map(i => substring(h, 31 - 2 * i, 2)): _*), 16, 10)
+      .cast("decimal(20,0)")
+  }
+
   /**
    * STUB decode: deterministic fake (width, height, channels) derived
    * from the payload bytes — stands in for an image decode. Pure column
    * expressions → whole-stage codegen, embarrassingly parallel.
    */
   def decodeStub(payload: Column): Column = struct(
-    (pmod(xxhash64(payload), lit(1920)) + 1).cast("int").as("width"),
-    (pmod(xxhash64(md5(payload)), lit(1080)) + 1).cast("int").as("height"),
+    (pmod(md5Lower64LE(payload), lit(1920)) + 1).cast("int").as("width"),
+    (pmod(md5Lower64LE(md5(payload)), lit(1080)) + 1).cast("int").as("height"),
     lit(3).as("channels"))
 
   /** Frame-sampling stub: n evenly spaced offsets into the payload. */
