@@ -158,7 +158,13 @@ object DedupOps {
     val bands = maxHamming + 1
     // Materialization barrier: the text scan + fingerprint runs once; both
     // sides of the band self-join read the SAME exchange (ReusedExchange).
-    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    // The coalesce makes `sh` (and so the band join key) NON-nullable:
+    // otherwise the optimizer derives `isnotnull(simhash64(text))` for the
+    // join key and pushes it into the scan, evaluating the O(tokens)
+    // kernel a second time per document. Null-text rows are dropped
+    // explicitly, which is what the derived filter did implicitly.
+    val sigs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), coalesce(simhash(col(textCol)), lit(0L)).as("sh"))
       .repartition(col("id"))
     val e = sigs.select(col("id"), col("sh"),
       posexplode(simhashBands(col("sh"), bands)).as(Seq("band", "bv")))
