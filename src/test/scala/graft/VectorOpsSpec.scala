@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{vector, VectorMean}
+import graft.functions.vector
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -65,7 +65,7 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(out(0) - 0.6) < 1e-12)
   }
 
-  test("VectorMeanFast (declarative) matches Aggregator on clean input") {
+  test("VectorMeanFast: element-wise mean, empty-safe") {
     import spark.implicits._
     import graft.functions.VectorMeanFast
     val df = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(3.0, 4.0)), ("b", Seq(5.0, 6.0)),
@@ -77,13 +77,4 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got("c") == Seq.empty[Double], "empty/ignored inputs yield empty array")
   }
 
-  test("VectorMean: element-wise mean, empty-safe") {
-    import spark.implicits._
-    val df = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(3.0, 4.0)), ("b", Seq(5.0, 6.0)))
-      .toDF("k", "v")
-    val got = df.groupBy("k").agg(VectorMean(col("v")).as("m"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
-    assert(got("a") == Seq(2.0, 3.0))
-    assert(got("b") == Seq(5.0, 6.0))
-  }
 }
