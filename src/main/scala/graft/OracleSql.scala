@@ -313,7 +313,7 @@ object OracleSql {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sh, b.sh)) <= 8
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Cosine LSH: hyperplane component (j,i) = ±1 from bit 0 of

