@@ -53,6 +53,19 @@ class JdbcModelStoreSpec extends AnyFunSuite with SparkSpec {
     assert(left === Array(2))
   }
 
+  test("S8: range-partitioned read splits the scan into parallel JDBC partitions") {
+    exec("CREATE TABLE wide (id INT PRIMARY KEY, v DOUBLE)")
+    import spark.implicits._
+    JdbcStore.upsert((1 to 100).map(i => (i, i * 0.5)).toDF("id", "v"),
+      url, "wide", Seq("id"))
+    val df = JdbcStore.readTable(spark, url, "wide",
+      partitionColumn = Some(("id", 1L, 100L, 4)))
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 100)
+    assert(df.agg(org.apache.spark.sql.functions.sum("v")).collect()(0).getDouble(0)
+      === (1 to 100).map(_ * 0.5).sum)
+  }
+
   test("S8: upsert is idempotent (re-running a batch converges)") {
     exec("CREATE TABLE idem (k INT PRIMARY KEY, v VARCHAR(8))")
     import spark.implicits._
