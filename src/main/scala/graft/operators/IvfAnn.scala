@@ -39,6 +39,11 @@ object IvfAnn {
       .withColumn("cell_id", pmod(xxhash64(col("item_id")), lit(nlist.toLong)))
       .groupBy("cell_id")
       .agg(VectorMeanFast(col("v")).as("cell_vec"))
+    // Lloyd step: assign (ids + sim only through the argmax shuffle),
+    // then join the ids back to the cached base for the means. A fused
+    // single-aggregation variant that carries vectors through the
+    // per-item groupBy was measured SLOWER (vectors are the heavy shuffle
+    // payload; ids are not) — keep the two-stage shape.
     (1 to iters).foreach { _ =>
       val assigned = SimilarityOps.assignNearestCentroid(
         base, cells, "item_id", "v", "cell_id", "cell_vec", threshold = -2.0)
