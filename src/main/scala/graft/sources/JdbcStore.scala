@@ -88,7 +88,7 @@ object JdbcStore {
           keys ++ updCols ++ cols)
       }
     val fieldOrder = order.map(idx)
-    runBatched(df, numPartitions, url, sql) { (ps, row) =>
+    runBatched(df, numPartitions, url, sql, batchSize) { (ps, row) =>
       fieldOrder.zipWithIndex.foreach { case (f, i) =>
         bindField(ps, row, schema, f, i + 1)
       }
@@ -119,7 +119,7 @@ object JdbcStore {
     val schema = keyDf.schema
     val sql = s"UPDATE $table SET $flagCol = ? WHERE " +
       keys.map(k => s"$k = ?").mkString(" AND ")
-    runBatched(keyDf, numPartitions, url, sql) { (ps, row) =>
+    runBatched(keyDf, numPartitions, url, sql, batchSize) { (ps, row) =>
       ps.setBoolean(1, true)
       schema.fields.indices.foreach(i => bindField(ps, row, schema, i, i + 2))
     }
@@ -129,7 +129,8 @@ object JdbcStore {
     * per partition: a retried Spark task re-runs the whole batch, which
     * the idempotent MERGE/UPDATE statements absorb. */
   private def runBatched(df: DataFrame, numPartitions: Int, url: String,
-                         sql: String)(bind: (PreparedStatement, Row) => Unit): Unit = {
+                         sql: String, batchSize: Int)
+                        (bind: (PreparedStatement, Row) => Unit): Unit = {
     val parts = math.min(numPartitions, math.max(1, df.rdd.getNumPartitions))
     df.coalesce(parts).foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
@@ -142,7 +143,7 @@ object JdbcStore {
             bind(ps, row)
             ps.addBatch()
             n += 1
-            if (n % 500 == 0) ps.executeBatch()
+            if (n % batchSize == 0) ps.executeBatch()
           }
           ps.executeBatch()
           conn.commit()

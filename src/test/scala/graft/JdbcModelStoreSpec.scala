@@ -25,12 +25,12 @@ class JdbcModelStoreSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val seed = Seq((1, "u1", 0.5, false), (2, "u2", 0.7, true))
       .toDF("log_id", "user_id", "diversity_score", "processed_for_bias")
-    JdbcStore.upsert(seed, url, "logs", Seq("log_id"))
+    JdbcStore.upsert(seed, url, "logs", Seq("log_id"), numPartitions = 1)
 
     // conflict on log_id=2 (score changes), new key 3
     val batch = Seq((2, "u2", 0.9, false), (3, "u3", 0.1, false))
       .toDF("log_id", "user_id", "diversity_score", "processed_for_bias")
-    JdbcStore.upsert(batch, url, "logs", Seq("log_id"))
+    JdbcStore.upsert(batch, url, "logs", Seq("log_id"), numPartitions = 1)
 
     val all = JdbcStore.readTable(spark, url, "logs")
       .orderBy("log_id").collect().toSeq
@@ -47,7 +47,7 @@ class JdbcModelStoreSpec extends AnyFunSuite with SparkSpec {
 
     // mark 1 and 3 processed (reference mark_log_as_processed)
     JdbcStore.markProcessed(unproc.filter("log_id <> 2"), url, "logs",
-      "processed_for_bias", Seq("log_id"))
+      "processed_for_bias", Seq("log_id"), numPartitions = 1)
     val left = JdbcStore.readUnprocessed(spark, url, "logs", "processed_for_bias")
       .select("log_id").collect().map(_.getInt(0))
     assert(left === Array(2))
@@ -56,8 +56,11 @@ class JdbcModelStoreSpec extends AnyFunSuite with SparkSpec {
   test("S8: range-partitioned read splits the scan into parallel JDBC partitions") {
     exec("CREATE TABLE wide (id INT PRIMARY KEY, v DOUBLE)")
     import spark.implicits._
+    // numPartitions=1: embedded Derby can lock-contend across concurrent
+    // MERGE writers (a property of the embedded engine, not the store —
+    // the knob exists precisely to match what the target DB can take).
     JdbcStore.upsert((1 to 100).map(i => (i, i * 0.5)).toDF("id", "v"),
-      url, "wide", Seq("id"))
+      url, "wide", Seq("id"), numPartitions = 1)
     val df = JdbcStore.readTable(spark, url, "wide",
       partitionColumn = Some(("id", 1L, 100L, 4)))
     assert(df.rdd.getNumPartitions === 4)
@@ -70,8 +73,8 @@ class JdbcModelStoreSpec extends AnyFunSuite with SparkSpec {
     exec("CREATE TABLE idem (k INT PRIMARY KEY, v VARCHAR(8))")
     import spark.implicits._
     val b = Seq((1, "a"), (2, "b")).toDF("k", "v")
-    JdbcStore.upsert(b, url, "idem", Seq("k"))
-    JdbcStore.upsert(b, url, "idem", Seq("k")) // retry of the same batch
+    JdbcStore.upsert(b, url, "idem", Seq("k"), numPartitions = 1)
+    JdbcStore.upsert(b, url, "idem", Seq("k"), numPartitions = 1) // retry of the same batch
     assert(JdbcStore.readTable(spark, url, "idem").count() === 2)
   }
 
