@@ -208,8 +208,10 @@ object OracleSql {
         |ORDER BY user_id, event_type""".stripMargin,
 
     "x_token_stats" ->
-      s"""WITH w AS (SELECT doc_id, length(text) nc, $words wds FROM documents)
-         |SELECT doc_id, CAST(len(wds) AS INTEGER) AS n_tokens, CAST(nc AS INTEGER) AS n_chars2,
+      s"""WITH w AS (SELECT doc_id, text, length(text) nc, $words wds FROM documents)
+         |SELECT doc_id, CAST(len(wds) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens,
+         |  CAST(nc AS INTEGER) AS n_chars2,
          |  round(list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds), 6) AS avg_word_len,
          |  round(len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds), 6) AS stopword_ratio
          |FROM w ORDER BY doc_id""".stripMargin,

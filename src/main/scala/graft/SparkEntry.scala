@@ -262,6 +262,10 @@ object SparkEntry {
       val st = graft.functions.textStats(col("text"))
       T(s, d, "documents").select(col("doc_id"),
           st("n_tokens").as("n_tokens"),
+          // BPE-ish estimate: maximal letter/digit/punctuation runs (the
+          // GPT pre-tokenizer shape, RE2-safe so the oracle mirrors it).
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))).as("n_bpe_tokens"),
           length(col("text")).as("n_chars2"),
           round(when(st("n_tokens") === 0, 0.0)
             .otherwise(st("sum_len").cast("double") / st("n_tokens")), 6).as("avg_word_len"),
