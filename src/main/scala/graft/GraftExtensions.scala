@@ -1,9 +1,10 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2Normalize}
+import graft.functions.{CosineSimilarity, CosineSketch, DotProduct, L2Distance, L2Normalize, MinhashSignature, SimHash64, TextStatsExpr, text}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /**
  * Canonical extension entry point: lets any deployment pick up the
@@ -28,5 +29,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("l2_normalize"),
       new ExpressionInfo(classOf[L2Normalize].getName, "l2_normalize"),
       es => L2Normalize(es.head)))
+    // Text-hash / dedup kernels: shape parameters must be literal ints
+    // (they size codegen'd loops, not per-row data).
+    e.injectFunction((FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
+      es => MinhashSignature(es.head,
+        litInt(es(1), "minhash_signature shingle width"),
+        litInt(es(2), "minhash_signature hash count"))))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      es => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("cosine_sketch"),
+      new ExpressionInfo(classOf[CosineSketch].getName, "cosine_sketch"),
+      es => CosineSketch(es.head, litInt(es(1), "cosine_sketch nbits"))))
+    e.injectFunction((FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
+      es => TextStatsExpr(es.head, text.defaultStopwords, text.posWords,
+        text.negWords, text.langProfiles)))
+  }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 }

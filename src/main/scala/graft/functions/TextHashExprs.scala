@@ -172,4 +172,27 @@ object sig {
   def simhash(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
   def cosineSketch(c: Column, nbits: Int): Column =
     Bridge.column(CosineSketch(Bridge.expression(c), nbits))
+
+  /** Register SQL names for the text-hash/dedup kernels on an EXISTING
+    * session (the config-time path is [[graft.GraftExtensions]]). Shape
+    * parameters must be integer literals — they size codegen'd loops. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.types.IntegerType
+    def litInt(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinhashSignature(es.head, litInt(es(1), "minhash_signature shingle width"),
+        litInt(es(2), "minhash_signature hash count")), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sketch",
+      es => CosineSketch(es.head, litInt(es(1), "cosine_sketch nbits")), "built-in")
+    reg.createOrReplaceTempFunction("text_stats",
+      es => TextStatsExpr(es.head, text.defaultStopwords, text.posWords,
+        text.negWords, text.langProfiles), "built-in")
+  }
 }

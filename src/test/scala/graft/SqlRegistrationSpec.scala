@@ -34,6 +34,26 @@ class SqlRegistrationSpec extends AnyFunSuite with SparkSpec {
     assert(r(0).getDouble(0) == 1.0)
   }
 
+  test("sig.register exposes the text-hash kernels to SQL") {
+    graft.functions.sig.register(spark)
+    val s2 = spark
+    val r = s2.sql(
+      """SELECT simhash64('alpha beta gamma') sh,
+        |       minhash_signature('alpha beta gamma delta', 3, 4) mh,
+        |       cosine_sketch(array(1.0D, -0.5D), 8) sk,
+        |       text_stats('the quick fox').n_tokens nt""".stripMargin).collect()
+    // values are pinned elsewhere (KernelEquivalenceSpec + oracle); here
+    // we only need SQL reachability and sane shapes.
+    assert(r(0).getAs[Long]("sh") != 0L)
+    assert(r(0).getAs[scala.collection.Seq[String]]("mh").length == 4)
+    assert(r(0).getAs[Int]("nt") == 3)
+    // shape params must be literals, loudly
+    val e = intercept[Exception] {
+      s2.sql("SELECT cosine_sketch(array(1.0D), CAST(rand() * 8 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
   test("typed Dataset round-trip for the entity model") {
     import graft.core._
     import java.sql.Timestamp
