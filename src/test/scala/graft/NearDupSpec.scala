@@ -134,6 +134,41 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
     assert(capped.subsetOf(full))
   }
 
+  test("epsilon-grid equals brute force on seeded random ragged corpora") {
+    import spark.implicits._
+    for (seed <- Seq(11, 29, 47); t <- Seq(0.35, 0.9)) {
+      val rnd = new scala.util.Random(seed)
+      // ragged dims (1..6) exercise the short-vector guard; values near
+      // cell boundaries exercise the inflated cell width.
+      val vecs = (0L until 40L).map(i =>
+        (i, Seq.fill(1 + rnd.nextInt(6))(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+      val got = SimilarityOps.nearDupByCosine(vecs, "vec_id", "embedding", t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a = vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val exp = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .filter(vector.cosineSim(col("va").cast("array<double>"),
+          col("vb").cast("array<double>")) >= t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exp, s"seed=$seed t=$t missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    }
+  }
+
+  test("greedyMatch cap: capped matches are always a subset; equal when cap covers all") {
+    import spark.implicits._
+    for (seed <- Seq(3, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val cands = (1 to 60).map(_ => (s"c${rnd.nextInt(12)}", s"s${rnd.nextInt(12)}",
+        math.rint(rnd.nextDouble() * 100) / 100)).toDF("cluster", "story", "jaccard")
+      def run(cap: Int) = graft.operators.StoryOps
+        .greedyMatch(cands, "cluster", "story", "jaccard", maxCandidates = cap)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val full = run(1 << 20)
+      assert(run(10).subsetOf(full), s"seed=$seed: prefix decisions must agree with the full scan")
+      assert(run(60) == full)
+    }
+  }
+
   test("epsilon-grid emits each candidate pair exactly once (no distinct needed)") {
     import spark.implicits._
     // All vectors in one tight cluster → every pair qualifies; duplicates
