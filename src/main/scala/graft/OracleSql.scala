@@ -68,6 +68,18 @@ object OracleSql {
         |    i -> CAST(floor(i * octet_length(encode(text)) / 4.0) AS BIGINT)), ',') AS offsets
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "x_mm_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(md5_number_lower(text) % 1920 + 1 AS INTEGER) w,
+        |    CAST(md5_number_lower(md5(text)) % 1080 + 1 AS INTEGER) h
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, h, least(224.0 / w, 224.0 / h) sc FROM m)
+        |SELECT doc_id,
+        |  CAST(greatest(1, floor(w * sc)) AS INTEGER) AS out_w,
+        |  CAST(greatest(1, floor(h * sc)) AS INTEGER) AS out_h,
+        |  round(sc, 6) AS scale
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "p16_cosine_pairs" ->
       """WITH p AS (SELECT a.vec_id ida, b.vec_id idb, a.embedding ea, b.embedding eb
         |             FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),

@@ -490,6 +490,17 @@ object SparkEntry {
           array_join(transform(col("offsets"), _.cast("string")), ",").as("offsets"))
         .orderBy("doc_id")
     }),
+    // Aspect-preserving resize geometry over the decoded stub dims
+    // (multimodal resize stage; oracle mirrors the md5-derived math).
+    "x_mm_resize" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          MultimodalOps.resizeStub(MultimodalOps.decodeStub(col("payload")), 224, 224).as("r"))
+        .select(col("doc_id"), col("r.out_w").as("out_w"), col("r.out_h").as("out_h"),
+          col("r.scale").as("scale"))
+        .orderBy("doc_id")
+    }),
     // rows-only: partition-batched media decode (mapPartitions path — one
     // codec instance per partition, iterator-in/iterator-out).
     "x_mm_batch_decode" -> ((s, d) => {

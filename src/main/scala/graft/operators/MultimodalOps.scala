@@ -47,6 +47,18 @@ object MultimodalOps {
     transform(sequence(lit(0), lit(n - 1)),
       i => (i * octet_length(payload) / n).cast("long"))
 
+  /** Resize plan: aspect-preserving fit of decoded (width, height) into a
+    * boxW×boxH target — the geometry half of an image-resize stage, with
+    * the pixel work behind the same stub seam as [[decodeStub]]. `floor`
+    * (not round) keeps the arithmetic oracle-portable. */
+  def resizeStub(meta: Column, boxW: Int, boxH: Int): Column = {
+    val s = least(lit(boxW.toDouble) / meta("width"), lit(boxH.toDouble) / meta("height"))
+    struct(
+      greatest(lit(1), floor(meta("width") * s)).cast("int").as("out_w"),
+      greatest(lit(1), floor(meta("height") * s)).cast("int").as("out_h"),
+      round(s, 6).as("scale"))
+  }
+
   /** Extracted feature row of the batch decode stage. */
   case class MediaFeatures(id: Long, width: Int, height: Int, channels: Int,
                            meanByte: Double)
