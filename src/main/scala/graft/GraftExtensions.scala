@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, CosineSketch, DotProduct, L2Distance, L2Normalize, MinhashSignature, SimHash64, TextStatsExpr, text}
+import graft.functions.{CdcBoundaries, CosineSimilarity, CosineSketch, DotProduct, L2Distance, L2Normalize, MinhashSignature, SimHash64, TextStatsExpr, text}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_sketch"),
       new ExpressionInfo(classOf[CosineSketch].getName, "cosine_sketch"),
       es => CosineSketch(es.head, litInt(es(1), "cosine_sketch nbits"))))
+    e.injectFunction((FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
+      es => CdcBoundaries(es.head, litInt(es(1), "cdc_boundaries window"),
+        litInt(es(2), "cdc_boundaries mask").toLong)))
     e.injectFunction((FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
       es => TextStatsExpr(es.head, text.defaultStopwords, text.posWords,

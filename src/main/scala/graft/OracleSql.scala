@@ -256,6 +256,31 @@ object OracleSql {
     "x_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Content-defined chunking parity: the closed-form window hash
+    // Σ cp(i)·B^(e−i) mod M over each 8-codepoint window equals the JVM
+    // kernel's O(n) rolling recurrence, so boundary sets match exactly.
+    "x_cdc_chunks" -> {
+      val powers = Iterator.iterate(1L)(p => p * 257L % 1048573L).take(8).toSeq
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |cp AS (SELECT b.doc_id, CAST(t.i AS BIGINT) AS i,
+         |         unicode(substring(b.text, CAST(t.i AS INT), 1)) AS c
+         |       FROM base b, unnest(generate_series(1, b.n)) AS t(i)),
+         |hits AS (
+         |  SELECT e.doc_id, e.i AS pos
+         |  FROM cp e JOIN cp s ON s.doc_id = e.doc_id AND s.i BETWEEN e.i - 7 AND e.i
+         |  WHERE e.i >= 8
+         |  GROUP BY e.doc_id, e.i
+         |  HAVING CAST(sum(s.c * ([${powers.mkString(",")}])[CAST(e.i - s.i + 1 AS INT)]) % 1048573 AS BIGINT) & 31 = 0),
+         |agg AS (SELECT doc_id, list(pos ORDER BY pos) AS hs FROM hits GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  CASE WHEN b.n = 0 THEN ''
+         |       WHEN a.hs IS NULL THEN CAST(b.n AS VARCHAR)
+         |       WHEN a.hs[-1] = b.n THEN array_to_string(a.hs, ',')
+         |       ELSE array_to_string(list_append(a.hs, b.n), ',') END AS chunk_ends
+         |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    },
+
     "x_exact_dup_groups" ->
       """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
         |  array_to_string(list_sort(list(doc_id)), ',') AS ids

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{text, vector, VectorMeanFast}
+import graft.functions.{sig, text, vector, VectorMeanFast}
 import graft.operators.{ClusterRefine, DedupOps, IvfAnn, MultimodalOps, Recommend, RecommendML, SimilarityOps, StoryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -293,6 +293,13 @@ object SparkEntry {
     "x_fingerprint" -> ((s, d) => {
       T(s, d, "documents")
         .select(col("doc_id"), text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "x_cdc_chunks" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(transform(sig.cdcBoundaries(col("text"), 8, 31L),
+            _.cast("string")), ",").as("chunk_ends"))
         .orderBy("doc_id")
     }),
     "x_exact_dup_groups" -> ((s, d) => {

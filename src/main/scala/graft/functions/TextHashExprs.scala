@@ -35,6 +35,45 @@ object SigKernels extends Serializable {
     if (str.isEmpty) Array.empty else str.split("\\s+")
   }
 
+  /** Content-defined chunk boundaries via a Rabin-Karp rolling hash over
+    * Unicode code points: windowHash(i) = Σ cp(i+j)·B^(w−1−j) mod M for
+    * each window of w code points; a boundary falls after position i
+    * when the window hash masks to zero. The O(n) rolling recurrence
+    * here equals the closed-form per-window sum, which is what the SQL
+    * oracle evaluates — identical outputs, different cost. Returns the
+    * 1-based END positions (in code points) of every chunk, final chunk
+    * always closed at n. Shifted/inserted text re-synchronizes on the
+    * same content boundaries — the CDC property that makes chunk-level
+    * dedup robust where fixed-size blocks are not. */
+  val CdcBase = 257L
+  val CdcMod = 1048573L // prime < 2^20: products stay < 2^40, no overflow
+  def cdcBoundaries(s: UTF8String, window: Int, mask: Long): ArrayData = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n == 0) return new GenericArrayData(Array.emptyIntArray)
+    val cps = new Array[Long](n)
+    var ci = 0; var off = 0
+    while (off < str.length) {
+      val cp = str.codePointAt(off)
+      cps(ci) = cp.toLong; ci += 1; off += Character.charCount(cp)
+    }
+    // B^(w-1) mod M for the outgoing code point
+    var bw = 1L
+    var k = 0
+    while (k < window - 1) { bw = (bw * CdcBase) % CdcMod; k += 1 }
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = if (i < window) (h * CdcBase + cps(i)) % CdcMod
+          else ((h - (cps(i - window) * bw) % CdcMod + CdcMod) % CdcMod * CdcBase + cps(i)) % CdcMod
+      if (i >= window - 1 && (h & mask) == 0L) ends += (i + 1)
+      i += 1
+    }
+    if (ends.isEmpty || ends.last != n) ends += n
+    new GenericArrayData(ends.toArray)
+  }
+
   /**
    * Lower 64 bits of md5(s): digest bytes 8..15 read little-endian — the
    * exact layout DuckDB's `md5_number_lower` uses, so every hash-derived
@@ -133,6 +172,21 @@ object SigKernels extends Serializable {
   }
 }
 
+/** Chunk END positions (1-based, code points) from content-defined
+  * chunking — see [[SigKernels.cdcBoundaries]]. `window`/`mask` are
+  * literals: they shape the codegen'd rolling loop. */
+case class CdcBoundaries(child: Expression, window: Int, mask: Long) extends UnaryExpression {
+  require(window >= 1, "cdc window must be >= 1")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+  override def nullSafeEval(input: Any): Any =
+    SigKernels.cdcBoundaries(input.asInstanceOf[UTF8String], window, mask)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigKernels.cdcBoundaries($c, $window, ${mask}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class MinhashSignature(child: Expression, n: Int, k: Int) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
@@ -172,6 +226,8 @@ object sig {
   def simhash(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
   def cosineSketch(c: Column, nbits: Int): Column =
     Bridge.column(CosineSketch(Bridge.expression(c), nbits))
+  def cdcBoundaries(c: Column, window: Int, mask: Long): Column =
+    Bridge.column(CdcBoundaries(Bridge.expression(c), window, mask))
 
   /** Register SQL names for the text-hash/dedup kernels on an EXISTING
     * session (the config-time path is [[graft.GraftExtensions]]). Shape
@@ -191,6 +247,9 @@ object sig {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sketch",
       es => CosineSketch(es.head, litInt(es(1), "cosine_sketch nbits")), "built-in")
+    reg.createOrReplaceTempFunction("cdc_boundaries",
+      es => CdcBoundaries(es.head, litInt(es(1), "cdc_boundaries window"),
+        litInt(es(2), "cdc_boundaries mask").toLong), "built-in")
     reg.createOrReplaceTempFunction("text_stats",
       es => TextStatsExpr(es.head, text.defaultStopwords, text.posWords,
         text.negWords, text.langProfiles), "built-in")

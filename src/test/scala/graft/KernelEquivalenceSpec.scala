@@ -73,6 +73,43 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSpec {
     assert(kernel(5L) == "und" && kernel(8L) == "und")
   }
 
+  test("cdcBoundaries: rolling hash == closed-form window sum; edges; resync") {
+    import graft.functions.SigKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val w = 8; val mask = 31L
+    // Closed-form reference: hash each window independently (what the
+    // DuckDB oracle evaluates), no rolling state.
+    def closedForm(s: String): Seq[Int] = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      if (n == 0) return Seq.empty
+      val hits = (w to n).filter { e =>
+        val h = (0 until w).map { j =>
+          val p = Iterator.iterate(1L)(_ * SigKernels.CdcBase % SigKernels.CdcMod)
+            .drop(w - 1 - j).next()
+          cps(e - w + j).toLong % SigKernels.CdcMod * p % SigKernels.CdcMod
+        }.sum % SigKernels.CdcMod
+        (h & mask) == 0L
+      }
+      if (hits.nonEmpty && hits.last == n) hits else hits :+ n
+    }
+    def kernel(s: String): Seq[Int] =
+      SigKernels.cdcBoundaries(UTF8String.fromString(s), w, mask).toIntArray().toSeq
+    val rnd = new scala.util.Random(7)
+    val samples = (1 to 40).map(_ => rnd.alphanumeric.take(rnd.nextInt(300)).mkString) ++
+      Seq("", "short", "a" * 7, "a" * 8, "über-ünïcode éé text" * 20)
+    samples.foreach { s => assert(kernel(s) == closedForm(s), s"mismatch on ${s.take(40)}") }
+    // CDC resync: after a prefix edit, boundaries re-align to content —
+    // the suffix chunks (relative to end) are eventually identical.
+    val base = rnd.alphanumeric.take(500).mkString
+    val edited = "INSERTED-PREFIX " + base
+    val kb = kernel(base).map(base.length - _)
+    val ke = kernel(edited).map(edited.length - _)
+    val common = kb.toSet.intersect(ke.toSet)
+    assert(common.nonEmpty, "no shared content boundary after prefix edit")
+    assert(kb.takeRight(common.size) == ke.takeRight(common.size))
+  }
+
   test("HashEmbedding: unit norm, deterministic, token-order invariant in aggregate") {
     val e1 = docs.select(col("id"), graft.functions.HashEmbed(col("text"), 32).as("e"))
     val norms = e1.select(
