@@ -68,6 +68,22 @@ object OracleSql {
         |    i -> CAST(floor(i * octet_length(encode(text)) / 4.0) AS BIGINT)), ',') AS offsets
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Batch-decode parity: dims re-derive decodeStub's md5_number_lower
+    // math; the mean byte folds the payload's hex dump two nibbles at a
+    // time (DuckDB has no direct blob-byte accessor).
+    "x_mm_batch_decode" ->
+      """WITH h AS (SELECT doc_id AS id, lower(hex(CAST(text AS BLOB))) hx,
+        |    octet_length(encode(text)) n, text FROM documents)
+        |SELECT id,
+        |  CAST(md5_number_lower(text) % 1920 + 1 AS INTEGER) AS width,
+        |  CAST(md5_number_lower(md5(text)) % 1080 + 1 AS INTEGER) AS height,
+        |  3 AS channels,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE
+        |    list_sum(list_transform(generate_series(1, n), i ->
+        |      (strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16 +
+        |      strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1)) / n END, 6) AS mean_byte
+        |FROM h ORDER BY id""".stripMargin,
+
     "x_mm_resize" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(md5_number_lower(text) % 1920 + 1 AS INTEGER) w,

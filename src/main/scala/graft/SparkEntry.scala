@@ -508,13 +508,17 @@ object SparkEntry {
           col("r.scale").as("scale"))
         .orderBy("doc_id")
     }),
-    // rows-only: partition-batched media decode (mapPartitions path — one
-    // codec instance per partition, iterator-in/iterator-out).
+    // Partition-batched media decode (mapPartitions path — one codec
+    // instance per partition, iterator-in/iterator-out); stub dims share
+    // decodeStub's md5_number_lower convention so the whole stage is
+    // oracle-checked, mean byte computed from the payload itself.
     "x_mm_batch_decode" -> ((s, d) => {
       MultimodalOps.decodeBatches(
           T(s, d, "documents").select(col("doc_id").as("id"),
             col("text").cast("binary").as("payload")))
         .toDF()
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          round(col("meanByte"), 6).as("mean_byte"))
         .orderBy("id")
     }),
     // rows-only: IVF approximate NN (recall vs exact checked in ScalaTest).
