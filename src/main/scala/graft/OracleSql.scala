@@ -145,6 +145,35 @@ object OracleSql {
         |SELECT id_a, id_b, inter, round(jac, 6) AS jaccard
         |FROM j WHERE jac >= 0.5 AND id_a < id_b ORDER BY id_a, id_b""".stripMargin,
 
+    // Greedy 1-to-1 matching is sequential by nature; the oracle replays
+    // it as a recursive CTE — each step accepts the best remaining pair
+    // in the same (jaccard DESC, id_a, id_b) string order the Spark scan
+    // uses, then drops the pairs that share an endpoint with it. One
+    // iteration per accepted match (~1.2k at sf0.01, ~3 s in DuckDB).
+    "j6_greedy_match" ->
+      """WITH RECURSIVE cand AS (
+        |  WITH m AS (SELECT DISTINCT l_orderkey g, l_partkey p FROM lineitem),
+        |  sz AS (SELECT g, count(*) n FROM m GROUP BY g),
+        |  i AS (SELECT a.g ga, b.g gb, count(*) inter FROM m a JOIN m b ON a.p = b.p GROUP BY 1, 2),
+        |  j AS (SELECT ga id_a, gb id_b, inter::DOUBLE / (x.n + y.n - inter) jac
+        |        FROM i JOIN sz x ON x.g = ga JOIN sz y ON y.g = gb)
+        |  SELECT CAST(id_a AS VARCHAR) a, CAST(id_b AS VARCHAR) b, jac j
+        |  FROM j WHERE jac >= 0.5 AND id_a < id_b
+        |),
+        |g AS (
+        |  SELECT a, b, j, false AS accepted FROM cand
+        |  UNION ALL
+        |  SELECT id_a, id_b, jj, is_best FROM (
+        |    SELECT w.a AS id_a, w.b AS id_b, w.j AS jj,
+        |      row_number() OVER (ORDER BY w.j DESC, w.a, w.b) = 1 AS is_best,
+        |      first_value(w.a) OVER (ORDER BY w.j DESC, w.a, w.b) AS ba,
+        |      first_value(w.b) OVER (ORDER BY w.j DESC, w.a, w.b) AS bb
+        |    FROM g w WHERE NOT w.accepted
+        |  ) WHERE is_best OR (id_a <> ba AND id_b <> bb)
+        |)
+        |SELECT a AS id_a, b AS id_b, round(j, 6) AS jaccard
+        |FROM g WHERE accepted ORDER BY id_a, id_b""".stripMargin,
+
     "j8_knn_cosine" ->
       """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 20),
         |p AS (SELECT qid, c.vec_id nid, qe, c.embedding ce
