@@ -464,6 +464,17 @@ object OracleSql {
       """SELECT doc_id, concat_ws(' ', lang, substr(text, 1, 10)) AS headline
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Name-based (v3) UUID re-derived from the same md5: version nibble
+    // '3', variant from hex digit 17 mapped into 8..b.
+    "p17_idgen" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':' || text) m FROM documents)
+        |SELECT doc_id,
+        |  substr(m,1,8) || '-' || substr(m,9,4) || '-3' || substr(m,14,3) || '-' ||
+        |  (['8','9','a','b'])[(strpos('0123456789abcdef', substr(m,17,1)) - 1) % 4 + 1] ||
+        |  substr(m,18,3) || '-' || substr(m,21,12) AS content_id,
+        |  row_number() OVER (ORDER BY doc_id) AS seq_id
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     "p18_cast_project" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS id_str, CAST(o_custkey AS INTEGER) AS cust_int
         |FROM orders ORDER BY id_str""".stripMargin,

@@ -400,12 +400,16 @@ object SparkEntry {
           concat_ws(" ", col("lang"), substring(col("text"), 1, 10)).as("headline"))
         .orderBy("doc_id")
     }),
-    // rows-only: P17 — distributed id generation (uuid is nondeterministic
-    // by design; the driver checks shape/row-count only).
+    // P17 — distributed id generation. The driver-checked form is the
+    // content-addressed UUIDv3 (idempotent under re-ingestion, md5-
+    // reproducible by the oracle) plus a deterministic sequence; the
+    // reference's random-ObjectId shape (ids.uuid4 / monotonically_
+    // increasing_id) stays covered by OperatorSpec's format checks.
     "p17_idgen" -> ((s, d) => {
       T(s, d, "documents")
-        .select(col("doc_id"), expr("uuid()").as("gen_id"),
-          monotonically_increasing_id().as("seq_id"))
+        .select(col("doc_id"),
+          graft.functions.ids.contentUuid(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("content_id"),
+          row_number().over(Window.orderBy("doc_id")).cast("long").as("seq_id"))
         .orderBy("doc_id")
     }),
     "p18_cast_project" -> ((s, d) => {

@@ -117,6 +117,18 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("P17 id generation: v4 shape, v3 determinism and RFC format") {
+    import spark.implicits._
+    val df = Seq("alpha", "beta", "alpha").toDF("t")
+    val uuidRe = "^[0-9a-f]{8}-[0-9a-f]{4}-([34])[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    val v4 = df.select(graft.functions.ids.uuid4().as("u")).collect().map(_.getString(0))
+    assert(v4.distinct.length == 3 && v4.forall(_.matches(uuidRe)))
+    val v3 = df.select(graft.functions.ids.contentUuid(col("t")).as("u"))
+      .collect().map(_.getString(0))
+    assert(v3.forall(_.matches(uuidRe)) && v3.forall(_.charAt(14) == '3'))
+    assert(v3(0) == v3(2) && v3(0) != v3(1)) // content-addressed: same in, same id
+  }
+
   test("popularity: ordered, limited, deterministic ties") {
     import spark.implicits._
     val df = Seq("a", "a", "b", "b", "c").map(Tuple1(_)).toDF("item")
