@@ -16,6 +16,14 @@ object OracleSql {
   private val stops = "('the','a','an','of','and','to','in','is','it','for')"
 
   val all: Map[String, String] = Map(
+    // The RSS round-trip: escape → build feed → split → XPath-extract
+    // inverts construction, so the expected output is the raw fields.
+    "s1_rss_parse" ->
+      """SELECT source, 'd' || doc_id AS title,
+        |  'https://' || source || '/' || doc_id AS link,
+        |  text AS description
+        |FROM documents ORDER BY source, title""".stripMargin,
+
     "p10_event_score" ->
       """SELECT event_id, event_type,
         |  CAST(CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'click' THEN 0.1

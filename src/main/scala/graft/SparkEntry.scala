@@ -351,6 +351,25 @@ object SparkEntry {
       DedupOps.simhashNearDupPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
+    // S1 in-engine parse: build one RSS document per source from the
+    // documents table (XML-escaped), then parse entries back out with
+    // the engine's split+XPath stage. The oracle knows construction and
+    // parsing invert each other, so it checks the round-trip directly.
+    "s1_rss_parse" -> ((s, d) => {
+      val items = T(s, d, "documents").select(col("source"), col("doc_id"),
+        concat(lit("<item><title>d"), col("doc_id"),
+          lit("</title><link>https://"), col("source"), lit("/"), col("doc_id"),
+          lit("</link><description>"), graft.sources.FeedOps.xmlEscape(col("text")),
+          lit("</description></item>")).as("item"))
+      val feeds = items.groupBy("source")
+        .agg(concat(lit("<rss><channel>"),
+          array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("item")))),
+            x => x.getField("item")), ""),
+          lit("</channel></rss>")).as("xml"))
+      graft.sources.FeedOps.parseRssItems(feeds, "xml")
+        .select(col("source"), col("title"), col("link"), col("description"))
+        .orderBy("source", "title")
+    }),
     // ──────────── wave 2: remaining §2 operator ids ────────────
     "p1_projection" -> ((s, d) => {
       T(s, d, "orders")
