@@ -334,6 +334,20 @@ object OracleSql {
          |ORDER BY b.doc_id""".stripMargin
     },
 
+    // The salted join/agg must equal their unsalted forms — the oracle
+    // IS the unsalted form.
+    "x_salted_join" ->
+      """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "x_salted_set_union" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS parts,
+        |  CAST(len(list(DISTINCT l_partkey)) AS INTEGER) AS n_parts
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
     "x_exact_dup_groups" ->
       """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
         |  array_to_string(list_sort(list(doc_id)), ',') AS ids

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{ClusterRefine, DedupOps, IvfAnn, MultimodalOps, Recommend, RecommendML, SimilarityOps, StoryOps}
+import graft.operators.{ClusterRefine, DedupOps, IvfAnn, MultimodalOps, Recommend, RecommendML, SimilarityOps, SkewOps, StoryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -369,6 +369,26 @@ object SparkEntry {
       graft.sources.FeedOps.parseRssItems(feeds, "xml")
         .select(col("source"), col("title"), col("link"), col("description"))
         .orderBy("source", "title")
+    }),
+    // Skew-safe equi-join: salted fact × replicated dim equals the plain
+    // join row-for-row (the oracle runs the unsalted join), while a hot
+    // l_partkey spreads over 8 reducers instead of one.
+    "x_salted_join" -> ((s, d) => {
+      SkewOps.saltedJoin(T(s, d, "lineitem"), T(s, d, "part"),
+          "l_partkey", "p_partkey", saltSource = col("l_orderkey"), salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+    // Two-phase salted distinct-set: partials per (key, value-salt) are
+    // disjoint, so flatten-union equals a direct collect_set per key.
+    "x_salted_set_union" -> ((s, d) => {
+      SkewOps.saltedDistinctSet(T(s, d, "lineitem"), "l_orderkey", "l_partkey", salts = 8)
+        .select(col("l_orderkey"),
+          array_join(transform(col("values"), _.cast("string")), ",").as("parts"),
+          size(col("values")).as("n_parts"))
+        .orderBy("l_orderkey")
     }),
     // ──────────── wave 2: remaining §2 operator ids ────────────
     "p1_projection" -> ((s, d) => {

@@ -129,6 +129,29 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(v3(0) == v3(2) && v3(0) != v3(1)) // content-addressed: same in, same id
   }
 
+  test("salted join == plain join on a skewed key (multiplicities preserved)") {
+    import spark.implicits._
+    // 'hot' carries 200 of 203 fact rows; dim has duplicate keys too so
+    // join multiplicities (not just membership) must survive salting.
+    val fact = ((1 to 200).map(i => ("hot", i)) ++ Seq(("a", 1), ("a", 2), ("b", 3)))
+      .toDF("k", "v")
+    val dim = Seq(("hot", "H1"), ("hot", "H2"), ("a", "A"), ("c", "C")).toDF("dk", "name")
+    val salted = graft.operators.SkewOps.saltedJoin(fact, dim, "k", "dk", col("v"), salts = 4)
+      .select("k", "v", "name").collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val plain = fact.join(dim, $"k" === $"dk")
+      .select("k", "v", "name").collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(salted.sorted.toSeq == plain.sorted.toSeq)
+    assert(salted.length == 402) // hot: 200*2, a: 2*1, b/c unmatched
+  }
+
+  test("salted distinct-set == collect_set per key") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => ("hot", i % 7)) ++ Seq(("cold", 42))).toDF("k", "v")
+    val salted = graft.operators.SkewOps.saltedDistinctSet(df, "k", "v", salts = 4)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    assert(salted("hot") == (0 until 7).toList && salted("cold") == List(42))
+  }
+
   test("popularity: ordered, limited, deterministic ties") {
     import spark.implicits._
     val df = Seq("a", "a", "b", "b", "c").map(Tuple1(_)).toDF("item")
