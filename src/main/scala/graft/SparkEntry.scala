@@ -445,10 +445,12 @@ object SparkEntry {
     // reference's random-ObjectId shape (ids.uuid4 / monotonically_
     // increasing_id) stays covered by OperatorSpec's format checks.
     "p17_idgen" -> ((s, d) => {
-      T(s, d, "documents")
-        .select(col("doc_id"),
-          graft.functions.ids.contentUuid(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("content_id"),
-          row_number().over(Window.orderBy("doc_id")).cast("long").as("seq_id"))
+      graft.functions.ids.orderedSeqId(
+          T(s, d, "documents")
+            .select(col("doc_id"),
+              graft.functions.ids.contentUuid(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("content_id")),
+          "doc_id")
+        .select(col("doc_id"), col("content_id"), col("seq_id"))
         .orderBy("doc_id")
     }),
     "p18_cast_project" -> ((s, d) => {

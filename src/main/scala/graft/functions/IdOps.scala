@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -25,6 +26,31 @@ object ids {
    * columns over one md5 — embarrassingly parallel, no state, no
    * coordination, stable under retries and re-partitioning.
    */
+  /**
+   * Global 1-based sequence in `orderCol` order WITHOUT the
+   * single-partition window a naive `row_number() OVER (ORDER BY ...)`
+   * collapses to: range-partition on the order column, number rows
+   * inside each partition, then add broadcast per-partition offsets
+   * (one tiny row per partition, cumulated driver-free by a window over
+   * the partition counts). The row numbering is parallel everywhere; the
+   * only single-partition step is the offsets cumsum, whose input is one
+   * COUNT row per partition — metadata-sized at any scale. Equals the
+   * global row_number when `orderCol` is unique.
+   */
+  def orderedSeqId(df: DataFrame, orderCol: String, idName: String = "seq_id"): DataFrame = {
+    val ranged = df.repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__offset", coalesce(sum(col("__n")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(idName,
+        row_number().over(Window.partitionBy("__pid").orderBy(orderCol)).cast("long")
+          + col("__offset"))
+      .drop("__pid", "__offset")
+  }
+
   def contentUuid(c: Column): Column = {
     val h = md5(c)
     val d = conv(substring(h, 17, 1), 16, 10).cast("int")

@@ -36,7 +36,10 @@ object SkewOps {
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
                  saltSource: Column, salts: Int = 16): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val f = fact.withColumn(SaltCol, pmod(hash(saltSource), lit(salts)))
+    // coalesce marks the salt non-nullable: without it the optimizer
+    // derives an isnotnull(pmod(hash(...))) filter and evaluates the
+    // salt twice per row (hash(null) is defined anyway — the seed)
+    val f = fact.withColumn(SaltCol, coalesce(pmod(hash(saltSource), lit(salts)), lit(0)))
     val d = dim.withColumn(SaltCol, explode(sequence(lit(0), lit(salts - 1))))
     f.join(d, f(factKey) === d(dimKey) && f(SaltCol) === d(SaltCol))
       .drop(SaltCol)

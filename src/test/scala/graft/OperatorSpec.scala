@@ -129,6 +129,23 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(v3(0) == v3(2) && v3(0) != v3(1)) // content-addressed: same in, same id
   }
 
+  test("orderedSeqId == global row_number, with no single-partition exchange") {
+    import spark.implicits._
+    val df = scala.util.Random.shuffle((1 to 500).toList).toDF("k").repartition(7)
+    val got = graft.functions.ids.orderedSeqId(df, "k")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == (1 to 500).map(k => k -> k.toLong).toMap)
+    // the row numbering itself must be partitioned; the only global step
+    // allowed is the offsets cumsum over per-partition COUNTS (one row
+    // per partition — metadata-sized at any scale)
+    val plan = graft.functions.ids.orderedSeqId(df, "k").queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+    val dataWindow = plan.indexOf("windowspecdefinition(__pid")
+    val singlePart = plan.indexOf("Exchange SinglePartition")
+    assert(singlePart == -1 || singlePart > dataWindow, plan) // counts side only
+    assert(plan.substring(singlePart).contains("HashAggregate"), plan)
+  }
+
   test("salted join == plain join on a skewed key (multiplicities preserved)") {
     import spark.implicits._
     // 'hot' carries 200 of 203 fact rows; dim has duplicate keys too so
