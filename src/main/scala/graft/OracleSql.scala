@@ -15,6 +15,31 @@ object OracleSql {
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')"""
   private val stops = "('the','a','an','of','and','to','in','is','it','for')"
 
+  // Shared CDC boundary pipeline (window 8, mask 31, B=257, M=1048573):
+  // per-window closed-form hash == the JVM kernel's rolling recurrence.
+  // Exposes `b(doc_id, text, n, ends BIGINT[])` with the final chunk
+  // always closed at n.
+  private val cdcCtes = {
+    val powers = Iterator.iterate(1L)(p => p * 257L % 1048573L).take(8).toSeq
+    s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |cp AS (SELECT bb.doc_id, CAST(t.i AS BIGINT) AS i,
+       |         unicode(substring(bb.text, CAST(t.i AS INT), 1)) AS c
+       |       FROM base bb, unnest(generate_series(1, bb.n)) AS t(i)),
+       |hits AS (
+       |  SELECT e.doc_id, e.i AS pos
+       |  FROM cp e JOIN cp s ON s.doc_id = e.doc_id AND s.i BETWEEN e.i - 7 AND e.i
+       |  WHERE e.i >= 8
+       |  GROUP BY e.doc_id, e.i
+       |  HAVING CAST(sum(s.c * ([${powers.mkString(",")}])[CAST(e.i - s.i + 1 AS INT)]) % 1048573 AS BIGINT) & 31 = 0),
+       |agg AS (SELECT doc_id, list(pos ORDER BY pos) AS hs FROM hits GROUP BY doc_id),
+       |b AS (SELECT b0.doc_id, b0.text, b0.n,
+       |        CASE WHEN b0.n = 0 THEN CAST([] AS BIGINT[])
+       |             WHEN a.hs IS NULL THEN [b0.n]
+       |             WHEN a.hs[-1] = b0.n THEN a.hs
+       |             ELSE list_append(a.hs, b0.n) END AS ends
+       |      FROM base b0 LEFT JOIN agg a ON a.doc_id = b0.doc_id)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     // The RSS round-trip: escape → build feed → split → XPath-extract
     // inverts construction, so the expected output is the raw fields.
@@ -312,27 +337,24 @@ object OracleSql {
     // Content-defined chunking parity: the closed-form window hash
     // Σ cp(i)·B^(e−i) mod M over each 8-codepoint window equals the JVM
     // kernel's O(n) rolling recurrence, so boundary sets match exactly.
-    "x_cdc_chunks" -> {
-      val powers = Iterator.iterate(1L)(p => p * 257L % 1048573L).take(8).toSeq
-      s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
-         |cp AS (SELECT b.doc_id, CAST(t.i AS BIGINT) AS i,
-         |         unicode(substring(b.text, CAST(t.i AS INT), 1)) AS c
-         |       FROM base b, unnest(generate_series(1, b.n)) AS t(i)),
-         |hits AS (
-         |  SELECT e.doc_id, e.i AS pos
-         |  FROM cp e JOIN cp s ON s.doc_id = e.doc_id AND s.i BETWEEN e.i - 7 AND e.i
-         |  WHERE e.i >= 8
-         |  GROUP BY e.doc_id, e.i
-         |  HAVING CAST(sum(s.c * ([${powers.mkString(",")}])[CAST(e.i - s.i + 1 AS INT)]) % 1048573 AS BIGINT) & 31 = 0),
-         |agg AS (SELECT doc_id, list(pos ORDER BY pos) AS hs FROM hits GROUP BY doc_id)
-         |SELECT b.doc_id,
-         |  CASE WHEN b.n = 0 THEN ''
-         |       WHEN a.hs IS NULL THEN CAST(b.n AS VARCHAR)
-         |       WHEN a.hs[-1] = b.n THEN array_to_string(a.hs, ',')
-         |       ELSE array_to_string(list_append(a.hs, b.n), ',') END AS chunk_ends
-         |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
-         |ORDER BY b.doc_id""".stripMargin
-    },
+    "x_cdc_chunks" ->
+      s"""$cdcCtes
+         |SELECT doc_id, array_to_string(ends, ',') AS chunk_ends
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Chunk-level dedup: cut each document at the CDC ends, md5 every
+    // chunk, group fingerprints seen more than once.
+    "x_cdc_dedup" ->
+      s"""$cdcCtes,
+         |ch AS (SELECT doc_id, CAST(i.i AS INTEGER) AS pos,
+         |        substring(text,
+         |          CASE WHEN i.i = 1 THEN 1 ELSE CAST(ends[CAST(i.i AS INT) - 1] + 1 AS INT) END,
+         |          CAST(ends[CAST(i.i AS INT)] - CASE WHEN i.i = 1 THEN 0 ELSE ends[CAST(i.i AS INT) - 1] END AS INT)) AS chunk
+         |       FROM b, unnest(generate_series(1, len(ends))) AS i(i)),
+         |f AS (SELECT md5(chunk) fp, doc_id, pos FROM ch)
+         |SELECT fp, count(*) AS n,
+         |  string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos) AS ids
+         |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
 
     // The salted join/agg must equal their unsalted forms — the oracle
     // IS the unsalted form.

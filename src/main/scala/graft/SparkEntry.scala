@@ -302,6 +302,12 @@ object SparkEntry {
             _.cast("string")), ",").as("chunk_ends"))
         .orderBy("doc_id")
     }),
+    // Chunk-level dedup payoff of CDC: shared paragraphs meet on their
+    // chunk digest regardless of byte offset.
+    "x_cdc_dedup" -> ((s, d) => {
+      DedupOps.cdcChunkDups(T(s, d, "documents"), "doc_id", "text")
+        .orderBy("fp")
+    }),
     "x_exact_dup_groups" -> ((s, d) => {
       DedupOps.exactDupGroups(T(s, d, "documents"), "doc_id", "text")
         .select(col("fp"), col("n"),

@@ -32,6 +32,37 @@ object DedupOps {
       .filter(col("n") > 1)
 
   /**
+   * Chunk-level duplicate groups over content-defined chunks: CDC
+   * boundaries (Rabin-Karp rolling hash — [[graft.functions.sig.cdcBoundaries]])
+   * cut each document at content-determined positions, so a paragraph
+   * shared by two documents hashes to the same chunks even when its byte
+   * offset differs. Output: one row per chunk fingerprint seen in more
+   * than one place, with the (doc, chunk-position) occurrences.
+   *
+   * Scale shape: boundaries + substrings are map-only; the only shuffle
+   * carries 32-char chunk digests and (id, pos) pairs — never text.
+   */
+  def cdcChunkDups(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 8, mask: Long = 31L): DataFrame = {
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        graft.functions.sig.cdcBoundaries(col(textCol), window, mask).as("__ends"))
+      .select(col("doc_id"), col("__text"), col("__ends"),
+        posexplode(col("__ends")).as(Seq("__i", "__e")))
+      .select(col("doc_id"), (col("__i") + 1).as("pos"),
+        expr("substring(__text, CASE WHEN __i = 0 THEN 1 ELSE __ends[__i - 1] + 1 END," +
+          " __e - CASE WHEN __i = 0 THEN 0 ELSE __ends[__i - 1] END)").as("chunk"))
+    chunks
+      .select(col("doc_id"), col("pos"), md5(col("chunk").cast("binary")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"),
+        array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("pos")))),
+          x => concat(x.getField("doc_id").cast("string"), lit(":"),
+            x.getField("pos").cast("string"))), ",").as("ids"))
+      .filter(col("n") > 1)
+  }
+
+  /**
    * Deterministic keep-first dedup (D2 made reproducible): keep the row
    * with the smallest tie-break key per dedup key — unlike the reference's
    * arbitrary-row `dropDuplicates`, results are stable across runs.

@@ -129,6 +129,21 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(v3(0) == v3(2) && v3(0) != v3(1)) // content-addressed: same in, same id
   }
 
+  test("cdcChunkDups finds a shared paragraph at different byte offsets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val shared = rnd.alphanumeric.take(400).mkString
+    val docs = Seq(
+      (1L, "unique-lead-in of doc one. " + shared),
+      (2L, "a totally different and much longer preamble here! " + shared),
+      (3L, rnd.alphanumeric.take(300).mkString) // no overlap
+    ).toDF("doc_id", "text")
+    val got = graft.operators.DedupOps.cdcChunkDups(docs, "doc_id", "text").collect()
+    assert(got.nonEmpty, "no shared chunks found despite identical 400-char suffix")
+    val pairs = got.map(_.getString(2)) // "doc:pos,doc:pos"
+    assert(pairs.forall(s => s.contains("1:") && s.contains("2:") && !s.contains("3:")))
+  }
+
   test("orderedSeqId == global row_number, with no single-partition exchange") {
     import spark.implicits._
     val df = scala.util.Random.shuffle((1 to 500).toList).toDF("k").repartition(7)
