@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /**
  * In-engine half of RSS ingestion (SURVEY §2 S1): the reference polls
@@ -29,14 +30,21 @@ object FeedOps {
    * Split-then-parse (rather than one document-level `xpath()` per
    * field) keeps fields of the same entry together even when some
    * entries omit a field — parallel field arrays would silently shift.
+   * Each entry is parsed ONCE by `from_xml` into a struct (one DOM pass
+   * per item, vs one per field with `xpath_string`).
    */
+  private val itemSchema = StructType(Seq(
+    StructField("title", StringType), StructField("link", StringType),
+    StructField("pubDate", StringType), StructField("description", StringType)))
+
   def parseRssItems(df: DataFrame, xmlCol: String): DataFrame = {
     df.withColumn("item_xml",
         explode(expr(s"regexp_extract_all($xmlCol, '<item>(?s:.*?)</item>', 0)")))
-      .withColumn("title", expr("xpath_string(item_xml, '/item/title')"))
-      .withColumn("link", expr("xpath_string(item_xml, '/item/link')"))
-      .withColumn("pub_date", expr("xpath_string(item_xml, '/item/pubDate')"))
-      .withColumn("description", expr("xpath_string(item_xml, '/item/description')"))
-      .drop("item_xml")
+      .withColumn("__entry", from_xml(col("item_xml"), itemSchema))
+      .withColumn("title", coalesce(col("__entry.title"), lit("")))
+      .withColumn("link", coalesce(col("__entry.link"), lit("")))
+      .withColumn("pub_date", coalesce(col("__entry.pubDate"), lit("")))
+      .withColumn("description", coalesce(col("__entry.description"), lit("")))
+      .drop("item_xml", "__entry")
   }
 }
