@@ -46,7 +46,7 @@ object OracleSql {
     "s1_rss_parse" ->
       """SELECT source, 'd' || doc_id AS title,
         |  'https://' || source || '/' || doc_id AS link,
-        |  text AS description
+        |  coalesce(text, '') AS description
         |FROM documents ORDER BY source, title""".stripMargin,
 
     "p10_event_score" ->

@@ -365,7 +365,8 @@ object SparkEntry {
       val items = T(s, d, "documents").select(col("source"), col("doc_id"),
         concat(lit("<item><title>d"), col("doc_id"),
           lit("</title><link>https://"), col("source"), lit("/"), col("doc_id"),
-          lit("</link><description>"), graft.sources.FeedOps.xmlEscape(col("text")),
+          lit("</link><description>"),
+          graft.sources.FeedOps.xmlEscape(coalesce(col("text"), lit(""))),
           lit("</description></item>")).as("item"))
       val feeds = items.groupBy("source")
         .agg(concat(lit("<rss><channel>"),

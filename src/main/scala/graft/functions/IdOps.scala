@@ -21,36 +21,44 @@ object ids {
   def uuid4(): Column = expr("uuid()")
 
   /**
-   * RFC 4122 name-based (v3) UUID from the column's md5: version nibble
-   * forced to `3`, variant nibble to `8..b`. Pure codegen'd string/.math
-   * columns over one md5 — embarrassingly parallel, no state, no
-   * coordination, stable under retries and re-partitioning.
-   */
-  /**
    * Global 1-based sequence in `orderCol` order WITHOUT the
    * single-partition window a naive `row_number() OVER (ORDER BY ...)`
-   * collapses to: range-partition on the order column, number rows
-   * inside each partition, then add broadcast per-partition offsets
-   * (one tiny row per partition, cumulated driver-free by a window over
-   * the partition counts). The row numbering is parallel everywhere; the
-   * only single-partition step is the offsets cumsum, whose input is one
-   * COUNT row per partition — metadata-sized at any scale. Equals the
-   * global row_number when `orderCol` is unique.
+   * collapses to. Range-partition + in-partition sort puts rows in
+   * global order; `monotonically_increasing_id` (partition id in the
+   * high bits, in-partition position in the low 33) then numbers them
+   * with NO window and no second full-data exchange — the sequence is
+   * local position + a broadcast per-partition offset (counts cumsum;
+   * one tiny row per partition at any scale).
+   *
+   * The ranged data is `localCheckpoint`ed: both the offsets branch and
+   * the output read ONE materialization, so the range partitioner's
+   * order-sensitive boundary sampling cannot disagree between them when
+   * the upstream row order is nondeterministic (post-shuffle inputs).
+   * Costs one eager materialization; blocks live in executor storage.
+   * Equals the global row_number when `orderCol` is unique.
    */
   def orderedSeqId(df: DataFrame, orderCol: String, idName: String = "seq_id"): DataFrame = {
     val ranged = df.repartitionByRange(col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .sortWithinPartitions(orderCol)
+      .localCheckpoint()
+    val withMid = ranged.withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .withColumn("__loc", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+    val offsets = withMid.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .withColumn("__offset", coalesce(sum(col("__n")).over(
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__n")
-    ranged.join(broadcast(offsets), "__pid")
-      .withColumn(idName,
-        row_number().over(Window.partitionBy("__pid").orderBy(orderCol)).cast("long")
-          + col("__offset"))
-      .drop("__pid", "__offset")
+    withMid.join(broadcast(offsets), "__pid")
+      .withColumn(idName, col("__loc") + col("__offset") + 1)
+      .drop("__mid", "__pid", "__loc", "__offset")
   }
 
+  /**
+   * RFC 4122 name-based (v3) UUID from the column's md5: version nibble
+   * forced to `3`, variant nibble to `8..b`. Pure codegen'd string/math
+   * columns over one md5 — embarrassingly parallel, no state, no
+   * coordination, stable under retries and re-partitioning.
+   */
   def contentUuid(c: Column): Column = {
     val h = md5(c)
     val d = conv(substring(h, 17, 1), 16, 10).cast("int")

@@ -82,7 +82,12 @@ object SigKernels extends Serializable {
    */
   def md5Lower64(s: String): Long = {
     val md = md5tl.get(); md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md5Lower64Bytes(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  /** The digest-bytes-8..15 little-endian fold itself — the single
+    * definition of the `md5_number_lower` byte layout. */
+  def md5Lower64Bytes(d: Array[Byte]): Long = {
     var h = 0L
     var b = 7
     while (b >= 0) { h = (h << 8) | (d(8 + b) & 0xffL); b -= 1 }

@@ -91,11 +91,7 @@ object MultimodalOps {
     * `remainderUnsigned` standing in for the oracle's unsigned modulo. */
   private def decodeOne(md: java.security.MessageDigest, id: Long,
                         bytes: Array[Byte]): MediaFeatures = {
-    def lower64(d: Array[Byte]): Long = {
-      var h = 0L; var b = 7
-      while (b >= 0) { h = (h << 8) | (d(8 + b) & 0xffL); b -= 1 }
-      h
-    }
+    import graft.functions.SigKernels.md5Lower64Bytes
     md.reset()
     val d1 = md.digest(bytes)
     val hex = d1.map(b => f"${b & 0xff}%02x").mkString
@@ -103,7 +99,7 @@ object MultimodalOps {
     val d2 = md.digest(hex.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val mean = if (bytes.isEmpty) 0.0
       else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-    MediaFeatures(id, (java.lang.Long.remainderUnsigned(lower64(d1), 1920L) + 1).toInt,
-      (java.lang.Long.remainderUnsigned(lower64(d2), 1080L) + 1).toInt, 3, mean)
+    MediaFeatures(id, (java.lang.Long.remainderUnsigned(md5Lower64Bytes(d1), 1920L) + 1).toInt,
+      (java.lang.Long.remainderUnsigned(md5Lower64Bytes(d2), 1080L) + 1).toInt, 3, mean)
   }
 }

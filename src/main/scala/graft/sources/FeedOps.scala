@@ -38,9 +38,13 @@ object FeedOps {
     StructField("pubDate", StringType), StructField("description", StringType)))
 
   def parseRssItems(df: DataFrame, xmlCol: String): DataFrame = {
+    // ignoreSurroundingSpaces=false: element content round-trips intact
+    // (the default would trim ' padded ' to 'padded')
+    import scala.jdk.CollectionConverters._
+    val opts = Map("ignoreSurroundingSpaces" -> "false").asJava
     df.withColumn("item_xml",
         explode(expr(s"regexp_extract_all($xmlCol, '<item>(?s:.*?)</item>', 0)")))
-      .withColumn("__entry", from_xml(col("item_xml"), itemSchema))
+      .withColumn("__entry", from_xml(col("item_xml"), itemSchema, opts))
       .withColumn("title", coalesce(col("__entry.title"), lit("")))
       .withColumn("link", coalesce(col("__entry.link"), lit("")))
       .withColumn("pub_date", coalesce(col("__entry.pubDate"), lit("")))

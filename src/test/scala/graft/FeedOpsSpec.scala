@@ -29,7 +29,7 @@ class FeedOpsSpec extends AnyFunSuite with SparkSpec {
 
   test("xmlEscape round-trips through the parser") {
     import spark.implicits._
-    val nasty = "5 < 6 && <b>bold</b> > plain"
+    val nasty = "  5 < 6 && <b>bold</b> > plain " // incl. surrounding spaces
     val df = Seq(Tuple1(nasty)).toDF("t")
       .select(concat(lit("<rss><item><description>"), FeedOps.xmlEscape(col("t")),
         lit("</description></item></rss>")).as("xml"))

@@ -150,15 +150,12 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     val got = graft.functions.ids.orderedSeqId(df, "k")
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == (1 to 500).map(k => k -> k.toLong).toMap)
-    // the row numbering itself must be partitioned; the only global step
-    // allowed is the offsets cumsum over per-partition COUNTS (one row
-    // per partition — metadata-sized at any scale)
+    // no per-row window at all: numbering is monotonically_increasing_id
+    // decomposition + a broadcast offsets join; the only windowed/global
+    // step is the cumsum over per-partition COUNTS (metadata-sized)
     val plan = graft.functions.ids.orderedSeqId(df, "k").queryExecution.executedPlan.toString
-    assert(plan.contains("windowspecdefinition(__pid"), plan)
-    val dataWindow = plan.indexOf("windowspecdefinition(__pid")
-    val singlePart = plan.indexOf("Exchange SinglePartition")
-    assert(singlePart == -1 || singlePart > dataWindow, plan) // counts side only
-    assert(plan.substring(singlePart).contains("HashAggregate"), plan)
+    assert(!plan.contains("Window [row_number"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("salted join == plain join on a skewed key (multiplicities preserved)") {
