@@ -356,6 +356,15 @@ object OracleSql {
          |  string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos) AS ids
          |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
 
+    // The sampling decision is a pure function of (salt, key, stratum
+    // fraction) — the oracle replays it with md5_number_lower.
+    "x_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5_number_lower('s1|' || CAST(doc_id AS VARCHAR)) % 1000000 <
+        |  CAST(floor(CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5
+        |             ELSE 0.8 END * 1000000) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
     // The salted join/agg must equal their unsalted forms — the oracle
     // IS the unsalted form.
     "x_salted_join" ->

@@ -302,6 +302,16 @@ object SparkEntry {
             _.cast("string")), ",").as("chunk_ends"))
         .orderBy("doc_id")
     }),
+    // Deterministic stratified curation sample: downsample the head
+    // language, keep more of the tail; decisions are md5-derived so the
+    // oracle replays the exact predicate.
+    "x_stratified_sample" -> ((s, d) => {
+      graft.operators.SampleOps.stratifiedSample(
+          T(s, d, "documents"), "lang", col("doc_id"),
+          fractions = Map("en" -> 0.25, "zh" -> 0.5), default = 0.8, salt = "s1|")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
     // Chunk-level dedup payoff of CDC: shared paragraphs meet on their
     // chunk digest regardless of byte offset.
     "x_cdc_dedup" -> ((s, d) => {

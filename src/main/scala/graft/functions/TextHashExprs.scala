@@ -234,6 +234,16 @@ object sig {
   def cdcBoundaries(c: Column, window: Int, mask: Long): Column =
     Bridge.column(CdcBoundaries(Bridge.expression(c), window, mask))
 
+  /** Column form of [[SigKernels.md5Lower64]] as an unsigned decimal —
+    * digest hex pairs 31..17 reversed, base-16→10 — the exact value
+    * DuckDB's `md5_number_lower` returns. Pure codegen'd string ops; the
+    * repeated `md5(c)` subtrees collapse under codegen CSE. */
+  def md5Lower64Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    conv(concat((0 until 8).map(i => substring(md5(c), 31 - 2 * i, 2)): _*), 16, 10)
+      .cast("decimal(20,0)")
+  }
+
   /** Register SQL names for the text-hash/dedup kernels on an EXISTING
     * session (the config-time path is [[graft.GraftExtensions]]). Shape
     * parameters must be integer literals — they size codegen'd loops. */

@@ -22,15 +22,10 @@ object MultimodalOps {
     df.withColumn("payload_sha256", sha2(payload, 256))
       .withColumn("payload_bytes", octet_length(payload))
 
-  /** Lower 64 bits of md5 read little-endian (digest bytes 8..15, MSB =
-    * byte 15) as an unsigned decimal — the exact value DuckDB's
-    * `md5_number_lower` returns, so stub dimensions are oracle-checkable.
-    * Pure column expressions: hex-pair reversal + conv, all codegen'd. */
-  private def md5Lower64LE(c: Column): Column = {
-    val h = md5(c)
-    conv(concat((0 until 8).map(i => substring(h, 31 - 2 * i, 2)): _*), 16, 10)
-      .cast("decimal(20,0)")
-  }
+  /** md5 lower-64 as an unsigned decimal (= DuckDB `md5_number_lower`),
+    * shared column formulation: [[graft.functions.sig.md5Lower64Col]]. */
+  private def md5Lower64LE(c: Column): Column =
+    graft.functions.sig.md5Lower64Col(c)
 
   /**
    * STUB decode: deterministic fake (width, height, channels) derived

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for dataset curation. A training-data pipeline
+ * needs samples that are (a) reproducible across runs, engines and
+ * retries — `df.sample()` is none of those — and (b) auditable: whether
+ * any given row was kept must be re-derivable from the row alone. Both
+ * come from hashing a stable key instead of drawing randoms: keep a row
+ * iff `md5_lower64(salt || key) mod 1e6` lands under `fraction · 1e6`.
+ * Changing the salt draws an independent sample; the same (key, salt)
+ * always decides the same way, so incremental re-runs over a growing
+ * corpus keep their earlier decisions. Map-only, codegen'd, no RNG
+ * state, and reproducible by any engine with md5 (the DuckDB oracle
+ * replays the predicate exactly).
+ */
+object SampleOps {
+
+  private val Buckets = 1000000L
+
+  /** The keep-decision itself: usable as a filter or as an audit column. */
+  def keep(key: Column, fraction: Column, salt: String): Column =
+    graft.functions.sig.md5Lower64Col(concat(lit(salt), key.cast("string"))) % Buckets <
+      floor(fraction * Buckets).cast("long")
+
+  /** Deterministic Bernoulli sample at one fraction. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double,
+                          salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    df.filter(keep(key, lit(fraction), salt))
+  }
+
+  /**
+   * Stratified sample: per-stratum fractions (e.g. downsample the head
+   * language, keep the tail) with a default for unlisted strata. The
+   * fraction lookup is a codegen'd CASE chain — no join, no shuffle.
+   */
+  def stratifiedSample(df: DataFrame, strataCol: String, key: Column,
+                       fractions: Map[String, Double], default: Double = 0.0,
+                       salt: String = ""): DataFrame = {
+    (fractions.values.toSeq :+ default).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction out of range: $f"))
+    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(keep(key, frac, salt))
+  }
+}

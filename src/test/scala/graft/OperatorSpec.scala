@@ -129,6 +129,31 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(v3(0) == v3(2) && v3(0) != v3(1)) // content-addressed: same in, same id
   }
 
+  test("deterministic sampling: reproducible, salt-independent draws, sane rates") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 4 == 0) "tail" else "head")).toDF("id", "s")
+    val a = graft.operators.SampleOps.deterministicSample(df, col("id"), 0.3, "x")
+      .collect().map(_.getLong(0)).toSet
+    val b = graft.operators.SampleOps.deterministicSample(df, col("id"), 0.3, "x")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // same salt → same sample
+    val c = graft.operators.SampleOps.deterministicSample(df, col("id"), 0.3, "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(a != c) // different salt → different draw
+    assert(math.abs(a.size / 4000.0 - 0.3) < 0.05, s"rate ${a.size / 4000.0}")
+    // growing corpus keeps earlier decisions: sample of a prefix is a subset
+    val prefix = graft.operators.SampleOps.deterministicSample(
+      df.filter($"id" <= 2000), col("id"), 0.3, "x").collect().map(_.getLong(0)).toSet
+    assert(prefix == a.filter(_ <= 2000L))
+    val strat = graft.operators.SampleOps.stratifiedSample(df, "s", col("id"),
+      Map("head" -> 0.1), default = 0.9, salt = "x")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val headRate = strat.count(_._2 == "head") / 3000.0
+    val tailRate = strat.count(_._2 == "tail") / 1000.0
+    assert(math.abs(headRate - 0.1) < 0.04 && math.abs(tailRate - 0.9) < 0.04,
+      s"head $headRate tail $tailRate")
+  }
+
   test("cdcChunkDups finds a shared paragraph at different byte offsets") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
