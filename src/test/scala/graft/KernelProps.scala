@@ -70,4 +70,43 @@ object KernelProps extends Properties("kernels") {
         l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
       got == ss.sortBy(s => (-s.score, s.id)).take(k)
     }
+
+  import org.apache.spark.unsafe.types.UTF8String
+  private def cdc(s: String, w: Int, m: Long): List[Int] =
+    graft.functions.SigKernels
+      .cdcBoundaries(UTF8String.fromString(s), w, m).toIntArray().toList
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 300)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.const(' '), 1 -> Gen.oneOf('é', 'ü', '中')))
+  } yield cs.mkString
+
+  property("cdcBoundaries: strictly increasing, last == codepoint count") =
+    forAll(textGen, Gen.choose(1, 16), Gen.oneOf(0L, 7L, 31L)) { (s, w, m) =>
+      val b = cdc(s, w, m)
+      val n = s.codePointCount(0, s.length)
+      (n == 0 && b.isEmpty) ||
+        (b.last == n && b.head >= 1 && b.zip(b.tail).forall { case (a, c) => a < c })
+    }
+
+  property("cdcBoundaries: concatenating the chunks reconstructs the text") =
+    forAll(textGen, Gen.choose(1, 12)) { (s, w) =>
+      val b = cdc(s, w, 15L)
+      val cps = s.codePoints().toArray
+      val chunks = (0 :: b.init.map(identity)).zip(b).map { case (from, to) =>
+        new String(cps, from, to - from) }
+      chunks.mkString == s
+    }
+
+  property("cdcBoundaries: appending a suffix never changes interior boundaries") =
+    forAll(textGen, textGen, Gen.choose(2, 10)) { (s, suffix, w) =>
+      val before = cdc(s, w, 15L)
+      val after = cdc(s + suffix, w, 15L)
+      val n = s.codePointCount(0, s.length)
+      // every interior (mask-hit) boundary of `s` survives in s+suffix —
+      // only the forced final boundary at n may disappear
+      before.dropRight(1).forall(after.contains) &&
+        (before.isEmpty || before.last == n)
+    }
 }
