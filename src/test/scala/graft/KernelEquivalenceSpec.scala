@@ -110,6 +110,22 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSpec {
     assert(kb.takeRight(common.size) == ke.takeRight(common.size))
   }
 
+  test("md5Lower64Col column formulation == kernel, across the unsigned range") {
+    import spark.implicits._
+    val vals = (1 to 200).map(i => s"probe-$i")
+    val colled = vals.toDF("s")
+      .select(col("s"), sig.md5Lower64Col(col("s")).cast("string").as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    vals.foreach { s =>
+      val unsigned = java.lang.Long.toUnsignedString(graft.functions.SigKernels.md5Lower64(s))
+      assert(colled(s) == unsigned, s"mismatch for $s")
+    }
+    // ~half the probes should exceed Long.MaxValue (top bit set) — proves
+    // the decimal column really carries the unsigned value
+    val big = vals.count(s => graft.functions.SigKernels.md5Lower64(s) < 0)
+    assert(big > 50, s"only $big high-bit probes")
+  }
+
   test("HashEmbedding: unit norm, deterministic, token-order invariant in aggregate") {
     val e1 = docs.select(col("id"), graft.functions.HashEmbed(col("text"), 32).as("e"))
     val norms = e1.select(
