@@ -113,7 +113,7 @@ object SigKernels extends Serializable {
         val shingle = sb.toString
         var seed = 0
         while (seed < k) {
-          val h = md5Hex(seed + "|" + shingle)
+          val h = md5Hex(s"$seed|$shingle")
           if (mins(seed) == null || h.compareTo(mins(seed).toString) < 0)
             mins(seed) = UTF8String.fromString(h)
           seed += 1
@@ -156,7 +156,7 @@ object SigKernels extends Serializable {
   def hyperplanes(nbits: Int, dim: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent((nbits.toLong << 32) | dim.toLong, _ =>
       Array.tabulate(nbits, dim)((j, i) =>
-        if ((md5Lower64(j + "|" + i) & 1L) == 0L) 1.0 else -1.0))
+        if ((md5Lower64(s"$j|$i") & 1L) == 0L) 1.0 else -1.0))
 
   /** Cosine sketch: bit j = sign(v · h_j). One pass per plane over the
     * vector; the hot loop is plain double multiply-adds. */

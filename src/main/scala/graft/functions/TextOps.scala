@@ -53,7 +53,7 @@ object text {
   def minhashSignature(sh: Column, k: Int): Column = {
     val init = array(Seq.fill(k)(lit("g")): _*)
     val folded = aggregate(sh, init, (acc, x) =>
-      array((0 until k).map(s => least(element_at(acc, s + 1), md5(concat(lit(s + "|"), x)))): _*))
+      array((0 until k).map(s => least(element_at(acc, s + 1), md5(concat(lit(s"$s|"), x)))): _*))
     transform(folded, m => when(m === "g", lit(null).cast("string")).otherwise(m))
   }
 

@@ -94,6 +94,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("deterministic sampling is replay-safe in a stream (rand() is not)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    // stateless hash-decision filter: a replayed micro-batch re-decides
+    // every row identically, so exactly-once survives retries — the
+    // property a rand()-based sample cannot give
+    val sampled = graft.operators.SampleOps.deterministicSample(
+      mem.toDF().toDF("id"), col("id"), 0.5, "st|")
+    val q = sampled.writeStream.format("memory").queryName("sample_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(1L to 400L: _*)
+      q.processAllAvailable()
+      val got = spark.table("sample_out").as[Long].collect().toSet
+      // identical to the batch decision for the same (salt, key)
+      val batch = graft.operators.SampleOps.deterministicSample(
+        (1L to 400L).toDF("id"), col("id"), 0.5, "st|")
+        .as[Long].collect().toSet
+      assert(got == batch)
+      assert(got.nonEmpty && got.size < 400)
+    } finally q.stop()
+  }
+
   test("multimodal decodeBatches: partition-batched stub decode") {
     import spark.implicits._
     val df = Seq((1L, "hello".getBytes), (2L, "world!!".getBytes), (3L, Array.empty[Byte]))
