@@ -94,6 +94,11 @@ object SigKernels extends Serializable {
     h
   }
 
+  /** Unsigned `md5Lower64(s) mod buckets` — one digest per call; the
+    * sampling primitive (DuckDB: `md5_number_lower(s) % buckets`). */
+  def md5Bucket(s: UTF8String, buckets: Long): Long =
+    java.lang.Long.remainderUnsigned(md5Lower64(s.toString), buckets)
+
   /**
    * MinHash signature — byte-for-byte identical to the column formulation
    * in [[text.minhashSignature]] (and so to the DuckDB oracle): word
@@ -192,6 +197,22 @@ case class CdcBoundaries(child: Expression, window: Int, mask: Long) extends Una
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** One-digest hash bucket for deterministic sampling: unsigned
+  * `md5_lower64(input) mod buckets`. A single md5 per row even inside a
+  * Filter, where the 8-substring column formulation would re-digest per
+  * reference (FilterExec runs no subexpression elimination). */
+case class Md5Bucket(child: Expression, buckets: Long) extends UnaryExpression {
+  require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_bucket"
+  override def nullSafeEval(input: Any): Any =
+    SigKernels.md5Bucket(input.asInstanceOf[UTF8String], buckets)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigKernels.md5Bucket($c, ${buckets}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class MinhashSignature(child: Expression, n: Int, k: Int) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
@@ -233,11 +254,15 @@ object sig {
     Bridge.column(CosineSketch(Bridge.expression(c), nbits))
   def cdcBoundaries(c: Column, window: Int, mask: Long): Column =
     Bridge.column(CdcBoundaries(Bridge.expression(c), window, mask))
+  def md5BucketCol(c: Column, buckets: Long): Column =
+    Bridge.column(Md5Bucket(Bridge.expression(c), buckets))
 
   /** Column form of [[SigKernels.md5Lower64]] as an unsigned decimal —
     * digest hex pairs 31..17 reversed, base-16→10 — the exact value
     * DuckDB's `md5_number_lower` returns. Pure codegen'd string ops; the
-    * repeated `md5(c)` subtrees collapse under codegen CSE. */
+    * repeated `md5(c)` subtrees collapse under codegen CSE in
+    * PROJECTIONS only — inside a Filter predicate use [[md5BucketCol]]
+    * (one digest) instead. */
   def md5Lower64Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     conv(concat((0 until 8).map(i => substring(md5(c), 31 - 2 * i, 2)): _*), 16, 10)

@@ -20,9 +20,12 @@ object SampleOps {
 
   private val Buckets = 1000000L
 
-  /** The keep-decision itself: usable as a filter or as an audit column. */
+  /** The keep-decision itself: usable as a filter or as an audit column.
+    * One md5 digest per row (codegen'd [[graft.functions.Md5Bucket]] —
+    * Filter predicates get no subexpression elimination, so the 8-way
+    * substring column formulation would digest 8× here). */
   def keep(key: Column, fraction: Column, salt: String): Column =
-    graft.functions.sig.md5Lower64Col(concat(lit(salt), key.cast("string"))) % Buckets <
+    graft.functions.sig.md5BucketCol(concat(lit(salt), key.cast("string")), Buckets) <
       floor(fraction * Buckets).cast("long")
 
   /** Deterministic Bernoulli sample at one fraction. */

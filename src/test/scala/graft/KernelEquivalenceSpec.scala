@@ -124,6 +124,12 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSpec {
     // the decimal column really carries the unsigned value
     val big = vals.count(s => graft.functions.SigKernels.md5Lower64(s) < 0)
     assert(big > 50, s"only $big high-bit probes")
+    // the one-digest bucket expression == decimal formulation mod buckets
+    val bucketed = vals.toDF("s")
+      .select(col("s"), sig.md5BucketCol(col("s"), 1000000L).as("b"),
+        (sig.md5Lower64Col(col("s")) % 1000000L).cast("long").as("d"))
+      .collect()
+    assert(bucketed.forall(r => r.getLong(1) == r.getLong(2)))
   }
 
   test("HashEmbedding: unit norm, deterministic, token-order invariant in aggregate") {

@@ -94,7 +94,7 @@ object KernelProps extends Properties("kernels") {
     forAll(textGen, Gen.choose(1, 12)) { (s, w) =>
       val b = cdc(s, w, 15L)
       val cps = s.codePoints().toArray
-      val chunks = (0 :: b.init.map(identity)).zip(b).map { case (from, to) =>
+      val chunks = (0 :: b.dropRight(1)).zip(b).map { case (from, to) =>
         new String(cps, from, to - from) }
       chunks.mkString == s
     }
