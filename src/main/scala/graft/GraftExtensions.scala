@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CdcBoundaries, CosineSimilarity, CosineSketch, DotProduct, L2Distance, L2Normalize, MinhashSignature, SimHash64, TextStatsExpr, text}
+import graft.functions.{CdcBoundaries, CosineSimilarity, CosineSketch, DotProduct, L2Distance, L2Normalize, Md5Bucket, MinhashSignature, SimHash64, TextStatsExpr, text}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
       es => CdcBoundaries(es.head, litInt(es(1), "cdc_boundaries window"),
         litInt(es(2), "cdc_boundaries mask").toLong)))
+    e.injectFunction((FunctionIdentifier("md5_bucket"),
+      new ExpressionInfo(classOf[Md5Bucket].getName, "md5_bucket"),
+      es => Md5Bucket(es.head, litInt(es(1), "md5_bucket buckets").toLong)))
     e.injectFunction((FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
       es => TextStatsExpr(es.head, text.defaultStopwords, text.posWords,

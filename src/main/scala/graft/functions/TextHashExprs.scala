@@ -290,6 +290,8 @@ object sig {
     reg.createOrReplaceTempFunction("cdc_boundaries",
       es => CdcBoundaries(es.head, litInt(es(1), "cdc_boundaries window"),
         litInt(es(2), "cdc_boundaries mask").toLong), "built-in")
+    reg.createOrReplaceTempFunction("md5_bucket",
+      es => Md5Bucket(es.head, litInt(es(1), "md5_bucket buckets").toLong), "built-in")
     reg.createOrReplaceTempFunction("text_stats",
       es => TextStatsExpr(es.head, text.defaultStopwords, text.posWords,
         text.negWords, text.langProfiles), "built-in")

@@ -42,12 +42,14 @@ class SqlRegistrationSpec extends AnyFunSuite with SparkSpec {
         |       minhash_signature('alpha beta gamma delta', 3, 4) mh,
         |       cosine_sketch(array(1.0D, -0.5D), 8) sk,
         |       cdc_boundaries('abcdefghij', 8, 31) cb,
+        |       md5_bucket('probe', 1000000) mb,
         |       text_stats('the quick fox').n_tokens nt""".stripMargin).collect()
     // values are pinned elsewhere (KernelEquivalenceSpec + oracle); here
     // we only need SQL reachability and sane shapes.
     assert(r(0).getAs[Long]("sh") != 0L)
     assert(r(0).getAs[scala.collection.Seq[String]]("mh").length == 4)
     assert(r(0).getAs[scala.collection.Seq[Int]]("cb").last == 10)
+    assert(r(0).getAs[Long]("mb") >= 0L && r(0).getAs[Long]("mb") < 1000000L)
     assert(r(0).getAs[Int]("nt") == 3)
     // shape params must be literals, loudly
     val e = intercept[Exception] {
