@@ -44,11 +44,16 @@ object DedupOps {
    */
   def cdcChunkDups(docs: DataFrame, idCol: String, textCol: String,
                    window: Int = 8, mask: Long = 31L): DataFrame = {
+    // posexplode_OUTER + post-explode null filter, not plain posexplode:
+    // InferFiltersFromGenerate would otherwise push size(cdc(..))>0 and
+    // isnotnull(cdc(..)) into the scan and evaluate the O(n) boundary
+    // kernel three times per document (outer generators infer nothing)
     val chunks = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
         graft.functions.sig.cdcBoundaries(col(textCol), window, mask).as("__ends"))
       .select(col("doc_id"), col("__text"), col("__ends"),
-        posexplode(col("__ends")).as(Seq("__i", "__e")))
+        posexplode_outer(col("__ends")).as(Seq("__i", "__e")))
+      .filter(col("__e").isNotNull)
       .select(col("doc_id"), (col("__i") + 1).as("pos"),
         expr("substring(__text, CASE WHEN __i = 0 THEN 1 ELSE __ends[__i - 1] + 1 END," +
           " __e - CASE WHEN __i = 0 THEN 0 ELSE __ends[__i - 1] END)").as("chunk"))
