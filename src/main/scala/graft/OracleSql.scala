@@ -379,6 +379,15 @@ object OracleSql {
         |  CAST(len(list(DISTINCT l_partkey)) AS INTEGER) AS n_parts
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
+    // The bloom prefilter is exact end-to-end (suspects get verified),
+    // so the oracle is the plain fingerprint anti-join.
+    "x_bloom_incremental" ->
+      """SELECT i.doc_id FROM documents i
+        |WHERE i.doc_id % 5 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0
+        |  AND md5(lower(trim(c.text))) = md5(lower(trim(i.text))))
+        |ORDER BY i.doc_id""".stripMargin,
+
     "x_exact_dup_groups" ->
       """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
         |  array_to_string(list_sort(list(doc_id)), ',') AS ids

@@ -318,6 +318,18 @@ object SparkEntry {
       DedupOps.cdcChunkDups(T(s, d, "documents"), "doc_id", "text")
         .orderBy("fp")
     }),
+    // Incremental ingestion: bloom-prefiltered exact dedup of a new
+    // batch against an existing corpus (output == the plain anti-join,
+    // which is what the oracle runs).
+    "x_bloom_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      DedupOps.incrementalNewDocs(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
     "x_exact_dup_groups" -> ((s, d) => {
       DedupOps.exactDupGroups(T(s, d, "documents"), "doc_id", "text")
         .select(col("fp"), col("n"),

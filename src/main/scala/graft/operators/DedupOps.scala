@@ -32,6 +32,35 @@ object DedupOps {
       .filter(col("n") > 1)
 
   /**
+   * Incremental dedup against a large corpus WITHOUT a full anti-join:
+   * build a Bloom filter over the corpus fingerprints (one aggregation
+   * pass, a few MB broadcast), keep every incoming row the filter has
+   * definitely never seen, and run the exact anti-join ONLY for the
+   * might-contain suspects (true dups + the fpp false positives).
+   *
+   * The corpus is never shuffled: it is scanned once to build the
+   * filter and once more in a broadcast SEMI join probed by the (small)
+   * suspect fingerprint set — only the confirmed-duplicate fingerprints
+   * (tiny) leave that scan, and the final anti-join broadcasts them.
+   * Output is EXACT: identical to `incoming ANTI JOIN corpus ON
+   * fingerprint`, at batch-sized shuffle cost per increment.
+   */
+  def incrementalNewDocs(incoming: DataFrame, corpus: DataFrame, idCol: String,
+                         textCol: String, expectedItems: Long = 1L << 22,
+                         fpp: Double = 0.01): DataFrame = {
+    val corpusFp = corpus.select(text.fingerprint(col(textCol)).as("fp"))
+    val bf = corpusFp.stat.bloomFilter("fp", expectedItems, fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bf)
+    val inFp = incoming.withColumn("fp", text.fingerprint(col(textCol)))
+    val probe = graft.functions.bloom.mightContain(col("fp"), bc)
+    val suspects = inFp.filter(probe)
+    val confirmedDupFps = corpusFp
+      .join(broadcast(suspects.select("fp").distinct()), Seq("fp"), "left_semi")
+    val verifiedNew = suspects.join(broadcast(confirmedDupFps), Seq("fp"), "left_anti")
+    inFp.filter(!probe).unionByName(verifiedNew).drop("fp")
+  }
+
+  /**
    * Chunk-level duplicate groups over content-defined chunks: CDC
    * boundaries (Rabin-Karp rolling hash — [[graft.functions.sig.cdcBoundaries]])
    * cut each document at content-determined positions, so a paragraph

@@ -129,6 +129,20 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(v3(0) == v3(2) && v3(0) != v3(1)) // content-addressed: same in, same id
   }
 
+  test("bloom-prefiltered incremental dedup == plain anti-join, even at high fpp") {
+    import spark.implicits._
+    val corpus = ((1 to 300).map(i => (i.toLong, s"corpus doc $i")) :+ (301L, "shared text"))
+      .toDF("id", "text")
+    val incoming = Seq((1001L, "shared text"), (1002L, "brand new doc"),
+      (1003L, "corpus doc 7"), (1004L, "another new one")).toDF("id", "text")
+    // undersized filter (expectedItems=8) forces false positives through
+    // the verification join; the output must stay exact regardless
+    val got = graft.operators.DedupOps
+      .incrementalNewDocs(incoming, corpus, "id", "text", expectedItems = 8, fpp = 0.3)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1002L, 1004L))
+  }
+
   test("deterministic sampling: reproducible, salt-independent draws, sane rates") {
     import spark.implicits._
     val df = (1 to 4000).map(i => (i.toLong, if (i % 4 == 0) "tail" else "head")).toDF("id", "s")
