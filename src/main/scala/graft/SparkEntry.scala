@@ -326,7 +326,7 @@ object SparkEntry {
       DedupOps.incrementalNewDocs(
           docs.filter(pmod(col("doc_id"), lit(5)) === 0),
           docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-          "doc_id", "text")
+          "text")
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),

@@ -24,13 +24,16 @@ case class BloomMightContain(child: Expression, bloom: Broadcast[BloomFilter])
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
+  // probe the UTF-8 bytes directly: byte-identical to what the build
+  // side put for a string column, without the String allocation and
+  // re-encode mightContainString would pay per row
   override def nullSafeEval(input: Any): Any =
-    bloom.value.mightContainString(input.asInstanceOf[UTF8String].toString)
+    bloom.value.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloomBc", bloom,
       classOf[Broadcast[BloomFilter]].getName)
     defineCodeGen(ctx, ev, c =>
-      s"((org.apache.spark.util.sketch.BloomFilter)$ref.value()).mightContainString($c.toString())")
+      s"((org.apache.spark.util.sketch.BloomFilter)$ref.value()).mightContainBinary($c.getBytes())")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

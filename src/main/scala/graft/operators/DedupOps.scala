@@ -42,22 +42,31 @@ object DedupOps {
    * filter and once more in a broadcast SEMI join probed by the (small)
    * suspect fingerprint set — only the confirmed-duplicate fingerprints
    * (tiny) leave that scan, and the final anti-join broadcasts them.
-   * Output is EXACT: identical to `incoming ANTI JOIN corpus ON
-   * fingerprint`, at batch-sized shuffle cost per increment.
+   * The fingerprinted batch is `localCheckpoint`ed (batch-sized) so its
+   * three consumers share one scan and one digest pass. Output is
+   * EXACT: identical to `incoming ANTI JOIN corpus ON fingerprint`
+   * including null-text rows (a null never equi-matches, so the
+   * anti-join keeps it — and so do we).
    */
-  def incrementalNewDocs(incoming: DataFrame, corpus: DataFrame, idCol: String,
-                         textCol: String, expectedItems: Long = 1L << 22,
+  def incrementalNewDocs(incoming: DataFrame, corpus: DataFrame, textCol: String,
+                         expectedItems: Long = 1L << 22,
                          fpp: Double = 0.01): DataFrame = {
-    val corpusFp = corpus.select(text.fingerprint(col(textCol)).as("fp"))
-    val bf = corpusFp.stat.bloomFilter("fp", expectedItems, fpp)
+    // null corpus fingerprints can never match; drop them before the
+    // sketch build (which rejects nulls) and the semi probe
+    val corpusFp = corpus.select(text.fingerprint(col(textCol)).as("__fp"))
+      .filter(col("__fp").isNotNull)
+    val bf = corpusFp.stat.bloomFilter("__fp", expectedItems, fpp)
     val bc = incoming.sparkSession.sparkContext.broadcast(bf)
-    val inFp = incoming.withColumn("fp", text.fingerprint(col(textCol)))
-    val probe = graft.functions.bloom.mightContain(col("fp"), bc)
+    val inFp = incoming.withColumn("__fp", text.fingerprint(col(textCol)))
+      .localCheckpoint()
+    // null fp → probe null → treated as definitely-new, matching the
+    // anti-join's null semantics
+    val probe = coalesce(graft.functions.bloom.mightContain(col("__fp"), bc), lit(false))
     val suspects = inFp.filter(probe)
     val confirmedDupFps = corpusFp
-      .join(broadcast(suspects.select("fp").distinct()), Seq("fp"), "left_semi")
-    val verifiedNew = suspects.join(broadcast(confirmedDupFps), Seq("fp"), "left_anti")
-    inFp.filter(!probe).unionByName(verifiedNew).drop("fp")
+      .join(broadcast(suspects.select("__fp").distinct()), Seq("__fp"), "left_semi")
+    val verifiedNew = suspects.join(broadcast(confirmedDupFps), Seq("__fp"), "left_anti")
+    inFp.filter(!probe).unionByName(verifiedNew).drop("__fp")
   }
 
   /**

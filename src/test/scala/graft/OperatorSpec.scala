@@ -138,9 +138,15 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     // undersized filter (expectedItems=8) forces false positives through
     // the verification join; the output must stay exact regardless
     val got = graft.operators.DedupOps
-      .incrementalNewDocs(incoming, corpus, "id", "text", expectedItems = 8, fpp = 0.3)
+      .incrementalNewDocs(incoming, corpus, "text", expectedItems = 8, fpp = 0.3)
       .select("id").as[Long].collect().sorted
     assert(got.toSeq == Seq(1002L, 1004L))
+    // null text rows are kept, exactly like the plain anti-join
+    val withNull = incoming.unionByName(Seq((1005L, null.asInstanceOf[String])).toDF("id", "text"))
+    val gotNull = graft.operators.DedupOps
+      .incrementalNewDocs(withNull, corpus, "text", expectedItems = 8, fpp = 0.3)
+      .select("id").as[Long].collect().sorted
+    assert(gotNull.toSeq == Seq(1002L, 1004L, 1005L))
   }
 
   test("deterministic sampling: reproducible, salt-independent draws, sane rates") {
