@@ -20,22 +20,33 @@ import org.apache.spark.sql.functions._
 object ClusterRefine {
 
   /**
+   * @param dim vector dimensionality when the caller knows it (it almost
+   *            always does — embeddings have a fixed width). `None` falls
+   *            back to probing one cached row, the only extra job left.
    * @return input + `cluster` column (int; -1 = noise, clusters with
    *         fewer than minClusterSize members are noise — reference
    *         min_cluster_size=5, batch-cluster-service.py:28)
    */
   def refine(items: DataFrame, idCol: String, vecCol: String,
              pcaK: Int = 5, numClusters: Int = 10, minClusterSize: Int = 5,
-             seed: Long = 42L): DataFrame = {
-    // Clamp the PCA target to the actual vector dimensionality.
-    val dim = items.select(size(col(vecCol))).first().getInt(0)
-    val k = math.min(pcaK, dim)
+             seed: Long = 42L, dim: Option[Int] = None): DataFrame = {
     val vecs = items.select(col(idCol), array_to_vector(col(vecCol).cast("array<double>")).as("v"))
     // Cache before the iterative fitters: PCA and KMeans each scan their
     // input many times (per power/Lloyd iteration) — uncached they re-run
     // the whole upstream plan every pass.
     val normed = new Normalizer().setInputCol("v").setOutputCol("vn").setP(2.0)
       .transform(vecs).cache()
+    // One limit(1) probe on the CACHED frame (populates a partition the
+    // fitters reuse — unlike the old `.first()` on the raw input, this is
+    // not a separate upstream scan). It doubles as the empty-input check:
+    // an empty corpus refines to an empty result instead of an opaque
+    // MLlib failure. Clamp the PCA target to the vector dimensionality.
+    val firstLen = normed.select(size(vector_to_array(col("v")))).limit(1).collect().headOption
+    if (firstLen.isEmpty) {
+      normed.unpersist()
+      return items.select(col(idCol)).withColumn("cluster", lit(-1)).limit(0)
+    }
+    val k = math.min(pcaK, dim.getOrElse(firstLen.get.getInt(0)))
     val pca = new PCA().setInputCol("vn").setOutputCol("vp").setK(k).fit(normed)
     val reduced = pca.transform(normed).select(col(idCol), col("vp")).cache()
     val km = new KMeans().setK(numClusters).setSeed(seed).setMaxIter(10)

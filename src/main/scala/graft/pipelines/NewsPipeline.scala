@@ -87,10 +87,15 @@ object NewsPipeline {
       .agg(VectorMeanFast(col("centroid").cast("array<double>")).as("profile"))
     // All-users path: profiles are unbounded, the active-story corpus is
     // the bounded relation — broadcast the corpus, stream the profiles.
+    // excludeSelf = false: query ids are USER ids and neighbor ids are
+    // STORY ids — different domains, so an id-value collision must not
+    // drop that story from the user's candidates (the reference's FAISS
+    // search has no cross-domain self-exclusion either,
+    // recommendation-trainer.py:89-100).
     val knn = SimilarityOps.knnJoinCosine(
         profiles.select(col("user_id").as("qid"), col("profile")),
         stories.select(col("story_id").as("qid"), col("centroid").cast("array<double>").as("profile")),
-        "qid", "profile", candK, excludeSelf = true, broadcastQueries = false)
+        "qid", "profile", candK, excludeSelf = false, broadcastQueries = false)
       .select(col("query_id").as("user_id"), col("neighbor_id").as("story_id"),
         col("sim").as("knn_score"))
     // J5 hybrid merge + P11 freshness + P12 normalization

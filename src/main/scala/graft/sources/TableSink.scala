@@ -48,6 +48,18 @@ object TableSink {
     * a few GB — pass `numBuckets` explicitly on the first upsert. */
   val DefaultBuckets = 16
 
+  /** Reader-vs-GC contract: a manifest a reader resolved from `_CURRENT`
+    * stays fully readable (the manifest file AND every data file it
+    * references) until BOTH bounds pass — at least `KeepGenerations − 1`
+    * subsequent commits AND at least the GC grace period of wall-clock
+    * time since the manifest was published. A reader must re-resolve
+    * `_CURRENT` if it holds a plan longer than that; the default 15 min
+    * covers any sane scan, and tests shrink it via the
+    * `graft.sink.gcGraceMs` system property to pin the count bound. */
+  val KeepGenerations = 2
+  private def gcGraceMs: Long =
+    sys.props.get("graft.sink.gcGraceMs").map(_.toLong).getOrElse(15L * 60 * 1000)
+
   private def ptrPath(dir: String): Path = Paths.get(dir, "_CURRENT")
   private def manifestDir(dir: String): Path = Paths.get(dir, "_manifests")
 
@@ -181,16 +193,21 @@ object TableSink {
     atomicWrite(manifestDir(dir).resolve(name),
       (s"buckets=$nb" +: entries.map { case (b, p) => s"$b\t$p" }).mkString("\n"))
     atomicWrite(ptrPath(dir), name)
-    gc(dir, keepManifests = 2)
+    gc(dir, keepManifests = KeepGenerations)
   }
 
-  /** Drop manifests beyond the newest `keepManifests` and any data subdir
-    * no kept manifest references (current readers are unaffected; one older
-    * generation survives as rollback). */
+  /** Drop manifests beyond the newest `keepManifests` — but never one
+    * published within the GC grace period (see [[KeepGenerations]] for the
+    * reader contract) — and any data subdir no kept manifest references.
+    * Current readers are unaffected; one older generation survives as
+    * rollback. */
   private def gc(dir: String, keepManifests: Int): Unit = {
     val mfs = Option(manifestDir(dir).toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("m-")).sortBy(_.getName)
-    val (old, kept) = mfs.splitAt(math.max(0, mfs.length - keepManifests))
+    val cutoff = System.currentTimeMillis() - gcGraceMs
+    val (beyondCount, kept0) = mfs.splitAt(math.max(0, mfs.length - keepManifests))
+    val (old, graced) = beyondCount.partition(_.lastModified() < cutoff)
+    val kept = graced ++ kept0
     val referenced = kept.flatMap(m =>
       Files.readAllLines(m.toPath).asScala.drop(1).filter(_.nonEmpty)
         .map(_.split('\t')(1))).toSet

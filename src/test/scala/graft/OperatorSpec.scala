@@ -232,4 +232,12 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     val got = Recommend.popularity(df, "item", 2).collect().map(_.getString(0))
     assert(got.toSeq == Seq("a", "b"))
   }
+
+  test("ClusterRefine.refine: empty input refines to an empty frame, not an MLlib failure") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Seq[Double])].toDF("link", "embedding")
+    val got = graft.operators.ClusterRefine.refine(empty, "link", "embedding")
+    assert(got.columns.toSeq == Seq("link", "cluster"))
+    assert(got.count() == 0)
+  }
 }

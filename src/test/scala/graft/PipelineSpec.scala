@@ -64,6 +64,27 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hybridRecommend: a user id colliding with a story id keeps that story") {
+    import spark.implicits._
+    // User id "42" collides with story id "42" — different id domains, so
+    // the content-kNN arm must NOT self-exclude the pair (the regression
+    // was excludeSelf=true filtering query_id =!= neighbor_id across
+    // domains and silently dropping story "42" from user "42").
+    val interactions = Seq(
+      ("42", "seed", "like", ts("2024-01-15 10:00:00")))
+      .toDF("user_id", "story_id", "event_type", "event_time")
+    val stories = Seq(
+      ("seed", Seq(1.0, 0.0), ts("2024-01-20 00:00:00")),
+      ("42", Seq(0.99, 0.1), ts("2024-01-20 00:00:00")), // nearest to the profile
+      ("far", Seq(0.0, 1.0), ts("2024-01-20 00:00:00")))
+      .toDF("story_id", "centroid", "last_updated")
+    val recs = NewsPipeline.hybridRecommend(interactions, stories,
+      lit("2024-01-21 00:00:00").cast("timestamp"), topN = 3, candK = 3)
+    val mine = recs.filter(col("user_id") === "42").collect().map(_.getString(1)).toSet
+    assert(mine.contains("42"),
+      "story '42' must stay in the candidates of user '42' despite the id-value collision")
+  }
+
   test("recommendAll: warm users get hybrid recs, cold users get popularity") {
     import spark.implicits._
     val interactions = Seq(

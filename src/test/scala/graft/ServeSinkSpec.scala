@@ -34,6 +34,33 @@ class ServeSinkSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_.getString(0)).toSeq == Seq("s1", "s2"), "latest-first fallback")
   }
 
+  test("recommendationsFor: ONE SQL execution per lookup (no isEmpty pre-job)") {
+    import spark.implicits._
+    val recs = Seq(("u1", "s1", 0.9), ("u2", "s3", 0.7))
+      .toDF("user_id", "story_id", "score")
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = execs.incrementAndGet()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val got = Serve.recommendationsFor(recs, storiesDf, "u1").collect()
+      assert(got.map(_.getString(0)).toSeq == Seq("s1"))
+      // Listener delivery is async: wait for the first event, then a beat
+      // to catch any stray second execution (the old isEmpty pre-action).
+      val deadline = System.currentTimeMillis() + 10000
+      while (execs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(25)
+      Thread.sleep(300)
+      assert(execs.get() == 1,
+        s"a point lookup must be one SQL execution, saw ${execs.get()}")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("storyById point lookup") {
     val got = Serve.storyById(storiesDf, "s2").collect()
     assert(got.length == 1 && got(0).getString(1) == "sum two")
@@ -129,6 +156,39 @@ class ServeSinkSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(state2 == Map("a" -> 1L, "b" -> 20L))
     assert(!Files.exists(orphan), "unreferenced data from the crashed writer reclaimed")
+  }
+
+  test("TableSink GC: a reader holding manifest N-1 survives exactly one commit (grace 0)") {
+    import spark.implicits._
+    // grace 0 pins the pure count bound (KeepGenerations = 2); the default
+    // 15-min grace only ever widens the reader's window.
+    sys.props("graft.sink.gcGraceMs") = "0"
+    try {
+      val dir = Files.createTempDirectory("sinkgc").toString
+      val like = Seq(("a", 1L, 1L)).toDF("key", "value", "ver")
+      TableSink.upsert(spark, dir, like, Seq("key"), "ver")
+      // A reader resolves _CURRENT now and holds this manifest.
+      val pinnedName = Files.readString(java.nio.file.Paths.get(dir, "_CURRENT")).trim
+      val pinned = liveManifest(dir)
+      TableSink.upsert(spark, dir, Seq(("a", 2L, 2L)).toDF("key", "value", "ver"),
+        Seq("key"), "ver")
+      // One commit later: the pinned manifest and every file it references
+      // must still be readable.
+      assert(Files.exists(java.nio.file.Paths.get(dir, "_manifests", pinnedName)),
+        "manifest N-1 must survive one commit")
+      pinned.values.foreach { rel =>
+        assert(fileBytes(dir, rel).nonEmpty, s"data of pinned manifest ($rel) must survive")
+      }
+      val oldState = spark.read.parquet(pinned.values.map(r => s"$dir/$r").toSeq: _*)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(oldState == Map("a" -> 1L), "pinned snapshot still serves its own version")
+      // A second commit moves the pinned manifest beyond KeepGenerations:
+      // with zero grace it is now reclaimed — the documented bound, not a leak.
+      TableSink.upsert(spark, dir, Seq(("a", 3L, 3L)).toDF("key", "value", "ver"),
+        Seq("key"), "ver")
+      assert(!Files.exists(java.nio.file.Paths.get(dir, "_manifests", pinnedName)),
+        "beyond KeepGenerations + grace the old manifest is reclaimed")
+    } finally sys.props.remove("graft.sink.gcGraceMs")
   }
 
   test("TableSink upsert: batch wins, old keys survive, delete drops") {
