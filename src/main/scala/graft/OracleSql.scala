@@ -437,16 +437,23 @@ object OracleSql {
 
     // SimHash: per-token 64-bit hash = md5_number_lower (same byte order as
     // the JVM kernel), ±1 votes per bit, majority sign; built as HUGEINT
-    // then wrapped to signed 64-bit to match Spark's LongType.
+    // then wrapped to signed 64-bit to match Spark's LongType. The final
+    // LEFT JOIN back to documents keeps zero-token docs (empty/whitespace
+    // text): the JVM kernel votes nothing and emits fingerprint 0, so the
+    // oracle coalesces the missing aggregate row to 0 instead of dropping
+    // the document.
     "x_simhash" ->
       s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
         |t AS (SELECT doc_id, md5_number_lower(unnest(wds)) h FROM w),
         |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) vote
         |      FROM t CROSS JOIN range(64) r(b) GROUP BY doc_id, b),
         |u AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::HUGEINT << b ELSE 0 END) sh FROM v GROUP BY doc_id)
-        |SELECT doc_id, (CASE WHEN sh >= 9223372036854775808 THEN sh - 18446744073709551616
-        |                     ELSE sh END)::BIGINT AS simhash
-        |FROM u ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       ELSE coalesce((CASE WHEN u.sh >= 9223372036854775808 THEN u.sh - 18446744073709551616
+        |                           ELSE u.sh END)::BIGINT, 0) END AS simhash
+        |FROM documents d LEFT JOIN u ON u.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x_simhash_pairs" ->
       s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
@@ -454,8 +461,11 @@ object OracleSql {
         |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) vote
         |      FROM t CROSS JOIN range(64) r(b) GROUP BY doc_id, b),
         |u AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::HUGEINT << b ELSE 0 END) sh FROM v GROUP BY doc_id),
-        |s AS (SELECT doc_id, (CASE WHEN sh >= 9223372036854775808 THEN sh - 18446744073709551616
-        |                          ELSE sh END)::BIGINT sh FROM u)
+        |s AS (SELECT d.doc_id,
+        |        coalesce((CASE WHEN u.sh >= 9223372036854775808 THEN u.sh - 18446744073709551616
+        |                       ELSE u.sh END)::BIGINT, 0) sh
+        |      FROM documents d LEFT JOIN u ON u.doc_id = d.doc_id
+        |      WHERE d.text IS NOT NULL)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -611,5 +621,52 @@ object OracleSql {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
         |  sha256(text) AS payload_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ── Invariant oracles ────────────────────────────────────────────
+    // For queries whose exact values are model outputs (ALS/KMeans/ANN),
+    // hash equality against SQL is impossible — but their CONTRACTS are
+    // not. Each oracle below computes the deterministic part (counts from
+    // the raw tables) and states every invariant as a literal `true`; the
+    // Spark side computes the same columns from its own output, so the
+    // driver's hash compare passes iff every invariant actually holds.
+
+    // ANN: 20 fixed queries, exactly k rows each, recall ≥ 0.6 vs the
+    // exact top-k computed in the same Spark plan.
+    "x_ann_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS INTEGER) AS k,
+        |  true AS rows_ok, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // ALS: every user with events gets exactly k recs, dense ranks,
+    // rank-monotone scores.
+    "m7_als_recommend" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(5 AS INTEGER) AS k,
+        |  true AS per_user_k_ok, true AS monotone_ok
+        |FROM events""".stripMargin,
+
+    // Cluster refinement: one label per vector, labels in {-1} ∪ [0, 10),
+    // surviving clusters ≥ min size 5.
+    "m5m6_cluster_refine" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS one_row_per_id,
+        |  true AS labels_ok, true AS min_size_ok
+        |FROM embeddings""".stripMargin,
+
+    // Ingest pipeline cold start: every article with usable text opens a
+    // singleton story whose id is content-addressed from its link.
+    "pipe_ingest_cluster" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_stories,
+        |  CAST(count(*) AS BIGINT) AS total_members,
+        |  true AS singletons_ok, true AS ids_ok
+        |FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0""".stripMargin,
+
+    // Hybrid recommendation serving contract: every user with events gets
+    // exactly topN rows, dense ranks, existing story ids, rank-monotone
+    // scores.
+    "pipe_hybrid_e2e" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(10 AS INTEGER) AS topn,
+        |  true AS per_user_n_ok, true AS fk_ok, true AS monotone_ok
+        |FROM events""".stripMargin,
   )
 }
