@@ -622,6 +622,75 @@ object OracleSql {
         |  sha256(text) AS payload_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Gopher repetition rules: line structure synthesized identically,
+    // then duplicate-line fraction + modal-bigram coverage.
+    "x_repetition" ->
+      s"""WITH t AS (SELECT doc_id, regexp_replace(text, ' value ', chr(10), 'g') AS text
+        |           FROM documents),
+        |l AS (SELECT doc_id,
+        |        list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') ls,
+        |        $words wds
+        |      FROM t),
+        |d AS (SELECT doc_id,
+        |        CASE WHEN len(ls) > 0 THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+        |             ELSE 0.0 END dlf,
+        |        list_transform(generate_series(1, greatest(len(wds) - 1, 0)),
+        |          i -> wds[i] || ' ' || wds[i + 1]) bg
+        |      FROM l),
+        |e AS (SELECT doc_id, unnest(bg) g FROM d),
+        |m AS (SELECT doc_id, max(c) top, sum(c) tot
+        |      FROM (SELECT doc_id, g, count(*) c FROM e GROUP BY 1, 2) GROUP BY 1)
+        |SELECT d.doc_id, round(dlf, 6) AS dup_line_frac,
+        |  round(coalesce(top::DOUBLE / tot, 0.0), 6) AS top_bigram_frac,
+        |  (dlf < 0.3 AND coalesce(top::DOUBLE / tot, 0.0) < 0.2) AS keep
+        |FROM d LEFT JOIN m ON m.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Decontamination: distinct 3-gram digests of the eval slice probed
+    // by every training doc.
+    "x_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_distinct(list_transform(generate_series(1, greatest(len(wds) - 2, 0)),
+        |          i -> md5(array_to_string(wds[i:i+2], ' ')))) gs
+        |      FROM w),
+        |ev AS (SELECT DISTINCT unnest(gs) g FROM g WHERE doc_id % 13 = 0),
+        |tr AS (SELECT doc_id, unnest(gs) g FROM g WHERE doc_id % 13 <> 0),
+        |c AS (SELECT t.doc_id, count(ev.g) n FROM tr t LEFT JOIN ev ON ev.g = t.g GROUP BY 1)
+        |SELECT tb.doc_id, coalesce(c.n, 0) AS n_overlap,
+        |  coalesce(c.n, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) tb
+        |LEFT JOIN c ON c.doc_id = tb.doc_id
+        |ORDER BY tb.doc_id""".stripMargin,
+
+    // PII redaction replay: same synthetic PII, same RE2-safe patterns,
+    // same replacement order (emails → IPs → phones).
+    "x_pii_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example.com or +1 (555) 010-' ||
+        |    doc_id || ' at 192.168.' || (doc_id % 256) || '.17' AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d().\s-]{6,}\d', '<PHONE>', 'g') AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Temperature mixture: identical rate formula (same operation order,
+    // rounded to 6), then the md5 keep-decision replay.
+    "x_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*)::DOUBLE c FROM documents GROUP BY lang),
+        |t AS (SELECT sum(power(c, 0.5)) z, sum(c) n FROM c),
+        |r AS (SELECT lang, round(least(1.0, 0.5 * t.n * (power(c.c, 0.5) / t.z) / c.c), 6) keep_frac
+        |      FROM c, t)
+        |SELECT d.doc_id, d.lang, r.keep_frac
+        |FROM documents d JOIN r USING (lang)
+        |WHERE md5_number_lower('mix1|' || CAST(d.doc_id AS VARCHAR)) % 1000000 <
+        |  CAST(floor(r.keep_frac * 1000000) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // ── Invariant oracles ────────────────────────────────────────────
     // For queries whose exact values are model outputs (ALS/KMeans/ANN),
     // hash equality against SQL is impossible — but their CONTRACTS are

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{ClusterRefine, DedupOps, IvfAnn, MultimodalOps, Recommend, RecommendML, SimilarityOps, SkewOps, StoryOps}
+import graft.operators.{ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, Recommend, RecommendML, SimilarityOps, SkewOps, StoryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -310,6 +310,51 @@ object SparkEntry {
           T(s, d, "documents"), "lang", col("doc_id"),
           fractions = Map("en" -> 0.25, "zh" -> 0.5), default = 0.8, salt = "s1|")
         .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+    // Gopher-rule repetition filter: duplicate-line fraction +
+    // top-bigram coverage against the published thresholds. Documents
+    // get deterministic line structure first (the fixture is one-line).
+    "x_repetition" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), " value ", "\n").as("text"))
+      CurationOps.repetitionStats(docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"), col("keep"))
+        .orderBy("doc_id")
+    }),
+    // Train/eval decontamination: every 13th document plays the held-out
+    // benchmark; training docs sharing any word 3-gram with it are
+    // flagged (3-grams because the fixture docs are ~50 tokens; real
+    // pipelines run 8-13).
+    "x_decontaminate" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      CurationOps.decontaminate(
+          docs.filter(col("doc_id") % 13 =!= 0),
+          docs.filter(col("doc_id") % 13 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    // PII redaction: emails, IPv4s, phone-shaped digit runs — synthetic
+    // PII appended deterministically (the corpus itself has none), then
+    // counted and redacted; the oracle replays both.
+    "x_pii_redact" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or +1 (555) 010-"), col("doc_id"),
+          lit(" at 192.168."), (col("doc_id") % 256).cast("string"), lit(".17")).as("text"))
+      docs.select(col("doc_id"), CurationOps.piiCounts(col("text")).as("pc"),
+          CurationOps.redactPii(col("text")).as("redacted"))
+        .select(col("doc_id"), col("pc.emails").as("n_emails"),
+          col("pc.ips").as("n_ips"), col("redacted"))
+        .orderBy("doc_id")
+    }),
+    // Temperature-scaled language mixture: alpha=0.5 upweights tail
+    // languages; keep decisions replay from (salt, doc_id, rate) alone.
+    "x_temperature_mix" -> ((s, d) => {
+      CurationOps.temperatureMixture(T(s, d, "documents"), "lang",
+          col("doc_id"), alpha = 0.5, targetFraction = 0.5, salt = "mix1|")
+        .select(col("doc_id"), col("lang"), col("keep_frac"))
         .orderBy("doc_id")
     }),
     // Chunk-level dedup payoff of CDC: shared paragraphs meet on their

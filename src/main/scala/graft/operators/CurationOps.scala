@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators a large-scale training-data pipeline runs
+ * between ingest and training: repetition-based quality filtering
+ * (the Gopher rules, Rae et al. 2021, Table A1), n-gram train/eval
+ * decontamination (the GPT-3 appendix-C procedure, Brown et al. 2020),
+ * PII redaction, and temperature-scaled domain mixing (multilingual
+ * sampling à la Conneau & Lample 2019). All deterministic — re-runs and
+ * retries make identical decisions — and all expressed as map-side work
+ * plus bounded shuffles of ids/hashes only; document text never rides a
+ * shuffle.
+ */
+object CurationOps {
+
+  /** Whitespace tokens, lowercased — the same stream every text kernel
+    * and every DuckDB oracle uses (split on runs, drop empties). */
+  private def toks(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
+
+  /**
+   * Gopher-style repetition signals per document:
+   *  - `dup_line_frac`: fraction of non-empty trimmed lines that repeat
+   *    an earlier line (1 − distinct/total; 0 for single/no lines),
+   *  - `top_bigram_frac`: fraction of all word-bigram occurrences taken
+   *    by the single most frequent bigram (0 when no bigrams),
+   *  - `keep`: both under the published thresholds (0.30 / 0.20).
+   *
+   * Scale shape: line stats are pure per-row column work; the bigram
+   * mode runs as posexplode_outer → count by (doc, bigram) → max per
+   * doc, so only (doc_id, bigram) pairs shuffle — never the document —
+   * and the two-level aggregation is map-side partial throughout.
+   * posexplode_outer (not posexplode) both keeps bigram-less docs and
+   * stops InferFiltersFromGenerate from pushing a second evaluation of
+   * the generator child into the scan.
+   */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      maxDupLineFrac: Double = 0.30,
+                      maxTopBigramFrac: Double = 0.20): DataFrame = {
+    val lines = filter(transform(split(col("__text"), "\n"), l => trim(l)), l => l =!= "")
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__lines", lines)
+      .withColumn("dup_line_frac",
+        when(size(col("__lines")) > 0,
+          lit(1.0) - size(array_distinct(col("__lines"))).cast("double") /
+            size(col("__lines")))
+          .otherwise(lit(0.0)))
+      .withColumn("__w", toks(col("__text")))
+      .withColumn("__bigrams", expr(
+        "transform(slice(__w, 1, greatest(size(__w) - 1, 0)), (x, i) -> concat(x, ' ', __w[i + 1]))"))
+    base
+      .select(col("doc_id"), col("dup_line_frac"),
+        posexplode_outer(col("__bigrams")).as(Seq("__i", "__bg")))
+      .groupBy("doc_id", "__bg")
+      .agg(first(col("dup_line_frac")).as("dlf"), count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(first(col("dlf")).as("dup_line_frac"),
+        coalesce(max(when(col("__bg").isNotNull, col("c"))), lit(0L)).as("__top"),
+        coalesce(sum(when(col("__bg").isNotNull, col("c"))), lit(0L)).as("__tot"))
+      .select(col("doc_id"), col("dup_line_frac"),
+        when(col("__tot") > 0, col("__top").cast("double") / col("__tot"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("dup_line_frac") < maxDupLineFrac && col("top_bigram_frac") < maxTopBigramFrac)
+  }
+
+  /**
+   * Train/eval n-gram decontamination: a training document is
+   * contaminated if any of its word n-grams appears in the evaluation
+   * corpus. Output: one row per train doc with the count of its distinct
+   * n-grams found in eval and the contamination flag.
+   *
+   * Scale shape: the eval side is small BY CONSTRUCTION (benchmarks are
+   * KBs-MBs against a 100 TB corpus), so its distinct n-gram digests are
+   * broadcast and the probe is a map-side broadcast join on the train
+   * side; only (doc_id, hit) pairs reach the count shuffle. N-grams
+   * travel as md5 digests, never as text — and md5 keeps the whole stage
+   * replayable by the SQL oracle.
+   */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    def grams(c: Column): Column = expr(
+      s"array_distinct(transform(slice(__w, 1, greatest(size(__w) - ${n - 1}, 0)), " +
+        s"(x, i) -> md5(concat_ws(' ', slice(__w, i + 1, $n)))))")
+    val evalGrams = eval.select(toks(col(textCol)).as("__w"))
+      .select(explode(grams(col("__w"))).as("__g")).distinct()
+      .withColumn("__hit", lit(1))
+    train.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__w"))
+      .select(col("doc_id"), posexplode_outer(grams(col("__w"))).as(Seq("__i", "__g")))
+      .join(broadcast(evalGrams), Seq("__g"), "left")
+      .groupBy("doc_id")
+      .agg(count(when(col("__hit").isNotNull, 1)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  // RE2-safe patterns (no lookaround) so the DuckDB oracle replays the
+  // exact same redaction. Order matters: emails first (their dots would
+  // otherwise feed the IP pattern), then IPs (their digits would feed
+  // the phone pattern), then phones.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d[\\d().\\s-]{6,}\\d"
+
+  /** Redact emails, IPv4 addresses and phone-shaped digit runs. Pure
+    * map-side codegen'd regex work: no shuffle, no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Per-class PII hit counts (before redaction), for audit columns. */
+  def piiCounts(c: Column): Column = struct(
+    regexp_count(c, lit(EmailPattern)).as("emails"),
+    regexp_count(c, lit(Ipv4Pattern)).as("ips"))
+
+  /**
+   * Temperature-scaled domain mixture (the multilingual-sampling rule:
+   * p_d ∝ count_d^alpha, alpha < 1 upweights tail domains): computes
+   * per-domain keep fractions so the sampled corpus has expected size
+   * `targetFraction · total` distributed by the tempered weights, capped
+   * at 1 per domain, then applies the deterministic md5 keep-decision
+   * ([[SampleOps.keep]]) — reproducible, auditable, engine-independent.
+   *
+   * Scale shape: one count aggregation over the domain column (tiny
+   * result — one row per domain), rates broadcast back, then a map-only
+   * filter. Rates are rounded to 6 decimals so the decision boundary is
+   * identical for any engine that replays it.
+   *
+   * @return input rows that survive, plus their domain's `keep_frac`.
+   */
+  def temperatureMixture(df: DataFrame, domainCol: String, key: Column,
+                         alpha: Double, targetFraction: Double,
+                         salt: String = ""): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0,1]: $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction out of (0,1]: $targetFraction")
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.agg(sum(pow(col("__c"), lit(alpha))).as("__zsum"),
+      sum(col("__c")).as("__n"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("__dom"),
+        round(least(lit(1.0),
+          lit(targetFraction) * col("__n") *
+            (pow(col("__c"), lit(alpha)) / col("__zsum")) / col("__c")), 6)
+          .as("keep_frac"))
+    df.join(broadcast(rates), df(domainCol) === rates("__dom"))
+      .filter(SampleOps.keep(key, col("keep_frac"), salt))
+      .drop("__dom")
+  }
+}

@@ -63,10 +63,18 @@ object IvfAnn {
 
   /**
    * ANN top-k: probe the nprobe nearest cells per query, brute-force only
-   * inside those cells. Output shape matches knnJoinCosine.
+   * inside those cells. Output shape matches knnJoinCosine. With
+   * nprobe = nlist this is EXACT — the same result as brute force,
+   * computed as a shuffled cell-equi-join instead of a broadcast
+   * (queries replicate nprobe ways; the corpus shuffles once by cell).
+   *
+   * @param excludeSelf drop query_id == neighbor_id matches — only
+   *        meaningful for corpus-vs-itself searches; keep false when the
+   *        two id domains differ (see knnJoinCosine).
    */
   def annSearch(queries: DataFrame, corpusWithCells: DataFrame, cells: DataFrame,
-                idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+                idCol: String, vecCol: String, k: Int, nprobe: Int,
+                excludeSelf: Boolean = true): DataFrame = {
     // 1. query → nprobe candidate cells (tiny broadcast cross join).
     val qCells = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .crossJoin(broadcast(cells))
@@ -78,11 +86,15 @@ object IvfAnn {
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell_id").as("cell"))
     // 2. scan only the probed cells (equi-join on cell), top-k via the
-    //    bounded-heap aggregate (map-side partial top-k).
-    val topk = graft.functions.TopK(k)
+    //    bounded-heap aggregate (map-side partial top-k), keyed by the
+    //    corpus id type (same dispatch as knnJoinCosine).
+    val topk = corpusWithCells.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType => graft.functions.TopKStr(k)
+      case _ => graft.functions.TopK(k)
+    }
     qCells.join(corpusWithCells.select(col("cell"),
           col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv")), "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.vector.cosineSim(col("qv"), col("cv")).as("sim"))
       .groupBy("query_id")

@@ -40,15 +40,38 @@ object SimilarityOps {
    *    recommendation-trainer.py:89-100) — corpus broadcast, profiles
    *    stream. The heap aggregation is map-side partial either way, so
    *    only k rows per query ever reach the shuffle.
-   * Neither mode broadcasts an unbounded relation; for corpora too big
-   * to broadcast with few queries per batch, route through [[IvfAnn]].
+   * Neither mode broadcasts an unbounded relation — and the "bounded"
+   * assumption is ENFORCED, not assumed: if Catalyst's size estimate for
+   * the to-be-broadcast side exceeds `spark.sql.autoBroadcastJoinThreshold`,
+   * the join automatically re-routes through [[IvfAnn]] as a shuffled
+   * cell-equi-join with nprobe = nlist — the exact same result, no
+   * broadcast of an over-threshold relation, no driver/executor OOM.
+   * (Callers who additionally want sublinear scan cost at huge scale call
+   * [[IvfAnn]] directly with nprobe &lt; nlist and accept approximation.)
    *
    * @param queries  columns (idCol, vecCol)
    * @param corpus   columns (idCol, vecCol)
+   * @param annNlist cell count for the no-broadcast fallback route
    */
   def knnJoinCosine(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, k: Int, excludeSelf: Boolean = true,
-                    broadcastQueries: Boolean = true): DataFrame = {
+                    broadcastQueries: Boolean = true, annNlist: Int = 32): DataFrame = {
+    val bcSide = if (broadcastQueries) queries else corpus
+    // "-1" (broadcast disabled) and unparseable values mean "no cap" here:
+    // the explicit broadcast() hint below works regardless of the auto
+    // threshold, so only a positive threshold gates the re-route.
+    val thresholdBytes = scala.util.Try(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        bcSide.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")))
+      .getOrElse(-1L)
+    val bcBytes = bcSide.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thresholdBytes > 0 && bcBytes > thresholdBytes) {
+      // Over-threshold: exact kNN via full-probe IVF (shuffle, no broadcast).
+      val cells = IvfAnn.buildCells(corpus, idCol, vecCol, nlist = annNlist)
+      val withCells = IvfAnn.assignCells(corpus, idCol, vecCol, cells)
+      return IvfAnn.annSearch(queries, withCells, cells, idCol, vecCol, k,
+        nprobe = annNlist, excludeSelf = excludeSelf)
+    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val cond = if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)

@@ -32,6 +32,32 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("knnJoinCosine: over-threshold broadcast side re-routes through the cell join, stays exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(400)(i => (i.toLong, Seq.fill(32)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 10)
+    // Reference run on the normal broadcast path (default 10MB threshold).
+    val exact = pairs(SimilarityOps.knnJoinCosine(q, vecs, "vec_id", "embedding", 5))
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try {
+      val routed = SimilarityOps.knnJoinCosine(q, vecs, "vec_id", "embedding", 5,
+        broadcastQueries = false, annNlist = 8)
+      // The only broadcast hints left are the tiny nlist-row cell tables —
+      // never the corpus (neighbor_id/cv) or query (query_id/qv) relations.
+      val hinted = routed.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+          h.child.output.map(_.name)
+      }
+      assert(hinted.nonEmpty, "cell tables are still broadcast on the re-route")
+      assert(hinted.forall(cols => !cols.contains("neighbor_id") && !cols.contains("qv")),
+        s"an over-threshold relation was broadcast: $hinted")
+      assert(pairs(routed) == exact, "full-probe cell join must equal brute force")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("IVF recall ≥ 0.7 at nprobe=8/nlist=16 and improves with nprobe") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet").repartition(8).cache()
     val q = e.filter(col("vec_id") < 20)

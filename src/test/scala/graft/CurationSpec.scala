@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.CurationOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite with SparkSpec {
+
+  test("repetitionStats: duplicate lines and modal bigram measured, thresholds applied") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\nalpha beta\nalpha beta\ngamma"),   // 3 dup lines of 4
+      (2L, "one two three four five six seven eight"),     // clean
+      (3L, "spam spam spam spam spam"),                    // one bigram 4/4
+      (4L, ""),                                            // empty
+    ).toDF("doc_id", "text")
+    val got = CurationOps.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(math.abs(got(1L)._1 - 0.5) < 1e-12, "4 lines, 2 distinct -> dup 0.5")
+    assert(!got(1L)._3, "over the 0.30 duplicate-line threshold")
+    assert(got(2L)._1 == 0.0 && got(2L)._3, "clean doc passes")
+    assert(got(3L)._2 == 1.0 && !got(3L)._3, "modal bigram covers all occurrences")
+    assert(got(4L) == ((0.0, 0.0, true)), "empty doc: zero signals, kept")
+  }
+
+  test("decontaminate: exact n-gram overlap flags only true hits") {
+    import spark.implicits._
+    val eval_ = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "he saw the quick brown fox yesterday"),  // shares 2 distinct 3-grams
+      (2L, "quick brown dog sits quietly"),          // no 3-gram overlap
+      (3L, ""),                                      // no grams at all
+    ).toDF("doc_id", "text")
+    val got = CurationOps.decontaminate(train, eval_, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == ((2L, true)), "'the quick brown' and 'quick brown fox' hit")
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((0L, false)), "gram-less docs still get a row")
+  }
+
+  test("redactPii: emails, IPs, phones replaced in the documented order") {
+    import spark.implicits._
+    val df = Seq(
+      "mail me at a.b+c@ex-ample.org now",
+      "server 10.0.255.7 is down",
+      "call +1 (555) 010-42 today",
+      "clean text with no pii at all",
+    ).toDF("text")
+    val got = df.select(CurationOps.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(got(0) == "mail me at <EMAIL> now")
+    assert(got(1) == "server <IP> is down")
+    assert(got(2) == "call <PHONE> today")
+    assert(got(3) == "clean text with no pii at all")
+    // An IP must NOT be half-eaten by the phone pattern.
+    val both = Seq("ip 10.0.255.7 phone 555-010-4242 end").toDF("text")
+      .select(CurationOps.redactPii(col("text"))).collect()(0).getString(0)
+    assert(both == "ip <IP> phone <PHONE> end")
+  }
+
+  test("temperatureMixture: tail domains keep a larger fraction than head, deterministic") {
+    import spark.implicits._
+    // head: 400 rows, tail: 100 rows
+    val df = ((1 to 400).map(i => (i.toLong, "head")) ++
+      (401 to 500).map(i => (i.toLong, "tail"))).toDF("id", "dom")
+    val out = CurationOps.temperatureMixture(df, "dom", col("id"),
+      alpha = 0.5, targetFraction = 0.5, salt = "t|")
+    val rates = out.select("dom", "keep_frac").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("tail") > rates("head"),
+      s"alpha<1 must upweight the tail domain, got $rates")
+    assert(rates.values.forall(r => r > 0 && r <= 1.0))
+    // Deterministic: the same call yields the same kept set.
+    val k1 = out.select("id").collect().map(_.getLong(0)).toSet
+    val k2 = CurationOps.temperatureMixture(df, "dom", col("id"),
+      alpha = 0.5, targetFraction = 0.5, salt = "t|")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2)
+    // Expected size ~ targetFraction * total; generous tolerance.
+    assert(k1.size > 150 && k1.size < 350, s"kept ${k1.size} of 500 at target 0.5")
+  }
+}
