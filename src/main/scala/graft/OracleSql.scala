@@ -678,6 +678,22 @@ object OracleSql {
         |    '\+?\d[\d().\s-]{6,}\d', '<PHONE>', 'g') AS redacted
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // Sequence packing: same shard hash, same per-shard running total,
+    // same integer-division chunking.
+    "x_pack_sequences" ->
+      s"""WITH b AS (SELECT doc_id, CAST(len($words) AS INTEGER) n_tokens,
+        |      CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS BIGINT) shard
+        |    FROM documents),
+        |f AS (SELECT * FROM b WHERE n_tokens > 0),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS BIGINT) strt
+        |  FROM f)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(strt // 64 AS BIGINT) AS seq_first,
+        |  CAST((strt + n_tokens - 1) // 64 AS BIGINT) AS seq_last,
+        |  CAST(strt % 64 AS BIGINT) AS tok_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // Temperature mixture: identical rate formula (same operation order,
     // rounded to 6), then the md5 keep-decision replay.
     "x_temperature_mix" ->

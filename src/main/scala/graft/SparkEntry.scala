@@ -349,6 +349,13 @@ object SparkEntry {
           col("pc.ips").as("n_ips"), col("redacted"))
         .orderBy("doc_id")
     }),
+    // Concat-and-chunk sequence packing: 64-token budget, 8 shards —
+    // every doc's (sequence, offset) bookkeeping replays in SQL.
+    "x_pack_sequences" -> ((s, d) => {
+      CurationOps.packSequences(T(s, d, "documents"), "doc_id", "text",
+          budget = 64, shards = 8)
+        .orderBy("doc_id")
+    }),
     // Temperature-scaled language mixture: alpha=0.5 upweights tail
     // languages; keep decisions replay from (salt, doc_id, rate) alone.
     "x_temperature_mix" -> ((s, d) => {

@@ -121,6 +121,42 @@ object CurationOps {
     regexp_count(c, lit(Ipv4Pattern)).as("ips"))
 
   /**
+   * Sequence packing (concat-and-chunk): lay documents end-to-end in a
+   * deterministic order and cut the token stream into fixed-budget
+   * training sequences. A document occupies stream positions
+   * [start, start + n_tokens); its first/last sequence ids and its
+   * offset inside the first sequence follow by integer division — the
+   * exact bookkeeping a tokenize-and-pack job needs to materialize
+   * training examples. Zero-token documents pack nowhere and are
+   * dropped (documented contract).
+   *
+   * Packing is inherently sequential, so it runs independently PER
+   * SHARD — the same way production pipelines pack per input shard: the
+   * shard is a deterministic md5 bucket of the id, the running total is
+   * a window partitioned by shard (no single-partition exchange), and
+   * the shard count is the parallelism knob (O(corpus/shards) rows sort
+   * within each). Every output is replayable from (id, text) alone.
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Int, shards: Int = 32): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    require(shards > 0, s"shard count must be positive: $shards")
+    val base = docs.select(col(idCol).as("doc_id"),
+        size(toks(col(textCol))).as("n_tokens"),
+        graft.functions.sig.md5BucketCol(col(idCol).cast("string"), shards).as("shard"))
+      .filter(col("n_tokens") > 0)
+    base
+      .withColumn("__start",
+        sum(col("n_tokens")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("doc_id"))
+          - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"__start div $budget").as("seq_first"),
+        expr(s"(__start + n_tokens - 1) div $budget").as("seq_last"),
+        pmod(col("__start"), lit(budget.toLong)).as("tok_offset"))
+  }
+
+  /**
    * Temperature-scaled domain mixture (the multilingual-sampling rule:
    * p_d ∝ count_d^alpha, alpha < 1 upweights tail domains): computes
    * per-domain keep fractions so the sampled corpus has expected size

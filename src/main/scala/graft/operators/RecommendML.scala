@@ -25,30 +25,38 @@ object RecommendML {
   def fit(ratings: DataFrame, userCol: String, itemCol: String,
           scoreCol: String, rank: Int = 5, maxIter: Int = 5,
           regParam: Double = 0.1, seed: Long = 42L): AlsArtifacts = {
+    // Cache the ratings projection FIRST: the two indexer fits and the
+    // transform below each re-ran the caller's whole upstream plan (for
+    // the hybrid pipeline that is a window + groupBy over the full event
+    // log — three times). One materialization, three cheap cache reads.
+    val needed = ratings
+      .select(col(userCol), col(itemCol), col(scoreCol)).cache()
     val ui = new StringIndexer().setInputCol(userCol).setOutputCol("u_idx").setHandleInvalid("skip")
     val ii = new StringIndexer().setInputCol(itemCol).setOutputCol("i_idx").setHandleInvalid("skip")
-    val uiM = ui.fit(ratings)
-    val iiM = ii.fit(ratings)
-    // Cached: ALS scans the ratings once per iteration per factor side.
-    val indexed = iiM.transform(uiM.transform(ratings))
-      .select(col("u_idx").cast("int").as("user"), col("i_idx").cast("int").as("item"),
-        col(scoreCol).cast("float").as("rating"))
-      .cache()
     try {
-      // Block count scales with data: MLlib's default 10 blocks costs ~4×
-      // wall-clock in scheduling overhead on small inputs, while huge inputs
-      // want at least one block per core (count is cheap — `indexed` is
-      // cached and consumed many times by ALS anyway).
-      val nRatings = indexed.count()
-      val maxBlocks = math.max(10, ratings.sparkSession.sparkContext.defaultParallelism)
-      val blocks = math.max(2, math.min(maxBlocks.toLong, nRatings / 25000L).toInt)
-      val als = new ALS()
-        .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
-        .setImplicitPrefs(true).setColdStartStrategy("drop").setSeed(seed)
-        .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
-        .setUserCol("user").setItemCol("item").setRatingCol("rating")
-      AlsArtifacts(als.fit(indexed), uiM, iiM)
-    } finally indexed.unpersist()
+      val uiM = ui.fit(needed)
+      val iiM = ii.fit(needed)
+      // Cached: ALS scans the ratings once per iteration per factor side.
+      val indexed = iiM.transform(uiM.transform(needed))
+        .select(col("u_idx").cast("int").as("user"), col("i_idx").cast("int").as("item"),
+          col(scoreCol).cast("float").as("rating"))
+        .cache()
+      try {
+        // Block count scales with data: MLlib's default 10 blocks costs ~4×
+        // wall-clock in scheduling overhead on small inputs, while huge inputs
+        // want at least one block per core (count is cheap — `indexed` is
+        // cached and consumed many times by ALS anyway).
+        val nRatings = indexed.count()
+        val maxBlocks = math.max(10, ratings.sparkSession.sparkContext.defaultParallelism)
+        val blocks = math.max(2, math.min(maxBlocks.toLong, nRatings / 25000L).toInt)
+        val als = new ALS()
+          .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+          .setImplicitPrefs(true).setColdStartStrategy("drop").setSeed(seed)
+          .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
+          .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        AlsArtifacts(als.fit(indexed), uiM, iiM)
+      } finally indexed.unpersist()
+    } finally needed.unpersist()
   }
 
   /** S11: persist the model + indexers (reference

@@ -58,6 +58,34 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(both == "ip <IP> phone <PHONE> end")
   }
 
+  test("packSequences: per-shard token stream chunks exactly, docs span budgets") {
+    import spark.implicits._
+    // Single shard so the stream order is just doc_id order.
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")),  // tokens [0,10)
+      (2L, Seq.fill(10)("w").mkString(" ")),  // [10,20)
+      (3L, Seq.fill(20)("w").mkString(" ")),  // [20,40) — spans the 32 cut
+      (4L, ""),                               // zero tokens: dropped
+    ).toDF("doc_id", "text")
+    val got = CurationOps.packSequences(docs, "doc_id", "text", budget = 32, shards = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "empty doc packs nowhere")
+    assert(got(1L) == ((10, 0L, 0L, 0L)))
+    assert(got(2L) == ((10, 0L, 0L, 10L)))
+    assert(got(3L) == ((20, 0L, 1L, 20L)), "doc 3 spans sequences 0 and 1")
+    // Budget accounting: every shard's stream positions tile without gaps.
+    val big = (1L to 200L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = CurationOps.packSequences(big, "doc_id", "text", budget = 16, shards = 4)
+      .collect()
+    packed.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      val total = rows.map(_.getInt(2)).sum
+      val maxEnd = rows.map(r => r.getLong(3) * 16 + r.getLong(5) + r.getInt(2)).max
+      assert(maxEnd == total, s"shard $shard stream must tile: end $maxEnd vs total $total")
+    }
+  }
+
   test("temperatureMixture: tail domains keep a larger fraction than head, deterministic") {
     import spark.implicits._
     // head: 400 rows, tail: 100 rows
