@@ -678,6 +678,30 @@ object OracleSql {
         |    '\+?\d[\d().\s-]{6,}\d', '<PHONE>', 'g') AS redacted
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // Vocabulary head: same token stream, same deterministic tie-break.
+    "x_vocab_topk" ->
+      s"""WITH w AS (SELECT unnest($words) token FROM documents)
+        |SELECT token, count(*) AS cnt FROM w GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    // URL canonicalization: identical synthesis, identical replace
+    // chain (fragment → utm + repair → default port → lowercase prefix
+    // → trailing slash); RE2 backrefs are \n where Java's are $n.
+    "x_url_canon" ->
+      """WITH t AS (SELECT doc_id,
+        |    'HTTPS://WWW.' || upper(source) || '.COM:443/Docs/' || (doc_id % 100) ||
+        |    '/?utm_source=feed&utm_campaign=x' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '&ref=a' ELSE '' END ||
+        |    '#section-' || doc_id AS url FROM documents),
+        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') u FROM t),
+        |s2 AS (SELECT doc_id, url, regexp_replace(u, '[?&]utm_[A-Za-z_]*=[^&#]*', '', 'g') u FROM s1),
+        |s3 AS (SELECT doc_id, url, regexp_replace(u, '^([^?]*)&', '\1?') u FROM s2),
+        |s4 AS (SELECT doc_id, url, regexp_replace(u, ':(80|443)(/|$)', '\2', 'g') u FROM s3),
+        |s5 AS (SELECT doc_id, url, u, regexp_extract(u, '^([^/?#]*//[^/?#]*)', 1) p FROM s4),
+        |s6 AS (SELECT doc_id, url, lower(p) || substr(u, len(p) + 1) u FROM s5)
+        |SELECT doc_id, url, regexp_replace(u, '/$', '') AS canonical
+        |FROM s6 ORDER BY doc_id""".stripMargin,
+
     // Sequence packing: same shard hash, same per-shard running total,
     // same integer-division chunking.
     "x_pack_sequences" ->

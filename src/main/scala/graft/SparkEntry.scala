@@ -349,6 +349,24 @@ object SparkEntry {
           col("pc.ips").as("n_ips"), col("redacted"))
         .orderBy("doc_id")
     }),
+    // Corpus vocabulary head: top-50 tokens by frequency with
+    // deterministic ties (count desc, token asc).
+    "x_vocab_topk" -> ((s, d) => {
+      CurationOps.vocabTopK(T(s, d, "documents"), "text", 50)
+    }),
+    // URL canonicalization: messy crawl URLs synthesized from doc fields
+    // (uppercase host, default port, utm params, fragment, trailing
+    // slash), then normalized; group sizes prove collision behavior.
+    "x_url_canon" -> ((s, d) => {
+      val urls = T(s, d, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://WWW."), upper(col("source")), lit(".COM:443/Docs/"),
+          (col("doc_id") % 100), lit("/?utm_source=feed&utm_campaign=x"),
+          when(col("doc_id") % 2 === 0, "&ref=a").otherwise(""),
+          lit("#section-"), col("doc_id")).as("url"))
+      urls.select(col("doc_id"), col("url"),
+          CurationOps.canonicalizeUrl(col("url")).as("canonical"))
+        .orderBy("doc_id")
+    }),
     // Concat-and-chunk sequence packing: 64-token budget, 8 shards —
     // every doc's (sequence, offset) bookkeeping replays in SQL.
     "x_pack_sequences" -> ((s, d) => {

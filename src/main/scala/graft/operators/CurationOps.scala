@@ -121,6 +121,43 @@ object CurationOps {
     regexp_count(c, lit(Ipv4Pattern)).as("ips"))
 
   /**
+   * Corpus vocabulary head: the k most frequent tokens with counts —
+   * the first statistic a tokenizer-training job computes. Map-side
+   * partial counts before the one hash exchange, then a
+   * TakeOrderedAndProject (never a global sort of the vocabulary).
+   * Deterministic ties: count desc, token asc.
+   */
+  def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token"))
+      .limit(k)
+
+  /**
+   * URL canonicalization for web-corpus dedup: two crawls of one page
+   * should collide on the canonical form. Chain (each step RE2-safe and
+   * replayed by the SQL oracle, order load-bearing):
+   *   1. drop the fragment,
+   *   2. drop `utm_*` tracking params (then repair a `&` left dangling
+   *      where the removed param was first in the query string),
+   *   3. drop explicit default ports (`:80`/`:443`),
+   *   4. lowercase the scheme+host prefix (never the path),
+   *   5. drop one trailing `/`.
+   * Pure map-side string work — the natural key for [[DedupOps]]
+   * keep-first / exact-group dedup.
+   */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*", "")
+    val noUtm = regexp_replace(noFrag, "[?&]utm_[A-Za-z_]*=[^&#]*", "")
+    val repaired = regexp_replace(noUtm, "^([^?]*)&", "$1?")
+    val noPort = regexp_replace(repaired, ":(80|443)(/|$)", "$2")
+    val prefix = regexp_extract(noPort, "^([^/?#]*//[^/?#]*)", 1)
+    val lowered = concat(lower(prefix),
+      noPort.substr(length(prefix) + lit(1), length(noPort)))
+    regexp_replace(lowered, "/$", "")
+  }
+
+  /**
    * Sequence packing (concat-and-chunk): lay documents end-to-end in a
    * deterministic order and cut the token stream into fixed-budget
    * training sequences. A document occupies stream positions

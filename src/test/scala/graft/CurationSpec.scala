@@ -58,6 +58,34 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(both == "ip <IP> phone <PHONE> end")
   }
 
+  test("canonicalizeUrl: two crawls of one page collide; distinct pages do not") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/Docs/1/?utm_source=a&id=7#frag",
+      "https://www.example.com/Docs/1?id=7",          // same page, clean form
+      "http://example.com:80/a/",
+      "http://example.com/a",
+      "https://example.com/b?utm_x=1",                // utm-only query drops
+      "relative/path/no-scheme",                      // no prefix: passes through
+    ).toDF("url")
+    val got = urls.select(CurationOps.canonicalizeUrl(col("url"))).collect().map(_.getString(0))
+    assert(got(0) == "https://www.example.com/Docs/1/?id=7")
+    assert(got(1) == "https://www.example.com/Docs/1?id=7")
+    assert(got(2) == got(3), "default port + trailing slash normalize away")
+    assert(got(4) == "https://example.com/b")
+    assert(got(5) == "relative/path/no-scheme")
+    // Case: path case is PRESERVED (only scheme+host lowercase).
+    assert(got(0).contains("/Docs/"))
+  }
+
+  test("vocabTopK: counts and deterministic ties") {
+    import spark.implicits._
+    val docs = Seq("b a a", "c b a", "c").toDF("text")
+    val got = CurationOps.vocabTopK(docs, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 3L), ("b", 2L)), "count desc, then token asc beats c")
+  }
+
   test("packSequences: per-shard token stream chunks exactly, docs span budgets") {
     import spark.implicits._
     // Single shard so the stream order is just doc_id order.
