@@ -678,6 +678,29 @@ object OracleSql {
         |    '\+?\d[\d().\s-]{6,}\d', '<PHONE>', 'g') AS redacted
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // Duplicate components: the same Jaccard pairs as x_ngram_jaccard,
+    // closed under connectivity by a recursive reachability CTE — the
+    // min reachable id IS the min-label-propagation fixpoint.
+    "x_dup_components" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END) s
+         |  FROM w),
+         |m AS (SELECT doc_id, unnest(s) sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
+         |i AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+         |        FROM m a JOIN m b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |p AS (SELECT ia, ib FROM i JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+         |        WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.02),
+         |e AS (SELECT ia s, ib d FROM p UNION SELECT ib, ia FROM p),
+         |r AS (SELECT s AS id, s AS lbl FROM e
+         |      UNION
+         |      SELECT e.d, r.lbl FROM r JOIN e ON e.s = r.id),
+         |c AS (SELECT id, min(lbl) component FROM r GROUP BY id)
+         |SELECT doc.doc_id, coalesce(c.component, doc.doc_id) AS component
+         |FROM documents doc LEFT JOIN c ON c.id = doc.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
+
     // Vocabulary head: same token stream, same deterministic tie-break.
     "x_vocab_topk" ->
       s"""WITH w AS (SELECT unnest($words) token FROM documents)

@@ -349,6 +349,18 @@ object SparkEntry {
           col("pc.ips").as("n_ips"), col("redacted"))
         .orderBy("doc_id")
     }),
+    // Duplicate components: n-gram-Jaccard pairs closed into groups by
+    // min-label propagation; docs in no pair are their own singleton.
+    // The oracle replays the propagation as a recursive CTE.
+    "x_dup_components" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.02)
+      val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy("doc_id")
+    }),
     // Corpus vocabulary head: top-50 tokens by frequency with
     // deterministic ties (count desc, token asc).
     "x_vocab_topk" -> ((s, d) => {

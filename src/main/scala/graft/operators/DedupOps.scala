@@ -264,4 +264,67 @@ object DedupOps {
         bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /**
+   * Connected components over near-duplicate PAIRS — the step every
+   * dedup cascade needs last: pair relations are not transitive-closed,
+   * so "keep one per pair" under-deletes; grouping pairs into components
+   * and keeping one representative per component is the correct
+   * semantics (cf. the MapReduce connected-components line of work,
+   * Kiveris et al., SoCC 2014 — this is the min-label-propagation
+   * member of that family).
+   *
+   * Each round does label(v) ← min(label(v), min over neighbors), then
+   * one hop of path compression — label(v) ← label(label(v)) — which
+   * makes convergence logarithmic in the component diameter (the
+   * pointer-doubling idea from the MapReduce CC literature): 20 rounds
+   * cover diameters near 2^20, not 20. Every label is itself a node id,
+   * so compression is a self-join of the label table. Each round is an
+   * equi-join plus a min-aggregation, both map-side partial, shuffling
+   * only (id, label) pairs; the driver-side loop holds no data — per
+   * round it runs one is-empty convergence probe.
+   *
+   * @param pairs one row per undirected pair (aCol, bCol)
+   * @return (id, component) for every id appearing in a pair; the
+   *         component label is the smallest member id. Ids in no pair
+   *         are absent — callers union singletons back as themselves.
+   *
+   * Every round is lineage-TRUNCATED with an eager `localCheckpoint`
+   * (not `cache`): iteration k's plan must not nest k copies of the
+   * pair-generation subplan — under memory pressure a cache eviction
+   * would replay the whole upstream join once per round (observed as an
+   * OOM with a merely-cached loop). Checkpointed rounds hold only
+   * (id, label) rows, and the returned frame is likewise
+   * checkpoint-backed, so consuming it never re-runs the loop.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var done = labels.isEmpty
+    var i = 0
+    while (!done && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("src"), col("component")), "src")
+        .select(col("dst").as("id"), col("component"))
+      val propagated = labels.unionByName(neighborMin)
+        .groupBy("id").agg(min(col("component")).as("component"))
+      // Path compression: label(v) ← label(label(v)). Labels are node
+      // ids, so the lookup is a self-join (left + coalesce for safety).
+      val next = propagated
+        .join(propagated.select(col("id").as("component"), col("component").as("__c2")),
+          Seq("component"), "left")
+        .select(col("id"), coalesce(col("__c2"), col("component")).as("component"))
+        .localCheckpoint(true)
+      done = next.join(labels.withColumnRenamed("component", "__old"), "id")
+        .filter(col("component") =!= col("__old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
 }

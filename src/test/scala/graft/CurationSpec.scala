@@ -58,6 +58,19 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(both == "ip <IP> phone <PHONE> end")
   }
 
+  test("connectedComponents: chains close transitively, separate clusters stay apart") {
+    import spark.implicits._
+    // 1-2-3-4 is a diameter-3 chain (pairs are NOT a clique); 7-8 apart.
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val comp = graft.operators.DedupOps.connectedComponents(pairs, "id_a", "id_b")
+    val got = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+    // Empty pair set: empty result, no iteration blow-up.
+    val none = graft.operators.DedupOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(none.count() == 0)
+  }
+
   test("canonicalizeUrl: two crawls of one page collide; distinct pages do not") {
     import spark.implicits._
     val urls = Seq(
