@@ -20,4 +20,12 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracle entries without query: $unknown")
   }
+
+  test("EVERY query carries an oracle (no silent rows-only regressions)") {
+    // As of round 5 all queries are oracle-checked — model-output queries
+    // via invariant oracles. A new query without an oracle entry would
+    // silently downgrade the driver's check to rows-only; fail loudly.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without an oracle: $missing")
+  }
 }
