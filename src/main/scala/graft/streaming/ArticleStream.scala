@@ -52,6 +52,33 @@ object ArticleStream {
       .dropDuplicatesWithinWatermark(keyCol)
 
   /**
+   * Streaming curation gate at ingest — the curation stack applied where
+   * it is cheapest, before anything lands: canonicalize the URL
+   * (stateless), drop docs outside token bounds or under the quality
+   * floor (stateless codegen kernels), redact PII (stateless regex),
+   * then TTL-dedup on the CANONICAL url (watermarked state) so two crawl
+   * variants of one page count as the duplicate they are. Every stage
+   * but the dedup is pure column work, so the whole gate is
+   * streaming-safe in append mode with exactly the one dedup state
+   * store.
+   */
+  def curate(df: DataFrame, urlCol: String, textCol: String,
+             eventTimeCol: String, minTokens: Int = 5,
+             maxTokens: Int = 1000000, minQuality: Double = 0.2,
+             ttl: String = "24 hours"): DataFrame = {
+    import graft.functions.text
+    val gated = df
+      .withColumn("canonical_url",
+        graft.operators.CurationOps.canonicalizeUrl(col(urlCol)))
+      .withColumn("__n", text.tokenCount(col(textCol)))
+      .filter(col("__n") >= minTokens && col("__n") <= maxTokens)
+      .filter(text.qualityScore(col(textCol)) >= minQuality)
+      .withColumn(textCol, graft.operators.CurationOps.redactPii(col(textCol)))
+      .drop("__n")
+    dedupWithTtl(gated, eventTimeCol, "canonical_url", ttl)
+  }
+
+  /**
    * A11 streaming form: per-source ingest counts over tumbling event-time
    * windows (observability metric the reference logs per cycle,
    * ingestion_service.py:105-116). Watermark bounds the agg state; late

@@ -28,6 +28,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation gate: canonical-url dedup, quality floor, PII redaction") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val curated = ArticleStream.curate(
+      mem.toDF().toDF("ingestion_time", "url", "text"),
+      "url", "text", "ingestion_time", minTokens = 3, minQuality = 0.0)
+    val q = curated.writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        // two crawl variants of ONE page — must dedup on the canonical form
+        (ts(1), "HTTP://Example.COM:80/a/?utm_x=1", "mail me at a@b.co please today"),
+        (ts(1), "http://example.com/a", "mail me at a@b.co please today"),
+        // too short for minTokens=3
+        (ts(1), "http://example.com/short", "hi there"),
+        // distinct page survives
+        (ts(2), "http://example.com/b", "completely different words here now"))
+      q.processAllAvailable()
+      val rows = spark.table("curate_out")
+        .select("canonical_url", "text").as[(String, String)].collect().toMap
+      assert(rows.keySet == Set("http://example.com/a", "http://example.com/b"),
+        "crawl variants collapse; short doc dropped")
+      assert(rows("http://example.com/a").contains("<EMAIL>"), "PII redacted in-stream")
+    } finally q.stop()
+  }
+
   test("D1: key reappearing after the TTL horizon is accepted again") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
