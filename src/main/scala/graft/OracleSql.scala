@@ -675,7 +675,7 @@ object OracleSql {
         |  regexp_replace(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\+?\d[\d().\s-]{6,}\d', '<PHONE>', 'g') AS redacted
+        |    '\+?\d[\d().-]{6,}\d', '<PHONE>', 'g') AS redacted
         |FROM t ORDER BY doc_id""".stripMargin,
 
     // Duplicate components: the same Jaccard pairs as x_ngram_jaccard,
@@ -719,7 +719,7 @@ object OracleSql {
         |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') u FROM t),
         |s2 AS (SELECT doc_id, url, regexp_replace(u, '[?&]utm_[A-Za-z_]*=[^&#]*', '', 'g') u FROM s1),
         |s3 AS (SELECT doc_id, url, regexp_replace(u, '^([^?]*)&', '\1?') u FROM s2),
-        |s4 AS (SELECT doc_id, url, regexp_replace(u, ':(80|443)(/|$)', '\2', 'g') u FROM s3),
+        |s4 AS (SELECT doc_id, url, regexp_replace(u, '^([^/?#]*//[^/?#:]*):(80|443)([/?#]|$)', '\1\3') u FROM s3),
         |s5 AS (SELECT doc_id, url, u, regexp_extract(u, '^([^/?#]*//[^/?#]*)', 1) p FROM s4),
         |s6 AS (SELECT doc_id, url, lower(p) || substr(u, len(p) + 1) u FROM s5)
         |SELECT doc_id, url, regexp_replace(u, '/$', '') AS canonical
@@ -742,14 +742,18 @@ object OracleSql {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     // Temperature mixture: identical rate formula (same operation order,
-    // rounded to 6), then the md5 keep-decision replay.
+    // rounded to 6), then the md5 keep-decision replay. Every 17th doc
+    // gets a NULL domain in both engines: the join is null-SAFE, so the
+    // null shard is a domain of its own, sampled at its tempered rate.
     "x_temperature_mix" ->
-      """WITH c AS (SELECT lang, count(*)::DOUBLE c FROM documents GROUP BY lang),
+      """WITH d0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS lang FROM documents),
+        |c AS (SELECT lang, count(*)::DOUBLE c FROM d0 GROUP BY lang),
         |t AS (SELECT sum(power(c, 0.5)) z, sum(c) n FROM c),
         |r AS (SELECT lang, round(least(1.0, 0.5 * t.n * (power(c.c, 0.5) / t.z) / c.c), 6) keep_frac
         |      FROM c, t)
         |SELECT d.doc_id, d.lang, r.keep_frac
-        |FROM documents d JOIN r USING (lang)
+        |FROM d0 d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
         |WHERE md5_number_lower('mix1|' || CAST(d.doc_id AS VARCHAR)) % 1000000 <
         |  CAST(floor(r.keep_frac * 1000000) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,

@@ -388,8 +388,13 @@ object SparkEntry {
     }),
     // Temperature-scaled language mixture: alpha=0.5 upweights tail
     // languages; keep decisions replay from (salt, doc_id, rate) alone.
+    // Every 17th doc's domain is nulled to exercise the null-safe rate
+    // join — the null shard must be sampled, not silently dropped.
     "x_temperature_mix" -> ((s, d) => {
-      CurationOps.temperatureMixture(T(s, d, "documents"), "lang",
+      val docs = T(s, d, "documents").withColumn("lang",
+        when(col("doc_id") % 17 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")))
+      CurationOps.temperatureMixture(docs, "lang",
           col("doc_id"), alpha = 0.5, targetFraction = 0.5, salt = "mix1|")
         .select(col("doc_id"), col("lang"), col("keep_frac"))
         .orderBy("doc_id")

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional third arg: comma-separated query names — a local iteration
+    // aid (the driver always runs the full set with two args).
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)        => (s, o, None)
+      case Array(s, o, names) => (s, o, Some(names.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +25,9 @@ object Verify {
     // stay busy while any one query sits in its sequential stages (the
     // Spark scheduler interleaves the jobs; results are per-query dirs).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val selected = only.fold(SparkEntry.queries)(ns =>
+      SparkEntry.queries.filter { case (n, _) => ns(n) })
+    val tasks = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -104,7 +104,13 @@ object CurationOps {
   // the phone pattern), then phones.
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhonePattern = "\\+?\\d[\\d().\\s-]{6,}\\d"
+  // No \s in the phone separator class: a class with whitespace matches
+  // ANY digit run spanning spaces/newlines ("2019 2020 2021", score
+  // tables), destructively over-redacting ordinary corpus text. The
+  // cost is that a spaced format like "+1 (555) 010-1234" redacts only
+  // its contiguous tail ("010-1234") — the right trade for a corpus
+  // filter, where a false positive destroys real text forever.
+  val PhonePattern = "\\+?\\d[\\d().-]{6,}\\d"
 
   /** Redact emails, IPv4 addresses and phone-shaped digit runs. Pure
     * map-side codegen'd regex work: no shuffle, no UDF. */
@@ -140,7 +146,11 @@ object CurationOps {
    *   1. drop the fragment,
    *   2. drop `utm_*` tracking params (then repair a `&` left dangling
    *      where the removed param was first in the query string),
-   *   3. drop explicit default ports (`:80`/`:443`),
+   *   3. drop an explicit default port (`:80`/`:443`) — only when it
+   *      sits at the end of the authority (`scheme://host:443/...`);
+   *      a `:443` later in the path or query is someone's data, not a
+   *      port, and must survive (a false strip would collide two
+   *      distinct pages and silently drop one at the dedup step),
    *   4. lowercase the scheme+host prefix (never the path),
    *   5. drop one trailing `/`.
    * Pure map-side string work — the natural key for [[DedupOps]]
@@ -150,7 +160,8 @@ object CurationOps {
     val noFrag = regexp_replace(c, "#.*", "")
     val noUtm = regexp_replace(noFrag, "[?&]utm_[A-Za-z_]*=[^&#]*", "")
     val repaired = regexp_replace(noUtm, "^([^?]*)&", "$1?")
-    val noPort = regexp_replace(repaired, ":(80|443)(/|$)", "$2")
+    val noPort = regexp_replace(repaired,
+      "^([^/?#]*//[^/?#:]*):(80|443)([/?#]|$)", "$1$3")
     val prefix = regexp_extract(noPort, "^([^/?#]*//[^/?#]*)", 1)
     val lowered = concat(lower(prefix),
       noPort.substr(length(prefix) + lit(1), length(noPort)))
@@ -206,6 +217,12 @@ object CurationOps {
    * filter. Rates are rounded to 6 decimals so the decision boundary is
    * identical for any engine that replays it.
    *
+   * NULL domains are a real domain here: groupBy already puts them in
+   * one group, and the rate join is null-SAFE (`<=>`), so null-domain
+   * rows are sampled at their own tempered rate — a plain equi-join
+   * would silently drop every one of them (null === null is not true),
+   * shrinking the corpus with no signal.
+   *
    * @return input rows that survive, plus their domain's `keep_frac`.
    */
   def temperatureMixture(df: DataFrame, domainCol: String, key: Column,
@@ -224,7 +241,7 @@ object CurationOps {
           lit(targetFraction) * col("__n") *
             (pow(col("__c"), lit(alpha)) / col("__zsum")) / col("__c")), 6)
           .as("keep_frac"))
-    df.join(broadcast(rates), df(domainCol) === rates("__dom"))
+    df.join(broadcast(rates), df(domainCol) <=> rates("__dom"))
       .filter(SampleOps.keep(key, col("keep_frac"), salt))
       .drop("__dom")
   }

@@ -281,13 +281,23 @@ object DedupOps {
    * cover diameters near 2^20, not 20. Every label is itself a node id,
    * so compression is a self-join of the label table. Each round is an
    * equi-join plus a min-aggregation, both map-side partial, shuffling
-   * only (id, label) pairs; the driver-side loop holds no data — per
-   * round it runs one is-empty convergence probe.
+   * only (id, label) pairs; the driver-side loop holds no data. The
+   * convergence check rides the round itself: the propagate aggregation
+   * carries each node's previous label alongside the new minimum, so
+   * `__changed` is a column of the materialized round and the probe is
+   * a scan of already-checkpointed rows — no separate join job per
+   * round (that join used to double the round's job count).
    *
    * @param pairs one row per undirected pair (aCol, bCol)
    * @return (id, component) for every id appearing in a pair; the
    *         component label is the smallest member id. Ids in no pair
    *         are absent — callers union singletons back as themselves.
+   * @throws IllegalStateException if labels are still moving after
+   *         `maxIter` rounds — a partially-propagated label table is
+   *         WRONG duplicate groups, and returning it silently would let
+   *         a pathological pair graph corrupt the dedup downstream.
+   *         With path compression 20 rounds cover diameters near 2^20,
+   *         so a real hit means the input, not the budget, is broken.
    *
    * Every round is lineage-TRUNCATED with an eager `localCheckpoint`
    * (not `cache`): iteration k's plan must not nest k copies of the
@@ -307,24 +317,36 @@ object DedupOps {
     var done = labels.isEmpty
     var i = 0
     while (!done && i < maxIter) {
+      // Tagged union: each node's own row carries its previous label in
+      // __old; neighbor contributions carry null. Every node has exactly
+      // one own-row (edges are symmetric, so every dst is a src), so
+      // min(__old) recovers the previous label inside the same
+      // aggregation that computes the new minimum — change detection
+      // costs no extra join.
       val neighborMin = edges
         .join(labels.select(col("id").as("src"), col("component")), "src")
-        .select(col("dst").as("id"), col("component"))
-      val propagated = labels.unionByName(neighborMin)
-        .groupBy("id").agg(min(col("component")).as("component"))
+        .select(col("dst").as("id"), col("component"),
+          lit(null).cast(labels.schema("component").dataType).as("__old"))
+      val propagated = labels.withColumn("__old", col("component"))
+        .unionByName(neighborMin)
+        .groupBy("id").agg(min(col("component")).as("component"),
+          min(col("__old")).as("__old"))
       // Path compression: label(v) ← label(label(v)). Labels are node
       // ids, so the lookup is a self-join (left + coalesce for safety).
       val next = propagated
         .join(propagated.select(col("id").as("component"), col("component").as("__c2")),
           Seq("component"), "left")
-        .select(col("id"), coalesce(col("__c2"), col("component")).as("component"))
+        .select(col("id"), coalesce(col("__c2"), col("component")).as("component"),
+          (coalesce(col("__c2"), col("component")) =!= col("__old")).as("__changed"))
         .localCheckpoint(true)
-      done = next.join(labels.withColumnRenamed("component", "__old"), "id")
-        .filter(col("component") =!= col("__old"))
-        .isEmpty
-      labels = next
+      done = next.filter(col("__changed")).isEmpty
+      labels = next.select("id", "component")
       i += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds; " +
+          "refusing to return partially-propagated (wrong) duplicate groups")
     labels
   }
 }

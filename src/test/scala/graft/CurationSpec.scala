@@ -44,14 +44,17 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val df = Seq(
       "mail me at a.b+c@ex-ample.org now",
       "server 10.0.255.7 is down",
-      "call +1 (555) 010-42 today",
+      "call 555-010-4242 today",
       "clean text with no pii at all",
+      "scores were 2019 2020 2021 and 10 9\n8 7 in the end",
     ).toDF("text")
     val got = df.select(CurationOps.redactPii(col("text"))).collect().map(_.getString(0))
     assert(got(0) == "mail me at <EMAIL> now")
     assert(got(1) == "server <IP> is down")
     assert(got(2) == "call <PHONE> today")
     assert(got(3) == "clean text with no pii at all")
+    assert(got(4) == "scores were 2019 2020 2021 and 10 9\n8 7 in the end",
+      "digit runs spanning whitespace are ordinary text, not phones")
     // An IP must NOT be half-eaten by the phone pattern.
     val both = Seq("ip 10.0.255.7 phone 555-010-4242 end").toDF("text")
       .select(CurationOps.redactPii(col("text"))).collect()(0).getString(0)
@@ -69,6 +72,10 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val none = graft.operators.DedupOps.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
     assert(none.count() == 0)
+    // Out-of-budget propagation must THROW, never return partial labels.
+    intercept[IllegalStateException] {
+      graft.operators.DedupOps.connectedComponents(pairs, "id_a", "id_b", maxIter = 0)
+    }
   }
 
   test("canonicalizeUrl: two crawls of one page collide; distinct pages do not") {
@@ -80,6 +87,8 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       "http://example.com/a",
       "https://example.com/b?utm_x=1",                // utm-only query drops
       "relative/path/no-scheme",                      // no prefix: passes through
+      "http://example.com/a:443/b",                   // ':443' in the PATH is data
+      "https://example.com/x?t=1:80",                 // ':80' in the QUERY is data
     ).toDF("url")
     val got = urls.select(CurationOps.canonicalizeUrl(col("url"))).collect().map(_.getString(0))
     assert(got(0) == "https://www.example.com/Docs/1/?id=7")
@@ -87,6 +96,10 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got(2) == got(3), "default port + trailing slash normalize away")
     assert(got(4) == "https://example.com/b")
     assert(got(5) == "relative/path/no-scheme")
+    assert(got(6) == "http://example.com/a:443/b",
+      "a port-shaped token in the path must survive — stripping it would " +
+        "collide distinct pages and silently drop one at dedup")
+    assert(got(7) == "https://example.com/x?t=1:80")
     // Case: path case is PRESERVED (only scheme+host lowercase).
     assert(got(0).contains("/Docs/"))
   }
@@ -147,5 +160,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(k1 == k2)
     // Expected size ~ targetFraction * total; generous tolerance.
     assert(k1.size > 150 && k1.size < 350, s"kept ${k1.size} of 500 at target 0.5")
+  }
+
+  test("temperatureMixture: null domains are a domain of their own, not dropped") {
+    import spark.implicits._
+    val df = ((1 to 300).map(i => (i.toLong, "head")) ++
+      (301 to 400).map(i => (i.toLong, null.asInstanceOf[String]))).toDF("id", "dom")
+    val out = CurationOps.temperatureMixture(df, "dom", col("id"),
+      alpha = 0.5, targetFraction = 0.5, salt = "t|").cache()
+    val nullRows = out.filter(col("dom").isNull)
+    assert(nullRows.count() > 0, "the null-domain shard must be sampled, not vanish")
+    val nullRate = nullRows.select("keep_frac").distinct().collect()
+    assert(nullRate.length == 1, "one tempered rate for the null shard")
+    val headRate = out.filter(col("dom") === "head")
+      .select("keep_frac").distinct().collect()(0).getDouble(0)
+    assert(nullRate(0).getDouble(0) > headRate,
+      "the null shard is the tail here and must be upweighted like any tail domain")
+    out.unpersist()
   }
 }
