@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One incoming item for online assignment. */
@@ -73,6 +73,11 @@ object OnlineClustering {
    * is bounded by the trigger interval, the same working set the
    * reference holds in its consumer process; everything upstream and
    * downstream stays distributed.
+   *
+   * SCALE CEILING (use [[processBatchPruned]] instead): this form also
+   * collects the ENTIRE story table per micro-batch — fine at the
+   * reference's scale, a driver OOM when stories reach millions. Kept as
+   * the semantic baseline the pruned form is proven against.
    */
   def processBatch(batch: DataFrame, stories: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, batchEpoch: Long): (DataFrame, DataFrame) = {
@@ -88,6 +93,125 @@ object OnlineClustering {
       i => s"story-$batchEpoch-$i")
     (spark.createDataFrame(assigned.toIndexedSeq).toDF(),
       spark.createDataFrame(newState.map(s => (s.storyId, s.centroid.toSeq, s.n)).toIndexedSeq)
+        .toDF("story_id", "centroid", "n"))
+  }
+
+  // ── Candidate-pruned fold (the 100 TB-scale form of ST4) ────────────────
+  //
+  // The sequential fold is the reference's semantics and cannot be
+  // distributed, but its CANDIDATE SET can be pruned distributedly: only
+  // stories whose centroid can reach cosine ≥ threshold against some batch
+  // vector can influence any assignment decision, and the epsilon-grid
+  // bound (SimilarityOps.nearDupByCosine) finds exactly those — cos(a,s)
+  // ≥ t implies the L2-normalized vectors differ by < w = √(2−2t) in
+  // every coordinate, so the story's home grid cell lies within the
+  // {−1,0,1}^d neighborhood of the batch vector's cell. Stories outside
+  // the batch's cell neighborhood provably cannot clear the threshold.
+  //
+  // Equivalence to the full fold (spec-pinned in StreamingSpec):
+  //  - a non-candidate story has cos < threshold to EVERY batch vector
+  //    (its centroid never moves mid-batch: it can never win an
+  //    assignment, because any candidate beating threshold outranks it),
+  //    so the argmax decision and every centroid trajectory are identical;
+  //  - new stories created mid-batch live in the fold's own state either
+  //    way. The only divergence is the diagnostic `sim` on isNew rows:
+  //    the full fold reports the global best (still < threshold), the
+  //    pruned fold the best CANDIDATE (−2.0 when none) — assignments,
+  //    story ids, centroids and counts are exactly equal.
+  //
+  // Scale shape: the story table is filtered map-side on its home cell
+  // against the (small, broadcast-as-literal) batch cell neighborhood and
+  // only the survivors are collected; the returned state is the DELTA
+  // (changed + created stories) for a MERGE, so untouched stories never
+  // leave the executors in either direction. Partitioning the stories
+  // table by cell key would further turn the filter into partition
+  // pruning; with the default bucketed TableSink it is a scan-and-drop.
+
+  /** Cell width for cosine threshold t (mirrors nearDupByCosine: inflated
+    * 1e-9 so fp jitter cannot push a true-qualifying pair out of the
+    * neighborhood). */
+  private def cellWidth(threshold: Double): Double =
+    math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12)) * (1.0 + 1e-9)
+
+  /** Driver-side home cell of a vector: floor of the first gridDims
+    * coords of the L2-normalized vector over the cell width; missing
+    * coords sit at 0, zero-norm vectors pass through unnormalized —
+    * the exact convention of the Spark-side expression below. */
+  private[graft] def homeCell(v: Array[Double], threshold: Double, gridDims: Int): Seq[Int] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val nrm = math.sqrt(s)
+    val w = cellWidth(threshold)
+    (0 until gridDims).map { d =>
+      val x = if (d < v.length) { if (nrm == 0.0) v(d) else v(d) / nrm } else 0.0
+      math.floor(x / w).toInt
+    }
+  }
+
+  /** The {−1,0,1}^gridDims neighborhood of every batch vector's home
+    * cell — the complete set of cells a ≥-threshold story can live in. */
+  private[graft] def candidateCells(batch: Seq[Incoming], threshold: Double,
+                                        gridDims: Int): Set[Seq[Int]] = {
+    val offsets = Seq.fill(gridDims)(Seq(-1, 0, 1))
+      .foldLeft(Seq(Seq.empty[Int]))((acc, ds) => for (a <- acc; x <- ds) yield a :+ x)
+    batch.iterator.flatMap { a =>
+      val home = homeCell(a.vec, threshold, gridDims)
+      offsets.map(o => home.zip(o).map { case (c, d) => c + d })
+    }.toSet
+  }
+
+  /** Spark-side home-cell key of a centroid column (same math as
+    * [[homeCell]], evaluated by the codegen l2-normalize kernel). */
+  private def cellKeyExpr(vecCol: Column, threshold: Double, gridDims: Int): Column = {
+    val w = cellWidth(threshold)
+    val nv = graft.functions.vector.l2Normalize(vecCol.cast("array<double>"))
+    concat_ws(",", (0 until gridDims).map(i =>
+      floor(coalesce(try_element_at(nv, lit(i + 1)), lit(0.0)) / w).cast("int").cast("string")): _*)
+  }
+
+  /**
+   * The scale form of [[processBatch]]: identical assignments, but only
+   * the candidate stories (batch cell neighborhood, exact recall at the
+   * threshold) are collected, and the returned story frame is the MERGE
+   * DELTA — stories whose state changed plus stories created this batch.
+   *
+   * @return (assigned rows, changed-or-new story state to upsert)
+   */
+  def processBatchPruned(batch: DataFrame, stories: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, batchEpoch: Long,
+                         gridDims: Int = 2): (DataFrame, DataFrame) = {
+    require(threshold > 0.0, s"pruned ST4 needs threshold > 0, got $threshold")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val in = batch.select(col(idCol).cast("string"),
+        col(vecCol).cast("array<double>")).as[(String, Seq[Double])]
+      .collect().map { case (i, v) => Incoming(i, v.toArray) }
+    val cells = candidateCells(in.toSeq, threshold, gridDims)
+      .map(_.mkString(","))
+    // Map-only candidate filter: home-cell membership against the
+    // (bounded: ≤ 3^d · |batch|) batch cell neighborhood; nothing
+    // shuffles on the story side and non-candidates are dropped at the
+    // scan. Small neighborhoods inline as an InSet predicate; large ones
+    // ride a broadcast semi-join so the plan never carries a 10^5-literal
+    // expression.
+    val key = cellKeyExpr(col("centroid"), threshold, gridDims)
+    val prefiltered =
+      if (cells.size <= 1000) stories.filter(key.isin(cells.toSeq: _*))
+      else stories.join(
+        broadcast(cells.toSeq.toDF("__cell")), key === col("__cell"), "leftsemi")
+    val candidates = prefiltered
+      .select(col("story_id"), col("centroid").cast("array<double>"), col("n"))
+      .as[(String, Seq[Double], Long)]
+      .collect().map { case (s, c, n) => StoryState(s, c.toArray, n) }
+    val (assigned, newState) = foldBatch(in.toSeq, candidates.toSeq, threshold,
+      i => s"story-$batchEpoch-$i")
+    // Delta: n increments on every absorbed article, so a changed story is
+    // exactly one whose n differs from its candidate snapshot (new stories
+    // have no snapshot).
+    val before = candidates.map(s => s.storyId -> s.n).toMap
+    val delta = newState.filter(s => !before.get(s.storyId).contains(s.n))
+    (spark.createDataFrame(assigned.toIndexedSeq).toDF(),
+      spark.createDataFrame(delta.map(s => (s.storyId, s.centroid.toSeq, s.n)).toIndexedSeq)
         .toDF("story_id", "centroid", "n"))
   }
 }

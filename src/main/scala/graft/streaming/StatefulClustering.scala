@@ -20,6 +20,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * a downstream projection of the assignment stream rather than
  * merge-updated in place. Both forms share [[OnlineClustering.foldBatch]]
  * for the order-dependent semantics.
+ *
+ * STATE CAP — this variant is the small/medium-corpus form. All story
+ * state serializes as ONE state-store value (single group), deserialized
+ * and re-serialized every trigger: practical to roughly 10^5 stories
+ * (≈ a few hundred MB at 384-dim centroids), a wall beyond that. It
+ * cannot shard without giving up the reference's total-order guarantee
+ * (a story created in shard A must be joinable by the very next record,
+ * which may hash to shard B — any cross-shard merge reintroduces exactly
+ * the sequential dependency being sharded away). At corpus scale use
+ * [[OnlineClustering.processBatchPruned]] in foreachBatch: story state
+ * lives in the (distributed, MERGE-updated) stories table and only the
+ * batch's grid-cell candidates are ever materialized on the driver.
  */
 object StatefulClustering {
 

@@ -58,7 +58,11 @@ object StreamingJob {
     val storySchema = spark.range(0).select(
       lit("").as("story_id"), array().cast("array<double>").as("centroid"), lit(0L).as("n"))
     val stories = TableSink.read(spark, storiesDir, storySchema)
-    val (assigned, newState) = OnlineClustering.processBatch(
+    // Pruned ST4: only the batch's grid-cell candidate stories are
+    // collected (exact recall at the threshold — assignments identical to
+    // the full fold), and newState is the changed/created DELTA, so the
+    // MERGE below touches only dirty story buckets.
+    val (assigned, newState) = OnlineClustering.processBatchPruned(
       featured, stories, "link", "embedding", simThreshold, epoch)
     val articlesOut = featured.join(
         assigned.select(col("id").as("link"), col("storyId").as("story_id")), "link")

@@ -183,6 +183,59 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("ST4 pruned: grid-cell candidate fold ≡ full fold, with candidates < stories") {
+    import spark.implicits._
+    // 40 stories spread around the unit circle; the batch clusters near
+    // angle 0, so only a handful of stories share its cell neighborhood.
+    val stories = (0 until 40).map { k =>
+      val a = 2 * math.Pi * k / 40.0
+      (f"s-$k%02d", Seq(math.cos(a) * 3.0, math.sin(a) * 3.0), (k % 4) + 1L)
+    }.toDF("story_id", "centroid", "n")
+    val batch = Seq(
+      ("a1", Seq(1.0, 0.02)),            // joins s-00
+      ("a2", Seq(0.99, 0.05)),           // joins s-00 (moved centroid)
+      ("a3", Seq(-0.6, -0.82)),          // far side of the circle
+      ("a4", Seq(0.0, 0.0)),             // zero vector: always a new story
+    ).toDF("link", "embedding")
+    val threshold = 0.9
+    val (fullA, fullS) = OnlineClustering.processBatch(
+      batch, stories, "link", "embedding", threshold, batchEpoch = 7L)
+    val (prunedA, deltaS) = OnlineClustering.processBatchPruned(
+      batch, stories, "link", "embedding", threshold, batchEpoch = 7L)
+    // The prefilter must genuinely prune: candidate stories < all stories.
+    val batchVecs = Map("a1" -> Array(1.0, 0.02), "a2" -> Array(0.99, 0.05),
+      "a3" -> Array(-0.6, -0.82), "a4" -> Array(0.0, 0.0))
+    val realCells = OnlineClustering.candidateCells(
+      batchVecs.map { case (i, v) => Incoming(i, v) }.toSeq, threshold, 2)
+    val nCand = stories.collect().count { r =>
+      val c = OnlineClustering.homeCell(
+        r.getSeq[Double](1).toArray, threshold, 2)
+      realCells.contains(c)
+    }
+    assert(nCand < 40, s"prefilter must prune, saw $nCand of 40 candidates")
+    assert(nCand > 0, "fixture must keep some candidates or the test is vacuous")
+    // Assignments are EXACTLY equal: story id, isNew, and sim for joins.
+    def byId(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val (fa, pa) = (byId(fullA), byId(prunedA))
+    assert(fa.keySet == pa.keySet)
+    fa.foreach { case (id, (sid, sim, isNew)) =>
+      val (psid, psim, pisNew) = pa(id)
+      assert(psid == sid && pisNew == isNew, s"assignment diverged for $id")
+      if (!isNew) assert(psim == sim, s"join sim diverged for $id")
+      else assert(psim <= sim + 1e-12 && psim < threshold,
+        s"new-story sim is best-candidate (≤ global best, < threshold) for $id")
+    }
+    // Original stories + delta == the full fold's complete state.
+    def stateMap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getString(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+    val merged = stateMap(stories.collect()) ++ stateMap(deltaS.collect())
+    assert(merged == stateMap(fullS.collect()),
+      "MERGE delta applied to the stories table must reproduce the full state")
+    // The delta itself stays small: only touched stories travel.
+    assert(deltaS.count() < 40)
+  }
+
   test("ST4: centroid running mean moves toward joined article") {
     val stories = Seq(StoryState("s", Array(1.0, 0.0), 1L))
     val (_, state) = OnlineClustering.foldBatch(
