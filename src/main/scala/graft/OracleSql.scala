@@ -646,6 +646,50 @@ object OracleSql {
         |FROM d LEFT JOIN m ON m.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Full Gopher rules: same deterministic structure synthesis, same
+    // modal-n-gram coverage per n ∈ {2,3,4}, same line/word signals.
+    "x_gopher_full" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN '- item one' || chr(10) || '- item two' || chr(10) ELSE '' END) ||
+        |    regexp_replace(text, ' value ', chr(10), 'g') ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'wait for it...' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN ' ## #' ELSE '' END) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') ls,
+        |    $words wds
+        |  FROM t),
+        |s AS (SELECT doc_id, wds,
+        |    CASE WHEN len(ls) > 0 THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) ELSE 0.0 END dlf,
+        |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))::DOUBLE / len(ls) ELSE 0.0 END blf,
+        |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$$')))::DOUBLE / len(ls) ELSE 0.0 END elf,
+        |    CASE WHEN len(wds) > 0 THEN list_sum(list_transform(wds, x -> len(x)))::DOUBLE / len(wds) ELSE 0.0 END mwl,
+        |    CASE WHEN len(wds) > 0 THEN (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) + len(regexp_extract_all(text, '…')))::DOUBLE / len(wds) ELSE 0.0 END swr
+        |  FROM l),
+        |e AS (SELECT doc_id, 2 AS n, unnest(list_transform(generate_series(1, greatest(len(wds) - 1, 0)), i -> array_to_string(wds[i:i+1], ' '))) g FROM s
+        |  UNION ALL SELECT doc_id, 3, unnest(list_transform(generate_series(1, greatest(len(wds) - 2, 0)), i -> array_to_string(wds[i:i+2], ' '))) FROM s
+        |  UNION ALL SELECT doc_id, 4, unnest(list_transform(generate_series(1, greatest(len(wds) - 3, 0)), i -> array_to_string(wds[i:i+3], ' '))) FROM s),
+        |c AS (SELECT doc_id, n, g, count(*) cnt FROM e GROUP BY 1, 2, 3),
+        |m AS (SELECT doc_id, n, max(cnt)::DOUBLE / sum(cnt) f FROM c GROUP BY 1, 2),
+        |p AS (SELECT doc_id,
+        |    coalesce(max(CASE WHEN n = 2 THEN f END), 0.0) t2,
+        |    coalesce(max(CASE WHEN n = 3 THEN f END), 0.0) t3,
+        |    coalesce(max(CASE WHEN n = 4 THEN f END), 0.0) t4
+        |  FROM m GROUP BY doc_id)
+        |SELECT s.doc_id, round(dlf, 6) AS dup_line_frac,
+        |  round(coalesce(t2, 0.0), 6) AS top_2gram_frac,
+        |  round(coalesce(t3, 0.0), 6) AS top_3gram_frac,
+        |  round(coalesce(t4, 0.0), 6) AS top_4gram_frac,
+        |  round(swr, 6) AS symbol_word_ratio,
+        |  round(blf, 6) AS bullet_line_frac,
+        |  round(elf, 6) AS ellipsis_line_frac,
+        |  round(mwl, 6) AS mean_word_len,
+        |  (dlf < 0.30 AND coalesce(t2, 0.0) < 0.20 AND coalesce(t3, 0.0) < 0.18
+        |   AND coalesce(t4, 0.0) < 0.16 AND swr < 0.10 AND blf < 0.90
+        |   AND elf < 0.30 AND mwl >= 3.0 AND mwl <= 10.0) AS keep
+        |FROM s LEFT JOIN p USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
     // Decontamination: distinct 3-gram digests of the eval slice probed
     // by every training doc.
     "x_decontaminate" ->
@@ -701,6 +745,40 @@ object OracleSql {
          |FROM documents doc LEFT JOIN c ON c.id = doc.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
 
+    // Dedup cascade: LSH candidates (as x_lsh_pairs) intersected with
+    // the ≥-threshold Jaccard pairs (as x_ngram_jaccard), closed by the
+    // recursive reachability CTE (as x_dup_components); kept = the doc
+    // IS its component's min-id label.
+    "pipe_dedup_e2e" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, $words wds FROM documents),
+         |sh0 AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
+         |  FROM w),
+         |sig AS (SELECT doc_id, [
+         |  list_min(list_transform(s, x -> md5('0|' || x))),
+         |  list_min(list_transform(s, x -> md5('1|' || x))),
+         |  list_min(list_transform(s, x -> md5('2|' || x))),
+         |  list_min(list_transform(s, x -> md5('3|' || x)))] sg FROM sh0),
+         |b AS (SELECT doc_id, generate_subscripts(sg, 1) band, unnest(sg) bv FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id ia, c.doc_id ib
+         |  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id),
+         |m AS (SELECT doc_id, unnest(list_distinct(s)) sh FROM sh0),
+         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
+         |i AS (SELECT a.doc_id ia, b2.doc_id ib, count(*) inter
+         |  FROM m a JOIN m b2 ON a.sh = b2.sh AND a.doc_id < b2.doc_id GROUP BY 1, 2),
+         |p AS (SELECT i.ia, i.ib FROM i JOIN cand USING (ia, ib)
+         |  JOIN sz x ON x.doc_id = i.ia JOIN sz y ON y.doc_id = i.ib
+         |  WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.02),
+         |e AS (SELECT ia s, ib d FROM p UNION SELECT ib, ia FROM p),
+         |r AS (SELECT s AS id, s AS lbl FROM e
+         |      UNION
+         |      SELECT e.d, r.lbl FROM r JOIN e ON e.s = r.id),
+         |cc AS (SELECT id, min(lbl) component FROM r GROUP BY id)
+         |SELECT doc.doc_id, coalesce(cc.component, doc.doc_id) AS component,
+         |  (coalesce(cc.component, doc.doc_id) = doc.doc_id) AS kept
+         |FROM documents doc LEFT JOIN cc ON cc.id = doc.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
+
     // Vocabulary head: same token stream, same deterministic tie-break.
     "x_vocab_topk" ->
       s"""WITH w AS (SELECT unnest($words) token FROM documents)
@@ -736,6 +814,20 @@ object OracleSql {
         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS BIGINT) strt
         |  FROM f)
         |SELECT doc_id, shard, n_tokens,
+        |  CAST(strt // 64 AS BIGINT) AS seq_first,
+        |  CAST((strt + n_tokens - 1) // 64 AS BIGINT) AS seq_last,
+        |  CAST(strt % 64 AS BIGINT) AS tok_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Global-order packing: one running total over the whole corpus in
+    // doc_id order — the single-stream form of x_pack_sequences.
+    "x_pack_global" ->
+      s"""WITH b AS (SELECT doc_id, CAST(len($words) AS INTEGER) n_tokens FROM documents),
+        |f AS (SELECT * FROM b WHERE n_tokens > 0),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) strt
+        |  FROM f)
+        |SELECT doc_id, n_tokens,
         |  CAST(strt // 64 AS BIGINT) AS seq_first,
         |  CAST((strt + n_tokens - 1) // 64 AS BIGINT) AS seq_last,
         |  CAST(strt % 64 AS BIGINT) AS tok_offset

@@ -323,6 +323,29 @@ object SparkEntry {
           round(col("top_bigram_frac"), 6).as("top_bigram_frac"), col("keep"))
         .orderBy("doc_id")
     }),
+    // Full Gopher rule set: modal 2/3/4-gram coverage, symbol-to-word
+    // ratio, bullet/ellipsis line fractions, mean word length. Structure
+    // is synthesized deterministically (bullets every 5th doc, a trailing
+    // ellipsis every 7th, symbols every 11th) so every signal fires.
+    "x_gopher_full" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0, lit("- item one\n- item two\n")).otherwise(lit("")),
+          regexp_replace(col("text"), " value ", "\n"),
+          when(col("doc_id") % 7 === 0, lit("\nwait for it...")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" ## #")).otherwise(lit(""))).as("text"))
+      CurationOps.gopherStats(docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("top_2gram_frac"), 6).as("top_2gram_frac"),
+          round(col("top_3gram_frac"), 6).as("top_3gram_frac"),
+          round(col("top_4gram_frac"), 6).as("top_4gram_frac"),
+          round(col("symbol_word_ratio"), 6).as("symbol_word_ratio"),
+          round(col("bullet_line_frac"), 6).as("bullet_line_frac"),
+          round(col("ellipsis_line_frac"), 6).as("ellipsis_line_frac"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          col("keep"))
+        .orderBy("doc_id")
+    }),
     // Train/eval decontamination: every 13th document plays the held-out
     // benchmark; training docs sharing any word 3-gram with it are
     // flagged (3-grams because the fixture docs are ~50 tokens; real
@@ -361,6 +384,15 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
         .orderBy("doc_id")
     }),
+    // End-to-end dedup cascade: LSH candidates → Jaccard verify on
+    // candidates only → connected components → min-id representative.
+    // Same parameters as the standalone stages so the oracle replays
+    // candidate generation and closure exactly.
+    "pipe_dedup_e2e" -> ((s, d) => {
+      DedupOps.dedupCascade(T(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, k = 4, bands = 4, threshold = 0.02)
+        .orderBy("doc_id")
+    }),
     // Corpus vocabulary head: top-50 tokens by frequency with
     // deterministic ties (count desc, token asc).
     "x_vocab_topk" -> ((s, d) => {
@@ -384,6 +416,13 @@ object SparkEntry {
     "x_pack_sequences" -> ((s, d) => {
       CurationOps.packSequences(T(s, d, "documents"), "doc_id", "text",
           budget = 64, shards = 8)
+        .orderBy("doc_id")
+    }),
+    // Global-order packing: the exact end-to-end token stream in doc_id
+    // order — one 64-token-budget stream for the whole corpus.
+    "x_pack_global" -> ((s, d) => {
+      CurationOps.packSequencesGlobal(T(s, d, "documents"), "doc_id", "text",
+          budget = 64)
         .orderBy("doc_id")
     }),
     // Temperature-scaled language mixture: alpha=0.5 upweights tail

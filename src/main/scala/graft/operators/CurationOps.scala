@@ -69,6 +69,98 @@ object CurationOps {
   }
 
   /**
+   * The COMPLETE Gopher rule set (Rae et al. 2021, Table A1) —
+   * [[repetitionStats]] extended with the remaining published signals:
+   *
+   *  - `dup_line_frac` (as before),
+   *  - `top_2gram_frac` / `top_3gram_frac` / `top_4gram_frac`: fraction
+   *    of all word n-gram occurrences taken by the single most frequent
+   *    n-gram (0 when none),
+   *  - `symbol_word_ratio`: occurrences of `#`, `...`, `…` per word,
+   *  - `bullet_line_frac` / `ellipsis_line_frac`: fraction of non-empty
+   *    lines starting with a bullet (`-`, `*`, `•`) / ending with an
+   *    ellipsis,
+   *  - `mean_word_len`: mean characters per whitespace token,
+   *  - `keep`: all signals inside the published operating points
+   *    (dup-line &lt; 0.30; top-2/3/4-gram &lt; 0.20/0.18/0.16; symbol
+   *    ratio &lt; 0.10; bullet lines &lt; 0.90; ellipsis lines &lt; 0.30;
+   *    mean word length in [3, 10]).
+   *
+   * Scale shape — unchanged from [[repetitionStats]]: every line/word
+   * signal is pure per-row column work carried through the aggregation
+   * with `first`, and the three modal n-grams ride ONE posexplode of the
+   * concatenated (n, gram) structs → count by (doc, n, gram) → max per
+   * (doc, n). Only (doc_id, n, gram) pairs shuffle — never the document
+   * — and both aggregation levels are map-side partial.
+   */
+  def gopherStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(transform(split(col("__text"), "\n"), l => trim(l)), l => l =!= "")
+    def lineFrac(pred: Column => Column): Column =
+      when(size(col("__lines")) > 0,
+        size(filter(col("__lines"), pred)).cast("double") / size(col("__lines")))
+        .otherwise(lit(0.0))
+    def gramStructs(n: Int): Column = expr(
+      s"transform(slice(__w, 1, greatest(size(__w) - ${n - 1}, 0)), " +
+        s"(x, i) -> struct($n AS n, concat_ws(' ', slice(__w, i + 1, $n)) AS g))")
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__lines", lines)
+      .withColumn("__w", toks(col("__text")))
+      .withColumn("dup_line_frac",
+        when(size(col("__lines")) > 0,
+          lit(1.0) - size(array_distinct(col("__lines"))).cast("double") /
+            size(col("__lines")))
+          .otherwise(lit(0.0)))
+      .withColumn("bullet_line_frac", lineFrac(l => l.rlike("^[-*•]")))
+      .withColumn("ellipsis_line_frac", lineFrac(l => l.rlike("(\\.\\.\\.|…)$")))
+      .withColumn("mean_word_len",
+        when(size(col("__w")) > 0,
+          expr("aggregate(transform(__w, x -> length(x)), 0L, (a, x) -> a + x)")
+            .cast("double") / size(col("__w")))
+          .otherwise(lit(0.0)))
+      .withColumn("symbol_word_ratio",
+        when(size(col("__w")) > 0,
+          (regexp_count(col("__text"), lit("#")) +
+            regexp_count(col("__text"), lit("\\.\\.\\.")) +
+            regexp_count(col("__text"), lit("…"))).cast("double") / size(col("__w")))
+          .otherwise(lit(0.0)))
+      .withColumn("__grams",
+        concat(gramStructs(2), gramStructs(3), gramStructs(4)))
+    val scalars = Seq("dup_line_frac", "bullet_line_frac", "ellipsis_line_frac",
+      "mean_word_len", "symbol_word_ratio")
+    def topFrac(n: Int): Column = {
+      val top = coalesce(max(when(col("__n") === n, col("c"))), lit(0L)).cast("double")
+      val tot = coalesce(sum(when(col("__n") === n, col("c"))), lit(0L)).cast("double")
+      when(tot > 0, top / tot).otherwise(lit(0.0)).as(s"top_${n}gram_frac")
+    }
+    base
+      .select(Seq(col("doc_id")) ++ scalars.map(col) :+
+        posexplode_outer(col("__grams")).as(Seq("__i", "__g")): _*)
+      .select(Seq(col("doc_id")) ++ scalars.map(col) :+
+        col("__g.n").as("__n") :+ col("__g.g").as("__gram"): _*)
+      .groupBy("doc_id", "__n", "__gram")
+      .agg(scalars.map(s => first(col(s)).as(s)).head,
+        scalars.map(s => first(col(s)).as(s)).tail :+ count(lit(1)).as("c"): _*)
+      .groupBy("doc_id")
+      .agg(scalars.map(s => first(col(s)).as(s)).head,
+        (scalars.map(s => first(col(s)).as(s)).tail :+
+          topFrac(2) :+ topFrac(3) :+ topFrac(4)): _*)
+      .withColumn("keep",
+        col("dup_line_frac") < 0.30 &&
+          col("top_2gram_frac") < 0.20 &&
+          col("top_3gram_frac") < 0.18 &&
+          col("top_4gram_frac") < 0.16 &&
+          col("symbol_word_ratio") < 0.10 &&
+          col("bullet_line_frac") < 0.90 &&
+          col("ellipsis_line_frac") < 0.30 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .select(Seq(col("doc_id"), col("dup_line_frac"), col("top_2gram_frac"),
+        col("top_3gram_frac"), col("top_4gram_frac"), col("symbol_word_ratio"),
+        col("bullet_line_frac"), col("ellipsis_line_frac"), col("mean_word_len"),
+        col("keep")): _*)
+  }
+
+  /**
    * Train/eval n-gram decontamination: a training document is
    * contaminated if any of its word n-grams appears in the evaluation
    * corpus. Output: one row per train doc with the count of its distinct
@@ -199,6 +291,48 @@ object CurationOps {
           org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("doc_id"))
           - col("n_tokens"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"__start div $budget").as("seq_first"),
+        expr(s"(__start + n_tokens - 1) div $budget").as("seq_last"),
+        pmod(col("__start"), lit(budget.toLong)).as("tok_offset"))
+  }
+
+  /**
+   * [[packSequences]] with the EXACT global stream order (docs laid
+   * end-to-end by `idCol` across the whole corpus, no shard structure) —
+   * for when training wants one canonical token stream rather than
+   * per-shard streams.
+   *
+   * Same decomposition as `ids.orderedSeqId`: range-partition by id and
+   * sort within partitions (global order, no single-partition exchange
+   * of the data), then the running token total = a per-partition window
+   * prefix sum + a broadcast cumsum of per-partition token totals (one
+   * tiny row per partition at any scale). The ranged frame is
+   * localCheckpoint'ed so the offsets branch and the output read one
+   * materialization — the range sampler cannot disagree between them.
+   */
+  def packSequencesGlobal(docs: DataFrame, idCol: String, textCol: String,
+                          budget: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"),
+        size(toks(col(textCol))).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val ranged = base.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id").localCheckpoint()
+    val withPid = ranged.withColumn("__pid",
+      shiftright(monotonically_increasing_id(), 33))
+    // Per-partition token totals: tiny (one row per partition), so the
+    // cumsum window over them is a deliberate, bounded SinglePartition.
+    val offsets = withPid.groupBy("__pid").agg(sum("n_tokens").as("__t"))
+      .withColumn("__offset", coalesce(sum(col("__t")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__t")
+    withPid.join(broadcast(offsets), "__pid")
+      .withColumn("__start",
+        col("__offset") +
+          sum(col("n_tokens")).over(Window.partitionBy("__pid").orderBy("doc_id")) -
+          col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
         expr(s"__start div $budget").as("seq_first"),
         expr(s"(__start + n_tokens - 1) div $budget").as("seq_last"),
         pmod(col("__start"), lit(budget.toLong)).as("tok_offset"))

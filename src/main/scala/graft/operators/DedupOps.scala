@@ -192,6 +192,52 @@ object DedupOps {
   }
 
   /**
+   * The full near-dup dedup cascade a production corpus runs, composed
+   * end-to-end WITHOUT intermediate materialization: banded-LSH candidate
+   * pairs → exact n-gram Jaccard verification restricted to those
+   * candidates → [[connectedComponents]] closure → deterministic
+   * representative per group. One output row per input document:
+   * `(doc_id, component, kept)`.
+   *
+   * Scale shape, stage by stage:
+   *  - candidates come from [[lshCandidatePairs]] (one bucket groupBy,
+   *    never a self-join of the corpus);
+   *  - verification joins shingle sets ONLY along candidate pairs — the
+   *    shuffle is Σ over candidates of their shingle counts, not the
+   *    all-co-shingle-pairs volume of the standalone
+   *    [[ngramJaccardPairs]];
+   *  - the closure shuffles (id, label) pairs per round;
+   *  - representative selection is FREE: the component label is already
+   *    the minimum member id, so "keep first by id per group" is a
+   *    map-side comparison, not a window. End-to-end, document text never
+   *    rides a shuffle after the first shingle explode.
+   */
+  def dedupCascade(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, k: Int, bands: Int,
+                   threshold: Double): DataFrame = {
+    require(threshold > 0.0, s"cascade needs a positive verify threshold: $threshold")
+    val cand = lshCandidatePairs(docs, idCol, textCol, shingleN, k, bands)
+      .select("id_a", "id_b")
+    val m = docs.select(col(idCol).as("id"),
+      explode(array_distinct(text.shingles(text.tokens(col(textCol)), shingleN))).as("m"))
+    val sz = m.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(m.select(col("id").as("id_a"), col("m")), "id_a")
+      .join(m.select(col("id").as("id_b"), col("m")), Seq("id_b", "m"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val verified = inter
+      .join(sz.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= threshold)
+      .select("id_a", "id_b")
+    val comp = connectedComponents(verified, "id_a", "id_b")
+    docs.select(col(idCol).as("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("kept", col("doc_id") === col("component"))
+  }
+
+  /**
    * SimHash (64-bit) per document: each token hashes to 64 bits
    * (md5-derived, oracle-reproducible), bit-weighted majority vote forms
    * the fingerprint. Near-dups differ in few bits (Hamming distance).

@@ -24,6 +24,41 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) == ((0.0, 0.0, true)), "empty doc: zero signals, kept")
   }
 
+  test("gopherStats: every published signal measured; thresholds compose into keep") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "- first point\n- second point\n- third point\nregular closing line"),
+      (2L, "spam spam spam spam spam"),               // modal n-grams cover all
+      (3L, "some perfectly ordinary prose that nobody would ever filter away"),
+      (4L, "so then...\nand more...\nbut fine"),      // 2 of 3 lines ellipsis
+      (5L, "# # tag # done"),                         // symbol-heavy, short words
+      (6L, ""),                                       // empty
+    ).toDF("doc_id", "text")
+    val got = CurationOps.gopherStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def d(id: Long, c: String) = got(id).getAs[Double](c)
+    assert(math.abs(d(1, "bullet_line_frac") - 0.75) < 1e-12, "3 of 4 lines bulleted")
+    assert(d(1, "ellipsis_line_frac") == 0.0)
+    assert(d(2, "top_2gram_frac") == 1.0 && d(2, "top_3gram_frac") == 1.0 &&
+      d(2, "top_4gram_frac") == 1.0, "a one-word doc's modal n-gram covers everything")
+    assert(!got(2L).getAs[Boolean]("keep"))
+    assert(got(3L).getAs[Boolean]("keep"), "ordinary prose passes every rule")
+    assert(math.abs(d(4, "ellipsis_line_frac") - 2.0 / 3) < 1e-12)
+    assert(!got(4L).getAs[Boolean]("keep"), "over the 0.30 ellipsis-line bound")
+    assert(math.abs(d(5, "symbol_word_ratio") - 0.6) < 1e-12, "3 '#' over 5 words")
+    assert(d(5, "mean_word_len") == 2.0)
+    assert(!got(5L).getAs[Boolean]("keep"))
+    assert(d(6, "mean_word_len") == 0.0 && !got(6L).getAs[Boolean]("keep"),
+      "empty docs fail the mean-word-length band")
+    // Repetition signals agree with the narrower operator where they overlap.
+    val narrow = CurationOps.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      assert(d(id, "dup_line_frac") == narrow(id)._1)
+      assert(d(id, "top_2gram_frac") == narrow(id)._2)
+    }
+  }
+
   test("decontaminate: exact n-gram overlap flags only true hits") {
     import spark.implicits._
     val eval_ = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
@@ -138,6 +173,23 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       val maxEnd = rows.map(r => r.getLong(3) * 16 + r.getLong(5) + r.getInt(2)).max
       assert(maxEnd == total, s"shard $shard stream must tile: end $maxEnd vs total $total")
     }
+  }
+
+  test("packSequencesGlobal: equals single-shard packing (the exact global stream)") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+      .repartition(8) // scrambled input: global order must be re-established
+    val global = CurationOps.packSequencesGlobal(docs, "doc_id", "text", budget = 16)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val single = CurationOps.packSequences(docs, "doc_id", "text", budget = 16, shards = 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(global == single,
+      "global packing must equal the shards=1 stream exactly")
+    // Stream tiles with no gaps: last doc's end == total token count.
+    val total = global.values.map(_._1).sum
+    val maxEnd = global.values.map(v => v._2 * 16 + v._4 + v._1).max
+    assert(maxEnd == total)
   }
 
   test("temperatureMixture: tail domains keep a larger fraction than head, deterministic") {

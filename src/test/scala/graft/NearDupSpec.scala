@@ -33,6 +33,30 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
     assert(exp.nonEmpty, "fixture should contain at least one near-dup pair")
   }
 
+  test("dedupCascade: candidates verify, close, and keep the min-id representative") {
+    import spark.implicits._
+    // Docs 1/2/3 share almost all shingles (a chain: 1~2, 2~3); 10 is
+    // unrelated; 11 is a word-salad singleton with no repeated shingles.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "beta gamma delta epsilon zeta eta iota kappa"),
+      (10L, "completely different words about completely other topics here"),
+      (11L, "one singular document"),
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupCascade(docs, "doc_id", "text",
+        shingleN = 3, k = 4, bands = 4, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1L, true)), "min id of the chain is the representative")
+    assert(out(2L) == ((1L, false)) && out(3L) == ((1L, false)),
+      "transitive near-dups collapse into one group through the chain")
+    assert(out(10L) == ((10L, true)) && out(11L) == ((11L, true)),
+      "singletons keep themselves")
+    // Exactly one survivor per component.
+    val perComp = out.values.groupBy(_._1).view.mapValues(_.count(_._2)).toMap
+    assert(perComp.values.forall(_ == 1))
+  }
+
   test("simhash bands cover all 64 bits exactly once") {
     import spark.implicits._
     val fp = Seq(-1L, 0L, 0x123456789abcdefL, Long.MinValue).toDF("sh")
