@@ -22,7 +22,15 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    val (results, failures) = run(spark, sfDir, SparkEntry.queries, runs)
+    // Optional comma-separated name filter — local iteration aid (the
+    // driver never sets it, so its recordings stay full-set).
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val ns = names.split(',').toSet
+        SparkEntry.queries.filter { case (n, _) => ns(n) }
+      case None => SparkEntry.queries
+    }
+    val (results, failures) = run(spark, sfDir, selected, runs)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failures.toSeq.sortBy(_._1)

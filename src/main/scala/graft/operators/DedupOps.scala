@@ -373,6 +373,10 @@ object DedupOps {
         .join(labels.select(col("id").as("src"), col("component")), "src")
         .select(col("dst").as("id"), col("component"),
           lit(null).cast(labels.schema("component").dataType).as("__old"))
+      // NOT materialized: the compression join reads `propagated` twice,
+      // but Spark reuses the aggregation's exchange between the two join
+      // sides (ReusedExchange) — an eager checkpoint here was A/B'd and
+      // measured ~50% SLOWER (extra job per round beats the reuse win).
       val propagated = labels.withColumn("__old", col("component"))
         .unionByName(neighborMin)
         .groupBy("id").agg(min(col("component")).as("component"),
