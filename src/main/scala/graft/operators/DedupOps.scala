@@ -218,6 +218,12 @@ object DedupOps {
     require(threshold > 0.0, s"cascade needs a positive verify threshold: $threshold")
     val cand = lshCandidatePairs(docs, idCol, textCol, shingleN, k, bands)
       .select("id_a", "id_b")
+    // The membership table feeds three differently-keyed consumers (id_a
+    // probe, (id_b, shingle) join, per-doc sizes), so the tokenize+shingle
+    // kernel re-runs per consumer. A/B'd: eagerly checkpointing it here
+    // measured NO win at sf0.1 (7.6 s vs 7.5 s median-of-7) — each
+    // consumer's exchange rescans either way, and the kernel is cheap
+    // next to the joins. Revisit only if the kernel cost grows.
     val m = docs.select(col(idCol).as("id"),
       explode(array_distinct(text.shingles(text.tokens(col(textCol)), shingleN))).as("m"))
     val sz = m.groupBy("id").agg(count(lit(1)).as("n"))
