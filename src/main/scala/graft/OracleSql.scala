@@ -745,6 +745,53 @@ object OracleSql {
          |FROM documents doc LEFT JOIN c ON c.id = doc.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
 
+    // MinHash estimate replay: same signatures (salted-md5 mins), same
+    // candidate pairs, agreement fraction over the 4 slots vs the exact
+    // Jaccard of the same pair.
+    "x_minhash_est" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh0 AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
+         |  FROM w),
+         |sig AS (SELECT doc_id, [
+         |  list_min(list_transform(s, x -> md5('0|' || x))),
+         |  list_min(list_transform(s, x -> md5('1|' || x))),
+         |  list_min(list_transform(s, x -> md5('2|' || x))),
+         |  list_min(list_transform(s, x -> md5('3|' || x)))] sg FROM sh0),
+         |b AS (SELECT doc_id, generate_subscripts(sg, 1) band, unnest(sg) bv FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id ia, c.doc_id ib
+         |  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id),
+         |m AS (SELECT doc_id, unnest(list_distinct(s)) sh FROM sh0),
+         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
+         |i AS (SELECT a.doc_id ia, b2.doc_id ib, count(*) inter
+         |  FROM m a JOIN m b2 ON a.sh = b2.sh AND a.doc_id < b2.doc_id GROUP BY 1, 2)
+         |SELECT c.ia AS id_a, c.ib AS id_b,
+         |  len(list_filter([1, 2, 3, 4], k -> coalesce(x.sg[k] = y.sg[k], false)))::DOUBLE / 4.0 AS est,
+         |  round(i.inter::DOUBLE / (sx.n + sy.n - i.inter), 6) AS jaccard
+         |FROM cand c
+         |JOIN sig x ON x.doc_id = c.ia JOIN sig y ON y.doc_id = c.ib
+         |JOIN i ON i.ia = c.ia AND i.ib = c.ib
+         |JOIN sz sx ON sx.doc_id = c.ia JOIN sz sy ON sy.doc_id = c.ib
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Int8 quantization replay: same scale formula, same floor-based
+    // rounding, same clamp — codes compare as exact integers, the scale
+    // as the identical double, the error contract as the same boolean.
+    "x_embed_quant" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) / 127.0 scale FROM e),
+        |q AS (SELECT vec_id, scale, v,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v, x ->
+        |           CAST(greatest(-127.0, least(127.0, floor(x / scale + 0.5))) AS INTEGER)) END qs
+        |  FROM s)
+        |SELECT vec_id, scale, array_to_string(qs, ',') AS q,
+        |  coalesce(list_max(list_transform(generate_series(1, len(v)),
+        |    i -> abs(v[i] - qs[i] * scale))), 0.0) <= scale / 2 * 1.000000001 AS err_ok
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     // Dedup cascade: LSH candidates (as x_lsh_pairs) intersected with
     // the ≥-threshold Jaccard pairs (as x_ngram_jaccard), closed by the
     // recursive reachability CTE (as x_dup_components); kept = the doc

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, Recommend, RecommendML, SimilarityOps, SkewOps, StoryOps}
+import graft.operators.{ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, QuantizeOps, Recommend, RecommendML, SimilarityOps, SkewOps, StoryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -476,6 +476,51 @@ object SparkEntry {
       DedupOps.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text", 3, 0.02)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+    // MinHash Jaccard ESTIMATE vs exact, per LSH candidate pair: the
+    // agreement fraction of the k=4 signature slots is the unbiased
+    // resemblance estimator (Broder 1997) a 100 TB pipeline uses to skip
+    // exact verification; shown side by side with the true Jaccard so
+    // the estimator itself is oracle-checked.
+    "x_minhash_est" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 4)
+      val cand = DedupOps.lshCandidatePairs(docs, "doc_id", "text", 3, 4, 4)
+        .select("id_a", "id_b")
+      // Exact side via the plain co-shingle join, intersected with the
+      // candidates. A/B'd against the cascade's candidate-restricted
+      // verify: at THESE parameters (4 bands of one hash each — high
+      // recall, low precision) candidates are a near-superset of the
+      // co-shingle pairs, so restricting measured 2× SLOWER (7.8 vs
+      // 3.5 s): each candidate pair dragged its shingle list through two
+      // joins, and the LSH subplan re-evaluated per consumer. With
+      // production banding (e.g. 16 bands × 8 hashes, tight precision)
+      // the restricted shape wins — parameter regime decides, which is
+      // why dedupCascade keeps the restricted form.
+      val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 1e-12)
+      cand
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
+        .withColumn("est",
+          size(filter(zip_with(col("sa"), col("sb"),
+            (x, y) => coalesce(x === y, lit(false))), b => b)).cast("double") / 4.0)
+        .join(exact, Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("est"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    // Symmetric int8 embedding quantization: scale, codes, and the
+    // reconstruction-error contract — every value replayed exactly by
+    // the oracle (floor-based rounding is engine-unambiguous).
+    "x_embed_quant" -> ((s, d) => {
+      val scale = QuantizeOps.int8Scale(col("embedding"))
+      T(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), scale.as("scale"))
+        .withColumn("__q", QuantizeOps.quantizeInt8(col("embedding"), col("scale")))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("__q"), c => c.cast("string")), ",").as("q"),
+          QuantizeOps.errOk(col("embedding"), col("__q"), col("scale")).as("err_ok"))
+        .orderBy("vec_id")
     }),
     // Cosine-LSH candidate generation (signed random projections; md5-
     // derived hyperplanes, reproducible by the SQL oracle).
