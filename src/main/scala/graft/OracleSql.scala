@@ -745,6 +745,65 @@ object OracleSql {
          |FROM documents doc LEFT JOIN c ON c.id = doc.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
 
+    // Curation funnel replay: the x_langid, x_quality, x_gopher_full
+    // (raw text, no synthesis) and PII-count fragments composed into the
+    // one admission verdict.
+    "x_curation_verdict" ->
+      s"""WITH w AS (SELECT doc_id, text, $words wds FROM documents),
+         |lg AS (SELECT doc_id,
+         |  len(list_filter(wds, t -> t IN ('the','and','of','is','a'))) s_en,
+         |  len(list_filter(wds, t -> t IN ('der','die','und','ist','das'))) s_de,
+         |  len(list_filter(wds, t -> t IN ('el','los','y','es','una'))) s_es,
+         |  len(list_filter(wds, t -> t IN ('le','la','et','est','une'))) s_fr FROM w),
+         |lang AS (SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |  ELSE 'fr' END AS lang_pred FROM lg),
+         |qm AS (SELECT doc_id, len(wds) nt,
+         |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
+         |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
+         |q AS (SELECT doc_id, round(
+         |  least(nt / 50.0, 1.0) * 0.5 +
+         |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
+         |  FROM qm),
+         |pii AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+         |       len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) n_pii
+         |  FROM w),
+         |l AS (SELECT doc_id, text,
+         |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') ls,
+         |    wds FROM w),
+         |gs AS (SELECT doc_id, wds,
+         |    CASE WHEN len(ls) > 0 THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) ELSE 0.0 END dlf,
+         |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))::DOUBLE / len(ls) ELSE 0.0 END blf,
+         |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$$')))::DOUBLE / len(ls) ELSE 0.0 END elf,
+         |    CASE WHEN len(wds) > 0 THEN list_sum(list_transform(wds, x -> len(x)))::DOUBLE / len(wds) ELSE 0.0 END mwl,
+         |    CASE WHEN len(wds) > 0 THEN (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) + len(regexp_extract_all(text, '…')))::DOUBLE / len(wds) ELSE 0.0 END swr
+         |  FROM l),
+         |e AS (SELECT doc_id, 2 AS n, unnest(list_transform(generate_series(1, greatest(len(wds) - 1, 0)), i -> array_to_string(wds[i:i+1], ' '))) g FROM gs
+         |  UNION ALL SELECT doc_id, 3, unnest(list_transform(generate_series(1, greatest(len(wds) - 2, 0)), i -> array_to_string(wds[i:i+2], ' '))) FROM gs
+         |  UNION ALL SELECT doc_id, 4, unnest(list_transform(generate_series(1, greatest(len(wds) - 3, 0)), i -> array_to_string(wds[i:i+3], ' '))) FROM gs),
+         |c AS (SELECT doc_id, n, g, count(*) cnt FROM e GROUP BY 1, 2, 3),
+         |mm AS (SELECT doc_id, n, max(cnt)::DOUBLE / sum(cnt) f FROM c GROUP BY 1, 2),
+         |p AS (SELECT doc_id,
+         |    coalesce(max(CASE WHEN n = 2 THEN f END), 0.0) t2,
+         |    coalesce(max(CASE WHEN n = 3 THEN f END), 0.0) t3,
+         |    coalesce(max(CASE WHEN n = 4 THEN f END), 0.0) t4
+         |  FROM mm GROUP BY doc_id),
+         |g AS (SELECT gs.doc_id,
+         |  (dlf < 0.30 AND coalesce(t2, 0.0) < 0.20 AND coalesce(t3, 0.0) < 0.18
+         |   AND coalesce(t4, 0.0) < 0.16 AND swr < 0.10 AND blf < 0.90
+         |   AND elf < 0.30 AND mwl >= 3.0 AND mwl <= 10.0) AS gopher_keep
+         |  FROM gs LEFT JOIN p USING (doc_id))
+         |SELECT w.doc_id, lang.lang_pred, q.quality, pii.n_pii, g.gopher_keep,
+         |  (lang.lang_pred <> 'und' AND q.quality >= 0.5 AND g.gopher_keep
+         |   AND pii.n_pii = 0) AS admit
+         |FROM w JOIN lang USING (doc_id) JOIN q USING (doc_id)
+         |JOIN pii USING (doc_id) JOIN g USING (doc_id)
+         |ORDER BY w.doc_id""".stripMargin,
+
     // MinHash estimate replay: same signatures (salted-md5 mins), same
     // candidate pairs, agreement fraction over the 4 slots vs the exact
     // Jaccard of the same pair.

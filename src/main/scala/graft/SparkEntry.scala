@@ -477,6 +477,31 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    // The whole curation funnel as ONE verdict per document: language
+    // gate, quality score, Gopher keep, PII exposure — the admission
+    // decision a corpus filter actually makes, composed from the same
+    // kernels the individual queries check.
+    "x_curation_verdict" -> ((s, d) => {
+      val st = graft.functions.textStats(col("text"))
+      val stopRatio = st("n_stop").cast("double") / st("n_tokens")
+      val awl = st("sum_len").cast("double") / st("n_tokens")
+      val quality = round(
+        least(st("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.5 +
+          when(stopRatio > 0.01, 1.0).otherwise(0.5) * 0.25 +
+          when(awl.between(2.0, 12.0), 1.0).otherwise(0.5) * 0.25, 6)
+      val base = T(s, d, "documents").select(col("doc_id"),
+        text.langId(col("text")).as("lang_pred"), quality.as("quality"),
+        (CurationOps.piiCounts(col("text")).getField("emails") +
+          CurationOps.piiCounts(col("text")).getField("ips")).as("n_pii"))
+      val gopher = CurationOps.gopherStats(T(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("gopher_keep"))
+      base.join(gopher, "doc_id")
+        .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_pii"),
+          col("gopher_keep"),
+          (col("lang_pred") =!= "und" && col("quality") >= 0.5 &&
+            col("gopher_keep") && col("n_pii") === 0).as("admit"))
+        .orderBy("doc_id")
+    }),
     // MinHash Jaccard ESTIMATE vs exact, per LSH candidate pair: the
     // agreement fraction of the k=4 signature slots is the unbiased
     // resemblance estimator (Broder 1997) a 100 TB pipeline uses to skip
