@@ -653,14 +653,24 @@ object OracleSql {
         |    (CASE WHEN doc_id % 5 = 0 THEN '- item one' || chr(10) || '- item two' || chr(10) ELSE '' END) ||
         |    regexp_replace(text, ' value ', chr(10), 'g') ||
         |    (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'wait for it...' ELSE '' END) ||
-        |    (CASE WHEN doc_id % 11 = 0 THEN ' ## #' ELSE '' END) AS text
+        |    (CASE WHEN doc_id % 11 = 0 THEN ' ## #' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || 'repeated closing paragraph' ||
+        |      chr(10) || chr(10) || 'repeated closing paragraph' ELSE '' END) AS text
         |  FROM documents),
         |l AS (SELECT doc_id, text,
         |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') ls,
+        |    list_filter(list_transform(regexp_split_to_array(text, '\\n[ \\t]*\\n'), x -> trim(x)), x -> x <> '') ps,
         |    $words wds
         |  FROM t),
         |s AS (SELECT doc_id, wds,
         |    CASE WHEN len(ls) > 0 THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) ELSE 0.0 END dlf,
+        |    CASE WHEN len(ps) > 0 THEN 1.0 - len(list_distinct(ps))::DOUBLE / len(ps) ELSE 0.0 END dpf,
+        |    CASE WHEN coalesce(list_sum(list_transform(ls, x -> len(x))), 0) > 0
+        |         THEN 1.0 - list_sum(list_transform(list_distinct(ls), x -> len(x)))::DOUBLE / list_sum(list_transform(ls, x -> len(x)))
+        |         ELSE 0.0 END dlcf,
+        |    CASE WHEN coalesce(list_sum(list_transform(ps, x -> len(x))), 0) > 0
+        |         THEN 1.0 - list_sum(list_transform(list_distinct(ps), x -> len(x)))::DOUBLE / list_sum(list_transform(ps, x -> len(x)))
+        |         ELSE 0.0 END dpcf,
         |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))::DOUBLE / len(ls) ELSE 0.0 END blf,
         |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$$')))::DOUBLE / len(ls) ELSE 0.0 END elf,
         |    CASE WHEN len(wds) > 0 THEN list_sum(list_transform(wds, x -> len(x)))::DOUBLE / len(wds) ELSE 0.0 END mwl,
@@ -677,6 +687,9 @@ object OracleSql {
         |    coalesce(max(CASE WHEN n = 4 THEN f END), 0.0) t4
         |  FROM m GROUP BY doc_id)
         |SELECT s.doc_id, round(dlf, 6) AS dup_line_frac,
+        |  round(dpf, 6) AS dup_paragraph_frac,
+        |  round(dlcf, 6) AS dup_line_char_frac,
+        |  round(dpcf, 6) AS dup_paragraph_char_frac,
         |  round(coalesce(t2, 0.0), 6) AS top_2gram_frac,
         |  round(coalesce(t3, 0.0), 6) AS top_3gram_frac,
         |  round(coalesce(t4, 0.0), 6) AS top_4gram_frac,
@@ -684,7 +697,8 @@ object OracleSql {
         |  round(blf, 6) AS bullet_line_frac,
         |  round(elf, 6) AS ellipsis_line_frac,
         |  round(mwl, 6) AS mean_word_len,
-        |  (dlf < 0.30 AND coalesce(t2, 0.0) < 0.20 AND coalesce(t3, 0.0) < 0.18
+        |  (dlf < 0.30 AND dpf < 0.30 AND dlcf < 0.20 AND dpcf < 0.20
+        |   AND coalesce(t2, 0.0) < 0.20 AND coalesce(t3, 0.0) < 0.18
         |   AND coalesce(t4, 0.0) < 0.16 AND swr < 0.10 AND blf < 0.90
         |   AND elf < 0.30 AND mwl >= 3.0 AND mwl <= 10.0) AS keep
         |FROM s LEFT JOIN p USING (doc_id)
@@ -745,6 +759,14 @@ object OracleSql {
          |FROM documents doc LEFT JOIN c ON c.id = doc.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
 
+    // Quantized-kNN invariant: shape + recall vs the float-exact top-k
+    // are computed in-plan on the Spark side; the oracle states the
+    // query count from the raw table and the contract as truths.
+    "x_ann_quant" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS INTEGER) AS k,
+        |  true AS rows_ok, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
     // Curation funnel replay: the x_langid, x_quality, x_gopher_full
     // (raw text, no synthesis) and PII-count fragments composed into the
     // one admission verdict.
@@ -774,9 +796,17 @@ object OracleSql {
          |  FROM w),
          |l AS (SELECT doc_id, text,
          |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') ls,
+         |    list_filter(list_transform(regexp_split_to_array(text, '\\n[ \\t]*\\n'), x -> trim(x)), x -> x <> '') ps,
          |    wds FROM w),
          |gs AS (SELECT doc_id, wds,
          |    CASE WHEN len(ls) > 0 THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) ELSE 0.0 END dlf,
+         |    CASE WHEN len(ps) > 0 THEN 1.0 - len(list_distinct(ps))::DOUBLE / len(ps) ELSE 0.0 END dpf,
+         |    CASE WHEN coalesce(list_sum(list_transform(ls, x -> len(x))), 0) > 0
+         |         THEN 1.0 - list_sum(list_transform(list_distinct(ls), x -> len(x)))::DOUBLE / list_sum(list_transform(ls, x -> len(x)))
+         |         ELSE 0.0 END dlcf,
+         |    CASE WHEN coalesce(list_sum(list_transform(ps, x -> len(x))), 0) > 0
+         |         THEN 1.0 - list_sum(list_transform(list_distinct(ps), x -> len(x)))::DOUBLE / list_sum(list_transform(ps, x -> len(x)))
+         |         ELSE 0.0 END dpcf,
          |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))::DOUBLE / len(ls) ELSE 0.0 END blf,
          |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$$')))::DOUBLE / len(ls) ELSE 0.0 END elf,
          |    CASE WHEN len(wds) > 0 THEN list_sum(list_transform(wds, x -> len(x)))::DOUBLE / len(wds) ELSE 0.0 END mwl,
@@ -793,7 +823,8 @@ object OracleSql {
          |    coalesce(max(CASE WHEN n = 4 THEN f END), 0.0) t4
          |  FROM mm GROUP BY doc_id),
          |g AS (SELECT gs.doc_id,
-         |  (dlf < 0.30 AND coalesce(t2, 0.0) < 0.20 AND coalesce(t3, 0.0) < 0.18
+         |  (dlf < 0.30 AND dpf < 0.30 AND dlcf < 0.20 AND dpcf < 0.20
+         |   AND coalesce(t2, 0.0) < 0.20 AND coalesce(t3, 0.0) < 0.18
          |   AND coalesce(t4, 0.0) < 0.16 AND swr < 0.10 AND blf < 0.90
          |   AND elf < 0.30 AND mwl >= 3.0 AND mwl <= 10.0) AS gopher_keep
          |  FROM gs LEFT JOIN p USING (doc_id))

@@ -333,9 +333,14 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0, lit("- item one\n- item two\n")).otherwise(lit("")),
           regexp_replace(col("text"), " value ", "\n"),
           when(col("doc_id") % 7 === 0, lit("\nwait for it...")).otherwise(lit("")),
-          when(col("doc_id") % 11 === 0, lit(" ## #")).otherwise(lit(""))).as("text"))
+          when(col("doc_id") % 11 === 0, lit(" ## #")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("\n\nrepeated closing paragraph\n\nrepeated closing paragraph"))
+            .otherwise(lit(""))).as("text"))
       CurationOps.gopherStats(docs, "doc_id", "text")
         .select(col("doc_id"), round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("dup_paragraph_frac"), 6).as("dup_paragraph_frac"),
+          round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("dup_paragraph_char_frac"), 6).as("dup_paragraph_char_frac"),
           round(col("top_2gram_frac"), 6).as("top_2gram_frac"),
           round(col("top_3gram_frac"), 6).as("top_3gram_frac"),
           round(col("top_4gram_frac"), 6).as("top_4gram_frac"),
@@ -476,6 +481,35 @@ object SparkEntry {
       DedupOps.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text", 3, 0.02)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+    // kNN over the QUANTIZED corpus: search runs against int8-dequantized
+    // vectors (the 4×-smaller table a 100 TB deployment actually scans),
+    // with the float-exact top-k as the recall reference — the measured
+    // invariant is recall ≥ 0.8 at k=5 plus exact result shape.
+    "x_ann_quant" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val qcorpus = e
+        .select(col("vec_id"), QuantizeOps.int8Scale(col("embedding")).as("scale"),
+          col("embedding"))
+        .withColumn("__q", QuantizeOps.quantizeInt8(col("embedding"), col("scale")))
+        .select(col("vec_id"),
+          transform(col("__q"), c => c.cast("double") * col("scale")).as("embedding"))
+      // Both arms run in double so the float query side never mixes
+      // element types with the (double) dequantized corpus.
+      val ed = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val q = ed.filter(col("vec_id") < 20)
+      val approx = SimilarityOps.knnJoinCosine(q, qcorpus, "vec_id", "embedding", k = 5)
+      val exact = SimilarityOps.knnJoinCosine(q, ed, "vec_id", "embedding", k = 5)
+      val hits = approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      val shape = approx.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_queries"), expr("bool_and(n = 5)").as("rows_ok"))
+      val recall = hits.agg(count(lit(1)).as("hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("tot")))
+        .select((col("hit").cast("double") / col("tot") >= 0.8).as("recall_ok"))
+      shape.crossJoin(recall)
+        .select(col("n_queries"), lit(5).as("k"), col("rows_ok"), col("recall_ok"))
     }),
     // The whole curation funnel as ONE verdict per document: language
     // gate, quality score, Gopher keep, PII exposure — the admission

@@ -72,19 +72,27 @@ object CurationOps {
    * The COMPLETE Gopher rule set (Rae et al. 2021, Table A1) —
    * [[repetitionStats]] extended with the remaining published signals:
    *
-   *  - `dup_line_frac` (as before),
+   *  - `dup_line_frac` / `dup_paragraph_frac`: fraction of non-empty
+   *    trimmed lines / blank-line-separated paragraphs repeating an
+   *    earlier one,
+   *  - `dup_line_char_frac` / `dup_paragraph_char_frac`: fraction of
+   *    characters sitting in those repeated occurrences (1 − chars of
+   *    the distinct set / chars of all occurrences),
    *  - `top_2gram_frac` / `top_3gram_frac` / `top_4gram_frac`: fraction
    *    of all word n-gram occurrences taken by the single most frequent
-   *    n-gram (0 when none),
+   *    n-gram (0 when none; occurrence-based adaptation of the paper's
+   *    character-fraction form — same monotone signal, replayable
+   *    without character bookkeeping per gram),
    *  - `symbol_word_ratio`: occurrences of `#`, `...`, `…` per word,
    *  - `bullet_line_frac` / `ellipsis_line_frac`: fraction of non-empty
    *    lines starting with a bullet (`-`, `*`, `•`) / ending with an
    *    ellipsis,
    *  - `mean_word_len`: mean characters per whitespace token,
    *  - `keep`: all signals inside the published operating points
-   *    (dup-line &lt; 0.30; top-2/3/4-gram &lt; 0.20/0.18/0.16; symbol
-   *    ratio &lt; 0.10; bullet lines &lt; 0.90; ellipsis lines &lt; 0.30;
-   *    mean word length in [3, 10]).
+   *    (dup-line/paragraph &lt; 0.30, their char fractions &lt; 0.20;
+   *    top-2/3/4-gram &lt; 0.20/0.18/0.16; symbol ratio &lt; 0.10;
+   *    bullet lines &lt; 0.90; ellipsis lines &lt; 0.30; mean word
+   *    length in [3, 10]).
    *
    * Scale shape — unchanged from [[repetitionStats]]: every line/word
    * signal is pure per-row column work carried through the aggregation
@@ -95,22 +103,38 @@ object CurationOps {
    */
   def gopherStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = filter(transform(split(col("__text"), "\n"), l => trim(l)), l => l =!= "")
+    val paras = filter(transform(split(col("__text"), "\n[ \t]*\n"), p => trim(p)), p => p =!= "")
     def lineFrac(pred: Column => Column): Column =
       when(size(col("__lines")) > 0,
         size(filter(col("__lines"), pred)).cast("double") / size(col("__lines")))
         .otherwise(lit(0.0))
+    // Fraction of items repeating an earlier one, and fraction of
+    // CHARACTERS those repeats occupy (total chars − chars of the
+    // distinct set, over total chars) — both pure array work.
+    def dupFrac(arr: Column): Column =
+      when(size(arr) > 0,
+        lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
+        .otherwise(lit(0.0))
+    def charLen(arr: Column): Column =
+      aggregate(transform(arr, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+    def dupCharFrac(arr: Column): Column = {
+      val tot = charLen(arr)
+      when(tot > 0,
+        lit(1.0) - charLen(array_distinct(arr)).cast("double") / tot)
+        .otherwise(lit(0.0))
+    }
     def gramStructs(n: Int): Column = expr(
       s"transform(slice(__w, 1, greatest(size(__w) - ${n - 1}, 0)), " +
         s"(x, i) -> struct($n AS n, concat_ws(' ', slice(__w, i + 1, $n)) AS g))")
     val base = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__lines", lines)
+      .withColumn("__paras", paras)
       .withColumn("__w", toks(col("__text")))
-      .withColumn("dup_line_frac",
-        when(size(col("__lines")) > 0,
-          lit(1.0) - size(array_distinct(col("__lines"))).cast("double") /
-            size(col("__lines")))
-          .otherwise(lit(0.0)))
+      .withColumn("dup_line_frac", dupFrac(col("__lines")))
+      .withColumn("dup_paragraph_frac", dupFrac(col("__paras")))
+      .withColumn("dup_line_char_frac", dupCharFrac(col("__lines")))
+      .withColumn("dup_paragraph_char_frac", dupCharFrac(col("__paras")))
       .withColumn("bullet_line_frac", lineFrac(l => l.rlike("^[-*•]")))
       .withColumn("ellipsis_line_frac", lineFrac(l => l.rlike("(\\.\\.\\.|…)$")))
       .withColumn("mean_word_len",
@@ -126,7 +150,9 @@ object CurationOps {
           .otherwise(lit(0.0)))
       .withColumn("__grams",
         concat(gramStructs(2), gramStructs(3), gramStructs(4)))
-    val scalars = Seq("dup_line_frac", "bullet_line_frac", "ellipsis_line_frac",
+    val scalars = Seq("dup_line_frac", "dup_paragraph_frac",
+      "dup_line_char_frac", "dup_paragraph_char_frac",
+      "bullet_line_frac", "ellipsis_line_frac",
       "mean_word_len", "symbol_word_ratio")
     def topFrac(n: Int): Column = {
       val top = coalesce(max(when(col("__n") === n, col("c"))), lit(0L)).cast("double")
@@ -147,6 +173,9 @@ object CurationOps {
           topFrac(2) :+ topFrac(3) :+ topFrac(4)): _*)
       .withColumn("keep",
         col("dup_line_frac") < 0.30 &&
+          col("dup_paragraph_frac") < 0.30 &&
+          col("dup_line_char_frac") < 0.20 &&
+          col("dup_paragraph_char_frac") < 0.20 &&
           col("top_2gram_frac") < 0.20 &&
           col("top_3gram_frac") < 0.18 &&
           col("top_4gram_frac") < 0.16 &&
@@ -154,10 +183,11 @@ object CurationOps {
           col("bullet_line_frac") < 0.90 &&
           col("ellipsis_line_frac") < 0.30 &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
-      .select(Seq(col("doc_id"), col("dup_line_frac"), col("top_2gram_frac"),
-        col("top_3gram_frac"), col("top_4gram_frac"), col("symbol_word_ratio"),
-        col("bullet_line_frac"), col("ellipsis_line_frac"), col("mean_word_len"),
-        col("keep")): _*)
+      .select(Seq(col("doc_id"), col("dup_line_frac"), col("dup_paragraph_frac"),
+        col("dup_line_char_frac"), col("dup_paragraph_char_frac"),
+        col("top_2gram_frac"), col("top_3gram_frac"), col("top_4gram_frac"),
+        col("symbol_word_ratio"), col("bullet_line_frac"),
+        col("ellipsis_line_frac"), col("mean_word_len"), col("keep")): _*)
   }
 
   /**

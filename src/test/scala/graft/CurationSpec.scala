@@ -50,6 +50,16 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(!got(5L).getAs[Boolean]("keep"))
     assert(d(6, "mean_word_len") == 0.0 && !got(6L).getAs[Boolean]("keep"),
       "empty docs fail the mean-word-length band")
+    // Paragraph repetition: 2 of 3 paragraphs identical → dup frac 1/3,
+    // and the repeated occurrence carries its char share.
+    val p = CurationOps.gopherStats(Seq(
+        (9L, "unique opening paragraph\n\nsame closing words\n\nsame closing words"),
+      ).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    assert(math.abs(p.getAs[Double]("dup_paragraph_frac") - 1.0 / 3) < 1e-12)
+    val expChar = 1.0 - (24.0 + 18.0) / (24.0 + 18.0 + 18.0)
+    assert(math.abs(p.getAs[Double]("dup_paragraph_char_frac") - expChar) < 1e-12,
+      "chars of the repeated paragraph occurrence over all paragraph chars")
+    assert(!p.getAs[Boolean]("keep"), "over the 0.30 dup-paragraph bound")
     // Repetition signals agree with the narrower operator where they overlap.
     val narrow = CurationOps.repetitionStats(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
