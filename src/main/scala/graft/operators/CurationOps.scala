@@ -101,35 +101,65 @@ object CurationOps {
    * (doc, n). Only (doc_id, n, gram) pairs shuffle — never the document
    * — and both aggregation levels are map-side partial.
    */
+  // ── Per-row Gopher building blocks (no shuffle, reused by the batch
+  //    operator and the streaming row predicate) ─────────────────────────
+  private def gLines(c: Column): Column =
+    filter(transform(split(c, "\n"), l => trim(l)), l => l =!= "")
+  private def gParas(c: Column): Column =
+    filter(transform(split(c, "\n[ \t]*\n"), p => trim(p)), p => p =!= "")
+  private def itemFrac(arr: Column, pred: Column => Column): Column =
+    when(size(arr) > 0,
+      size(filter(arr, pred)).cast("double") / size(arr)).otherwise(lit(0.0))
+  // Fraction of items repeating an earlier one, and fraction of
+  // CHARACTERS those repeats occupy (total chars − chars of the
+  // distinct set, over total chars) — both pure array work.
+  private def dupFrac(arr: Column): Column =
+    when(size(arr) > 0,
+      lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
+      .otherwise(lit(0.0))
+  private def charLen(arr: Column): Column =
+    aggregate(transform(arr, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+  private def dupCharFrac(arr: Column): Column = {
+    val tot = charLen(arr)
+    when(tot > 0,
+      lit(1.0) - charLen(array_distinct(arr)).cast("double") / tot)
+      .otherwise(lit(0.0))
+  }
+  private def meanWordLen(w: Column): Column =
+    when(size(w) > 0,
+      aggregate(transform(w, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+        .cast("double") / size(w)).otherwise(lit(0.0))
+  private def symbolWordRatio(c: Column, w: Column): Column =
+    when(size(w) > 0,
+      (regexp_count(c, lit("#")) + regexp_count(c, lit("\\.\\.\\.")) +
+        regexp_count(c, lit("…"))).cast("double") / size(w)).otherwise(lit(0.0))
+
+  /**
+   * The shuffle-free subset of [[gopherStats]] as ONE per-row predicate:
+   * every published signal except the modal n-gram fractions (those need
+   * the (doc, gram) aggregation). Because it is pure column work it can
+   * gate a STREAM statelessly — each micro-batch row decides for itself,
+   * replays identically on retry, and adds no state store.
+   */
+  def gopherRowKeep(c: Column): Column = {
+    val lines = gLines(c); val paras = gParas(c); val w = toks(c)
+    dupFrac(lines) < 0.30 && dupFrac(paras) < 0.30 &&
+      dupCharFrac(lines) < 0.20 && dupCharFrac(paras) < 0.20 &&
+      symbolWordRatio(c, w) < 0.10 &&
+      itemFrac(lines, l => l.rlike("^[-*•]")) < 0.90 &&
+      itemFrac(lines, l => l.rlike("(\\.\\.\\.|…)$")) < 0.30 &&
+      meanWordLen(w) >= 3.0 && meanWordLen(w) <= 10.0
+  }
+
   def gopherStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = filter(transform(split(col("__text"), "\n"), l => trim(l)), l => l =!= "")
-    val paras = filter(transform(split(col("__text"), "\n[ \t]*\n"), p => trim(p)), p => p =!= "")
-    def lineFrac(pred: Column => Column): Column =
-      when(size(col("__lines")) > 0,
-        size(filter(col("__lines"), pred)).cast("double") / size(col("__lines")))
-        .otherwise(lit(0.0))
-    // Fraction of items repeating an earlier one, and fraction of
-    // CHARACTERS those repeats occupy (total chars − chars of the
-    // distinct set, over total chars) — both pure array work.
-    def dupFrac(arr: Column): Column =
-      when(size(arr) > 0,
-        lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
-        .otherwise(lit(0.0))
-    def charLen(arr: Column): Column =
-      aggregate(transform(arr, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
-    def dupCharFrac(arr: Column): Column = {
-      val tot = charLen(arr)
-      when(tot > 0,
-        lit(1.0) - charLen(array_distinct(arr)).cast("double") / tot)
-        .otherwise(lit(0.0))
-    }
+    def lineFrac(pred: Column => Column): Column = itemFrac(col("__lines"), pred)
     def gramStructs(n: Int): Column = expr(
       s"transform(slice(__w, 1, greatest(size(__w) - ${n - 1}, 0)), " +
         s"(x, i) -> struct($n AS n, concat_ws(' ', slice(__w, i + 1, $n)) AS g))")
     val base = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .withColumn("__lines", lines)
-      .withColumn("__paras", paras)
+      .withColumn("__lines", gLines(col("__text")))
+      .withColumn("__paras", gParas(col("__text")))
       .withColumn("__w", toks(col("__text")))
       .withColumn("dup_line_frac", dupFrac(col("__lines")))
       .withColumn("dup_paragraph_frac", dupFrac(col("__paras")))
@@ -137,17 +167,8 @@ object CurationOps {
       .withColumn("dup_paragraph_char_frac", dupCharFrac(col("__paras")))
       .withColumn("bullet_line_frac", lineFrac(l => l.rlike("^[-*•]")))
       .withColumn("ellipsis_line_frac", lineFrac(l => l.rlike("(\\.\\.\\.|…)$")))
-      .withColumn("mean_word_len",
-        when(size(col("__w")) > 0,
-          expr("aggregate(transform(__w, x -> length(x)), 0L, (a, x) -> a + x)")
-            .cast("double") / size(col("__w")))
-          .otherwise(lit(0.0)))
-      .withColumn("symbol_word_ratio",
-        when(size(col("__w")) > 0,
-          (regexp_count(col("__text"), lit("#")) +
-            regexp_count(col("__text"), lit("\\.\\.\\.")) +
-            regexp_count(col("__text"), lit("…"))).cast("double") / size(col("__w")))
-          .otherwise(lit(0.0)))
+      .withColumn("mean_word_len", meanWordLen(col("__w")))
+      .withColumn("symbol_word_ratio", symbolWordRatio(col("__text"), col("__w")))
       .withColumn("__grams",
         concat(gramStructs(2), gramStructs(3), gramStructs(4)))
     val scalars = Seq("dup_line_frac", "dup_paragraph_frac",

@@ -55,17 +55,20 @@ object ArticleStream {
    * Streaming curation gate at ingest — the curation stack applied where
    * it is cheapest, before anything lands: canonicalize the URL
    * (stateless), drop docs outside token bounds or under the quality
-   * floor (stateless codegen kernels), redact PII (stateless regex),
-   * then TTL-dedup on the CANONICAL url (watermarked state) so two crawl
-   * variants of one page count as the duplicate they are. Every stage
-   * but the dedup is pure column work, so the whole gate is
+   * floor (stateless codegen kernels), drop Gopher-rule failures (the
+   * shuffle-free signal subset — [[graft.operators.CurationOps.gopherRowKeep]]:
+   * line/paragraph repetition, symbol ratio, bullet/ellipsis lines, mean
+   * word length — per-row, replay-identical), redact PII (stateless
+   * regex), then TTL-dedup on the CANONICAL url (watermarked state) so
+   * two crawl variants of one page count as the duplicate they are.
+   * Every stage but the dedup is pure column work, so the whole gate is
    * streaming-safe in append mode with exactly the one dedup state
    * store.
    */
   def curate(df: DataFrame, urlCol: String, textCol: String,
              eventTimeCol: String, minTokens: Int = 5,
              maxTokens: Int = 1000000, minQuality: Double = 0.2,
-             ttl: String = "24 hours"): DataFrame = {
+             ttl: String = "24 hours", gopherGate: Boolean = true): DataFrame = {
     import graft.functions.text
     val gated = df
       .withColumn("canonical_url",
@@ -73,6 +76,8 @@ object ArticleStream {
       .withColumn("__n", text.tokenCount(col(textCol)))
       .filter(col("__n") >= minTokens && col("__n") <= maxTokens)
       .filter(text.qualityScore(col(textCol)) >= minQuality)
+      .filter(if (gopherGate)
+        graft.operators.CurationOps.gopherRowKeep(col(textCol)) else lit(true))
       .withColumn(textCol, graft.operators.CurationOps.redactPii(col(textCol)))
       .drop("__n")
     dedupWithTtl(gated, eventTimeCol, "canonical_url", ttl)

@@ -45,12 +45,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         // too short for minTokens=3
         (ts(1), "http://example.com/short", "hi there"),
         // distinct page survives
-        (ts(2), "http://example.com/b", "completely different words here now"))
+        (ts(2), "http://example.com/b", "completely different words here now"),
+        // Gopher gate: heavy line repetition dies in-stream, statelessly
+        (ts(2), "http://example.com/spam",
+          "buy this now\nbuy this now\nbuy this now\nbuy this now\nonly once"))
       q.processAllAvailable()
       val rows = spark.table("curate_out")
         .select("canonical_url", "text").as[(String, String)].collect().toMap
       assert(rows.keySet == Set("http://example.com/a", "http://example.com/b"),
-        "crawl variants collapse; short doc dropped")
+        "crawl variants collapse; short doc dropped; repetitive doc gophered")
       assert(rows("http://example.com/a").contains("<EMAIL>"), "PII redacted in-stream")
     } finally q.stop()
   }
