@@ -44,6 +44,36 @@ object KernelProps extends Properties("kernels") {
     a._1 == b._1 && a._2.map(s => (s.storyId, s.n)) == b._2.map(s => (s.storyId, s.n))
   }
 
+  private val storySetGen: Gen[List[StoryState]] = for {
+    n <- Gen.choose(0, 25)
+    vs <- Gen.listOfN(n, vecGen)
+  } yield vs.zipWithIndex.map { case (v, i) => StoryState(f"s$i%03d", v, (i % 3) + 1L) }
+
+  // The ST4 scale argument as a law, not a fixture: folding against the
+  // grid-cell candidate subset gives the SAME assignments and the SAME
+  // candidate-story trajectories as folding against every story — for
+  // arbitrary batches and story sets, because the epsilon-grid bound has
+  // exact recall at the threshold.
+  property("candidate-pruned fold ≡ full fold (assignments + trajectories)") =
+    forAll(batchGen, storySetGen) { (batch, stories) =>
+      val t = 0.9
+      val cells = OnlineClustering.candidateCells(batch, t, 2)
+      val cand = stories.filter(s =>
+        cells.contains(OnlineClustering.homeCell(s.centroid, t, 2)))
+      val (fullA, fullS) = OnlineClustering.foldBatch(batch, stories, t, i => s"n-$i")
+      val (prunedA, prunedS) = OnlineClustering.foldBatch(batch, cand, t, i => s"n-$i")
+      val assignEq = fullA.map(a => (a.id, a.storyId, a.isNew)) ==
+        prunedA.map(a => (a.id, a.storyId, a.isNew))
+      val joinSimEq = fullA.filterNot(_.isNew).map(a => (a.id, a.sim)) ==
+        prunedA.filterNot(_.isNew).map(a => (a.id, a.sim))
+      val touched = prunedS.map(s => s.storyId -> s).toMap
+      val trajEq = fullS.filter(s => touched.contains(s.storyId)).forall { s =>
+        val p = touched(s.storyId)
+        p.n == s.n && p.centroid.sameElements(s.centroid)
+      }
+      assignEq && joinSimEq && trajEq
+    }
+
   private val scoredGen: Gen[List[graft.functions.Scored]] = for {
     n <- Gen.choose(0, 40)
     xs <- Gen.listOfN(n, Gen.zip(Gen.choose(-1.0, 1.0), Gen.choose(0L, 20L)))
