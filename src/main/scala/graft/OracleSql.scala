@@ -916,6 +916,35 @@ object OracleSql {
          |FROM documents doc LEFT JOIN cc ON cc.id = doc.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
 
+    // Corpus report card: one aggregation over the same token stream.
+    "x_corpus_stats" ->
+      s"""WITH w AS (SELECT doc_id, lang, text, $words wds FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(wds)) AS BIGINT) AS n_tokens,
+        |  round(avg(len(wds)), 6) AS avg_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+        |  round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6) AS dup_frac
+        |FROM w""".stripMargin,
+
+    // OOV rate vs the corpus top-100 vocabulary (same deterministic
+    // tie-break as x_vocab_topk), per document.
+    "x_oov_rate" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+        |v AS (SELECT token FROM (
+        |    SELECT unnest(wds) token FROM w) GROUP BY token
+        |  ORDER BY count(*) DESC, token LIMIT 100),
+        |e AS (SELECT doc_id, unnest(wds) token FROM w),
+        |c AS (SELECT e.doc_id, count(*) n_tokens,
+        |    count(CASE WHEN v.token IS NULL THEN 1 END) n_oov
+        |  FROM e LEFT JOIN v ON v.token = e.token GROUP BY e.doc_id)
+        |SELECT w.doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
+        |  coalesce(c.n_oov, 0) AS n_oov,
+        |  CASE WHEN coalesce(c.n_tokens, 0) > 0
+        |       THEN round(c.n_oov::DOUBLE / c.n_tokens, 6) ELSE 0.0 END AS oov_rate
+        |FROM w LEFT JOIN c ON c.doc_id = w.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
     // Vocabulary head: same token stream, same deterministic tie-break.
     "x_vocab_topk" ->
       s"""WITH w AS (SELECT unnest($words) token FROM documents)

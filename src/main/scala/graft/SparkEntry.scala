@@ -398,6 +398,40 @@ object SparkEntry {
           shingleN = 3, k = 4, bands = 4, threshold = 0.02)
         .orderBy("doc_id")
     }),
+    // The corpus report card every pipeline prints before training: doc
+    // and token totals, mean length, language spread, exact-dup rate —
+    // ONE aggregation pass (the countDistincts expand map-side).
+    "x_corpus_stats" -> ((s, d) => {
+      val st = graft.functions.textStats(col("text"))
+      T(s, d, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(st.getField("n_tokens").cast("long")).as("n_tokens"),
+          round(avg(st.getField("n_tokens")), 6).as("avg_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(md5(col("text"))).as("n_unique_texts"))
+        .withColumn("dup_frac",
+          round(lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"), 6))
+    }),
+    // Out-of-vocabulary rate per document against the corpus's own
+    // top-100 vocabulary — the tokenizer-coverage statistic. The vocab
+    // is tiny by construction, so it broadcasts; only (doc_id, token)
+    // pairs shuffle for the per-doc counts.
+    "x_oov_rate" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val vocab = CurationOps.vocabTopK(docs, "text", 100)
+        .select(col("token"), lit(1).as("__in"))
+      docs.select(col("doc_id"),
+          explode_outer(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))
+            .as("token"))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("token")).as("n_tokens"),
+          count(when(col("token").isNotNull && col("__in").isNull, 1)).as("n_oov"))
+        .withColumn("oov_rate",
+          when(col("n_tokens") > 0,
+            round(col("n_oov").cast("double") / col("n_tokens"), 6)).otherwise(lit(0.0)))
+        .orderBy("doc_id")
+    }),
     // Corpus vocabulary head: top-50 tokens by frequency with
     // deterministic ties (count desc, token asc).
     "x_vocab_topk" -> ((s, d) => {
