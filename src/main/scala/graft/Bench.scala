@@ -27,6 +27,9 @@ object Bench {
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(names) =>
         val ns = names.split(',').toSet
+        val unknown = ns -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
         SparkEntry.queries.filter { case (n, _) => ns(n) }
       case None => SparkEntry.queries
     }

@@ -15,6 +15,71 @@ object OracleSql {
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')"""
   private val stops = "('the','a','an','of','and','to','in','is','it','for')"
 
+  // Shared Gopher CTE chain over a source relation exposing
+  // (doc_id, text, wds): per-doc line/paragraph repetition + char
+  // fractions, bullet/ellipsis/symbol/mean-word-length signals (`gst`)
+  // and the modal 2/3/4-gram fractions (`gp`). One definition for every
+  // oracle that replays CurationOps.gopherStats, so the operating points
+  // cannot drift between them.
+  private def gopherCtes(src: String): String =
+    s"""gl AS (SELECT doc_id, text,
+      |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') ls,
+      |    list_filter(list_transform(regexp_split_to_array(text, '\\n[ \\t]*\\n'), x -> trim(x)), x -> x <> '') ps,
+      |    wds FROM $src),
+      |gst AS (SELECT doc_id, wds,
+      |    CASE WHEN len(ls) > 0 THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) ELSE 0.0 END dlf,
+      |    CASE WHEN len(ps) > 0 THEN 1.0 - len(list_distinct(ps))::DOUBLE / len(ps) ELSE 0.0 END dpf,
+      |    CASE WHEN coalesce(list_sum(list_transform(ls, x -> len(x))), 0) > 0
+      |         THEN 1.0 - list_sum(list_transform(list_distinct(ls), x -> len(x)))::DOUBLE / list_sum(list_transform(ls, x -> len(x)))
+      |         ELSE 0.0 END dlcf,
+      |    CASE WHEN coalesce(list_sum(list_transform(ps, x -> len(x))), 0) > 0
+      |         THEN 1.0 - list_sum(list_transform(list_distinct(ps), x -> len(x)))::DOUBLE / list_sum(list_transform(ps, x -> len(x)))
+      |         ELSE 0.0 END dpcf,
+      |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))::DOUBLE / len(ls) ELSE 0.0 END blf,
+      |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$$')))::DOUBLE / len(ls) ELSE 0.0 END elf,
+      |    CASE WHEN len(wds) > 0 THEN list_sum(list_transform(wds, x -> len(x)))::DOUBLE / len(wds) ELSE 0.0 END mwl,
+      |    CASE WHEN len(wds) > 0 THEN (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) + len(regexp_extract_all(text, '…')))::DOUBLE / len(wds) ELSE 0.0 END swr
+      |  FROM gl),
+      |ge AS (SELECT doc_id, 2 AS n, unnest(list_transform(generate_series(1, greatest(len(wds) - 1, 0)), i -> array_to_string(wds[i:i+1], ' '))) g FROM gst
+      |  UNION ALL SELECT doc_id, 3, unnest(list_transform(generate_series(1, greatest(len(wds) - 2, 0)), i -> array_to_string(wds[i:i+2], ' '))) FROM gst
+      |  UNION ALL SELECT doc_id, 4, unnest(list_transform(generate_series(1, greatest(len(wds) - 3, 0)), i -> array_to_string(wds[i:i+3], ' '))) FROM gst),
+      |gc AS (SELECT doc_id, n, g, count(*) cnt FROM ge GROUP BY 1, 2, 3),
+      |gm AS (SELECT doc_id, n, max(cnt)::DOUBLE / sum(cnt) f FROM gc GROUP BY 1, 2),
+      |gp AS (SELECT doc_id,
+      |    coalesce(max(CASE WHEN n = 2 THEN f END), 0.0) t2,
+      |    coalesce(max(CASE WHEN n = 3 THEN f END), 0.0) t3,
+      |    coalesce(max(CASE WHEN n = 4 THEN f END), 0.0) t4
+      |  FROM gm GROUP BY doc_id)""".stripMargin
+
+  private val gopherKeepSql =
+    """(dlf < 0.30 AND dpf < 0.30 AND dlcf < 0.20 AND dpcf < 0.20
+      |   AND coalesce(t2, 0.0) < 0.20 AND coalesce(t3, 0.0) < 0.18
+      |   AND coalesce(t4, 0.0) < 0.16 AND swr < 0.10 AND blf < 0.90
+      |   AND elf < 0.30 AND mwl >= 3.0 AND mwl <= 10.0)""".stripMargin
+
+  // Shared MinHash/LSH candidate chain over `documents` (shingle width 3,
+  // k = 4 salted-md5 mins, 4 bands of one hash): signatures (`lsig`),
+  // candidate pairs (`cand`), distinct-shingle memberships (`lm`), sizes
+  // (`lsz`) and pair intersections (`li`) — one definition for every
+  // oracle that replays the LSH stack.
+  private val lshCandCtes: String =
+    s"""lw AS (SELECT doc_id, $words wds FROM documents),
+      |lsh0 AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+      |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
+      |  FROM lw),
+      |lsig AS (SELECT doc_id, [
+      |  list_min(list_transform(s, x -> md5('0|' || x))),
+      |  list_min(list_transform(s, x -> md5('1|' || x))),
+      |  list_min(list_transform(s, x -> md5('2|' || x))),
+      |  list_min(list_transform(s, x -> md5('3|' || x)))] sg FROM lsh0),
+      |lb AS (SELECT doc_id, generate_subscripts(sg, 1) band, unnest(sg) bv FROM lsig),
+      |cand AS (SELECT DISTINCT a.doc_id ia, c.doc_id ib
+      |  FROM lb a JOIN lb c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id),
+      |lm AS (SELECT doc_id, unnest(list_distinct(s)) sh FROM lsh0),
+      |lsz AS (SELECT doc_id, count(*) n FROM lm GROUP BY doc_id),
+      |li AS (SELECT a.doc_id ia, b2.doc_id ib, count(*) inter
+      |  FROM lm a JOIN lm b2 ON a.sh = b2.sh AND a.doc_id < b2.doc_id GROUP BY 1, 2)""".stripMargin
+
   // Shared CDC boundary pipeline (window 8, mask 31, B=257, M=1048573):
   // per-window closed-form hash == the JVM kernel's rolling recurrence.
   // Exposes `b(doc_id, text, n, ends BIGINT[])` with the final chunk
@@ -657,36 +722,9 @@ object OracleSql {
         |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || 'repeated closing paragraph' ||
         |      chr(10) || chr(10) || 'repeated closing paragraph' ELSE '' END) AS text
         |  FROM documents),
-        |l AS (SELECT doc_id, text,
-        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') ls,
-        |    list_filter(list_transform(regexp_split_to_array(text, '\\n[ \\t]*\\n'), x -> trim(x)), x -> x <> '') ps,
-        |    $words wds
-        |  FROM t),
-        |s AS (SELECT doc_id, wds,
-        |    CASE WHEN len(ls) > 0 THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) ELSE 0.0 END dlf,
-        |    CASE WHEN len(ps) > 0 THEN 1.0 - len(list_distinct(ps))::DOUBLE / len(ps) ELSE 0.0 END dpf,
-        |    CASE WHEN coalesce(list_sum(list_transform(ls, x -> len(x))), 0) > 0
-        |         THEN 1.0 - list_sum(list_transform(list_distinct(ls), x -> len(x)))::DOUBLE / list_sum(list_transform(ls, x -> len(x)))
-        |         ELSE 0.0 END dlcf,
-        |    CASE WHEN coalesce(list_sum(list_transform(ps, x -> len(x))), 0) > 0
-        |         THEN 1.0 - list_sum(list_transform(list_distinct(ps), x -> len(x)))::DOUBLE / list_sum(list_transform(ps, x -> len(x)))
-        |         ELSE 0.0 END dpcf,
-        |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))::DOUBLE / len(ls) ELSE 0.0 END blf,
-        |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$$')))::DOUBLE / len(ls) ELSE 0.0 END elf,
-        |    CASE WHEN len(wds) > 0 THEN list_sum(list_transform(wds, x -> len(x)))::DOUBLE / len(wds) ELSE 0.0 END mwl,
-        |    CASE WHEN len(wds) > 0 THEN (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) + len(regexp_extract_all(text, '…')))::DOUBLE / len(wds) ELSE 0.0 END swr
-        |  FROM l),
-        |e AS (SELECT doc_id, 2 AS n, unnest(list_transform(generate_series(1, greatest(len(wds) - 1, 0)), i -> array_to_string(wds[i:i+1], ' '))) g FROM s
-        |  UNION ALL SELECT doc_id, 3, unnest(list_transform(generate_series(1, greatest(len(wds) - 2, 0)), i -> array_to_string(wds[i:i+2], ' '))) FROM s
-        |  UNION ALL SELECT doc_id, 4, unnest(list_transform(generate_series(1, greatest(len(wds) - 3, 0)), i -> array_to_string(wds[i:i+3], ' '))) FROM s),
-        |c AS (SELECT doc_id, n, g, count(*) cnt FROM e GROUP BY 1, 2, 3),
-        |m AS (SELECT doc_id, n, max(cnt)::DOUBLE / sum(cnt) f FROM c GROUP BY 1, 2),
-        |p AS (SELECT doc_id,
-        |    coalesce(max(CASE WHEN n = 2 THEN f END), 0.0) t2,
-        |    coalesce(max(CASE WHEN n = 3 THEN f END), 0.0) t3,
-        |    coalesce(max(CASE WHEN n = 4 THEN f END), 0.0) t4
-        |  FROM m GROUP BY doc_id)
-        |SELECT s.doc_id, round(dlf, 6) AS dup_line_frac,
+        |tw AS (SELECT doc_id, text, $words wds FROM t),
+        |${gopherCtes("tw")}
+        |SELECT gst.doc_id, round(dlf, 6) AS dup_line_frac,
         |  round(dpf, 6) AS dup_paragraph_frac,
         |  round(dlcf, 6) AS dup_line_char_frac,
         |  round(dpcf, 6) AS dup_paragraph_char_frac,
@@ -697,12 +735,9 @@ object OracleSql {
         |  round(blf, 6) AS bullet_line_frac,
         |  round(elf, 6) AS ellipsis_line_frac,
         |  round(mwl, 6) AS mean_word_len,
-        |  (dlf < 0.30 AND dpf < 0.30 AND dlcf < 0.20 AND dpcf < 0.20
-        |   AND coalesce(t2, 0.0) < 0.20 AND coalesce(t3, 0.0) < 0.18
-        |   AND coalesce(t4, 0.0) < 0.16 AND swr < 0.10 AND blf < 0.90
-        |   AND elf < 0.30 AND mwl >= 3.0 AND mwl <= 10.0) AS keep
-        |FROM s LEFT JOIN p USING (doc_id)
-        |ORDER BY s.doc_id""".stripMargin,
+        |  $gopherKeepSql AS keep
+        |FROM gst LEFT JOIN gp USING (doc_id)
+        |ORDER BY gst.doc_id""".stripMargin,
 
     // Decontamination: distinct 3-gram digests of the eval slice probed
     // by every training doc.
@@ -794,40 +829,9 @@ object OracleSql {
          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
          |       len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) n_pii
          |  FROM w),
-         |l AS (SELECT doc_id, text,
-         |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') ls,
-         |    list_filter(list_transform(regexp_split_to_array(text, '\\n[ \\t]*\\n'), x -> trim(x)), x -> x <> '') ps,
-         |    wds FROM w),
-         |gs AS (SELECT doc_id, wds,
-         |    CASE WHEN len(ls) > 0 THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) ELSE 0.0 END dlf,
-         |    CASE WHEN len(ps) > 0 THEN 1.0 - len(list_distinct(ps))::DOUBLE / len(ps) ELSE 0.0 END dpf,
-         |    CASE WHEN coalesce(list_sum(list_transform(ls, x -> len(x))), 0) > 0
-         |         THEN 1.0 - list_sum(list_transform(list_distinct(ls), x -> len(x)))::DOUBLE / list_sum(list_transform(ls, x -> len(x)))
-         |         ELSE 0.0 END dlcf,
-         |    CASE WHEN coalesce(list_sum(list_transform(ps, x -> len(x))), 0) > 0
-         |         THEN 1.0 - list_sum(list_transform(list_distinct(ps), x -> len(x)))::DOUBLE / list_sum(list_transform(ps, x -> len(x)))
-         |         ELSE 0.0 END dpcf,
-         |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))::DOUBLE / len(ls) ELSE 0.0 END blf,
-         |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$$')))::DOUBLE / len(ls) ELSE 0.0 END elf,
-         |    CASE WHEN len(wds) > 0 THEN list_sum(list_transform(wds, x -> len(x)))::DOUBLE / len(wds) ELSE 0.0 END mwl,
-         |    CASE WHEN len(wds) > 0 THEN (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) + len(regexp_extract_all(text, '…')))::DOUBLE / len(wds) ELSE 0.0 END swr
-         |  FROM l),
-         |e AS (SELECT doc_id, 2 AS n, unnest(list_transform(generate_series(1, greatest(len(wds) - 1, 0)), i -> array_to_string(wds[i:i+1], ' '))) g FROM gs
-         |  UNION ALL SELECT doc_id, 3, unnest(list_transform(generate_series(1, greatest(len(wds) - 2, 0)), i -> array_to_string(wds[i:i+2], ' '))) FROM gs
-         |  UNION ALL SELECT doc_id, 4, unnest(list_transform(generate_series(1, greatest(len(wds) - 3, 0)), i -> array_to_string(wds[i:i+3], ' '))) FROM gs),
-         |c AS (SELECT doc_id, n, g, count(*) cnt FROM e GROUP BY 1, 2, 3),
-         |mm AS (SELECT doc_id, n, max(cnt)::DOUBLE / sum(cnt) f FROM c GROUP BY 1, 2),
-         |p AS (SELECT doc_id,
-         |    coalesce(max(CASE WHEN n = 2 THEN f END), 0.0) t2,
-         |    coalesce(max(CASE WHEN n = 3 THEN f END), 0.0) t3,
-         |    coalesce(max(CASE WHEN n = 4 THEN f END), 0.0) t4
-         |  FROM mm GROUP BY doc_id),
-         |g AS (SELECT gs.doc_id,
-         |  (dlf < 0.30 AND dpf < 0.30 AND dlcf < 0.20 AND dpcf < 0.20
-         |   AND coalesce(t2, 0.0) < 0.20 AND coalesce(t3, 0.0) < 0.18
-         |   AND coalesce(t4, 0.0) < 0.16 AND swr < 0.10 AND blf < 0.90
-         |   AND elf < 0.30 AND mwl >= 3.0 AND mwl <= 10.0) AS gopher_keep
-         |  FROM gs LEFT JOIN p USING (doc_id))
+         |${gopherCtes("w")},
+         |g AS (SELECT gst.doc_id, $gopherKeepSql AS gopher_keep
+         |  FROM gst LEFT JOIN gp USING (doc_id))
          |SELECT w.doc_id, lang.lang_pred, q.quality, pii.n_pii, g.gopher_keep,
          |  (lang.lang_pred <> 'und' AND q.quality >= 0.5 AND g.gopher_keep
          |   AND pii.n_pii = 0) AS admit
@@ -839,29 +843,14 @@ object OracleSql {
     // candidate pairs, agreement fraction over the 4 slots vs the exact
     // Jaccard of the same pair.
     "x_minhash_est" ->
-      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
-         |sh0 AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
-         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
-         |  FROM w),
-         |sig AS (SELECT doc_id, [
-         |  list_min(list_transform(s, x -> md5('0|' || x))),
-         |  list_min(list_transform(s, x -> md5('1|' || x))),
-         |  list_min(list_transform(s, x -> md5('2|' || x))),
-         |  list_min(list_transform(s, x -> md5('3|' || x)))] sg FROM sh0),
-         |b AS (SELECT doc_id, generate_subscripts(sg, 1) band, unnest(sg) bv FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id ia, c.doc_id ib
-         |  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id),
-         |m AS (SELECT doc_id, unnest(list_distinct(s)) sh FROM sh0),
-         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
-         |i AS (SELECT a.doc_id ia, b2.doc_id ib, count(*) inter
-         |  FROM m a JOIN m b2 ON a.sh = b2.sh AND a.doc_id < b2.doc_id GROUP BY 1, 2)
+      s"""WITH $lshCandCtes
          |SELECT c.ia AS id_a, c.ib AS id_b,
          |  len(list_filter([1, 2, 3, 4], k -> coalesce(x.sg[k] = y.sg[k], false)))::DOUBLE / 4.0 AS est,
-         |  round(i.inter::DOUBLE / (sx.n + sy.n - i.inter), 6) AS jaccard
+         |  round(li.inter::DOUBLE / (sx.n + sy.n - li.inter), 6) AS jaccard
          |FROM cand c
-         |JOIN sig x ON x.doc_id = c.ia JOIN sig y ON y.doc_id = c.ib
-         |JOIN i ON i.ia = c.ia AND i.ib = c.ib
-         |JOIN sz sx ON sx.doc_id = c.ia JOIN sz sy ON sy.doc_id = c.ib
+         |JOIN lsig x ON x.doc_id = c.ia JOIN lsig y ON y.doc_id = c.ib
+         |JOIN li ON li.ia = c.ia AND li.ib = c.ib
+         |JOIN lsz sx ON sx.doc_id = c.ia JOIN lsz sy ON sy.doc_id = c.ib
          |ORDER BY id_a, id_b""".stripMargin,
 
     // Int8 quantization replay: same scale formula, same floor-based
@@ -887,24 +876,9 @@ object OracleSql {
     // recursive reachability CTE (as x_dup_components); kept = the doc
     // IS its component's min-id label.
     "pipe_dedup_e2e" ->
-      s"""WITH RECURSIVE w AS (SELECT doc_id, $words wds FROM documents),
-         |sh0 AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
-         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
-         |  FROM w),
-         |sig AS (SELECT doc_id, [
-         |  list_min(list_transform(s, x -> md5('0|' || x))),
-         |  list_min(list_transform(s, x -> md5('1|' || x))),
-         |  list_min(list_transform(s, x -> md5('2|' || x))),
-         |  list_min(list_transform(s, x -> md5('3|' || x)))] sg FROM sh0),
-         |b AS (SELECT doc_id, generate_subscripts(sg, 1) band, unnest(sg) bv FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id ia, c.doc_id ib
-         |  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id),
-         |m AS (SELECT doc_id, unnest(list_distinct(s)) sh FROM sh0),
-         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
-         |i AS (SELECT a.doc_id ia, b2.doc_id ib, count(*) inter
-         |  FROM m a JOIN m b2 ON a.sh = b2.sh AND a.doc_id < b2.doc_id GROUP BY 1, 2),
-         |p AS (SELECT i.ia, i.ib FROM i JOIN cand USING (ia, ib)
-         |  JOIN sz x ON x.doc_id = i.ia JOIN sz y ON y.doc_id = i.ib
+      s"""WITH RECURSIVE $lshCandCtes,
+         |p AS (SELECT li.ia, li.ib FROM li JOIN cand USING (ia, ib)
+         |  JOIN lsz x ON x.doc_id = li.ia JOIN lsz y ON y.doc_id = li.ib
          |  WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.02),
          |e AS (SELECT ia s, ib d FROM p UNION SELECT ib, ia FROM p),
          |r AS (SELECT s AS id, s AS lbl FROM e
@@ -963,7 +937,7 @@ object OracleSql {
         |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') u FROM t),
         |s2 AS (SELECT doc_id, url, regexp_replace(u, '[?&]utm_[A-Za-z_]*=[^&#]*', '', 'g') u FROM s1),
         |s3 AS (SELECT doc_id, url, regexp_replace(u, '^([^?]*)&', '\1?') u FROM s2),
-        |s4 AS (SELECT doc_id, url, regexp_replace(u, '^([^/?#]*//[^/?#:]*):(80|443)([/?#]|$)', '\1\3') u FROM s3),
+        |s4 AS (SELECT doc_id, url, regexp_replace(u, '^([^/?#]*//(?:[^/?#@]*@)?(?:\[[^\]]*\]|[^/?#:@]*)):(80|443)([/?#]|$)', '\1\3') u FROM s3),
         |s5 AS (SELECT doc_id, url, u, regexp_extract(u, '^([^/?#]*//[^/?#]*)', 1) p FROM s4),
         |s6 AS (SELECT doc_id, url, lower(p) || substr(u, len(p) + 1) u FROM s5)
         |SELECT doc_id, url, regexp_replace(u, '/$', '') AS canonical

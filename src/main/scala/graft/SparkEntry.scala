@@ -53,6 +53,19 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** The documented quality score (length, stopword, word-length terms,
+    * rounded to 6) — ONE definition shared by x_quality and the composed
+    * x_curation_verdict so the operating points cannot drift apart. */
+  private def qualityOf(textCol: org.apache.spark.sql.Column) = {
+    val st = graft.functions.textStats(textCol)
+    val stopRatio = st("n_stop").cast("double") / st("n_tokens")
+    val awl = st("sum_len").cast("double") / st("n_tokens")
+    round(
+      least(st("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.5 +
+        when(stopRatio > 0.01, 1.0).otherwise(0.5) * 0.25 +
+        when(awl.between(2.0, 12.0), 1.0).otherwise(0.5) * 0.25, 6)
+  }
+
   /** events.event_type → implicit score (reference weights shape, P10). */
   private def eventsScore(c: org.apache.spark.sql.Column) =
     Recommend.eventScore(c, Seq(
@@ -274,13 +287,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "x_quality" -> ((s, d) => {
-      val st = graft.functions.textStats(col("text"))
-      val stopRatio = st("n_stop").cast("double") / st("n_tokens")
-      val awl = st("sum_len").cast("double") / st("n_tokens")
-      val quality = round(
-        least(st("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.5 +
-          when(stopRatio > 0.01, 1.0).otherwise(0.5) * 0.25 +
-          when(awl.between(2.0, 12.0), 1.0).otherwise(0.5) * 0.25, 6)
+      val quality = qualityOf(col("text"))
       T(s, d, "documents")
         .select(col("doc_id"), quality.as("quality"))
         .orderBy("doc_id")
@@ -550,13 +557,7 @@ object SparkEntry {
     // decision a corpus filter actually makes, composed from the same
     // kernels the individual queries check.
     "x_curation_verdict" -> ((s, d) => {
-      val st = graft.functions.textStats(col("text"))
-      val stopRatio = st("n_stop").cast("double") / st("n_tokens")
-      val awl = st("sum_len").cast("double") / st("n_tokens")
-      val quality = round(
-        least(st("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.5 +
-          when(stopRatio > 0.01, 1.0).otherwise(0.5) * 0.25 +
-          when(awl.between(2.0, 12.0), 1.0).otherwise(0.5) * 0.25, 6)
+      val quality = qualityOf(col("text"))
       val base = T(s, d, "documents").select(col("doc_id"),
         text.langId(col("text")).as("lang_pred"), quality.as("quality"),
         (CurationOps.piiCounts(col("text")).getField("emails") +

@@ -27,6 +27,10 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val selected = only.fold(SparkEntry.queries)(ns =>
       SparkEntry.queries.filter { case (n, _) => ns(n) })
+    only.foreach { ns =>
+      val unknown = ns -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query names in filter: ${unknown.mkString(", ")}")
+    }
     val tasks = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
@@ -51,7 +55,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Dump oracles only for the queries actually run: a filtered local
+    // run must not advertise results it never produced.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -303,8 +303,12 @@ object CurationOps {
     val noFrag = regexp_replace(c, "#.*", "")
     val noUtm = regexp_replace(noFrag, "[?&]utm_[A-Za-z_]*=[^&#]*", "")
     val repaired = regexp_replace(noUtm, "^([^?]*)&", "$1?")
+    // Authority = optional userinfo (may itself contain ':') then either
+    // a bracketed IPv6 literal or a colon-free host; only a port right
+    // after THAT authority is stripped. RE2-safe (non-capturing groups,
+    // no lookaround) so the oracle replays it verbatim.
     val noPort = regexp_replace(repaired,
-      "^([^/?#]*//[^/?#:]*):(80|443)([/?#]|$)", "$1$3")
+      "^([^/?#]*//(?:[^/?#@]*@)?(?:\\[[^\\]]*\\]|[^/?#:@]*)):(80|443)([/?#]|$)", "$1$3")
     val prefix = regexp_extract(noPort, "^([^/?#]*//[^/?#]*)", 1)
     val lowered = concat(lower(prefix),
       noPort.substr(length(prefix) + lit(1), length(noPort)))

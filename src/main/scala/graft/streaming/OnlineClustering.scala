@@ -126,6 +126,28 @@ object OnlineClustering {
   // leave the executors in either direction. Partitioning the stories
   // table by cell key would further turn the filter into partition
   // pruning; with the default bucketed TableSink it is a scan-and-drop.
+  //
+  // OPERATING ENVELOPE — when does the exact prefilter actually prune?
+  // Recall is always exact, but DISCRIMINATION needs the cell width
+  // w = √(2−2t) to be comparable to the per-coordinate spread of the
+  // normalized centroids in the gridded coordinates (≈ 1/√d for
+  // isotropic d-dim embeddings). At (t = 0.8, d = 64): w ≈ 0.63 vs
+  // spread ≈ 0.13 — every vector lands in the same few cells, the
+  // filter keeps ~everything, and the fold safely degenerates to the
+  // full-table collect of processBatch (correct, but the driver ceiling
+  // returns). Remedies, in order:
+  //  (a) true near-dup thresholds (t ≥ 0.95) shrink w into the
+  //      discriminating range;
+  //  (b) pass `basis`: grid on projections onto ≤-unit-norm directions
+  //      that CONCENTRATE variance (PCA of the story centroids,
+  //      refreshed offline). |h·(â−b̂)| ≤ ‖h‖‖â−b̂‖ ≤ w, so the
+  //      per-coordinate bound — and with it exact recall — survives any
+  //      such projection, while real-world (anisotropic) embeddings
+  //      regain spread in the leading components;
+  //  (c) for genuinely isotropic embeddings at moderate thresholds NO
+  //      exact prefilter can discriminate (concentration of measure) —
+  //      that regime needs the approximate sketch path plus the batch
+  //      refinement loop to re-merge any stories split by a recall miss.
 
   /** Cell width for cosine threshold t (mirrors nearDupByCosine: inflated
     * 1e-9 so fp jitter cannot push a true-qualifying pair out of the
@@ -133,40 +155,66 @@ object OnlineClustering {
   private def cellWidth(threshold: Double): Double =
     math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12)) * (1.0 + 1e-9)
 
-  /** Driver-side home cell of a vector: floor of the first gridDims
-    * coords of the L2-normalized vector over the cell width; missing
-    * coords sit at 0, zero-norm vectors pass through unnormalized —
-    * the exact convention of the Spark-side expression below. */
-  private[graft] def homeCell(v: Array[Double], threshold: Double, gridDims: Int): Seq[Int] = {
+  /** Enforce the Cauchy-Schwarz precondition: every projection
+    * direction must have L2 norm ≤ 1, or the per-coordinate bound (and
+    * with it exact recall) silently breaks. */
+  private def requireUnitBounded(basis: Seq[Array[Double]]): Unit =
+    basis.zipWithIndex.foreach { case (h, i) =>
+      val n = math.sqrt(h.map(x => x * x).sum)
+      require(n <= 1.0 + 1e-9, s"basis($i) norm $n > 1 would break exact recall")
+    }
+
+  /** Driver-side home cell of a vector: floor over the cell width of
+    * either the first gridDims coords of the L2-normalized vector
+    * (empty basis) or its projections onto the basis directions.
+    * Missing coords sit at 0, zero-norm vectors pass through
+    * unnormalized — the exact convention of the Spark-side expression
+    * below. */
+  private[graft] def homeCell(v: Array[Double], threshold: Double, gridDims: Int,
+                              basis: Seq[Array[Double]] = Nil): Seq[Int] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
     val nrm = math.sqrt(s)
+    def nv(d: Int): Double =
+      if (d < v.length) { if (nrm == 0.0) v(d) else v(d) / nrm } else 0.0
     val w = cellWidth(threshold)
-    (0 until gridDims).map { d =>
-      val x = if (d < v.length) { if (nrm == 0.0) v(d) else v(d) / nrm } else 0.0
-      math.floor(x / w).toInt
-    }
+    if (basis.isEmpty)
+      (0 until gridDims).map(d => math.floor(nv(d) / w).toInt)
+    else
+      basis.map { h =>
+        var dot = 0.0; var j = 0
+        while (j < h.length && j < v.length) { dot += nv(j) * h(j); j += 1 }
+        math.floor(dot / w).toInt
+      }
   }
 
-  /** The {−1,0,1}^gridDims neighborhood of every batch vector's home
+  /** The {−1,0,1}^dims neighborhood of every batch vector's home
     * cell — the complete set of cells a ≥-threshold story can live in. */
   private[graft] def candidateCells(batch: Seq[Incoming], threshold: Double,
-                                        gridDims: Int): Set[Seq[Int]] = {
-    val offsets = Seq.fill(gridDims)(Seq(-1, 0, 1))
+                                    gridDims: Int,
+                                    basis: Seq[Array[Double]] = Nil): Set[Seq[Int]] = {
+    val dims = if (basis.nonEmpty) basis.length else gridDims
+    val offsets = Seq.fill(dims)(Seq(-1, 0, 1))
       .foldLeft(Seq(Seq.empty[Int]))((acc, ds) => for (a <- acc; x <- ds) yield a :+ x)
     batch.iterator.flatMap { a =>
-      val home = homeCell(a.vec, threshold, gridDims)
+      val home = homeCell(a.vec, threshold, gridDims, basis)
       offsets.map(o => home.zip(o).map { case (c, d) => c + d })
     }.toSet
   }
 
   /** Spark-side home-cell key of a centroid column (same math as
-    * [[homeCell]], evaluated by the codegen l2-normalize kernel). */
-  private def cellKeyExpr(vecCol: Column, threshold: Double, gridDims: Int): Column = {
+    * [[homeCell]]: raw leading coords, or basis projections via the
+    * codegen dot-product kernel against literal direction arrays). */
+  private def cellKeyExpr(vecCol: Column, threshold: Double, gridDims: Int,
+                          basis: Seq[Array[Double]]): Column = {
     val w = cellWidth(threshold)
     val nv = graft.functions.vector.l2Normalize(vecCol.cast("array<double>"))
-    concat_ws(",", (0 until gridDims).map(i =>
-      floor(coalesce(try_element_at(nv, lit(i + 1)), lit(0.0)) / w).cast("int").cast("string")): _*)
+    val coords: Seq[Column] =
+      if (basis.isEmpty)
+        (0 until gridDims).map(i => coalesce(try_element_at(nv, lit(i + 1)), lit(0.0)))
+      else
+        basis.map(h => graft.functions.vector.dotProduct(nv, lit(h)))
+    concat_ws(",", coords.map(c => floor(c / w).cast("int").cast("string")): _*)
   }
 
   /**
@@ -175,18 +223,26 @@ object OnlineClustering {
    * threshold) are collected, and the returned story frame is the MERGE
    * DELTA — stories whose state changed plus stories created this batch.
    *
+   * @param basis optional ≤-unit-norm projection directions to grid on
+   *              instead of raw leading coordinates — REQUIRED for the
+   *              filter to discriminate on high-dimensional embeddings
+   *              at moderate thresholds (see the operating-envelope note
+   *              above; PCA directions of the story centroids are the
+   *              natural choice). Exact recall holds for any such basis.
    * @return (assigned rows, changed-or-new story state to upsert)
    */
   def processBatchPruned(batch: DataFrame, stories: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, batchEpoch: Long,
-                         gridDims: Int = 2): (DataFrame, DataFrame) = {
+                         gridDims: Int = 2,
+                         basis: Seq[Array[Double]] = Nil): (DataFrame, DataFrame) = {
     require(threshold > 0.0, s"pruned ST4 needs threshold > 0, got $threshold")
+    requireUnitBounded(basis)
     val spark = batch.sparkSession
     import spark.implicits._
     val in = batch.select(col(idCol).cast("string"),
         col(vecCol).cast("array<double>")).as[(String, Seq[Double])]
       .collect().map { case (i, v) => Incoming(i, v.toArray) }
-    val cells = candidateCells(in.toSeq, threshold, gridDims)
+    val cells = candidateCells(in.toSeq, threshold, gridDims, basis)
       .map(_.mkString(","))
     // Map-only candidate filter: home-cell membership against the
     // (bounded: ≤ 3^d · |batch|) batch cell neighborhood; nothing
@@ -194,7 +250,7 @@ object OnlineClustering {
     // scan. Small neighborhoods inline as an InSet predicate; large ones
     // ride a broadcast semi-join so the plan never carries a 10^5-literal
     // expression.
-    val key = cellKeyExpr(col("centroid"), threshold, gridDims)
+    val key = cellKeyExpr(col("centroid"), threshold, gridDims, basis)
     val prefiltered =
       if (cells.size <= 1000) stories.filter(key.isin(cells.toSeq: _*))
       else stories.join(

@@ -61,7 +61,13 @@ object StreamingJob {
     // Pruned ST4: only the batch's grid-cell candidate stories are
     // collected (exact recall at the threshold — assignments identical to
     // the full fold), and newState is the changed/created DELTA, so the
-    // MERGE below touches only dirty story buckets.
+    // MERGE below touches only dirty story buckets. NOTE the operating
+    // envelope (OnlineClustering scaladoc): at this job's 64-dim
+    // hash-embedding and threshold 0.8 the RAW-coordinate grid barely
+    // discriminates — correct, but it degenerates toward a full story
+    // scan. A production deployment at corpus scale passes `basis =`
+    // leading PCA directions of the story centroids (refreshed offline)
+    // to restore pruning power; exact recall holds for any ≤-unit basis.
     val (assigned, newState) = OnlineClustering.processBatchPruned(
       featured, stories, "link", "embedding", simThreshold, epoch)
     val articlesOut = featured.join(

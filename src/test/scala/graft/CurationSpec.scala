@@ -145,6 +145,16 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       "a port-shaped token in the path must survive — stripping it would " +
         "collide distinct pages and silently drop one at dedup")
     assert(got(7) == "https://example.com/x?t=1:80")
+    // Authorities that legitimately contain ':' still get their default
+    // port stripped: userinfo and bracketed IPv6 hosts.
+    val auth = Seq(
+      "http://user:pw@example.com:80/a",
+      "http://user:pw@example.com/a",
+      "http://[2001:db8::1]:80/a",
+      "http://[2001:db8::1]/a",
+    ).toDF("url").select(CurationOps.canonicalizeUrl(col("url"))).collect().map(_.getString(0))
+    assert(auth(0) == auth(1), s"userinfo URLs must collide: ${auth(0)} vs ${auth(1)}")
+    assert(auth(2) == auth(3), s"IPv6 URLs must collide: ${auth(2)} vs ${auth(3)}")
     // Case: path case is PRESERVED (only scheme+host lowercase).
     assert(got(0).contains("/Docs/"))
   }

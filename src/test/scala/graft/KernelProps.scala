@@ -74,6 +74,27 @@ object KernelProps extends Properties("kernels") {
       assignEq && joinSimEq && trajEq
     }
 
+  // Same law under a PROJECTED grid: any ≤-unit-norm basis preserves the
+  // per-coordinate bound (Cauchy-Schwarz), so candidates from projected
+  // cells still contain every ≥-threshold story — for arbitrary (not
+  // necessarily orthogonal) directions.
+  property("basis-projected pruning preserves the fold equivalence") =
+    forAll(batchGen, storySetGen, vecGen, vecGen) { (batch, stories, h1, h2) =>
+      val t = 0.9
+      def unit(h: Array[Double]) = {
+        val n = math.sqrt(h.map(x => x * x).sum)
+        h.map(_ / n)
+      }
+      val basis = Seq(unit(h1), unit(h2))
+      val cells = OnlineClustering.candidateCells(batch, t, 2, basis)
+      val cand = stories.filter(s =>
+        cells.contains(OnlineClustering.homeCell(s.centroid, t, 2, basis)))
+      val (fullA, _) = OnlineClustering.foldBatch(batch, stories, t, i => s"n-$i")
+      val (prunedA, _) = OnlineClustering.foldBatch(batch, cand, t, i => s"n-$i")
+      fullA.map(a => (a.id, a.storyId, a.isNew)) ==
+        prunedA.map(a => (a.id, a.storyId, a.isNew))
+    }
+
   private val scoredGen: Gen[List[graft.functions.Scored]] = for {
     n <- Gen.choose(0, 40)
     xs <- Gen.listOfN(n, Gen.zip(Gen.choose(-1.0, 1.0), Gen.choose(0L, 20L)))

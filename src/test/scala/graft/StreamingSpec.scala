@@ -239,6 +239,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(deltaS.count() < 40)
   }
 
+  test("ST4 pruned: raw grid degenerates in high dims; a projection basis restores pruning") {
+    import spark.implicits._
+    // 64-dim embeddings whose variation lives in coordinates 7 and 23 —
+    // the shape of real embeddings after isotropic coordinates wash out.
+    val d = 64
+    def emb(x: Double, y: Double): Seq[Double] = {
+      val a = Array.fill(d)(0.0); a(7) = x * 3.0; a(23) = y * 3.0; a.toSeq
+    }
+    val stories = (0 until 40).map { k =>
+      val th = 2 * math.Pi * k / 40.0
+      (f"s-$k%02d", emb(math.cos(th), math.sin(th)), (k % 4) + 1L)
+    }
+    val storiesDf = stories.toDF("story_id", "centroid", "n")
+    val batchLocal = Seq("a1" -> emb(1.0, 0.02), "a2" -> emb(0.99, 0.05),
+      "a3" -> emb(-0.6, -0.82))
+    val batch = batchLocal.toDF("link", "embedding")
+    val threshold = 0.9
+    val in = batchLocal.map { case (id, v) => Incoming(id, v.toArray) }
+    // Raw leading-coordinate grid: coords 1..2 are identically zero, so
+    // every story shares one cell — the filter keeps all 40 (correct but
+    // non-discriminating, exactly the documented envelope limit).
+    val rawCells = OnlineClustering.candidateCells(in, threshold, 2)
+    val nRaw = stories.count(s =>
+      rawCells.contains(OnlineClustering.homeCell(s._2.toArray, threshold, 2)))
+    assert(nRaw == 40, s"raw grid should degenerate to keep-all here, kept $nRaw")
+    // Basis = the two variance-carrying directions: pruning returns.
+    def unit(i: Int) = { val a = Array.fill(d)(0.0); a(i) = 1.0; a }
+    val basis = Seq(unit(7), unit(23))
+    val pCells = OnlineClustering.candidateCells(in, threshold, 2, basis)
+    val nProj = stories.count(s =>
+      pCells.contains(OnlineClustering.homeCell(s._2.toArray, threshold, 2, basis)))
+    assert(nProj > 0 && nProj < 40, s"projected grid must discriminate, kept $nProj")
+    // And the basis-pruned outputs still equal the full fold exactly.
+    val (fullA, _) = OnlineClustering.processBatch(
+      batch, storiesDf, "link", "embedding", threshold, batchEpoch = 3L)
+    val (prunedA, _) = OnlineClustering.processBatchPruned(
+      batch, storiesDf, "link", "embedding", threshold, batchEpoch = 3L, basis = basis)
+    def byId(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(3))).toMap
+    assert(byId(prunedA) == byId(fullA))
+  }
+
   test("ST4: centroid running mean moves toward joined article") {
     val stories = Seq(StoryState("s", Array(1.0, 0.0), 1L))
     val (_, state) = OnlineClustering.foldBatch(
