@@ -218,6 +218,31 @@ object OnlineClustering {
   }
 
   /**
+   * Turnkey projection basis for [[processBatchPruned]]: the leading k
+   * principal directions of the L2-normalized story centroids. PCA
+   * directions are unit vectors, so the Cauchy-Schwarz precondition
+   * holds by construction, and they concentrate the centroids' variance
+   * — exactly what the grid needs to discriminate in high dimensions.
+   * Run OFFLINE / every N batches (one MLlib job over the stories
+   * table), not per trigger; the basis only needs to track the corpus's
+   * slow-moving covariance, and a stale basis costs pruning power, never
+   * correctness.
+   */
+  def storyBasis(stories: DataFrame, vecCol: String, k: Int): Seq[Array[Double]] = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val nv = stories
+      .select(array_to_vector(
+        graft.functions.vector.l2Normalize(col(vecCol).cast("array<double>"))).as("v"))
+    val dim = stories.select(size(col(vecCol))).first().getInt(0)
+    val kk = math.min(k, dim)
+    val model = new PCA().setInputCol("v").setOutputCol("p").setK(kk).fit(nv)
+    // pc is dim × k column-major; column j is the j-th direction.
+    val pc = model.pc
+    (0 until kk).map(j => Array.tabulate(pc.numRows)(i => pc(i, j)))
+  }
+
+  /**
    * The scale form of [[processBatch]]: identical assignments, but only
    * the candidate stories (batch cell neighborhood, exact recall at the
    * threshold) are collected, and the returned story frame is the MERGE

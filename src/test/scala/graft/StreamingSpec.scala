@@ -279,6 +279,18 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     def byId(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(3))).toMap
     assert(byId(prunedA) == byId(fullA))
+    // The turnkey PCA basis finds the two variance-carrying directions
+    // on its own and discriminates just as well.
+    val learned = OnlineClustering.storyBasis(storiesDf, "centroid", 2)
+    assert(learned.length == 2 && learned.forall(h =>
+      math.abs(math.sqrt(h.map(x => x * x).sum) - 1.0) < 1e-6), "unit directions")
+    val lCells = OnlineClustering.candidateCells(in, threshold, 2, learned)
+    val nLearned = stories.count(s =>
+      lCells.contains(OnlineClustering.homeCell(s._2.toArray, threshold, 2, learned)))
+    assert(nLearned < 40, s"PCA basis must discriminate, kept $nLearned")
+    val (pcaA, _) = OnlineClustering.processBatchPruned(
+      batch, storiesDf, "link", "embedding", threshold, batchEpoch = 3L, basis = learned)
+    assert(byId(pcaA) == byId(fullA))
   }
 
   test("ST4: centroid running mean moves toward joined article") {
