@@ -24,15 +24,8 @@ object Bench {
     }
     // Optional comma-separated name filter — local iteration aid (the
     // driver never sets it, so its recordings stay full-set).
-    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(names) =>
-        val ns = names.split(',').toSet
-        val unknown = ns -- SparkEntry.queries.keySet
-        require(unknown.isEmpty,
-          s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
-        SparkEntry.queries.filter { case (n, _) => ns(n) }
-      case None => SparkEntry.queries
-    }
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .fold(SparkEntry.queries)(SparkEntry.selectQueries)
     val (results, failures) = run(spark, sfDir, selected, runs)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

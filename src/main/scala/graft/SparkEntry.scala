@@ -53,6 +53,20 @@ object SparkEntry {
       .limit(50)
   }
 
+  /**
+   * Resolve a comma-separated query-name filter against [[queries]] —
+   * the ONE definition Bench and Verify share. Whitespace and empty
+   * segments are dropped; an empty or all-unknown filter fails loudly
+   * (a typo must never read as a fast green run of zero queries).
+   */
+  def selectQueries(filter: String): Map[String, (SparkSession, String) => DataFrame] = {
+    val ns = filter.split(',').map(_.trim).filter(_.nonEmpty).toSet
+    require(ns.nonEmpty, s"query-name filter is empty: '$filter'")
+    val unknown = ns -- queries.keySet
+    require(unknown.isEmpty, s"unknown query names in filter: ${unknown.mkString(", ")}")
+    queries.filter { case (n, _) => ns(n) }
+  }
+
   /** The documented quality score (length, stopword, word-length terms,
     * rounded to 6) — ONE definition shared by x_quality and the composed
     * x_curation_verdict so the operating points cannot drift apart. */

@@ -9,7 +9,7 @@ object Verify {
     // aid (the driver always runs the full set with two args).
     val (sfDir, outDir, only) = args match {
       case Array(s, o)        => (s, o, None)
-      case Array(s, o, names) => (s, o, Some(names.split(',').toSet))
+      case Array(s, o, names) => (s, o, Some(names))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -25,12 +25,7 @@ object Verify {
     // stay busy while any one query sits in its sequential stages (the
     // Spark scheduler interleaves the jobs; results are per-query dirs).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val selected = only.fold(SparkEntry.queries)(ns =>
-      SparkEntry.queries.filter { case (n, _) => ns(n) })
-    only.foreach { ns =>
-      val unknown = ns -- SparkEntry.queries.keySet
-      require(unknown.isEmpty, s"unknown query names in filter: ${unknown.mkString(", ")}")
-    }
+    val selected = only.fold(SparkEntry.queries)(SparkEntry.selectQueries)
     val tasks = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =

@@ -209,11 +209,15 @@ object OnlineClustering {
                           basis: Seq[Array[Double]]): Column = {
     val w = cellWidth(threshold)
     val nv = graft.functions.vector.l2Normalize(vecCol.cast("array<double>"))
+    // coalesce in BOTH paths: a null centroid must yield the well-formed
+    // all-zero key (like the raw path), not a concat_ws-shortened key
+    // that silently excludes the row from every candidate set.
     val coords: Seq[Column] =
       if (basis.isEmpty)
         (0 until gridDims).map(i => coalesce(try_element_at(nv, lit(i + 1)), lit(0.0)))
       else
-        basis.map(h => graft.functions.vector.dotProduct(nv, lit(h)))
+        basis.map(h =>
+          coalesce(graft.functions.vector.dotProduct(nv, lit(h)), lit(0.0)))
     concat_ws(",", coords.map(c => floor(c / w).cast("int").cast("string")): _*)
   }
 
@@ -231,15 +235,26 @@ object OnlineClustering {
   def storyBasis(stories: DataFrame, vecCol: String, k: Int): Seq[Array[Double]] = {
     import org.apache.spark.ml.feature.PCA
     import org.apache.spark.ml.functions.array_to_vector
+    // Cold start: no stories yet → no basis. Callers fall back to the
+    // raw-coordinate grid (correct, just non-discriminating) instead of
+    // an opaque empty-iterator crash from first()/PCA.fit.
+    val head = stories.select(size(col(vecCol)).as("d")).limit(1).collect()
+    if (head.isEmpty) return Nil
     val nv = stories
       .select(array_to_vector(
         graft.functions.vector.l2Normalize(col(vecCol).cast("array<double>"))).as("v"))
-    val dim = stories.select(size(col(vecCol))).first().getInt(0)
-    val kk = math.min(k, dim)
+    val kk = math.min(k, head(0).getInt(0))
     val model = new PCA().setInputCol("v").setOutputCol("p").setK(kk).fit(nv)
     // pc is dim × k column-major; column j is the j-th direction.
+    // Renormalize defensively: eigenvectors are unit only up to fp noise,
+    // and requireUnitBounded enforces ≤ 1 + 1e-9 — make the "holds by
+    // construction" claim actually true.
     val pc = model.pc
-    (0 until kk).map(j => Array.tabulate(pc.numRows)(i => pc(i, j)))
+    (0 until kk).map { j =>
+      val h = Array.tabulate(pc.numRows)(i => pc(i, j))
+      val n = math.sqrt(h.map(x => x * x).sum)
+      if (n > 0.0) h.map(_ / n) else h
+    }
   }
 
   /**

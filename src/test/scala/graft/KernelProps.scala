@@ -89,10 +89,18 @@ object KernelProps extends Properties("kernels") {
       val cells = OnlineClustering.candidateCells(batch, t, 2, basis)
       val cand = stories.filter(s =>
         cells.contains(OnlineClustering.homeCell(s.centroid, t, 2, basis)))
-      val (fullA, _) = OnlineClustering.foldBatch(batch, stories, t, i => s"n-$i")
-      val (prunedA, _) = OnlineClustering.foldBatch(batch, cand, t, i => s"n-$i")
-      fullA.map(a => (a.id, a.storyId, a.isNew)) ==
+      val (fullA, fullS) = OnlineClustering.foldBatch(batch, stories, t, i => s"n-$i")
+      val (prunedA, prunedS) = OnlineClustering.foldBatch(batch, cand, t, i => s"n-$i")
+      val assignEq = fullA.map(a => (a.id, a.storyId, a.isNew)) ==
         prunedA.map(a => (a.id, a.storyId, a.isNew))
+      val joinSimEq = fullA.filterNot(_.isNew).map(a => (a.id, a.sim)) ==
+        prunedA.filterNot(_.isNew).map(a => (a.id, a.sim))
+      val touched = prunedS.map(s => s.storyId -> s).toMap
+      val trajEq = fullS.filter(s => touched.contains(s.storyId)).forall { s =>
+        val p = touched(s.storyId)
+        p.n == s.n && p.centroid.sameElements(s.centroid)
+      }
+      assignEq && joinSimEq && trajEq
     }
 
   private val scoredGen: Gen[List[graft.functions.Scored]] = for {
