@@ -757,7 +757,8 @@ object OracleSql {
         |ORDER BY tb.doc_id""".stripMargin,
 
     // PII redaction replay: same synthetic PII, same RE2-safe patterns,
-    // same replacement order (emails → IPs → phones).
+    // same replacement order (emails → IPs → spaced phones → contiguous
+    // phones). DuckDB backreferences are \1-style where Spark's are $1.
     "x_pii_redact" ->
       """WITH t AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@mail.example.com or +1 (555) 010-' ||
@@ -765,9 +766,10 @@ object OracleSql {
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
         |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '(^|[^\d])((\+?\d{1,3}[\s.-])?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4})([^\d]|$)', '\1<PHONE>\4', 'g'),
         |    '\+?\d[\d().-]{6,}\d', '<PHONE>', 'g') AS redacted
         |FROM t ORDER BY doc_id""".stripMargin,
 

@@ -249,19 +249,38 @@ object CurationOps {
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   // No \s in the phone separator class: a class with whitespace matches
   // ANY digit run spanning spaces/newlines ("2019 2020 2021", score
-  // tables), destructively over-redacting ordinary corpus text. The
-  // cost is that a spaced format like "+1 (555) 010-1234" redacts only
-  // its contiguous tail ("010-1234") — the right trade for a corpus
-  // filter, where a false positive destroys real text forever.
+  // tables), destructively over-redacting ordinary corpus text. Spaced
+  // formats ("+1 (555) 010-1234") are handled by the SECOND,
+  // structure-anchored pattern below instead.
   val PhonePattern = "\\+?\\d[\\d().-]{6,}\\d"
+  // Spaced phone formats need whitespace separators, but an open-ended
+  // class with \s would over-redact; this pattern's FIXED group shape —
+  // optional 1-3 digit country code, then 3-3-4 digit groups, exactly
+  // ONE mandatory separator between groups — cannot match open-ended
+  // digit runs: year lists ("2019 2020 2021") and score tables have no
+  // sep-aligned 3-3-4 decomposition, so they survive. Both ends are
+  // anchored to a non-digit (consumed and restored via capture groups —
+  // RE2 has no lookaround) so a phone-shaped PREFIX or SUFFIX of a
+  // longer digit run never splits that run away from the contiguous
+  // pass. Runs BEFORE the open-ended pattern — the contiguous pass
+  // would otherwise eat the "010-1234" tail and break the structure
+  // match. Known residual: two back-to-back spaced phones share the
+  // boundary guard char, so the second leaks (no lookahead in RE2) —
+  // under-redaction bounded to that corner, while free-text digit runs
+  // stay untouched.
+  val PhoneSpacedPattern =
+    "(^|[^\\d])((\\+?\\d{1,3}[\\s.-])?\\(?\\d{3}\\)?[\\s.-]\\d{3}[\\s.-]\\d{4})([^\\d]|$)"
 
-  /** Redact emails, IPv4 addresses and phone-shaped digit runs. Pure
-    * map-side codegen'd regex work: no shuffle, no UDF. */
+  /** Redact emails, IPv4 addresses and phone-shaped digit runs (spaced
+    * formats first — see [[PhoneSpacedPattern]] — then contiguous runs).
+    * Pure map-side codegen'd regex work: no shuffle, no UDF. */
   def redactPii(c: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(c, EmailPattern, "<EMAIL>"),
-        Ipv4Pattern, "<IP>"),
+        regexp_replace(
+          regexp_replace(c, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhoneSpacedPattern, "$1<PHONE>$4"),
       PhonePattern, "<PHONE>")
 
   /** Per-class PII hit counts (before redaction), for audit columns. */

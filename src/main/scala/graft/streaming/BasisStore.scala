@@ -1,0 +1,37 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Tiny driver-side store for the pruned-ST4 projection basis: one text
+ * file, one line per direction (comma-joined doubles), published with
+ * temp-write + ATOMIC_MOVE — readers see the old basis or the new one,
+ * never a torn file (the same publish discipline as TableSink's
+ * manifests). The basis is k × d doubles (KBs), pure driver metadata:
+ * no Spark job reads or writes it, so persistence costs nothing on the
+ * cluster. A missing file is a cold start → empty basis → callers run
+ * the raw-coordinate grid (exact recall either way; a stale or absent
+ * basis only costs pruning power, never correctness — which is why a
+ * crash between the stories MERGE and a basis refresh needs no
+ * recovery handling).
+ */
+object BasisStore {
+
+  def save(path: String, basis: Seq[Array[Double]]): Unit = {
+    val target = Paths.get(path)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(target.getParent, "." + target.getFileName.toString, ".tmp")
+    Files.writeString(tmp, basis.map(_.mkString(",")).mkString("\n"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Load the basis, or Nil when no basis has been published yet. */
+  def load(path: String): Seq[Array[Double]] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) Nil
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+      .map(_.split(',').map(_.toDouble).toArray)
+  }
+}

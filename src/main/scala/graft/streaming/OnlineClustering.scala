@@ -9,6 +9,14 @@ case class Incoming(id: String, vec: Array[Double])
 case class StoryState(storyId: String, centroid: Array[Double], n: Long)
 /** Assignment result row. */
 case class Assigned(id: String, storyId: String, sim: Double, isNew: Boolean)
+/** Result of a candidate-pruned assignment batch: assigned rows, the MERGE
+  * delta of story state, and the sizes that make pruning power OBSERVABLE —
+  * `nCandidates` ≈ the story count means the grid has stopped
+  * discriminating (see the operating-envelope note on
+  * [[OnlineClustering.processBatchPruned]]) and the job should refresh or
+  * widen its projection basis. */
+case class PrunedBatch(assigned: DataFrame, storyDelta: DataFrame,
+                       nCandidates: Long, nBatch: Long)
 
 /**
  * ST4 — the reference's hardest operator: online nearest-centroid story
@@ -237,10 +245,17 @@ object OnlineClustering {
     import org.apache.spark.ml.functions.array_to_vector
     // Cold start: no stories yet → no basis. Callers fall back to the
     // raw-coordinate grid (correct, just non-discriminating) instead of
-    // an opaque empty-iterator crash from first()/PCA.fit.
-    val head = stories.select(size(col(vecCol)).as("d")).limit(1).collect()
+    // an opaque empty-iterator crash from first()/PCA.fit. The probed
+    // dimension is null-safe (size(null) is null, not an int) and rows
+    // with null/empty centroids are excluded BOTH from the probe and
+    // from the PCA fit — consistent with cellKeyExpr, which grids null
+    // centroids on the all-zero key rather than crashing.
+    val head = stories
+      .select(coalesce(size(col(vecCol)), lit(0)).as("d"))
+      .filter(col("d") > 0).limit(1).collect()
     if (head.isEmpty) return Nil
     val nv = stories
+      .filter(coalesce(size(col(vecCol)), lit(0)) > 0)
       .select(array_to_vector(
         graft.functions.vector.l2Normalize(col(vecCol).cast("array<double>"))).as("v"))
     val kk = math.min(k, head(0).getInt(0))
@@ -269,12 +284,13 @@ object OnlineClustering {
    *              at moderate thresholds (see the operating-envelope note
    *              above; PCA directions of the story centroids are the
    *              natural choice). Exact recall holds for any such basis.
-   * @return (assigned rows, changed-or-new story state to upsert)
+   * @return assigned rows, the changed-or-new story state to upsert, and
+   *         the candidate/batch sizes (for pruning observability)
    */
   def processBatchPruned(batch: DataFrame, stories: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, batchEpoch: Long,
                          gridDims: Int = 2,
-                         basis: Seq[Array[Double]] = Nil): (DataFrame, DataFrame) = {
+                         basis: Seq[Array[Double]] = Nil): PrunedBatch = {
     require(threshold > 0.0, s"pruned ST4 needs threshold > 0, got $threshold")
     requireUnitBounded(basis)
     val spark = batch.sparkSession
@@ -306,8 +322,11 @@ object OnlineClustering {
     // have no snapshot).
     val before = candidates.map(s => s.storyId -> s.n).toMap
     val delta = newState.filter(s => !before.get(s.storyId).contains(s.n))
-    (spark.createDataFrame(assigned.toIndexedSeq).toDF(),
+    PrunedBatch(
+      spark.createDataFrame(assigned.toIndexedSeq).toDF(),
       spark.createDataFrame(delta.map(s => (s.storyId, s.centroid.toSeq, s.n)).toIndexedSeq)
-        .toDF("story_id", "centroid", "n"))
+        .toDF("story_id", "centroid", "n"),
+      nCandidates = candidates.length.toLong,
+      nBatch = in.length.toLong)
   }
 }

@@ -92,6 +92,9 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       "call 555-010-4242 today",
       "clean text with no pii at all",
       "scores were 2019 2020 2021 and 10 9\n8 7 in the end",
+      "reach us at +1 (555) 010-1234 or abroad",
+      "plain spaced 555 010 1234 works",
+      "card 4111111111111111 is a run, not a phone",
     ).toDF("text")
     val got = df.select(CurationOps.redactPii(col("text"))).collect().map(_.getString(0))
     assert(got(0) == "mail me at <EMAIL> now")
@@ -100,6 +103,11 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got(3) == "clean text with no pii at all")
     assert(got(4) == "scores were 2019 2020 2021 and 10 9\n8 7 in the end",
       "digit runs spanning whitespace are ordinary text, not phones")
+    assert(got(5) == "reach us at <PHONE> or abroad",
+      "spaced international format is redacted whole, not just its tail")
+    assert(got(6) == "plain spaced <PHONE> works")
+    assert(got(7) == "card <PHONE> is a run, not a phone",
+      "a long contiguous run is still one redaction (no partial spaced match)")
     // An IP must NOT be half-eaten by the phone pattern.
     val both = Seq("ip 10.0.255.7 phone 555-010-4242 end").toDF("text")
       .select(CurationOps.redactPii(col("text"))).collect()(0).getString(0)

@@ -43,4 +43,135 @@ class StreamingJobSpec extends AnyFunSuite with SparkSpec {
       assert(observed.sum == 3, s"observed ingest counts: ${observed.mkString(",")}")
     } finally q.stop()
   }
+
+  test("streaming job self-provisions the PCA basis: the topology prunes candidates < stories") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("sjb").toString
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[StreamingJob.St4Metrics]()
+    val mem = MemoryStream[(String, String, String, Timestamp)]
+    val src = mem.toDF().toDF("link", "title", "txt", "ingestion_time")
+    // High threshold → narrow cells (w ≈ 0.2); refresh every epoch so the
+    // basis fitted on epoch 0's stories serves epoch 1.
+    val q = StreamingJob.start(src, s"$tmp/articles", s"$tmp/stories",
+      s"$tmp/ckpt", simThreshold = 0.98, trigger = Trigger.ProcessingTime(0L),
+      basisK = 8, basisRefreshEvery = 1, onBatch = m => metrics.add(m))
+    try {
+      // Epoch 0: eight clearly distinct docs → eight stories; the refresh
+      // publishes a basis fitted on their centroids.
+      val texts = Seq(
+        "alpine glaciers retreat under record summer heat",
+        "city council approves the new harbor tram line",
+        "quarterly chip earnings beat analyst expectations",
+        "midfielder signs a four year contract extension",
+        "novel enzyme breaks down ocean plastic faster",
+        "drought pushes grain futures to seasonal highs",
+        "museum reopens with a restored baroque wing",
+        "satellite constellation expands rural broadband")
+      mem.addData(texts.zipWithIndex.map { case (t, i) =>
+        (s"l$i", "t", t, ts(s"2024-01-01 10:0$i:00")) }: _*)
+      q.processAllAvailable()
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(StreamingJob.basisPath(s"$tmp/stories"))),
+        "epoch-0 refresh must publish a basis file")
+      // Epoch 1: one article repeating story 3's text — with the basis
+      // live, the candidate prefilter must NOT collect all eight stories.
+      mem.addData(("l9", "t", texts(3), ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val ms = metrics.toArray(Array.empty[StreamingJob.St4Metrics])
+      val last = ms.last
+      assert(last.basisDims > 0, s"epoch 1 must run with the published basis: $ms")
+      assert(last.nStories == 8, s"eight stories before epoch 1: $last")
+      assert(last.nCandidates < last.nStories,
+        s"basis-pruned topology must collect fewer candidates than stories: $last")
+      // And pruning never costs recall: the repeat joins its story.
+      val schemaLike = spark.range(0).select(lit("").as("link"))
+      val byLink = TableSink.read(spark, s"$tmp/articles", schemaLike)
+        .select("link", "story_id").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(byLink("l9") == byLink("l3"), "identical text joins the same story")
+    } finally q.stop()
+  }
+
+  test("epoch-replay guard: re-running a committed epoch is a no-op (exactly-once)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("sjr").toString
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[StreamingJob.St4Metrics]
+    val batch = Seq(
+      ("l1", "t", "the quick brown fox jumps over the lazy dog", ts("2024-01-01 10:00:00")),
+      ("l2", "t", "the quick brown fox jumps over the lazy dog", ts("2024-01-01 10:01:00")))
+      .toDF("link", "title", "txt", "ingestion_time")
+    def run(): Unit = StreamingJob.processBatch(spark, batch,
+      s"$tmp/articles", s"$tmp/stories", simThreshold = 0.8, epoch = 5L,
+      onBatch = m => metrics.synchronized { metrics += m })
+    run()
+    val schemaLike = spark.range(0).select(lit("").as("link"))
+    def storyNs() = TableSink.read(spark, s"$tmp/stories", schemaLike)
+      .select("story_id", "n").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after1 = storyNs()
+    assert(after1.values.sum == 2L, s"both articles absorbed once: $after1")
+    // Replay of the SAME epoch (crash after the stories merge, before the
+    // checkpoint commit): the guard must detect __v == 5 and change nothing.
+    run()
+    assert(storyNs() == after1, "replayed epoch must not re-increment counts")
+    assert(metrics.map(_.replaySkipped).toSeq == Seq(false, true),
+      s"second run must be detected as a replay: $metrics")
+  }
+
+  test("pruned ST4 + basis resume identically across a checkpoint restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val b1 = Seq(
+      ("l1", "t", "voters approve the coastal wind farm expansion", "2024-01-01 10:00:00"),
+      ("l2", "t", "library unveils a rare manuscript collection", "2024-01-01 10:01:00"),
+      ("l3", "t", "startup ships a solid state battery pack", "2024-01-01 10:02:00"))
+    val b2 = Seq(
+      ("l4", "t", "voters approve the coastal wind farm expansion", "2024-01-01 11:00:00"),
+      ("l5", "t", "completely unrelated midnight meteor shower report", "2024-01-01 11:01:00"))
+    def feed(mem: MemoryStream[(String, String, String, Timestamp)],
+             rows: Seq[(String, String, String, String)]): Unit =
+      mem.addData(rows.map { case (l, t, x, s) => (l, t, x, ts(s)) }: _*)
+    def readTables(dir: String) = {
+      val schemaLike = spark.range(0).select(lit("").as("link"))
+      val arts = TableSink.read(spark, s"$dir/articles", schemaLike)
+        .select("link", "story_id").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val sts = TableSink.read(spark, s"$dir/stories", schemaLike)
+        .select("story_id", "n").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (arts, sts)
+    }
+    def job(mem: MemoryStream[(String, String, String, Timestamp)], dir: String) =
+      StreamingJob.start(mem.toDF().toDF("link", "title", "txt", "ingestion_time"),
+        s"$dir/articles", s"$dir/stories", s"$dir/ckpt", simThreshold = 0.95,
+        trigger = Trigger.ProcessingTime(0L), basisRefreshEvery = 1)
+
+    // Uninterrupted reference run: both batches through one query.
+    val refDir = Files.createTempDirectory("sj_ref").toString
+    val memRef = MemoryStream[(String, String, String, Timestamp)]
+    val qRef = job(memRef, refDir)
+    try {
+      feed(memRef, b1); qRef.processAllAvailable()
+      feed(memRef, b2); qRef.processAllAvailable()
+    } finally qRef.stop()
+
+    // Interrupted run: stop after batch 1, restart from the checkpoint
+    // (same MemoryStream carries the offsets forward), then batch 2.
+    val dir = Files.createTempDirectory("sj_restart").toString
+    val mem = MemoryStream[(String, String, String, Timestamp)]
+    val q1 = job(mem, dir)
+    try { feed(mem, b1); q1.processAllAvailable() } finally q1.stop()
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(StreamingJob.basisPath(s"$dir/stories"))),
+      "the basis published before the stop survives the restart")
+    val q2 = job(mem, dir)
+    try { feed(mem, b2); q2.processAllAvailable() } finally q2.stop()
+
+    // State = stories table + checkpoint (+ published basis): the resumed
+    // run must land EXACTLY the reference assignments, story ids included
+    // (epoch numbering resumes from the checkpoint, so story-<epoch>-<i>
+    // names agree too).
+    assert(readTables(dir) == readTables(refDir),
+      "restarted job must reproduce the uninterrupted run's tables")
+  }
 }

@@ -203,8 +203,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val threshold = 0.9
     val (fullA, fullS) = OnlineClustering.processBatch(
       batch, stories, "link", "embedding", threshold, batchEpoch = 7L)
-    val (prunedA, deltaS) = OnlineClustering.processBatchPruned(
+    val pruned = OnlineClustering.processBatchPruned(
       batch, stories, "link", "embedding", threshold, batchEpoch = 7L)
+    val (prunedA, deltaS) = (pruned.assigned, pruned.storyDelta)
+    assert(pruned.nBatch == 4L)
+    assert(pruned.nCandidates < 40,
+      s"reported candidate count must reflect real pruning: ${pruned.nCandidates}")
     // The prefilter must genuinely prune: candidate stories < all stories.
     val batchVecs = Map("a1" -> Array(1.0, 0.02), "a2" -> Array(0.99, 0.05),
       "a3" -> Array(-0.6, -0.82), "a4" -> Array(0.0, 0.0))
@@ -274,8 +278,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // And the basis-pruned outputs still equal the full fold exactly.
     val (fullA, _) = OnlineClustering.processBatch(
       batch, storiesDf, "link", "embedding", threshold, batchEpoch = 3L)
-    val (prunedA, _) = OnlineClustering.processBatchPruned(
-      batch, storiesDf, "link", "embedding", threshold, batchEpoch = 3L, basis = basis)
+    val prunedA = OnlineClustering.processBatchPruned(
+      batch, storiesDf, "link", "embedding", threshold, batchEpoch = 3L, basis = basis).assigned
     def byId(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(3))).toMap
     assert(byId(prunedA) == byId(fullA))
@@ -288,8 +292,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val nLearned = stories.count(s =>
       lCells.contains(OnlineClustering.homeCell(s._2.toArray, threshold, 2, learned)))
     assert(nLearned < 40, s"PCA basis must discriminate, kept $nLearned")
-    val (pcaA, _) = OnlineClustering.processBatchPruned(
-      batch, storiesDf, "link", "embedding", threshold, batchEpoch = 3L, basis = learned)
+    val pcaA = OnlineClustering.processBatchPruned(
+      batch, storiesDf, "link", "embedding", threshold, batchEpoch = 3L, basis = learned).assigned
     assert(byId(pcaA) == byId(fullA))
   }
 
