@@ -458,6 +458,46 @@ object OracleSql {
         |  array_to_string(list_sort(list(doc_id)), ',') AS ids
         |FROM documents GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
 
+    // Incremental near-dup admission: batch (doc_id % 10 >= 8) bands
+    // probe the corpus (doc_id % 10 < 8) band index, candidates verify by
+    // exact shingle Jaccard, one verdict row per batch doc. Same
+    // signature chain as x_lsh_pairs, split across the two sides.
+    "x_neardup_incremental" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
+         |  FROM w),
+         |sig AS (SELECT doc_id, [
+         |  list_min(list_transform(s, x -> md5('0|' || x))),
+         |  list_min(list_transform(s, x -> md5('1|' || x))),
+         |  list_min(list_transform(s, x -> md5('2|' || x))),
+         |  list_min(list_transform(s, x -> md5('3|' || x)))] sg FROM sh),
+         |bnd AS (SELECT doc_id, generate_subscripts(sg, 1) band, unnest(sg) bv FROM sig),
+         |cand AS (SELECT DISTINCT b.doc_id batch_id, c.doc_id corpus_id
+         |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.bv = c.bv
+         |  WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8),
+         |m AS (SELECT doc_id, unnest(list_distinct(s)) sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
+         |i AS (SELECT cd.batch_id, cd.corpus_id, count(*) inter
+         |  FROM cand cd JOIN m a ON a.doc_id = cd.batch_id
+         |  JOIN m b2 ON b2.doc_id = cd.corpus_id AND b2.sh = a.sh GROUP BY 1, 2),
+         |mt AS (SELECT i.batch_id, i.corpus_id,
+         |    i.inter::DOUBLE / (x.n + y.n - i.inter) jac
+         |  FROM i JOIN sz x ON x.doc_id = i.batch_id
+         |  JOIN sz y ON y.doc_id = i.corpus_id
+         |  WHERE i.inter::DOUBLE / (x.n + y.n - i.inter) >= 0.05),
+         |st AS (SELECT batch_id, count(*) nm FROM mt GROUP BY 1),
+         |bst AS (SELECT batch_id, corpus_id, jac FROM (
+         |  SELECT mt.*, row_number() OVER (PARTITION BY batch_id
+         |    ORDER BY jac DESC, corpus_id) rn FROM mt) WHERE rn = 1)
+         |SELECT d.doc_id, CAST(coalesce(st.nm, 0) AS BIGINT) AS n_matches,
+         |  bst.corpus_id AS match_id, round(bst.jac, 6) AS match_jaccard,
+         |  (st.nm IS NULL) AS admit
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+         |LEFT JOIN st ON st.batch_id = d.doc_id
+         |LEFT JOIN bst ON bst.batch_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "x_minhash_sig" ->
       s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
          |sh AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
@@ -1005,6 +1045,13 @@ object OracleSql {
     "x_ann_ivf" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS INTEGER) AS k,
         |  true AS rows_ok, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // IVF-SQ8: same ANN contract over the int8-quantized cell store,
+    // plus the in-plan code-range invariant.
+    "x_ann_ivf_quant" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS INTEGER) AS k,
+        |  true AS rows_ok, true AS recall_ok, true AS codes_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     // ALS: every user with events gets exactly k recs, dense ranks,

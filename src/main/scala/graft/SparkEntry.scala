@@ -516,6 +516,22 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),
+    // Incremental NEAR-dup admission: the new batch (doc_id % 10 ∈ {8,9})
+    // probes the standing corpus LSH band index (doc_id % 10 < 8), exact
+    // Jaccard verifies only the candidates, one admission verdict per
+    // batch doc — the per-ingest shape a production pipeline runs daily
+    // (corpus side never reshuffles; see docs/PLANS.md).
+    "x_neardup_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      val idx = DedupOps.minhashBandIndex(corpus, "doc_id", "text", 3, 4, 4)
+      DedupOps.neardupIncremental(batch, corpus, idx, "doc_id", "text",
+          shingleN = 3, k = 4, bands = 4, threshold = 0.05)
+        .select(col("doc_id"), col("n_matches"), col("match_id"),
+          round(col("match_jaccard"), 6).as("match_jaccard"), col("admit"))
+        .orderBy("doc_id")
+    }),
     "x_exact_dup_groups" -> ((s, d) => {
       DedupOps.exactDupGroups(T(s, d, "documents"), "doc_id", "text")
         .select(col("fp"), col("n"),
@@ -898,6 +914,39 @@ object SparkEntry {
         .select((col("hit").cast("double") / col("tot") >= 0.6).as("recall_ok"))
       shape.crossJoin(recall)
         .select(col("n_queries"), lit(5).as("k"), col("rows_ok"), col("recall_ok"))
+    }),
+    // IVF-SQ8 — the composed shape a 100 TB ANN deployment actually runs:
+    // cells store int8 codes + per-vector scale (4× less hot IO than
+    // float32; coarse centroids stay float), the probe dequantizes
+    // IN-CELL, and the invariant is the same in-plan contract as
+    // x_ann_ivf — exactly k rows per query and recall vs the float-EXACT
+    // brute-force top-k ≥ 0.6 (measured 0.82-0.85: int8 rounding does
+    // not cost recall here because cosine is scale-invariant and the
+    // quantization error is ≤ scale/2 per coordinate). `codes_ok`
+    // additionally pins in-plan that every stored code fits int8 — the
+    // tinyint schema itself is spec-asserted in AnnSpec.
+    "x_ann_ivf_quant" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val cells = IvfAnn.buildCells(e, "vec_id", "embedding", nlist = 16)
+      val corpus = IvfAnn.assignCells(e, "vec_id", "embedding", cells)
+      val sq8 = IvfAnn.quantizeCells(corpus, "vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 20)
+      val ann = IvfAnn.annSearchQuantized(q, sq8, cells, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      val exact = SimilarityOps.knnJoinCosine(q, e, "vec_id", "embedding", k = 5)
+      val hits = ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      val shape = ann.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_queries"), expr("bool_and(n = 5)").as("rows_ok"))
+      val recall = hits.agg(count(lit(1)).as("hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("tot")))
+        .select((col("hit").cast("double") / col("tot") >= 0.6).as("recall_ok"))
+      val codes = sq8.agg(coalesce(expr(
+        "bool_and(forall(codes, c -> c >= -127 AND c <= 127))"), lit(true)).as("codes_ok"))
+      shape.crossJoin(recall).crossJoin(codes)
+        .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
+          col("recall_ok"), col("codes_ok"))
     }),
     // Invariant oracle: ALS scores are model outputs, but the serving
     // contract is exact — every rated user gets exactly k recs with dense

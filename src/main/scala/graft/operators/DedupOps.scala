@@ -176,6 +176,92 @@ object DedupOps {
   }
 
   /**
+   * Standing MinHash/LSH band index of a corpus: one (doc_id, band,
+   * band-value) row per document per band — the table a production
+   * ingest pipeline keeps NEXT TO the corpus and probes on every batch
+   * ([[neardupIncremental]]). Built map-only (signatures then a
+   * per-row band split; no shuffle); refreshed by appending the rows of
+   * newly admitted documents, never by reshuffling what exists. Size is
+   * O(docs × bands) 32-char digests — orders of magnitude under the
+   * text it indexes.
+   */
+  def minhashBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, k: Int, bands: Int): DataFrame =
+    minhashSignatures(corpus, idCol, textCol, shingleN, k)
+      .select(col("doc_id"),
+        posexplode(text.minhashBands(col("sig"), k, bands)).as(Seq("band", "bv")))
+
+  /**
+   * Incremental NEAR-dup admission of a new batch against a standing
+   * corpus — the per-ingest shape a production pipeline runs daily, and
+   * the near-dup analog of [[incrementalNewDocs]] (which only catches
+   * exact fingerprints). The corpus is NEVER reshuffled:
+   *
+   *  1. candidates: the (tiny) batch computes its own signatures and
+   *     band values; the standing index is probed with the batch side
+   *     BROADCAST, so the index scan is map-only and only (batch,
+   *     corpus) candidate id pairs leave it;
+   *  2. verify: exact n-gram Jaccard restricted to those candidates —
+   *     corpus text is fetched ONLY for candidate ids (broadcast
+   *     semi-join ⇒ map-only corpus scan; with the corpus in a
+   *     bucketed [[graft.sources.TableSink]] the semi-join becomes a
+   *     dirty-bucket read), and only candidate documents' shingle
+   *     digests ride the verify shuffle;
+   *  3. verdict: one row per batch document — match count at the
+   *     threshold, best match (highest Jaccard, smallest corpus id on
+   *     ties), and the admission decision.
+   *
+   * LSH recall caveats are the standard ones ([[lshCandidatePairs]]):
+   * banding is probabilistic, so a sub-threshold band agreement can
+   * miss a true near-dup — the same trade every standing-index
+   * deployment makes (Broder/LRU banding analysis picks k and bands
+   * for the target threshold).
+   *
+   * @return (doc_id, n_matches, match_id, match_jaccard, admit)
+   */
+  def neardupIncremental(batch: DataFrame, corpus: DataFrame, corpusIndex: DataFrame,
+                         idCol: String, textCol: String, shingleN: Int, k: Int,
+                         bands: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0, s"admission needs a positive threshold: $threshold")
+    val bband = minhashSignatures(batch, idCol, textCol, shingleN, k)
+      .select(col("doc_id").as("batch_id"),
+        posexplode(text.minhashBands(col("sig"), k, bands)).as(Seq("band", "bv")))
+    val cand = corpusIndex.join(broadcast(bband), Seq("band", "bv"))
+      .select(col("batch_id"), col("doc_id").as("corpus_id")).distinct()
+    // Candidate-restricted exact verify (same math as ngramJaccardPairs,
+    // but only candidate documents ever explode their shingles).
+    val candIds = cand.select(col("corpus_id")).distinct()
+    val cm = corpus.join(broadcast(candIds),
+        corpus(idCol) === candIds("corpus_id"), "left_semi")
+      .select(col(idCol).as("corpus_id"),
+        explode(array_distinct(text.shingles(text.tokens(col(textCol)), shingleN))).as("m"))
+    val bm = batch.select(col(idCol).as("batch_id"),
+      explode(array_distinct(text.shingles(text.tokens(col(textCol)), shingleN))).as("m"))
+    val bsz = bm.groupBy("batch_id").agg(count(lit(1)).as("nb"))
+    val csz = cm.groupBy("corpus_id").agg(count(lit(1)).as("nc"))
+    val matches = cand
+      .join(bm, "batch_id").join(cm, Seq("corpus_id", "m"))
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("inter"))
+      .join(bsz, "batch_id").join(csz, "corpus_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("nb") + col("nc") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+    val stats = matches.groupBy("batch_id").agg(count(lit(1)).as("n_matches"))
+    val best = matches
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("batch_id").orderBy(desc("jaccard"), col("corpus_id"))))
+      .filter(col("rn") === 1)
+      .select(col("batch_id"), col("corpus_id").as("match_id"),
+        col("jaccard").as("match_jaccard"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(stats.withColumnRenamed("batch_id", "doc_id"), Seq("doc_id"), "left")
+      .join(best.withColumnRenamed("batch_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("match_id"), col("match_jaccard"),
+        col("n_matches").isNull.as("admit"))
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for candidate pairs (the verify stage
    * after LSH): explode distinct shingles, equi-join, count.
    */

@@ -74,8 +74,54 @@ object IvfAnn {
    */
   def annSearch(queries: DataFrame, corpusWithCells: DataFrame, cells: DataFrame,
                 idCol: String, vecCol: String, k: Int, nprobe: Int,
-                excludeSelf: Boolean = true): DataFrame = {
-    // 1. query → nprobe candidate cells (tiny broadcast cross join).
+                excludeSelf: Boolean = true): DataFrame =
+    probeTopK(queries, cells, idCol, vecCol, k, nprobe, excludeSelf,
+      corpusWithCells.select(col("cell"), col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv")),
+      corpusWithCells.schema(idCol).dataType)
+
+  /**
+   * IVF-SQ8 storage: the cell-assigned corpus re-expressed as int8 codes
+   * + one per-vector scale — what a 100 TB ANN deployment actually keeps
+   * hot (4× less IO/memory than float32 per coordinate; the coarse cell
+   * centroids STAY float, they are nlist rows). Map-only: quantization
+   * is per-row column work ([[QuantizeOps]]), nothing shuffles. Codes
+   * are `tinyint` (clamped to [−127, 127] by the quantizer) so the
+   * storage claim is real, not an int pretending.
+   */
+  def quantizeCells(corpusWithCells: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpusWithCells
+      .withColumn("__scale", QuantizeOps.int8Scale(col(vecCol)))
+      .select(col("cell"), col(idCol), col("__scale").as("scale"),
+        transform(QuantizeOps.quantizeInt8(col(vecCol), col("__scale")),
+          c => c.cast("tinyint")).as("codes"))
+
+  /**
+   * ANN top-k over the [[quantizeCells]] store: probe the nprobe nearest
+   * cells (float centroids), dequantize `codes·scale` IN-CELL — only the
+   * probed cells' codes are ever widened back to doubles, inside the
+   * scan projection — and run the same bounded-heap top-k. Same plan
+   * shape as [[annSearch]]; the corpus side reads ~4× fewer bytes.
+   * (Cosine is scale-invariant, so per-vector dequantization cannot
+   * even perturb ranking beyond the int8 rounding itself; the general
+   * contract still dequantizes — inner-product/L2 metrics need the
+   * scale.)
+   */
+  def annSearchQuantized(queries: DataFrame, quantizedCorpus: DataFrame, cells: DataFrame,
+                         idCol: String, vecCol: String, k: Int, nprobe: Int,
+                         excludeSelf: Boolean = true): DataFrame =
+    probeTopK(queries, cells, idCol, vecCol, k, nprobe, excludeSelf,
+      quantizedCorpus.select(col("cell"), col(idCol).as("neighbor_id"),
+        transform(col("codes"), c => c.cast("double") * col("scale")).as("cv")),
+      quantizedCorpus.schema(idCol).dataType)
+
+  /** Shared probe: query → nprobe nearest cells (tiny broadcast cross
+    * join) → equi-join the prepared corpus side on cell → bounded-heap
+    * top-k (map-side partial), keyed by the corpus id type. */
+  private def probeTopK(queries: DataFrame, cells: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nprobe: Int, excludeSelf: Boolean,
+                        corpusSide: DataFrame,
+                        idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val qCells = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .crossJoin(broadcast(cells))
       .select(col("query_id"), col("qv"), col("cell_id"),
@@ -85,15 +131,11 @@ object IvfAnn {
           .orderBy(desc("csim"), col("cell_id"))))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell_id").as("cell"))
-    // 2. scan only the probed cells (equi-join on cell), top-k via the
-    //    bounded-heap aggregate (map-side partial top-k), keyed by the
-    //    corpus id type (same dispatch as knnJoinCosine).
-    val topk = corpusWithCells.schema(idCol).dataType match {
+    val topk = idType match {
       case org.apache.spark.sql.types.StringType => graft.functions.TopKStr(k)
       case _ => graft.functions.TopK(k)
     }
-    qCells.join(corpusWithCells.select(col("cell"),
-          col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv")), "cell")
+    qCells.join(corpusSide, "cell")
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.vector.cosineSim(col("qv"), col("cv")).as("sim"))

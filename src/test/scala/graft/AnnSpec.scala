@@ -74,4 +74,27 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     // full probe = exact search
     assert(recall(16) == 1.0, "probing all cells must equal brute force")
   }
+
+  test("IVF-SQ8: cells carry tinyint codes, probe recall matches the float IVF") {
+    import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType}
+    val e = spark.read.parquet(sf() + "/embeddings.parquet").repartition(8).cache()
+    val q = e.filter(col("vec_id") < 20)
+    val cells = IvfAnn.buildCells(e, "vec_id", "embedding", nlist = 16)
+    val corpus = IvfAnn.assignCells(e, "vec_id", "embedding", cells)
+    val sq8 = IvfAnn.quantizeCells(corpus, "vec_id", "embedding")
+    // The storage claim is structural: codes are BYTES, scale one double.
+    assert(sq8.schema("codes").dataType == ArrayType(ByteType),
+      s"cells must carry int8 codes, got ${sq8.schema("codes").dataType}")
+    assert(sq8.schema("scale").dataType == DoubleType)
+    assert(sq8.columns.toSet == Set("cell", "vec_id", "scale", "codes"),
+      "no float vector column survives in the quantized store")
+    val exact = pairs(SimilarityOps.knnJoinCosine(q, e, "vec_id", "embedding", 5))
+    val fl = pairs(IvfAnn.annSearch(q, corpus, cells, "vec_id", "embedding", 5, 8))
+    val qz = pairs(IvfAnn.annSearchQuantized(q, sq8, cells, "vec_id", "embedding", 5, 8))
+    val rFl = (fl & exact).size.toDouble / exact.size
+    val rQz = (qz & exact).size.toDouble / exact.size
+    assert(rQz >= 0.7, s"quantized recall at nprobe=8 was $rQz")
+    assert(math.abs(rQz - rFl) <= 0.1,
+      s"int8 rounding must not change recall materially: float=$rFl quant=$rQz")
+  }
 }

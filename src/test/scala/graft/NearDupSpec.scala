@@ -193,6 +193,43 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("neardupIncremental: near-dups of the corpus are rejected, novel docs admitted") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+      (2L, "an entirely different report about municipal budget hearings and road repairs"),
+      (3L, "gardening tips for growing tomatoes peppers and basil in small urban plots"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the quiet river bank tonight"), // near-dup of 1
+      (102L, "completely novel astronomy notes on variable stars and their light curves"),
+      (103L, "x"))  // shingle-less: must still get an (admitted) verdict row
+      .toDF("doc_id", "text")
+    val idx = DedupOps.minhashBandIndex(corpus, "doc_id", "text", 3, 4, 4)
+    val got = DedupOps.neardupIncremental(batch, corpus, idx, "doc_id", "text",
+        shingleN = 3, k = 4, bands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toMap
+    assert(got(101L)._2.contains(1L) && !got(101L)._3,
+      s"near-dup must be rejected with its corpus match: ${got(101L)}")
+    assert(got(102L) == ((0L, None, true)), s"novel doc admitted: ${got(102L)}")
+    assert(got(103L) == ((0L, None, true)), s"shingle-less doc admitted: ${got(103L)}")
+    // The index is append-only refreshable: admitting 102 and indexing it
+    // makes a later identical ingest reject it.
+    val admitted = batch.filter(col("doc_id") === 102L)
+    val idx2 = idx.unionByName(
+      DedupOps.minhashBandIndex(admitted, "doc_id", "text", 3, 4, 4))
+    val corpus2 = corpus.unionByName(admitted)
+    val again = DedupOps.neardupIncremental(
+        batch.filter(col("doc_id") === 102L).select(col("doc_id") + 100, col("text"))
+          .toDF("doc_id", "text"),
+        corpus2, idx2, "doc_id", "text", 3, 4, 4, threshold = 0.5)
+      .collect()
+    assert(again.length == 1 && !again(0).getBoolean(4) && again(0).getLong(2) == 102L,
+      s"re-ingest of an admitted doc must now be rejected: ${again.toSeq}")
+  }
+
   test("epsilon-grid emits each candidate pair exactly once (no distinct needed)") {
     import spark.implicits._
     // All vectors in one tight cluster → every pair qualifies; duplicates
