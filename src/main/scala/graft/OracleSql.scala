@@ -27,6 +27,7 @@ object OracleSql {
       |    list_filter(list_transform(regexp_split_to_array(text, '\\n[ \\t]*\\n'), x -> trim(x)), x -> x <> '') ps,
       |    wds FROM $src),
       |gst AS (SELECT doc_id, wds,
+      |    length(array_to_string(wds, ' ')) dl,
       |    CASE WHEN len(ls) > 0 THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) ELSE 0.0 END dlf,
       |    CASE WHEN len(ps) > 0 THEN 1.0 - len(list_distinct(ps))::DOUBLE / len(ps) ELSE 0.0 END dpf,
       |    CASE WHEN coalesce(list_sum(list_transform(ls, x -> len(x))), 0) > 0
@@ -44,7 +45,13 @@ object OracleSql {
       |  UNION ALL SELECT doc_id, 3, unnest(list_transform(generate_series(1, greatest(len(wds) - 2, 0)), i -> array_to_string(wds[i:i+2], ' '))) FROM gst
       |  UNION ALL SELECT doc_id, 4, unnest(list_transform(generate_series(1, greatest(len(wds) - 3, 0)), i -> array_to_string(wds[i:i+3], ' '))) FROM gst),
       |gc AS (SELECT doc_id, n, g, count(*) cnt FROM ge GROUP BY 1, 2, 3),
-      |gm AS (SELECT doc_id, n, max(cnt)::DOUBLE / sum(cnt) f FROM gc GROUP BY 1, 2),
+      |gm AS (SELECT gc.doc_id, gc.n,
+      |    CASE WHEN gs.dl > 0
+      |         THEN coalesce(max(CASE WHEN gc.cnt >= 2
+      |                THEN gc.cnt * length(gc.g) END), 0)::DOUBLE / gs.dl
+      |         ELSE 0.0 END f
+      |  FROM gc JOIN gst gs ON gs.doc_id = gc.doc_id
+      |  GROUP BY gc.doc_id, gc.n, gs.dl),
       |gp AS (SELECT doc_id,
       |    coalesce(max(CASE WHEN n = 2 THEN f END), 0.0) t2,
       |    coalesce(max(CASE WHEN n = 3 THEN f END), 0.0) t3,

@@ -78,11 +78,30 @@ object CurationOps {
    *  - `dup_line_char_frac` / `dup_paragraph_char_frac`: fraction of
    *    characters sitting in those repeated occurrences (1 − chars of
    *    the distinct set / chars of all occurrences),
-   *  - `top_2gram_frac` / `top_3gram_frac` / `top_4gram_frac`: fraction
-   *    of all word n-gram occurrences taken by the single most frequent
-   *    n-gram (0 when none; occurrence-based adaptation of the paper's
-   *    character-fraction form — same monotone signal, replayable
-   *    without character bookkeeping per gram),
+   *  - `top_2gram_frac` / `top_3gram_frac` / `top_4gram_frac`: the
+   *    paper's CHARACTER-fraction form — characters covered by the
+   *    occurrences of the top REPEATED n-gram over the characters of
+   *    the whitespace-normalized token stream (0 when no gram
+   *    repeats). Each occurrence is weighted by its character length
+   *    (gram chars include the single joining spaces; the denominator
+   *    is the tokens joined the same way, so both sides count one
+   *    alphabet). Choices, both documented against Rae et al.:
+   *    (a) only grams with count ≥ 2 compete — the rule measures
+   *    DUPLICATION, and a count-1 gram duplicates nothing; the paper
+   *    never evaluates that case because its separate 50-word gate
+   *    keeps docs long enough that a count-1 gram sits far under the
+   *    thresholds (for in-scope docs the verdicts therefore agree;
+   *    without the guard the statistic becomes length-dependent noise
+   *    on short docs). (b) the top gram is selected by character MASS
+   *    (count × length), not raw count: on count ties that picks the
+   *    longer gram — a ≥ value, so `keep` is conservative — and it
+   *    needs no gram-level tie-break to be engine-replayable.
+   *    Overlapping occurrences can push the fraction past 1
+   *    ("a a a a"), as in the published implementations — the
+   *    thresholds only care about the 0.2 region. [[repetitionStats]]
+   *    keeps the occurrence-based form for contrast (spec-pinned: the
+   *    two verdicts genuinely differ on long repeated grams amid
+   *    short filler),
    *  - `symbol_word_ratio`: occurrences of `#`, `...`, `…` per word,
    *  - `bullet_line_frac` / `ellipsis_line_frac`: fraction of non-empty
    *    lines starting with a bullet (`-`, `*`, `•`) / ending with an
@@ -169,16 +188,22 @@ object CurationOps {
       .withColumn("ellipsis_line_frac", lineFrac(l => l.rlike("(\\.\\.\\.|…)$")))
       .withColumn("mean_word_len", meanWordLen(col("__w")))
       .withColumn("symbol_word_ratio", symbolWordRatio(col("__text"), col("__w")))
+      // Character count of the normalized token stream — the
+      // denominator of the char-weighted modal n-gram fractions (same
+      // single-space joining as the gram strings themselves).
+      .withColumn("__doclen", length(concat_ws(" ", col("__w"))))
       .withColumn("__grams",
         concat(gramStructs(2), gramStructs(3), gramStructs(4)))
     val scalars = Seq("dup_line_frac", "dup_paragraph_frac",
       "dup_line_char_frac", "dup_paragraph_char_frac",
       "bullet_line_frac", "ellipsis_line_frac",
-      "mean_word_len", "symbol_word_ratio")
+      "mean_word_len", "symbol_word_ratio", "__doclen")
     def topFrac(n: Int): Column = {
-      val top = coalesce(max(when(col("__n") === n, col("c"))), lit(0L)).cast("double")
-      val tot = coalesce(sum(when(col("__n") === n, col("c"))), lit(0L)).cast("double")
-      when(tot > 0, top / tot).otherwise(lit(0.0)).as(s"top_${n}gram_frac")
+      val top = coalesce(
+        max(when(col("__n") === n && col("c") >= 2, col("c") * length(col("__gram")))),
+        lit(0L)).cast("double")
+      val dl = first(col("__doclen")).cast("double")
+      when(dl > 0, top / dl).otherwise(lit(0.0)).as(s"top_${n}gram_frac")
     }
     base
       .select(Seq(col("doc_id")) ++ scalars.map(col) :+

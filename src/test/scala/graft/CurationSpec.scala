@@ -39,9 +39,17 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     def d(id: Long, c: String) = got(id).getAs[Double](c)
     assert(math.abs(d(1, "bullet_line_frac") - 0.75) < 1e-12, "3 of 4 lines bulleted")
     assert(d(1, "ellipsis_line_frac") == 0.0)
-    assert(d(2, "top_2gram_frac") == 1.0 && d(2, "top_3gram_frac") == 1.0 &&
-      d(2, "top_4gram_frac") == 1.0, "a one-word doc's modal n-gram covers everything")
+    // "spam spam spam spam spam": doclen 24; top 2-gram "spam spam"
+    // (len 9) × 4 occurrences = 36 chars → 1.5 — overlapping occurrences
+    // legitimately exceed 1, exactly as in the published char-fraction
+    // implementations.
+    assert(math.abs(d(2, "top_2gram_frac") - 36.0 / 24) < 1e-12 &&
+      math.abs(d(2, "top_3gram_frac") - 42.0 / 24) < 1e-12 &&
+      math.abs(d(2, "top_4gram_frac") - 38.0 / 24) < 1e-12,
+      "char-weighted modal n-gram fractions")
     assert(!got(2L).getAs[Boolean]("keep"))
+    assert(d(3, "top_2gram_frac") == 0.0,
+      "all-distinct grams: nothing repeats, so the repetition fraction is 0")
     assert(got(3L).getAs[Boolean]("keep"), "ordinary prose passes every rule")
     assert(math.abs(d(4, "ellipsis_line_frac") - 2.0 / 3) < 1e-12)
     assert(!got(4L).getAs[Boolean]("keep"), "over the 0.30 ellipsis-line bound")
@@ -60,13 +68,32 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(p.getAs[Double]("dup_paragraph_char_frac") - expChar) < 1e-12,
       "chars of the repeated paragraph occurrence over all paragraph chars")
     assert(!p.getAs[Boolean]("keep"), "over the 0.30 dup-paragraph bound")
-    // Repetition signals agree with the narrower operator where they overlap.
+    // Line-repetition agrees with the narrower operator; the modal-gram
+    // columns intentionally differ (occurrence- vs char-weighted).
     val narrow = CurationOps.repetitionStats(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     docs.collect().map(_.getLong(0)).foreach { id =>
       assert(d(id, "dup_line_frac") == narrow(id)._1)
-      assert(d(id, "top_2gram_frac") == narrow(id)._2)
     }
+  }
+
+  test("occurrence- vs char-weighted modal grams: verdicts genuinely differ") {
+    import spark.implicits._
+    // A LONG bigram repeated 3× among 12 one-char fillers: 3 of 17 bigram
+    // occurrences (0.176 < 0.20 → occurrence rule keeps) but 105 of 131
+    // characters (0.80 ≥ 0.20 → char rule rejects) — the case Table A1's
+    // character form exists to catch.
+    val docs = Seq((1L,
+      "intercontinental telecommunications intercontinental telecommunications " +
+        "intercontinental telecommunications a b c d e f g h j k l m"))
+      .toDF("doc_id", "text")
+    val occ = CurationOps.repetitionStats(docs, "doc_id", "text").collect()(0)
+    assert(math.abs(occ.getAs[Double]("top_bigram_frac") - 3.0 / 17) < 1e-12)
+    assert(occ.getAs[Boolean]("keep"), "occurrence-weighted rule keeps the doc")
+    val ch = CurationOps.gopherStats(docs, "doc_id", "text").collect()(0)
+    assert(math.abs(ch.getAs[Double]("top_2gram_frac") - 105.0 / 131) < 1e-12,
+      s"3 × 35-char occurrences over 131 stream chars: ${ch.getAs[Double]("top_2gram_frac")}")
+    assert(!ch.getAs[Boolean]("keep"), "char-weighted rule rejects the same doc")
   }
 
   test("decontaminate: exact n-gram overlap flags only true hits") {
