@@ -78,6 +78,78 @@ object StoryOps {
     spark.createDataFrame(out.toIndexedSeq).toDF(clusterCol, storyCol, jaccardCol)
   }
 
+  /**
+   * Distributed form of [[greedyMatch]] for candidate sets past the
+   * driver cap — OPT-IN (the collected greedy stays the default because
+   * it is the reference's semantics at the reference's scale; this is
+   * the same decisions computed without any driver materialization).
+   *
+   * Algorithm: locally-dominant edge matching (Preis' distributed
+   * greedy; Manne & Bisseling 2007) under the SAME strict total order
+   * as the driver scan — (jaccard desc, cluster asc, story asc), string
+   * order on ids, a total order because (cluster, story) pairs are
+   * unique. Each round, an edge that is rank 1 for BOTH its cluster and
+   * its story (two row_number windows) is matched, and its endpoints'
+   * remaining edges are dropped (two anti-joins against the round's
+   * matches). Under a strict total order this produces EXACTLY the
+   * sequential greedy matching, not an approximation: the globally
+   * first remaining edge is always mutually rank-1 (so every round
+   * matches it — progress is guaranteed and the greedy prefix is
+   * replayed by induction), and no edge that the greedy skips can ever
+   * become mutually rank-1 before the greedy edge that blocks it is
+   * matched and removes it. Spec-pinned as full equality on random
+   * candidate sets, skew included.
+   *
+   * Scale shape: per round, two windows and two anti-joins over the
+   * REMAINING candidate edges — (cluster, story, jaccard) triples only;
+   * each round is lineage-truncated with an eager localCheckpoint (same
+   * discipline and rationale as [[DedupOps.connectedComponents]]).
+   * Worst case (a strictly-decreasing path) needs O(path length)
+   * rounds; real candidate graphs converge in a handful because every
+   * round matches ALL locally-dominant edges, not just the global best.
+   *
+   * @throws IllegalStateException if edges remain after `maxIter`
+   *         rounds — a partial matching would silently differ from the
+   *         greedy semantics, so refuse instead.
+   */
+  def greedyMatchDistributed(candidates: DataFrame, clusterCol: String,
+                             storyCol: String, jaccardCol: String,
+                             maxIter: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = candidates.sparkSession
+    var cand = candidates
+      .select(col(clusterCol).cast("string").as("__c"),
+        col(storyCol).cast("string").as("__s"), col(jaccardCol).cast("double").as("__j"))
+      .localCheckpoint(true)
+    var matched = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cand.schema)
+    var done = cand.isEmpty
+    var i = 0
+    while (!done && i < maxIter) {
+      val mutual = cand
+        .withColumn("__rc", row_number().over(
+          Window.partitionBy("__c").orderBy(desc("__j"), col("__s"))))
+        .withColumn("__rs", row_number().over(
+          Window.partitionBy("__s").orderBy(desc("__j"), col("__c"))))
+        .filter(col("__rc") === 1 && col("__rs") === 1)
+        .select("__c", "__s", "__j")
+        .localCheckpoint(true)
+      matched = matched.unionByName(mutual)
+      cand = cand
+        .join(mutual.select("__c"), Seq("__c"), "left_anti")
+        .join(mutual.select("__s"), Seq("__s"), "left_anti")
+        .localCheckpoint(true)
+      done = cand.isEmpty
+      i += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"greedyMatchDistributed did not drain the candidate set in $maxIter " +
+          "rounds; refusing to return a matching that may differ from greedy")
+    matched.select(col("__c").as(clusterCol), col("__s").as(storyCol),
+      col("__j").as(jaccardCol))
+  }
+
   /** P4: rows due for (re)summarization — never summarized, or updated since. */
   def needsSummary(stories: DataFrame, lastUpdated: String, lastSummarized: String): DataFrame =
     stories.filter(col(lastSummarized).isNull || col(lastUpdated) > col(lastSummarized))

@@ -63,7 +63,8 @@ object TableSink {
   private def ptrPath(dir: String): Path = Paths.get(dir, "_CURRENT")
   private def manifestDir(dir: String): Path = Paths.get(dir, "_manifests")
 
-  private case class Manifest(seq: Long, buckets: Int, paths: Map[Int, String])
+  private case class Manifest(seq: Long, buckets: Int, layoutCol: Option[String],
+                              paths: Map[Int, String])
 
   /** Write `content` to a temp file in the same directory, then ATOMIC_MOVE
     * onto `target` — readers of `target` see old bytes or new, never both. */
@@ -82,16 +83,26 @@ object TableSink {
     val mf = manifestDir(dir).resolve(name)
     val lines = Files.readAllLines(mf).asScala.toSeq
     val buckets = lines.head.stripPrefix("buckets=").toInt
-    val paths = lines.tail.filter(_.nonEmpty).map { l =>
+    val (layout, rest) = lines.tail match {
+      case l +: r if l.startsWith("bucketcol=") => (Some(l.stripPrefix("bucketcol=")), r)
+      case r => (None, r)
+    }
+    val paths = rest.filter(_.nonEmpty).map { l =>
       val Array(b, rel) = l.split('\t')
       b.toInt -> rel
     }.toMap
-    Some(Manifest(name.stripPrefix("m-").toLong, buckets, paths))
+    Some(Manifest(name.stripPrefix("m-").toLong, buckets, layout, paths))
   }
 
   /** The bucket a key tuple hashes to (exposed for tests/partitioned readers). */
   def bucketCol(keys: Seq[String], numBuckets: Int) =
     pmod(hash(keys.map(col): _*), lit(numBuckets))
+
+  /** Physical bucket expression: by the layout column when the table has
+    * one (value-addressable buckets — see [[upsert]]'s `layoutCol`),
+    * else by the key hash. */
+  private def bucketExpr(keys: Seq[String], nb: Int, layout: Option[String]) =
+    layout.map(c => pmod(hash(col(c)), lit(nb))).getOrElse(bucketCol(keys, nb))
 
   /** Absolute data paths of the current generation (empty when no table). */
   private def currentPaths(dir: String, m: Option[Manifest]): Seq[String] =
@@ -110,13 +121,28 @@ object TableSink {
    * Upsert `batch` into the table keyed by `keys`: batch rows replace
    * same-key rows; `versionCol` breaks ties deterministically (higher
    * wins; batch preferred on equal versions). Only buckets containing
-   * batch keys are rewritten. `numBuckets` applies to the table's FIRST
-   * write; afterwards the manifest-pinned count wins.
+   * batch keys are rewritten. `numBuckets` and `layoutCol` apply to the
+   * table's FIRST write; afterwards the manifest-pinned values win.
+   *
+   * `layoutCol` (optional) makes buckets VALUE-ADDRESSABLE: rows bucket
+   * by `pmod(hash(<layoutCol>), numBuckets)` instead of the key hash, so
+   * a reader who knows which layout values it wants can skip every other
+   * bucket's files outright ([[readBuckets]]) — e.g. the stories table
+   * laid out by its sticky creation-time grid cell, read by the pruned
+   * ST4 candidate prefilter. CONTRACT: the layout value of a key must
+   * never change between upserts (an upsert computes dirty buckets from
+   * the batch's layout values; a moved value would write the key into a
+   * new bucket without clearing the old one). A migrating row is
+   * re-homed explicitly: [[delete]] with the OLD layout value in the
+   * drop frame, then upsert with the new — both touch only their own
+   * buckets. Use a STRING layout column; [[bucketIdsFor]] hashes string
+   * literals for the read path.
    */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
              keys: Seq[String], versionCol: String,
-             numBuckets: Int = DefaultBuckets): Unit =
-    commit(spark, dir, keys, numBuckets, batch, Some(batch.schema)) {
+             numBuckets: Int = DefaultBuckets,
+             layoutCol: Option[String] = None): Unit =
+    commit(spark, dir, keys, numBuckets, layoutCol, batch, Some(batch.schema)) {
       existingDirty =>
         batch.withColumn("__src", lit(1))
           .unionByName(existingDirty.withColumn("__src", lit(0)))
@@ -129,13 +155,47 @@ object TableSink {
     }
 
   /** Keyed delete (reference S7 delete_one / J7 anti-join rewrite) — also
-    * rewrites only the buckets the dropped keys fall in. */
+    * rewrites only the buckets the dropped keys fall in. On a
+    * layout-bucketed table the drop frame must carry the layout column
+    * (with the value the stored row was written under) so the right
+    * bucket goes dirty — that is what makes explicit re-homing possible. */
   def delete(spark: SparkSession, dir: String, keysToDrop: DataFrame,
              keys: Seq[String]): Unit =
-    commit(spark, dir, keys, DefaultBuckets, keysToDrop, None) {
+    commit(spark, dir, keys, DefaultBuckets, None, keysToDrop, None) {
       existingDirty =>
         existingDirty.join(keysToDrop.select(keys.map(col): _*), keys, "left_anti")
     }
+
+  /** Bucket ids of the given (string) layout values under the table's
+    * manifest-pinned bucket function — driver-side, one tiny local job;
+    * the write path's `hash()` is replayed exactly. Empty when the table
+    * does not exist or has no layout column. */
+  def bucketIdsFor(spark: SparkSession, dir: String, values: Seq[String]): Set[Int] =
+    currentManifest(dir) match {
+      case Some(m) if m.layoutCol.isDefined && values.nonEmpty =>
+        import spark.implicits._
+        values.toDF("__v")
+          .select(pmod(hash(col("__v")), lit(m.buckets)).as("__b"))
+          .collect().map(_.getInt(0)).toSet
+      case _ => Set.empty
+    }
+
+  /** Read ONLY the listed buckets' files — file-level pruning for
+    * value-addressable layouts: the scan never opens (or even lists
+    * into) other buckets' parquet. Exact iff the caller's predicate
+    * implies layout-bucket membership (the ST4 prefilter reads the
+    * candidate cells' buckets and keeps its cell predicate on top). */
+  def readBuckets(spark: SparkSession, dir: String, like: DataFrame,
+                  bucketIds: Set[Int]): DataFrame = {
+    val paths = currentManifest(dir) match {
+      case Some(m) => m.paths.filter { case (b, _) => bucketIds(b) }
+        .values.toSeq.sorted.map(rel => s"$dir/$rel")
+      case None => Nil
+    }
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+    else spark.read.parquet(paths: _*)
+  }
 
   /**
    * Shared copy-on-write commit: compute dirty buckets from `touched`'s
@@ -143,13 +203,15 @@ object TableSink {
    * write them under a new generation, publish atomically, GC.
    */
   private def commit(spark: SparkSession, dir: String, keys: Seq[String],
-                     numBuckets: Int, touched: DataFrame,
+                     numBuckets: Int, layoutCol: Option[String], touched: DataFrame,
                      schemaHint: Option[org.apache.spark.sql.types.StructType])
                     (merge: DataFrame => DataFrame): Unit = {
     val cur = currentManifest(dir)
     val nb = cur.map(_.buckets).getOrElse(numBuckets)
+    // An existing table's layout (or its absence) is manifest-pinned.
+    val layout = cur.map(_.layoutCol).getOrElse(layoutCol)
     val seq = cur.map(_.seq + 1).getOrElse(1L)
-    val bucketOf = bucketCol(keys, nb)
+    val bucketOf = bucketExpr(keys, nb, layout)
 
     // Dirty bucket ids: bounded by nb (a small constant), so the collect
     // is a driver-side set of ints, never data.
@@ -190,8 +252,9 @@ object TableSink {
       .getOrElse(Map.empty[Int, String])
     val entries = (cleanPaths ++ written).toSeq.sortBy(_._1)
     val name = f"m-$seq%010d"
+    val header = s"buckets=$nb" +: layout.map(c => s"bucketcol=$c").toSeq
     atomicWrite(manifestDir(dir).resolve(name),
-      (s"buckets=$nb" +: entries.map { case (b, p) => s"$b\t$p" }).mkString("\n"))
+      (header ++ entries.map { case (b, p) => s"$b\t$p" }).mkString("\n"))
     atomicWrite(ptrPath(dir), name)
     gc(dir, keepManifests = KeepGenerations)
   }
@@ -208,8 +271,10 @@ object TableSink {
     val (beyondCount, kept0) = mfs.splitAt(math.max(0, mfs.length - keepManifests))
     val (old, graced) = beyondCount.partition(_.lastModified() < cutoff)
     val kept = graced ++ kept0
+    // Header lines carry no '\t' (buckets=N, optional bucketcol=...);
+    // everything else is a "bucket<TAB>path" entry.
     val referenced = kept.flatMap(m =>
-      Files.readAllLines(m.toPath).asScala.drop(1).filter(_.nonEmpty)
+      Files.readAllLines(m.toPath).asScala.filter(_.contains('\t'))
         .map(_.split('\t')(1))).toSet
     old.foreach(_.delete())
     def rm(f: File): Unit = {

@@ -196,19 +196,33 @@ object OnlineClustering {
       }
   }
 
-  /** The {−1,0,1}^dims neighborhood of every batch vector's home
-    * cell — the complete set of cells a ≥-threshold story can live in. */
+  /** The {−radius..radius}^dims neighborhood of every batch vector's
+    * home cell. At the default radius 1 this is the complete set of
+    * cells a ≥-threshold story can live in; radius 2 is the STICKY-cell
+    * superset a value-addressable layout reads (a story whose centroid
+    * has drifted at most one cell from its creation-time cell — the
+    * re-homing invariant in docs/PLANS.md — has its sticky cell within
+    * one more cell of its current one). */
   private[graft] def candidateCells(batch: Seq[Incoming], threshold: Double,
                                     gridDims: Int,
-                                    basis: Seq[Array[Double]] = Nil): Set[Seq[Int]] = {
+                                    basis: Seq[Array[Double]] = Nil,
+                                    radius: Int = 1): Set[Seq[Int]] = {
     val dims = if (basis.nonEmpty) basis.length else gridDims
-    val offsets = Seq.fill(dims)(Seq(-1, 0, 1))
+    val offsets = Seq.fill(dims)((-radius to radius).toSeq)
       .foldLeft(Seq(Seq.empty[Int]))((acc, ds) => for (a <- acc; x <- ds) yield a :+ x)
     batch.iterator.flatMap { a =>
       val home = homeCell(a.vec, threshold, gridDims, basis)
       offsets.map(o => home.zip(o).map { case (c, d) => c + d })
     }.toSet
   }
+
+  /** Public form of the Spark-side home-cell key — the column a
+    * value-addressable stories layout stores as its STICKY creation
+    * cell ([[graft.sources.TableSink]] `layoutCol`) and the predicate
+    * column the pruned prefilter compares against candidate cells. */
+  def cellKey(vecCol: Column, threshold: Double, gridDims: Int,
+              basis: Seq[Array[Double]] = Nil): Column =
+    cellKeyExpr(vecCol, threshold, gridDims, basis)
 
   /** Spark-side home-cell key of a centroid column (same math as
     * [[homeCell]]: raw leading coords, or basis projections via the

@@ -40,4 +40,56 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == expected)
   }
+
+  test("cell-sticky layout: ST4 candidate prefilter becomes file-level pruning") {
+    import spark.implicits._
+    import graft.sources.TableSink
+    import graft.streaming.{Incoming, OnlineClustering}
+    val dir = Files.createTempDirectory("cells").toString
+    val threshold = 0.9
+    // 40 stories around the circle, laid out by their creation-time cell.
+    val stories = (0 until 40).map { k =>
+      val a = 2 * math.Pi * k / 40.0
+      (f"s-$k%02d", Seq(math.cos(a) * 3.0, math.sin(a) * 3.0), (k % 4) + 1L)
+    }.toDF("story_id", "centroid", "n")
+      .withColumn("cell0", OnlineClustering.cellKey(col("centroid"), threshold, 2))
+    TableSink.upsert(spark, dir, stories.withColumn("__v", lit(0L)),
+      Seq("story_id"), "__v", numBuckets = 16, layoutCol = Some("cell0"))
+    val like = spark.range(0).select(lit("").as("story_id"))
+    val full = TableSink.read(spark, dir, like)
+    // Batch clustered near angle 0 → a small cell neighborhood. Radius 2
+    // covers sticky cells under the ±1-drift re-homing invariant; this
+    // fresh table has current == sticky, the strongest no-change check.
+    val batch = Seq(Incoming("a1", Array(1.0, 0.02)), Incoming("a2", Array(0.99, 0.05)))
+    val cells = OnlineClustering.candidateCells(batch, threshold, 2, radius = 2)
+      .map(_.mkString(","))
+    val current = OnlineClustering.candidateCells(batch, threshold, 2)
+      .map(_.mkString(",")).toSeq
+    val ids = TableSink.bucketIdsFor(spark, dir, cells.toSeq)
+    assert(ids.nonEmpty && ids.size < 16, s"candidate buckets must be a strict subset: $ids")
+    val prunedScan = TableSink.readBuckets(spark, dir, like, ids)
+    // No semantic change: the same current-cell predicate over the pruned
+    // scan returns exactly the stories the full-scan prefilter returns.
+    def prefilter(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("cell0").isin(current: _*))
+        .select("story_id").collect().map(_.getString(0)).toSet
+    val viaPruned = prefilter(prunedScan)
+    val viaFull = prefilter(full)
+    assert(viaPruned == viaFull && viaPruned.nonEmpty,
+      s"pruned read must not change the candidate set: $viaPruned vs $viaFull")
+    // Plan evidence: the pruned scan opens strictly fewer parquet files.
+    val allFiles = full.inputFiles.length
+    val prunedFiles = prunedScan.inputFiles.length
+    assert(prunedFiles < allFiles,
+      s"file pruning must be real: $prunedFiles of $allFiles files")
+    // And the layout survives upserts: a delta touching one cell dirties
+    // only that cell's bucket (the manifest pins layoutCol).
+    val delta = Seq(("s-00", Seq(1.0, 0.0), 9L)).toDF("story_id", "centroid", "n")
+      .withColumn("cell0", OnlineClustering.cellKey(col("centroid"), threshold, 2))
+      .withColumn("__v", lit(1L))
+    TableSink.upsert(spark, dir, delta, Seq("story_id"), "__v")
+    val after = prefilter(TableSink.readBuckets(spark, dir, like,
+      TableSink.bucketIdsFor(spark, dir, cells.toSeq)))
+    assert(after == viaFull, "layout-pinned upsert keeps value-addressability")
+  }
 }

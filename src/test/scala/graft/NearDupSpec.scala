@@ -193,6 +193,35 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("greedyMatchDistributed equals the driver greedy exactly (random, ties, skew, chains)") {
+    import spark.implicits._
+    import graft.operators.StoryOps
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      def norm(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      val drv = norm(StoryOps.greedyMatch(df, "cluster", "story", "jaccard"))
+      val dist = norm(StoryOps.greedyMatchDistributed(df, "cluster", "story", "jaccard"))
+      assert(dist == drv, s"missing=${(drv -- dist).take(5)} extra=${(dist -- drv).take(5)}")
+    }
+    for (seed <- Seq(1, 7, 23, 41)) {
+      val rnd = new scala.util.Random(seed)
+      // distinct pairs, 2-decimal scores → plenty of jaccard ties to
+      // exercise the (cluster, story) string tie-break
+      val cands = (1 to 120).map(_ => (s"c${rnd.nextInt(15)}", s"s${rnd.nextInt(15)}"))
+        .distinct.map { case (c, s) => (c, s, math.rint(rnd.nextDouble() * 100) / 100) }
+      run(cands.toDF("cluster", "story", "jaccard"))
+    }
+    // Skew: one hub cluster over many stories (plus competing clusters).
+    val hub = (0 until 50).map(i => ("hub", s"s$i", 1.0 - i * 0.01)) ++
+      (0 until 50).map(i => (s"c$i", s"s$i", 0.995 - i * 0.01))
+    run(hub.toDF("cluster", "story", "jaccard"))
+    // Strictly-decreasing path: the multi-round worst case for
+    // locally-dominant matching (one new dominant edge per two hops).
+    val chain = (0 until 30).flatMap(i =>
+      Seq((s"c$i", s"s$i", 0.9 - i * 0.02), (s"c${i + 1}", s"s$i", 0.89 - i * 0.02)))
+    run(chain.toDF("cluster", "story", "jaccard"))
+  }
+
   test("neardupIncremental: near-dups of the corpus are rejected, novel docs admitted") {
     import spark.implicits._
     import graft.operators.DedupOps
