@@ -952,6 +952,39 @@ object OracleSql {
 
     // OOV rate vs the corpus top-100 vocabulary (same deterministic
     // tie-break as x_vocab_topk), per document.
+    // Unigram cross-entropy: H = ln(N+V) − mean ln(c(w)+1), summed in
+    // the same sum/count form as the Spark agg; keep gated on the
+    // rounded value and on n_tokens > 0 (token-less docs never keep).
+    "x_unigram_ppl" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+        |e AS (SELECT doc_id, unnest(wds) token FROM w),
+        |c AS (SELECT token, count(*) c FROM e GROUP BY 1),
+        |t AS (SELECT sum(c) n, count(*) v FROM c),
+        |h AS (SELECT e.doc_id, count(*) n_tokens,
+        |        ln((SELECT n + v FROM t)) - sum(ln(c.c + 1)) / count(*) ce
+        |      FROM e JOIN c ON c.token = e.token GROUP BY e.doc_id)
+        |SELECT w.doc_id, coalesce(h.n_tokens, 0) AS n_tokens,
+        |  round(coalesce(h.ce, 0.0), 6) AS cross_entropy,
+        |  coalesce(round(h.ce, 6) < 3.41, false) AS keep
+        |FROM w LEFT JOIN h ON h.doc_id = w.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
+    // Embedding decontamination: per-train max cosine vs the eval slice,
+    // flag on the rounded value.
+    "x_decontaminate_embed" ->
+      """WITH tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 13 <> 0),
+        |ev AS (SELECT vec_id eid, embedding ee FROM embeddings WHERE vec_id % 13 = 0),
+        |u AS (SELECT t.vec_id, e.eid, unnest(t.embedding)::DOUBLE x,
+        |        unnest(e.ee)::DOUBLE y FROM tr t, ev e),
+        |s AS (SELECT vec_id, eid,
+        |        sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) sim
+        |      FROM u GROUP BY 1, 2),
+        |m AS (SELECT vec_id, max(sim) ms FROM s GROUP BY 1)
+        |SELECT t.vec_id, round(coalesce(m.ms, 0.0), 6) AS max_sim,
+        |  coalesce(round(m.ms, 6) >= 0.35, false) AS contaminated
+        |FROM tr t LEFT JOIN m ON m.vec_id = t.vec_id
+        |ORDER BY t.vec_id""".stripMargin,
+
     "x_oov_rate" ->
       s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
         |v AS (SELECT token FROM (

@@ -437,6 +437,34 @@ object SparkEntry {
     // top-100 vocabulary — the tokenizer-coverage statistic. The vocab
     // is tiny by construction, so it broadcasts; only (doc_id, token)
     // pairs shuffle for the per-doc counts.
+    // CCNet-style LM quality: per-doc cross-entropy (nats/token) under
+    // the corpus's own add-1 unigram model; keep = under the operating
+    // point (3.41, ~the corpus median — CCNet keeps the low-perplexity
+    // head/middle). Flag derived from the ROUNDED value so the decision
+    // boundary is engine-stable.
+    "x_unigram_ppl" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val model = CurationOps.unigramModel(docs, "text")
+      CurationOps.unigramCrossEntropy(docs, model, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("cross_entropy"), 6).as("cross_entropy"),
+          (col("n_tokens") > 0 && round(col("cross_entropy"), 6) < 3.41).as("keep"))
+        .orderBy("doc_id")
+    }),
+    // Semantic decontamination: max cosine of each training embedding
+    // against the (broadcast) eval slice; suspect at >= 0.35 (p90 of the
+    // max-sim distribution — the paraphrase-leakage complement of the
+    // n-gram x_decontaminate).
+    "x_decontaminate_embed" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      CurationOps.decontaminateByEmbedding(
+          e.filter(col("vec_id") % 13 =!= 0),
+          e.filter(col("vec_id") % 13 === 0),
+          "vec_id", "embedding", threshold = 0.35)
+        .select(col("vec_id"), round(col("max_sim"), 6).as("max_sim"),
+          (round(col("max_sim"), 6) >= 0.35).as("contaminated"))
+        .orderBy("vec_id")
+    }),
     "x_oov_rate" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val vocab = CurationOps.vocabTopK(docs, "text", 100)

@@ -266,6 +266,76 @@ object CurationOps {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /**
+   * Unigram token counts of a reference corpus — the model side of
+   * [[unigramCrossEntropy]]. One aggregation; the result is vocab-sized
+   * (bounded, broadcastable) at any corpus scale.
+   */
+  def unigramModel(reference: DataFrame, textCol: String): DataFrame =
+    reference.select(explode(toks(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+
+  /**
+   * CCNet-style LM quality signal (Wenzek et al. 2020 bucket a crawl by
+   * LM perplexity against a clean reference corpus): per-document
+   * cross-entropy in nats/token under an add-1-smoothed UNIGRAM model
+   * of the reference corpus,
+   *
+   *   H(doc) = ln(N + V) − (1/n) Σ_i ln(c(w_i) + 1),
+   *
+   * the deterministic, engine-replayable stand-in for CCNet's KenLM
+   * 5-gram (a model artifact this engine treats like the other model
+   * stand-ins): the same monotone unusual-token-mass signal, exact
+   * replay. Unseen tokens contribute ln(0 + 1) = 0 — the model's full
+   * ln(N + V) surprise via add-1 smoothing, not a special case.
+   *
+   * Scale shape: the model is one count aggregation (vocab-sized →
+   * broadcast); scoring is a map-side broadcast probe + per-doc
+   * aggregation — only (doc_id, token) rows reach the partial agg.
+   * Token-less documents score 0 with n_tokens = 0 (callers gate keep
+   * decisions on n_tokens, as the query does).
+   */
+  def unigramCrossEntropy(docs: DataFrame, model: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val totals = model.agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"))
+    docs.select(col(idCol).as("doc_id"), explode_outer(toks(col(textCol))).as("token"))
+      .join(broadcast(model), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("token")).as("n_tokens"),
+        sum(log(coalesce(col("c"), lit(0L)) + lit(1))).as("__s"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          log(col("__n") + col("__v")) - col("__s") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("cross_entropy"))
+  }
+
+  /**
+   * Semantic (embedding-space) decontamination — the complement of the
+   * n-gram [[decontaminate]]: a training example is suspect when its
+   * embedding lies within `threshold` cosine of ANY evaluation
+   * example's, catching paraphrased leakage that exact n-gram matching
+   * misses. The eval side is small by construction (benchmarks vs a
+   * corpus) and is broadcast; the cosine sweep is map-only over the
+   * training side and the per-example max is a map-side-partial
+   * aggregation — nothing corpus-sized shuffles.
+   *
+   * @return (idCol, max_sim, contaminated) — one row per training
+   *         example, max_sim 0.0 when the eval set is empty.
+   */
+  def decontaminateByEmbedding(train: DataFrame, eval: DataFrame, idCol: String,
+                               vecCol: String, threshold: Double): DataFrame = {
+    val t = train.select(col(idCol), col(vecCol).cast("array<double>").as("__tv"))
+    val e = eval.select(col(vecCol).cast("array<double>").as("__ev"))
+    val best = t.crossJoin(broadcast(e))
+      .select(col(idCol),
+        graft.functions.vector.cosineSim(col("__tv"), col("__ev")).as("__sim"))
+      .groupBy(idCol).agg(max(col("__sim")).as("max_sim"))
+    train.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("max_sim"), lit(0.0)).as("max_sim"),
+        coalesce(col("max_sim") >= threshold, lit(false)).as("contaminated"))
+  }
+
   // RE2-safe patterns (no lookaround) so the DuckDB oracle replays the
   // exact same redaction. Order matters: emails first (their dots would
   // otherwise feed the IP pattern), then IPs (their digits would feed

@@ -96,6 +96,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(!ch.getAs[Boolean]("keep"), "char-weighted rule rejects the same doc")
   }
 
+  test("unigramCrossEntropy: hand-computed add-1 model scores; empty docs score 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")
+    val model = CurationOps.unigramModel(docs, "text")  // a:2 b:1 → N=3 V=2
+    val got = CurationOps.unigramCrossEntropy(docs, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expected = math.log(5) - (2 * math.log(3) + math.log(2)) / 3
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - expected) < 1e-12,
+      s"H = ln(N+V) − mean ln(c+1): ${got(1L)}")
+    assert(got(2L) == ((0L, 0.0)), "token-less docs score 0 with n_tokens 0")
+    // An unseen token carries the full ln(N+V) surprise (ln(0+1) = 0).
+    val other = Seq((3L, "zzz")).toDF("doc_id", "text")
+    val g3 = CurationOps.unigramCrossEntropy(other, model, "doc_id", "text")
+      .collect()(0).getDouble(2)
+    assert(math.abs(g3 - math.log(5)) < 1e-12)
+  }
+
+  test("decontaminateByEmbedding: near-eval vectors flagged; empty eval admits all") {
+    import spark.implicits._
+    val train = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val eval_ = Seq((100L, Seq(1.0, 0.01))).toDF("vec_id", "embedding")
+    val got = CurationOps.decontaminateByEmbedding(train, eval_, "vec_id", "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got(1L)._2 && got(1L)._1 > 0.99, s"paraphrase-close embedding flagged: $got")
+    assert(!got(2L)._2 && got(2L)._1 < 0.011, s"orthogonal embedding admitted: $got")
+    val none = CurationOps.decontaminateByEmbedding(
+        train, eval_.filter(col("vec_id") < 0), "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getDouble(1), r.getBoolean(2))).toSet
+    assert(none == Set((0.0, false)), "empty eval set: max_sim 0, nothing flagged")
+  }
+
   test("decontaminate: exact n-gram overlap flags only true hits") {
     import spark.implicits._
     val eval_ = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
