@@ -115,6 +115,64 @@ object IvfAnn {
         transform(col("codes"), c => c.cast("double") * col("scale")).as("cv")),
       quantizedCorpus.schema(idCol).dataType)
 
+  /**
+   * Persist a [[quantizeCells]] store as a value-addressable
+   * [[graft.sources.TableSink]] laid out BY CELL (S9's index persistence
+   * composed with the round's layout work): every row of a cell lands in
+   * the bucket `hash(cell)` addresses, so a probe can open ONLY the
+   * probed cells' parquet files — at 100 TB the serving path reads
+   * nprobe/nlist of the index's FILES, not just its rows. Cell ids ride
+   * as strings (`__cell_s`) because the layout hash is string-keyed.
+   */
+  def writeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 quantizedCorpus: DataFrame, idCol: String,
+                 numBuckets: Int = 64): Unit =
+    graft.sources.TableSink.upsert(spark, dir,
+      quantizedCorpus.withColumn("__cell_s", col("cell").cast("string"))
+        .withColumn("__v", lit(0L)),
+      Seq(idCol), "__v", numBuckets, layoutCol = Some("__cell_s"))
+
+  /** The nprobe-nearest cell ids across all queries — driver-side and
+    * bounded (≤ |queries| × nprobe ids; queries are the small side of
+    * this serving path by construction). Exposed so callers can turn
+    * the probe set into file pruning ([[annSearchQuantizedStored]]) or
+    * audit it. */
+  def probedCellIds(queries: DataFrame, cells: DataFrame, idCol: String,
+                    vecCol: String, nprobe: Int): Seq[Long] =
+    queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(cells))
+      .select(col("query_id"), col("cell_id"),
+        graft.functions.vector.cosineSim(col("qv"), col("cell_vec")).as("csim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(desc("csim"), col("cell_id"))))
+      .filter(col("rn") <= nprobe)
+      .select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+
+  /**
+   * ANN over the PERSISTED index: resolve the probed cells, open only
+   * their buckets' files ([[graft.sources.TableSink.readBuckets]] —
+   * file-level pruning, the scan never lists the rest of the index),
+   * drop hash-cohabitant cells with a residual filter, and run the
+   * standard quantized probe. Results are identical to
+   * [[annSearchQuantized]] over the full store (the probe's cell
+   * equi-join restricts to probed cells either way — spec-pinned along
+   * with the file-count evidence).
+   */
+  def annSearchQuantizedStored(dir: String, queries: DataFrame, cells: DataFrame,
+                               idCol: String, vecCol: String, k: Int, nprobe: Int,
+                               excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val probed = probedCellIds(queries, cells, idCol, vecCol, nprobe)
+    val like = spark.range(0).select(lit(0L).as("cell"), lit(0L).as(idCol),
+      lit(0.0).as("scale"), array().cast("array<tinyint>").as("codes"))
+    val corpus = graft.sources.TableSink.readBuckets(spark, dir, like,
+        graft.sources.TableSink.bucketIdsFor(spark, dir, probed.map(_.toString)))
+      .filter(col("cell").isin(probed: _*))
+    annSearchQuantized(queries, corpus, cells, idCol, vecCol, k, nprobe, excludeSelf)
+  }
+
   /** Shared probe: query → nprobe nearest cells (tiny broadcast cross
     * join) → equi-join the prepared corpus side on cell → bounded-heap
     * top-k (map-side partial), keyed by the corpus id type. */

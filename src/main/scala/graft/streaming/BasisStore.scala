@@ -27,11 +27,21 @@ object BasisStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Load the basis, or Nil when no basis has been published yet. */
+  /** Load the basis, or Nil when no basis has been published yet — or
+    * when the file is unreadable/damaged (impossible via [[save]]'s
+    * atomic publish, but a stray edit must degrade the job to the raw
+    * grid, not kill the stream: a missing basis costs pruning power
+    * only). */
   def load(path: String): Seq[Array[Double]] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) Nil
-    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
-      .map(_.split(',').map(_.toDouble).toArray)
+    else try
+      Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+        .map(_.split(',').map(_.toDouble).toArray)
+    catch {
+      case e @ (_: NumberFormatException | _: java.io.IOException) =>
+        System.err.println(s"[graft] ignoring unreadable basis at $path: $e")
+        Nil
+    }
   }
 }

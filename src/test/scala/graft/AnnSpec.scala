@@ -97,4 +97,31 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(rQz - rFl) <= 0.1,
       s"int8 rounding must not change recall materially: float=$rFl quant=$rQz")
   }
+
+  test("persisted IVF-SQ8 index: stored probe == in-memory probe, opening fewer files") {
+    import graft.sources.TableSink
+    val e = spark.read.parquet(sf() + "/embeddings.parquet").repartition(8).cache()
+    val cells = IvfAnn.buildCells(e, "vec_id", "embedding", nlist = 16)
+    val corpus = IvfAnn.assignCells(e, "vec_id", "embedding", cells)
+    val sq8 = IvfAnn.quantizeCells(corpus, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    IvfAnn.writeIndex(spark, dir, sq8, "vec_id", numBuckets = 16)
+    val q = e.filter(col("vec_id") < 2)
+    val stored = IvfAnn.annSearchQuantizedStored(dir, q, cells, "vec_id", "embedding",
+      k = 5, nprobe = 3)
+    val mem = IvfAnn.annSearchQuantized(q, sq8, cells, "vec_id", "embedding",
+      k = 5, nprobe = 3)
+    def full(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full(stored) == full(mem),
+      "file-pruned probe must return the identical ranked neighbors")
+    // File evidence: the probe's bucket read opens a strict subset.
+    val probed = IvfAnn.probedCellIds(q, cells, "vec_id", "embedding", 3)
+    val like = spark.range(0).select(lit(0L).as("cell"))
+    val pruned = TableSink.readBuckets(spark, dir, like,
+      TableSink.bucketIdsFor(spark, dir, probed.map(_.toString))).inputFiles.length
+    val all = TableSink.read(spark, dir, like).inputFiles.length
+    assert(pruned < all, s"probe must skip unprobed cells' files: $pruned of $all")
+  }
 }
