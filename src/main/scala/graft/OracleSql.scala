@@ -952,6 +952,18 @@ object OracleSql {
 
     // OOV rate vs the corpus top-100 vocabulary (same deterministic
     // tie-break as x_vocab_topk), per document.
+    // BPE pair counts: adjacent 2-char substrings of each distinct word,
+    // weighted by the word's corpus frequency.
+    "x_bpe_pairs" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+        |d AS (SELECT w2 w, count(*) f FROM (SELECT unnest(wds) w2 FROM w) GROUP BY 1),
+        |p AS (SELECT substring(d.w, CAST(t.i AS INT), 2) pair, d.f
+        |      FROM d, unnest(generate_series(1, length(d.w) - 1)) t(i)
+        |      WHERE length(d.w) >= 2),
+        |c AS (SELECT pair, sum(f) cnt FROM p GROUP BY 1)
+        |SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM c
+        |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
     // Unigram cross-entropy: H = ln(N+V) − mean ln(c(w)+1), summed in
     // the same sum/count form as the Spark agg; keep gated on the
     // rounded value and on n_tokens > 0 (token-less docs never keep).

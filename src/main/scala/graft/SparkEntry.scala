@@ -437,6 +437,12 @@ object SparkEntry {
     // top-100 vocabulary — the tokenizer-coverage statistic. The vocab
     // is tiny by construction, so it broadcasts; only (doc_id, token)
     // pairs shuffle for the per-doc counts.
+    // BPE training step 1: adjacent symbol-pair counts over the word-
+    // frequency dict (the classic formulation — pair stats never rescan
+    // the corpus), top 30 with deterministic ties.
+    "x_bpe_pairs" -> ((s, d) => {
+      CurationOps.bpePairCounts(T(s, d, "documents"), "text", 30)
+    }),
     // CCNet-style LM quality: per-doc cross-entropy (nats/token) under
     // the corpus's own add-1 unigram model; keep = under the operating
     // point (3.41, ~the corpus median — CCNet keeps the low-perplexity

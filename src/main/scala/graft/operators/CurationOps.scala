@@ -267,6 +267,27 @@ object CurationOps {
   }
 
   /**
+   * First step of BPE tokenizer training (Sennrich et al. 2016):
+   * corpus-wide counts of adjacent symbol pairs, weighted by word
+   * frequency. Computed the classic way — over the distinct-word
+   * frequency dictionary, NOT a rescan of the corpus — so the heavy
+   * text scan happens once (vocab build) and the pair stage runs on
+   * vocab-sized data; each subsequent merge iteration of a full BPE
+   * trainer reuses the same dict shape. Deterministic ties: count
+   * desc, pair asc; the final top-k is a TakeOrderedAndProject, never
+   * a global sort of the pair space.
+   */
+  def bpePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("f"), explode(expr(
+        "CASE WHEN length(w) >= 2 THEN transform(sequence(1, length(w) - 1)," +
+          " i -> substring(w, i, 2)) ELSE array() END")).as("pair"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .orderBy(desc("cnt"), col("pair"))
+      .limit(k)
+
+  /**
    * Unigram token counts of a reference corpus — the model side of
    * [[unigramCrossEntropy]]. One aggregation; the result is vocab-sized
    * (bounded, broadcastable) at any corpus scale.

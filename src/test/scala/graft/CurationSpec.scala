@@ -96,6 +96,18 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(!ch.getAs[Boolean]("keep"), "char-weighted rule rejects the same doc")
   }
 
+  test("bpePairCounts: frequency-weighted adjacent pairs from the word dict") {
+    import spark.implicits._
+    // "banana" ×2, "bana" ×1, "x" ×1 (no pairs):
+    //   an: 2·2 + 1 = 5, na: 2·2 + 1 = 5, ba: 2 + 1 = 3, nan via "banana"? —
+    //   pairs of "banana": ba an na an na; of "bana": ba an na.
+    val docs = Seq((1L, "banana bana x"), (2L, "banana")).toDF("doc_id", "text")
+    val got = CurationOps.bpePairCounts(docs, "text", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("an" -> 5L, "na" -> 5L, "ba" -> 3L),
+      s"count desc then pair asc: $got")
+  }
+
   test("unigramCrossEntropy: hand-computed add-1 model scores; empty docs score 0") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")
