@@ -607,6 +607,26 @@ object OracleSql {
         |SELECT ia AS id_a, ib AS id_b, round(sim, 6) AS sim
         |FROM s WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
+    // Embedding-dedup cascade: the x_neardup_cosine pair set closed
+    // under connectivity by the same recursive-CTE fixpoint as
+    // x_dup_components, min reachable id as the representative.
+    "pipe_embed_dedup_e2e" ->
+      """WITH RECURSIVE p0 AS (SELECT a.vec_id ia, b.vec_id ib, a.embedding ea, b.embedding eb
+        |             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |u AS (SELECT ia, ib, unnest(ea)::DOUBLE x, unnest(eb)::DOUBLE y FROM p0),
+        |sp AS (SELECT ia, ib FROM (
+        |    SELECT ia, ib, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) sim
+        |    FROM u GROUP BY ia, ib) WHERE sim >= 0.3),
+        |e AS (SELECT ia s, ib d FROM sp UNION SELECT ib, ia FROM sp),
+        |r AS (SELECT s AS id, s AS lbl FROM e
+        |      UNION
+        |      SELECT e.d, r.lbl FROM r JOIN e ON e.s = r.id),
+        |c AS (SELECT id, min(lbl) component FROM r GROUP BY id)
+        |SELECT em.vec_id, coalesce(c.component, em.vec_id) AS component,
+        |  (coalesce(c.component, em.vec_id) = em.vec_id) AS kept
+        |FROM embeddings em LEFT JOIN c ON c.id = em.vec_id
+        |ORDER BY em.vec_id""".stripMargin,
+
     // ──────────── wave 2 ────────────
     "p1_projection" ->
       """SELECT o_orderkey, COALESCE(o_orderpriority, 'NONE') AS priority,

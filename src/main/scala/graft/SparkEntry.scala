@@ -693,6 +693,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy("id_a", "id_b")
     }),
+    // Embedding-dedup cascade end-to-end — the vector analog of
+    // pipe_dedup_e2e: exact epsilon-grid cosine pairs → connected
+    // components → min-id representative; one verdict row per vector.
+    // Same scale shape as the text cascade: candidates from the grid
+    // equi-join (never all-pairs), (id, label) rounds, free
+    // representative off the min label.
+    "pipe_embed_dedup_e2e" -> ((s, d) => {
+      val e = T(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pairs = SimilarityOps.nearDupByCosine(e, "vec_id", "embedding", 0.3)
+        .select("id_a", "id_b")
+      val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      e.select(col("vec_id"))
+        .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("component"))
+        .withColumn("kept", col("vec_id") === col("component"))
+        .orderBy("vec_id")
+    }),
     "x_simhash" -> ((s, d) => {
       T(s, d, "documents")
         .select(col("doc_id"), DedupOps.simhash(col("text")).as("simhash"))
