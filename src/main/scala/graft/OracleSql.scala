@@ -984,6 +984,37 @@ object OracleSql {
         |SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM c
         |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
 
+    // Complete incremental admission: within-batch components over the
+    // LSH-candidate verified pairs restricted to batch docs (banding is
+    // per-doc deterministic, so the all-docs candidate chain filtered to
+    // batch pairs equals a batch-only run), plus the batch↔corpus
+    // verified-pair check — admit = own-component representative AND no
+    // corpus match.
+    "x_admit_incremental" ->
+      s"""WITH RECURSIVE $lshCandCtes,
+         |bp AS (SELECT li.ia, li.ib FROM li JOIN cand USING (ia, ib)
+         |  JOIN lsz x ON x.doc_id = li.ia JOIN lsz y ON y.doc_id = li.ib
+         |  WHERE li.ia % 10 >= 8 AND li.ib % 10 >= 8
+         |    AND inter::DOUBLE / (x.n + y.n - inter) >= 0.05),
+         |e AS (SELECT ia s, ib d FROM bp UNION SELECT ib, ia FROM bp),
+         |r AS (SELECT s AS id, s AS lbl FROM e
+         |      UNION
+         |      SELECT e.d, r.lbl FROM r JOIN e ON e.s = r.id),
+         |cc AS (SELECT id, min(lbl) component FROM r GROUP BY id),
+         |xp AS (SELECT CASE WHEN cand.ia % 10 >= 8 THEN cand.ia ELSE cand.ib END batch_id
+         |  FROM cand JOIN li USING (ia, ib)
+         |  JOIN lsz x ON x.doc_id = cand.ia JOIN lsz y ON y.doc_id = cand.ib
+         |  WHERE (cand.ia % 10 >= 8) <> (cand.ib % 10 >= 8)
+         |    AND li.inter::DOUBLE / (x.n + y.n - li.inter) >= 0.05),
+         |blocked AS (SELECT DISTINCT batch_id FROM xp)
+         |SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component,
+         |  (coalesce(cc.component, d.doc_id) = d.doc_id
+         |    AND blocked.batch_id IS NULL) AS admit
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+         |LEFT JOIN cc ON cc.id = d.doc_id
+         |LEFT JOIN blocked ON blocked.batch_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     // Unigram cross-entropy: H = ln(N+V) − mean ln(c(w)+1), summed in
     // the same sum/count form as the Spark agg; keep gated on the
     // rounded value and on n_tokens > 0 (token-less docs never keep).

@@ -566,6 +566,18 @@ object SparkEntry {
           round(col("match_jaccard"), 6).as("match_jaccard"), col("admit"))
         .orderBy("doc_id")
     }),
+    // The complete incremental admission: within-batch near-dup closure
+    // (one representative per batch component) AND the standing-corpus
+    // check — the verdict an ingest pipeline actually enforces.
+    "x_admit_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      val idx = DedupOps.minhashBandIndex(corpus, "doc_id", "text", 3, 4, 4)
+      DedupOps.admitIncremental(batch, corpus, idx, "doc_id", "text",
+          shingleN = 3, k = 4, bands = 4, threshold = 0.05)
+        .orderBy("doc_id")
+    }),
     "x_exact_dup_groups" -> ((s, d) => {
       DedupOps.exactDupGroups(T(s, d, "documents"), "doc_id", "text")
         .select(col("fp"), col("n"),

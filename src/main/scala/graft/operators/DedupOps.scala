@@ -262,6 +262,36 @@ object DedupOps {
   }
 
   /**
+   * The COMPLETE incremental admission decision — [[neardupIncremental]]
+   * alone misses the within-batch case (two mutual near-dups both new to
+   * the corpus would both pass the corpus check): close the batch under
+   * its own near-dup relation first ([[dedupCascade]] over the batch —
+   * bounded by the batch, never the corpus), then corpus-check every
+   * doc. A doc is admitted iff it is its batch-component's min-id
+   * representative AND its own text clears the standing-index check. A
+   * component whose representative is corpus-blocked is blocked
+   * entirely: any member is within-threshold of the representative,
+   * which is within-threshold of a standing doc — admitting it would
+   * re-introduce (transitively) near-duplicate text; the conservatism
+   * is the same closure reasoning the cascade itself applies.
+   *
+   * Scale shape: the cascade runs on the BATCH (small side); the corpus
+   * participates only through [[neardupIncremental]]'s map-only scans.
+   *
+   * @return (doc_id, component, admit) — component labels are batch ids
+   */
+  def admitIncremental(batch: DataFrame, corpus: DataFrame, corpusIndex: DataFrame,
+                       idCol: String, textCol: String, shingleN: Int, k: Int,
+                       bands: Int, threshold: Double): DataFrame = {
+    val within = dedupCascade(batch, idCol, textCol, shingleN, k, bands, threshold)
+    val vs = neardupIncremental(batch, corpus, corpusIndex, idCol, textCol,
+      shingleN, k, bands, threshold)
+    within.join(vs.select(col("doc_id"), col("admit").as("__corpus_ok")), "doc_id")
+      .select(col("doc_id"), col("component"),
+        (col("kept") && col("__corpus_ok")).as("admit"))
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for candidate pairs (the verify stage
    * after LSH): explode distinct shingles, equi-join, count.
    */

@@ -259,6 +259,31 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
       s"re-ingest of an admitted doc must now be rejected: ${again.toSeq}")
   }
 
+  test("admitIncremental: within-batch mutual near-dups collapse to one representative") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+      (2L, "an entirely different report about municipal budget hearings and road repairs"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the quiet river bank tonight"), // corpus near-dup
+      (102L, "completely novel astronomy notes on variable stars and their light curves"),
+      (104L, "fresh recipe ideas for slow roasted vegetables with garlic and rosemary butter"),
+      (105L, "fresh recipe ideas for slow roasted vegetables with garlic and rosemary sauce")) // near-dup of 104
+      .toDF("doc_id", "text")
+    val idx = DedupOps.minhashBandIndex(corpus, "doc_id", "text", 3, 4, 4)
+    val got = DedupOps.admitIncremental(batch, corpus, idx, "doc_id", "text",
+        3, 4, 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(!got(101L)._2, "corpus near-dup blocked even though alone in its batch component")
+    assert(got(102L)._2, "novel doc admitted")
+    assert(got(104L) == ((104L, true)),
+      s"min-id representative of the within-batch pair admitted: ${got(104L)}")
+    assert(got(105L) == ((104L, false)),
+      s"its within-batch near-dup collapses into the component: ${got(105L)}")
+  }
+
   test("epsilon-grid emits each candidate pair exactly once (no distinct needed)") {
     import spark.implicits._
     // All vectors in one tight cluster → every pair qualifies; duplicates
