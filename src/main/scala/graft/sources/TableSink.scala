@@ -210,6 +210,15 @@ object TableSink {
     val nb = cur.map(_.buckets).getOrElse(numBuckets)
     // An existing table's layout (or its absence) is manifest-pinned.
     val layout = cur.map(_.layoutCol).getOrElse(layoutCol)
+    // The read path (bucketIdsFor) hashes STRING literals; a non-string
+    // layout column would hash differently at write time and silently
+    // route readers to the wrong (possibly empty) bucket set — refuse.
+    layout.foreach { c =>
+      touched.schema.find(_.name == c).foreach(f =>
+        require(f.dataType == org.apache.spark.sql.types.StringType,
+          s"layout column '$c' must be STRING (value-addressed reads hash " +
+            s"string literals), got ${f.dataType}"))
+    }
     val seq = cur.map(_.seq + 1).getOrElse(1L)
     val bucketOf = bucketExpr(keys, nb, layout)
 

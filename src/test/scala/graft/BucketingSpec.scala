@@ -91,5 +91,13 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     val after = prefilter(TableSink.readBuckets(spark, dir, like,
       TableSink.bucketIdsFor(spark, dir, cells.toSeq)))
     assert(after == viaFull, "layout-pinned upsert keeps value-addressability")
+    // A non-string layout column would break read-side hash parity
+    // silently — the sink refuses it loudly instead.
+    val bad = Seq(("k1", 7L)).toDF("story_id", "cell_num").withColumn("__v", lit(0L))
+    val err = intercept[IllegalArgumentException] {
+      TableSink.upsert(spark, Files.createTempDirectory("badlayout").toString,
+        bad, Seq("story_id"), "__v", layoutCol = Some("cell_num"))
+    }
+    assert(err.getMessage.contains("must be STRING"))
   }
 }
