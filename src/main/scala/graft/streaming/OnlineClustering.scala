@@ -131,9 +131,11 @@ object OnlineClustering {
   // against the (small, broadcast-as-literal) batch cell neighborhood and
   // only the survivors are collected; the returned state is the DELTA
   // (changed + created stories) for a MERGE, so untouched stories never
-  // leave the executors in either direction. Partitioning the stories
-  // table by cell key would further turn the filter into partition
-  // pruning; with the default bucketed TableSink it is a scan-and-drop.
+  // leave the executors in either direction. With the default key-hash
+  // TableSink the prefilter is a scan-and-drop; laying the table out by
+  // the STICKY creation cell (TableSink `layoutCol` = [[cellKey]],
+  // radius-2 read under the ±1-drift re-homing invariant — see
+  // docs/PLANS.md) turns it into file-level pruning.
   //
   // OPERATING ENVELOPE — when does the exact prefilter actually prune?
   // Recall is always exact, but DISCRIMINATION needs the cell width

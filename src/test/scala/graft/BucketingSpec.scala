@@ -91,6 +91,29 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     val after = prefilter(TableSink.readBuckets(spark, dir, like,
       TableSink.bucketIdsFor(spark, dir, cells.toSeq)))
     assert(after == viaFull, "layout-pinned upsert keeps value-addressability")
+    // Re-homing (the migration contract): a story whose centroid drifts
+    // out of its sticky cell's ±1 band moves buckets via an explicit
+    // delete-with-old-value + upsert-with-new — value-addressed readers
+    // then find it under the NEW cell and never under the old.
+    val s07old = full.filter(col("story_id") === "s-07")
+      .select("story_id", "cell0").collect()(0)
+    val oldCell = s07old.getString(1)
+    val moved = Seq(("s-07", Seq(1.0, 0.0), 42L)).toDF("story_id", "centroid", "n")
+      .withColumn("cell0", OnlineClustering.cellKey(col("centroid"), threshold, 2))
+      .withColumn("__v", lit(2L))
+    val newCell = moved.select("cell0").collect()(0).getString(0)
+    assert(newCell != oldCell, "fixture must actually migrate cells")
+    TableSink.delete(spark, dir,
+      Seq(("s-07", oldCell)).toDF("story_id", "cell0"), Seq("story_id"))
+    TableSink.upsert(spark, dir, moved, Seq("story_id"), "__v")
+    def inCell(cell: String) = TableSink.readBuckets(spark, dir, like,
+        TableSink.bucketIdsFor(spark, dir, Seq(cell)))
+      .filter(col("cell0") === cell && col("story_id") === "s-07").count()
+    assert(inCell(newCell) == 1L, "re-homed story is addressable by its new cell")
+    assert(inCell(oldCell) == 0L, "and gone from the old cell's bucket")
+    assert(TableSink.read(spark, dir, like)
+      .filter(col("story_id") === "s-07").count() == 1L, "exactly one copy")
+
     // A non-string layout column would break read-side hash parity
     // silently — the sink refuses it loudly instead.
     val bad = Seq(("k1", 7L)).toDF("story_id", "cell_num").withColumn("__v", lit(0L))
