@@ -158,6 +158,24 @@ object KernelProps extends Properties("kernels") {
       chunks.mkString == s
     }
 
+  // Soundness lemma of the cell-sticky value-addressed read (PLANS.md):
+  // if a story's CURRENT cell is in the radius-1 candidate neighborhood
+  // of some batch vector and its sticky cell is within one cell of the
+  // current one per coordinate (the re-homing invariant), then the
+  // sticky cell lies in the radius-2 neighborhood — so reading the
+  // radius-2 buckets can never miss a candidate story.
+  property("radius-2 sticky read covers every ±1-drifted radius-1 candidate") =
+    forAll(batchGen, Gen.choose(0.05, 0.95),
+      Gen.listOfN(6, Gen.choose(-1, 1))) { (batch, t, drift) =>
+      val dims = 2
+      val n1 = OnlineClustering.candidateCells(batch, t, dims)
+      val n2 = OnlineClustering.candidateCells(batch, t, dims, radius = 2)
+      n1.forall { current =>
+        val sticky = current.zip(drift).map { case (c, d) => c + d }
+        n2.contains(sticky)
+      }
+    }
+
   property("cdcBoundaries: appending a suffix never changes interior boundaries") =
     forAll(textGen, textGen, Gen.choose(2, 10)) { (s, suffix, w) =>
       val before = cdc(s, w, 15L)
