@@ -972,6 +972,14 @@ object OracleSql {
 
     // OOV rate vs the corpus top-100 vocabulary (same deterministic
     // tie-break as x_vocab_topk), per document.
+    // HLL cardinality: exact vocab size from the raw table; the Spark
+    // side's sketch estimate must sit within the ±10% contract.
+    "x_approx_distinct" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents)
+        |SELECT CAST(count(DISTINCT token) AS BIGINT) AS n_exact,
+        |  true AS approx_ok
+        |FROM (SELECT unnest(wds) token FROM w)""".stripMargin,
+
     // BPE pair counts: adjacent 2-char substrings of each distinct word,
     // weighted by the word's corpus frequency.
     "x_bpe_pairs" ->

@@ -437,6 +437,21 @@ object SparkEntry {
     // top-100 vocabulary — the tokenizer-coverage statistic. The vocab
     // is tiny by construction, so it broadcasts; only (doc_id, token)
     // pairs shuffle for the per-doc counts.
+    // HLL++ cardinality estimation — the corpus-stats primitive a 100 TB
+    // deployment uses where exact countDistinct is a full shuffle of the
+    // key space: vocabulary size estimated at rsd 2% (one map-side
+    // sketch per partition, constant-size merge), checked in-plan
+    // against the exact count with a ±10% contract the oracle states.
+    "x_approx_distinct" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= "")).as("token"))
+        .agg(countDistinct(col("token")).as("n_exact"),
+          approx_count_distinct(col("token"), 0.02).as("__a"))
+        .select(col("n_exact"),
+          (abs(col("__a") - col("n_exact")) <=
+            col("n_exact") * lit(0.1)).as("approx_ok"))
+    }),
     // BPE training step 1: adjacent symbol-pair counts over the word-
     // frequency dict (the classic formulation — pair stats never rescan
     // the corpus), top 30 with deterministic ties.
