@@ -972,6 +972,22 @@ object OracleSql {
 
     // OOV rate vs the corpus top-100 vocabulary (same deterministic
     // tie-break as x_vocab_topk), per document.
+    // Exact-size sample: same salted-digest order, k-row prefix.
+    "x_fixed_sample" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id FROM documents
+        |  ORDER BY md5_number_lower('fx|' || CAST(doc_id AS VARCHAR)) % 1000000, doc_id
+        |  LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Per-domain cap: digest-ranked row_number per language, <= 20.
+    "x_domain_cap" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5_number_lower('dc|' || CAST(doc_id AS VARCHAR)) % 1000000, doc_id) rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+
     // HLL cardinality: exact vocab size from the raw table; the Spark
     // side's sketch estimate must sit within the ±10% contract.
     "x_approx_distinct" ->

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, QuantizeOps, Recommend, RecommendML, SimilarityOps, SkewOps, StoryOps}
+import graft.operators.{ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, QuantizeOps, Recommend, RecommendML, SampleOps, SimilarityOps, SkewOps, StoryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -437,6 +437,23 @@ object SparkEntry {
     // top-100 vocabulary — the tokenizer-coverage statistic. The vocab
     // is tiny by construction, so it broadcasts; only (doc_id, token)
     // pairs shuffle for the per-doc counts.
+    // Exact-size deterministic sample: the 50 lowest salted digests —
+    // reproducible "exactly K docs" (TakeOrderedAndProject, no global
+    // sort, corpus-order-independent).
+    "x_fixed_sample" -> ((s, d) => {
+      SampleOps.fixedSizeSample(T(s, d, "documents"), col("doc_id"), k = 50,
+          salt = "fx|")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+    // Per-domain quota: at most 20 docs per language, chosen by digest
+    // rank — the source-balancing cap every mixture pipeline applies.
+    "x_domain_cap" -> ((s, d) => {
+      SampleOps.capPerGroup(T(s, d, "documents"), "lang", col("doc_id"),
+          cap = 20, salt = "dc|")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
     // HLL++ cardinality estimation — the corpus-stats primitive a 100 TB
     // deployment uses where exact countDistinct is a full shuffle of the
     // key space: vocabulary size estimated at rsd 2% (one map-side

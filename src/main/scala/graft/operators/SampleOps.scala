@@ -36,6 +36,45 @@ object SampleOps {
   }
 
   /**
+   * Exact-size deterministic sample: the k rows whose salted digest
+   * ranks lowest — "give me exactly K documents, reproducibly". Unlike
+   * a fraction sample the size is exact; unlike `df.limit(k)` the
+   * choice is corpus-order-independent (pure function of (key, salt)).
+   * Plans as a TakeOrderedAndProject — per-partition top-k then one
+   * k-row merge, never a global sort. Ties (digest collisions) break
+   * by key, so the result is total-order deterministic.
+   */
+  def fixedSizeSample(df: DataFrame, key: Column, k: Int,
+                      salt: String = ""): DataFrame = {
+    require(k >= 0, s"sample size out of range: $k")
+    df.orderBy(
+        graft.functions.sig.md5BucketCol(concat(lit(salt), key.cast("string")), Buckets).asc,
+        key.asc)
+      .limit(k)
+  }
+
+  /**
+   * Per-group cap (source/domain balancing): keep at most `cap` rows
+   * per group, chosen deterministically by the salted digest rank —
+   * the quota form of stratified sampling ("no domain contributes more
+   * than N documents"). Spark 4's WindowGroupLimit prunes each
+   * partition to the top `cap` per group BEFORE the shuffle, so the
+   * exchange carries ≤ cap·partitions rows per group, not the group.
+   */
+  def capPerGroup(df: DataFrame, groupCol: String, key: Column, cap: Int,
+                  salt: String = ""): DataFrame = {
+    require(cap >= 1, s"cap out of range: $cap")
+    df.withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+          .orderBy(
+            graft.functions.sig.md5BucketCol(
+              concat(lit(salt), key.cast("string")), Buckets).asc,
+            key.asc)))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
+  /**
    * Stratified sample: per-stratum fractions (e.g. downsample the head
    * language, keep the tail) with a default for unlisted strata. The
    * fraction lookup is a codegen'd CASE chain — no join, no shuffle.

@@ -174,6 +174,31 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       s"head $headRate tail $tailRate")
   }
 
+  test("fixedSizeSample and capPerGroup: exact sizes, order-independent, stable draws") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 4 == 0) "tail" else "head")).toDF("id", "s")
+    val fs = graft.operators.SampleOps.fixedSizeSample(df, col("id"), 100, "x")
+      .collect().map(_.getLong(0)).toSet
+    assert(fs.size == 100, "exactly k rows")
+    // corpus-order independence: a shuffled input draws the same set
+    val fs2 = graft.operators.SampleOps.fixedSizeSample(
+        df.orderBy(rand(7)), col("id"), 100, "x")
+      .collect().map(_.getLong(0)).toSet
+    assert(fs2 == fs, "selection is a pure function of (key, salt), not row order")
+    // the digest-rank prefix nests: a smaller k is a subset of a larger
+    val fs50 = graft.operators.SampleOps.fixedSizeSample(df, col("id"), 50, "x")
+      .collect().map(_.getLong(0)).toSet
+    assert(fs50.subsetOf(fs))
+    val capped = graft.operators.SampleOps.capPerGroup(df, "s", col("id"), 30, "x")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(capped.count(_._2 == "head") == 30 && capped.count(_._2 == "tail") == 30,
+      "both groups hit the cap exactly (both exceed it)")
+    // a group under the cap passes through whole
+    val small = graft.operators.SampleOps.capPerGroup(
+        df.filter($"id" <= 10), "s", col("id"), 30, "x").count()
+    assert(small == 10)
+  }
+
   test("cdcChunkDups finds a shared paragraph at different byte offsets") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
