@@ -39,7 +39,10 @@ object OracleSql {
       |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))::DOUBLE / len(ls) ELSE 0.0 END blf,
       |    CASE WHEN len(ls) > 0 THEN len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$$')))::DOUBLE / len(ls) ELSE 0.0 END elf,
       |    CASE WHEN len(wds) > 0 THEN list_sum(list_transform(wds, x -> len(x)))::DOUBLE / len(wds) ELSE 0.0 END mwl,
-      |    CASE WHEN len(wds) > 0 THEN (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) + len(regexp_extract_all(text, '…')))::DOUBLE / len(wds) ELSE 0.0 END swr
+      |    CASE WHEN len(wds) > 0 THEN (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) + len(regexp_extract_all(text, '…')))::DOUBLE / len(wds) ELSE 0.0 END swr,
+      |    CAST(len(wds) AS INTEGER) nw,
+      |    CASE WHEN len(wds) > 0 THEN len(list_filter(wds, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(wds) ELSE 0.0 END awf,
+      |    CAST(len(list_filter(wds, x -> x IN $stops)) AS INTEGER) nsh
       |  FROM gl),
       |ge AS (SELECT doc_id, 2 AS n, unnest(list_transform(generate_series(1, greatest(len(wds) - 1, 0)), i -> array_to_string(wds[i:i+1], ' '))) g FROM gst
       |  UNION ALL SELECT doc_id, 3, unnest(list_transform(generate_series(1, greatest(len(wds) - 2, 0)), i -> array_to_string(wds[i:i+2], ' '))) FROM gst
@@ -62,7 +65,8 @@ object OracleSql {
     """(dlf < 0.30 AND dpf < 0.30 AND dlcf < 0.20 AND dpcf < 0.20
       |   AND coalesce(t2, 0.0) < 0.20 AND coalesce(t3, 0.0) < 0.18
       |   AND coalesce(t4, 0.0) < 0.16 AND swr < 0.10 AND blf < 0.90
-      |   AND elf < 0.30 AND mwl >= 3.0 AND mwl <= 10.0)""".stripMargin
+      |   AND elf < 0.30 AND mwl >= 3.0 AND mwl <= 10.0
+      |   AND nw >= 50 AND nw <= 100000 AND awf >= 0.8 AND nsh >= 2)""".stripMargin
 
   // Shared MinHash/LSH candidate chain over `documents` (shingle width 3,
   // k = 4 salted-md5 mins, 4 bands of one hash): signatures (`lsig`),
@@ -802,6 +806,8 @@ object OracleSql {
         |  round(blf, 6) AS bullet_line_frac,
         |  round(elf, 6) AS ellipsis_line_frac,
         |  round(mwl, 6) AS mean_word_len,
+        |  nw AS n_words, round(awf, 6) AS alpha_word_frac,
+        |  nsh AS n_stop_hits,
         |  $gopherKeepSql AS keep
         |FROM gst LEFT JOIN gp USING (doc_id)
         |ORDER BY gst.doc_id""".stripMargin,

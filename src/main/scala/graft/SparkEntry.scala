@@ -369,7 +369,8 @@ object SparkEntry {
           round(col("bullet_line_frac"), 6).as("bullet_line_frac"),
           round(col("ellipsis_line_frac"), 6).as("ellipsis_line_frac"),
           round(col("mean_word_len"), 6).as("mean_word_len"),
-          col("keep"))
+          col("n_words"), round(col("alpha_word_frac"), 6).as("alpha_word_frac"),
+          col("n_stop_hits"), col("keep"))
         .orderBy("doc_id")
     }),
     // Train/eval decontamination: every 13th document plays the held-out

@@ -107,11 +107,21 @@ object CurationOps {
    *    lines starting with a bullet (`-`, `*`, `•`) / ending with an
    *    ellipsis,
    *  - `mean_word_len`: mean characters per whitespace token,
+   *  - `n_words` / `alpha_word_frac` / `n_stop_hits`: Table A1's
+   *    remaining gates — document length band, fraction of words with
+   *    an alphabetic character, and stop-word occurrences (the
+   *    engine-wide [[graft.functions.TextOps.defaultStopwords]] list;
+   *    the paper's own 8-word list differs slightly — one shared list
+   *    keeps this gate, quality scoring and language ID consistent),
    *  - `keep`: all signals inside the published operating points
    *    (dup-line/paragraph &lt; 0.30, their char fractions &lt; 0.20;
    *    top-2/3/4-gram &lt; 0.20/0.18/0.16; symbol ratio &lt; 0.10;
    *    bullet lines &lt; 0.90; ellipsis lines &lt; 0.30; mean word
-   *    length in [3, 10]).
+   *    length in [3, 10]; words in [minWords, maxWords] — paper
+   *    default [50, 100k]; alpha-word fraction ≥ 0.8; ≥ 2 stop
+   *    words). The length/alpha/stop bounds are parameters so tests
+   *    and short-document pipelines can relax them without forking
+   *    the operator.
    *
    * Scale shape — unchanged from [[repetitionStats]]: every line/word
    * signal is pure per-row column work carried through the aggregation
@@ -152,6 +162,19 @@ object CurationOps {
     when(size(w) > 0,
       (regexp_count(c, lit("#")) + regexp_count(c, lit("\\.\\.\\.")) +
         regexp_count(c, lit("…"))).cast("double") / size(w)).otherwise(lit(0.0))
+  // Fraction of words carrying at least one alphabetic character, and
+  // the count of stop-word occurrences — Table A1's remaining per-row
+  // gates (tokens are lowercased by toks, so [a-z] covers the alphabet;
+  // the stop list is the engine-wide text.defaultStopwords, one list
+  // for quality scoring, language ID and this gate).
+  private def alphaWordFrac(w: Column): Column =
+    when(size(w) > 0,
+      size(filter(w, t => t.rlike("[a-z]"))).cast("double") / size(w))
+      .otherwise(lit(0.0))
+  private def stopHits(w: Column): Column = {
+    val stopArr = array(graft.functions.text.defaultStopwords.map(lit): _*)
+    size(filter(w, t => array_contains(stopArr, t)))
+  }
 
   /**
    * The shuffle-free subset of [[gopherStats]] as ONE per-row predicate:
@@ -160,17 +183,22 @@ object CurationOps {
    * gate a STREAM statelessly — each micro-batch row decides for itself,
    * replays identically on retry, and adds no state store.
    */
-  def gopherRowKeep(c: Column): Column = {
+  def gopherRowKeep(c: Column, minWords: Int = 50, maxWords: Int = 100000,
+                    minAlphaFrac: Double = 0.8, minStopHits: Int = 2): Column = {
     val lines = gLines(c); val paras = gParas(c); val w = toks(c)
     dupFrac(lines) < 0.30 && dupFrac(paras) < 0.30 &&
       dupCharFrac(lines) < 0.20 && dupCharFrac(paras) < 0.20 &&
       symbolWordRatio(c, w) < 0.10 &&
       itemFrac(lines, l => l.rlike("^[-*•]")) < 0.90 &&
       itemFrac(lines, l => l.rlike("(\\.\\.\\.|…)$")) < 0.30 &&
-      meanWordLen(w) >= 3.0 && meanWordLen(w) <= 10.0
+      meanWordLen(w) >= 3.0 && meanWordLen(w) <= 10.0 &&
+      size(w) >= minWords && size(w) <= maxWords &&
+      alphaWordFrac(w) >= minAlphaFrac && stopHits(w) >= minStopHits
   }
 
-  def gopherStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherStats(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
     def lineFrac(pred: Column => Column): Column = itemFrac(col("__lines"), pred)
     def gramStructs(n: Int): Column = expr(
       s"transform(slice(__w, 1, greatest(size(__w) - ${n - 1}, 0)), " +
@@ -188,6 +216,9 @@ object CurationOps {
       .withColumn("ellipsis_line_frac", lineFrac(l => l.rlike("(\\.\\.\\.|…)$")))
       .withColumn("mean_word_len", meanWordLen(col("__w")))
       .withColumn("symbol_word_ratio", symbolWordRatio(col("__text"), col("__w")))
+      .withColumn("n_words", size(col("__w")))
+      .withColumn("alpha_word_frac", alphaWordFrac(col("__w")))
+      .withColumn("n_stop_hits", stopHits(col("__w")))
       // Character count of the normalized token stream — the
       // denominator of the char-weighted modal n-gram fractions (same
       // single-space joining as the gram strings themselves).
@@ -197,7 +228,8 @@ object CurationOps {
     val scalars = Seq("dup_line_frac", "dup_paragraph_frac",
       "dup_line_char_frac", "dup_paragraph_char_frac",
       "bullet_line_frac", "ellipsis_line_frac",
-      "mean_word_len", "symbol_word_ratio", "__doclen")
+      "mean_word_len", "symbol_word_ratio",
+      "n_words", "alpha_word_frac", "n_stop_hits", "__doclen")
     def topFrac(n: Int): Column = {
       val top = coalesce(
         max(when(col("__n") === n && col("c") >= 2, col("c") * length(col("__gram")))),
@@ -228,12 +260,17 @@ object CurationOps {
           col("symbol_word_ratio") < 0.10 &&
           col("bullet_line_frac") < 0.90 &&
           col("ellipsis_line_frac") < 0.30 &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("alpha_word_frac") >= minAlphaFrac &&
+          col("n_stop_hits") >= minStopHits)
       .select(Seq(col("doc_id"), col("dup_line_frac"), col("dup_paragraph_frac"),
         col("dup_line_char_frac"), col("dup_paragraph_char_frac"),
         col("top_2gram_frac"), col("top_3gram_frac"), col("top_4gram_frac"),
         col("symbol_word_ratio"), col("bullet_line_frac"),
-        col("ellipsis_line_frac"), col("mean_word_len"), col("keep")): _*)
+        col("ellipsis_line_frac"), col("mean_word_len"),
+        col("n_words"), col("alpha_word_frac"), col("n_stop_hits"),
+        col("keep")): _*)
   }
 
   /**

@@ -76,8 +76,14 @@ object ArticleStream {
       .withColumn("__n", text.tokenCount(col(textCol)))
       .filter(col("__n") >= minTokens && col("__n") <= maxTokens)
       .filter(text.qualityScore(col(textCol)) >= minQuality)
+      // The stream's length band is curate's OWN (minTokens, maxTokens)
+      // — already applied above — and the alpha/stop gates stay off
+      // here (the quality-score gate covers degenerate text); batch
+      // gopherStats keeps the paper defaults.
       .filter(if (gopherGate)
-        graft.operators.CurationOps.gopherRowKeep(col(textCol)) else lit(true))
+        graft.operators.CurationOps.gopherRowKeep(col(textCol),
+          minWords = minTokens, maxWords = maxTokens,
+          minAlphaFrac = 0.0, minStopHits = 0) else lit(true))
       .withColumn(textCol, graft.operators.CurationOps.redactPii(col(textCol)))
       .drop("__n")
     dedupWithTtl(gated, eventTimeCol, "canonical_url", ttl)

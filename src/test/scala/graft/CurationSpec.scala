@@ -34,7 +34,11 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       (5L, "# # tag # done"),                         // symbol-heavy, short words
       (6L, ""),                                       // empty
     ).toDF("doc_id", "text")
-    val got = CurationOps.gopherStats(docs, "doc_id", "text")
+    // Length/alpha/stop gates relaxed: this test exercises the
+    // repetition/structure signals on deliberately tiny fixtures; the
+    // paper-default gates get their own test below.
+    val got = CurationOps.gopherStats(docs, "doc_id", "text",
+        minWords = 1, minAlphaFrac = 0.0, minStopHits = 0)
       .collect().map(r => r.getLong(0) -> r).toMap
     def d(id: Long, c: String) = got(id).getAs[Double](c)
     assert(math.abs(d(1, "bullet_line_frac") - 0.75) < 1e-12, "3 of 4 lines bulleted")
@@ -75,6 +79,33 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     docs.collect().map(_.getLong(0)).foreach { id =>
       assert(d(id, "dup_line_frac") == narrow(id)._1)
     }
+  }
+
+  test("gopherStats paper defaults: word-count band, alpha fraction, stop-word gate") {
+    import spark.implicits._
+    val filler = (1 to 58).map(i => f"word$i%02dxyz")           // distinct, alphabetic
+    val numbers = (100 to 157).map(_.toString)                  // distinct, no alpha
+    val noStops = (1 to 60).map(i => f"token$i%02dqrs")
+    val docs = Seq(
+      (1L, ("the and" +: filler).mkString(" ")),                // 60 words, clean → keep
+      (2L, "the and just ten short words sit right here now"),  // under the 50-word gate
+      (3L, ("the and" +: numbers).mkString(" ")),               // alpha frac 2/60 < 0.8
+      (4L, noStops.mkString(" ")),                              // zero stop-word hits
+    ).toDF("doc_id", "text")
+    val got = CurationOps.gopherStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Int]("n_words") == 60 &&
+      got(1L).getAs[Double]("alpha_word_frac") == 1.0 &&
+      got(1L).getAs[Int]("n_stop_hits") == 2 &&
+      got(1L).getAs[Boolean]("keep"),
+      s"a clean 60-word doc passes the full rule set: ${got(1L)}")
+    assert(!got(2L).getAs[Boolean]("keep") && got(2L).getAs[Int]("n_words") == 10,
+      "the 50-word band rejects short docs under paper defaults")
+    assert(!got(3L).getAs[Boolean]("keep") &&
+      math.abs(got(3L).getAs[Double]("alpha_word_frac") - 2.0 / 60) < 1e-12,
+      "digit-run docs fail the alphabetic-word fraction")
+    assert(!got(4L).getAs[Boolean]("keep") && got(4L).getAs[Int]("n_stop_hits") == 0,
+      "a doc with no stop words fails the stop-word gate")
   }
 
   test("occurrence- vs char-weighted modal grams: verdicts genuinely differ") {
