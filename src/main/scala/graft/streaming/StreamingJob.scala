@@ -45,7 +45,7 @@ object StreamingJob {
 
   /** Per-micro-batch ST4 observability, handed to the `onBatch` callback
     * (and INFO-logged): `nCandidates` ≈ `nStories` means the grid/basis
-    * has stopped discriminating — the degeneration signal the round-5
+    * has stopped discriminating — the degeneration signal the round-6
     * verdict asked to make visible. `observe()` cannot carry it: observed
     * metrics aggregate rows of the streaming plan, while the candidate
     * set exists only inside the foreachBatch sink; the callback (plus the
