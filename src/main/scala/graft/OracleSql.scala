@@ -1002,6 +1002,31 @@ object OracleSql {
         |  true AS approx_ok
         |FROM (SELECT unnest(wds) token FROM w)""".stripMargin,
 
+    // C4 line/page filters: same synthesized structure, same line
+    // predicate (terminal punctuation, >= 5 words, no "javascript"),
+    // same page flags and >= 3-retained-lines keep.
+    "x_c4_clean" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_replace(text, ' value ', '.' || chr(10), 'g') ||
+        |    (CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'if (x) { return y; }' ELSE '' END) AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(trim(l), '[.!?"'']$')
+        |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'), w -> w <> '')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) kept
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) AS INTEGER) AS n_lines,
+        |  CAST(len(kept) AS INTEGER) AS n_kept,
+        |  substring(coalesce(array_to_string(kept, chr(10)), ''), 1, 80) AS cleaned_head,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+        |    AND len(kept) >= 3) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // BPE pair counts: adjacent 2-char substrings of each distinct word,
     // weighted by the word's corpus frequency.
     "x_bpe_pairs" ->

@@ -470,6 +470,29 @@ object SparkEntry {
           (abs(col("__a") - col("n_exact")) <=
             col("n_exact") * lit(0.1)).as("approx_ok"))
     }),
+    // C4 line + page filters (terminal punctuation, >= 5 words,
+    // "javascript" lines; "lorem ipsum" / brace pages; >= 3 retained
+    // lines to keep the page). Structure synthesized deterministically
+    // so every rule fires: sentence-ish lines from the text, lorem
+    // every 17th doc, a brace every 19th.
+    "x_c4_clean" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        concat(
+          regexp_replace(col("text"), " value ", ".\n"),
+          when(col("doc_id") % 17 === 0, lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+          when(col("doc_id") % 19 === 0, lit("\nif (x) { return y; }")).otherwise(lit(""))).as("text"))
+      val cleaned = CurationOps.c4LineClean(col("text"))
+      val flags = CurationOps.c4DocFlags(col("text"))
+      docs.select(col("doc_id"),
+          size(filter(split(col("text"), "\n"), l => trim(l) =!= "")).as("n_lines"),
+          size(filter(split(cleaned, "\n"), l => trim(l) =!= "")).as("n_kept"),
+          substring(cleaned, 1, 80).as("cleaned_head"),
+          flags.getField("has_lorem").as("has_lorem"),
+          flags.getField("has_brace").as("has_brace"))
+        .withColumn("keep",
+          !col("has_lorem") && !col("has_brace") && col("n_kept") >= 3)
+        .orderBy("doc_id")
+    }),
     // BPE training step 1: adjacent symbol-pair counts over the word-
     // frequency dict (the classic formulation — pair stats never rescan
     // the corpus), top 30 with deterministic ties.

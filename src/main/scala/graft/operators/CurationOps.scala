@@ -304,6 +304,27 @@ object CurationOps {
   }
 
   /**
+   * C4-style line cleaning (Raffel et al. 2020, §2.2): keep only lines
+   * that end in terminal punctuation (period / ! / ? / closing quote),
+   * carry at least `minLineWords` words, and do not mention
+   * "javascript"; rejoin the survivors. Pure per-row array work — no
+   * shuffle, no UDF — and exactly replayable (the line predicate is
+   * split/trim/regex both engines share).
+   */
+  def c4LineClean(c: Column, minLineWords: Int = 5): Column =
+    array_join(filter(split(c, "\n"), l =>
+      trim(l).rlike("[.!?\"']$") &&
+        size(filter(split(trim(l), "\\s+"), t => t =!= "")) >= minLineWords &&
+        !lower(l).contains("javascript")), "\n")
+
+  /** C4's document-level flags: "lorem ipsum" boilerplate and curly
+    * braces (code); callers combine them with a retained-line minimum
+    * (C4's "at least 3 sentences") for the page-level drop decision. */
+  def c4DocFlags(c: Column): Column = struct(
+    lower(c).contains("lorem ipsum").as("has_lorem"),
+    c.contains("{").as("has_brace"))
+
+  /**
    * First step of BPE tokenizer training (Sennrich et al. 2016):
    * corpus-wide counts of adjacent symbol pairs, weighted by word
    * frequency. Computed the classic way — over the distinct-word

@@ -127,6 +127,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(!ch.getAs[Boolean]("keep"), "char-weighted rule rejects the same doc")
   }
 
+  test("c4LineClean: line predicate and page flags match the published rules") {
+    import spark.implicits._
+    val text = Seq(
+      "this line has enough words and ends properly.",
+      "short line.",                                   // < 5 words
+      "this one has plenty of words but no terminal punctuation",
+      "enable javascript to see this content please.", // javascript line
+      "was it a question with enough words though?").mkString("\n")
+    val df = Seq((1L, text),
+      (2L, "lorem ipsum filler with a full stop here."),
+      (3L, "function f() { return 1; } plus prose sentence here.")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        CurationOps.c4LineClean(col("text")).as("clean"),
+        CurationOps.c4DocFlags(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getStruct(2).getBoolean(0), r.getStruct(2).getBoolean(1))).toMap
+    assert(got(1L)._1 == Seq(
+      "this line has enough words and ends properly.",
+      "was it a question with enough words though?").mkString("\n"),
+      s"only punctuated, >=5-word, non-javascript lines survive: ${got(1L)._1}")
+    assert(!got(1L)._2 && !got(1L)._3)
+    assert(got(2L)._2, "lorem ipsum flagged")
+    assert(got(3L)._3, "curly brace flagged")
+  }
+
   test("bpePairCounts: frequency-weighted adjacent pairs from the word dict") {
     import spark.implicits._
     // "banana" ×2, "bana" ×1, "x" ×1 (no pairs):
