@@ -978,6 +978,14 @@ object OracleSql {
 
     // OOV rate vs the corpus top-100 vocabulary (same deterministic
     // tie-break as x_vocab_topk), per document.
+    // Split assignment: same salted digest, contiguous bucket ranges.
+    "x_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN md5_number_lower('sp|' || CAST(doc_id AS VARCHAR)) % 1000000 < 800000 THEN 'train'
+        |       WHEN md5_number_lower('sp|' || CAST(doc_id AS VARCHAR)) % 1000000 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Exact-size sample: same salted-digest order, k-row prefix.
     "x_fixed_sample" ->
       """SELECT doc_id FROM (

@@ -438,6 +438,14 @@ object SparkEntry {
     // top-100 vocabulary — the tokenizer-coverage statistic. The vocab
     // is tiny by construction, so it broadcasts; only (doc_id, token)
     // pairs shuffle for the per-doc counts.
+    // Deterministic train/val/test assignment: contiguous digest-bucket
+    // ranges — disjoint, exhaustive, growth-stable; exact label replay.
+    "x_split_assign" -> ((s, d) => {
+      T(s, d, "documents").select(col("doc_id"),
+          SampleOps.assignSplit(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp|").as("split"))
+        .orderBy("doc_id")
+    }),
     // Exact-size deterministic sample: the 50 lowest salted digests —
     // reproducible "exactly K docs" (TakeOrderedAndProject, no global
     // sort, corpus-order-independent).

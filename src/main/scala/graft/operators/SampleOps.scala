@@ -75,6 +75,32 @@ object SampleOps {
   }
 
   /**
+   * Deterministic dataset split (train/val/test): each row's salted
+   * digest bucket falls into exactly one contiguous range, so the
+   * assignment is DISJOINT AND EXHAUSTIVE by construction, reproducible
+   * across runs and engines, and stable under corpus growth (a row's
+   * label never changes as other rows arrive — the property random
+   * splits lack). The last named split absorbs the tail of the bucket
+   * space, so fractions that sum to 1 mean what they say and rounding
+   * slack cannot orphan rows. Map-only CASE chain; one digest per row.
+   */
+  def assignSplit(key: Column, fractions: Seq[(String, Double)],
+                  salt: String = ""): Column = {
+    require(fractions.nonEmpty, "need at least one split")
+    fractions.foreach { case (n, f) =>
+      require(f > 0.0 && f <= 1.0, s"fraction out of range for '$n': $f") }
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions sum past 1: ${fractions.map(_._2).sum}")
+    val b = graft.functions.sig.md5BucketCol(
+      concat(lit(salt), key.cast("string")), Buckets)
+    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    fractions.init.zip(cums.init).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), cum), acc) =>
+        when(b < floor(lit(cum) * Buckets).cast("long"), lit(name)).otherwise(acc)
+    }
+  }
+
+  /**
    * Stratified sample: per-stratum fractions (e.g. downsample the head
    * language, keep the tail) with a default for unlisted strata. The
    * fraction lookup is a codegen'd CASE chain — no join, no shuffle.

@@ -199,6 +199,28 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(small == 10)
   }
 
+  test("assignSplit: disjoint-exhaustive labels, growth-stable, sane proportions") {
+    import spark.implicits._
+    val df = (1 to 5000).map(_.toLong).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = df.select(col("id"),
+      graft.operators.SampleOps.assignSplit(col("id"), splits, "s").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labeled.size == 5000, "every row gets exactly one label")
+    val counts = labeled.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") / 5000.0 - 0.8) < 0.03 &&
+      math.abs(counts("val") / 5000.0 - 0.1) < 0.02 &&
+      math.abs(counts("test") / 5000.0 - 0.1) < 0.02, s"proportions: $counts")
+    // growth stability: labels of a prefix are unchanged inside a larger corpus
+    val prefix = df.filter($"id" <= 2000).select(col("id"),
+      graft.operators.SampleOps.assignSplit(col("id"), splits, "s").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prefix.forall { case (k, v) => labeled(k) == v })
+    intercept[IllegalArgumentException] {
+      graft.operators.SampleOps.assignSplit(col("id"), Seq("a" -> 0.7, "b" -> 0.4))
+    }
+  }
+
   test("cdcChunkDups finds a shared paragraph at different byte offsets") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
