@@ -1052,7 +1052,7 @@ object OracleSql {
     // per-doc deterministic, so the all-docs candidate chain filtered to
     // batch pairs equals a batch-only run), plus the batch↔corpus
     // verified-pair check — admit = own-component representative AND no
-    // corpus match.
+    // member of the component has a corpus match (component-wide block).
     "x_admit_incremental" ->
       s"""WITH RECURSIVE $lshCandCtes,
          |bp AS (SELECT li.ia, li.ib FROM li JOIN cand USING (ia, ib)
@@ -1069,13 +1069,15 @@ object OracleSql {
          |  JOIN lsz x ON x.doc_id = cand.ia JOIN lsz y ON y.doc_id = cand.ib
          |  WHERE (cand.ia % 10 >= 8) <> (cand.ib % 10 >= 8)
          |    AND li.inter::DOUBLE / (x.n + y.n - li.inter) >= 0.05),
-         |blocked AS (SELECT DISTINCT batch_id FROM xp)
+         |blocked AS (SELECT DISTINCT batch_id FROM xp),
+         |bcomp AS (SELECT DISTINCT coalesce(cc.component, b.batch_id) AS component
+         |  FROM blocked b LEFT JOIN cc ON cc.id = b.batch_id)
          |SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component,
          |  (coalesce(cc.component, d.doc_id) = d.doc_id
-         |    AND blocked.batch_id IS NULL) AS admit
+         |    AND bcomp.component IS NULL) AS admit
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
          |LEFT JOIN cc ON cc.id = d.doc_id
-         |LEFT JOIN blocked ON blocked.batch_id = d.doc_id
+         |LEFT JOIN bcomp ON bcomp.component = coalesce(cc.component, d.doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
     // Unigram cross-entropy: H = ln(N+V) − mean ln(c(w)+1), summed in

@@ -268,12 +268,13 @@ object DedupOps {
    * its own near-dup relation first ([[dedupCascade]] over the batch —
    * bounded by the batch, never the corpus), then corpus-check every
    * doc. A doc is admitted iff it is its batch-component's min-id
-   * representative AND its own text clears the standing-index check. A
-   * component whose representative is corpus-blocked is blocked
-   * entirely: any member is within-threshold of the representative,
-   * which is within-threshold of a standing doc — admitting it would
-   * re-introduce (transitively) near-duplicate text; the conservatism
-   * is the same closure reasoning the cascade itself applies.
+   * representative AND NO member of its component matches the standing
+   * corpus. Blocking is component-wide in BOTH directions: any member —
+   * representative or not — is connected to every other member by
+   * within-threshold steps, so a corpus match on any of them means
+   * admitting the representative would re-introduce transitively
+   * near-duplicate text; the conservatism is the same closure
+   * reasoning the cascade itself applies.
    *
    * Scale shape: the cascade runs on the BATCH (small side); the corpus
    * participates only through [[neardupIncremental]]'s map-only scans.
@@ -286,9 +287,16 @@ object DedupOps {
     val within = dedupCascade(batch, idCol, textCol, shingleN, k, bands, threshold)
     val vs = neardupIncremental(batch, corpus, corpusIndex, idCol, textCol,
       shingleN, k, bands, threshold)
-    within.join(vs.select(col("doc_id"), col("admit").as("__corpus_ok")), "doc_id")
+    val flagged = within
+      .join(vs.select(col("doc_id"), col("admit").as("__corpus_ok")), "doc_id")
+    // Component-wide block: one corpus-matched member poisons the whole
+    // component. The blocked-component list is bounded by the batch's
+    // component count — broadcast, no extra batch shuffle.
+    val blocked = flagged.filter(!col("__corpus_ok"))
+      .select(col("component").as("__blocked")).distinct()
+    flagged.join(broadcast(blocked), col("component") === col("__blocked"), "left")
       .select(col("doc_id"), col("component"),
-        (col("kept") && col("__corpus_ok")).as("admit"))
+        (col("kept") && col("__blocked").isNull).as("admit"))
   }
 
   /**

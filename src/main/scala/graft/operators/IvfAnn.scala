@@ -164,6 +164,16 @@ object IvfAnn {
                                idCol: String, vecCol: String, k: Int, nprobe: Int,
                                excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
+    // A wrong path or a table not written by [[writeIndex]] must fail
+    // loudly: bucketIdsFor returns an empty set for BOTH "no table" and
+    // "no layout column", and an empty probe would silently return zero
+    // neighbors for every query.
+    require(graft.sources.TableSink.tableExists(dir),
+      s"no persisted ANN index at '$dir' (no table manifest) — " +
+        "write one with IvfAnn.writeIndex first")
+    require(graft.sources.TableSink.layoutColOf(dir).isDefined,
+      s"table at '$dir' has no layout column — it was not written by " +
+        "IvfAnn.writeIndex, so cell probes cannot address its buckets")
     val probed = probedCellIds(queries, cells, idCol, vecCol, nprobe)
     val like = spark.range(0).select(lit(0L).as("cell"), lit(0L).as(idCol),
       lit(0.0).as("scale"), array().cast("array<tinyint>").as("codes"))

@@ -81,16 +81,20 @@ object SampleOps {
    * across runs and engines, and stable under corpus growth (a row's
    * label never changes as other rows arrive — the property random
    * splits lack). The last named split absorbs the tail of the bucket
-   * space, so fractions that sum to 1 mean what they say and rounding
-   * slack cannot orphan rows. Map-only CASE chain; one digest per row.
+   * space (rounding slack cannot orphan rows), so the fractions MUST
+   * sum to 1: under-allocation would silently inflate the last split —
+   * `Seq("sample" -> 0.1)` would label 100% of rows "sample" — which is
+   * why the sum is enforced, not footnoted. Map-only CASE chain; one
+   * digest per row.
    */
   def assignSplit(key: Column, fractions: Seq[(String, Double)],
                   salt: String = ""): Column = {
     require(fractions.nonEmpty, "need at least one split")
     fractions.foreach { case (n, f) =>
       require(f > 0.0 && f <= 1.0, s"fraction out of range for '$n': $f") }
-    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
-      s"split fractions sum past 1: ${fractions.map(_._2).sum}")
+    require(math.abs(fractions.map(_._2).sum - 1.0) <= 1e-6,
+      s"split fractions must sum to 1 (the last split absorbs the bucket-space " +
+        s"tail, so a short sum silently inflates it): got ${fractions.map(_._2).sum}")
     val b = graft.functions.sig.md5BucketCol(
       concat(lit(salt), key.cast("string")), Buckets)
     val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail

@@ -98,6 +98,18 @@ object TableSink {
   def bucketCol(keys: Seq[String], numBuckets: Int) =
     pmod(hash(keys.map(col): _*), lit(numBuckets))
 
+  /** Whether a table has been committed at `dir` (a readable `_CURRENT`
+    * manifest exists). Lets callers distinguish "table absent" from "table
+    * present but not value-addressable" — the two cases [[bucketIdsFor]]
+    * folds into one empty set. */
+  def tableExists(dir: String): Boolean = currentManifest(dir).isDefined
+
+  /** The manifest-pinned layout column of the table at `dir`; None when
+    * the table is absent OR key-hash-bucketed (check [[tableExists]] to
+    * tell which). */
+  def layoutColOf(dir: String): Option[String] =
+    currentManifest(dir).flatMap(_.layoutCol)
+
   /** Physical bucket expression: by the layout column when the table has
     * one (value-addressable buckets — see [[upsert]]'s `layoutCol`),
     * else by the key hash. */

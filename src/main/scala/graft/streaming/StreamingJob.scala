@@ -103,16 +103,34 @@ object StreamingJob {
       lit("").as("story_id"), array().cast("array<double>").as("centroid"), lit(0L).as("n"))
     val stories = TableSink.read(spark, storiesDir, storySchema)
     // Epoch-replay guard (see the object scaladoc): the stories MERGE is
-    // the LAST write of an epoch and atomic, so any story row already at
-    // __v == epoch proves this epoch fully committed before the crash —
-    // recomputing against merged state would double-apply the increments.
-    // The probe is a parquet scan of one long column with min/max row-
-    // group pruning on __v; epochs only grow, so old generations prune.
-    if (stories.columns.contains("__v") &&
-        !stories.filter(col("__v") === epoch).isEmpty) {
-      onBatch(St4Metrics(epoch, nBatch = 0, nStories = -1, nCandidates = 0,
-        basisDims = 0, replaySkipped = true))
-      return
+    // the LAST write of an epoch and atomic, and epochs only grow, so the
+    // table's max __v is the last COMMITTED epoch — equal to this epoch
+    // proves the epoch fully committed before the crash (recomputing
+    // against merged state would double-apply the increments). The probe
+    // is a parquet scan of one long column, answered from row-group
+    // min/max statistics. An epoch OLDER than the max is not a replay at
+    // all: the checkpoint replays at most the last uncommitted epoch, so
+    // epoch < max means this checkpoint does not belong to these tables
+    // (the classic slip: a FRESH checkpoint pointed at existing tables
+    // restarts epochs at 0) — treating those batches as replays would be
+    // silent data loss, so fail loudly instead.
+    val lastCommitted: Option[Long] =
+      if (!stories.columns.contains("__v")) None
+      else stories.agg(max(col("__v"))).collect()(0) match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getLong(0))
+      }
+    lastCommitted match {
+      case Some(mx) if epoch < mx => throw new IllegalStateException(
+        s"epoch $epoch is older than the stories table's newest committed " +
+          s"epoch $mx: this checkpoint does not belong to these tables " +
+          "(fresh checkpoint against existing tables?). Refusing to run — " +
+          "skipping would silently drop real batches as replays.")
+      case Some(mx) if epoch == mx =>
+        onBatch(St4Metrics(epoch, nBatch = 0, nStories = -1, nCandidates = 0,
+          basisDims = 0, replaySkipped = true))
+        return
+      case _ => ()
     }
     val featured = batch
       .withColumn("content", concat_ws(" ", col("title"), col("txt")))

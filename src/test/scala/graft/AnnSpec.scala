@@ -123,5 +123,21 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       TableSink.bucketIdsFor(spark, dir, probed.map(_.toString))).inputFiles.length
     val all = TableSink.read(spark, dir, like).inputFiles.length
     assert(pruned < all, s"probe must skip unprobed cells' files: $pruned of $all")
+
+    // A wrong path or a non-writeIndex table must fail loudly, never
+    // return silently-empty neighbor lists.
+    val noIdx = intercept[IllegalArgumentException] {
+      IvfAnn.annSearchQuantizedStored(dir + "/nope", q, cells, "vec_id", "embedding",
+        k = 5, nprobe = 3)
+    }
+    assert(noIdx.getMessage.contains("no persisted ANN index"))
+    val plainDir = java.nio.file.Files.createTempDirectory("plaintbl").toString
+    TableSink.upsert(spark, plainDir,
+      sq8.withColumn("__v", lit(0L)), Seq("vec_id"), "__v") // key-hash, no layout
+    val noLayout = intercept[IllegalArgumentException] {
+      IvfAnn.annSearchQuantizedStored(plainDir, q, cells, "vec_id", "embedding",
+        k = 5, nprobe = 3)
+    }
+    assert(noLayout.getMessage.contains("no layout column"))
   }
 }

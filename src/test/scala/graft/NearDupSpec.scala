@@ -264,15 +264,26 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
     import graft.operators.DedupOps
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
-      (2L, "an entirely different report about municipal budget hearings and road repairs"))
+      (2L, "an entirely different report about municipal budget hearings and road repairs"),
+      (3L, "winter storm closes mountain passes across the northern region late this weekend entirely"))
       .toDF("doc_id", "text")
     val batch = Seq(
       (101L, "the quick brown fox jumps over the lazy dog near the quiet river bank tonight"), // corpus near-dup
       (102L, "completely novel astronomy notes on variable stars and their light curves"),
       (104L, "fresh recipe ideas for slow roasted vegetables with garlic and rosemary butter"),
-      (105L, "fresh recipe ideas for slow roasted vegetables with garlic and rosemary sauce")) // near-dup of 104
+      (105L, "fresh recipe ideas for slow roasted vegetables with garlic and rosemary sauce"), // near-dup of 104
+      // 106 near-dups 107 (within batch) but NOT corpus doc 3 directly;
+      // 107 near-dups corpus doc 3 → the whole {106, 107} component is
+      // blocked even though its representative 106 clears its own check.
+      (106L, "winter gale shuts mountain passes across the northern region late this sunday completely"),
+      (107L, "winter gale shuts mountain passes across the northern region late this weekend entirely"))
       .toDF("doc_id", "text")
     val idx = DedupOps.minhashBandIndex(corpus, "doc_id", "text", 3, 4, 4)
+    val vs = DedupOps.neardupIncremental(batch, corpus, idx, "doc_id", "text",
+        3, 4, 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(vs(106L) && !vs(107L),
+      s"fixture: 106 must clear its OWN corpus check while 107 fails it: $vs")
     val got = DedupOps.admitIncremental(batch, corpus, idx, "doc_id", "text",
         3, 4, 4, threshold = 0.5)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
@@ -282,6 +293,9 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
       s"min-id representative of the within-batch pair admitted: ${got(104L)}")
     assert(got(105L) == ((104L, false)),
       s"its within-batch near-dup collapses into the component: ${got(105L)}")
+    assert(got(106L) == ((106L, false)),
+      s"a member's corpus match blocks the whole component, representative included: ${got(106L)}")
+    assert(got(107L) == ((106L, false)), s"blocked member stays blocked: ${got(107L)}")
   }
 
   test("epsilon-grid emits each candidate pair exactly once (no distinct needed)") {

@@ -219,6 +219,11 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       graft.operators.SampleOps.assignSplit(col("id"), Seq("a" -> 0.7, "b" -> 0.4))
     }
+    // under-allocation is as wrong as over-allocation: Seq("sample" -> 0.1)
+    // would label 100% of rows "sample" (the last split absorbs the tail)
+    intercept[IllegalArgumentException] {
+      graft.operators.SampleOps.assignSplit(col("id"), Seq("sample" -> 0.1))
+    }
   }
 
   test("cdcChunkDups finds a shared paragraph at different byte offsets") {

@@ -116,6 +116,15 @@ class StreamingJobSpec extends AnyFunSuite with SparkSpec {
     assert(storyNs() == after1, "replayed epoch must not re-increment counts")
     assert(metrics.map(_.replaySkipped).toSeq == Seq(false, true),
       s"second run must be detected as a replay: $metrics")
+    // A fresh checkpoint pointed at EXISTING tables restarts epochs below
+    // the table's newest committed epoch — that is not a replay, and
+    // silently skipping it would drop real batches. Must fail loudly.
+    val err = intercept[IllegalStateException] {
+      StreamingJob.processBatch(spark, batch,
+        s"$tmp/articles", s"$tmp/stories", simThreshold = 0.8, epoch = 3L)
+    }
+    assert(err.getMessage.contains("does not belong to these tables"),
+      s"mismatched checkpoint must be rejected: ${err.getMessage}")
   }
 
   test("pruned ST4 + basis resume identically across a checkpoint restart") {
