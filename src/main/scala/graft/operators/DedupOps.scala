@@ -217,21 +217,45 @@ object DedupOps {
    * deployment makes (Broder/LRU banding analysis picks k and bands
    * for the target threshold).
    *
+   * The stated shape assumes batch ≪ corpus: the batch's band table and
+   * candidate-id set ride DRIVER BROADCASTS. A corpus-sized "batch"
+   * would OOM the driver silently, so the guard counts the batch first
+   * (one cheap job over the small side) and REFUSES past
+   * `maxBatchRows`; callers that genuinely need a huge batch set
+   * `broadcastBatch = false` to run the same joins shuffled — correct
+   * at any batch size, but the corpus index and text scans then shuffle
+   * on the join keys instead of staying map-only, i.e. the cost profile
+   * of a full [[dedupCascade]] over batch ∪ corpus.
+   *
    * @return (doc_id, n_matches, match_id, match_jaccard, admit)
    */
   def neardupIncremental(batch: DataFrame, corpus: DataFrame, corpusIndex: DataFrame,
                          idCol: String, textCol: String, shingleN: Int, k: Int,
-                         bands: Int, threshold: Double): DataFrame = {
+                         bands: Int, threshold: Double,
+                         maxBatchRows: Int = 1000000,
+                         broadcastBatch: Boolean = true): DataFrame = {
     require(threshold > 0.0, s"admission needs a positive threshold: $threshold")
+    require(maxBatchRows > 0 && maxBatchRows < Int.MaxValue,
+      s"maxBatchRows out of range: $maxBatchRows")
+    if (broadcastBatch) {
+      // limit(max + 1): the guard never scans past the bound it enforces.
+      val n = batch.select(col(idCol)).limit(maxBatchRows + 1).count()
+      require(n <= maxBatchRows,
+        s"batch has > $maxBatchRows rows — too large for the broadcast " +
+          "ingest shape (driver OOM risk). Pass broadcastBatch = false " +
+          "to run the probe shuffled, or raise maxBatchRows deliberately.")
+    }
+    val side = if (broadcastBatch) (df: DataFrame) => broadcast(df)
+               else (df: DataFrame) => df
     val bband = minhashSignatures(batch, idCol, textCol, shingleN, k)
       .select(col("doc_id").as("batch_id"),
         posexplode(text.minhashBands(col("sig"), k, bands)).as(Seq("band", "bv")))
-    val cand = corpusIndex.join(broadcast(bband), Seq("band", "bv"))
+    val cand = corpusIndex.join(side(bband), Seq("band", "bv"))
       .select(col("batch_id"), col("doc_id").as("corpus_id")).distinct()
     // Candidate-restricted exact verify (same math as ngramJaccardPairs,
     // but only candidate documents ever explode their shingles).
     val candIds = cand.select(col("corpus_id")).distinct()
-    val cm = corpus.join(broadcast(candIds),
+    val cm = corpus.join(side(candIds),
         corpus(idCol) === candIds("corpus_id"), "left_semi")
       .select(col(idCol).as("corpus_id"),
         explode(array_distinct(text.shingles(text.tokens(col(textCol)), shingleN))).as("m"))

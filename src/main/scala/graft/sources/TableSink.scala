@@ -64,7 +64,7 @@ object TableSink {
   private def manifestDir(dir: String): Path = Paths.get(dir, "_manifests")
 
   private case class Manifest(seq: Long, buckets: Int, layoutCol: Option[String],
-                              paths: Map[Int, String])
+                              meta: Option[String], paths: Map[Int, String])
 
   /** Write `content` to a temp file in the same directory, then ATOMIC_MOVE
     * onto `target` — readers of `target` see old bytes or new, never both. */
@@ -83,15 +83,19 @@ object TableSink {
     val mf = manifestDir(dir).resolve(name)
     val lines = Files.readAllLines(mf).asScala.toSeq
     val buckets = lines.head.stripPrefix("buckets=").toInt
-    val (layout, rest) = lines.tail match {
+    val (layout, rest0) = lines.tail match {
       case l +: r if l.startsWith("bucketcol=") => (Some(l.stripPrefix("bucketcol=")), r)
+      case r => (None, r)
+    }
+    val (meta, rest) = rest0 match {
+      case l +: r if l.startsWith("meta=") => (Some(l.stripPrefix("meta=")), r)
       case r => (None, r)
     }
     val paths = rest.filter(_.nonEmpty).map { l =>
       val Array(b, rel) = l.split('\t')
       b.toInt -> rel
     }.toMap
-    Some(Manifest(name.stripPrefix("m-").toLong, buckets, layout, paths))
+    Some(Manifest(name.stripPrefix("m-").toLong, buckets, layout, meta, paths))
   }
 
   /** The bucket a key tuple hashes to (exposed for tests/partitioned readers). */
@@ -109,6 +113,20 @@ object TableSink {
     * tell which). */
   def layoutColOf(dir: String): Option[String] =
     currentManifest(dir).flatMap(_.layoutCol)
+
+  /** Opaque writer metadata riding the CURRENT manifest (single line, no
+    * tabs/newlines) — published atomically WITH the data it describes,
+    * which is what makes it the right home for state that must never
+    * desync from the table bytes (e.g. the projection basis a
+    * value-addressable layout's cells were computed under: a sibling
+    * file could flip before or after the table commit; the manifest
+    * cannot). Carried forward unchanged by [[upsert]]/[[delete]];
+    * replaced by [[overwrite]]. */
+  def metaOf(dir: String): Option[String] = currentManifest(dir).flatMap(_.meta)
+
+  /** The manifest-pinned bucket count (None when the table is absent) —
+    * so a maintenance [[overwrite]] can preserve it. */
+  def numBucketsOf(dir: String): Option[Int] = currentManifest(dir).map(_.buckets)
 
   /** Physical bucket expression: by the layout column when the table has
     * one (value-addressable buckets — see [[upsert]]'s `layoutCol`),
@@ -145,18 +163,26 @@ object TableSink {
    * never change between upserts (an upsert computes dirty buckets from
    * the batch's layout values; a moved value would write the key into a
    * new bucket without clearing the old one). A migrating row is
-   * re-homed explicitly: [[delete]] with the OLD layout value in the
-   * drop frame, then upsert with the new — both touch only their own
-   * buckets. Use a STRING layout column; [[bucketIdsFor]] hashes string
-   * literals for the read path.
+   * re-homed ATOMICALLY in the same commit via `rehomeFromCol`: a
+   * (nullable, string) batch column carrying the layout value the row
+   * was PREVIOUSLY stored under — those values' buckets join the dirty
+   * set, so the stale copy is rewritten away (the key-window merge keeps
+   * the batch row) in the same manifest flip that lands the new one. No
+   * crash window can leave a row duplicated or lost, which the older
+   * two-commit delete-then-upsert migration could not guarantee. Use a
+   * STRING layout column; [[bucketIdsFor]] hashes string literals for
+   * the read path.
    */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
              keys: Seq[String], versionCol: String,
              numBuckets: Int = DefaultBuckets,
-             layoutCol: Option[String] = None): Unit =
-    commit(spark, dir, keys, numBuckets, layoutCol, batch, Some(batch.schema)) {
+             layoutCol: Option[String] = None,
+             rehomeFromCol: Option[String] = None): Unit = {
+    val payload = batch.drop(rehomeFromCol.toSeq: _*)
+    commit(spark, dir, keys, numBuckets, layoutCol, batch, Some(payload.schema),
+      rehomeFromCol) {
       existingDirty =>
-        batch.withColumn("__src", lit(1))
+        payload.withColumn("__src", lit(1))
           .unionByName(existingDirty.withColumn("__src", lit(0)))
           .withColumn("__rn", row_number().over(
             org.apache.spark.sql.expressions.Window
@@ -165,18 +191,39 @@ object TableSink {
           .filter(col("__rn") === 1)
           .drop("__rn", "__src")
     }
+  }
 
   /** Keyed delete (reference S7 delete_one / J7 anti-join rewrite) — also
     * rewrites only the buckets the dropped keys fall in. On a
     * layout-bucketed table the drop frame must carry the layout column
     * (with the value the stored row was written under) so the right
-    * bucket goes dirty — that is what makes explicit re-homing possible. */
+    * bucket goes dirty. */
   def delete(spark: SparkSession, dir: String, keysToDrop: DataFrame,
              keys: Seq[String]): Unit =
-    commit(spark, dir, keys, DefaultBuckets, None, keysToDrop, None) {
+    commit(spark, dir, keys, DefaultBuckets, None, keysToDrop, None, None) {
       existingDirty =>
         existingDirty.join(keysToDrop.select(keys.map(col): _*), keys, "left_anti")
     }
+
+  /**
+   * Replace the ENTIRE table content in one atomic commit: every
+   * existing bucket goes dirty, `table` becomes the new content, and the
+   * layout column and [[metaOf]] metadata are RE-PINNED to the given
+   * values (the one operation allowed to change them — every row is
+   * rewritten, so no stale copy can survive a layout change). This is
+   * the bulk re-layout primitive: e.g. re-gridding a cell-addressed
+   * stories table under a freshly fitted projection basis, where the new
+   * cell values and the basis that defines them must flip in the SAME
+   * manifest publish or value-addressed readers would probe wrong
+   * buckets. Cost is O(table) by design — schedule it like any bulk
+   * maintenance job, not per batch.
+   */
+  def overwrite(spark: SparkSession, dir: String, table: DataFrame,
+                keys: Seq[String], numBuckets: Int = DefaultBuckets,
+                layoutCol: Option[String] = None,
+                meta: Option[String] = None): Unit =
+    commit(spark, dir, keys, numBuckets, layoutCol, table, Some(table.schema),
+      None, repin = true, newMeta = Some(meta)) { _ => table }
 
   /** Bucket ids of the given (string) layout values under the table's
     * manifest-pinned bucket function — driver-side, one tiny local job;
@@ -211,17 +258,31 @@ object TableSink {
 
   /**
    * Shared copy-on-write commit: compute dirty buckets from `touched`'s
-   * keys, read ONLY those buckets, let `merge` rebuild their contents,
-   * write them under a new generation, publish atomically, GC.
+   * keys (plus `rehomeFromCol`'s previous layout values, plus EVERY
+   * existing bucket under `repin` — the overwrite path), read ONLY those
+   * buckets, let `merge` rebuild their contents, write them under a new
+   * generation, publish atomically, GC.
    */
   private def commit(spark: SparkSession, dir: String, keys: Seq[String],
                      numBuckets: Int, layoutCol: Option[String], touched: DataFrame,
-                     schemaHint: Option[org.apache.spark.sql.types.StructType])
+                     schemaHint: Option[org.apache.spark.sql.types.StructType],
+                     rehomeFromCol: Option[String],
+                     repin: Boolean = false,
+                     newMeta: Option[Option[String]] = None)
                     (merge: DataFrame => DataFrame): Unit = {
     val cur = currentManifest(dir)
-    val nb = cur.map(_.buckets).getOrElse(numBuckets)
-    // An existing table's layout (or its absence) is manifest-pinned.
-    val layout = cur.map(_.layoutCol).getOrElse(layoutCol)
+    val nb = if (repin) numBuckets else cur.map(_.buckets).getOrElse(numBuckets)
+    // An existing table's layout (or its absence) is manifest-pinned;
+    // only a full overwrite (repin) may change it.
+    val layout = if (repin) layoutCol else cur.map(_.layoutCol).getOrElse(layoutCol)
+    val meta = newMeta.getOrElse(cur.flatMap(_.meta))
+    meta.foreach(m => require(!m.exists(c => c == '\n' || c == '\r' || c == '\t'),
+      "manifest meta must be a single line without tabs"))
+    rehomeFromCol.foreach { c =>
+      require(layout.isDefined,
+        s"rehomeFromCol '$c' only makes sense on a layout-bucketed table")
+      require(touched.columns.contains(c), s"batch lacks rehome column '$c'")
+    }
     // The read path (bucketIdsFor) hashes STRING literals; a non-string
     // layout column would hash differently at write time and silently
     // route readers to the wrong (possibly empty) bucket set — refuse.
@@ -235,9 +296,19 @@ object TableSink {
     val bucketOf = bucketExpr(keys, nb, layout)
 
     // Dirty bucket ids: bounded by nb (a small constant), so the collect
-    // is a driver-side set of ints, never data.
-    val dirty = touched.select(bucketOf.as("__b")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    // is a driver-side set of ints, never data. Re-homing rows add the
+    // buckets of their PREVIOUS layout values (the stale copies to
+    // rewrite away); an overwrite dirties every existing bucket.
+    val touchedBuckets = rehomeFromCol match {
+      case Some(c) => touched.select(bucketOf.as("__b"))
+        .unionByName(touched.filter(col(c).isNotNull)
+          .select(pmod(hash(col(c)), lit(nb)).as("__b")))
+      case None => touched.select(bucketOf.as("__b"))
+    }
+    val dirty0 = touchedBuckets.distinct().collect().map(_.getInt(0)).toSet
+    val dirty =
+      if (repin) dirty0 ++ cur.toSeq.flatMap(_.paths.keys)
+      else dirty0
     if (dirty.isEmpty && cur.isDefined) return
 
     val dirtyPaths = cur.toSeq.flatMap(m =>
@@ -273,7 +344,8 @@ object TableSink {
       .getOrElse(Map.empty[Int, String])
     val entries = (cleanPaths ++ written).toSeq.sortBy(_._1)
     val name = f"m-$seq%010d"
-    val header = s"buckets=$nb" +: layout.map(c => s"bucketcol=$c").toSeq
+    val header = s"buckets=$nb" +: (layout.map(c => s"bucketcol=$c").toSeq ++
+      meta.map(m => s"meta=$m").toSeq)
     atomicWrite(manifestDir(dir).resolve(name),
       (header ++ entries.map { case (b, p) => s"$b\t$p" }).mkString("\n"))
     atomicWrite(ptrPath(dir), name)

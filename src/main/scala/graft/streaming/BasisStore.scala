@@ -18,6 +18,27 @@ import scala.jdk.CollectionConverters._
  */
 object BasisStore {
 
+  /** Single-line wire form (directions joined by ';', coords by ',') —
+    * fits a [[graft.sources.TableSink]] manifest `meta` line, which is
+    * how a cell-addressed layout publishes the basis its cells were
+    * computed under ATOMICALLY with the data (see
+    * [[StreamingJob]]: a sibling file could desync on a crash between
+    * two publishes; the manifest cannot). */
+  def encode(basis: Seq[Array[Double]]): String =
+    basis.map(_.mkString(",")).mkString(";")
+
+  /** Inverse of [[encode]]; malformed input degrades to Nil (raw grid)
+    * exactly like [[load]] — a basis is a pruning aid, never a
+    * correctness dependency. */
+  def decode(s: String): Seq[Array[Double]] =
+    try s.split(';').toSeq.filter(_.nonEmpty)
+      .map(_.split(',').map(_.toDouble).toArray)
+    catch {
+      case e: NumberFormatException =>
+        System.err.println(s"[graft] ignoring unreadable basis meta: $e")
+        Nil
+    }
+
   def save(path: String, basis: Seq[Array[Double]]): Unit = {
     val target = Paths.get(path)
     if (target.getParent != null) Files.createDirectories(target.getParent)

@@ -306,15 +306,40 @@ object OnlineClustering {
   def processBatchPruned(batch: DataFrame, stories: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, batchEpoch: Long,
                          gridDims: Int = 2,
-                         basis: Seq[Array[Double]] = Nil): PrunedBatch = {
-    require(threshold > 0.0, s"pruned ST4 needs threshold > 0, got $threshold")
-    requireUnitBounded(basis)
+                         basis: Seq[Array[Double]] = Nil): PrunedBatch =
+    prunedFold(collectBatch(batch, idCol, vecCol), stories, threshold,
+      batchEpoch, gridDims, basis)
+
+  /** Driver-side collect of a micro-batch's (id, vector) pairs — bounded
+    * by the trigger interval (the same working set the reference's
+    * consumer holds). Exposed so a storage-aware caller can compute the
+    * batch's candidate cells BEFORE deciding which story files to read
+    * ([[graft.streaming.StreamingJob]]'s bucket-pruned path) without
+    * collecting twice. */
+  private[graft] def collectBatch(batch: DataFrame, idCol: String,
+                                  vecCol: String): Seq[Incoming] = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val in = batch.select(col(idCol).cast("string"),
+    batch.select(col(idCol).cast("string"),
         col(vecCol).cast("array<double>")).as[(String, Seq[Double])]
-      .collect().map { case (i, v) => Incoming(i, v.toArray) }
-    val cells = candidateCells(in.toSeq, threshold, gridDims, basis)
+      .collect().iterator.map { case (i, v) => Incoming(i, v.toArray) }.toSeq
+  }
+
+  /** [[processBatchPruned]] after the batch collect: prefilter the story
+    * frame to the radius-1 candidate cells (exact at the threshold),
+    * collect only those, run the sequential fold. `stories` may itself
+    * be a bucket-pruned superset read ([[candidateCells]] radius 2 under
+    * the sticky-cell invariant) — the row-level cell predicate here is
+    * what makes that read exact. */
+  private[graft] def prunedFold(in: Seq[Incoming], stories: DataFrame,
+                                threshold: Double, batchEpoch: Long,
+                                gridDims: Int,
+                                basis: Seq[Array[Double]]): PrunedBatch = {
+    require(threshold > 0.0, s"pruned ST4 needs threshold > 0, got $threshold")
+    requireUnitBounded(basis)
+    val spark = stories.sparkSession
+    import spark.implicits._
+    val cells = candidateCells(in, threshold, gridDims, basis)
       .map(_.mkString(","))
     // Map-only candidate filter: home-cell membership against the
     // (bounded: ≤ 3^d · |batch|) batch cell neighborhood; nothing

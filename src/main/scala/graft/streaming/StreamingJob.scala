@@ -26,22 +26,67 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * and the stories merge applies once.
  *
  * Basis self-provisioning (the 100 TB scale path of ST4): every
- * `basisRefreshEvery` epochs the job refits the leading-PCA projection
- * basis of the story centroids ([[OnlineClustering.storyBasis]]) and
- * publishes it atomically next to the stories table
- * ([[BasisStore]]); each batch loads the latest published basis and
- * passes it to [[OnlineClustering.processBatchPruned]], so the
- * candidate prefilter keeps discriminating on high-dimensional
- * embeddings where the raw-coordinate grid degenerates (operating
- * envelope in the OnlineClustering scaladoc). Cold start → empty basis
- * → raw grid; a stale basis costs pruning power, never correctness
- * (exact recall holds for any ≤-unit-norm basis).
+ * `basisRefreshEvery` epochs — or early, when the [[StalenessGuard]]
+ * sees the candidate ratio degenerate mid-window — the job refits the
+ * leading-PCA projection basis of the story centroids
+ * ([[OnlineClustering.storyBasis]]) and publishes it; each batch loads
+ * the latest published basis, so the candidate prefilter keeps
+ * discriminating on high-dimensional embeddings where the
+ * raw-coordinate grid degenerates (operating envelope in the
+ * OnlineClustering scaladoc). Cold start → empty basis → raw grid; a
+ * stale basis costs pruning power, never correctness (exact recall
+ * holds for any ≤-unit-norm basis).
+ *
+ * Cell-sticky story layout (`cellLayout`, the shipping default): the
+ * stories table is a value-addressable [[TableSink]] laid out by each
+ * story's STICKY cell (`cell` = [[OnlineClustering.cellKey]] of its
+ * centroid when written), so the per-batch candidate read opens ONLY
+ * the radius-2 neighborhood's bucket FILES
+ * ([[TableSink.readBuckets]]) instead of scanning every stories file
+ * and dropping rows map-side. The layout key uses only the LEADING
+ * `layoutDims` basis directions (coarse partition key) while the
+ * row-level prefilter keeps the full basis (fine predicate): a radius-r
+ * neighborhood is (2r+1)^dims cells per batch vector, so the
+ * enumeration the read path materializes must stay low-dimensional —
+ * and a cell key's coordinate prefix obeys the same per-coordinate
+ * bound, so the superset property (and with it exactness) is
+ * unaffected by the truncation. Exactness rests on two pinned
+ * invariants: (1) ±1-drift — a story whose centroid leaves the ±1-cell
+ * band of its sticky cell is re-homed IN the same upsert commit
+ * (`rehomeFromCol`, atomic: no crash window can duplicate or lose it),
+ * so sticky ∈ N₂(batch) whenever current ∈ N₁(batch); (2) basis-layout
+ * coupling — the basis that defines the cells rides the table
+ * manifest's `meta` line, so a basis refresh re-grids the WHOLE table
+ * and publishes new cells + new basis in ONE atomic manifest flip
+ * ([[TableSink.overwrite]]; a sibling-file basis could desync on a
+ * crash between two publishes, the manifest cannot). The refresh is
+ * O(table) by design — a rare, schedulable bulk job, the price of
+ * file-level pruning on every batch in between. The row-level radius-1
+ * cell predicate stays on top of the pruned read, which is what keeps
+ * assignments EXACTLY equal to the full-scan fold (spec-pinned).
  *
  * The source is any streaming DataFrame with (link, title, txt,
  * ingestion_time) — Kafka via [[ArticleStream.fromKafka]], files, or a
  * MemoryStream in tests.
  */
 object StreamingJob {
+
+  /** Off-schedule basis-refresh trigger: fires when the pruned fold's
+    * candidate count stays ≥ `ratio` × story count for `k` consecutive
+    * non-empty batches — the covariance-shift signal BETWEEN scheduled
+    * refreshes that `basisRefreshEvery` alone cannot see. Driver-side
+    * state, deliberately outside the checkpoint: a lost streak after a
+    * restart delays one refresh (pruning power), never correctness. */
+  final class StalenessGuard(ratio: Double, k: Int) {
+    require(ratio > 0.0 && k >= 1, s"bad staleness guard: ratio=$ratio k=$k")
+    private var streak = 0
+    private[graft] def update(nCandidates: Long, nStories: Long, nBatch: Long): Boolean =
+      synchronized {
+        if (nStories > 0 && nBatch > 0 && nCandidates >= ratio * nStories) streak += 1
+        else streak = 0
+        if (streak >= k) { streak = 0; true } else false
+      }
+  }
 
   /** Per-micro-batch ST4 observability, handed to the `onBatch` callback
     * (and INFO-logged): `nCandidates` ≈ `nStories` means the grid/basis
@@ -53,7 +98,8 @@ object StreamingJob {
     * seam. `basisDims` = 0 ⇒ raw-coordinate grid (cold start). */
   case class St4Metrics(epoch: Long, nBatch: Long, nStories: Long,
                         nCandidates: Long, basisDims: Int,
-                        replaySkipped: Boolean)
+                        replaySkipped: Boolean,
+                        basisRefreshed: Boolean = false)
 
   /** Path of the published projection basis — a sibling FILE of the
     * stories table's own metadata (TableSink GC never touches it). */
@@ -63,8 +109,14 @@ object StreamingJob {
             checkpoint: String, simThreshold: Double = 0.8,
             trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
             gridDims: Int = 2, basisK: Int = 8, basisRefreshEvery: Int = 8,
+            cellLayout: Boolean = true, layoutDims: Int = 2,
+            storyBuckets: Int = TableSink.DefaultBuckets,
+            staleRatio: Double = 0.5, staleBatches: Int = 3,
             onBatch: St4Metrics => Unit = _ => ()): StreamingQuery = {
     val spark = articles.sparkSession
+    // One guard per query: its consecutive-batch streak is exactly the
+    // stream's batch sequence.
+    val guard = new StalenessGuard(staleRatio, staleBatches)
     val deduped = ArticleStream.dedupWithTtl(
       articles.filter(col("link").isNotNull)                 // P2
         .filter(length(trim(col("txt"))) > 0),               // P3
@@ -84,23 +136,33 @@ object StreamingJob {
         try {
           if (!batch.isEmpty)
             processBatch(spark, batch, articlesDir, storiesDir, simThreshold,
-              epoch, gridDims, basisK, basisRefreshEvery, onBatch)
+              epoch, gridDims, basisK, basisRefreshEvery, cellLayout,
+              layoutDims, storyBuckets, Some(guard), onBatch)
         } finally batch.unpersist()
       }
       .start()
   }
 
   /** One micro-batch: replay guard → featurize (distributed) → pruned
-    * sequential assignment fold against the candidate story state →
-    * MERGE both tables → periodic basis refresh. */
+    * sequential assignment fold against the candidate story state (a
+    * bucket-pruned file read under `cellLayout`) → MERGE both tables
+    * (sticky-cell re-homing riding the stories commit) → scheduled or
+    * staleness-triggered basis refresh (an atomic re-grid under
+    * `cellLayout`). */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
                                       articlesDir: String, storiesDir: String,
                                       simThreshold: Double, epoch: Long,
                                       gridDims: Int = 2, basisK: Int = 8,
                                       basisRefreshEvery: Int = 8,
+                                      cellLayout: Boolean = true,
+                                      layoutDims: Int = 2,
+                                      storyBuckets: Int = TableSink.DefaultBuckets,
+                                      staleGuard: Option[StalenessGuard] = None,
                                       onBatch: St4Metrics => Unit = _ => ()): Unit = {
-    val storySchema = spark.range(0).select(
+    val storySchema0 = spark.range(0).select(
       lit("").as("story_id"), array().cast("array<double>").as("centroid"), lit(0L).as("n"))
+    val storySchema =
+      if (cellLayout) storySchema0.withColumn("cell", lit("")) else storySchema0
     val stories = TableSink.read(spark, storiesDir, storySchema)
     // Epoch-replay guard (see the object scaladoc): the stories MERGE is
     // the LAST write of an epoch and atomic, and epochs only grow, so the
@@ -136,31 +198,130 @@ object StreamingJob {
       .withColumn("content", concat_ws(" ", col("title"), col("txt")))
       .withColumn("embedding", NewsPipeline.hashEmbedding(col("content")))
       .withColumn("entities", graft.functions.text.entities(col("content")))
-    val basis = BasisStore.load(basisPath(storiesDir))
-    val pruned = OnlineClustering.processBatchPruned(
-      featured, stories, "link", "embedding", simThreshold, epoch,
-      gridDims, basis)
+    // Under cellLayout the AUTHORITATIVE basis is the stories manifest's
+    // meta line — published atomically with the cell values it defines;
+    // the `_basis` sibling file is kept as observability/legacy only.
+    val basis =
+      if (cellLayout) TableSink.metaOf(storiesDir).map(BasisStore.decode).getOrElse(Nil)
+      else BasisStore.load(basisPath(storiesDir))
+    // `layouted` = the stories table is (or is about to be created)
+    // value-addressable. A pre-existing key-hash table keeps its pinned
+    // layout: the job stays correct via the full scan-and-drop read and
+    // never passes a rehome column the sink would reject.
+    val layouted = cellLayout &&
+      (TableSink.layoutColOf(storiesDir).isDefined || !TableSink.tableExists(storiesDir))
+    val (pruned, storyDelta) =
+      if (!cellLayout) {
+        val p = OnlineClustering.processBatchPruned(
+          featured, stories, "link", "embedding", simThreshold, epoch,
+          gridDims, basis)
+        (p, p.storyDelta)
+      } else {
+        val in = OnlineClustering.collectBatch(featured, "link", "embedding")
+        // Coarse layout key: leading layoutDims basis directions only —
+        // the radius-2 enumeration below is (2r+1)^dims PER BATCH VECTOR,
+        // so the dimensionality the read path materializes must stay low;
+        // the full basis stays on the fine row-level filter.
+        val layoutBasis = basis.take(layoutDims)
+        // File-level candidate read: radius-2 sticky-cell neighborhood
+        // (covers every story whose CURRENT cell is radius-1 under the
+        // ±1-drift re-homing invariant); the row-level radius-1 predicate
+        // inside prunedFold keeps exactness on top of the superset read.
+        val candFrame =
+          if (TableSink.layoutColOf(storiesDir).isDefined) {
+            val cells2 = OnlineClustering
+              .candidateCells(in, simThreshold, gridDims, layoutBasis, radius = 2)
+              .map(_.mkString(",")).toSeq
+            TableSink.readBuckets(spark, storiesDir, storySchema,
+              TableSink.bucketIdsFor(spark, storiesDir, cells2))
+          } else stories
+        val candWithCell =
+          if (candFrame.columns.contains("cell")) candFrame
+          else candFrame.withColumn("cell", lit(null).cast("string"))
+        val p = OnlineClustering.prunedFold(in, candWithCell, simThreshold,
+          epoch, gridDims, basis)
+        // Sticky-cell maintenance on the MERGE delta: new stories are
+        // homed at their creation cell; changed stories keep their sticky
+        // cell while the centroid stays within ±1 cell of it, else they
+        // re-home to the current cell carrying the old one in __old_cell
+        // (the same-commit migration TableSink.upsert executes). The
+        // sticky lookup re-reads only the candidate buckets — driver-
+        // bounded like the fold itself.
+        val stickyDf = candWithCell
+          .select(col("story_id"), col("cell").as("__sticky"))
+        val cur = OnlineClustering.cellKey(
+          col("centroid"), simThreshold, gridDims, layoutBasis)
+        // Per-coordinate adjacency of two cell keys; a null element (dim
+        // change — cannot happen between re-grids, but stay safe) makes
+        // the predicate null → falls through to re-home.
+        val adjacent = array_max(zip_with(
+          split(col("__sticky"), ","), split(col("__cur"), ","),
+          (a, b) => abs(a.cast("int") - b.cast("int")))) <= 1
+        val delta = p.storyDelta
+          .join(broadcast(stickyDf), Seq("story_id"), "left")
+          .withColumn("__cur", cur)
+          .withColumn("cell",
+            when(col("__sticky").isNull, col("__cur"))
+              .when(adjacent, col("__sticky"))
+              .otherwise(col("__cur")))
+          .withColumn("__old_cell",
+            when(col("__sticky").isNotNull && col("cell") =!= col("__sticky"),
+              col("__sticky")))
+          .drop("__sticky", "__cur")
+        (p, delta)
+      }
     val articlesOut = featured.join(
         pruned.assigned.select(col("id").as("link"), col("storyId").as("story_id")), "link")
       .withColumn("processed_at", current_timestamp())
       .drop("content")
     TableSink.upsert(spark, articlesDir,
       articlesOut.withColumn("__v", lit(epoch)), Seq("link"), "__v")
-    TableSink.upsert(spark, storiesDir,
-      pruned.storyDelta.withColumn("__v", lit(epoch)), Seq("story_id"), "__v")
+    if (layouted)
+      TableSink.upsert(spark, storiesDir,
+        storyDelta.withColumn("__v", lit(epoch)), Seq("story_id"), "__v",
+        numBuckets = storyBuckets,
+        layoutCol = Some("cell"), rehomeFromCol = Some("__old_cell"))
+    else
+      TableSink.upsert(spark, storiesDir,
+        storyDelta.drop("__old_cell").withColumn("__v", lit(epoch)),
+        Seq("story_id"), "__v", numBuckets = storyBuckets)
     // Self-provisioning refresh AFTER the merge, so the fit sees this
-    // epoch's stories and the NEXT batch prunes with it. One MLlib job
+    // epoch's stories and the NEXT batch prunes with it: one MLlib job
     // every basisRefreshEvery epochs — the basis tracks the corpus's
-    // slow-moving covariance, not per-batch jitter. A crash between the
-    // merge above and this publish skips one refresh; staleness costs
-    // pruning power only (exact recall holds for any published basis).
-    if (basisRefreshEvery > 0 && epoch % basisRefreshEvery == 0) {
+    // slow-moving covariance, not per-batch jitter — or EARLY when the
+    // staleness guard sees the candidate ratio degenerate mid-window.
+    // Under cellLayout a refresh is an atomic re-grid: the whole table
+    // rewrites with cells under the new basis and the manifest's meta
+    // flips to that basis in the SAME publish, so value-addressed
+    // readers can never probe buckets under a basis the cells were not
+    // computed with. A crash between the merge above and this commit
+    // skips one refresh; staleness costs pruning power only (exact
+    // recall holds for any published basis).
+    // nStories via parquet count(*) — footer statistics, no data scan.
+    val nStories = stories.count()
+    val scheduled = basisRefreshEvery > 0 && epoch % basisRefreshEvery == 0
+    val stale = staleGuard.exists(_.update(pruned.nCandidates, nStories, pruned.nBatch))
+    var published = false
+    if (scheduled || stale) {
       val refreshed = OnlineClustering.storyBasis(
         TableSink.read(spark, storiesDir, storySchema), "centroid", basisK)
-      if (refreshed.nonEmpty) BasisStore.save(basisPath(storiesDir), refreshed)
+      if (refreshed.nonEmpty) {
+        if (layouted && TableSink.layoutColOf(storiesDir).isDefined) {
+          val full = TableSink.read(spark, storiesDir, storySchema)
+          TableSink.overwrite(spark, storiesDir,
+            full.withColumn("cell", OnlineClustering.cellKey(
+              col("centroid"), simThreshold, gridDims, refreshed.take(layoutDims))),
+            Seq("story_id"),
+            numBuckets = TableSink.numBucketsOf(storiesDir)
+              .getOrElse(TableSink.DefaultBuckets),
+            layoutCol = Some("cell"),
+            meta = Some(BasisStore.encode(refreshed)))
+        }
+        BasisStore.save(basisPath(storiesDir), refreshed)
+        published = true
+      }
     }
-    // nStories via parquet count(*) — footer statistics, no data scan.
-    onBatch(St4Metrics(epoch, pruned.nBatch, stories.count(), pruned.nCandidates,
-      basis.length, replaySkipped = false))
+    onBatch(St4Metrics(epoch, pruned.nBatch, nStories, pruned.nCandidates,
+      basis.length, replaySkipped = false, basisRefreshed = published))
   }
 }

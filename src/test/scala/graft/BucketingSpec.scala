@@ -123,4 +123,64 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     }
     assert(err.getMessage.contains("must be STRING"))
   }
+
+  test("manifest meta, in-commit re-home, and atomic overwrite re-grid") {
+    import spark.implicits._
+    import graft.sources.TableSink
+    val dir = Files.createTempDirectory("meta").toString
+    def row(id: String, cell: String, v: Long) =
+      Seq((id, cell, v)).toDF("id", "cell", "__v")
+    TableSink.upsert(spark, dir,
+      Seq(("k1", "A", 0L), ("k2", "B", 0L)).toDF("id", "cell", "__v"),
+      Seq("id"), "__v", numBuckets = 8, layoutCol = Some("cell"))
+    assert(TableSink.metaOf(dir).isEmpty, "no meta until a writer sets one")
+    // overwrite publishes meta atomically with the data...
+    val t0 = TableSink.read(spark, dir, row("", "", 0L))
+    TableSink.overwrite(spark, dir, t0, Seq("id"), numBuckets = 8,
+      layoutCol = Some("cell"), meta = Some("basis-v1"))
+    assert(TableSink.metaOf(dir).contains("basis-v1"))
+    // ...and plain upserts carry it forward unchanged.
+    TableSink.upsert(spark, dir, row("k3", "C", 1L), Seq("id"), "__v")
+    assert(TableSink.metaOf(dir).contains("basis-v1"), "upsert must carry meta forward")
+    assert(TableSink.numBucketsOf(dir).contains(8))
+    // In-commit re-home: ONE upsert moves k1 from cell A to D — the old
+    // copy's bucket is rewritten away in the same manifest flip, so no
+    // crash window can duplicate or lose the row (the old two-commit
+    // delete-then-upsert migration had both windows).
+    TableSink.upsert(spark, dir,
+      Seq(("k1", "D", 2L, "A")).toDF("id", "cell", "__v", "__old"),
+      Seq("id"), "__v", rehomeFromCol = Some("__old"))
+    val like = row("", "", 0L)
+    def inCell(c: String) = TableSink.readBuckets(spark, dir, like,
+        TableSink.bucketIdsFor(spark, dir, Seq(c)))
+      .filter(col("cell") === c && col("id") === "k1").count()
+    assert(inCell("D") == 1L && inCell("A") == 0L,
+      "re-homed row addressable under the new cell only")
+    assert(TableSink.read(spark, dir, like).filter(col("id") === "k1").count() == 1L)
+    // The stored schema never grows the transport column.
+    assert(!TableSink.read(spark, dir, like).columns.contains("__old"))
+    // Re-homing is only meaningful on layout tables — refuse elsewhere.
+    val plain = Files.createTempDirectory("plain").toString
+    val err2 = intercept[IllegalArgumentException] {
+      TableSink.upsert(spark, plain,
+        Seq(("k1", "D", 0L, "A")).toDF("id", "cell", "__v", "__old"),
+        Seq("id"), "__v", rehomeFromCol = Some("__old"))
+    }
+    assert(err2.getMessage.contains("layout-bucketed"))
+    // Overwrite re-grids every row (layout VALUES may change wholesale —
+    // the one operation allowed to) and flips meta in the same commit.
+    val regrid = TableSink.read(spark, dir, like)
+      .withColumn("cell", concat(lit("g2-"), col("cell")))
+    TableSink.overwrite(spark, dir, regrid, Seq("id"), numBuckets = 8,
+      layoutCol = Some("cell"), meta = Some("basis-v2"))
+    assert(TableSink.metaOf(dir).contains("basis-v2"))
+    val all = TableSink.read(spark, dir, like)
+    assert(all.count() == 3 && all.filter(col("cell").startsWith("g2-")).count() == 3,
+      "overwrite must re-address every row")
+    def addressable(c: String, id: String) = TableSink.readBuckets(spark, dir, like,
+        TableSink.bucketIdsFor(spark, dir, Seq(c)))
+      .filter(col("cell") === c && col("id") === id).count() == 1L
+    assert(addressable("g2-D", "k1") && addressable("g2-B", "k2") && addressable("g2-C", "k3"),
+      "every row addressable under its new cell after the re-grid")
+  }
 }

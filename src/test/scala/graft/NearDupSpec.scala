@@ -257,6 +257,20 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
       .collect()
     assert(again.length == 1 && !again(0).getBoolean(4) && again(0).getLong(2) == 102L,
       s"re-ingest of an admitted doc must now be rejected: ${again.toSeq}")
+    // Broadcast misuse guard: a batch past maxBatchRows must fail fast
+    // (a corpus-sized "batch" would otherwise OOM the driver silently)...
+    val guard = intercept[IllegalArgumentException] {
+      DedupOps.neardupIncremental(batch, corpus, idx, "doc_id", "text",
+        3, 4, 4, threshold = 0.5, maxBatchRows = 2)
+    }
+    assert(guard.getMessage.contains("broadcastBatch = false"),
+      s"guard must point at the shuffled fallback: ${guard.getMessage}")
+    // ...and the shuffled fallback gives the identical verdicts.
+    val shuffled = DedupOps.neardupIncremental(batch, corpus, idx, "doc_id", "text",
+        3, 4, 4, threshold = 0.5, maxBatchRows = 2, broadcastBatch = false)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toMap
+    assert(shuffled == got, s"shuffled fallback must match the broadcast path: $shuffled vs $got")
   }
 
   test("admitIncremental: within-batch mutual near-dups collapse to one representative") {

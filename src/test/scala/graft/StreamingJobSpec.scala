@@ -127,6 +127,131 @@ class StreamingJobSpec extends AnyFunSuite with SparkSpec {
       s"mismatched checkpoint must be rejected: ${err.getMessage}")
   }
 
+  test("cell-sticky layout ships by default: bucket-pruned candidate read, identical assignments") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{BasisStore, OnlineClustering}
+    val texts = Seq(
+      "alpine glaciers retreat under record summer heat",
+      "city council approves the new harbor tram line",
+      "quarterly chip earnings beat analyst expectations",
+      "midfielder signs a four year contract extension",
+      "novel enzyme breaks down ocean plastic faster",
+      "drought pushes grain futures to seasonal highs",
+      "museum reopens with a restored baroque wing",
+      "satellite constellation expands rural broadband",
+      "volcanic ash grounds flights across the strait",
+      "archivists digitize a trove of wartime letters",
+      "referee review system debuts in the cup final",
+      "desalination plant breaks ground on the coast")
+    def runJob(dir: String, layout: Boolean): Unit = {
+      val mem = MemoryStream[(String, String, String, Timestamp)]
+      val q = StreamingJob.start(mem.toDF().toDF("link", "title", "txt", "ingestion_time"),
+        s"$dir/articles", s"$dir/stories", s"$dir/ckpt", simThreshold = 0.98,
+        trigger = Trigger.ProcessingTime(0L), basisK = 4, basisRefreshEvery = 1,
+        cellLayout = layout, storyBuckets = 64)
+      try {
+        mem.addData(texts.zipWithIndex.map { case (t, i) =>
+          (s"l$i", "t", t, ts(f"2024-01-01 10:${i}%02d:00")) }: _*)
+        q.processAllAvailable()
+        // batch 2: one repeat (joins its story) + one novel doc
+        mem.addData(("l20", "t", texts(3), ts("2024-01-01 11:00:00")),
+          ("l21", "t", "meteor shower dazzles stargazers after midnight", ts("2024-01-01 11:01:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val dirA = Files.createTempDirectory("sj_cell").toString   // shipping default shape
+    val dirB = Files.createTempDirectory("sj_scan").toString   // scan-and-drop baseline
+    runJob(dirA, layout = true); runJob(dirB, layout = false)
+    // Identical assignments and story state — the layout changes I/O, not semantics.
+    def tables(dir: String) = {
+      val like = spark.range(0).select(lit("").as("link"))
+      val arts = TableSink.read(spark, s"$dir/articles", like)
+        .select("link", "story_id").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val sts = TableSink.read(spark, s"$dir/stories", like)
+        .select("story_id", "n").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (arts, sts)
+    }
+    assert(tables(dirA) == tables(dirB),
+      "cell layout must not change assignments or story state")
+    // Manifest evidence: the stories table is value-addressable and the
+    // basis that defines its cells rides the manifest meta (atomic with
+    // the re-grid), not only the sibling file.
+    val storiesDir = s"$dirA/stories"
+    assert(TableSink.layoutColOf(storiesDir).contains("cell"),
+      "shipping stories table must be laid out by sticky cell")
+    val meta = TableSink.metaOf(storiesDir)
+    assert(meta.isDefined, "re-grid must publish the basis in the manifest meta")
+    val layoutBasis = BasisStore.decode(meta.get).take(2)
+    assert(layoutBasis.nonEmpty, "published basis must decode")
+    // File-count evidence: replicate the per-batch candidate read for one
+    // probe article — it must open strictly fewer files than the table
+    // has, and still cover the probe's own story.
+    val probe = Seq(("p0", "t", texts(3))).toDF("link", "title", "txt")
+      .withColumn("content", concat_ws(" ", col("title"), col("txt")))
+      .withColumn("embedding", graft.pipelines.NewsPipeline.hashEmbedding(col("content")))
+    val in = OnlineClustering.collectBatch(probe, "link", "embedding")
+    val cells2 = OnlineClustering.candidateCells(in, 0.98, 2, layoutBasis, radius = 2)
+      .map(_.mkString(",")).toSeq
+    val like = spark.range(0).select(lit("").as("story_id"))
+    val prunedRead = TableSink.readBuckets(spark, storiesDir, like,
+      TableSink.bucketIdsFor(spark, storiesDir, cells2))
+    val nPruned = prunedRead.inputFiles.length
+    val nAll = TableSink.read(spark, storiesDir, like).inputFiles.length
+    assert(nPruned > 0 && nPruned < nAll,
+      s"candidate read must be file-pruned: opened $nPruned of $nAll files")
+    val byLink = tables(dirA)._1
+    assert(prunedRead.select("story_id").collect().map(_.getString(0))
+      .contains(byLink("l20")), "pruned read must cover the probe's story")
+  }
+
+  test("staleness guard: off-schedule basis refresh restores pruning after degeneration") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("sjstale").toString
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[StreamingJob.St4Metrics]
+    val guard = new StreamingJob.StalenessGuard(ratio = 0.8, k = 2)
+    // Never scheduled (basisRefreshEvery = 0): only the guard can refresh.
+    def run(epoch: Long, docs: Seq[(String, String)]): Unit =
+      StreamingJob.processBatch(spark,
+        docs.map { case (l, t) => (l, "t", t, ts(s"2024-01-01 10:00:00")) }
+          .toDF("link", "title", "txt", "ingestion_time"),
+        s"$tmp/articles", s"$tmp/stories", simThreshold = 0.98, epoch = epoch,
+        basisRefreshEvery = 0, staleGuard = Some(guard),
+        onBatch = m => metrics.synchronized { metrics += m })
+    val topics = Seq(
+      "glacier retreat accelerates in the high ranges",
+      "port authority tenders the new ferry berths",
+      "chipmaker guidance tops analyst expectations",
+      "club confirms the striker's season ending surgery",
+      "enzyme engineering speeds plastic depolymerization",
+      "grain futures rally on dry season forecasts",
+      "restored organ returns to the cathedral loft",
+      "rural fiber rollout clears its funding review",
+      "ash cloud closes airspace over the channel")
+    run(0L, Seq("a0" -> topics(0), "a1" -> topics(1), "a2" -> topics(2)))
+    run(1L, Seq("b0" -> topics(3), "b1" -> topics(4), "b2" -> topics(5)))
+    run(2L, Seq("c0" -> topics(6), "c1" -> topics(7), "c2" -> topics(8)))
+    // Cold start = raw 2-dim grid over 64-dim embeddings: degenerate, so
+    // candidates ≈ stories from epoch 1 on; streak of 2 fires the guard.
+    val fired = metrics.indexWhere(_.basisRefreshed)
+    assert(fired >= 0, s"guard must fire an off-schedule refresh: $metrics")
+    assert(metrics(fired).basisDims == 0,
+      s"refresh must fire while still on the degenerate raw grid: $metrics")
+    // The next batch runs with the published basis and prunes again.
+    run(3L, Seq("d0" -> topics(0))) // same topic as a0 → joins its story
+    val last = metrics.last
+    assert(last.basisDims > 0, s"post-refresh batch must carry the basis: $last")
+    assert(last.nCandidates < last.nStories,
+      s"restored basis must prune candidates < stories: $last")
+    val like = spark.range(0).select(lit("").as("link"))
+    val byLink = TableSink.read(spark, s"$tmp/articles", like)
+      .select("link", "story_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byLink("d0") == byLink("a0"), "pruning never costs recall")
+  }
+
   test("pruned ST4 + basis resume identically across a checkpoint restart") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
