@@ -1047,6 +1047,64 @@ object OracleSql {
         |SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM c
         |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
 
+    // Append-only index refresh: standing corpus band rows UNION the
+    // admitted batch docs' band rows (admit = no verified corpus match,
+    // the x_neardup_incremental chain). Band is 0-based to match the
+    // engine's posexplode; null band values (shingle-less docs) stay out.
+    "x_index_refresh" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
+         |  FROM w),
+         |sig AS (SELECT doc_id, [
+         |  list_min(list_transform(s, x -> md5('0|' || x))),
+         |  list_min(list_transform(s, x -> md5('1|' || x))),
+         |  list_min(list_transform(s, x -> md5('2|' || x))),
+         |  list_min(list_transform(s, x -> md5('3|' || x)))] sg FROM sh),
+         |bnd AS (SELECT doc_id, generate_subscripts(sg, 1) band, unnest(sg) bv FROM sig),
+         |cand AS (SELECT DISTINCT b.doc_id batch_id, c.doc_id corpus_id
+         |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.bv = c.bv
+         |  WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8),
+         |m AS (SELECT doc_id, unnest(list_distinct(s)) sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
+         |i AS (SELECT cd.batch_id, cd.corpus_id, count(*) inter
+         |  FROM cand cd JOIN m a ON a.doc_id = cd.batch_id
+         |  JOIN m b2 ON b2.doc_id = cd.corpus_id AND b2.sh = a.sh GROUP BY 1, 2),
+         |blocked AS (SELECT DISTINCT i.batch_id FROM i
+         |  JOIN sz x ON x.doc_id = i.batch_id JOIN sz y ON y.doc_id = i.corpus_id
+         |  WHERE i.inter::DOUBLE / (x.n + y.n - i.inter) >= 0.05)
+         |SELECT doc_id, CAST(band - 1 AS INT) AS band, bv FROM bnd
+         |WHERE bv IS NOT NULL AND (doc_id % 10 < 8
+         |  OR doc_id NOT IN (SELECT batch_id FROM blocked))
+         |ORDER BY doc_id, band""".stripMargin,
+
+    // BPE merge loop, unrolled (the merge count is a fixed parameter, so
+    // the loop is M chained CTE stages): per stage, count adjacent
+    // symbol pairs weighted by word frequency, argmax with count-desc /
+    // pair-asc ties, apply the merge via non-overlapping left-to-right
+    // replace — the exact greedy semantics of the Spark loop.
+    "x_bpe_merges" -> {
+      val m = 8
+      def stage(i: Int) =
+        s"""p$i AS (SELECT l, r, sum(f) cnt FROM (
+           |   SELECT syms[j] l, syms[j+1] r, f FROM
+           |     (SELECT string_split(trim(w), ' ') syms, f FROM d${i - 1}) s,
+           |     unnest(generate_series(1, len(s.syms) - 1)) t(j)) GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, CAST(cnt AS BIGINT) cnt FROM p$i
+           |  ORDER BY cnt DESC, l, r LIMIT 1),
+           |d$i AS (SELECT replace(d.w, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ') w, d.f
+           |  FROM d${i - 1} d, b$i b)""".stripMargin
+      s"""WITH w0 AS (SELECT $words wds FROM documents),
+         |dict AS (SELECT w2 wrd, count(*) f FROM (SELECT unnest(wds) w2 FROM w0) GROUP BY 1),
+         |d0 AS (SELECT ' ' || array_to_string(string_split_regex(wrd, ''), ' ') || ' ' w, f
+         |  FROM dict),
+         |${(1 to m).map(stage).mkString(",\n")}
+         |${(1 to m).map(i =>
+             s"SELECT $i merge_rank, l l_sym, r r_sym, cnt FROM b$i")
+           .mkString("\nUNION ALL\n")}
+         |ORDER BY merge_rank""".stripMargin
+    },
+
     // Complete incremental admission: within-batch components over the
     // LSH-candidate verified pairs restricted to batch docs (banding is
     // per-doc deterministic, so the all-docs candidate chain filtered to

@@ -507,6 +507,13 @@ object SparkEntry {
     "x_bpe_pairs" -> ((s, d) => {
       CurationOps.bpePairCounts(T(s, d, "documents"), "text", 30)
     }),
+    // BPE training step 2: the iterative merge loop itself — 8 merges
+    // learned from the word dict (argmax with count-desc/pair-asc ties,
+    // greedy left-to-right application), corpus scanned exactly once.
+    "x_bpe_merges" -> ((s, d) => {
+      CurationOps.bpeMerges(T(s, d, "documents"), "text", 8)
+        .orderBy("merge_rank")
+    }),
     // CCNet-style LM quality: per-doc cross-entropy (nats/token) under
     // the corpus's own add-1 unigram model; keep = under the operating
     // point (3.41, ~the corpus median — CCNet keeps the low-perplexity
@@ -629,6 +636,26 @@ object SparkEntry {
         .select(col("doc_id"), col("n_matches"), col("match_id"),
           round(col("match_jaccard"), 6).as("match_jaccard"), col("admit"))
         .orderBy("doc_id")
+    }),
+    // Append-only band-index refresh: the standing index (corpus side)
+    // plus the band rows of the batch docs the admission check admits —
+    // index maintenance is a union of batch-derived rows, NEVER a corpus
+    // rescan (the corpus contributes its existing index rows unchanged;
+    // shingle-less docs carry no band value and stay out of the index).
+    "x_index_refresh" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      val idx = DedupOps.minhashBandIndex(corpus, "doc_id", "text", 3, 4, 4)
+      val admitted = batch.join(
+        DedupOps.neardupIncremental(batch, corpus, idx, "doc_id", "text",
+          shingleN = 3, k = 4, bands = 4, threshold = 0.05)
+          .filter(col("admit")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      idx.unionByName(
+          DedupOps.minhashBandIndex(admitted, "doc_id", "text", 3, 4, 4))
+        .filter(col("bv") =!= "")
+        .orderBy("doc_id", "band")
     }),
     // The complete incremental admission: within-batch near-dup closure
     // (one representative per batch component) AND the standing-corpus

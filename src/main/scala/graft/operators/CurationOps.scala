@@ -346,6 +346,67 @@ object CurationOps {
       .limit(k)
 
   /**
+   * BPE merge LOOP (tokenizer training step 2, Sennrich et al. 2016
+   * `learn_bpe`): starting from words as character sequences, repeatedly
+   * (a) count adjacent symbol pairs weighted by word frequency,
+   * (b) take the argmax (count desc, then pair asc — the deterministic
+   * tie-break), (c) apply the merge to every word greedily
+   * left-to-right, for `merges` iterations. Output is the ordered merge
+   * table (merge_rank, l_sym, r_sym, cnt) — the artifact a BPE
+   * tokenizer ships.
+   *
+   * Scale shape: the corpus is scanned ONCE (the word-frequency dict of
+   * [[bpePairCounts]]); every iteration runs two vocab-sized jobs — a
+   * pair-count aggregation and a one-row TakeOrderedAndProject argmax —
+   * on the persisted dict, never a corpus rescan. Words ride as
+   * space-delimited symbol strings so the merge application is a single
+   * codegen `replace` (non-overlapping left-to-right — exactly the
+   * greedy BPE semantics, identical in the DuckDB oracle); each
+   * iteration's dict is materialized before its parent is unpersisted,
+   * so lineage stays one step deep across any number of merges.
+   */
+  def bpeMerges(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 10000, s"merges out of range: $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var dict = docs.select(explode(toks(col(textCol))).as("w0"))
+      .groupBy("w0").agg(count(lit(1)).as("f"))
+      .select(concat(lit(" "),
+        array_join(filter(split(col("w0"), ""), s => s =!= ""), " "),
+        lit(" ")).as("w"), col("f"))
+      .persist()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      val best = dict
+        .withColumn("syms", filter(split(trim(col("w")), " "), s => s =!= ""))
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("f").as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word is a single symbol
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((rank, l, r, cnt))
+        val next = dict
+          .withColumn("w", replace(col("w"), lit(s" $l $r "), lit(s" $l$r ")))
+          .persist()
+        next.count() // materialize before releasing the parent
+        dict.unpersist()
+        dict = next
+        rank += 1
+      }
+    }
+    dict.unpersist()
+    spark.createDataFrame(out.toSeq).toDF("merge_rank", "l_sym", "r_sym", "cnt")
+  }
+
+  /**
    * Unigram token counts of a reference corpus — the model side of
    * [[unigramCrossEntropy]]. One aggregation; the result is vocab-sized
    * (bounded, broadcastable) at any corpus scale.

@@ -192,6 +192,23 @@ object DedupOps {
         posexplode(text.minhashBands(col("sig"), k, bands)).as(Seq("band", "bv")))
 
   /**
+   * Append-only refresh of a PERSISTED standing band index
+   * ([[minhashBandIndex]] rows in a [[graft.sources.TableSink]] table
+   * keyed (doc_id, band)): upsert ONLY the new docs' band rows. The
+   * corpus-sized standing part is never read or rewritten — TableSink's
+   * copy-on-write contract keeps untouched buckets byte-identical — so
+   * index maintenance costs O(batch) at any index size. Idempotent per
+   * `version` (a replayed ingest converges, ST2).
+   */
+  def refreshBandIndexStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                             newDocs: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int, k: Int, bands: Int, version: Long): Unit =
+    graft.sources.TableSink.upsert(spark, dir,
+      minhashBandIndex(newDocs, idCol, textCol, shingleN, k, bands)
+        .withColumn("__v", lit(version)),
+      Seq("doc_id", "band"), "__v")
+
+  /**
    * Incremental NEAR-dup admission of a new batch against a standing
    * corpus — the per-ingest shape a production pipeline runs daily, and
    * the near-dup analog of [[incrementalNewDocs]] (which only catches

@@ -44,6 +44,68 @@ object Serve {
     stories.filter(col("story_id") === storyId)
       .select(col("story_id").cast("string"), col("summary"), col("last_updated"))
 
+  // ── Bucket-pruned lookups over PERSISTED TableSink tables ──────────────
+  //
+  // The DataFrame forms above are storage-agnostic; at scale the serving
+  // tables live in TableSink and a point lookup should open one bucket's
+  // FILES, not scan the table. Two addressing modes:
+  //  - stories: keyed by story_id (key-hash) → `keyBucketIdsFor` resolves
+  //    the single bucket a story id hashes to. (A CELL-layout stories
+  //    table — the streaming job's — addresses by cell, not id; these
+  //    serving reads fall back to the full scan there, correct but
+  //    unpruned: the §3.3 serving table is the batch pipeline's, written
+  //    key-hash.)
+  //  - recommendations: keyed by (user_id, story_id) so each rec row is
+  //    its own upsert target, with user_id as the LAYOUT column
+  //    ([[writeRecommendations]] pins it) — all of one user's rows share
+  //    a bucket, so a user lookup reads exactly that bucket.
+
+  /** Canonical persisted recommendations table: keyed (user_id,
+    * story_id), laid out by user_id — the write side of the pruned
+    * [[recommendationsForStored]] read path. */
+  def writeRecommendations(spark: SparkSession, dir: String, recs: DataFrame,
+                           version: Long,
+                           numBuckets: Int = graft.sources.TableSink.DefaultBuckets): Unit =
+    graft.sources.TableSink.upsert(spark, dir,
+      recs.withColumn("__v", lit(version)),
+      Seq("user_id", "story_id"), "__v", numBuckets,
+      layoutCol = Some("user_id"))
+
+  /** [[storyById]] against a persisted stories table, opening only the
+    * bucket the id hashes to (file-level pruning; full-scan fallback on
+    * a layout table — see the mode note above). */
+  def storyByIdStored(spark: SparkSession, storiesDir: String, storyId: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.TableSink
+    val like = spark.range(0).select(lit("").as("story_id"),
+      lit("").as("summary"), lit(null).cast("timestamp").as("last_updated"))
+    val pruned =
+      if (TableSink.layoutColOf(storiesDir).isEmpty)
+        TableSink.readBuckets(spark, storiesDir, like,
+          TableSink.keyBucketIdsFor(storiesDir, Seq(storyId).toDF("story_id")))
+      else TableSink.read(spark, storiesDir, like)
+    storyById(pruned, storyId)
+  }
+
+  /** [[recommendationsFor]] with the personalized side read from the
+    * persisted recommendations table via its user_id layout — exactly
+    * one bucket's files for the lookup key. The stories frame is shared
+    * with the fallback arm (which is a top-N over stories either way),
+    * so the caller passes it once. */
+  def recommendationsForStored(spark: SparkSession, recsDir: String,
+                               stories: DataFrame, userId: String,
+                               fallbackN: Int = 10): DataFrame = {
+    import graft.sources.TableSink
+    val like = spark.range(0).select(lit("").as("user_id"),
+      lit("").as("story_id"), lit(0.0).as("score"))
+    val recs = TableSink.layoutColOf(recsDir) match {
+      case Some("user_id") => TableSink.readBuckets(spark, recsDir, like,
+        TableSink.bucketIdsFor(spark, recsDir, Seq(userId)))
+      case _ => TableSink.read(spark, recsDir, like) // unpruned but correct
+    }
+    recommendationsFor(recs, stories, userId, fallbackN)
+  }
+
   /** GET /drift_score: A2 on demand over the interactions table. */
   def driftScore(interactions: DataFrame, recentCutoff: org.apache.spark.sql.Column): DataFrame =
     graft.operators.Recommend.drift(interactions,

@@ -239,6 +239,26 @@ object TableSink {
       case _ => Set.empty
     }
 
+  /** Bucket ids the given key tuples hash to under the table's
+    * manifest-pinned KEY bucket function — the point-lookup analog of
+    * [[bucketIdsFor]]. `keyValues` carries one column per key with
+    * types MATCHING the stored key columns (`hash()` is
+    * type-sensitive: hashing "42" never finds rows keyed by int 42).
+    * Only valid on key-hash tables — a layout table's buckets are
+    * addressed by layout value, so this refuses loudly rather than
+    * return wrong buckets. Empty when the table does not exist. */
+  def keyBucketIdsFor(dir: String, keyValues: DataFrame): Set[Int] =
+    currentManifest(dir) match {
+      case Some(m) =>
+        require(m.layoutCol.isEmpty,
+          s"table at '$dir' is layout-bucketed ('${m.layoutCol.get}') — " +
+            "point reads must address by layout value (bucketIdsFor)")
+        keyValues
+          .select(pmod(hash(keyValues.columns.map(col).toSeq: _*), lit(m.buckets)).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+      case None => Set.empty
+    }
+
   /** Read ONLY the listed buckets' files — file-level pruning for
     * value-addressable layouts: the scan never opens (or even lists
     * into) other buckets' parquet. Exact iff the caller's predicate

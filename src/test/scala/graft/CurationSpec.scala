@@ -164,6 +164,27 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       s"count desc then pair asc: $got")
   }
 
+  test("bpeMerges: sequential dependence, asc tie-break, greedy left-to-right application") {
+    import spark.implicits._
+    // Ties: (u,v) and (x,y) both count 2 → (u,v) first (pair asc).
+    val tied = Seq((1L, "xy xy uv uv")).toDF("doc_id", "text")
+    val gotTied = CurationOps.bpeMerges(tied, "text", 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(gotTied == Seq((1, "u", "v", 2L), (2, "x", "y", 2L)),
+      s"count desc then pair asc: $gotTied")
+    // Sequential dependence + greedy overlap: "aaa" has (a,a) twice
+    // (overlapping count), but ONE greedy left-to-right application
+    // yields "aa a" — the second merge must see (aa, a), proving each
+    // iteration re-counts the MERGED dict, not the original.
+    val seqd = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val gotSeq = CurationOps.bpeMerges(seqd, "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // Asked for 3 merges, but after (a,a) then (aa,a) every word is one
+    // symbol — exhaustion must end the loop early with exactly 2 rows.
+    assert(gotSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)),
+      s"greedy application then re-count, early stop on exhaustion: $gotSeq")
+  }
+
   test("unigramCrossEntropy: hand-computed add-1 model scores; empty docs score 0") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")

@@ -273,6 +273,55 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
     assert(shuffled == got, s"shuffled fallback must match the broadcast path: $shuffled vs $got")
   }
 
+  test("persisted band index refresh touches only the new docs' buckets") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    import graft.sources.TableSink
+    val dir = java.nio.file.Files.createTempDirectory("bandidx").toString
+    val corpus = (1L to 40L).map(i =>
+        (i, s"standing document number $i about topic ${i % 7} with enough words to shingle"))
+      .toDF("doc_id", "text")
+    TableSink.upsert(spark,
+      dir, DedupOps.minhashBandIndex(corpus, "doc_id", "text", 3, 4, 4)
+        .withColumn("__v", lit(0L)), Seq("doc_id", "band"), "__v")
+    def manifest(): Map[Int, String] = {
+      val name = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "_CURRENT")).trim
+      scala.jdk.CollectionConverters.ListHasAsScala(java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(dir, "_manifests", name))).asScala
+        .filter(_.contains('\t'))
+        .map { l => val Array(b, p) = l.split('\t'); b.toInt -> p }.toMap
+    }
+    val before = manifest()
+    assert(before.size > 4, "standing index must span several buckets")
+    val fresh = Seq((101L, "a wholly new report on deep sea cables and repair ships"))
+      .toDF("doc_id", "text")
+    DedupOps.refreshBandIndexStored(spark, dir, fresh, "doc_id", "text", 3, 4, 4,
+      version = 1L)
+    val after = manifest()
+    // O(batch) maintenance: only the buckets the 4 new (doc, band) rows
+    // hash to were rewritten; every other standing bucket kept its files.
+    val changed = after.filter { case (b, p) => before.get(b).exists(_ != p) }.keySet ++
+      (after.keySet -- before.keySet)
+    assert(changed.nonEmpty && changed.size <= 4,
+      s"refresh must dirty at most the new rows' buckets: $changed")
+    assert((before.keySet -- changed).forall(b => after(b) == before(b)),
+      "standing buckets keep their existing files")
+    // And the refreshed index actually serves: re-ingesting the same text
+    // is now rejected by the standing check.
+    val like = fresh.withColumn("band", lit(0)).withColumn("bv", lit(""))
+      .withColumn("__v", lit(0L)).limit(0)
+    val idxNow = TableSink.read(spark, dir, like)
+    val verdict = DedupOps.neardupIncremental(
+        Seq((202L, "a wholly new report on deep sea cables and repair ships"))
+          .toDF("doc_id", "text"),
+        corpus.unionByName(fresh), idxNow, "doc_id", "text", 3, 4, 4, threshold = 0.5)
+      .collect()
+    assert(verdict.length == 1 && !verdict(0).getBoolean(4) &&
+      verdict(0).getLong(2) == 101L,
+      s"refreshed index must catch the re-ingest: ${verdict.toSeq}")
+  }
+
   test("admitIncremental: within-batch mutual near-dups collapse to one representative") {
     import spark.implicits._
     import graft.operators.DedupOps

@@ -66,6 +66,51 @@ class ServeSinkSpec extends AnyFunSuite with SparkSpec {
     assert(got.length == 1 && got(0).getString(1) == "sum two")
   }
 
+  test("stored point lookups open one bucket's files, same results (file-count evidence)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("serve").toString
+    // recommendations: 40 users × 2 recs, laid out by user_id
+    val recs = (1 to 40).flatMap(u =>
+        Seq((s"u$u", s"s${u % 7 + 1}", 0.9), (s"u$u", s"s${u % 5 + 1}0", 0.5)))
+      .toDF("user_id", "story_id", "score")
+    Serve.writeRecommendations(spark, s"$dir/recs", recs, version = 1L)
+    // stories: key-hash by story_id (the serving-table shape)
+    val stories = (1 to 40).map(i =>
+        (s"s$i", s"sum $i", ts(f"2024-01-${i % 28 + 1}%02d 00:00:00")))
+      .toDF("story_id", "summary", "last_updated")
+    TableSink.upsert(spark, s"$dir/stories",
+      stories.withColumn("__v", lit(1L)), Seq("story_id"), "__v")
+
+    // storyById: same single row, strictly fewer files opened.
+    val like = spark.range(0).select(lit("").as("story_id"))
+    val allStoryFiles = TableSink.read(spark, s"$dir/stories", like).inputFiles.length
+    val prunedStory = TableSink.readBuckets(spark, s"$dir/stories", like,
+      TableSink.keyBucketIdsFor(s"$dir/stories", Seq("s7").toDF("story_id")))
+    assert(prunedStory.inputFiles.length < allStoryFiles,
+      s"point lookup must not open the table: ${prunedStory.inputFiles.length} of $allStoryFiles")
+    val got = Serve.storyByIdStored(spark, s"$dir/stories", "s7").collect()
+    assert(got.length == 1 && got(0).getString(1) == "sum 7")
+
+    // recommendationsFor: identical rows to the in-memory form; the
+    // personalized read opens only u7's bucket files.
+    val memory = Serve.recommendationsFor(
+        TableSink.read(spark, s"$dir/recs", recs), stories, "u7")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val stored = Serve.recommendationsForStored(spark, s"$dir/recs", stories, "u7")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(stored == memory && stored.nonEmpty,
+      s"stored lookup must serve identical recs: $stored vs $memory")
+    val allRecFiles = TableSink.read(spark, s"$dir/recs", like).inputFiles.length
+    val prunedRecFiles = TableSink.readBuckets(spark, s"$dir/recs", like,
+      TableSink.bucketIdsFor(spark, s"$dir/recs", Seq("u7"))).inputFiles.length
+    assert(prunedRecFiles < allRecFiles,
+      s"user lookup must open one bucket: $prunedRecFiles of $allRecFiles")
+    // Unknown user still falls back to latest stories through the stored path.
+    val cold = Serve.recommendationsForStored(spark, s"$dir/recs", stories, "nobody",
+        fallbackN = 2).collect().map(_.getString(0)).toSeq
+    assert(cold.length == 2, s"cold-start fallback must survive the stored path: $cold")
+  }
+
   test("driftScore serves A2 on demand; registerViews enables SQL reads") {
     import spark.implicits._
     val interactions = Seq(
