@@ -15,6 +15,32 @@ object OracleSql {
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')"""
   private val stops = "('the','a','an','of','and','to','in','is','it','for')"
 
+  /** Unrolled BPE training chain, shared by x_bpe_merges / x_bpe_encode:
+    * d0 = word dict as DOUBLE-space-delimited char sequences (the merge
+    * pattern keeps one delimiter space per side, so adjacent occurrences
+    * never share a consumed character — plain `replace` is exactly the
+    * token-level greedy merge); stage i counts adjacent symbol pairs
+    * (frequency-weighted), argmaxes (count desc, pair asc) into b{i},
+    * and applies the merge into d{i}. `wrd` (the original word) rides
+    * every stage so the final dict doubles as the encode map. */
+  private def bpeCtes(m: Int): String = {
+    def stage(i: Int) =
+      s"""p$i AS (SELECT l, r, sum(f) cnt FROM (
+         |   SELECT syms[j] l, syms[j+1] r, f FROM
+         |     (SELECT list_filter(string_split(trim(w), ' '), x -> x <> '') syms, f
+         |      FROM d${i - 1}) s,
+         |     unnest(generate_series(1, len(s.syms) - 1)) t(j)) GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, CAST(cnt AS BIGINT) cnt FROM p$i
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |d$i AS (SELECT d.wrd, replace(d.w, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') w, d.f
+         |  FROM d${i - 1} d, b$i b)""".stripMargin
+    s"""w0 AS (SELECT doc_id, $words wds FROM documents),
+       |dict AS (SELECT w2 wrd, count(*) f FROM (SELECT unnest(wds) w2 FROM w0) GROUP BY 1),
+       |d0 AS (SELECT wrd, '  ' || array_to_string(string_split_regex(wrd, ''), '  ') || '  ' w, f
+       |  FROM dict),
+       |${(1 to m).map(stage).mkString(",\n")}""".stripMargin
+  }
+
   // Shared Gopher CTE chain over a source relation exposing
   // (doc_id, text, wds): per-doc line/paragraph repetition + char
   // fractions, bullet/ellipsis/symbol/mean-word-length signals (`gst`)
@@ -1083,27 +1109,27 @@ object OracleSql {
     // symbol pairs weighted by word frequency, argmax with count-desc /
     // pair-asc ties, apply the merge via non-overlapping left-to-right
     // replace — the exact greedy semantics of the Spark loop.
-    "x_bpe_merges" -> {
-      val m = 8
-      def stage(i: Int) =
-        s"""p$i AS (SELECT l, r, sum(f) cnt FROM (
-           |   SELECT syms[j] l, syms[j+1] r, f FROM
-           |     (SELECT string_split(trim(w), ' ') syms, f FROM d${i - 1}) s,
-           |     unnest(generate_series(1, len(s.syms) - 1)) t(j)) GROUP BY 1, 2),
-           |b$i AS (SELECT l, r, CAST(cnt AS BIGINT) cnt FROM p$i
-           |  ORDER BY cnt DESC, l, r LIMIT 1),
-           |d$i AS (SELECT replace(d.w, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ') w, d.f
-           |  FROM d${i - 1} d, b$i b)""".stripMargin
-      s"""WITH w0 AS (SELECT $words wds FROM documents),
-         |dict AS (SELECT w2 wrd, count(*) f FROM (SELECT unnest(wds) w2 FROM w0) GROUP BY 1),
-         |d0 AS (SELECT ' ' || array_to_string(string_split_regex(wrd, ''), ' ') || ' ' w, f
-         |  FROM dict),
-         |${(1 to m).map(stage).mkString(",\n")}
-         |${(1 to m).map(i =>
+    "x_bpe_merges" ->
+      s"""WITH ${bpeCtes(8)}
+         |${(1 to 8).map(i =>
              s"SELECT $i merge_rank, l l_sym, r r_sym, cnt FROM b$i")
            .mkString("\nUNION ALL\n")}
-         |ORDER BY merge_rank""".stripMargin
-    },
+         |ORDER BY merge_rank""".stripMargin,
+
+    // BPE encode: per document, word count and token count under the
+    // 8-merge vocabulary — each word contributes the length of its final
+    // segmentation in the trained dict (d8 of the same unrolled chain).
+    "x_bpe_encode" ->
+      s"""WITH ${bpeCtes(8)},
+         |nt AS (SELECT wrd, len(list_filter(string_split(trim(w), ' '), x -> x <> '')) n
+         |  FROM d8),
+         |t AS (SELECT doc_id, unnest(wds) wrd FROM w0)
+         |SELECT d.doc_id, CAST(count(t.wrd) AS BIGINT) n_words,
+         |  CAST(coalesce(sum(nt.n), 0) AS BIGINT) n_bpe_tokens
+         |FROM documents d
+         |LEFT JOIN t ON t.doc_id = d.doc_id
+         |LEFT JOIN nt ON nt.wrd = t.wrd
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // Complete incremental admission: within-batch components over the
     // LSH-candidate verified pairs restricted to batch docs (banding is

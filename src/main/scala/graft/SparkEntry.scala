@@ -514,6 +514,13 @@ object SparkEntry {
       CurationOps.bpeMerges(T(s, d, "documents"), "text", 8)
         .orderBy("merge_rank")
     }),
+    // BPE training step 3: encode the corpus under the learned 8-merge
+    // vocabulary — per-doc word and BPE-token counts via one broadcast
+    // join against the trained dict (no per-merge corpus work).
+    "x_bpe_encode" -> ((s, d) => {
+      CurationOps.bpeEncode(T(s, d, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id")
+    }),
     // CCNet-style LM quality: per-doc cross-entropy (nats/token) under
     // the corpus's own add-1 unigram model; keep = under the operating
     // point (3.41, ~the corpus median — CCNet keeps the low-perplexity
@@ -646,7 +653,11 @@ object SparkEntry {
       val docs = T(s, d, "documents")
       val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
       val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      // The standing index feeds BOTH the probe and the refreshed output;
+      // checkpoint it so the corpus minhash scan runs once (in production
+      // the standing index is a persisted table, read not recomputed).
       val idx = DedupOps.minhashBandIndex(corpus, "doc_id", "text", 3, 4, 4)
+        .localCheckpoint(false)
       val admitted = batch.join(
         DedupOps.neardupIncremental(batch, corpus, idx, "doc_id", "text",
           shingleN = 3, k = 4, bands = 4, threshold = 0.05)

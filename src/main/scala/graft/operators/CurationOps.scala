@@ -366,16 +366,61 @@ object CurationOps {
    * so lineage stays one step deep across any number of merges.
    */
   def bpeMerges(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
-    require(merges >= 1 && merges <= 10000, s"merges out of range: $merges")
     val spark = docs.sparkSession
-    import spark.implicits._
+    val (out, _) = bpeTrain(docs, textCol, merges, keepDict = false)
+    spark.createDataFrame(out).toDF("merge_rank", "l_sym", "r_sym", "cnt")
+  }
+
+  /**
+   * Tokenizer step 3 — ENCODE the corpus under the vocabulary the merge
+   * loop learned: per document, the word count and the BPE token count
+   * (each word contributes the length of its final symbol segmentation).
+   * The segmentation lives in the word dict, so encoding is one
+   * broadcast join of the corpus's (doc, word) pairs against the
+   * vocab-sized dict — the corpus text is scanned once for the dict and
+   * once for the encode; no per-merge corpus work ever happens.
+   * The compression ratio n_bpe_tokens / n_chars is THE tokenizer
+   * training feedback metric at 100 TB.
+   */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String, merges: Int): DataFrame = {
+    val (_, dict) = bpeTrain(docs, textCol, merges, keepDict = true)
+    val perWord = dict.select(col("w0"),
+      size(filter(split(trim(col("w")), " "), s => s =!= "")).as("nt"))
+    docs.select(col(idCol).as("doc_id"), explode_outer(toks(col(textCol))).as("w0"))
+      .join(broadcast(perWord), Seq("w0"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("w0")).as("n_words"),
+        coalesce(sum("nt"), lit(0)).cast("long").as("n_bpe_tokens"))
+  }
+
+  /** Shared BPE trainer (see [[bpeMerges]] for the algorithm and scale
+    * notes): returns the ordered merge table and — when `keepDict` — the
+    * final (w0, w, f) dict, lineage-truncated via localCheckpoint so
+    * consumers don't replay the merge chain per use. */
+  private def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
+                       keepDict: Boolean): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(merges >= 1 && merges <= 10000, s"merges out of range: $merges")
+    // coalesce(1): the dict is vocab-sized, so every iteration's two jobs
+    // should be single-task — 32-way task scheduling would dominate the
+    // loop's wall time at any corpus scale (the dict does not grow with
+    // the corpus). A genuinely huge vocab can drop the coalesce; the
+    // semantics don't depend on it.
+    // Words ride as DOUBLE-space-delimited symbol strings: the merge
+    // pattern " l  r " keeps one delimiter space on each side, so
+    // token-adjacent occurrences never share a consumed character and a
+    // single non-overlapping left-to-right `replace` is EXACTLY the
+    // token-level greedy merge of Sennrich's learn_bpe (single-space
+    // delimiters would silently skip every second merge in runs like
+    // [b,a,n,a,n,a] → checked in CurationSpec).
     var dict = docs.select(explode(toks(col(textCol))).as("w0"))
       .groupBy("w0").agg(count(lit(1)).as("f"))
-      .select(concat(lit(" "),
-        array_join(filter(split(col("w0"), ""), s => s =!= ""), " "),
-        lit(" ")).as("w"), col("f"))
+      .select(col("w0"), concat(lit("  "),
+        array_join(filter(split(col("w0"), ""), s => s =!= ""), "  "),
+        lit("  ")).as("w"), col("f"))
+      .coalesce(1)
       .persist()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var prev: DataFrame = null
     var rank = 1
     var exhausted = false
     while (rank <= merges && !exhausted) {
@@ -389,21 +434,25 @@ object CurationOps {
         .agg(sum("f").as("cnt"))
         .orderBy(desc("cnt"), col("l"), col("r"))
         .limit(1).collect()
+      // The argmax job also materialized `dict`'s cache, so the PREVIOUS
+      // generation can be released now without a dedicated count() job.
+      if (prev != null) { prev.unpersist(); prev = null }
       if (best.isEmpty) exhausted = true // every word is a single symbol
       else {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((rank, l, r, cnt))
         val next = dict
-          .withColumn("w", replace(col("w"), lit(s" $l $r "), lit(s" $l$r ")))
+          .withColumn("w", replace(col("w"), lit(s" $l  $r "), lit(s" $l$r ")))
           .persist()
-        next.count() // materialize before releasing the parent
-        dict.unpersist()
+        prev = dict
         dict = next
         rank += 1
       }
     }
+    if (prev != null) prev.unpersist()
+    val kept = if (keepDict) dict.localCheckpoint(true) else null
     dict.unpersist()
-    spark.createDataFrame(out.toSeq).toDF("merge_rank", "l_sym", "r_sym", "cnt")
+    (out.toSeq, kept)
   }
 
   /**

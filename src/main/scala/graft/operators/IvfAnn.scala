@@ -132,6 +132,32 @@ object IvfAnn {
         .withColumn("__v", lit(0L)),
       Seq(idCol), "__v", numBuckets, layoutCol = Some("__cell_s"))
 
+  /**
+   * Incremental ADD to a persisted index: assign the new vectors to the
+   * EXISTING cells (centroids stay fixed — the standard IVF add path;
+   * re-training centroids is a separate bulk rebuild), quantize, and
+   * upsert. Only the buckets of the cells the new vectors land in are
+   * rewritten — index maintenance costs O(batch), not O(index), the same
+   * copy-on-write contract as [[graft.operators.DedupOps.refreshBandIndexStored]].
+   * Idempotent per `version`. Fixed centroids drift from the corpus
+   * distribution as adds accumulate (recall erodes, never correctness of
+   * what IS probed) — the cue for a scheduled [[buildCells]] +
+   * [[writeIndex]] rebuild, exactly like the basis re-grid in
+   * [[graft.streaming.StreamingJob]].
+   */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    newVectors: DataFrame, cells: DataFrame,
+                    idCol: String, vecCol: String, version: Long): Unit = {
+    require(graft.sources.TableSink.layoutColOf(dir).isDefined,
+      s"no value-addressable index at '$dir' — write one with writeIndex first")
+    val assigned = quantizeCells(
+      assignCells(newVectors, idCol, vecCol, cells), idCol, vecCol)
+    graft.sources.TableSink.upsert(spark, dir,
+      assigned.withColumn("__cell_s", col("cell").cast("string"))
+        .withColumn("__v", lit(version)),
+      Seq(idCol), "__v")
+  }
+
   /** The nprobe-nearest cell ids across all queries — driver-side and
     * bounded (≤ |queries| × nprobe ids; queries are the small side of
     * this serving path by construction). Exposed so callers can turn

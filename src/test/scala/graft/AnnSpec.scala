@@ -139,5 +139,34 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
         k = 5, nprobe = 3)
     }
     assert(noLayout.getMessage.contains("no layout column"))
+
+    // Incremental add: new vectors join their existing cells' buckets —
+    // O(batch) maintenance, and the probe finds them immediately.
+    def manifest(): Map[Int, String] = {
+      val name = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "_CURRENT")).trim
+      scala.jdk.CollectionConverters.ListHasAsScala(java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(dir, "_manifests", name))).asScala
+        .filter(_.contains('\t'))
+        .map { l => val Array(b, p) = l.split('\t'); b.toInt -> p }.toMap
+    }
+    val before = manifest()
+    // duplicate vector 3 under a fresh id: lands in 3's cell, and a probe
+    // from vector 3 must now see it at similarity ~1.
+    val fresh = e.filter(col("vec_id") === 3)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    IvfAnn.appendToIndex(spark, dir, fresh, cells, "vec_id", "embedding", version = 1L)
+    val after = manifest()
+    val changed = after.filter { case (b, p) => before.get(b).exists(_ != p) }.keySet ++
+      (after.keySet -- before.keySet)
+    assert(changed.nonEmpty && changed.size <= 1,
+      s"one new vector must dirty exactly its cell's bucket: $changed")
+    assert((before.keySet -- changed).forall(b => after(b) == before(b)),
+      "all other index buckets keep their files")
+    val found = IvfAnn.annSearchQuantizedStored(dir,
+        e.filter(col("vec_id") === 3), cells, "vec_id", "embedding", k = 3, nprobe = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(found.contains(9999L) && found(9999L) > 0.99,
+      s"appended vector must be servable immediately: $found")
   }
 }

@@ -185,6 +185,23 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       s"greedy application then re-count, early stop on exhaustion: $gotSeq")
   }
 
+  test("bpeEncode: per-doc token counts shrink under the learned merges") {
+    import spark.implicits._
+    // 2 merges on "banana"-heavy text: (an) then (ban? or na?) — counts:
+    //   after merge1 (a,n): banana → b an an a (4 syms), bana → b an a (3)
+    //   pairs: (b,an):3, (an,an):2, (an,a):3 → merge2 = (an,a)? ties:
+    //   (an,a):1+2=3 [banana:1 via "an a"? banana= b an an a → (b,an),(an,an),(an,a); bana= b an a → (b,an),(an,a)]
+    //   → (an,a): 2·1+1=3, (b,an): 2+1=3 → tie → (an,a) < (b,an)? 'an'<'b' asc → (an,a).
+    val docs = Seq((1L, "banana banana bana"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = CurationOps.bpeEncode(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: 3 words; banana → b an an a → merge2(an,a): " b an an a " has
+    // " an a " at the SECOND an → b an ana (3 syms); bana → b ana (2)
+    assert(got(1L) == ((3L, 3L + 3L + 2L)), s"doc1 segmentation: $got")
+    assert(got(2L) == ((0L, 0L)), "empty doc encodes to zero")
+    assert(got(3L) == ((1L, 1L)), "single-char word is one token")
+  }
+
   test("unigramCrossEntropy: hand-computed add-1 model scores; empty docs score 0") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")
