@@ -185,6 +185,48 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       s"greedy application then re-count, early stop on exhaustion: $gotSeq")
   }
 
+  test("bpeMerges == independent token-level reference on seeded random corpora") {
+    import spark.implicits._
+    // Reference implementation in plain Scala lists: Sennrich's learn_bpe
+    // on token sequences — pair counts with overlap, argmax (count desc,
+    // pair asc), token-greedy left-to-right application.
+    def reference(texts: Seq[String], merges: Int): Seq[(Int, String, String, Long)] = {
+      var dict: Map[List[String], Long] = texts
+        .flatMap(_.toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, ws) =>
+          w.split("").filter(_.nonEmpty).toList -> ws.size.toLong }
+      def mergeWord(w: List[String], l: String, r: String): List[String] = w match {
+        case a :: b :: rest if a == l && b == r => (a + b) :: mergeWord(rest, l, r)
+        case a :: rest => a :: mergeWord(rest, l, r)
+        case Nil => Nil
+      }
+      (1 to merges).iterator.map { rank =>
+        val counts = dict.toSeq.flatMap { case (w, f) =>
+          w.zip(w.drop(1)).map(p => p -> f) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (counts.isEmpty) None
+        else {
+          val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          dict = dict.toSeq.map { case (w, f) => mergeWord(w, l, r) -> f }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          Some((rank, l, r, cnt))
+        }
+      }.takeWhile(_.isDefined).flatten.toSeq
+    }
+    val rng = new scala.util.Random(77)
+    for (trial <- 1 to 5) {
+      val texts = Seq.fill(2 + rng.nextInt(4))(
+        Seq.fill(1 + rng.nextInt(6))(
+          Seq.fill(1 + rng.nextInt(5))("abc".charAt(rng.nextInt(3))).mkString
+        ).mkString(" "))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = CurationOps.bpeMerges(docs, "text", 4)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val want = reference(texts, 4)
+      assert(got == want, s"trial $trial: corpus=$texts\n  engine=$got\n  reference=$want")
+    }
+  }
+
   test("bpeEncode: per-doc token counts shrink under the learned merges") {
     import spark.implicits._
     // 2 merges on "banana"-heavy text: (an) then (ban? or na?) — counts:

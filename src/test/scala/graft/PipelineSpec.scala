@@ -110,6 +110,51 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "fallback serves the globally popular stories")
   }
 
+  test("recommendAll → persisted recs table → stored serving lookup, end to end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("servee2e").toString
+    val interactions = Seq(
+      ("w1", "s1", "like", ts("2024-01-15 10:00:00")),
+      ("w1", "s2", "click", ts("2024-01-15 10:00:00")),
+      ("w2", "s2", "like", ts("2024-01-15 10:00:00")),
+      ("w2", "s1", "share", ts("2024-01-15 10:00:00")))
+      .toDF("user_id", "story_id", "event_type", "event_time")
+    val stories = Seq(
+      ("s1", Seq(1.0, 0.0), ts("2024-01-20 00:00:00")),
+      ("s2", Seq(0.9, 0.1), ts("2024-01-20 00:00:00")),
+      ("s3", Seq(0.0, 1.0), ts("2024-01-20 00:00:00")))
+      .toDF("story_id", "centroid", "last_updated")
+    val allUsers = Seq("w1", "w2", "cold1").toDF("user_id")
+    val recs = graft.pipelines.NewsPipeline.recommendAll(
+      interactions, stories, allUsers, lit("2024-01-21 00:00:00").cast("timestamp"),
+      topN = 2, candK = 5)
+    // §3.2 batch output lands in the canonical user-laid-out table; the
+    // §3.3 read path serves from it bucket-pruned — the complete
+    // train→store→serve loop of the reference, storage included.
+    graft.serve.Serve.writeRecommendations(spark, dir,
+      recs.select("user_id", "story_id", "score"), version = 1L)
+    val serveStories = stories.select(col("story_id"),
+      lit("sum").as("summary"), col("last_updated"))
+    def served(u: String) = graft.serve.Serve
+      .recommendationsForStored(spark, dir, serveStories, u)
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toSeq
+    val inMemory = recs.collect().groupBy(_.getString(0))
+    // warm user: the stored path serves exactly the pipeline's rows for
+    // that user, score-ordered
+    val w1 = served("w1")
+    assert(w1.map(_._1).toSet ==
+      inMemory("w1").map(_.getString(1)).toSet && w1.nonEmpty,
+      s"stored serving must return the pipeline's recs: $w1")
+    assert(w1 == w1.sortBy { case (id, s) => (-s.get, id) }, s"score-ordered: $w1")
+    // a re-run of the batch (same version) converges, not duplicates
+    graft.serve.Serve.writeRecommendations(spark, dir,
+      recs.select("user_id", "story_id", "score"), version = 1L)
+    assert(served("w1") == w1, "idempotent batch re-publish (ST2)")
+    // unknown user falls back to latest stories
+    assert(served("nobody").map(_._1).nonEmpty)
+  }
+
   test("popularityFallback: every cold user gets the same global top-N") {
     import spark.implicits._
     val interactions = Seq(
