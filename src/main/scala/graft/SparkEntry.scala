@@ -185,7 +185,12 @@ object SparkEntry {
         .orderBy("user_id")
     }),
     "j6_jaccard_sets" -> ((s, d) => {
-      val m = T(s, d, "lineitem").select(col("l_orderkey").as("g"), col("l_partkey").as("m")).distinct()
+      // The deduped membership relation feeds three subplans (a-side,
+      // b-side, per-group sizes); checkpoint it so the lineitem scan +
+      // distinct run once — the deployment shape, where membership is a
+      // maintained bucketed table, not a per-query derivation.
+      val m = T(s, d, "lineitem").select(col("l_orderkey").as("g"), col("l_partkey").as("m"))
+        .distinct().localCheckpoint(false)
       SimilarityOps.jaccardJoin(
           m.select(col("g").as("id_a"), col("m")),
           m.select(col("g").as("id_b"), col("m")),

@@ -183,4 +183,44 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     assert(addressable("g2-D", "k1") && addressable("g2-B", "k2") && addressable("g2-C", "k3"),
       "every row addressable under its new cell after the re-grid")
   }
+
+  test("randomized re-home stress: table state tracks the model across arbitrary migrations") {
+    import spark.implicits._
+    import graft.sources.TableSink
+    val dir = Files.createTempDirectory("rehome").toString
+    val rng = new scala.util.Random(42)
+    val cells = (0 until 6).map(i => s"c$i")
+    // model: key -> (cell, version)
+    var model = (0 until 12).map(i => s"k$i" -> (cells(rng.nextInt(6)), 0L)).toMap
+    TableSink.upsert(spark, dir,
+      model.toSeq.map { case (k, (c, v)) => (k, c, v) }.toDF("id", "cell", "__v"),
+      Seq("id"), "__v", numBuckets = 8, layoutCol = Some("cell"))
+    for (step <- 1 to 10) {
+      // each batch: a few keys get new versions, some migrating cells
+      val touched = rng.shuffle(model.keys.toSeq).take(1 + rng.nextInt(5))
+      val batch = touched.map { k =>
+        val (oldCell, _) = model(k)
+        val newCell = cells(rng.nextInt(6))
+        model += k -> (newCell, step.toLong)
+        (k, newCell, step.toLong, if (newCell != oldCell) oldCell else null)
+      }
+      TableSink.upsert(spark, dir,
+        batch.toDF("id", "cell", "__v", "__old"),
+        Seq("id"), "__v", rehomeFromCol = Some("__old"))
+      // full-state equality with the model...
+      val like = Seq(("", "", 0L)).toDF("id", "cell", "__v").limit(0)
+      val got = TableSink.read(spark, dir, like)
+        .select("id", "cell", "__v").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(got == model, s"step $step: table diverged from model")
+      // ...and every key is value-addressable under exactly its model cell
+      val byCell = model.groupBy(_._2._1).view.mapValues(_.keySet).toMap
+      byCell.foreach { case (c, keys) =>
+        val inBucket = TableSink.readBuckets(spark, dir, like,
+            TableSink.bucketIdsFor(spark, dir, Seq(c)))
+          .filter(col("cell") === c).select("id").collect().map(_.getString(0)).toSet
+        assert(inBucket == keys, s"step $step cell $c: $inBucket != $keys")
+      }
+    }
+  }
 }
