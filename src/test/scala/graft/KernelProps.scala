@@ -176,6 +176,23 @@ object KernelProps extends Properties("kernels") {
       }
     }
 
+  // Truncation lemma of the coarse layout key (StreamingJob layoutDims):
+  // the cell key over a basis PREFIX is exactly the coordinate prefix of
+  // the full-basis key, so per-coordinate containment arguments (and the
+  // radius-2 superset above) survive truncating the layout key to its
+  // leading directions while the row filter keeps the full basis.
+  property("cell key over a basis prefix == coordinate prefix of the full key") =
+    forAll(batchGen, Gen.choose(0.05, 0.95), Gen.choose(1, 3)) { (batch, t, k) =>
+      val basis = Seq(
+        Array(0.6, 0.0, 0.8, 0.0), Array(0.0, 1.0, 0.0, 0.0),
+        Array(0.5, 0.5, 0.5, 0.5), Array(0.0, 0.0, 0.0, 1.0))
+      batch.forall { a =>
+        val full = OnlineClustering.homeCell(a.vec, t, 2, basis)
+        val pre = OnlineClustering.homeCell(a.vec, t, 2, basis.take(k))
+        pre == full.take(k)
+      }
+    }
+
   property("cdcBoundaries: appending a suffix never changes interior boundaries") =
     forAll(textGen, textGen, Gen.choose(2, 10)) { (s, suffix, w) =>
       val before = cdc(s, w, 15L)
