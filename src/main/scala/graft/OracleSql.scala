@@ -32,8 +32,10 @@ object OracleSql {
          |     unnest(generate_series(1, len(s.syms) - 1)) t(j)) GROUP BY 1, 2),
          |b$i AS (SELECT l, r, CAST(cnt AS BIGINT) cnt FROM p$i
          |  ORDER BY cnt DESC, l, r LIMIT 1),
-         |d$i AS (SELECT d.wrd, replace(d.w, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') w, d.f
-         |  FROM d${i - 1} d, b$i b)""".stripMargin
+         |d$i AS (SELECT d.wrd,
+         |  CASE WHEN b.l IS NULL THEN d.w
+         |       ELSE replace(d.w, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') END w, d.f
+         |  FROM d${i - 1} d LEFT JOIN b$i b ON TRUE)""".stripMargin
     s"""w0 AS (SELECT doc_id, $words wds FROM documents),
        |dict AS (SELECT w2 wrd, count(*) f FROM (SELECT unnest(wds) w2 FROM w0) GROUP BY 1),
        |d0 AS (SELECT wrd, '  ' || array_to_string(string_split_regex(wrd, ''), '  ') || '  ' w, f

@@ -136,26 +136,50 @@ object IvfAnn {
    * Incremental ADD to a persisted index: assign the new vectors to the
    * EXISTING cells (centroids stay fixed — the standard IVF add path;
    * re-training centroids is a separate bulk rebuild), quantize, and
-   * upsert. Only the buckets of the cells the new vectors land in are
-   * rewritten — index maintenance costs O(batch), not O(index), the same
+   * upsert. Only the buckets of the cells the new vectors land in (plus,
+   * for UPDATED ids, the cells their old rows sat in) are rewritten —
+   * index maintenance costs O(batch), not O(index), the same
    * copy-on-write contract as [[graft.operators.DedupOps.refreshBandIndexStored]].
-   * Idempotent per `version`. Fixed centroids drift from the corpus
-   * distribution as adds accumulate (recall erodes, never correctness of
-   * what IS probed) — the cue for a scheduled [[buildCells]] +
-   * [[writeIndex]] rebuild, exactly like the basis re-grid in
-   * [[graft.streaming.StreamingJob]].
+   * Idempotent per `version`.
+   *
+   * Re-ADDING an id whose vector now lands in a DIFFERENT cell is a
+   * layout migration: the old copy must be rewritten away or a probe of
+   * the old cell would serve a stale vector. The default pays one
+   * column-pruned (id, cell) scan of the index to find such ids and
+   * re-homes them atomically in the same commit (`rehomeFromCol`);
+   * callers that KNOW every id is new skip the scan with
+   * `assumeNewIds = true` — the flag is a promise, not a check.
+   *
+   * Fixed centroids drift from the corpus distribution as adds
+   * accumulate (recall erodes, never correctness of what IS probed) —
+   * the cue for a scheduled [[buildCells]] + [[writeIndex]] rebuild,
+   * exactly like the basis re-grid in [[graft.streaming.StreamingJob]].
    */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     newVectors: DataFrame, cells: DataFrame,
-                    idCol: String, vecCol: String, version: Long): Unit = {
+                    idCol: String, vecCol: String, version: Long,
+                    assumeNewIds: Boolean = false): Unit = {
     require(graft.sources.TableSink.layoutColOf(dir).isDefined,
       s"no value-addressable index at '$dir' — write one with writeIndex first")
     val assigned = quantizeCells(
       assignCells(newVectors, idCol, vecCol, cells), idCol, vecCol)
+      .withColumn("__cell_s", col("cell").cast("string"))
+    val batch =
+      if (assumeNewIds) assigned.withColumn("__old_cell", lit(null).cast("string"))
+      else {
+        val like = spark.range(0).select(lit(0L).as(idCol), lit("").as("__cell_s"))
+        val old = graft.sources.TableSink.read(spark, dir, like)
+          .select(col(idCol), col("__cell_s").as("__prev"))
+        assigned.join(broadcast(old
+            .join(assigned.select(col(idCol)), Seq(idCol), "left_semi")), Seq(idCol), "left")
+          .withColumn("__old_cell",
+            when(col("__prev").isNotNull && col("__prev") =!= col("__cell_s"),
+              col("__prev")))
+          .drop("__prev")
+      }
     graft.sources.TableSink.upsert(spark, dir,
-      assigned.withColumn("__cell_s", col("cell").cast("string"))
-        .withColumn("__v", lit(version)),
-      Seq(idCol), "__v")
+      batch.withColumn("__v", lit(version)),
+      Seq(idCol), "__v", rehomeFromCol = Some("__old_cell"))
   }
 
   /** The nprobe-nearest cell ids across all queries — driver-side and

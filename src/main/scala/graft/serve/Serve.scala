@@ -77,6 +77,11 @@ object Serve {
   def storyByIdStored(spark: SparkSession, storiesDir: String, storyId: String): DataFrame = {
     import spark.implicits._
     import graft.sources.TableSink
+    // A missing table must fail loudly: an empty bucket set would make
+    // "wrong path" indistinguishable from "story does not exist".
+    require(TableSink.tableExists(storiesDir),
+      s"no stories table at '$storiesDir' — nothing is served from a " +
+        "path that was never written")
     val like = spark.range(0).select(lit("").as("story_id"),
       lit("").as("summary"), lit(null).cast("timestamp").as("last_updated"))
     val pruned =
@@ -96,6 +101,11 @@ object Serve {
                                stories: DataFrame, userId: String,
                                fallbackN: Int = 10): DataFrame = {
     import graft.sources.TableSink
+    // A wrong recs path would silently serve every warm user the
+    // cold-start fallback — refuse instead.
+    require(TableSink.tableExists(recsDir),
+      s"no recommendations table at '$recsDir' — write it with " +
+        "writeRecommendations before serving")
     val like = spark.range(0).select(lit("").as("user_id"),
       lit("").as("story_id"), lit(0.0).as("score"))
     val recs = TableSink.layoutColOf(recsDir) match {

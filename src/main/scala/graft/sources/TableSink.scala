@@ -120,8 +120,8 @@ object TableSink {
     * desync from the table bytes (e.g. the projection basis a
     * value-addressable layout's cells were computed under: a sibling
     * file could flip before or after the table commit; the manifest
-    * cannot). Carried forward unchanged by [[upsert]]/[[delete]];
-    * replaced by [[overwrite]]. */
+    * cannot). Carried forward unchanged by [[upsert]]/[[delete]] unless
+    * the upsert passes an explicit `meta`; replaced by [[overwrite]]. */
   def metaOf(dir: String): Option[String] = currentManifest(dir).flatMap(_.meta)
 
   /** The manifest-pinned bucket count (None when the table is absent) —
@@ -177,10 +177,11 @@ object TableSink {
              keys: Seq[String], versionCol: String,
              numBuckets: Int = DefaultBuckets,
              layoutCol: Option[String] = None,
-             rehomeFromCol: Option[String] = None): Unit = {
+             rehomeFromCol: Option[String] = None,
+             meta: Option[String] = None): Unit = {
     val payload = batch.drop(rehomeFromCol.toSeq: _*)
     commit(spark, dir, keys, numBuckets, layoutCol, batch, Some(payload.schema),
-      rehomeFromCol) {
+      rehomeFromCol, newMeta = meta.map(m => Some(m))) {
       existingDirty =>
         payload.withColumn("__src", lit(1))
           .unionByName(existingDirty.withColumn("__src", lit(0)))

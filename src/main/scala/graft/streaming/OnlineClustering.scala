@@ -266,10 +266,13 @@ object OnlineClustering {
     // with null/empty centroids are excluded BOTH from the probe and
     // from the PCA fit — consistent with cellKeyExpr, which grids null
     // centroids on the all-zero key rather than crashing.
+    // ≥ 2 rows required: MLlib's covariance (and any meaningful variance
+    // direction) needs more than one observation — a 1-story corpus runs
+    // the raw grid until it grows, it must not kill the stream.
     val head = stories
       .select(coalesce(size(col(vecCol)), lit(0)).as("d"))
-      .filter(col("d") > 0).limit(1).collect()
-    if (head.isEmpty) return Nil
+      .filter(col("d") > 0).limit(2).collect()
+    if (head.length < 2) return Nil
     val nv = stories
       .filter(coalesce(size(col(vecCol)), lit(0)) > 0)
       .select(array_to_vector(
@@ -306,9 +309,14 @@ object OnlineClustering {
   def processBatchPruned(batch: DataFrame, stories: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, batchEpoch: Long,
                          gridDims: Int = 2,
-                         basis: Seq[Array[Double]] = Nil): PrunedBatch =
+                         basis: Seq[Array[Double]] = Nil): PrunedBatch = {
+    // Validate BEFORE the driver collect: a misconfigured call must fail
+    // immediately, not after a full batch materialization.
+    require(threshold > 0.0, s"pruned ST4 needs threshold > 0, got $threshold")
+    requireUnitBounded(basis)
     prunedFold(collectBatch(batch, idCol, vecCol), stories, threshold,
       batchEpoch, gridDims, basis)
+  }
 
   /** Driver-side collect of a micro-batch's (id, vector) pairs — bounded
     * by the trigger interval (the same working set the reference's

@@ -105,6 +105,45 @@ object StreamingJob {
     * stories table's own metadata (TableSink GC never touches it). */
   def basisPath(storiesDir: String): String = s"$storiesDir/_basis"
 
+  // ── Layout meta: the CELL FUNCTION pinned with the layout ──────────────
+  //
+  // Under cellLayout the manifest meta line carries everything the cell
+  // values were computed under — threshold, gridDims, layoutDims AND the
+  // basis — because bucket addressing silently breaks if ANY of them
+  // drifts from what the stored cells used (a changed threshold changes
+  // the cell width; changed dims change the key arity). The job REFUSES
+  // a parameter mismatch loudly (like the checkpoint-mismatch guard)
+  // instead of probing wrong buckets; a basis refresh re-grids and
+  // republishes, which is the one sanctioned way to change the function.
+
+  private[graft] def encodeLayoutMeta(threshold: Double, gridDims: Int,
+                                      layoutDims: Int,
+                                      basis: Seq[Array[Double]]): String =
+    s"st4:v1;t=$threshold;g=$gridDims;k=$layoutDims;b=${BasisStore.encode(basis)}"
+
+  /** Strict inverse of [[encodeLayoutMeta]] — throws on anything that is
+    * not a well-formed ST4 layout meta: under cellLayout the meta IS a
+    * correctness dependency (it defines bucket addressing), so a garbled
+    * or foreign meta must fail loudly, never degrade to the raw grid. */
+  private[graft] def decodeLayoutMeta(meta: String): (Double, Int, Int, Seq[Array[Double]]) = {
+    val Pat = """st4:v1;t=([^;]+);g=(\d+);k=(\d+);b=(.*)""".r
+    meta match {
+      case Pat(t, g, k, b) =>
+        try (t.toDouble, g.toInt, k.toInt,
+          if (b.isEmpty) Nil
+          else b.split(';').toSeq.filter(_.nonEmpty)
+            .map(_.split(',').map(_.toDouble).toArray))
+        catch { case e: NumberFormatException =>
+          throw new IllegalStateException(
+            s"stories table layout meta is corrupt ('$meta'): $e — refusing " +
+              "to address buckets under an unknown cell function", e) }
+      case _ => throw new IllegalStateException(
+        s"stories table meta is not an ST4 layout meta ('$meta') — the " +
+          "table was not written by this job; value-addressed reads would " +
+          "probe wrong buckets, so refusing to run against it")
+    }
+  }
+
   def start(articles: DataFrame, articlesDir: String, storiesDir: String,
             checkpoint: String, simThreshold: Double = 0.8,
             trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
@@ -198,18 +237,39 @@ object StreamingJob {
       .withColumn("content", concat_ws(" ", col("title"), col("txt")))
       .withColumn("embedding", NewsPipeline.hashEmbedding(col("content")))
       .withColumn("entities", graft.functions.text.entities(col("content")))
-    // Under cellLayout the AUTHORITATIVE basis is the stories manifest's
-    // meta line — published atomically with the cell values it defines;
-    // the `_basis` sibling file is kept as observability/legacy only.
-    val basis =
-      if (cellLayout) TableSink.metaOf(storiesDir).map(BasisStore.decode).getOrElse(Nil)
-      else BasisStore.load(basisPath(storiesDir))
     // `layouted` = the stories table is (or is about to be created)
     // value-addressable. A pre-existing key-hash table keeps its pinned
     // layout: the job stays correct via the full scan-and-drop read and
     // never passes a rehome column the sink would reject.
     val layouted = cellLayout &&
       (TableSink.layoutColOf(storiesDir).isDefined || !TableSink.tableExists(storiesDir))
+    // The AUTHORITATIVE basis: on a value-addressable table, the manifest
+    // meta — published atomically with the cell values it defines, and
+    // carrying the full cell function so a parameter drift fails loudly
+    // instead of probing wrong buckets. Everywhere else (cellLayout off,
+    // or a legacy key-hash table running scan-and-drop) the `_basis`
+    // sibling file stays the source, so those deployments keep their
+    // pruning power rather than silently regressing to the raw grid.
+    val basis =
+      if (layouted && TableSink.layoutColOf(storiesDir).isDefined)
+        TableSink.metaOf(storiesDir) match {
+          case Some(meta) =>
+            val (t0, g0, k0, b) = decodeLayoutMeta(meta)
+            if (t0 != simThreshold || g0 != gridDims || k0 != layoutDims)
+              throw new IllegalStateException(
+                s"layout mismatch: stories table cells were written under " +
+                  s"(threshold=$t0, gridDims=$g0, layoutDims=$k0) but this job " +
+                  s"runs (threshold=$simThreshold, gridDims=$gridDims, " +
+                  s"layoutDims=$layoutDims) — value-addressed reads would " +
+                  "probe wrong buckets. Resume with the original parameters, " +
+                  "or re-grid the table before changing them.")
+            b
+          // Layout exists but no meta yet: cells so far were written under
+          // the raw grid (the only basis batches can have seen pre-refresh)
+          // — consistent; the first refresh publishes the meta.
+          case None => Nil
+        }
+      else BasisStore.load(basisPath(storiesDir))
     val (pruned, storyDelta) =
       if (!cellLayout) {
         val p = OnlineClustering.processBatchPruned(
@@ -251,12 +311,20 @@ object StreamingJob {
           .select(col("story_id"), col("cell").as("__sticky"))
         val cur = OnlineClustering.cellKey(
           col("centroid"), simThreshold, gridDims, layoutBasis)
-        // Per-coordinate adjacency of two cell keys; a null element (dim
-        // change — cannot happen between re-grids, but stay safe) makes
-        // the predicate null → falls through to re-home.
-        val adjacent = array_max(zip_with(
-          split(col("__sticky"), ","), split(col("__cur"), ","),
-          (a, b) => abs(a.cast("int") - b.cast("int")))) <= 1
+        // Per-coordinate adjacency of two cell keys. The arity check is
+        // load-bearing, not belt-and-braces: zip_with pads the shorter
+        // side with nulls and array_max SKIPS null elements, so without
+        // it a dimension mismatch would compare only the overlapping
+        // coordinates and could wrongly KEEP a sticky cell no candidate
+        // enumeration can ever generate (an unreachable story). Arity
+        // can only drift through a bug — the meta guard pins the cell
+        // function — but the failure mode is silent data loss, so the
+        // predicate refuses to rely on that.
+        val adjacent =
+          size(split(col("__sticky"), ",")) === size(split(col("__cur"), ",")) &&
+          array_max(zip_with(
+            split(col("__sticky"), ","), split(col("__cur"), ","),
+            (a, b) => abs(a.cast("int") - b.cast("int")))) <= 1
         val delta = p.storyDelta
           .join(broadcast(stickyDf), Seq("story_id"), "left")
           .withColumn("__cur", cur)
@@ -277,13 +345,21 @@ object StreamingJob {
     TableSink.upsert(spark, articlesDir,
       articlesOut.withColumn("__v", lit(epoch)), Seq("link"), "__v")
     if (layouted)
+      // The meta re-asserts the cell function on EVERY commit (the same
+      // bytes between refreshes — basis round-trips through the decode
+      // above), so it is pinned atomically from the table's FIRST write:
+      // no window exists where cells sit on disk without the parameters
+      // that define them.
       TableSink.upsert(spark, storiesDir,
         storyDelta.withColumn("__v", lit(epoch)), Seq("story_id"), "__v",
         numBuckets = storyBuckets,
-        layoutCol = Some("cell"), rehomeFromCol = Some("__old_cell"))
+        layoutCol = Some("cell"), rehomeFromCol = Some("__old_cell"),
+        meta = Some(encodeLayoutMeta(simThreshold, gridDims, layoutDims, basis)))
     else
+      // Scan-and-drop path (cellLayout off, or a legacy key-hash table):
+      // no layout columns may leak into the stored schema.
       TableSink.upsert(spark, storiesDir,
-        storyDelta.drop("__old_cell").withColumn("__v", lit(epoch)),
+        storyDelta.drop("__old_cell", "cell").withColumn("__v", lit(epoch)),
         Seq("story_id"), "__v", numBuckets = storyBuckets)
     // Self-provisioning refresh AFTER the merge, so the fit sees this
     // epoch's stories and the NEXT batch prunes with it: one MLlib job
@@ -303,23 +379,26 @@ object StreamingJob {
     val stale = staleGuard.exists(_.update(pruned.nCandidates, nStories, pruned.nBatch))
     var published = false
     if (scheduled || stale) {
-      val refreshed = OnlineClustering.storyBasis(
-        TableSink.read(spark, storiesDir, storySchema), "centroid", basisK)
-      if (refreshed.nonEmpty) {
-        if (layouted && TableSink.layoutColOf(storiesDir).isDefined) {
-          val full = TableSink.read(spark, storiesDir, storySchema)
-          TableSink.overwrite(spark, storiesDir,
-            full.withColumn("cell", OnlineClustering.cellKey(
-              col("centroid"), simThreshold, gridDims, refreshed.take(layoutDims))),
-            Seq("story_id"),
-            numBuckets = TableSink.numBucketsOf(storiesDir)
-              .getOrElse(TableSink.DefaultBuckets),
-            layoutCol = Some("cell"),
-            meta = Some(BasisStore.encode(refreshed)))
+      // One read serves both consumers of the full table — the PCA fit
+      // and the re-grid rewrite; persist so the refresh costs one scan.
+      val full = TableSink.read(spark, storiesDir, storySchema).persist()
+      try {
+        val refreshed = OnlineClustering.storyBasis(full, "centroid", basisK)
+        if (refreshed.nonEmpty) {
+          if (layouted && TableSink.layoutColOf(storiesDir).isDefined) {
+            TableSink.overwrite(spark, storiesDir,
+              full.withColumn("cell", OnlineClustering.cellKey(
+                col("centroid"), simThreshold, gridDims, refreshed.take(layoutDims))),
+              Seq("story_id"),
+              numBuckets = TableSink.numBucketsOf(storiesDir)
+                .getOrElse(TableSink.DefaultBuckets),
+              layoutCol = Some("cell"),
+              meta = Some(encodeLayoutMeta(simThreshold, gridDims, layoutDims, refreshed)))
+          }
+          BasisStore.save(basisPath(storiesDir), refreshed)
+          published = true
         }
-        BasisStore.save(basisPath(storiesDir), refreshed)
-        published = true
-      }
+      } finally full.unpersist()
     }
     onBatch(St4Metrics(epoch, pruned.nBatch, nStories, pruned.nCandidates,
       basis.length, replaySkipped = false, basisRefreshed = published))

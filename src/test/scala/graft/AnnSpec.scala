@@ -168,5 +168,26 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(found.contains(9999L) && found(9999L) > 0.99,
       s"appended vector must be servable immediately: $found")
+
+    // Re-adding an id whose vector moved cells is a layout migration:
+    // the old copy must vanish from its old cell in the same commit.
+    val like2 = spark.range(0).select(lit(0L).as("vec_id"), lit("").as("__cell_s"))
+    def cellOf(id: Long): Set[String] = TableSink.read(spark, dir, like2)
+      .filter(col("vec_id") === id).select("__cell_s")
+      .collect().map(_.getString(0)).toSet
+    val before9999 = cellOf(9999L)
+    // move 9999 onto vector 7's embedding (a different cluster)
+    val moved = e.filter(col("vec_id") === 7)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    IvfAnn.appendToIndex(spark, dir, moved, cells, "vec_id", "embedding", version = 2L)
+    val after9999 = cellOf(9999L)
+    assert(after9999.size == 1, s"exactly one copy after the move: $after9999")
+    if (after9999 != before9999)
+      assert((before9999 -- after9999).nonEmpty, "old cell's copy rewritten away")
+    val moved9999 = IvfAnn.annSearchQuantizedStored(dir,
+        e.filter(col("vec_id") === 7), cells, "vec_id", "embedding", k = 3, nprobe = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(moved9999.contains(9999L) && moved9999(9999L) > 0.99,
+      s"moved vector serves from its NEW cell: $moved9999")
   }
 }

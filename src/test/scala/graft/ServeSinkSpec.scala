@@ -109,6 +109,16 @@ class ServeSinkSpec extends AnyFunSuite with SparkSpec {
     val cold = Serve.recommendationsForStored(spark, s"$dir/recs", stories, "nobody",
         fallbackN = 2).collect().map(_.getString(0)).toSeq
     assert(cold.length == 2, s"cold-start fallback must survive the stored path: $cold")
+    // A wrong path must fail loudly — "no table" is not "no rows" (for
+    // recs it would silently serve every warm user the cold fallback).
+    val e1 = intercept[IllegalArgumentException] {
+      Serve.storyByIdStored(spark, s"$dir/typo", "s7")
+    }
+    assert(e1.getMessage.contains("no stories table"))
+    val e2 = intercept[IllegalArgumentException] {
+      Serve.recommendationsForStored(spark, s"$dir/typo", stories, "u7")
+    }
+    assert(e2.getMessage.contains("no recommendations table"))
   }
 
   test("driftScore serves A2 on demand; registerViews enables SQL reads") {

@@ -184,7 +184,9 @@ class StreamingJobSpec extends AnyFunSuite with SparkSpec {
       "shipping stories table must be laid out by sticky cell")
     val meta = TableSink.metaOf(storiesDir)
     assert(meta.isDefined, "re-grid must publish the basis in the manifest meta")
-    val layoutBasis = BasisStore.decode(meta.get).take(2)
+    val (t0, g0, k0, decoded) = StreamingJob.decodeLayoutMeta(meta.get)
+    assert((t0, g0, k0) == ((0.98, 2, 2)), s"meta pins the cell function: ($t0,$g0,$k0)")
+    val layoutBasis = decoded.take(k0)
     assert(layoutBasis.nonEmpty, "published basis must decode")
     // File-count evidence: replicate the per-batch candidate read for one
     // probe article — it must open strictly fewer files than the table
@@ -205,6 +207,66 @@ class StreamingJobSpec extends AnyFunSuite with SparkSpec {
     val byLink = tables(dirA)._1
     assert(prunedRead.select("story_id").collect().map(_.getString(0))
       .contains(byLink("l20")), "pruned read must cover the probe's story")
+  }
+
+  test("layout meta pins the cell function: restart with changed threshold fails loudly") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("sjmeta").toString
+    def run(epoch: Long, t: Double): Unit = StreamingJob.processBatch(spark,
+      Seq(("l" + epoch, "t", s"some fresh topic number $epoch entirely", ts("2024-01-01 10:00:00")))
+        .toDF("link", "title", "txt", "ingestion_time"),
+      s"$tmp/articles", s"$tmp/stories", simThreshold = t, epoch = epoch)
+    run(0L, 0.9)
+    // The cell function is pinned from the FIRST commit, before any
+    // basis refresh: a restart with a different threshold would probe
+    // wrong buckets, so it must refuse, not silently mis-read.
+    assert(TableSink.metaOf(s"$tmp/stories").exists(_.startsWith("st4:v1;")),
+      "first stories commit must pin the layout meta")
+    val err = intercept[IllegalStateException] { run(1L, 0.8) }
+    assert(err.getMessage.contains("layout mismatch"), err.getMessage)
+    // same parameters resume fine
+    run(1L, 0.9)
+    val like = spark.range(0).select(lit("").as("link"))
+    assert(TableSink.read(spark, s"$tmp/articles", like).count() == 2)
+  }
+
+  test("cellLayout over a legacy key-hash stories table: scan-and-drop, file basis, clean schema") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("sjlegacy").toString
+    val texts = Seq(
+      "harbor authority tenders the new ferry berths",
+      "chipmaker guidance tops analyst expectations",
+      "club confirms the striker's season ending surgery",
+      "grain futures rally on dry season forecasts")
+    def batchDf(rows: Seq[(String, String)]) = rows
+      .map { case (l, t) => (l, "t", t, ts("2024-01-01 10:00:00")) }
+      .toDF("link", "title", "txt", "ingestion_time")
+    // Epoch 0 under the OLD layout (key-hash table, sibling-file basis):
+    StreamingJob.processBatch(spark, batchDf(texts.take(3).zipWithIndex.map {
+        case (t, i) => (s"l$i", t) }),
+      s"$tmp/articles", s"$tmp/stories", simThreshold = 0.98, epoch = 0L,
+      basisRefreshEvery = 1, cellLayout = false)
+    assert(TableSink.layoutColOf(s"$tmp/stories").isEmpty, "legacy table is key-hash")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(StreamingJob.basisPath(s"$tmp/stories"))))
+    // Epoch 1 with the shipping default against the SAME tables: must run
+    // scan-and-drop with the FILE basis (not a dead meta basis), and must
+    // not leak layout columns into the legacy schema.
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[StreamingJob.St4Metrics]
+    StreamingJob.processBatch(spark, batchDf(Seq("l9" -> texts(1))),
+      s"$tmp/articles", s"$tmp/stories", simThreshold = 0.98, epoch = 1L,
+      basisRefreshEvery = 0, cellLayout = true,
+      onBatch = m => metrics.synchronized { metrics += m })
+    assert(metrics.last.basisDims > 0,
+      s"legacy path must keep using the published file basis: ${metrics.last}")
+    val like = spark.range(0).select(lit("").as("link"))
+    val stories = TableSink.read(spark, s"$tmp/stories", like)
+    assert(!stories.columns.contains("cell") && !stories.columns.contains("__old_cell"),
+      s"legacy schema must stay clean: ${stories.columns.toSeq}")
+    val byLink = TableSink.read(spark, s"$tmp/articles", like)
+      .select("link", "story_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byLink("l9") == byLink("l1"), "identical text joins its story through the legacy path")
   }
 
   test("staleness guard: off-schedule basis refresh restores pruning after degeneration") {
