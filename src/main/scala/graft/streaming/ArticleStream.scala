@@ -46,9 +46,14 @@ object ArticleStream {
    * state: duplicates arriving within the watermark horizon are dropped,
    * state for keys older than the TTL is evicted automatically.
    */
+  /** `setWatermark = false` lets a SECOND dedup stage in one query reuse
+    * the watermark an upstream stage already declared — Spark forbids
+    * redefining the watermark once stateful operators are chained (e.g.
+    * [[StreamingJob]] composing [[curate]]'s canonical-url dedup with the
+    * link dedup). */
   def dedupWithTtl(df: DataFrame, eventTimeCol: String, keyCol: String,
-                   ttl: String = "24 hours"): DataFrame =
-    df.withWatermark(eventTimeCol, ttl)
+                   ttl: String = "24 hours", setWatermark: Boolean = true): DataFrame =
+    (if (setWatermark) df.withWatermark(eventTimeCol, ttl) else df)
       .dropDuplicatesWithinWatermark(keyCol)
 
   /**

@@ -151,15 +151,28 @@ object StreamingJob {
             cellLayout: Boolean = true, layoutDims: Int = 2,
             storyBuckets: Int = TableSink.DefaultBuckets,
             staleRatio: Double = 0.5, staleBatches: Int = 3,
+            curateGate: Boolean = false,
             onBatch: St4Metrics => Unit = _ => ()): StreamingQuery = {
     val spark = articles.sparkSession
     // One guard per query: its consecutive-batch streak is exactly the
     // stream's batch sequence.
     val guard = new StalenessGuard(staleRatio, staleBatches)
+    // Optional in-stream curation ([[ArticleStream.curate]]): canonical-
+    // url TTL dedup, token band + quality floor + Gopher gate, PII
+    // redaction — the training-data hygiene a production ingest applies
+    // BEFORE featurization, so rejected text never costs an embedding.
+    val source =
+      if (curateGate) ArticleStream.curate(
+        articles.filter(col("link").isNotNull),
+        "link", "txt", "ingestion_time")
+      else articles
     val deduped = ArticleStream.dedupWithTtl(
-      articles.filter(col("link").isNotNull)                 // P2
+      source.filter(col("link").isNotNull)                   // P2
         .filter(length(trim(col("txt"))) > 0),               // P3
-      "ingestion_time", "link")
+      "ingestion_time", "link",
+      // curate's canonical-url dedup already declared the watermark;
+      // Spark forbids redefining it under chained stateful operators.
+      setWatermark = !curateGate)
       // A11 streaming observability: per-trigger accepted-article count,
       // surfaced in StreamingQueryProgress.observedMetrics (the reference
       // logs this per cycle, ingestion_service.py:105-116).

@@ -209,6 +209,32 @@ class StreamingJobSpec extends AnyFunSuite with SparkSpec {
       .contains(byLink("l20")), "pruned read must cover the probe's story")
   }
 
+  test("curateGate: in-stream hygiene — quality floor, PII redaction — before featurization") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val tmp = Files.createTempDirectory("sjcurate").toString
+    val mem = MemoryStream[(String, String, String, Timestamp)]
+    val q = StreamingJob.start(mem.toDF().toDF("link", "title", "txt", "ingestion_time"),
+      s"$tmp/articles", s"$tmp/stories", s"$tmp/ckpt", simThreshold = 0.8,
+      trigger = Trigger.ProcessingTime(0L), curateGate = true)
+    try {
+      mem.addData(
+        ("l1", "t", "the committee published its annual report contact us at press@example.org today",
+          ts("2024-01-01 10:00:00")),
+        ("l2", "t", "aa", ts("2024-01-01 10:01:00")), // under the token floor → gated out
+        ("l3", "t", "x ".repeat(40).trim, ts("2024-01-01 10:02:00"))) // degenerate → quality floor
+      q.processAllAvailable()
+      val like = spark.range(0).select(lit("").as("link"))
+      val arts = TableSink.read(spark, s"$tmp/articles", like)
+      val rows = arts.select("link", "txt").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set("l1"), s"gate must drop l2 (short) and l3 (quality): ${rows.keySet}")
+      assert(!rows("l1").contains("press@example.org") && rows("l1").contains("<EMAIL>"),
+        s"PII redacted before the article lands: ${rows("l1")}")
+      assert(arts.columns.contains("canonical_url"), "curated articles carry the canonical url")
+    } finally q.stop()
+  }
+
   test("layout meta pins the cell function: restart with changed threshold fails loudly") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("sjmeta").toString
