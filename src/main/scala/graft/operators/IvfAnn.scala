@@ -170,8 +170,13 @@ object IvfAnn {
         val like = spark.range(0).select(lit(0L).as(idCol), lit("").as("__cell_s"))
         val old = graft.sources.TableSink.read(spark, dir, like)
           .select(col(idCol), col("__cell_s").as("__prev"))
+        // Semi-join against the INPUT ids, not `assigned` — the batch's
+        // id set is the same either way, and probing with the raw input
+        // keeps the assignment pipeline (crossJoin + argmax + quantize)
+        // out of the broadcast subtree, so it evaluates once.
         assigned.join(broadcast(old
-            .join(assigned.select(col(idCol)), Seq(idCol), "left_semi")), Seq(idCol), "left")
+            .join(newVectors.select(col(idCol)), Seq(idCol), "left_semi")),
+            Seq(idCol), "left")
           .withColumn("__old_cell",
             when(col("__prev").isNotNull && col("__prev") =!= col("__cell_s"),
               col("__prev")))

@@ -139,12 +139,17 @@ object TableSink {
     m.map(_.paths.values.toSeq.sorted.map(rel => s"$dir/$rel")).getOrElse(Nil)
 
   /** Read the current table state (empty frame with `like` schema if absent;
-    * an existing table keeps its own on-disk schema). */
+    * an existing table keeps its own on-disk schema). `mergeSchema`: a
+    * writer that starts emitting an extra column (e.g. toggling an
+    * optional pipeline stage) leaves mixed-generation buckets — without
+    * merging, schema inference picks ONE arbitrary file and the column's
+    * visibility becomes nondeterministic across reads; merging makes it
+    * the deterministic superset (footer-only cost). */
   def read(spark: SparkSession, dir: String, like: DataFrame): DataFrame = {
     val paths = currentPaths(dir, currentManifest(dir))
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
-    else spark.read.parquet(paths: _*)
+    else spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /**
@@ -274,7 +279,7 @@ object TableSink {
     }
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
-    else spark.read.parquet(paths: _*)
+    else spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /**

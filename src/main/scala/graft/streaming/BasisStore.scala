@@ -27,12 +27,18 @@ object BasisStore {
   def encode(basis: Seq[Array[Double]]): String =
     basis.map(_.mkString(",")).mkString(";")
 
-  /** Inverse of [[encode]]; malformed input degrades to Nil (raw grid)
-    * exactly like [[load]] — a basis is a pruning aid, never a
-    * correctness dependency. */
-  def decode(s: String): Seq[Array[Double]] =
-    try s.split(';').toSeq.filter(_.nonEmpty)
+  /** Strict inverse of [[encode]]: throws NumberFormatException on
+    * malformed input. The layout-meta path needs this form — there the
+    * basis defines bucket addressing and corruption must fail loudly. */
+  def decodeStrict(s: String): Seq[Array[Double]] =
+    s.split(';').toSeq.filter(_.nonEmpty)
       .map(_.split(',').map(_.toDouble).toArray)
+
+  /** Lenient inverse of [[encode]]; malformed input degrades to Nil (raw
+    * grid) exactly like [[load]] — for callers where the basis is a
+    * pruning aid, never a correctness dependency. */
+  def decode(s: String): Seq[Array[Double]] =
+    try decodeStrict(s)
     catch {
       case e: NumberFormatException =>
         System.err.println(s"[graft] ignoring unreadable basis meta: $e")

@@ -130,17 +130,18 @@ object StreamingJob {
     meta match {
       case Pat(t, g, k, b) =>
         try (t.toDouble, g.toInt, k.toInt,
-          if (b.isEmpty) Nil
-          else b.split(';').toSeq.filter(_.nonEmpty)
-            .map(_.split(',').map(_.toDouble).toArray))
+          if (b.isEmpty) Nil else BasisStore.decodeStrict(b))
         catch { case e: NumberFormatException =>
           throw new IllegalStateException(
             s"stories table layout meta is corrupt ('$meta'): $e — refusing " +
               "to address buckets under an unknown cell function", e) }
       case _ => throw new IllegalStateException(
-        s"stories table meta is not an ST4 layout meta ('$meta') — the " +
-          "table was not written by this job; value-addressed reads would " +
-          "probe wrong buckets, so refusing to run against it")
+        s"stories table meta is not an st4:v1 layout meta ('$meta') — " +
+          "either the table was written by something else, or by an older " +
+          "job version with a different meta format. Value-addressed reads " +
+          "would probe wrong buckets, so refusing to run; re-grid the " +
+          "table (TableSink.overwrite with fresh cells and an st4:v1 " +
+          "meta) to adopt it.")
     }
   }
 
@@ -161,6 +162,12 @@ object StreamingJob {
     // url TTL dedup, token band + quality floor + Gopher gate, PII
     // redaction — the training-data hygiene a production ingest applies
     // BEFORE featurization, so rejected text never costs an embedding.
+    // OPERATIONAL CONTRACT: pick the flag per DEPLOYMENT, not per
+    // restart — it changes the stateful-operator plan (1 vs 2 dedup
+    // state stores), so flipping it over an existing checkpoint fails
+    // Spark's state-schema check (start a fresh checkpoint to change
+    // it), and it adds `canonical_url` to the articles schema (mixed
+    // generations read as a deterministic superset via mergeSchema).
     val source =
       if (curateGate) ArticleStream.curate(
         articles.filter(col("link").isNotNull),

@@ -182,8 +182,10 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     IvfAnn.appendToIndex(spark, dir, moved, cells, "vec_id", "embedding", version = 2L)
     val after9999 = cellOf(9999L)
     assert(after9999.size == 1, s"exactly one copy after the move: $after9999")
-    if (after9999 != before9999)
-      assert((before9999 -- after9999).nonEmpty, "old cell's copy rewritten away")
+    // The fixture must actually migrate cells, or the rehome path went
+    // untested (vectors 3 and 7 sit in different IVF cells).
+    assert(after9999 != before9999,
+      s"fixture must move 9999 to a new cell: $before9999 -> $after9999")
     val moved9999 = IvfAnn.annSearchQuantizedStored(dir,
         e.filter(col("vec_id") === 7), cells, "vec_id", "embedding", k = 3, nprobe = 3)
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
