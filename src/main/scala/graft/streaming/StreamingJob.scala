@@ -95,11 +95,17 @@ object StreamingJob {
     * metrics aggregate rows of the streaming plan, while the candidate
     * set exists only inside the foreachBatch sink; the callback (plus the
     * plain `observe("ingest", ...)` row count upstream) is the honest
-    * seam. `basisDims` = 0 ⇒ raw-coordinate grid (cold start). */
+    * seam. `basisDims` = 0 ⇒ raw-coordinate grid (cold start).
+    * `candidateFiles`/`tableFiles` make the cell layout's FILE pruning
+    * observable per batch (−1 = not applicable: scan-and-drop path):
+    * candidateFiles ≈ tableFiles means the candidate cells hash across
+    * every bucket — the layout-level degeneration signal, distinct from
+    * the row-level one `nCandidates` carries. */
   case class St4Metrics(epoch: Long, nBatch: Long, nStories: Long,
                         nCandidates: Long, basisDims: Int,
                         replaySkipped: Boolean,
-                        basisRefreshed: Boolean = false)
+                        basisRefreshed: Boolean = false,
+                        candidateFiles: Int = -1, tableFiles: Int = -1)
 
   /** Path of the published projection basis — a sibling FILE of the
     * stories table's own metadata (TableSink GC never touches it). */
@@ -290,12 +296,12 @@ object StreamingJob {
           case None => Nil
         }
       else BasisStore.load(basisPath(storiesDir))
-    val (pruned, storyDelta) =
+    val (pruned, storyDelta, nCandFiles, nTableFiles) =
       if (!cellLayout) {
         val p = OnlineClustering.processBatchPruned(
           featured, stories, "link", "embedding", simThreshold, epoch,
           gridDims, basis)
-        (p, p.storyDelta)
+        (p, p.storyDelta, -1, -1)
       } else {
         val in = OnlineClustering.collectBatch(featured, "link", "embedding")
         // Coarse layout key: leading layoutDims basis directions only —
@@ -315,6 +321,12 @@ object StreamingJob {
             TableSink.readBuckets(spark, storiesDir, storySchema,
               TableSink.bucketIdsFor(spark, storiesDir, cells2))
           } else stories
+        // File-pruning observability: both counts come from the already-
+        // resolved manifest paths (driver-side listing, no Spark job).
+        val (candFiles, tableFiles) =
+          if (TableSink.layoutColOf(storiesDir).isDefined)
+            (candFrame.inputFiles.length, stories.inputFiles.length)
+          else (-1, -1)
         val candWithCell =
           if (candFrame.columns.contains("cell")) candFrame
           else candFrame.withColumn("cell", lit(null).cast("string"))
@@ -356,7 +368,7 @@ object StreamingJob {
             when(col("__sticky").isNotNull && col("cell") =!= col("__sticky"),
               col("__sticky")))
           .drop("__sticky", "__cur")
-        (p, delta)
+        (p, delta, candFiles, tableFiles)
       }
     val articlesOut = featured.join(
         pruned.assigned.select(col("id").as("link"), col("storyId").as("story_id")), "link")
@@ -421,6 +433,7 @@ object StreamingJob {
       } finally full.unpersist()
     }
     onBatch(St4Metrics(epoch, pruned.nBatch, nStories, pruned.nCandidates,
-      basis.length, replaySkipped = false, basisRefreshed = published))
+      basis.length, replaySkipped = false, basisRefreshed = published,
+      candidateFiles = nCandFiles, tableFiles = nTableFiles))
   }
 }

@@ -144,12 +144,14 @@ class StreamingJobSpec extends AnyFunSuite with SparkSpec {
       "archivists digitize a trove of wartime letters",
       "referee review system debuts in the cup final",
       "desalination plant breaks ground on the coast")
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[StreamingJob.St4Metrics]()
     def runJob(dir: String, layout: Boolean): Unit = {
       val mem = MemoryStream[(String, String, String, Timestamp)]
       val q = StreamingJob.start(mem.toDF().toDF("link", "title", "txt", "ingestion_time"),
         s"$dir/articles", s"$dir/stories", s"$dir/ckpt", simThreshold = 0.98,
         trigger = Trigger.ProcessingTime(0L), basisK = 4, basisRefreshEvery = 1,
-        cellLayout = layout, storyBuckets = 64)
+        cellLayout = layout, storyBuckets = 64,
+        onBatch = m => if (layout) metrics.add(m))
       try {
         mem.addData(texts.zipWithIndex.map { case (t, i) =>
           (s"l$i", "t", t, ts(f"2024-01-01 10:${i}%02d:00")) }: _*)
@@ -207,6 +209,12 @@ class StreamingJobSpec extends AnyFunSuite with SparkSpec {
     val byLink = tables(dirA)._1
     assert(prunedRead.select("story_id").collect().map(_.getString(0))
       .contains(byLink("l20")), "pruned read must cover the probe's story")
+    // The shipping job reports the same pruning in its OWN metrics: the
+    // post-re-grid batch read strictly fewer files than the table has.
+    val last = metrics.toArray(Array.empty[StreamingJob.St4Metrics]).last
+    assert(last.tableFiles > 0 && last.candidateFiles >= 0 &&
+      last.candidateFiles < last.tableFiles,
+      s"per-batch file-pruning metrics must show the pruned read: $last")
   }
 
   test("curateGate: in-stream hygiene — quality floor, PII redaction — before featurization") {
