@@ -54,16 +54,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * invariants: (1) ±1-drift — a story whose centroid leaves the ±1-cell
  * band of its sticky cell is re-homed IN the same upsert commit
  * (`rehomeFromCol`, atomic: no crash window can duplicate or lose it),
- * so sticky ∈ N₂(batch) whenever current ∈ N₁(batch); (2) basis-layout
- * coupling — the basis that defines the cells rides the table
- * manifest's `meta` line, so a basis refresh re-grids the WHOLE table
- * and publishes new cells + new basis in ONE atomic manifest flip
- * ([[TableSink.overwrite]]; a sibling-file basis could desync on a
- * crash between two publishes, the manifest cannot). The refresh is
- * O(table) by design — a rare, schedulable bulk job, the price of
- * file-level pruning on every batch in between. The row-level radius-1
- * cell predicate stays on top of the pruned read, which is what keeps
- * assignments EXACTLY equal to the full-scan fold (spec-pinned).
+ * so sticky ∈ N₂(batch) whenever current ∈ N₁(batch); (2) cell-
+ * function-layout coupling — the manifest `meta` line pins the ENTIRE
+ * cell function (threshold, gridDims, layoutDims, basis; `st4:v1`
+ * format) from the table's first commit: a job restarted with
+ * different parameters fails loudly instead of probing wrong buckets,
+ * and a basis refresh re-grids the WHOLE table, publishing new cells
+ * + new meta in ONE atomic manifest flip ([[TableSink.overwrite]]; a
+ * sibling file could desync on a crash between two publishes, the
+ * manifest cannot). The refresh is O(table) by design — a rare,
+ * schedulable bulk job, the price of file-level pruning on every
+ * batch in between. The row-level radius-1 cell predicate stays on
+ * top of the pruned read, which is what keeps assignments EXACTLY
+ * equal to the full-scan fold (spec-pinned). Legacy key-hash stories
+ * tables keep the sibling-file basis and the scan-and-drop read —
+ * correct, unpruned.
  *
  * The source is any streaming DataFrame with (link, title, txt,
  * ingestion_time) — Kafka via [[ArticleStream.fromKafka]], files, or a
