@@ -43,6 +43,20 @@ object OracleSql {
        |${(1 to m).map(stage).mkString(",\n")}""".stripMargin
   }
 
+  /** Shared by x_bpe_encode and x_bpe_encode_stored (train-store-encode
+    * over the training corpus is pointwise identical to direct encode). */
+  private val bpeEncodeSql =
+    s"""WITH ${bpeCtes(8)},
+       |nt AS (SELECT wrd, len(list_filter(string_split(trim(w), ' '), x -> x <> '')) n
+       |  FROM d8),
+       |t AS (SELECT doc_id, unnest(wds) wrd FROM w0)
+       |SELECT d.doc_id, CAST(count(t.wrd) AS BIGINT) n_words,
+       |  CAST(coalesce(sum(nt.n), 0) AS BIGINT) n_bpe_tokens
+       |FROM documents d
+       |LEFT JOIN t ON t.doc_id = d.doc_id
+       |LEFT JOIN nt ON nt.wrd = t.wrd
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   // Shared Gopher CTE chain over a source relation exposing
   // (doc_id, text, wds): per-doc line/paragraph repetition + char
   // fractions, bullet/ellipsis/symbol/mean-word-length signals (`gst`)
@@ -1121,17 +1135,12 @@ object OracleSql {
     // BPE encode: per document, word count and token count under the
     // 8-merge vocabulary — each word contributes the length of its final
     // segmentation in the trained dict (d8 of the same unrolled chain).
-    "x_bpe_encode" ->
-      s"""WITH ${bpeCtes(8)},
-         |nt AS (SELECT wrd, len(list_filter(string_split(trim(w), ' '), x -> x <> '')) n
-         |  FROM d8),
-         |t AS (SELECT doc_id, unnest(wds) wrd FROM w0)
-         |SELECT d.doc_id, CAST(count(t.wrd) AS BIGINT) n_words,
-         |  CAST(coalesce(sum(nt.n), 0) AS BIGINT) n_bpe_tokens
-         |FROM documents d
-         |LEFT JOIN t ON t.doc_id = d.doc_id
-         |LEFT JOIN nt ON nt.wrd = t.wrd
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "x_bpe_encode" -> bpeEncodeSql,
+
+    // Store-then-encode over the SAME corpus is the identical function
+    // (the stored dict IS d8; replay only fires on unseen words, of
+    // which the training corpus has none) — same parity SQL.
+    "x_bpe_encode_stored" -> bpeEncodeSql,
 
     // Complete incremental admission: within-batch components over the
     // LSH-candidate verified pairs restricted to batch docs (banding is

@@ -526,6 +526,17 @@ object SparkEntry {
       CurationOps.bpeEncode(T(s, d, "documents"), "doc_id", "text", 8)
         .orderBy("doc_id")
     }),
+    // The production tokenizer shape (train once, encode forever):
+    // persist the 8-merge vocabulary + word dict as TableSink tables,
+    // then encode UNDER THE STORED artifacts — no retraining; unseen
+    // words replay the stored merge table. On the training corpus this
+    // equals x_bpe_encode exactly (same oracle SQL).
+    "x_bpe_encode_stored" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bpe_store").toString
+      CurationOps.bpeStore(s, dir, T(s, d, "documents"), "text", 8)
+      CurationOps.bpeEncodeStored(s, dir, T(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // CCNet-style LM quality: per-doc cross-entropy (nats/token) under
     // the corpus's own add-1 unigram model; keep = under the operating
     // point (3.41, ~the corpus median — CCNet keeps the low-perplexity

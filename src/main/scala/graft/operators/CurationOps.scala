@@ -365,9 +365,10 @@ object CurationOps {
    * iteration's dict is materialized before its parent is unpersisted,
    * so lineage stays one step deep across any number of merges.
    */
-  def bpeMerges(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, textCol: String, merges: Int,
+                dictPartitions: Int = 1): DataFrame = {
     val spark = docs.sparkSession
-    val (out, _) = bpeTrain(docs, textCol, merges, keepDict = false)
+    val (out, _) = bpeTrain(docs, textCol, merges, keepDict = false, dictPartitions)
     spark.createDataFrame(out).toDF("merge_rank", "l_sym", "r_sym", "cnt")
   }
 
@@ -382,8 +383,9 @@ object CurationOps {
    * The compression ratio n_bpe_tokens / n_chars is THE tokenizer
    * training feedback metric at 100 TB.
    */
-  def bpeEncode(docs: DataFrame, idCol: String, textCol: String, merges: Int): DataFrame = {
-    val (_, dict) = bpeTrain(docs, textCol, merges, keepDict = true)
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String, merges: Int,
+                dictPartitions: Int = 1): DataFrame = {
+    val (_, dict) = bpeTrain(docs, textCol, merges, keepDict = true, dictPartitions)
     val perWord = dict.select(col("w0"),
       size(filter(split(trim(col("w")), " "), s => s =!= "")).as("nt"))
     docs.select(col(idCol).as("doc_id"), explode_outer(toks(col(textCol))).as("w0"))
@@ -393,18 +395,107 @@ object CurationOps {
         coalesce(sum("nt"), lit(0)).cast("long").as("n_bpe_tokens"))
   }
 
+  /**
+   * Train-once-store: persist the tokenizer artifacts [[bpeTrain]]
+   * produces — the ordered merge table and the final word dict — as two
+   * [[graft.sources.TableSink]] tables (`dir/merges`, `dir/dict`), the
+   * production split of Sennrich et al. 2016's `learn_bpe` (here) from
+   * `apply_bpe` ([[bpeEncodeStored]]): the corpus is scanned for
+   * training ONCE, ever; every future batch encodes under the stored
+   * vocabulary without touching the training corpus again. Both tables
+   * are vocab-sized (the merge table is ≤ `merges` rows by contract),
+   * so the store is a bulk-maintenance artifact like a model file, not
+   * data. The merge count is pinned in the merges table's manifest meta
+   * so a consumer can assert which vocabulary it decodes under.
+   */
+  def bpeStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+               docs: DataFrame, textCol: String, merges: Int,
+               dictPartitions: Int = 1): Unit = {
+    import graft.sources.TableSink
+    val (out, dict) = bpeTrain(docs, textCol, merges, keepDict = true, dictPartitions)
+    val mergesDf = spark.createDataFrame(out)
+      .toDF("merge_rank", "l_sym", "r_sym", "cnt")
+    TableSink.overwrite(spark, s"$dir/merges", mergesDf, Seq("merge_rank"),
+      numBuckets = 1, meta = Some(s"bpe:v1;merges=${out.length}"))
+    TableSink.overwrite(spark, s"$dir/dict", dict, Seq("w0"),
+      meta = Some(s"bpe:v1;merges=${out.length}"))
+  }
+
+  /**
+   * ENCODE a new batch under a STORED vocabulary ([[bpeStore]]) without
+   * retraining — same output shape as [[bpeEncode]]. Words present in
+   * the stored dict reuse their stored segmentation; UNSEEN words are
+   * segmented by replaying the stored merge table in rank order
+   * (`apply_bpe`: start from the character sequence, apply each learned
+   * merge greedily left-to-right — byte-for-byte the operation the
+   * trainer ran, so a word's replayed segmentation is IDENTICAL to what
+   * the dict would have stored had the word been in the training
+   * corpus; spec-pinned over the whole dict).
+   *
+   * Scale shape: the batch text is scanned once; per-word work joins
+   * the batch's vocab against the broadcast stored dict, and the merge
+   * replay is ONE codegen `aggregate` fold over a literal merge array
+   * (driver-collected — bounded ≤ 10000 rows by [[bpeTrain]]'s
+   * contract), evaluated only for dict misses (`coalesce`
+   * short-circuits). No corpus-sized state is ever read — the stored
+   * tables are vocab-sized, which the spec pins with a file-count
+   * assertion.
+   */
+  def bpeEncodeStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.sources.TableSink
+    require(TableSink.tableExists(s"$dir/merges") && TableSink.tableExists(s"$dir/dict"),
+      s"no stored BPE vocabulary at '$dir' — train one with bpeStore first")
+    val dictLike = spark.range(0).select(
+      lit("").as("w0"), lit("").as("w"), lit(0L).as("f"))
+    val dict = TableSink.read(spark, s"$dir/dict", dictLike).select("w0", "w")
+    val mLike = spark.range(0).select(lit(0).as("merge_rank"),
+      lit("").as("l_sym"), lit("").as("r_sym"), lit(0L).as("cnt"))
+    val ms = TableSink.read(spark, s"$dir/merges", mLike)
+      .select("merge_rank", "l_sym", "r_sym")
+      .collect().sortBy(_.getInt(0))
+    // The replay fold: init = the double-space-delimited char sequence
+    // (the trainer's exact representation, see bpeTrain), one `replace`
+    // per stored merge — a single expression regardless of merge count,
+    // so a 10k-merge vocab does not become a 10k-node plan.
+    val spaced = concat(lit("  "),
+      array_join(filter(split(col("w0"), ""), s => s =!= ""), "  "), lit("  "))
+    val replayed =
+      if (ms.isEmpty) spaced
+      else aggregate(
+        array(ms.toIndexedSeq.map(r => struct(lit(r.getString(1)).as("l"),
+          lit(r.getString(2)).as("r"))): _*),
+        spaced,
+        (acc, m) => replace(acc,
+          concat(lit(" "), m.getField("l"), lit("  "), m.getField("r"), lit(" ")),
+          concat(lit(" "), m.getField("l"), m.getField("r"), lit(" "))))
+    val batchWords = docs.select(col(idCol).as("doc_id"),
+      explode_outer(toks(col(textCol))).as("w0"))
+    val perWord = batchWords.filter(col("w0").isNotNull).select("w0").distinct()
+      .join(broadcast(dict), Seq("w0"), "left")
+      .select(col("w0"), size(filter(
+        split(trim(coalesce(col("w"), replayed)), " "), s => s =!= "")).as("nt"))
+    batchWords.join(broadcast(perWord), Seq("w0"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("w0")).as("n_words"),
+        coalesce(sum("nt"), lit(0)).cast("long").as("n_bpe_tokens"))
+  }
+
   /** Shared BPE trainer (see [[bpeMerges]] for the algorithm and scale
     * notes): returns the ordered merge table and — when `keepDict` — the
     * final (w0, w, f) dict, lineage-truncated via localCheckpoint so
     * consumers don't replay the merge chain per use. */
-  private def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
-                       keepDict: Boolean): (Seq[(Int, String, String, Long)], DataFrame) = {
+  private[graft] def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
+                       keepDict: Boolean, dictPartitions: Int = 1)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(merges >= 1 && merges <= 10000, s"merges out of range: $merges")
-    // coalesce(1): the dict is vocab-sized, so every iteration's two jobs
-    // should be single-task — 32-way task scheduling would dominate the
-    // loop's wall time at any corpus scale (the dict does not grow with
-    // the corpus). A genuinely huge vocab can drop the coalesce; the
-    // semantics don't depend on it.
+    require(dictPartitions >= 1, s"dictPartitions must be >= 1: $dictPartitions")
+    // coalesce(dictPartitions), default 1: the dict is vocab-sized, so
+    // every iteration's two jobs should be single-task — 32-way task
+    // scheduling would dominate the loop's wall time at any corpus scale
+    // (the dict does not grow with the corpus). A genuinely huge vocab
+    // (~10^6 distinct words) raises `dictPartitions` instead of editing
+    // the source; the semantics don't depend on it.
     // Words ride as DOUBLE-space-delimited symbol strings: the merge
     // pattern " l  r " keeps one delimiter space on each side, so
     // token-adjacent occurrences never share a consumed character and a
@@ -417,7 +508,7 @@ object CurationOps {
       .select(col("w0"), concat(lit("  "),
         array_join(filter(split(col("w0"), ""), s => s =!= ""), "  "),
         lit("  ")).as("w"), col("f"))
-      .coalesce(1)
+      .coalesce(dictPartitions)
       .persist()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var prev: DataFrame = null

@@ -328,8 +328,14 @@ object DedupOps {
     val within = dedupCascade(batch, idCol, textCol, shingleN, k, bands, threshold)
     val vs = neardupIncremental(batch, corpus, corpusIndex, idCol, textCol,
       shingleN, k, bands, threshold)
+    // Eagerly materialize ONCE (batch-sized: one row per batch doc) —
+    // `flagged` feeds two different plans below (the blocked-component
+    // build AND the outer join), and without truncation each consumer
+    // would re-execute the whole cascade + corpus-probe DAG upstream of
+    // it. Exchange reuse does not apply across the two shapes.
     val flagged = within
       .join(vs.select(col("doc_id"), col("admit").as("__corpus_ok")), "doc_id")
+      .localCheckpoint(true)
     // Component-wide block: one corpus-matched member poisons the whole
     // component. The blocked-component list is bounded by the batch's
     // component count — broadcast, no extra batch shuffle.

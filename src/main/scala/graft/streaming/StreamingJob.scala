@@ -229,6 +229,20 @@ object StreamingJob {
                                       storyBuckets: Int = TableSink.DefaultBuckets,
                                       staleGuard: Option[StalenessGuard] = None,
                                       onBatch: St4Metrics => Unit = _ => ()): Unit = {
+    // `cellLayout = false` against a table whose buckets are addressed by
+    // `cell` would build a delta WITHOUT the cell column while the commit
+    // pins layout = "cell" from the manifest — the write dies inside
+    // bucketExpr with an unresolved-column AnalysisException that names
+    // no cause. Same class of slip as the meta/epoch mismatches above,
+    // so it gets the same loud, actionable refusal.
+    if (!cellLayout && TableSink.layoutColOf(storiesDir).isDefined)
+      throw new IllegalStateException(
+        s"stories table at $storiesDir is cell-laid-out (layout column " +
+          "'cell' pinned in its manifest) but this job runs with " +
+          "cellLayout = false — the merge delta would lack the cell " +
+          "column the table's buckets are addressed by. Run with " +
+          "cellLayout = true, or re-grid the table to a key-hash layout " +
+          "via TableSink.overwrite before turning the layout off.")
     val storySchema0 = spark.range(0).select(
       lit("").as("story_id"), array().cast("array<double>").as("centroid"), lit(0L).as("n"))
     val storySchema =

@@ -244,6 +244,60 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == ((1L, 1L)), "single-char word is one token")
   }
 
+  test("bpeStore/bpeEncodeStored: stored encode == direct encode; unseen words " +
+    "replay the stored merges; the encode path reads no corpus-sized state") {
+    import spark.implicits._
+    import graft.sources.TableSink
+    val corpusDir = java.nio.file.Files.createTempDirectory("bpe_corpus").toString
+    Seq((1L, "banana banana bana ban"), (2L, "bandana banana"), (3L, ""))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_store").toString
+    CurationOps.bpeStore(spark, dir, corpus, "text", 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // (1) Train-store-encode over the training corpus is the identical
+    // function: the stored dict IS the trainer's final dict.
+    assert(rows(CurationOps.bpeEncodeStored(spark, dir, corpus, "doc_id", "text")) ==
+      rows(CurationOps.bpeEncode(corpus, "doc_id", "text", 3)),
+      "stored encode diverged from direct encode on the training corpus")
+    // (2) Unseen words segment by replaying the stored merge table —
+    // checked against a plain-Scala apply_bpe (Sennrich et al. 2016:
+    // apply each learned merge greedily left-to-right, in rank order).
+    val mLike = spark.range(0).select(lit(0).as("merge_rank"),
+      lit("").as("l_sym"), lit("").as("r_sym"), lit(0L).as("cnt"))
+    val merges = TableSink.read(spark, s"$dir/merges", mLike)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.length == 3, s"expected 3 stored merges, got $merges")
+    def applyBpe(word: String): Long = {
+      var syms = word.split("").filter(_.nonEmpty).toList
+      for ((l, r) <- merges) {
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toList
+      }
+      syms.length.toLong
+    }
+    val batch = Seq((10L, "banabanana zq banana"), (11L, "nan")).toDF("doc_id", "text")
+    val got = rows(CurationOps.bpeEncodeStored(spark, dir, batch, "doc_id", "text"))
+    val want = Seq(
+      (10L, 3L, applyBpe("banabanana") + applyBpe("zq") + applyBpe("banana")),
+      (11L, 1L, applyBpe("nan")))
+    assert(got == want, s"unseen-word replay: got $got, want $want")
+    // (3) The encode plan's file reads are the vocab-sized store ONLY —
+    // never the training corpus (train once, encode forever).
+    val files = CurationOps.bpeEncodeStored(spark, dir, batch, "doc_id", "text").inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(dir)),
+      s"encode should read only the stored vocab tables: $files")
+    assert(files.forall(f => !f.contains(corpusDir)),
+      "encode path must not read the training corpus")
+  }
+
   test("unigramCrossEntropy: hand-computed add-1 model scores; empty docs score 0") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")
