@@ -130,7 +130,12 @@ object IvfAnn {
     graft.sources.TableSink.upsert(spark, dir,
       quantizedCorpus.withColumn("__cell_s", col("cell").cast("string"))
         .withColumn("__v", lit(0L)),
-      Seq(idCol), "__v", numBuckets, layoutCol = Some("__cell_s"))
+      Seq(idCol), "__v", numBuckets, layoutCol = Some("__cell_s"),
+      // Staleness accounting rides the manifest (atomic with the data it
+      // describes): base = rows the centroids were FITTED against,
+      // added = rows appended under those fixed centroids since. The
+      // count collapses to a scan (no projection evaluates under it).
+      meta = Some(s"ivf:v1;base=${quantizedCorpus.count()};added=0"))
 
   /**
    * Incremental ADD to a persisted index: assign the new vectors to the
@@ -152,8 +157,10 @@ object IvfAnn {
    *
    * Fixed centroids drift from the corpus distribution as adds
    * accumulate (recall erodes, never correctness of what IS probed) —
-   * the cue for a scheduled [[buildCells]] + [[writeIndex]] rebuild,
-   * exactly like the basis re-grid in [[graft.streaming.StreamingJob]].
+   * each add advances the manifest's staleness accounting, and
+   * [[needsRebuild]] turns it into a scheduled [[rebuildIndex]] cue,
+   * exactly like the basis StalenessGuard re-grid in
+   * [[graft.streaming.StreamingJob]].
    */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     newVectors: DataFrame, cells: DataFrame,
@@ -182,9 +189,72 @@ object IvfAnn {
               col("__prev")))
           .drop("__prev")
       }
+    // Advance the staleness counter in the SAME commit as the rows it
+    // counts (a sidecar counter could desync across a crash; the
+    // manifest meta cannot). Re-adds inflate `added` slightly — the
+    // trigger is a maintenance heuristic, erring toward rebuilding.
+    val newMeta = graft.sources.TableSink.metaOf(dir).flatMap(parseIndexMeta)
+      .map { case (base, added) =>
+        s"ivf:v1;base=$base;added=${added + newVectors.select(col(idCol)).count()}" }
     graft.sources.TableSink.upsert(spark, dir,
       batch.withColumn("__v", lit(version)),
-      Seq(idCol), "__v", rehomeFromCol = Some("__old_cell"))
+      Seq(idCol), "__v", rehomeFromCol = Some("__old_cell"), meta = newMeta)
+  }
+
+  private val IndexMetaRe = """ivf:v1;base=(\d+);added=(\d+)""".r
+  private def parseIndexMeta(m: String): Option[(Long, Long)] = m match {
+    case IndexMetaRe(b, a) => Some((b.toLong, a.toLong))
+    case _ => None
+  }
+
+  /**
+   * The centroid-rebuild staleness trigger — the [[appendToIndex]]
+   * analog of the ST4 basis StalenessGuard: fixed centroids only ever
+   * erode RECALL as adds drift from the distribution they were fitted
+   * on, so the cue is volume-based — fire once the rows added since the
+   * last [[buildCells]] fit exceed `maxAddedFraction` of the rows the
+   * fit saw. Reads one manifest line, no Spark job. An index whose
+   * manifest carries no parseable `ivf:v1` meta (pre-accounting
+   * history, or foreign writer) reports TRUE — unknown provenance is
+   * exactly when a rebuild re-establishes the contract.
+   */
+  def needsRebuild(dir: String, maxAddedFraction: Double = 0.5): Boolean = {
+    require(maxAddedFraction > 0.0,
+      s"maxAddedFraction must be positive: $maxAddedFraction")
+    require(graft.sources.TableSink.tableExists(dir),
+      s"no persisted ANN index at '$dir' — nothing to assess")
+    graft.sources.TableSink.metaOf(dir).flatMap(parseIndexMeta) match {
+      case Some((base, added)) =>
+        added.toDouble / math.max(base, 1L).toDouble >= maxAddedFraction
+      case None => true
+    }
+  }
+
+  /**
+   * The scheduled bulk rebuild [[needsRebuild]] cues: re-fit centroids
+   * over the CURRENT corpus, re-assign + re-quantize every row, and
+   * replace the index in one atomic overwrite that resets the
+   * staleness accounting (`base` = this fit's rows, `added` = 0) in the
+   * same manifest flip. O(corpus) by design — schedule it like the ST4
+   * basis re-grid, not per batch. Returns the new cell centroids (the
+   * serving side must probe with the centroids the index was built
+   * under — stale centroids against a rebuilt index would probe wrong
+   * cells).
+   */
+  def rebuildIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   corpus: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, iters: Int = 3, numBuckets: Int = 64): DataFrame = {
+    val cells = buildCells(corpus, idCol, vecCol, nlist, iters)
+    val sq8 = quantizeCells(assignCells(corpus, idCol, vecCol, cells), idCol, vecCol)
+      .withColumn("__cell_s", col("cell").cast("string"))
+      .withColumn("__v", lit(0L))
+    graft.sources.TableSink.overwrite(spark, dir, sq8, Seq(idCol),
+      numBuckets = graft.sources.TableSink.numBucketsOf(dir).getOrElse(numBuckets),
+      layoutCol = Some("__cell_s"),
+      // Row-preserving pipeline: base = corpus rows (one cheap scan,
+      // not a second pass of the assignment joins).
+      meta = Some(s"ivf:v1;base=${corpus.select(col(idCol)).count()};added=0"))
+    cells
   }
 
   /** The nprobe-nearest cell ids across all queries — driver-side and

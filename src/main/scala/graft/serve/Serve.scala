@@ -71,9 +71,46 @@ object Serve {
       Seq("user_id", "story_id"), "__v", numBuckets,
       layoutCol = Some("user_id"))
 
+  /** The (story_id → cell) sidecar table a CELL-layout stories table
+    * keeps next to itself so point lookups can resolve which bucket to
+    * open ([[storyByIdStored]]). Key-hash by story_id; maintained by
+    * the same micro-batch that writes the stories delta
+    * ([[graft.streaming.StreamingJob]]), upserted BEFORE the stories
+    * commit and carrying `prev_cell`, so under ANY single-commit crash
+    * window a stored story sits in the bucket of its sidecar `cell` or
+    * `prev_cell` — the lookup opens both (≤ 2 buckets) and keeps the
+    * exact id filter on top. */
+  def idMapDir(storiesDir: String): String = storiesDir + "_idmap"
+
+  /** Adopt a PRE-EXISTING cell-layout stories table into the sidecar
+    * contract: one O(table) scan projecting (story_id, cell) into a
+    * fresh sidecar. Run once before serving point lookups against a
+    * table whose history predates the sidecar — [[storyByIdStored]]
+    * treats a sidecar miss as "story does not exist". */
+  def backfillIdMap(spark: SparkSession, storiesDir: String): Unit = {
+    import graft.sources.TableSink
+    require(TableSink.layoutColOf(storiesDir).isDefined,
+      s"table at '$storiesDir' has no layout column — key-hash tables " +
+        "resolve point lookups directly (keyBucketIdsFor), no sidecar needed")
+    val like = spark.range(0).select(lit("").as("story_id"), lit("").as("cell"))
+    TableSink.overwrite(spark, idMapDir(storiesDir),
+      TableSink.read(spark, storiesDir, like)
+        .select(col("story_id"), col("cell"),
+          lit(null).cast("string").as("prev_cell"), lit(0L).as("__v")),
+      Seq("story_id"))
+  }
+
   /** [[storyById]] against a persisted stories table, opening only the
-    * bucket the id hashes to (file-level pruning; full-scan fallback on
-    * a layout table — see the mode note above). */
+    * bucket(s) holding the id:
+    *  - key-hash table → the single bucket the id hashes to;
+    *  - cell-layout table WITH its [[idMapDir]] sidecar → one sidecar
+    *    bucket resolves the story's cell (+ its previous cell, covering
+    *    the one-commit crash window), then only those cells' stories
+    *    buckets open — a sidecar miss is authoritative (the sidecar
+    *    commits before the story ever lands), so absent stories cost
+    *    one tiny sidecar bucket read, never a table scan;
+    *  - cell-layout table WITHOUT a sidecar (pre-sidecar history) →
+    *    correct full-scan fallback; run [[backfillIdMap]] to adopt. */
   def storyByIdStored(spark: SparkSession, storiesDir: String, storyId: String): DataFrame = {
     import spark.implicits._
     import graft.sources.TableSink
@@ -88,6 +125,23 @@ object Serve {
       if (TableSink.layoutColOf(storiesDir).isEmpty)
         TableSink.readBuckets(spark, storiesDir, like,
           TableSink.keyBucketIdsFor(storiesDir, Seq(storyId).toDF("story_id")))
+      else if (TableSink.tableExists(idMapDir(storiesDir))) {
+        val idxLike = spark.range(0).select(lit("").as("story_id"),
+          lit("").as("cell"), lit(null).cast("string").as("prev_cell"))
+        // One bucket of the tiny sidecar; the collect is ≤ 1 row.
+        val hit = TableSink.readBuckets(spark, idMapDir(storiesDir), idxLike,
+            TableSink.keyBucketIdsFor(idMapDir(storiesDir), Seq(storyId).toDF("story_id")))
+          .filter(col("story_id") === storyId)
+          .select(col("cell"), col("prev_cell")).collect()
+        val cells = hit.toSeq.flatMap(r =>
+          Option(r.getString(0)).toSeq ++ Option(r.getString(1)).toSeq).distinct
+        if (cells.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+        else
+          TableSink.readBuckets(spark, storiesDir, like,
+            TableSink.bucketIdsFor(spark, storiesDir, cells))
+      }
       else TableSink.read(spark, storiesDir, like)
     storyById(pruned, storyId)
   }

@@ -231,6 +231,37 @@ object TableSink {
     commit(spark, dir, keys, numBuckets, layoutCol, table, Some(table.schema),
       None, repin = true, newMeta = Some(meta)) { _ => table }
 
+  /**
+   * Maintenance re-bucket: atomically rewrite the table under a NEW
+   * bucket count, preserving its layout column and meta. `numBuckets`
+   * is pinned at the table's first write, so a table that grows 1000×
+   * past its sizing sees upserts degrade toward O(table/N) per dirty
+   * bucket — this is the growth escape hatch. One O(table) commit
+   * (schedule like any bulk job); readers are untouched mid-flight: a
+   * reader that resolved the old manifest keeps its files for the full
+   * [[KeepGenerations]] + grace contract, and every read or upsert
+   * AFTER the flip re-resolves `_CURRENT` and hashes against the new
+   * pinned count, so no path ever mixes the two bucket functions.
+   *
+   * Sizing rule (actionable here because this is where it's applied):
+   * target a few GB of parquet per bucket — [[DefaultBuckets]] = 16
+   * for toy/test tables, O(10k) buckets for a 100 TB table — so a
+   * streaming upsert rewrites a few shards, never the table.
+   */
+  def rebucket(spark: SparkSession, dir: String, keys: Seq[String],
+               newBuckets: Int): Unit = {
+    val cur = currentManifest(dir)
+    require(cur.isDefined, s"no table at '$dir' to re-bucket")
+    require(newBuckets >= 1, s"newBuckets must be >= 1: $newBuckets")
+    val paths = currentPaths(dir, cur)
+    require(paths.nonEmpty,
+      s"table at '$dir' holds no data — the next upsert pins the count " +
+        "directly via its numBuckets argument; nothing to migrate")
+    val table = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    overwrite(spark, dir, table, keys, newBuckets,
+      layoutCol = cur.get.layoutCol, meta = cur.get.meta)
+  }
+
   /** Bucket ids of the given (string) layout values under the table's
     * manifest-pinned bucket function — driver-side, one tiny local job;
     * the write path's `hash()` is replayed exactly. Empty when the table

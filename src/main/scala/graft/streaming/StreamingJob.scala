@@ -395,7 +395,21 @@ object StreamingJob {
       .drop("content")
     TableSink.upsert(spark, articlesDir,
       articlesOut.withColumn("__v", lit(epoch)), Seq("link"), "__v")
-    if (layouted)
+    if (layouted) {
+      // The (story_id → cell) serving sidecar commits BEFORE the stories
+      // merge: micro-batches serialize (a failed epoch replays before the
+      // next starts), so at most ONE stories commit can be outstanding —
+      // carrying prev_cell makes the sidecar's {cell, prev_cell} bucket
+      // pair a superset of wherever the story sits across that window,
+      // which is what lets Serve.storyByIdStored open ≤ 2 buckets of the
+      // stories table (and treat a sidecar miss as authoritative)
+      // instead of falling back to a full scan. O(delta) rows per epoch,
+      // idempotent under replay like every other table write here.
+      TableSink.upsert(spark, graft.serve.Serve.idMapDir(storiesDir),
+        storyDelta.select(col("story_id"), col("cell"),
+          col("__old_cell").cast("string").as("prev_cell"),
+          lit(epoch).as("__v")),
+        Seq("story_id"), "__v")
       // The meta re-asserts the cell function on EVERY commit (the same
       // bytes between refreshes — basis round-trips through the decode
       // above), so it is pinned atomically from the table's FIRST write:
@@ -406,7 +420,7 @@ object StreamingJob {
         numBuckets = storyBuckets,
         layoutCol = Some("cell"), rehomeFromCol = Some("__old_cell"),
         meta = Some(encodeLayoutMeta(simThreshold, gridDims, layoutDims, basis)))
-    else
+    } else
       // Scan-and-drop path (cellLayout off, or a legacy key-hash table):
       // no layout columns may leak into the stored schema.
       TableSink.upsert(spark, storiesDir,
@@ -437,9 +451,18 @@ object StreamingJob {
         val refreshed = OnlineClustering.storyBasis(full, "centroid", basisK)
         if (refreshed.nonEmpty) {
           if (layouted && TableSink.layoutColOf(storiesDir).isDefined) {
+            val newCell = OnlineClustering.cellKey(
+              col("centroid"), simThreshold, gridDims, refreshed.take(layoutDims))
+            // Sidecar first, same discipline as the per-batch path: a
+            // re-grid moves EVERY story, so prev_cell = the outgoing
+            // grid's cell keeps lookups correct if a crash lands between
+            // this overwrite and the stories re-grid below.
+            TableSink.overwrite(spark, graft.serve.Serve.idMapDir(storiesDir),
+              full.select(col("story_id"), newCell.as("cell"),
+                col("cell").as("prev_cell"), lit(epoch).as("__v")),
+              Seq("story_id"))
             TableSink.overwrite(spark, storiesDir,
-              full.withColumn("cell", OnlineClustering.cellKey(
-                col("centroid"), simThreshold, gridDims, refreshed.take(layoutDims))),
+              full.withColumn("cell", newCell),
               Seq("story_id"),
               numBuckets = TableSink.numBucketsOf(storiesDir)
                 .getOrElse(TableSink.DefaultBuckets),

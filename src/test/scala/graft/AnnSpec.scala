@@ -192,4 +192,48 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(moved9999.contains(9999L) && moved9999(9999L) > 0.99,
       s"moved vector serves from its NEW cell: $moved9999")
   }
+
+  test("staleness trigger: drifted adds fire needsRebuild; rebuild restores the recall contract") {
+    import graft.sources.TableSink
+    val e = spark.read.parquet(sf() + "/embeddings.parquet").repartition(8).cache()
+    val nTotal = e.count()
+    // Centroids fitted on a MINORITY slice of the corpus, then the rest
+    // appended under those fixed centroids — the drift scenario the
+    // accounting exists to catch (added/base well past the 0.5 default).
+    val fitted = e.filter(col("vec_id") % 5 === 0)
+    val drifted = e.filter(col("vec_id") % 5 =!= 0)
+    val cells0 = IvfAnn.buildCells(fitted, "vec_id", "embedding", nlist = 16)
+    val sq80 = IvfAnn.quantizeCells(
+      IvfAnn.assignCells(fitted, "vec_id", "embedding", cells0), "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfstale").toString
+    IvfAnn.writeIndex(spark, dir, sq80, "vec_id", numBuckets = 16)
+    assert(!IvfAnn.needsRebuild(dir),
+      "a freshly built index carries no staleness")
+    IvfAnn.appendToIndex(spark, dir, drifted, cells0, "vec_id", "embedding",
+      version = 1L, assumeNewIds = true)
+    assert(IvfAnn.needsRebuild(dir),
+      "adds past the fraction of the fitted base must cue a rebuild")
+    // The rebuild re-fits centroids on the FULL corpus, atomically
+    // replaces the index, resets the accounting, and hands back the
+    // centroids the store must now be probed with — under which the
+    // standard recall contract of this suite holds again.
+    val cells1 = IvfAnn.rebuildIndex(spark, dir, e, "vec_id", "embedding", nlist = 16)
+    assert(!IvfAnn.needsRebuild(dir), "rebuild must reset the staleness accounting")
+    val like = spark.range(0).select(lit(0L).as("vec_id"))
+    assert(TableSink.read(spark, dir, like).count() == nTotal,
+      "rebuilt index must hold exactly the corpus")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = pairs(SimilarityOps.knnJoinCosine(q, e, "vec_id", "embedding", 5))
+    val stored = pairs(IvfAnn.annSearchQuantizedStored(dir, q, cells1,
+      "vec_id", "embedding", k = 5, nprobe = 8))
+    val recall = (stored & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"rebuilt index must restore recall >= 0.7, got $recall")
+    // Unknown provenance (no parseable accounting) also cues a rebuild.
+    val legacy = java.nio.file.Files.createTempDirectory("ivflegacy").toString
+    TableSink.upsert(spark, legacy,
+      sq80.withColumn("__cell_s", col("cell").cast("string")).withColumn("__v", lit(0L)),
+      Seq("vec_id"), "__v", numBuckets = 16, layoutCol = Some("__cell_s"))
+    assert(IvfAnn.needsRebuild(legacy),
+      "an index without staleness accounting must report rebuild-needed")
+  }
 }

@@ -124,6 +124,56 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("must be STRING"))
   }
 
+  test("rebucket: pinned bucket count migrates atomically; readers stay correct across the flip") {
+    import spark.implicits._
+    import graft.sources.TableSink
+    val dir = Files.createTempDirectory("rebkt").toString
+    val rows = (1 to 200).map(i => (s"k$i", i.toLong)).toDF("k", "v")
+    TableSink.upsert(spark, dir, rows.withColumn("__v", lit(1L)),
+      Seq("k"), "__v", numBuckets = 4)
+    assert(TableSink.numBucketsOf(dir).contains(4))
+    val like = spark.range(0).select(lit("").as("k"), lit(0L).as("v"))
+    // A reader resolved BEFORE the flip (old manifest's files).
+    val oldReader = TableSink.read(spark, dir, like)
+    val want = rows.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    TableSink.rebucket(spark, dir, Seq("k"), newBuckets = 16)
+    assert(TableSink.numBucketsOf(dir).contains(16), "new count must be pinned")
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The pre-flip reader survives (KeepGenerations + grace contract)
+    // and the post-flip read sees identical content.
+    assert(content(oldReader) == want, "pre-flip reader must stay readable")
+    assert(content(TableSink.read(spark, dir, like)) == want)
+    // Point reads hash against the NEW pinned count — pruned and correct.
+    val hit = TableSink.readBuckets(spark, dir, like,
+      TableSink.keyBucketIdsFor(dir, Seq("k7").toDF("k")))
+    assert(hit.filter(col("k") === "k7").count() == 1)
+    assert(hit.inputFiles.length < TableSink.read(spark, dir, like).inputFiles.length,
+      "post-flip point read must open a strict subset of files")
+    // Upserts after the flip land in the new bucket function.
+    TableSink.upsert(spark, dir,
+      Seq(("k7", 777L)).toDF("k", "v").withColumn("__v", lit(2L)), Seq("k"), "__v")
+    assert(content(TableSink.read(spark, dir, like))("k7") == 777L)
+    // A layout-bucketed table keeps its layout column and meta across
+    // the migration (re-home contract unbroken).
+    val ldir = Files.createTempDirectory("rebktl").toString
+    TableSink.upsert(spark, ldir,
+      (1 to 50).map(i => (s"id$i", s"c${i % 5}")).toDF("id", "cell")
+        .withColumn("__v", lit(1L)),
+      Seq("id"), "__v", numBuckets = 4, layoutCol = Some("cell"),
+      meta = Some("grid:v1"))
+    TableSink.rebucket(spark, ldir, Seq("id"), newBuckets = 8)
+    assert(TableSink.layoutColOf(ldir).contains("cell") &&
+      TableSink.metaOf(ldir).contains("grid:v1") &&
+      TableSink.numBucketsOf(ldir).contains(8),
+      "rebucket must preserve layout column and meta while re-pinning the count")
+    val cellHit = TableSink.readBuckets(spark, ldir,
+      spark.range(0).select(lit("").as("id"), lit("").as("cell")),
+      TableSink.bucketIdsFor(spark, ldir, Seq("c3")))
+    assert(cellHit.filter(col("cell") === "c3").count() == 10,
+      "value-addressed reads must resolve under the new count")
+  }
+
   test("manifest meta, in-commit re-home, and atomic overwrite re-grid") {
     import spark.implicits._
     import graft.sources.TableSink

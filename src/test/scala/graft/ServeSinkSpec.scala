@@ -121,6 +121,52 @@ class ServeSinkSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("no recommendations table"))
   }
 
+  test("cell-layout stories: sidecar resolves id→cell; lookup opens few buckets; " +
+    "miss is authoritative; prev_cell covers the crash window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("servecell").toString
+    val stories = (1 to 40).map(i =>
+        (s"s$i", s"sum $i", ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"), s"c${i % 10}"))
+      .toDF("story_id", "summary", "last_updated", "cell")
+    TableSink.upsert(spark, s"$dir/stories", stories.withColumn("__v", lit(1L)),
+      Seq("story_id"), "__v", numBuckets = 32, layoutCol = Some("cell"))
+    val like = spark.range(0).select(lit("").as("story_id"))
+    val nAll = TableSink.read(spark, s"$dir/stories", like).inputFiles.length
+    // Pre-sidecar history: correct full-scan fallback.
+    val fallback = Serve.storyByIdStored(spark, s"$dir/stories", "s7")
+    assert(fallback.collect().map(_.getString(1)).toSeq == Seq("sum 7"))
+    assert(fallback.inputFiles.length == nAll,
+      "without a sidecar the cell-layout lookup is a (correct) full scan")
+    // Backfill adopts the table; the lookup then opens only the story's
+    // cell bucket(s) — strictly fewer files.
+    Serve.backfillIdMap(spark, s"$dir/stories")
+    val got = Serve.storyByIdStored(spark, s"$dir/stories", "s7")
+    assert(got.collect().map(_.getString(1)).toSeq == Seq("sum 7"))
+    assert(got.inputFiles.length > 0 && got.inputFiles.length < nAll,
+      s"sidecar lookup must be file-pruned: ${got.inputFiles.length} of $nAll")
+    // A sidecar miss is authoritative: no stories files open at all.
+    val miss = Serve.storyByIdStored(spark, s"$dir/stories", "nope")
+    assert(miss.collect().isEmpty && miss.inputFiles.isEmpty,
+      "absent story must cost one sidecar bucket, not a table read")
+    // One-commit crash window: the sidecar committed a re-home (cell=new,
+    // prev_cell=old) but the stories commit was lost — the row still sits
+    // under its old cell, which prev_cell's bucket covers.
+    TableSink.upsert(spark, Serve.idMapDir(s"$dir/stories"),
+      Seq(("s7", "cMOVED", "c7")).toDF("story_id", "cell", "prev_cell")
+        .withColumn("__v", lit(2L)),
+      Seq("story_id"), "__v")
+    val win = Serve.storyByIdStored(spark, s"$dir/stories", "s7")
+    assert(win.collect().map(_.getString(1)).toSeq == Seq("sum 7"),
+      "prev_cell bucket must cover the one-outstanding-commit window")
+    // backfill refuses key-hash tables (they prune without a sidecar).
+    TableSink.upsert(spark, s"$dir/flat",
+      stories.drop("cell").withColumn("__v", lit(1L)), Seq("story_id"), "__v")
+    val err = intercept[IllegalArgumentException] {
+      Serve.backfillIdMap(spark, s"$dir/flat")
+    }
+    assert(err.getMessage.contains("no layout column"))
+  }
+
   test("driftScore serves A2 on demand; registerViews enables SQL reads") {
     import spark.implicits._
     val interactions = Seq(

@@ -215,6 +215,22 @@ class StreamingJobSpec extends AnyFunSuite with SparkSpec {
     assert(last.tableFiles > 0 && last.candidateFiles >= 0 &&
       last.candidateFiles < last.tableFiles,
       s"per-batch file-pruning metrics must show the pruned read: $last")
+    // The id→cell serving sidecar rides the same epochs (upserts and the
+    // re-grid overwrite both maintain it): it must exist and mirror every
+    // story's CURRENT cell, which is what lets Serve.storyByIdStored
+    // resolve a point lookup to ≤ 2 stories buckets.
+    val idmapDir = graft.serve.Serve.idMapDir(storiesDir)
+    assert(TableSink.tableExists(idmapDir),
+      "cell-layout job must maintain the id→cell sidecar")
+    val sideLike = spark.range(0).select(lit("").as("story_id"))
+    val side = TableSink.read(spark, idmapDir, sideLike)
+      .select("story_id", "cell").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val curCells = TableSink.read(spark, storiesDir, sideLike)
+      .select("story_id", "cell").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(side == curCells,
+      s"sidecar must mirror every story's current cell: $side vs $curCells")
   }
 
   test("curateGate: in-stream hygiene — quality floor, PII redaction — before featurization") {
