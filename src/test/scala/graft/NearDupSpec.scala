@@ -359,6 +359,19 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
     assert(got(106L) == ((106L, false)),
       s"a member's corpus match blocks the whole component, representative included: ${got(106L)}")
     assert(got(107L) == ((106L, false)), s"blocked member stays blocked: ${got(107L)}")
+    // Plan-shape pin: the cascade + corpus-probe DAG must run ONCE. The
+    // flagged frame is eagerly checkpointed before fanning out to its two
+    // consumers, so the FINAL plan contains only scans of the truncated
+    // RDD — no shingle explode (Generate) and no minhash evaluation may
+    // survive into it. A regression re-inlines the probe subtree into
+    // both consumers and reappears here as a Generate node.
+    val finalPlan = DedupOps.admitIncremental(batch, corpus, idx, "doc_id", "text",
+      3, 4, 4, threshold = 0.5).queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ExistingRDD"),
+      s"admission output must read the checkpointed verdict:\n$finalPlan")
+    assert(!finalPlan.contains("Generate"),
+      s"no shingle/band explode may survive into the final admission plan " +
+        s"(the verify DAG would execute per consumer):\n$finalPlan")
   }
 
   test("epsilon-grid emits each candidate pair exactly once (no distinct needed)") {
