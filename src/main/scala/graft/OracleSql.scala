@@ -497,6 +497,100 @@ object OracleSql {
         |  CAST(len(list(DISTINCT l_partkey)) AS INTEGER) AS n_parts
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
+    // As-of join replayed by DuckDB's native ASOF LEFT JOIN (greatest
+    // view_ts <= click ts per user, inclusive — identical tie rule to the
+    // engine's right-before-left sort at equal timestamps). The view side
+    // is deduped per (user, ts) on both sides so the match is pinned.
+    "x_asof_join" ->
+      """WITH v AS (SELECT user_id, ts AS view_ts, max(value) AS view_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |     c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // Interval join as a plain inequality join (DuckDB plans IEJoin);
+    // the engine's grid-bucketed equi-join must produce the identical
+    // pair set. count(p.ts) counts matched rows only, so windows whose
+    // sole content is their opening event still replay exactly.
+    "x_range_join" ->
+      """WITH w AS (SELECT event_id AS win_id, user_id, ts AS w_start,
+        |                  ts + INTERVAL 30 MINUTE AS w_end
+        |           FROM events WHERE event_type = 'error'),
+        |     p AS (SELECT user_id, ts, value FROM events)
+        |SELECT w.win_id, CAST(count(p.ts) AS BIGINT) AS n_events,
+        |       round(coalesce(sum(p.value), 0), 4) AS sum_value
+        |FROM w LEFT JOIN p ON p.user_id = w.user_id
+        |  AND p.ts >= w.w_start AND p.ts < w.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Gap sessions: break when the gap to the previous event exceeds 30
+    // minutes (strict, microsecond-exact on both engines), running-sum
+    // the breaks into a per-user session sequence, then summarize.
+    "x_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |     s AS (SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Substring-level dedup (Lee et al. 2022, shingle form): 8-token
+    // windows over the shared tokenization, duplicated when seen in >= 2
+    // distinct docs. t[i:i+7] is DuckDB's 1-based INCLUSIVE slice = the
+    // engine's slice(toks, i, 8); generate_series(1, n) is empty for
+    // n < 1, matching the engine's guarded short-doc branch.
+    "x_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+        |     win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+        |             FROM (SELECT doc_id, t,
+        |                     unnest(generate_series(1, len(t) - 7)) AS i FROM toks))
+        |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occ
+        |FROM win GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY 1""".stripMargin,
+
+    // Span removal: coverage = distinct (doc, pos) under any duplicated
+    // window (overlaps merge via DISTINCT), kept tokens re-join in
+    // position order; docs shorter than the window (or empty) fall out
+    // of tok_pos and re-enter via the documents left join with zeros.
+    "x_substring_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+        |     win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+        |             FROM (SELECT doc_id, t,
+        |                     unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |     dup AS (SELECT span FROM win GROUP BY 1
+        |             HAVING count(DISTINCT doc_id) >= 2),
+        |     cover AS (SELECT DISTINCT w.doc_id, u.pos
+        |               FROM win w JOIN dup USING (span),
+        |                    unnest(generate_series(w.i, w.i + 7)) AS u(pos)),
+        |     tok_pos AS (SELECT doc_id, i AS pos, t[i] AS tok
+        |                 FROM (SELECT doc_id, t,
+        |                         unnest(generate_series(1, len(t))) AS i FROM toks)),
+        |     agg AS (SELECT tp.doc_id, count(*) AS n_tokens,
+        |               count(c.pos) AS n_removed,
+        |               coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+        |                 ' ' ORDER BY tp.pos), '') AS clean_text
+        |             FROM tok_pos tp LEFT JOIN cover c
+        |               ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+        |             GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+        |       coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // The bloom prefilter is exact end-to-end (suspects get verified),
     // so the oracle is the plain fingerprint anti-join.
     "x_bloom_incremental" ->

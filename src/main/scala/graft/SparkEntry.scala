@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, QuantizeOps, Recommend, RecommendML, SampleOps, SimilarityOps, SkewOps, StoryOps}
+import graft.operators.{ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, QuantizeOps, Recommend, RecommendML, SampleOps, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -894,6 +894,82 @@ object SparkEntry {
           array_join(transform(col("values"), _.cast("string")), ",").as("parts"),
           size(col("values")).as("n_parts"))
         .orderBy("l_orderkey")
+    }),
+    // ─────────────── temporal joins / sessionization ────────────────────
+    // As-of join: every click gains the user's most recent view at or
+    // before the click (left semantics — 151 clicks at sf0.01 precede any
+    // view and carry nulls). No join node: union + one key exchange + one
+    // sort + a running last(ignoreNulls) window. The right side is
+    // pre-deduped per (user, ts) so the carried row is pinned.
+    "x_asof_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("value"))
+        .groupBy("user_id", "view_ts")
+        .agg(max(col("value")).as("view_value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      TemporalOps.asofJoin(clicks, views, Seq("user_id"), "ts", "view_ts")
+        // events.ts is tz-adjusted (timestamp_micros in T); emit NTZ so
+        // the parquet matches DuckDB's naive µs timestamps (identity
+        // under the UTC session — same wall clock, same micros).
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("view_ts").cast("timestamp_ntz").as("view_ts"), col("view_value"))
+        .orderBy("event_id")
+    }),
+    // Interval join on a time grid: each error event opens a 30-minute
+    // window; count/sum the user's events inside it. The grid bucket
+    // equals the window length, so an interval fans out to ≤ 2 cells and
+    // the inequality rides a plain equi-join — no cross product. Left
+    // join back keeps windows with only their own opening event.
+    "x_range_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val wins = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("win_id"), col("user_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      val points = ev.select(col("user_id"), col("ts"), col("value"))
+      val pairs = TemporalOps.rangeJoin(points, wins, Seq("user_id"),
+        "ts", "w_start", "w_end", bucketMicros = 30L * 60 * 1000000)
+      wins.select(col("win_id"))
+        .join(pairs.groupBy(col("win_id"))
+          .agg(count(lit(1)).as("__n"), sum(col("value")).as("__sv")), Seq("win_id"), "left")
+        .select(col("win_id"),
+          coalesce(col("__n"), lit(0L)).as("n_events"),
+          round(coalesce(col("__sv"), lit(0.0)), 4).as("sum_value"))
+        .orderBy("win_id")
+    }),
+    // Gap-based sessionization (30-min inactivity), then per-session
+    // summaries — the batch twin of Structured Streaming's
+    // session_window, replayed exactly by the oracle. One exchange + one
+    // sort serves both the lag and the running session counter.
+    "x_sessionize" -> ((s, d) => {
+      TemporalOps.sessionize(T(s, d, "events"), Seq("user_id"), "ts",
+          gapMicros = 30L * 60 * 1000000, tieBreak = Seq(col("event_id")))
+        .groupBy(col("user_id"), col("session_seq"))
+        // NTZ on output for the same reason as x_asof_join (the session
+        // math itself runs on the tz-adjusted column — unix_micros).
+        .agg(min(col("ts")).cast("timestamp_ntz").as("session_start"),
+          max(col("ts")).cast("timestamp_ntz").as("session_end"),
+          count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("user_id", "session_seq")
+    }),
+    // ──────── substring-level dedup (Lee et al. 2022, shingle form) ─────
+    // The duplicated-span inventory: 8-token windows occurring in ≥ 2
+    // distinct documents — the partial-duplication signal the document-
+    // level cascade cannot see. Window rows are linear in corpus tokens;
+    // both aggregates partial-combine map-side.
+    "x_dup_spans" -> ((s, d) => {
+      SpanDedup.duplicatedSpans(T(s, d, "documents"), "doc_id", "text", k = 8)
+        .orderBy("span")
+    }),
+    // Span removal: mask every token covered by a duplicated window and
+    // rebuild the surviving text in order — one row per input document,
+    // short/empty docs pass through untouched with zero counts.
+    "x_substring_scrub" -> ((s, d) => {
+      SpanDedup.scrubSpans(T(s, d, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
     }),
     // ──────────── wave 2: remaining §2 operator ids ────────────
     "p1_projection" -> ((s, d) => {
