@@ -39,6 +39,21 @@ object Bench {
     if (failures.nonEmpty) sys.exit(1)
   }
 
+  /** Inter-query state sweep. The suite shares one JVM across ~115
+    * queries × `runs` passes, and the localCheckpoint-heavy queries
+    * (`x_admit_incremental`, `pipe_dedup_e2e`, `x_dup_components`,
+    * `x_index_refresh`) pin their checkpoint RDD blocks in the block
+    * manager until driver GC happens to collect them — which inflated
+    * whichever queries ran next alphabetically, drifting their in-suite
+    * numbers round over round while isolated medians stayed flat.
+    * Unpersisting every persistent RDD and clearing the SQL cache after
+    * each timed run (untimed: outside the clock) starts every
+    * measurement from an empty block manager. */
+  private def sweep(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+  }
+
   /** Timed passes over `queries`: per-query median of `runs` wall times,
     * plus an explicit failure map — a crashed query is excluded from the
     * timings (never recorded as ~0 s) and reported by name. */
@@ -48,6 +63,7 @@ object Bench {
     val names = queries.keys.toSeq.sorted
     val timings = collection.mutable.Map.empty[String, List[Double]]
     val failures = collection.mutable.Map.empty[String, String]
+    sweep(spark) // warmup queries may have left state too
     for (_ <- 1 to runs; name <- names if !failures.contains(name)) {
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column (a bare
@@ -61,6 +77,7 @@ object Bench {
           failures(name) = e.toString.takeWhile(_ != '\n').take(200)
           timings.remove(name)
       }
+      sweep(spark)
     }
     def median(xs: List[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     (names.filter(timings.contains).map(n => n -> median(timings(n))), failures.toMap)

@@ -11,8 +11,13 @@ object OracleSql {
   // on RUNS of whitespace and drop empty tokens, so multi-space/tab/empty
   // documents produce the same token stream as Spark's `\s+` split (a
   // single-space string_split would vote phantom '' tokens into hashes).
+  // The whitespace class is spelled out rather than written `\s` because
+  // the two regex engines disagree on it: Java's `\s` (the Spark side) is
+  // exactly [ \t\n\x0B\f\r], DuckDB's RE2 `\s` excludes vertical tab
+  // 0x0B — a document containing a vertical tab would tokenize
+  // differently engine-vs-oracle under `\s+` on both sides.
   private val words =
-    """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')"""
+    """list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '')"""
   private val stops = "('the','a','an','of','and','to','in','is','it','for')"
 
   /** Unrolled BPE training chain, shared by x_bpe_merges / x_bpe_encode:
@@ -418,7 +423,7 @@ object OracleSql {
     "x_token_stats" ->
       s"""WITH w AS (SELECT doc_id, text, length(text) nc, $words wds FROM documents)
          |SELECT doc_id, CAST(len(wds) AS INTEGER) AS n_tokens,
-         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]+')) AS INTEGER) AS n_bpe_tokens,
          |  CAST(nc AS INTEGER) AS n_chars2,
          |  round(list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds), 6) AS avg_word_len,
          |  round(len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds), 6) AS stopword_ratio
@@ -882,7 +887,7 @@ object OracleSql {
         |  (len(list_filter(w, t -> t IN ('fast','big','win','good','great'))) -
         |   len(list_filter(w, t -> t IN ('slow','small','error','bad','fail'))))::DOUBLE / len(w) sent
         |  FROM (SELECT log_id, source,
-        |        list_filter(regexp_split_to_array(lower(trim(headline)), '\s+'), t -> t <> '') w FROM r)),
+        |        list_filter(regexp_split_to_array(lower(trim(headline)), '[ \t\n\x0b\f\r]+'), t -> t <> '') w FROM r)),
         |g AS (SELECT log_id, count(DISTINCT source)::DOUBLE / count(*) d, avg(sent) m
         |      FROM s GROUP BY log_id)
         |SELECT log_id, round(d, 6) AS diversity_score, round(m, 6) AS average_sentiment,
@@ -1158,7 +1163,7 @@ object OracleSql {
         |c AS (SELECT doc_id, text,
         |    list_filter(string_split(text, chr(10)), l ->
         |      regexp_matches(trim(l), '[.!?"'']$')
-        |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'), w -> w <> '')) >= 5
+        |      AND len(list_filter(regexp_split_to_array(trim(l), '[ \t\n\x0b\f\r]+'), w -> w <> '')) >= 5
         |      AND NOT contains(lower(l), 'javascript')) kept
         |  FROM t)
         |SELECT doc_id,

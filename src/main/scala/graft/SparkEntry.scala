@@ -958,17 +958,20 @@ object SparkEntry {
     // ──────── substring-level dedup (Lee et al. 2022, shingle form) ─────
     // The duplicated-span inventory: 8-token windows occurring in ≥ 2
     // distinct documents — the partial-duplication signal the document-
-    // level cascade cannot see. Window rows are linear in corpus tokens;
-    // both aggregates partial-combine map-side.
+    // level cascade cannot see. Runs the DIGEST-keyed scale form (the
+    // corpus-wide exchange carries 16-byte digests, never span text);
+    // SpanDedupSpec pins it pointwise equal to the string-keyed
+    // duplicatedSpans the oracle SQL replays.
     "x_dup_spans" -> ((s, d) => {
-      SpanDedup.duplicatedSpans(T(s, d, "documents"), "doc_id", "text", k = 8)
+      SpanDedup.duplicatedSpansDigest(T(s, d, "documents"), "doc_id", "text", k = 8)
         .orderBy("span")
     }),
     // Span removal: mask every token covered by a duplicated window and
     // rebuild the surviving text in order — one row per input document,
-    // short/empty docs pass through untouched with zero counts.
+    // short/empty docs pass through untouched with zero counts. Digest
+    // form: the duplicated-span set probes the windows as a broadcast.
     "x_substring_scrub" -> ((s, d) => {
-      SpanDedup.scrubSpans(T(s, d, "documents"), "doc_id", "text", k = 8)
+      SpanDedup.scrubSpansDigest(T(s, d, "documents"), "doc_id", "text", k = 8)
         .orderBy("doc_id")
     }),
     // ──────────── wave 2: remaining §2 operator ids ────────────

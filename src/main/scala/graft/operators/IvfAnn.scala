@@ -160,7 +160,9 @@ object IvfAnn {
    * each add advances the manifest's staleness accounting, and
    * [[needsRebuild]] turns it into a scheduled [[rebuildIndex]] cue,
    * exactly like the basis StalenessGuard re-grid in
-   * [[graft.streaming.StreamingJob]].
+   * [[graft.streaming.StreamingJob]]. [[maintain]] is the scheduled
+   * host that checks the cue and runs the rebuild — call it once per
+   * ingest cycle after the appends.
    */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     newVectors: DataFrame, cells: DataFrame,
@@ -256,6 +258,29 @@ object IvfAnn {
       meta = Some(s"ivf:v1;base=${corpus.select(col(idCol)).count()};added=0"))
     cells
   }
+
+  /**
+   * The scheduled maintenance host for [[needsRebuild]] — the entry
+   * point a cron/batch pipeline calls after each ingest cycle, the IVF
+   * analog of the basis `StalenessGuard` firing inside
+   * [[graft.streaming.StreamingJob]]'s `processBatch`: assess staleness
+   * from the manifest (one line read, no Spark job) and, ONLY when the
+   * trigger fires, pay the O(corpus) [[rebuildIndex]]. Returns
+   * Some(new centroids) when a rebuild ran — the caller MUST swap its
+   * serving centroids to the returned ones (probing a rebuilt index
+   * with stale centroids probes wrong cells) — and None when the index
+   * is fresh, in which case the existing centroids remain valid. The
+   * contract per cycle is thus: `appendToIndex(batch)` …
+   * `maintain(corpus).foreach(newCells = _)` — appends stay O(batch),
+   * the rebuild amortizes to the configured staleness fraction.
+   */
+  def maintain(spark: org.apache.spark.sql.SparkSession, dir: String,
+               corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, iters: Int = 3,
+               maxAddedFraction: Double = 0.5): Option[DataFrame] =
+    if (needsRebuild(dir, maxAddedFraction))
+      Some(rebuildIndex(spark, dir, corpus, idCol, vecCol, nlist, iters))
+    else None
 
   /** The nprobe-nearest cell ids across all queries — driver-side and
     * bounded (≤ |queries| × nprobe ids; queries are the small side of

@@ -18,27 +18,52 @@ import org.apache.spark.sql.functions._
  * pipelines) is the one here: slide a k-token window over every document,
  * group identical windows, and call a span duplicated when it occurs in
  * ≥ `minDocs` distinct documents. Detection is two map-side-combinable
- * aggregations over O(total tokens) window rows; removal re-joins the
+ * aggregations over O(total tokens) window rows; removal probes the
  * duplicated-span set against the windows and masks the covered token
  * positions.
+ *
+ * Two keying modes, same semantics:
+ *
+ *  - STRING-keyed ([[duplicatedSpans]] / [[scrubSpans]]): the span text
+ *    itself is the group key — the form the DuckDB oracle replays
+ *    verbatim, kept as the executable spec.
+ *  - DIGEST-keyed ([[duplicatedSpansDigest]] / [[scrubSpansDigest]]):
+ *    the 100 TB form. Spans are keyed by a 128-bit digest (two
+ *    independently-seeded xxhash64 words — one 64-bit word has a real
+ *    birthday collision expectation at ~10^13 windows; at 128 bits it is
+ *    ~10^-13), so the corpus-wide exchanges carry 16-byte keys instead
+ *    of k-token strings (shuffle bytes shrink ~k×), and the
+ *    duplicated-span set — tiny relative to the corpus — probes the
+ *    windows as a broadcast instead of a shuffle join. Span TEXT never
+ *    enters a corpus-wide exchange in this mode (spec-pinned on the
+ *    physical plan): the inventory re-attaches one representative span
+ *    via a second aggregation over ONLY the already-identified
+ *    duplicated windows, and the scrubber needs no span text at all
+ *    past the digest.
  *
  * Scale posture (100 TB): window rows are linear in corpus tokens — the
  * same asymptotics as the tokenize pass every other curation op already
  * pays — and every stage is a hash exchange with partial aggregation
- * (no sort, no cross product). At full scale the group-by key should be
- * a 128-bit digest of the span rather than the span text (shuffle bytes
- * shrink ~k×; re-attach one representative span by `min` afterwards),
- * and the duplicated-span set — which is tiny relative to the corpus —
- * becomes a broadcast/Bloom probe instead of a shuffle join. Both are
- * mechanical swaps on this plan shape; the string key is kept here so
- * the DuckDB oracle replays the grouping exactly.
+ * (no sort, no cross product). The digest mode's representative-span
+ * pass re-scans the corpus (windows are NOT persisted on purpose —
+ * caching O(corpus tokens) of window rows is exactly the wrong trade at
+ * scale; a second map-side scan is not), but its exchange carries only
+ * the duplicated spans.
  */
 object SpanDedup {
 
   /** Tokenization shared with the other text kernels: lower, split on
-    * whitespace runs, drop empties (mirrors OracleSql's `words`). */
+    * whitespace runs, drop empties. Java's `\s` is exactly
+    * [ \t\n\x0B\f\r]; OracleSql's `words` macro spells that class out
+    * (RE2's `\s` lacks \x0B), so engine and oracle tokenize identically
+    * even on vertical-tab bytes. */
   private def toks(textCol: Column): Column =
     filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
+
+  /** The two digest words keying a span in digest mode. xxhash64 over
+    * (seed-literal, span) — different seed literal, independent hash. */
+  private def spanDigests(span: Column): (Column, Column) =
+    (xxhash64(span), xxhash64(lit(1L), span))
 
   /**
    * One row per k-token window: (id, i, span) with i the 1-based start
@@ -60,19 +85,63 @@ object SpanDedup {
   }
 
   /**
-   * The duplicated-span inventory: every k-token span occurring in
-   * ≥ `minDocs` distinct documents, with its document frequency and
-   * total occurrence count. Both aggregates are partial-aggregation
+   * The duplicated-span inventory over PREBUILT window rows (the factored
+   * core — [[scrubSpans]] derives its duplicated set from the same window
+   * frame it probes, so the operator is written once): every span
+   * occurring in ≥ `minDocs` distinct documents, with document frequency
+   * and total occurrence count. Both aggregates are partial-aggregation
    * friendly (count-distinct over the doc id expands to the standard
    * two-phase plan), so the only full-width shuffle is the span key.
    */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String, k: Int,
-                      minDocs: Int = 2): DataFrame = {
+  def duplicatedSpansFromWindows(win: DataFrame, idCol: String,
+                                 minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    spanWindows(docs, idCol, textCol, k)
+    win
       .groupBy(col("span"))
       .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
       .where(col("n_docs") >= minDocs)
+  }
+
+  /** String-keyed duplicated-span inventory (oracle mode). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                      minDocs: Int = 2): DataFrame =
+    duplicatedSpansFromWindows(spanWindows(docs, idCol, textCol, k), idCol, minDocs)
+
+  /**
+   * Digest-keyed duplicated-span inventory — same output as
+   * [[duplicatedSpans]] (identical absent a 128-bit digest collision;
+   * spec-pinned equal on a shared-boilerplate fixture), different
+   * exchange economics: pass 1 aggregates (doc-frequency, occurrences)
+   * under the 16-byte digest key — no span text in the corpus-wide
+   * exchange — and pass 2 re-attaches ONE representative span by
+   * aggregating only the windows whose digest is already known
+   * duplicated (the broadcast semi-probe prunes map-side, so the only
+   * exchange carrying span text is sized by the duplicated-span
+   * inventory, not the corpus).
+   */
+  def duplicatedSpansDigest(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                            minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val win = spanWindows(docs, idCol, textCol, k)
+    val (h1, h2) = spanDigests(col("span"))
+    val keyed = win.withColumn("__h1", h1).withColumn("__h2", h2)
+    val counts = keyed
+      // span is pruned out of this subtree by Catalyst (nothing below the
+      // aggregate references it), so the exchange key+payload is
+      // (h1, h2, doc id, partial counts) only.
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= minDocs)
+    // The counts relation is consumed ONCE (a single broadcast) and its
+    // per-key stats ride the representative-span aggregation as
+    // key-constant max's — a second counts join would re-evaluate the
+    // corpus-scanning aggregate subtree under a second broadcast.
+    keyed
+      .join(broadcast(counts), Seq("__h1", "__h2"))
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(min(col("span")).as("span"),
+        max(col("n_docs")).as("n_docs"), max(col("n_occ")).as("n_occ"))
+      .select(col("span"), col("n_docs"), col("n_occ"))
   }
 
   /**
@@ -83,15 +152,59 @@ object SpanDedup {
    * Returns one row per INPUT document: (id, n_tokens, n_removed,
    * clean_text) — empty/short docs pass through with zero counts, so
    * the op is a total function over the corpus.
+   *
+   * String-keyed oracle mode. The window frame is built once and feeds
+   * both the duplicated-set aggregation and the coverage join (factored
+   * via [[duplicatedSpansFromWindows]]); the DAG still evaluates the
+   * tokenize+explode under each consumer — deliberately not persisted,
+   * see the class note. [[scrubSpansDigest]] is the scale form.
    */
   def scrubSpans(docs: DataFrame, idCol: String, textCol: String, k: Int,
                  minDocs: Int = 2): DataFrame = {
     val win = spanWindows(docs, idCol, textCol, k)
-    val dup = duplicatedSpans(docs, idCol, textCol, k, minDocs).select(col("span"))
+    val dup = duplicatedSpansFromWindows(win, idCol, minDocs).select(col("span"))
     val cover = win.join(dup, "span")
       .select(col(idCol), explode(sequence(col("i"), col("i") + lit(k - 1))).as("pos"))
       .distinct()
       .withColumn("__cov", lit(1))
+    scrubWithCoverage(docs, idCol, textCol, cover)
+  }
+
+  /**
+   * Digest-keyed span removal — the 100 TB form of [[scrubSpans]], same
+   * output (spec-pinned): windows drop their span text for a 128-bit
+   * digest immediately after hashing, the duplicated-digest set is
+   * detected under the digest key and probed back as a BROADCAST
+   * (duplicated spans are tiny relative to the corpus; set
+   * `broadcastDups = false` to fall back to a shuffled join when an
+   * adversarial corpus makes the inventory itself huge), and coverage /
+   * reassembly proceed on (id, pos) exactly as the string form. Span
+   * text appears in NO exchange anywhere in this plan — the widest
+   * shuffled payloads are 16-byte digests and single tokens.
+   */
+  def scrubSpansDigest(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                       minDocs: Int = 2, broadcastDups: Boolean = true): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val (h1, h2) = spanDigests(col("span"))
+    val win = spanWindows(docs, idCol, textCol, k)
+      .select(col(idCol), col("i"), h1.as("__h1"), h2.as("__h2"))
+    val dup = win
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("__h1"), col("__h2"))
+    val cover = win.join(if (broadcastDups) broadcast(dup) else dup, Seq("__h1", "__h2"))
+      .select(col(idCol), explode(sequence(col("i"), col("i") + lit(k - 1))).as("pos"))
+      .distinct()
+      .withColumn("__cov", lit(1))
+    scrubWithCoverage(docs, idCol, textCol, cover)
+  }
+
+  /** Shared reassembly: join the (id, pos) coverage set onto the token
+    * positions, keep uncovered tokens, restore order without a sort
+    * exchange, zero-fill docs that produced no tokens. */
+  private def scrubWithCoverage(docs: DataFrame, idCol: String, textCol: String,
+                                cover: DataFrame): DataFrame = {
     val tokPos = docs
       .select(col(idCol), posexplode(toks(col(textCol))).as(Seq("__p", "tok")))
       .select(col(idCol), (col("__p") + 1).as("pos"), col("tok"))

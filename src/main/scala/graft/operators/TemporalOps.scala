@@ -95,12 +95,22 @@ object TemporalOps {
    * interval length (fan-out ≈ 2) — shuffle volume is then
    * O(points + 2·intervals), versus the O(points × intervals-per-key)
    * cross-join Spark would otherwise plan for the inequality predicate.
+   *
+   * `maxCellsPerInterval` is the fan-out guard: one interval spanning
+   * ≫ bucketMicros would otherwise explode its `sequence()` silently
+   * into millions of replica rows (a year-long interval on a one-minute
+   * grid is ~526k cells — per interval row). The guard fails the job
+   * loudly IN-PLAN (codegen `raise_error`, no extra pass) with the
+   * observed fan-out and the bucket-size fix, the moment the first
+   * offending interval is scanned.
    */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
                 pointTime: String, startCol: String, endCol: String,
-                bucketMicros: Long): DataFrame = {
+                bucketMicros: Long, maxCellsPerInterval: Int = 4096): DataFrame = {
     require(keys.nonEmpty, "rangeJoin needs at least one equi-key")
     require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    require(maxCellsPerInterval >= 2,
+      s"maxCellsPerInterval must allow the boundary cell: $maxCellsPerInterval")
     val ivPayload = intervals.columns.filterNot(keys.contains).toSeq
     val clash = ivPayload.toSet.intersect(points.columns.toSet)
     require(clash.isEmpty,
@@ -110,9 +120,19 @@ object TemporalOps {
     // (end is exclusive, but the extra boundary cell the ceil-free
     // sequence can add is harmless — the exact predicate prunes it).
     val p = points.withColumn(B, floor(unix_micros(col(pointTime)) / bucketMicros)).alias("__p")
-    val iv = intervals.withColumn(B, explode(sequence(
-        floor(unix_micros(col(startCol)) / bucketMicros),
-        floor(unix_micros(col(endCol)) / bucketMicros)))).alias("__i")
+    val startB = floor(unix_micros(col(startCol)) / bucketMicros)
+    val endB = floor(unix_micros(col(endCol)) / bucketMicros)
+    val fanOut = endB - startB + lit(1L)
+    val guarded = when(fanOut > lit(maxCellsPerInterval.toLong),
+        raise_error(concat(
+          lit("rangeJoin: an interval spans "), fanOut.cast("string"),
+          lit(s" grid cells (cap $maxCellsPerInterval): ["),
+          col(startCol).cast("string"), lit(", "), col(endCol).cast("string"),
+          lit(s") vs bucketMicros=$bucketMicros — set bucketMicros near the " +
+            "typical interval length, or raise maxCellsPerInterval")))
+          .cast("array<bigint>"))
+      .otherwise(sequence(startB, endB))
+    val iv = intervals.withColumn(B, explode(guarded)).alias("__i")
     val cond = (keys.map(k => col(s"__p.$k") === col(s"__i.$k")) ++ Seq(
         col(s"__p.$B") === col(s"__i.$B"),
         col(s"__p.$pointTime") >= col(s"__i.$startCol"),
@@ -130,9 +150,13 @@ object TemporalOps {
    * (e.g. the event id) whenever timestamps can collide, so the running
    * sum is deterministic.
    *
-   * This is the batch twin of the Structured Streaming session window
-   * (`session_window(ts, gap)` in ArticleStream's surface): identical
-   * assignment on a closed log, replayable by the oracle.
+   * The streaming twin is [[graft.streaming.ArticleStream.sessionCounts]]
+   * (`session_window(ts, gap)`). One boundary nuance separates them: this
+   * sessionizer breaks on strictly-greater-than-gap (an exactly-at-gap
+   * event stays in-session), Spark's `session_window` merges on
+   * strictly-less (an exactly-at-gap event starts a new one) — pick a gap
+   * finer than the timestamp granularity and the assignments coincide on
+   * every log (StreamingSpec replays one through both).
    */
   def sessionize(events: DataFrame, keys: Seq[String], timeCol: String,
                  gapMicros: Long, tieBreak: Seq[Column] = Nil,

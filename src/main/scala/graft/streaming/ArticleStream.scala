@@ -107,4 +107,30 @@ object ArticleStream {
       .groupBy(window(col(eventTimeCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
+  /**
+   * Gap-session aggregates over the stream — the streaming twin of
+   * [[graft.operators.TemporalOps.sessionize]]: per key, consecutive
+   * events merge into one session while the gap between them stays
+   * under `gap`; the watermark closes sessions and bounds state exactly
+   * as in [[windowedCounts]]. One output row per session:
+   * (session_start, key, n).
+   *
+   * Boundary semantics vs the batch twin: Spark's `session_window`
+   * starts a NEW session when a gap equals `gap` EXACTLY (each event
+   * spans [ts, ts+gap) and windows merge only when they overlap), while
+   * the batch sessionizer breaks on strictly-greater-than-gap, keeping
+   * an exactly-at-gap event in-session. Pick a `gap` finer than the
+   * event timestamp granularity (e.g. "10500 milliseconds" against
+   * second-resolution events) and the boundary is unreachable — the two
+   * assignments agree on every log, which StreamingSpec pins by
+   * replaying one through both.
+   */
+  def sessionCounts(df: DataFrame, eventTimeCol: String, keyCol: String,
+                    gap: String = "30 minutes",
+                    lateness: String = "10 minutes"): DataFrame =
+    df.withWatermark(eventTimeCol, lateness)
+      .groupBy(session_window(col(eventTimeCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"), col(keyCol), col("n"))
 }

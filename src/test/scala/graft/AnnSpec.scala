@@ -236,4 +236,48 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(IvfAnn.needsRebuild(legacy),
       "an index without staleness accounting must report rebuild-needed")
   }
+
+  test("maintain: append → append → maintain fires exactly one rebuild and restores recall") {
+    import graft.sources.TableSink
+    val e = spark.read.parquet(sf() + "/embeddings.parquet").repartition(8).cache()
+    // Fit on a fifth of the corpus (base = n/5); the first append stays
+    // under the 0.5 added/base default (n/20 rows → ratio 0.25), the
+    // second blows past it — the scheduled maintain call after each
+    // cycle must rebuild exactly once, on the second cycle.
+    val fitted = e.filter(col("vec_id") % 5 === 0)
+    val small = e.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 20 === 1)
+    val rest = e.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 20 =!= 1)
+    val cells0 = IvfAnn.buildCells(fitted, "vec_id", "embedding", nlist = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfmaint").toString
+    IvfAnn.writeIndex(spark, dir, IvfAnn.quantizeCells(
+      IvfAnn.assignCells(fitted, "vec_id", "embedding", cells0),
+      "vec_id", "embedding"), "vec_id", numBuckets = 16)
+
+    var serving = cells0
+    var rebuilds = 0
+    def cycle(batch: org.apache.spark.sql.DataFrame, version: Long): Unit = {
+      IvfAnn.appendToIndex(spark, dir, batch, serving, "vec_id", "embedding",
+        version, assumeNewIds = true)
+      IvfAnn.maintain(spark, dir, e, "vec_id", "embedding", nlist = 16).foreach { c =>
+        serving = c; rebuilds += 1
+      }
+    }
+    cycle(small, 1L)
+    assert(rebuilds == 0, "an under-threshold cycle must not rebuild")
+    cycle(rest, 2L)
+    assert(rebuilds == 1, "the over-threshold cycle must rebuild once")
+    // Accounting reset: an immediate re-maintain is a no-op.
+    assert(IvfAnn.maintain(spark, dir, e, "vec_id", "embedding", nlist = 16).isEmpty)
+    assert(rebuilds == 1)
+    // And the rebuilt index serves the full corpus at contract recall
+    // under the centroids maintain handed back.
+    val like = spark.range(0).select(lit(0L).as("vec_id"))
+    assert(TableSink.read(spark, dir, like).count() == e.count())
+    val q = e.filter(col("vec_id") < 20)
+    val exact = pairs(SimilarityOps.knnJoinCosine(q, e, "vec_id", "embedding", 5))
+    val stored = pairs(IvfAnn.annSearchQuantizedStored(dir, q, serving,
+      "vec_id", "embedding", k = 5, nprobe = 8))
+    val recall = (stored & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"maintained index must serve recall >= 0.7, got $recall")
+  }
 }

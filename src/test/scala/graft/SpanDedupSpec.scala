@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.SpanDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpanDedupSpec extends AnyFunSuite with SparkSpec {
+
+  // 8-token boilerplate shared by three docs; everything else unique.
+  private val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, s"$boiler unique one two three"),
+      (2L, s"prefix words here $boiler trailing bits"),
+      (3L, "totally unique prose with no duplication at all whatsoever"),
+      (4L, "short doc"),                 // < k tokens → no windows
+      (5L, ""),                          // empty → zero counts
+      (6L, boiler)                       // exactly k tokens
+    ).toDF("doc_id", "text")
+  }
+
+  /** Output attributes (name → type) of every shuffle exchange in the
+    * plan, with AQE off so the tree is a plain ShuffleExchangeExec forest
+    * (the adaptive wrapper hides its inner plan from collect). */
+  private def shuffleOutputs(build: => DataFrame): Seq[Seq[(String, org.apache.spark.sql.types.DataType)]] = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try build.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e.output.map(a => a.name -> a.dataType).toSeq
+    }
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("digest-keyed inventory equals the string-keyed oracle form") {
+    val s = SpanDedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val d = SpanDedup.duplicatedSpansDigest(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s.nonEmpty, "fixture must contain a duplicated span")
+    assert(s == d)
+    assert(s.contains((boiler, 3L, 3L))) // docs 1, 2, 6 — once each
+  }
+
+  test("digest-keyed scrub equals the string-keyed oracle form") {
+    def asMap(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val s = asMap(SpanDedup.scrubSpans(docs, "doc_id", "text", k = 8))
+    val d = asMap(SpanDedup.scrubSpansDigest(docs, "doc_id", "text", k = 8))
+    val dShuffled = asMap(SpanDedup.scrubSpansDigest(docs, "doc_id", "text", k = 8,
+      broadcastDups = false))
+    assert(s == d)
+    assert(s == dShuffled)
+    assert(s(3L) == ((9L, 0L, "totally unique prose with no duplication at all whatsoever")))
+    assert(s(4L) == ((2L, 0L, "short doc")))
+    assert(s(5L) == ((0L, 0L, "")))
+    assert(s(6L) == ((8L, 8L, "")))      // the span IS the doc → fully scrubbed
+    assert(s(1L)._2 == 8L && s(1L)._3 == "unique one two three")
+  }
+
+  test("overlapping duplicated windows merge their coverage (distinct positions)") {
+    import spark.implicits._
+    // 9 shared tokens → two overlapping 8-token duplicated windows per
+    // doc; coverage must be the 9 distinct positions, not 16.
+    val nine = s"$boiler iota"
+    val two = Seq((1L, nine), (2L, nine)).toDF("doc_id", "text")
+    val got = SpanDedup.scrubSpansDigest(two, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 9L, 2L -> 9L))
+  }
+
+  test("scrubSpansDigest: span text never enters a shuffle exchange") {
+    val exchanges = shuffleOutputs(
+      SpanDedup.scrubSpansDigest(docs, "doc_id", "text", k = 8))
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(out => !out.exists(_._1.contains("span"))),
+      s"span text shuffled: $exchanges")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SpanDedup.scrubSpansDigest(docs, "doc_id", "text", k = 8)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"duplicated-digest set must probe the windows as a broadcast:\n$plan")
+  }
+
+  test("duplicatedSpansDigest: only the duplicated-representative exchange carries span text") {
+    val exchanges = shuffleOutputs(
+      SpanDedup.duplicatedSpansDigest(docs, "doc_id", "text", k = 8))
+    // The span text can only travel as a string-typed attribute (here,
+    // the partial min(span) buffer — named `min` in the plan, hence the
+    // type check). The corpus-wide counting aggregation must shuffle
+    // digests + longs only; the single string-bearing exchange is the
+    // representative-span aggregation over the already-filtered
+    // duplicated windows (inventory-sized).
+    val withString = exchanges.count(_.exists(
+      _._2 == org.apache.spark.sql.types.StringType))
+    assert(exchanges.length >= 2, s"expected count + rep exchanges: $exchanges")
+    assert(withString == 1,
+      s"expected exactly one string-bearing exchange: $exchanges")
+  }
+}

@@ -124,6 +124,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows equal batch sessionize on a closed log") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // Second-resolution events against a 10.5 s gap: the exactly-at-gap
+    // boundary (where the two sessionizers differ by design — see the
+    // ArticleStream.sessionCounts scaladoc) is unreachable, so the
+    // assignments must coincide on the whole log.
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 300).map { _ =>
+      (new Timestamp(1700000000000L + rng.nextInt(600) * 1000L), s"u${rng.nextInt(4)}")
+    }
+    val batch = graft.operators.TemporalOps.sessionize(
+        rows.toDF("ts", "k"), Seq("k"), "ts", gapMicros = 10500000L)
+      .groupBy("k", "session_seq")
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n"))
+      .select(col("k"), col("session_start"), col("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val mem = MemoryStream[(Timestamp, String)]
+    val sessions = ArticleStream.sessionCounts(
+      mem.toDF().toDF("ts", "k"), "ts", "k", gap = "10500 milliseconds")
+    // complete mode: every session is visible without watermark games.
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select(col("k"), col("session_start"), col("n")).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(got == batch,
+        s"streaming sessions must equal batch sessionize: ${got.diff(batch)} vs ${batch.diff(got)}")
+      assert(got.size > 20, "fixture must actually fragment into many sessions")
+    } finally q.stop()
+  }
+
   test("deterministic sampling is replay-safe in a stream (rand() is not)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -85,6 +85,29 @@ class TemporalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.length == 30 && got.forall(_.getLong(1) == 1L))
   }
 
+  test("rangeJoin: a pathological interval fails loudly at the fan-out cap") {
+    import spark.implicits._
+    // One-minute grid, one-YEAR interval → ~526k cells per replica row;
+    // the guard must kill the job with the observed fan-out and the fix,
+    // not silently explode the sequence.
+    val points = Seq((1L, "u", ts("2024-06-01 10:00:00"))).toDF("pid", "k", "t")
+    val iv = Seq(("u", 1L, ts("2024-01-01 00:00:00"), ts("2025-01-01 00:00:00")))
+      .toDF("k", "win", "s", "e")
+    val e = intercept[Exception] {
+      TemporalOps.rangeJoin(points, iv, Seq("k"), "t", "s", "e",
+        bucketMicros = 60L * 1000000).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("grid cells") && msg.contains("bucketMicros"),
+      s"guard must name the fan-out and the fix: $e")
+    // A wide-but-capped grid still works when the cap is raised to fit.
+    val ok = TemporalOps.rangeJoin(points, iv, Seq("k"), "t", "s", "e",
+      bucketMicros = 60L * 1000000, maxCellsPerInterval = 600000)
+      .select("pid").as[Long].collect()
+    assert(ok.toSeq == Seq(1L))
+  }
+
   test("sessionize: strict gap — exactly-at-gap stays in session, one past breaks") {
     import spark.implicits._
     val gap = 30L * 60 * 1000000
