@@ -596,6 +596,51 @@ object OracleSql {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // The engine's inventory keys spans by a 128-bit digest; the
+    // doc-frequency histogram is digest-free and replayable from the
+    // string spans — a hash match proves the digest grouping merged
+    // exactly the spans the strings would (collision-free).
+    "x_span_index_stats" ->
+      s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+        |     win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+        |             FROM (SELECT doc_id, t,
+        |                     unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |     g AS (SELECT span, count(DISTINCT doc_id) nd, count(*) nocc
+        |           FROM win GROUP BY 1)
+        |SELECT CAST(nd AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(nocc) AS BIGINT) AS n_occ
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Incremental admission scrub = the full-corpus scrub (duplication
+    // counted over corpus ∪ batch = all documents) restricted to the
+    // batch's rows — the invariant scrubAgainstIndex is built to hold.
+    "x_span_scrub_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+        |     win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+        |             FROM (SELECT doc_id, t,
+        |                     unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |     dup AS (SELECT span FROM win GROUP BY 1
+        |             HAVING count(DISTINCT doc_id) >= 2),
+        |     cover AS (SELECT DISTINCT w.doc_id, u.pos
+        |               FROM win w JOIN dup USING (span),
+        |                    unnest(generate_series(w.i, w.i + 7)) AS u(pos)),
+        |     tok_pos AS (SELECT doc_id, i AS pos, t[i] AS tok
+        |                 FROM (SELECT doc_id, t,
+        |                         unnest(generate_series(1, len(t))) AS i FROM toks)),
+        |     agg AS (SELECT tp.doc_id, count(*) AS n_tokens,
+        |               count(c.pos) AS n_removed,
+        |               coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+        |                 ' ' ORDER BY tp.pos), '') AS clean_text
+        |             FROM tok_pos tp LEFT JOIN cover c
+        |               ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+        |             GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+        |       coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id % 5 = 0
+        |ORDER BY d.doc_id""".stripMargin,
+
     // The bloom prefilter is exact end-to-end (suspects get verified),
     // so the oracle is the plain fingerprint anti-join.
     "x_bloom_incremental" ->

@@ -974,6 +974,29 @@ object SparkEntry {
       SpanDedup.scrubSpansDigest(T(s, d, "documents"), "doc_id", "text", k = 8)
         .orderBy("doc_id")
     }),
+    // The standing span-digest inventory, summarized as its doc-frequency
+    // histogram (digest values are engine-internal; the histogram is
+    // exactly replayable from the string spans, so a hash match proves
+    // the inventory's counts are right span-for-span, collision-free).
+    "x_span_index_stats" -> ((s, d) => {
+      SpanDedup.spanDigestIndex(T(s, d, "documents"), "doc_id", "text", k = 8)
+        .groupBy("n_docs")
+        .agg(count(lit(1)).as("n_spans"), sum(col("n_occ")).as("n_occ"))
+        .orderBy("n_docs")
+    }),
+    // Admission-time span scrub: the batch (doc_id % 5 = 0) is scrubbed
+    // against the standing inventory of the corpus (doc_id % 5 <> 0) —
+    // O(batch) windows + a filter-pushed index scan, corpus text never
+    // read. Output equals the full-corpus scrub restricted to the batch.
+    "x_span_scrub_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      SpanDedup.scrubAgainstIndex(
+          docs.filter(col("doc_id") % 5 === 0),
+          SpanDedup.spanDigestIndex(
+            docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 8),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
     // ──────────── wave 2: remaining §2 operator ids ────────────
     "p1_projection" -> ((s, d) => {
       T(s, d, "orders")

@@ -200,6 +200,91 @@ object SpanDedup {
     scrubWithCoverage(docs, idCol, textCol, cover)
   }
 
+  /**
+   * Standing span-digest inventory of a corpus — the table a production
+   * ingest pipeline keeps NEXT TO the corpus so every new batch can be
+   * span-scrubbed WITHOUT rescanning the corpus (the substring analog of
+   * [[DedupOps.minhashBandIndex]]): one row per distinct 128-bit span
+   * digest with its document frequency and occurrence count. Digests
+   * only, ~32 bytes a row — never span text — so the inventory is
+   * orders of magnitude under the text it indexes and its build plan
+   * shuffles nothing wider than the digest key.
+   *
+   * Maintenance contract: counts over DISJOINT document sets are
+   * additive per digest, so the index refreshes by [[mergeSpanIndexes]]
+   * as a SCHEDULED compaction (build the batch's own inventory — O(batch)
+   * — and merge), not by per-batch row upserts: span digests are
+   * uniformly distributed, so any batch dirties essentially every bucket
+   * of a copy-on-write table and a per-batch upsert would degrade to
+   * O(index) rewrites; the scheduled merge amortizes exactly like
+   * [[IvfAnn.maintain]]'s rebuild. Persisted (parquet / TableSink), the
+   * `n_docs >= minDocs` admission read pushes its filter into the scan.
+   */
+  def spanDigestIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val (h1, h2) = spanDigests(col("span"))
+    spanWindows(corpus, idCol, textCol, k)
+      .select(col(idCol), h1.as("__h1"), h2.as("__h2"))
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
+  }
+
+  /** Additive merge of two span-digest inventories built over DISJOINT
+    * document sets (the compaction step of the [[spanDigestIndex]]
+    * maintenance contract; associative, so any merge tree works). The
+    * law `index(a ∪ b) = merge(index(a), index(b))` is spec-pinned. */
+  def mergeSpanIndexes(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_occ")).as("n_occ"))
+
+  /**
+   * Admission-time span scrub of a NEW batch against a standing
+   * [[spanDigestIndex]] — the per-ingest shape: O(batch) window work
+   * plus one filter-pushed scan of the (digest-only) index; the corpus
+   * text is NEVER read. A span is duplicated when the batch's own
+   * counts and the index's counts TOGETHER reach `minDocs`, so the
+   * output is pointwise identical to [[scrubSpansDigest]] over
+   * corpus ∪ batch restricted to the batch's rows (document sets must
+   * be disjoint — re-ingesting an indexed doc double-counts it;
+   * spec- and oracle-pinned on the disjoint case).
+   *
+   * The duplicated set is assembled from three prunable parts —
+   * index-already-duplicated (a pushed `n_docs >= minDocs` scan),
+   * batch-internally-duplicated, and crossed (a digest under threshold
+   * on both sides whose SUM reaches it; the index side probes the
+   * batch's counts as a broadcast, keeping the index scan map-only).
+   * `broadcastProbes = false` runs the batch-count probes shuffled for
+   * a genuinely huge batch — correct at any size, at full-shuffle cost.
+   */
+  def scrubAgainstIndex(batch: DataFrame, index: DataFrame,
+                        idCol: String, textCol: String, k: Int,
+                        minDocs: Int = 2, broadcastProbes: Boolean = true): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val bcast = if (broadcastProbes) (df: DataFrame) => broadcast(df)
+                else (df: DataFrame) => df
+    val (h1, h2) = spanDigests(col("span"))
+    val win = spanWindows(batch, idCol, textCol, k)
+      .select(col(idCol), col("i"), h1.as("__h1"), h2.as("__h2"))
+    val batchCounts = win
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(countDistinct(col(idCol)).as("__bn"))
+    val already = index.where(col("n_docs") >= minDocs)
+      .select(col("__h1"), col("__h2"))
+    val internal = batchCounts.where(col("__bn") >= minDocs)
+      .select(col("__h1"), col("__h2"))
+    val crossed = index.where(col("n_docs") < minDocs)
+      .join(bcast(batchCounts), Seq("__h1", "__h2"))
+      .where(col("n_docs") + col("__bn") >= minDocs)
+      .select(col("__h1"), col("__h2"))
+    val dup = already.unionByName(internal).unionByName(crossed).distinct()
+    val cover = win.join(bcast(dup), Seq("__h1", "__h2"))
+      .select(col(idCol), explode(sequence(col("i"), col("i") + lit(k - 1))).as("pos"))
+      .distinct()
+      .withColumn("__cov", lit(1))
+    scrubWithCoverage(batch, idCol, textCol, cover)
+  }
+
   /** Shared reassembly: join the (id, pos) coverage set onto the token
     * positions, keep uncovered tokens, restore order without a sort
     * exchange, zero-fill docs that produced no tokens. */

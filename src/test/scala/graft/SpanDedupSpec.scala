@@ -3,6 +3,7 @@ package graft
 import graft.operators.SpanDedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class SpanDedupSpec extends AnyFunSuite with SparkSpec {
@@ -84,6 +85,68 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
       finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert(plan.contains("BroadcastHashJoin"),
       s"duplicated-digest set must probe the windows as a broadcast:\n$plan")
+  }
+
+  test("span index merge law: index(a ∪ b) == merge(index(a), index(b)) on disjoint doc sets") {
+    val a = docs.filter(col("doc_id") <= 3)
+    val b = docs.filter(col("doc_id") > 3)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val whole = rows(SpanDedup.spanDigestIndex(docs, "doc_id", "text", k = 8))
+    val merged = rows(SpanDedup.mergeSpanIndexes(
+      SpanDedup.spanDigestIndex(a, "doc_id", "text", k = 8),
+      SpanDedup.spanDigestIndex(b, "doc_id", "text", k = 8)))
+    assert(whole.nonEmpty && whole == merged)
+  }
+
+  test("scrubAgainstIndex == full-corpus scrub restricted to the batch, all three dup parts exercised") {
+    import spark.implicits._
+    // corpus: two docs sharing the boiler span (index-already-duplicated)
+    // plus a doc holding ONE copy of a second span; batch: a doc holding
+    // the other copy of that span (crossed: 1 + 1 reaches minDocs), two
+    // docs sharing a third span (batch-internal), and clean/short docs.
+    val other = "one two three four five six seven eight"
+    val third = "red orange yellow green blue indigo violet ultraviolet"
+    val corpus = Seq(
+      (10L, s"$boiler corpus padding words"),
+      (11L, s"extra stuff $boiler more here"),
+      (12L, s"$other lonely in the corpus")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, s"$boiler fresh batch words"),      // hits index-duplicated span
+      (21L, s"$other now seen twice overall"),  // crossed 1+1
+      (22L, s"$third and some tail"),           // batch-internal (with 23)
+      (23L, s"lead in $third"),
+      (24L, "nothing duplicated here at all in any way whatsoever"),
+      (25L, "tiny")
+    ).toDF("doc_id", "text")
+    val idx = SpanDedup.spanDigestIndex(corpus, "doc_id", "text", k = 8)
+    def asMap(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val got = asMap(SpanDedup.scrubAgainstIndex(batch, idx, "doc_id", "text", k = 8))
+    val gotShuffled = asMap(SpanDedup.scrubAgainstIndex(batch, idx, "doc_id", "text",
+      k = 8, broadcastProbes = false))
+    val full = asMap(SpanDedup.scrubSpansDigest(corpus.unionByName(batch),
+      "doc_id", "text", k = 8).filter(col("doc_id") >= 20L))
+    assert(got == full, s"incremental must equal full-restricted:\n$got\nvs\n$full")
+    assert(gotShuffled == full)
+    // Each dup-source path actually removed something.
+    assert(got(20L)._2 >= 8, "index-duplicated span must scrub")
+    assert(got(21L)._2 >= 8, "crossed 1+1 span must scrub")
+    assert(got(22L)._2 >= 8 && got(23L)._2 >= 8, "batch-internal span must scrub")
+    assert(got(24L)._2 == 0 && got(25L)._2 == 0)
+  }
+
+  test("scrubAgainstIndex: span text never enters a shuffle exchange") {
+    import spark.implicits._
+    val corpus = docs.filter(col("doc_id") <= 3)
+    val batch = docs.filter(col("doc_id") > 3)
+    val idx = SpanDedup.spanDigestIndex(corpus, "doc_id", "text", k = 8)
+    val exchanges = shuffleOutputs(
+      SpanDedup.scrubAgainstIndex(batch, idx, "doc_id", "text", k = 8))
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(out => !out.exists(_._1.contains("span"))),
+      s"span text shuffled: $exchanges")
   }
 
   test("duplicatedSpansDigest: only the duplicated-representative exchange carries span text") {
