@@ -797,6 +797,42 @@ object OracleSql {
         |SELECT ia AS id_a, ib AS id_b, round(sim, 6) AS sim
         |FROM s WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
+    // SemDeDup replay: per-label mean centroids, argmax-cosine assignment
+    // (lowest-label tie-break = the engine's max(struct(sim, -cid))),
+    // then the paper's upper-triangular drop test — b is dropped iff some
+    // same-cluster a ordered earlier (centroid-sim ASC, id ASC) has
+    // cosine(a, b) >= eps. Pure joins, no recursion: the drop predicate
+    // is ∃-earlier-neighbor, not a greedy chain. The order key rounds to
+    // 6 decimals on BOTH sides: raw parallel-summed doubles differ in
+    // their last ulps between evaluations (DuckDB re-evaluates the
+    // inlined CTE per reference — a raw-keyed strict < even self-pairs
+    // half the corpus), so a reproducible order needs a rounded key.
+    "x_semdedup" ->
+      """WITH u AS (SELECT label, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+        |             FROM embeddings),
+        |cent AS (SELECT label clabel, pos, avg(x) m FROM u GROUP BY 1, 2),
+        |ev AS (SELECT vec_id, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+        |         FROM embeddings),
+        |s AS (SELECT vec_id, clabel,
+        |        sum(ev.x * cent.m) / (sqrt(sum(ev.x * ev.x)) * sqrt(sum(cent.m * cent.m))) sim
+        |      FROM ev JOIN cent ON ev.pos = cent.pos GROUP BY vec_id, clabel),
+        |r AS (SELECT vec_id, clabel, sim,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) rn FROM s),
+        |asg AS (SELECT vec_id, clabel cl, sim csim, round(sim, 6) ord FROM r WHERE rn = 1),
+        |p AS (SELECT xa.vec_id ia, xb.vec_id ib, ea.embedding va, eb.embedding vb
+        |        FROM asg xa JOIN asg xb ON xa.cl = xb.cl
+        |         AND (xa.ord < xb.ord OR (xa.ord = xb.ord AND xa.vec_id < xb.vec_id))
+        |        JOIN embeddings ea ON ea.vec_id = xa.vec_id
+        |        JOIN embeddings eb ON eb.vec_id = xb.vec_id),
+        |pu AS (SELECT ia, ib, unnest(va)::DOUBLE x, unnest(vb)::DOUBLE y FROM p),
+        |ps AS (SELECT ia, ib, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) sim
+        |         FROM pu GROUP BY ia, ib),
+        |drp AS (SELECT DISTINCT ib vec_id FROM ps WHERE sim >= 0.3)
+        |SELECT a.vec_id, CAST(a.cl AS BIGINT) AS cluster_id,
+        |  round(a.csim, 6) AS centroid_sim, (d.vec_id IS NULL) AS kept
+        |FROM asg a LEFT JOIN drp d USING (vec_id)
+        |ORDER BY a.vec_id""".stripMargin,
+
     // Embedding-dedup cascade: the x_neardup_cosine pair set closed
     // under connectivity by the same recursive-CTE fixpoint as
     // x_dup_components, min reachable id as the representative.

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, QuantizeOps, Recommend, RecommendML, SampleOps, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import graft.operators.{ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, QuantizeOps, Recommend, RecommendML, SampleOps, SemDedup, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -822,6 +822,20 @@ object SparkEntry {
       SimilarityOps.nearDupByCosine(T(s, d, "embeddings"), "vec_id", "embedding", 0.3)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy("id_a", "id_b")
+    }),
+    // SemDeDup (Abbas et al. 2023): cluster-partitioned semantic dedup.
+    // Centroids = per-label vector means (deterministic, so the oracle
+    // replays the whole pipeline: assign → order by centroid-sim →
+    // ∃-earlier-neighbor drop test). eps sits at the corpus' 99th
+    // within-cluster percentile so the drop set is small but non-empty.
+    "x_semdedup" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val cents = e.groupBy("label")
+        .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("cent"))
+      SemDedup.semDedup(e, cents, "vec_id", "embedding", "label", "cent", eps = 0.3)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          round(col("centroid_sim"), 6).as("centroid_sim"), col("kept"))
+        .orderBy("vec_id")
     }),
     // Embedding-dedup cascade end-to-end — the vector analog of
     // pipe_dedup_e2e: exact epsilon-grid cosine pairs → connected
