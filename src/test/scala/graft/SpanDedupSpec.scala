@@ -149,6 +149,32 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
       s"span text shuffled: $exchanges")
   }
 
+  test("persisted index: admission scrub pushes the n_docs threshold into the parquet scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("span_idx").toString
+    val corpus = docs.filter(col("doc_id") <= 3)
+    val batch = docs.filter(col("doc_id") > 3)
+    SpanDedup.spanDigestIndex(corpus, "doc_id", "text", k = 8)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val viaStored = SpanDedup.scrubAgainstIndex(batch, stored, "doc_id", "text", k = 8)
+    // Same verdicts as the in-memory index (persistence is transparent) …
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val viaMem = SpanDedup.scrubAgainstIndex(batch,
+      SpanDedup.spanDigestIndex(corpus, "doc_id", "text", k = 8), "doc_id", "text", k = 8)
+    assert(rows(viaStored) == rows(viaMem))
+    // … and the scaladoc's pushdown claim holds: both index reads
+    // (already-duplicated ≥ minDocs; crossed < minDocs) reach the scan
+    // as pushed parquet predicates on n_docs, so an admission read never
+    // decodes the index rows the threshold excludes.
+    val plan = viaStored.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(n_docs,2)"),
+      s"threshold side must push n_docs >= minDocs into the scan:\n$plan")
+    assert(plan.contains("LessThan(n_docs,2)"),
+      s"crossed side must push n_docs < minDocs into the scan:\n$plan")
+  }
+
   test("duplicatedSpansDigest: only the duplicated-representative exchange carries span text") {
     val exchanges = shuffleOutputs(
       SpanDedup.duplicatedSpansDigest(docs, "doc_id", "text", k = 8))
