@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, QuantizeOps, Recommend, RecommendML, SampleOps, SemDedup, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import graft.operators.{Bm25, ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, QuantizeOps, Recommend, RecommendML, SampleOps, SemDedup, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -853,6 +853,24 @@ object SparkEntry {
         .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("component"))
         .withColumn("kept", col("vec_id") === col("component"))
         .orderBy("vec_id")
+    }),
+    // BM25 keyword retrieval: queries = first-5-token prefixes of every
+    // 97th document, scored against the whole corpus. The synthetic
+    // vocabulary is ~31 words over 500 docs so every term is
+    // near-ubiquitous — maxDfFrac stays 1.0 (the stopword cutoff would
+    // empty the index here); idf still discriminates through df, and
+    // tf/dl carry the ranking.
+    "x_bm25_topk" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(
+            filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""),
+            1, 5)).as("qtext"))
+      Bm25.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
+          k = 10, maxDfFrac = 1.0)
+        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+        .orderBy("query_id", "rank")
     }),
     "x_simhash" -> ((s, d) => {
       T(s, d, "documents")

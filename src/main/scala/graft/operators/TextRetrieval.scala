@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.functions.TopK
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * BM25 keyword retrieval — the lexical counterpart of the embedding
+ * search family ([[SimilarityOps.knnJoinCosine]] / [[IvfAnn]]): exact
+ * Okapi BM25 (Robertson & Zaragoza 2009) top-k over a document corpus,
+ * plus the standing postings-index form a production pipeline persists
+ * so query time never re-tokenizes the corpus. Together with the ANN
+ * path this gives the engine both halves of hybrid retrieval.
+ *
+ * Scale posture: the postings build is two hash aggregations over the
+ * exploded token stream (tf under the (doc, term) key, df under the
+ * term key — both map-side partial); scoring joins QUERY terms against
+ * postings, so the scan is proportional to the matched postings lists,
+ * never the corpus. Queries are broadcast (a search batch is tiny by
+ * contract — set `broadcastQueries = false` for a bulk scoring job and
+ * the same plan runs as a shuffled term-keyed equi-join). Top-k uses
+ * the bounded-heap [[TopK]] aggregate: at most k candidates per query
+ * per partition reach the shuffle. Ubiquitous terms (stopwords) both
+ * skew the term key and add ~zero BM25 mass (idf ≈ 0); `maxDfFrac`
+ * prunes them at the standard cutoff, which is the skew escalation.
+ *
+ * Determinism: scores are rounded to 6 decimals BEFORE ranking (the
+ * [[SemDedup]] lesson: raw parallel-summed doubles are not a
+ * reproducible order key), doc-id ascending tie-break.
+ */
+object Bm25 {
+
+  /** Tokenization shared with the other text kernels (SpanDedup, BPE):
+    * lower, split on whitespace runs, drop empties. */
+  private def toks(textCol: Column): Column =
+    filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
+
+  /**
+   * The standing BM25 index: one row per (term, doc) — `(term, doc_id,
+   * tf, dl, df, n_docs, avgdl)`. Corpus stats ride every row (16 bytes)
+   * so the index is ONE self-contained table: persist it partitioned/
+   * sorted by term and the query path's term filter prunes row groups.
+   * Rebuild-on-refresh like [[SpanDedup.spanDigestIndex]]'s compaction:
+   * df/avgdl are corpus-global, so incremental row upserts would leave
+   * stale statistics — the maintenance contract is a scheduled rebuild.
+   */
+  def index(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokd = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("t"))
+    val tf = tokd
+      .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tokd.agg(count(lit(1)).as("n_docs"), avg(size(col("t"))).as("avgdl"))
+    tf.join(df, "term").crossJoin(broadcast(stats))
+  }
+
+  /**
+   * Exact BM25 top-k of `queries` (qidCol, qtextCol) against a
+   * [[index]] relation (in-memory or read back from storage). Query
+   * terms are DISTINCT per query (standard bag-of-words query model);
+   * when `pruneTermScan` is set the collected query-term set is also
+   * pushed as an `isin` filter on the index scan — driver-bounded by
+   * the tiny-query-batch contract — so a persisted index only decodes
+   * the row groups containing matched terms.
+   *
+   * idf = ln(1 + (N − df + ½)/(df + ½)); score = Σ idf · tf(k1+1) /
+   * (tf + k1(1 − b + b·dl/avgdl)). Terms with df/N > `maxDfFrac` are
+   * dropped (idf ≈ 0 mass, maximal key skew).
+   */
+  def searchIndex(idx: DataFrame, queries: DataFrame, qidCol: String,
+                  qtextCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+                  maxDfFrac: Double = 0.5, broadcastQueries: Boolean = true,
+                  pruneTermScan: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, s"maxDfFrac in (0,1]: $maxDfFrac")
+    val qterms0 = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(toks(col(qtextCol)))).as("term"))
+    val qterms = if (broadcastQueries) broadcast(qterms0) else qterms0
+    val scan = if (pruneTermScan) {
+      // Driver-bounded collect (query batches are tiny by contract);
+      // the literal in-list reaches the parquet reader as a pushed
+      // predicate → row-group pruning on a term-sorted index.
+      val terms = qterms0.select("term").distinct().collect().map(_.getString(0))
+      idx.where(col("term").isin(terms.toIndexedSeq: _*))
+    } else idx
+    val matched = scan
+      .where(col("df").cast("double") / col("n_docs") <= maxDfFrac)
+      .join(qterms, "term")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    val scored = matched
+      .select(col("query_id"), col("doc_id"),
+        (idf * col("tf") * lit(k1 + 1.0) / norm).as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopK(k)(round(col("score"), 6), col("doc_id")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("rank", "n")))
+      .select(col("query_id"), col("n.id").as("doc_id"),
+        col("n.score").as("score"), (col("rank") + 1).as("rank"))
+  }
+
+  /** One-shot convenience: build the index in-plan and search it. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+               textCol: String, qidCol: String, qtextCol: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDfFrac: Double = 0.5): DataFrame =
+    searchIndex(index(docs, idCol, textCol), queries, qidCol, qtextCol,
+      k, k1, b, maxDfFrac)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Bm25
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class Bm25Spec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark shuffle join hash partition"),
+    (2L, "spark spark spark broadcast join"),
+    (3L, "window aggregate partial merge sort"),
+    (4L, "the the the the the the the the spark"), // stopword-heavy, long
+    (5L, "join")                                   // short doc, high tf weight
+  ).toDF("doc_id", "text")
+  private def queries = Seq((100L, "spark join")).toDF("qid", "qtext")
+
+  private def asRows(df: DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+
+  test("ranking: tf saturates, length normalizes, every scored doc matches a query term") {
+    val out = asRows(Bm25.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
+      k = 10, maxDfFrac = 1.0).orderBy("rank"))
+    val ids = out.map(_._2)
+    assert(ids.toSet == Set(1L, 2L, 3L, 4L, 5L) - 3L,
+      "only docs containing 'spark' or 'join' may score")
+    // Doc 5 ("join") is a one-token doc: maximal length normalization on
+    // a matched term → it must outrank doc 4 (one 'spark' in 9 tokens).
+    assert(ids.indexOf(5L) < ids.indexOf(4L))
+    // Ranks are 1..n with scores non-increasing.
+    assert(out.map(_._4) == (1 to out.length))
+    assert(out.sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3))
+  }
+
+  test("maxDfFrac prunes ubiquitous terms from the index side") {
+    // 'spark' is in 3/5 docs (0.6); at maxDfFrac = 0.5 only 'join' (0.4
+    // after doc 5, 3/5... ) — use a term present in all docs instead.
+    val d2 = docs.withColumn("text",
+      org.apache.spark.sql.functions.concat(col("text"),
+        org.apache.spark.sql.functions.lit(" common")))
+    val out = asRows(Bm25.bm25TopK(d2, Seq((1L, "common")).toDF("qid", "qtext"),
+      "doc_id", "text", "qid", "qtext", k = 10, maxDfFrac = 0.5))
+    assert(out.isEmpty, s"a df/N = 1.0 term must be pruned at maxDfFrac = 0.5: $out")
+  }
+
+  test("stored index: pruneTermScan pushes the query-term in-list into the parquet scan, same results") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    Bm25.index(docs, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val pruned = Bm25.searchIndex(stored, queries, "qid", "qtext", k = 10,
+      maxDfFrac = 1.0, pruneTermScan = true)
+    val full = Bm25.searchIndex(stored, queries, "qid", "qtext", k = 10,
+      maxDfFrac = 1.0)
+    assert(asRows(pruned) == asRows(full))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("In(term, [join,spark]") || plan.contains("In(term, [spark,join]"),
+      s"query terms must reach the scan as a pushed in-list:\n$plan")
+  }
+
+  test("broadcast and shuffled query modes agree; top-k never plans a window rank") {
+    val bc = Bm25.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
+      k = 3, maxDfFrac = 1.0)
+    val sh = Bm25.searchIndex(Bm25.index(docs, "doc_id", "text"), queries,
+      "qid", "qtext", k = 3, maxDfFrac = 1.0, broadcastQueries = false)
+    assert(asRows(bc) == asRows(sh))
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"top-k must use the bounded heap, not a window rank:\n$plan")
+  }
+}
