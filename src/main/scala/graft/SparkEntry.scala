@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{Bm25, ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, QuantizeOps, Recommend, RecommendML, SampleOps, SemDedup, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import graft.operators.{Bm25, ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, QuantizeOps, Recommend, RecommendML, Rrf, SampleOps, SemDedup, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -870,6 +870,28 @@ object SparkEntry {
       Bm25.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
           k = 10, maxDfFrac = 1.0)
         .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // Hybrid retrieval: RRF fusion of the BM25 lexical run and the
+    // embedding-cosine semantic run (query embedding = the query doc's
+    // own vector; self-hit legitimately ranks first). Rank-based fusion
+    // needs no score calibration between the two runs.
+    "x_hybrid_rrf" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val emb = T(s, d, "embeddings")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(
+            filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""),
+            1, 5)).as("qtext"))
+      val lex = Bm25.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
+          k = 20, maxDfFrac = 1.0)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val sem = SimilarityOps.knnJoinCosine(
+          emb.filter(col("vec_id") % 97 === 0), emb, "vec_id", "embedding",
+          k = 20, excludeSelf = false)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Rrf.fuse(Seq(lex, sem), k = 10)
         .orderBy("query_id", "rank")
     }),
     "x_simhash" -> ((s, d) => {

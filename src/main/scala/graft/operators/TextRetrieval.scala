@@ -111,3 +111,34 @@ object Bm25 {
     searchIndex(index(docs, idCol, textCol), queries, qidCol, qtextCol,
       k, k1, b, maxDfFrac)
 }
+
+/**
+ * Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): merge any
+ * number of ranked retrieval runs — e.g. [[Bm25]] lexical top-k and a
+ * [[SimilarityOps.knnJoinCosine]] / [[IvfAnn]] semantic top-k — into one
+ * hybrid ranking by score(d) = Σ_runs 1/(c + rank_run(d)). Rank-based,
+ * so it needs no score calibration between runs (BM25 mass and cosine
+ * live on incomparable scales), which is why RRF is the standard hybrid
+ * baseline. Scale: each run is already k-bounded per query, so fusion
+ * aggregates O(runs·k) rows per query — the corpus is never touched.
+ */
+object Rrf {
+  /** Each run needs columns (query_id, doc_id, rank); ranks are
+    * 1-based. Output: (query_id, doc_id, score, rank) — top `k` fused
+    * per query, 6-decimal-rounded score key, doc-id tie-break. */
+  def fuse(runs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "at least one run")
+    require(k >= 1 && c >= 0, s"k >= 1 and c >= 0: $k, $c")
+    val u = runs.map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    u.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(c) + col("rank"))).as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .groupBy(col("query_id"))
+      .agg(TopK(k)(round(col("score"), 6), col("doc_id")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("rank", "n")))
+      .select(col("query_id"), col("n.id").as("doc_id"),
+        col("n.score").as("score"), (col("rank") + 1).as("rank"))
+  }
+}

@@ -59,6 +59,17 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
       s"query terms must reach the scan as a pushed in-list:\n$plan")
   }
 
+  test("rrf fusion: consensus beats single-run rank, ranks re-number densely") {
+    import graft.operators.Rrf
+    val run1 = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3)).toDF("query_id", "doc_id", "rank")
+    val run2 = Seq((1L, 30L, 1), (1L, 20L, 2), (1L, 40L, 3)).toDF("query_id", "doc_id", "rank")
+    val out = asRows(Rrf.fuse(Seq(run1, run2), k = 10).orderBy("rank"))
+    // doc 30: 1/63 + 1/61 ≈ .032266 > doc 20: 2/62 ≈ .032258 — a rank-1
+    // plus a rank-3 outweighs two rank-2s; singletons follow by rank.
+    assert(out.map(_._2) == Seq(30L, 20L, 10L, 40L), s"fusion order wrong: $out")
+    assert(out.map(_._4) == Seq(1, 2, 3, 4))
+  }
+
   test("broadcast and shuffled query modes agree; top-k never plans a window rank") {
     val bc = Bm25.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
       k = 3, maxDfFrac = 1.0)
