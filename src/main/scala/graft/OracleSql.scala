@@ -772,6 +772,22 @@ object OracleSql {
         |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rank
         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // Z-order key replay: same exact integer bucketization (// is
+    // DuckDB integer division — the engine's pmod construction computes
+    // the identical exact quotient) and an explicit bit-interleave sum.
+    "x_zorder_key" ->
+      """WITH st AS (SELECT min(o_custkey) mina, max(o_custkey) maxa,
+        |                   min(o_orderkey) minb, max(o_orderkey) maxb FROM orders),
+        |b AS (SELECT o_orderkey,
+        |        ((o_custkey - mina) * 256) // (maxa - mina + 1) AS ba,
+        |        ((o_orderkey - minb) * 256) // (maxb - minb + 1) AS bb
+        |      FROM orders CROSS JOIN st)
+        |SELECT o_orderkey, ba AS bucket_a, bb AS bucket_b,
+        |  CAST(sum(((ba >> i) & 1) * (1::BIGINT << (2 * i))
+        |         + ((bb >> i) & 1) * (1::BIGINT << (2 * i + 1))) AS BIGINT) AS zval
+        |FROM b, unnest(generate_series(0, 7)) t(i)
+        |GROUP BY 1, 2, 3 ORDER BY o_orderkey""".stripMargin,
+
     // RRF hybrid replay: the x_bm25_topk chain at k=20 plus the j8-style
     // cosine kNN chain (same query ids, no self-exclusion), fused by
     // score = Σ 1/(60 + rank) and re-ranked on the rounded fused score.

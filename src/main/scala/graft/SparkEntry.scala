@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{Bm25, ClusterRefine, CurationOps, DedupOps, IvfAnn, MultimodalOps, QuantizeOps, Recommend, RecommendML, Rrf, SampleOps, SemDedup, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import graft.operators.{Bm25, ClusterRefine, CurationOps, DedupOps, IvfAnn, LayoutOps, MultimodalOps, QuantizeOps, Recommend, RecommendML, Rrf, SampleOps, SemDedup, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -871,6 +871,16 @@ object SparkEntry {
           k = 10, maxDfFrac = 1.0)
         .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
         .orderBy("query_id", "rank")
+    }),
+    // Z-order layout key: exact equi-width buckets (integer math) of
+    // (o_custkey, o_orderkey) interleaved into the Morton code that
+    // zorderBy clusters files on. Map-only: the min/max stats ride a
+    // broadcast 1-row cross join.
+    "x_zorder_key" -> ((s, d) => {
+      LayoutOps.zorderKey(T(s, d, "orders").select("o_orderkey", "o_custkey"),
+          "o_custkey", "o_orderkey", bits = 8)
+        .select(col("o_orderkey"), col("bucket_a"), col("bucket_b"), col("zval"))
+        .orderBy("o_orderkey")
     }),
     // Hybrid retrieval: RRF fusion of the BM25 lexical run and the
     // embedding-cosine semantic run (query embedding = the query doc's
