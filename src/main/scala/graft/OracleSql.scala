@@ -1320,6 +1320,17 @@ object OracleSql {
         |  true AS approx_ok
         |FROM (SELECT unnest(wds) token FROM w)""".stripMargin,
 
+    // Quantile sketch: exact per-group quantiles from the raw table
+    // (DuckDB quantile_cont = Spark's exact `percentile` linear
+    // interpolation); the sketch values must sit inside the stated
+    // ±1-percentile rank windows.
+    "x_quantile_sketch" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_exact,
+        |  true AS ok40, true AS ok50, true AS ok90, true AS ok99
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // C4 line/page filters: same synthesized structure, same line
     // predicate (terminal punctuation, >= 5 words, no "javascript"),
     // same page flags and >= 3-retained-lines keep.

@@ -483,6 +483,31 @@ object SparkEntry {
           (abs(col("__a") - col("n_exact")) <=
             col("n_exact") * lit(0.1)).as("approx_ok"))
     }),
+    // Distributed quantile sketch (the percentile counterpart of the
+    // HLL idiom): per-group approx_percentile at 1e-4 rank accuracy,
+    // contract-checked in-plan against the exact quantiles with a
+    // ±1-percentile rank window — at 100 TB only the sketch runs (fixed-
+    // size per-partition summaries, constant-size merge); the exact side
+    // exists to state the contract, like countDistinct in
+    // x_approx_distinct.
+    "x_quantile_sketch" -> ((s, d) => {
+      val q = T(s, d, "orders").groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(o_totalprice, array(0.39, 0.40, 0.41, 0.49, 0.50, 0.51, " +
+            "0.89, 0.90, 0.91, 0.98, 0.99, 1.0))").as("__e"),
+          percentile_approx(col("o_totalprice"), array(lit(0.4), lit(0.5), lit(0.9), lit(0.99)),
+            lit(10000)).as("__a"))
+      def ok(i: Int, lo: Int, hi: Int) =
+        (element_at(col("__a"), i) >= element_at(col("__e"), lo)) &&
+          (element_at(col("__a"), i) <= element_at(col("__e"), hi))
+      q.select(col("o_orderpriority"), col("n"),
+          round(element_at(col("__e"), 5), 2).as("p50_exact"),
+          round(element_at(col("__e"), 8), 2).as("p90_exact"),
+          ok(1, 1, 3).as("ok40"), ok(2, 4, 6).as("ok50"),
+          ok(3, 7, 9).as("ok90"), ok(4, 10, 12).as("ok99"))
+        .orderBy("o_orderpriority")
+    }),
     // C4 line + page filters (terminal punctuation, >= 5 words,
     // "javascript" lines; "lorem ipsum" / brace pages; >= 3 retained
     // lines to keep the page). Structure synthesized deterministically
