@@ -483,6 +483,51 @@ object SparkEntry {
           (abs(col("__a") - col("n_exact")) <=
             col("n_exact") * lit(0.1)).as("approx_ok"))
     }),
+    // Full admission pipeline end-to-end — the three ingest stages a
+    // production corpus runs per batch, composed in ONE plan: (1) the
+    // curation funnel (langid + quality + Gopher + PII — the
+    // x_curation_verdict predicate) rejects junk before anything
+    // heavier runs; (2) curation survivors probe the corpus exact-dup
+    // fingerprints (Bloom-prefiltered anti-join — x_bloom_incremental's
+    // shape); (3) novel survivors span-scrub against the corpus'
+    // standing span-digest inventory (duplication counted over
+    // corpus ∪ survivors, so batch-internal boilerplate is caught too).
+    // Verdict precedence: curation rejects before dup checks — the
+    // cheaper stage guards the costlier ones, which is the point of
+    // the composition.
+    "pipe_admission_e2e" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val base = batch.select(col("doc_id"), col("text"),
+        text.langId(col("text")).as("lang_pred"), qualityOf(col("text")).as("quality"),
+        (CurationOps.piiCounts(col("text")).getField("emails") +
+          CurationOps.piiCounts(col("text")).getField("ips")).as("n_pii"))
+      val gopher = CurationOps.gopherStats(batch, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("gopher_keep"))
+      val cur = base.join(gopher, "doc_id")
+        .withColumn("admit", col("lang_pred") =!= "und" && col("quality") >= 0.5 &&
+          col("gopher_keep") && col("n_pii") === 0)
+      val admitted = cur.filter(col("admit")).select("doc_id", "text")
+      val novel = DedupOps.incrementalNewDocs(admitted, corpus, "text")
+        .select(col("doc_id"), lit(true).as("__new"))
+      val surv = admitted.join(novel.select("doc_id"), "doc_id")
+      val scrubbed = SpanDedup.scrubAgainstIndex(surv,
+        SpanDedup.spanDigestIndex(corpus, "doc_id", "text", k = 8),
+        "doc_id", "text", k = 8)
+      batch.select("doc_id")
+        .join(cur.select("doc_id", "admit"), "doc_id")
+        .join(novel, Seq("doc_id"), "left")
+        .join(scrubbed, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(!col("admit"), lit("rejected"))
+            .when(col("__new").isNull, lit("duplicate"))
+            .otherwise(lit("admitted")).as("verdict"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    }),
     // Distributed quantile sketch (the percentile counterpart of the
     // HLL idiom): per-group approx_percentile at 1e-4 rank accuracy,
     // contract-checked in-plan against the exact quantiles with a
