@@ -1320,6 +1320,23 @@ object OracleSql {
         |  true AS approx_ok
         |FROM (SELECT unnest(wds) token FROM w)""".stripMargin,
 
+    // Heavy hitters: exact per-source token counts + the n/(m+1)
+    // threshold (m=24 matches the engine); the two MG-guarantee booleans
+    // are identically true when the sketch honors its bound — the
+    // x_approx_distinct idiom. Top-token tie-break (count desc, token
+    // desc) mirrors Spark's max(struct(c, token)) field ordering.
+    "x_heavy_hitters" ->
+      s"""WITH t AS (SELECT source, unnest($words) token FROM documents),
+         |c AS (SELECT source, token, count(*) c FROM t GROUP BY 1, 2),
+         |n AS (SELECT source, count(*) n FROM t GROUP BY 1)
+         |SELECT c.source, n.n AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE c > n.n / 25.0) AS BIGINT) AS n_hh,
+         |  (array_agg(token ORDER BY c DESC, token DESC))[1] AS top_token,
+         |  max(c) AS top_count,
+         |  true AS hh_in_sketch, true AS mg_bounds_ok
+         |FROM c JOIN n ON c.source = n.source
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
     // Admission pipeline replay: the x_curation_verdict funnel restricted
     // to the batch slice, the exact-fingerprint anti-join over its
     // admitted docs, and the span scrub with duplication counted over

@@ -483,6 +483,44 @@ object SparkEntry {
           (abs(col("__a") - col("n_exact")) <=
             col("n_exact") * lit(0.1)).as("approx_ok"))
     }),
+    // Misra–Gries heavy hitters — the frequency leg of the sketch family
+    // (HLL = cardinality, approx_percentile = rank): per-source token
+    // summaries at capacity m=24, below the ~31-token vocabulary so
+    // eviction genuinely fires. The sketch shuffles ≤ m counters per
+    // group per map partition — universe-independent, the scale win over
+    // x_vocab_topk's exact (group, token) shuffle. MG estimates are
+    // partitioning-dependent but the MG BOUND is not, so the output
+    // carries exact values plus guarantee booleans (the x_approx_distinct
+    // idiom): est ≤ c and c − est ≤ n/(m+1) for EVERY token, which
+    // implies every token above the threshold survives in the sketch.
+    "x_heavy_hitters" -> ((s, d) => {
+      val m = 24
+      val toks = T(s, d, "documents").select(col("source"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= "")).as("token"))
+      val sk = toks.groupBy("source").agg(
+        graft.functions.MisraGriesAgg.misraGries(col("token"), m).as("__mg"),
+        count(lit(1)).as("n_tokens"))
+      val exact = toks.groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val j = exact.join(sk, "source").select(col("source"), col("token"),
+        col("c"), col("n_tokens"),
+        coalesce(element_at(col("__mg"), col("token")), lit(0L)).as("__est"),
+        (col("n_tokens").cast("double") / lit(m + 1)).as("__thr"))
+      j.groupBy("source").agg(
+          first(col("n_tokens")).as("n_tokens"),
+          sum(when(col("c") > col("__thr"), 1L).otherwise(0L)).as("n_hh"),
+          max(struct(col("c"), col("token"))).as("__top"),
+          bool_and(!(col("c") > col("__thr")) || col("__est") > 0)
+            .as("hh_in_sketch"),
+          bool_and(col("__est") <= col("c") &&
+            (col("c") - col("__est")).cast("double") <= col("__thr"))
+            .as("mg_bounds_ok"))
+        .select(col("source"), col("n_tokens"), col("n_hh"),
+          col("__top").getField("token").as("top_token"),
+          col("__top").getField("c").as("top_count"),
+          col("hh_in_sketch"), col("mg_bounds_ok"))
+        .orderBy("source")
+    }),
     // Full admission pipeline end-to-end — the three ingest stages a
     // production corpus runs per batch, composed in ONE plan: (1) the
     // curation funnel (langid + quality + Gopher + PII — the
