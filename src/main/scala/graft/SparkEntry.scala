@@ -543,15 +543,27 @@ object SparkEntry {
           CurationOps.piiCounts(col("text")).getField("ips")).as("n_pii"))
       val gopher = CurationOps.gopherStats(batch, "doc_id", "text")
         .select(col("doc_id"), col("keep").as("gopher_keep"))
+      // The funnel relation feeds four consumers (admitted, the exact-dup
+      // probe, the scrub input, and the final verdict join); materialize
+      // it ONCE — the x_admit_incremental lesson: without the eager
+      // checkpoint the whole curation subtree re-executes per consumer
+      // (measured 7.4 s -> ~3 s at sf0.1). Batch-sized, three columns.
       val cur = base.join(gopher, "doc_id")
         .withColumn("admit", col("lang_pred") =!= "und" && col("quality") >= 0.5 &&
           col("gopher_keep") && col("n_pii") === 0)
+        .select("doc_id", "text", "admit").localCheckpoint(true)
       val admitted = cur.filter(col("admit")).select("doc_id", "text")
       val novel = DedupOps.incrementalNewDocs(admitted, corpus, "text")
-        .select(col("doc_id"), lit(true).as("__new"))
+        .select(col("doc_id"), lit(true).as("__new")).localCheckpoint(true)
       val surv = admitted.join(novel.select("doc_id"), "doc_id")
-      val scrubbed = SpanDedup.scrubAgainstIndex(surv,
-        SpanDedup.spanDigestIndex(corpus, "doc_id", "text", k = 8),
+      // scrubAgainstIndex probes the index twice (already-dup scan +
+      // crossed-sum join); production reads the PERSISTED inventory so
+      // both probes are cheap pushed scans — the in-query composition
+      // must materialize it once or the corpus-sized window+groupBy
+      // subtree executes twice.
+      val idx = SpanDedup.spanDigestIndex(corpus, "doc_id", "text", k = 8)
+        .localCheckpoint(true)
+      val scrubbed = SpanDedup.scrubAgainstIndex(surv, idx,
         "doc_id", "text", k = 8)
       batch.select("doc_id")
         .join(cur.select("doc_id", "admit"), "doc_id")
