@@ -133,4 +133,28 @@ object ArticleStream {
       .groupBy(session_window(col(eventTimeCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("session_start"), col(keyCol), col("n"))
+
+  /**
+   * Trending tokens per tumbling event-time window — the streaming twin
+   * of `x_heavy_hitters` and the sketch generalization of the
+   * reference's popularity/trending recount (A1 top-50,
+   * recommendation_service.py): a [[graft.functions.MisraGriesAgg]]
+   * summary plus the processed count per window. The MG buffer rides
+   * the streaming state store through the aggregate's own
+   * serialize/deserialize, so per-window state is ≤ m counters no
+   * matter how many distinct tokens the window saw — a windowed exact
+   * (window, token) count would grow state with the universe instead.
+   * Output per closed window: the surviving counters map and `n`, from
+   * which every token with true count > n/(m+1) is guaranteed present
+   * (the MG bound; estimates are merge-order-dependent, the bound is
+   * not — consumers threshold, they don't trust raw estimates).
+   */
+  def trendingTokens(df: DataFrame, eventTimeCol: String, tokenCol: String,
+                     m: Int, windowLen: String = "5 minutes",
+                     lateness: String = "10 minutes"): DataFrame =
+    df.withWatermark(eventTimeCol, lateness)
+      .groupBy(window(col(eventTimeCol), windowLen))
+      .agg(graft.functions.MisraGriesAgg.misraGries(col(tokenCol), m).as("tokens"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("tokens"), col("n"))
 }

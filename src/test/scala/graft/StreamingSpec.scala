@@ -346,6 +346,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   // source topology resolves and the fixed Kafka schema is asserted with
   // no test-code change. Provider lookup happens at load(); no broker is
   // contacted before query start.
+  test("trending tokens: MG bound holds per closed window; state is m-bounded") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val m = 5
+    val mem = MemoryStream[(Timestamp, String)]
+    val trending = ArticleStream.trendingTokens(
+      mem.toDF().toDF("event_time", "token"), "event_time", "token",
+      m = m, windowLen = "1 hour", lateness = "30 minutes")
+    val q = trending.writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    try {
+      // window [01:00, 02:00): one dominant token + a 20-token tail, fed
+      // across TWO micro-batches so state-store serialize/merge runs.
+      val tail = (1 to 20).map(i => (ts(1), s"c$i"))
+      mem.addData(Seq.fill(30)((ts(1), "hot")) ++ tail: _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(30)((ts(1), "hot")) ++ tail: _*)
+      q.processAllAvailable()
+      mem.addData((ts(5), "flush")) // advance watermark, close the window
+      q.processAllAvailable()
+      val rows = spark.table("trend_out")
+        .filter(col("window_start") === ts(1)).collect()
+      assert(rows.length == 1, s"one closed window expected: ${rows.toSeq}")
+      val est = rows(0).getMap[String, Long](1).toMap
+      val n = rows(0).getLong(2)
+      assert(n == 100L)
+      assert(est.size <= m, s"state not m-bounded: $est")
+      val bound = n.toDouble / (m + 1)
+      // exact: hot=60, c1..c20=2 — hot is above n/(m+1) so it MUST survive
+      assert(est.contains("hot"), s"heavy hitter evicted: $est")
+      assert(est("hot") <= 60L && 60L - est("hot") <= bound, s"bound broken: $est")
+      est.foreach { case (k, v) =>
+        val exact = if (k == "hot") 60L else 2L
+        assert(v <= exact, s"overestimate for $k: $v")
+      }
+    } finally q.stop()
+  }
+
   test("S4: Kafka source provider resolves when the connector is present") {
     val connectorPresent =
       try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
