@@ -1304,6 +1304,17 @@ object OracleSql {
         |  LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
 
+    // Weighted sample: Efraimidis–Spirakis exponential keys from the
+    // same salted digest, rounded to 9 decimals (libm ln ulp parity),
+    // digest-then-key tie-break — replays the engine's draw exactly.
+    "x_weighted_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY round(-ln((md5_number_lower('ws|' || CAST(doc_id AS VARCHAR)) % 1000000 + 0.5)
+        |      / 1000000.0) / CAST(n_chars AS DOUBLE), 9), doc_id) rk
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
+
     // Per-domain cap: digest-ranked row_number per language, <= 20.
     "x_domain_cap" ->
       """SELECT doc_id, lang FROM (

@@ -468,6 +468,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+    // Weighted sampling without replacement (Efraimidis–Spirakis): 5
+    // docs per source, selection probability ∝ n_chars — the biased
+    // form of x_domain_cap's quota. Deterministic digest draw, so the
+    // DuckDB oracle replays the exponential keys exactly (rounded to 9
+    // decimals; raw ln differs in final ulps across libms).
+    "x_weighted_sample" -> ((s, d) => {
+      SampleOps.weightedSample(T(s, d, "documents"), "source", col("doc_id"),
+          col("n_chars").cast("double"), k = 5, salt = "ws|")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
     // HLL++ cardinality estimation — the corpus-stats primitive a 100 TB
     // deployment uses where exact countDistinct is a full shuffle of the
     // key space: vocabulary size estimated at rsd 2% (one map-side

@@ -75,6 +75,43 @@ object SampleOps {
   }
 
   /**
+   * Weighted sampling without replacement (Efraimidis–Spirakis
+   * exponential-sort / A-ExpJ): keep the k rows per group with the
+   * smallest `−ln(u)/w`, where `u` is the row's salted digest mapped
+   * into (0,1) — each key is an Exponential(w) draw, and the k smallest
+   * draws select items with the exact weighted-without-replacement
+   * distribution (Efraimidis & Spirakis 2006). The curation use:
+   * quality- or length-weighted document selection under a per-domain
+   * quota — [[capPerGroup]] with a bias instead of a uniform draw.
+   * Deterministic like every sampler here: u comes from md5(salt‖key),
+   * so the draw replays identically across runs, engines, and retries.
+   *
+   * Non-positive weights are excluded up front — w = 0 means "never
+   * sample" in the ES distribution (its exponential draw diverges), and
+   * a negative weight is meaningless; both would otherwise hijack the
+   * smallest-key rank.
+   *
+   * Keys are rounded to 9 decimals with digest-then-key tie-break:
+   * raw `ln` values differ in final ulps across libm implementations
+   * (the SemDeDup ordering lesson), rounded ones replay exactly in the
+   * DuckDB oracle. Same WindowGroupLimit shape as [[capPerGroup]]: each
+   * partition prunes to its own top-k per group before the exchange.
+   */
+  def weightedSample(df: DataFrame, groupCol: String, key: Column,
+                     weight: Column, k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"sample size out of range: $k")
+    val u = (graft.functions.sig.md5BucketCol(
+      concat(lit(salt), key.cast("string")), Buckets).cast("double") + 0.5) / Buckets
+    val ekey = round(-log(u) / weight, 9)
+    df.filter(weight > 0)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+          .orderBy(ekey.asc, key.asc)))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /**
    * Deterministic dataset split (train/val/test): each row's salted
    * digest bucket falls into exactly one contiguous range, so the
    * assignment is DISJOINT AND EXHAUSTIVE by construction, reproducible

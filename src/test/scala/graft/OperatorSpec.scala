@@ -199,6 +199,37 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(small == 10)
   }
 
+  test("weightedSample: exact sizes, determinism, weight bias, non-positive exclusion") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i =>
+      (i.toLong, if (i % 4 == 0) "tail" else "head", (i % 7 + 1).toDouble)).toDF("id", "s", "w")
+    val ws = graft.operators.SampleOps.weightedSample(df, "s", col("id"), col("w"), 25, "x")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(ws.count(_._2 == "head") == 25 && ws.count(_._2 == "tail") == 25,
+      "exactly k per group when groups exceed k")
+    // pure function of (key, weight, salt): shuffled input draws the same set
+    val ws2 = graft.operators.SampleOps.weightedSample(
+        df.orderBy(rand(7)), "s", col("id"), col("w"), 25, "x")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(ws2.toSet == ws.toSet)
+    // zero/negative weights can never be drawn
+    val wz = df.withColumn("w", when($"id" <= 2000, lit(0.0) - 1.0).otherwise($"w"))
+    val drawn = graft.operators.SampleOps.weightedSample(wz, "s", col("id"), col("w"), 25, "x")
+      .collect().map(_.getLong(0))
+    assert(drawn.forall(_ > 2000L))
+    // ES distribution smoke: two items, w=9 vs w=1, k=1 per draw — the
+    // heavy item must win ~90% of draws. 400 independent draws ride ONE
+    // job: each draw is a group, and the draw id folded into the key
+    // gives each group an independent digest.
+    val draws = (1 to 400).flatMap(i => Seq((s"d$i", "a", 9.0), (s"d$i", "b", 1.0)))
+      .toDF("draw", "id", "w")
+    val winners = graft.operators.SampleOps.weightedSample(
+        draws, "draw", concat(col("draw"), lit("|"), col("id")), col("w"), 1, "es|")
+      .collect().map(_.getString(1))
+    val rate = winners.count(_ == "a") / 400.0
+    assert(rate > 0.8 && rate < 0.975, s"P(heavy wins) = $rate, expected ~0.9")
+  }
+
   test("assignSplit: disjoint-exhaustive labels, growth-stable, sane proportions") {
     import spark.implicits._
     val df = (1 to 5000).map(_.toLong).toDF("id")
