@@ -64,6 +64,22 @@ class FreqSketchSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map("a" -> 10L))
   }
 
+  test("sketch aggregation is partial: map-side MG buffers feed the exchange") {
+    // The scale claim: ≤ m counters per group per map partition enter the
+    // shuffle. That is exactly "partial ObjectHashAggregate below the
+    // Exchange, final above" — pin it so a regression to final-only
+    // aggregation (full token stream through the exchange) fails loudly.
+    val df = skewed.toDF("tok").repartition(4)
+      .groupBy(lit(1).as("g")).agg(misraGries(col("tok"), 8).as("mg"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val aggs = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_misra_gries") || plan.contains("partial misra_gries")
+      || plan.matches("(?s).*ObjectHashAggregate.*Exchange.*ObjectHashAggregate.*"),
+      s"no partial aggregate below the exchange:\n$plan")
+  }
+
   test("x_heavy_hitters contract booleans are all true at sf0.001") {
     val rows = SparkEntry.queries("x_heavy_hitters")(spark, sf()).collect()
     assert(rows.nonEmpty)
