@@ -496,6 +496,17 @@ object OracleSql {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
+    // Adaptive salted join: the oracle is the PLAIN join — hot-key
+    // detection and selective salting must be invisible in the result.
+    "x_adaptive_salted_join" ->
+      """WITH dim AS (SELECT l_returnflag rf, round(avg(l_tax), 6) avg_tax
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_linestatus,
+        |  round(sum(l_extendedprice * (1 + avg_tax)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN dim ON l_returnflag = rf
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "x_salted_set_union" ->
       """SELECT l_orderkey,
         |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS parts,

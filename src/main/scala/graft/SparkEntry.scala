@@ -1081,6 +1081,24 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
     }),
+    // Adaptive salted join: the MG frequency sketch detects hot keys in
+    // one bounded pass and ONLY those salt — cold keys skip the salts×
+    // dim replication x_salted_join pays universally. hotFrac=0.6 on
+    // l_returnflag splits the arms DETERMINISTICALLY under the MG bound:
+    // N (~51%) always flags hot (est ≥ 0.51n − n/5 ≥ 0.3n), A/R (~25%)
+    // never do (est ≤ 0.25n < 0.3n) — so both arms execute regardless
+    // of merge order, and the union equals the plain join row-for-row.
+    "x_adaptive_salted_join" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val dim = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(round(avg(col("l_tax")), 6).as("avg_tax"))
+      SkewOps.adaptiveSaltedJoin(li, dim, "l_returnflag", "rf",
+          saltSource = col("l_orderkey"), salts = 8, hotFrac = 0.6)
+        .groupBy(col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) + col("avg_tax"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_linestatus")
+    }),
     // Two-phase salted distinct-set: partials per (key, value-salt) are
     // disjoint, so flatten-union equals a direct collect_set per key.
     "x_salted_set_union" -> ((s, d) => {

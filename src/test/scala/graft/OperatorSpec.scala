@@ -301,6 +301,34 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(salted.length == 402) // hot: 200*2, a: 2*1, b/c unmatched
   }
 
+  test("adaptive salted join: sketch-detected hot set, equals plain join") {
+    import spark.implicits._
+    // 'hot' is 200/223 of the fact (~90%); the 20 cold keys are ~0.45%
+    // each — at hotFrac=0.5 the MG bound makes the split deterministic.
+    val fact = ((1 to 200).map(i => ("hot", i)) ++ (1 to 20).map(i => (s"c$i", i))
+      ++ Seq(("a", 1), ("a", 2), ("b", 3))).toDF("k", "v")
+    val hot = graft.operators.SkewOps.hotKeys(fact, "k", hotFrac = 0.5)
+    assert(hot == Seq("hot"), s"exactly the hot key must flag: $hot")
+    val dim = (Seq(("hot", "H1"), ("hot", "H2"), ("a", "A"), ("c", "C"))
+      ++ (1 to 20).map(i => (s"c$i", s"C$i"))).toDF("dk", "name")
+    val adaptive = graft.operators.SkewOps.adaptiveSaltedJoin(
+        fact, dim, "k", "dk", col("v"), salts = 4, hotFrac = 0.5)
+      .select("k", "v", "name").collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val plain = fact.join(dim, $"k" === $"dk")
+      .select("k", "v", "name").collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(adaptive.sorted.toSeq == plain.sorted.toSeq)
+    assert(adaptive.count(_._1 == "hot") == 400 && adaptive.count(_._1 != "hot") == 22,
+      "both arms contributed rows")
+    // no detected hot keys → the plain-join fast path, still equal
+    val coldOnly = fact.filter($"k" =!= "hot")
+    val fastPath = graft.operators.SkewOps.adaptiveSaltedJoin(
+        coldOnly, dim, "k", "dk", col("v"), salts = 4, hotFrac = 0.5)
+      .select("k", "v", "name").collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val plainCold = coldOnly.join(dim, $"k" === $"dk")
+      .select("k", "v", "name").collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(fastPath.sorted.toSeq == plainCold.sorted.toSeq)
+  }
+
   test("salted distinct-set == collect_set per key") {
     import spark.implicits._
     val df = ((1 to 100).map(i => ("hot", i % 7)) ++ Seq(("cold", 42))).toDF("k", "v")
