@@ -1359,6 +1359,19 @@ object OracleSql {
          |FROM c JOIN n ON c.source = n.source
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
+    // Incremental heavy hitters: exact counts over the union (the split
+    // and the stored-summary fold must be invisible); guarantee booleans
+    // identically true when the merged sketch honors the MG bound.
+    "x_hh_incremental" ->
+      s"""WITH t AS (SELECT source, unnest($words) token FROM documents),
+         |c AS (SELECT source, token, count(*) c FROM t GROUP BY 1, 2),
+         |n AS (SELECT source, count(*) n FROM t GROUP BY 1)
+         |SELECT c.source, n.n AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE c > n.n / 25.0) AS BIGINT) AS n_hh,
+         |  true AS hh_in_sketch, true AS mg_bounds_ok
+         |FROM c JOIN n ON c.source = n.source
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
     // Admission pipeline replay: the x_curation_verdict funnel restricted
     // to the batch slice, the exact-fingerprint anti-join over its
     // admitted docs, and the span scrub with duplication counted over

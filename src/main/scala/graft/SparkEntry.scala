@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
 import graft.operators.{Bm25, ClusterRefine, CurationOps, DedupOps, IvfAnn, LayoutOps, MultimodalOps, QuantizeOps, Recommend, RecommendML, Rrf, SampleOps, SemDedup, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -530,6 +530,45 @@ object SparkEntry {
           col("__top").getField("token").as("top_token"),
           col("__top").getField("c").as("top_count"),
           col("hh_in_sketch"), col("mg_bounds_ok"))
+        .orderBy("source")
+    }),
+    // Incremental heavy hitters — the frequency sketch's MAINTENANCE
+    // shape, the pattern every standing summary here follows (span-index
+    // merge, band-index refresh, IVF append): each ingest batch persists
+    // its per-source (misra_gries map, n) pair, and misra_gries_merge
+    // folds stored pairs into one summary that still honors the MG bound
+    // over the UNION — compaction reads m-bounded rows, never the
+    // corpus. The batch/corpus split mirrors the other x_*_incremental
+    // queries; the contract is the x_heavy_hitters one, now checked on
+    // the MERGED summary.
+    "x_hh_incremental" -> ((s, d) => {
+      val m = 24
+      val toks = T(s, d, "documents").select(col("doc_id"), col("source"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= "")).as("token"))
+      def sketch(slice: Column) = toks.filter(slice).groupBy("source").agg(
+        graft.functions.MisraGriesAgg.misraGries(col("token"), m).as("items"),
+        count(lit(1)).as("n"))
+      val stored = sketch(pmod(col("doc_id"), lit(5)) =!= 0)
+        .unionByName(sketch(pmod(col("doc_id"), lit(5)) === 0))
+      val merged = stored.groupBy("source")
+        .agg(graft.functions.MisraGriesAgg.misraGriesMerge(
+          col("items"), col("n"), m).as("mg"))
+        .select(col("source"), col("mg").getField("items").as("__mg"),
+          col("mg").getField("n").as("n_tokens"))
+      val exact = toks.groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val j = exact.join(merged, "source").select(col("source"), col("c"),
+        col("n_tokens"),
+        coalesce(element_at(col("__mg"), col("token")), lit(0L)).as("__est"),
+        (col("n_tokens").cast("double") / lit(m + 1)).as("__thr"))
+      j.groupBy("source").agg(
+          first(col("n_tokens")).as("n_tokens"),
+          sum(when(col("c") > col("__thr"), 1L).otherwise(0L)).as("n_hh"),
+          bool_and(!(col("c") > col("__thr")) || col("__est") > 0)
+            .as("hh_in_sketch"),
+          bool_and(col("__est") <= col("c") &&
+            (col("c") - col("__est")).cast("double") <= col("__thr"))
+            .as("mg_bounds_ok"))
         .orderBy("source")
     }),
     // Full admission pipeline end-to-end — the three ingest stages a

@@ -7,10 +7,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, LongType, MapType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, MapType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -129,6 +129,103 @@ case class MisraGriesAgg(
     copy(child = newChild)
 }
 
+/**
+ * Additive compaction of STORED Misra–Gries summaries — the frequency
+ * leg's maintenance aggregate, completing the standing-index pattern the
+ * engine's other summaries follow (`SpanDedup.mergeSpanIndexes`,
+ * `DedupOps.refreshBandIndexStored`, `IvfAnn.appendToIndex`): each batch
+ * persists its per-group `(misra_gries map, n)` pair, and this aggregate
+ * folds any number of stored pairs into one summary that still honors
+ * the MG bound over the UNION of the batches (Agarwal et al. 2012) —
+ * corpus never rescanned, compaction input is m-bounded rows. Estimates
+ * after compaction differ from a single-pass sketch (merge order moves
+ * them); the bound does not, which is the spec-pinned law.
+ *
+ * Inputs: `items` a map<string,bigint> summary, `n` its processed-row
+ * count. Output: struct(items map<string,bigint>, n bigint).
+ */
+case class MisraGriesMergeAgg(
+    left: Expression,
+    right: Expression,
+    m: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MisraGriesAgg.Buffer]
+  with BinaryLike[Expression] {
+
+  require(m >= 1, s"misra_gries_merge capacity must be >= 1: $m")
+
+  private def itemsExpr = left
+  private def nExpr = right
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (itemsExpr.dataType, nExpr.dataType) match {
+      case (MapType(StringType, LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (it, nt) => TypeCheckResult.TypeCheckFailure(
+        s"misra_gries_merge requires (map<string,bigint>, bigint), got " +
+          s"(${it.catalogString}, ${nt.catalogString})")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("items", MapType(StringType, LongType, valueContainsNull = false),
+      nullable = false),
+    StructField("n", LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries_merge"
+
+  override def createAggregationBuffer(): MisraGriesAgg.Buffer =
+    new MisraGriesAgg.Buffer(m)
+
+  override def update(buf: MisraGriesAgg.Buffer, input: InternalRow): MisraGriesAgg.Buffer = {
+    val mv = itemsExpr.eval(input)
+    val nv = nExpr.eval(input)
+    if (mv != null && nv != null) {
+      val md = mv.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val other = new MisraGriesAgg.Buffer(m)
+      other.n = nv.asInstanceOf[Long]
+      val ks = md.keyArray(); val vs = md.valueArray()
+      var i = 0
+      while (i < md.numElements()) {
+        // clone: the MapData may be unsafe-backed and reused across rows
+        other.counters.put(ks.getUTF8String(i).clone(),
+          java.lang.Long.valueOf(vs.getLong(i)))
+        i += 1
+      }
+      buf.mergeIn(other)
+    }
+    buf
+  }
+
+  override def merge(a: MisraGriesAgg.Buffer, b: MisraGriesAgg.Buffer): MisraGriesAgg.Buffer = {
+    a.mergeIn(b); a
+  }
+
+  override def eval(buf: MisraGriesAgg.Buffer): Any = {
+    val ks = new Array[AnyRef](buf.counters.size)
+    val vs = new Array[Any](buf.counters.size)
+    var i = 0
+    val it = buf.counters.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); ks(i) = e.getKey; vs(i) = e.getValue.longValue(); i += 1
+    }
+    InternalRow(ArrayBasedMapData(ks, vs), buf.n)
+  }
+
+  override def serialize(buf: MisraGriesAgg.Buffer): Array[Byte] =
+    MisraGriesAgg(left, m).serialize(buf)
+  override def deserialize(bytes: Array[Byte]): MisraGriesAgg.Buffer =
+    MisraGriesAgg(left, m).deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MisraGriesMergeAgg =
+    copy(left = newLeft, right = newRight)
+}
+
 object MisraGriesAgg {
   /** At most `m` counters plus the processed-row count `n` (the error
     * bound's denominator rides the buffer so merged summaries keep an
@@ -189,4 +286,11 @@ object MisraGriesAgg {
     * n/(m+1) bound. */
   def misraGries(c: Column, m: Int): Column =
     Bridge.column(MisraGriesAgg(Bridge.expression(c), m).toAggregateExpression())
+
+  /** `misra_gries_merge(items, n, m)`: fold stored per-batch summaries
+    * into one — struct(items, n). Same buffer, same bound, never a
+    * corpus rescan. */
+  def misraGriesMerge(items: Column, n: Column, m: Int): Column =
+    Bridge.column(MisraGriesMergeAgg(Bridge.expression(items),
+      Bridge.expression(n), m).toAggregateExpression())
 }

@@ -80,6 +80,31 @@ class FreqSketchSpec extends AnyFunSuite with SparkSpec {
       s"no partial aggregate below the exchange:\n$plan")
   }
 
+  test("stored-summary compaction honors the MG bound over the union") {
+    import graft.functions.MisraGriesAgg.misraGriesMerge
+    val m = 5
+    val exact = exactCounts
+    val bound = N.toDouble / (m + 1)
+    // three "ingest batches" persist their sketches; compaction folds the
+    // STORED pairs — the corpus is never rescanned
+    val slices = skewed.zipWithIndex.groupBy(_._2 % 3).values.toSeq
+      .map(sl => sl.map(_._1).toDF("tok")
+        .agg(misraGries(col("tok"), m).as("items"), count(lit(1)).as("n")))
+    val merged = slices.reduce(_ unionByName _)
+      .agg(misraGriesMerge(col("items"), col("n"), m).as("mg"))
+      .select(col("mg.items"), col("mg.n")).collect()(0)
+    val est = merged.getMap[String, Long](0).toMap
+    assert(merged.getLong(1) == N, "n must be additive across batches")
+    assert(est.size <= m)
+    exact.foreach { case (tok, c) =>
+      val e = est.getOrElse(tok, 0L)
+      assert(e <= c, s"overestimate after compaction: $tok $e > $c")
+      assert(c - e <= bound, s"bound broken after compaction: $tok est=$e exact=$c")
+    }
+    exact.filter(_._2 > bound).keys.foreach(tok =>
+      assert(est.contains(tok), s"heavy hitter $tok lost in compaction"))
+  }
+
   test("x_heavy_hitters contract booleans are all true at sf0.001") {
     val rows = SparkEntry.queries("x_heavy_hitters")(spark, sf()).collect()
     assert(rows.nonEmpty)
