@@ -18,19 +18,14 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /**
-   * Table loader. `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
-   * refuses to read natively — read it as long nanos (legacy conf, set
-   * here so it also holds in the driver's own session) and truncate to
-   * microseconds, exactly what DuckDB's µs timestamps give the oracle.
+   * Table loader. Physical fixture encodings drift between driver
+   * regenerations (TIMESTAMP(NANOS) → µs-no-tz/NTZ so far); every query
+   * here is built against ONE logical schema, so the load goes through
+   * [[graft.core.Fixtures]] which declaratively casts any compatible
+   * encoding onto that schema and fails loudly on an incompatible one.
    */
   private def T(s: SparkSession, dir: String, name: String): DataFrame = {
-    val raw = if (name == "events") {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = s.read.parquet(s"$dir/events.parquet")
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
-    } else s.read.parquet(s"$dir/$name.parquet")
+    val raw = graft.core.Fixtures.load(s, dir, name)
     // The test fixtures are single-row-group parquet files, which scan as
     // ONE partition and serialize every map stage. Spread non-tiny tables
     // across the cluster once at load; tiny dimension tables stay as-is
