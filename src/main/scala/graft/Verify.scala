@@ -1,9 +1,47 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure policy: one broken query must not kill the dump (the other
+  * results still matter), but it must never be SILENT either — a missing
+  * output directory reads as "query not present" downstream, which lets a
+  * shrunken set masquerade as all-green. Every per-query failure writes a
+  * visible `$outDir/$name/_ERROR` marker with the message, the run prints
+  * a final `failed: [...]` summary, and the process exits nonzero. */
 object Verify {
+
+  /** Run each query, writing `$outDir/$name` parquet or an `_ERROR`
+    * marker. Returns the names that failed (deterministic order). */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      selected: Map[String, (SparkSession, String) => DataFrame]): Seq[String] = {
+    new java.io.File(outDir).mkdirs()
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // Queries are independent — run a few concurrently so cluster slots
+    // stay busy while any one query sits in its sequential stages (the
+    // Spark scheduler interleaves the jobs; results are per-query dirs).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val tasks = selected.toSeq.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            failed.add(name)
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            val dir = Paths.get(s"$outDir/$name")
+            Files.createDirectories(dir)
+            Files.writeString(dir.resolve("_ERROR"),
+              s"$name failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}\n")
+          }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    failed.toArray(Array.empty[String]).toSeq.sorted
+  }
+
   def main(args: Array[String]): Unit = {
     // Optional third arg: comma-separated query names — a local iteration
     // aid (the driver always runs the full set with two args).
@@ -23,24 +61,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    // Queries are independent — run a few concurrently so cluster slots
-    // stay busy while any one query sits in its sequential stages (the
-    // Spark scheduler interleaves the jobs; results are per-query dirs).
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val selected = only.fold(SparkEntry.queries)(SparkEntry.selectQueries)
-    val tasks = selected.toSeq.map { case (name, fn) =>
-      pool.submit(new Runnable {
-        override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
-      })
-    }
-    tasks.foreach(_.get())
-    pool.shutdown()
+    val failed = run(spark, sfDir, outDir, selected)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -60,5 +82,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] failed: ${failed.mkString("[", ", ", "]")}")
+      sys.exit(1)
+    }
   }
 }
