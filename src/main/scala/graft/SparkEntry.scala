@@ -481,7 +481,7 @@ object SparkEntry {
     // against the exact count with a ±10% contract the oracle states.
     "x_approx_distinct" -> ((s, d) => {
       T(s, d, "documents")
-        .select(explode(filter(split(lower(trim(col("text"))), "\\s+"),
+        .select(explode(filter(split(lower(trim(col("text"))), text.WhitespaceRun),
           t => t =!= "")).as("token"))
         .agg(countDistinct(col("token")).as("n_exact"),
           approx_count_distinct(col("token"), 0.02).as("__a"))
@@ -502,7 +502,7 @@ object SparkEntry {
     "x_heavy_hitters" -> ((s, d) => {
       val m = 24
       val toks = T(s, d, "documents").select(col("source"),
-        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+        explode(filter(split(lower(trim(col("text"))), text.WhitespaceRun),
           t => t =!= "")).as("token"))
       val sk = toks.groupBy("source").agg(
         graft.functions.MisraGriesAgg.misraGries(col("token"), m).as("__mg"),
@@ -539,7 +539,7 @@ object SparkEntry {
     "x_hh_incremental" -> ((s, d) => {
       val m = 24
       val toks = T(s, d, "documents").select(col("doc_id"), col("source"),
-        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+        explode(filter(split(lower(trim(col("text"))), text.WhitespaceRun),
           t => t =!= "")).as("token"))
       def sketch(slice: Column) = toks.filter(slice).groupBy("source").agg(
         graft.functions.MisraGriesAgg.misraGries(col("token"), m).as("items"),
@@ -735,7 +735,7 @@ object SparkEntry {
       val vocab = CurationOps.vocabTopK(docs, "text", 100)
         .select(col("token"), lit(1).as("__in"))
       docs.select(col("doc_id"),
-          explode_outer(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))
+          explode_outer(filter(split(lower(trim(col("text"))), text.WhitespaceRun), t => t =!= ""))
             .as("token"))
         .join(broadcast(vocab), Seq("token"), "left")
         .groupBy("doc_id")
@@ -1030,7 +1030,7 @@ object SparkEntry {
       val queries = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(
-            filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""),
+            filter(split(lower(trim(col("text"))), text.WhitespaceRun), t => t =!= ""),
             1, 5)).as("qtext"))
       Bm25.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
           k = 10, maxDfFrac = 1.0)
@@ -1057,7 +1057,7 @@ object SparkEntry {
       val queries = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(
-            filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""),
+            filter(split(lower(trim(col("text"))), text.WhitespaceRun), t => t =!= ""),
             1, 5)).as("qtext"))
       val lex = Bm25.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
           k = 20, maxDfFrac = 1.0)

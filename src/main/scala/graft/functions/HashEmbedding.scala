@@ -18,7 +18,9 @@ object TextKernels extends Serializable {
    */
   def hashEmbed(s: UTF8String, dim: Int): ArrayData = {
     val acc = new Array[Double](dim)
-    val str = s.toString.toLowerCase.trim
+    // Locale.ROOT + the shared whitespace class (StatsKernels.isWs), no
+    // trim — token boundaries identical to every other text kernel.
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     var i = 0
     val n = str.length
     var start = 0
@@ -31,7 +33,7 @@ object TextKernels extends Serializable {
     }
     while (i < n) {
       val c = str.charAt(i)
-      if (Character.isWhitespace(c)) { flush(i); h = 0 }
+      if (StatsKernels.isWs(c)) { flush(i); h = 0 }
       else { if (!inTok) { inTok = true; start = i; h = 0 }; h = 31 * h + c }
       i += 1
     }

@@ -31,8 +31,13 @@ object SigKernels extends Serializable {
   }
 
   private def tokenize(s: UTF8String): Array[String] = {
-    val str = s.toString.toLowerCase.trim
-    if (str.isEmpty) Array.empty else str.split("\\s+")
+    // Locale.ROOT lower + split on THE spelled-out whitespace class +
+    // drop empties — exactly the column form (lower/trim/split/filter);
+    // String.trim is NOT used (it strips all chars <= 0x20, wider than
+    // the class, so control-prefixed tokens would diverge from Spark).
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val parts = str.split(text.WhitespaceRun)
+    if (parts.length > 0 && parts(0).isEmpty) parts.drop(1) else parts
   }
 
   /** Content-defined chunk boundaries via a Rabin-Karp rolling hash over

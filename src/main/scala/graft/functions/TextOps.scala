@@ -20,8 +20,22 @@ import org.apache.spark.sql.functions._
  */
 object text {
 
-  /** Whitespace tokenization of trimmed lowercase text. */
-  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+  /**
+   * THE whitespace class, spelled out — every tokenizing split in the
+   * engine uses this constant and the OracleSql `words` macro spells the
+   * identical class. Java's `\s` happens to equal it, but DuckDB's RE2
+   * `\s` drops vertical tab 0x0B; writing the class out on BOTH sides
+   * makes engine/oracle tokenization parity self-evident and independent
+   * of either regex engine's `\s` definition.
+   */
+  val WhitespaceRun: String = "[ \t\n\\x0B\f\r]+"
+
+  /** Whitespace tokenization of trimmed lowercase text. Empties are
+    * filtered: `trim` only strips spaces, so a tab/VT-leading document
+    * would otherwise emit a phantom "" first token that the oracle's
+    * `list_filter(..., t <> '')` never sees. */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), WhitespaceRun), t => t =!= "")
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -158,6 +172,6 @@ object text {
    */
   def entities(textCol: Column): Column =
     array_sort(array_distinct(filter(
-      split(trim(textCol), "\\s+"),
+      split(trim(textCol), WhitespaceRun),
       t => t.rlike("^[A-Z][a-z]+"))))
 }

@@ -32,6 +32,12 @@ object StatsKernels extends Serializable {
 
   private val und = UTF8String.fromString("und")
 
+  /** Membership in THE whitespace class ([[text.WhitespaceRun]]) — the
+    * kernel must split exactly where the column form's regex does;
+    * `Character.isWhitespace` is wider (\x1C-\x1F, unicode line seps). */
+  @inline private[functions] def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** One pass over whitespace tokens:
     * (n_tokens, sum_len, n_stop, n_pos, n_neg, lang_pred). */
   def textStats(s: UTF8String, stopSpec: String, posSpec: String,
@@ -40,7 +46,12 @@ object StatsKernels extends Serializable {
     val profs = profiles(profSpec)
     val nProf = profs.length
     val profCounts = new Array[Int](nProf)
-    val str = s.toString.toLowerCase.trim
+    // Locale.ROOT: Spark's lower() is locale-independent; the platform
+    // default would diverge under e.g. a Turkish JVM locale (I → ı).
+    // No trim: String.trim strips ALL chars <= 0x20, wider than the
+    // spelled-out whitespace class — edge whitespace simply yields no
+    // token, exactly like the column form's trim+split+filter.
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     var n = 0; var sumLen = 0L; var nStop = 0; var nPos = 0; var nNeg = 0
     var i = 0; var start = -1
     val len = str.length
@@ -55,7 +66,7 @@ object StatsKernels extends Serializable {
       start = -1
     }
     while (i < len) {
-      if (Character.isWhitespace(str.charAt(i))) flush(i)
+      if (isWs(str.charAt(i))) flush(i)
       else if (start < 0) start = i
       i += 1
     }

@@ -19,7 +19,7 @@ object CurationOps {
   /** Whitespace tokens, lowercased — the same stream every text kernel
     * and every DuckDB oracle uses (split on runs, drop empties). */
   private def toks(c: Column): Column =
-    filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
+    filter(split(lower(trim(c)), graft.functions.text.WhitespaceRun), t => t =!= "")
 
   /**
    * Gopher-style repetition signals per document:
@@ -314,7 +314,7 @@ object CurationOps {
   def c4LineClean(c: Column, minLineWords: Int = 5): Column =
     array_join(filter(split(c, "\n"), l =>
       trim(l).rlike("[.!?\"']$") &&
-        size(filter(split(trim(l), "\\s+"), t => t =!= "")) >= minLineWords &&
+        size(filter(split(trim(l), graft.functions.text.WhitespaceRun), t => t =!= "")) >= minLineWords &&
         !lower(l).contains("javascript")), "\n")
 
   /** C4's document-level flags: "lorem ipsum" boilerplate and curly

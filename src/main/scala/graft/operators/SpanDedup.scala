@@ -53,12 +53,10 @@ import org.apache.spark.sql.functions._
 object SpanDedup {
 
   /** Tokenization shared with the other text kernels: lower, split on
-    * whitespace runs, drop empties. Java's `\s` is exactly
-    * [ \t\n\x0B\f\r]; OracleSql's `words` macro spells that class out
-    * (RE2's `\s` lacks \x0B), so engine and oracle tokenize identically
-    * even on vertical-tab bytes. */
+    * runs of [[graft.functions.text.WhitespaceRun]] (the ONE spelled-out
+    * whitespace class both engine and OracleSql use), drop empties. */
   private def toks(textCol: Column): Column =
-    filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
+    filter(split(lower(trim(textCol)), graft.functions.text.WhitespaceRun), t => t =!= "")
 
   /** The two digest words keying a span in digest mode. xxhash64 over
     * (seed-literal, span) — different seed literal, independent hash. */
@@ -188,6 +186,17 @@ object SpanDedup {
     val (h1, h2) = spanDigests(col("span"))
     val win = spanWindows(docs, idCol, textCol, k)
       .select(col(idCol), col("i"), h1.as("__h1"), h2.as("__h2"))
+    // The window relation is CONSUMED twice (detection aggregate +
+    // coverage probe) but deliberately re-evaluated map-side rather than
+    // persisted or exchange-pinned. Measured alternative (round 11,
+    // sf0.1, docs/PLANS.md): repartitioning `win` on the digest key so
+    // both consumers share one exchange does NOT dedupe — Catalyst prunes
+    // `i` out of the aggregation's subtree, so the two exchanges
+    // canonicalize differently and ReuseExchange never fires; the
+    // variant just added two O(window rows) shuffles (timing within
+    // noise at sf0.1, strictly worse at scale where the network is
+    // scarcer than scan CPU). Caching the windows is O(corpus tokens)
+    // of state — the wrong trade at 100 TB (class note above).
     val dup = win
       .groupBy(col("__h1"), col("__h2"))
       .agg(countDistinct(col(idCol)).as("n_docs"))

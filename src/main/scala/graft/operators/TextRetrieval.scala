@@ -33,7 +33,7 @@ object Bm25 {
   /** Tokenization shared with the other text kernels (SpanDedup, BPE):
     * lower, split on whitespace runs, drop empties. */
   private def toks(textCol: Column): Column =
-    filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
+    filter(split(lower(trim(textCol)), graft.functions.text.WhitespaceRun), t => t =!= "")
 
   /**
    * The standing BM25 index: one row per (term, doc) — `(term, doc_id,

@@ -19,7 +19,14 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSpec {
     val texts = (1 to 30).map { i =>
       val n = 1 + rnd.nextInt(12)
       (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
-    } :+ (31L, "ab") :+ (32L, "one two")  // fewer tokens than the shingle width
+    } ++ Seq(
+      (31L, "ab"), (32L, "one two"),  // fewer tokens than the shingle width
+      // whitespace-class edges: tab-leading (trim keeps it — no phantom ""
+      // token), vertical tab as separator, \x1C (NOT whitespace here or in
+      // the oracle's spelled-out class — stays inside its token).
+      (33L, "\tBIG win the fast spark"),
+      (34L, "a\u000Bb of the slow query win"),
+      (35L, "b\u001Cc d the of a spark query"))
     texts.toDF("id", "text")
   }
 
