@@ -62,18 +62,12 @@ object SparkEntry {
     queries.filter { case (n, _) => ns(n) }
   }
 
-  /** The documented quality score (length, stopword, word-length terms,
-    * rounded to 6) — ONE definition shared by x_quality and the composed
-    * x_curation_verdict so the operating points cannot drift apart. */
-  private def qualityOf(textCol: org.apache.spark.sql.Column) = {
-    val st = graft.functions.textStats(textCol)
-    val stopRatio = st("n_stop").cast("double") / st("n_tokens")
-    val awl = st("sum_len").cast("double") / st("n_tokens")
-    round(
-      least(st("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.5 +
-        when(stopRatio > 0.01, 1.0).otherwise(0.5) * 0.25 +
-        when(awl.between(2.0, 12.0), 1.0).otherwise(0.5) * 0.25, 6)
-  }
+  /** The documented quality score — ONE definition (now owned by the
+    * production pipeline, [[graft.pipelines.Admission.quality]]) shared
+    * by x_quality, x_curation_verdict, and the admission funnel so the
+    * operating points cannot drift apart. */
+  private def qualityOf(textCol: org.apache.spark.sql.Column) =
+    graft.pipelines.Admission.quality(textCol)
 
   /** events.event_type → implicit score (reference weights shape, P10). */
   private def eventsScore(c: org.apache.spark.sql.Column) =
@@ -582,45 +576,11 @@ object SparkEntry {
       val docs = T(s, d, "documents")
       val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
       val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-      val base = batch.select(col("doc_id"), col("text"),
-        text.langId(col("text")).as("lang_pred"), qualityOf(col("text")).as("quality"),
-        (CurationOps.piiCounts(col("text")).getField("emails") +
-          CurationOps.piiCounts(col("text")).getField("ips")).as("n_pii"))
-      val gopher = CurationOps.gopherStats(batch, "doc_id", "text")
-        .select(col("doc_id"), col("keep").as("gopher_keep"))
-      // The funnel relation feeds four consumers (admitted, the exact-dup
-      // probe, the scrub input, and the final verdict join); materialize
-      // it ONCE — the x_admit_incremental lesson: without the eager
-      // checkpoint the whole curation subtree re-executes per consumer
-      // (measured 7.4 s -> ~3 s at sf0.1). Batch-sized, three columns.
-      val cur = base.join(gopher, "doc_id")
-        .withColumn("admit", col("lang_pred") =!= "und" && col("quality") >= 0.5 &&
-          col("gopher_keep") && col("n_pii") === 0)
-        .select("doc_id", "text", "admit").localCheckpoint(true)
-      val admitted = cur.filter(col("admit")).select("doc_id", "text")
-      val novel = DedupOps.incrementalNewDocs(admitted, corpus, "text")
-        .select(col("doc_id"), lit(true).as("__new")).localCheckpoint(true)
-      val surv = admitted.join(novel.select("doc_id"), "doc_id")
-      // scrubAgainstIndex probes the index twice (already-dup scan +
-      // crossed-sum join); production reads the PERSISTED inventory so
-      // both probes are cheap pushed scans — the in-query composition
-      // must materialize it once or the corpus-sized window+groupBy
-      // subtree executes twice.
-      val idx = SpanDedup.spanDigestIndex(corpus, "doc_id", "text", k = 8)
-        .localCheckpoint(true)
-      val scrubbed = SpanDedup.scrubAgainstIndex(surv, idx,
-        "doc_id", "text", k = 8)
-      batch.select("doc_id")
-        .join(cur.select("doc_id", "admit"), "doc_id")
-        .join(novel, Seq("doc_id"), "left")
-        .join(scrubbed, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(!col("admit"), lit("rejected"))
-            .when(col("__new").isNull, lit("duplicate"))
-            .otherwise(lit("admitted")).as("verdict"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
+      // The whole composition lives in the production entry point
+      // (graft.pipelines.Admission) — this query IS its in-memory form,
+      // oracle-checked; Admission.run is the standing-store twin, pinned
+      // batch-for-batch equal by AdmissionStoreSpec.
+      graft.pipelines.Admission.runAgainst(batch, corpus, "doc_id", "text")
         .orderBy("doc_id")
     }),
     // Distributed quantile sketch (the percentile counterpart of the

@@ -1,0 +1,246 @@
+package graft.pipelines
+
+import graft.functions.{text, textStats}
+import graft.operators.{CurationOps, DedupOps, SpanDedup}
+import graft.sources.TableSink
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The production ingest pipeline as ONE callable: curation funnel →
+ * exact-dup check → span scrub, in two interchangeable forms.
+ *
+ *  - [[runAgainst]] — the in-memory reference composition, taking the
+ *    standing corpus as a DataFrame. This IS the oracle-checked
+ *    `pipe_admission_e2e` query (SparkEntry delegates here), kept as the
+ *    executable spec of the admission semantics.
+ *  - [[run]] — the standing-state form a scheduled ingest job calls per
+ *    batch: the corpus never appears; the exact-dup probe reads a
+ *    bucket-pruned [[TableSink]] fingerprint table and the span scrub
+ *    reads the persisted span-digest inventory, so per-batch cost is
+ *    O(batch) + tiny pruned store reads. Admitted documents' fingerprints
+ *    and span digests are absorbed into the stores in the same call, so
+ *    `run` after `run` equals one [[runAgainst]] over the grown corpus —
+ *    the incremental-equality law AdmissionStoreSpec pins.
+ *
+ * Store layout under `storeDir` (single-writer: admission is a scheduled
+ * job, not a concurrent endpoint — same contract as every TableSink
+ * maintenance op):
+ *
+ *  - `fingerprints/` — TableSink table keyed by `__fp` (md5 of normalized
+ *    text). Upserts rewrite only the buckets the batch's fingerprints
+ *    fall in; the probe reads only the buckets the batch hashes to.
+ *  - `span_index/part_NNNNN` dirs + `span_index/_PARTS` — the span-digest
+ *    inventory as an additive base + delta parts list ([[SpanDedup
+ *    .spanDigestIndex]] maintenance contract: digests are uniform, so a
+ *    per-batch row-upsert would dirty every bucket of a keyed table;
+ *    deltas keep the per-batch write O(batch) and [[compact]] is the
+ *    scheduled merge that restores the single filter-pushed scan).
+ */
+object Admission {
+
+  /** Operating points of the composed pipeline (the documented defaults
+    * every oracle query runs at). */
+  case class Config(spanK: Int = 8, minDocs: Int = 2, minQuality: Double = 0.5)
+
+  /** The documented quality score (length, stopword, word-length terms,
+    * rounded to 6) — ONE definition shared by the x_quality /
+    * x_curation_verdict queries and the admission funnel, so the
+    * operating points cannot drift apart. Kernel-backed: one token scan
+    * per document ([[graft.functions.textStats]]). */
+  def quality(textCol: Column): Column = {
+    val st = textStats(textCol)
+    val stopRatio = st("n_stop").cast("double") / st("n_tokens")
+    val awl = st("sum_len").cast("double") / st("n_tokens")
+    round(
+      least(st("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.5 +
+        when(stopRatio > 0.01, 1.0).otherwise(0.5) * 0.25 +
+        when(awl.between(2.0, 12.0), 1.0).otherwise(0.5) * 0.25, 6)
+  }
+
+  /**
+   * Stage 1, the curation funnel: language identified, quality at or
+   * above the floor, Gopher document rules pass, zero unredacted PII.
+   * Returns (idCol, textCol, admit), eagerly materialized ONCE — the
+   * relation feeds four downstream consumers and the funnel's token
+   * scans must not re-execute per consumer (measured 7.4 → ~3 s at
+   * sf0.1; batch-sized, three columns).
+   */
+  def curationFunnel(batch: DataFrame, idCol: String, textCol: String,
+                     cfg: Config = Config()): DataFrame = {
+    val base = batch.select(col(idCol), col(textCol),
+      text.langId(col(textCol)).as("lang_pred"), quality(col(textCol)).as("quality"),
+      (CurationOps.piiCounts(col(textCol)).getField("emails") +
+        CurationOps.piiCounts(col(textCol)).getField("ips")).as("n_pii"))
+    val gopher = CurationOps.gopherStats(batch, idCol, textCol)
+      .select(col(idCol), col("keep").as("gopher_keep"))
+    base.join(gopher, idCol)
+      .withColumn("admit", col("lang_pred") =!= "und" && col("quality") >= cfg.minQuality &&
+        col("gopher_keep") && col("n_pii") === 0)
+      .select(col(idCol), col(textCol), col("admit")).localCheckpoint(true)
+  }
+
+  /** Shared verdict assembly: curation rejection beats duplication (the
+    * cheap stage guards the costly ones); scrubbed survivors admit. */
+  private def verdicts(batch: DataFrame, cur: DataFrame, novel: DataFrame,
+                       scrubbed: DataFrame, idCol: String): DataFrame =
+    batch.select(col(idCol))
+      .join(cur.select(col(idCol), col("admit")), idCol)
+      .join(novel, Seq(idCol), "left")
+      .join(scrubbed, Seq(idCol), "left")
+      .select(col(idCol),
+        when(!col("admit"), lit("rejected"))
+          .when(col("__new").isNull, lit("duplicate"))
+          .otherwise(lit("admitted")).as("verdict"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+
+  /**
+   * In-memory reference composition (the `pipe_admission_e2e` semantics):
+   * admit `batch` against a corpus given as a DataFrame. Span duplication
+   * is counted over corpus ∪ curation-survivors, so batch-internal
+   * boilerplate is caught too. One row per batch document.
+   */
+  def runAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
+                 textCol: String, cfg: Config = Config()): DataFrame = {
+    val cur = curationFunnel(batch, idCol, textCol, cfg)
+    val admitted = cur.filter(col("admit")).select(col(idCol), col(textCol))
+    val novel = DedupOps.incrementalNewDocs(admitted, corpus, textCol)
+      .select(col(idCol), lit(true).as("__new")).localCheckpoint(true)
+    val surv = admitted.join(novel.select(idCol), idCol)
+    // scrubAgainstIndex probes the index twice (already-dup scan +
+    // crossed-sum join); the in-memory composition must materialize it
+    // once or the corpus-sized window+groupBy subtree executes twice.
+    // (The standing-state form reads the PERSISTED inventory instead —
+    // both probes become cheap pushed scans.)
+    val idx = SpanDedup.spanDigestIndex(corpus, idCol, textCol, cfg.spanK)
+      .localCheckpoint(true)
+    val scrubbed = SpanDedup.scrubAgainstIndex(surv, idx, idCol, textCol,
+      cfg.spanK, cfg.minDocs)
+    verdicts(batch, cur, novel, scrubbed, idCol)
+  }
+
+  // ───────────────────────── standing-state form ─────────────────────────
+
+  private def fpDir(storeDir: String) = s"$storeDir/fingerprints"
+  private def spanDir(storeDir: String) = s"$storeDir/span_index"
+  private def partsFile(storeDir: String) =
+    java.nio.file.Paths.get(spanDir(storeDir), "_PARTS")
+
+  private def listParts(storeDir: String): Seq[String] = {
+    val p = partsFile(storeDir)
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq.empty
+  }
+
+  /** Atomic parts-list publish (temp + move, the TableSink `_CURRENT`
+    * idiom): a reader resolves either the old or the new list, never a
+    * torn one. */
+  private def writeParts(storeDir: String, parts: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(spanDir(storeDir))
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s"_PARTS.tmp.${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp, (parts.mkString("\n") + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, partsFile(storeDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The merged standing inventory. One part (the post-[[compact]] or
+    * just-initialized state) reads straight from parquet — the admission
+    * scrub's `n_docs` threshold pushes into that scan; with deltas
+    * pending, the additive merge (one digest-keyed aggregate over
+    * index-sized, 32-byte rows) runs and is materialized once. */
+  def readSpanIndex(spark: SparkSession, storeDir: String): DataFrame = {
+    val parts = listParts(storeDir)
+    require(parts.nonEmpty, s"no span index under '${spanDir(storeDir)}' — run init first")
+    val dfs = parts.map(p => spark.read.parquet(s"${spanDir(storeDir)}/$p"))
+    if (dfs.size == 1) dfs.head
+    else dfs.reduce(_ unionByName _)
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_occ")).as("n_occ"))
+      .localCheckpoint(true)
+  }
+
+  /** Initialize the standing stores from an existing corpus: the
+    * fingerprint table (distinct md5s, null-text rows contribute
+    * nothing — a null never equi-matches) and the base span inventory.
+    * O(corpus), run once; thereafter only [[run]] and [[compact]]. */
+  def init(spark: SparkSession, storeDir: String, corpus: DataFrame,
+           idCol: String, textCol: String, cfg: Config = Config()): Unit = {
+    val fps = corpus.select(text.fingerprint(col(textCol)).as("__fp"))
+      .filter(col("__fp").isNotNull).distinct()
+      .withColumn("__v", lit(0L))
+    TableSink.overwrite(spark, fpDir(storeDir), fps, Seq("__fp"))
+    SpanDedup.spanDigestIndex(corpus, idCol, textCol, cfg.spanK)
+      .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/part_00000")
+    writeParts(storeDir, Seq("part_00000"))
+  }
+
+  /**
+   * Admit one batch against the standing stores and absorb the admitted
+   * documents. Returns the verdict frame ([[runAgainst]] schema, one row
+   * per batch doc). Per-batch cost: O(batch) text work, a bucket-pruned
+   * fingerprint read sized by the batch's hash spread, one read of the
+   * digest-only span inventory, one fingerprint upsert touching only the
+   * batch's buckets, one O(batch) span delta write.
+   */
+  def run(spark: SparkSession, storeDir: String, batch: DataFrame,
+          idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
+    val cur = curationFunnel(batch, idCol, textCol, cfg)
+    val admitted = cur.filter(col("admit")).select(col(idCol), col(textCol))
+    // Exact-dup probe: batch fingerprints → bucket ids → read ONLY those
+    // buckets of the store → broadcast semi/anti. Exactly incremental-
+    // NewDocs' answer (null fp never matches → definitely new), with the
+    // Bloom prefilter's role played by physical bucket pruning.
+    val inFp = admitted.withColumn("__fp", text.fingerprint(col(textCol)))
+      .localCheckpoint(true)
+    val probeFps = inFp.select(col("__fp")).filter(col("__fp").isNotNull).distinct()
+    val buckets = TableSink.keyBucketIdsFor(fpDir(storeDir), probeFps)
+    val stored = TableSink.readBuckets(spark, fpDir(storeDir),
+      probeFps.withColumn("__v", lit(0L)), buckets).select(col("__fp"))
+    val dupFps = stored.join(broadcast(probeFps), Seq("__fp"), "left_semi")
+    val novel = inFp.join(broadcast(dupFps), Seq("__fp"), "left_anti")
+      .select(col(idCol), lit(true).as("__new")).localCheckpoint(true)
+    val surv = admitted.join(novel.select(idCol), idCol)
+    val idx = readSpanIndex(spark, storeDir)
+    val scrubbed = SpanDedup.scrubAgainstIndex(surv, idx, idCol, textCol,
+      cfg.spanK, cfg.minDocs)
+    val out = verdicts(batch, cur, novel, scrubbed, idCol).localCheckpoint(true)
+    // Absorb the admitted docs' ORIGINAL text into the standing state
+    // (the inventory records what content exists; scrubbed text is the
+    // training-side output, not the index side).
+    val grown = surv.localCheckpoint(true)
+    val newFps = grown.select(text.fingerprint(col(textCol)).as("__fp"))
+      .filter(col("__fp").isNotNull).distinct().withColumn("__v", lit(1L))
+    TableSink.upsert(spark, fpDir(storeDir), newFps, Seq("__fp"), "__v")
+    val delta = SpanDedup.spanDigestIndex(grown, idCol, textCol, cfg.spanK)
+    val part = f"part_${listParts(storeDir).size}%05d"
+    delta.write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$part")
+    writeParts(storeDir, listParts(storeDir) :+ part)
+    out
+  }
+
+  /** Scheduled span-index compaction: merge base + deltas into one part
+    * (restoring the single filter-pushed scan) and publish atomically.
+    * O(index) — digest-only rows, orders of magnitude under the corpus. */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    val parts = listParts(storeDir)
+    if (parts.size <= 1) return
+    val gen = f"part_c${System.nanoTime()}%d"
+    readSpanIndex(spark, storeDir)
+      .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$gen")
+    writeParts(storeDir, Seq(gen))
+    // old parts are unreferenced after the atomic publish; best-effort GC
+    parts.foreach { p =>
+      val d = new java.io.File(s"${spanDir(storeDir)}/$p")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+    }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.pipelines.Admission
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The standing-store admission ([[Admission.run]]) must equal the
+ * in-memory reference composition ([[Admission.runAgainst]], the
+ * oracle-checked pipe_admission_e2e semantics) batch for batch:
+ * init(corpus); run(b1); run(b2) ≡ runAgainst(b1, corpus);
+ * runAgainst(b2, corpus ∪ admitted(b1)). Compaction must not change
+ * answers.
+ */
+class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // Curation-passing text (AdmissionSpec's recipe): >= 50 distinct words,
+  // sane word lengths, stopwords present.
+  private def goodText(seed: Char): String = {
+    val filler = (0 until 55).map(i => s"${seed}word" + ('a' + i % 26).toChar + ('a' + i / 26).toChar)
+    ("the quick start and most of this is a fine piece" +: filler).mkString(" ")
+  }
+  private val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+
+  private def df(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def collectVerdicts(v: DataFrame): Map[Long, (String, Long, Long, String)] =
+    v.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+
+  test("run == runAgainst across two batches; compaction changes nothing") {
+    val corpus = df(Seq(
+      101L -> goodText('r'),
+      102L -> (goodText('s') + " " + boiler),
+      103L -> "zz junk"))
+    val b1 = df(Seq(
+      1L -> goodText('r'),                    // exact copy of corpus 101 → duplicate
+      2L -> (goodText('p') + " " + boiler),   // novel, shares boiler → admitted+scrubbed
+      3L -> "zz"))                            // fails curation → rejected
+    // b2 exercises the INCREMENTAL part: 11 duplicates a doc ADMITTED in
+    // b1 (only the store knows it), 12 shares b1-admitted boilerplate.
+    val b2 = df(Seq(
+      11L -> (goodText('p') + " " + boiler),  // == b1 doc 2 → duplicate via store
+      12L -> (goodText('q') + " " + boiler),  // novel; boiler now n_docs>=2 in store
+      13L -> goodText('t')))                  // novel, clean → admitted unscathed
+
+    val store = java.nio.file.Files.createTempDirectory("admission-store").toString
+    Admission.init(spark, store, corpus, "doc_id", "text")
+
+    val got1 = collectVerdicts(Admission.run(spark, store, b1, "doc_id", "text"))
+    val want1 = collectVerdicts(Admission.runAgainst(b1, corpus, "doc_id", "text"))
+    assert(got1 == want1, s"batch 1 diverged:\n store=$got1\n ref  =$want1")
+    assert(got1(1L)._1 == "duplicate" && got1(2L)._1 == "admitted" && got1(3L)._1 == "rejected")
+    assert(got1(2L)._3 >= 8, s"boiler span must scrub from doc 2: ${got1(2L)}")
+
+    // reference corpus grows by b1's ADMITTED originals only
+    val corpus2 = corpus.unionByName(b1.filter(col("doc_id") === 2L))
+    val got2 = collectVerdicts(Admission.run(spark, store, b2, "doc_id", "text"))
+    val want2 = collectVerdicts(Admission.runAgainst(b2, corpus2, "doc_id", "text"))
+    assert(got2 == want2, s"batch 2 diverged:\n store=$got2\n ref  =$want2")
+    assert(got2(11L)._1 == "duplicate", "store must remember b1's admitted doc")
+    assert(got2(12L)._1 == "admitted" && got2(12L)._3 >= 8,
+      s"boilerplate shared with a b1-admitted doc must scrub: ${got2(12L)}")
+    // 13 admits; its n_removed is the shared goodText INTRO prefix (11
+    // tokens, >= minDocs across the corpus) — store and reference agree
+    // via got2 == want2 above.
+    assert(got2(13L)._1 == "admitted")
+
+    // compaction is a pure layout change
+    Admission.compact(spark, store)
+    val b3 = df(Seq(
+      21L -> (goodText('u') + " " + boiler),       // novel, boiler scrubs
+      22L -> (goodText('q') + " " + boiler)))      // exact copy of b2's admitted 12
+    val corpus3 = corpus2.unionByName(b2.filter(col("doc_id").isin(12L, 13L)))
+    val got3 = collectVerdicts(Admission.run(spark, store, b3, "doc_id", "text"))
+    val want3 = collectVerdicts(Admission.runAgainst(b3, corpus3, "doc_id", "text"))
+    assert(got3 == want3, s"post-compaction diverged:\n store=$got3\n ref  =$want3")
+    assert(got3(21L)._1 == "admitted" && got3(21L)._3 >= 8)
+    assert(got3(22L)._1 == "duplicate",
+      "compacted store must still remember b2's admitted doc 12")
+  }
+
+  test("null-text rows are definitely-new (anti-join null semantics), both forms") {
+    val corpus = df(Seq(201L -> goodText('v')))
+    val batch = Seq((31L, goodText('w')), (32L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("admission-null").toString
+    Admission.init(spark, store, corpus, "doc_id", "text")
+    val got = collectVerdicts(Admission.run(spark, store, batch, "doc_id", "text"))
+    val want = collectVerdicts(Admission.runAgainst(batch, corpus, "doc_id", "text"))
+    assert(got == want)
+    // null text fails curation (no tokens) → rejected, not a crash
+    assert(got(32L)._1 == "rejected")
+  }
+}
