@@ -180,22 +180,17 @@ object Admission {
     writeParts(storeDir, Seq("part_00000"))
   }
 
-  /**
-   * Admit one batch against the standing stores and absorb the admitted
-   * documents. Returns the verdict frame ([[runAgainst]] schema, one row
-   * per batch doc). Per-batch cost: O(batch) text work, a bucket-pruned
-   * fingerprint read sized by the batch's hash spread, one read of the
-   * digest-only span inventory, one fingerprint upsert touching only the
-   * batch's buckets, one O(batch) span delta write.
-   */
-  def run(spark: SparkSession, storeDir: String, batch: DataFrame,
-          idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
+  /** The read-only half of admission: verdicts for one batch against the
+    * standing stores, NO store mutation. Exact-dup probe: batch
+    * fingerprints → bucket ids → read ONLY those buckets → broadcast
+    * semi/anti — exactly incrementalNewDocs' answer (null fp never
+    * matches → definitely new), with the Bloom prefilter's role played
+    * by physical bucket pruning. */
+  private def computeVerdicts(spark: SparkSession, storeDir: String,
+                              batch: DataFrame, idCol: String, textCol: String,
+                              cfg: Config): DataFrame = {
     val cur = curationFunnel(batch, idCol, textCol, cfg)
     val admitted = cur.filter(col("admit")).select(col(idCol), col(textCol))
-    // Exact-dup probe: batch fingerprints → bucket ids → read ONLY those
-    // buckets of the store → broadcast semi/anti. Exactly incremental-
-    // NewDocs' answer (null fp never matches → definitely new), with the
-    // Bloom prefilter's role played by physical bucket pruning.
     val inFp = admitted.withColumn("__fp", text.fingerprint(col(textCol)))
       .localCheckpoint(true)
     val probeFps = inFp.select(col("__fp")).filter(col("__fp").isNotNull).distinct()
@@ -209,20 +204,101 @@ object Admission {
     val idx = readSpanIndex(spark, storeDir)
     val scrubbed = SpanDedup.scrubAgainstIndex(surv, idx, idCol, textCol,
       cfg.spanK, cfg.minDocs)
-    val out = verdicts(batch, cur, novel, scrubbed, idCol).localCheckpoint(true)
-    // Absorb the admitted docs' ORIGINAL text into the standing state
-    // (the inventory records what content exists; scrubbed text is the
-    // training-side output, not the index side).
-    val grown = surv.localCheckpoint(true)
+    verdicts(batch, cur, novel, scrubbed, idCol).localCheckpoint(true)
+  }
+
+  /** The write half: absorb admitted docs' ORIGINAL text (the inventory
+    * records what content exists; scrubbed text is the training-side
+    * output). IDEMPOTENT under replay for a fixed `deltaName`: the
+    * fingerprint upsert is key-idempotent, the span delta overwrites its
+    * own named part, and the parts publish is add-if-absent. */
+  private def absorb(spark: SparkSession, storeDir: String, grown0: DataFrame,
+                     idCol: String, textCol: String, cfg: Config,
+                     deltaName: String): Unit = {
+    val grown = grown0.localCheckpoint(true)
     val newFps = grown.select(text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct().withColumn("__v", lit(1L))
     TableSink.upsert(spark, fpDir(storeDir), newFps, Seq("__fp"), "__v")
-    val delta = SpanDedup.spanDigestIndex(grown, idCol, textCol, cfg.spanK)
-    val part = f"part_${listParts(storeDir).size}%05d"
-    delta.write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$part")
-    writeParts(storeDir, listParts(storeDir) :+ part)
+    SpanDedup.spanDigestIndex(grown, idCol, textCol, cfg.spanK)
+      .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$deltaName")
+    val cur = listParts(storeDir)
+    if (!cur.contains(deltaName)) writeParts(storeDir, cur :+ deltaName)
+  }
+
+  /**
+   * Admit one batch against the standing stores and absorb the admitted
+   * documents. Returns the verdict frame ([[runAgainst]] schema, one row
+   * per batch doc). Per-batch cost: O(batch) text work, a bucket-pruned
+   * fingerprint read sized by the batch's hash spread, one read of the
+   * digest-only span inventory, one fingerprint upsert touching only the
+   * batch's buckets, one O(batch) span delta write.
+   */
+  def run(spark: SparkSession, storeDir: String, batch: DataFrame,
+          idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
+    val out = computeVerdicts(spark, storeDir, batch, idCol, textCol, cfg)
+    val grown = batch.select(col(idCol), col(textCol))
+      .join(out.filter(col("verdict") === "admitted").select(idCol), idCol)
+    absorb(spark, storeDir, grown, idCol, textCol, cfg,
+      f"part_${listParts(storeDir).size}%05d")
     out
   }
+
+  private def verdictDir(storeDir: String, batchId: Long) =
+    s"$storeDir/verdicts/batch_$batchId"
+
+  /**
+   * Exactly-once per-micro-batch admission (the ST2 idiom applied to
+   * ingest): the batch's verdict parquet is the COMMIT POINT, written
+   * before any store mutation, and every mutation is replay-idempotent
+   * (see [[absorb]]) with the span delta named by `batchId`. A crash at
+   * any point replays to the same verdicts and the same store state:
+   *
+   *  - before the verdict write completes → stores untouched, verdicts
+   *    recomputed against unchanged state;
+   *  - after the commit, anywhere inside absorb → verdicts are READ
+   *    BACK, never recomputed (the store may already contain this
+   *    batch's own fingerprints — recomputing would mark the batch a
+   *    duplicate of itself), and absorb re-applies idempotently.
+   */
+  def runCommitted(spark: SparkSession, storeDir: String, batch: DataFrame,
+                   idCol: String, textCol: String, batchId: Long,
+                   cfg: Config = Config()): DataFrame = {
+    val vd = verdictDir(storeDir, batchId)
+    val committed = java.nio.file.Files.exists(java.nio.file.Paths.get(vd, "_SUCCESS"))
+    if (!committed)
+      computeVerdicts(spark, storeDir, batch, idCol, textCol, cfg)
+        .write.mode("overwrite").parquet(vd)
+    val out = spark.read.parquet(vd)
+    val grown = batch.select(col(idCol), col(textCol))
+      .join(out.filter(col("verdict") === "admitted").select(idCol), idCol)
+    absorb(spark, storeDir, grown, idCol, textCol, cfg, f"part_b$batchId%d")
+    out
+  }
+
+  /**
+   * The streaming ingest: every micro-batch runs [[runCommitted]] under
+   * its epoch id, so the stream is exactly-once end-to-end — restart
+   * replays the last uncommitted epoch onto identical verdicts and
+   * store state. Verdict history accumulates under
+   * `storeDir/verdicts/batch_<epoch>` (the queryable ingest log).
+   */
+  def stream(spark: SparkSession, storeDir: String, source: DataFrame,
+             idCol: String, textCol: String, checkpointDir: String,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+             cfg: Config = Config()): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            runCommitted(spark, storeDir, batch, idCol, textCol, epoch, cfg)
+          ()
+        } finally { batch.unpersist(); () }
+      }
+      .start()
 
   /** Scheduled span-index compaction: merge base + deltas into one part
     * (restoring the single filter-pushed scan) and publish atomically.

@@ -83,6 +83,50 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
       "compacted store must still remember b2's admitted doc 12")
   }
 
+  test("streaming ingest == batch reference; replay is exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val corpus = df(Seq(301L -> goodText('r'), 302L -> (goodText('s') + " " + boiler)))
+    val store = java.nio.file.Files.createTempDirectory("admission-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("admission-ckpt").toString
+    Admission.init(spark, store, corpus, "doc_id", "text")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Admission.stream(spark, store,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    mem.addData(41L -> goodText('r'), 42L -> (goodText('w') + " " + boiler))
+    q.processAllAvailable()
+    mem.addData(51L -> (goodText('w') + " " + boiler), 52L -> "zz")
+    q.processAllAvailable()
+    q.stop()
+
+    // the per-epoch verdict log equals the batch reference law
+    val v0 = collectVerdicts(spark.read.parquet(s"$store/verdicts/batch_0"))
+    assert(v0(41L)._1 == "duplicate" && v0(42L)._1 == "admitted")
+    val v1 = collectVerdicts(spark.read.parquet(s"$store/verdicts/batch_1"))
+    val want1 = collectVerdicts(Admission.runAgainst(
+      df(Seq(51L -> (goodText('w') + " " + boiler), 52L -> "zz")),
+      corpus.unionByName(df(Seq(42L -> (goodText('w') + " " + boiler)))),
+      "doc_id", "text"))
+    assert(v1 == want1, s"epoch 1 diverged:\n stream=$v1\n ref   =$want1")
+    assert(v1(51L)._1 == "duplicate", "epoch 1 must see epoch 0's admitted doc")
+
+    // replay epoch 1 (crash-after-commit): verdicts identical from the
+    // committed log — NOT recomputed against a store that now holds the
+    // batch's own fingerprints — and the store state does not change.
+    val partsBefore = spark.read.parquet(s"$store/span_index/part_b1").count()
+    val replay = collectVerdicts(Admission.runCommitted(spark, store,
+      df(Seq(51L -> (goodText('w') + " " + boiler), 52L -> "zz")),
+      "doc_id", "text", batchId = 1L))
+    assert(replay == v1, "replay must return the committed verdicts")
+    assert(spark.read.parquet(s"$store/span_index/part_b1").count() == partsBefore)
+    // a third batch still answers correctly after the replay
+    val v2 = collectVerdicts(Admission.run(spark, store,
+      df(Seq(61L -> (goodText('w') + " " + boiler))), "doc_id", "text"))
+    assert(v2(61L)._1 == "duplicate")
+  }
+
   test("null-text rows are definitely-new (anti-join null semantics), both forms") {
     val corpus = df(Seq(201L -> goodText('v')))
     val batch = Seq((31L, goodText('w')), (32L, null.asInstanceOf[String]))
