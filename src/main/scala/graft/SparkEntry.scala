@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{Bm25, ClusterRefine, CurationOps, DedupOps, IvfAnn, LayoutOps, MultimodalOps, QuantizeOps, Recommend, RecommendML, Rrf, SampleOps, SemDedup, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, IvfAnn, LayoutOps, MultimodalOps, QuantizeOps, Recommend, RecommendML, Rrf, SampleOps, SemDedup, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -993,6 +993,30 @@ object SparkEntry {
             filter(split(lower(trim(col("text"))), text.WhitespaceRun), t => t =!= ""),
             1, 5)).as("qtext"))
       Bm25.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
+          k = 10, maxDfFrac = 1.0)
+        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // Incremental BM25 maintenance: the standing postings/df/stats store
+    // refreshed by an O(batch) APPEND (the monolithic index's per-row
+    // corpus stats force a rebuild; the decomposed store's relations are
+    // additive over disjoint doc sets). Init on 4/5 of the corpus, append
+    // the last 1/5, search the assembled relation — must equal the
+    // monolithic BM25 oracle over the FULL corpus, proving the appended
+    // statistics are current, not stale.
+    "x_bm25_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("bm25_inc").toString
+      Bm25Store.init(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
+      Bm25Store.append(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(
+            filter(split(lower(trim(col("text"))), text.WhitespaceRun), t => t =!= ""),
+            1, 5)).as("qtext"))
+      Bm25.searchIndex(Bm25Store.readIndex(s, dir), queries, "qid", "qtext",
           k = 10, maxDfFrac = 1.0)
         .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
         .orderBy("query_id", "rank")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TopK
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -32,7 +32,7 @@ object Bm25 {
 
   /** Tokenization shared with the other text kernels (SpanDedup, BPE):
     * lower, split on whitespace runs, drop empties. */
-  private def toks(textCol: Column): Column =
+  private[operators] def toks(textCol: Column): Column =
     filter(split(lower(trim(textCol)), graft.functions.text.WhitespaceRun), t => t =!= "")
 
   /**
@@ -110,6 +110,139 @@ object Bm25 {
                maxDfFrac: Double = 0.5): DataFrame =
     searchIndex(index(docs, idCol, textCol), queries, qidCol, qtextCol,
       k, k1, b, maxDfFrac)
+}
+
+/**
+ * Incrementally-maintainable persisted form of the [[Bm25]] index — the
+ * O(batch) refresh the monolithic [[Bm25.index]] cannot have: its
+ * per-row corpus stats (df, n_docs, avgdl) go stale the moment a doc is
+ * added, which is why its maintenance contract is a scheduled rebuild.
+ * This store DECOMPOSES the index into three additive relations over
+ * disjoint document sets:
+ *
+ *  - `postings/` — (term, doc_id, tf, dl): new docs only APPEND rows,
+ *    so parts concatenate with no merge at all; each part is written
+ *    term-clustered (range partition + in-partition sort) so the query
+ *    path's pushed term in-list prunes row groups in every part.
+ *  - `df/` — (term, df): document frequencies, additive per term.
+ *  - `stats/` — (n_docs, sum_dl): corpus totals, additive.
+ *
+ * [[readIndex]] assembles the exact [[Bm25.index]] relation (spec-pinned
+ * equal over the unioned corpus), so [[Bm25.searchIndex]] runs unchanged
+ * on top — current statistics always, no rebuild. Parts ride the
+ * [[graft.sources.DeltaParts]] ledger: atomic publish, batch-named
+ * appends replay-idempotent, [[compact]] as the scheduled merge that
+ * restores single-part reads (and re-clusters postings by term).
+ */
+object Bm25Store {
+  import graft.sources.DeltaParts
+
+  private def postingsDir(dir: String) = s"$dir/postings"
+  private def dfDir(dir: String) = s"$dir/df"
+  private def statsDir(dir: String) = s"$dir/stats"
+
+  /** The three additive relations of one document set. Empty docs count
+    * in the stats (they dilute avgdl exactly as [[Bm25.index]]'s
+    * `avg(size(t))` does) but produce no postings. */
+  private def parts(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tokd = docs.select(col(idCol).as("doc_id"), Bm25.toks(col(textCol)).as("t"))
+    val postings = tokd
+      .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tokd.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("t"))), lit(0L)).as("sum_dl"))
+    (postings, df, stats)
+  }
+
+  /** ONE ledger at the store root governs all three relations: a part
+    * becomes visible in postings, df, and stats in the SAME atomic
+    * publish — no window where new postings score under old df. */
+  private def writePart(dir: String, name: String, postings: DataFrame,
+                        df: DataFrame, stats: DataFrame): Unit = {
+    postings.repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"${postingsDir(dir)}/$name")
+    df.write.mode("overwrite").parquet(s"${dfDir(dir)}/$name")
+    stats.write.mode("overwrite").parquet(s"${statsDir(dir)}/$name")
+    DeltaParts.add(dir, name)
+  }
+
+  /** Initialize from an existing corpus — O(corpus), once. */
+  def init(spark: SparkSession, dir: String, corpus: DataFrame,
+           idCol: String, textCol: String): Unit = {
+    val (p, d, s) = parts(corpus, idCol, textCol)
+    writePart(dir, "part_00000", p, d, s)
+  }
+
+  /** Append a batch of NEW documents (disjoint doc ids from everything
+    * already stored — re-appending double-counts, same contract as
+    * [[SpanDedup.scrubAgainstIndex]]). O(batch): the standing parts are
+    * never read. `name` the part by batch/epoch id for replay-idempotent
+    * ingest (the [[graft.pipelines.Admission.runCommitted]] idiom). */
+  def append(spark: SparkSession, dir: String, newDocs: DataFrame,
+             idCol: String, textCol: String, name: Option[String] = None): Unit = {
+    val n = name.getOrElse(f"part_${DeltaParts.list(dir).size}%05d")
+    val (p, d, s) = parts(newDocs, idCol, textCol)
+    writePart(dir, n, p, d, s)
+  }
+
+  /** The assembled, searchable index — exactly [[Bm25.index]] over the
+    * union of every stored document set. Postings parts concatenate
+    * (multi-path parquet scan, pushdown intact in every part); df and
+    * stats merge additively (tiny relative to postings); stats land as
+    * one broadcast row. */
+  def readIndex(spark: SparkSession, dir: String): DataFrame = {
+    val names = DeltaParts.list(dir)
+    require(names.nonEmpty, s"no BM25 store at '$dir' — run init first")
+    val postings = spark.read.parquet(
+      names.map(p => s"${postingsDir(dir)}/$p"): _*)
+    val dfParts = names.map(p => spark.read.parquet(s"${dfDir(dir)}/$p"))
+    val dfm =
+      if (dfParts.size == 1) dfParts.head
+      else dfParts.reduce(_ unionByName _)
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val st = names.map(p => spark.read.parquet(s"${statsDir(dir)}/$p"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    postings.join(dfm, "term").crossJoin(broadcast(st))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+        col("df"), col("n_docs"), col("avgdl"))
+  }
+
+  /** Scheduled compaction: fold all parts into one (re-clustering the
+    * postings by term so row-group pruning is corpus-wide again).
+    * O(index); postings-sized, still far under the corpus text. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val old = DeltaParts.list(dir)
+    if (old.size <= 1) return
+    val gen = s"part_c${System.nanoTime()}"
+    // merge each additive relation from its own parts — exact integer
+    // sums, no float round-trip through the assembled avgdl
+    val postings = spark.read.parquet(old.map(p => s"${postingsDir(dir)}/$p"): _*)
+    val dfm = old.map(p => spark.read.parquet(s"${dfDir(dir)}/$p"))
+      .reduce(_ unionByName _)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val st = old.map(p => spark.read.parquet(s"${statsDir(dir)}/$p"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    // write the merged part WITHOUT ledgering it (an add would transiently
+    // publish it alongside the old parts = double counts), then swap
+    postings.repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"${postingsDir(dir)}/$gen")
+    dfm.write.mode("overwrite").parquet(s"${dfDir(dir)}/$gen")
+    st.write.mode("overwrite").parquet(s"${statsDir(dir)}/$gen")
+    DeltaParts.publish(dir, Seq(gen))
+    old.foreach { p =>
+      DeltaParts.rmDir(s"${postingsDir(dir)}/$p")
+      DeltaParts.rmDir(s"${dfDir(dir)}/$p")
+      DeltaParts.rmDir(s"${statsDir(dir)}/$p")
+    }
+  }
 }
 
 /**

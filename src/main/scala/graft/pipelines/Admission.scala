@@ -125,29 +125,8 @@ object Admission {
 
   private def fpDir(storeDir: String) = s"$storeDir/fingerprints"
   private def spanDir(storeDir: String) = s"$storeDir/span_index"
-  private def partsFile(storeDir: String) =
-    java.nio.file.Paths.get(spanDir(storeDir), "_PARTS")
-
-  private def listParts(storeDir: String): Seq[String] = {
-    val p = partsFile(storeDir)
-    if (java.nio.file.Files.exists(p))
-      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-    else Seq.empty
-  }
-
-  /** Atomic parts-list publish (temp + move, the TableSink `_CURRENT`
-    * idiom): a reader resolves either the old or the new list, never a
-    * torn one. */
-  private def writeParts(storeDir: String, parts: Seq[String]): Unit = {
-    val dir = java.nio.file.Paths.get(spanDir(storeDir))
-    java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve(s"_PARTS.tmp.${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp, (parts.mkString("\n") + "\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, partsFile(storeDir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def listParts(storeDir: String): Seq[String] =
+    graft.sources.DeltaParts.list(spanDir(storeDir))
 
   /** The merged standing inventory. One part (the post-[[compact]] or
     * just-initialized state) reads straight from parquet — the admission
@@ -177,7 +156,7 @@ object Admission {
     TableSink.overwrite(spark, fpDir(storeDir), fps, Seq("__fp"))
     SpanDedup.spanDigestIndex(corpus, idCol, textCol, cfg.spanK)
       .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/part_00000")
-    writeParts(storeDir, Seq("part_00000"))
+    graft.sources.DeltaParts.publish(spanDir(storeDir), Seq("part_00000"))
   }
 
   /** The read-only half of admission: verdicts for one batch against the
@@ -221,8 +200,7 @@ object Admission {
     TableSink.upsert(spark, fpDir(storeDir), newFps, Seq("__fp"), "__v")
     SpanDedup.spanDigestIndex(grown, idCol, textCol, cfg.spanK)
       .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$deltaName")
-    val cur = listParts(storeDir)
-    if (!cur.contains(deltaName)) writeParts(storeDir, cur :+ deltaName)
+    graft.sources.DeltaParts.add(spanDir(storeDir), deltaName)
   }
 
   /**
@@ -304,19 +282,10 @@ object Admission {
     * (restoring the single filter-pushed scan) and publish atomically.
     * O(index) — digest-only rows, orders of magnitude under the corpus. */
   def compact(spark: SparkSession, storeDir: String): Unit = {
-    val parts = listParts(storeDir)
-    if (parts.size <= 1) return
+    if (listParts(storeDir).size <= 1) return
     val gen = f"part_c${System.nanoTime()}%d"
     readSpanIndex(spark, storeDir)
       .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$gen")
-    writeParts(storeDir, Seq(gen))
-    // old parts are unreferenced after the atomic publish; best-effort GC
-    parts.foreach { p =>
-      val d = new java.io.File(s"${spanDir(storeDir)}/$p")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d)
-    }
+    graft.sources.DeltaParts.replaceAll(spanDir(storeDir), gen)
   }
 }

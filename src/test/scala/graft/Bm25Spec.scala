@@ -59,6 +59,47 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
       s"query terms must reach the scan as a pushed in-list:\n$plan")
   }
 
+  test("Bm25Store: init+append == monolithic index over the union; compact invariant") {
+    import graft.operators.Bm25Store
+    val a = docs.filter(col("doc_id") <= 3L)
+    val b = docs.filter(col("doc_id") > 3L)
+      // an empty-text doc must dilute avgdl exactly like Bm25.index's avg
+      .unionByName(Seq((6L, "")).toDF("doc_id", "text"))
+    val all = a.unionByName(b)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_store").toString
+    Bm25Store.init(spark, dir, a, "doc_id", "text")
+    Bm25Store.append(spark, dir, b, "doc_id", "text")
+
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val want = rows(Bm25.index(all, "doc_id", "text"))
+    assert(rows(Bm25Store.readIndex(spark, dir)) == want,
+      "assembled store must equal the monolithic index over the union")
+
+    // search runs unchanged on the assembled relation
+    def hits(idx: DataFrame) = asRows(
+      Bm25.searchIndex(idx, queries, "qid", "qtext", k = 10, maxDfFrac = 1.0))
+    val direct = hits(Bm25.index(all, "doc_id", "text"))
+    assert(hits(Bm25Store.readIndex(spark, dir)) == direct)
+
+    // replay-idempotent append: re-writing the same named part changes nothing
+    Bm25Store.append(spark, dir, b, "doc_id", "text", name = Some("part_00001"))
+    assert(rows(Bm25Store.readIndex(spark, dir)) == want, "replayed append must be a no-op")
+
+    // compaction is a pure layout change; search still equal, one part left
+    Bm25Store.compact(spark, dir)
+    assert(rows(Bm25Store.readIndex(spark, dir)) == want)
+    assert(hits(Bm25Store.readIndex(spark, dir)) == direct)
+    assert(graft.sources.DeltaParts.list(dir).size == 1)
+
+    // pushed term in-list still prunes the compacted store's postings scan
+    val pruned = Bm25.searchIndex(Bm25Store.readIndex(spark, dir), queries,
+      "qid", "qtext", k = 10, maxDfFrac = 1.0, pruneTermScan = true)
+    assert(asRows(pruned) == direct)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("In(term, [join,spark]") || plan.contains("In(term, [spark,join]"),
+      s"query terms must reach the stored postings scan:\n$plan")
+  }
+
   test("rrf fusion: consensus beats single-run rank, ranks re-number densely") {
     import graft.operators.Rrf
     val run1 = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3)).toDF("query_id", "doc_id", "rank")
