@@ -783,6 +783,14 @@ object OracleSql {
         |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rank
         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // Model-output invariant oracle (the m7 idiom): the classifier's
+    // contract — probability range, beats-majority, calibration — is
+    // checked in-plan; DuckDB confirms the count and the booleans.
+    "x_quality_model" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS probs_ok,
+        |  true AS beats_majority, true AS calibrated
+        |FROM documents""".stripMargin,
+
     // The incremental store assembles the exact monolithic index over
     // the union corpus, so its oracle IS the x_bm25_topk replay: equal
     // answers prove the appended df/n_docs/avgdl statistics are current.

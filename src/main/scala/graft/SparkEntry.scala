@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, IvfAnn, LayoutOps, MultimodalOps, QuantizeOps, Recommend, RecommendML, Rrf, SampleOps, SemDedup, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, IvfAnn, LayoutOps, MultimodalOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rrf, SampleOps, SemDedup, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -996,6 +996,32 @@ object SparkEntry {
           k = 10, maxDfFrac = 1.0)
         .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
         .orderBy("query_id", "rank")
+    }),
+    // Model-based quality filter (FineWeb-Edu/DCLM shape): logistic
+    // regression on weak labels (the Gopher keep rule) over hashing-trick
+    // features; inference is pure column algebra (weights as literals —
+    // no MLlib, no UDF on the scoring path). Invariant oracle, m7-style:
+    // probabilities are probabilities, the model beats-or-ties the
+    // majority-class predictor on its training set, and the mean
+    // predicted probability tracks the positive rate (calibration).
+    "x_quality_model" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val labeled = CurationOps.gopherStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("int").as("label"))
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      val model = QualityModel.train(labeled, "text", "label")
+      QualityModel.score(labeled, model, "text")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("bool_and(quality_prob >= 0.0 AND quality_prob <= 1.0)").as("probs_ok"),
+          avg(((col("quality_prob") >= 0.5).cast("int") === col("label")).cast("int"))
+            .as("__acc"),
+          avg(col("label")).as("__pos"),
+          avg(col("quality_prob")).as("__avgp"))
+        .select(col("n_docs"), col("probs_ok"),
+          (col("__acc") >= greatest(col("__pos"), lit(1.0) - col("__pos")))
+            .as("beats_majority"),
+          (abs(col("__avgp") - col("__pos")) <= 0.1).as("calibrated"))
     }),
     // Incremental BM25 maintenance: the standing postings/df/stats store
     // refreshed by an O(batch) APPEND (the monolithic index's per-row
