@@ -31,8 +31,11 @@ object QualityModel {
   /** Fitted model as data: one row (weights array[dim], intercept).
     * Persist/load as plain parquet next to the corpus (the S11 model-
     * store idiom — the model IS a table). */
+  // maxIter 10: L-BFGS on the hashed features converges well before it
+  // (sf0.1 A/B: identical 0.7958 accuracy at 25 and 10 iterations,
+  // 5.45 → 2.46 s — the cost is per-iteration scheduling, not data).
   def train(labeled: DataFrame, textCol: String, labelCol: String,
-            dim: Int = 64, maxIter: Int = 25, regParam: Double = 0.01): DataFrame = {
+            dim: Int = 64, maxIter: Int = 10, regParam: Double = 0.01): DataFrame = {
     val feats = labeled.select(
       col(labelCol).cast("double").as("label"),
       array_to_vector(HashEmbed(col(textCol), dim)).as("features"))
