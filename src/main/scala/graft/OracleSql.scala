@@ -783,6 +783,22 @@ object OracleSql {
         |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rank
         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // Outlier trim replay: the threshold is Spark percentile_approx's
+    // documented semantic — the SMALLEST value whose cumulative count
+    // reaches ceil(q*n) — spelled out as a window cumsum + min, so the
+    // two engines' differing quantile conventions never meet.
+    "x_outlier_trim" ->
+      """WITH n AS (SELECT source, count(*) n_total FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_chars,
+        |        count(*) OVER (PARTITION BY source ORDER BY n_chars) cum
+        |      FROM documents),
+        |thr AS (SELECT r.source, min(n_chars) thr FROM r JOIN n USING (source)
+        |        WHERE cum >= ceil(0.99 * n_total) GROUP BY 1)
+        |SELECT d.source, CAST(n.n_total AS BIGINT) AS n_total,
+        |  CAST(count(*) FILTER (WHERE d.n_chars <= thr.thr) AS BIGINT) AS n_kept
+        |FROM documents d JOIN n USING (source) JOIN thr ON thr.source = d.source
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
     // Model-output invariant oracle (the m7 idiom): the classifier's
     // contract — probability range, beats-majority, calibration — is
     // checked in-plan; DuckDB confirms the count and the booleans.

@@ -997,6 +997,20 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Per-group quantile outlier trim (drop docs past their source's p99
+    // length): thresholds from the partial-combinable percentile sketch,
+    // probed back as a broadcast — the sketch is rank-exact at this
+    // accuracy/scale, so the oracle replays Spark's documented threshold
+    // semantic ("smallest x with cdf(x) >= q") directly, not DuckDB's
+    // own quantile convention.
+    "x_outlier_trim" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val kept = SampleOps.quantileTrim(docs, "source", "n_chars", q = 0.99)
+      docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")), "source")
+        .select(col("source"), col("n_total"), col("n_kept"))
+        .orderBy("source")
+    }),
     // Model-based quality filter (FineWeb-Edu/DCLM shape): logistic
     // regression on weak labels (the Gopher keep rule) over hashing-trick
     // features; inference is pure column algebra (weights as literals —

@@ -156,4 +156,25 @@ object SampleOps {
     }
     df.filter(keep(key, frac, salt))
   }
+
+  /**
+   * Per-group quantile outlier trim — the standard "drop documents past
+   * the p99 length for their source" cleaning rule, built on the SKETCH
+   * path so it scales: per-group thresholds come from
+   * `approx_percentile` (fixed-size partial-combinable summaries — one
+   * shuffle of sketch bytes, never raw values; the [[graft.SparkEntry]]
+   * `x_quantile_sketch` contract idiom) and probe back as a broadcast
+   * (one tiny row per group at any scale). Rows with a NULL value or an
+   * unseen group pass through — an outlier rule must never invent
+   * rejections.
+   */
+  def quantileTrim(df: DataFrame, groupCol: String, valCol: String,
+                   q: Double = 0.99, accuracy: Int = 10000): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q in (0,1): $q")
+    val thr = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valCol), lit(q), lit(accuracy)).as("__thr"))
+    df.join(broadcast(thr), Seq(groupCol), "left")
+      .filter(col(valCol).isNull || col("__thr").isNull || col(valCol) <= col("__thr"))
+      .drop("__thr")
+  }
 }

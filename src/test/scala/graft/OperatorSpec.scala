@@ -174,6 +174,27 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       s"head $headRate tail $tailRate")
   }
 
+  test("quantileTrim: per-group p-threshold, nulls and unseen groups pass through") {
+    import spark.implicits._
+    // group a: 1..100 (p90 threshold = 90 → keeps 90); group b: all-equal
+    // values (threshold = the value → keeps everything)
+    val df = ((1 to 100).map(i => ("a", i.toLong)) ++ (1 to 20).map(_ => ("b", 7L)))
+      .toDF("g", "v")
+    val t = graft.operators.SampleOps.quantileTrim(df, "g", "v", q = 0.9)
+    val byG = t.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG("a") == 90L, s"p90 of 1..100 must keep 90: $byG")
+    assert(byG("b") == 20L, "an all-ties group keeps everything")
+    // null values never reject
+    val withNull = df.unionByName(Seq(("a", null.asInstanceOf[java.lang.Long]))
+      .toDF("g", "v"))
+    assert(graft.operators.SampleOps.quantileTrim(withNull, "g", "v", 0.9)
+      .filter(col("v").isNull).count() == 1)
+    // thresholds probe back as a broadcast, not a shuffle join
+    val plan = t.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"threshold join must broadcast:\n$plan")
+  }
+
   test("fixedSizeSample and capPerGroup: exact sizes, order-independent, stable draws") {
     import spark.implicits._
     val df = (1 to 4000).map(i => (i.toLong, if (i % 4 == 0) "tail" else "head")).toDF("id", "s")
