@@ -783,6 +783,19 @@ object OracleSql {
         |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rank
         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // Sliding-chunk replay: identical start arithmetic (inclusive
+    // stepped series to greatest(1, n - size + stride)) and DuckDB's
+    // inclusive 1-based list slice == Spark's slice(start, length).
+    "x_chunk_tokens" ->
+      s"""WITH w AS (SELECT doc_id, $words t FROM documents),
+        |c AS (SELECT doc_id, len(t) n, t,
+        |        unnest(generate_series(1, greatest(1, len(t) - 64 + 48), 48)) s
+        |      FROM w WHERE len(t) > 0)
+        |SELECT doc_id, CAST((s - 1) / 48 AS INTEGER) AS chunk_id,
+        |  array_to_string(t[s:s+63], ' ') AS chunk_text,
+        |  CAST(least(64, n - s + 1) AS INTEGER) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
     // Outlier trim replay: the threshold is Spark percentile_approx's
     // documented semantic — the SMALLEST value whose cumulative count
     // reaches ceil(q*n) — spelled out as a window cumsum + min, so the

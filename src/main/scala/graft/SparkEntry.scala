@@ -997,6 +997,15 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Sliding token chunking (RAG / long-context split): size-64 windows
+    // at stride 48 (16-token overlap); final chunk always reaches the
+    // last token, no degenerate tails. Map-only — tokenize, transform,
+    // explode — no shuffle.
+    "x_chunk_tokens" -> ((s, d) => {
+      CurationOps.chunkTokens(T(s, d, "documents"), "doc_id", "text",
+          size = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")
+    }),
     // Per-group quantile outlier trim (drop docs past their source's p99
     // length): thresholds from the partial-combinable percentile sketch,
     // probed back as a broadcast — the sketch is rank-exact at this

@@ -726,6 +726,38 @@ object CurationOps {
    * the shard count is the parallelism knob (O(corpus/shards) rows sort
    * within each). Every output is replayable from (id, text) alone.
    */
+  /**
+   * Fixed-size token chunking with stride — the sliding-window document
+   * split RAG indexing and long-context training both need (the
+   * complement of [[packSequences]], which concatenates SHORT docs; this
+   * splits LONG ones). Chunk starts run 1, 1+stride, … up to
+   * `max(1, n − size + stride)`, so the final chunk always reaches the
+   * last token and no degenerate tail chunks are emitted (the largest
+   * start is ≥ n − size + 1 by the stepping argument); `stride < size`
+   * gives overlapping context windows, `stride = size` a partition.
+   * Docs with zero tokens emit no chunks. Map-only: one tokenize, one
+   * `transform` over the start sequence, one explode — no shuffle, and
+   * the chunk text re-joins with single spaces (whitespace-normalized,
+   * as every downstream text kernel assumes).
+   */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  size: Int, stride: Int): DataFrame = {
+    require(size > 0, s"chunk size must be positive: $size")
+    require(stride > 0 && stride <= size,
+      s"stride must be in [1, size] (gaps would drop tokens): $stride")
+    val t = toks(col(textCol))
+    val n = org.apache.spark.sql.functions.size(t)
+    val starts = when(n > 0,
+      sequence(lit(1), greatest(lit(1), n - lit(size) + lit(stride)), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col(idCol).as("doc_id"), t.as("__t"), n.as("__n"),
+        posexplode(starts).as(Seq("chunk_id", "__s")))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("__t"), col("__s"), lit(size))).as("chunk_text"),
+        least(lit(size), col("__n") - col("__s") + 1).as("n_tokens"))
+  }
+
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Int, shards: Int = 32): DataFrame = {
     require(budget > 0, s"token budget must be positive: $budget")

@@ -435,6 +435,28 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq(("a", 3L), ("b", 2L)), "count desc, then token asc beats c")
   }
 
+  test("chunkTokens: full coverage, exact overlap, no degenerate tails, empty docs vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),  // n=10: starts 1,5 at size 8/stride 4
+      (2L, "a b c"),                                   // n < size: one chunk
+      (3L, ""), (4L, "   ")                            // no tokens: no chunks
+    ).toDF("doc_id", "text")
+    val out = graft.operators.CurationOps.chunkTokens(docs, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(!out.exists(_._1 >= 3L), "token-less docs emit no chunks")
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0, 1))
+    assert(d1(0)._3 == (1 to 8).map(i => s"t$i").mkString(" "))
+    assert(d1(1)._3 == (5 to 10).map(i => s"t$i").mkString(" "), "final chunk reaches token n")
+    assert(d1.map(_._4).toSeq == Seq(8, 6))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0, "a b c", 3)), s"short doc is one whole chunk: ${d2.toSeq}")
+    // property: at stride <= size the chunk union covers every token index
+    val covered = d1.flatMap { case (_, cid, _, nt) => (cid * 4 + 1) to (cid * 4 + nt) }.toSet
+    assert(covered == (1 to 10).toSet)
+  }
+
   test("packSequences: per-shard token stream chunks exactly, docs span budgets") {
     import spark.implicits._
     // Single shard so the stream order is just doc_id order.
