@@ -11,17 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * generation used; incompatible drift fails loudly. */
 class FixtureSpec extends AnyFunSuite with SparkSpec {
 
-  test("all fixture tables normalize to their expected schemas") {
-    Fixtures.expected.keys.foreach { t =>
-      val df = Fixtures.load(spark, sf(), t)
+  test("all fixture tables normalize to their expected schemas at every scale factor") {
+    for (sfDir <- Seq("sf0.001", "sf0.01", "sf0.1"); t <- Fixtures.expected.keys) {
+      val df = Fixtures.load(spark, sf(sfDir), t)
       val want = Fixtures.expected(t)
       val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
       want.foreach { case (n, dt) =>
-        withClue(s"$t.$n") { assert(got(n) == dt) }
+        withClue(s"$sfDir/$t.$n") { assert(got(n) == dt) }
       }
       // Expected columns lead in declared order (stable positional reads).
       assert(df.schema.fieldNames.take(want.size).toSeq == want.map(_._1))
-      assert(df.count() > 0, s"$t is empty")
+      // schema-level check only at the larger sfs; one count probe at the
+      // smallest keeps the suite fast
+      if (sfDir == "sf0.001") assert(df.count() > 0, s"$t is empty")
     }
   }
 
