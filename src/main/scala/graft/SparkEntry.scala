@@ -1029,9 +1029,12 @@ object SparkEntry {
     // predicted probability tracks the positive rate (calibration).
     "x_quality_model" -> ((s, d) => {
       val docs = T(s, d, "documents")
+      // The labeled relation feeds TWO consumers (the fit and the scored
+      // eval); materialize once or the Gopher labeling pass runs twice.
       val labeled = CurationOps.gopherStats(docs, "doc_id", "text")
         .select(col("doc_id"), col("keep").cast("int").as("label"))
         .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .localCheckpoint(true)
       val model = QualityModel.train(labeled, "text", "label")
       QualityModel.score(labeled, model, "text")
         .agg(
