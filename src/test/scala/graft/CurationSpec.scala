@@ -457,6 +457,43 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(covered == (1 to 10).toSet)
   }
 
+  test("chunkTokens == independent reference on seeded random ragged corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val seps = Seq(" ", "  ", "\t", "\n", "", " \t ")
+    val docs = (1 to 40).map { i =>
+      val n = rnd.nextInt(30)
+      val body = (1 to n).map(j => s"w$j")
+        .mkString(seps(rnd.nextInt(seps.length)))
+      (i.toLong, seps(rnd.nextInt(seps.length)) + body)
+    }.toDF("doc_id", "text")
+    def refToks(t: String): Seq[String] =
+      t.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((size, stride) <- Seq((8, 8), (8, 4), (5, 3), (16, 16), (3, 1))) {
+      val out = graft.operators.CurationOps.chunkTokens(docs, "doc_id", "text", size, stride)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+        .groupBy(_._1)
+      texts.foreach { case (id, t) =>
+        val toks = refToks(t)
+        val chunks = out.getOrElse(id, Array.empty).sortBy(_._2)
+        withClue(s"doc $id size $size stride $stride: ") {
+          if (toks.isEmpty) assert(chunks.isEmpty)
+          else {
+            // reference: starts 1, 1+stride, ... <= max(1, n - size + stride)
+            val starts = 1 to math.max(1, toks.size - size + stride) by stride
+            assert(chunks.length == starts.size)
+            chunks.zip(starts).foreach { case ((_, cid, text0, nt), s0) =>
+              val want = toks.slice(s0 - 1, s0 - 1 + size)
+              assert(text0 == want.mkString(" "), s"chunk $cid")
+              assert(nt == want.size)
+            }
+          }
+        }
+      }
+    }
+  }
+
   test("packSequences: per-shard token stream chunks exactly, docs span budgets") {
     import spark.implicits._
     // Single shard so the stream order is just doc_id order.
