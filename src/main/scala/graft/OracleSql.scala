@@ -783,6 +783,30 @@ object OracleSql {
         |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rank
         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // Expectation-report replay: each check is a plain conditional
+    // count; uniqueness = count - count(DISTINCT); FK = anti-join count.
+    "x_data_quality" ->
+      """WITH checks AS (
+        |  SELECT 'orderkey_not_null' chk,
+        |    count(*) FILTER (WHERE o_orderkey IS NULL) v FROM orders
+        |  UNION ALL SELECT 'totalprice_positive',
+        |    count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0.0, false)) FROM orders
+        |  UNION ALL SELECT 'status_in_domain',
+        |    count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('O','F','P'), false)) FROM orders
+        |  UNION ALL SELECT 'orderdate_in_range',
+        |    count(*) FILTER (WHERE NOT coalesce(o_orderdate BETWEEN
+        |      TIMESTAMP '1992-01-01' AND TIMESTAMP '1998-12-31 23:59:59', false)) FROM orders
+        |  UNION ALL SELECT 'priority_not_blank',
+        |    count(*) FILTER (WHERE NOT coalesce(length(trim(o_orderpriority)) > 0, false)) FROM orders
+        |  UNION ALL SELECT 'orderkey_unique',
+        |    count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL SELECT 'custkey_fk',
+        |    (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |       ON o.o_custkey = c.c_custkey
+        |     WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL))
+        |SELECT chk AS check, CAST(v AS BIGINT) AS n_violations, v = 0 AS pass
+        |FROM checks ORDER BY 1""".stripMargin,
+
     // Sliding-chunk replay: identical start arithmetic (inclusive
     // stepped series to greatest(1, n - size + stride)) and DuckDB's
     // inclusive 1-based list slice == Spark's slice(start, length).

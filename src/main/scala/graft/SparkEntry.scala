@@ -997,6 +997,25 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Data-quality expectation report over the orders table: row-level
+    // predicates in ONE aggregation pass (conditional sums, map-side
+    // partials), key uniqueness in the same idiom, and the one genuine
+    // join — FK integrity vs customer — as a LEFT ANTI count.
+    "x_data_quality" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      val rowChecks = graft.operators.ValidateOps.expect(o, Seq(
+        "orderkey_not_null" -> col("o_orderkey").isNotNull,
+        "totalprice_positive" -> (col("o_totalprice") > 0.0),
+        "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "orderdate_in_range" -> col("o_orderdate")
+          .between(lit("1992-01-01").cast("timestamp_ntz"),
+            lit("1998-12-31 23:59:59").cast("timestamp_ntz")),
+        "priority_not_blank" -> (length(trim(col("o_orderpriority"))) > 0)))
+      val uniq = graft.operators.ValidateOps.uniqueness(o, Seq("o_orderkey"), "orderkey_unique")
+      val fk = graft.operators.ValidateOps.fkViolations(
+        o, T(s, d, "customer"), Seq("o_custkey" -> "c_custkey"), "custkey_fk")
+      rowChecks.unionByName(uniq).unionByName(fk).orderBy("check")
+    }),
     // Sliding token chunking (RAG / long-context split): size-64 windows
     // at stride 48 (16-token overlap); final chunk always reaches the
     // last token, no degenerate tails. Map-only — tokenize, transform,
