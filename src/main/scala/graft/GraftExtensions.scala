@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
       es => TextStatsExpr(es.head, text.defaultStopwords, text.posWords,
         text.negWords, text.langProfiles)))
+    // hash_embedding(text, dim): the deterministic hashing-trick features
+    // behind the embedding stand-in AND QualityModel scoring — registered
+    // so a SQL user can score a stored quality model with plain SQL.
+    e.injectFunction((FunctionIdentifier("hash_embedding"),
+      new ExpressionInfo(classOf[graft.functions.HashEmbedding].getName, "hash_embedding"),
+      es => graft.functions.HashEmbedding(es.head,
+        litInt(es(1), "hash_embedding dim"))))
   }
 
   private def litInt(e: Expression, what: String): Int = e match {

@@ -300,5 +300,7 @@ object sig {
     reg.createOrReplaceTempFunction("text_stats",
       es => TextStatsExpr(es.head, text.defaultStopwords, text.posWords,
         text.negWords, text.langProfiles), "built-in")
+    reg.createOrReplaceTempFunction("hash_embedding",
+      es => HashEmbedding(es.head, litInt(es(1), "hash_embedding dim")), "built-in")
   }
 }

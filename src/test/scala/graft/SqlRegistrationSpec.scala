@@ -43,6 +43,7 @@ class SqlRegistrationSpec extends AnyFunSuite with SparkSpec {
         |       cosine_sketch(array(1.0D, -0.5D), 8) sk,
         |       cdc_boundaries('abcdefghij', 8, 31) cb,
         |       md5_bucket('probe', 1000000) mb,
+        |       hash_embedding('spark join hash', 16) he,
         |       text_stats('the quick fox').n_tokens nt""".stripMargin).collect()
     // values are pinned elsewhere (KernelEquivalenceSpec + oracle); here
     // we only need SQL reachability and sane shapes.
@@ -50,6 +51,8 @@ class SqlRegistrationSpec extends AnyFunSuite with SparkSpec {
     assert(r(0).getAs[scala.collection.Seq[String]]("mh").length == 4)
     assert(r(0).getAs[scala.collection.Seq[Int]]("cb").last == 10)
     assert(r(0).getAs[Long]("mb") >= 0L && r(0).getAs[Long]("mb") < 1000000L)
+    val he = r(0).getAs[scala.collection.Seq[Double]]("he")
+    assert(he.length == 16 && math.abs(he.map(x => x * x).sum - 1.0) < 1e-9)
     assert(r(0).getAs[Int]("nt") == 3)
     // shape params must be literals, loudly
     val e = intercept[Exception] {
