@@ -127,6 +127,47 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(v2(61L)._1 == "duplicate")
   }
 
+  test("ingest fan-out: admitted docs refresh the BM25 and LSH band indexes O(batch)") {
+    import graft.operators.{Bm25, Bm25Store, DedupOps}
+    val corpus = df(Seq(401L -> goodText('r'), 402L -> goodText('s')))
+    val store = java.nio.file.Files.createTempDirectory("fanout").toString
+    val bm25Dir = java.nio.file.Files.createTempDirectory("fanout-bm25").toString
+    Admission.init(spark, store, corpus, "doc_id", "text")
+    Bm25Store.init(spark, bm25Dir, corpus, "doc_id", "text")
+
+    val batch = df(Seq(
+      411L -> (goodText('z') + " uniquetokenxyz"),   // admitted
+      412L -> goodText('r')))                        // duplicate of 401
+    val verdicts = Admission.run(spark, store, batch, "doc_id", "text")
+    // the production fan-out: ONLY the admitted originals flow into the
+    // retrieval indexes — each refresh O(batch), standing state unread
+    val admitted = batch.join(
+      verdicts.filter(col("verdict") === "admitted").select("doc_id"), "doc_id")
+    Bm25Store.append(spark, bm25Dir, admitted, "doc_id", "text")
+
+    // the admitted doc is retrievable with CURRENT statistics...
+    val q = Seq((1L, "uniquetokenxyz")).toDF("qid", "qtext")
+    val hits = Bm25.searchIndex(Bm25Store.readIndex(spark, bm25Dir), q,
+      "qid", "qtext", k = 5, maxDfFrac = 1.0).collect()
+    assert(hits.map(_.getLong(1)).toSeq == Seq(411L))
+    // ...and the duplicate never entered any index
+    val idx = Bm25Store.readIndex(spark, bm25Dir)
+    assert(idx.filter(col("doc_id") === 412L).isEmpty)
+    assert(idx.select("n_docs").distinct().head().getLong(0) == 3L,
+      "corpus stats must count exactly corpus + admitted")
+    // the LSH band index refreshes from the same admitted frame
+    val bandDir = java.nio.file.Files.createTempDirectory("fanout-band").toString
+    DedupOps.refreshBandIndexStored(spark, bandDir, corpus, "doc_id", "text",
+      shingleN = 3, k = 4, bands = 4, version = 0L)
+    DedupOps.refreshBandIndexStored(spark, bandDir, admitted, "doc_id", "text",
+      shingleN = 3, k = 4, bands = 4, version = 1L)
+    val band = graft.sources.TableSink.read(spark, bandDir,
+      spark.range(0).select(lit(0L).as("doc_id"), lit(0).as("band"),
+        lit("").as("bv"), lit(0L).as("__v")))
+    val ids = band.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(401L, 402L, 411L), s"band index must hold corpus + admitted only: $ids")
+  }
+
   test("null-text rows are definitely-new (anti-join null semantics), both forms") {
     val corpus = df(Seq(201L -> goodText('v')))
     val batch = Seq((31L, goodText('w')), (32L, null.asInstanceOf[String]))
