@@ -409,17 +409,68 @@ object TableSink {
     gc(dir, keepManifests = KeepGenerations)
   }
 
+  // ───────────────────────── snapshots / time travel ──────────────────
+  // A snapshot TAG pins one committed generation against GC — the
+  // reproducibility primitive a training pipeline needs ("the exact
+  // corpus bytes run X trained on"): tag at training time, read the
+  // identical table back any number of commits later. A tag is one
+  // atomically-published file naming a manifest; pinned manifests (and
+  // every data file they reference) are exempt from both GC bounds
+  // until the tag is dropped.
+
+  private def snapshotDir(dir: String): Path = Paths.get(dir, "_snapshots")
+
+  /** Pin the CURRENT generation under `tag`; returns its sequence
+    * number. Re-tagging an existing tag re-points it (atomic). */
+  def snapshot(dir: String, tag: String): Long = {
+    require(tag.nonEmpty && !tag.contains('/') && !tag.contains('\n'),
+      s"snapshot tag must be a simple name: '$tag'")
+    val m = currentManifest(dir).getOrElse(
+      throw new IllegalStateException(s"no table at '$dir' to snapshot"))
+    atomicWrite(snapshotDir(dir).resolve(tag), f"m-${m.seq}%010d")
+    m.seq
+  }
+
+  /** Tag → pinned generation sequence, for every live snapshot. */
+  def listSnapshots(dir: String): Map[String, Long] =
+    Option(snapshotDir(dir).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).filterNot(_.getName.endsWith(".tmp"))
+      .map(f => f.getName ->
+        Files.readString(f.toPath).trim.stripPrefix("m-").toLong).toMap
+
+  /** Read the table EXACTLY as it was when `tag` was taken. Fails loud
+    * on an unknown tag; a pinned generation's files cannot have been
+    * GC'd while its tag lives. */
+  def readSnapshot(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    val p = snapshotDir(dir).resolve(tag)
+    require(Files.exists(p), s"no snapshot '$tag' at '$dir' " +
+      s"(have: ${listSnapshots(dir).keys.toSeq.sorted.mkString(", ")})")
+    val name = Files.readString(p).trim
+    val mf = manifestDir(dir).resolve(name)
+    val paths = Files.readAllLines(mf).asScala.filter(_.contains('\t'))
+      .map(l => s"$dir/${l.split('\t')(1)}").toSeq.sorted
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
+
+  /** Unpin `tag`; the generation becomes reclaimable at the next commit's
+    * GC (subject to the normal recency/grace bounds). */
+  def dropSnapshot(dir: String, tag: String): Unit = {
+    Files.deleteIfExists(snapshotDir(dir).resolve(tag)); ()
+  }
+
   /** Drop manifests beyond the newest `keepManifests` — but never one
     * published within the GC grace period (see [[KeepGenerations]] for the
-    * reader contract) — and any data subdir no kept manifest references.
-    * Current readers are unaffected; one older generation survives as
-    * rollback. */
+    * reader contract), and never one pinned by a [[snapshot]] tag — and
+    * any data subdir no kept manifest references. Current readers are
+    * unaffected; one older generation survives as rollback. */
   private def gc(dir: String, keepManifests: Int): Unit = {
     val mfs = Option(manifestDir(dir).toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("m-")).sortBy(_.getName)
     val cutoff = System.currentTimeMillis() - gcGraceMs
+    val pinned = listSnapshots(dir).values.map(s => f"m-$s%010d").toSet
     val (beyondCount, kept0) = mfs.splitAt(math.max(0, mfs.length - keepManifests))
-    val (old, graced) = beyondCount.partition(_.lastModified() < cutoff)
+    val (old, graced) = beyondCount.partition(f =>
+      f.lastModified() < cutoff && !pinned(f.getName))
     val kept = graced ++ kept0
     // Header lines carry no '\t' (buckets=N, optional bucketcol=...);
     // everything else is a "bucket<TAB>path" entry.
