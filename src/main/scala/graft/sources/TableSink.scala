@@ -458,6 +458,26 @@ object TableSink {
     Files.deleteIfExists(snapshotDir(dir).resolve(tag)); ()
   }
 
+  /** Roll the live table back to a snapshot: publish a NEW generation
+    * whose manifest is a copy of the pinned one — no data moves, the new
+    * manifest references the pinned files — so sequence ordering, reader
+    * atomicity, and the GC contract all hold unchanged (re-pointing
+    * `_CURRENT` at the OLD manifest instead would make the next commit's
+    * seq collide with a newer generation). The tag stays live. */
+  def restore(dir: String, tag: String): Unit = {
+    val p = snapshotDir(dir).resolve(tag)
+    require(Files.exists(p), s"no snapshot '$tag' at '$dir' " +
+      s"(have: ${listSnapshots(dir).keys.toSeq.sorted.mkString(", ")})")
+    val content = Files.readString(manifestDir(dir).resolve(Files.readString(p).trim))
+    val maxSeq = Option(manifestDir(dir).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("m-"))
+      .map(_.getName.stripPrefix("m-").toLong).max
+    val name = f"m-${maxSeq + 1}%010d"
+    atomicWrite(manifestDir(dir).resolve(name), content)
+    atomicWrite(ptrPath(dir), name)
+    gc(dir, KeepGenerations)
+  }
+
   /** Drop manifests beyond the newest `keepManifests` — but never one
     * published within the GC grace period (see [[KeepGenerations]] for the
     * reader contract), and never one pinned by a [[snapshot]] tag — and

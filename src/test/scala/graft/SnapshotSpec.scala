@@ -37,6 +37,20 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
         .select("k", "payload").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(live(1L) == "a8" && live.size == 3)
 
+      // rollback: the live table returns to the tagged state as a NEW
+      // generation (no seq collision with later commits), and keeps
+      // accepting upserts afterwards
+      TableSink.restore(dir, "train-v1")
+      val restored = TableSink.read(spark, dir,
+          Seq.empty[(Long, String)].toDF("k", "payload").withColumn("__v", lit(0L)))
+        .select("k", "payload").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(restored == want, s"restore drifted: $restored")
+      upsert(dir, Seq(1L -> "post-restore"), 20L)
+      val after = TableSink.read(spark, dir,
+          Seq.empty[(Long, String)].toDF("k", "payload").withColumn("__v", lit(0L)))
+        .select("k", "payload").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(after(1L) == "post-restore" && after.size == 3)
+
       TableSink.dropSnapshot(dir, "train-v1")
       assert(TableSink.listSnapshots(dir).isEmpty)
       upsert(dir, Seq(4L -> "d"), 9L)   // next commit GCs the unpinned gen
