@@ -231,17 +231,18 @@ object Bm25Store {
       .reduce(_ unionByName _)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     // write the merged part WITHOUT ledgering it (an add would transiently
-    // publish it alongside the old parts = double counts), then swap
+    // publish it alongside the old parts = double counts). The parts it
+    // supersedes stay on disk for in-flight readers of the previous
+    // ledger; the NEXT compaction sweeps them (DeltaParts.replaceAll's
+    // deferred-GC contract, applied across the three relation roots).
     postings.repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"${postingsDir(dir)}/$gen")
     dfm.write.mode("overwrite").parquet(s"${dfDir(dir)}/$gen")
     st.write.mode("overwrite").parquet(s"${statsDir(dir)}/$gen")
+    val protect = old.toSet + gen
+    Seq(postingsDir(dir), dfDir(dir), statsDir(dir))
+      .foreach(r => DeltaParts.sweepOrphans(r, protect))
     DeltaParts.publish(dir, Seq(gen))
-    old.foreach { p =>
-      DeltaParts.rmDir(s"${postingsDir(dir)}/$p")
-      DeltaParts.rmDir(s"${dfDir(dir)}/$p")
-      DeltaParts.rmDir(s"${statsDir(dir)}/$p")
-    }
   }
 }
 

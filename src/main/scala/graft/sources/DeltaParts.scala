@@ -47,17 +47,29 @@ object DeltaParts {
     if (!cur.contains(name)) publish(dir, cur :+ name)
   }
 
-  /** Replace all live parts with `keep`, best-effort deleting the
-    * now-unreferenced dirs AFTER the atomic publish (compaction). */
+  /** Replace all live parts with `keep` (compaction publish). The parts
+    * it supersedes are NOT deleted here — an in-flight reader that
+    * resolved the previous ledger may still be scanning them; they stay
+    * as orphans and the NEXT replaceAll sweeps them (by then a full
+    * compaction cycle old — the TableSink keep-one-generation idiom,
+    * count-based). Sweeping happens via [[sweepOrphans]] so multi-root
+    * stores can clean every relation root under the one ledger. */
   def replaceAll(dir: String, keep: String): Unit = {
-    val old = list(dir)
+    val before = list(dir)
+    sweepOrphans(dir, protect = before.toSet + keep)
     publish(dir, Seq(keep))
-    old.filterNot(_ == keep).foreach(p => rmDir(s"$dir/$p"))
   }
 
-  /** Best-effort recursive delete of an unreferenced part dir — for
-    * stores whose ONE ledger governs part dirs under several relation
-    * roots (publish first, then clean each root). */
+  /** Delete every part dir under `root` that is neither in `protect`
+    * nor a ledger file — the orphans a previous compaction left behind.
+    * Call BEFORE publishing the new ledger, protecting the currently
+    * live parts plus the incoming one. */
+  def sweepOrphans(root: String, protect: Set[String]): Unit =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !protect(f.getName))
+      .foreach(f => rmDir(f.getPath))
+
+  /** Best-effort recursive delete of an unreferenced part dir. */
   def rmDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
