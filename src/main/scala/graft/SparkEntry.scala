@@ -78,6 +78,16 @@ object SparkEntry {
   private val RecentCutoff = "2024-01-24 00:00:00"
   private val NowTs = "2024-02-01 00:00:00"
 
+  /** Temp dir for queries that exercise a persisted-store shape in-query
+    * (BPE dict, incremental BM25): deleted on JVM exit so repeated
+    * Verify/Bench runs don't accumulate corpus-sized directories. */
+  private def tmpStore(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.sources.DeltaParts.rmDir(p.toString)))
+    p.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── projections / filters / scalars ──────────
     "p10_event_score" -> ((s, d) => {
@@ -657,7 +667,7 @@ object SparkEntry {
     // words replay the stored merge table. On the training corpus this
     // equals x_bpe_encode exactly (same oracle SQL).
     "x_bpe_encode_stored" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_bpe_store").toString
+      val dir = tmpStore("graft_bpe_store")
       CurationOps.bpeStore(s, dir, T(s, d, "documents"), "text", 8)
       CurationOps.bpeEncodeStored(s, dir, T(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
@@ -1077,7 +1087,7 @@ object SparkEntry {
     // statistics are current, not stale.
     "x_bm25_incremental" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val dir = java.nio.file.Files.createTempDirectory("bm25_inc").toString
+      val dir = tmpStore("bm25_inc")
       Bm25Store.init(s, dir,
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
       Bm25Store.append(s, dir,

@@ -238,14 +238,22 @@ object SpanDedup {
       .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
   }
 
-  /** Additive merge of two span-digest inventories built over DISJOINT
+  /** Additive merge of span-digest inventories built over DISJOINT
     * document sets (the compaction step of the [[spanDigestIndex]]
-    * maintenance contract; associative, so any merge tree works). The
-    * law `index(a ∪ b) = merge(index(a), index(b))` is spec-pinned. */
-  def mergeSpanIndexes(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
+    * maintenance contract; associative, so any merge tree works) — the
+    * ONE merge definition, n-ary so a many-part merge is a single
+    * aggregation, not a chain. The law
+    * `index(a ∪ b) = merge(index(a), index(b))` is spec-pinned. */
+  def mergeSpanIndexesAll(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "at least one inventory part")
+    parts.reduce(_ unionByName _)
       .groupBy(col("__h1"), col("__h2"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_occ")).as("n_occ"))
+  }
+
+  /** Binary form of [[mergeSpanIndexesAll]]. */
+  def mergeSpanIndexes(a: DataFrame, b: DataFrame): DataFrame =
+    mergeSpanIndexesAll(Seq(a, b))
 
   /**
    * Admission-time span scrub of a NEW batch against a standing

@@ -141,9 +141,12 @@ object Bm25Store {
   private def dfDir(dir: String) = s"$dir/df"
   private def statsDir(dir: String) = s"$dir/stats"
 
-  /** The three additive relations of one document set. Empty docs count
-    * in the stats (they dilute avgdl exactly as [[Bm25.index]]'s
-    * `avg(size(t))` does) but produce no postings. */
+  /** The three additive relations of one document set. Stats carry BOTH
+    * row count (`n_docs` — what idf's N uses) and non-null-token-array
+    * count (`n_dl` — `avg(size(t))`'s denominator, which SKIPS null-text
+    * docs whose `size` is null) so the assembled avgdl matches
+    * [[Bm25.index]] exactly even on corpora with null text. Empty-STRING
+    * docs have size 0 and count in both. */
   private def parts(docs: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val tokd = docs.select(col(idCol).as("doc_id"), Bm25.toks(col(textCol)).as("t"))
@@ -154,8 +157,27 @@ object Bm25Store {
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
     val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = tokd.agg(count(lit(1)).as("n_docs"),
+      count(size(col("t"))).as("n_dl"),
       coalesce(sum(size(col("t"))), lit(0L)).as("sum_dl"))
     (postings, df, stats)
+  }
+
+  /** The additive merges of the live parts — ONE definition shared by
+    * [[readIndex]] and [[compact]]: postings concatenate (disjoint
+    * rows), df and stats sum. */
+  private def merged(spark: SparkSession, dir: String, names: Seq[String])
+      : (DataFrame, DataFrame, DataFrame) = {
+    val postings = spark.read.parquet(names.map(p => s"${postingsDir(dir)}/$p"): _*)
+    val dfParts = names.map(p => spark.read.parquet(s"${dfDir(dir)}/$p"))
+    val dfm =
+      if (dfParts.size == 1) dfParts.head
+      else dfParts.reduce(_ unionByName _)
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val st = names.map(p => spark.read.parquet(s"${statsDir(dir)}/$p"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_dl")).as("n_dl"),
+        sum(col("sum_dl")).as("sum_dl"))
+    (postings, dfm, st)
   }
 
   /** ONE ledger at the store root governs all three relations: a part
@@ -184,7 +206,17 @@ object Bm25Store {
     * ingest (the [[graft.pipelines.Admission.runCommitted]] idiom). */
   def append(spark: SparkSession, dir: String, newDocs: DataFrame,
              idCol: String, textCol: String, name: Option[String] = None): Unit = {
-    val n = name.getOrElse(f"part_${DeltaParts.list(dir).size}%05d")
+    // default names count on-disk orphans too (compaction leaves
+    // superseded parts one cycle for stale readers — a ledger-size name
+    // would collide and overwrite them); an explicitly-named part already
+    // in the ledger is complete from a previous run — skip, never
+    // rewrite a live part in place. NOTE replaying a named append after
+    // a compaction that folded it is NOT detectable here — schedule
+    // compact() only when no replay can be pending, or track absorbed
+    // names like Admission does.
+    val n = name.getOrElse(DeltaParts.nextIndexedName(dir,
+      Seq(postingsDir(dir), dfDir(dir), statsDir(dir))))
+    if (DeltaParts.list(dir).contains(n)) return
     val (p, d, s) = parts(newDocs, idCol, textCol)
     writePart(dir, n, p, d, s)
   }
@@ -197,18 +229,11 @@ object Bm25Store {
   def readIndex(spark: SparkSession, dir: String): DataFrame = {
     val names = DeltaParts.list(dir)
     require(names.nonEmpty, s"no BM25 store at '$dir' — run init first")
-    val postings = spark.read.parquet(
-      names.map(p => s"${postingsDir(dir)}/$p"): _*)
-    val dfParts = names.map(p => spark.read.parquet(s"${dfDir(dir)}/$p"))
-    val dfm =
-      if (dfParts.size == 1) dfParts.head
-      else dfParts.reduce(_ unionByName _)
-        .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    val st = names.map(p => spark.read.parquet(s"${statsDir(dir)}/$p"))
-      .reduce(_ unionByName _)
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val (postings, dfm, st0) = merged(spark, dir, names)
+    // avgdl over docs with a token ARRAY (n_dl): avg() skips null-text
+    // docs; n_docs (all rows) stays idf's N — exactly Bm25.index.
+    val st = st0.select(col("n_docs"),
+      (col("sum_dl").cast("double") / col("n_dl")).as("avgdl"))
     postings.join(dfm, "term").crossJoin(broadcast(st))
       .select(col("term"), col("doc_id"), col("dl"), col("tf"),
         col("df"), col("n_docs"), col("avgdl"))
@@ -223,13 +248,7 @@ object Bm25Store {
     val gen = s"part_c${System.nanoTime()}"
     // merge each additive relation from its own parts — exact integer
     // sums, no float round-trip through the assembled avgdl
-    val postings = spark.read.parquet(old.map(p => s"${postingsDir(dir)}/$p"): _*)
-    val dfm = old.map(p => spark.read.parquet(s"${dfDir(dir)}/$p"))
-      .reduce(_ unionByName _)
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    val st = old.map(p => spark.read.parquet(s"${statsDir(dir)}/$p"))
-      .reduce(_ unionByName _)
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val (postings, dfm, st) = merged(spark, dir, old)
     // write the merged part WITHOUT ledgering it (an add would transiently
     // publish it alongside the old parts = double counts). The parts it
     // supersedes stay on disk for in-flight readers of the previous

@@ -23,11 +23,17 @@ object ValidateOps {
 
   /** One report row per row-level expectation: (check, n_violations,
     * pass). NULL predicate values count as violations (an expectation
-    * that cannot be evaluated did not hold). */
+    * that cannot be evaluated did not hold); an EMPTY table passes every
+    * check with 0 violations. Check names must be simple identifiers —
+    * they are spliced into the melt expression. */
   def expect(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one expectation")
+    checks.foreach { case (n, _) => require(n.matches("[A-Za-z0-9_]+"),
+      s"check name must be a simple identifier: '$n'") }
+    require(checks.map(_._1).distinct.size == checks.size,
+      s"duplicate check names: ${checks.map(_._1).mkString(", ")}")
     val aggs = checks.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
+      coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)), lit(0L)).as(name)
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // melt the single row into (check, n_violations, pass) — stack is
@@ -44,7 +50,7 @@ object ValidateOps {
   def uniqueness(df: DataFrame, keys: Seq[String], name: String): DataFrame = {
     val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
     val dups = df.agg(
-      (sum(when(nonNull, 1L).otherwise(0L)) -
+      (coalesce(sum(when(nonNull, 1L).otherwise(0L)), lit(0L)) -
         countDistinct(keys.head, keys.tail: _*)).as("n_violations"))
     dups.select(lit(name).as("check"), col("n_violations"),
       (col("n_violations") === 0L).as("pass"))

@@ -138,10 +138,7 @@ object Admission {
     require(parts.nonEmpty, s"no span index under '${spanDir(storeDir)}' — run init first")
     val dfs = parts.map(p => spark.read.parquet(s"${spanDir(storeDir)}/$p"))
     if (dfs.size == 1) dfs.head
-    else dfs.reduce(_ unionByName _)
-      .groupBy(col("__h1"), col("__h2"))
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_occ")).as("n_occ"))
-      .localCheckpoint(true)
+    else SpanDedup.mergeSpanIndexesAll(dfs).localCheckpoint(true)
   }
 
   /** Initialize the standing stores from an existing corpus: the
@@ -186,21 +183,38 @@ object Admission {
     verdicts(batch, cur, novel, scrubbed, idCol).localCheckpoint(true)
   }
 
+  // Monotone record of every delta name EVER absorbed — a names-only
+  // DeltaParts ledger (atomic add-if-absent) that compaction never
+  // touches. Replay detection must survive compaction: after a compact
+  // folds part_bN into the base, the PARTS ledger no longer names it,
+  // and a replayed absorb that only checked the ledger would re-write
+  // and re-ledger the delta = double-counted span statistics.
+  private def absorbedDir(storeDir: String) = s"${spanDir(storeDir)}/_absorbed"
+
   /** The write half: absorb admitted docs' ORIGINAL text (the inventory
     * records what content exists; scrubbed text is the training-side
-    * output). IDEMPOTENT under replay for a fixed `deltaName`: the
-    * fingerprint upsert is key-idempotent, the span delta overwrites its
-    * own named part, and the parts publish is add-if-absent. */
+    * output). IDEMPOTENT under replay for a fixed `deltaName`, at every
+    * crash point: a name in the absorbed record skips entirely (even
+    * post-compaction); a name already in the live ledger skips the
+    * parquet rewrite (a ledgered part is complete — rewriting a LIVE
+    * part in place is a non-atomic delete-then-write a concurrent
+    * reader could catch half-done); the fingerprint upsert is
+    * key-idempotent either way. */
   private def absorb(spark: SparkSession, storeDir: String, grown0: DataFrame,
                      idCol: String, textCol: String, cfg: Config,
                      deltaName: String): Unit = {
+    import graft.sources.DeltaParts
+    if (DeltaParts.list(absorbedDir(storeDir)).contains(deltaName)) return
     val grown = grown0.localCheckpoint(true)
     val newFps = grown.select(text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct().withColumn("__v", lit(1L))
     TableSink.upsert(spark, fpDir(storeDir), newFps, Seq("__fp"), "__v")
-    SpanDedup.spanDigestIndex(grown, idCol, textCol, cfg.spanK)
-      .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$deltaName")
-    graft.sources.DeltaParts.add(spanDir(storeDir), deltaName)
+    if (!DeltaParts.list(spanDir(storeDir)).contains(deltaName)) {
+      SpanDedup.spanDigestIndex(grown, idCol, textCol, cfg.spanK)
+        .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$deltaName")
+      DeltaParts.add(spanDir(storeDir), deltaName)
+    }
+    DeltaParts.add(absorbedDir(storeDir), deltaName)
   }
 
   /**
@@ -216,8 +230,11 @@ object Admission {
     val out = computeVerdicts(spark, storeDir, batch, idCol, textCol, cfg)
     val grown = batch.select(col(idCol), col(textCol))
       .join(out.filter(col("verdict") === "admitted").select(idCol), idCol)
+    // nextIndexedName counts on-disk orphans too: a ledger-size name
+    // would collide with a compaction-superseded part still on disk for
+    // in-flight readers and overwrite it (DeltaParts deferred-GC note).
     absorb(spark, storeDir, grown, idCol, textCol, cfg,
-      f"part_${listParts(storeDir).size}%05d")
+      graft.sources.DeltaParts.nextIndexedName(spanDir(storeDir), Seq(spanDir(storeDir))))
     out
   }
 

@@ -47,6 +47,22 @@ object DeltaParts {
     if (!cur.contains(name)) publish(dir, cur :+ name)
   }
 
+  /** The next sequentially-numbered part name, counting BOTH the ledger
+    * and any part dir still on disk under `diskRoots` — a compaction
+    * leaves superseded parts on disk one extra cycle (deferred GC), and
+    * a ledger-size-based name would collide with such an orphan and
+    * overwrite files an in-flight reader of the old ledger may still be
+    * scanning. Non-numeric suffixes (compaction gens) are ignored. */
+  def nextIndexedName(dir: String, diskRoots: Seq[String],
+                      prefix: String = "part_"): String = {
+    val onDisk = diskRoots.flatMap(r =>
+      Option(new java.io.File(r).listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName))
+    val nums = (list(dir) ++ onDisk).filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+    f"$prefix${if (nums.isEmpty) 0L else nums.max + 1}%05d"
+  }
+
   /** Replace all live parts with `keep` (compaction publish). The parts
     * it supersedes are NOT deleted here — an in-flight reader that
     * resolved the previous ledger may still be scanning them; they stay
@@ -63,10 +79,12 @@ object DeltaParts {
   /** Delete every part dir under `root` that is neither in `protect`
     * nor a ledger file — the orphans a previous compaction left behind.
     * Call BEFORE publishing the new ledger, protecting the currently
-    * live parts plus the incoming one. */
+    * live parts plus the incoming one. Names starting with `_` are the
+    * reserved ledger/metadata namespace (`_PARTS`, sibling ledgers like
+    * an absorbed-record dir) and are never swept. */
   def sweepOrphans(root: String, protect: Set[String]): Unit =
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !protect(f.getName))
+      .filter(f => f.isDirectory && !f.getName.startsWith("_") && !protect(f.getName))
       .foreach(f => rmDir(f.getPath))
 
   /** Best-effort recursive delete of an unreferenced part dir. */

@@ -63,8 +63,9 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
     import graft.operators.Bm25Store
     val a = docs.filter(col("doc_id") <= 3L)
     val b = docs.filter(col("doc_id") > 3L)
-      // an empty-text doc must dilute avgdl exactly like Bm25.index's avg
-      .unionByName(Seq((6L, "")).toDF("doc_id", "text"))
+      // empty-text dilutes avgdl (size 0 counts); NULL text must NOT —
+      // avg(size(t)) skips nulls, and n_docs still counts the row for idf
+      .unionByName(Seq((6L, ""), (7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     val all = a.unionByName(b)
     val dir = java.nio.file.Files.createTempDirectory("bm25_store").toString
     Bm25Store.init(spark, dir, a, "doc_id", "text")
@@ -98,6 +99,16 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("In(term, [join,spark]") || plan.contains("In(term, [spark,join]"),
       s"query terms must reach the stored postings scan:\n$plan")
+
+    // a post-compaction default-named append must NOT reuse an orphan
+    // part name still on disk for stale readers (deferred GC)
+    val c = Seq((8L, "spark merge join window")).toDF("doc_id", "text")
+    Bm25Store.append(spark, dir, c, "doc_id", "text")
+    val afterName = graft.sources.DeltaParts.list(dir).filterNot(_.startsWith("part_c"))
+    assert(afterName == Seq("part_00002"),
+      s"default name must skip the on-disk orphans part_00000/part_00001: $afterName")
+    assert(rows(Bm25Store.readIndex(spark, dir)) ==
+      rows(Bm25.index(all.unionByName(c), "doc_id", "text")))
   }
 
   test("rrf fusion: consensus beats single-run rank, ranks re-number densely") {
