@@ -150,11 +150,18 @@ object Bm25Store {
   private def parts(docs: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val tokd = docs.select(col(idCol).as("doc_id"), Bm25.toks(col(textCol)).as("t"))
+    // Materialize the postings ONCE: three consumers otherwise re-run
+    // the tokenize+explode+groupBy subtree — the range partitioner's
+    // sampling job, the parquet write, and the df derivation. Unlike
+    // the span-dedup window relation (deliberately recomputed — see
+    // SpanDedup), postings ARE the artifact being persisted, so the
+    // materialization is the write's own working set, not extra state.
     val postings = tokd
       .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+      .localCheckpoint(true)
     val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = tokd.agg(count(lit(1)).as("n_docs"),
       count(size(col("t"))).as("n_dl"),
