@@ -79,13 +79,23 @@ object SparkEntry {
   private val NowTs = "2024-02-01 00:00:00"
 
   /** Temp dir for queries that exercise a persisted-store shape in-query
-    * (BPE dict, incremental BM25): deleted on JVM exit so repeated
-    * Verify/Bench runs don't accumulate corpus-sized directories. */
+    * (BPE dict, incremental BM25): ONE directory per prefix per JVM,
+    * emptied at each invocation (the store re-inits from scratch) and
+    * deleted by a single per-prefix shutdown hook — so neither repeated
+    * in-session bench passes nor repeated driver runs accumulate
+    * corpus-sized directories. Queries run at most once concurrently
+    * per name (Verify's pool runs DISTINCT queries in parallel). */
+  private val tmpStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def tmpStore(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      graft.sources.DeltaParts.rmDir(p.toString)))
-    p.toString
+    val base = tmpStores.computeIfAbsent(prefix, p => {
+      val d = java.nio.file.Files.createTempDirectory(p).toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.sources.DeltaParts.rmDir(d)))
+      d
+    })
+    graft.sources.DeltaParts.rmDir(base)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    base
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -189,14 +189,18 @@ object Bm25Store {
 
   /** ONE ledger at the store root governs all three relations: a part
     * becomes visible in postings, df, and stats in the SAME atomic
-    * publish — no window where new postings score under old df. */
+    * publish — no window where new postings score under old df.
+    * `ledger = false` writes the files without publishing (compaction
+    * publishes via replace, never add — an add would transiently list
+    * the merged part alongside the parts it merged = double counts). */
   private def writePart(dir: String, name: String, postings: DataFrame,
-                        df: DataFrame, stats: DataFrame): Unit = {
+                        df: DataFrame, stats: DataFrame,
+                        ledger: Boolean = true): Unit = {
     postings.repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"${postingsDir(dir)}/$name")
     df.write.mode("overwrite").parquet(s"${dfDir(dir)}/$name")
     stats.write.mode("overwrite").parquet(s"${statsDir(dir)}/$name")
-    DeltaParts.add(dir, name)
+    if (ledger) DeltaParts.add(dir, name)
   }
 
   /** Initialize from an existing corpus — O(corpus), once. */
@@ -256,15 +260,11 @@ object Bm25Store {
     // merge each additive relation from its own parts — exact integer
     // sums, no float round-trip through the assembled avgdl
     val (postings, dfm, st) = merged(spark, dir, old)
-    // write the merged part WITHOUT ledgering it (an add would transiently
-    // publish it alongside the old parts = double counts). The parts it
-    // supersedes stay on disk for in-flight readers of the previous
-    // ledger; the NEXT compaction sweeps them (DeltaParts.replaceAll's
-    // deferred-GC contract, applied across the three relation roots).
-    postings.repartitionByRange(col("term")).sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"${postingsDir(dir)}/$gen")
-    dfm.write.mode("overwrite").parquet(s"${dfDir(dir)}/$gen")
-    st.write.mode("overwrite").parquet(s"${statsDir(dir)}/$gen")
+    // The parts the merged gen supersedes stay on disk for in-flight
+    // readers of the previous ledger; the NEXT compaction sweeps them
+    // (DeltaParts deferred-GC contract, applied across all three
+    // relation roots).
+    writePart(dir, gen, postings, dfm, st, ledger = false)
     val protect = old.toSet + gen
     Seq(postingsDir(dir), dfDir(dir), statsDir(dir))
       .foreach(r => DeltaParts.sweepOrphans(r, protect))

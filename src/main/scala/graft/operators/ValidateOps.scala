@@ -30,8 +30,11 @@ object ValidateOps {
     require(checks.nonEmpty, "at least one expectation")
     checks.foreach { case (n, _) => require(n.matches("[A-Za-z0-9_]+"),
       s"check name must be a simple identifier: '$n'") }
-    require(checks.map(_._1).distinct.size == checks.size,
-      s"duplicate check names: ${checks.map(_._1).mkString(", ")}")
+    // case-INSENSITIVE distinctness: Spark's default analyzer resolves
+    // column references case-insensitively, so 'Positive'/'positive'
+    // would crash the melt with an ambiguous-reference error
+    require(checks.map(_._1.toLowerCase).distinct.size == checks.size,
+      s"duplicate check names (case-insensitive): ${checks.map(_._1).mkString(", ")}")
     val aggs = checks.map { case (name, pred) =>
       coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)), lit(0L)).as(name)
     }

@@ -230,11 +230,14 @@ object Admission {
     val out = computeVerdicts(spark, storeDir, batch, idCol, textCol, cfg)
     val grown = batch.select(col(idCol), col(textCol))
       .join(out.filter(col("verdict") === "admitted").select(idCol), idCol)
-    // nextIndexedName counts on-disk orphans too: a ledger-size name
-    // would collide with a compaction-superseded part still on disk for
-    // in-flight readers and overwrite it (DeltaParts deferred-GC note).
+    // nextIndexedName counts on-disk orphans (a ledger-size name would
+    // collide with a compaction-superseded part kept for in-flight
+    // readers) AND the absorbed record (after compactions sweep the
+    // numeric orphans, a rewound counter would regenerate an absorbed
+    // name and the replay guard would silently drop the new batch).
     absorb(spark, storeDir, grown, idCol, textCol, cfg,
-      graft.sources.DeltaParts.nextIndexedName(spanDir(storeDir), Seq(spanDir(storeDir))))
+      graft.sources.DeltaParts.nextIndexedName(spanDir(storeDir), Seq(spanDir(storeDir)),
+        extraNames = graft.sources.DeltaParts.list(absorbedDir(storeDir))))
     out
   }
 

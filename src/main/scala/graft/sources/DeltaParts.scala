@@ -54,11 +54,17 @@ object DeltaParts {
     * overwrite files an in-flight reader of the old ledger may still be
     * scanning. Non-numeric suffixes (compaction gens) are ignored. */
   def nextIndexedName(dir: String, diskRoots: Seq[String],
-                      prefix: String = "part_"): String = {
+                      prefix: String = "part_",
+                      extraNames: Seq[String] = Nil): String = {
     val onDisk = diskRoots.flatMap(r =>
       Option(new java.io.File(r).listFiles()).getOrElse(Array.empty)
         .filter(_.isDirectory).map(_.getName))
-    val nums = (list(dir) ++ onDisk).filter(_.startsWith(prefix))
+    // extraNames: histories the counter must NEVER rewind past even when
+    // neither ledger nor disk still names them (e.g. an absorbed-record
+    // ledger after compactions swept the numeric orphans — regenerating
+    // an absorbed name would make the replay guard silently drop a
+    // genuinely new batch).
+    val nums = (list(dir) ++ onDisk ++ extraNames).filter(_.startsWith(prefix))
       .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
     f"$prefix${if (nums.isEmpty) 0L else nums.max + 1}%05d"
   }

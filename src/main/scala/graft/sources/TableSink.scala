@@ -423,18 +423,24 @@ object TableSink {
   /** Pin the CURRENT generation under `tag`; returns its sequence
     * number. Re-tagging an existing tag re-points it (atomic). */
   def snapshot(dir: String, tag: String): Long = {
-    require(tag.nonEmpty && !tag.contains('/') && !tag.contains('\n'),
-      s"snapshot tag must be a simple name: '$tag'")
+    // No leading dot: atomicWrite's temp files are dot-prefixed and
+    // listSnapshots (hence GC pinning) skips them — a dot-leading or
+    // otherwise exotic tag would be accepted here yet never pinned,
+    // and GC would silently delete the "pinned" generation.
+    require(tag.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"snapshot tag must be a simple name (letter/digit first): '$tag'")
     val m = currentManifest(dir).getOrElse(
       throw new IllegalStateException(s"no table at '$dir' to snapshot"))
     atomicWrite(snapshotDir(dir).resolve(tag), f"m-${m.seq}%010d")
     m.seq
   }
 
-  /** Tag → pinned generation sequence, for every live snapshot. */
+  /** Tag → pinned generation sequence, for every live snapshot.
+    * Dot-prefixed entries are atomicWrite temp files, never tags
+    * ([[snapshot]] rejects dot-leading names). */
   def listSnapshots(dir: String): Map[String, Long] =
     Option(snapshotDir(dir).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile).filterNot(_.getName.endsWith(".tmp"))
+      .filter(_.isFile).filterNot(_.getName.startsWith("."))
       .map(f => f.getName ->
         Files.readString(f.toPath).trim.stripPrefix("m-").toLong).toMap
 
@@ -449,6 +455,11 @@ object TableSink {
     val mf = manifestDir(dir).resolve(name)
     val paths = Files.readAllLines(mf).asScala.filter(_.contains('\t'))
       .map(l => s"$dir/${l.split('\t')(1)}").toSeq.sorted
+    if (paths.isEmpty) throw new IllegalStateException(
+      s"snapshot '$tag' at '$dir' pinned an EMPTY table generation " +
+        "(every bucket was emptied before the tag) — there is no schema " +
+        "to infer; read the live table with TableSink.read if you need " +
+        "an empty frame of the right shape")
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
