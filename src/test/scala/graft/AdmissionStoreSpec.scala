@@ -127,6 +127,31 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(v2(61L)._1 == "duplicate")
   }
 
+  test("delta-name counter never rewinds onto an absorbed name across compactions") {
+    // init → run(part_00001) → compact → epoch batch (part_b0) → compact
+    // sweeps every numeric orphan dir; a ledger/disk-only counter would
+    // rewind and eventually regenerate part_00001 — which the absorbed
+    // record knows — and absorb would silently DROP that new batch.
+    val store = java.nio.file.Files.createTempDirectory("admission-rewind").toString
+    Admission.init(spark, store, df(Seq(501L -> goodText('r'))), "doc_id", "text")
+    assert(collectVerdicts(Admission.run(spark, store,
+      df(Seq(511L -> goodText('s'))), "doc_id", "text"))(511L)._1 == "admitted")
+    Admission.compact(spark, store)
+    assert(collectVerdicts(Admission.runCommitted(spark, store,
+      df(Seq(521L -> goodText('t'))), "doc_id", "text", batchId = 0L))(521L)._1 == "admitted")
+    Admission.compact(spark, store)   // second compact sweeps numeric orphans
+    // two more sequential runs — each MUST absorb (verdicts prove it:
+    // an exact duplicate of each batch is then rejected as duplicate)
+    assert(collectVerdicts(Admission.run(spark, store,
+      df(Seq(531L -> goodText('u'))), "doc_id", "text"))(531L)._1 == "admitted")
+    assert(collectVerdicts(Admission.run(spark, store,
+      df(Seq(541L -> goodText('v'))), "doc_id", "text"))(541L)._1 == "admitted")
+    val dupCheck = collectVerdicts(Admission.run(spark, store,
+      df(Seq(551L -> goodText('u'), 552L -> goodText('v'))), "doc_id", "text"))
+    assert(dupCheck(551L)._1 == "duplicate" && dupCheck(552L)._1 == "duplicate",
+      s"a rewound counter dropped an absorbed batch from the stores: $dupCheck")
+  }
+
   test("ingest fan-out: admitted docs refresh the BM25 and LSH band indexes O(batch)") {
     import graft.operators.{Bm25, Bm25Store, DedupOps}
     val corpus = df(Seq(401L -> goodText('r'), 402L -> goodText('s')))
