@@ -14,6 +14,25 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
     TableSink.upsert(spark, dir,
       rows.toDF("k", "payload").withColumn("__v", lit(v)), Seq("k"), "__v")
 
+  test("tag validation and empty-generation snapshots fail loud") {
+    val dir = java.nio.file.Files.createTempDirectory("snap-edge").toString
+    upsert(dir, Seq(1L -> "a"), 1L)
+    // dot-leading names collide with atomicWrite's temp-file namespace —
+    // they would be accepted yet never GC-pinned; reject them up front
+    intercept[IllegalArgumentException](TableSink.snapshot(dir, ".hidden"))
+    intercept[IllegalArgumentException](TableSink.snapshot(dir, "has/slash"))
+    // a dotted-but-letter-leading tag is fine AND gets pinned
+    TableSink.snapshot(dir, "v1.tmp")
+    assert(TableSink.listSnapshots(dir).contains("v1.tmp"))
+    // snapshot of a generation whose buckets were all emptied: named
+    // error, not an unexplained schema-inference crash
+    TableSink.delete(spark, dir, Seq(1L).toDF("k"), Seq("k"))
+    TableSink.snapshot(dir, "empty-gen")
+    val e = intercept[IllegalStateException](
+      TableSink.readSnapshot(spark, dir, "empty-gen"))
+    assert(e.getMessage.contains("EMPTY table generation"))
+  }
+
   test("a tagged generation survives GC and reads back exactly; drop releases it") {
     val dir = java.nio.file.Files.createTempDirectory("snap").toString
     val prev = sys.props.get("graft.sink.gcGraceMs")

@@ -29,6 +29,19 @@ class ValidateOpsSpec extends AnyFunSuite with SparkSpec {
     assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 2, s"one pass expected:\n$plan")
   }
 
+  test("empty tables pass with zero violations; bad check names fail loud") {
+    val empty = df.filter(col("k") === -999L)
+    val rep = ValidateOps.expect(empty, Seq("k_not_null" -> col("k").isNotNull)).head()
+    assert(rep.getLong(1) == 0L && rep.getBoolean(2), "empty table must pass 0/true")
+    val u = ValidateOps.uniqueness(empty, Seq("k"), "k_unique").head()
+    assert(u.getLong(1) == 0L && u.getBoolean(2))
+    intercept[IllegalArgumentException](
+      ValidateOps.expect(df, Seq("bad name!" -> col("k").isNotNull)))
+    intercept[IllegalArgumentException](   // case-variant duplicates
+      ValidateOps.expect(df, Seq("Check" -> col("k").isNotNull,
+        "check" -> col("k").isNotNull)))
+  }
+
   test("uniqueness and fkViolations") {
     val u = ValidateOps.uniqueness(df, Seq("k"), "k_unique").head()
     assert(u.getLong(1) == 1L && !u.getBoolean(2), "one duplicated non-null key")
