@@ -11,6 +11,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Fixtures.conform's NTZ→TIMESTAMP normalization is a wall-clock
+      // identity only under a UTC session (Verify sets it; every fixture
+      // consumer must) — on a non-UTC host the benched timestamp queries
+      // would otherwise compute shifted values.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

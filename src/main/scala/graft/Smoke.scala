@@ -7,6 +7,9 @@ object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
+      // UTC like Verify/Bench: fixture timestamp normalization is only a
+      // wall-clock identity under a UTC session.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

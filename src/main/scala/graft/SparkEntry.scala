@@ -1053,7 +1053,14 @@ object SparkEntry {
     // own quantile convention.
     "x_outlier_trim" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val kept = SampleOps.quantileTrim(docs, "source", "n_chars", q = 0.99)
+      // accuracy = 1<<20: the DuckDB oracle replays an exact-rank
+      // threshold, and the sketch is rank-exact only while per-group
+      // counts stay ≤ accuracy (quantileTrim's accuracy contract). The
+      // documents table carries ~5k rows/source at sf0.1 and ~50k at
+      // sf1 — 2^20 keeps the check exact through sf~20 rather than
+      // turning scale-fragile at the default 10^4.
+      val kept = SampleOps.quantileTrim(docs, "source", "n_chars", q = 0.99,
+        accuracy = 1 << 20)
       docs.groupBy("source").agg(count(lit(1)).as("n_total"))
         .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")), "source")
         .select(col("source"), col("n_total"), col("n_kept"))

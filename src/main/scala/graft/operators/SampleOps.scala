@@ -167,6 +167,14 @@ object SampleOps {
    * (one tiny row per group at any scale). Rows with a NULL value or an
    * unseen group pass through — an outlier rule must never invent
    * rejections.
+   *
+   * ACCURACY CONTRACT: the sketch is rank-EXACT only while a group's row
+   * count stays ≤ `accuracy` (Greenwald-Khanna error is 1/accuracy of
+   * the rank); past that it is an approximation within that rank band —
+   * fine for the cleaning rule, but an exact-replay oracle (DuckDB
+   * `quantile_disc`) only matches under the bound. Size `accuracy` to
+   * the expected max group count when exactness matters; sketch memory
+   * is O(accuracy) values per group partial, so 10^5-10^6 is cheap.
    */
   def quantileTrim(df: DataFrame, groupCol: String, valCol: String,
                    q: Double = 0.99, accuracy: Int = 10000): DataFrame = {

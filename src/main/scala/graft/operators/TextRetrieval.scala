@@ -141,6 +141,15 @@ object Bm25Store {
   private def dfDir(dir: String) = s"$dir/df"
   private def statsDir(dir: String) = s"$dir/stats"
 
+  // Monotone record of every batch-named part EVER absorbed — the
+  // [[graft.pipelines.Admission]] `_absorbed` idiom: a names-only
+  // DeltaParts ledger (atomic add-if-absent) that [[compact]] never
+  // touches. Replay detection must survive compaction: after a compact
+  // folds a named part into the merged gen, the _PARTS ledger no longer
+  // names it, and a replayed append that only checked the ledger would
+  // re-write and re-ledger the part = double-counted postings/df/stats.
+  private def absorbedDir(dir: String) = s"$dir/_absorbed"
+
   /** The three additive relations of one document set. Stats carry BOTH
     * row count (`n_docs` — what idf's N uses) and non-null-token-array
     * count (`n_dl` — `avg(size(t))`'s denominator, which SKIPS null-text
@@ -203,42 +212,81 @@ object Bm25Store {
     if (ledger) DeltaParts.add(dir, name)
   }
 
-  /** Initialize from an existing corpus — O(corpus), once. */
+  /** Initialize from an existing corpus — O(corpus), once. REFUSES a
+    * previously-used `dir` (same contract as
+    * [[graft.pipelines.Admission.init]]): re-initializing in place would
+    * reset the parts while the `_absorbed` ledger survives, so a later
+    * named [[append]] reusing a batch id would silently skip real data. */
   def init(spark: SparkSession, dir: String, corpus: DataFrame,
            idCol: String, textCol: String): Unit = {
+    val priorLife = Seq(
+      java.nio.file.Paths.get(dir, "_PARTS"),
+      java.nio.file.Paths.get(absorbedDir(dir), "_PARTS")
+    ).filter(java.nio.file.Files.exists(_))
+    if (priorLife.nonEmpty)
+      throw new IllegalStateException(
+        s"BM25 store at '$dir' was already initialized " +
+          s"(found: ${priorLife.mkString(", ")}) — init is run-once; " +
+          "delete the store dir (or point at a fresh one) to rebuild.")
     val (p, d, s) = parts(corpus, idCol, textCol)
     writePart(dir, "part_00000", p, d, s)
+    DeltaParts.add(absorbedDir(dir), "part_00000")
   }
 
   /** Append a batch of NEW documents (disjoint doc ids from everything
     * already stored — re-appending double-counts, same contract as
     * [[SpanDedup.scrubAgainstIndex]]). O(batch): the standing parts are
     * never read. `name` the part by batch/epoch id for replay-idempotent
-    * ingest (the [[graft.pipelines.Admission.runCommitted]] idiom). */
+    * ingest (the [[graft.pipelines.Admission.runCommitted]] idiom) —
+    * idempotent at EVERY crash point, including a replay after a
+    * [[compact]] that folded the named part: the `_absorbed` ledger
+    * records every name ever absorbed and compaction never touches it. */
   def append(spark: SparkSession, dir: String, newDocs: DataFrame,
              idCol: String, textCol: String, name: Option[String] = None): Unit = {
-    // default names count on-disk orphans too (compaction leaves
-    // superseded parts one cycle for stale readers — a ledger-size name
-    // would collide and overwrite them); an explicitly-named part already
-    // in the ledger is complete from a previous run — skip, never
-    // rewrite a live part in place. NOTE replaying a named append after
-    // a compaction that folded it is NOT detectable here — schedule
-    // compact() only when no replay can be pending, or track absorbed
-    // names like Admission does.
+    // Default names count on-disk orphans (compaction leaves superseded
+    // parts one cycle for stale readers — a ledger-size name would
+    // collide and overwrite them) AND the absorbed record (after sweeps
+    // remove the numeric orphans, a rewound counter would regenerate an
+    // absorbed name and the replay guard would silently drop the new
+    // batch — the Admission.run idiom).
+    val absorbed = DeltaParts.list(absorbedDir(dir))
     val n = name.getOrElse(DeltaParts.nextIndexedName(dir,
-      Seq(postingsDir(dir), dfDir(dir), statsDir(dir))))
-    if (DeltaParts.list(dir).contains(n)) return
-    val (p, d, s) = parts(newDocs, idCol, textCol)
-    writePart(dir, n, p, d, s)
+      Seq(postingsDir(dir), dfDir(dir), statsDir(dir)), extraNames = absorbed))
+    // An absorbed name is a completed append, even if compaction folded
+    // the part out of the live ledger; a ledgered-but-unabsorbed name is
+    // a crash between writePart and the absorbed add — the files are
+    // complete (the ledger add is writePart's last step), so skip the
+    // rewrite (rewriting a LIVE part in place is a non-atomic
+    // delete-then-write a concurrent reader could catch half-done) and
+    // just finish the record.
+    if (absorbed.contains(n)) return
+    if (!DeltaParts.list(dir).contains(n)) {
+      val (p, d, s) = parts(newDocs, idCol, textCol)
+      writePart(dir, n, p, d, s)
+    }
+    DeltaParts.add(absorbedDir(dir), n)
   }
+
+  /** Pin the current index state under `tag` (training reproducibility:
+    * "the exact index run X retrieved against") — [[readIndex]] with the
+    * tag replays it byte-identically, and compaction sweeps never delete
+    * a pinned part ([[graft.sources.DeltaParts.snapshot]] semantics). */
+  def snapshot(dir: String, tag: String): Seq[String] =
+    DeltaParts.snapshot(dir, tag)
+
+  /** Release a tag; its parts become sweepable next compaction cycle. */
+  def dropSnapshot(dir: String, tag: String): Unit =
+    DeltaParts.dropSnapshot(dir, tag)
 
   /** The assembled, searchable index — exactly [[Bm25.index]] over the
     * union of every stored document set. Postings parts concatenate
     * (multi-path parquet scan, pushdown intact in every part); df and
     * stats merge additively (tiny relative to postings); stats land as
-    * one broadcast row. */
-  def readIndex(spark: SparkSession, dir: String): DataFrame = {
-    val names = DeltaParts.list(dir)
+    * one broadcast row. With `tag`, assembles the [[snapshot]]-pinned
+    * parts instead of the live ledger — time travel over the index. */
+  def readIndex(spark: SparkSession, dir: String,
+                tag: Option[String] = None): DataFrame = {
+    val names = tag.fold(DeltaParts.list(dir))(t => DeltaParts.listAt(dir, t))
     require(names.nonEmpty, s"no BM25 store at '$dir' — run init first")
     val (postings, dfm, st0) = merged(spark, dir, names)
     // avgdl over docs with a token ARRAY (n_dl): avg() skips null-text
@@ -265,7 +313,10 @@ object Bm25Store {
     // (DeltaParts deferred-GC contract, applied across all three
     // relation roots).
     writePart(dir, gen, postings, dfm, st, ledger = false)
-    val protect = old.toSet + gen
+    // Protect: the parts this gen supersedes (kept one cycle for
+    // in-flight readers), the gen itself, and every snapshot-pinned part
+    // (a tag must replay byte-identically for as long as it lives).
+    val protect = old.toSet + gen ++ DeltaParts.pinned(dir)
     Seq(postingsDir(dir), dfDir(dir), statsDir(dir))
       .foreach(r => DeltaParts.sweepOrphans(r, protect))
     DeltaParts.publish(dir, Seq(gen))

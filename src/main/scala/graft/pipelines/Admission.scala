@@ -128,13 +128,38 @@ object Admission {
   private def listParts(storeDir: String): Seq[String] =
     graft.sources.DeltaParts.list(spanDir(storeDir))
 
+  /** Pin the admission store's current state under `tag` — the span
+    * inventory (a [[graft.sources.DeltaParts.snapshot]] parts pin) and
+    * the fingerprint table (a [[TableSink.snapshot]] generation pin) in
+    * one call, so a training run can record "the exact store state that
+    * admitted my corpus" and replay it later: [[readSpanIndex]] with the
+    * tag, [[TableSink.readSnapshot]] for the fingerprints. Sweeps and
+    * compactions never delete pinned state. NOT transactional across the
+    * two stores — take it between batches (admission is single-writer by
+    * contract, so "between batches" is a real quiescent point). */
+  def snapshot(storeDir: String, tag: String): Unit = {
+    graft.sources.DeltaParts.snapshot(spanDir(storeDir), tag)
+    TableSink.snapshot(fpDir(storeDir), tag)
+    ()
+  }
+
+  /** Release a [[snapshot]] tag on both stores. */
+  def dropSnapshot(storeDir: String, tag: String): Unit = {
+    graft.sources.DeltaParts.dropSnapshot(spanDir(storeDir), tag)
+    TableSink.dropSnapshot(fpDir(storeDir), tag)
+  }
+
   /** The merged standing inventory. One part (the post-[[compact]] or
     * just-initialized state) reads straight from parquet — the admission
     * scrub's `n_docs` threshold pushes into that scan; with deltas
     * pending, the additive merge (one digest-keyed aggregate over
-    * index-sized, 32-byte rows) runs and is materialized once. */
-  def readSpanIndex(spark: SparkSession, storeDir: String): DataFrame = {
-    val parts = listParts(storeDir)
+    * index-sized, 32-byte rows) runs and is materialized once. With
+    * `tag`, reads the [[snapshot]]-pinned parts instead of the live
+    * ledger — byte-identical time travel over the inventory. */
+  def readSpanIndex(spark: SparkSession, storeDir: String,
+                    tag: Option[String] = None): DataFrame = {
+    val parts = tag.fold(listParts(storeDir))(t =>
+      graft.sources.DeltaParts.listAt(spanDir(storeDir), t))
     require(parts.nonEmpty, s"no span index under '${spanDir(storeDir)}' — run init first")
     val dfs = parts.map(p => spark.read.parquet(s"${spanDir(storeDir)}/$p"))
     if (dfs.size == 1) dfs.head
@@ -144,9 +169,30 @@ object Admission {
   /** Initialize the standing stores from an existing corpus: the
     * fingerprint table (distinct md5s, null-text rows contribute
     * nothing — a null never equi-matches) and the base span inventory.
-    * O(corpus), run once; thereafter only [[run]] and [[compact]]. */
+    * O(corpus), run once; thereafter only [[run]] and [[compact]].
+    *
+    * REFUSES a previously-used `storeDir` loudly: re-initializing in
+    * place would reset the span base and fingerprints while the
+    * `_absorbed` ledger and `verdicts/` history of the prior life
+    * survive — a later [[runCommitted]] reusing a batchId would then
+    * silently return the OLD life's verdicts and [[absorb]] would skip
+    * the new batch's data. A rebuild gets a fresh (or fully deleted)
+    * directory, never a silent overwrite. */
   def init(spark: SparkSession, storeDir: String, corpus: DataFrame,
            idCol: String, textCol: String, cfg: Config = Config()): Unit = {
+    val priorLife = Seq(
+      java.nio.file.Paths.get(spanDir(storeDir), "_PARTS"),
+      java.nio.file.Paths.get(absorbedDir(storeDir), "_PARTS"),
+      java.nio.file.Paths.get(storeDir, "verdicts"),
+      java.nio.file.Paths.get(fpDir(storeDir))
+    ).filter(java.nio.file.Files.exists(_))
+    if (priorLife.nonEmpty)
+      throw new IllegalStateException(
+        s"admission store at '$storeDir' was already initialized " +
+          s"(found: ${priorLife.mkString(", ")}) — init is run-once. " +
+          "Reusing the dir would leave the prior life's _absorbed ledger " +
+          "and verdict history in place, silently dropping replayed " +
+          "batchIds; delete the store dir (or point at a fresh one) to rebuild.")
     val fps = corpus.select(text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct()
       .withColumn("__v", lit(0L))

@@ -21,14 +21,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object DeltaParts {
 
   private def partsFile(dir: String) = Paths.get(dir, "_PARTS")
+  private def snapsDir(dir: String) = Paths.get(dir, "_snapshots")
+
+  private def readNames(p: java.nio.file.Path): Seq[String] =
+    new String(Files.readAllBytes(p), "UTF-8")
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
 
   /** Live part names, oldest first; empty when the store is absent. */
   def list(dir: String): Seq[String] = {
     val p = partsFile(dir)
-    if (Files.exists(p))
-      new String(Files.readAllBytes(p), "UTF-8")
-        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-    else Seq.empty
+    if (Files.exists(p)) readNames(p) else Seq.empty
   }
 
   /** Atomically publish `parts` as the live set. */
@@ -69,16 +71,79 @@ object DeltaParts {
     f"$prefix${if (nums.isEmpty) 0L else nums.max + 1}%05d"
   }
 
+  // ─── snapshot tags: pin a parts-list against every future sweep ───────
+  //
+  // The DeltaParts analog of TableSink.snapshot: a tag records the EXACT
+  // live parts-list at tag time under `_snapshots/<tag>`, so a training
+  // run can later re-read the index state that admitted its corpus
+  // byte-for-byte ([[listAt]]) — and [[sweepOrphans]]/[[replaceAll]]
+  // callers protect [[pinned]] parts, so compaction cycles can never
+  // delete a part some tag still names. Tags pin NAMES; the contract
+  // that makes that byte-pinning is the ledger's own: parts are
+  // immutable once ledgered (append skips, never rewrites, a live part).
+
+  /** Pin the current live parts-list under `tag`. Idempotent when re-run
+    * with an unchanged ledger; REFUSES to silently re-point an existing
+    * tag at different parts (drop the tag first if that is meant).
+    * Returns the pinned list. */
+  def snapshot(dir: String, tag: String): Seq[String] = {
+    require(tag.nonEmpty && tag.head.isLetterOrDigit &&
+        tag.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"snapshot tag must be a simple name (letter/digit first): '$tag'")
+    val parts = list(dir)
+    require(parts.nonEmpty, s"no parts ledger at '$dir' to snapshot")
+    val p = snapsDir(dir).resolve(tag)
+    if (Files.exists(p)) {
+      val prior = readNames(p)
+      require(prior == parts,
+        s"snapshot tag '$tag' at '$dir' already pins $prior — refusing to " +
+          s"re-point it at $parts; drop the tag first if that is intended")
+      return parts
+    }
+    Files.createDirectories(snapsDir(dir))
+    val tmp = snapsDir(dir).resolve(s".$tag.tmp.${java.util.UUID.randomUUID()}")
+    Files.write(tmp, (parts.mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.move(tmp, p,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    parts
+  }
+
+  /** The parts-list `tag` pinned — read-at-tag for time travel. */
+  def listAt(dir: String, tag: String): Seq[String] = {
+    val p = snapsDir(dir).resolve(tag)
+    require(Files.exists(p), s"no snapshot '$tag' at '$dir' " +
+      s"(tags: ${snapshots(dir).keys.toSeq.sorted.mkString(", ")})")
+    readNames(p)
+  }
+
+  /** Every live tag → its pinned parts. Temp files (dot-leading) are
+    * invisible ([[snapshot]] rejects dot-leading tags). */
+  def snapshots(dir: String): Map[String, Seq[String]] =
+    Option(snapsDir(dir).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(f => f.getName -> readNames(f.toPath)).toMap
+
+  /** Union of every tag's pinned parts — what sweeps must protect. */
+  def pinned(dir: String): Set[String] =
+    snapshots(dir).values.flatten.toSet
+
+  /** Release a tag; its parts become sweepable next compaction cycle
+    * (unless the live ledger or another tag still names them). */
+  def dropSnapshot(dir: String, tag: String): Unit = {
+    Files.deleteIfExists(snapsDir(dir).resolve(tag)); ()
+  }
+
   /** Replace all live parts with `keep` (compaction publish). The parts
     * it supersedes are NOT deleted here — an in-flight reader that
     * resolved the previous ledger may still be scanning them; they stay
     * as orphans and the NEXT replaceAll sweeps them (by then a full
     * compaction cycle old — the TableSink keep-one-generation idiom,
     * count-based). Sweeping happens via [[sweepOrphans]] so multi-root
-    * stores can clean every relation root under the one ledger. */
+    * stores can clean every relation root under the one ledger.
+    * Snapshot-[[pinned]] parts are always protected. */
   def replaceAll(dir: String, keep: String): Unit = {
     val before = list(dir)
-    sweepOrphans(dir, protect = before.toSet + keep)
+    sweepOrphans(dir, protect = before.toSet + keep ++ pinned(dir))
     publish(dir, Seq(keep))
   }
 

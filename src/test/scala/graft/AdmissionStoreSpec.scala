@@ -193,6 +193,49 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(ids == Set(401L, 402L, 411L), s"band index must hold corpus + admitted only: $ids")
   }
 
+  test("init refuses a previously-used store dir (run-once contract, loud)") {
+    val store = java.nio.file.Files.createTempDirectory("admission-reinit").toString
+    Admission.init(spark, store, df(Seq(601L -> goodText('r'))), "doc_id", "text")
+    // Use the store (absorbed ledger + verdict history accumulate)...
+    Admission.runCommitted(spark, store, df(Seq(611L -> goodText('s'))),
+      "doc_id", "text", batchId = 1L)
+    // ...then a re-init must refuse instead of resetting fingerprints and
+    // the span base under the surviving _absorbed/verdicts history (a
+    // replayed batchId would silently return the old life's verdicts).
+    val e = intercept[IllegalStateException](
+      Admission.init(spark, store, df(Seq(601L -> goodText('r'))), "doc_id", "text"))
+    assert(e.getMessage.contains("already initialized"), e.getMessage)
+  }
+
+  test("snapshot tag pins the span inventory and fingerprints across runs and compaction sweeps") {
+    import graft.sources.{DeltaParts, TableSink}
+    val store = java.nio.file.Files.createTempDirectory("admission-snap").toString
+    val corpus = df(Seq(701L -> (goodText('r') + " " + boiler)))
+    Admission.init(spark, store, corpus, "doc_id", "text")
+    def spanRows(tag: Option[String]) =
+      Admission.readSpanIndex(spark, store, tag).collect().map(_.toSeq).toSet
+    val pinnedSpan = spanRows(None)
+    val pinnedFps = TableSink.read(spark, s"$store/fingerprints",
+      spark.range(0).select(lit("").as("__fp"))).select("__fp")
+      .collect().map(_.getString(0)).toSet
+    Admission.snapshot(store, "train-1")
+    // Mutate: two run+compact cycles so the second compact's sweep
+    // removes the first cycle's unpinned orphan parts.
+    Admission.run(spark, store, df(Seq(711L -> goodText('s'))), "doc_id", "text")
+    Admission.compact(spark, store)
+    Admission.run(spark, store, df(Seq(721L -> goodText('t'))), "doc_id", "text")
+    Admission.compact(spark, store)
+    assert(spanRows(Some("train-1")) == pinnedSpan,
+      "read-at-tag must replay the pinned span inventory byte-identically")
+    assert(spanRows(None) != pinnedSpan, "live reads must see the grown inventory")
+    val fpsAtTag = TableSink.readSnapshot(spark, s"$store/fingerprints", "train-1")
+      .select("__fp").collect().map(_.getString(0)).toSet
+    assert(fpsAtTag == pinnedFps,
+      "fingerprint snapshot must replay the tagged generation")
+    Admission.dropSnapshot(store, "train-1")
+    assert(DeltaParts.pinned(s"$store/span_index").isEmpty)
+  }
+
   test("null-text rows are definitely-new (anti-join null semantics), both forms") {
     val corpus = df(Seq(201L -> goodText('v')))
     val batch = Seq((31L, goodText('w')), (32L, null.asInstanceOf[String]))

@@ -111,6 +111,68 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
       rows(Bm25.index(all.unionByName(c), "doc_id", "text")))
   }
 
+  test("Bm25Store: append(b)→compact→append(b) replay ≡ single append (absorbed ledger survives compaction)") {
+    import graft.operators.Bm25Store
+    val a = docs.filter(col("doc_id") <= 3L)
+    val b = docs.filter(col("doc_id") > 3L)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_replay").toString
+    Bm25Store.init(spark, dir, a, "doc_id", "text")
+    Bm25Store.append(spark, dir, b, "doc_id", "text", name = Some("part_b7"))
+    Bm25Store.compact(spark, dir)
+    // The live ledger no longer names part_b7 — only the _absorbed record
+    // does. A replayed epoch re-running the named append must be a no-op,
+    // not a postings/df/stats double-count.
+    Bm25Store.append(spark, dir, b, "doc_id", "text", name = Some("part_b7"))
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val want = rows(Bm25.index(a.unionByName(b), "doc_id", "text"))
+    assert(rows(Bm25Store.readIndex(spark, dir)) == want,
+      "post-compaction replay of an absorbed append must not double-count")
+    assert(graft.sources.DeltaParts.list(dir).size == 1,
+      "the replayed name must not re-enter the live ledger")
+    // And an UNNAMED append must never rewind onto an absorbed name, even
+    // after compactions sweep the numeric orphan dirs.
+    val c = Seq((8L, "spark merge join window")).toDF("doc_id", "text")
+    Bm25Store.append(spark, dir, c, "doc_id", "text")
+    assert(rows(Bm25Store.readIndex(spark, dir)) ==
+      rows(Bm25.index(a.unionByName(b).unionByName(c), "doc_id", "text")))
+  }
+
+  test("Bm25Store: snapshot tag → mutate (append+compact cycles) → read-at-tag byte-identical; sweep keeps pinned parts") {
+    import graft.operators.Bm25Store
+    import graft.sources.DeltaParts
+    val a = docs.filter(col("doc_id") <= 3L)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_snap").toString
+    Bm25Store.init(spark, dir, a, "doc_id", "text")
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val pinnedState = rows(Bm25Store.readIndex(spark, dir))
+    assert(Bm25Store.snapshot(dir, "run-x") == Seq("part_00000"))
+    // Two full append+compact cycles: the second compact's sweep removes
+    // the first cycle's unpinned orphans — the pinned part must survive.
+    Bm25Store.append(spark, dir, docs.filter(col("doc_id") === 4L), "doc_id", "text")
+    Bm25Store.compact(spark, dir)
+    Bm25Store.append(spark, dir, docs.filter(col("doc_id") === 5L), "doc_id", "text")
+    Bm25Store.compact(spark, dir)
+    assert(rows(Bm25Store.readIndex(spark, dir, tag = Some("run-x"))) == pinnedState,
+      "read-at-tag must replay the pinned index byte-identically across sweeps")
+    assert(rows(Bm25Store.readIndex(spark, dir)) ==
+      rows(Bm25.index(docs, "doc_id", "text")), "live reads stay current")
+    // Re-pointing an existing tag at different parts must refuse loudly.
+    val e = intercept[IllegalArgumentException](DeltaParts.snapshot(dir, "run-x"))
+    assert(e.getMessage.contains("refusing"))
+    // Released tag: the part is no longer pinned (sweepable next cycle).
+    Bm25Store.dropSnapshot(dir, "run-x")
+    assert(DeltaParts.pinned(dir).isEmpty)
+  }
+
+  test("Bm25Store.init refuses a previously-used store dir") {
+    import graft.operators.Bm25Store
+    val dir = java.nio.file.Files.createTempDirectory("bm25_reinit").toString
+    Bm25Store.init(spark, dir, docs, "doc_id", "text")
+    val e = intercept[IllegalStateException](
+      Bm25Store.init(spark, dir, docs, "doc_id", "text"))
+    assert(e.getMessage.contains("already initialized"))
+  }
+
   test("rrf fusion: consensus beats single-run rank, ranks re-number densely") {
     import graft.operators.Rrf
     val run1 = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3)).toDF("query_id", "doc_id", "rank")
