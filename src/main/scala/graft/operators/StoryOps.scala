@@ -49,19 +49,24 @@ object StoryOps {
    * (jaccard desc, cluster, story) order the reference's dict iteration
    * lacks. Returns (cluster, story, jaccard) matches.
    *
-   * The collect is BOUNDED: candidates are truncated to the first
-   * `maxCandidates` in that same greedy order (a distributed
-   * TakeOrderedAndProject, never a full sort). Because truncation and
-   * the greedy scan share one order, every match produced from the kept
-   * prefix is identical to what the unbounded scan would decide —
-   * dropping the tail can only lose extra (lowest-jaccard) matches,
-   * never change one. A skewed corpus therefore degrades gracefully
-   * instead of OOMing the driver (see docs/DIVERGENCES.md).
+   * The collect is BOUNDED, with AUTOMATIC escalation: a candidate set
+   * past `maxCandidates` is routed to [[greedyMatchDistributed]] — the
+   * exact distributed form of the same decisions — instead of being
+   * truncated (truncation was prefix-exact but silently lossy on the
+   * tail). The overflow probe is a per-partition-limited count, never a
+   * sort; under the cap, the collect runs on a distributed
+   * TakeOrderedAndProject prefix as before. Result: one callable, exact
+   * at every scale — the driver path merely an optimization for the
+   * common tiny candidate set (see docs/DIVERGENCES.md).
    */
   def greedyMatch(candidates: DataFrame, clusterCol: String, storyCol: String,
                   jaccardCol: String, maxCandidates: Int = 1 << 20): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    // Overflow probe: LocalLimit per partition + GlobalLimit, a bounded
+    // scan that never materializes past cap+1 rows anywhere.
+    if (candidates.limit(maxCandidates + 1).count() > maxCandidates)
+      return greedyMatchDistributed(candidates, clusterCol, storyCol, jaccardCol)
     val rows = candidates
       .select(col(clusterCol).cast("string"), col(storyCol).cast("string"), col(jaccardCol).cast("double"))
       .orderBy(desc(jaccardCol), col(clusterCol), col(storyCol))
@@ -80,9 +85,10 @@ object StoryOps {
 
   /**
    * Distributed form of [[greedyMatch]] for candidate sets past the
-   * driver cap — OPT-IN (the collected greedy stays the default because
-   * it is the reference's semantics at the reference's scale; this is
-   * the same decisions computed without any driver materialization).
+   * driver cap — [[greedyMatch]] routes here automatically on overflow
+   * (the collected greedy stays the under-cap fast path because it is
+   * the reference's semantics at the reference's scale; this computes
+   * the same decisions without any driver materialization).
    *
    * Algorithm: locally-dominant edge matching (Preis' distributed
    * greedy; Manne & Bisseling 2007) under the SAME strict total order

@@ -142,20 +142,21 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("greedyMatch candidate cap is prefix-exact and bounds the collect") {
+  test("greedyMatch past the cap auto-routes to the distributed form — exact, never truncated") {
     import spark.implicits._
     val cands = Seq(
       ("c1", "s1", 0.9), ("c2", "s1", 0.8), ("c2", "s2", 0.7),
       ("c3", "s3", 0.6), ("c4", "s4", 0.5)).toDF("cluster", "story", "jaccard")
     val full = graft.operators.StoryOps.greedyMatch(cands, "cluster", "story", "jaccard")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    // cap=3 keeps the top-3 pairs in greedy order; matches decided there
-    // are identical to the unbounded run's decisions on that prefix.
-    val capped = graft.operators.StoryOps.greedyMatch(cands, "cluster", "story", "jaccard",
+    // cap=3 < 5 candidates: the old behavior truncated to the top-3
+    // prefix (losing (c3,s3)/(c4,s4)); the routed form escalates to
+    // greedyMatchDistributed and returns the COMPLETE greedy matching.
+    val routed = graft.operators.StoryOps.greedyMatch(cands, "cluster", "story", "jaccard",
         maxCandidates = 3)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(capped == Set(("c1", "s1"), ("c2", "s2")))
-    assert(capped.subsetOf(full))
+    assert(routed == full, s"overflow must escalate, not truncate: $routed vs $full")
+    assert(full == Set(("c1", "s1"), ("c2", "s2"), ("c3", "s3"), ("c4", "s4")))
   }
 
   test("epsilon-grid equals brute force on seeded random ragged corpora") {
@@ -178,7 +179,7 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("greedyMatch cap: capped matches are always a subset; equal when cap covers all") {
+  test("greedyMatch cap routing: identical matchings above and below the cap (random sets)") {
     import spark.implicits._
     for (seed <- Seq(3, 17)) {
       val rnd = new scala.util.Random(seed)
@@ -187,9 +188,9 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
       def run(cap: Int) = graft.operators.StoryOps
         .greedyMatch(cands, "cluster", "story", "jaccard", maxCandidates = cap)
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
-      val full = run(1 << 20)
-      assert(run(10).subsetOf(full), s"seed=$seed: prefix decisions must agree with the full scan")
-      assert(run(60) == full)
+      val full = run(1 << 20)       // under cap: driver greedy
+      assert(run(10) == full, s"seed=$seed: routed (past-cap) must equal driver greedy")
+      assert(run(60) == full)       // cap exactly covers: driver greedy
     }
   }
 
