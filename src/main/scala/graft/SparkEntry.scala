@@ -982,6 +982,23 @@ object SparkEntry {
           round(col("centroid_sim"), 6).as("centroid_sim"), col("kept"))
         .orderBy("vec_id")
     }),
+    // Incremental SemDeDup: the admission-funnel form — fixed centroids
+    // (fitted on the standing corpus), every corpus vector earlier than
+    // every batch vector, paper order within the batch. Corpus probes are
+    // cluster-pruned before any exchange; per-batch cost is O(batch)
+    // against the touched clusters only. One verdict row per BATCH doc.
+    "x_semdedup_incremental" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val cents = corpus.groupBy("label")
+        .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("cent"))
+      SemDedup.incremental(batch, corpus, cents,
+          "vec_id", "embedding", "label", "cent", eps = 0.3)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          round(col("centroid_sim"), 6).as("centroid_sim"), col("kept"))
+        .orderBy("vec_id")
+    }),
     // Embedding-dedup cascade end-to-end — the vector analog of
     // pipe_dedup_e2e: exact epsilon-grid cosine pairs → connected
     // components → min-id representative; one verdict row per vector.

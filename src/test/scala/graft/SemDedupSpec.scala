@@ -44,6 +44,79 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept > 0 && kept < n, s"eps=0.3 must drop some but not all: $kept/$n")
   }
 
+  test("incremental ≡ batch semDedup on an empty corpus; corpus members drop batch dups regardless of their own verdict") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    // Law 1: empty corpus → exactly the batch semantics.
+    assert(
+      verdicts(SemDedup.incremental(vecs, empty, cents, "id", "v", "cid", "cv", eps = 0.97)) ==
+      verdicts(SemDedup.semDedup(vecs, cents, "id", "v", "cid", "cv", eps = 0.97)))
+    // Law 2: a corpus member is earlier than every batch member even when
+    // the corpus run itself DROPPED it (the paper's earlier-set). Corpus =
+    // {20°, 10°}: 10° drops against 20° in the corpus run; a batch {0°}
+    // is within eps of 10° only — it must still drop.
+    val corpus = Seq((3L, deg(20)), (2L, deg(10))).toDF("id", "v")
+    val batch = Seq((1L, deg(0))).toDF("id", "v")
+    val inc = verdicts(SemDedup.incremental(batch, corpus, cents, "id", "v", "cid", "cv", eps = 0.97))
+    assert(inc == Map(1L -> ((0L, false))),
+      s"batch 0° must drop against the corpus' dropped-but-earlier 10°: $inc")
+  }
+
+  test("incremental fold ≡ arrival-ordered global semantics on random corpora") {
+    // Reference: a driver-side brute force of the arrival-ordered fold —
+    // member b (batch k) drops iff ∃ same-cluster a with cos ≥ eps where
+    // a is in an earlier batch, or in batch k and paper-earlier.
+    val rnd = new scala.util.Random(42)
+    def randVec() = Seq.fill(4)(rnd.nextDouble() * 2 - 1)
+    val all = (0L until 60L).map(i => (i, randVec()))
+    val batches = all.grouped(20).toSeq // three arrival batches
+    val cs = Seq((0, randVec()), (1, randVec()), (2, randVec())).toDF("cid", "cv")
+    val centArr = cs.collect().map(r => (r.getInt(0).toLong, r.getSeq[Double](1).toArray))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val eps = 0.8
+    case class M(id: Long, batch: Int, cl: Long, ord: Double, v: Seq[Double])
+    val members = batches.zipWithIndex.flatMap { case (b, k) =>
+      b.map { case (id, v) =>
+        val sims = centArr.map { case (cid, cv) => (cos(v, cv.toSeq), -cid) }
+        val best = sims.max
+        M(id, k, -best._2, math.rint(best._1 * 1e6) / 1e6, v)
+      }
+    }
+    val expect = members.map { b =>
+      val dropped = members.exists(a => a.cl == b.cl && a.id != b.id &&
+        (a.batch < b.batch ||
+          (a.batch == b.batch && (a.ord < b.ord || (a.ord == b.ord && a.id < b.id)))) &&
+        cos(a.v, b.v) >= eps)
+      b.id -> !dropped
+    }.toMap
+    // Engine: apply incremental per batch, corpus grown by ALL members.
+    var corpus = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val got = scala.collection.mutable.Map.empty[Long, Boolean]
+    batches.foreach { b =>
+      val bdf = b.toDF("id", "v")
+      SemDedup.incremental(bdf, corpus, cs, "id", "v", "cid", "cv", eps)
+        .collect().foreach(r => got(r.getLong(0)) = r.getBoolean(3))
+      corpus = corpus.unionByName(bdf)
+    }
+    assert(got.toMap == expect,
+      s"diff=${expect.toSet.diff(got.toSet).take(5)} | ${got.toSet.diff(expect.toSet).take(5)}")
+  }
+
+  test("incremental plan: corpus side is cluster-pruned by a broadcast semi-join; no cross product") {
+    val corpus = Seq((3L, deg(20)), (4L, Seq(0.0, 1.0))).toDF("id", "v")
+    val batch = Seq((1L, deg(0))).toDF("id", "v")
+    val plan = SemDedup.incremental(batch, corpus, cents, "id", "v", "cid", "cv", eps = 0.97)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed cross product:\n$plan")
+    assert(plan.contains("LeftSemi"), s"corpus must prune on the batch's clusters:\n$plan")
+  }
+
   test("plan: pairwise stage is a cluster-key equi-join, never an unkeyed cross product") {
     val plan = SemDedup.semDedup(vecs, cents, "id", "v", "cid", "cv", eps = 0.97)
       .queryExecution.executedPlan.toString
