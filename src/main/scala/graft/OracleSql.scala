@@ -163,6 +163,50 @@ object OracleSql {
        |      FROM base b0 LEFT JOIN agg a ON a.doc_id = b0.doc_id)""".stripMargin
   }
 
+  /** The RRF hybrid replay chain — shared by x_hybrid_rrf (in-memory
+    * fusion) and x_hybrid_stored (persisted Hybrid.search at
+    * nprobe = nlist, spec-pinned equal). */
+  private lazy val hybridRrfSql: String =
+    s"""WITH tokd AS (SELECT doc_id, $words AS t FROM documents),
+        |tf AS (SELECT doc_id, dl, term, count(*) tf FROM
+        |         (SELECT doc_id, len(t) dl, unnest(t) term FROM tokd)
+        |       GROUP BY 1, 2, 3),
+        |dfr AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) n_docs, avg(len(t)) avgdl FROM tokd),
+        |qt AS (SELECT DISTINCT qid, term FROM
+        |         (SELECT doc_id qid, unnest(t[1:5]) term FROM tokd
+        |          WHERE doc_id % 97 = 0)),
+        |sc AS (SELECT qt.qid query_id, tf.doc_id,
+        |         sum(ln(1 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+        |             * tf.tf * 2.2
+        |             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) score
+        |       FROM qt JOIN tf ON tf.term = qt.term
+        |         JOIN dfr ON dfr.term = qt.term CROSS JOIN st
+        |       GROUP BY 1, 2),
+        |bm AS (SELECT query_id, doc_id, rn rank FROM
+        |         (SELECT query_id, doc_id,
+        |            row_number() OVER (PARTITION BY query_id
+        |              ORDER BY round(score, 6) DESC, doc_id) rn FROM sc)
+        |       WHERE rn <= 20),
+        |q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id % 97 = 0),
+        |p AS (SELECT qid, c.vec_id nid, qe, c.embedding ce FROM q CROSS JOIN embeddings c),
+        |u AS (SELECT qid, nid, unnest(qe)::DOUBLE x, unnest(ce)::DOUBLE y FROM p),
+        |s2 AS (SELECT qid, nid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) sim
+        |         FROM u GROUP BY qid, nid),
+        |kn AS (SELECT qid query_id, nid doc_id, rn rank FROM
+        |         (SELECT qid, nid,
+        |            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+        |          FROM s2)
+        |       WHERE rn <= 20),
+        |allr AS (SELECT * FROM bm UNION ALL SELECT * FROM kn),
+        |f AS (SELECT query_id, doc_id, sum(1.0 / (60 + rank)) score
+        |      FROM allr GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, round(score, 6) score,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY round(score, 6) DESC, doc_id) rn FROM f)
+        |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rank
+        |FROM fr WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+
   val all: Map[String, String] = Map(
     // The RSS round-trip: escape → build feed → split → XPath-extract
     // inverts construction, so the expected output is the raw fields.
@@ -890,46 +934,13 @@ object OracleSql {
     // RRF hybrid replay: the x_bm25_topk chain at k=20 plus the j8-style
     // cosine kNN chain (same query ids, no self-exclusion), fused by
     // score = Σ 1/(60 + rank) and re-ranked on the rounded fused score.
-    "x_hybrid_rrf" ->
-      s"""WITH tokd AS (SELECT doc_id, $words AS t FROM documents),
-        |tf AS (SELECT doc_id, dl, term, count(*) tf FROM
-        |         (SELECT doc_id, len(t) dl, unnest(t) term FROM tokd)
-        |       GROUP BY 1, 2, 3),
-        |dfr AS (SELECT term, count(*) df FROM tf GROUP BY 1),
-        |st AS (SELECT count(*) n_docs, avg(len(t)) avgdl FROM tokd),
-        |qt AS (SELECT DISTINCT qid, term FROM
-        |         (SELECT doc_id qid, unnest(t[1:5]) term FROM tokd
-        |          WHERE doc_id % 97 = 0)),
-        |sc AS (SELECT qt.qid query_id, tf.doc_id,
-        |         sum(ln(1 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
-        |             * tf.tf * 2.2
-        |             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) score
-        |       FROM qt JOIN tf ON tf.term = qt.term
-        |         JOIN dfr ON dfr.term = qt.term CROSS JOIN st
-        |       GROUP BY 1, 2),
-        |bm AS (SELECT query_id, doc_id, rn rank FROM
-        |         (SELECT query_id, doc_id,
-        |            row_number() OVER (PARTITION BY query_id
-        |              ORDER BY round(score, 6) DESC, doc_id) rn FROM sc)
-        |       WHERE rn <= 20),
-        |q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id % 97 = 0),
-        |p AS (SELECT qid, c.vec_id nid, qe, c.embedding ce FROM q CROSS JOIN embeddings c),
-        |u AS (SELECT qid, nid, unnest(qe)::DOUBLE x, unnest(ce)::DOUBLE y FROM p),
-        |s2 AS (SELECT qid, nid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) sim
-        |         FROM u GROUP BY qid, nid),
-        |kn AS (SELECT qid query_id, nid doc_id, rn rank FROM
-        |         (SELECT qid, nid,
-        |            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
-        |          FROM s2)
-        |       WHERE rn <= 20),
-        |allr AS (SELECT * FROM bm UNION ALL SELECT * FROM kn),
-        |f AS (SELECT query_id, doc_id, sum(1.0 / (60 + rank)) score
-        |      FROM allr GROUP BY 1, 2),
-        |fr AS (SELECT query_id, doc_id, round(score, 6) score,
-        |         row_number() OVER (PARTITION BY query_id
-        |           ORDER BY round(score, 6) DESC, doc_id) rn FROM f)
-        |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rank
-        |FROM fr WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+    // The SAME SQL also oracles x_hybrid_stored (below): the persisted
+    // Hybrid.search at nprobe = nlist is spec-pinned equal to this
+    // in-memory fusion, so one replay covers both plans.
+    "x_hybrid_rrf" -> hybridRrfSql,
+
+    "x_hybrid_stored" -> hybridRrfSql,
+
 
     "x_simhash" ->
       s"""WITH w AS (SELECT doc_id, $words wds FROM documents),

@@ -1168,6 +1168,27 @@ object SparkEntry {
       Rrf.fuse(Seq(lex, sem), k = 10)
         .orderBy("query_id", "rank")
     }),
+    // Persisted-store hybrid retrieval (Hybrid.search): both standing
+    // indexes built once, then ONE callable fuses a term-in-list-pruned
+    // BM25 postings read with a probed-cell file-pruned ANN read. At
+    // nprobe = nlist the semantic run is exact, so the result equals the
+    // in-memory x_hybrid_rrf fusion — same oracle replays both.
+    "x_hybrid_stored" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val emb = T(s, d, "embeddings")
+      val dir = tmpStore("hybrid_store")
+      graft.pipelines.Hybrid.init(s, dir, docs, "doc_id", "text",
+        emb, "vec_id", "embedding", nlist = 16)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(
+            filter(split(lower(trim(col("text"))), text.WhitespaceRun), t => t =!= ""),
+            1, 5)).as("qtext"))
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+      graft.pipelines.Hybrid.search(s, dir, queries, "qid", "qtext", "qvec",
+          k = 10, kPerRun = 20, nprobe = 16, maxDfFrac = 1.0)
+        .orderBy("query_id", "rank")
+    }),
     "x_simhash" -> ((s, d) => {
       T(s, d, "documents")
         .select(col("doc_id"), DedupOps.simhash(col("text")).as("simhash"))

@@ -1,0 +1,148 @@
+package graft.pipelines
+
+import graft.operators.{Bm25, Bm25Store, IvfAnn, Rrf}
+import graft.sources.TableSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted-store hybrid retrieval as ONE callable — the serving-side
+ * sibling of [[Admission.run]]: `search(storeDir, queries, k)` fuses a
+ * lexical run over the standing [[Bm25Store]] postings with a semantic
+ * run over the standing cell-addressable ANN table, by reciprocal-rank
+ * fusion ([[Rrf.fuse]]). The in-memory `x_hybrid_rrf` composition stays
+ * the executable spec of the fusion semantics; this is the production
+ * shape where neither index is rebuilt per query batch:
+ *
+ *  - the lexical side reads ONLY the row groups containing the query
+ *    terms (`pruneTermScan` pushed in-list over term-clustered postings
+ *    parts), with always-current BM25 statistics off the additive store;
+ *  - the semantic side opens ONLY the probed cells' bucket FILES
+ *    ([[TableSink.readBuckets]] under the cell layout — nprobe/nlist of
+ *    the index's files, not just its rows).
+ *
+ * Store layout under `storeDir` (single-writer maintenance, same
+ * contract as [[Admission]]):
+ *
+ *  - `bm25/` — a [[Bm25Store]] (postings/df/stats parts + one ledger);
+ *  - `ann/`  — a value-addressable [[TableSink]] of (cell, id, vec) laid
+ *    out by cell — FLOAT vectors, so a full probe (nprobe = nlist) is
+ *    EXACT brute-force kNN and the spec can pin stored == in-memory
+ *    fusion; swap in [[IvfAnn.writeIndex]]'s SQ8 store when the 4×
+ *    memory/IO saving outweighs exactness;
+ *  - `cells/` — the nlist cell centroids (parquet; tiny by contract).
+ *
+ * Refresh contract: `Bm25Store.append` + [[appendVectors]] per admitted
+ * batch (both O(batch)); `Bm25Store.compact` and centroid re-fit
+ * ([[IvfAnn.maintain]]-style) as scheduled maintenance.
+ */
+object Hybrid {
+
+  private def bm25Dir(storeDir: String) = s"$storeDir/bm25"
+  private def annDir(storeDir: String) = s"$storeDir/ann"
+  private def cellsDir(storeDir: String) = s"$storeDir/cells"
+
+  /** Build both standing indexes from the current corpus — O(corpus),
+    * once ([[Bm25Store.init]] run-once contract included). `docs` and
+    * `vecs` share an id domain (the reference's article id). */
+  def init(spark: SparkSession, storeDir: String,
+           docs: DataFrame, idCol: String, textCol: String,
+           vecs: DataFrame, vecIdCol: String, vecCol: String,
+           nlist: Int, iters: Int = 3, numBuckets: Int = 64): Unit = {
+    Bm25Store.init(spark, bm25Dir(storeDir), docs, idCol, textCol)
+    val cells = IvfAnn.buildCells(vecs, vecIdCol, vecCol, nlist, iters)
+    cells.write.mode("overwrite").parquet(cellsDir(storeDir))
+    // Canonical stored schema (cell, id, vec): the serving path's query
+    // frames carry arbitrary column names, so the store normalizes its
+    // own once at write time instead of recording the writer's names.
+    val assigned = IvfAnn.assignCells(vecs, vecIdCol, vecCol, cells)
+      .select(col("cell"), col(vecIdCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+    TableSink.overwrite(spark, annDir(storeDir),
+      assigned.withColumn("__cell_s", col("cell").cast("string"))
+        .withColumn("__v", lit(0L)),
+      Seq("id"), numBuckets, layoutCol = Some("__cell_s"))
+  }
+
+  /** The persisted cell centroids (the serving side must probe with the
+    * centroids the ANN table was assigned under). */
+  def readCells(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(cellsDir(storeDir))
+
+  /** O(batch) ANN-side refresh: assign new vectors to the EXISTING
+    * cells and upsert — only the touched cells' buckets rewrite (the
+    * [[IvfAnn.appendToIndex]] contract, float store). The BM25 twin is
+    * [[Bm25Store.append]]; call both per admitted batch. */
+  def appendVectors(spark: SparkSession, storeDir: String, newVecs: DataFrame,
+                    vecIdCol: String, vecCol: String, version: Long): Unit = {
+    val cells = readCells(spark, storeDir)
+    val assigned = IvfAnn.assignCells(newVecs, vecIdCol, vecCol, cells)
+      .select(col("cell"), col(vecIdCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+    TableSink.upsert(spark, annDir(storeDir),
+      assigned.withColumn("__cell_s", col("cell").cast("string"))
+        .withColumn("__v", lit(version)),
+      Seq("id"), "__v")
+  }
+
+  /** The lexical run: BM25 top-`k` over the standing postings store,
+    * query-term in-list pushed into every postings part's scan.
+    * Returns (query_id, doc_id, score, rank). */
+  def lexicalRun(spark: SparkSession, storeDir: String, queries: DataFrame,
+                 qidCol: String, qtextCol: String, k: Int,
+                 maxDfFrac: Double = 0.5, tag: Option[String] = None): DataFrame =
+    Bm25.searchIndex(Bm25Store.readIndex(spark, bm25Dir(storeDir), tag),
+      queries, qidCol, qtextCol, k, maxDfFrac = maxDfFrac,
+      pruneTermScan = true)
+
+  /** The semantic run: cosine top-`k` over the persisted cell-laid-out
+    * float ANN table — resolve the nprobe nearest cells, open only
+    * their buckets' files, drop hash-cohabitant cells with a residual
+    * filter, probe. With nprobe = nlist this is EXACT brute force
+    * (float vectors, every cell probed) computed off the pruned-read
+    * plan shape. Returns (query_id, neighbor_id, sim, rank). */
+  def semanticRun(spark: SparkSession, storeDir: String, queries: DataFrame,
+                  qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
+    require(TableSink.tableExists(annDir(storeDir)) &&
+        TableSink.layoutColOf(annDir(storeDir)).isDefined,
+      s"no cell-laid-out ANN table at '${annDir(storeDir)}' — run Hybrid.init first")
+    val cells = readCells(spark, storeDir)
+    // Normalize to the store's canonical (id, vec) names — annSearch
+    // addresses both sides by one (idCol, vecCol) pair.
+    val q = queries.select(col(qidCol).as("id"),
+      col(qvecCol).cast("array<double>").as("vec"))
+    val probed = IvfAnn.probedCellIds(q, cells, "id", "vec", nprobe)
+    val like = spark.range(0).select(lit(0L).as("cell"), lit(0L).as("id"),
+      array().cast("array<double>").as("vec"))
+    val corpus = TableSink.readBuckets(spark, annDir(storeDir), like,
+        TableSink.bucketIdsFor(spark, annDir(storeDir), probed.map(_.toString)))
+      .filter(col("cell").isin(probed: _*))
+    IvfAnn.annSearch(q, corpus, cells, "id", "vec", k, nprobe,
+      excludeSelf = false)
+  }
+
+  /**
+   * Hybrid search over the standing stores: `queries` carries
+   * (qidCol, qtextCol, qvecCol); the lexical and semantic runs each
+   * retrieve `kPerRun`, and [[Rrf.fuse]] returns the top `k` fused per
+   * query — (query_id, doc_id, score, rank). Equal to the in-memory
+   * fusion (`x_hybrid_rrf`) on the same corpus when nprobe = nlist
+   * (spec-pinned); smaller nprobe trades recall for probe cost exactly
+   * like the ANN store alone.
+   */
+  def search(spark: SparkSession, storeDir: String, queries: DataFrame,
+             qidCol: String, qtextCol: String, qvecCol: String,
+             k: Int, kPerRun: Int = 20, nprobe: Int = 8,
+             maxDfFrac: Double = 0.5, c: Int = 60,
+             bm25Tag: Option[String] = None): DataFrame = {
+    val lex = lexicalRun(spark, storeDir,
+        queries.select(col(qidCol), col(qtextCol)), qidCol, qtextCol,
+        kPerRun, maxDfFrac, bm25Tag)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = semanticRun(spark, storeDir,
+        queries.select(col(qidCol), col(qvecCol)), qidCol, qvecCol,
+        kPerRun, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Rrf.fuse(Seq(lex, sem), k, c)
+  }
+}

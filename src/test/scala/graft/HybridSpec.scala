@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Bm25, Rrf, SimilarityOps}
+import graft.pipelines.Hybrid
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Persisted-store hybrid retrieval ([[Hybrid.search]]) must equal the
+ * in-memory fusion (the oracle-checked x_hybrid_rrf composition:
+ * Bm25.bm25TopK ⊕ knnJoinCosine under Rrf.fuse) at nprobe = nlist, and
+ * must read BOTH stores pruned: the query-term in-list pushed into the
+ * postings scan, and only the probed cells' bucket files opened on the
+ * ANN side.
+ */
+class HybridSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    .select(col("doc_id"), col("text"))
+  private lazy val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private lazy val queries = docs.filter(col("doc_id") % 11 === 0)
+    .select(col("doc_id").as("qid"),
+      concat_ws(" ", slice(
+        filter(split(lower(trim(col("text"))), graft.functions.text.WhitespaceRun),
+          t => t =!= ""), 1, 5)).as("qtext"))
+    .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+
+  private def fused(df: DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+  private lazy val storeDir = {
+    val dir = java.nio.file.Files.createTempDirectory("hybrid").toString
+    Hybrid.init(spark, dir, docs, "doc_id", "text",
+      emb, "vec_id", "embedding", nlist = 8)
+    dir
+  }
+
+  test("persisted search at nprobe = nlist equals the in-memory fusion exactly") {
+    val stored = Hybrid.search(spark, storeDir, queries, "qid", "qtext", "qvec",
+      k = 10, kPerRun = 20, nprobe = 8, maxDfFrac = 1.0)
+    val lex = Bm25.bm25TopK(docs, queries.select("qid", "qtext"),
+        "doc_id", "text", "qid", "qtext", k = 20, maxDfFrac = 1.0)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = SimilarityOps.knnJoinCosine(
+        emb.join(queries.select(col("qid").as("vec_id")), "vec_id"),
+        emb, "vec_id", "embedding", k = 20, excludeSelf = false)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val mem = Rrf.fuse(Seq(lex, sem), k = 10)
+    assert(fused(stored) == fused(mem),
+      "persisted hybrid must equal the in-memory x_hybrid_rrf fusion")
+  }
+
+  test("one plan, both prunes: pushed term in-list on postings, probed-cell file pruning on ANN") {
+    // Narrow probe (nprobe = 2 of 8 cells) so the file pruning is visible.
+    val one = queries.orderBy("qid").limit(1)
+    val out = Hybrid.search(spark, storeDir, one, "qid", "qtext", "qvec",
+      k = 5, kPerRun = 5, nprobe = 2, maxDfFrac = 1.0)
+    out.collect() // resolve scans
+    // Lexical prune: the query-term in-list reaches the postings parquet
+    // scan as a pushed predicate.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("In(term"),
+      s"query terms must reach the postings scan as a pushed in-list:\n${plan.take(4000)}")
+    // Semantic prune: the fused plan opens strictly fewer ANN bucket
+    // files than the table has.
+    val annFilesRead = out.inputFiles.count(_.contains("/ann/"))
+    val like = spark.range(0).select(lit(0L).as("id"))
+    val annFilesTotal = graft.sources.TableSink
+      .read(spark, s"$storeDir/ann", like).inputFiles.length
+    assert(annFilesRead > 0 && annFilesRead < annFilesTotal,
+      s"ANN read must be file-pruned: opened $annFilesRead of $annFilesTotal")
+    // And the pruned semantic run still answers: k rows for the query.
+    assert(out.filter(col("rank") === 1).count() == 1)
+  }
+
+  test("appendVectors is O(batch): new vectors retrievable, only touched-cell buckets rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_app").toString
+    Hybrid.init(spark, dir, docs, "doc_id", "text",
+      emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding", nlist = 8)
+    Hybrid.appendVectors(spark, dir,
+      emb.filter(col("vec_id") === 0L), "vec_id", "embedding", version = 1L)
+    val q = queries.filter(col("qid") === 0L)
+    assume(q.count() == 1, "fixture must carry vec 0 as a query")
+    val sem = Hybrid.semanticRun(spark, dir, q, "qid", "qvec", k = 1, nprobe = 8)
+      .collect()
+    assert(sem.head.getLong(1) == 0L,
+      s"appended vector must be its own nearest neighbor: ${sem.toSeq}")
+  }
+}
