@@ -364,6 +364,79 @@ class StreamingJobSpec extends AnyFunSuite with SparkSpec {
     assert(byLink("d0") == byLink("a0"), "pruning never costs recall")
   }
 
+  test("shipping job (auto-basis, pruned, cell layout) groups articles exactly like the full-collect fold") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.OnlineClustering
+    // Epoch 0: eight distinct docs; epoch 1: two repeats + one novel —
+    // the story GROUPING is order-invariant for this corpus (distinct
+    // docs create their own stories; exact repeats join them), so the
+    // job's collect order and the replay's local order cannot diverge it.
+    val texts = Seq(
+      "alpine glaciers retreat under record summer heat",
+      "city council approves the new harbor tram line",
+      "quarterly chip earnings beat analyst expectations",
+      "midfielder signs a four year contract extension",
+      "novel enzyme breaks down ocean plastic faster",
+      "drought pushes grain futures to seasonal highs",
+      "museum reopens with a restored baroque wing",
+      "satellite constellation expands rural broadband")
+    val b0 = texts.zipWithIndex.map { case (t, i) =>
+      (s"l$i", "t", t, f"2024-01-01 10:${i}%02d:00") }
+    val b1 = Seq(("l20", "t", texts(3), "2024-01-01 11:00:00"),
+      ("l21", "t", texts(6), "2024-01-01 11:01:00"),
+      ("l22", "t", "meteor shower dazzles stargazers after midnight", "2024-01-01 11:02:00"))
+
+    // Shipping path: defaults (cell layout, pruned fold), auto-basis
+    // refreshed every epoch so epoch 1 runs under the PCA basis.
+    val dir = Files.createTempDirectory("sj_fullfold").toString
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[StreamingJob.St4Metrics]()
+    val mem = MemoryStream[(String, String, String, Timestamp)]
+    val q = StreamingJob.start(mem.toDF().toDF("link", "title", "txt", "ingestion_time"),
+      s"$dir/articles", s"$dir/stories", s"$dir/ckpt", simThreshold = 0.98,
+      trigger = Trigger.ProcessingTime(0L), basisRefreshEvery = 1,
+      onBatch = m => metrics.add(m))
+    try {
+      mem.addData(b0.map { case (l, t, x, s) => (l, t, x, ts(s)) }: _*)
+      q.processAllAvailable()
+      mem.addData(b1.map { case (l, t, x, s) => (l, t, x, ts(s)) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = metrics.toArray(Array.empty[StreamingJob.St4Metrics]).last
+    assert(last.basisDims > 0 && last.nCandidates < last.nStories,
+      s"epoch 1 must actually run pruned under the auto-derived basis: $last")
+
+    // Independent reference: the FULL-collect sequential fold
+    // (processBatch — the semantic baseline), same featurization,
+    // no pruning, no layout, no basis.
+    def featurize(rows: Seq[(String, String, String, String)]) =
+      rows.map { case (l, t, x, s) => (l, t, x, ts(s)) }
+        .toDF("link", "title", "txt", "ingestion_time")
+        .withColumn("content", concat_ws(" ", col("title"), col("txt")))
+        .withColumn("embedding", graft.pipelines.NewsPipeline.hashEmbedding(col("content")))
+    val empty = spark.range(0).select(lit("").as("story_id"),
+      array().cast("array<double>").as("centroid"), lit(0L).as("n"))
+    val (a0, s0) = OnlineClustering.processBatch(
+      featurize(b0), empty, "link", "embedding", 0.98, batchEpoch = 0L)
+    val (a1, _) = OnlineClustering.processBatch(
+      featurize(b1), s0, "link", "embedding", 0.98, batchEpoch = 1L)
+
+    // Equality on the grouping (story ids are creation-order artifacts;
+    // the partition of articles into stories is the semantics).
+    def grouping(pairs: Seq[(String, String)]): Set[Set[String]] =
+      pairs.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val refGroups = grouping((a0.unionByName(a1))
+      .select(col("id"), col("storyId")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toIndexedSeq)
+    val like = spark.range(0).select(lit("").as("link"))
+    val jobGroups = grouping(TableSink.read(spark, s"$dir/articles", like)
+      .select("link", "story_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toIndexedSeq)
+    assert(jobGroups == refGroups,
+      s"auto-basis pruned shipping path must group exactly like the full fold:\n" +
+        s" job=$jobGroups\n ref=$refGroups")
+  }
+
   test("pruned ST4 + basis resume identically across a checkpoint restart") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
