@@ -1177,8 +1177,13 @@ object SparkEntry {
       val docs = T(s, d, "documents")
       val emb = T(s, d, "embeddings")
       val dir = tmpStore("hybrid_store")
+      // nprobe = nlist makes the semantic run EXACT regardless of
+      // centroid quality, so the in-query build keeps Lloyd to one
+      // iteration — the store build is the honest price of an
+      // oracle-checkable store query (the x_bm25_incremental pattern),
+      // not the serving path, which amortizes init across batches.
       graft.pipelines.Hybrid.init(s, dir, docs, "doc_id", "text",
-        emb, "vec_id", "embedding", nlist = 16)
+        emb, "vec_id", "embedding", nlist = 8, iters = 1)
       val queries = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(
@@ -1186,7 +1191,7 @@ object SparkEntry {
             1, 5)).as("qtext"))
         .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
       graft.pipelines.Hybrid.search(s, dir, queries, "qid", "qtext", "qvec",
-          k = 10, kPerRun = 20, nprobe = 16, maxDfFrac = 1.0)
+          k = 10, kPerRun = 20, nprobe = 8, maxDfFrac = 1.0)
         .orderBy("query_id", "rank")
     }),
     "x_simhash" -> ((s, d) => {

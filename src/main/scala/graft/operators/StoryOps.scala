@@ -63,17 +63,20 @@ object StoryOps {
                   jaccardCol: String, maxCandidates: Int = 1 << 20): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    // Overflow probe: LocalLimit per partition + GlobalLimit, a bounded
-    // scan that never materializes past cap+1 rows anywhere.
-    if (candidates.limit(maxCandidates + 1).count() > maxCandidates)
-      return greedyMatchDistributed(candidates, clusterCol, storyCol, jaccardCol)
-    val rows = candidates
+    // Overflow probe FOLDED into the one collect (cap+1 rows): a separate
+    // count() would execute the whole candidate subtree — typically an
+    // expensive jaccardJoin — a second time. Only the rare escalation
+    // pays a re-execution (via the distributed form), never the common
+    // under-cap path.
+    val fetched = candidates
       .select(col(clusterCol).cast("string"), col(storyCol).cast("string"), col(jaccardCol).cast("double"))
       .orderBy(desc(jaccardCol), col(clusterCol), col(storyCol))
-      .limit(maxCandidates)
+      .limit(maxCandidates + 1)
       .as[(String, String, Double)]
       .collect()
-      .sortBy { case (c, s, j) => (-j, c, s) }
+    if (fetched.length > maxCandidates)
+      return greedyMatchDistributed(candidates, clusterCol, storyCol, jaccardCol)
+    val rows = fetched.sortBy { case (c, s, j) => (-j, c, s) }
     val usedC = scala.collection.mutable.Set.empty[String]
     val usedS = scala.collection.mutable.Set.empty[String]
     val out = rows.flatMap { case (c, s, j) =>
