@@ -65,9 +65,40 @@ object Hybrid {
   }
 
   /** The persisted cell centroids (the serving side must probe with the
-    * centroids the ANN table was assigned under). */
-  def readCells(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(cellsDir(storeDir))
+    * centroids the ANN table was assigned under). With `tag`, the
+    * centroids pinned by [[snapshot]] — a centroid rebuild overwrites
+    * `cells/`, so a pinned search must carry its own copy. */
+  def readCells(spark: SparkSession, storeDir: String,
+                tag: Option[String] = None): DataFrame =
+    spark.read.parquet(tag.fold(cellsDir(storeDir))(t => cellsSnapDir(storeDir, t)))
+
+  private def cellsSnapDir(storeDir: String, tag: String) =
+    s"$storeDir/cells_snapshots/$tag"
+
+  /**
+   * Pin the ENTIRE retrieval state under one `tag` — "the exact indexes
+   * run X retrieved against": the BM25 parts-list
+   * ([[graft.sources.DeltaParts.snapshot]]), the ANN table generation
+   * ([[TableSink.snapshot]]), and a copy of the (tiny, nlist-row) cell
+   * centroids (a later centroid rebuild overwrites `cells/` in place).
+   * [[search]] with the tag replays byte-identically; maintenance
+   * (appends, compactions, GC) never deletes pinned state. Same
+   * non-transactional caveat as [[Admission.snapshot]]: take it between
+   * refresh batches (single-writer maintenance is the quiescent point).
+   */
+  def snapshot(spark: SparkSession, storeDir: String, tag: String): Unit = {
+    Bm25Store.snapshot(bm25Dir(storeDir), tag)
+    TableSink.snapshot(annDir(storeDir), tag)
+    readCells(spark, storeDir).write.mode("errorifexists")
+      .parquet(cellsSnapDir(storeDir, tag))
+  }
+
+  /** Release a [[snapshot]] tag on all three pieces. */
+  def dropSnapshot(spark: SparkSession, storeDir: String, tag: String): Unit = {
+    Bm25Store.dropSnapshot(bm25Dir(storeDir), tag)
+    TableSink.dropSnapshot(annDir(storeDir), tag)
+    graft.sources.DeltaParts.rmDir(cellsSnapDir(storeDir, tag))
+  }
 
   /** O(batch) ANN-side refresh: assign new vectors to the EXISTING
     * cells and upsert — only the touched cells' buckets rewrite (the
@@ -100,23 +131,33 @@ object Hybrid {
     * their buckets' files, drop hash-cohabitant cells with a residual
     * filter, probe. With nprobe = nlist this is EXACT brute force
     * (float vectors, every cell probed) computed off the pruned-read
-    * plan shape. Returns (query_id, neighbor_id, sim, rank). */
+    * plan shape. With `tag`, probes the [[snapshot]]-pinned generation
+    * and centroids instead — a pinned generation is read by its
+    * manifest's file list, so the bucket-level FILE pruning does not
+    * apply under time travel (the residual cell filter still prunes
+    * rows; a pinned replay is an audit path, not the hot path).
+    * Returns (query_id, neighbor_id, sim, rank). */
   def semanticRun(spark: SparkSession, storeDir: String, queries: DataFrame,
-                  qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
+                  qidCol: String, qvecCol: String, k: Int, nprobe: Int,
+                  tag: Option[String] = None): DataFrame = {
     require(TableSink.tableExists(annDir(storeDir)) &&
         TableSink.layoutColOf(annDir(storeDir)).isDefined,
       s"no cell-laid-out ANN table at '${annDir(storeDir)}' — run Hybrid.init first")
-    val cells = readCells(spark, storeDir)
+    val cells = readCells(spark, storeDir, tag)
     // Normalize to the store's canonical (id, vec) names — annSearch
     // addresses both sides by one (idCol, vecCol) pair.
     val q = queries.select(col(qidCol).as("id"),
       col(qvecCol).cast("array<double>").as("vec"))
     val probed = IvfAnn.probedCellIds(q, cells, "id", "vec", nprobe)
-    val like = spark.range(0).select(lit(0L).as("cell"), lit(0L).as("id"),
-      array().cast("array<double>").as("vec"))
-    val corpus = TableSink.readBuckets(spark, annDir(storeDir), like,
-        TableSink.bucketIdsFor(spark, annDir(storeDir), probed.map(_.toString)))
-      .filter(col("cell").isin(probed: _*))
+    val corpus = (tag match {
+      case Some(t) => TableSink.readSnapshot(spark, annDir(storeDir), t)
+        .select(col("cell"), col("id"), col("vec"))
+      case None =>
+        val like = spark.range(0).select(lit(0L).as("cell"), lit(0L).as("id"),
+          array().cast("array<double>").as("vec"))
+        TableSink.readBuckets(spark, annDir(storeDir), like,
+          TableSink.bucketIdsFor(spark, annDir(storeDir), probed.map(_.toString)))
+    }).filter(col("cell").isin(probed: _*))
     IvfAnn.annSearch(q, corpus, cells, "id", "vec", k, nprobe,
       excludeSelf = false)
   }
@@ -128,20 +169,22 @@ object Hybrid {
    * query — (query_id, doc_id, score, rank). Equal to the in-memory
    * fusion (`x_hybrid_rrf`) on the same corpus when nprobe = nlist
    * (spec-pinned); smaller nprobe trades recall for probe cost exactly
-   * like the ANN store alone.
+   * like the ANN store alone. With `tag`, searches the ENTIRE
+   * [[snapshot]]-pinned retrieval state (postings, ANN generation,
+   * centroids) — the training-reproducibility replay.
    */
   def search(spark: SparkSession, storeDir: String, queries: DataFrame,
              qidCol: String, qtextCol: String, qvecCol: String,
              k: Int, kPerRun: Int = 20, nprobe: Int = 8,
              maxDfFrac: Double = 0.5, c: Int = 60,
-             bm25Tag: Option[String] = None): DataFrame = {
+             tag: Option[String] = None): DataFrame = {
     val lex = lexicalRun(spark, storeDir,
         queries.select(col(qidCol), col(qtextCol)), qidCol, qtextCol,
-        kPerRun, maxDfFrac, bm25Tag)
+        kPerRun, maxDfFrac, tag)
       .select(col("query_id"), col("doc_id"), col("rank"))
     val sem = semanticRun(spark, storeDir,
         queries.select(col(qidCol), col(qvecCol)), qidCol, qvecCol,
-        kPerRun, nprobe)
+        kPerRun, nprobe, tag)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     Rrf.fuse(Seq(lex, sem), k, c)
   }

@@ -76,6 +76,31 @@ class HybridSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(col("rank") === 1).count() == 1)
   }
 
+  test("snapshot pins the whole retrieval state: search-at-tag replays across appends and compaction") {
+    import graft.operators.Bm25Store
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_snap").toString
+    val oldDocs = docs.filter(col("doc_id") =!= 0L)
+    Hybrid.init(spark, dir, oldDocs, "doc_id", "text",
+      emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding", nlist = 8)
+    def run(tag: Option[String]) = fused(Hybrid.search(spark, dir, queries,
+      "qid", "qtext", "qvec", k = 10, kPerRun = 20, nprobe = 8,
+      maxDfFrac = 1.0, tag = tag))
+    val before = run(None)
+    Hybrid.snapshot(spark, dir, "run-7")
+    // Mutate every piece the tag pins: BM25 postings (append + compact,
+    // so the pinned part leaves the live ledger), the ANN generation.
+    Bm25Store.append(spark, s"$dir/bm25",
+      docs.filter(col("doc_id") === 0L), "doc_id", "text")
+    graft.operators.Bm25Store.compact(spark, s"$dir/bm25")
+    Hybrid.appendVectors(spark, dir,
+      emb.filter(col("vec_id") === 0L), "vec_id", "embedding", version = 1L)
+    assert(run(Some("run-7")) == before,
+      "search-at-tag must replay the pre-mutation results byte-identically")
+    assert(run(None) != before, "live search must see the appended doc")
+    Hybrid.dropSnapshot(spark, dir, "run-7")
+    intercept[IllegalArgumentException](run(Some("run-7")))
+  }
+
   test("appendVectors is O(batch): new vectors retrievable, only touched-cell buckets rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("hybrid_app").toString
     Hybrid.init(spark, dir, docs, "doc_id", "text",
