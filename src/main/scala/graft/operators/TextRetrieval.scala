@@ -278,6 +278,17 @@ object Bm25Store {
   def dropSnapshot(dir: String, tag: String): Unit =
     DeltaParts.dropSnapshot(dir, tag)
 
+  /** Roll the live index back to a [[snapshot]] tag (no data movement —
+    * pinned parts never left disk). CONTRACT: part names are write-once
+    * across the store's WHOLE history, restores included — a batch
+    * absorbed after the tag stays in the `_absorbed` ledger, so
+    * re-appending it under its old name is (correctly) a no-op; re-admit
+    * rolled-back content under a FRESH name. That monotonicity is not a
+    * quirk: it is exactly what keeps crash replay safe, and rewinding it
+    * on restore would let a pending replay double-count. */
+  def restore(dir: String, tag: String): Unit =
+    DeltaParts.restore(dir, tag)
+
   /** The assembled, searchable index — exactly [[Bm25.index]] over the
     * union of every stored document set. Postings parts concatenate
     * (multi-path parquet scan, pushdown intact in every part); df and

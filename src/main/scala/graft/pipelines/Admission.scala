@@ -149,6 +149,21 @@ object Admission {
     TableSink.dropSnapshot(fpDir(storeDir), tag)
   }
 
+  /** Roll both standing stores back to a [[snapshot]] tag — span
+    * inventory ledger flip + fingerprint generation republish, no data
+    * movement. CONTRACT (the [[graft.operators.Bm25Store.restore]]
+    * write-once rule): batch identities are monotone across the store's
+    * whole history — the `_absorbed` ledger and `verdicts/` history are
+    * deliberately NOT rolled back, so a [[runCommitted]] replaying a
+    * post-tag `batchId` returns that batch's ORIGINAL verdicts and
+    * absorb stays a no-op (that monotonicity is what keeps crash replay
+    * safe; rewinding it would let a pending replay double-absorb).
+    * Re-admit rolled-back content under fresh batch ids. */
+  def restore(storeDir: String, tag: String): Unit = {
+    graft.sources.DeltaParts.restore(spanDir(storeDir), tag)
+    TableSink.restore(fpDir(storeDir), tag)
+  }
+
   /** The merged standing inventory. One part (the post-[[compact]] or
     * just-initialized state) reads straight from parquet — the admission
     * scrub's `n_docs` threshold pushes into that scan; with deltas

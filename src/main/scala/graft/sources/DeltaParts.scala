@@ -133,6 +133,16 @@ object DeltaParts {
     Files.deleteIfExists(snapsDir(dir).resolve(tag)); ()
   }
 
+  /** Roll the live ledger back to a [[snapshot]]: publish the pinned
+    * parts-list as the live set — the [[TableSink.restore]] idiom for
+    * additive stores. No data moves (the pinned parts never left disk:
+    * sweeps protect pinned names); parts appended after the tag become
+    * orphans the next compaction cycle sweeps, UNLESS another tag pins
+    * them. The tag itself stays live after the restore. Single-writer
+    * contract like every ledger mutation here. */
+  def restore(dir: String, tag: String): Unit =
+    publish(dir, listAt(dir, tag))
+
   /** Replace all live parts with `keep` (compaction publish). The parts
     * it supersedes are NOT deleted here — an in-flight reader that
     * resolved the previous ledger may still be scanning them; they stay

@@ -232,6 +232,18 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
       .select("__fp").collect().map(_.getString(0)).toSet
     assert(fpsAtTag == pinnedFps,
       "fingerprint snapshot must replay the tagged generation")
+    // Restore: both stores roll back to the tag; a new batch duplicating
+    // the ROLLED-BACK (721) content is novel again, while corpus content
+    // from before the tag still blocks.
+    Admission.restore(store, "train-1")
+    assert(spanRows(None) == pinnedSpan, "restored span reads equal the pinned state")
+    val post = collectVerdicts(Admission.run(spark, store,
+      df(Seq(731L -> goodText('t'), 732L -> (goodText('r') + " " + boiler))),
+      "doc_id", "text"))
+    assert(post(731L)._1 == "admitted",
+      s"content absorbed only after the tag must be novel post-restore: $post")
+    assert(post(732L)._1 == "duplicate",
+      s"pre-tag corpus content must still block post-restore: $post")
     Admission.dropSnapshot(store, "train-1")
     assert(DeltaParts.pinned(s"$store/span_index").isEmpty)
   }

@@ -159,6 +159,16 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
     // Re-pointing an existing tag at different parts must refuse loudly.
     val e = intercept[IllegalArgumentException](DeltaParts.snapshot(dir, "run-x"))
     assert(e.getMessage.contains("refusing"))
+    // Restore: live ledger rolls back to the tag, no data movement.
+    Bm25Store.restore(dir, "run-x")
+    assert(rows(Bm25Store.readIndex(spark, dir)) == pinnedState,
+      "restored live reads must equal the pinned state")
+    // Names are write-once across restores: a post-tag absorbed name is
+    // (correctly) still a no-op; a FRESH name re-admits the content.
+    Bm25Store.append(spark, dir, docs.filter(col("doc_id") === 4L), "doc_id", "text")
+    assert(rows(Bm25Store.readIndex(spark, dir)) ==
+      rows(Bm25.index(docs.filter(col("doc_id") <= 4L), "doc_id", "text")),
+      "a fresh-named append after restore must re-admit")
     // Released tag: the part is no longer pinned (sweepable next cycle).
     Bm25Store.dropSnapshot(dir, "run-x")
     assert(DeltaParts.pinned(dir).isEmpty)
