@@ -1026,9 +1026,7 @@ object SparkEntry {
       val docs = T(s, d, "documents")
       val queries = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
-          concat_ws(" ", slice(
-            filter(split(lower(trim(col("text"))), text.WhitespaceRun), t => t =!= ""),
-            1, 5)).as("qtext"))
+          text.firstKTokens(col("text"), 5).as("qtext"))
       Bm25.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
           k = 10, maxDfFrac = 1.0)
         .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
@@ -1128,9 +1126,7 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
       val queries = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
-          concat_ws(" ", slice(
-            filter(split(lower(trim(col("text"))), text.WhitespaceRun), t => t =!= ""),
-            1, 5)).as("qtext"))
+          text.firstKTokens(col("text"), 5).as("qtext"))
       Bm25.searchIndex(Bm25Store.readIndex(s, dir), queries, "qid", "qtext",
           k = 10, maxDfFrac = 1.0)
         .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
@@ -1155,9 +1151,7 @@ object SparkEntry {
       val emb = T(s, d, "embeddings")
       val queries = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
-          concat_ws(" ", slice(
-            filter(split(lower(trim(col("text"))), text.WhitespaceRun), t => t =!= ""),
-            1, 5)).as("qtext"))
+          text.firstKTokens(col("text"), 5).as("qtext"))
       val lex = Bm25.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
           k = 20, maxDfFrac = 1.0)
         .select(col("query_id"), col("doc_id"), col("rank"))
@@ -1186,9 +1180,7 @@ object SparkEntry {
         emb, "vec_id", "embedding", nlist = 8, iters = 1)
       val queries = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
-          concat_ws(" ", slice(
-            filter(split(lower(trim(col("text"))), text.WhitespaceRun), t => t =!= ""),
-            1, 5)).as("qtext"))
+          text.firstKTokens(col("text"), 5).as("qtext"))
         .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
       graft.pipelines.Hybrid.search(s, dir, queries, "qid", "qtext", "qvec",
           k = 10, kPerRun = 20, nprobe = 8, maxDfFrac = 1.0)

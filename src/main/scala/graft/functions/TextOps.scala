@@ -39,6 +39,16 @@ object text {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** First-k-token prefix re-joined with single spaces — the query-text
+    * constructor the retrieval queries (x_bm25_topk / x_bm25_incremental
+    * / x_hybrid_rrf / x_hybrid_stored) and their specs share. ONE
+    * definition on purpose: x_hybrid_rrf and x_hybrid_stored replay
+    * against the same oracle SQL precisely because their query
+    * construction is identical, so the pinned tokenization must not be
+    * able to drift between copies. */
+  def firstKTokens(c: Column, k: Int): Column =
+    concat_ws(" ", slice(tokens(c), 1, k))
+
   /** BPE-ish subword count: words + punctuation marks counted separately. */
   def subwordCount(c: Column): Column =
     size(filter(split(c, "(?<=\\W)|(?=\\W)"), t => length(trim(t)) > 0))

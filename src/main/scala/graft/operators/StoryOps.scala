@@ -68,10 +68,14 @@ object StoryOps {
     // expensive jaccardJoin — a second time. Only the rare escalation
     // pays a re-execution (via the distributed form), never the common
     // under-cap path.
+    // cap+1 saturates at Int.MaxValue (the overflow probe degenerates to
+    // "never escalate", which is the pre-routing behavior at that cap).
+    val probeLimit =
+      if (maxCandidates == Int.MaxValue) Int.MaxValue else maxCandidates + 1
     val fetched = candidates
       .select(col(clusterCol).cast("string"), col(storyCol).cast("string"), col(jaccardCol).cast("double"))
       .orderBy(desc(jaccardCol), col(clusterCol), col(storyCol))
-      .limit(maxCandidates + 1)
+      .limit(probeLimit)
       .as[(String, String, Double)]
       .collect()
     if (fetched.length > maxCandidates)

@@ -138,9 +138,25 @@ object Admission {
     * two stores — take it between batches (admission is single-writer by
     * contract, so "between batches" is a real quiescent point). */
   def snapshot(storeDir: String, tag: String): Unit = {
+    // Replay-safe composition (the Hybrid.snapshot discipline): the
+    // fingerprint half is pre-checked BEFORE anything mutates — a
+    // retried snapshot either completes an unchanged half-taken tag
+    // (DeltaParts.snapshot is idempotent; the fp pin fills in) or
+    // refuses loudly on EITHER half if ingest/compaction ran in
+    // between (an admission run advances both stores; a compact
+    // changes the span parts-list) — never a silent re-point of the
+    // fp tag at post-tag state.
+    val fpD = fpDir(storeDir)
+    val existingFp = TableSink.listSnapshots(fpD).get(tag)
+    existingFp.foreach { pinned =>
+      require(TableSink.currentSeq(fpD).contains(pinned),
+        s"snapshot tag '$tag' at '$fpD' already pins generation $pinned but " +
+          s"the live generation is ${TableSink.currentSeq(fpD)} — the store " +
+          "moved on since a half-taken snapshot; refusing to re-point. Drop " +
+          "the tag and take a fresh one.")
+    }
     graft.sources.DeltaParts.snapshot(spanDir(storeDir), tag)
-    TableSink.snapshot(fpDir(storeDir), tag)
-    ()
+    if (existingFp.isEmpty) { TableSink.snapshot(fpD, tag); () }
   }
 
   /** Release a [[snapshot]] tag on both stores. */

@@ -52,17 +52,22 @@ object Hybrid {
     Bm25Store.init(spark, bm25Dir(storeDir), docs, idCol, textCol)
     val cells = IvfAnn.buildCells(vecs, vecIdCol, vecCol, nlist, iters)
     cells.write.mode("overwrite").parquet(cellsDir(storeDir))
-    // Canonical stored schema (cell, id, vec): the serving path's query
-    // frames carry arbitrary column names, so the store normalizes its
-    // own once at write time instead of recording the writer's names.
-    val assigned = IvfAnn.assignCells(vecs, vecIdCol, vecCol, cells)
-      .select(col("cell"), col(vecIdCol).as("id"),
-        col(vecCol).cast("array<double>").as("vec"))
     TableSink.overwrite(spark, annDir(storeDir),
-      assigned.withColumn("__cell_s", col("cell").cast("string"))
-        .withColumn("__v", lit(0L)),
+      annRows(vecs, vecIdCol, vecCol, cells).withColumn("__v", lit(0L)),
       Seq("id"), numBuckets, layoutCol = Some("__cell_s"))
   }
+
+  /** Canonical stored ANN rows (cell, id, vec, __cell_s): the serving
+    * path's query frames carry arbitrary column names, so the store
+    * normalizes its own once at write time instead of recording the
+    * writer's names. ONE definition for init and appendVectors — the
+    * write paths must not drift. */
+  private def annRows(vecs: DataFrame, vecIdCol: String, vecCol: String,
+                      cells: DataFrame): DataFrame =
+    IvfAnn.assignCells(vecs, vecIdCol, vecCol, cells)
+      .select(col("cell"), col(vecIdCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("__cell_s", col("cell").cast("string"))
 
   /** The persisted cell centroids (the serving side must probe with the
     * centroids the ANN table was assigned under). With `tag`, the
@@ -87,10 +92,34 @@ object Hybrid {
    * refresh batches (single-writer maintenance is the quiescent point).
    */
   def snapshot(spark: SparkSession, storeDir: String, tag: String): Unit = {
-    Bm25Store.snapshot(bm25Dir(storeDir), tag)
-    TableSink.snapshot(annDir(storeDir), tag)
-    readCells(spark, storeDir).write.mode("errorifexists")
-      .parquet(cellsSnapDir(storeDir, tag))
+    // Replay-safe composition: every piece is pre-checked or
+    // self-guarding BEFORE anything mutates, so a retried snapshot
+    // (crash recovery, orchestration replay) either COMPLETES an
+    // unchanged half-taken tag or REFUSES loudly — never silently
+    // re-points a piece at post-tag state (TableSink.snapshot alone
+    // would re-tag). A refusal after intervening maintenance means the
+    // tag is burned: dropSnapshot and take a fresh one.
+    val annD = annDir(storeDir)
+    val existingAnn = TableSink.listSnapshots(annD).get(tag)
+    existingAnn.foreach { pinned =>
+      require(TableSink.currentSeq(annD).contains(pinned),
+        s"snapshot tag '$tag' at '$annD' already pins generation $pinned but " +
+          s"the live generation is ${TableSink.currentSeq(annD)} — the store " +
+          "moved on since a half-taken snapshot; refusing to re-point. Drop " +
+          "the tag and take a fresh one.")
+    }
+    Bm25Store.snapshot(bm25Dir(storeDir), tag)   // idempotent-or-refuse
+    if (existingAnn.isEmpty) TableSink.snapshot(annD, tag)
+    val cdir = java.nio.file.Paths.get(cellsSnapDir(storeDir, tag))
+    // A partial cells copy (no _SUCCESS) is a crash artifact: rewrite it;
+    // a complete copy is kept (cells at tag time == cells now, or the
+    // ANN pre-check above would have refused — a centroid rebuild
+    // republishes the ANN generation).
+    if (java.nio.file.Files.exists(cdir) &&
+        !java.nio.file.Files.exists(cdir.resolve("_SUCCESS")))
+      graft.sources.DeltaParts.rmDir(cdir.toString)
+    if (!java.nio.file.Files.exists(cdir))
+      readCells(spark, storeDir).write.parquet(cdir.toString)
   }
 
   /** Release a [[snapshot]] tag on all three pieces. */
@@ -103,17 +132,37 @@ object Hybrid {
   /** O(batch) ANN-side refresh: assign new vectors to the EXISTING
     * cells and upsert — only the touched cells' buckets rewrite (the
     * [[IvfAnn.appendToIndex]] contract, float store). The BM25 twin is
-    * [[Bm25Store.append]]; call both per admitted batch. */
+    * [[Bm25Store.append]]; call both per admitted batch.
+    *
+    * Re-ADDED ids whose updated vector lands in a DIFFERENT cell are a
+    * layout migration (the appendToIndex contract's second half): the
+    * old cell's copy must be rewritten away in the same commit or a
+    * probe of the old cell serves a stale vector and a wide probe
+    * returns the id twice. The default pays one column-pruned
+    * (id, __cell_s) read of the index to find such ids and re-homes
+    * them atomically (`rehomeFromCol`); callers that KNOW every id is
+    * new skip it with `assumeNewIds = true` — a promise, not a check. */
   def appendVectors(spark: SparkSession, storeDir: String, newVecs: DataFrame,
-                    vecIdCol: String, vecCol: String, version: Long): Unit = {
+                    vecIdCol: String, vecCol: String, version: Long,
+                    assumeNewIds: Boolean = false): Unit = {
     val cells = readCells(spark, storeDir)
-    val assigned = IvfAnn.assignCells(newVecs, vecIdCol, vecCol, cells)
-      .select(col("cell"), col(vecIdCol).as("id"),
-        col(vecCol).cast("array<double>").as("vec"))
+    val assigned = annRows(newVecs, vecIdCol, vecCol, cells)
+    val batch =
+      if (assumeNewIds) assigned.withColumn("__old_cell", lit(null).cast("string"))
+      else {
+        val like = spark.range(0).select(lit(0L).as("id"), lit("").as("__cell_s"))
+        val old = TableSink.read(spark, annDir(storeDir), like)
+          .select(col("id"), col("__cell_s").as("__prev"))
+          .join(newVecs.select(col(vecIdCol).as("id")), Seq("id"), "left_semi")
+        assigned.join(broadcast(old), Seq("id"), "left")
+          .withColumn("__old_cell",
+            when(col("__prev").isNotNull && col("__prev") =!= col("__cell_s"),
+              col("__prev")))
+          .drop("__prev")
+      }
     TableSink.upsert(spark, annDir(storeDir),
-      assigned.withColumn("__cell_s", col("cell").cast("string"))
-        .withColumn("__v", lit(version)),
-      Seq("id"), "__v")
+      batch.withColumn("__v", lit(version)),
+      Seq("id"), "__v", rehomeFromCol = Some("__old_cell"))
   }
 
   /** The lexical run: BM25 top-`k` over the standing postings store,

@@ -108,6 +108,12 @@ object TableSink {
     * folds into one empty set. */
   def tableExists(dir: String): Boolean = currentManifest(dir).isDefined
 
+  /** Sequence number of the live generation, if a table exists — lets a
+    * composite-snapshot caller check whether an existing tag still pins
+    * the CURRENT generation (retry-completion) or a stale one (refuse)
+    * without mutating anything. */
+  def currentSeq(dir: String): Option[Long] = currentManifest(dir).map(_.seq)
+
   /** The manifest-pinned layout column of the table at `dir`; None when
     * the table is absent OR key-hash-bucketed (check [[tableExists]] to
     * tell which). */

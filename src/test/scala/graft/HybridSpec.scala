@@ -23,9 +23,7 @@ class HybridSpec extends AnyFunSuite with SparkSpec {
 
   private lazy val queries = docs.filter(col("doc_id") % 11 === 0)
     .select(col("doc_id").as("qid"),
-      concat_ws(" ", slice(
-        filter(split(lower(trim(col("text"))), graft.functions.text.WhitespaceRun),
-          t => t =!= ""), 1, 5)).as("qtext"))
+      graft.functions.text.firstKTokens(col("text"), 5).as("qtext"))
     .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
 
   private def fused(df: DataFrame) = df.collect()
@@ -97,8 +95,38 @@ class HybridSpec extends AnyFunSuite with SparkSpec {
     assert(run(Some("run-7")) == before,
       "search-at-tag must replay the pre-mutation results byte-identically")
     assert(run(None) != before, "live search must see the appended doc")
+    // A replayed snapshot AFTER the stores moved on must refuse loudly —
+    // silently re-pointing the ANN pin would make the "pinned" replay
+    // include post-tag vectors.
+    val e = intercept[IllegalArgumentException](Hybrid.snapshot(spark, dir, "run-7"))
+    assert(e.getMessage.contains("refus"), e.getMessage)
     Hybrid.dropSnapshot(spark, dir, "run-7")
     intercept[IllegalArgumentException](run(Some("run-7")))
+  }
+
+  test("appendVectors re-homes a re-added id whose updated vector changes cell (no stale duplicate)") {
+    import graft.sources.TableSink
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_rehome").toString
+    Hybrid.init(spark, dir, docs, "doc_id", "text",
+      emb, "vec_id", "embedding", nlist = 8)
+    val like = spark.range(0).select(lit(0L).as("cell"), lit(0L).as("id"),
+      array().cast("array<double>").as("vec"))
+    def rowsFor(id: Long) = TableSink.read(spark, s"$dir/ann", like)
+      .filter(col("id") === id).select("cell").collect().map(_.getLong(0)).toSeq
+    // Pick two ids assigned to different cells.
+    val byCell = TableSink.read(spark, s"$dir/ann", like)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val (idA, cellA) = byCell.head
+    val donor = byCell.find(_._2 != cellA)
+    assume(donor.isDefined, "fixture must span at least two cells")
+    val (idB, cellB) = donor.get
+    // Re-add idA with idB's vector: it must land in idB's cell and the
+    // old cell's copy must be gone in the same commit.
+    val updated = emb.filter(col("vec_id") === idB)
+      .select(lit(idA).as("vec_id"), col("embedding"))
+    Hybrid.appendVectors(spark, dir, updated, "vec_id", "embedding", version = 1L)
+    assert(rowsFor(idA) == Seq(cellB),
+      s"re-added id must exist EXACTLY once, in the new cell: ${rowsFor(idA)}")
   }
 
   test("appendVectors is O(batch): new vectors retrievable, only touched-cell buckets rewritten") {
