@@ -42,21 +42,12 @@ import org.apache.spark.sql.functions._
  */
 object SemDedup {
 
-  /**
-   * @param vecs       corpus: (idCol, vecCol: array&lt;float|double&gt;)
-   * @param centroids  cluster centers: (centIdCol, centVecCol) — tiny by
-   *                    contract; driver-collected into plan literals
-   * @param eps        drop threshold on pairwise cosine, in (0, 1]
-   * @return one row per input vector: (id, cluster_id, centroid_sim,
-   *         kept) — `kept = false` iff an earlier-ordered same-cluster
-   *         member sits within eps.
-   */
   /** Map-only nearest-centroid assignment over driver-collected centroid
     * literals (bounded by the few-centroids contract that would
     * otherwise broadcast them): an array_max over per-centroid
     * (cosine, -id) structs — zero exchanges, zero aggregation,
     * whole-stage codegen. Returns (id, cluster_id, centroid_sim, v). */
-  private def assignMembers(vecs: DataFrame, centroids: DataFrame,
+  private[operators] def assignMembers(vecs: DataFrame, centroids: DataFrame,
                             idCol: String, vecCol: String,
                             centIdCol: String, centVecCol: String): DataFrame = {
     val cl = centroids
@@ -75,6 +66,15 @@ object SemDedup {
         col("best.csim").as("centroid_sim"), col("v"))
   }
 
+  /**
+   * @param vecs       corpus: (idCol, vecCol: array&lt;float|double&gt;)
+   * @param centroids  cluster centers: (centIdCol, centVecCol) — tiny by
+   *                    contract; driver-collected into plan literals
+   * @param eps        drop threshold on pairwise cosine, in (0, 1]
+   * @return one row per input vector: (id, cluster_id, centroid_sim,
+   *         kept) — `kept = false` iff an earlier-ordered same-cluster
+   *         member sits within eps.
+   */
   def semDedup(vecs: DataFrame, centroids: DataFrame, idCol: String,
                vecCol: String, centIdCol: String, centVecCol: String,
                eps: Double): DataFrame = {
@@ -165,5 +165,120 @@ object SemDedup {
     bm.join(dropped.withColumn("__drop", lit(1)), Seq("id"), "left")
       .select(col("id"), col("cluster_id"), col("centroid_sim"),
         col("__drop").isNull.as("kept"))
+  }
+}
+
+/**
+ * Standing-state semantic dedup — [[SemDedup.incremental]] with its
+ * corpus side PERSISTED, the fourth member of the admission store
+ * family (fingerprint table: exact dup; span inventory: substring dup;
+ * LSH band index: lexical near-dup; this: semantic near-dup). Centroids
+ * are fitted once at [[init]] (k-means via [[IvfAnn.buildCells]], the
+ * fixed-cells contract — refit is a scheduled bulk rebuild); member
+ * vectors live in a value-addressable [[graft.sources.TableSink]] laid
+ * out BY CLUSTER, so a batch [[probe]] opens ONLY the batch's clusters'
+ * bucket FILES — at corpus scale the per-batch read is
+ * touched-clusters/nlist of the store's files, never a scan.
+ * [[absorb]] upserts admitted vectors O(batch) (only touched clusters'
+ * buckets rewrite, re-added ids re-homed atomically). Composes with
+ * [[graft.pipelines.Admission]] exactly like the BM25/band-index
+ * fan-out: probe before admitting, absorb the admitted originals.
+ */
+object SemDedupStore {
+  import graft.sources.TableSink
+  import org.apache.spark.sql.SparkSession
+
+  private def cellsDir(dir: String) = s"$dir/cells"
+  private def membersDir(dir: String) = s"$dir/members"
+
+  /** Canonical stored member rows (cluster_id, id, v, __cl_s): one
+    * definition for init and absorb — the write paths must not drift
+    * (the [[graft.pipelines.Hybrid]] annRows lesson). */
+  private def memberRows(vecs: DataFrame, cells: DataFrame,
+                         idCol: String, vecCol: String): DataFrame =
+    SemDedup.assignMembers(vecs, cells, idCol, vecCol, "cell_id", "cell_vec")
+      .select(col("cluster_id"), col("id"), col("v"))
+      .withColumn("__cl_s", col("cluster_id").cast("string"))
+
+  /** Fit nlist cluster centroids over the corpus and persist centroids +
+    * cluster-laid-out member vectors. O(corpus), run once; REFUSES a
+    * previously-used dir (the [[graft.pipelines.Admission.init]]
+    * run-once contract). */
+  def init(spark: SparkSession, dir: String, corpus: DataFrame,
+           idCol: String, vecCol: String, nlist: Int, iters: Int = 3,
+           numBuckets: Int = 64): Unit = {
+    if (TableSink.tableExists(membersDir(dir)) ||
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cellsDir(dir))))
+      throw new IllegalStateException(
+        s"semantic store at '$dir' was already initialized — init is " +
+          "run-once; delete the store dir (or point at a fresh one) to rebuild.")
+    val cells = IvfAnn.buildCells(corpus, idCol, vecCol, nlist, iters)
+    cells.write.parquet(cellsDir(dir))
+    TableSink.overwrite(spark, membersDir(dir),
+      memberRows(corpus, cells, idCol, vecCol).withColumn("__v", lit(0L)),
+      Seq("id"), numBuckets, layoutCol = Some("__cl_s"))
+  }
+
+  /** The persisted centroids (probes must use the centroids the members
+    * were assigned under). */
+  def readCentroids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(cellsDir(dir))
+
+  /**
+   * Batch verdicts against the standing members — exactly
+   * [[SemDedup.incremental]] over the full stored corpus (spec-pinned),
+   * computed off a bucket-pruned read: the batch's cluster-id set
+   * (driver-bounded, ≤ |batch|) resolves to member bucket FILES, a
+   * residual cluster filter drops hash-cohabitants, and the semi-join
+   * prune inside `incremental` is a no-op on the already-pruned side.
+   * One row per batch vector: (id, cluster_id, centroid_sim, kept).
+   */
+  def probe(spark: SparkSession, dir: String, batch: DataFrame,
+            idCol: String, vecCol: String, eps: Double): DataFrame = {
+    require(TableSink.tableExists(membersDir(dir)),
+      s"no semantic store at '$dir' — run init first")
+    val cells = readCentroids(spark, dir)
+    val clusters = SemDedup
+      .assignMembers(batch, cells, idCol, vecCol, "cell_id", "cell_vec")
+      .select(col("cluster_id")).distinct().collect().map(_.getLong(0)).toSeq
+    val like = spark.range(0).select(lit(0L).as("cluster_id"),
+      lit(0L).as("id"), array().cast("array<double>").as("v"))
+    val stored = TableSink.readBuckets(spark, membersDir(dir), like,
+        TableSink.bucketIdsFor(spark, membersDir(dir), clusters.map(_.toString)))
+      .filter(col("cluster_id").isin(clusters: _*))
+      // incremental addresses both sides by the caller's (idCol, vecCol)
+      .select(col("id").as(idCol), col("v").as(vecCol))
+    SemDedup.incremental(batch, stored, cells, idCol, vecCol,
+      "cell_id", "cell_vec", eps)
+  }
+
+  /** Absorb a batch of vectors (typically the admitted originals)
+    * O(batch): assign under the FIXED centroids and upsert — only the
+    * touched clusters' buckets rewrite. Re-added ids whose vector
+    * changed cluster re-home atomically (`rehomeFromCol` after a
+    * column-pruned probe of the batch's ids — the
+    * [[graft.pipelines.Hybrid.appendVectors]] contract); callers that
+    * KNOW every id is new skip the probe with `assumeNewIds = true`. */
+  def absorb(spark: SparkSession, dir: String, newVecs: DataFrame,
+             idCol: String, vecCol: String, version: Long,
+             assumeNewIds: Boolean = false): Unit = {
+    val cells = readCentroids(spark, dir)
+    val assigned = memberRows(newVecs, cells, idCol, vecCol)
+    val batch =
+      if (assumeNewIds) assigned.withColumn("__old_cl", lit(null).cast("string"))
+      else {
+        val like = spark.range(0).select(lit(0L).as("id"), lit("").as("__cl_s"))
+        val old = TableSink.read(spark, membersDir(dir), like)
+          .select(col("id"), col("__cl_s").as("__prev"))
+          .join(newVecs.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        assigned.join(broadcast(old), Seq("id"), "left")
+          .withColumn("__old_cl",
+            when(col("__prev").isNotNull && col("__prev") =!= col("__cl_s"),
+              col("__prev")))
+          .drop("__prev")
+      }
+    TableSink.upsert(spark, membersDir(dir),
+      batch.withColumn("__v", lit(version)),
+      Seq("id"), "__v", rehomeFromCol = Some("__old_cl"))
   }
 }

@@ -193,6 +193,33 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(ids == Set(401L, 402L, 411L), s"band index must hold corpus + admitted only: $ids")
   }
 
+  test("ingest fan-out: semantic store probes and absorbs the admitted docs' embeddings") {
+    import graft.operators.SemDedupStore
+    import graft.pipelines.NewsPipeline
+    def embed(d: DataFrame) = d.select(col("doc_id"),
+      NewsPipeline.hashEmbedding(col("text")).as("embedding"))
+    val corpus = df(Seq(801L -> goodText('r'), 802L -> goodText('s')))
+    val semDir = java.nio.file.Files.createTempDirectory("fanout-sem").toString
+    SemDedupStore.init(spark, semDir, embed(corpus), "doc_id", "embedding", nlist = 2)
+    // 812 repeats corpus 801's text → identical hash embedding → cosine
+    // 1.0 ≥ eps → semantic duplicate; 811 is novel.
+    val batch = df(Seq(811L -> goodText('z'), 812L -> goodText('r')))
+    val v1 = SemDedupStore.probe(spark, semDir, embed(batch),
+        "doc_id", "embedding", eps = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(v1 == Map(811L -> true, 812L -> false), s"semantic probe wrong: $v1")
+    // The admission fan-out: only the semantically-novel doc absorbs;
+    // a later repeat of IT is then caught by the standing store.
+    SemDedupStore.absorb(spark, semDir,
+      embed(batch.filter(col("doc_id") === 811L)), "doc_id", "embedding",
+      version = 1L, assumeNewIds = true)
+    val v2 = SemDedupStore.probe(spark, semDir,
+        embed(df(Seq(821L -> goodText('z')))), "doc_id", "embedding", eps = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(v2 == Map(821L -> false),
+      s"a repeat of an absorbed doc must be a semantic duplicate: $v2")
+  }
+
   test("init refuses a previously-used store dir (run-once contract, loud)") {
     val store = java.nio.file.Files.createTempDirectory("admission-reinit").toString
     Admission.init(spark, store, df(Seq(601L -> goodText('r'))), "doc_id", "text")

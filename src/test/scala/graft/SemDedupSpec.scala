@@ -117,6 +117,57 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("LeftSemi"), s"corpus must prune on the batch's clusters:\n$plan")
   }
 
+  test("SemDedupStore: probe ≡ incremental over the full stored corpus; bucket-pruned read; absorb grows O(batch)") {
+    import graft.operators.SemDedupStore
+    import graft.sources.TableSink
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val corpus = e.filter("vec_id % 5 <> 0")
+    val b1 = e.filter("vec_id % 5 = 0 and vec_id % 10 <> 0")
+    val b2 = e.filter("vec_id % 10 = 0")
+    val dir = java.nio.file.Files.createTempDirectory("semstore").toString
+    SemDedupStore.init(spark, dir, corpus, "vec_id", "embedding", nlist = 8)
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    // Law: probe off the bucket-pruned store read ≡ incremental over the
+    // full corpus under the SAME fitted centroids.
+    val cells = SemDedupStore.readCentroids(spark, dir)
+    val eps = 0.3
+    val got1 = verdicts(SemDedupStore.probe(spark, dir, b1, "vec_id", "embedding", eps))
+    val want1 = verdicts(SemDedup.incremental(b1, corpus, cells,
+      "vec_id", "embedding", "cell_id", "cell_vec", eps))
+    assert(got1 == want1, "stored probe must equal the in-memory incremental law")
+    assert(got1.values.exists(_._2) , "some batch vectors survive at eps=0.3")
+    // File pruning: a single-vector probe opens fewer member files than
+    // the store has.
+    val one = b1.limit(1)
+    val emptyVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val oneClusters = SemDedup.incremental(one, emptyVecs, cells,
+        "vec_id", "embedding", "cell_id", "cell_vec", eps)
+      .select("cluster_id").collect().map(_.getLong(0))
+    val like = spark.range(0).select(
+      org.apache.spark.sql.functions.lit(0L).as("cluster_id"),
+      org.apache.spark.sql.functions.lit(0L).as("id"),
+      org.apache.spark.sql.functions.array().cast("array<double>").as("v"))
+    val pruned = TableSink.readBuckets(spark, s"$dir/members", like,
+      TableSink.bucketIdsFor(spark, s"$dir/members", oneClusters.map(_.toString)))
+    val total = TableSink.read(spark, s"$dir/members", like)
+    assert(pruned.inputFiles.length > 0 &&
+      pruned.inputFiles.length < total.inputFiles.length,
+      s"probe read must be file-pruned: ${pruned.inputFiles.length} of ${total.inputFiles.length}")
+    // Absorb b1, then probe b2: must equal incremental over corpus ∪ b1.
+    SemDedupStore.absorb(spark, dir, b1, "vec_id", "embedding", version = 1L)
+    val got2 = verdicts(SemDedupStore.probe(spark, dir, b2, "vec_id", "embedding", eps))
+    val want2 = verdicts(SemDedup.incremental(b2, corpus.unionByName(b1), cells,
+      "vec_id", "embedding", "cell_id", "cell_vec", eps))
+    assert(got2 == want2, "post-absorb probe must see the grown corpus")
+    // Run-once init guard.
+    val err = intercept[IllegalStateException](
+      SemDedupStore.init(spark, dir, corpus, "vec_id", "embedding", nlist = 8))
+    assert(err.getMessage.contains("already initialized"))
+  }
+
   test("plan: pairwise stage is a cluster-key equi-join, never an unkeyed cross product") {
     val plan = SemDedup.semDedup(vecs, cents, "id", "v", "cid", "cv", eps = 0.97)
       .queryExecution.executedPlan.toString
