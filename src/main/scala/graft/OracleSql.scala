@@ -1468,6 +1468,23 @@ object OracleSql {
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
 
+    // Token-budget cap replay: the oracle computes the per-domain
+    // running sum directly (one window — fine at oracle scale); the
+    // engine's segment-decomposed cumsum reproduces the identical
+    // prefix sums because the global order is (segment, doc_id) on both
+    // sides. Prefix rule: keep while the INCLUSIVE cumsum stays within
+    // budget; null-token docs cost 0 mid-stream and drop in an all-null
+    // prefix (null cum fails the filter) — both engines agree.
+    "x_token_budget" ->
+      s"""WITH w AS (SELECT doc_id, lang, len($words) nt FROM documents),
+        |b AS (SELECT doc_id, lang, nt,
+        |        md5_number_lower('tb|' || CAST(doc_id AS VARCHAR)) % 256 seg FROM w),
+        |c AS (SELECT doc_id, lang, nt,
+        |        sum(nt) OVER (PARTITION BY lang ORDER BY seg, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM b)
+        |SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens FROM c
+        |WHERE cum <= 500 ORDER BY doc_id""".stripMargin,
+
     // HLL cardinality: exact vocab size from the raw table; the Spark
     // side's sketch estimate must sit within the ±10% contract.
     "x_approx_distinct" ->

@@ -477,6 +477,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+    // Token-budget domain cap: each language contributes at most 500
+    // TOKENS (the mixture knob training recipes specify), greedy-filled
+    // in the deterministic digest order. Exact running sums via the
+    // per-domain broadcast-cumsum decomposition — no domain ever
+    // funnels through a single-partition window.
+    "x_token_budget" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+      SampleOps.tokenBudgetCap(docs, "lang", col("doc_id"), "n_tokens",
+          budget = 500L, salt = "tb|")
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
     // Weighted sampling without replacement (Efraimidis–Spirakis): 5
     // docs per source, selection probability ∝ n_chars — the biased
     // form of x_domain_cap's quota. Deterministic digest draw, so the

@@ -158,6 +158,55 @@ object SampleOps {
   }
 
   /**
+   * Per-domain TOKEN-budget cap — the data-recipe form of
+   * [[capPerGroup]] ("each domain contributes at most `budget` TOKENS",
+   * not rows — the mixture knob training recipes actually specify):
+   * documents are taken in the deterministic salted-digest order and
+   * kept while the domain's running token total stays within budget
+   * (prefix truncation — the standard greedy fill, not a knapsack; the
+   * boundary document that would overflow is dropped along with the
+   * tail).
+   *
+   * Scale shape: the exact per-domain running sum is computed WITHOUT a
+   * single-partition-per-domain window (which would funnel a giant
+   * domain through one task) — the [[graft.operators.CurationOps
+   * .packSequencesGlobal]] broadcast-cumsum idiom applied per domain:
+   * the order key's LEADING component is a small digest segment id, so
+   * per-(domain, segment) totals (≤ domains × segments rows, tiny)
+   * yield broadcast prefix offsets, and the in-segment cumsum windows
+   * on (domain, segment) partitions. Null domains are one domain
+   * (null-safe join, the [[graft.operators.CurationOps
+   * .temperatureMixture]] lesson); null weights cost 0 (sum skips
+   * them), except a prefix of ONLY-null weights which has a null
+   * cumsum and is dropped — matching the SQL replay exactly.
+   */
+  def tokenBudgetCap(df: DataFrame, domainCol: String, key: Column,
+                     weightCol: String, budget: Long, salt: String = "",
+                     segments: Int = 256): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    require(segments >= 1, s"segments must be >= 1: $segments")
+    import org.apache.spark.sql.expressions.Window
+    val seg = graft.functions.sig.md5BucketCol(
+      concat(lit(salt), key.cast("string")), segments.toLong)
+    val base = df.withColumn("__seg", seg)
+    val offsets = base
+      .groupBy(col(domainCol).as("__dom2"), col("__seg").as("__seg2"))
+      .agg(sum(col(weightCol)).as("__t"))
+      .withColumn("__offset", coalesce(sum(col("__t")).over(
+        Window.partitionBy("__dom2").orderBy("__seg2")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__t")
+    base.join(broadcast(offsets),
+        base(domainCol) <=> offsets("__dom2") && base("__seg") === offsets("__seg2"))
+      .withColumn("__cum", col("__offset") +
+        sum(col(weightCol)).over(
+          Window.partitionBy(col(domainCol), col("__seg")).orderBy(key.asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__cum") <= budget)
+      .drop("__dom2", "__seg2", "__seg", "__offset", "__cum")
+  }
+
+  /**
    * Per-group quantile outlier trim — the standard "drop documents past
    * the p99 length for their source" cleaning rule, built on the SKETCH
    * path so it scales: per-group thresholds come from

@@ -220,6 +220,41 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(small == 10)
   }
 
+  test("tokenBudgetCap: segment-decomposed cumsum ≡ naive per-domain window; budgets hold; prefixes nest") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(9)
+    val df = (1 to 3000).map(i => (i.toLong, s"d${i % 7}",
+        (1 + rnd.nextInt(40)).toLong))
+      .toDF("id", "dom", "nt")
+    def kept(budget: Long) = graft.operators.SampleOps
+      .tokenBudgetCap(df, "dom", col("id"), "nt", budget, salt = "t|")
+      .collect().map(_.getLong(0)).toSet
+    val got = kept(900L)
+    // Naive reference: one window per domain over the same global order.
+    val seg = graft.functions.sig.md5BucketCol(concat(lit("t|"), col("id").cast("string")), 256L)
+    val want = df.withColumn("__s", seg)
+      .withColumn("__c", sum(col("nt")).over(
+        Window.partitionBy("dom").orderBy(col("__s"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__c") <= 900L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want, s"decomposed ≡ naive: miss=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // Per-domain token totals respect the budget.
+    val sums = graft.operators.SampleOps
+      .tokenBudgetCap(df, "dom", col("id"), "nt", 900L, salt = "t|")
+      .groupBy("dom").agg(sum("nt").as("t")).collect().map(_.getLong(1))
+    assert(sums.nonEmpty && sums.forall(_ <= 900L), s"budget violated: ${sums.toSeq}")
+    // Prefix truncation nests: a smaller budget keeps a subset.
+    assert(kept(300L).subsetOf(got))
+    // Null domain is a real domain (null-safe join): its rows survive.
+    val withNull = df.unionByName(Seq((9001L, null.asInstanceOf[String], 5L))
+      .toDF("id", "dom", "nt"))
+    assert(graft.operators.SampleOps
+      .tokenBudgetCap(withNull, "dom", col("id"), "nt", 900L, salt = "t|")
+      .filter(col("dom").isNull).count() == 1)
+  }
+
   test("weightedSample: exact sizes, determinism, weight bias, non-positive exclusion") {
     import spark.implicits._
     val df = (1 to 4000).map(i =>
