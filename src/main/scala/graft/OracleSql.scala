@@ -207,6 +207,41 @@ object OracleSql {
         |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rank
         |FROM fr WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** The incremental-SemDeDup replay chain — shared by
+    * x_semdedup_incremental (in-memory corpus) and x_semdedup_store
+    * (persisted cluster-laid-out corpus, bucket-pruned probe): same
+    * deterministic per-label centroids, spec-pinned probe ≡
+    * incremental. */
+  private lazy val semDedupIncSql: String =
+    """WITH u AS (SELECT label, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+        |             FROM embeddings WHERE vec_id % 5 <> 0),
+        |cent AS (SELECT label clabel, pos, avg(x) m FROM u GROUP BY 1, 2),
+        |ev AS (SELECT vec_id, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+        |         FROM embeddings),
+        |s AS (SELECT vec_id, clabel,
+        |        sum(ev.x * cent.m) / (sqrt(sum(ev.x * ev.x)) * sqrt(sum(cent.m * cent.m))) sim
+        |      FROM ev JOIN cent ON ev.pos = cent.pos GROUP BY vec_id, clabel),
+        |r AS (SELECT vec_id, clabel, sim,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) rn FROM s),
+        |asg AS (SELECT vec_id, clabel cl, sim csim, round(sim, 6) ord FROM r WHERE rn = 1),
+        |p AS (SELECT xa.vec_id ia, xb.vec_id ib, ea.embedding va, eb.embedding vb
+        |        FROM asg xa JOIN asg xb ON xa.cl = xb.cl
+        |         AND xb.vec_id % 5 = 0
+        |         AND (xa.vec_id % 5 <> 0
+        |              OR xa.ord < xb.ord
+        |              OR (xa.ord = xb.ord AND xa.vec_id < xb.vec_id))
+        |        JOIN embeddings ea ON ea.vec_id = xa.vec_id
+        |        JOIN embeddings eb ON eb.vec_id = xb.vec_id),
+        |pu AS (SELECT ia, ib, unnest(va)::DOUBLE x, unnest(vb)::DOUBLE y FROM p),
+        |ps AS (SELECT ia, ib, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) sim
+        |         FROM pu GROUP BY ia, ib),
+        |drp AS (SELECT DISTINCT ib vec_id FROM ps WHERE sim >= 0.3)
+        |SELECT a.vec_id, CAST(a.cl AS BIGINT) AS cluster_id,
+        |  round(a.csim, 6) AS centroid_sim, (d.vec_id IS NULL) AS kept
+        |FROM asg a LEFT JOIN drp d USING (vec_id)
+        |WHERE a.vec_id % 5 = 0
+        |ORDER BY a.vec_id""".stripMargin
+
   val all: Map[String, String] = Map(
     // The RSS round-trip: escape → build feed → split → XPath-extract
     // inverts construction, so the expected output is the raw fields.
@@ -1036,35 +1071,9 @@ object OracleSql {
     // centroids; pairs (a earlier, b in batch) where earlier = any
     // corpus member, or a batch member under the paper order. Verdicts
     // for the batch split only.
-    "x_semdedup_incremental" ->
-      """WITH u AS (SELECT label, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
-        |             FROM embeddings WHERE vec_id % 5 <> 0),
-        |cent AS (SELECT label clabel, pos, avg(x) m FROM u GROUP BY 1, 2),
-        |ev AS (SELECT vec_id, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
-        |         FROM embeddings),
-        |s AS (SELECT vec_id, clabel,
-        |        sum(ev.x * cent.m) / (sqrt(sum(ev.x * ev.x)) * sqrt(sum(cent.m * cent.m))) sim
-        |      FROM ev JOIN cent ON ev.pos = cent.pos GROUP BY vec_id, clabel),
-        |r AS (SELECT vec_id, clabel, sim,
-        |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) rn FROM s),
-        |asg AS (SELECT vec_id, clabel cl, sim csim, round(sim, 6) ord FROM r WHERE rn = 1),
-        |p AS (SELECT xa.vec_id ia, xb.vec_id ib, ea.embedding va, eb.embedding vb
-        |        FROM asg xa JOIN asg xb ON xa.cl = xb.cl
-        |         AND xb.vec_id % 5 = 0
-        |         AND (xa.vec_id % 5 <> 0
-        |              OR xa.ord < xb.ord
-        |              OR (xa.ord = xb.ord AND xa.vec_id < xb.vec_id))
-        |        JOIN embeddings ea ON ea.vec_id = xa.vec_id
-        |        JOIN embeddings eb ON eb.vec_id = xb.vec_id),
-        |pu AS (SELECT ia, ib, unnest(va)::DOUBLE x, unnest(vb)::DOUBLE y FROM p),
-        |ps AS (SELECT ia, ib, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) sim
-        |         FROM pu GROUP BY ia, ib),
-        |drp AS (SELECT DISTINCT ib vec_id FROM ps WHERE sim >= 0.3)
-        |SELECT a.vec_id, CAST(a.cl AS BIGINT) AS cluster_id,
-        |  round(a.csim, 6) AS centroid_sim, (d.vec_id IS NULL) AS kept
-        |FROM asg a LEFT JOIN drp d USING (vec_id)
-        |WHERE a.vec_id % 5 = 0
-        |ORDER BY a.vec_id""".stripMargin,
+    "x_semdedup_incremental" -> semDedupIncSql,
+
+    "x_semdedup_store" -> semDedupIncSql,
 
     // Embedding-dedup cascade: the x_neardup_cosine pair set closed
     // under connectivity by the same recursive-CTE fixpoint as

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, IvfAnn, LayoutOps, MultimodalOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rrf, SampleOps, SemDedup, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, IvfAnn, LayoutOps, MultimodalOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rrf, SampleOps, SemDedup, SemDedupStore, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1008,6 +1008,25 @@ object SparkEntry {
         .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("cent"))
       SemDedup.incremental(batch, corpus, cents,
           "vec_id", "embedding", "label", "cent", eps = 0.3)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          round(col("centroid_sim"), 6).as("centroid_sim"), col("kept"))
+        .orderBy("vec_id")
+    }),
+    // The STANDING-STATE twin of x_semdedup_incremental: the corpus's
+    // member vectors persisted cluster-laid-out, the batch probed off a
+    // bucket-pruned read — same deterministic per-label centroids, so
+    // the SAME oracle replays both (probe ≡ incremental is additionally
+    // spec-pinned on the store's own k-means path).
+    "x_semdedup_store" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val cents = corpus.groupBy("label")
+        .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("cent"))
+      val dir = tmpStore("semdedup_store")
+      SemDedupStore.initWithCentroids(s, dir, corpus, cents,
+        "vec_id", "embedding", "label", "cent")
+      SemDedupStore.probe(s, dir, batch, "vec_id", "embedding", eps = 0.3)
         .select(col("id").as("vec_id"), col("cluster_id"),
           round(col("centroid_sim"), 6).as("centroid_sim"), col("kept"))
         .orderBy("vec_id")

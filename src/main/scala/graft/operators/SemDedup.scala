@@ -206,13 +206,27 @@ object SemDedupStore {
     * run-once contract). */
   def init(spark: SparkSession, dir: String, corpus: DataFrame,
            idCol: String, vecCol: String, nlist: Int, iters: Int = 3,
-           numBuckets: Int = 64): Unit = {
+           numBuckets: Int = 64): Unit =
+    initWithCentroids(spark, dir, corpus,
+      IvfAnn.buildCells(corpus, idCol, vecCol, nlist, iters),
+      idCol, vecCol, "cell_id", "cell_vec", numBuckets)
+
+  /** [[init]] with CALLER-supplied centroids (normalized to the stored
+    * (cell_id, cell_vec) schema) — for deterministic centroid choices an
+    * external replay can reproduce (per-label means, a prior fit), and
+    * the seam the scheduled centroid-refit rebuild would use. Same
+    * run-once contract. */
+  def initWithCentroids(spark: SparkSession, dir: String, corpus: DataFrame,
+                        centroids: DataFrame, idCol: String, vecCol: String,
+                        centIdCol: String, centVecCol: String,
+                        numBuckets: Int = 64): Unit = {
     if (TableSink.tableExists(membersDir(dir)) ||
         java.nio.file.Files.exists(java.nio.file.Paths.get(cellsDir(dir))))
       throw new IllegalStateException(
         s"semantic store at '$dir' was already initialized — init is " +
           "run-once; delete the store dir (or point at a fresh one) to rebuild.")
-    val cells = IvfAnn.buildCells(corpus, idCol, vecCol, nlist, iters)
+    val cells = centroids.select(col(centIdCol).cast("long").as("cell_id"),
+      col(centVecCol).cast("array<double>").as("cell_vec"))
     cells.write.parquet(cellsDir(dir))
     TableSink.overwrite(spark, membersDir(dir),
       memberRows(corpus, cells, idCol, vecCol).withColumn("__v", lit(0L)),
