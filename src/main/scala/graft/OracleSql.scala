@@ -1477,6 +1477,34 @@ object OracleSql {
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
 
+    // The stitched recipe replay: x_quality's gate formula, keep-first
+    // over md5(lower(trim(text))) fingerprints, x_token_budget's
+    // (segment, id)-ordered cumsum at budget 400, x_split_assign's CASE
+    // chain — each fragment identical to its standalone oracle.
+    "pipe_recipe_e2e" ->
+      s"""WITH w AS (SELECT doc_id, lang, text, $words wds FROM documents),
+        |m AS (SELECT doc_id, lang, text, len(wds) nt,
+        |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
+        |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
+        |g AS (SELECT doc_id, lang, text, nt FROM m
+        |  WHERE round(least(nt / 50.0, 1.0) * 0.5 +
+        |    (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+        |    (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) >= 0.5),
+        |dd AS (SELECT doc_id, lang, nt FROM (
+        |    SELECT doc_id, lang, nt, row_number() OVER (
+        |      PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) rn FROM g)
+        |  WHERE rn = 1),
+        |b AS (SELECT doc_id, lang, nt,
+        |    md5_number_lower('rc|' || CAST(doc_id AS VARCHAR)) % 256 seg FROM dd),
+        |c AS (SELECT doc_id, lang, nt,
+        |    sum(nt) OVER (PARTITION BY lang ORDER BY seg, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM b)
+        |SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
+        |  CASE WHEN md5_number_lower('rcs|' || CAST(doc_id AS VARCHAR)) % 1000000 < 800000 THEN 'train'
+        |       WHEN md5_number_lower('rcs|' || CAST(doc_id AS VARCHAR)) % 1000000 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM c WHERE cum <= 400 ORDER BY doc_id""".stripMargin,
+
     // Token-budget cap replay: the oracle computes the per-domain
     // running sum directly (one window — fine at oracle scale); the
     // engine's segment-decomposed cumsum reproduces the identical

@@ -477,6 +477,31 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+    // The full training-data recipe as ONE declarative plan — the
+    // composition a data team actually ships: quality gate → exact
+    // dedup (keep lowest id per content fingerprint) → per-language
+    // token-budget fill → deterministic split assignment. Every stage
+    // is the engine's own oracle-checked operator; Catalyst fuses the
+    // gate+fingerprint+dedup into one scan-side pipeline before the
+    // two bounded exchanges (fingerprint window, budget cumsum).
+    "pipe_recipe_e2e" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val gated = docs
+        .withColumn("quality", qualityOf(col("text")))
+        .filter(col("quality") >= 0.5)
+      val deduped = gated
+        .withColumn("__fp", text.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("__fp").orderBy("doc_id")))
+        .filter(col("__rn") === 1)
+      val budgeted = SampleOps.tokenBudgetCap(
+        deduped.withColumn("n_tokens", text.tokenCount(col("text")).cast("long")),
+        "lang", col("doc_id"), "n_tokens", budget = 400L, salt = "rc|")
+      budgeted.select(col("doc_id"), col("lang"), col("n_tokens"),
+          SampleOps.assignSplit(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "rcs|").as("split"))
+        .orderBy("doc_id")
+    }),
     // Token-budget domain cap: each language contributes at most 500
     // TOKENS (the mixture knob training recipes specify), greedy-filled
     // in the deterministic digest order. Exact running sums via the
