@@ -974,6 +974,46 @@ object OracleSql {
     // in-memory fusion, so one replay covers both plans.
     "x_hybrid_rrf" -> hybridRrfSql,
 
+    // Retrieve-then-rerank: the x_bm25_topk chain at k=20 nominates the
+    // candidates, exact cosine against the query doc's vector re-ranks
+    // ONLY those, top-5 on the rounded score with doc-id tie-break.
+    "x_rerank" ->
+      s"""WITH tokd AS (SELECT doc_id, $words AS t FROM documents),
+        |tf AS (SELECT doc_id, dl, term, count(*) tf FROM
+        |         (SELECT doc_id, len(t) dl, unnest(t) term FROM tokd)
+        |       GROUP BY 1, 2, 3),
+        |dfr AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) n_docs, avg(len(t)) avgdl FROM tokd),
+        |qt AS (SELECT DISTINCT qid, term FROM
+        |         (SELECT doc_id qid, unnest(t[1:5]) term FROM tokd
+        |          WHERE doc_id % 97 = 0)),
+        |sc AS (SELECT qt.qid query_id, tf.doc_id,
+        |         sum(ln(1 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+        |             * tf.tf * 2.2
+        |             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) score
+        |       FROM qt JOIN tf ON tf.term = qt.term
+        |         JOIN dfr ON dfr.term = qt.term CROSS JOIN st
+        |       GROUP BY 1, 2),
+        |bm AS (SELECT query_id, doc_id FROM
+        |         (SELECT query_id, doc_id,
+        |            row_number() OVER (PARTITION BY query_id
+        |              ORDER BY round(score, 6) DESC, doc_id) rn FROM sc)
+        |       WHERE rn <= 20),
+        |q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id % 97 = 0),
+        |cd AS (SELECT bm.query_id, bm.doc_id, q.qe, e.embedding ce
+        |       FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id
+        |         JOIN q ON q.qid = bm.query_id),
+        |u AS (SELECT query_id, doc_id, unnest(qe)::DOUBLE x,
+        |        unnest(ce)::DOUBLE y FROM cd),
+        |s2 AS (SELECT query_id, doc_id,
+        |         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) sim
+        |       FROM u GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, doc_id) rn FROM s2)
+        |SELECT query_id, doc_id, sim AS score, CAST(rn AS INTEGER) AS rank
+        |FROM fr WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "x_hybrid_stored" -> hybridRrfSql,
 
 
@@ -1781,6 +1821,75 @@ object OracleSql {
         |  coalesce(round(h.ce, 6) < 3.41, false) AS keep
         |FROM w LEFT JOIN h ON h.doc_id = w.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+
+    // CCNet perplexity buckets: same cross-entropy chain, then
+    // per-language tercile thresholds replayed with Spark's documented
+    // percentile semantic — smallest x with cdf >= q at rank
+    // ceil(q * n) — as a cumulative count window (the x_outlier_trim
+    // idiom), never DuckDB's own quantile convention.
+    "x_ppl_buckets" ->
+      s"""WITH w AS (SELECT doc_id, lang, $words wds FROM documents),
+        |e AS (SELECT doc_id, unnest(wds) token FROM w),
+        |c AS (SELECT token, count(*) c FROM e GROUP BY 1),
+        |t AS (SELECT sum(c) n, count(*) v FROM c),
+        |h AS (SELECT e.doc_id, count(*) n_tokens,
+        |        ln((SELECT n + v FROM t)) - sum(ln(c.c + 1)) / count(*) ce
+        |      FROM e JOIN c ON c.token = e.token GROUP BY e.doc_id),
+        |d AS (SELECT w.doc_id, w.lang, coalesce(h.n_tokens, 0) nt,
+        |        round(coalesce(h.ce, 0.0), 6) ce
+        |      FROM w LEFT JOIN h ON h.doc_id = w.doc_id),
+        |nz AS (SELECT * FROM d WHERE nt > 0),
+        |n AS (SELECT lang, count(*) n FROM nz GROUP BY 1),
+        |r AS (SELECT lang, ce,
+        |        count(*) OVER (PARTITION BY lang ORDER BY ce) cum FROM nz),
+        |t1 AS (SELECT r.lang, min(ce) t1 FROM r JOIN n USING (lang)
+        |       WHERE cum >= ceil(n.n / 3.0) GROUP BY 1),
+        |t2 AS (SELECT r.lang, min(ce) t2 FROM r JOIN n USING (lang)
+        |       WHERE cum >= ceil(2 * n.n / 3.0) GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.ce AS cross_entropy,
+        |  CASE WHEN d.nt = 0 THEN 'empty'
+        |       WHEN d.ce <= t1.t1 THEN 'head'
+        |       WHEN d.ce <= t2.t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM d LEFT JOIN t1 ON t1.lang = d.lang
+        |  LEFT JOIN t2 ON t2.lang = d.lang
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR: identical hashed unigram+bigram feature stream (md5 bucket,
+    // u|/b| prefixes), add-1 models of target (%7 slice) and raw pool,
+    // per-raw-doc lambda sum, then the same deterministic Gumbel top-64.
+    "x_dsir_sample" ->
+      s"""WITH w AS (SELECT doc_id, $words t FROM documents),
+        |uf AS (SELECT doc_id, 'u|' || unnest(t) f FROM w),
+        |bf AS (SELECT w.doc_id,
+        |         'b|' || t[CAST(s.i AS INT)] || ' ' || t[CAST(s.i + 1 AS INT)] f
+        |       FROM w, unnest(generate_series(1, len(t) - 1)) AS s(i)),
+        |feats AS (SELECT doc_id, md5_number_lower(f) % 1024 b
+        |          FROM (SELECT * FROM uf UNION ALL SELECT * FROM bf)),
+        |rf AS (SELECT * FROM feats WHERE doc_id % 7 <> 0),
+        |tf AS (SELECT * FROM feats WHERE doc_id % 7 = 0),
+        |rc AS (SELECT b, count(*) cr FROM rf GROUP BY 1),
+        |tc AS (SELECT b, count(*) ct FROM tf GROUP BY 1),
+        |tot AS (SELECT (SELECT coalesce(sum(cr), 0) FROM rc) nr,
+        |               (SELECT coalesce(sum(ct), 0) FROM tc) nt),
+        |lam AS (SELECT rc.b,
+        |          ln((coalesce(tc.ct, 0) + 1) / (tot.nt + 1024))
+        |            - ln((rc.cr + 1) / (tot.nr + 1024)) l
+        |        FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tot),
+        |pd AS (SELECT rf.doc_id, sum(lam.l) lw
+        |       FROM rf JOIN lam ON lam.b = rf.b GROUP BY 1),
+        |base AS (SELECT d.doc_id, round(coalesce(pd.lw, 0.0), 6) lw
+        |         FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+        |         LEFT JOIN pd ON pd.doc_id = d.doc_id),
+        |g AS (SELECT doc_id, lw,
+        |        round(lw - ln(-ln((md5_number_lower('dsir|' || CAST(doc_id AS VARCHAR))
+        |          % 1000000 + 0.5) / 1000000)), 6) k
+        |      FROM base),
+        |sel AS (SELECT doc_id FROM g ORDER BY k DESC, doc_id LIMIT 64)
+        |SELECT g.doc_id, g.lw AS log_weight,
+        |  (sel.doc_id IS NOT NULL) AS selected
+        |FROM g LEFT JOIN sel ON sel.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     // Embedding decontamination: per-train max cosine vs the eval slice,
     // flag on the rounded value.

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, IvfAnn, LayoutOps, MultimodalOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rrf, SampleOps, SemDedup, SemDedupStore, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, IvfAnn, LayoutOps, MultimodalOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rerank, Rrf, SampleOps, SemDedup, SemDedupStore, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -734,6 +734,44 @@ object SparkEntry {
           (col("n_tokens") > 0 && round(col("cross_entropy"), 6) < 3.41).as("keep"))
         .orderBy("doc_id")
     }),
+    // CCNet-style perplexity bucketing: per-language head/middle/tail
+    // terciles of the unigram cross-entropy (Wenzek et al. 2020 §4).
+    // Thresholds ride the rank-exact percentile sketch (accuracy 2^20 —
+    // exact while any language's doc count stays under ~1M, the
+    // x_outlier_trim contract) and broadcast back as one row per
+    // language; token-less docs get their own 'empty' bucket.
+    "x_ppl_buckets" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val model = CurationOps.unigramModel(docs, "text")
+      CurationOps.pplBuckets(docs, model, "doc_id", "text", "lang",
+          accuracy = 1 << 20)
+        .orderBy("doc_id")
+    }),
+    // DSIR importance resampling (Xie et al. 2023): target = the %7
+    // slice (stand-in for "looks like this high-quality corpus"), raw =
+    // the rest. Per-doc log importance weight under hashed unigram+bigram
+    // bag-of-words models (B = 1024, add-1 smoothed), then Gumbel top-64
+    // selection ∝ w without replacement — deterministic md5 noise, key
+    // rounded to 6 with doc-id tie-break, TakeOrderedAndProject (never a
+    // global sort), selected flag via a broadcast join of the 64 ids.
+    "x_dsir_sample" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val raw = docs.filter(col("doc_id") % 7 =!= 0)
+      val target = docs.filter(col("doc_id") % 7 === 0)
+      val lw = CurationOps.dsirLogWeights(raw, target, "doc_id", "text",
+        buckets = 1024)
+      val u = (sig.md5BucketCol(concat(lit("dsir|"),
+        col("doc_id").cast("string")), 1000000L).cast("double") + 0.5) / 1000000L
+      val keyed = lw.withColumn("__k",
+        round(col("log_weight") - log(-log(u)), 6))
+      val sel = keyed.select(col("doc_id"), col("__k"))
+        .orderBy(col("__k").desc, col("doc_id").asc).limit(64)
+        .select(col("doc_id"), lit(true).as("__sel"))
+      keyed.join(broadcast(sel), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("log_weight"),
+          coalesce(col("__sel"), lit(false)).as("selected"))
+        .orderBy("doc_id")
+    }),
     // Semantic decontamination: max cosine of each training embedding
     // against the (broadcast) eval slice; suspect at >= 0.35 (p90 of the
     // max-sim distribution — the paraphrase-leakage complement of the
@@ -1217,6 +1255,23 @@ object SparkEntry {
           k = 20, excludeSelf = false)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       Rrf.fuse(Seq(lex, sem), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    // Retrieve-then-rerank: BM25 narrows the corpus to 20 candidates per
+    // query, exact cosine against the query doc's own vector re-scores
+    // ONLY those candidates, top-5 kept. The candidate run broadcasts
+    // into one map-side pass over the vector table — the second stage
+    // never scans vectors the first stage didn't nominate.
+    "x_rerank" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val emb = T(s, d, "embeddings")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          text.firstKTokens(col("text"), 5).as("qtext"))
+      val lex = Bm25.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
+        k = 20, maxDfFrac = 1.0)
+      Rerank.rerankCosine(lex, emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
     // Persisted-store hybrid retrieval (Hybrid.search): both standing

@@ -591,6 +591,114 @@ object CurationOps {
   }
 
   /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020 §4: split each
+   * language's crawl into head/middle/tail thirds by LM score; the head
+   * is the cleanest slice, the tail the noisiest): per-document bucket
+   * assignment from per-language TERCILES of [[unigramCrossEntropy]]
+   * (6-decimal-rounded — the engine-stable decision value).
+   *
+   * Thresholds ride the partial-combinable percentile sketch
+   * ([[SampleOps.quantileTrim]]'s accuracy contract: rank-exact while a
+   * language's doc count stays ≤ `accuracy`, i.e. Spark's documented
+   * "smallest x with cdf ≥ q"), and come back as a BROADCAST of one
+   * tiny row per language — the corpus never shuffles on anything but
+   * the (doc, token) scoring aggregation that cross-entropy itself
+   * needs. Token-less documents can't be scored and get their own
+   * `empty` bucket rather than polluting `head` with ce = 0 rows.
+   */
+  def pplBuckets(docs: DataFrame, model: DataFrame, idCol: String,
+                 textCol: String, langCol: String,
+                 accuracy: Int = 1 << 20): DataFrame = {
+    val ce = unigramCrossEntropy(docs, model, idCol, textCol)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("cross_entropy"), 6).as("__ce"))
+    val scored = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(ce, "doc_id")
+    val thr = scored.filter(col("n_tokens") > 0)
+      .groupBy("lang")
+      .agg(percentile_approx(col("__ce"), lit(1.0 / 3), lit(accuracy)).as("__t1"),
+        percentile_approx(col("__ce"), lit(2.0 / 3), lit(accuracy)).as("__t2"))
+    scored.join(broadcast(thr), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("__ce").as("cross_entropy"),
+        when(col("n_tokens") === 0, lit("empty"))
+          .when(col("__ce") <= col("__t1"), lit("head"))
+          .when(col("__ce") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /**
+   * Hashed n-gram feature instances — the DSIR feature map (Xie et al.
+   * 2023 §3: bag of hashed unigrams + bigrams): one row per feature
+   * OCCURRENCE, bucketed by md5 into a space bounded by `buckets`
+   * regardless of vocabulary, so any model built over it is
+   * broadcastable by construction. Map-only (tokenize → two explodes);
+   * the `u|`/`b|` prefixes keep a unigram from colliding with a bigram
+   * of the same spelling before the hash.
+   */
+  def hashedNgramFeatures(df: DataFrame, idCol: String, textCol: String,
+                          buckets: Int): DataFrame = {
+    val w = df.select(col(idCol).as("__id"), toks(col(textCol)).as("__t"))
+    val n1 = greatest(size(col("__t")) - 1, lit(0))
+    val uni = w.select(col("__id"),
+      explode(transform(col("__t"), t => concat(lit("u|"), t))).as("__f"))
+    val bi = w.select(col("__id"),
+      explode(zip_with(
+        slice(col("__t"), lit(1), n1), slice(col("__t"), lit(2), n1),
+        (a, b) => concat(lit("b|"), a, lit(" "), b))).as("__f"))
+    uni.unionByName(bi).select(col("__id"),
+      graft.functions.sig.md5BucketCol(col("__f"), buckets).as("bucket"))
+  }
+
+  /**
+   * DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+   * score each raw document by how much likelier its hashed n-gram
+   * features are under a bag-of-words model of the TARGET distribution
+   * than under one of the raw pool itself,
+   *
+   *   log w(doc) = Σ_f [ ln((ct[h(f)]+1)/(Nt+B)) − ln((cr[h(f)]+1)/(Nr+B)) ],
+   *
+   * summed over the doc's feature instances (add-1 smoothing on both
+   * models; B = `buckets`). Selection downstream samples ∝ w without
+   * replacement via deterministic Gumbel keys — see the `x_dsir_sample`
+   * query. This is the published scalable alternative to model-based
+   * classifiers when the target is "data that looks like this corpus"
+   * rather than a labeled quality judgment.
+   *
+   * Scale shape: two passes, inherent to the algorithm (the models must
+   * be complete before any document is scored). Pass 1 builds both
+   * bucket-count models — bounded aggregations, ≤ B rows each — and the
+   * λ = log-ratio table joins them driver-free (counts → one broadcast
+   * table). Pass 2 re-explodes the raw side and probes λ by broadcast;
+   * the only corpus-sized exchange carries (id, bucket) pairs into the
+   * per-doc sum. Raw documents with no tokens score 0 (the neutral
+   * weight) via the left join back onto the id spine.
+   */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets >= 2: $buckets")
+    val rf = hashedNgramFeatures(raw, idCol, textCol, buckets)
+    val tf = hashedNgramFeatures(target, idCol, textCol, buckets)
+    val rc = rf.groupBy("bucket").agg(count(lit(1)).as("__cr"))
+    val tc = tf.groupBy("bucket").agg(count(lit(1)).as("__ct"))
+    val totals = rc.agg(coalesce(sum(col("__cr")), lit(0L)).as("__nr"))
+      .crossJoin(tc.agg(coalesce(sum(col("__ct")), lit(0L)).as("__nt")))
+    // Every bucket a raw doc can probe appears in rc (its own counts),
+    // so a left join from rc covers the full probe domain; target-only
+    // buckets are unreachable from the raw side by construction.
+    val lam = rc.join(tc, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("__ct"), lit(0L)) + lit(1)) / (col("__nt") + lit(buckets))) -
+          log((col("__cr") + lit(1)) / (col("__nr") + lit(buckets)))).as("__lambda"))
+    val perDoc = rf.join(broadcast(lam), "bucket")
+      .groupBy("__id").agg(sum(col("__lambda")).as("__lw"))
+    raw.select(col(idCol))
+      .join(perDoc, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        round(coalesce(col("__lw"), lit(0.0)), 6).as("log_weight"))
+  }
+
+  /**
    * Semantic (embedding-space) decontamination — the complement of the
    * n-gram [[decontaminate]]: a training example is suspect when its
    * embedding lies within `threshold` cosine of ANY evaluation

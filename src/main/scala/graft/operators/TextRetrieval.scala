@@ -364,3 +364,39 @@ object Rrf {
         col("n.score").as("score"), (col("rank") + 1).as("rank"))
   }
 }
+
+object Rerank {
+  /**
+   * Retrieve-then-rerank — the standard two-stage serving shape: a
+   * cheap first-stage run (BM25, ANN) narrows the corpus to ≤ kPerQuery
+   * candidates per query, then ONLY those candidates are re-scored by
+   * exact cosine against the query vector and the top `k` kept.
+   *
+   * `run` carries (query_id, doc_id); `vectors` is the corpus-sized
+   * vector table keyed by `idCol`; `queryVecs` maps `qidCol` →
+   * `qvecCol`. Scale shape: the run is queries×kPerQuery rows — it (and
+   * the query vectors) BROADCAST into one map-side pass over the vector
+   * table, so the expensive side is scanned once with no shuffle; the
+   * per-query top-k is the bounded-heap [[graft.functions.TopK]]
+   * aggregate on 6-decimal-rounded scores (doc-id tie-break), never a
+   * corpus-wide sort. Rank is 1-based like [[Rrf.fuse]].
+   */
+  def rerankCosine(run: DataFrame, vectors: DataFrame, idCol: String,
+                   vecCol: String, queryVecs: DataFrame, qidCol: String,
+                   qvecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val cand = run.select(col("query_id"), col("doc_id"))
+    val cv = vectors.select(col(idCol).as("doc_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val qv = queryVecs.select(col(qidCol).as("query_id"),
+      col(qvecCol).cast("array<double>").as("__qv"))
+    cv.join(broadcast(cand), "doc_id")
+      .join(broadcast(qv), "query_id")
+      .groupBy(col("query_id"))
+      .agg(TopK(k)(round(graft.functions.vector.cosineSim(col("__qv"), col("__cv")), 6),
+        col("doc_id")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("rank", "n")))
+      .select(col("query_id"), col("n.id").as("doc_id"),
+        col("n.score").as("score"), (col("rank") + 1).as("rank"))
+  }
+}

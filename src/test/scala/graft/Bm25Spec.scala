@@ -203,4 +203,34 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
     val plan = bc.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"top-k must use the bounded heap, not a window rank:\n$plan")
   }
+
+  test("rerankCosine: exact cosine order within nominated candidates only, top-k capped, ties on id") {
+    val run = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 13L))
+      .toDF("query_id", "doc_id")
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.6f, 0.8f)),
+      (12L, Array(0.0f, 1.0f)), (13L, Array(0.0f, -1.0f)),
+      (14L, Array(1.0f, 0.0f))) // present in the table, never nominated
+      .toDF("vec_id", "embedding")
+    val qv = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Rerank
+      .rerankCosine(run, vecs, "vec_id", "embedding", qv, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // q1 vs [1,0]: 10 -> 1.0, 11 -> 0.6, 12 -> 0.0 — k=2 keeps 10, 11.
+    // q2 vs [1,0]: 10 -> 0.0, 13 -> 0.0 — exact tie, doc-id ascending.
+    assert(got == Set((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 1), (2L, 13L, 2)))
+  }
+
+  test("rerankCosine: second stage never touches vectors outside the run (candidates broadcast)") {
+    val run = Seq((1L, 10L)).toDF("query_id", "doc_id")
+    val vecs = Seq((10L, Array(1.0f)), (14L, Array(1.0f))).toDF("vec_id", "embedding")
+    val qv = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
+    val df = graft.operators.Rerank
+      .rerankCosine(run, vecs, "vec_id", "embedding", qv, "vec_id", "embedding", k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"run and query vectors must broadcast into the vector scan:\n$plan")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L)))
+  }
 }

@@ -577,4 +577,67 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       "the null shard is the tail here and must be upweighted like any tail domain")
     out.unpersist()
   }
+
+  test("dsirLogWeights: on-target docs outweigh off-target ones; token-less raw doc scores the neutral 0") {
+    import spark.implicits._
+    val target = Seq(
+      (100L, "quantum physics research papers"),
+      (101L, "quantum field theory research")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "quantum physics research"),          // features shared with target
+      (2L, "cheap pills buy now cheap pills"),   // no target features at all
+      (3L, "")).toDF("doc_id", "text")
+    val got = CurationOps.dsirLogWeights(raw, target, "doc_id", "text", buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "every raw doc gets a weight")
+    assert(got(1L) > 0.0 && got(2L) < 0.0,
+      s"target-aligned features raise the log-ratio, unseen ones lower it: $got")
+    assert(got(3L) == 0.0, "no features -> neutral weight, not a dropped row")
+  }
+
+  test("dsirLogWeights: weights depend only on hashed feature counts — permuting raw doc ids leaves values fixed") {
+    import spark.implicits._
+    val target = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha beta"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val swapped = Seq((2L, "alpha beta"), (1L, "delta epsilon")).toDF("doc_id", "text")
+    val a = CurationOps.dsirLogWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = CurationOps.dsirLogWeights(swapped, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a(1L) == b(2L) && a(2L) == b(1L), "weight rides the text, not the id")
+  }
+
+  test("pplBuckets: tercile labels replay the cumulative-count threshold semantic; token-less docs bucket 'empty'") {
+    import spark.implicits._
+    val docs = ((1 to 9).map { i =>
+      (i.toLong, ("common " * 3 + s"rare$i " * i).trim, "a")
+    } ++ Seq((10L, "   ", "a")) ++ (11 to 14).map { i =>
+      (i.toLong, ("shared " * 2 + s"odd$i").trim, "b")
+    }).toDF("doc_id", "text", "lang")
+    val model = CurationOps.unigramModel(docs, "text")
+    val got = CurationOps.pplBuckets(docs, model, "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(got.length == 14, "one row per document")
+    assert(got.find(_._1 == 10L).get._4 == "empty",
+      "unscorable docs get their own bucket, not a fake head assignment")
+    // Replay the oracle's exact threshold rule — smallest ce whose
+    // cumulative count reaches ceil(n/3) / ceil(2n/3) per language —
+    // and demand the engine's percentile-sketch labels match it. This
+    // IS the DuckDB replay contract for x_ppl_buckets.
+    got.filter(_._4 != "empty").groupBy(_._2).foreach { case (lang, rs) =>
+      val ces = rs.map(_._3).sorted
+      val n = ces.length
+      val t1 = ces(math.ceil(n / 3.0).toInt - 1)
+      val t2 = ces(math.ceil(2 * n / 3.0).toInt - 1)
+      rs.foreach { case (id, _, ce, b) =>
+        val exp = if (ce <= t1) "head" else if (ce <= t2) "middle" else "tail"
+        assert(b == exp, s"doc $id lang $lang ce $ce: engine said $b, replay says $exp")
+      }
+    }
+    // The 9-doc language must actually split — a degenerate all-head
+    // assignment would satisfy the replay only if the data were flat.
+    val aBuckets = got.filter(r => r._2 == "a" && r._4 != "empty").map(_._4).distinct
+    assert(aBuckets.toSet == Set("head", "middle", "tail"))
+  }
 }
