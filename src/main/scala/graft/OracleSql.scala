@@ -163,6 +163,28 @@ object OracleSql {
        |      FROM base b0 LEFT JOIN agg a ON a.doc_id = b0.doc_id)""".stripMargin
   }
 
+  /** The 3-gram-Jaccard duplicate-component closure — shared by
+    * x_dup_components (min-id component labels) and x_dup_rep_quality
+    * (quality-argmax representative over the same components). Exposes
+    * `c(id, component)`; docs in no pair are absent (callers coalesce
+    * to the doc's own id). */
+  private lazy val dupComponentCtes: String =
+    s"""WITH RECURSIVE w AS (SELECT doc_id, $words wds FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+       |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END) s
+       |  FROM w),
+       |m AS (SELECT doc_id, unnest(s) sh FROM sh),
+       |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
+       |i AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+       |        FROM m a JOIN m b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |p AS (SELECT ia, ib FROM i JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+       |        WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.02),
+       |e AS (SELECT ia s, ib d FROM p UNION SELECT ib, ia FROM p),
+       |r AS (SELECT s AS id, s AS lbl FROM e
+       |      UNION
+       |      SELECT e.d, r.lbl FROM r JOIN e ON e.s = r.id),
+       |c AS (SELECT id, min(lbl) component FROM r GROUP BY id)""".stripMargin
+
   /** The RRF hybrid replay chain — shared by x_hybrid_rrf (in-memory
     * fusion) and x_hybrid_stored (persisted Hybrid.search at
     * nprobe = nlist, spec-pinned equal). */
@@ -1014,6 +1036,23 @@ object OracleSql {
         |SELECT query_id, doc_id, sim AS score, CAST(rn AS INTEGER) AS rank
         |FROM fr WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // Hard-negative mining: per-anchor top-5 cosine among
+    // DIFFERENT-label vectors, rounded score, id tie-break.
+    "x_hard_negatives" ->
+      """WITH a AS (SELECT vec_id aid, embedding av, label al
+        |       FROM embeddings WHERE vec_id % 83 = 0),
+        |p AS (SELECT aid, c.vec_id nid, av, c.embedding cv
+        |      FROM a JOIN embeddings c ON c.label <> a.al),
+        |u AS (SELECT aid, nid, unnest(av)::DOUBLE x, unnest(cv)::DOUBLE y FROM p),
+        |s AS (SELECT aid, nid,
+        |        round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) sim
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT aid, nid, sim, row_number() OVER (PARTITION BY aid
+        |        ORDER BY sim DESC, nid) rn FROM s)
+        |SELECT aid AS anchor_id, nid AS negative_id, sim,
+        |  CAST(rn AS INTEGER) AS rank
+        |FROM r WHERE rn <= 5 ORDER BY anchor_id, rank""".stripMargin,
+
     "x_hybrid_stored" -> hybridRrfSql,
 
 
@@ -1354,24 +1393,26 @@ object OracleSql {
     // closed under connectivity by a recursive reachability CTE — the
     // min reachable id IS the min-label-propagation fixpoint.
     "x_dup_components" ->
-      s"""WITH RECURSIVE w AS (SELECT doc_id, $words wds FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
-         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END) s
-         |  FROM w),
-         |m AS (SELECT doc_id, unnest(s) sh FROM sh),
-         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
-         |i AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
-         |        FROM m a JOIN m b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |p AS (SELECT ia, ib FROM i JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
-         |        WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.02),
-         |e AS (SELECT ia s, ib d FROM p UNION SELECT ib, ia FROM p),
-         |r AS (SELECT s AS id, s AS lbl FROM e
-         |      UNION
-         |      SELECT e.d, r.lbl FROM r JOIN e ON e.s = r.id),
-         |c AS (SELECT id, min(lbl) component FROM r GROUP BY id)
+      s"""$dupComponentCtes
          |SELECT doc.doc_id, coalesce(c.component, doc.doc_id) AS component
          |FROM documents doc LEFT JOIN c ON c.id = doc.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
+
+    // Quality-aware representative: same closure, survivor = n_chars
+    // argmax with doc-id tie-break (row_number replay of max_by).
+    "x_dup_rep_quality" ->
+      s"""$dupComponentCtes,
+         |q AS (SELECT doc.doc_id, coalesce(c.component, doc.doc_id) component,
+         |        doc.n_chars
+         |      FROM documents doc LEFT JOIN c ON c.id = doc.doc_id),
+         |rk AS (SELECT doc_id, component,
+         |         row_number() OVER (PARTITION BY component
+         |           ORDER BY n_chars DESC, doc_id ASC) rn FROM q),
+         |r1 AS (SELECT component, doc_id rep_id FROM rk WHERE rn = 1)
+         |SELECT q.doc_id, q.component, r1.rep_id,
+         |  (q.doc_id = r1.rep_id) AS keep
+         |FROM q JOIN r1 ON r1.component = q.component
+         |ORDER BY q.doc_id""".stripMargin,
 
     // Quantized-kNN invariant: shape + recall vs the float-exact top-k
     // are computed in-plan on the Spark side; the oracle states the

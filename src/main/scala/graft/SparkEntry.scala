@@ -425,6 +425,28 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
         .orderBy("doc_id")
     }),
+    // Quality-aware dedup representative: same component closure, but
+    // the survivor is the LONGEST member (n_chars argmax, doc-id
+    // tie-break) instead of min-id — the policy real fuzzy-dedup
+    // pipelines run, where near-dup clusters keep their best copy, not
+    // an arbitrary one. Argmax via one max_by aggregation (map-side
+    // partials) — no per-component window over the corpus.
+    "x_dup_rep_quality" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.02)
+      val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      val labeled = docs.select(col("doc_id"), col("n_chars"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"), col("n_chars"))
+      val rep = labeled.groupBy("component")
+        .agg(max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("rep_id"))
+      labeled.join(rep, "component")
+        .select(col("doc_id"), col("component"), col("rep_id"),
+          (col("doc_id") === col("rep_id")).as("keep"))
+        .orderBy("doc_id")
+    }),
     // End-to-end dedup cascade: LSH candidates → Jaccard verify on
     // candidates only → connected components → min-id representative.
     // Same parameters as the standalone stages so the oracle replays
@@ -1273,6 +1295,16 @@ object SparkEntry {
       Rerank.rerankCosine(lex, emb, "vec_id", "embedding",
           emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
+    }),
+    // Hard-negative mining (contrastive training data): for each anchor
+    // (the %83 slice — a training batch), the 5 most cosine-similar
+    // vectors with a DIFFERENT label. Anchors broadcast with vectors +
+    // labels into one map-side corpus pass; bounded-heap top-k.
+    "x_hard_negatives" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      SimilarityOps.hardNegatives(emb.filter(col("vec_id") % 83 === 0), emb,
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("anchor_id", "rank")
     }),
     // Persisted-store hybrid retrieval (Hybrid.search): both standing
     // indexes built once, then ONE callable fuses a term-in-list-pruned

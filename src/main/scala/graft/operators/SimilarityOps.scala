@@ -93,6 +93,40 @@ object SimilarityOps {
   }
 
   /**
+   * Hard-negative mining for contrastive training (the in-batch /
+   * cross-batch negatives of SimCLR / DPR / sentence-transformer
+   * pipelines): for each anchor, the top-k most similar corpus vectors
+   * carrying a DIFFERENT label — the negatives closest to the decision
+   * boundary, where the gradient signal lives. Easy negatives (random
+   * different-label picks) are what a uniform sampler gives; this
+   * returns the hard ones.
+   *
+   * Scale shape: mining runs per anchor BATCH (a training batch, not
+   * the corpus) — the anchor side broadcasts with its vectors and
+   * labels into one map-side pass over the corpus, the label-mismatch
+   * predicate prunes pairs before the cosine kernel, and the per-anchor
+   * top-k is the bounded-heap [[graft.functions.TopK]] on
+   * 6-decimal-rounded scores (id tie-break). Nothing corpus-sized
+   * shuffles but the (anchor, candidate) partial heaps.
+   */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val q = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).cast("array<double>").as("__qv"), col(labelCol).as("__ql"))
+    val c = corpus.select(col(idCol).as("negative_id"),
+      col(vecCol).cast("array<double>").as("__cv"), col(labelCol).as("__cl"))
+    c.join(broadcast(q), col("__ql") =!= col("__cl"))
+      .select(col("anchor_id"), col("negative_id"),
+        round(vector.cosineSim(col("__qv"), col("__cv")), 6).as("sim"))
+      .groupBy(col("anchor_id"))
+      .agg(TopK(k)(col("sim"), col("negative_id")).as("nn"))
+      .select(col("anchor_id"), posexplode(col("nn")).as(Seq("rank", "n")))
+      .select(col("anchor_id"), col("n.id").as("negative_id"),
+        col("n.score").as("sim"), (col("rank") + 1).as("rank"))
+  }
+
+  /**
    * Nearest-centroid assignment with threshold (reference J1 batch form):
    * each item joins the centroid of max cosine similarity; below-threshold
    * items get assignedId = -1 ("new story" in the reference). Centroids are

@@ -385,4 +385,26 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 190)
     assert(out.select("id_a", "id_b").distinct().count() == 190)
   }
+
+  test("quality-argmax representative: longest member survives, doc-id breaks exact ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Component {1,2,3}: 2 is longest. Component {7,8}: tied length →
+    // min id 7. Singleton 9 represents itself.
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (7L, 5L), (8L, 5L), (9L, 1L))
+      .toDF("doc_id", "n_chars")
+    val comp = graft.operators.DedupOps.connectedComponents(pairs, "id_a", "id_b")
+    val labeled = docs
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"), col("n_chars"))
+    val rep = labeled.groupBy("component")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("rep_id"))
+    val got = labeled.join(rep, "component")
+      .select(col("doc_id"), col("rep_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
 }

@@ -70,6 +70,36 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 1L))
   }
 
+  test("hardNegatives: same-label vectors never nominated, hardest (most similar) negatives first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),   // anchor, label 1
+      (1L, Seq(0.99f, 0.1f), 1),  // near-identical but SAME label — excluded
+      (2L, Seq(0.9f, 0.2f), 2),   // hard negative (closest different-label)
+      (3L, Seq(0.0f, 1.0f), 2),   // easy negative
+      (4L, Seq(0.5f, 0.5f), 3)    // middling negative
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.hardNegatives(
+        vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", "label", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("negative_id"), r.getAs[Int]("rank")))
+    assert(got.toSeq == Seq((2L, 1), (4L, 2)),
+      s"expected the two most similar different-label vectors, got ${got.toSeq}")
+  }
+
+  test("hardNegatives: the anchor side carries the broadcast hint, not the corpus") {
+    import spark.implicits._
+    val vecs = Seq((0L, Seq(1.0f), 1), (1L, Seq(1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val df = SimilarityOps.hardNegatives(vecs.filter(col("vec_id") === 0), vecs,
+      "vec_id", "embedding", "label", k = 1)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.child.output.map(_.name)
+    }.flatten
+    assert(hinted.contains("anchor_id") && !hinted.contains("negative_id"),
+      s"broadcast hint on wrong side: $hinted")
+  }
+
   test("knnJoinCosine broadcastQueries=false: corpus broadcast, profiles stream, same result") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
