@@ -435,10 +435,15 @@ object SparkEntry {
       val docs = T(s, d, "documents")
       val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.02)
       val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      // Two consumers (the argmax and the join back) — materialize once,
+      // the x_quality_model idiom (A/B'd: 7.26 -> 6.56 isolated median;
+      // the residual over x_dup_components' ~4.35 closure is the rep
+      // aggregation + component join themselves).
       val labeled = docs.select(col("doc_id"), col("n_chars"))
         .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("component"), col("n_chars"))
+        .localCheckpoint(true)
       val rep = labeled.groupBy("component")
         .agg(max_by(col("doc_id"),
           struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("rep_id"))
