@@ -908,6 +908,43 @@ object OracleSql {
         |SELECT chk AS check, CAST(v AS BIGINT) AS n_violations, v = 0 AS pass
         |FROM checks ORDER BY 1""".stripMargin,
 
+    // Data card: one grouped replay of the per-(source, lang) summary.
+    // Quality rounds to 6 per-doc then converts to integer MILLIONTHS
+    // before averaging — a double mean of 6-decimal values lands on
+    // decimal-half rounding boundaries where the engines disagree, so
+    // the mean is exact-integer-sum / identical-double-division with no
+    // rounding at all; the median replays the documented "smallest x
+    // with cdf >= ceil(q*n)" sketch semantic; the exact fingerprint
+    // distinct carries the HLL contract boolean (±max(10%, 10) — no
+    // sparse mode in Spark's HLL++, so tiny cells can miss by ±1-2).
+    "x_data_card" ->
+      s"""WITH w AS (SELECT source, lang, n_chars, $words wds,
+        |        md5(lower(trim(text))) fp FROM documents),
+        |m AS (SELECT source, lang, n_chars, fp, len(wds) nt,
+        |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
+        |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
+        |q AS (SELECT source, lang, n_chars, fp, nt, CAST(round(round(
+        |  least(nt / 50.0, 1.0) * 0.5 +
+        |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+        |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6)
+        |  * 1000000.0) AS BIGINT) qu FROM m),
+        |n AS (SELECT source, lang, count(*) nd FROM q GROUP BY 1, 2),
+        |r AS (SELECT source, lang, n_chars,
+        |        count(*) OVER (PARTITION BY source, lang ORDER BY n_chars) cum FROM q),
+        |p AS (SELECT r.source, r.lang, min(n_chars) p50
+        |      FROM r JOIN n USING (source, lang)
+        |      WHERE cum >= ceil(0.5 * nd) GROUP BY 1, 2)
+        |SELECT q.source, q.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(qu) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS avg_quality,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+        |  round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate,
+        |  round(CAST(max(p.p50) AS DOUBLE), 2) AS p50_chars,
+        |  true AS distinct_ok
+        |FROM q JOIN p USING (source, lang)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Sliding-chunk replay: identical start arithmetic (inclusive
     // stepped series to greatest(1, n - size + stride)) and DuckDB's
     // inclusive 1-based list slice == Spark's slice(start, length).
@@ -1038,6 +1075,56 @@ object OracleSql {
 
     // Hard-negative mining: per-anchor top-5 cosine among
     // DIFFERENT-label vectors, rounded score, id tie-break.
+    // MMR replay: the greedy is re-run as a recursive CTE — base case
+    // argmax relevance, each recursive step carries the selected ids AND
+    // vectors, scores every remaining candidate, and keeps the winner
+    // via the no-better-candidate NOT EXISTS (argmax without aggregates
+    // — the recursive term allows neither grouping nor a second
+    // recursive reference). Parity contract: every comparison is in
+    // exact INTEGER millionths (7·relµ − 3·maxSimµ; a double-rounded
+    // score would straddle decimal-half boundaries where the engines'
+    // round() implementations disagree — mmr_select's Scaladoc); the
+    // max-then-round order is equivalent to the engine's round-then-max
+    // because rounding is monotone. Cosine is dot/(sqrt·sqrt) like the
+    // engine kernel.
+    "x_mmr_rerank" -> {
+      def cosd(a: String, b: String) =
+        s"list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b)))"
+      def score(relu: String, vecs: String, cv: String) =
+        s"(7 * $relu - 3 * CAST(round(list_max(list_transform($vecs, " +
+          s"pv -> ${cosd(cv, "pv")})) * 1000000.0) AS BIGINT))"
+      s"""WITH RECURSIVE
+        |q AS (SELECT vec_id qid, list_transform(embedding, x -> x::DOUBLE) qv
+        |      FROM embeddings WHERE vec_id % 25 = 0),
+        |p AS (SELECT qid, c.vec_id nid, qv, list_transform(c.embedding, x -> x::DOUBLE) cv
+        |      FROM q CROSS JOIN embeddings c WHERE c.vec_id <> qid),
+        |s AS (SELECT qid, nid, cv, ${cosd("qv", "cv")} sim FROM p),
+        |cand AS (SELECT qid, nid, CAST(round(sim * 1000000.0) AS BIGINT) relu, cv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn FROM s)
+        |  WHERE rn <= 20),
+        |sel AS (
+        |  SELECT c.qid, 1 step, [c.nid] picked, [c.cv] pvecs, c.nid out_nid,
+        |         10 * c.relu score_u
+        |  FROM cand c WHERE NOT EXISTS (SELECT 1 FROM cand c2 WHERE c2.qid = c.qid
+        |    AND (c2.relu > c.relu OR (c2.relu = c.relu AND c2.nid < c.nid)))
+        |  UNION ALL
+        |  SELECT x.qid, x.step, x.picked, x.pvecs, x.nid, x.score_u FROM (
+        |    SELECT s.qid, s.step + 1 step, list_append(s.picked, c.nid) picked,
+        |           list_append(s.pvecs, c.cv) pvecs, c.nid,
+        |           ${score("c.relu", "s.pvecs", "c.cv")} score_u,
+        |           s.picked opicked, s.pvecs opvecs
+        |    FROM sel s JOIN cand c ON c.qid = s.qid AND NOT list_contains(s.picked, c.nid)
+        |    WHERE s.step < 5
+        |  ) x
+        |  WHERE NOT EXISTS (SELECT 1 FROM cand c2 WHERE c2.qid = x.qid
+        |    AND NOT list_contains(x.opicked, c2.nid) AND c2.nid <> x.nid
+        |    AND ((${score("c2.relu", "x.opvecs", "c2.cv")} > x.score_u)
+        |      OR (${score("c2.relu", "x.opvecs", "c2.cv")} = x.score_u AND c2.nid < x.nid))))
+        |SELECT qid AS query_id, out_nid AS neighbor_id, CAST(step AS INTEGER) AS rank,
+        |  score_u / 10000000.0 AS mmr_score
+        |FROM sel ORDER BY 1, 3""".stripMargin
+    },
+
     "x_hard_negatives" ->
       """WITH a AS (SELECT vec_id aid, embedding av, label al
         |       FROM embeddings WHERE vec_id % 83 = 0),
@@ -1539,6 +1626,30 @@ object OracleSql {
         |  LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
 
+    // UniMax waterfill replay: identical closed form — sort by capacity
+    // ascending, per-position uniform level over the remaining budget,
+    // water level = max level among unsaturated positions. Every number
+    // is integer-valued-in-double or an exact half (cap = nt * 0.5), so
+    // the window sums are bit-exact across engines; rounding is
+    // cosmetic.
+    "x_unimax_mix" ->
+      s"""WITH w AS (SELECT lang, CAST(sum(len($words)) AS DOUBLE) nt
+        |      FROM documents GROUP BY 1),
+        |tot AS (SELECT 0.4 * sum(nt) b, count(*) n FROM w),
+        |s AS (SELECT lang, nt, nt * 0.5 cap,
+        |        row_number() OVER (ORDER BY nt * 0.5, lang) i,
+        |        coalesce(sum(nt * 0.5) OVER (ORDER BY nt * 0.5, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) p
+        |      FROM w),
+        |lv AS (SELECT s.*, (tot.b - s.p) / (tot.n - s.i + 1) lvl FROM s, tot),
+        |el AS (SELECT coalesce(max(lvl) FILTER (WHERE cap > lvl), 1e308) ell FROM lv)
+        |SELECT lang, CAST(nt AS BIGINT) AS n_tokens,
+        |  round(cap, 4) AS capacity,
+        |  round(least(cap, ell), 4) AS alloc,
+        |  round(least(cap, ell) / nt, 6) AS epochs,
+        |  cap <= ell AS saturated
+        |FROM lv, el ORDER BY lang""".stripMargin,
+
     // Weighted sample: Efraimidis–Spirakis exponential keys from the
     // same salted digest, rounded to 9 decimals (libm ln ulp parity),
     // digest-then-key tie-break — replays the engine's draw exactly.
@@ -1640,6 +1751,27 @@ object OracleSql {
          |  true AS hh_in_sketch, true AS mg_bounds_ok
          |FROM c JOIN n ON c.source = n.source
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // Incremental quantile sketch: the merged stored sketches are
+    // rank-exact at the query's accuracy, so the oracle replays the
+    // documented "smallest x with cdf >= ceil(q*n)" semantic over the
+    // UNION as a cumulative-count window (the x_outlier_trim idiom) —
+    // the batch split and the stored-sketch fold must be invisible.
+    "x_quantile_incremental" ->
+      """WITH n AS (SELECT source, count(*) n_total FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_chars,
+        |        count(*) OVER (PARTITION BY source ORDER BY n_chars) cum
+        |      FROM documents),
+        |q AS (SELECT r.source,
+        |        min(n_chars) FILTER (WHERE cum >= ceil(0.5 * n_total)) p50,
+        |        min(n_chars) FILTER (WHERE cum >= ceil(0.9 * n_total)) p90,
+        |        min(n_chars) FILTER (WHERE cum >= ceil(0.99 * n_total)) p99
+        |      FROM r JOIN n USING (source) GROUP BY 1)
+        |SELECT n.source, CAST(n.n_total AS BIGINT) AS n_total,
+        |  round(CAST(p50 AS DOUBLE), 2) AS p50,
+        |  round(CAST(p90 AS DOUBLE), 2) AS p90,
+        |  round(CAST(p99 AS DOUBLE), 2) AS p99
+        |FROM n JOIN q USING (source) ORDER BY 1""".stripMargin,
 
     // Admission pipeline replay: the x_curation_verdict funnel restricted
     // to the batch slice, the exact-fingerprint anti-join over its

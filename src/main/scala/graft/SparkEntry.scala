@@ -542,6 +542,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy("doc_id")
     }),
+    // UniMax language allocation (Chung et al. 2023) — the fairness fix
+    // for temperature sampling (x_temperature_mix): waterfill 40% of the
+    // corpus' token budget across languages with each language capped at
+    // maxEpochs passes over its own tokens. maxEpochs = 0.5 is chosen so
+    // THIS fixture's mild language skew exercises both branches (the
+    // four tail languages saturate their caps, the head language takes
+    // the residual water level); real deployments run integer epoch caps
+    // over far heavier skew — same closed form. The allocation itself is
+    // windows over the n_languages counts relation: corpus-sized work is
+    // only the token count, the waterfill costs nothing at any scale.
+    "x_unimax_mix" -> ((s, d) => {
+      // counts feeds two consumers (the rows and the budget scalar);
+      // materialize the n_languages relation or the corpus token-count
+      // pass runs twice.
+      val counts = T(s, d, "documents")
+        .withColumn("nt", text.tokenCount(col("text")).cast("long"))
+        .groupBy("lang").agg(sum(col("nt")).as("n_tokens"))
+        .localCheckpoint(true)
+      val withBudget = counts.crossJoin(broadcast(
+        counts.agg((sum(col("n_tokens")) * lit(0.4)).as("__budget"))))
+      SampleOps.unimaxAlloc(withBudget, "lang", "n_tokens",
+          col("__budget"), maxEpochs = 0.5)
+        .orderBy("lang")
+    }),
     // Weighted sampling without replacement (Efraimidis–Spirakis): 5
     // docs per source, selection probability ∝ n_chars — the biased
     // form of x_domain_cap's quota. Deterministic digest draw, so the
@@ -643,6 +667,37 @@ object SparkEntry {
           bool_and(col("__est") <= col("c") &&
             (col("c") - col("__est")).cast("double") <= col("__thr"))
             .as("mg_bounds_ok"))
+        .orderBy("source")
+    }),
+    // Incremental quantile sketch — the rank leg's MAINTENANCE shape,
+    // completing the sketch family's standing-state story (frequency =
+    // x_hh_incremental, rank = this): each ingest batch persists its
+    // per-source serialized Greenwald–Khanna summary, and
+    // quantile_sketch_merge folds stored sketches into the corpus
+    // summary — compaction reads sketch-sized rows, never the corpus.
+    // This is how x_outlier_trim's p99 admission thresholds refresh in
+    // O(batch) instead of a rescan. Rank-exact at accuracy 2^20 while
+    // per-source counts stay ≤ 2^19 (exact through ~sf10 here), so the
+    // oracle replays the documented "smallest x with cdf ≥ q" semantic
+    // over the UNION — the split and the stored-sketch fold must be
+    // invisible, the x_hh_incremental law.
+    "x_quantile_incremental" -> ((s, d) => {
+      import graft.functions.QuantileSketch._
+      val acc = 1 << 20
+      val docs = T(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars").cast("double").as("v"))
+      def sketch(slice: Column) = docs.filter(slice).groupBy("source").agg(
+        quantileSketch(col("v"), acc).as("sketch"), count(lit(1)).as("n"))
+      val stored = sketch(pmod(col("doc_id"), lit(5)) =!= 0)
+        .unionByName(sketch(pmod(col("doc_id"), lit(5)) === 0))
+      val merged = stored.groupBy("source").agg(
+        quantileSketchMerge(col("sketch")).as("sketch"), sum(col("n")).as("n_total"))
+      val qs = quantileSketchQuery(col("sketch"),
+        array(lit(0.5), lit(0.9), lit(0.99)))
+      merged.select(col("source"), col("n_total"),
+          round(element_at(qs, 1), 2).as("p50"),
+          round(element_at(qs, 2), 2).as("p90"),
+          round(element_at(qs, 3), 2).as("p99"))
         .orderBy("source")
     }),
     // Full admission pipeline end-to-end — the three ingest stages a
@@ -1173,6 +1228,52 @@ object SparkEntry {
         o, T(s, d, "customer"), Seq("o_custkey" -> "c_custkey"), "custkey_fk")
       rowChecks.unionByName(uniq).unionByName(fk).orderBy("check")
     }),
+    // Corpus data card — the per-(source, language) summary a dataset
+    // release ships (datasheet/data-card shape): volume (docs / tokens /
+    // chars), mean quality, exact-dup structure (distinct fingerprints →
+    // dup rate), and the median length — ALL in ONE aggregation pass
+    // over the corpus. Scale notes: the exact fingerprint countDistinct
+    // exists to STATE the HLL contract (the x_approx_distinct idiom —
+    // at 100 TB only the sketch column survives, within its ±10% rsd
+    // band); the median rides the rank-exact percentile sketch
+    // (x_outlier_trim's accuracy contract); per-doc quality is rounded
+    // to 6 BEFORE averaging so both engines average identical values.
+    "x_data_card" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val enriched = docs.select(col("source"), col("lang"),
+        col("n_chars"),
+        text.tokenCount(col("text")).cast("long").as("__nt"),
+        // quality in exact integer MILLIONTHS: a double mean of
+        // 6-decimal values lands on decimal-half round-4 boundaries
+        // where the engines' round() disagree (the mmr_select lesson);
+        // summing longs and dividing identically needs no rounding.
+        round(round(qualityOf(col("text")), 6) * lit(1000000.0), 0)
+          .cast("long").as("__qu"),
+        md5(lower(trim(col("text")))).as("__fp"))
+      enriched.groupBy("source", "lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("__qu")).cast("double") /
+            (count(lit(1)) * lit(1000000L)).cast("double")).as("avg_quality"),
+          countDistinct(col("__fp")).as("n_unique"),
+          approx_count_distinct(col("__fp"), 0.02).as("__approx"),
+          percentile_approx(col("n_chars").cast("double"), lit(0.5),
+            lit(1 << 20)).as("__p50"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("sum_chars"), col("avg_quality"), col("n_unique"),
+          round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"),
+          round(col("__p50"), 2).as("p50_chars"),
+          // HLL contract with an ABSOLUTE floor: Spark's HLL++ carries
+          // no sparse mode, so tiny groups (n=5 here) can miss by ±1-2
+          // where the x_approx_distinct corpus-sized contract is pure
+          // ±10%. max(10%, 10) keeps the check meaningful at scale and
+          // honest at the fixture's smallest (source, lang) cells.
+          (abs(col("__approx") - col("n_unique")).cast("double")
+            <= greatest(lit(0.1) * col("n_unique"), lit(10.0))).as("distinct_ok"))
+        .orderBy("source", "lang")
+    }),
     // Sliding token chunking (RAG / long-context split): size-64 windows
     // at stride 48 (16-token overlap); final chunk always reaches the
     // last token, no degenerate tails. Map-only — tokenize, transform,
@@ -1299,6 +1400,36 @@ object SparkEntry {
         k = 20, maxDfFrac = 1.0)
       Rerank.rerankCosine(lex, emb, "vec_id", "embedding",
           emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // MMR diversified rerank (Carbonell & Goldstein 1998) — the
+    // diversity stage of the serving stack: stage 1 nominates top-20
+    // cosine candidates per query (bounded-heap kNN, the j8 path);
+    // stage 2 greedily selects 5 maximizing λ·rel − (1−λ)·max-sim-to-
+    // selected, so the answer set is relevant but not five copies of
+    // the same page. The greedy is sequential only WITHIN a query's 20
+    // candidates (one mmr_select call per query row, zero shuffle past
+    // the collect_list); every comparison runs in exact integer
+    // micro-units (mmr_select's parity contract) so the DuckDB
+    // recursive-CTE replay reproduces the selection exactly.
+    "x_mmr_rerank" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val queries = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+      val cand = SimilarityOps.knnJoinCosine(queries, e, "vec_id", "embedding", 20)
+        .select(col("query_id"), col("neighbor_id"), col("sim").as("rel"))
+      // vectors re-attach by broadcasting the CANDIDATE run (queries×20
+      // rows by contract) into one map-side pass over the vector table —
+      // never the other way around; without the hint the toy fixture's
+      // stats would build on the corpus side.
+      val withVec = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+        .join(broadcast(cand), "neighbor_id")
+      withVec.groupBy("query_id")
+        .agg(collect_list(struct(col("neighbor_id"), col("rel"),
+          col("embedding"))).as("cands"))
+        .select(col("query_id"),
+          explode(graft.functions.Mmr.mmrSelect(col("cands"), k = 5, lambdaTenths = 7)).as("m"))
+        .select(col("query_id"), col("m.neighbor_id").as("neighbor_id"),
+          col("m.rank").as("rank"), col("m.mmr_score").as("mmr_score"))
         .orderBy("query_id", "rank")
     }),
     // Hard-negative mining (contrastive training data): for each anchor

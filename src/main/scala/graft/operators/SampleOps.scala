@@ -207,6 +207,64 @@ object SampleOps {
   }
 
   /**
+   * UniMax language-sampling allocation (Chung et al. 2023, "UniMax:
+   * Fairer and More Effective Language Sampling for Large-Scale
+   * Multilingual Pretraining"): waterfill a total token `budget` across
+   * domains, capping each domain at `maxEpochs` passes over its own
+   * `tokensCol` tokens — remaining budget is shared UNIFORMLY among
+   * every domain still under its cap, which is the paper's fairness
+   * fix for temperature sampling (temperature either starves the tail
+   * or epochs-explodes it; UniMax gives the tail equal budget until it
+   * exhausts its cap).
+   *
+   * Closed form — no driver loop, no iteration: sort domains by
+   * capacity ascending; at position i the uniform share of the budget
+   * remaining after all smaller caps saturate is
+   * `level_i = (B − Σ_{j<i} cap_j) / (n − i + 1)`. If `cap_i ≤ level_i`
+   * the domain saturates (alloc = cap). Once a position is unsaturated
+   * every later one is too (level_{i+1} = ((n−i+1)·level_i − cap_i) /
+   * (n−i) < level_i < cap_i ≤ cap_{i+1}), so the final water level ℓ*
+   * is the level at the FIRST unsaturated position = max over
+   * unsaturated levels, and `alloc = min(cap, ℓ*)` for every domain
+   * (ℓ* = ∞ when the budget covers every cap).
+   *
+   * Scale shape: everything here is windows over the per-domain COUNTS
+   * relation — n_domains rows regardless of corpus size (the
+   * corpus-sized work is the upstream token count the caller already
+   * aggregated). The single-partition window is deliberate and safe at
+   * that cardinality.
+   *
+   * `budget` must be a per-row-constant column of `counts` (a literal,
+   * or a cross-joined scalar for data-dependent budgets).
+   */
+  def unimaxAlloc(counts: DataFrame, domainCol: String, tokensCol: String,
+                  budget: Column, maxEpochs: Double): DataFrame = {
+    require(maxEpochs > 0.0, s"maxEpochs must be positive: $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("__cap").asc, col(domainCol).asc)
+    val all = Window.orderBy(col("__cap").asc, col(domainCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lv = counts
+      .withColumn("__cap", col(tokensCol).cast("double") * lit(maxEpochs))
+      .withColumn("__i", row_number().over(ord))
+      .withColumn("__p", coalesce(
+        sum(col("__cap")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__level",
+        (budget - col("__p")) / (col("__n") - col("__i") + 1).cast("double"))
+    val ell = coalesce(
+      max(when(col("__cap") > col("__level"), col("__level"))).over(all),
+      lit(Double.PositiveInfinity))
+    lv.withColumn("__alloc", least(col("__cap"), ell))
+      .select(col(domainCol), col(tokensCol),
+        round(col("__cap"), 4).as("capacity"),
+        round(col("__alloc"), 4).as("alloc"),
+        round(col("__alloc") / col(tokensCol).cast("double"), 6).as("epochs"),
+        (col("__cap") <= ell).as("saturated"))
+  }
+
+  /**
    * Per-group quantile outlier trim — the standard "drop documents past
    * the p99 length for their source" cleaning rule, built on the SKETCH
    * path so it scales: per-group thresholds come from
