@@ -1773,6 +1773,25 @@ object OracleSql {
         |  round(CAST(p99 AS DOUBLE), 2) AS p99
         |FROM n JOIN q USING (source) ORDER BY 1""".stripMargin,
 
+    // Persisted stats store: identical replay to x_quantile_incremental
+    // — the store's batch split, ledger fold, and compaction must all be
+    // invisible against the union.
+    "x_quantile_store" ->
+      """WITH n AS (SELECT source, count(*) n_total FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_chars,
+        |        count(*) OVER (PARTITION BY source ORDER BY n_chars) cum
+        |      FROM documents),
+        |q AS (SELECT r.source,
+        |        min(n_chars) FILTER (WHERE cum >= ceil(0.5 * n_total)) p50,
+        |        min(n_chars) FILTER (WHERE cum >= ceil(0.9 * n_total)) p90,
+        |        min(n_chars) FILTER (WHERE cum >= ceil(0.99 * n_total)) p99
+        |      FROM r JOIN n USING (source) GROUP BY 1)
+        |SELECT n.source, CAST(n.n_total AS BIGINT) AS n_total,
+        |  round(CAST(p50 AS DOUBLE), 2) AS p50,
+        |  round(CAST(p90 AS DOUBLE), 2) AS p90,
+        |  round(CAST(p99 AS DOUBLE), 2) AS p99
+        |FROM n JOIN q USING (source) ORDER BY 1""".stripMargin,
+
     // Admission pipeline replay: the x_curation_verdict funnel restricted
     // to the batch slice, the exact-fingerprint anti-join over its
     // admitted docs, and the span scrub with duplication counted over

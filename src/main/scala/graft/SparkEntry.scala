@@ -700,6 +700,31 @@ object SparkEntry {
           round(element_at(qs, 3), 2).as("p99"))
         .orderBy("source")
     }),
+    // The PERSISTED form of x_quantile_incremental (the
+    // x_bm25_incremental pattern: build the standing store in-query so
+    // the oracle can check it): five batch appends land one O(batch)
+    // summary row per (batch, source) on the StatsStore ledger, a
+    // compaction folds them to one row per source, and the query probes
+    // the standing state — identical answers to the in-memory fold
+    // prove the stored rank statistics are current over the union.
+    "x_quantile_store" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val dir = tmpStore("stats_store")
+      graft.operators.StatsStore.init(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 1), "source", "n_chars")
+      for (i <- Seq(2, 3, 4, 0))
+        graft.operators.StatsStore.append(s, dir,
+          docs.filter(pmod(col("doc_id"), lit(5)) === i), "source", "n_chars",
+          name = Some(s"batch_$i"))
+      graft.operators.StatsStore.compact(s, dir)
+      graft.operators.StatsStore.quantiles(s, dir, Seq(0.5, 0.9, 0.99))
+        .select(col("g").as("source"), col("n").as("n_total"),
+          round(element_at(col("qs"), 1), 2).as("p50"),
+          round(element_at(col("qs"), 2), 2).as("p90"),
+          round(element_at(col("qs"), 3), 2).as("p99"))
+        .orderBy("source")
+    }),
     // Full admission pipeline end-to-end — the three ingest stages a
     // production corpus runs per batch, composed in ONE plan: (1) the
     // curation funnel (langid + quality + Gopher + PII — the
