@@ -982,6 +982,13 @@ object OracleSql {
         |  true AS beats_majority, true AS calibrated
         |FROM documents""".stripMargin,
 
+    // Model-output invariant oracle (the x_quality_model idiom) for the
+    // multiclass tagger: count + the three contract booleans.
+    "x_domain_model" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS probs_ok,
+        |  true AS beats_majority, true AS preds_known
+        |FROM documents""".stripMargin,
+
     // The incremental store assembles the exact monolithic index over
     // the union corpus, so its oracle IS the x_bm25_topk replay: equal
     // answers prove the appended df/n_docs/avgdl statistics are current.

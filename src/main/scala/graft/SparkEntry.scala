@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, IvfAnn, LayoutOps, MultimodalOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rerank, Rrf, SampleOps, SemDedup, SemDedupStore, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, DomainModel, IvfAnn, LayoutOps, MultimodalOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rerank, Rrf, SampleOps, SemDedup, SemDedupStore, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1357,6 +1357,35 @@ object SparkEntry {
           (col("__acc") >= greatest(col("__pos"), lit(1.0) - col("__pos")))
             .as("beats_majority"),
           (abs(col("__avgp") - col("__pos")) <= 0.1).as("calibrated"))
+    }),
+    // Multiclass domain tagging (the QualityModel sibling): softmax
+    // regression over hashed features predicts the language bucket the
+    // mixture recipe samples by; inference is k literal-weight dot
+    // products + an argmax CASE chain in whole-stage codegen — no MLlib
+    // object, no UDF on the tagging path. Invariant oracle (the m7/
+    // x_quality_model idiom): confidences are probabilities (winner ≥
+    // 1/k), the model beats the majority-class tagger on its training
+    // set, and every prediction is a known class.
+    "x_domain_model" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val labeled = docs.select(col("doc_id"), col("text"), col("lang"))
+        .localCheckpoint(true)
+      val model = DomainModel.train(labeled, "text", "lang")
+      val k = model.count().toDouble
+      val classes = model.select("cls").collect().map(_.getString(0)).toSeq
+      val maj = labeled.groupBy("lang").agg(count(lit(1)).as("__c"))
+        .agg(max(col("__c")).cast("double").as("__nmaj"))
+      DomainModel.tag(labeled, model, "text")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr(s"bool_and(domain_prob >= ${1.0 / k} AND domain_prob <= 1.0)")
+            .as("probs_ok"),
+          avg((col("domain_pred") === col("lang")).cast("int")).as("__acc"),
+          bool_and(col("domain_pred").isin(classes: _*)).as("preds_known"))
+        .crossJoin(broadcast(maj))
+        .select(col("n_docs"), col("probs_ok"),
+          (col("__acc") >= col("__nmaj") / col("n_docs")).as("beats_majority"),
+          col("preds_known"))
     }),
     // Incremental BM25 maintenance: the standing postings/df/stats store
     // refreshed by an O(batch) APPEND (the monolithic index's per-row
