@@ -945,6 +945,41 @@ object OracleSql {
         |FROM q JOIN p USING (source, lang)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Corpus diff replay: identical synthetic v1 (drop %7, stale text
+    // on %11), fingerprint full-outer, per-source status counts.
+    "x_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, source s1, md5(lower(trim(
+        |        CASE WHEN doc_id % 11 = 0 THEN text || ' stale' ELSE text END))) fp1
+        |      FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id, source s2, md5(lower(trim(text))) fp2 FROM documents),
+        |j AS (SELECT coalesce(s2, s1) source,
+        |        CASE WHEN fp1 IS NULL THEN 'added'
+        |             WHEN fp2 IS NULL THEN 'removed'
+        |             WHEN fp1 <> fp2 THEN 'changed'
+        |             ELSE 'same' END st
+        |      FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT source,
+        |  CAST(count(*) FILTER (WHERE st = 'added') AS BIGINT) AS n_added,
+        |  CAST(count(*) FILTER (WHERE st = 'removed') AS BIGINT) AS n_removed,
+        |  CAST(count(*) FILTER (WHERE st = 'changed') AS BIGINT) AS n_changed,
+        |  CAST(count(*) FILTER (WHERE st = 'same') AS BIGINT) AS n_same
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Token-divergence replay: same unigram KL over the shared token
+    // stream; ln differences across libms sit at ulp scale, absorbed by
+    // the 6-decimal round.
+    "x_token_divergence" ->
+      s"""WITH t AS (SELECT source, unnest($words) token FROM documents),
+        |cst AS (SELECT source, token, count(*) c_st FROM t GROUP BY 1, 2),
+        |ct AS (SELECT token, sum(c_st) c_t FROM cst GROUP BY 1),
+        |ns AS (SELECT source, sum(c_st) n_s FROM cst GROUP BY 1),
+        |n AS (SELECT sum(c_st) n FROM cst)
+        |SELECT cst.source, CAST(max(ns.n_s) AS BIGINT) AS n_tokens,
+        |  round(sum((c_st::DOUBLE / n_s) * ln((c_st::DOUBLE / n_s) / (c_t::DOUBLE / n.n))), 6)
+        |    AS kl_vs_corpus
+        |FROM cst JOIN ct USING (token) JOIN ns ON cst.source = ns.source, n
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Sliding-chunk replay: identical start arithmetic (inclusive
     // stepped series to greatest(1, n - size + stride)) and DuckDB's
     // inclusive 1-based list slice == Spark's slice(start, length).

@@ -1299,6 +1299,64 @@ object SparkEntry {
             <= greatest(lit(0.1) * col("n_unique"), lit(10.0))).as("distinct_ok"))
         .orderBy("source", "lang")
     }),
+    // Corpus version diff — the dataset-release delta report ("what
+    // changed since v1"): two corpus versions synthesized
+    // deterministically from the fixture (v1 drops every 7th doc and
+    // carries stale text for every 11th), compared as (id, fingerprint)
+    // relations — 16-byte digests in the full-outer join, never text —
+    // and classified added/removed/changed/same per source in one
+    // aggregation. At 100 TB this is the snapshot-to-snapshot audit the
+    // TableSink tags make possible: both sides are fingerprint scans,
+    // the join is the only corpus-sized exchange.
+    "x_corpus_diff" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val v1Text = when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"), lit(" stale"))).otherwise(col("text"))
+      val v1 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"), col("source").as("s1"),
+          md5(lower(trim(v1Text))).as("fp1"))
+      val v2 = docs.select(col("doc_id"), col("source").as("s2"),
+        md5(lower(trim(col("text")))).as("fp2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("s2"), col("s1")).as("source"),
+          when(col("fp1").isNull, "added")
+            .when(col("fp2").isNull, "removed")
+            .when(col("fp1") =!= col("fp2"), "changed")
+            .otherwise("same").as("st"))
+        .groupBy("source")
+        .agg(sum(when(col("st") === "added", 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("st") === "removed", 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("st") === "changed", 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("st") === "same", 1L).otherwise(0L)).as("n_same"))
+        .orderBy("source")
+    }),
+    // Per-source token-distribution drift — the mixture monitor a
+    // production corpus runs per release: KL(source ‖ corpus) over the
+    // unigram distributions. ONE corpus-sized aggregation (the
+    // (source, token) counts); everything after is vocab-sized — the
+    // token marginals derive from the counts relation, the per-source
+    // divergence is a vocab-keyed sum. KL terms are smooth transforms
+    // of count ratios (no decimal-structured boundary; cross-engine
+    // libm ln differences sit ~1e-15, absorbed by round 6).
+    "x_token_divergence" -> ((s, d) => {
+      val toks = T(s, d, "documents").select(col("source"),
+        explode(filter(split(lower(trim(col("text"))), text.WhitespaceRun),
+          t => t =!= "")).as("token"))
+      val cst = toks.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+        .localCheckpoint(true)
+      val ct = cst.groupBy("token").agg(sum(col("c_st")).as("c_t"))
+      val ns = cst.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+      val n = cst.agg(sum(col("c_st")).as("n"))
+      cst.join(ct, "token").join(broadcast(ns), "source").crossJoin(broadcast(n))
+        .select(col("source"), col("n_s"),
+          ((col("c_st").cast("double") / col("n_s")) *
+            log((col("c_st").cast("double") / col("n_s")) /
+              (col("c_t").cast("double") / col("n")))).as("__term"))
+        .groupBy("source")
+        .agg(first(col("n_s")).as("n_tokens"),
+          round(sum(col("__term")), 6).as("kl_vs_corpus"))
+        .orderBy("source")
+    }),
     // Sliding token chunking (RAG / long-context split): size-64 windows
     // at stride 48 (16-token overlap); final chunk always reaches the
     // last token, no degenerate tails. Map-only — tokenize, transform,

@@ -157,4 +157,32 @@ object ArticleStream {
       .agg(graft.functions.MisraGriesAgg.misraGries(col(tokenCol), m).as("tokens"),
         count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("tokens"), col("n"))
+
+  /**
+   * Per-window distribution quantiles — the streaming twin of
+   * `x_quantile_incremental` and the rank leg of [[trendingTokens]]'s
+   * sketch family: a [[graft.functions.QuantileSketchAgg]] summary per
+   * tumbling event-time window, queried at the requested quantiles when
+   * the window closes. The Greenwald–Khanna buffer rides the state
+   * store through the aggregate's own serialize/deserialize, so
+   * per-window state is O(accuracy) samples regardless of how many
+   * values the window saw — the live "are document lengths drifting"
+   * monitor whose thresholds the standing [[graft.operators.StatsStore]]
+   * maintains batch-side. Answers at a closed window are EXACTLY the
+   * batch `percentile_approx` over that window's values (same digest
+   * code path), rank-exact while a window's count stays ≤ accuracy/2.
+   */
+  def windowQuantiles(df: DataFrame, eventTimeCol: String, valueCol: String,
+                      qs: Seq[Double], accuracy: Int = 1 << 12,
+                      windowLen: String = "5 minutes",
+                      lateness: String = "10 minutes"): DataFrame = {
+    import graft.functions.QuantileSketch._
+    df.withWatermark(eventTimeCol, lateness)
+      .groupBy(window(col(eventTimeCol), windowLen))
+      .agg(quantileSketch(col(valueCol).cast("double"), accuracy).as("sketch"),
+        count(col(valueCol)).as("n"))
+      .select(col("window.start").as("window_start"),
+        quantileSketchQuery(col("sketch"),
+          array(qs.map(lit(_)): _*)).as("qs"), col("n"))
+  }
 }

@@ -384,6 +384,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("window quantiles: closed-window answers equal batch percentile_approx; bounded state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val qdf = ArticleStream.windowQuantiles(
+      mem.toDF().toDF("event_time", "len"), "event_time", "len",
+      qs = Seq(0.5, 0.9, 0.99), accuracy = 1 << 12,
+      windowLen = "1 hour", lateness = "30 minutes")
+    val q = qdf.writeStream.format("memory").queryName("wq_out")
+      .outputMode("append").start()
+    try {
+      // window [01:00, 02:00): a skewed value stream across TWO
+      // micro-batches so the sketch rides state-store serialize/merge
+      val b1 = (1 to 60).map(i => (ts(1), ((i * 2654435761L) % 500)))
+      val b2 = (1 to 40).map(i => (ts(1), 1000L + i))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      mem.addData((ts(5), 0L)) // advance watermark, close the window
+      q.processAllAvailable()
+      val rows = spark.table("wq_out")
+        .filter(col("window_start") === ts(1)).collect()
+      assert(rows.length == 1, s"one closed window expected: ${rows.toSeq}")
+      assert(rows(0).getLong(2) == 100L)
+      val got = rows(0).getSeq[Double](1)
+      val want = (b1 ++ b2).map(_._2.toDouble).toDF("v")
+        .agg(percentile_approx(col("v"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(1 << 12)).as("p"))
+        .collect()(0).getSeq[Double](0)
+      assert(got === want,
+        "closed-window sketch answers must equal batch percentile_approx")
+    } finally q.stop()
+  }
+
   test("S4: Kafka source provider resolves when the connector is present") {
     val connectorPresent =
       try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
