@@ -945,6 +945,24 @@ object OracleSql {
         |FROM q JOIN p USING (source, lang)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Line-dedup replay: same synthetic duplicate (first line
+    // re-appended), keep-first via DuckDB's indexed list lambda
+    // (list_position = first occurrence, exactly Spark's
+    // array_position).
+    "x_line_dedup" ->
+      """WITH w AS (SELECT doc_id,
+        |        regexp_replace(text, ' value ', '.' || chr(10), 'g') t0 FROM documents),
+        |w2 AS (SELECT doc_id,
+        |        t0 || chr(10) || string_split(t0, chr(10))[1] t FROM w),
+        |d AS (SELECT doc_id,
+        |        list_filter(string_split(t, chr(10)), l -> trim(l) <> '') lines FROM w2),
+        |k AS (SELECT doc_id, lines,
+        |        list_filter(lines, (l, i) -> list_position(lines, l) = i) kept FROM d)
+        |SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines,
+        |  CAST(len(kept) AS INTEGER) AS n_kept,
+        |  substring(array_to_string(kept, chr(10)), 1, 60) AS head
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     // Corpus diff replay: identical synthetic v1 (drop %7, stale text
     // on %11), fingerprint full-outer, per-source status counts.
     "x_corpus_diff" ->

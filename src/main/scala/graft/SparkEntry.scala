@@ -1299,6 +1299,24 @@ object SparkEntry {
             <= greatest(lit(0.1) * col("n_unique"), lit(10.0))).as("distinct_ok"))
         .orderBy("source", "lang")
     }),
+    // Intra-document line dedup — the within-page cleanup every web
+    // corpus runs (repeated nav bars / footers / menus INSIDE one page;
+    // cross-page duplication is the span index's job): keep each
+    // non-blank line's first occurrence, order preserved. Map-only
+    // higher-order-function column algebra — no shuffle, no UDF.
+    // Structure synthesized so every doc carries a real duplicate (its
+    // first line re-appended).
+    "x_line_dedup" -> ((s, d) => {
+      val lined = regexp_replace(col("text"), " value ", ".\n")
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        concat(lined, lit("\n"), element_at(split(lined, "\n"), 1)).as("text"))
+      val ded = CurationOps.dedupLines(col("text"))
+      docs.select(col("doc_id"),
+          size(filter(split(col("text"), "\n"), l => trim(l) =!= "")).as("n_lines"),
+          size(filter(split(ded, "\n"), l => trim(l) =!= "")).as("n_kept"),
+          substring(ded, 1, 60).as("head"))
+        .orderBy("doc_id")
+    }),
     // Corpus version diff — the dataset-release delta report ("what
     // changed since v1"): two corpus versions synthesized
     // deterministically from the fixture (v1 drops every 7th doc and

@@ -317,6 +317,27 @@ object CurationOps {
         size(filter(split(trim(l), graft.functions.text.WhitespaceRun), t => t =!= "")) >= minLineWords &&
         !lower(l).contains("javascript")), "\n")
 
+  /** Intra-document line dedup — the within-page sibling of
+    * [[c4LineClean]] (navigation bars, repeated boilerplate footers,
+    * scraped menus duplicate lines INSIDE one page; cross-page
+    * duplication is [[graft.operators.SpanDedup]]'s job): keep each
+    * non-blank line's FIRST occurrence, preserving order. Pure
+    * higher-order-function column algebra (zip_with over the line array
+    * and its index, keep where array_position == index) — map-only,
+    * whole-stage codegen, no shuffle, no UDF. Per-doc cost is O(L²)
+    * over the LINE count, which is bounded per document — the right
+    * trade at corpus scale where avoiding a shuffle dominates. */
+  def dedupLines(c: Column): Column = {
+    val lines = filter(split(c, "\n"), l => trim(l) =!= "")
+    array_join(
+      transform(
+        filter(zip_with(lines, sequence(lit(1), size(lines)),
+            (l, i) => struct(l.as("l"), i.as("i"))),
+          p => array_position(lines, p.getField("l")) === p.getField("i")),
+        p => p.getField("l")),
+      "\n")
+  }
+
   /** C4's document-level flags: "lorem ipsum" boilerplate and curly
     * braces (code); callers combine them with a retained-line minimum
     * (C4's "at least 3 sentences") for the page-level drop decision. */
