@@ -2215,6 +2215,40 @@ object OracleSql {
         |  CAST(strt % 64 AS BIGINT) AS tok_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // FFD packing replay: the placement loop as a LINEAR recursive CTE
+    // (one row per shard per step — the next item is determined, no
+    // argmax needed) carrying the bin-load list; list_position returns
+    // 0 for not-found in this DuckDB, hence the `> 0` fit test. Pure
+    // integer arithmetic — exact.
+    "x_pack_ffd" -> {
+      val fit = "list_position(list_transform(r.bins, b -> b + c.nt <= 64), true)"
+      s"""WITH RECURSIVE
+        |b AS (SELECT doc_id, CAST(len($words) AS BIGINT) nt,
+        |        CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS BIGINT) shard
+        |      FROM documents),
+        |f AS (SELECT doc_id, nt, shard,
+        |        row_number() OVER (PARTITION BY shard ORDER BY nt DESC, doc_id) i
+        |      FROM b WHERE nt > 0),
+        |rec AS (
+        |  SELECT shard, 0 AS i, []::BIGINT[] bins,
+        |         NULL::BIGINT doc_id, NULL::BIGINT nt, NULL::INTEGER bin
+        |  FROM (SELECT DISTINCT shard FROM f)
+        |  UNION ALL
+        |  SELECT r.shard, r.i + 1,
+        |    CASE WHEN c.nt > 64 THEN r.bins
+        |         WHEN $fit > 0 THEN
+        |           list_transform(r.bins, (b, j) -> CASE WHEN j = $fit THEN b + c.nt ELSE b END)
+        |         ELSE list_append(r.bins, c.nt) END,
+        |    c.doc_id, c.nt,
+        |    CASE WHEN c.nt > 64 THEN -1
+        |         WHEN $fit > 0 THEN CAST($fit AS INTEGER)
+        |         ELSE CAST(len(r.bins) + 1 AS INTEGER) END
+        |  FROM rec r JOIN f c ON c.shard = r.shard AND c.i = r.i + 1
+        |)
+        |SELECT doc_id, shard, nt AS n_tokens, CAST(bin AS INTEGER) AS bin
+        |FROM rec WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin
+    },
+
     // Global-order packing: one running total over the whole corpus in
     // doc_id order — the single-stream form of x_pack_sequences.
     "x_pack_global" ->

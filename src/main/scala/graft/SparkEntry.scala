@@ -934,6 +934,16 @@ object SparkEntry {
           budget = 64, shards = 8)
         .orderBy("doc_id")
     }),
+    // First-fit-decreasing packing (Krell et al. 2021): the bin-quality
+    // upgrade over the streaming fill — longest-first into the first
+    // bin that fits, one exact integer ffd_pack call per digest shard.
+    // The DuckDB oracle replays the placement loop as a linear
+    // recursive CTE carrying the bin-load list.
+    "x_pack_ffd" -> ((s, d) => {
+      CurationOps.packFirstFitDecreasing(T(s, d, "documents"), "doc_id", "text",
+          capacity = 64, shards = 8)
+        .orderBy("doc_id")
+    }),
     // Global-order packing: the exact end-to-end token stream in doc_id
     // order — one 64-token-budget stream for the whole corpus.
     "x_pack_global" -> ((s, d) => {

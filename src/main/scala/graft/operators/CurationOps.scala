@@ -907,6 +907,35 @@ object CurationOps {
   }
 
   /**
+   * First-fit-decreasing packing over digest shards — the bin-QUALITY
+   * form of [[packSequences]] (which cuts a new sequence on overflow
+   * and wastes every cut's tail; FFD places longest-first into the
+   * first bin that fits — near-optimal residual waste, Krell et al.
+   * 2021). The FFD itself is [[graft.functions.FfdPack]], one call per
+   * shard over collected (id, len) pairs — ids and lengths only, text
+   * never leaves the map side; the caller sizes `shards` so a shard's
+   * doc count stays collect-bounded (the [[graft.operators.StoryOps]]
+   * greedyMatch contract — production packs micro-shards for exactly
+   * this reason). Documents longer than `capacity` come back bin = −1;
+   * route them to the chunker, don't truncate silently.
+   */
+  def packFirstFitDecreasing(docs: DataFrame, idCol: String, textCol: String,
+                             capacity: Int, shards: Int = 32): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(shards > 0, s"shard count must be positive: $shards")
+    docs.select(col(idCol).as("doc_id"),
+        size(toks(col(textCol))).cast("long").as("n_tokens"),
+        graft.functions.sig.md5BucketCol(col(idCol).cast("string"), shards).as("shard"))
+      .filter(col("n_tokens") > 0)
+      .groupBy("shard")
+      .agg(collect_list(struct(col("doc_id"), col("n_tokens"))).as("items"))
+      .select(col("shard"),
+        explode(graft.functions.FfdPack.ffdPack(col("items"), capacity)).as("a"))
+      .select(col("a.id").as("doc_id"), col("shard"),
+        col("a.len").as("n_tokens"), col("a.bin").as("bin"))
+  }
+
+  /**
    * [[packSequences]] with the EXACT global stream order (docs laid
    * end-to-end by `idCol` across the whole corpus, no shard structure) —
    * for when training wants one canonical token stream rather than
