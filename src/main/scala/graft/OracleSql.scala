@@ -1710,6 +1710,23 @@ object OracleSql {
         |  cap <= ell AS saturated
         |FROM lv, el ORDER BY lang""".stripMargin,
 
+    // Mix-to-target replay: same feasibility bound N* = min(n/p), same
+    // per-domain acceptance rate, same salted-digest draw. Proportions
+    // forced to DOUBLE so the rate arithmetic runs in the same IEEE
+    // ops as the engine (a DECIMAL literal would divide differently).
+    "x_mix_to_target" ->
+      """WITH c AS (SELECT lang, count(*) n FROM documents
+        |           WHERE lang IN ('en','de','es','fr') GROUP BY 1),
+        |p AS (SELECT lang, n, CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+        |        WHEN 'es' THEN 0.2 ELSE 0.1 END AS DOUBLE) p FROM c),
+        |ns AS (SELECT min(n::DOUBLE / p) nstar FROM p),
+        |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE), p * ns.nstar / n::DOUBLE) rate
+        |      FROM p, ns)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE md5_number_lower('mt|' || CAST(doc_id AS VARCHAR)) % 1000000 <
+        |  CAST(floor(rate * 1000000) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
     // Weighted sample: Efraimidis–Spirakis exponential keys from the
     // same salted digest, rounded to 9 decimals (libm ln ulp parity),
     // digest-then-key tie-break — replays the engine's draw exactly.

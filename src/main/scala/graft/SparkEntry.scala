@@ -566,6 +566,18 @@ object SparkEntry {
           col("__budget"), maxEpochs = 0.5)
         .orderBy("lang")
     }),
+    // Mix-to-specification: hit an externally-given target mixture
+    // (en .5 / de .2 / es .2 / fr .1; zh absent → dropped) by
+    // downsampling only — the binding domain keeps everything, the
+    // rest accept p_d·N*/n_d via the salted-digest draw. The execution
+    // stage for DoReMi-style weights, next to the derivation stages
+    // (temperature, UniMax).
+    "x_mix_to_target" -> ((s, d) => {
+      SampleOps.mixToTarget(T(s, d, "documents"), "lang", col("doc_id"),
+          Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1), salt = "mt|")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
     // Weighted sampling without replacement (Efraimidis–Spirakis): 5
     // docs per source, selection probability ∝ n_chars — the biased
     // form of x_domain_cap's quota. Deterministic digest draw, so the

@@ -158,6 +158,44 @@ object SampleOps {
   }
 
   /**
+   * Mix-to-specification: deterministic acceptance sampling that
+   * reshapes the corpus to TARGET domain proportions by downsampling
+   * only — the execution stage for externally-derived mixture weights
+   * (a DoReMi run, a scaling-law sweep, a product spec), where
+   * [[CurationOps.temperatureMixture]] and [[unimaxAlloc]] DERIVE the
+   * target from counts, this takes an arbitrary one and hits it. The
+   * feasible output size under downsampling is N* = min_d n_d / p_d
+   * (the binding domain keeps everything); every domain then accepts
+   * p_d · N* / n_d of its docs via the salted-digest draw, so expected
+   * output proportions equal the target exactly. Domains absent from
+   * the target map are dropped.
+   *
+   * Scale shape: one tiny per-domain count aggregation; N* and the
+   * rates are arithmetic over that n_domains relation; the rates
+   * broadcast back and the keep decision is the map-side digest
+   * predicate — one corpus pass end to end.
+   */
+  def mixToTarget(df: DataFrame, domainCol: String, key: Column,
+                  targets: Map[String, Double], salt: String = ""): DataFrame = {
+    require(targets.nonEmpty, "empty target mixture")
+    targets.foreach { case (d, p) =>
+      require(p > 0.0 && p <= 1.0, s"target proportion out of range for $d: $p") }
+    val pCol = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (k, v)) => when(col("__dom") === k, lit(v)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(domainCol).as("__dom")).agg(count(lit(1)).as("__n"))
+      .withColumn("__p", pCol).where(col("__p").isNotNull)
+    val nstar = counts.agg(min(col("__n").cast("double") / col("__p")).as("__nstar"))
+    val rates = counts.crossJoin(broadcast(nstar))
+      .select(col("__dom"),
+        least(lit(1.0), col("__p") * col("__nstar") / col("__n").cast("double"))
+          .as("__rate"))
+    df.join(broadcast(rates), col(domainCol) === col("__dom"))
+      .filter(keep(key, col("__rate"), salt))
+      .drop("__dom", "__rate")
+  }
+
+  /**
    * Per-domain TOKEN-budget cap — the data-recipe form of
    * [[capPerGroup]] ("each domain contributes at most `budget` TOKENS",
    * not rows — the mixture knob training recipes actually specify):
