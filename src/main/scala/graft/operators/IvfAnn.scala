@@ -203,6 +203,31 @@ object IvfAnn {
       Seq(idCol), "__v", rehomeFromCol = Some("__old_cell"), meta = newMeta)
   }
 
+  /**
+   * Incremental REMOVE from a persisted index — the deletion leg of the
+   * index lifecycle (add = [[appendToIndex]], retrain = [[rebuildIndex]];
+   * remove is what dedup verdicts and takedown requests propagate): drop
+   * every stored row whose id is in `ids`. Cost: one COLUMN-PRUNED
+   * (id, cell) scan locates the victims' cells (the same price
+   * [[appendToIndex]] pays for re-home detection — cell addressing is by
+   * VALUE, so an id's bucket is unknowable without the scan), then only
+   * the buckets of those cells rewrite ([[graft.sources.TableSink.delete]]'s
+   * copy-on-write contract). Ids not present are no-ops. The staleness
+   * meta is left unchanged: removal does not move the fitted centroids,
+   * and leaving `base` counting removed rows only makes [[needsRebuild]]
+   * fire EARLIER — the safe direction.
+   */
+  def removeFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      ids: DataFrame, idCol: String): Unit = {
+    require(graft.sources.TableSink.layoutColOf(dir).isDefined,
+      s"no value-addressable index at '$dir' — write one with writeIndex first")
+    val like = spark.range(0).select(lit(0L).as(idCol), lit("").as("__cell_s"))
+    val victims = graft.sources.TableSink.read(spark, dir, like)
+      .select(col(idCol), col("__cell_s"))
+      .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_semi")
+    graft.sources.TableSink.delete(spark, dir, victims, Seq(idCol))
+  }
+
   private val IndexMetaRe = """ivf:v1;base=(\d+);added=(\d+)""".r
   private def parseIndexMeta(m: String): Option[(Long, Long)] = m match {
     case IndexMetaRe(b, a) => Some((b.toLong, a.toLong))

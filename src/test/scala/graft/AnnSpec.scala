@@ -100,6 +100,7 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
 
   test("persisted IVF-SQ8 index: stored probe == in-memory probe, opening fewer files") {
     import graft.sources.TableSink
+    import spark.implicits._
     val e = spark.read.parquet(sf() + "/embeddings.parquet").repartition(8).cache()
     val cells = IvfAnn.buildCells(e, "vec_id", "embedding", nlist = 16)
     val corpus = IvfAnn.assignCells(e, "vec_id", "embedding", cells)
@@ -191,6 +192,26 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(moved9999.contains(9999L) && moved9999(9999L) > 0.99,
       s"moved vector serves from its NEW cell: $moved9999")
+
+    // Incremental REMOVE (dedup verdict / takedown propagation): victims
+    // located via the column-pruned (id, cell) scan, only their cells'
+    // buckets rewrite, absent ids are no-ops, and the probe never serves
+    // a removed vector again.
+    val beforeRm = manifest()
+    IvfAnn.removeFromIndex(spark, dir,
+      Seq(9999L, 123456789L).toDF("vec_id"), "vec_id")
+    val afterRm = manifest()
+    val rmChanged = afterRm.filter { case (b, p) => beforeRm.get(b).exists(_ != p) }.keySet
+    assert(rmChanged.nonEmpty && rmChanged.size < afterRm.size,
+      s"only the victims' buckets rewrite: $rmChanged of ${afterRm.size}")
+    val servedAfterRm = IvfAnn.annSearchQuantizedStored(dir,
+        e.filter(col("vec_id") === 7), cells, "vec_id", "embedding",
+        k = 5, nprobe = 16)
+      .collect().map(_.getLong(1)).toSet
+    assert(!servedAfterRm.contains(9999L), "removed vector must never serve")
+    val likeId = spark.range(0).select(lit(0L).as("vec_id"))
+    assert(TableSink.read(spark, dir, likeId)
+      .filter(col("vec_id") === 9999L).count() == 0L, "row physically gone")
   }
 
   test("staleness trigger: drifted adds fire needsRebuild; rebuild restores the recall contract") {
