@@ -140,6 +140,11 @@ object Bm25Store {
   private def postingsDir(dir: String) = s"$dir/postings"
   private def dfDir(dir: String) = s"$dir/df"
   private def statsDir(dir: String) = s"$dir/stats"
+  private def docsDir(dir: String) = s"$dir/docs"
+  private def tombsDir(dir: String) = s"$dir/tombstones"
+
+  private def relationRoots(dir: String) =
+    Seq(postingsDir(dir), dfDir(dir), statsDir(dir), docsDir(dir), tombsDir(dir))
 
   // Monotone record of every batch-named part EVER absorbed — the
   // [[graft.pipelines.Admission]] `_absorbed` idiom: a names-only
@@ -150,14 +155,17 @@ object Bm25Store {
   // re-write and re-ledger the part = double-counted postings/df/stats.
   private def absorbedDir(dir: String) = s"$dir/_absorbed"
 
-  /** The three additive relations of one document set. Stats carry BOTH
-    * row count (`n_docs` — what idf's N uses) and non-null-token-array
+  /** The additive relations of one document set. Stats carry BOTH row
+    * count (`n_docs` — what idf's N uses) and non-null-token-array
     * count (`n_dl` — `avg(size(t))`'s denominator, which SKIPS null-text
     * docs whose `size` is null) so the assembled avgdl matches
     * [[Bm25.index]] exactly even on corpora with null text. Empty-STRING
-    * docs have size 0 and count in both. */
+    * docs have size 0 and count in both. The `docs` relation
+    * (doc_id, dl) exists for [[delete]]: exact stat decrements need the
+    * deleted ids' lengths, and the postings cannot answer that (they are
+    * term-clustered and carry no row for a token-less doc). */
   private def parts(docs: DataFrame, idCol: String, textCol: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tokd = docs.select(col(idCol).as("doc_id"), Bm25.toks(col(textCol)).as("t"))
     // Materialize the postings ONCE: three consumers otherwise re-run
     // the tokenize+explode+groupBy subtree — the range partitioner's
@@ -175,15 +183,26 @@ object Bm25Store {
     val stats = tokd.agg(count(lit(1)).as("n_docs"),
       count(size(col("t"))).as("n_dl"),
       coalesce(sum(size(col("t"))), lit(0L)).as("sum_dl"))
-    (postings, df, stats)
+    val docRows = tokd.select(col("doc_id"), size(col("t")).as("dl"))
+    (postings, df, stats, docRows)
   }
 
   /** The additive merges of the live parts — ONE definition shared by
-    * [[readIndex]] and [[compact]]: postings concatenate (disjoint
-    * rows), df and stats sum. */
+    * [[readIndex]] and [[compact]]: postings and doc rows concatenate
+    * minus the tombstone union, df and stats sum. The returned df is
+    * STALE while tombstones exist (the Lucene deleted-docs contract —
+    * see [[delete]]); stats are exact (delete parts carry negative
+    * decrements). */
   private def merged(spark: SparkSession, dir: String, names: Seq[String])
-      : (DataFrame, DataFrame, DataFrame) = {
-    val postings = spark.read.parquet(names.map(p => s"${postingsDir(dir)}/$p"): _*)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tombs = spark.read
+      .parquet(names.map(p => s"${tombsDir(dir)}/$p"): _*).distinct()
+    def minusTombs(rel: DataFrame) =
+      rel.join(tombs, Seq("doc_id"), "left_anti")
+    val postings = minusTombs(
+      spark.read.parquet(names.map(p => s"${postingsDir(dir)}/$p"): _*))
+    val docRows = minusTombs(
+      spark.read.parquet(names.map(p => s"${docsDir(dir)}/$p"): _*))
     val dfParts = names.map(p => spark.read.parquet(s"${dfDir(dir)}/$p"))
     val dfm =
       if (dfParts.size == 1) dfParts.head
@@ -193,7 +212,7 @@ object Bm25Store {
       .reduce(_ unionByName _)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_dl")).as("n_dl"),
         sum(col("sum_dl")).as("sum_dl"))
-    (postings, dfm, st)
+    (postings, dfm, st, docRows, tombs)
   }
 
   /** ONE ledger at the store root governs all three relations: a part
@@ -203,13 +222,39 @@ object Bm25Store {
     * publishes via replace, never add — an add would transiently list
     * the merged part alongside the parts it merged = double counts). */
   private def writePart(dir: String, name: String, postings: DataFrame,
-                        df: DataFrame, stats: DataFrame,
-                        ledger: Boolean = true): Unit = {
+                        df: DataFrame, stats: DataFrame, docRows: DataFrame,
+                        tombs: DataFrame, ledger: Boolean = true): Unit = {
     postings.repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"${postingsDir(dir)}/$name")
     df.write.mode("overwrite").parquet(s"${dfDir(dir)}/$name")
     stats.write.mode("overwrite").parquet(s"${statsDir(dir)}/$name")
+    docRows.write.mode("overwrite").parquet(s"${docsDir(dir)}/$name")
+    tombs.write.mode("overwrite").parquet(s"${tombsDir(dir)}/$name")
     if (ledger) DeltaParts.add(dir, name)
+  }
+
+  /** Empty frames for the relations a part does not carry (delete parts
+    * have no postings; append parts have no tombstones). */
+  private def emptyPostings(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("term", StringType), StructField("doc_id", LongType),
+        StructField("dl", IntegerType), StructField("tf", LongType))))
+  }
+  private def emptyDf(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("term", StringType), StructField("df", LongType))))
+  }
+  private def emptyDocs(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("dl", IntegerType))))
+  }
+  private def emptyTombs(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType))))
   }
 
   /** Initialize from an existing corpus — O(corpus), once. REFUSES a
@@ -228,8 +273,8 @@ object Bm25Store {
         s"BM25 store at '$dir' was already initialized " +
           s"(found: ${priorLife.mkString(", ")}) — init is run-once; " +
           "delete the store dir (or point at a fresh one) to rebuild.")
-    val (p, d, s) = parts(corpus, idCol, textCol)
-    writePart(dir, "part_00000", p, d, s)
+    val (p, d, s, dr) = parts(corpus, idCol, textCol)
+    writePart(dir, "part_00000", p, d, s, dr, emptyTombs(spark))
     DeltaParts.add(absorbedDir(dir), "part_00000")
   }
 
@@ -251,7 +296,7 @@ object Bm25Store {
     // batch — the Admission.run idiom).
     val absorbed = DeltaParts.list(absorbedDir(dir))
     val n = name.getOrElse(DeltaParts.nextIndexedName(dir,
-      Seq(postingsDir(dir), dfDir(dir), statsDir(dir)), extraNames = absorbed))
+      relationRoots(dir), extraNames = absorbed))
     // An absorbed name is a completed append, even if compaction folded
     // the part out of the live ledger; a ledgered-but-unabsorbed name is
     // a crash between writePart and the absorbed add — the files are
@@ -261,8 +306,53 @@ object Bm25Store {
     // just finish the record.
     if (absorbed.contains(n)) return
     if (!DeltaParts.list(dir).contains(n)) {
-      val (p, d, s) = parts(newDocs, idCol, textCol)
-      writePart(dir, n, p, d, s)
+      val (p, d, s, dr) = parts(newDocs, idCol, textCol)
+      writePart(dir, n, p, d, s, dr, emptyTombs(spark))
+    }
+    DeltaParts.add(absorbedDir(dir), n)
+  }
+
+  /**
+   * Delete documents by id — the Lucene deleted-docs contract made
+   * explicit: a delete is an O(batch + docs-relation) part append (a
+   * TOMBSTONE id set plus an exact NEGATIVE stats decrement computed
+   * from the live docs relation), never a postings rewrite. After a
+   * delete: (a) a deleted doc is never scored or returned — postings
+   * anti-join the tombstone union at assembly; (b) `n_docs`/`avgdl` are
+   * immediately exact (the decrement is computed against LIVE docs, so
+   * double-deleting an id or deleting an absent id decrements nothing);
+   * (c) per-term `df` stays STALE until the next [[compact]] rebuilds
+   * it from surviving postings — idf drifts slightly high for terms the
+   * deleted docs carried, exactly as a Lucene segment scores between a
+   * delete and its merge. Compaction physically removes the rows and
+   * clears the tombstones.
+   *
+   * Replay-idempotent by `name` like [[append]]. CONTRACT: a deleted id
+   * stays deleted until a compaction has folded the tombstone away;
+   * re-admitting content under a tombstoned id before that compaction
+   * would be silently masked — re-admit under a fresh id (ids are
+   * write-once across the store's history, the [[restore]] contract).
+   */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String, name: Option[String] = None): Unit = {
+    val absorbed = DeltaParts.list(absorbedDir(dir))
+    val n = name.getOrElse(DeltaParts.nextIndexedName(dir,
+      relationRoots(dir), extraNames = absorbed))
+    if (absorbed.contains(n)) return
+    if (!DeltaParts.list(dir).contains(n)) {
+      val live = DeltaParts.list(dir)
+      require(live.nonEmpty, s"no BM25 store at '$dir' — run init first")
+      val (_, _, _, docRows, _) = merged(spark, dir, live)
+      val victims = docRows
+        .join(ids.select(col(idCol).cast("long").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      val decrement = victims.agg(
+        (-count(lit(1))).as("n_docs"),
+        (-count(col("dl"))).as("n_dl"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+      writePart(dir, n, emptyPostings(spark), emptyDf(spark), decrement,
+        emptyDocs(spark), victims.select(col("doc_id")))
     }
     DeltaParts.add(absorbedDir(dir), n)
   }
@@ -299,7 +389,7 @@ object Bm25Store {
                 tag: Option[String] = None): DataFrame = {
     val names = tag.fold(DeltaParts.list(dir))(t => DeltaParts.listAt(dir, t))
     require(names.nonEmpty, s"no BM25 store at '$dir' — run init first")
-    val (postings, dfm, st0) = merged(spark, dir, names)
+    val (postings, dfm, st0, _, _) = merged(spark, dir, names)
     // avgdl over docs with a token ARRAY (n_dl): avg() skips null-text
     // docs; n_docs (all rows) stays idf's N — exactly Bm25.index.
     val st = st0.select(col("n_docs"),
@@ -310,26 +400,34 @@ object Bm25Store {
   }
 
   /** Scheduled compaction: fold all parts into one (re-clustering the
-    * postings by term so row-group pruning is corpus-wide again).
-    * O(index); postings-sized, still far under the corpus text. */
+    * postings by term so row-group pruning is corpus-wide again),
+    * physically removing tombstoned rows and REBUILDING df from the
+    * surviving postings — the merge that makes [[delete]]'s stale idf
+    * exact again, same as a Lucene segment merge. O(index);
+    * postings-sized, still far under the corpus text. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val old = DeltaParts.list(dir)
     if (old.size <= 1) return
     val gen = s"part_c${System.nanoTime()}"
     // merge each additive relation from its own parts — exact integer
-    // sums, no float round-trip through the assembled avgdl
-    val (postings, dfm, st) = merged(spark, dir, old)
+    // sums, no float round-trip through the assembled avgdl. Postings
+    // and doc rows come back tombstone-filtered; df is rebuilt from the
+    // survivors (one row per (term, doc), so count == document
+    // frequency), not summed from the stale parts.
+    val (postings, _, st, docRows, _) = merged(spark, dir, old)
+    val postingsLive = postings.localCheckpoint(true)
+    val dfLive = postingsLive.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // The parts the merged gen supersedes stay on disk for in-flight
     // readers of the previous ledger; the NEXT compaction sweeps them
-    // (DeltaParts deferred-GC contract, applied across all three
-    // relation roots).
-    writePart(dir, gen, postings, dfm, st, ledger = false)
+    // (DeltaParts deferred-GC contract, applied across all relation
+    // roots). The new gen carries no tombstones — the rows are gone.
+    writePart(dir, gen, postingsLive, dfLive, st, docRows,
+      emptyTombs(spark), ledger = false)
     // Protect: the parts this gen supersedes (kept one cycle for
     // in-flight readers), the gen itself, and every snapshot-pinned part
     // (a tag must replay byte-identically for as long as it lives).
     val protect = old.toSet + gen ++ DeltaParts.pinned(dir)
-    Seq(postingsDir(dir), dfDir(dir), statsDir(dir))
-      .foreach(r => DeltaParts.sweepOrphans(r, protect))
+    relationRoots(dir).foreach(r => DeltaParts.sweepOrphans(r, protect))
     DeltaParts.publish(dir, Seq(gen))
   }
 }

@@ -137,6 +137,53 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
       rows(Bm25.index(a.unionByName(b).unionByName(c), "doc_id", "text")))
   }
 
+  test("Bm25Store.delete: tombstoned docs never serve, stats exact at once, df exact after compact") {
+    import graft.operators.Bm25Store
+    val all = docs.unionByName(
+      Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25_del").toString
+    Bm25Store.init(spark, dir, all, "doc_id", "text")
+    // delete doc 2 (three 'spark' + 'broadcast join') and the null-text
+    // doc 7; also pass an absent id — must decrement nothing
+    Bm25Store.delete(spark, dir, Seq(2L, 7L, 999L).toDF("doc_id"),
+      "doc_id", name = Some("del_1"))
+    val survivors = all.filter(!col("doc_id").isin(2L, 7L))
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val want = rows(Bm25.index(survivors, "doc_id", "text"))
+
+    // (a) deleted docs never appear; (b) n_docs/avgdl already exact —
+    // only df may differ pre-compaction (the documented Lucene lag)
+    val pre = Bm25Store.readIndex(spark, dir)
+    assert(pre.filter(col("doc_id").isin(2L, 7L)).count() == 0L,
+      "tombstoned docs must never assemble")
+    val preNoDf = rows(pre.drop("df"))
+    assert(preNoDf == rows(Bm25.index(survivors, "doc_id", "text").drop("df")),
+      "postings/stats must be exact immediately after the delete")
+    // the stale-df lag is real and visible pre-compaction for 'spark'
+    // (doc 2 carried it): stale df = 3, live df = 2
+    val staleDf = pre.filter(col("term") === "spark")
+      .select("df").distinct().collect().map(_.getLong(0)).toSet
+    assert(staleDf == Set(3L), s"pre-compaction df counts the deleted doc: $staleDf")
+
+    // double-delete replay and re-delete: no further decrement
+    Bm25Store.delete(spark, dir, Seq(2L).toDF("doc_id"), "doc_id", name = Some("del_1"))
+    Bm25Store.delete(spark, dir, Seq(2L).toDF("doc_id"), "doc_id", name = Some("del_2"))
+    assert(rows(Bm25Store.readIndex(spark, dir).drop("df")) == rows(
+      Bm25.index(survivors, "doc_id", "text").drop("df")),
+      "replayed and repeated deletes must not decrement twice")
+
+    // (c) compaction physically removes rows, rebuilds df — full equality
+    Bm25Store.compact(spark, dir)
+    assert(rows(Bm25Store.readIndex(spark, dir)) == want,
+      "post-compaction index must equal the monolithic index over the survivors")
+    assert(graft.sources.DeltaParts.list(dir).size == 1)
+    // search parity end to end
+    assert(asRows(Bm25.searchIndex(Bm25Store.readIndex(spark, dir), queries,
+        "qid", "qtext", k = 10, maxDfFrac = 1.0)) ==
+      asRows(Bm25.searchIndex(Bm25.index(survivors, "doc_id", "text"), queries,
+        "qid", "qtext", k = 10, maxDfFrac = 1.0)))
+  }
+
   test("Bm25Store: snapshot tag → mutate (append+compact cycles) → read-at-tag byte-identical; sweep keeps pinned parts") {
     import graft.operators.Bm25Store
     import graft.sources.DeltaParts
