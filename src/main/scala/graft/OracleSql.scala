@@ -1069,6 +1069,35 @@ object OracleSql {
         |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rank
         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // BM25-after-delete replay: the index CTEs run over the SURVIVORS
+    // only (the %5 slice is tombstoned and compacted away); queries
+    // still come from the full corpus — a deleted doc's query text is
+    // still a query. Equality proves decremented stats + rebuilt df.
+    "x_bm25_delete" ->
+      s"""WITH tokd AS (SELECT doc_id, $words AS t FROM documents
+        |               WHERE doc_id % 5 <> 0),
+        |tf AS (SELECT doc_id, dl, term, count(*) tf FROM
+        |         (SELECT doc_id, len(t) dl, unnest(t) term FROM tokd)
+        |       GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) n_docs, avg(len(t)) avgdl FROM tokd),
+        |qt AS (SELECT DISTINCT qid, term FROM
+        |         (SELECT doc_id qid, unnest(($words)[1:5]) term FROM documents
+        |          WHERE doc_id % 97 = 0)),
+        |sc AS (SELECT qt.qid query_id, tf.doc_id,
+        |         sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |             * tf.tf * 2.2
+        |             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) score
+        |       FROM qt JOIN tf ON tf.term = qt.term
+        |         JOIN df ON df.term = qt.term CROSS JOIN st
+        |       WHERE df.df::DOUBLE / st.n_docs <= 1.0
+        |       GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, round(score, 6) score,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY round(score, 6) DESC, doc_id) rn FROM sc)
+        |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rank
+        |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
     // Z-order key replay: same exact integer bucketization (// is
     // DuckDB integer division — the engine's pmod construction computes
     // the identical exact quotient) and an explicit bit-interleave sum.

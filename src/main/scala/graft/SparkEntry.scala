@@ -1507,6 +1507,28 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Deletion on the standing BM25 store: init over the full corpus,
+    // tombstone-delete the %5 slice, compact (physical removal + df
+    // rebuild — the Lucene segment-merge point where stale idf becomes
+    // exact again), search. Must equal the monolithic BM25 oracle over
+    // the SURVIVORS — proving the negative stats decrements, the
+    // tombstone anti-join, and the rebuilt df are all current.
+    "x_bm25_delete" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val dir = tmpStore("bm25_del")
+      Bm25Store.init(s, dir, docs, "doc_id", "text")
+      Bm25Store.delete(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id")),
+        "doc_id", name = Some("del_0"))
+      Bm25Store.compact(s, dir)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          text.firstKTokens(col("text"), 5).as("qtext"))
+      Bm25.searchIndex(Bm25Store.readIndex(s, dir), queries, "qid", "qtext",
+          k = 10, maxDfFrac = 1.0)
+        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // Z-order layout key: exact equi-width buckets (integer math) of
     // (o_custkey, o_orderkey) interleaved into the Morton code that
     // zorderBy clusters files on. Map-only: the min/max stats ride a
