@@ -381,8 +381,56 @@ object Admission {
   def compact(spark: SparkSession, storeDir: String): Unit = {
     if (listParts(storeDir).size <= 1) return
     val gen = f"part_c${System.nanoTime()}%d"
+    // Digests whose counts an [[unadmit]] decrement has zeroed are dead
+    // rows — physically dropped here, the same way Bm25Store.compact
+    // folds its tombstones away.
     readSpanIndex(spark, storeDir)
+      .filter(col("n_docs") > 0 || col("n_occ") > 0)
       .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$gen")
     graft.sources.DeltaParts.replaceAll(spanDir(storeDir), gen)
+  }
+
+  /**
+   * Remove CONTENT from the standing stores — the takedown /
+   * dedup-retraction inverse of [[absorb]], completing the admission
+   * store's lifecycle (admit = [[run]], maintain = [[compact]], remove
+   * = this). `removed` carries the documents' ORIGINAL text (what
+   * [[absorb]] indexed): the span decrement is an O(batch) NEGATIVE
+   * inventory part — `spanDigestIndex` of the removed docs with counts
+   * negated, summed away by the ordinary additive merge, zeroed digests
+   * physically dropped at the next [[compact]] — and the fingerprint
+   * delete is [[graft.sources.TableSink.delete]]'s bucket-pruned
+   * copy-on-write. The standing index is never rescanned.
+   *
+   * CONTRACT — content-level, exactly-once: unadmit removes every copy
+   * of the given content in one call (the fingerprint table is
+   * content-keyed; removing one of two identical docs would forget the
+   * survivor), and each piece of content is unadmitted at most once
+   * per absorption (a second, differently-named unadmit of the same
+   * docs would drive span counts negative — harmless for admission
+   * thresholds, wrong as inventory). Replay-idempotent per `name` at
+   * every crash point via the `_absorbed` ledger ([[absorb]]'s
+   * machinery verbatim; the fingerprint delete is key-idempotent).
+   */
+  def unadmit(spark: SparkSession, storeDir: String, removed: DataFrame,
+              idCol: String, textCol: String, cfg: Config = Config(),
+              name: Option[String] = None): Unit = {
+    import graft.sources.DeltaParts
+    val absorbed = DeltaParts.list(absorbedDir(storeDir))
+    val n = name.getOrElse(DeltaParts.nextIndexedName(spanDir(storeDir),
+      Seq(spanDir(storeDir)), extraNames = absorbed))
+    if (absorbed.contains(n)) return
+    val rem = removed.localCheckpoint(true)
+    val fps = rem.select(text.fingerprint(col(textCol)).as("__fp"))
+      .filter(col("__fp").isNotNull).distinct()
+    TableSink.delete(spark, fpDir(storeDir), fps, Seq("__fp"))
+    if (!DeltaParts.list(spanDir(storeDir)).contains(n)) {
+      SpanDedup.spanDigestIndex(rem, idCol, textCol, cfg.spanK)
+        .select(col("__h1"), col("__h2"),
+          (-col("n_docs")).as("n_docs"), (-col("n_occ")).as("n_occ"))
+        .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$n")
+      DeltaParts.add(spanDir(storeDir), n)
+    }
+    DeltaParts.add(absorbedDir(storeDir), n)
   }
 }

@@ -83,6 +83,45 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
       "compacted store must still remember b2's admitted doc 12")
   }
 
+  test("unadmit inverts an absorption: verdicts return to the pre-admission state") {
+    val corpus = df(Seq(
+      401L -> goodText('r'),
+      402L -> (goodText('s') + " " + boiler)))
+    val b1 = df(Seq(2L -> (goodText('p') + " " + boiler)))
+    val store = java.nio.file.Files.createTempDirectory("admission-unadmit").toString
+    Admission.init(spark, store, corpus, "doc_id", "text")
+    val v1 = collectVerdicts(Admission.run(spark, store, b1, "doc_id", "text"))
+    assert(v1(2L)._1 == "admitted")
+
+    // Probe batch: an exact copy of the absorbed doc + a doc sharing
+    // its goodText('p') spans — both verdicts depend on whether the
+    // absorption is still standing.
+    val probe = df(Seq(
+      31L -> (goodText('p') + " " + boiler),
+      32L -> (goodText('p') + " extra tail of fresh words here today")))
+    val withB1 = collectVerdicts(Admission.runAgainst(probe,
+      corpus.unionByName(b1), "doc_id", "text"))
+    val withoutB1 = collectVerdicts(Admission.runAgainst(probe, corpus, "doc_id", "text"))
+    assert(withB1 != withoutB1, "fixture must make the absorption observable")
+
+    // Un-admit b1's content, replay the named removal (must be a no-op),
+    // then the store must answer as if b1 was never absorbed.
+    Admission.unadmit(spark, store, b1, "doc_id", "text", name = Some("rm_b1"))
+    Admission.unadmit(spark, store, b1, "doc_id", "text", name = Some("rm_b1"))
+    val got = collectVerdicts(Admission.run(spark, store, probe, "doc_id", "text"))
+    assert(got == withoutB1,
+      s"post-unadmit store must equal the never-absorbed reference:\n" +
+        s" store=$got\n ref  =$withoutB1")
+
+    // Compaction drops the zeroed digests physically and changes nothing.
+    val zeroed = Admission.readSpanIndex(spark, store)
+      .filter(col("n_docs") <= 0 && col("n_occ") <= 0).count()
+    Admission.compact(spark, store)
+    assert(Admission.readSpanIndex(spark, store)
+      .filter(col("n_docs") <= 0 && col("n_occ") <= 0).count() == 0L,
+      s"compaction must drop the $zeroed zeroed digests")
+  }
+
   test("streaming ingest == batch reference; replay is exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
