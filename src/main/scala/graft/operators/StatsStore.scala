@@ -30,6 +30,14 @@ import graft.sources.DeltaParts
  * append; queried quantiles are rank-exact while a group's TOTAL count
  * stays ≤ accuracy/2 (the `x_outlier_trim` bound — the merged sketch's
  * error is governed by the union size).
+ *
+ * INSERT-ONLY by design: Greenwald–Khanna summaries are not
+ * subtractable, so this store has no delete path (unlike the engine's
+ * other standing stores — [[Bm25Store.delete]],
+ * [[IvfAnn.removeFromIndex]], [[graft.pipelines.Admission.unadmit]]).
+ * Removing documents from the tracked distribution means re-running
+ * [[init]] over the surviving corpus on a fresh dir — schedule it like
+ * any bulk rebuild.
  */
 object StatsStore {
 
