@@ -1574,6 +1574,17 @@ object OracleSql {
          |FROM documents doc LEFT JOIN c ON c.id = doc.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
 
+    // Cluster-size histogram: same closure, two grouped counts.
+    "x_dup_histogram" ->
+      s"""$dupComponentCtes,
+         |hmemb AS (SELECT coalesce(c.component, doc.doc_id) component
+         |      FROM documents doc LEFT JOIN c ON c.id = doc.doc_id),
+         |hsz AS (SELECT component, count(*) csz FROM hmemb GROUP BY 1)
+         |SELECT CAST(csz AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_components,
+         |  CAST(sum(csz) AS BIGINT) AS n_docs
+         |FROM hsz GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Quality-aware representative: same closure, survivor = n_chars
     // argmax with doc-id tie-break (row_number replay of max_by).
     "x_dup_rep_quality" ->
@@ -1738,6 +1749,32 @@ object OracleSql {
         |  round(least(cap, ell) / nt, 6) AS epochs,
         |  cap <= ell AS saturated
         |FROM lv, el ORDER BY lang""".stripMargin,
+
+    // Epoch-expansion replay: the x_unimax_mix waterfill (3-epoch cap,
+    // 1.5× token budget), epochs rounded to 6 exactly as unimaxAlloc
+    // outputs them — the rounded value IS the plan both engines
+    // execute — then floor + fractional digest draw + series unnest.
+    "x_epoch_expand" ->
+      s"""WITH w AS (SELECT lang, CAST(sum(len($words)) AS DOUBLE) nt
+        |      FROM documents GROUP BY 1),
+        |tot AS (SELECT 1.5 * sum(nt) b, count(*) n FROM w),
+        |s AS (SELECT lang, nt, nt * 3.0 cap,
+        |        row_number() OVER (ORDER BY nt * 3.0, lang) i,
+        |        coalesce(sum(nt * 3.0) OVER (ORDER BY nt * 3.0, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) p
+        |      FROM w),
+        |lv AS (SELECT s.*, (tot.b - s.p) / (tot.n - s.i + 1) lvl FROM s, tot),
+        |el AS (SELECT coalesce(max(lvl) FILTER (WHERE cap > lvl), 1e308) ell FROM lv),
+        |r AS (SELECT lang, round(least(cap, ell) / nt, 6) e FROM lv, el),
+        |cnt AS (SELECT d.doc_id, d.lang,
+        |          CAST(floor(e) AS BIGINT) +
+        |          (CASE WHEN md5_number_lower('ee|' || CAST(d.doc_id AS VARCHAR)) % 1000000
+        |                  < CAST(floor((e - floor(e)) * 1000000) AS BIGINT)
+        |            THEN 1 ELSE 0 END) n
+        |        FROM documents d JOIN r ON d.lang = r.lang)
+        |SELECT doc_id, lang, CAST(t.copy AS INTEGER) AS copy
+        |FROM cnt, unnest(generate_series(1, n)) t(copy)
+        |WHERE n > 0 ORDER BY doc_id, copy""".stripMargin,
 
     // Mix-to-target replay: same feasibility bound N* = min(n/p), same
     // per-domain acceptance rate, same salted-digest draw. Proportions

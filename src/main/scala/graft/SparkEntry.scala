@@ -425,6 +425,24 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
         .orderBy("doc_id")
     }),
+    // Duplicate-cluster size histogram — the dedup AUDIT number a
+    // release reports ("how much of the corpus is 2-copies, how much is
+    // boilerplate with 50"): same closure, then two bounded
+    // aggregations (per-component size → per-size counts); everything
+    // after the closure is component-count-sized.
+    "x_dup_histogram" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.02)
+      val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("component"))
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_components"),
+          sum(col("sz")).as("n_docs"))
+        .select(col("sz").as("cluster_size"), col("n_components"), col("n_docs"))
+        .orderBy("cluster_size")
+    }),
     // Quality-aware dedup representative: same component closure, but
     // the survivor is the LONGEST member (n_chars argmax, doc-id
     // tie-break) instead of min-id — the policy real fuzzy-dedup
@@ -565,6 +583,27 @@ object SparkEntry {
       SampleOps.unimaxAlloc(withBudget, "lang", "n_tokens",
           col("__budget"), maxEpochs = 0.5)
         .orderBy("lang")
+    }),
+    // Epoch expansion: the UniMax plan EXECUTED — waterfill 1.5× the
+    // corpus tokens at a 3-epoch cap (tail languages land ~2 epochs,
+    // the head ~0.7), then materialize the repeat stream: floor(e)
+    // copies per doc plus a digest-drawn fractional copy. Map-only
+    // after the broadcast epochs join.
+    "x_epoch_expand" -> ((s, d) => {
+      val counts = T(s, d, "documents")
+        .withColumn("nt", text.tokenCount(col("text")).cast("long"))
+        .groupBy("lang").agg(sum(col("nt")).as("n_tokens"))
+        .localCheckpoint(true)
+      val withBudget = counts.crossJoin(broadcast(
+        counts.agg((sum(col("n_tokens")) * lit(1.5)).as("__budget"))))
+      val plan = SampleOps.unimaxAlloc(withBudget, "lang", "n_tokens",
+          col("__budget"), maxEpochs = 3.0)
+        .select(col("lang"), col("epochs"))
+      SampleOps.epochExpand(
+          T(s, d, "documents").select(col("doc_id"), col("lang")),
+          "lang", col("doc_id"), plan, salt = "ee|")
+        .select(col("doc_id"), col("lang"), col("copy").cast("int").as("copy"))
+        .orderBy("doc_id", "copy")
     }),
     // Mix-to-specification: hit an externally-given target mixture
     // (en .5 / de .2 / es .2 / fr .1; zh absent → dropped) by

@@ -303,6 +303,35 @@ object SampleOps {
   }
 
   /**
+   * Epoch expansion — materialize a multi-epoch sampling plan into the
+   * actual repeat stream ([[unimaxAlloc]] DERIVES "language l trains
+   * for e_l epochs"; this EXECUTES it): every document of domain `d`
+   * appears `floor(e_d)` times plus one more with probability
+   * `frac(e_d)` via the deterministic salted-digest draw, so the
+   * expected token count per domain is exactly `e_d · tokens_d`.
+   * Map-only after the broadcast epochs join — floor/draw/explode in
+   * one codegen pass, no shuffle, output rows carry a `copy` index so
+   * downstream shuffles (packing, splits) can salt on it.
+   *
+   * `epochs`: one row per domain `(domainCol, epochs)` — tiny by
+   * contract (broadcast). Domains absent from it are dropped; epochs
+   * may exceed 1 (repeat) or sit below 1 (subsample), uniformly.
+   */
+  def epochExpand(df: DataFrame, domainCol: String, key: Column,
+                  epochs: DataFrame, salt: String = ""): DataFrame = {
+    require(epochs.columns.contains(domainCol) && epochs.columns.contains("epochs"),
+      s"epochs relation needs ($domainCol, epochs), got ${epochs.columns.toSeq}")
+    val joined = df.join(broadcast(epochs), Seq(domainCol))
+    val e = col("epochs")
+    val copies = floor(e).cast("long") +
+      keep(key, e - floor(e), salt).cast("long")
+    joined.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n", "epochs")
+  }
+
+  /**
    * Per-group quantile outlier trim — the standard "drop documents past
    * the p99 length for their source" cleaning rule, built on the SKETCH
    * path so it scales: per-group thresholds come from
