@@ -73,6 +73,48 @@ class UniMaxSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("epochExpand: copies = floor(e) or floor(e)+1, per-doc deterministic, absent domains dropped") {
+    val docs = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("doc_id", "dom")
+    val plan = Seq(("a", 2.4), ("b", 0.6)).toDF("dom", "epochs")
+    val out = SampleOps.epochExpand(docs, "dom", col("doc_id"), plan, salt = "t|")
+      .select(col("doc_id"), col("dom"), col("copy"))
+      .as[(Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    byDoc.foreach { case (id, copies) =>
+      assert(copies === (1L to copies.size), s"copy indices must be 1..n for $id")
+    }
+    val aCounts = byDoc.filter(_._1 % 3 == 0).values.map(_.size).toSeq
+    assert(aCounts.forall(n => n == 2 || n == 3), "domain a: floor(2.4)=2 or 3 copies")
+    val a3frac = aCounts.count(_ == 3).toDouble / aCounts.size
+    assert(a3frac > 0.2 && a3frac < 0.6, s"~40% of a-docs get the extra copy: $a3frac")
+    val bDocs = docs.filter(col("dom") === "b").count()
+    val bOut = out.filter(_._2 == "b")
+    assert(bOut.forall(_._3 == 1L), "domain b: 0 or 1 copies only")
+    val bFrac = bOut.map(_._1).distinct.size.toDouble / bDocs
+    assert(bFrac > 0.4 && bFrac < 0.8, s"~60% of b-docs survive: $bFrac")
+    // determinism + domain drop
+    val again = SampleOps.epochExpand(docs, "dom", col("doc_id"), plan, salt = "t|")
+      .select(col("doc_id"), col("dom"), col("copy"))
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._3)).toSeq === again.sortBy(r => (r._1, r._3)).toSeq)
+    val dropped = SampleOps.epochExpand(docs, "dom", col("doc_id"),
+      Seq(("a", 1.0)).toDF("dom", "epochs"), salt = "t|")
+    assert(dropped.filter(col("dom") === "b").count() === 0L)
+  }
+
+  test("mixToTarget: binding domain keeps everything; output proportions track the target") {
+    val docs = ((1L to 600L).map(i => (i, "big")) ++ (601L to 700L).map(i => (i, "small")))
+      .toDF("doc_id", "dom")
+    // target small 0.4 → N* = 100/0.4 = 250; big accepts 0.6*250/600 = 0.25
+    val out = SampleOps.mixToTarget(docs, "dom", col("doc_id"),
+        Map("big" -> 0.6, "small" -> 0.4), salt = "mt|")
+      .groupBy("dom").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out("small") === 100L, "binding domain must keep everything")
+    val frac = out("big").toDouble / 600
+    assert(frac > 0.18 && frac < 0.32, s"big acceptance ~0.25: $frac")
+  }
+
   test("every unsaturated domain sits at the same water level") {
     // budget 4850 at maxEpochs 0.25: de/fr/es saturate (caps 887/940/990
     // below their levels), zh and en share (4850 − 2817)/2 = 1016.5
