@@ -1392,21 +1392,10 @@ object SparkEntry {
       val v1Text = when(pmod(col("doc_id"), lit(11)) === 0,
         concat(col("text"), lit(" stale"))).otherwise(col("text"))
       val v1 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-        .select(col("doc_id"), col("source").as("s1"),
-          md5(lower(trim(v1Text))).as("fp1"))
-      val v2 = docs.select(col("doc_id"), col("source").as("s2"),
-        md5(lower(trim(col("text")))).as("fp2"))
-      v1.join(v2, Seq("doc_id"), "full_outer")
-        .select(coalesce(col("s2"), col("s1")).as("source"),
-          when(col("fp1").isNull, "added")
-            .when(col("fp2").isNull, "removed")
-            .when(col("fp1") =!= col("fp2"), "changed")
-            .otherwise("same").as("st"))
-        .groupBy("source")
-        .agg(sum(when(col("st") === "added", 1L).otherwise(0L)).as("n_added"),
-          sum(when(col("st") === "removed", 1L).otherwise(0L)).as("n_removed"),
-          sum(when(col("st") === "changed", 1L).otherwise(0L)).as("n_changed"),
-          sum(when(col("st") === "same", 1L).otherwise(0L)).as("n_same"))
+        .select(col("doc_id"), col("source"), v1Text.as("text"))
+      val v2 = docs.select(col("doc_id"), col("source"), col("text"))
+      graft.operators.ValidateOps.diffTables(v1, v2, Seq("doc_id"),
+          compareCols = Seq("text"), reportCol = "source")
         .orderBy("source")
     }),
     // Per-source token-distribution drift — the mixture monitor a

@@ -53,4 +53,28 @@ class ValidateOpsSpec extends AnyFunSuite with SparkSpec {
       Seq("k" -> "pk"), "fk").head()
     assert(fkOk.getLong(1) == 0L && fkOk.getBoolean(2))
   }
+
+  test("diffTables audits two TableSink snapshot tags end to end") {
+    import graft.sources.TableSink
+    val dir = java.nio.file.Files.createTempDirectory("difftags").toString
+    val v1 = Seq((1L, "g", "alpha"), (2L, "g", "beta"), (3L, "g", "gamma"))
+      .toDF("id", "grp", "payload").withColumn("__v", lit(1L))
+    TableSink.upsert(spark, dir, v1, Seq("id"), "__v")
+    TableSink.snapshot(dir, "v1")
+    // mutate: change 2, delete 3, add 4
+    TableSink.upsert(spark, dir,
+      Seq((2L, "g", "BETA2"), (4L, "g", "delta")).toDF("id", "grp", "payload")
+        .withColumn("__v", lit(2L)), Seq("id"), "__v")
+    TableSink.delete(spark, dir, Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+    TableSink.snapshot(dir, "v2")
+    val rep = ValidateOps.diffTables(
+        TableSink.readSnapshot(spark, dir, "v1"),
+        TableSink.readSnapshot(spark, dir, "v2"),
+        keys = Seq("id"), compareCols = Seq("payload"), reportCol = "grp")
+      .collect()
+    assert(rep.length === 1)
+    val r = rep(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((1L, 1L, 1L, 1L)),
+      s"added/removed/changed/same must be 1/1/1/1: ${r.toSeq}")
+  }
 }
