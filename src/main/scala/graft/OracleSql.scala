@@ -1750,6 +1750,21 @@ object OracleSql {
         |  cap <= ell AS saturated
         |FROM lv, el ORDER BY lang""".stripMargin,
 
+    // Global-shuffle replay: same salted digest (unsigned lower-64 md5
+    // mod 2^62), same (digest, key-as-STRING) order — both engines
+    // string-order the tie-break — same round-robin deal.
+    "x_global_shuffle" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |        md5_number_lower('gs|' || CAST(doc_id AS VARCHAR))
+        |          % 4611686018427387904 d
+        |      FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (ORDER BY d, CAST(doc_id AS VARCHAR)) - 1 rk
+        |      FROM b)
+        |SELECT doc_id, lang, CAST(rk % 8 AS INTEGER) AS shard,
+        |  CAST(rk // 8 AS BIGINT) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // Epoch-expansion replay: the x_unimax_mix waterfill (3-epoch cap,
     // 1.5× token budget), epochs rounded to 6 exactly as unimaxAlloc
     // outputs them — the rounded value IS the plan both engines

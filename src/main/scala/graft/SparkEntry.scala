@@ -584,6 +584,16 @@ object SparkEntry {
           col("__budget"), maxEpochs = 0.5)
         .orderBy("lang")
     }),
+    // Deterministic global training shuffle: salted-digest permutation
+    // (order-independent, retry-stable — orderBy(rand()) is neither)
+    // dealt round-robin into 8 equal shards; the global rank is a
+    // range-partitioned sort + broadcast cumsum, never one partition.
+    "x_global_shuffle" -> ((s, d) => {
+      SampleOps.globalShuffle(T(s, d, "documents").select("doc_id", "lang"),
+          col("doc_id"), shards = 8, salt = "gs|")
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
     // Epoch expansion: the UniMax plan EXECUTED — waterfill 1.5× the
     // corpus tokens at a 3-epoch cap (tail languages land ~2 epochs,
     // the head ~0.7), then materialize the repeat stream: floor(e)

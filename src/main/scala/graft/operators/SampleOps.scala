@@ -303,6 +303,50 @@ object SampleOps {
   }
 
   /**
+   * Deterministic global training shuffle — the last step before
+   * writing training shards: an order-independent pseudo-random
+   * permutation (salted-digest sort key, id tie-break — a pure function
+   * of (key, salt), so re-runs and retries produce the identical
+   * permutation, unlike `orderBy(rand())`) with documents dealt
+   * round-robin into `shards` equal streams. Output: (shard, pos) —
+   * contiguous 0-based positions within each shard, every shard's size
+   * within 1 of the others REGARDLESS of key skew (position is assigned
+   * on the global permutation rank, not by hashing).
+   *
+   * Scale shape: the one global sort is range-partitioned by the digest
+   * (uniform by construction — no skew, no single partition), and the
+   * global rank is the packSequencesGlobal decomposition: an in-
+   * partition row_number plus a broadcast cumsum of per-partition
+   * counts — one tiny row per partition crosses the driver, never data.
+   */
+  def globalShuffle(df: DataFrame, key: Column, shards: Int,
+                    salt: String = ""): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("__d", graft.functions.sig.md5BucketCol(
+        concat(lit(salt), key.cast("string")), 1L << 62))
+      .withColumn("__k", key.cast("string"))
+    val ranged = keyed.repartitionByRange(col("__d"), col("__k"))
+      .sortWithinPartitions(col("__d"), col("__k"))
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy(col("__part").as("__p2"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__offset", coalesce(sum(col("__c")).over(
+        Window.orderBy("__p2").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__c")
+    ranged.join(broadcast(offsets), col("__part") === col("__p2"))
+      .withColumn("__rank", col("__offset") +
+        row_number().over(Window.partitionBy(col("__part"))
+          .orderBy(col("__d"), col("__k"))) - 1)
+      .withColumn("shard", pmod(col("__rank"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", expr(s"__rank div ${shards}L"))
+      .drop("__d", "__k", "__part", "__p2", "__offset", "__rank")
+  }
+
+  /**
    * Epoch expansion — materialize a multi-epoch sampling plan into the
    * actual repeat stream ([[unimaxAlloc]] DERIVES "language l trains
    * for e_l epochs"; this EXECUTES it): every document of domain `d`

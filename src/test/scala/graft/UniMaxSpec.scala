@@ -115,6 +115,28 @@ class UniMaxSpec extends AnyFunSuite with SparkSpec {
     assert(frac > 0.18 && frac < 0.32, s"big acceptance ~0.25: $frac")
   }
 
+  test("globalShuffle: balanced shards, contiguous positions, partition-count invariant") {
+    val docs = (1L to 1000L).map(i => (i, s"p$i")).toDF("doc_id", "payload")
+    val out = SampleOps.globalShuffle(docs, col("doc_id"), shards = 7, salt = "s|")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Int, Long)].collect()
+    assert(out.map(_._1).distinct.length === 1000)
+    val byShard = out.groupBy(_._2).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(byShard.keySet === (0 until 7).toSet)
+    val sizes = byShard.values.map(_.size).toSeq
+    assert(sizes.max - sizes.min <= 1, s"skewless deal: $sizes")
+    byShard.foreach { case (sh, ps) =>
+      assert(ps === (0L until ps.size), s"contiguous 0-based positions in shard $sh")
+    }
+    // the permutation is a pure function of (key, salt): identical under
+    // a different input partitioning
+    val again = SampleOps.globalShuffle(docs.repartition(13), col("doc_id"),
+        shards = 7, salt = "s|")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("every unsaturated domain sits at the same water level") {
     // budget 4850 at maxEpochs 0.25: de/fr/es saturate (caps 887/940/990
     // below their levels), zh and en share (4850 − 2817)/2 = 1016.5
