@@ -203,4 +203,101 @@ object KernelProps extends Properties("kernels") {
       before.dropRight(1).forall(after.contains) &&
         (before.isEmpty || before.last == n)
     }
+
+  // ───────────────────── FFD packing (expression kernel) ─────────────────────
+
+  private def runFfd(items: Seq[(Long, Long)], cap: Long): Seq[(Long, Long, Int)] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val in = new GenericArrayData(items.map { case (id, len) =>
+      InternalRow(id, len) }.toArray[Any])
+    graft.functions.FfdPack(Literal(null), cap).nullSafeEval(in)
+      .asInstanceOf[GenericArrayData].array.toSeq.map { r =>
+        val row = r.asInstanceOf[InternalRow]
+        (row.getLong(0), row.getLong(1), row.getInt(2))
+      }
+  }
+
+  private val itemsGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 40)
+    lens <- Gen.listOfN(n, Gen.choose(1L, 120L))
+  } yield lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+
+  property("ffd: every item assigned once; no bin overfull; oversize <=> bin -1") =
+    forAll(itemsGen) { items =>
+      val out = runFfd(items, 64L)
+      val loads = out.filter(_._3 != -1).groupBy(_._3).view.mapValues(_.map(_._2).sum)
+      out.map(_._1).sorted == items.map(_._1).sorted &&
+        loads.values.forall(_ <= 64L) &&
+        out.forall { case (_, len, bin) => (bin == -1) == (len > 64L) } &&
+        (loads.isEmpty || loads.keys.toSeq.sorted == (1 to loads.size))
+    }
+
+  property("ffd: input order never matters") = forAll(itemsGen) { items =>
+    runFfd(items, 64L).toSet == runFfd(items.reverse, 64L).toSet
+  }
+
+  // ─────────────────────── MMR selection (expression kernel) ──────────────────
+
+  private def runMmr(cand: Seq[(Long, Double, Array[Float])], k: Int, lt: Int)
+      : Seq[(Long, Int, Double)] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val in = new GenericArrayData(cand.map { case (id, rel, v) =>
+      InternalRow(id, rel, new GenericArrayData(v.map(x => x: Any))) }.toArray[Any])
+    graft.functions.MmrSelect(Literal(null), k, lt).nullSafeEval(in)
+      .asInstanceOf[GenericArrayData].array.toSeq.map { r =>
+        val row = r.asInstanceOf[InternalRow]
+        (row.getLong(0), row.getInt(1), row.getDouble(2))
+      }
+  }
+
+  private val candGen: Gen[List[(Long, Double, Array[Float])]] = for {
+    n <- Gen.choose(1, 15)
+    rels <- Gen.listOfN(n, Gen.choose(-1.0, 1.0))
+    vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-1.0f, 1.0f)))
+  } yield rels.zip(vecs).zipWithIndex.map { case ((r, v), i) =>
+    (i.toLong, r, v.toArray) }
+
+  property("mmr: selection is a distinct subset, ranked 1..min(k,n)") =
+    forAll(candGen, Gen.choose(1, 20), Gen.choose(0, 10)) { (cand, k, lt) =>
+      val out = runMmr(cand, k, lt)
+      out.map(_._1).distinct.size == out.size &&
+        out.map(_._1).toSet.subsetOf(cand.map(_._1).toSet) &&
+        out.map(_._2) == (1 to math.min(k, cand.size)) &&
+        out.size == math.min(k, cand.size)
+    }
+
+  property("mmr: candidate order never matters") =
+    forAll(candGen, Gen.choose(1, 8)) { (cand, k) =>
+      runMmr(cand, k, 7) == runMmr(cand.reverse, k, 7)
+    }
+
+  property("mmr: lambda = 1.0 is relevance order (micro-unit ties on id)") =
+    forAll(candGen, Gen.choose(1, 8)) { (cand, k) =>
+      val out = runMmr(cand, k, 10).map(_._1)
+      val want = cand.sortBy(c => (-math.round(c._2 * 1e6), c._1)).take(k).map(_._1)
+      out == want
+    }
+
+  // ─────────────── quantile sketch: mergeable at rank-exactness ───────────────
+
+  property("quantile sketch: any merge grouping answers like one digest (rank-exact)") =
+    forAll(Gen.listOfN(3, Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6)))) { groups =>
+      import org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile.PercentileDigest
+      val qs = Array(0.1, 0.5, 0.9)
+      def digest(vs: Seq[Double]) = {
+        val d = new PercentileDigest(1.0 / (1 << 20)); vs.foreach(d.add); d
+      }
+      val single = digest(groups.flatten).getPercentiles(qs)
+      val folded = {
+        val ds = groups.map(digest)
+        val acc = ds.head
+        ds.tail.foreach(acc.merge)
+        acc.getPercentiles(qs)
+      }
+      single == folded
+    }
 }
