@@ -168,6 +168,30 @@ object OracleSql {
     * (quality-argmax representative over the same components). Exposes
     * `c(id, component)`; docs in no pair are absent (callers coalesce
     * to the doc's own id). */
+  /** The UniMax(cap 3 epochs, budget 1.5x tokens) plan + per-doc
+    * expansion counts — shared by x_epoch_expand and pipe_mix_e2e.
+    * Exposes `cnt(doc_id, lang, ntok, n)`: n = floor(e) + fractional
+    * digest draw ('ee|' salt), ntok = the doc's token count. */
+  private lazy val epochExpandCtes: String =
+    s"""WITH w AS (SELECT lang, CAST(sum(len($words)) AS DOUBLE) nt
+      |      FROM documents GROUP BY 1),
+      |tot AS (SELECT 1.5 * sum(nt) b, count(*) n FROM w),
+      |s AS (SELECT lang, nt, nt * 3.0 cap,
+      |        row_number() OVER (ORDER BY nt * 3.0, lang) i,
+      |        coalesce(sum(nt * 3.0) OVER (ORDER BY nt * 3.0, lang
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) p
+      |      FROM w),
+      |lv AS (SELECT s.*, (tot.b - s.p) / (tot.n - s.i + 1) lvl FROM s, tot),
+      |el AS (SELECT coalesce(max(lvl) FILTER (WHERE cap > lvl), 1e308) ell FROM lv),
+      |r AS (SELECT lang, round(least(cap, ell) / nt, 6) e FROM lv, el),
+      |docn AS (SELECT doc_id, lang, CAST(len($words) AS BIGINT) ntok FROM documents),
+      |cnt AS (SELECT d.doc_id, d.lang, d.ntok,
+      |          CAST(floor(e) AS BIGINT) +
+      |          (CASE WHEN md5_number_lower('ee|' || CAST(d.doc_id AS VARCHAR)) % 1000000
+      |                  < CAST(floor((e - floor(e)) * 1000000) AS BIGINT)
+      |            THEN 1 ELSE 0 END) n
+      |        FROM docn d JOIN r ON d.lang = r.lang)""".stripMargin
+
   private lazy val dupComponentCtes: String =
     s"""WITH RECURSIVE w AS (SELECT doc_id, $words wds FROM documents),
        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
@@ -1770,26 +1794,34 @@ object OracleSql {
     // outputs them — the rounded value IS the plan both engines
     // execute — then floor + fractional digest draw + series unnest.
     "x_epoch_expand" ->
-      s"""WITH w AS (SELECT lang, CAST(sum(len($words)) AS DOUBLE) nt
-        |      FROM documents GROUP BY 1),
-        |tot AS (SELECT 1.5 * sum(nt) b, count(*) n FROM w),
-        |s AS (SELECT lang, nt, nt * 3.0 cap,
-        |        row_number() OVER (ORDER BY nt * 3.0, lang) i,
-        |        coalesce(sum(nt * 3.0) OVER (ORDER BY nt * 3.0, lang
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) p
-        |      FROM w),
-        |lv AS (SELECT s.*, (tot.b - s.p) / (tot.n - s.i + 1) lvl FROM s, tot),
-        |el AS (SELECT coalesce(max(lvl) FILTER (WHERE cap > lvl), 1e308) ell FROM lv),
-        |r AS (SELECT lang, round(least(cap, ell) / nt, 6) e FROM lv, el),
-        |cnt AS (SELECT d.doc_id, d.lang,
-        |          CAST(floor(e) AS BIGINT) +
-        |          (CASE WHEN md5_number_lower('ee|' || CAST(d.doc_id AS VARCHAR)) % 1000000
-        |                  < CAST(floor((e - floor(e)) * 1000000) AS BIGINT)
-        |            THEN 1 ELSE 0 END) n
-        |        FROM documents d JOIN r ON d.lang = r.lang)
+      s"""$epochExpandCtes
         |SELECT doc_id, lang, CAST(t.copy AS INTEGER) AS copy
         |FROM cnt, unnest(generate_series(1, n)) t(copy)
         |WHERE n > 0 ORDER BY doc_id, copy""".stripMargin,
+
+    // The full mixture materialization in ONE plan, stitched from the
+    // stages' own proven replays: the x_epoch_expand waterfill +
+    // expansion, the x_global_shuffle digest permutation over
+    // (doc_id, copy) keys, and the x_pack_sequences running-sum pack
+    // per shard. Every number is integer or rounded-6 — exact.
+    "pipe_mix_e2e" ->
+      s"""$epochExpandCtes,
+        |exp AS (SELECT doc_id, lang, ntok, CAST(t.copy AS BIGINT) AS copy
+        |        FROM cnt, unnest(generate_series(1, n)) t(copy) WHERE n > 0),
+        |b2 AS (SELECT *, md5_number_lower('ms|' || CAST(doc_id AS VARCHAR) || '#'
+        |          || CAST(copy AS VARCHAR)) % 4611686018427387904 dd FROM exp),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY dd,
+        |          CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)) - 1 rk
+        |       FROM b2),
+        |shf AS (SELECT doc_id, ntok, copy, CAST(rk % 8 AS INTEGER) shard,
+        |          CAST(rk // 8 AS BIGINT) pos FROM r2),
+        |c3 AS (SELECT *, CAST(sum(ntok) OVER (PARTITION BY shard ORDER BY pos)
+        |          - ntok AS BIGINT) strt FROM shf)
+        |SELECT doc_id, CAST(copy AS INTEGER) AS copy, shard, pos,
+        |  ntok AS n_tokens,
+        |  CAST(strt // 64 AS BIGINT) AS seq_first,
+        |  CAST(strt % 64 AS BIGINT) AS tok_offset
+        |FROM c3 ORDER BY doc_id, copy""".stripMargin,
 
     // Mix-to-target replay: same feasibility bound N* = min(n/p), same
     // per-domain acceptance rate, same salted-digest draw. Proportions

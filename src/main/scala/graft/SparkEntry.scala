@@ -584,6 +584,40 @@ object SparkEntry {
           col("__budget"), maxEpochs = 0.5)
         .orderBy("lang")
     }),
+    // The full mixture materialization as ONE declarative plan — the
+    // mixing counterpart of pipe_recipe_e2e: UniMax derives the
+    // per-language epochs, epoch expansion materializes the repeat
+    // stream, the deterministic digest shuffle deals it into 8 equal
+    // shards, and each shard's stream packs greedily into 64-token
+    // sequences. Stage boundaries: one broadcast epochs join (map-only
+    // expand), one range exchange for the permutation, one shard-keyed
+    // window for the pack — the corpus-sized work is bounded by those
+    // three; the plan/counts relations are all n_languages-sized.
+    "pipe_mix_e2e" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("lang"),
+          text.tokenCount(col("text")).cast("long").as("ntok"))
+        .localCheckpoint(true)
+      val counts = docs.groupBy("lang").agg(sum(col("ntok")).as("n_tokens"))
+        .localCheckpoint(true)
+      val withBudget = counts.crossJoin(broadcast(
+        counts.agg((sum(col("n_tokens")) * lit(1.5)).as("__budget"))))
+      val plan = SampleOps.unimaxAlloc(withBudget, "lang", "n_tokens",
+          col("__budget"), maxEpochs = 3.0)
+        .select(col("lang"), col("epochs"))
+      val expanded = SampleOps.epochExpand(docs, "lang", col("doc_id"), plan,
+        salt = "ee|")
+      val key = concat(col("doc_id").cast("string"), lit("#"),
+        col("copy").cast("string"))
+      val shuffled = SampleOps.globalShuffle(expanded, key, shards = 8,
+        salt = "ms|")
+      val w = Window.partitionBy("shard").orderBy("pos")
+      shuffled.withColumn("__start", sum(col("ntok")).over(w) - col("ntok"))
+        .select(col("doc_id"), col("copy").cast("int").as("copy"),
+          col("shard"), col("pos"), col("ntok").as("n_tokens"),
+          expr("__start div 64L").as("seq_first"),
+          pmod(col("__start"), lit(64L)).as("tok_offset"))
+        .orderBy("doc_id", "copy")
+    }),
     // Deterministic global training shuffle: salted-digest permutation
     // (order-independent, retry-stable — orderBy(rand()) is neither)
     // dealt round-robin into 8 equal shards; the global rank is a
