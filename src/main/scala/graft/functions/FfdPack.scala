@@ -59,12 +59,20 @@ case class FfdPack(child: Expression, capacity: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+    // Null struct elements / null fields are skipped, not NPE'd — an
+    // item with no id or no length cannot be packed or rejected.
+    val kept = (0 until arr.numElements()).filter { i =>
+      !arr.isNullAt(i) && {
+        val r = arr.getStruct(i, 2)
+        !r.isNullAt(0) && !r.isNullAt(1)
+      }
+    }
+    val n = kept.size
     val ids = new Array[Long](n)
     val lens = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val r = arr.getStruct(i, 2)
+      val r = arr.getStruct(kept(i), 2)
       ids(i) = r.getLong(0); lens(i) = r.getLong(1)
       i += 1
     }

@@ -77,10 +77,15 @@ case class MmrSelect(child: Expression, k: Int, lambdaTenths: Int)
   private def micro(x: Double): Long = math.round(x * 1e6)
 
   private def cos(a: Array[Float], b: Array[Float]): Double = {
+    // Loud on mismatched dimensions: a truncated dot would return a
+    // plausible-but-wrong similarity (and the DuckDB oracle's
+    // list_dot_product errors on the same input — silent truncation
+    // would break the parity contract, not just the answer).
+    require(a.length == b.length,
+      s"mmr_select: mismatched vector dimensions ${a.length} vs ${b.length}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
+    while (i < a.length) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -90,14 +95,25 @@ case class MmrSelect(child: Expression, k: Int, lambdaTenths: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+    // Null candidate structs and null vectors are SKIPPED (a null
+    // embedding has no similarity to anything — it can neither be
+    // selected nor penalize diversity), mirroring how nulls vanish from
+    // the upstream collect_list-of-struct anyway when any field is
+    // filtered; they must not NPE the whole query.
+    val kept = (0 until arr.numElements()).filter { i =>
+      !arr.isNullAt(i) && {
+        val row = arr.getStruct(i, 3)
+        !row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)
+      }
+    }
+    val n = kept.size
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val ids = new Array[Long](n)
     val rels = new Array[Double](n)
     val vecs = new Array[Array[Float]](n)
     var i = 0
     while (i < n) {
-      val row = arr.getStruct(i, 3)
+      val row = arr.getStruct(kept(i), 3)
       ids(i) = row.getLong(0)
       rels(i) = row.getDouble(1)
       vecs(i) = row.getArray(2).toFloatArray()

@@ -79,17 +79,24 @@ object DomainModel {
       .collect().sortBy(_.getInt(1))
     require(rows.nonEmpty, "empty model frame")
     val dim = rows.head.getInt(4)
-    val logits = rows.map(r =>
-      logit(col(textCol), r.getSeq[Double](2), r.getDouble(3), dim))
     val names = rows.map(_.getString(0))
-    val maxLogit = greatest(logits.toIndexedSeq: _*)
-    // first class (sorted order) whose logit equals the max — CASE
-    // chain evaluates in order, so ties resolve deterministically
-    val pred = names.zip(logits).foldRight(lit(null).cast("string")) {
-      case ((n, l), acc) => when(l === maxLogit, lit(n)).otherwise(acc)
-    }
-    val denom = logits.map(l => exp(l - maxLogit)).reduce(_ + _)
-    docs.withColumn(predCol, pred)
+    // ONE logits array, operated on with higher-order functions — a
+    // greatest + CASE-chain formulation would syntactically replicate
+    // every k-dot-product logit O(k²) times across the argmax and the
+    // softmax; the array form keeps the expression tree (and, wherever
+    // codegen subexpression elimination doesn't kick in, the per-row
+    // work) linear in k. array_position on the max = FIRST class in
+    // sorted index order — the deterministic tie-break.
+    val logitsArr = array(rows.map(r =>
+      logit(col(textCol), r.getSeq[Double](2), r.getDouble(3), dim)).toIndexedSeq: _*)
+    val tagged = docs.withColumn("__logits", logitsArr)
+    val maxLogit = array_max(col("__logits"))
+    val pred = element_at(array(names.map(lit).toIndexedSeq: _*),
+      array_position(col("__logits"), maxLogit).cast("int"))
+    val denom = aggregate(col("__logits"), lit(0.0),
+      (acc, l) => acc + exp(l - maxLogit))
+    tagged.withColumn(predCol, pred)
       .withColumn(probCol, lit(1.0) / denom)
+      .drop("__logits")
   }
 }

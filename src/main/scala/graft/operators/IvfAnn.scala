@@ -212,10 +212,15 @@ object IvfAnn {
    * [[appendToIndex]] pays for re-home detection — cell addressing is by
    * VALUE, so an id's bucket is unknowable without the scan), then only
    * the buckets of those cells rewrite ([[graft.sources.TableSink.delete]]'s
-   * copy-on-write contract). Ids not present are no-ops. The staleness
-   * meta is left unchanged: removal does not move the fitted centroids,
-   * and leaving `base` counting removed rows only makes [[needsRebuild]]
-   * fire EARLIER — the safe direction.
+   * copy-on-write contract). Ids not present are no-ops.
+   *
+   * Staleness accounting: removals count into `added` — a deletion is a
+   * mutation AWAY from the distribution the centroids were fitted on,
+   * exactly like an add (leaving `base` counting removed rows while
+   * ignoring removals would DELAY the rebuild cue: delete 90% of the
+   * fitted base and added/base barely moves while the live corpus no
+   * longer resembles the fit). Counting them makes [[needsRebuild]]
+   * fire earlier, the safe direction.
    */
   def removeFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                       ids: DataFrame, idCol: String): Unit = {
@@ -225,7 +230,11 @@ object IvfAnn {
     val victims = graft.sources.TableSink.read(spark, dir, like)
       .select(col(idCol), col("__cell_s"))
       .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_semi")
-    graft.sources.TableSink.delete(spark, dir, victims, Seq(idCol))
+      .localCheckpoint(true)
+    val newMeta = graft.sources.TableSink.metaOf(dir).flatMap(parseIndexMeta)
+      .map { case (base, added) =>
+        s"ivf:v1;base=$base;added=${added + victims.count()}" }
+    graft.sources.TableSink.delete(spark, dir, victims, Seq(idCol), meta = newMeta)
   }
 
   private val IndexMetaRe = """ivf:v1;base=(\d+);added=(\d+)""".r

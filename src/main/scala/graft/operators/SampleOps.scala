@@ -185,6 +185,18 @@ object SampleOps {
     }
     val counts = df.groupBy(col(domainCol).as("__dom")).agg(count(lit(1)).as("__n"))
       .withColumn("__p", pCol).where(col("__p").isNotNull)
+      .localCheckpoint(true)
+    // A target domain with NO corpus rows makes the requested mixture
+    // unreachable by downsampling (its proportion would be 0, every
+    // other domain's would inflate) — fail loudly instead of silently
+    // shipping the wrong mix. k-bounded driver check (domain vocabulary,
+    // not corpus).
+    val present = counts.select(col("__dom").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val missing = targets.keySet -- present
+    require(missing.isEmpty,
+      s"target domains absent from the corpus (mixture unreachable by " +
+        s"downsampling): ${missing.toSeq.sorted.mkString(", ")}")
     val nstar = counts.agg(min(col("__n").cast("double") / col("__p")).as("__nstar"))
     val rates = counts.crossJoin(broadcast(nstar))
       .select(col("__dom"),

@@ -234,28 +234,13 @@ object Bm25Store {
   }
 
   /** Empty frames for the relations a part does not carry (delete parts
-    * have no postings; append parts have no tombstones). */
-  private def emptyPostings(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("term", StringType), StructField("doc_id", LongType),
-        StructField("dl", IntegerType), StructField("tf", LongType))))
-  }
-  private def emptyDf(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("term", StringType), StructField("df", LongType))))
-  }
-  private def emptyDocs(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("doc_id", LongType), StructField("dl", IntegerType))))
-  }
-  private def emptyTombs(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("doc_id", LongType))))
-  }
+    * have no postings; append parts have no tombstones). Schemas DERIVE
+    * from sibling relations of the same write — never a hardcoded id
+    * type: the store carries whatever id type [[parts]] preserved
+    * (string ids included), and a LongType tombstone part would poison
+    * the multi-part parquet read of a string-id store. */
+  private def emptyTombsLike(docRows: DataFrame): DataFrame =
+    docRows.select(col("doc_id")).limit(0)
 
   /** Initialize from an existing corpus — O(corpus), once. REFUSES a
     * previously-used `dir` (same contract as
@@ -274,7 +259,7 @@ object Bm25Store {
           s"(found: ${priorLife.mkString(", ")}) — init is run-once; " +
           "delete the store dir (or point at a fresh one) to rebuild.")
     val (p, d, s, dr) = parts(corpus, idCol, textCol)
-    writePart(dir, "part_00000", p, d, s, dr, emptyTombs(spark))
+    writePart(dir, "part_00000", p, d, s, dr, emptyTombsLike(dr))
     DeltaParts.add(absorbedDir(dir), "part_00000")
   }
 
@@ -307,7 +292,7 @@ object Bm25Store {
     if (absorbed.contains(n)) return
     if (!DeltaParts.list(dir).contains(n)) {
       val (p, d, s, dr) = parts(newDocs, idCol, textCol)
-      writePart(dir, n, p, d, s, dr, emptyTombs(spark))
+      writePart(dir, n, p, d, s, dr, emptyTombsLike(dr))
     }
     DeltaParts.add(absorbedDir(dir), n)
   }
@@ -342,17 +327,20 @@ object Bm25Store {
     if (!DeltaParts.list(dir).contains(n)) {
       val live = DeltaParts.list(dir)
       require(live.nonEmpty, s"no BM25 store at '$dir' — run init first")
-      val (_, _, _, docRows, _) = merged(spark, dir, live)
+      val (postings, dfRel, _, docRows, _) = merged(spark, dir, live)
+      // No cast on the ids: the store's doc_id keeps the type parts()
+      // preserved, and a lossy cast (string ids → null) would make the
+      // semi-join find zero victims — a takedown that silently no-ops.
       val victims = docRows
-        .join(ids.select(col(idCol).cast("long").as("doc_id")).distinct(),
+        .join(ids.select(col(idCol).as("doc_id")).distinct(),
           Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
       val decrement = victims.agg(
         (-count(lit(1))).as("n_docs"),
         (-count(col("dl"))).as("n_dl"),
         (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
-      writePart(dir, n, emptyPostings(spark), emptyDf(spark), decrement,
-        emptyDocs(spark), victims.select(col("doc_id")))
+      writePart(dir, n, postings.limit(0), dfRel.limit(0), decrement,
+        docRows.limit(0), victims.select(col("doc_id")))
     }
     DeltaParts.add(absorbedDir(dir), n)
   }
@@ -422,7 +410,7 @@ object Bm25Store {
     // (DeltaParts deferred-GC contract, applied across all relation
     // roots). The new gen carries no tombstones — the rows are gone.
     writePart(dir, gen, postingsLive, dfLive, st, docRows,
-      emptyTombs(spark), ledger = false)
+      emptyTombsLike(docRows), ledger = false)
     // Protect: the parts this gen supersedes (kept one cycle for
     // in-flight readers), the gen itself, and every snapshot-pinned part
     // (a tag must replay byte-identically for as long as it lives).

@@ -211,8 +211,9 @@ object TableSink {
     * (with the value the stored row was written under) so the right
     * bucket goes dirty. */
   def delete(spark: SparkSession, dir: String, keysToDrop: DataFrame,
-             keys: Seq[String]): Unit =
-    commit(spark, dir, keys, DefaultBuckets, None, keysToDrop, None, None) {
+             keys: Seq[String], meta: Option[String] = None): Unit =
+    commit(spark, dir, keys, DefaultBuckets, None, keysToDrop, None, None,
+      newMeta = meta.map(Some(_))) {
       existingDirty =>
         existingDirty.join(keysToDrop.select(keys.map(col): _*), keys, "left_anti")
     }
