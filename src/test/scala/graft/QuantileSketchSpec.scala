@@ -73,6 +73,22 @@ class QuantileSketchSpec extends AnyFunSuite with SparkSpec {
     assert(queried(withNulls) === Seq(2.0))
   }
 
+  test("merge adopts the stored sketches' FINE accuracy, not the empty buffer's default") {
+    // quantile_sketch_merge's empty aggregation buffer is created at the
+    // DEFAULT accuracy (1e-4); the merged summary must carry the stored
+    // sketches' 2^-20 error, or rank-exactness would silently cap at the
+    // default. n = 50k makes the default's rank slack ~5 — an exact p50
+    // proves the union adopted the fine error (pinned empirically
+    // against this Spark's QuantileSummaries.merge; a regression here
+    // breaks the StatsStore accuracy contract).
+    val n = 50000
+    val df = (1 to n).map(i => (i % 5, i.toDouble)).toDF("batch", "v")
+    val folded = df.groupBy("batch").agg(quantileSketch(col("v"), Acc).as("s"))
+      .agg(quantileSketchMerge(col("s")).as("s"))
+      .select(quantileSketchQuery(col("s"), array(lit(0.5), lit(0.99))))
+    assert(queried(folded) === Seq(25000.0, 49500.0))
+  }
+
   test("persisted sketch bytes survive a parquet round-trip and still fold") {
     val dir = java.nio.file.Files.createTempDirectory("qsketch").toString
     val df = vals.zipWithIndex.map { case (v, i) => (i % 3, v) }.toDF("batch", "v")
