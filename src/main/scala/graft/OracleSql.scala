@@ -969,6 +969,19 @@ object OracleSql {
         |FROM q JOIN p USING (source, lang)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // NFC replay: DuckDB's nfc_normalize is the same Unicode TR15
+    // canonical composition as java.text.Normalizer — byte-for-byte.
+    "x_text_normalize" ->
+      """WITH raw AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' cafe' || chr(769)
+        |         ELSE text END r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(r) - length(nfc_normalize(r)) AS INTEGER) AS n_composed,
+        |  nfc_normalize(r) <> r AS changed,
+        |  substring(nfc_normalize(r), -6, 6) AS tail
+        |FROM raw ORDER BY doc_id""".stripMargin,
+
     // Line-dedup replay: same synthetic duplicate (first line
     // re-appended), keep-first via DuckDB's indexed list lambda
     // (list_position = first occurrence, exactly Spark's

@@ -1404,6 +1404,24 @@ object SparkEntry {
             <= greatest(lit(0.1) * col("n_unique"), lit(10.0))).as("distinct_ok"))
         .orderBy("source", "lang")
     }),
+    // Unicode NFC canonicalization — required BEFORE any hash-based
+    // stage (the same visible text in composed vs decomposed form hashes
+    // as different content, so exact dedup misses real duplicates).
+    // Structure synthesized so the composition actually fires: every
+    // 13th doc carries a decomposed e+U+0301 that NFC composes to é.
+    // Map-only codegen'd static call; DuckDB's nfc_normalize is the
+    // same TR15 composition, byte-for-byte.
+    "x_text_normalize" -> ((s, d) => {
+      import graft.functions.NfcNormalize.nfcNormalize
+      val raw = when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(col("text"), lit(" cafe"), lit("\u0301"))).otherwise(col("text"))
+      T(s, d, "documents").select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          (length(col("raw")) - length(nfcNormalize(col("raw")))).as("n_composed"),
+          (nfcNormalize(col("raw")) =!= col("raw")).as("changed"),
+          substring(nfcNormalize(col("raw")), -6, 6).as("tail"))
+        .orderBy("doc_id")
+    }),
     // Intra-document line dedup — the within-page cleanup every web
     // corpus runs (repeated nav bars / footers / menus INSIDE one page;
     // cross-page duplication is the span index's job): keep each
