@@ -2445,6 +2445,14 @@ object OracleSql {
         |  true AS rows_ok, true AS recall_ok, true AS codes_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
+    // ANN deletion contract (the x_ann_ivf_quant idiom): query count
+    // from the raw table, the no-removed / shape / recall booleans
+    // checked in-plan.
+    "x_ann_delete" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS INTEGER) AS k,
+        |  true AS rows_ok, true AS no_removed_served, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
     // ALS: every user with events gets exactly k recs, dense ranks,
     // rank-monotone scores.
     "m7_als_recommend" ->

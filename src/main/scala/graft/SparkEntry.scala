@@ -2139,6 +2139,42 @@ object SparkEntry {
         .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
           col("recall_ok"), col("codes_ok"))
     }),
+    // Deletion on the standing ANN index (the x_bm25_delete counterpart
+    // for the vector store): build the IVF-SQ8 index, remove the %5
+    // slice, probe ALL cells. Contract (the x_ann_ivf_quant idiom): a
+    // removed vector NEVER serves, every query still gets exactly k
+    // rows, and full-probe recall vs the exact kNN over the SURVIVORS
+    // clears the quantized bound — proving the delete rewrote the
+    // victims' buckets and nothing else.
+    "x_ann_delete" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val dir = tmpStore("ann_del")
+      val cells = IvfAnn.buildCells(e, "vec_id", "embedding", nlist = 16)
+      val sq8 = IvfAnn.quantizeCells(
+        IvfAnn.assignCells(e, "vec_id", "embedding", cells), "vec_id", "embedding")
+      IvfAnn.writeIndex(s, dir, sq8, "vec_id", numBuckets = 16)
+      IvfAnn.removeFromIndex(s, dir,
+        e.filter(pmod(col("vec_id"), lit(5)) === 0).select("vec_id"), "vec_id")
+      val q = e.filter(col("vec_id") < 20)
+      val ann = IvfAnn.annSearchQuantizedStored(dir, q, cells,
+        "vec_id", "embedding", k = 5, nprobe = 16)
+      val survivors = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val exact = SimilarityOps.knnJoinCosine(q, survivors, "vec_id", "embedding",
+        k = 5, excludeSelf = true)
+      val hits = ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      val shape = ann.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_queries"), expr("bool_and(n = 5)").as("rows_ok"))
+      val clean = ann.agg(
+        expr("bool_and(neighbor_id % 5 != 0)").as("no_removed_served"))
+      val recall = hits.agg(count(lit(1)).as("hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("tot")))
+        .select((col("hit").cast("double") / col("tot") >= 0.8).as("recall_ok"))
+      shape.crossJoin(clean).crossJoin(recall)
+        .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
+          col("no_removed_served"), col("recall_ok"))
+    }),
     // Invariant oracle: ALS scores are model outputs, but the serving
     // contract is exact — every rated user gets exactly k recs with dense
     // ranks and rank-monotone scores. The oracle computes the user count
