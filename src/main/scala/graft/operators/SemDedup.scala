@@ -295,4 +295,22 @@ object SemDedupStore {
       batch.withColumn("__v", lit(version)),
       Seq("id"), "__v", rehomeFromCol = Some("__old_cl"))
   }
+
+  /** Remove stored vectors by id — the deletion leg of the semantic
+    * store's lifecycle (the [[IvfAnn.removeFromIndex]] shape): one
+    * column-pruned (id, cluster) scan locates the victims' clusters
+    * (cluster addressing is by value), then only those clusters'
+    * buckets rewrite. A removed vector stops anchoring dedup verdicts
+    * immediately — a later [[probe]] of similar content reads the
+    * surviving members only. Absent ids are no-ops. */
+  def remove(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String): Unit = {
+    require(TableSink.tableExists(membersDir(dir)),
+      s"no semantic store at '$dir' — run init first")
+    val like = spark.range(0).select(lit(0L).as("id"), lit("").as("__cl_s"))
+    val victims = TableSink.read(spark, membersDir(dir), like)
+      .select(col("id"), col("__cl_s"))
+      .join(broadcast(ids.select(col(idCol).as("id"))), Seq("id"), "left_semi")
+    TableSink.delete(spark, membersDir(dir), victims, Seq("id"))
+  }
 }

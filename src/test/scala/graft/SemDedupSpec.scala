@@ -166,6 +166,21 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     val err = intercept[IllegalStateException](
       SemDedupStore.init(spark, dir, corpus, "vec_id", "embedding", nlist = 8))
     assert(err.getMessage.contains("already initialized"))
+
+    // Remove b1 again (plus an absent id — a no-op): probes must answer
+    // exactly as before the absorption, the IvfAnn.removeFromIndex law
+    // applied to the semantic store.
+    SemDedupStore.remove(spark, dir,
+      b1.select("vec_id").unionByName(Seq(987654L).toDF("vec_id")), "vec_id")
+    val got3 = verdicts(SemDedupStore.probe(spark, dir, b2, "vec_id", "embedding", eps))
+    assert(got3 == verdicts(SemDedup.incremental(b2, corpus, cells,
+      "vec_id", "embedding", "cell_id", "cell_vec", eps)),
+      "post-remove probe must answer as if b1 was never absorbed")
+    assert(TableSink.read(spark, s"$dir/members", like)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit(5L)) === 0).count() == 0L,
+      "b1 member rows physically gone")
   }
 
   test("plan: pairwise stage is a cluster-key equi-join, never an unkeyed cross product") {
