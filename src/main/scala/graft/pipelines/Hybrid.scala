@@ -165,6 +165,26 @@ object Hybrid {
       Seq("id"), "__v", rehomeFromCol = Some("__old_cell"))
   }
 
+  /** Remove documents from BOTH retrieval legs in one call — the
+    * takedown counterpart of the `Bm25Store.append` + [[appendVectors]]
+    * refresh pair: the lexical side tombstones via [[Bm25Store.delete]]
+    * (O(batch) part append, df stale until the scheduled compact — the
+    * Lucene contract), the semantic side drops the ids' rows from the
+    * cell-laid-out table (one column-pruned (id, cell) scan + copy-on-
+    * write of only the victims' cells' buckets). After this call a
+    * removed document can never surface from [[search]] — neither run
+    * serves it. Replay-idempotent per `name` on the lexical leg; the
+    * semantic delete is key-idempotent by construction. */
+  def removeDocuments(spark: SparkSession, storeDir: String, ids: DataFrame,
+                      idCol: String, name: Option[String] = None): Unit = {
+    Bm25Store.delete(spark, bm25Dir(storeDir), ids, idCol, name)
+    val like = spark.range(0).select(lit(0L).as("id"), lit("").as("__cell_s"))
+    val victims = TableSink.read(spark, annDir(storeDir), like)
+      .select(col("id"), col("__cell_s"))
+      .join(broadcast(ids.select(col(idCol).as("id"))), Seq("id"), "left_semi")
+    TableSink.delete(spark, annDir(storeDir), victims, Seq("id"))
+  }
+
   /** The lexical run: BM25 top-`k` over the standing postings store,
     * query-term in-list pushed into every postings part's scan.
     * Returns (query_id, doc_id, score, rank). */

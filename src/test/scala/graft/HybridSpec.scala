@@ -142,4 +142,35 @@ class HybridSpec extends AnyFunSuite with SparkSpec {
     assert(sem.head.getLong(1) == 0L,
       s"appended vector must be its own nearest neighbor: ${sem.toSeq}")
   }
+
+  test("removeDocuments: a taken-down doc never surfaces; post-compact search equals fusion over survivors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_rm").toString
+    Hybrid.init(spark, dir, docs, "doc_id", "text",
+      emb, "vec_id", "embedding", nlist = 8)
+    // take down the %7 slice (plus an absent id — a no-op)
+    val victims = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      .unionByName(Seq(987654321L).toDF("doc_id"))
+    Hybrid.removeDocuments(spark, dir, victims, "doc_id", Some("rm1"))
+    val afterRm = Hybrid.search(spark, dir, queries, "qid", "qtext", "qvec",
+      k = 10, kPerRun = 20, nprobe = 8, maxDfFrac = 1.0)
+    assert(afterRm.filter(col("doc_id") % 7 === 0).count() === 0L,
+      "a removed document must never surface from either run")
+    // after the scheduled lexical compact (df exact again), the search
+    // must equal the in-memory fusion over the SURVIVORS
+    graft.operators.Bm25Store.compact(spark, s"$dir/bm25")
+    val docs2 = docs.filter(col("doc_id") % 7 =!= 0)
+    val emb2 = emb.filter(col("vec_id") % 7 =!= 0)
+    val stored = Hybrid.search(spark, dir, queries, "qid", "qtext", "qvec",
+      k = 10, kPerRun = 20, nprobe = 8, maxDfFrac = 1.0)
+    val lex = Bm25.bm25TopK(docs2, queries.select("qid", "qtext"),
+        "doc_id", "text", "qid", "qtext", k = 20, maxDfFrac = 1.0)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = SimilarityOps.knnJoinCosine(
+        emb.join(queries.select(col("qid").as("vec_id")), "vec_id"),
+        emb2, "vec_id", "embedding", k = 20, excludeSelf = false)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    assert(fused(stored) == fused(Rrf.fuse(Seq(lex, sem), k = 10)),
+      "post-compact search must equal the in-memory fusion over the survivors")
+  }
 }
