@@ -62,6 +62,25 @@ object OracleSql {
        |LEFT JOIN nt ON nt.wrd = t.wrd
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** Per-language fertility under the same 8-merge chain: the
+    * multilingual tokenizer-eval metric (BPE tokens per word — a vocab
+    * trained on mixed text over-segments the languages it under-saw). */
+  private val tokenizerFertilitySql =
+    s"""WITH ${bpeCtes(8)},
+       |nt AS (SELECT wrd, len(list_filter(string_split(trim(w), ' '), x -> x <> '')) n
+       |  FROM d8),
+       |t AS (SELECT doc_id, unnest(wds) wrd FROM w0),
+       |per AS (SELECT d.doc_id, count(t.wrd) nw, coalesce(sum(nt.n), 0) nb
+       |  FROM documents d
+       |  LEFT JOIN t ON t.doc_id = d.doc_id
+       |  LEFT JOIN nt ON nt.wrd = t.wrd
+       |  GROUP BY d.doc_id)
+       |SELECT dd.lang, CAST(sum(per.nw) AS BIGINT) AS n_words,
+       |  CAST(sum(per.nb) AS BIGINT) AS n_bpe_tokens,
+       |  round(sum(per.nb)::DOUBLE / sum(per.nw), 6) AS fertility
+       |FROM per JOIN documents dd ON dd.doc_id = per.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // Shared Gopher CTE chain over a source relation exposing
   // (doc_id, text, wds): per-doc line/paragraph repetition + char
   // fractions, bullet/ellipsis/symbol/mean-word-length signals (`gst`)
@@ -2166,6 +2185,8 @@ object OracleSql {
     // (the stored dict IS d8; replay only fires on unseen words, of
     // which the training corpus has none) — same parity SQL.
     "x_bpe_encode_stored" -> bpeEncodeSql,
+
+    "x_tokenizer_fertility" -> tokenizerFertilitySql,
 
     // Complete incremental admission: within-batch components over the
     // LSH-candidate verified pairs restricted to batch docs (banding is

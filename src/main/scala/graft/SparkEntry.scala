@@ -911,6 +911,25 @@ object SparkEntry {
       CurationOps.bpeEncode(T(s, d, "documents"), "doc_id", "text", 8)
         .orderBy("doc_id")
     }),
+    // Per-language tokenizer fertility (BPE tokens per word) under the
+    // same 8-merge vocabulary — the multilingual tokenizer-eval metric:
+    // a vocab trained on mixed text over-segments the languages it
+    // under-saw, and this is the number that shows it. Rides the
+    // x_bpe_encode chain (corpus scanned once, vocab-sized merge loop);
+    // the per-language fold is one tiny aggregation over the per-doc
+    // counts.
+    "x_tokenizer_fertility" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      CurationOps.bpeEncode(docs, "doc_id", "text", 8)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+            .as("fertility"))
+        .orderBy("lang")
+    }),
     // The production tokenizer shape (train once, encode forever):
     // persist the 8-merge vocabulary + word dict as TableSink tables,
     // then encode UNDER THE STORED artifacts — no retraining; unseen
