@@ -55,6 +55,24 @@ object TextSource {
     (good, quarantined)
   }
 
+  /** Streaming [[readJsonl]] — the drop-folder ingest shape (files land
+    * in a directory, every line flows into exactly one lane, the
+    * quarantine is a queryable stream too). Same per-row parse; pair
+    * with `Admission.stream` downstream for exactly-once admission of
+    * the good lane. */
+  def streamJsonl(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    val parsed = spark.readStream.text(path).toDF("value")
+      .select(col("value"), from_json(col("value"), withCorrupt(schema),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)).as("r"))
+    val good = parsed.where(col(s"r.$Corrupt").isNull && col("r").isNotNull)
+      .select(schema.fieldNames.map(f => col(s"r.`$f`")).toIndexedSeq: _*)
+    val quarantined = parsed
+      .where(col(s"r.$Corrupt").isNotNull || col("r").isNull)
+      .select(col("value").as("raw_line"))
+    (good, quarantined)
+  }
+
   /** (good, quarantined) from headerless CSV lines against `schema` —
     * same contract as [[readJsonl]]. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,

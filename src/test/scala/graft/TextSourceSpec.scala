@@ -54,6 +54,29 @@ class TextSourceSpec extends AnyFunSuite with SparkSpec {
     assert(bad.as[String].collect().toSeq === Seq("x,beta"))
   }
 
+  test("streaming jsonl: both lanes flow per micro-batch as files land") {
+    val dir = java.nio.file.Files.createTempDirectory("textstream")
+    java.nio.file.Files.write(dir.resolve("a.jsonl"),
+      "{\"doc_id\": 1, \"text\": \"alpha\"}\nbroken".getBytes("UTF-8"))
+    val (good, bad) = TextSource.streamJsonl(spark, dir.toString, schema)
+    val q1 = good.writeStream.format("memory").queryName("ts_good")
+      .outputMode("append").start()
+    val q2 = bad.writeStream.format("memory").queryName("ts_bad")
+      .outputMode("append").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.table("ts_good").as[(Long, String)].collect().toSeq ===
+        Seq((1L, "alpha")))
+      assert(spark.table("ts_bad").as[String].collect().toSeq === Seq("broken"))
+      // a second file lands; both lanes advance
+      java.nio.file.Files.write(dir.resolve("b.jsonl"),
+        "{\"doc_id\": 2, \"text\": \"beta\"}\n{\"bad\"".getBytes("UTF-8"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.table("ts_good").count() === 2L)
+      assert(spark.table("ts_bad").count() === 2L)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("parsing is map-only — no exchange in either lane's plan") {
     val p = write(Seq("""{"doc_id": 1, "text": "a"}"""), ".jsonl")
     val (good, bad) = TextSource.readJsonl(spark, p, schema)
