@@ -198,6 +198,9 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     // buckets rewrite, absent ids are no-ops, and the probe never serves
     // a removed vector again.
     val beforeRm = manifest()
+    def addedOf(m: String): Long =
+      "added=(\\d+)".r.findFirstMatchIn(m).get.group(1).toLong
+    val addedBefore = addedOf(TableSink.metaOf(dir).get)
     IvfAnn.removeFromIndex(spark, dir,
       Seq(9999L, 123456789L).toDF("vec_id"), "vec_id")
     val afterRm = manifest()
@@ -212,6 +215,13 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     val likeId = spark.range(0).select(lit(0L).as("vec_id"))
     assert(TableSink.read(spark, dir, likeId)
       .filter(col("vec_id") === 9999L).count() == 0L, "row physically gone")
+    // and the removal advanced the staleness accounting by exactly the
+    // ONE real victim (deletions are drift away from the fitted
+    // distribution — ignoring them would DELAY the rebuild cue; the
+    // absent id contributes nothing)
+    assert(addedOf(TableSink.metaOf(dir).get) == addedBefore + 1,
+      s"removal must count real victims into added: " +
+        s"$addedBefore -> ${TableSink.metaOf(dir).get}")
   }
 
   test("staleness trigger: drifted adds fire needsRebuild; rebuild restores the recall contract") {
