@@ -226,15 +226,12 @@ object IvfAnn {
                       ids: DataFrame, idCol: String): Unit = {
     require(graft.sources.TableSink.layoutColOf(dir).isDefined,
       s"no value-addressable index at '$dir' — write one with writeIndex first")
-    val like = spark.range(0).select(lit(0L).as(idCol), lit("").as("__cell_s"))
-    val victims = graft.sources.TableSink.read(spark, dir, like)
-      .select(col(idCol), col("__cell_s"))
-      .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_semi")
-      .localCheckpoint(true)
-    val newMeta = graft.sources.TableSink.metaOf(dir).flatMap(parseIndexMeta)
-      .map { case (base, added) =>
-        s"ivf:v1;base=$base;added=${added + victims.count()}" }
-    graft.sources.TableSink.delete(spark, dir, victims, Seq(idCol), meta = newMeta)
+    graft.sources.TableSink.deleteByIds(spark, dir, ids, idCol,
+      metaFor = victims =>
+        graft.sources.TableSink.metaOf(dir).flatMap(parseIndexMeta)
+          .map { case (base, added) =>
+            s"ivf:v1;base=$base;added=${added + victims.count()}" })
+    ()
   }
 
   private val IndexMetaRe = """ivf:v1;base=(\d+);added=(\d+)""".r

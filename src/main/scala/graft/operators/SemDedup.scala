@@ -307,10 +307,8 @@ object SemDedupStore {
              idCol: String): Unit = {
     require(TableSink.tableExists(membersDir(dir)),
       s"no semantic store at '$dir' — run init first")
-    val like = spark.range(0).select(lit(0L).as("id"), lit("").as("__cl_s"))
-    val victims = TableSink.read(spark, membersDir(dir), like)
-      .select(col("id"), col("__cl_s"))
-      .join(broadcast(ids.select(col(idCol).as("id"))), Seq("id"), "left_semi")
-    TableSink.delete(spark, membersDir(dir), victims, Seq("id"))
+    TableSink.deleteByIds(spark, membersDir(dir),
+      ids.select(col(idCol).as("id")), "id")
+    ()
   }
 }

@@ -178,11 +178,9 @@ object Hybrid {
   def removeDocuments(spark: SparkSession, storeDir: String, ids: DataFrame,
                       idCol: String, name: Option[String] = None): Unit = {
     Bm25Store.delete(spark, bm25Dir(storeDir), ids, idCol, name)
-    val like = spark.range(0).select(lit(0L).as("id"), lit("").as("__cell_s"))
-    val victims = TableSink.read(spark, annDir(storeDir), like)
-      .select(col("id"), col("__cell_s"))
-      .join(broadcast(ids.select(col(idCol).as("id"))), Seq("id"), "left_semi")
-    TableSink.delete(spark, annDir(storeDir), victims, Seq("id"))
+    TableSink.deleteByIds(spark, annDir(storeDir),
+      ids.select(col(idCol).as("id")), "id")
+    ()
   }
 
   /** The lexical run: BM25 top-`k` over the standing postings store,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructType}
 
@@ -38,22 +38,33 @@ object TextSource {
     schema.add(Corrupt, StringType, nullable = true)
   }
 
+  /** ONE lane-split definition for every reader (batch json, streaming
+    * json, csv): the good/quarantine predicates must never drift
+    * between forms, or the same line would classify differently in
+    * batch vs streaming ingestion. */
+  private def splitLanes(lines: DataFrame, parsed: Column, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    val withR = lines.select(col("value"), parsed.as("r"))
+    val good = withR.where(col(s"r.$Corrupt").isNull && col("r").isNotNull)
+      .select(schema.fieldNames.map(f => col(s"r.`$f`")).toIndexedSeq: _*)
+    val quarantined = withR
+      .where(col(s"r.$Corrupt").isNotNull || col("r").isNull)
+      .select(col("value").as("raw_line"))
+    (good, quarantined)
+  }
+
+  private def jsonParsed(schema: StructType): Column =
+    from_json(col("value"), withCorrupt(schema),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt))
+
   /** (good, quarantined) from newline-delimited JSON. `good` has
     * exactly `schema`'s columns; `quarantined` is (raw_line). A line
     * is quarantined if it is not valid JSON OR any declared field
     * fails its type (PERMISSIVE per-field null + corrupt marker). */
   def readJsonl(spark: SparkSession, path: String, schema: StructType)
-      : (DataFrame, DataFrame) = {
-    val parsed = spark.read.textFile(path).toDF("value")
-      .select(col("value"), from_json(col("value"), withCorrupt(schema),
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)).as("r"))
-    val good = parsed.where(col(s"r.$Corrupt").isNull && col("r").isNotNull)
-      .select(schema.fieldNames.map(f => col(s"r.`$f`")).toIndexedSeq: _*)
-    val quarantined = parsed
-      .where(col(s"r.$Corrupt").isNotNull || col("r").isNull)
-      .select(col("value").as("raw_line"))
-    (good, quarantined)
-  }
+      : (DataFrame, DataFrame) =
+    splitLanes(spark.read.textFile(path).toDF("value"),
+      jsonParsed(schema), schema)
 
   /** Streaming [[readJsonl]] — the drop-folder ingest shape (files land
     * in a directory, every line flows into exactly one lane, the
@@ -61,17 +72,9 @@ object TextSource {
     * with `Admission.stream` downstream for exactly-once admission of
     * the good lane. */
   def streamJsonl(spark: SparkSession, path: String, schema: StructType)
-      : (DataFrame, DataFrame) = {
-    val parsed = spark.readStream.text(path).toDF("value")
-      .select(col("value"), from_json(col("value"), withCorrupt(schema),
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)).as("r"))
-    val good = parsed.where(col(s"r.$Corrupt").isNull && col("r").isNotNull)
-      .select(schema.fieldNames.map(f => col(s"r.`$f`")).toIndexedSeq: _*)
-    val quarantined = parsed
-      .where(col(s"r.$Corrupt").isNotNull || col("r").isNull)
-      .select(col("value").as("raw_line"))
-    (good, quarantined)
-  }
+      : (DataFrame, DataFrame) =
+    splitLanes(spark.readStream.text(path).toDF("value"),
+      jsonParsed(schema), schema)
 
   /** (good, quarantined) from headerless CSV lines against `schema` —
     * same contract as [[readJsonl]]. */
@@ -79,14 +82,7 @@ object TextSource {
               delimiter: String = ","): (DataFrame, DataFrame) = {
     val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt,
       "delimiter" -> delimiter)
-    val parsed = spark.read.textFile(path).toDF("value")
-      .select(col("value"),
-        from_csv(col("value"), withCorrupt(schema), opts).as("r"))
-    val good = parsed.where(col(s"r.$Corrupt").isNull && col("r").isNotNull)
-      .select(schema.fieldNames.map(f => col(s"r.`$f`")).toIndexedSeq: _*)
-    val quarantined = parsed
-      .where(col(s"r.$Corrupt").isNotNull || col("r").isNull)
-      .select(col("value").as("raw_line"))
-    (good, quarantined)
+    splitLanes(spark.read.textFile(path).toDF("value"),
+      from_csv(col("value"), withCorrupt(schema), opts), schema)
   }
 }

@@ -75,10 +75,24 @@ class AdmissionSpec extends AnyFunSuite with SparkSpec {
           col("__pii") === 0).as("want"))
     val joined = gated.select(col("doc_id"), col("admit")).join(manual, "doc_id")
     assert(joined.filter(col("admit") =!= col("want")).count() === 0L)
-    // and the gate is actually learned: at least one verdict differs from
-    // the rule-gated funnel OR the model reproduces the rule exactly —
-    // either way both funnels must run green end to end
-    val ruled = Admission.curationFunnel(docs, "doc_id", "text")
-    assert(ruled.count() === docs.count() && gated.count() === docs.count())
+    // and scoreFn is genuinely in the gate, not silently ignored: a
+    // constant-0 score must reject EVERYTHING (whatever the other
+    // rules say), a constant-1 score must reduce the gate to exactly
+    // langid ∧ gopher ∧ pii (quality never binds)
+    val allZero = Admission.curationFunnel(docs, "doc_id", "text",
+      Admission.Config(scoreFn = Some(_ => lit(0.0))))
+    assert(allZero.filter(col("admit")).count() === 0L,
+      "a zero score must close the gate for every doc")
+    val allOne = Admission.curationFunnel(docs, "doc_id", "text",
+      Admission.Config(scoreFn = Some(_ => lit(1.0))))
+    val noQuality = docs
+      .withColumn("__lang", graft.functions.text.langId(col("text")))
+      .join(CurationOps.gopherStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep")), "doc_id")
+      .withColumn("__pii", CurationOps.piiCounts(col("text")).getField("emails") +
+        CurationOps.piiCounts(col("text")).getField("ips"))
+      .filter(col("__lang") =!= "und" && col("keep") && col("__pii") === 0)
+    assert(allOne.filter(col("admit")).count() === noQuality.count(),
+      "a saturating score must leave exactly the structural rules binding")
   }
 }
