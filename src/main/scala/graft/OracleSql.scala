@@ -1774,6 +1774,23 @@ object OracleSql {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Stratified split replay: same per-stratum digest rank, same
+    // ceil(f·n) cuts — the FP product (0.8·n can land a hair above the
+    // integer) is computed identically by both engines, so the cut
+    // points agree even at the wobble.
+    "x_split_stratified" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5_number_lower('ss|' || CAST(doc_id AS VARCHAR)) % 1000000,
+        |        CAST(doc_id AS VARCHAR)) rk,
+        |    count(*) OVER (PARTITION BY lang) n
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rk <= ceil(0.8 * n) THEN 'train'
+        |       WHEN rk <= ceil(0.9 * n) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // Exact-size sample: same salted-digest order, k-row prefix.
     "x_fixed_sample" ->
       """SELECT doc_id FROM (

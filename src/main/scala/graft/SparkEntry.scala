@@ -505,6 +505,16 @@ object SparkEntry {
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp|").as("split"))
         .orderBy("doc_id")
     }),
+    // Exact-size stratified split: within every language, digest-ranked
+    // documents cut at exact cumulative counts — a 2%-of-corpus
+    // language still gets its exact 10% val slice, where
+    // x_split_assign's digest rule hits fractions only in expectation.
+    "x_split_stratified" -> ((s, d) => {
+      SampleOps.stratifiedSplit(T(s, d, "documents"), "lang", col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "ss|")
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id")
+    }),
     // Exact-size deterministic sample: the 50 lowest salted digests —
     // reproducible "exactly K docs" (TakeOrderedAndProject, no global
     // sort, corpus-order-independent).

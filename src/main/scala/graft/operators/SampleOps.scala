@@ -315,6 +315,51 @@ object SampleOps {
   }
 
   /**
+   * EXACT-size stratified split — the companion to [[assignSplit]]
+   * (whose digest rule hits the fractions only in expectation): within
+   * every stratum, documents order by the salted digest (id tie-break)
+   * and the split boundaries cut at exact cumulative counts —
+   * `ceil(f₁·n)` rows to the first split, the next `ceil((f₁+f₂)·n) −
+   * ceil(f₁·n)` to the second, and so on — so per-stratum proportions
+   * are exact to the row, not just in expectation (what a per-language
+   * eval set actually requires: a 2%-of-corpus language still gets its
+   * exact 10% val slice). Deterministic and growth-UNSTABLE by nature
+   * (adding documents moves the cut points — the price of exactness;
+   * [[assignSplit]] is the growth-stable alternative).
+   *
+   * One rank window per stratum — partitions on the stratum key; at
+   * extreme per-stratum cardinality apply the [[tokenBudgetCap]]
+   * segment decomposition.
+   */
+  def stratifiedSplit(df: DataFrame, strataCol: String, key: Column,
+                      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+    val ord = w.orderBy(
+      graft.functions.sig.md5BucketCol(concat(lit(salt), key.cast("string")), Buckets),
+      key.cast("string"))
+    val ranked = df
+      .withColumn("__rk", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(w))
+    // EXACT-decimal cut points: a double 0.8·n lands a hair above the
+    // integer when the true product is integral (0.8·500 =
+    // 400.0000000000000222 → ceil 401), and double-vs-decimal engines
+    // would cut differently. BigDecimal sums and literals keep
+    // ceil(f_cum·n) integer-exact — identically to a decimal-literal
+    // SQL replay.
+    val cum = splits.scanLeft(java.math.BigDecimal.ZERO) {
+      case (acc, (_, f)) => acc.add(new java.math.BigDecimal(f.toString))
+    }.tail
+    val split = splits.map(_._1).zip(cum).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, c)) =>
+        when(col("__rk") <= ceil(lit(c) * col("__n")), lit(name)).otherwise(acc)
+      }
+    ranked.withColumn("split", split).drop("__rk", "__n")
+  }
+
+  /**
    * Deterministic global training shuffle — the last step before
    * writing training shards: an order-independent pseudo-random
    * permutation (salted-digest sort key, id tie-break — a pure function

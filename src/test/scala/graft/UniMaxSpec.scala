@@ -137,6 +137,31 @@ class UniMaxSpec extends AnyFunSuite with SparkSpec {
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("stratifiedSplit: per-stratum sizes exact to the row; disjoint, exhaustive, deterministic") {
+    val docs = ((1L to 500L).map(i => (i, "big")) ++ (501L to 540L).map(i => (i, "small")))
+      .toDF("doc_id", "dom")
+    val out = SampleOps.stratifiedSplit(docs, "dom", col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "t|")
+      .select(col("doc_id"), col("dom"), col("split"))
+      .as[(Long, String, String)].collect()
+    assert(out.length === 540 && out.map(_._1).distinct.length === 540)
+    val sizes = out.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap
+    // exact per-stratum cuts at ceil boundaries — even the 40-doc
+    // stratum gets its exact 4-doc val slice
+    assert(sizes(("small", "train")) + sizes(("small", "val")) +
+      sizes(("small", "test")) === 40)
+    assert(sizes(("small", "val")) === 4 && sizes(("small", "test")) === 4 &&
+      sizes(("small", "train")) === 32, s"small stratum cuts: $sizes")
+    assert(sizes(("big", "train")) === 400 && sizes(("big", "val")) === 50 &&
+      sizes(("big", "test")) === 50, s"big stratum cuts: $sizes")
+    // deterministic under re-partitioning
+    val again = SampleOps.stratifiedSplit(docs.repartition(7), "dom", col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "t|")
+      .select(col("doc_id"), col("dom"), col("split"))
+      .as[(Long, String, String)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("every unsaturated domain sits at the same water level") {
     // budget 4850 at maxEpochs 0.25: de/fr/es saturate (caps 887/940/990
     // below their levels), zh and en share (4850 − 2817)/2 = 1016.5
