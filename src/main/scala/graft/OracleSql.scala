@@ -2362,6 +2362,22 @@ object OracleSql {
         |SELECT token, count(*) AS cnt FROM w GROUP BY token
         |ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
 
+    // Per-source tf-idf replay: same tokenization, each source one
+    // pseudo-document, gf = sources containing the term, idf over the
+    // source count, same round-6 score and (score desc, token) ties.
+    "x_tfidf_terms" ->
+      s"""WITH w AS (SELECT source, unnest($words) token FROM documents),
+         |tf AS (SELECT source, token, count(*) cnt FROM w GROUP BY 1, 2),
+         |gf AS (SELECT token, count(*) gf FROM tf GROUP BY 1),
+         |ns AS (SELECT count(DISTINCT source) n FROM tf),
+         |sc AS (SELECT tf.source, tf.token, tf.cnt,
+         |  round(tf.cnt * ln(ns.n::DOUBLE / gf.gf), 6) AS tfidf
+         |  FROM tf JOIN gf USING (token) CROSS JOIN ns),
+         |r AS (SELECT *, row_number() OVER
+         |  (PARTITION BY source ORDER BY tfidf DESC, token) rn FROM sc)
+         |SELECT source, token, cnt, tfidf FROM r WHERE rn <= 5
+         |ORDER BY source, tfidf DESC, token""".stripMargin,
+
     // URL canonicalization: identical synthesis, identical replace
     // chain (fragment → utm + repair → default port → lowercase prefix
     // → trailing slash); RE2 backrefs are \n where Java's are $n.

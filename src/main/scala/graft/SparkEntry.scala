@@ -1038,6 +1038,15 @@ object SparkEntry {
     "x_vocab_topk" -> ((s, d) => {
       CurationOps.vocabTopK(T(s, d, "documents"), "text", 50)
     }),
+    // Per-source salient terms by tf-idf (each source as one
+    // pseudo-document): the datasheet's "what is this source about"
+    // report. One corpus explode → one (source, token) exchange;
+    // everything after is vocab-sized; top-5 per source via a
+    // WindowGroupLimit-pruned rank window.
+    "x_tfidf_terms" -> ((s, d) => {
+      CurationOps.tfidfTerms(T(s, d, "documents"), "source", "text", 5)
+        .orderBy(col("source"), desc("tfidf"), col("token"))
+    }),
     // URL canonicalization: messy crawl URLs synthesized from doc fields
     // (uppercase host, default port, utm params, fragment, trailing
     // slash), then normalized; group sizes prove collision behavior.

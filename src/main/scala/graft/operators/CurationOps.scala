@@ -806,6 +806,42 @@ object CurationOps {
       .limit(k)
 
   /**
+   * Per-group salient terms by tf-idf — the "what is this source/domain
+   * about" report a corpus datasheet ships next to the mixture weights
+   * (and the signal domain-weighting recipes use to spot near-duplicate
+   * sources). Each group (source, domain, language bucket) is treated as
+   * one pseudo-document: tf = term occurrences within the group, idf =
+   * ln(n_groups / group-frequency of the term), score = tf·idf, top-k
+   * terms per group.
+   *
+   * Scale shape: ONE corpus-sized pass (the token explode) feeding one
+   * (group, token) hash exchange with map-side partial counts —
+   * everything downstream (group frequency, n_groups, scoring, the
+   * top-k) derives from that vocab-×-groups-sized counts relation, which
+   * is localCheckpointed because three consumers read it (tf, gf, and
+   * the group count). The per-group top-k is a rank-ordered row_number
+   * window that Spark executes as WindowGroupLimit — each group's
+   * candidate set prunes map-side to k before the window's exchange.
+   * Deterministic ties: rounded score desc, token asc.
+   */
+  def tfidfTerms(docs: DataFrame, groupCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs.select(col(groupCol).as("grp"), explode(toks(col(textCol))).as("token"))
+      .groupBy("grp", "token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val gf = tf.groupBy("token").agg(count(lit(1)).as("gf"))
+    val nGroups = tf.select(countDistinct(col("grp")).as("n_groups"))
+    // ln over a count ratio is a smooth libm call (no decimal-structured
+    // boundary); round 6 absorbs cross-engine last-ulp differences.
+    val scored = tf.join(gf, "token").crossJoin(broadcast(nGroups))
+      .select(col("grp").as(groupCol), col("token"), col("cnt"),
+        round(col("cnt") * log(col("n_groups").cast("double") / col("gf")), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(desc("tfidf"), col("token"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /**
    * URL canonicalization for web-corpus dedup: two crawls of one page
    * should collide on the canonical form. Chain (each step RE2-safe and
    * replayed by the SQL oracle, order load-bearing):
