@@ -1001,6 +1001,29 @@ object OracleSql {
         |  substring(nfc_normalize(r), -6, 6) AS tail
         |FROM raw ORDER BY doc_id""".stripMargin,
 
+    // Cross-document boilerplate scrub replay: same synthetic
+    // header/footer lines, df over DISTINCT docs per trimmed line
+    // (string-keyed — proving the Spark side's md5 digest grouping
+    // collision-free), same ≥ 5 cutoff, same in-place keep filter
+    // (whitespace-only lines structural, never counted, never removed).
+    "x_boilerplate_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |    'home | about | ' || source || chr(10) ||
+        |    regexp_replace(text, ' value ', '.' || chr(10), 'g') || chr(10) ||
+        |    '(c) 2024 ' || source || ' all rights reserved' AS text FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM t),
+        |d AS (SELECT DISTINCT doc_id, trim(line) kl FROM l WHERE trim(line) <> ''),
+        |f AS (SELECT kl FROM d GROUP BY kl HAVING count(*) >= 5),
+        |fl AS (SELECT coalesce(list(kl), []) ks FROM f)
+        |SELECT t.doc_id,
+        |  CAST(len(list_filter(string_split(t.text, chr(10)),
+        |    x -> trim(x) <> '')) AS INTEGER) AS n_lines,
+        |  CAST(len(list_filter(string_split(t.text, chr(10)),
+        |    x -> trim(x) <> '' AND NOT list_contains(fl.ks, trim(x)))) AS INTEGER) AS n_kept,
+        |  array_to_string(list_filter(string_split(t.text, chr(10)),
+        |    x -> trim(x) = '' OR NOT list_contains(fl.ks, trim(x))), chr(10)) AS text
+        |FROM t CROSS JOIN fl ORDER BY doc_id""".stripMargin,
+
     // Line-dedup replay: same synthetic duplicate (first line
     // re-appended), keep-first via DuckDB's indexed list lambda
     // (list_position = first occurrence, exactly Spark's

@@ -1467,6 +1467,19 @@ object SparkEntry {
     // higher-order-function column algebra — no shuffle, no UDF.
     // Structure synthesized so every doc carries a real duplicate (its
     // first line re-appended).
+    // CROSS-document boilerplate scrub (RefinedWeb recipe): lines whose
+    // trimmed text appears in ≥ 5 distinct docs (here: the synthesized
+    // per-source nav header and copyright footer, plus any naturally
+    // repeated segment) are furniture and are removed in place; text
+    // never rides an exchange (digests-only df count + scrub-list join).
+    "x_boilerplate_scrub" -> ((s, d) => {
+      val lined = concat(lit("home | about | "), col("source"),
+        lit("\n"), regexp_replace(col("text"), " value ", ".\n"),
+        lit("\n(c) 2024 "), col("source"), lit(" all rights reserved"))
+      val docs = T(s, d, "documents").select(col("doc_id"), lined.as("text"))
+      CurationOps.scrubBoilerplateLines(docs, "doc_id", "text", minDocs = 5)
+        .orderBy("doc_id")
+    }),
     "x_line_dedup" -> ((s, d) => {
       val lined = regexp_replace(col("text"), " value ", ".\n")
       val docs = T(s, d, "documents").select(col("doc_id"),

@@ -338,6 +338,59 @@ object CurationOps {
       "\n")
   }
 
+  /**
+   * CROSS-document boilerplate line removal (the RefinedWeb / MassiveText
+   * recipe next to [[dedupLines]]'s within-page form): a line whose
+   * trimmed text appears in ≥ `minDocs` DISTINCT documents is navigation /
+   * footer / cookie-banner furniture, not content, and is scrubbed from
+   * every document — while within-page repetition alone (handled by
+   * [[dedupLines]]) stays untouched here.
+   *
+   * Scale shape — document text NEVER rides an exchange:
+   *  1. line digests: one map-only pass emits (id, md5(trim(line)))
+   *     pairs; the doc-frequency count shuffles 16-byte digests only
+   *     (distinct per (id, digest), then a digest-keyed count).
+   *  2. the frequent set (df ≥ minDocs) is boilerplate-sized; it joins
+   *     BACK to the per-doc digest stream and folds to one
+   *     (id, scrub_digests) row per affected document — again digests
+   *     only through the exchange.
+   *  3. the scrub itself is IN PLACE: the affected-docs relation
+   *     (typically a small fraction of the corpus… or broadcast-sized
+   *     per-doc digest lists even when every doc is affected) joins the
+   *     corpus on id, and a higher-order filter drops lines whose digest
+   *     is in the doc's own scrub list — map-side column algebra in
+   *     whole-stage codegen, no UDF, no text reassembly exchange.
+   * Whitespace-only lines are structural, not content: they never count
+   * toward df and are never scrubbed.
+   *
+   * Returns (idCol, n_lines, n_kept, textCol-scrubbed) — n_lines/n_kept
+   * count non-empty trimmed lines before/after.
+   */
+  def scrubBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                            minDocs: Int): DataFrame = {
+    val lineArr = split(col(textCol), "\n")
+    val dig = (l: Column) => md5(trim(l).cast("binary"))
+    val docDigests = docs.select(col(idCol),
+        explode(filter(lineArr, l => trim(l) =!= "")).as("__l"))
+      .select(col(idCol), dig(col("__l")).as("__d"))
+      .distinct()
+    val frequent = docDigests.groupBy("__d")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__d")
+    val scrubLists = docDigests.join(frequent, "__d")
+      .groupBy(idCol).agg(collect_set(col("__d")).as("__scrub"))
+    val kept = filter(lineArr, l =>
+      trim(l) === "" || !array_contains(col("__scrub"), dig(l)))
+    docs.join(scrubLists, Seq(idCol), "left")
+      .select(col(idCol),
+        size(filter(lineArr, l => trim(l) =!= "")).as("n_lines"),
+        when(col("__scrub").isNull, size(filter(lineArr, l => trim(l) =!= "")))
+          .otherwise(size(filter(kept, l => trim(l) =!= ""))).as("n_kept"),
+        when(col("__scrub").isNull, col(textCol))
+          .otherwise(array_join(kept, "\n")).as(textCol))
+  }
+
   /** C4's document-level flags: "lorem ipsum" boilerplate and curly
     * braces (code); callers combine them with a retained-line minimum
     * (C4's "at least 3 sentences") for the page-level drop decision. */
