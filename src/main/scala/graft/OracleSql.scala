@@ -1688,6 +1688,14 @@ object OracleSql {
         |  true AS rows_ok, true AS recall_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
+    // PQ invariants (recall band, code range, exact shape) are computed
+    // Spark-side — the oracle pins the query count and the expected
+    // all-true verdicts.
+    "x_ann_pq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS INTEGER) AS k,
+        |  true AS rows_ok, true AS codes_ok, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
     // Curation funnel replay: the x_langid, x_quality, x_gopher_full
     // (raw text, no synthesis) and PII-count fragments composed into the
     // one admission verdict.

