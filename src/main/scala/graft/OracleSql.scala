@@ -2286,6 +2286,37 @@ object OracleSql {
         |FROM w LEFT JOIN h ON h.doc_id = w.doc_id
         |ORDER BY w.doc_id""".stripMargin,
 
+    // Interpolated-bigram cross-entropy replay: same even-slice
+    // reference, same pair extraction (list_zip of the shifted lists),
+    // same 0.7/0.3 decimal weights, unseen context zeroing the bigram
+    // leg, add-1 unigram leg over (N+V).
+    "x_bigram_ppl" ->
+      s"""WITH w AS (SELECT doc_id, $words t FROM documents),
+        |ref AS (SELECT t FROM w WHERE doc_id % 2 = 0),
+        |uc AS (SELECT token, count(*) c FROM
+        |  (SELECT unnest(t) token FROM ref) GROUP BY 1),
+        |tot AS (SELECT sum(c) n, count(*) v FROM uc),
+        |bc AS (SELECT w1, w2, count(*) c2 FROM
+        |  (SELECT z[1] w1, z[2] w2 FROM
+        |    (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) z FROM ref))
+        |  GROUP BY 1, 2),
+        |dpp AS (SELECT doc_id, z[1] w1, z[2] w2 FROM
+        |  (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) z FROM w)),
+        |sc AS (SELECT dpp.doc_id, count(*) n_pairs,
+        |  -sum(ln(0.7 * (CASE WHEN u1.c IS NULL THEN 0.0
+        |                 ELSE coalesce(bc.c2, 0)::DOUBLE / u1.c END)
+        |        + 0.3 * (coalesce(u2.c, 0) + 1)::DOUBLE /
+        |          ((SELECT n + v FROM tot)))) / count(*) ce
+        |  FROM dpp LEFT JOIN bc USING (w1, w2)
+        |  LEFT JOIN uc u1 ON u1.token = dpp.w1
+        |  LEFT JOIN uc u2 ON u2.token = dpp.w2
+        |  GROUP BY dpp.doc_id)
+        |SELECT w.doc_id, coalesce(sc.n_pairs, 0) AS n_pairs,
+        |  round(coalesce(sc.ce, 0.0), 6) AS cross_entropy,
+        |  coalesce(round(sc.ce, 6) < 3.41, false) AS keep
+        |FROM w LEFT JOIN sc USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
+
     // CCNet perplexity buckets: same cross-entropy chain, then
     // per-language tercile thresholds replayed with Spark's documented
     // percentile semantic — smallest x with cdf >= q at rank

@@ -965,6 +965,24 @@ object SparkEntry {
           (col("n_tokens") > 0 && round(col("cross_entropy"), 6) < 3.41).as("keep"))
         .orderBy("doc_id")
     }),
+    // Interpolated-bigram LM scoring — the next CCNet rung above
+    // x_unigram_ppl: reference = the even-doc_id slice (a SEPARATE
+    // corpus, so unseen contexts/pairs really occur and the
+    // Jelinek–Mercer backoff to the add-1 unigram leg is exercised,
+    // not just defined), scored over ALL docs. Both models broadcast;
+    // scoring is three map-side probes on the (doc, pair) stream + one
+    // per-doc aggregation.
+    "x_bigram_ppl" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      val uni = CurationOps.unigramModel(ref, "text")
+      val bi = CurationOps.bigramModel(ref, "text")
+      CurationOps.bigramCrossEntropy(docs, uni, bi, "doc_id", "text")
+        .select(col("doc_id"), col("n_pairs"),
+          round(col("cross_entropy"), 6).as("cross_entropy"),
+          (col("n_pairs") > 0 && round(col("cross_entropy"), 6) < 3.41).as("keep"))
+        .orderBy("doc_id")
+    }),
     // CCNet-style perplexity bucketing: per-language head/middle/tail
     // terciles of the unigram cross-entropy (Wenzek et al. 2020 §4).
     // Thresholds ride the rank-exact percentile sketch (accuracy 2^20 —

@@ -701,6 +701,85 @@ object CurationOps {
   }
 
   /**
+   * Bigram counts of a reference corpus — the second-order companion to
+   * [[unigramModel]], one step toward CCNet's KenLM n-gram artifact.
+   * One explode of adjacent-token pairs → one (w1, w2) count
+   * aggregation with map-side partials. The result is bounded by the
+   * reference's distinct-bigram count (vocab², in practice Zipf-sparse);
+   * `minCount` prunes the long tail so the broadcast-model contract
+   * stays honest when the reference grows — a pruned bigram simply
+   * backs off to the unigram leg in [[bigramCrossEntropy]].
+   */
+  def bigramModel(reference: DataFrame, textCol: String,
+                  minCount: Long = 1L): DataFrame =
+    reference.select(toks(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+
+  /**
+   * Per-document cross-entropy under a Jelinek–Mercer–interpolated
+   * bigram LM of the reference corpus — the next rung of the CCNet
+   * ladder above [[unigramCrossEntropy]] (Wenzek et al. 2020 score with
+   * a KenLM 5-gram; the interpolated bigram captures the same
+   * word-order signal the unigram is blind to, deterministically and
+   * engine-replayably):
+   *
+   *   H(doc) = −(1/(n−1)) Σ_{i=2..n} ln( wBigram · c2(w_{i−1}, w_i)/c1(w_{i−1})
+   *                                     + wUnigram · (c1(w_i)+1)/(N+V) )
+   *
+   * An unseen context (c1(w_{i−1}) = 0 — possible because the reference
+   * is a separate corpus, not the scored docs) zeroes the bigram leg;
+   * the add-1 unigram leg keeps every transition strictly positive, so
+   * ln never sees 0. `wBigram`/`wUnigram` are taken as two literals
+   * (not λ and 1−λ) so the oracle's decimal weights replay bit-for-bit.
+   *
+   * Scale shape: both models broadcast (vocab- and pruned-bigram-
+   * bounded); scoring is THREE map-side broadcast probes on the
+   * (doc, pair) stream + one per-doc aggregation — the corpus never
+   * shuffles on anything but doc_id partials. Documents with < 2 tokens
+   * have no transitions: n_pairs = 0, cross_entropy = 0 (callers gate
+   * on n_pairs, as the query does).
+   */
+  def bigramCrossEntropy(docs: DataFrame, uniModel: DataFrame, biModel: DataFrame,
+                         idCol: String, textCol: String,
+                         wBigram: Double = 0.7, wUnigram: Double = 0.3): DataFrame = {
+    val totals = uniModel.agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"))
+    val t = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+    // Docs with < 2 tokens contribute no pair rows; the doc_id spine
+    // left-join below restores them with n_pairs = 0.
+    val pairs = t.filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
+      .select(col("doc_id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val scored = pairs
+      .join(broadcast(biModel), Seq("w1", "w2"), "left")
+      .join(broadcast(uniModel.select(col("token").as("w1"), col("c").as("__c1"))),
+        Seq("w1"), "left")
+      .join(broadcast(uniModel.select(col("token").as("w2"), col("c").as("__cw"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(log(
+          lit(wBigram) * when(col("__c1").isNull, lit(0.0))
+            .otherwise(coalesce(col("c2"), lit(0L)).cast("double") / col("__c1")) +
+          lit(wUnigram) * (coalesce(col("__cw"), lit(0L)) + lit(1)).cast("double") /
+            (col("__n") + col("__v")))).as("__s"))
+    t.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("n_pairs").isNull, lit(0.0))
+          .otherwise(-col("__s") / col("n_pairs")).as("cross_entropy"))
+  }
+
+  /**
    * Hashed n-gram feature instances — the DSIR feature map (Xie et al.
    * 2023 §3: bag of hashed unigrams + bigrams): one row per feature
    * OCCURRENCE, bucketed by md5 into a space bounded by `buckets`
