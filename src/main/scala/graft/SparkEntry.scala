@@ -2201,6 +2201,53 @@ object SparkEntry {
     // recall at nprobe=8/nlist=16 is 0.82-0.85 across SFs vs the 0.6
     // gate (nprobe=4 sat at 0.57-0.61, straddling it). The oracle
     // states the contract; the hash matches iff it holds.
+    // IVF-PQ with residual encoding + exact refine — the composed FAISS
+    // IVFPQ(+refine) deployment shape, and the 100 TB endgame of the ANN
+    // family: coarse cells bound the scan (nprobe/nlist of the corpus),
+    // PQ codes over the RESIDUAL vec − cell_centroid (residuals have
+    // far less variance than raw vectors, so the same codebook budget
+    // quantizes tighter — the reason FAISS encodes residuals) cut the
+    // probed bytes 16×, and only the 50-candidate shortlist hydrates
+    // float vectors for the exact top-5. Invariants: exact shape, codes
+    // in [0, ksub), refined recall ≥ 0.7 vs the float-exact kNN
+    // (nprobe 8/16 caps attainable recall below the full-scan PQ's).
+    "x_ann_ivf_pq" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val ed = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .localCheckpoint(true)
+      val cells = IvfAnn.buildCells(ed, "vec_id", "embedding", nlist = 16)
+      val withCells = IvfAnn.assignCells(ed, "vec_id", "embedding", cells)
+        .join(broadcast(cells), col("cell") === col("cell_id"))
+        .select(col("vec_id"), col("cell"), col("cell_vec"),
+          zip_with(col("embedding"), col("cell_vec"), (x, y) => x - y).as("resid"))
+        .localCheckpoint(true) // codebook training + encode both scan it
+      val cb = PqOps.trainCodebooks(withCells, "vec_id", "resid", m = 16, ksub = 16, dim = 64)
+      val coded = withCells.select(col("vec_id"), col("cell"), col("cell_vec"),
+        PqOps.encode(col("resid"), cb, dim = 64).as("codes"))
+      val recon = coded.select(col("cell"), col("vec_id"),
+        zip_with(col("cell_vec"), PqOps.reconstruct(col("codes"), cb),
+          (a, b) => a + b).as("embedding"))
+      val q = ed.filter(col("vec_id") < 20)
+      val shortlist = IvfAnn.annSearch(q, recon, cells, "vec_id", "embedding",
+          k = 50, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      val approx = Rerank.rerankCosine(shortlist, ed, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"))
+      val exact = SimilarityOps.knnJoinCosine(q, ed, "vec_id", "embedding", k = 5)
+      val hits = approx.join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      val shape = approx.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_queries"), expr("bool_and(n = 5)").as("rows_ok"))
+      val codesOk = coded.agg(expr(
+        "bool_and(forall(codes, c -> c >= 0 and c < 16))").as("codes_ok"))
+      val recall = hits.agg(count(lit(1)).as("hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("tot")))
+        .select((col("hit").cast("double") / col("tot") >= 0.7).as("recall_ok"))
+      shape.crossJoin(codesOk).crossJoin(recall)
+        .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
+          col("codes_ok"), col("recall_ok"))
+    }),
     "x_ann_ivf" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val cells = IvfAnn.buildCells(e, "vec_id", "embedding", nlist = 16)
