@@ -892,6 +892,23 @@ object OracleSql {
          |SELECT ia AS id_a, ib AS id_b, round(jac, 6) AS jaccard
          |FROM j WHERE jac >= 0.02 ORDER BY id_a, id_b""".stripMargin,
 
+    // Containment replay: same 3-shingle sets, both direction ratios,
+    // keep where either ROUNDED direction reaches 0.4 (the rounded
+    // value is the shared decision key).
+    "x_containment_pairs" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END) s
+         |  FROM w),
+         |m AS (SELECT doc_id, unnest(s) sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
+         |i AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+         |        FROM m a JOIN m b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |c AS (SELECT ia, ib, round(inter::DOUBLE / x.n, 6) ca, round(inter::DOUBLE / y.n, 6) cb
+         |        FROM i JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib)
+         |SELECT ia AS id_a, ib AS id_b, ca AS cont_a_in_b, cb AS cont_b_in_a
+         |FROM c WHERE greatest(ca, cb) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
     // SimHash: per-token 64-bit hash = md5_number_lower (same byte order as
     // the JVM kernel), ±1 votes per bit, majority sign; built as HUGEINT
     // then wrapped to signed 64-bit to match Spark's LongType. The final

@@ -1206,10 +1206,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
-    // kNN over the QUANTIZED corpus: search runs against int8-dequantized
-    // vectors (the 4×-smaller table a 100 TB deployment actually scans),
-    // with the float-exact top-k as the recall reference — the measured
-    // invariant is recall ≥ 0.8 at k=5 plus exact result shape.
+    // Asymmetric containment |A∩B|/|A| (Broder 1997) — the
+    // quote-inclusion signal Jaccard misses: a short doc copied into a
+    // long one is near-invisible to resemblance but containment-1.0.
+    // Both directions per pair, kept where either rounded direction
+    // ≥ 0.4.
+    "x_containment_pairs" -> ((s, d) => {
+      DedupOps.ngramContainmentPairs(T(s, d, "documents"), "doc_id", "text", 3, 0.4)
+        .orderBy("id_a", "id_b")
+    }),
     // Product quantization (Jégou et al. 2011) + exact refine — the
     // FAISS IndexRefineFlat serving shape: the corpus re-expressed as
     // m=16 tinyint codes per vector (16× less than float32 at dim 64 —
@@ -1254,6 +1259,10 @@ object SparkEntry {
         .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
           col("codes_ok"), col("recall_ok"))
     }),
+    // kNN over the QUANTIZED corpus: search runs against int8-dequantized
+    // vectors (the 4×-smaller table a 100 TB deployment actually scans),
+    // with the float-exact top-k as the recall reference — the measured
+    // invariant is recall ≥ 0.8 at k=5 plus exact result shape.
     "x_ann_quant" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val qcorpus = e

@@ -363,6 +363,41 @@ object DedupOps {
   }
 
   /**
+   * Asymmetric shingle CONTAINMENT (Broder 1997's companion to
+   * resemblance): C(A→B) = |A∩B| / |A|. Jaccard misses the
+   * quote-inclusion / page-embeds-page case — a short doc fully copied
+   * into a much longer one scores jaccard ≈ |A|/|B| (tiny) but
+   * containment 1.0 — and containment is the signal substring-level
+   * policies act on at document granularity. One row per unordered
+   * pair with BOTH directions, filtered where either rounded direction
+   * reaches `threshold` (the rounded value is the engine-stable
+   * decision key, as everywhere in the suite).
+   *
+   * Scale shape: same co-shingle equi-join as [[ngramJaccardPairs]]
+   * (shingle sets explode once, sizes are one bounded aggregation, the
+   * join carries (id, shingle) pairs only); at production scale the
+   * candidate set comes from [[lshCandidatePairs]] first — this is the
+   * verify kernel, not the discovery scan.
+   */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("gid"),
+      explode(array_distinct(text.shingles(text.tokens(col(textCol)), shingleN))).as("m"))
+    val sizes = sh.groupBy("gid").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("gid").as("id_a"), col("m"))
+      .join(sh.select(col("gid").as("id_b"), col("m")), "m")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.select(col("gid").as("id_a"), col("n").as("__na")), "id_a")
+      .join(sizes.select(col("gid").as("id_b"), col("n").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("__i").cast("double") / col("__na"), 6).as("cont_a_in_b"),
+        round(col("__i").cast("double") / col("__nb"), 6).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
+  /**
    * The full near-dup dedup cascade a production corpus runs, composed
    * end-to-end WITHOUT intermediate materialization: banded-LSH candidate
    * pairs → exact n-gram Jaccard verification restricted to those
