@@ -20,6 +20,35 @@ object OracleSql {
     """list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '')"""
   private val stops = "('the','a','an','of','and','to','in','is','it','for')"
 
+  /** Shared by x_bigram_ppl and x_bigram_ppl_store (the stored model
+    * must be indistinguishable from the in-memory one). */
+  private lazy val bigramPplSql =
+    s"""WITH w AS (SELECT doc_id, $words t FROM documents),
+        |ref AS (SELECT t FROM w WHERE doc_id % 2 = 0),
+        |uc AS (SELECT token, count(*) c FROM
+        |  (SELECT unnest(t) token FROM ref) GROUP BY 1),
+        |tot AS (SELECT sum(c) n, count(*) v FROM uc),
+        |bc AS (SELECT w1, w2, count(*) c2 FROM
+        |  (SELECT z[1] w1, z[2] w2 FROM
+        |    (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) z FROM ref))
+        |  GROUP BY 1, 2),
+        |dpp AS (SELECT doc_id, z[1] w1, z[2] w2 FROM
+        |  (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) z FROM w)),
+        |sc AS (SELECT dpp.doc_id, count(*) n_pairs,
+        |  -sum(ln(0.7 * (CASE WHEN u1.c IS NULL THEN 0.0
+        |                 ELSE coalesce(bc.c2, 0)::DOUBLE / u1.c END)
+        |        + 0.3 * (coalesce(u2.c, 0) + 1)::DOUBLE /
+        |          ((SELECT n + v FROM tot)))) / count(*) ce
+        |  FROM dpp LEFT JOIN bc USING (w1, w2)
+        |  LEFT JOIN uc u1 ON u1.token = dpp.w1
+        |  LEFT JOIN uc u2 ON u2.token = dpp.w2
+        |  GROUP BY dpp.doc_id)
+        |SELECT w.doc_id, coalesce(sc.n_pairs, 0) AS n_pairs,
+        |  round(coalesce(sc.ce, 0.0), 6) AS cross_entropy,
+        |  coalesce(round(sc.ce, 6) < 3.41, false) AS keep
+        |FROM w LEFT JOIN sc USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin
+
   /** Unrolled BPE training chain, shared by x_bpe_merges / x_bpe_encode:
     * d0 = word dict as DOUBLE-space-delimited char sequences (the merge
     * pattern keeps one delimiter space per side, so adjacent occurrences
@@ -2314,33 +2343,11 @@ object OracleSql {
     // Interpolated-bigram cross-entropy replay: same even-slice
     // reference, same pair extraction (list_zip of the shifted lists),
     // same 0.7/0.3 decimal weights, unseen context zeroing the bigram
-    // leg, add-1 unigram leg over (N+V).
-    "x_bigram_ppl" ->
-      s"""WITH w AS (SELECT doc_id, $words t FROM documents),
-        |ref AS (SELECT t FROM w WHERE doc_id % 2 = 0),
-        |uc AS (SELECT token, count(*) c FROM
-        |  (SELECT unnest(t) token FROM ref) GROUP BY 1),
-        |tot AS (SELECT sum(c) n, count(*) v FROM uc),
-        |bc AS (SELECT w1, w2, count(*) c2 FROM
-        |  (SELECT z[1] w1, z[2] w2 FROM
-        |    (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) z FROM ref))
-        |  GROUP BY 1, 2),
-        |dpp AS (SELECT doc_id, z[1] w1, z[2] w2 FROM
-        |  (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) z FROM w)),
-        |sc AS (SELECT dpp.doc_id, count(*) n_pairs,
-        |  -sum(ln(0.7 * (CASE WHEN u1.c IS NULL THEN 0.0
-        |                 ELSE coalesce(bc.c2, 0)::DOUBLE / u1.c END)
-        |        + 0.3 * (coalesce(u2.c, 0) + 1)::DOUBLE /
-        |          ((SELECT n + v FROM tot)))) / count(*) ce
-        |  FROM dpp LEFT JOIN bc USING (w1, w2)
-        |  LEFT JOIN uc u1 ON u1.token = dpp.w1
-        |  LEFT JOIN uc u2 ON u2.token = dpp.w2
-        |  GROUP BY dpp.doc_id)
-        |SELECT w.doc_id, coalesce(sc.n_pairs, 0) AS n_pairs,
-        |  round(coalesce(sc.ce, 0.0), 6) AS cross_entropy,
-        |  coalesce(round(sc.ce, 6) < 3.41, false) AS keep
-        |FROM w LEFT JOIN sc USING (doc_id)
-        |ORDER BY w.doc_id""".stripMargin,
+    // leg, add-1 unigram leg over (N+V). The SAME oracle also gates
+    // x_bigram_ppl_store: the persisted-ledger model over init ∪ append
+    // must be indistinguishable from the in-memory model of the union.
+    "x_bigram_ppl" -> bigramPplSql,
+    "x_bigram_ppl_store" -> bigramPplSql,
 
     // CCNet perplexity buckets: same cross-entropy chain, then
     // per-language tercile thresholds replayed with Spark's documented

@@ -983,6 +983,30 @@ object SparkEntry {
           (col("n_pairs") > 0 && round(col("cross_entropy"), 6) < 3.41).as("keep"))
         .orderBy("doc_id")
     }),
+    // The standing-state reference LM: the x_bigram_ppl models
+    // persisted on the additive ledger (LmStore) and assembled from
+    // init + append + a replayed append (must no-op) + compact —
+    // scoring against the stored model must equal scoring against the
+    // in-memory model of the same reference union, which is exactly
+    // x_bigram_ppl's oracle.
+    "x_bigram_ppl_store" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val dir = tmpStore("lm_store")
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      graft.operators.LmStore.init(s, dir, ref.filter(col("doc_id") % 4 === 0), "text")
+      graft.operators.LmStore.append(s, dir,
+        ref.filter(col("doc_id") % 4 =!= 0), "text", Some("b1"))
+      // Replay of an absorbed name must be a no-op (crash-retry shape).
+      graft.operators.LmStore.append(s, dir,
+        ref.filter(col("doc_id") % 4 =!= 0), "text", Some("b1"))
+      graft.operators.LmStore.compact(s, dir)
+      val (uni, bi) = graft.operators.LmStore.readModels(s, dir)
+      CurationOps.bigramCrossEntropy(docs, uni, bi, "doc_id", "text")
+        .select(col("doc_id"), col("n_pairs"),
+          round(col("cross_entropy"), 6).as("cross_entropy"),
+          (col("n_pairs") > 0 && round(col("cross_entropy"), 6) < 3.41).as("keep"))
+        .orderBy("doc_id")
+    }),
     // CCNet-style perplexity bucketing: per-language head/middle/tail
     // terciles of the unigram cross-entropy (Wenzek et al. 2020 §4).
     // Thresholds ride the rank-exact percentile sketch (accuracy 2^20 —
