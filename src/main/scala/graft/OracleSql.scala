@@ -1911,6 +1911,36 @@ object OracleSql {
     // Global-shuffle replay: same salted digest (unsigned lower-64 md5
     // mod 2^62), same (digest, key-as-STRING) order — both engines
     // string-order the tie-break — same round-robin deal.
+    // Curriculum replay: x_quality's score, tercile thresholds via the
+    // cumulative-count window (Spark's documented percentile semantic),
+    // then the x_global_shuffle rank replay with phase as the leading
+    // sort key.
+    "x_curriculum" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |m AS (SELECT doc_id, len(wds) nt,
+         |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
+         |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
+         |q AS (SELECT doc_id, round(
+         |  least(nt / 50.0, 1.0) * 0.5 +
+         |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS q
+         |  FROM m),
+         |n AS (SELECT count(*) n FROM q),
+         |r AS (SELECT q, count(*) OVER (ORDER BY q) cum FROM q),
+         |t1 AS (SELECT min(q) t1 FROM r, n WHERE cum >= ceil(n.n / 3.0)),
+         |t2 AS (SELECT min(q) t2 FROM r, n WHERE cum >= ceil(2 * n.n / 3.0)),
+         |p AS (SELECT doc_id, q.q,
+         |  CASE WHEN q.q <= t1.t1 THEN 2 WHEN q.q <= t2.t2 THEN 1 ELSE 0 END ph
+         |  FROM q, t1, t2),
+         |b AS (SELECT doc_id, q, ph,
+         |  md5_number_lower('cur|' || CAST(doc_id AS VARCHAR))
+         |    % 4611686018427387904 d FROM p),
+         |r2 AS (SELECT doc_id, q, ph,
+         |  row_number() OVER (ORDER BY ph, d, CAST(doc_id AS VARCHAR)) - 1 rk FROM b)
+         |SELECT doc_id, q, CAST(ph AS INTEGER) AS phase,
+         |  CAST(rk % 4 AS INTEGER) AS shard, CAST(rk // 4 AS BIGINT) AS pos
+         |FROM r2 ORDER BY doc_id""".stripMargin,
+
     "x_global_shuffle" ->
       """WITH b AS (SELECT doc_id, lang,
         |        md5_number_lower('gs|' || CAST(doc_id AS VARCHAR))

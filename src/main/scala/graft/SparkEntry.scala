@@ -632,6 +632,27 @@ object SparkEntry {
     // (order-independent, retry-stable — orderBy(rand()) is neither)
     // dealt round-robin into 8 equal shards; the global rank is a
     // range-partitioned sort + broadcast cumsum, never one partition.
+    // Curriculum ordering: quality terciles (the x_outlier_trim
+    // rank-exact percentile contract) become training phases — phase 0
+    // = cleanest third first — and the corpus deals into 4 equal
+    // worker streams, each internally phase-ordered with the
+    // deterministic digest shuffle inside each phase. One range
+    // exchange + the broadcast-cumsum global rank.
+    "x_curriculum" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = docs.select(col("doc_id"), qualityOf(col("text")).as("q"))
+      val thr = scored.agg(
+        percentile_approx(col("q"), lit(1.0 / 3), lit(1 << 20)).as("t1"),
+        percentile_approx(col("q"), lit(2.0 / 3), lit(1 << 20)).as("t2"))
+      val phased = scored.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("q"),
+          when(col("q") <= col("t1"), 2).when(col("q") <= col("t2"), 1)
+            .otherwise(0).as("ph"))
+      SampleOps.curriculumOrder(phased, col("ph"), col("doc_id"),
+          shards = 4, salt = "cur|")
+        .select(col("doc_id"), col("q"), col("phase"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
     "x_global_shuffle" -> ((s, d) => {
       SampleOps.globalShuffle(T(s, d, "documents").select("doc_id", "lang"),
           col("doc_id"), shards = 8, salt = "gs|")

@@ -379,13 +379,53 @@ object SampleOps {
   def globalShuffle(df: DataFrame, key: Column, shards: Int,
                     salt: String = ""): DataFrame = {
     require(shards >= 1, s"shards must be >= 1: $shards")
-    import org.apache.spark.sql.expressions.Window
     val keyed = df
       .withColumn("__d", graft.functions.sig.md5BucketCol(
         concat(lit(salt), key.cast("string")), 1L << 62))
       .withColumn("__k", key.cast("string"))
-    val ranged = keyed.repartitionByRange(col("__d"), col("__k"))
-      .sortWithinPartitions(col("__d"), col("__k"))
+    rankDeal(keyed, Seq(col("__d"), col("__k")), shards)
+      .drop("__d", "__k")
+  }
+
+  /**
+   * Curriculum data ordering — the training-order scheduler curriculum
+   * learning needs at corpus scale (Bengio et al. 2009; data curricula
+   * order a run's stream from cleanest to noisiest): a deterministic
+   * GLOBAL order sorted by (phase asc, salted digest, key), dealt
+   * round-robin into `shards` equal streams. Because position is
+   * assigned on the global rank, EVERY shard receives its own
+   * phase-ordered stream — each data-parallel worker sees phase 0
+   * first, then phase 1, … — while within a phase the digest shuffles
+   * order-independently exactly like [[globalShuffle]].
+   *
+   * Same scale decomposition as the shuffle (one range exchange keyed
+   * (phase, digest) — uniform within each phase band by construction —
+   * plus the broadcast-cumsum global rank); phases come from the
+   * caller (quality terciles, perplexity buckets, any ordinal), stay
+   * in the output as `phase`.
+   */
+  def curriculumOrder(df: DataFrame, phase: Column, key: Column, shards: Int,
+                      salt: String = ""): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    val keyed = df
+      .withColumn("phase", phase)
+      .withColumn("__d", graft.functions.sig.md5BucketCol(
+        concat(lit(salt), key.cast("string")), 1L << 62))
+      .withColumn("__k", key.cast("string"))
+    rankDeal(keyed, Seq(col("phase"), col("__d"), col("__k")), shards)
+      .drop("__d", "__k")
+  }
+
+  /** The shared global-order core: range-partition + sort on `sortCols`,
+    * global rank via in-partition row_number + a broadcast cumsum of
+    * per-partition counts (one tiny row per partition — the
+    * packSequencesGlobal decomposition), then a round-robin deal into
+    * (shard, pos). */
+  private def rankDeal(keyed: DataFrame, sortCols: Seq[Column],
+                       shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = keyed.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("__part", spark_partition_id())
       .localCheckpoint(true)
     val offsets = ranged.groupBy(col("__part").as("__p2"))
@@ -397,10 +437,10 @@ object SampleOps {
     ranged.join(broadcast(offsets), col("__part") === col("__p2"))
       .withColumn("__rank", col("__offset") +
         row_number().over(Window.partitionBy(col("__part"))
-          .orderBy(col("__d"), col("__k"))) - 1)
+          .orderBy(sortCols: _*)) - 1)
       .withColumn("shard", pmod(col("__rank"), lit(shards.toLong)).cast("int"))
       .withColumn("pos", expr(s"__rank div ${shards}L"))
-      .drop("__d", "__k", "__part", "__p2", "__offset", "__rank")
+      .drop("__part", "__p2", "__offset", "__rank")
   }
 
   /**
