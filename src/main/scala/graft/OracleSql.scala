@@ -949,6 +949,44 @@ object OracleSql {
     // Σ idf·tf·(k1+1)/(tf + k1(1 − b + b·dl/avgdl)) with k1=1.2 b=0.75;
     // rank on the 6-decimal-rounded score (the engine's TopK heap keys
     // on the same rounded value), doc_id tie-break.
+    // RAG pipe replay: the x_chunk_tokens windows (16/12) carry their
+    // token slices straight into the x_bm25_topk scoring chain keyed by
+    // cid, then best-chunk-per-doc attribution and the top-3 rank.
+    "pipe_rag_e2e" ->
+      s"""WITH w AS (SELECT doc_id, $words t FROM documents),
+        |cd AS (SELECT doc_id * 1000 + CAST((s - 1) / 12 AS INTEGER) cid,
+        |         doc_id src_doc, t[s:s+15] ct
+        |       FROM (SELECT doc_id, t,
+        |               unnest(generate_series(1, greatest(1, len(t) - 16 + 12), 12)) s
+        |             FROM w WHERE len(t) > 0)),
+        |tf AS (SELECT cid, dl, term, count(*) tf FROM
+        |         (SELECT cid, len(ct) dl, unnest(ct) term FROM cd)
+        |       GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) n_docs, avg(len(ct)) avgdl FROM cd),
+        |qt AS (SELECT DISTINCT qid, term FROM
+        |         (SELECT doc_id qid, unnest(t[1:5]) term FROM w
+        |          WHERE doc_id % 97 = 0)),
+        |sc AS (SELECT qt.qid query_id, tf.cid,
+        |         sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |             * tf.tf * 2.2
+        |             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) score
+        |       FROM qt JOIN tf ON tf.term = qt.term
+        |         JOIN df ON df.term = qt.term CROSS JOIN st
+        |       WHERE df.df::DOUBLE / st.n_docs <= 1.0
+        |       GROUP BY 1, 2),
+        |r AS (SELECT query_id, cid, round(score, 6) score,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY round(score, 6) DESC, cid) rn FROM sc),
+        |h AS (SELECT query_id, cid, score FROM r WHERE rn <= 20),
+        |a AS (SELECT h.query_id, cd.src_doc doc_id, max(h.score) doc_score
+        |      FROM h JOIN cd USING (cid) GROUP BY 1, 2),
+        |r2 AS (SELECT query_id, doc_id, doc_score,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY doc_score DESC, doc_id) rk FROM a)
+        |SELECT query_id, doc_id, doc_score, CAST(rk AS INTEGER) AS rank
+        |FROM r2 WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin,
+
     "x_bm25_topk" ->
       s"""WITH tokd AS (SELECT doc_id, $words AS t FROM documents),
         |tf AS (SELECT doc_id, dl, term, count(*) tf FROM

@@ -1483,6 +1483,40 @@ object SparkEntry {
     // near-ubiquitous — maxDfFrac stays 1.0 (the stopword cutoff would
     // empty the index here); idf still discriminates through df, and
     // tf/dl carry the ranking.
+    // The RAG retrieval serving pipe in ONE plan: sliding-window token
+    // chunks (the x_chunk_tokens kernel) become the retrieval unit, a
+    // chunk-level BM25 index nominates top-20 chunks per query, and
+    // chunk hits attribute back to documents (best-chunk score per doc,
+    // top-3 docs) — the standard chunk-index/doc-answer shape a RAG
+    // stack runs. Scale: chunking is map-only; the only corpus-sized
+    // exchanges are the BM25 postings aggregations; attribution joins
+    // the queries×20 hit set as a BROADCAST against the chunk→doc map
+    // and tops out via a WindowGroupLimit-pruned rank window.
+    "pipe_rag_e2e" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val chunks = CurationOps.chunkTokens(docs, "doc_id", "text",
+          size = 16, stride = 12)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+          col("doc_id").as("src_doc"), col("chunk_text"))
+        .localCheckpoint(true) // consumed by the index and the attribution map
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          text.firstKTokens(col("text"), 5).as("qtext"))
+      val hits = Bm25.bm25TopK(chunks, queries, "cid", "chunk_text",
+          "qid", "qtext", k = 20, maxDfFrac = 1.0)
+        .select(col("query_id"), col("doc_id").as("cid"), col("score"))
+      val attr = chunks.select(col("cid"), col("src_doc"))
+        .join(broadcast(hits), "cid")
+        .groupBy(col("query_id"), col("src_doc"))
+        .agg(max(col("score")).as("doc_score"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("doc_score"), col("src_doc"))
+      attr.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("src_doc").as("doc_id"),
+          col("doc_score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "x_bm25_topk" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val queries = docs.filter(col("doc_id") % 97 === 0)
