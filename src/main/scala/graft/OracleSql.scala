@@ -1949,6 +1949,13 @@ object OracleSql {
     // Global-shuffle replay: same salted digest (unsigned lower-64 md5
     // mod 2^62), same (digest, key-as-STRING) order — both engines
     // string-order the tie-break — same round-robin deal.
+    // Compression-ratio invariants are Spark-computed (no deflate in
+    // DuckDB) — the oracle pins the doc count and all-true verdicts.
+    "x_compress_ratio" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS sizes_positive,
+        |  true AS bounded_overhead, true AS repetition_detected
+        |FROM documents""".stripMargin,
+
     // Curriculum replay: x_quality's score, tercile thresholds via the
     // cumulative-count window (Spark's documented percentile semantic),
     // then the x_global_shuffle rank replay with phase as the leading

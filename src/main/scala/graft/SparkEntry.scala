@@ -632,6 +632,28 @@ object SparkEntry {
     // (order-independent, retry-stable — orderBy(rand()) is neither)
     // dealt round-robin into 8 equal shards; the global rank is a
     // range-partitioned sort + broadcast cumsum, never one partition.
+    // Compression-ratio repetitiveness signal (the Dolma/MassiveWeb
+    // quality heuristic): deflate_size runs as a codegen kernel per
+    // row, map-only. DuckDB exposes no deflate, so the gate is the
+    // x_ann_* invariant idiom — Spark-computed booleans the oracle pins
+    // true: sizes positive, zlib's documented worst-case overhead
+    // bound, and the load-bearing signal property — a 3×-repeated twin
+    // of every doc must compress to barely more than the single copy
+    // (long-range repetition is exactly what the ratio detects and
+    // n-gram rules miss). Kernel laws (determinism, known ratios,
+    // ordering) are pinned in CompressSpec.
+    "x_compress_ratio" -> ((s, d) => {
+      val ds = graft.functions.DeflateSize.deflateSize(col("text"))
+      val ds3 = graft.functions.DeflateSize.deflateSize(
+        concat(col("text"), lit(" "), col("text"), lit(" "), col("text")))
+      T(s, d, "documents")
+        .select(col("doc_id"), octet_length(col("text")).as("nb"),
+          ds.as("ds"), ds3.as("ds3"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bool_and(ds > 0)").as("sizes_positive"),
+          expr("bool_and(ds <= nb + 64)").as("bounded_overhead"),
+          expr("bool_and(ds3 < 2 * ds + 16)").as("repetition_detected"))
+    }),
     // Curriculum ordering: quality terciles (the x_outlier_trim
     // rank-exact percentile contract) become training phases — phase 0
     // = cleanest third first — and the corpus deals into 4 equal
