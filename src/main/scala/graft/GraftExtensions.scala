@@ -60,6 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.HashEmbedding].getName, "hash_embedding"),
       es => graft.functions.HashEmbedding(es.head,
         litInt(es(1), "hash_embedding dim"))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      es => graft.functions.NfcNormalize(es.head)))
+    e.injectFunction((FunctionIdentifier("deflate_size"),
+      new ExpressionInfo(classOf[graft.functions.DeflateSize].getName, "deflate_size"),
+      es => graft.functions.DeflateSize(es.head)))
   }
 
   private def litInt(e: Expression, what: String): Int = e match {
