@@ -302,5 +302,9 @@ object sig {
         text.negWords, text.langProfiles), "built-in")
     reg.createOrReplaceTempFunction("hash_embedding",
       es => HashEmbedding(es.head, litInt(es(1), "hash_embedding dim")), "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      es => NfcNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("deflate_size",
+      es => DeflateSize(es.head), "built-in")
   }
 }

@@ -32,7 +32,12 @@ class SqlRegistrationSpec extends AnyFunSuite with SparkSpec {
     // same metastore-less JVM: the extension registers into this session
     val r = s2.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) c").collect()
     assert(r(0).getDouble(0) == 1.0)
-    val t = s2.sql(
+  }
+
+  test("sig.register exposes nfc_normalize and deflate_size to SQL") {
+    graft.functions.sig.register(spark)
+    // decomposed e + U+0301 composes to U+00E9
+    val t = spark.sql(
       "SELECT nfc_normalize('é') n, deflate_size('abcabcabc') z").collect()
     assert(t(0).getString(0) == "é")
     assert(t(0).getInt(1) > 0)
