@@ -613,6 +613,31 @@ object OracleSql {
          |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
 
+    // Script-detect replay: same 1:1 transliteration, same literal
+    // code-point classes (RE2 and Java agree on explicit ranges), same
+    // argmax tie order.
+    "x_script_detect" ->
+      """WITH t AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 4 = 1 THEN translate(text,
+        |      'abcdefghijklmnopqrstuvwxyz', 'абвгдежзийклмнопрстуфхцчшщ')
+        |    WHEN doc_id % 4 = 2 THEN translate(text,
+        |      'abcdefghijklmnopqrstuvwxyz', 'αβγδεζηθικλμνξοπρστυφχψωάέ')
+        |    WHEN doc_id % 4 = 3 THEN translate(text,
+        |      'abcdefghijklmnopqrstuvwxyz', '数据模型训练语言文本分析处理系统网络算法机器学习深度')
+        |    ELSE text END AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS INTEGER) n_latin,
+        |  CAST(len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS INTEGER) n_cyrillic,
+        |  CAST(len(regexp_extract_all(t, '[Ͱ-Ͽ]')) AS INTEGER) n_greek,
+        |  CAST(len(regexp_extract_all(t, '[一-鿿]')) AS INTEGER) n_han FROM t)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han,
+        |  CASE WHEN greatest(n_latin, n_cyrillic, n_greek, n_han) = 0 THEN 'und'
+        |       WHEN n_latin = greatest(n_latin, n_cyrillic, n_greek, n_han) THEN 'latin'
+        |       WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_greek, n_han) THEN 'cyrillic'
+        |       WHEN n_greek = greatest(n_latin, n_cyrillic, n_greek, n_han) THEN 'greek'
+        |       ELSE 'han' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "x_langid" ->
       s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
          |s AS (SELECT doc_id,

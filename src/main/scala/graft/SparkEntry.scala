@@ -320,6 +320,29 @@ object SparkEntry {
         .select(col("doc_id"), quality.as("quality"))
         .orderBy("doc_id")
     }),
+    // Script detection over a deterministically mixed-script corpus:
+    // docs %4==1 transliterate to Cyrillic, %4==2 to Greek, %4==3 to
+    // CJK (1:1 translate, both engines), the rest stay Latin — then
+    // the Unicode-block letter histogram + argmax classification, the
+    // signal language ID starts from on non-Latin text. Map-only.
+    "x_script_detect" -> ((s, d) => {
+      val abc = "abcdefghijklmnopqrstuvwxyz"
+      val t = when(col("doc_id") % 4 === 1,
+          translate(col("text"), abc, "абвгдежзийклмнопрстуфхцчшщ"))
+        .when(col("doc_id") % 4 === 2,
+          translate(col("text"), abc, "αβγδεζηθικλμνξοπρστυφχψωάέ"))
+        .when(col("doc_id") % 4 === 3,
+          translate(col("text"), abc, "数据模型训练语言文本分析处理系统网络算法机器学习深度"))
+        .otherwise(col("text"))
+      val counts = CurationOps.scriptCounts(t)
+      T(s, d, "documents")
+        .select(col("doc_id"), counts.as("c"))
+        .select(col("doc_id"), col("c.latin").as("n_latin"),
+          col("c.cyrillic").as("n_cyrillic"), col("c.greek").as("n_greek"),
+          col("c.han").as("n_han"),
+          CurationOps.dominantScript(col("c")).as("script"))
+        .orderBy("doc_id")
+    }),
     "x_langid" -> ((s, d) => {
       T(s, d, "documents")
         .select(col("doc_id"), text.langId(col("text")).as("lang_pred"))

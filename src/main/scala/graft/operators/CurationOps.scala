@@ -938,6 +938,36 @@ object CurationOps {
       .limit(k)
 
   /**
+   * Script detection — the Unicode-block histogram that backs language
+   * ID for non-Latin text (fastText-style ID starts from script; a
+   * Cyrillic page is not going to be English no matter what its
+   * stopwords hash to): per-document counts of LETTERS in the four
+   * highest-volume blocks (Basic Latin letters, Cyrillic U+0400-04FF,
+   * Greek U+0370-03FF, CJK Unified U+4E00-9FFF) via codegen'd
+   * regexp_count — map-only, no UDF. Both regex engines (Java here, RE2
+   * in the oracle) agree on explicit code-point classes.
+   */
+  def scriptCounts(c: Column): Column = struct(
+    regexp_count(c, lit("[A-Za-z]")).cast("int").as("latin"),
+    regexp_count(c, lit("[Ѐ-ӿ]")).cast("int").as("cyrillic"),
+    regexp_count(c, lit("[Ͱ-Ͽ]")).cast("int").as("greek"),
+    regexp_count(c, lit("[一-鿿]")).cast("int").as("han"))
+
+  /** Dominant script from [[scriptCounts]]: argmax with the fixed
+    * latin > cyrillic > greek > han tie order; `und` when no letter of
+    * any tracked block occurs. */
+  def dominantScript(counts: Column): Column = {
+    val l = counts.getField("latin"); val cy = counts.getField("cyrillic")
+    val g = counts.getField("greek"); val h = counts.getField("han")
+    val top = greatest(l, cy, g, h)
+    when(top === 0, lit("und"))
+      .when(l === top, lit("latin"))
+      .when(cy === top, lit("cyrillic"))
+      .when(g === top, lit("greek"))
+      .otherwise(lit("han"))
+  }
+
+  /**
    * Per-group salient terms by tf-idf — the "what is this source/domain
    * about" report a corpus datasheet ships next to the mixture weights
    * (and the signal domain-weighting recipes use to spot near-duplicate
