@@ -1981,6 +1981,27 @@ object OracleSql {
         |  true AS bounded_overhead, true AS repetition_detected
         |FROM documents""".stripMargin,
 
+    // Opt-out replay: the canonical host of this synthesis reduces to
+    // www.<source>.com — deriving it directly re-asserts the
+    // canonicalization chain's output; same blocklist regex.
+    "x_optout_filter" ->
+      """WITH h AS (SELECT doc_id, 'www.' || lower(source) || '.com' host
+        |           FROM documents)
+        |SELECT doc_id, host,
+        |  regexp_matches(host, '^www\.src[0-3]\.') AS opted_out
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Sequence-length histogram replay: bucket = bit-length − 1
+    // (integer-exact floor(log2); %b printf), token-less docs in their
+    // own -1 bucket.
+    "x_seqlen_histogram" ->
+      s"""WITH w AS (SELECT $words wds FROM documents),
+        |b AS (SELECT CASE WHEN len(wds) = 0 THEN -1
+        |        ELSE CAST(length(printf('%b', len(wds))) - 1 AS INTEGER) END bucket,
+        |        len(wds) n FROM w)
+        |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Curriculum replay: x_quality's score, tercile thresholds via the
     // cumulative-count window (Spark's documented percentile semantic),
     // then the x_global_shuffle rank replay with phase as the leading

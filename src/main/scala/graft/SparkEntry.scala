@@ -677,6 +677,44 @@ object SparkEntry {
           expr("bool_and(ds <= nb + 64)").as("bounded_overhead"),
           expr("bool_and(ds3 < 2 * ds + 16)").as("repetition_detected"))
     }),
+    // Opt-out / blocklist compliance — the robots.txt-opt-out pass a
+    // crawl-derived corpus must run before anything else: canonicalize
+    // the page URL, extract the registrable host, LEFT ANTI against the
+    // blocklist (tiny by nature → broadcast; the filter is map-side).
+    // Every doc comes back with its verdict so the removal is auditable.
+    "x_optout_filter" -> ((s, d) => {
+      val urls = T(s, d, "documents").select(col("doc_id"), col("source"),
+        concat(lit("HTTPS://WWW."), upper(col("source")), lit(".COM:443/Docs/"),
+          (col("doc_id") % 100), lit("/?utm_source=feed#s")).as("url"))
+      val canon = urls.withColumn("canonical",
+          CurationOps.canonicalizeUrl(col("url")))
+        .withColumn("host",
+          regexp_extract(col("canonical"), "^[a-z]+://([^/]+)", 1))
+      val blocked = canon.select(col("host")).distinct()
+        .filter(col("host").rlike("^www\\.src[0-3]\\."))
+      canon.join(broadcast(blocked.withColumn("__b", lit(true))),
+          Seq("host"), "left")
+        .select(col("doc_id"), col("host"),
+          coalesce(col("__b"), lit(false)).as("opted_out"))
+        .orderBy("doc_id")
+    }),
+    // Sequence-length histogram: log2-bucketed token counts with doc
+    // and token mass per bucket — the statistic that sizes packing
+    // budgets and context-length planning. ONE aggregation pass;
+    // output is max-log2-buckets-sized.
+    "x_seqlen_histogram" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(text.tokenCount(col("text")).as("n"))
+        // floor(log2(n)) computed integer-exactly as bit-length − 1 —
+        // a floating log2 at an exact power of two is a cross-engine
+        // rounding hazard.
+        .select(when(col("n") === 0, lit(-1))
+          .otherwise(length(bin(col("n"))) - 1).cast("int").as("bucket"),
+          col("n"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .orderBy("bucket")
+    }),
     // Curriculum ordering: quality terciles (the x_outlier_trim
     // rank-exact percentile contract) become training phases — phase 0
     // = cleanest third first — and the corpus deals into 4 equal
