@@ -1797,6 +1797,14 @@ object OracleSql {
         |  true AS rows_ok, true AS recall_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
+    // Stored-PQ invariants (stored ≡ memory, recall band, shape) are
+    // computed Spark-side — the oracle pins the query count and the
+    // expected all-true verdicts.
+    "x_ann_pq_stored" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS INTEGER) AS k,
+        |  true AS rows_ok, true AS stored_eq_memory, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
     // IVF-PQ invariants (recall band, code range, exact shape) are
     // computed Spark-side — the oracle pins the query count and the
     // expected all-true verdicts.

@@ -2419,6 +2419,64 @@ object SparkEntry {
         .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
           col("codes_ok"), col("recall_ok"))
     }),
+    // PQ at rest — the x_ann_ivf_pq shape served from the persisted
+    // store: residual codes live in a cell-laid-out TableSink (probe
+    // opens ONLY the probed cells' FILES, each row m code bytes — the
+    // two compressions multiply), built from an 80% slice + an O(batch)
+    // append of the rest under the fixed (cells, codebook). Gates: the
+    // stored shortlist must EQUAL the in-memory search over the same
+    // reconstruction (the store adds no approximation), and refined
+    // recall holds the x_ann_ivf_pq band.
+    "x_ann_pq_stored" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val ed = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .localCheckpoint(true)
+      val cells = IvfAnn.buildCells(ed, "vec_id", "embedding", nlist = 16)
+      val withCells = IvfAnn.assignCells(ed, "vec_id", "embedding", cells)
+        .join(broadcast(cells), col("cell") === col("cell_id"))
+        .select(col("vec_id"), col("cell"), col("cell_vec"), col("embedding"),
+          zip_with(col("embedding"), col("cell_vec"), (x, y) => x - y).as("resid"))
+        .localCheckpoint(true)
+      val cb = PqOps.trainCodebooks(withCells, "vec_id", "resid", m = 16, ksub = 16, dim = 64)
+      val dir = tmpStore("pq_store")
+      val codedOf = (df: org.apache.spark.sql.DataFrame) =>
+        graft.operators.PqStore.encodeResiduals(
+          IvfAnn.assignCells(df, "vec_id", "embedding", cells),
+          cells, "vec_id", "embedding", cb, 64)
+      graft.operators.PqStore.write(s, dir,
+        codedOf(ed.filter(col("vec_id") % 5 =!= 0)), "vec_id")
+      graft.operators.PqStore.append(s, dir, ed.filter(col("vec_id") % 5 === 0),
+        cells, "vec_id", "embedding", cb, 64, version = 1L)
+      val q = ed.filter(col("vec_id") < 20)
+      val stored = graft.operators.PqStore.search(dir, q, cells, cb,
+          "vec_id", "embedding", k = 50, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val recon = codedOf(ed)
+        .join(broadcast(cells), col("cell") === col("cell_id"))
+        .select(col("cell"), col("vec_id"),
+          zip_with(col("cell_vec"), PqOps.reconstruct(col("codes"), cb),
+            (a, b) => a + b).as("embedding"))
+      val mem = IvfAnn.annSearch(q, recon, cells, "vec_id", "embedding",
+          k = 50, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val storedEq = stored.unionByName(mem).distinct().count() == stored.count() &&
+        stored.count() == mem.count()
+      val approx = Rerank.rerankCosine(
+          stored.select(col("query_id"), col("neighbor_id").as("doc_id")),
+          ed, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"))
+      val exact = SimilarityOps.knnJoinCosine(q, ed, "vec_id", "embedding", k = 5)
+      val hits = approx.join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      val shape = approx.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_queries"), expr("bool_and(n = 5)").as("rows_ok"))
+      val recall = hits.agg(count(lit(1)).as("hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("tot")))
+        .select((col("hit").cast("double") / col("tot") >= 0.7).as("recall_ok"))
+      shape.crossJoin(recall)
+        .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
+          lit(storedEq).as("stored_eq_memory"), col("recall_ok"))
+    }),
     "x_ann_ivf" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val cells = IvfAnn.buildCells(e, "vec_id", "embedding", nlist = 16)

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfAnn, PqOps, PqStore}
+
+/** PQ at rest: the stored probe must be indistinguishable from the
+  * in-memory search over the same reconstruction, appends fold in
+  * O(batch) under the fixed (cells, codebook), removals never serve,
+  * and the codebook round-trips. */
+class PqStoreSpec extends AnyFunSuite with SparkSpec {
+
+  private val Dim = 64
+  private lazy val ed = graft.core.Fixtures.load(spark, sf(), "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    .localCheckpoint(true)
+  private lazy val base = ed.filter(col("vec_id") % 5 =!= 0).localCheckpoint(true)
+  private lazy val extra = ed.filter(col("vec_id") % 5 === 0).localCheckpoint(true)
+  // Cells and codebook are FITTED on the base slice — the store
+  // contract is fixed parameters between rebuilds.
+  private lazy val cells = IvfAnn.buildCells(base, "vec_id", "embedding", nlist = 8)
+  private lazy val cb = {
+    val wc = IvfAnn.assignCells(base, "vec_id", "embedding", cells)
+      .join(broadcast(cells), col("cell") === col("cell_id"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("cell_vec"), (x, y) => x - y).as("resid"))
+    PqOps.trainCodebooks(wc, "vec_id", "resid", m = 8, ksub = 16, dim = Dim)
+  }
+  private lazy val queries = ed.filter(col("vec_id") < 10).localCheckpoint(true)
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("pqstore").toString + "/ix"
+
+  private def coded(of: DataFrame): DataFrame = PqStore.encodeResiduals(
+    IvfAnn.assignCells(of, "vec_id", "embedding", cells),
+    cells, "vec_id", "embedding", cb, Dim)
+
+  private def memorySearch(of: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val recon = coded(of)
+      .join(broadcast(cells), col("cell") === col("cell_id"))
+      .select(col("cell"), col("vec_id"),
+        zip_with(col("cell_vec"), PqOps.reconstruct(col("codes"), cb),
+          (a, b) => a + b).as("embedding"))
+    IvfAnn.annSearch(queries, recon, cells, "vec_id", "embedding", k, nprobe)
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("stored probe == in-memory search over the same reconstruction") {
+    val dir = tmp()
+    PqStore.write(spark, dir, coded(base), "vec_id", numBuckets = 16)
+    val stored = PqStore.search(dir, queries, cells, cb, "vec_id", "embedding",
+      k = 5, nprobe = 3)
+    assert(rows(stored) === rows(memorySearch(base, 5, 3)))
+  }
+
+  test("append folds new ids in O(batch): search == one-shot store over the union") {
+    val dir = tmp()
+    PqStore.write(spark, dir, coded(base), "vec_id", numBuckets = 16)
+    PqStore.append(spark, dir, extra, cells, "vec_id", "embedding", cb, Dim,
+      version = 1L)
+    val stored = PqStore.search(dir, queries, cells, cb, "vec_id", "embedding",
+      k = 5, nprobe = 3)
+    assert(rows(stored) === rows(memorySearch(ed, 5, 3)))
+  }
+
+  test("removed ids never serve; survivors answer as a fresh store") {
+    val dir = tmp()
+    PqStore.write(spark, dir, coded(ed), "vec_id", numBuckets = 16)
+    val victims = ed.filter(col("vec_id") % 3 === 0)
+    PqStore.remove(spark, dir, victims.select("vec_id"), "vec_id")
+    val stored = PqStore.search(dir, queries, cells, cb, "vec_id", "embedding",
+      k = 5, nprobe = 3)
+    assert(stored.join(victims.select(col("vec_id").as("neighbor_id")),
+      Seq("neighbor_id"), "left_semi").isEmpty)
+    assert(rows(stored) === rows(memorySearch(ed.filter(col("vec_id") % 3 =!= 0), 5, 3)))
+  }
+
+  test("codebook round-trips through the sidecar parquet") {
+    val dir = tmp()
+    PqStore.writeCodebook(spark, dir, cb)
+    val back = PqStore.readCodebook(spark, dir)
+    assert(back.length === cb.length)
+    assert(back.zip(cb).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.toSeq == y.toSeq } })
+  }
+}
