@@ -917,6 +917,22 @@ object OracleSql {
          |  h -> coalesce(h, 'null')), ',') AS sig
          |FROM sh ORDER BY doc_id""".stripMargin,
 
+    // LSH evaluation replay: the shared candidate chain vs the exact
+    // ≥ 0.05 ground truth — two counts and their rounded ratios.
+    "x_lsh_eval" ->
+      s"""WITH $lshCandCtes,
+         |ex AS (SELECT li.ia, li.ib FROM li
+         |  JOIN lsz x ON x.doc_id = li.ia JOIN lsz y ON y.doc_id = li.ib
+         |  WHERE li.inter::DOUBLE / (x.n + y.n - li.inter) >= 0.05),
+         |tp AS (SELECT c.ia, c.ib FROM cand c JOIN ex ON ex.ia = c.ia AND ex.ib = c.ib),
+         |n AS (SELECT (SELECT count(*) FROM cand) nc,
+         |             (SELECT count(*) FROM ex) ne,
+         |             (SELECT count(*) FROM tp) nh)
+         |SELECT nc AS n_candidates, ne AS n_true_pairs, nh AS n_hits,
+         |  CASE WHEN nc = 0 THEN 0.0 ELSE round(nh::DOUBLE / nc, 6) END AS precision,
+         |  CASE WHEN ne = 0 THEN 0.0 ELSE round(nh::DOUBLE / ne, 6) END AS recall
+         |FROM n""".stripMargin,
+
     "x_lsh_pairs" ->
       s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
          |sh AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])

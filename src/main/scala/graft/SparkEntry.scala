@@ -1329,6 +1329,30 @@ object SparkEntry {
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
+    // LSH banding evaluation — the tuning report that decides bands×rows
+    // before a corpus-scale dedup run: candidate-stage precision/recall
+    // against the exact ≥ 0.05-Jaccard ground truth at THESE parameters
+    // (4 bands of 1 hash = high recall, low precision — the report
+    // quantifies exactly that trade). Both sides are relations the suite
+    // already proves; the comparison is two semi-join counts.
+    "x_lsh_eval" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val cand = DedupOps.lshCandidatePairs(docs, "doc_id", "text", 3, 4, 4)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.05)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val tp = cand.join(exact, Seq("id_a", "id_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_true_pairs")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_candidates"), col("n_true_pairs"), col("n_hits"),
+          when(col("n_candidates") === 0, lit(0.0))
+            .otherwise(round(col("n_hits").cast("double") / col("n_candidates"), 6))
+            .as("precision"),
+          when(col("n_true_pairs") === 0, lit(0.0))
+            .otherwise(round(col("n_hits").cast("double") / col("n_true_pairs"), 6))
+            .as("recall"))
+    }),
     "x_ngram_jaccard" -> ((s, d) => {
       DedupOps.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text", 3, 0.02)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
