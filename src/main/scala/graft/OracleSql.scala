@@ -20,6 +20,28 @@ object OracleSql {
     """list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '')"""
   private val stops = "('the','a','an','of','and','to','in','is','it','for')"
 
+  /** Shared by x_boilerplate_scrub (full corpus) and
+    * x_boilerplate_incremental (the SAME global semantics restricted to
+    * the batch slice — the LineStore incremental-equality law): df over
+    * the WHOLE corpus either way. */
+  private def boilerplateScrubSql(finalWhere: String): String =
+    s"""WITH t AS (SELECT doc_id,
+       |    'home | about | ' || source || chr(10) ||
+       |    regexp_replace(text, ' value ', '.' || chr(10), 'g') || chr(10) ||
+       |    '(c) 2024 ' || source || ' all rights reserved' AS text FROM documents),
+       |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM t),
+       |d AS (SELECT DISTINCT doc_id, trim(line) kl FROM l WHERE trim(line) <> ''),
+       |f AS (SELECT kl FROM d GROUP BY kl HAVING count(*) >= 5),
+       |fl AS (SELECT coalesce(list(kl), []) ks FROM f)
+       |SELECT t.doc_id,
+       |  CAST(len(list_filter(string_split(t.text, chr(10)),
+       |    x -> trim(x) <> '')) AS INTEGER) AS n_lines,
+       |  CAST(len(list_filter(string_split(t.text, chr(10)),
+       |    x -> trim(x) <> '' AND NOT list_contains(fl.ks, trim(x)))) AS INTEGER) AS n_kept,
+       |  array_to_string(list_filter(string_split(t.text, chr(10)),
+       |    x -> trim(x) = '' OR NOT list_contains(fl.ks, trim(x))), chr(10)) AS text
+       |FROM t CROSS JOIN fl $finalWhere ORDER BY doc_id""".stripMargin
+
   /** Shared by x_bigram_ppl and x_bigram_ppl_store (the stored model
     * must be indistinguishable from the in-memory one). */
   private lazy val bigramPplSql =
@@ -1131,23 +1153,8 @@ object OracleSql {
     // (string-keyed — proving the Spark side's md5 digest grouping
     // collision-free), same ≥ 5 cutoff, same in-place keep filter
     // (whitespace-only lines structural, never counted, never removed).
-    "x_boilerplate_scrub" ->
-      """WITH t AS (SELECT doc_id,
-        |    'home | about | ' || source || chr(10) ||
-        |    regexp_replace(text, ' value ', '.' || chr(10), 'g') || chr(10) ||
-        |    '(c) 2024 ' || source || ' all rights reserved' AS text FROM documents),
-        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM t),
-        |d AS (SELECT DISTINCT doc_id, trim(line) kl FROM l WHERE trim(line) <> ''),
-        |f AS (SELECT kl FROM d GROUP BY kl HAVING count(*) >= 5),
-        |fl AS (SELECT coalesce(list(kl), []) ks FROM f)
-        |SELECT t.doc_id,
-        |  CAST(len(list_filter(string_split(t.text, chr(10)),
-        |    x -> trim(x) <> '')) AS INTEGER) AS n_lines,
-        |  CAST(len(list_filter(string_split(t.text, chr(10)),
-        |    x -> trim(x) <> '' AND NOT list_contains(fl.ks, trim(x)))) AS INTEGER) AS n_kept,
-        |  array_to_string(list_filter(string_split(t.text, chr(10)),
-        |    x -> trim(x) = '' OR NOT list_contains(fl.ks, trim(x))), chr(10)) AS text
-        |FROM t CROSS JOIN fl ORDER BY doc_id""".stripMargin,
+    "x_boilerplate_scrub" -> boilerplateScrubSql(""),
+    "x_boilerplate_incremental" -> boilerplateScrubSql("WHERE t.doc_id % 5 = 0"),
 
     // Line-dedup replay: same synthetic duplicate (first line
     // re-appended), keep-first via DuckDB's indexed list lambda

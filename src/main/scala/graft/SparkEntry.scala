@@ -1737,6 +1737,23 @@ object SparkEntry {
       CurationOps.scrubBoilerplateLines(docs, "doc_id", "text", minDocs = 5)
         .orderBy("doc_id")
     }),
+    // The admission-time form on the standing line inventory: corpus =
+    // the %5≠0 slice persisted as a (digest, df) ledger, the %5=0 batch
+    // probed against it in O(batch) — total df = stored + within-batch,
+    // exact. Gated by the SAME global oracle restricted to the batch
+    // (the LineStore incremental-equality law).
+    "x_boilerplate_incremental" -> ((s, d) => {
+      val lined = concat(lit("home | about | "), col("source"),
+        lit("\n"), regexp_replace(col("text"), " value ", ".\n"),
+        lit("\n(c) 2024 "), col("source"), lit(" all rights reserved"))
+      val docs = T(s, d, "documents").select(col("doc_id"), lined.as("text"))
+      val dir = tmpStore("line_store")
+      graft.operators.LineStore.init(s, dir,
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.operators.LineStore.scrubIncremental(s, dir,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", minDocs = 5)
+        .orderBy("doc_id")
+    }),
     "x_line_dedup" -> ((s, d) => {
       val lined = regexp_replace(col("text"), " value ", ".\n")
       val docs = T(s, d, "documents").select(col("doc_id"),

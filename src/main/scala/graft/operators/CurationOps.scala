@@ -368,20 +368,38 @@ object CurationOps {
    */
   def scrubBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
                             minDocs: Int): DataFrame = {
-    val lineArr = split(col(textCol), "\n")
-    val dig = (l: Column) => md5(trim(l).cast("binary"))
-    val docDigests = docs.select(col(idCol),
-        explode(filter(lineArr, l => trim(l) =!= "")).as("__l"))
-      .select(col(idCol), dig(col("__l")).as("__d"))
-      .distinct()
+    val docDigests = lineDigests(docs, idCol, textCol)
     val frequent = docDigests.groupBy("__d")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
       .select("__d")
+    scrubWithFrequent(docs, idCol, textCol, docDigests, frequent)
+  }
+
+  /** (idCol, __d) pairs — one row per (doc, distinct non-blank trimmed
+    * line), 16-byte md5 digests only. Shared by the batch scrub and
+    * [[graft.operators.LineStore]]'s incremental form. */
+  private[operators] def lineDigests(docs: DataFrame, idCol: String,
+                                     textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(filter(split(col(textCol), "\n"), l => trim(l) =!= "")).as("__l"))
+      .select(col(idCol), lineDigest(col("__l")).as("__d"))
+      .distinct()
+
+  private[operators] def lineDigest(l: Column): Column =
+    md5(trim(l).cast("binary"))
+
+  /** The in-place scrub tail given the frequent set: fold the doc's own
+    * frequent digests to one list per affected doc (digests-only
+    * exchange), join back on id, higher-order filter in codegen. */
+  private[operators] def scrubWithFrequent(docs: DataFrame, idCol: String,
+                                           textCol: String, docDigests: DataFrame,
+                                           frequent: DataFrame): DataFrame = {
+    val lineArr = split(col(textCol), "\n")
     val scrubLists = docDigests.join(frequent, "__d")
       .groupBy(idCol).agg(collect_set(col("__d")).as("__scrub"))
     val kept = filter(lineArr, l =>
-      trim(l) === "" || !array_contains(col("__scrub"), dig(l)))
+      trim(l) === "" || !array_contains(col("__scrub"), lineDigest(l)))
     docs.join(scrubLists, Seq(idCol), "left")
       .select(col(idCol),
         size(filter(lineArr, l => trim(l) =!= "")).as("n_lines"),
