@@ -2033,6 +2033,24 @@ object OracleSql {
         |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Quality-weighted sampling replay: x_quality's score, the same
+    // md5 draw, the same squared-ratio acceptance arithmetic.
+    "x_quality_sample" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |m AS (SELECT doc_id, len(wds) nt,
+         |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
+         |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
+         |q AS (SELECT doc_id, round(
+         |  least(nt / 50.0, 1.0) * 0.5 +
+         |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS q
+         |  FROM m),
+         |qm AS (SELECT max(q) qm FROM q)
+         |SELECT doc_id, q,
+         |  (md5_number_lower('qs|' || CAST(doc_id AS VARCHAR)) % 1000000 + 0.5)
+         |    / 1000000.0 < q * q / (qm.qm * qm.qm) AS keep
+         |FROM q, qm ORDER BY doc_id""".stripMargin,
+
     // Curriculum replay: x_quality's score, tercile thresholds via the
     // cumulative-count window (Spark's documented percentile semantic),
     // then the x_global_shuffle rank replay with phase as the leading

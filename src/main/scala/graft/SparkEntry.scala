@@ -715,6 +715,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
         .orderBy("bucket")
     }),
+    // Quality-weighted sampling (the DCLM/quality-proportional mix):
+    // acceptance probability (q/q_max)² emphasizes the head without a
+    // hard cutoff — deterministic salted-digest draw (retry-stable,
+    // the x_mix_to_target idiom), q_max one broadcast scalar, the keep
+    // decision map-side. All arithmetic is IEEE-deterministic over the
+    // rounded quality, so the oracle replays the draw bit-for-bit.
+    "x_quality_sample" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val qmax = docs.agg(max(qualityOf(col("text"))).as("qm"))
+      docs.select(col("doc_id"), qualityOf(col("text")).as("q"))
+        .crossJoin(broadcast(qmax))
+        .withColumn("__u",
+          (sig.md5BucketCol(concat(lit("qs|"), col("doc_id").cast("string")),
+            1000000L).cast("double") + 0.5) / 1000000.0)
+        .select(col("doc_id"), col("q"),
+          (col("__u") < col("q") * col("q") / (col("qm") * col("qm"))).as("keep"))
+        .orderBy("doc_id")
+    }),
     // Curriculum ordering: quality terciles (the x_outlier_trim
     // rank-exact percentile contract) become training phases — phase 0
     // = cleanest third first — and the corpus deals into 4 equal
