@@ -43,6 +43,19 @@ class LineStoreSpec extends AnyFunSuite with SparkSpec {
     assert(inc.filter(col("text").contains("shared footer")).isEmpty)
   }
 
+  test("batch-by-batch fold matches the arrival-ordered global semantics") {
+    val dir = tmp()
+    val b2 = (201L to 203L).map(i => doc(i, s"late body $i")).toDF("doc_id", "text")
+    LineStore.init(spark, dir, corpus, "doc_id", "text")
+    LineStore.append(spark, dir, batch, "doc_id", "text", Some("b1"))
+    // The second batch sees corpus ∪ batch as its standing state.
+    val inc2 = LineStore.scrubIncremental(spark, dir, b2, "doc_id", "text", minDocs = 5)
+    val global2 = CurationOps.scrubBoilerplateLines(
+        corpus.union(batch).union(b2), "doc_id", "text", minDocs = 5)
+      .filter(col("doc_id") >= 200L)
+    assert(collectScrub(inc2) === collectScrub(global2))
+  }
+
   test("named replay is a no-op, including after compaction") {
     val dir = tmp()
     LineStore.init(spark, dir, corpus, "doc_id", "text")
