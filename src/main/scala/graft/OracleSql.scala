@@ -2033,6 +2033,31 @@ object OracleSql {
         |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Loss-mask replay: same chat synthesis, same marker positions,
+    // same span arithmetic (successor marker − 1, end-capped at n),
+    // empty spans dropped.
+    "x_loss_mask" ->
+      s"""WITH w AS (SELECT doc_id, $words t FROM documents),
+         |c AS (SELECT doc_id,
+         |  'user: ' || coalesce(array_to_string(t[1:5], ' '), '') || ' assistant: ' ||
+         |  coalesce(array_to_string(t[6:10], ' '), '') || ' user: ' ||
+         |  coalesce(array_to_string(t[11:15], ' '), '') || ' assistant: ' ||
+         |  coalesce(array_to_string(t[16:], ' '), '') AS text FROM w),
+         |tt AS (SELECT doc_id, $words t FROM c),
+         |mk AS (SELECT doc_id, len(t) n,
+         |  list_filter(list_zip(t, generate_series(1, len(t))),
+         |    z -> z[1] IN ('user:', 'assistant:')) m FROM tt),
+         |sp AS (SELECT doc_id, n, unnest(list_filter(
+         |  list_transform(generate_series(1, len(m)), i ->
+         |    CASE WHEN m[i][1] = 'assistant:'
+         |         THEN [m[i][2] + 1,
+         |               CASE WHEN i < len(m) THEN m[i+1][2] - 1 ELSE n END]
+         |         ELSE NULL END),
+         |  x -> x IS NOT NULL AND x[1] <= x[2])) s2 FROM mk)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         |  CAST(s2[1] AS INTEGER) AS s, CAST(s2[2] AS INTEGER) AS e
+         |FROM sp ORDER BY doc_id, s""".stripMargin,
+
     // Quality-weighted sampling replay: x_quality's score, the same
     // md5 draw, the same squared-ratio acceptance arithmetic.
     "x_quality_sample" ->

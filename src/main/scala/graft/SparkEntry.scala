@@ -715,6 +715,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
         .orderBy("bucket")
     }),
+    // Completion-only loss masking (SFT prep): synthesize two-turn
+    // chat-format text from each doc's tokens, then emit the loss spans
+    // — token ranges after each `assistant:` marker — that the trainer
+    // masks loss to. Map-only marker/span algebra + one explode.
+    "x_loss_mask" -> ((s, d) => {
+      val t = text.tokens(col("text"))
+      val seg = (a: Int, b: Int) => array_join(slice(t, lit(a), lit(b)), " ")
+      val chat = concat(lit("user: "), seg(1, 5), lit(" assistant: "), seg(6, 5),
+        lit(" user: "), seg(11, 5), lit(" assistant: "),
+        array_join(slice(t, lit(16), greatest(size(t) - 15, lit(0))), " "))
+      val docs = T(s, d, "documents").select(col("doc_id"), chat.as("text"))
+      CurationOps.lossSpans(docs, "doc_id", "text")
+        .orderBy("doc_id", "s")
+    }),
     // Quality-weighted sampling (the DCLM/quality-proportional mix):
     // acceptance probability (q/q_max)² emphasizes the head without a
     // hard cutoff — deterministic salted-digest draw (retry-stable,

@@ -719,6 +719,43 @@ object CurationOps {
   }
 
   /**
+   * Completion-only loss masking for instruction-tuning data (the SFT
+   * prep step every chat-format pipeline runs: loss applies ONLY to
+   * assistant tokens, never to user/prompt tokens — training on prompts
+   * teaches the model to parrot users): given role-marked text
+   * (`user:` / `assistant:` marker tokens), emit one row per LOSS SPAN —
+   * the token ranges following each `assistant:` marker up to the next
+   * marker (1-based inclusive [s, e] over the whitespace token stream).
+   * Multi-turn by construction; empty spans (marker immediately followed
+   * by another marker or end) drop.
+   *
+   * Map-only column algebra — marker positions, their successors, and
+   * the span arithmetic all run inside one codegen projection
+   * (zip_with/filter/transform); the explode emits spans-count rows.
+   */
+  def lossSpans(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val n = size(t)
+    val marked = filter(
+      zip_with(t, sequence(lit(1), n), (tok, i) => struct(tok.as("r"), i.as("p"))),
+      s => s.getField("r").isin("user:", "assistant:"))
+    val padded = concat(
+      slice(marked, lit(2), greatest(size(marked) - 1, lit(0))),
+      array(struct(lit("").as("r"), (n + 1).as("p"))))
+    val spans = filter(
+      transform(
+        filter(zip_with(marked, padded,
+          (a, b) => struct(a.getField("r").as("r"), a.getField("p").as("p"),
+            b.getField("p").as("np"))),
+          x => x.getField("r") === "assistant:"),
+        x => struct((x.getField("p") + 1).as("s"), (x.getField("np") - 1).as("e"))),
+      sp => sp.getField("s") <= sp.getField("e"))
+    docs.select(col(idCol), n.as("n_tokens"), explode(spans).as("__sp"))
+      .select(col(idCol), col("n_tokens"),
+        col("__sp.s").as("s"), col("__sp.e").as("e"))
+  }
+
+  /**
    * Bigram counts of a reference corpus — the second-order companion to
    * [[unigramModel]], one step toward CCNet's KenLM n-gram artifact.
    * One explode of adjacent-token pairs → one (w1, w2) count
