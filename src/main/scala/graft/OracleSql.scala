@@ -1012,6 +1012,38 @@ object OracleSql {
     // Σ idf·tf·(k1+1)/(tf + k1(1 − b + b·dl/avgdl)) with k1=1.2 b=0.75;
     // rank on the 6-decimal-rounded score (the engine's TopK heap keys
     // on the same rounded value), doc_id tie-break.
+    // Shard-export replay: quality gate over w0's token stream, BPE
+    // counts from the shared d8 chain restricted to kept docs, then the
+    // x_pack_sequences placement arithmetic over BPE lengths.
+    "pipe_shard_export_e2e" ->
+      s"""WITH ${bpeCtes(8)},
+         |nt AS (SELECT wrd, len(list_filter(string_split(trim(w), ' '), x -> x <> '')) n
+         |  FROM d8),
+         |qs AS (SELECT doc_id, len(wds) nt2,
+         |  len(list_filter(wds, t2 -> t2 IN $stops))::DOUBLE / len(wds) stop_ratio,
+         |  list_sum(list_transform(wds, t2 -> length(t2)))::DOUBLE / len(wds) awl
+         |  FROM w0),
+         |qq AS (SELECT doc_id, round(least(nt2 / 50.0, 1.0) * 0.5 +
+         |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) q
+         |  FROM qs),
+         |k AS (SELECT doc_id FROM qq WHERE q >= 0.5),
+         |tkn AS (SELECT w0.doc_id, unnest(wds) wrd FROM w0 JOIN k USING (doc_id)),
+         |e AS (SELECT k.doc_id, CAST(coalesce(sum(nt.n), 0) AS BIGINT) nb
+         |  FROM k LEFT JOIN tkn ON tkn.doc_id = k.doc_id
+         |  LEFT JOIN nt ON nt.wrd = tkn.wrd GROUP BY k.doc_id),
+         |b AS (SELECT doc_id, nb n_tokens,
+         |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS BIGINT) shard
+         |  FROM e WHERE nb > 0),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens
+         |    AS BIGINT) strt FROM b)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(strt // 64 AS BIGINT) AS seq_first,
+         |  CAST((strt + n_tokens - 1) // 64 AS BIGINT) AS seq_last,
+         |  CAST(strt % 64 AS BIGINT) AS tok_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     // RAG pipe replay: the x_chunk_tokens windows (16/12) carry their
     // token slices straight into the x_bm25_topk scoring chain keyed by
     // cid, then best-chunk-per-doc attribution and the top-3 rank.

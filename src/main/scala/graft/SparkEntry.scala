@@ -1622,6 +1622,24 @@ object SparkEntry {
     // near-ubiquitous — maxDfFrac stays 1.0 (the stopword cutoff would
     // empty the index here); idf still discriminates through df, and
     // tf/dl carry the ranking.
+    // The SHARD-EXPORT pipe — the last mile of the training-data
+    // pipeline, raw docs → tokenized training shards entirely
+    // in-engine: quality gate → BPE token counts under the STORED
+    // vocabulary (the persisted tokenizer artifact) → concat-and-chunk
+    // packing over BPE lengths into 8 shards of 64-token sequences.
+    // Output = per-doc placement (shard, seq range, offset) — exactly
+    // the index a dataloader seeks by. Corpus-sized work: one encode
+    // pass (broadcast dict join) + the shard-keyed packing window.
+    "pipe_shard_export_e2e" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val dir = tmpStore("shard_bpe")
+      CurationOps.bpeStore(s, dir, docs, "text", 8)
+      val kept = docs.filter(qualityOf(col("text")) >= 0.5)
+      val enc = CurationOps.bpeEncodeStored(s, dir, kept, "doc_id", "text")
+      CurationOps.packLengths(enc.select(col("doc_id"), col("n_bpe_tokens")),
+          "doc_id", "n_bpe_tokens", budget = 64, shards = 8)
+        .orderBy("doc_id")
+    }),
     // The RAG retrieval serving pipe in ONE plan: sliding-window token
     // chunks (the x_chunk_tokens kernel) become the retrieval unit, a
     // chunk-level BM25 index nominates top-20 chunks per query, and

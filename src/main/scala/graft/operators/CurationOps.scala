@@ -1141,11 +1141,22 @@ object CurationOps {
   }
 
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    budget: Int, shards: Int = 32): DataFrame = {
+                    budget: Int, shards: Int = 32): DataFrame =
+    packLengths(docs.select(col(idCol), size(toks(col(textCol))).as("n_tokens")),
+      idCol, "n_tokens", budget, shards)
+
+  /** The packing tail over PRECOMPUTED lengths — the shard-export path
+    * where the unit is BPE tokens (or any other cost), not whitespace
+    * tokens: (idCol, lenCol) → (doc_id, shard, n_tokens, seq_first,
+    * seq_last, tok_offset). Same digest sharding, same per-shard
+    * running-total window, same integer-division chunking as
+    * [[packSequences]] — ONE tail on purpose. */
+  def packLengths(lengths: DataFrame, idCol: String, lenCol: String,
+                  budget: Int, shards: Int = 32): DataFrame = {
     require(budget > 0, s"token budget must be positive: $budget")
     require(shards > 0, s"shard count must be positive: $shards")
-    val base = docs.select(col(idCol).as("doc_id"),
-        size(toks(col(textCol))).as("n_tokens"),
+    val base = lengths.select(col(idCol).as("doc_id"),
+        col(lenCol).as("n_tokens"),
         graft.functions.sig.md5BucketCol(col(idCol).cast("string"), shards).as("shard"))
       .filter(col("n_tokens") > 0)
     base
