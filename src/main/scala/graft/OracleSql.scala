@@ -2065,6 +2065,41 @@ object OracleSql {
         |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // FIM replay: same digest cuts (modulus n−1 per doc), same slice
+    // boundaries, same PSM sentinel concatenation (coalesce guards
+    // DuckDB's NULL array_to_string on empty slices).
+    "x_fim_transform" ->
+      s"""WITH w AS (SELECT doc_id, $words t FROM documents),
+         |c AS (SELECT doc_id, t, len(t) n,
+         |  CAST(md5_number_lower('fim1|' || CAST(doc_id AS VARCHAR))
+         |    % (len(t) - 1) AS INTEGER) + 1 lo,
+         |  CAST(md5_number_lower('fim2|' || CAST(doc_id AS VARCHAR))
+         |    % (len(t) - 1) AS INTEGER) + 1 hi
+         |  FROM w WHERE len(t) >= 3),
+         |s AS (SELECT doc_id, n, t, least(lo, hi) a, greatest(lo, hi) b FROM c)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         |  a AS cut_a, b AS cut_b,
+         |  '<fim_prefix> ' || coalesce(array_to_string(t[1:a], ' '), '') ||
+         |  ' <fim_suffix> ' || coalesce(array_to_string(t[b+1:n], ' '), '') ||
+         |  ' <fim_middle> ' || coalesce(array_to_string(t[a+1:b], ' '), '') AS fim_text
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Char-entropy replay: same char stream, same p·ln p fold over the
+    // distinct chars (fp association differences sit ~1e-16, absorbed
+    // by round 6).
+    "x_char_entropy" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, ''), x -> x <> '') ch FROM documents),
+        |e AS (SELECT doc_id, len(ch) n,
+        |  -list_sum(list_transform(list_distinct(ch), d2 ->
+        |    (len(list_filter(ch, x -> x = d2))::DOUBLE / len(ch)) *
+        |    ln(len(list_filter(ch, x -> x = d2))::DOUBLE / len(ch)))) ent
+        |  FROM c)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_chars,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE round(ent, 6) END AS entropy,
+        |  (CASE WHEN n = 0 THEN 0.0 ELSE round(ent, 6) END) >= 1.5 AS keep
+        |FROM e ORDER BY doc_id""".stripMargin,
+
     // Loss-mask replay: same chat synthesis, same marker positions,
     // same span arithmetic (successor marker − 1, end-capped at n),
     // empty spans dropped.

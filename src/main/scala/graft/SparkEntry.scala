@@ -715,6 +715,57 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
         .orderBy("bucket")
     }),
+    // Fill-in-the-middle transformation (Bavarian et al. 2022) — the
+    // code-training data-prep step: two deterministic digest-drawn cut
+    // points split the token stream into prefix/middle/suffix, emitted
+    // in the PSM sentinel format. Map-only (the draw is pure column
+    // algebra over md5, modulus = the doc's own n−1); docs with < 3
+    // tokens cannot split and are filtered (the chunker's job).
+    "x_fim_transform" -> ((s, d) => {
+      val t = text.tokens(col("text"))
+      val n = size(t)
+      val h = (salt: String) => pmod(
+        sig.md5Lower64Col(concat(lit(salt), col("doc_id").cast("string"))),
+        (n - 1).cast("decimal(20,0)")).cast("int")
+      val lo = h("fim1|") + 1
+      val hi = h("fim2|") + 1
+      val a = least(lo, hi); val b = greatest(lo, hi)
+      T(s, d, "documents")
+        .select(col("doc_id"), t.as("__t"), n.as("n_tokens"),
+          a.as("cut_a"), b.as("cut_b"))
+        .filter(col("n_tokens") >= 3)
+        .select(col("doc_id"), col("n_tokens"), col("cut_a"), col("cut_b"), {
+          val tt = col("__t")
+          concat(lit("<fim_prefix> "),
+            array_join(slice(tt, lit(1), col("cut_a")), " "),
+            lit(" <fim_suffix> "),
+            array_join(slice(tt, col("cut_b") + 1, col("n_tokens") - col("cut_b")), " "),
+            lit(" <fim_middle> "),
+            array_join(slice(tt, col("cut_a") + 1, col("cut_b") - col("cut_a")), " "))
+            .as("fim_text")
+        })
+        .orderBy("doc_id")
+    }),
+    // Character-entropy quality signal: Shannon entropy of the doc's
+    // character distribution — template/repeated-char junk sits low,
+    // natural prose high; the cheap cousin of x_compress_ratio with an
+    // EXACT oracle (entropy is a smooth transform of count ratios).
+    // In-place column algebra over the distinct-char array — map-only,
+    // O(distinct·len) per row, no shuffle.
+    "x_char_entropy" -> ((s, d) => {
+      val chars = filter(split(col("text"), ""), c => c =!= "")
+      val n = size(chars)
+      val ent = (-aggregate(
+        transform(array_distinct(chars), ch => {
+          val c = size(filter(chars, x => x === ch)).cast("double")
+          c / n * log(c / n)
+        }), lit(0.0), (acc, v) => acc + v))
+      T(s, d, "documents")
+        .select(col("doc_id"), n.as("n_chars"),
+          when(n === 0, lit(0.0)).otherwise(round(ent, 6)).as("entropy"))
+        .withColumn("keep", col("entropy") >= 1.5)
+        .orderBy("doc_id")
+    }),
     // Completion-only loss masking (SFT prep): synthesize two-turn
     // chat-format text from each doc's tokens, then emit the loss spans
     // — token ranges after each `assistant:` marker — that the trainer
