@@ -2065,6 +2065,21 @@ object OracleSql {
         |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Novelty replay: same shingle stream (string-keyed — proving the
+    // digest join collision-free), same reference slice, same ratio.
+    "x_ngram_novelty" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2),
+         |    i -> array_to_string(wds[i:i+2], ' ')) END)) m FROM w),
+         |ref AS (SELECT DISTINCT m FROM sh WHERE doc_id % 2 = 0),
+         |j AS (SELECT sh.doc_id, count(*) ns, count(ref.m) seen
+         |      FROM sh LEFT JOIN ref ON ref.m = sh.m GROUP BY 1)
+         |SELECT doc_id, ns AS n_shingles, ns - seen AS n_novel,
+         |  round((ns - seen)::DOUBLE / ns, 6) AS novelty
+         |FROM j ORDER BY doc_id""".stripMargin,
+
     // FIM replay: same digest cuts (modulus n−1 per doc), same slice
     // boundaries, same PSM sentinel concatenation (coalesce guards
     // DuckDB's NULL array_to_string on empty slices).

@@ -715,6 +715,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
         .orderBy("bucket")
     }),
+    // Per-doc n-gram novelty vs a reference corpus — the memorization /
+    // freshness signal (what fraction of this doc's 3-shingles has the
+    // reference never seen): the per-doc ratio form of decontamination.
+    // Shuffles 16-byte shingle digests only; the reference set is a
+    // distinct digest relation, the join an equi-join on digest.
+    "x_ngram_novelty" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val shOf = (df: org.apache.spark.sql.DataFrame) => df.select(col("doc_id"),
+          explode(array_distinct(
+            text.shingles(text.tokens(col("text")), 3))).as("__s"))
+        .select(col("doc_id"), md5(col("__s").cast("binary")).as("__m"))
+      val ref = shOf(docs.filter(col("doc_id") % 2 === 0))
+        .select(col("__m")).distinct().withColumn("__seen", lit(true))
+      shOf(docs).join(ref, Seq("__m"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          (count(lit(1)) - count(col("__seen"))).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_shingles"), 6).as("novelty"))
+        .orderBy("doc_id")
+    }),
     // Fill-in-the-middle transformation (Bavarian et al. 2022) — the
     // code-training data-prep step: two deterministic digest-drawn cut
     // points split the token stream into prefix/middle/suffix, emitted
