@@ -1012,6 +1012,39 @@ object OracleSql {
     // Σ idf·tf·(k1+1)/(tf + k1(1 − b + b·dl/avgdl)) with k1=1.2 b=0.75;
     // rank on the 6-decimal-rounded score (the engine's TopK heap keys
     // on the same rounded value), doc_id tie-break.
+    // SFT-export replay: the x_loss_mask span chain + the pack
+    // placement over the chat token counts, absolute offsets =
+    // start-of-doc (seq_first·64 + tok_offset ≡ the running total) +
+    // span − 1.
+    "pipe_sft_e2e" ->
+      s"""WITH w AS (SELECT doc_id, $words t FROM documents),
+         |c AS (SELECT doc_id,
+         |  'user: ' || coalesce(array_to_string(t[1:5], ' '), '') || ' assistant: ' ||
+         |  coalesce(array_to_string(t[6:10], ' '), '') || ' user: ' ||
+         |  coalesce(array_to_string(t[11:15], ' '), '') || ' assistant: ' ||
+         |  coalesce(array_to_string(t[16:], ' '), '') AS text FROM w),
+         |tt AS (SELECT doc_id, $words t FROM c),
+         |mk AS (SELECT doc_id, len(t) n,
+         |  list_filter(list_zip(t, generate_series(1, len(t))),
+         |    z -> z[1] IN ('user:', 'assistant:')) m FROM tt),
+         |sp AS (SELECT doc_id, n, unnest(list_filter(
+         |  list_transform(generate_series(1, len(m)), i ->
+         |    CASE WHEN m[i][1] = 'assistant:'
+         |         THEN [m[i][2] + 1,
+         |               CASE WHEN i < len(m) THEN m[i+1][2] - 1 ELSE n END]
+         |         ELSE NULL END),
+         |  x -> x IS NOT NULL AND x[1] <= x[2])) s2 FROM mk),
+         |b AS (SELECT doc_id, CAST(len(t) AS INTEGER) nt2,
+         |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS BIGINT) shard
+         |  FROM tt),
+         |f AS (SELECT * FROM b WHERE nt2 > 0),
+         |pc AS (SELECT doc_id, shard,
+         |  CAST(sum(nt2) OVER (PARTITION BY shard ORDER BY doc_id) - nt2
+         |    AS BIGINT) strt FROM f)
+         |SELECT sp.doc_id, pc.shard,
+         |  strt + s2[1] - 1 AS abs_s, strt + s2[2] - 1 AS abs_e
+         |FROM sp JOIN pc USING (doc_id) ORDER BY doc_id, abs_s""".stripMargin,
+
     // Shard-export replay: quality gate over w0's token stream, BPE
     // counts from the shared d8 chain restricted to kept docs, then the
     // x_pack_sequences placement arithmetic over BPE lengths.

@@ -1694,6 +1694,29 @@ object SparkEntry {
     // near-ubiquitous — maxDfFrac stays 1.0 (the stopword cutoff would
     // empty the index here); idf still discriminates through df, and
     // tf/dl carry the ranking.
+    // The SFT-EXPORT pipe: chat-format docs → loss spans → packed
+    // placement → ABSOLUTE mask offsets in shard token space — the
+    // (shard, abs_start, abs_end) index a masked-loss dataloader seeks
+    // by. One join of the spans relation with the placement relation on
+    // doc_id (both O(corpus), digests/ints only), arithmetic map-side.
+    "pipe_sft_e2e" -> ((s, d) => {
+      val t = text.tokens(col("text"))
+      val seg = (a: Int) => array_join(slice(t, lit(a), lit(5)), " ")
+      val chat = concat(lit("user: "), seg(1), lit(" assistant: "), seg(6),
+        lit(" user: "), seg(11), lit(" assistant: "),
+        array_join(slice(t, lit(16), greatest(size(t) - 15, lit(0))), " "))
+      val docs = T(s, d, "documents").select(col("doc_id"), chat.as("text"))
+        .localCheckpoint(true) // spans + lengths both read it
+      val spans = CurationOps.lossSpans(docs, "doc_id", "text")
+      val placed = CurationOps.packLengths(
+        docs.select(col("doc_id"), text.tokenCount(col("text")).as("n")),
+        "doc_id", "n", budget = 64, shards = 8)
+      spans.join(placed, "doc_id")
+        .select(col("doc_id"), col("shard"),
+          (col("seq_first") * 64 + col("tok_offset") + col("s") - 1).as("abs_s"),
+          (col("seq_first") * 64 + col("tok_offset") + col("e") - 1).as("abs_e"))
+        .orderBy("doc_id", "abs_s")
+    }),
     // The SHARD-EXPORT pipe — the last mile of the training-data
     // pipeline, raw docs → tokenized training shards entirely
     // in-engine: quality gate → BPE token counts under the STORED

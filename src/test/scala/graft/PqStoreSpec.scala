@@ -80,6 +80,16 @@ class PqStoreSpec extends AnyFunSuite with SparkSpec {
     assert(rows(stored) === rows(memorySearch(ed.filter(col("vec_id") % 3 =!= 0), 5, 3)))
   }
 
+  test("a probe opens only the probed cells' buckets") {
+    val dir = tmp()
+    PqStore.write(spark, dir, coded(ed), "vec_id", numBuckets = 16)
+    val probed = IvfAnn.probedCellIds(queries, cells, "vec_id", "embedding", 2)
+    val opened = graft.sources.TableSink.bucketIdsFor(
+      spark, dir, probed.map(_.toString)).size
+    assert(probed.nonEmpty && opened <= probed.size)
+    assert(opened < 16, s"probe opened all $opened buckets — no pruning")
+  }
+
   test("codebook round-trips through the sidecar parquet") {
     val dir = tmp()
     PqStore.writeCodebook(spark, dir, cb)
