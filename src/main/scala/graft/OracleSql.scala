@@ -2173,6 +2173,35 @@ object OracleSql {
          |  CAST(s2[1] AS INTEGER) AS s, CAST(s2[2] AS INTEGER) AS e
          |FROM sp ORDER BY doc_id, s""".stripMargin,
 
+    // Annealing replay: quality terciles (cumulative-count window),
+    // tier epochs 2.0/1.0/0.25, floor copies + the 'an|' digest draw
+    // (frac·10⁶ = 250000 exactly), series unnest.
+    "x_anneal_mix" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |m AS (SELECT doc_id, len(wds) nt,
+         |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
+         |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
+         |q AS (SELECT doc_id, round(
+         |  least(nt / 50.0, 1.0) * 0.5 +
+         |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS q
+         |  FROM m),
+         |nn AS (SELECT count(*) n FROM q),
+         |r AS (SELECT q, count(*) OVER (ORDER BY q) cum FROM q),
+         |t1 AS (SELECT min(q) t1 FROM r, nn WHERE cum >= ceil(nn.n / 3.0)),
+         |t2 AS (SELECT min(q) t2 FROM r, nn WHERE cum >= ceil(2 * nn.n / 3.0)),
+         |p AS (SELECT doc_id, q.q,
+         |  CASE WHEN q.q <= t1.t1 THEN 't2' WHEN q.q <= t2.t2 THEN 't1'
+         |       ELSE 't0' END tier FROM q, t1, t2),
+         |cnt AS (SELECT doc_id, q, tier,
+         |  CAST(CASE tier WHEN 't0' THEN 2 WHEN 't1' THEN 1 ELSE 0 END AS BIGINT)
+         |  + (CASE WHEN tier = 't2' AND
+         |       md5_number_lower('an|' || CAST(doc_id AS VARCHAR)) % 1000000 < 250000
+         |     THEN 1 ELSE 0 END) n2 FROM p)
+         |SELECT doc_id, q, tier, CAST(t.copy AS INTEGER) AS copy
+         |FROM cnt, unnest(generate_series(1, n2)) t(copy)
+         |WHERE n2 > 0 ORDER BY doc_id, copy""".stripMargin,
+
     // Quality-weighted sampling replay: x_quality's score, the same
     // md5 draw, the same squared-ratio acceptance arithmetic.
     "x_quality_sample" ->

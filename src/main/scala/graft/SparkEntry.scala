@@ -801,6 +801,30 @@ object SparkEntry {
       CurationOps.lossSpans(docs, "doc_id", "text")
         .orderBy("doc_id", "s")
     }),
+    // Annealing / midtraining schedule: the end-of-training mixture
+    // shift every modern run performs — the cleanest quality tercile
+    // upsamples to 2 epochs, the middle stays at 1, the tail subsamples
+    // to 0.25 — executed as an epochExpand over quality tiers (floor
+    // copies + the deterministic fractional draw). Terciles ride the
+    // rank-exact percentile contract; expansion is map-only after the
+    // broadcast epochs join.
+    "x_anneal_mix" -> ((s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+      val scored = docs.select(col("doc_id"), qualityOf(col("text")).as("q"))
+      val thr = scored.agg(
+        percentile_approx(col("q"), lit(1.0 / 3), lit(1 << 20)).as("t1"),
+        percentile_approx(col("q"), lit(2.0 / 3), lit(1 << 20)).as("t2"))
+      val tiered = scored.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("q"),
+          when(col("q") <= col("t1"), "t2").when(col("q") <= col("t2"), "t1")
+            .otherwise("t0").as("tier"))
+      val epochs = Seq(("t0", 2.0), ("t1", 1.0), ("t2", 0.25)).toDF("tier", "epochs")
+      SampleOps.epochExpand(tiered, "tier", col("doc_id"), epochs, salt = "an|")
+        .select(col("doc_id"), col("q"), col("tier"),
+          col("copy").cast("int").as("copy"))
+        .orderBy("doc_id", "copy")
+    }),
     // Quality-weighted sampling (the DCLM/quality-proportional mix):
     // acceptance probability (q/q_max)² emphasizes the head without a
     // hard cutoff — deterministic salted-digest draw (retry-stable,
