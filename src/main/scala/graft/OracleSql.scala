@@ -1505,6 +1505,28 @@ object OracleSql {
         |  CAST(rn AS INTEGER) AS rank
         |FROM r WHERE rn <= 5 ORDER BY anchor_id, rank""".stripMargin,
 
+    // Contrastive export replay: the x_hard_negatives chain for both
+    // legs — same-label (self excluded) top-1 as 'pos', diff-label
+    // top-5 as 'neg'.
+    "x_contrastive_pairs" ->
+      """WITH a AS (SELECT vec_id aid, embedding av, label al
+        |       FROM embeddings WHERE vec_id % 83 = 0),
+        |p AS (SELECT aid, c.vec_id nid, av, c.embedding cv, 'neg' rl
+        |      FROM a JOIN embeddings c ON c.label <> a.al
+        |      UNION ALL
+        |      SELECT aid, c.vec_id nid, av, c.embedding cv, 'pos' rl
+        |      FROM a JOIN embeddings c ON c.label = a.al AND c.vec_id <> a.aid),
+        |u AS (SELECT aid, nid, rl, unnest(av)::DOUBLE x, unnest(cv)::DOUBLE y FROM p),
+        |s AS (SELECT aid, nid, rl,
+        |        round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) sim
+        |      FROM u GROUP BY 1, 2, 3),
+        |r AS (SELECT aid, nid, rl, sim, row_number() OVER (PARTITION BY aid, rl
+        |        ORDER BY sim DESC, nid) rn FROM s)
+        |SELECT aid AS anchor_id, rl AS "role", nid AS pair_id, sim,
+        |  CAST(rn AS INTEGER) AS rank
+        |FROM r WHERE (rl = 'neg' AND rn <= 5) OR (rl = 'pos' AND rn <= 1)
+        |ORDER BY anchor_id, rl, rank""".stripMargin,
+
     "x_hybrid_stored" -> hybridRrfSql,
 
 

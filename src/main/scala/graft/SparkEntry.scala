@@ -2200,6 +2200,24 @@ object SparkEntry {
           "vec_id", "embedding", "label", k = 5)
         .orderBy("anchor_id", "rank")
     }),
+    // The full contrastive-training pair export (anchor, 1 positive,
+    // 5 hard negatives): positives = nearest same-label (self
+    // excluded), negatives = the x_hard_negatives mining — both legs
+    // the same broadcast map-side pass over the corpus, unioned into
+    // one dataloader-ready relation.
+    "x_contrastive_pairs" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val anchors = emb.filter(col("vec_id") % 83 === 0)
+      val pos = SimilarityOps.positivePairs(anchors, emb,
+          "vec_id", "embedding", "label", k = 1)
+        .select(col("anchor_id"), lit("pos").as("role"),
+          col("positive_id").as("pair_id"), col("sim"), col("rank"))
+      val neg = SimilarityOps.hardNegatives(anchors, emb,
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("anchor_id"), lit("neg").as("role"),
+          col("negative_id").as("pair_id"), col("sim"), col("rank"))
+      pos.unionByName(neg).orderBy("anchor_id", "role", "rank")
+    }),
     // Persisted-store hybrid retrieval (Hybrid.search): both standing
     // indexes built once, then ONE callable fuses a term-in-list-pruned
     // BM25 postings read with a probed-cell file-pruned ANN read. At

@@ -110,19 +110,38 @@ object SimilarityOps {
    * shuffles but the (anchor, candidate) partial heaps.
    */
   def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
-                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+                    vecCol: String, labelCol: String, k: Int): DataFrame =
+    minePairs(anchors, corpus, idCol, vecCol, labelCol, k,
+      sameLabel = false, outCol = "negative_id")
+
+  /** Positive-pair mining — the complement of [[hardNegatives]] a
+    * contrastive-training export needs alongside the negatives: per
+    * anchor, the top-k most-similar SAME-label vectors (self excluded).
+    * Identical broadcast map-side shape; only the label predicate
+    * flips. */
+  def positivePairs(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame =
+    minePairs(anchors, corpus, idCol, vecCol, labelCol, k,
+      sameLabel = true, outCol = "positive_id")
+
+  private def minePairs(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, labelCol: String, k: Int,
+                        sameLabel: Boolean, outCol: String): DataFrame = {
     require(k >= 1, s"k >= 1: $k")
     val q = anchors.select(col(idCol).as("anchor_id"),
       col(vecCol).cast("array<double>").as("__qv"), col(labelCol).as("__ql"))
-    val c = corpus.select(col(idCol).as("negative_id"),
+    val c = corpus.select(col(idCol).as(outCol),
       col(vecCol).cast("array<double>").as("__cv"), col(labelCol).as("__cl"))
-    c.join(broadcast(q), col("__ql") =!= col("__cl"))
-      .select(col("anchor_id"), col("negative_id"),
+    val cond =
+      if (sameLabel) col("__ql") === col("__cl") && col("anchor_id") =!= col(outCol)
+      else col("__ql") =!= col("__cl")
+    c.join(broadcast(q), cond)
+      .select(col("anchor_id"), col(outCol),
         round(vector.cosineSim(col("__qv"), col("__cv")), 6).as("sim"))
       .groupBy(col("anchor_id"))
-      .agg(TopK(k)(col("sim"), col("negative_id")).as("nn"))
+      .agg(TopK(k)(col("sim"), col(outCol)).as("nn"))
       .select(col("anchor_id"), posexplode(col("nn")).as(Seq("rank", "n")))
-      .select(col("anchor_id"), col("n.id").as("negative_id"),
+      .select(col("anchor_id"), col("n.id").as(outCol),
         col("n.score").as("sim"), (col("rank") + 1).as("rank"))
   }
 
