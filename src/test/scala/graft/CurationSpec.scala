@@ -640,4 +640,25 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val aBuckets = got.filter(r => r._2 == "a" && r._4 != "empty").map(_._4).distinct
     assert(aBuckets.toSet == Set("head", "middle", "tail"))
   }
+
+  test("lossSpans: multi-turn boundaries, trailing marker, marker-free text") {
+    import spark.implicits._
+    val docs = Seq(
+      // two turns; spans = after each assistant: up to next marker/end
+      (1L, "user: hi there assistant: hello back user: more assistant: done now"),
+      // trailing assistant: with no content -> that span drops
+      (2L, "user: q assistant: a user: q2 assistant:"),
+      // no markers at all -> no spans
+      (3L, "just plain text with no roles"),
+      // assistant-first (no leading user turn) still masks correctly
+      (4L, "assistant: unprompted reply")
+    ).toDF("doc_id", "text")
+    val got = CurationOps.lossSpans(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSet
+    // doc 1 tokens: user:(1) hi(2) there(3) assistant:(4) hello(5) back(6)
+    //   user:(7) more(8) assistant:(9) done(10) now(11)
+    // doc 2: user:(1) q(2) assistant:(3) a(4) user:(5) q2(6) assistant:(7)
+    // doc 4: assistant:(1) unprompted(2) reply(3)
+    assert(got === Set((1L, 5, 6), (1L, 10, 11), (2L, 4, 4), (4L, 2, 3)))
+  }
 }
