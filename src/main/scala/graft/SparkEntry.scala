@@ -66,6 +66,67 @@ object SparkEntry {
     * production pipeline, [[graft.pipelines.Admission.quality]]) shared
     * by x_quality, x_curation_verdict, and the admission funnel so the
     * operating points cannot drift apart. */
+  /** Shared ANN-gate tail for the PQ family (x_ann_pq / x_ann_ivf_pq /
+    * x_ann_pq_stored): exact top-5 reference, exactly-k-rows shape
+    * check, recall band — ONE definition so the verdict semantics
+    * cannot drift between the three queries. `approx` carries
+    * (query_id, neighbor_id). */
+  private def annGate(approx: DataFrame, q: DataFrame, ed: DataFrame,
+                      recallMin: Double): DataFrame = {
+    val exact = graft.operators.SimilarityOps
+      .knnJoinCosine(q, ed, "vec_id", "embedding", k = 5)
+    val hits = approx.join(exact.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi")
+    val shape = approx.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_queries"), expr("bool_and(n = 5)").as("rows_ok"))
+    val recall = hits.agg(count(lit(1)).as("hit"))
+      .crossJoin(exact.agg(count(lit(1)).as("tot")))
+      .select((col("hit").cast("double") / col("tot") >= recallMin).as("recall_ok"))
+    shape.crossJoin(recall)
+  }
+
+  /** The PQ shortlist→exact-refine second stage shared by the family. */
+  private def refineShortlist(shortlist: DataFrame, ed: DataFrame,
+                              q: DataFrame): DataFrame =
+    graft.operators.Rerank.rerankCosine(
+        shortlist.select(col("query_id"), col("neighbor_id").as("doc_id")),
+        ed, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"))
+
+  /** The synthesized two-turn chat text shared by x_loss_mask and
+    * pipe_sft_e2e — ONE definition: the pipe's span arithmetic replays
+    * the mask query's oracle, so the two syntheses must stay
+    * byte-identical. */
+  private def chatOf: Column = {
+    val t = text.tokens(col("text"))
+    val seg = (a: Int) => array_join(slice(t, lit(a), lit(5)), " ")
+    concat(lit("user: "), seg(1), lit(" assistant: "), seg(6),
+      lit(" user: "), seg(11), lit(" assistant: "),
+      array_join(slice(t, lit(16), greatest(size(t) - 15, lit(0))), " "))
+  }
+
+  /** The rounded-score + keep-gate projection shared by x_bigram_ppl
+    * and x_bigram_ppl_store (same operating point by construction). */
+  private def bigramPplTail(scored: DataFrame): DataFrame = scored
+    .select(col("doc_id"), col("n_pairs"),
+      round(col("cross_entropy"), 6).as("cross_entropy"),
+      (col("n_pairs") > 0 && round(col("cross_entropy"), 6) < 3.41).as("keep"))
+    .orderBy("doc_id")
+
+  /** Quality terciles as a 0/1/2 ordinal (0 = the cleanest third; the
+    * rank-exact percentile contract) — the shared tier definition of
+    * x_curriculum and x_anneal_mix. */
+  private def qualityTierOf(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), qualityOf(col("text")).as("q"))
+    val thr = scored.agg(
+      percentile_approx(col("q"), lit(1.0 / 3), lit(1 << 20)).as("t1"),
+      percentile_approx(col("q"), lit(2.0 / 3), lit(1 << 20)).as("t2"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("q"),
+        when(col("q") <= col("t1"), 2).when(col("q") <= col("t2"), 1)
+          .otherwise(0).as("tier"))
+  }
+
   private def qualityOf(textCol: org.apache.spark.sql.Column) =
     graft.pipelines.Admission.quality(textCol)
 
@@ -674,8 +735,15 @@ object SparkEntry {
           ds.as("ds"), ds3.as("ds3"))
         .agg(count(lit(1)).as("n_docs"),
           expr("bool_and(ds > 0)").as("sizes_positive"),
-          expr("bool_and(ds <= nb + 64)").as("bounded_overhead"),
-          expr("bool_and(ds3 < 2 * ds + 16)").as("repetition_detected"))
+          // zlib's documented worst case is nb + 5·(nb/16383) + 11 —
+          // the bound holds at ANY doc size, not just small fixtures.
+          expr("bool_and(ds <= nb + 5 * (nb div 16383) + 64)").as("bounded_overhead"),
+          // The 2nd/3rd copies back-reference only while the original
+          // sits inside DEFLATE's 32 KB window — docs past ~16 KB are
+          // exempted per row (the signal still fires on every doc the
+          // window can see; an unconditional bool_and would break on a
+          // long-doc corpus even though nothing is wrong).
+          expr("bool_and(nb > 16384 or ds3 < 2 * ds + 16)").as("repetition_detected"))
     }),
     // Opt-out / blocklist compliance — the robots.txt-opt-out pass a
     // crawl-derived corpus must run before anything else: canonicalize
@@ -792,12 +860,7 @@ object SparkEntry {
     // — token ranges after each `assistant:` marker — that the trainer
     // masks loss to. Map-only marker/span algebra + one explode.
     "x_loss_mask" -> ((s, d) => {
-      val t = text.tokens(col("text"))
-      val seg = (a: Int, b: Int) => array_join(slice(t, lit(a), lit(b)), " ")
-      val chat = concat(lit("user: "), seg(1, 5), lit(" assistant: "), seg(6, 5),
-        lit(" user: "), seg(11, 5), lit(" assistant: "),
-        array_join(slice(t, lit(16), greatest(size(t) - 15, lit(0))), " "))
-      val docs = T(s, d, "documents").select(col("doc_id"), chat.as("text"))
+      val docs = T(s, d, "documents").select(col("doc_id"), chatOf.as("text"))
       CurationOps.lossSpans(docs, "doc_id", "text")
         .orderBy("doc_id", "s")
     }),
@@ -810,15 +873,9 @@ object SparkEntry {
     // broadcast epochs join.
     "x_anneal_mix" -> ((s, d) => {
       import s.implicits._
-      val docs = T(s, d, "documents")
-      val scored = docs.select(col("doc_id"), qualityOf(col("text")).as("q"))
-      val thr = scored.agg(
-        percentile_approx(col("q"), lit(1.0 / 3), lit(1 << 20)).as("t1"),
-        percentile_approx(col("q"), lit(2.0 / 3), lit(1 << 20)).as("t2"))
-      val tiered = scored.crossJoin(broadcast(thr))
+      val tiered = qualityTierOf(T(s, d, "documents"))
         .select(col("doc_id"), col("q"),
-          when(col("q") <= col("t1"), "t2").when(col("q") <= col("t2"), "t1")
-            .otherwise("t0").as("tier"))
+          concat(lit("t"), col("tier")).as("tier"))
       val epochs = Seq(("t0", 2.0), ("t1", 1.0), ("t2", 0.25)).toDF("tier", "epochs")
       SampleOps.epochExpand(tiered, "tier", col("doc_id"), epochs, salt = "an|")
         .select(col("doc_id"), col("q"), col("tier"),
@@ -850,15 +907,8 @@ object SparkEntry {
     // deterministic digest shuffle inside each phase. One range
     // exchange + the broadcast-cumsum global rank.
     "x_curriculum" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val scored = docs.select(col("doc_id"), qualityOf(col("text")).as("q"))
-      val thr = scored.agg(
-        percentile_approx(col("q"), lit(1.0 / 3), lit(1 << 20)).as("t1"),
-        percentile_approx(col("q"), lit(2.0 / 3), lit(1 << 20)).as("t2"))
-      val phased = scored.crossJoin(broadcast(thr))
-        .select(col("doc_id"), col("q"),
-          when(col("q") <= col("t1"), 2).when(col("q") <= col("t2"), 1)
-            .otherwise(0).as("ph"))
+      val phased = qualityTierOf(T(s, d, "documents"))
+        .withColumnRenamed("tier", "ph")
       SampleOps.curriculumOrder(phased, col("ph"), col("doc_id"),
           shards = 4, salt = "cur|")
         .select(col("doc_id"), col("q"), col("phase"), col("shard"), col("pos"))
@@ -1209,11 +1259,7 @@ object SparkEntry {
       val ref = docs.filter(col("doc_id") % 2 === 0)
       val uni = CurationOps.unigramModel(ref, "text")
       val bi = CurationOps.bigramModel(ref, "text")
-      CurationOps.bigramCrossEntropy(docs, uni, bi, "doc_id", "text")
-        .select(col("doc_id"), col("n_pairs"),
-          round(col("cross_entropy"), 6).as("cross_entropy"),
-          (col("n_pairs") > 0 && round(col("cross_entropy"), 6) < 3.41).as("keep"))
-        .orderBy("doc_id")
+      bigramPplTail(CurationOps.bigramCrossEntropy(docs, uni, bi, "doc_id", "text"))
     }),
     // The standing-state reference LM: the x_bigram_ppl models
     // persisted on the additive ledger (LmStore) and assembled from
@@ -1233,11 +1279,7 @@ object SparkEntry {
         ref.filter(col("doc_id") % 4 =!= 0), "text", Some("b1"))
       graft.operators.LmStore.compact(s, dir)
       val (uni, bi) = graft.operators.LmStore.readModels(s, dir)
-      CurationOps.bigramCrossEntropy(docs, uni, bi, "doc_id", "text")
-        .select(col("doc_id"), col("n_pairs"),
-          round(col("cross_entropy"), 6).as("cross_entropy"),
-          (col("n_pairs") > 0 && round(col("cross_entropy"), 6) < 3.41).as("keep"))
-        .orderBy("doc_id")
+      bigramPplTail(CurationOps.bigramCrossEntropy(docs, uni, bi, "doc_id", "text"))
     }),
     // CCNet-style perplexity bucketing: per-language head/middle/tail
     // terciles of the unigram cross-entropy (Wenzek et al. 2020 §4).
@@ -1521,21 +1563,10 @@ object SparkEntry {
         PqOps.reconstruct(col("codes"), cb).as("embedding"))
       val q = ed.filter(col("vec_id") < 20)
       val shortlist = SimilarityOps.knnJoinCosine(q, recon, "vec_id", "embedding", k = 50)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"))
-      val approx = Rerank.rerankCosine(shortlist, ed, "vec_id", "embedding",
-          q, "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("doc_id").as("neighbor_id"))
-      val exact = SimilarityOps.knnJoinCosine(q, ed, "vec_id", "embedding", k = 5)
-      val hits = approx.join(exact.select("query_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id"), "left_semi")
-      val shape = approx.groupBy("query_id").agg(count(lit(1)).as("n"))
-        .agg(count(lit(1)).as("n_queries"), expr("bool_and(n = 5)").as("rows_ok"))
+      val approx = refineShortlist(shortlist, ed, q)
       val codesOk = coded.agg(expr(
         "bool_and(forall(codes, c -> c >= 0 and c < 16))").as("codes_ok"))
-      val recall = hits.agg(count(lit(1)).as("hit"))
-        .crossJoin(exact.agg(count(lit(1)).as("tot")))
-        .select((col("hit").cast("double") / col("tot") >= 0.8).as("recall_ok"))
-      shape.crossJoin(codesOk).crossJoin(recall)
+      annGate(approx, q, ed, recallMin = 0.8).crossJoin(codesOk)
         .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
           col("codes_ok"), col("recall_ok"))
     }),
@@ -1724,12 +1755,7 @@ object SparkEntry {
     // by. One join of the spans relation with the placement relation on
     // doc_id (both O(corpus), digests/ints only), arithmetic map-side.
     "pipe_sft_e2e" -> ((s, d) => {
-      val t = text.tokens(col("text"))
-      val seg = (a: Int) => array_join(slice(t, lit(a), lit(5)), " ")
-      val chat = concat(lit("user: "), seg(1), lit(" assistant: "), seg(6),
-        lit(" user: "), seg(11), lit(" assistant: "),
-        array_join(slice(t, lit(16), greatest(size(t) - 15, lit(0))), " "))
-      val docs = T(s, d, "documents").select(col("doc_id"), chat.as("text"))
+      val docs = T(s, d, "documents").select(col("doc_id"), chatOf.as("text"))
         .localCheckpoint(true) // spans + lengths both read it
       val spans = CurationOps.lossSpans(docs, "doc_id", "text")
       val placed = CurationOps.packLengths(
@@ -2629,21 +2655,10 @@ object SparkEntry {
       val q = ed.filter(col("vec_id") < 20)
       val shortlist = IvfAnn.annSearch(q, recon, cells, "vec_id", "embedding",
           k = 50, nprobe = 8)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"))
-      val approx = Rerank.rerankCosine(shortlist, ed, "vec_id", "embedding",
-          q, "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("doc_id").as("neighbor_id"))
-      val exact = SimilarityOps.knnJoinCosine(q, ed, "vec_id", "embedding", k = 5)
-      val hits = approx.join(exact.select("query_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id"), "left_semi")
-      val shape = approx.groupBy("query_id").agg(count(lit(1)).as("n"))
-        .agg(count(lit(1)).as("n_queries"), expr("bool_and(n = 5)").as("rows_ok"))
+      val approx = refineShortlist(shortlist, ed, q)
       val codesOk = coded.agg(expr(
         "bool_and(forall(codes, c -> c >= 0 and c < 16))").as("codes_ok"))
-      val recall = hits.agg(count(lit(1)).as("hit"))
-        .crossJoin(exact.agg(count(lit(1)).as("tot")))
-        .select((col("hit").cast("double") / col("tot") >= 0.7).as("recall_ok"))
-      shape.crossJoin(codesOk).crossJoin(recall)
+      annGate(approx, q, ed, recallMin = 0.7).crossJoin(codesOk)
         .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
           col("codes_ok"), col("recall_ok"))
     }),
@@ -2689,19 +2704,8 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val storedEq = stored.unionByName(mem).distinct().count() == stored.count() &&
         stored.count() == mem.count()
-      val approx = Rerank.rerankCosine(
-          stored.select(col("query_id"), col("neighbor_id").as("doc_id")),
-          ed, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("doc_id").as("neighbor_id"))
-      val exact = SimilarityOps.knnJoinCosine(q, ed, "vec_id", "embedding", k = 5)
-      val hits = approx.join(exact.select("query_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id"), "left_semi")
-      val shape = approx.groupBy("query_id").agg(count(lit(1)).as("n"))
-        .agg(count(lit(1)).as("n_queries"), expr("bool_and(n = 5)").as("rows_ok"))
-      val recall = hits.agg(count(lit(1)).as("hit"))
-        .crossJoin(exact.agg(count(lit(1)).as("tot")))
-        .select((col("hit").cast("double") / col("tot") >= 0.7).as("recall_ok"))
-      shape.crossJoin(recall)
+      val approx = refineShortlist(stored, ed, q)
+      annGate(approx, q, ed, recallMin = 0.7)
         .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
           lit(storedEq).as("stored_eq_memory"), col("recall_ok"))
     }),

@@ -350,10 +350,18 @@ object DedupOps {
    * Exact n-gram Jaccard similarity for candidate pairs (the verify stage
    * after LSH): explode distinct shingles, equi-join, count.
    */
+  /** (gid, m) membership rows — one per (doc, DISTINCT shingle); the
+    * shared set representation of [[ngramJaccardPairs]] and
+    * [[ngramContainmentPairs]] (one definition so the two kernels'
+    * candidate semantics cannot drift). */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("gid"),
+      explode(array_distinct(text.shingles(text.tokens(col(textCol)), shingleN))).as("m"))
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("gid"),
-        explode(array_distinct(text.shingles(text.tokens(col(textCol)), shingleN))).as("m"))
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
     SimilarityOps.jaccardJoin(
       sh.select(col("gid").as("id_a"), col("m")),
       sh.select(col("gid").as("id_b"), col("m")),
@@ -381,8 +389,7 @@ object DedupOps {
    */
   def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("gid"),
-      explode(array_distinct(text.shingles(text.tokens(col(textCol)), shingleN))).as("m"))
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
     val sizes = sh.groupBy("gid").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("gid").as("id_a"), col("m"))
       .join(sh.select(col("gid").as("id_b"), col("m")), "m")

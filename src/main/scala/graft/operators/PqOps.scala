@@ -105,7 +105,10 @@ object PqOps {
       val upd = means(assigned)
       cb = Array.tabulate(m, ksub)((s, c) => upd.getOrElse((s, c), cb(s)(c)))
     }
-    rows.unpersist()
+    // `rows` is a local checkpoint: its blocks are not CacheManager
+    // entries (an unpersist() here would be a silent no-op) — they free
+    // when the checkpointed RDD is GC'd, i.e. when `rows` goes out of
+    // scope on return.
     cb
   }
 

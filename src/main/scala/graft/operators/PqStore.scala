@@ -50,14 +50,19 @@ object PqStore {
           (x, y) => x - y), cb, dim).as("codes"))
 
   /** Persist an [[encodeResiduals]] corpus cell-addressably (the
-    * [[IvfAnn.writeIndex]] layout + staleness meta). */
+    * [[IvfAnn.writeIndex]] layout + staleness meta). The coded frame is
+    * materialized ONCE here — callers pass the lazy encode pipeline,
+    * and both the meta's base count and the upsert's write would
+    * otherwise re-run the O(corpus) assign+encode. */
   def write(spark: SparkSession, dir: String, coded: DataFrame,
-            idCol: String, numBuckets: Int = 64): Unit =
+            idCol: String, numBuckets: Int = 64): Unit = {
+    val mat = coded.localCheckpoint(true)
     graft.sources.TableSink.upsert(spark, dir,
-      coded.withColumn("__cell_s", col("cell").cast("string"))
+      mat.withColumn("__cell_s", col("cell").cast("string"))
         .withColumn("__v", lit(0L)),
       Seq(idCol), "__v", numBuckets, layoutCol = Some("__cell_s"),
-      meta = Some(s"ivfpq:v1;base=${coded.count()};added=0"))
+      meta = Some(s"ivfpq:v1;base=${mat.count()};added=0"))
+  }
 
   /** Persist the codebook as one row per (sub, cid) — tiny, broadcast
     * on read; the model-store idiom. */
