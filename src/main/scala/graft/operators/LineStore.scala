@@ -27,7 +27,6 @@ import org.apache.spark.sql.functions._
 object LineStore {
 
   private def linesDir(dir: String) = s"$dir/lines"
-  private def absorbedDir(dir: String) = s"$dir/_absorbed"
 
   /** (digest, df) of one document set, `sign` = −1 for a [[remove]]. */
   private def parts(docs: DataFrame, idCol: String, textCol: String,
@@ -52,17 +51,9 @@ object LineStore {
   /** O(corpus), once; refuses a used dir (the [[LmStore.init]] contract). */
   def init(spark: SparkSession, dir: String, corpus: DataFrame,
            idCol: String, textCol: String): Unit = {
-    val priorLife = Seq(
-      java.nio.file.Paths.get(dir, "_PARTS"),
-      java.nio.file.Paths.get(absorbedDir(dir), "_PARTS")
-    ).filter(java.nio.file.Files.exists(_))
-    if (priorLife.nonEmpty)
-      throw new IllegalStateException(
-        s"line store at '$dir' was already initialized " +
-          s"(found: ${priorLife.mkString(", ")}) — init is run-once; " +
-          "delete the store dir (or point at a fresh one) to rebuild.")
-    writePart(dir, "part_00000", parts(corpus, idCol, textCol, 1))
-    DeltaParts.add(absorbedDir(dir), "part_00000")
+    graft.sources.AdditiveLedger.requireFresh(dir, "line store")
+    writePart(dir, "part_00000", parts(corpus, idCol, textCol, 1), ledger = false)
+    graft.sources.AdditiveLedger.recordInit(dir, "part_00000")
   }
 
   /** O(batch) fold of NEW docs (disjoint ids); replay-idempotent by
@@ -81,26 +72,17 @@ object LineStore {
 
   private def mutate(spark: SparkSession, dir: String, docs: DataFrame,
                      idCol: String, textCol: String, name: Option[String],
-                     sign: Int): Unit = {
-    val absorbed = DeltaParts.list(absorbedDir(dir))
-    val n = name.getOrElse(DeltaParts.nextIndexedName(dir,
-      Seq(linesDir(dir)), extraNames = absorbed))
-    if (absorbed.contains(n)) return
-    if (!DeltaParts.list(dir).contains(n))
+                     sign: Int): Unit =
+    graft.sources.AdditiveLedger.mutateNamed(dir, Seq(linesDir(dir)), name) { n =>
       writePart(dir, n, parts(docs, idCol, textCol, sign))
-    DeltaParts.add(absorbedDir(dir), n)
-  }
+    }
 
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val old = DeltaParts.list(dir)
-    if (old.size <= 1) return
-    val gen = s"part_c${System.nanoTime()}"
-    writePart(dir, gen, merged(spark, dir, old).localCheckpoint(true),
-      ledger = false)
-    val protect = old.toSet + gen ++ DeltaParts.pinned(dir)
-    DeltaParts.sweepOrphans(linesDir(dir), protect)
-    DeltaParts.publish(dir, Seq(gen))
-  }
+  def compact(spark: SparkSession, dir: String): Unit =
+    graft.sources.AdditiveLedger.compactWith(dir, Seq(linesDir(dir))) { gen =>
+      writePart(dir, gen,
+        merged(spark, dir, DeltaParts.list(dir)).localCheckpoint(true),
+        ledger = false)
+    }
 
   /** The assembled (digest, df) relation; with `tag`, the snapshot-
     * pinned state. */

@@ -40,7 +40,6 @@ object LmStore {
   private def uniDir(dir: String) = s"$dir/unigrams"
   private def biDir(dir: String) = s"$dir/bigrams"
   private def relationRoots(dir: String) = Seq(uniDir(dir), biDir(dir))
-  private def absorbedDir(dir: String) = s"$dir/_absorbed"
 
   /** The two additive relations of one document set, with `sign` = −1
     * producing the exact negative part a [[remove]] writes. */
@@ -81,18 +80,10 @@ object LmStore {
     * survives, silently no-opping a later replayed append. */
   def init(spark: SparkSession, dir: String, corpus: DataFrame,
            textCol: String): Unit = {
-    val priorLife = Seq(
-      java.nio.file.Paths.get(dir, "_PARTS"),
-      java.nio.file.Paths.get(absorbedDir(dir), "_PARTS")
-    ).filter(java.nio.file.Files.exists(_))
-    if (priorLife.nonEmpty)
-      throw new IllegalStateException(
-        s"LM store at '$dir' was already initialized " +
-          s"(found: ${priorLife.mkString(", ")}) — init is run-once; " +
-          "delete the store dir (or point at a fresh one) to rebuild.")
+    graft.sources.AdditiveLedger.requireFresh(dir, "LM store")
     val (u, b) = parts(corpus, textCol, sign = 1)
-    writePart(dir, "part_00000", u, b)
-    DeltaParts.add(absorbedDir(dir), "part_00000")
+    writePart(dir, "part_00000", u, b, ledger = false)
+    graft.sources.AdditiveLedger.recordInit(dir, "part_00000")
   }
 
   /** Fold a batch of new reference documents into the model — O(batch),
@@ -121,36 +112,21 @@ object LmStore {
   }
 
   private def mutate(spark: SparkSession, dir: String, docs: DataFrame,
-                     textCol: String, name: Option[String], sign: Int): Unit = {
-    val absorbed = DeltaParts.list(absorbedDir(dir))
-    val n = name.getOrElse(DeltaParts.nextIndexedName(dir,
-      relationRoots(dir), extraNames = absorbed))
-    // An absorbed name is a completed mutation even if compaction folded
-    // the part; a ledgered-but-unabsorbed name crashed between writePart
-    // and the absorbed add — files are complete (ledger add is
-    // writePart's last step), so just finish the record.
-    if (absorbed.contains(n)) return
-    if (!DeltaParts.list(dir).contains(n)) {
+                     textCol: String, name: Option[String], sign: Int): Unit =
+    graft.sources.AdditiveLedger.mutateNamed(dir, relationRoots(dir), name) { n =>
       val (u, b) = parts(docs, textCol, sign)
       writePart(dir, n, u, b)
     }
-    DeltaParts.add(absorbedDir(dir), n)
-  }
 
   /** Fold the live parts to one generation (exact integer sums, dropped
     * zero/negative keys gone physically). Superseded parts stay one
     * cycle for in-flight readers; snapshot-pinned parts never sweep. */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val old = DeltaParts.list(dir)
-    if (old.size <= 1) return
-    val gen = s"part_c${System.nanoTime()}"
-    val (u, b) = merged(spark, dir, old)
-    writePart(dir, gen, u.localCheckpoint(true), b.localCheckpoint(true),
-      ledger = false)
-    val protect = old.toSet + gen ++ DeltaParts.pinned(dir)
-    relationRoots(dir).foreach(r => DeltaParts.sweepOrphans(r, protect))
-    DeltaParts.publish(dir, Seq(gen))
-  }
+  def compact(spark: SparkSession, dir: String): Unit =
+    graft.sources.AdditiveLedger.compactWith(dir, relationRoots(dir)) { gen =>
+      val (u, b) = merged(spark, dir, DeltaParts.list(dir))
+      writePart(dir, gen, u.localCheckpoint(true), b.localCheckpoint(true),
+        ledger = false)
+    }
 
   /** The assembled models — exactly ([[CurationOps.unigramModel]],
     * [[CurationOps.bigramModel]]) over the net document multiset, ready
