@@ -2092,6 +2092,15 @@ object OracleSql {
     // Global-shuffle replay: same salted digest (unsigned lower-64 md5
     // mod 2^62), same (digest, key-as-STRING) order — both engines
     // string-order the tie-break — same round-robin deal.
+    // Banned-words replay: same token stream, same literal lexicon.
+    "x_badwords_filter" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(wds, t -> t IN ('spill', 'crash', 'corrupt')))
+         |    AS INTEGER) AS n_banned,
+         |  len(list_filter(wds, t -> t IN ('spill', 'crash', 'corrupt'))) = 0 AS keep
+         |FROM w ORDER BY doc_id""".stripMargin,
+
     // Compression-ratio invariants are Spark-computed (no deflate in
     // DuckDB) — the oracle pins the doc count and all-true verdicts.
     "x_compress_ratio" ->

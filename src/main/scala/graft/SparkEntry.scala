@@ -716,6 +716,21 @@ object SparkEntry {
     // (order-independent, retry-stable — orderBy(rand()) is neither)
     // dealt round-robin into 8 equal shards; the global rank is a
     // range-partitioned sort + broadcast cumsum, never one partition.
+    // The C4 banned-word filter (Raffel et al. 2020 drop any page with
+    // a "bad word"; Dolma ships the same stage): a tiny lexicon checked
+    // per token — set membership against a broadcast-free literal list
+    // inside whole-stage codegen (the x_langid stopword idiom), with
+    // the per-doc hit count kept so the drop is auditable, not silent.
+    // Stand-in lexicon: fixture tokens standing in for a real ban list.
+    "x_badwords_filter" -> ((s, d) => {
+      val banned = Seq("spill", "crash", "corrupt")
+      val hits = size(filter(text.tokens(col("text")),
+        t => t.isInCollection(banned)))
+      T(s, d, "documents")
+        .select(col("doc_id"), hits.as("n_banned"),
+          (hits === 0).as("keep"))
+        .orderBy("doc_id")
+    }),
     // Compression-ratio repetitiveness signal (the Dolma/MassiveWeb
     // quality heuristic): deflate_size runs as a codegen kernel per
     // row, map-only. DuckDB exposes no deflate, so the gate is the
