@@ -1872,6 +1872,15 @@ object OracleSql {
          |FROM documents doc LEFT JOIN c ON c.id = doc.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
 
+    // Dedup loss-weight replay: same closure, survivor = min-id (= the
+    // component label), weight = member count.
+    "x_dedup_weight" ->
+      s"""$dupComponentCtes
+         |SELECT coalesce(c.component, doc.doc_id) AS doc_id,
+         |  count(*) AS weight
+         |FROM documents doc LEFT JOIN c ON c.id = doc.doc_id
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // Cluster-size histogram: same closure, two grouped counts.
     "x_dup_histogram" ->
       s"""$dupComponentCtes,

@@ -527,6 +527,24 @@ object SparkEntry {
         .select(col("sz").as("cluster_size"), col("n_components"), col("n_docs"))
         .orderBy("cluster_size")
     }),
+    // Duplicate-count loss weighting — the keep-one-train-weighted
+    // alternative to plain dropping (the survivor carries its cluster's
+    // multiplicity so the training distribution is preserved without
+    // storing the copies): same shared closure, weight = component
+    // size, survivor = the min-id representative (free — the component
+    // label IS the min member id). One component-count-sized
+    // aggregation past the closure.
+    "x_dedup_weight" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.02)
+      val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .groupBy("component").agg(count(lit(1)).as("weight"))
+        .select(col("component").as("doc_id"), col("weight"))
+        .orderBy("doc_id")
+    }),
     // Quality-aware dedup representative: same component closure, but
     // the survivor is the LONGEST member (n_chars argmax, doc-id
     // tie-break) instead of min-id — the policy real fuzzy-dedup
