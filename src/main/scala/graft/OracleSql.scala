@@ -1775,6 +1775,12 @@ object OracleSql {
         |  sha256(text) AS payload_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Exact media dedup replay: same sha256 grouping, min-id survivor.
+    "x_mm_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, sha256(text) AS payload_sha256,
+        |  count(*) AS n_copies, count(*) > 1 AS had_dups
+        |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
+
     // Gopher repetition rules: line structure synthesized identically,
     // then duplicate-line fraction + modal-bigram coverage.
     "x_repetition" ->

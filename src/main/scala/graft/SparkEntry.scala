@@ -2617,6 +2617,24 @@ object SparkEntry {
         .select(col("doc_id"), col("payload_bytes"), col("payload_sha256"))
         .orderBy("doc_id")
     }),
+    // Exact media dedup — the first multimodal curation stage (two
+    // crawls of one image are byte-identical far more often than text
+    // is): keep-first per payload sha256 with the copy count kept for
+    // loss weighting. The payload BYTES never shuffle — only the
+    // 32-byte hash rides the exchange (map-side partial min/count).
+    // (Near-dup of compressed media is a codec-level problem — pHash
+    // needs the decode seam — and is honestly out of scope for the
+    // stubbed codec.)
+    "x_mm_exact_dedup" -> ((s, d) => {
+      MultimodalOps.withPayloadMeta(
+          T(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+          col("payload"))
+        .groupBy(col("payload_sha256"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("payload_sha256"), col("n_copies"),
+          (col("n_copies") > 1).as("had_dups"))
+        .orderBy("doc_id")
+    }),
     // Deterministic fake decode over binary payloads (stub dims derived
     // from md5 lower-64 — oracle-checked via md5_number_lower).
     "x_mm_decode" -> ((s, d) => {
