@@ -1775,11 +1775,15 @@ object OracleSql {
         |  sha256(text) AS payload_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // Exact media dedup replay: same sha256 grouping, min-id survivor.
+    // Exact media dedup replay: same shared-asset synthesis, same
+    // sha256 grouping, min-id survivor.
     "x_mm_exact_dedup" ->
-      """SELECT min(doc_id) AS doc_id, sha256(text) AS payload_sha256,
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 'shared banner asset' ELSE text END pl
+        |  FROM documents)
+        |SELECT min(doc_id) AS doc_id, sha256(pl) AS payload_sha256,
         |  count(*) AS n_copies, count(*) > 1 AS had_dups
-        |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
+        |FROM p GROUP BY 2 ORDER BY doc_id""".stripMargin,
 
     // Gopher repetition rules: line structure synthesized identically,
     // then duplicate-line fraction + modal-bigram coverage.

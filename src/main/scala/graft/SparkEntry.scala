@@ -2626,8 +2626,13 @@ object SparkEntry {
     // needs the decode seam — and is honestly out of scope for the
     // stubbed codec.)
     "x_mm_exact_dedup" -> ((s, d) => {
+      // Every 9th payload is the same shared asset (a site banner two
+      // crawls both fetched) — byte-identical duplication, the case
+      // this stage exists for.
+      val payload = when(col("doc_id") % 9 === 0, lit("shared banner asset"))
+        .otherwise(col("text")).cast("binary")
       MultimodalOps.withPayloadMeta(
-          T(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+          T(s, d, "documents").select(col("doc_id"), payload.as("payload")),
           col("payload"))
         .groupBy(col("payload_sha256"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
