@@ -73,7 +73,8 @@ object ArticleStream {
   def curate(df: DataFrame, urlCol: String, textCol: String,
              eventTimeCol: String, minTokens: Int = 5,
              maxTokens: Int = 1000000, minQuality: Double = 0.2,
-             ttl: String = "24 hours", gopherGate: Boolean = true): DataFrame = {
+             ttl: String = "24 hours", gopherGate: Boolean = true,
+             maxCompressRatio: Double = 0.0): DataFrame = {
     import graft.functions.text
     val gated = df
       .withColumn("canonical_url",
@@ -89,6 +90,14 @@ object ArticleStream {
         graft.operators.CurationOps.gopherRowKeep(col(textCol),
           minWords = minTokens, maxWords = maxTokens,
           minAlphaFrac = 0.0, minStopHits = 0) else lit(true))
+      // Optional compression-ratio gate (the x_compress_ratio signal —
+      // long-range repetition the Gopher n-gram rules miss): drop rows
+      // whose bytes/deflate ratio exceeds the cap. Stateless codegen
+      // kernel, streaming-safe like every other per-row gate; 0 = off.
+      .filter(if (maxCompressRatio > 0.0)
+        octet_length(col(textCol)).cast("double") /
+          graft.functions.DeflateSize.deflateSize(col(textCol)) <= maxCompressRatio
+        else lit(true))
       .withColumn(textCol, graft.operators.CurationOps.redactPii(col(textCol)))
       .drop("__n")
     dedupWithTtl(gated, eventTimeCol, "canonical_url", ttl)

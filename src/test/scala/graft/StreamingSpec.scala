@@ -58,6 +58,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming compression-ratio gate drops long-range-repetitive rows in-stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val curated = ArticleStream.curate(
+      mem.toDF().toDF("ingestion_time", "url", "text"),
+      "url", "text", "ingestion_time", minTokens = 3, minQuality = 0.0,
+      gopherGate = false, maxCompressRatio = 4.0)
+    val q = curated.writeStream.format("memory").queryName("compress_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts(1), "http://example.com/ok", "genuinely varied natural words appear across this sentence"),
+        // >4x compressible: one phrase repeated 40 times — the Gopher
+        // line rules are OFF here, only the deflate gate can catch it
+        (ts(1), "http://example.com/junk", Seq.fill(40)("template row value").mkString(" ")))
+      q.processAllAvailable()
+      val urls = spark.table("compress_out").select("canonical_url").as[String].collect().toSeq
+      assert(urls == Seq("http://example.com/ok"), s"junk survived: $urls")
+    } finally q.stop()
+  }
+
   test("D1: key reappearing after the TTL horizon is accepted again") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
