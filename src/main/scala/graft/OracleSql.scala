@@ -660,6 +660,22 @@ object OracleSql {
         |       ELSE 'han' END AS script
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // Language-confidence replay: same profile scores, margin via the
+    // same sorted-array positions, same confidence rule.
+    "x_langid_confidence" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(wds, t -> t IN ('the','and','of','is','a'))) AS INTEGER) s_en,
+         |  CAST(len(list_filter(wds, t -> t IN ('der','die','und','ist','das'))) AS INTEGER) s_de,
+         |  CAST(len(list_filter(wds, t -> t IN ('el','los','y','es','una'))) AS INTEGER) s_es,
+         |  CAST(len(list_filter(wds, t -> t IN ('le','la','et','est','une'))) AS INTEGER) s_fr FROM w),
+         |m AS (SELECT doc_id, s_en, s_de, s_es, s_fr,
+         |  list_sort([s_en, s_de, s_es, s_fr]) srt FROM s)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr,
+         |  srt[4] - srt[3] AS margin,
+         |  (srt[4] > 0 AND srt[4] - srt[3] >= 2) AS confident
+         |FROM m ORDER BY doc_id""".stripMargin,
+
     "x_langid" ->
       s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
          |s AS (SELECT doc_id,

@@ -404,6 +404,28 @@ object SparkEntry {
           CurationOps.dominantScript(col("c")).as("script"))
         .orderBy("doc_id")
     }),
+    // Language-ID confidence (the CCNet gate next to the prediction
+    // itself — a doc whose top language barely beats the runner-up is
+    // mixed/ambiguous and gets routed to review, not a bucket): the
+    // four stopword-profile scores, the winner's margin over the
+    // runner-up (via one array_sort — engine-portable), and the
+    // confident verdict. Map-only.
+    "x_langid_confidence" -> ((s, d) => {
+      val t = text.tokens(col("text"))
+      val score = (ws: Seq[String]) => size(filter(t, x => x.isInCollection(ws)))
+      val sEn = score(Seq("the", "and", "of", "is", "a"))
+      val sDe = score(Seq("der", "die", "und", "ist", "das"))
+      val sEs = score(Seq("el", "los", "y", "es", "una"))
+      val sFr = score(Seq("le", "la", "et", "est", "une"))
+      val sorted = array_sort(array(sEn, sDe, sEs, sFr))
+      val top = element_at(sorted, 4); val second = element_at(sorted, 3)
+      T(s, d, "documents")
+        .select(col("doc_id"), sEn.as("s_en"), sDe.as("s_de"),
+          sEs.as("s_es"), sFr.as("s_fr"),
+          (top - second).as("margin"),
+          (top > 0 && top - second >= 2).as("confident"))
+        .orderBy("doc_id")
+    }),
     "x_langid" -> ((s, d) => {
       T(s, d, "documents")
         .select(col("doc_id"), text.langId(col("text")).as("lang_pred"))
