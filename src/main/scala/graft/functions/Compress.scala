@@ -21,7 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
  * Codegen'd static kernel inside whole-stage codegen — no UDF object;
  * the Deflater instance is THREAD-LOCAL and reset per row (Deflater
  * allocation is the expensive part — ~µs amortized per row, the same
- * order as the regex kernels). DETERMINISM: zlib output for a fixed
+ * order as the regex kernels). NATIVE-MEMORY CONTRACT: each executor
+ * task thread retains ONE zlib-native Deflater (~256 KiB off-heap) for
+ * the life of the thread — reuse is the point of the ThreadLocal, and
+ * `end()`-per-row would pay the allocation we amortize away. The
+ * retention is bounded by the executor's task-thread pool size
+ * (32 threads ≈ 8 MiB per executor, invisible to heap accounting but
+ * constant), and task threads in Spark's pool are long-lived, so there
+ * is no leak-per-task growth. DETERMINISM: zlib output for a fixed
  * (input, level, strategy) is deterministic for a given zlib build; the
  * JDK pins its own zlib, so values are stable across runs and
  * executors of one JVM version. Cross-ENGINE replay is not available

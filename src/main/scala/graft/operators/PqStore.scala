@@ -135,7 +135,15 @@ object PqStore {
       s"table at '$dir' has no layout column — it was not written by " +
         "PqStore.write, so cell probes cannot address its buckets")
     val probed = IvfAnn.probedCellIds(queries, cells, idCol, vecCol, nprobe)
-    val like = spark.range(0).select(lit(0L).as("cell"), lit(0L).as(idCol),
+    // Derive the stored id type from the table's own schema (one footer
+    // read): a store written with string ids must present string ids in
+    // the empty-read fallback too — assuming long here mis-typed the
+    // probe for any non-long idCol.
+    val idType = graft.sources.TableSink.storedSchemaOf(spark, dir)
+      .flatMap(sch => sch.find(_.name == idCol).map(_.dataType))
+      .getOrElse(org.apache.spark.sql.types.LongType)
+    val like = spark.range(0).select(lit(0L).as("cell"),
+      lit(null).cast(idType).as(idCol),
       array().cast("array<tinyint>").as("codes"))
     val corpus = graft.sources.TableSink.readBuckets(spark, dir, like,
         graft.sources.TableSink.bucketIdsFor(spark, dir, probed.map(_.toString)))

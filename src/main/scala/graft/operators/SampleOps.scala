@@ -407,13 +407,22 @@ object SampleOps {
   def curriculumOrder(df: DataFrame, phase: Column, key: Column, shards: Int,
                       salt: String = ""): DataFrame = {
     require(shards >= 1, s"shards must be >= 1: $shards")
+    // `phase` is an OUTPUT column of this operator; a pre-existing
+    // `phase` in the input would be silently overwritten (and worse, the
+    // caller's `phase` expression would then compute over the mutated
+    // frame). Refuse loudly; the sort key itself rides the __-internal
+    // convention like __d/__k.
+    require(!df.columns.contains("phase"),
+      "curriculumOrder emits a `phase` column; rename the input's " +
+        "existing `phase` before ordering")
     val keyed = df
-      .withColumn("phase", phase)
+      .withColumn("__phase", phase)
       .withColumn("__d", graft.functions.sig.md5BucketCol(
         concat(lit(salt), key.cast("string")), 1L << 62))
       .withColumn("__k", key.cast("string"))
-    rankDeal(keyed, Seq(col("phase"), col("__d"), col("__k")), shards)
-      .drop("__d", "__k")
+    rankDeal(keyed, Seq(col("__phase"), col("__d"), col("__k")), shards)
+      .withColumn("phase", col("__phase"))
+      .drop("__phase", "__d", "__k")
   }
 
   /** The shared global-order core: range-partition + sort on `sortCols`,

@@ -329,6 +329,17 @@ object TableSink {
       case None => Set.empty
     }
 
+  /** Schema of the stored table (one parquet-footer read of one
+    * bucket file, driver-side) — lets readers derive stored column
+    * TYPES instead of assuming them (an id column written as string
+    * must be probed as string: `hash()` and joins are type-sensitive).
+    * None when the table is absent or holds no data yet. */
+  def storedSchemaOf(spark: SparkSession, dir: String): Option[org.apache.spark.sql.types.StructType] =
+    currentManifest(dir).flatMap { m =>
+      m.paths.values.toSeq.sorted.headOption
+        .map(rel => spark.read.parquet(s"$dir/$rel").schema)
+    }
+
   /** Read ONLY the listed buckets' files — file-level pruning for
     * value-addressable layouts: the scan never opens (or even lists
     * into) other buckets' parquet. Exact iff the caller's predicate
