@@ -1801,6 +1801,28 @@ object OracleSql {
         |  count(*) AS n_copies, count(*) > 1 AS had_dups
         |FROM p GROUP BY 2 ORDER BY doc_id""".stripMargin,
 
+    // Real codec round-trip: PNG is lossless and the fixture images are
+    // solid-colour with doc_id-derived dims, so the decoded dims and
+    // exact integer pixel sum are pure arithmetic — (r+g+b) · w · h.
+    "x_mm_real_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 29 + 8 AS INTEGER) AS width,
+        |  CAST(doc_id % 13 + 8 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  ((doc_id*7) % 251 + (doc_id*13) % 251 + (doc_id*31) % 251)
+        |    * (doc_id % 29 + 8) * (doc_id % 13 + 8) AS luma3_sum,
+        |  true AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Perceptual-hash contract: the oracle predicts the CLUSTERS (one
+    // per doc_id % 40 source image — dHash is invariant under the
+    // brightness shifts, distinct across patterns) and the byte-variant
+    // count (one distinct payload per shift), never the hash value.
+    "x_mm_phash_dedup" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_members,
+        |  count(DISTINCT (doc_id // 40) % 3) AS n_byte_variants
+        |FROM documents GROUP BY doc_id % 40 ORDER BY rep_id""".stripMargin,
+
     // Gopher repetition rules: line structure synthesized identically,
     // then duplicate-line fraction + modal-bigram coverage.
     "x_repetition" ->

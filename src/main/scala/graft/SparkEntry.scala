@@ -2697,6 +2697,64 @@ object SparkEntry {
           round(col("meanByte"), 6).as("mean_byte"))
         .orderBy("id")
     }),
+    // REAL image decode through javax.imageio: solid-colour RGB PNGs
+    // with doc_id-derived dims/colour are ENCODED with the JDK PNG
+    // writer per partition, then decoded back by decodeImages — true
+    // width/height/channels plus the exact integer pixel sum, so the
+    // oracle is pure doc_id arithmetic (PNG is lossless). Payload bytes
+    // are born and die inside one partition; only feature rows move.
+    "x_mm_real_decode" -> ((s, d) => {
+      import s.implicits._
+      val png = T(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val w = (id % 29).toInt + 8; val h = (id % 13).toInt + 8
+            val r = ((id * 7) % 251).toInt; val g = ((id * 13) % 251).toInt
+            val b = ((id * 31) % 251).toInt
+            (id, MultimodalOps.synthesizePng(w, h, (_, _) => (r << 16) | (g << 8) | b))
+          }
+        }.toDF("id", "payload")
+      MultimodalOps.decodeImages(png).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("channels"), col("lumaSum3").as("luma3_sum"), col("ok"))
+        .orderBy("doc_id")
+    }),
+    // Perceptual near-dup over REAL decoded pixels: 40 source images
+    // (fmix64 pixel pattern keyed by doc_id % 40), each re-published as
+    // brightness-shifted re-encodes (+0/+5/+10 — byte-DIFFERENT
+    // payloads, pixel-DIFFERENT images). dHash's difference structure
+    // is invariant under the shift, so every group collapses to one
+    // cluster — the re-encoded-copy case x_mm_exact_dedup's byte hash
+    // can never catch. Oracle predicts the clusters from the group
+    // arithmetic; n_byte_variants pins that members really were
+    // byte-distinct per shift (sha256 computed map-side, id-keyed
+    // feature join — payloads still never shuffle).
+    "x_mm_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val png = T(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val g = (id % 40).toInt
+            val off = ((id / 40) % 3).toInt * 5
+            (id, MultimodalOps.synthesizePng(9, 8, (x, y) => {
+              val v = (java.lang.Long.remainderUnsigned(
+                MultimodalOps.fmix64(g * 1000003L + x * 1009L + y * 9176L),
+                200L).toInt + off) & 0xff
+              (v << 16) | (v << 8) | v
+            }))
+          }
+        }.toDF("id", "payload")
+      val sha = png.select(col("id"), sha2(col("payload"), 256).as("sha"))
+      MultimodalOps.decodeImages(png).toDF()
+        .join(sha, "id")
+        .groupBy(col("dhash"))
+        .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_members"),
+          countDistinct(col("sha")).as("n_byte_variants"))
+        .select(col("rep_id"), col("n_members"), col("n_byte_variants"))
+        .orderBy("rep_id")
+    }),
     // Invariant oracle: IVF ANN is inherently approximate, so the
     // driver-checkable contract is (a) every query returns exactly k
     // neighbors and (b) recall vs the EXACT brute-force top-k (computed

@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions._
  * feature-extraction stages are per-row map operations that never shuffle
  * the payload (only derived features move).
  *
- * The actual codec step is STUBBED (no image/audio libraries in this
- * environment): `decodeStub` derives deterministic fake dimensions from
- * the payload hash. The Spark-side contract — binary column schema,
- * partition-local batch processing, feature schema — is real and tested;
- * swapping the stub for a JNI/ONNX decoder changes only the inner function.
+ * IMAGE decode is REAL: [[decodeImages]] runs `javax.imageio.ImageIO`
+ * (part of the JDK's `java.desktop` module, headless-safe — no native
+ * display needed for PNG/JPEG/BMP/GIF) per partition, recovering true
+ * width/height/channels, an exact integer pixel-sum statistic, and a
+ * 64-bit perceptual dHash for near-duplicate detection of re-encoded
+ * copies. AUDIO/VIDEO codecs are not in the JDK, so those stages keep
+ * the documented stub seam ([[decodeStub]], [[decodeBatches]]):
+ * deterministic fake dimensions from the payload hash, with the real
+ * Spark-side contract — binary column schema, partition-local batch
+ * processing, feature schema — tested so a JNI/ONNX decoder swaps in by
+ * changing only the inner function.
  */
 object MultimodalOps {
 
@@ -79,6 +85,132 @@ object MultimodalOps {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) => decodeOne(md, id, bytes) }
       }
+  }
+
+  /**
+   * Decoded-image feature row of the REAL codec path: exact dims and
+   * color-channel count from the decoder, `lumaSum3` = Σ over pixels of
+   * (r+g+b) as an exact integer (so solid/synthetic fixtures replay
+   * bit-for-bit in an arithmetic oracle; divide by 3·w·h for the mean
+   * luma), and the 64-bit perceptual dHash. `ok=false` rows carry zeros
+   * (unreadable / non-image payloads never kill the stage).
+   */
+  case class DecodedImage(id: Long, width: Int, height: Int, channels: Int,
+                          lumaSum3: Long, dhash: Long, ok: Boolean)
+
+  /**
+   * REAL image decode, partition-batched: `ImageIO.read` over each
+   * payload (one in-memory codec path per partition — `setUseCache
+   * (false)` keeps the JDK's temp-file cache off executor disks),
+   * iterator-in/iterator-out so no partition materializes whole, and
+   * ONLY the fixed-size feature row leaves the stage — payload bytes
+   * never shuffle. Input: (id long, payload binary).
+   */
+  def decodeImages(df: DataFrame): org.apache.spark.sql.Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) => decodeImage(id, bytes) }
+      }
+  }
+
+  /** Single-payload real decode (the per-row kernel of [[decodeImages]],
+    * public for spec-level round-trip checks). */
+  def decodeImage(id: Long, bytes: Array[Byte]): DecodedImage =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) DecodedImage(id, 0, 0, 0, 0L, 0L, ok = false)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        // 9×8 cell area-sums for dHash + the global pixel sum, one row
+        // buffer at a time (no w*h int allocation for large images).
+        val cellSum = Array.ofDim[Long](9, 8)
+        val cellCnt = Array.ofDim[Long](9, 8)
+        val row = new Array[Int](w)
+        var lumaSum3 = 0L
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          val cy = math.min(y * 8 / h, 7)
+          var x = 0
+          while (x < w) {
+            val rgb = row(x)
+            val s = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            lumaSum3 += s
+            val cx = math.min(x * 9 / w, 8)
+            cellSum(cx)(cy) += s
+            cellCnt(cx)(cy) += 1
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(id, w, h, img.getColorModel.getNumColorComponents,
+          lumaSum3, dHashOf(cellSum, cellCnt, w, h), ok = true)
+      }
+    } catch {
+      case _: Exception => DecodedImage(id, 0, 0, 0, 0L, 0L, ok = false)
+    }
+
+  /** dHash bits from the 9×8 cell grid: bit (x,y) set iff cell (x+1,y)'s
+    * mean luma exceeds cell (x,y)'s — compared as exact cross-products
+    * (sumA·cntB vs sumB·cntA), no float division, so the hash is
+    * bit-deterministic across JVMs. Brightness-shift invariant by
+    * construction (a constant offset preserves every comparison), which
+    * is what makes it a PERCEPTUAL key: re-encoded / slightly
+    * re-levelled copies of one image collide, different images don't.
+    * Images smaller than the 9×8 grid hash to 0 (too small to compare). */
+  private def dHashOf(cellSum: Array[Array[Long]], cellCnt: Array[Array[Long]],
+                      w: Int, h: Int): Long = {
+    if (w < 9 || h < 8) return 0L
+    var bits = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (cellSum(cx + 1)(cy) * cellCnt(cx)(cy) >
+            cellSum(cx)(cy) * cellCnt(cx + 1)(cy))
+          bits |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /**
+   * Deterministic synthetic PNG through the REAL encoder — the fixture
+   * side of the oracle-checked decode queries and specs: a w×h
+   * `TYPE_INT_RGB` image with `rgbAt(x, y)` packed 0xRRGGBB pixels,
+   * encoded with the JDK PNG writer (lossless, so the decode recovers
+   * the exact pixel values the oracle's arithmetic predicts).
+   */
+  def synthesizePng(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgbAt(x, y) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** murmur3 fmix64 — the per-pixel mixer the synthetic-pattern
+    * fixtures use so distinct group keys yield distinct pixel patterns
+    * (hence distinct dHashes; verified 40/40 in the spec). The oracle
+    * never replays the mixer — it predicts CLUSTERS from the group
+    * arithmetic, which is the point of a perceptual-hash contract. */
+  def fmix64(a0: Long): Long = {
+    var a = a0
+    a ^= (a >>> 33); a *= 0xff51afd7ed558ccdL; a ^= (a >>> 33)
+    a
   }
 
   /** Same dimension convention as [[decodeStub]]: md5 lower-64 (digest

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.MultimodalOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-codec multimodal path: javax.imageio round-trips, exact pixel
+  * statistics, and the perceptual dHash contract (invariance under
+  * brightness shifts, distinctness across patterns) that backs
+  * x_mm_real_decode / x_mm_phash_dedup. */
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  test("synthesizePng -> decodeImage round-trips exact dims, channels, pixel sum") {
+    val bytes = MultimodalOps.synthesizePng(17, 11, (_, _) => (200 << 16) | (100 << 8) | 50)
+    val d = MultimodalOps.decodeImage(7L, bytes)
+    assert(d.ok)
+    assert(d.width == 17 && d.height == 11 && d.channels == 3)
+    assert(d.lumaSum3 == (200L + 100L + 50L) * 17 * 11)
+  }
+
+  test("decodeImage survives non-image payloads as ok=false") {
+    val d = MultimodalOps.decodeImage(1L, "not a png at all".getBytes)
+    assert(!d.ok && d.width == 0 && d.dhash == 0L)
+    val e = MultimodalOps.decodeImage(2L, Array.empty[Byte])
+    assert(!e.ok)
+  }
+
+  test("dHash: brightness-shift invariant, distinct across 40 patterns, byte-distinct per shift") {
+    def png(g: Int, off: Int): Array[Byte] =
+      MultimodalOps.synthesizePng(9, 8, (x, y) => {
+        val v = (java.lang.Long.remainderUnsigned(
+          MultimodalOps.fmix64(g * 1000003L + x * 1009L + y * 9176L), 200L).toInt + off) & 0xff
+        (v << 16) | (v << 8) | v
+      })
+    val hashes = (0 until 40).map(g => MultimodalOps.decodeImage(g, png(g, 0)).dhash)
+    assert(hashes.distinct.size == 40, "fixture patterns must yield 40 distinct dHashes")
+    for (g <- 0 until 40; off <- Seq(5, 10)) {
+      val shifted = MultimodalOps.decodeImage(g, png(g, off))
+      assert(shifted.dhash == hashes(g), s"dHash must be brightness-invariant (g=$g off=$off)")
+      // the shifted re-encode is byte-different (it is a different image)
+      assert(!java.util.Arrays.equals(png(g, off), png(g, 0)))
+    }
+  }
+
+  test("dHash cell area-sums: downsampled 18x16 image hashes like its 9x8 source") {
+    // each 9x8 source pixel expands to a 2x2 block -> identical cell
+    // means -> identical dHash through the area-sum grid
+    def v(x: Int, y: Int): Int =
+      java.lang.Long.remainderUnsigned(
+        MultimodalOps.fmix64(3 * 1000003L + x * 1009L + y * 9176L), 200L).toInt
+    val small = MultimodalOps.synthesizePng(9, 8, (x, y) => { val g = v(x, y); (g << 16) | (g << 8) | g })
+    val big = MultimodalOps.synthesizePng(18, 16, (x, y) => { val g = v(x / 2, y / 2); (g << 16) | (g << 8) | g })
+    assert(MultimodalOps.decodeImage(0, small).dhash == MultimodalOps.decodeImage(0, big).dhash)
+  }
+
+  test("decodeImages: distributed decode, payloads never leave the partition") {
+    import spark.implicits._
+    val df = spark.range(0, 60).select(col("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 29).toInt + 8; val h = (id % 13).toInt + 8
+        (id, MultimodalOps.synthesizePng(w, h, (_, _) => 0x804020))
+      }).toDF("id", "payload")
+    val out = MultimodalOps.decodeImages(df).collect().map(d => d.id -> d).toMap
+    assert(out.size == 60)
+    for (id <- 0L until 60L) {
+      val d = out(id)
+      assert(d.ok && d.width == (id % 29).toInt + 8 && d.height == (id % 13).toInt + 8)
+      assert(d.lumaSum3 == (0x80L + 0x40L + 0x20L) * d.width * d.height)
+    }
+    // the feature schema is fixed-size: no binary column survives the stage
+    assert(!MultimodalOps.decodeImages(df).schema.exists(_.dataType ==
+      org.apache.spark.sql.types.BinaryType))
+  }
+}
