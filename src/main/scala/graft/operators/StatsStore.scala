@@ -20,11 +20,11 @@ import graft.sources.DeltaParts
  * `x_outlier_trim` p99 length rule, ppl tercile cuts) keep CURRENT
  * thresholds without rescanning 100 TB per refresh.
  *
- * Ledger mechanics are [[Bm25Store]]'s, one relation instead of three:
- * a DeltaParts `_PARTS` ledger (atomic publish), batch-named
- * replay-idempotent [[append]] with the compaction-surviving
- * `_absorbed` names-ledger, deferred-GC compaction, and snapshot
- * tags / restore for training reproducibility.
+ * Ledger mechanics ride [[graft.sources.AdditiveLedger]] (shared with
+ * every additive store): a DeltaParts `_PARTS` ledger (atomic publish),
+ * batch-named replay-idempotent [[append]] with the
+ * compaction-surviving `_absorbed` names-ledger, deferred-GC
+ * compaction, and snapshot tags / restore for training reproducibility.
  *
  * Accuracy contract: pass the SAME `accuracy` to init and every
  * append; queried quantiles are rank-exact while a group's TOTAL count
@@ -41,8 +41,9 @@ import graft.sources.DeltaParts
  */
 object StatsStore {
 
+  import graft.sources.AdditiveLedger
+
   private def sketchesDir(dir: String) = s"$dir/sketches"
-  private def absorbedDir(dir: String) = s"$dir/_absorbed"
 
   /** One row per group: (g, sketch, n). */
   private def summarize(batch: DataFrame, groupCol: String, valueCol: String,
@@ -63,17 +64,10 @@ object StatsStore {
     * later replayed append silently drop real data). */
   def init(spark: SparkSession, dir: String, corpus: DataFrame,
            groupCol: String, valueCol: String, accuracy: Int = 1 << 20): Unit = {
-    val priorLife = Seq(
-      java.nio.file.Paths.get(dir, "_PARTS"),
-      java.nio.file.Paths.get(absorbedDir(dir), "_PARTS")
-    ).filter(java.nio.file.Files.exists(_))
-    if (priorLife.nonEmpty)
-      throw new IllegalStateException(
-        s"stats store at '$dir' was already initialized " +
-          s"(found: ${priorLife.mkString(", ")}) — init is run-once; " +
-          "delete the store dir (or point at a fresh one) to rebuild.")
-    writePart(dir, "part_00000", summarize(corpus, groupCol, valueCol, accuracy))
-    DeltaParts.add(absorbedDir(dir), "part_00000")
+    AdditiveLedger.requireFresh(dir, "stats store")
+    writePart(dir, "part_00000",
+      summarize(corpus, groupCol, valueCol, accuracy), ledger = false)
+    AdditiveLedger.recordInit(dir, "part_00000")
   }
 
   /** Append a batch's summaries in O(batch) — the standing parts are
@@ -85,15 +79,10 @@ object StatsStore {
     * same contract as [[Bm25Store.append]]. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              groupCol: String, valueCol: String, accuracy: Int = 1 << 20,
-             name: Option[String] = None): Unit = {
-    val absorbed = DeltaParts.list(absorbedDir(dir))
-    val n = name.getOrElse(DeltaParts.nextIndexedName(dir,
-      Seq(sketchesDir(dir)), extraNames = absorbed))
-    if (absorbed.contains(n)) return
-    if (!DeltaParts.list(dir).contains(n))
+             name: Option[String] = None): Unit =
+    AdditiveLedger.mutateNamed(dir, Seq(sketchesDir(dir)), name) { n =>
       writePart(dir, n, summarize(batch, groupCol, valueCol, accuracy))
-    DeltaParts.add(absorbedDir(dir), n)
-  }
+    }
 
   /** The folded summary — one row per group over the UNION of every
     * stored batch: (g, sketch, n). With `tag`, assembles the
@@ -137,18 +126,13 @@ object StatsStore {
     * Input is (parts × groups) sketch rows — group-count-sized, never
     * the corpus. Superseded parts stay one cycle for in-flight readers;
     * snapshot-pinned parts are never swept. */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val old = DeltaParts.list(dir)
-    if (old.size <= 1) return
-    val gen = s"part_c${System.nanoTime()}"
-    writePart(dir, gen,
-      spark.read.parquet(old.map(p => s"${sketchesDir(dir)}/$p"): _*)
-        .groupBy(col("g"))
-        .agg(quantileSketchMerge(col("sketch")).as("sketch"),
-          sum(col("n")).as("n")),
-      ledger = false)
-    val protect = old.toSet + gen ++ DeltaParts.pinned(dir)
-    DeltaParts.sweepOrphans(sketchesDir(dir), protect)
-    DeltaParts.publish(dir, Seq(gen))
-  }
+  def compact(spark: SparkSession, dir: String): Unit =
+    AdditiveLedger.compactWith(dir, Seq(sketchesDir(dir))) { gen =>
+      writePart(dir, gen,
+        spark.read.parquet(DeltaParts.list(dir).map(p => s"${sketchesDir(dir)}/$p"): _*)
+          .groupBy(col("g"))
+          .agg(quantileSketchMerge(col("sketch")).as("sketch"),
+            sum(col("n")).as("n")),
+        ledger = false)
+    }
 }

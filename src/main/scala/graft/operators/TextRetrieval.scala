@@ -146,14 +146,11 @@ object Bm25Store {
   private def relationRoots(dir: String) =
     Seq(postingsDir(dir), dfDir(dir), statsDir(dir), docsDir(dir), tombsDir(dir))
 
-  // Monotone record of every batch-named part EVER absorbed — the
-  // [[graft.pipelines.Admission]] `_absorbed` idiom: a names-only
-  // DeltaParts ledger (atomic add-if-absent) that [[compact]] never
-  // touches. Replay detection must survive compaction: after a compact
-  // folds a named part into the merged gen, the _PARTS ledger no longer
-  // names it, and a replayed append that only checked the ledger would
-  // re-write and re-ledger the part = double-counted postings/df/stats.
-  private def absorbedDir(dir: String) = s"$dir/_absorbed"
+  // Replay/compaction/crash-window mechanics live in
+  // [[graft.sources.AdditiveLedger]] — the `_absorbed` names-ledger,
+  // run-once init refusal, and deferred-GC compact cycle are shared
+  // with every additive store; only the five relations are BM25's.
+  import graft.sources.AdditiveLedger
 
   /** The additive relations of one document set. Stats carry BOTH row
     * count (`n_docs` — what idf's N uses) and non-null-token-array
@@ -249,18 +246,11 @@ object Bm25Store {
     * named [[append]] reusing a batch id would silently skip real data. */
   def init(spark: SparkSession, dir: String, corpus: DataFrame,
            idCol: String, textCol: String): Unit = {
-    val priorLife = Seq(
-      java.nio.file.Paths.get(dir, "_PARTS"),
-      java.nio.file.Paths.get(absorbedDir(dir), "_PARTS")
-    ).filter(java.nio.file.Files.exists(_))
-    if (priorLife.nonEmpty)
-      throw new IllegalStateException(
-        s"BM25 store at '$dir' was already initialized " +
-          s"(found: ${priorLife.mkString(", ")}) — init is run-once; " +
-          "delete the store dir (or point at a fresh one) to rebuild.")
+    AdditiveLedger.requireFresh(dir, "BM25 store")
     val (p, d, s, dr) = parts(corpus, idCol, textCol)
-    writePart(dir, "part_00000", p, d, s, dr, emptyTombsLike(dr))
-    DeltaParts.add(absorbedDir(dir), "part_00000")
+    writePart(dir, "part_00000", p, d, s, dr, emptyTombsLike(dr),
+      ledger = false)
+    AdditiveLedger.recordInit(dir, "part_00000")
   }
 
   /** Append a batch of NEW documents (disjoint doc ids from everything
@@ -272,30 +262,11 @@ object Bm25Store {
     * [[compact]] that folded the named part: the `_absorbed` ledger
     * records every name ever absorbed and compaction never touches it. */
   def append(spark: SparkSession, dir: String, newDocs: DataFrame,
-             idCol: String, textCol: String, name: Option[String] = None): Unit = {
-    // Default names count on-disk orphans (compaction leaves superseded
-    // parts one cycle for stale readers — a ledger-size name would
-    // collide and overwrite them) AND the absorbed record (after sweeps
-    // remove the numeric orphans, a rewound counter would regenerate an
-    // absorbed name and the replay guard would silently drop the new
-    // batch — the Admission.run idiom).
-    val absorbed = DeltaParts.list(absorbedDir(dir))
-    val n = name.getOrElse(DeltaParts.nextIndexedName(dir,
-      relationRoots(dir), extraNames = absorbed))
-    // An absorbed name is a completed append, even if compaction folded
-    // the part out of the live ledger; a ledgered-but-unabsorbed name is
-    // a crash between writePart and the absorbed add — the files are
-    // complete (the ledger add is writePart's last step), so skip the
-    // rewrite (rewriting a LIVE part in place is a non-atomic
-    // delete-then-write a concurrent reader could catch half-done) and
-    // just finish the record.
-    if (absorbed.contains(n)) return
-    if (!DeltaParts.list(dir).contains(n)) {
+             idCol: String, textCol: String, name: Option[String] = None): Unit =
+    AdditiveLedger.mutateNamed(dir, relationRoots(dir), name) { n =>
       val (p, d, s, dr) = parts(newDocs, idCol, textCol)
       writePart(dir, n, p, d, s, dr, emptyTombsLike(dr))
     }
-    DeltaParts.add(absorbedDir(dir), n)
-  }
 
   /**
    * Delete documents by id — the Lucene deleted-docs contract made
@@ -319,12 +290,8 @@ object Bm25Store {
    * write-once across the store's history, the [[restore]] contract).
    */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
-             idCol: String, name: Option[String] = None): Unit = {
-    val absorbed = DeltaParts.list(absorbedDir(dir))
-    val n = name.getOrElse(DeltaParts.nextIndexedName(dir,
-      relationRoots(dir), extraNames = absorbed))
-    if (absorbed.contains(n)) return
-    if (!DeltaParts.list(dir).contains(n)) {
+             idCol: String, name: Option[String] = None): Unit =
+    AdditiveLedger.mutateNamed(dir, relationRoots(dir), name) { n =>
       val live = DeltaParts.list(dir)
       require(live.nonEmpty, s"no BM25 store at '$dir' — run init first")
       val (postings, dfRel, _, docRows, _) = merged(spark, dir, live)
@@ -342,8 +309,6 @@ object Bm25Store {
       writePart(dir, n, postings.limit(0), dfRel.limit(0), decrement,
         docRows.limit(0), victims.select(col("doc_id")))
     }
-    DeltaParts.add(absorbedDir(dir), n)
-  }
 
   /** Pin the current index state under `tag` (training reproducibility:
     * "the exact index run X retrieved against") — [[readIndex]] with the
@@ -393,31 +358,20 @@ object Bm25Store {
     * surviving postings — the merge that makes [[delete]]'s stale idf
     * exact again, same as a Lucene segment merge. O(index);
     * postings-sized, still far under the corpus text. */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val old = DeltaParts.list(dir)
-    if (old.size <= 1) return
-    val gen = s"part_c${System.nanoTime()}"
-    // merge each additive relation from its own parts — exact integer
-    // sums, no float round-trip through the assembled avgdl. Postings
-    // and doc rows come back tombstone-filtered; df is rebuilt from the
-    // survivors (one row per (term, doc), so count == document
-    // frequency), not summed from the stale parts.
-    val (postings, _, st, docRows, _) = merged(spark, dir, old)
-    val postingsLive = postings.localCheckpoint(true)
-    val dfLive = postingsLive.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // The parts the merged gen supersedes stay on disk for in-flight
-    // readers of the previous ledger; the NEXT compaction sweeps them
-    // (DeltaParts deferred-GC contract, applied across all relation
-    // roots). The new gen carries no tombstones — the rows are gone.
-    writePart(dir, gen, postingsLive, dfLive, st, docRows,
-      emptyTombsLike(docRows), ledger = false)
-    // Protect: the parts this gen supersedes (kept one cycle for
-    // in-flight readers), the gen itself, and every snapshot-pinned part
-    // (a tag must replay byte-identically for as long as it lives).
-    val protect = old.toSet + gen ++ DeltaParts.pinned(dir)
-    relationRoots(dir).foreach(r => DeltaParts.sweepOrphans(r, protect))
-    DeltaParts.publish(dir, Seq(gen))
-  }
+  def compact(spark: SparkSession, dir: String): Unit =
+    AdditiveLedger.compactWith(dir, relationRoots(dir)) { gen =>
+      // merge each additive relation from its own parts — exact integer
+      // sums, no float round-trip through the assembled avgdl. Postings
+      // and doc rows come back tombstone-filtered; df is rebuilt from
+      // the survivors (one row per (term, doc), so count == document
+      // frequency), not summed from the stale parts. The new gen
+      // carries no tombstones — the rows are gone.
+      val (postings, _, st, docRows, _) = merged(spark, dir, DeltaParts.list(dir))
+      val postingsLive = postings.localCheckpoint(true)
+      val dfLive = postingsLive.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      writePart(dir, gen, postingsLive, dfLive, st, docRows,
+        emptyTombsLike(docRows), ledger = false)
+    }
 }
 
 /**

@@ -218,19 +218,10 @@ object Admission {
     * directory, never a silent overwrite. */
   def init(spark: SparkSession, storeDir: String, corpus: DataFrame,
            idCol: String, textCol: String, cfg: Config = Config()): Unit = {
-    val priorLife = Seq(
-      java.nio.file.Paths.get(spanDir(storeDir), "_PARTS"),
-      java.nio.file.Paths.get(absorbedDir(storeDir), "_PARTS"),
-      java.nio.file.Paths.get(storeDir, "verdicts"),
-      java.nio.file.Paths.get(fpDir(storeDir))
-    ).filter(java.nio.file.Files.exists(_))
-    if (priorLife.nonEmpty)
-      throw new IllegalStateException(
-        s"admission store at '$storeDir' was already initialized " +
-          s"(found: ${priorLife.mkString(", ")}) — init is run-once. " +
-          "Reusing the dir would leave the prior life's _absorbed ledger " +
-          "and verdict history in place, silently dropping replayed " +
-          "batchIds; delete the store dir (or point at a fresh one) to rebuild.")
+    graft.sources.AdditiveLedger.requireFresh(spanDir(storeDir),
+      "admission store", extraPaths = Seq(
+        java.nio.file.Paths.get(storeDir, "verdicts"),
+        java.nio.file.Paths.get(fpDir(storeDir))))
     val fps = corpus.select(text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct()
       .withColumn("__v", lit(0L))
@@ -267,13 +258,13 @@ object Admission {
     verdicts(batch, cur, novel, scrubbed, idCol).localCheckpoint(true)
   }
 
-  // Monotone record of every delta name EVER absorbed — a names-only
-  // DeltaParts ledger (atomic add-if-absent) that compaction never
-  // touches. Replay detection must survive compaction: after a compact
-  // folds part_bN into the base, the PARTS ledger no longer names it,
-  // and a replayed absorb that only checked the ledger would re-write
-  // and re-ledger the delta = double-counted span statistics.
-  private def absorbedDir(storeDir: String) = s"${spanDir(storeDir)}/_absorbed"
+  // Replay/compaction/crash-window mechanics live in
+  // [[graft.sources.AdditiveLedger]] over the span-inventory ledger
+  // root; the fingerprint TableSink's key-idempotent upsert/delete is
+  // sequenced around the dance with `isAbsorbed` (a completed mutation
+  // must short-circuit BEFORE the fingerprint side effect can re-fire —
+  // an absorb replayed after an unadmit would otherwise resurrect the
+  // removed fingerprints).
 
   /** The write half: absorb admitted docs' ORIGINAL text (the inventory
     * records what content exists; scrubbed text is the training-side
@@ -287,18 +278,18 @@ object Admission {
   private def absorb(spark: SparkSession, storeDir: String, grown0: DataFrame,
                      idCol: String, textCol: String, cfg: Config,
                      deltaName: String): Unit = {
-    import graft.sources.DeltaParts
-    if (DeltaParts.list(absorbedDir(storeDir)).contains(deltaName)) return
+    import graft.sources.{AdditiveLedger, DeltaParts}
+    if (AdditiveLedger.isAbsorbed(spanDir(storeDir), deltaName)) return
     val grown = grown0.localCheckpoint(true)
     val newFps = grown.select(text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct().withColumn("__v", lit(1L))
     TableSink.upsert(spark, fpDir(storeDir), newFps, Seq("__fp"), "__v")
-    if (!DeltaParts.list(spanDir(storeDir)).contains(deltaName)) {
+    AdditiveLedger.mutateNamed(spanDir(storeDir), Seq(spanDir(storeDir)),
+        Some(deltaName)) { n =>
       SpanDedup.spanDigestIndex(grown, idCol, textCol, cfg.spanK)
-        .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$deltaName")
-      DeltaParts.add(spanDir(storeDir), deltaName)
+        .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$n")
+      DeltaParts.add(spanDir(storeDir), n)
     }
-    DeltaParts.add(absorbedDir(storeDir), deltaName)
   }
 
   /**
@@ -314,14 +305,9 @@ object Admission {
     val out = computeVerdicts(spark, storeDir, batch, idCol, textCol, cfg)
     val grown = batch.select(col(idCol), col(textCol))
       .join(out.filter(col("verdict") === "admitted").select(idCol), idCol)
-    // nextIndexedName counts on-disk orphans (a ledger-size name would
-    // collide with a compaction-superseded part kept for in-flight
-    // readers) AND the absorbed record (after compactions sweep the
-    // numeric orphans, a rewound counter would regenerate an absorbed
-    // name and the replay guard would silently drop the new batch).
     absorb(spark, storeDir, grown, idCol, textCol, cfg,
-      graft.sources.DeltaParts.nextIndexedName(spanDir(storeDir), Seq(spanDir(storeDir)),
-        extraNames = graft.sources.DeltaParts.list(absorbedDir(storeDir))))
+      graft.sources.AdditiveLedger.nextName(spanDir(storeDir),
+        Seq(spanDir(storeDir))))
     out
   }
 
@@ -422,22 +408,21 @@ object Admission {
   def unadmit(spark: SparkSession, storeDir: String, removed: DataFrame,
               idCol: String, textCol: String, cfg: Config = Config(),
               name: Option[String] = None): Unit = {
-    import graft.sources.DeltaParts
-    val absorbed = DeltaParts.list(absorbedDir(storeDir))
-    val n = name.getOrElse(DeltaParts.nextIndexedName(spanDir(storeDir),
-      Seq(spanDir(storeDir)), extraNames = absorbed))
-    if (absorbed.contains(n)) return
+    import graft.sources.{AdditiveLedger, DeltaParts}
+    val n = name.getOrElse(AdditiveLedger.nextName(spanDir(storeDir),
+      Seq(spanDir(storeDir))))
+    if (AdditiveLedger.isAbsorbed(spanDir(storeDir), n)) return
     val rem = removed.localCheckpoint(true)
     val fps = rem.select(text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct()
     TableSink.delete(spark, fpDir(storeDir), fps, Seq("__fp"))
-    if (!DeltaParts.list(spanDir(storeDir)).contains(n)) {
+    AdditiveLedger.mutateNamed(spanDir(storeDir), Seq(spanDir(storeDir)),
+        Some(n)) { nn =>
       SpanDedup.spanDigestIndex(rem, idCol, textCol, cfg.spanK)
         .select(col("__h1"), col("__h2"),
           (-col("n_docs")).as("n_docs"), (-col("n_occ")).as("n_occ"))
-        .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$n")
-      DeltaParts.add(spanDir(storeDir), n)
+        .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$nn")
+      DeltaParts.add(spanDir(storeDir), nn)
     }
-    DeltaParts.add(absorbedDir(storeDir), n)
   }
 }

@@ -7,24 +7,46 @@ package graft.sources
  * compact-sweep-publish cycle are store-agnostic — only the relation
  * contents differ — so the crash-window reasoning lives ONCE here.
  *
- * (The older multi-relation stores — Bm25Store, StatsStore, the
- * Admission ledger — carry the same idiom inline with extra
- * per-relation semantics; migrating them onto this helper is a
- * mechanical follow-up, deliberately not done in the same change that
- * introduced it.)
+ * Every additive store rides this helper: the single-relation ones
+ * ([[graft.operators.LmStore]], [[graft.operators.LineStore]],
+ * [[graft.operators.StatsStore]]) and the multi-relation ones
+ * ([[graft.operators.Bm25Store]] — five relations, one ledger;
+ * [[graft.pipelines.Admission]] — span inventory, with the
+ * fingerprint TableSink's key-idempotent mutations sequenced around
+ * the ledger dance via [[isAbsorbed]]/[[nextName]]).
  */
 object AdditiveLedger {
 
   def absorbedDir(dir: String): String = s"$dir/_absorbed"
 
+  /** Has `name` EVER been absorbed (survives compaction)? For stores
+    * whose mutations pair the ledgered part with NON-ledger side
+    * effects that must not replay after completion (the Admission
+    * fingerprint upsert/delete): check this FIRST, then run the side
+    * effect, then [[mutateNamed]] — a completed mutation short-circuits
+    * before the side effect can re-fire. */
+  def isAbsorbed(dir: String, name: String): Boolean =
+    DeltaParts.list(absorbedDir(dir)).contains(name)
+
+  /** Next free indexed part name, counting on-disk orphans (compaction
+    * keeps superseded parts one cycle — a ledger-size name would
+    * collide) AND every absorbed name (after sweeps remove the numeric
+    * orphans, a rewound counter would regenerate an absorbed name and
+    * the replay guard would silently drop the new batch). */
+  def nextName(dir: String, roots: Seq[String]): String =
+    DeltaParts.nextIndexedName(dir, roots,
+      extraNames = DeltaParts.list(absorbedDir(dir)))
+
   /** Refuse a previously-used store dir: re-initializing in place would
     * reset the parts while `_absorbed` survives, silently no-opping a
-    * later replayed append. */
-  def requireFresh(dir: String, what: String): Unit = {
-    val priorLife = Seq(
+    * later replayed append. `extraPaths` adds store-specific prior-life
+    * markers (the Admission verdict history / fingerprint table). */
+  def requireFresh(dir: String, what: String,
+                   extraPaths: Seq[java.nio.file.Path] = Nil): Unit = {
+    val priorLife = (Seq(
       java.nio.file.Paths.get(dir, "_PARTS"),
       java.nio.file.Paths.get(absorbedDir(dir), "_PARTS")
-    ).filter(java.nio.file.Files.exists(_))
+    ) ++ extraPaths).filter(java.nio.file.Files.exists(_))
     if (priorLife.nonEmpty)
       throw new IllegalStateException(
         s"$what at '$dir' was already initialized " +
