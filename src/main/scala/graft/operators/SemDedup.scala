@@ -231,6 +231,9 @@ object SemDedupStore {
     TableSink.overwrite(spark, membersDir(dir),
       memberRows(corpus, cells, idCol, vecCol).withColumn("__v", lit(0L)),
       Seq("id"), numBuckets, layoutCol = Some("__cl_s"))
+    // id→cluster sidecar from day one: keeps every later [[absorb]]
+    // re-home probe O(batch) instead of an O(corpus) projection scan.
+    graft.sources.IdLayoutSidecar.backfill(spark, membersDir(dir))
   }
 
   /** The persisted centroids (probes must use the centroids the members
@@ -269,28 +272,45 @@ object SemDedupStore {
   /** Absorb a batch of vectors (typically the admitted originals)
     * O(batch): assign under the FIXED centroids and upsert — only the
     * touched clusters' buckets rewrite. Re-added ids whose vector
-    * changed cluster re-home atomically (`rehomeFromCol` after a
-    * column-pruned probe of the batch's ids — the
-    * [[graft.pipelines.Hybrid.appendVectors]] contract); callers that
-    * KNOW every id is new skip the probe with `assumeNewIds = true`. */
+    * changed cluster re-home atomically via an O(batch)
+    * [[graft.sources.IdLayoutSidecar]] probe (batch ids' sidecar
+    * buckets → candidate clusters' bucket files, never a projection
+    * scan of the standing members; pre-sidecar stores fall back to the
+    * correct full scan — `IdLayoutSidecar.backfill` once to adopt).
+    * The sidecar intent commits BEFORE the members upsert (the
+    * [[graft.pipelines.Hybrid.appendVectors]] crash contract); callers
+    * that KNOW every id is new skip the probe with
+    * `assumeNewIds = true`. */
   def absorb(spark: SparkSession, dir: String, newVecs: DataFrame,
              idCol: String, vecCol: String, version: Long,
              assumeNewIds: Boolean = false): Unit = {
     val cells = readCentroids(spark, dir)
     val assigned = memberRows(newVecs, cells, idCol, vecCol)
+    val sidecar = graft.sources.IdLayoutSidecar.exists(membersDir(dir))
     val batch =
       if (assumeNewIds) assigned.withColumn("__old_cl", lit(null).cast("string"))
       else {
-        val like = spark.range(0).select(lit(0L).as("id"), lit("").as("__cl_s"))
-        val old = TableSink.read(spark, membersDir(dir), like)
-          .select(col("id"), col("__cl_s").as("__prev"))
-          .join(newVecs.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        val old =
+          if (sidecar)
+            graft.sources.IdLayoutSidecar.resolve(spark, membersDir(dir),
+                newVecs.select(col(idCol).as("id")))
+              .select(col("id"), col("__cur").as("__prev"))
+          else {
+            val like = spark.range(0).select(lit(0L).as("id"), lit("").as("__cl_s"))
+            TableSink.read(spark, membersDir(dir), like)
+              .select(col("id"), col("__cl_s").as("__prev"))
+              .join(newVecs.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          }
         assigned.join(broadcast(old), Seq("id"), "left")
           .withColumn("__old_cl",
             when(col("__prev").isNotNull && col("__prev") =!= col("__cl_s"),
               col("__prev")))
           .drop("__prev")
       }
+    if (sidecar)
+      graft.sources.IdLayoutSidecar.recordIntent(spark, membersDir(dir),
+        batch.select(col("id"), col("__cl_s").as("cell"),
+          col("__old_cl").as("prev_cell")), version)
     TableSink.upsert(spark, membersDir(dir),
       batch.withColumn("__v", lit(version)),
       Seq("id"), "__v", rehomeFromCol = Some("__old_cl"))
@@ -309,6 +329,8 @@ object SemDedupStore {
       s"no semantic store at '$dir' — run init first")
     TableSink.deleteByIds(spark, membersDir(dir),
       ids.select(col(idCol).as("id")), "id")
+    graft.sources.IdLayoutSidecar.removeIds(spark, membersDir(dir),
+      ids.select(col(idCol).as("id")))
     ()
   }
 }

@@ -55,6 +55,9 @@ object Hybrid {
     TableSink.overwrite(spark, annDir(storeDir),
       annRows(vecs, vecIdCol, vecCol, cells).withColumn("__v", lit(0L)),
       Seq("id"), numBuckets, layoutCol = Some("__cell_s"))
+    // id→cell sidecar from day one: keeps every later [[appendVectors]]
+    // re-home probe O(batch) instead of an O(corpus) projection scan.
+    graft.sources.IdLayoutSidecar.backfill(spark, annDir(storeDir))
   }
 
   /** Canonical stored ANN rows (cell, id, vec, __cell_s): the serving
@@ -138,28 +141,46 @@ object Hybrid {
     * layout migration (the appendToIndex contract's second half): the
     * old cell's copy must be rewritten away in the same commit or a
     * probe of the old cell serves a stale vector and a wide probe
-    * returns the id twice. The default pays one column-pruned
-    * (id, __cell_s) read of the index to find such ids and re-homes
-    * them atomically (`rehomeFromCol`); callers that KNOW every id is
-    * new skip it with `assumeNewIds = true` — a promise, not a check. */
+    * returns the id twice. The re-home probe is O(batch) through the
+    * [[graft.sources.IdLayoutSidecar]]: the batch ids' sidecar buckets
+    * resolve candidate cells, only those cells' bucket files open —
+    * the standing table is never projection-scanned. (A pre-sidecar
+    * store falls back to the correct full column-pruned scan; run
+    * `IdLayoutSidecar.backfill` once to adopt it.) The sidecar intent
+    * commits BEFORE the ANN upsert, so at every crash point a stored
+    * row sits in its sidecar `cell` or `prev_cell` bucket. Callers
+    * that KNOW every id is new skip the probe with
+    * `assumeNewIds = true` — a promise, not a check. */
   def appendVectors(spark: SparkSession, storeDir: String, newVecs: DataFrame,
                     vecIdCol: String, vecCol: String, version: Long,
                     assumeNewIds: Boolean = false): Unit = {
     val cells = readCells(spark, storeDir)
     val assigned = annRows(newVecs, vecIdCol, vecCol, cells)
+    val sidecar = graft.sources.IdLayoutSidecar.exists(annDir(storeDir))
     val batch =
       if (assumeNewIds) assigned.withColumn("__old_cell", lit(null).cast("string"))
       else {
-        val like = spark.range(0).select(lit(0L).as("id"), lit("").as("__cell_s"))
-        val old = TableSink.read(spark, annDir(storeDir), like)
-          .select(col("id"), col("__cell_s").as("__prev"))
-          .join(newVecs.select(col(vecIdCol).as("id")), Seq("id"), "left_semi")
+        val old =
+          if (sidecar)
+            graft.sources.IdLayoutSidecar.resolve(spark, annDir(storeDir),
+                newVecs.select(col(vecIdCol).as("id")))
+              .select(col("id"), col("__cur").as("__prev"))
+          else {
+            val like = spark.range(0).select(lit(0L).as("id"), lit("").as("__cell_s"))
+            TableSink.read(spark, annDir(storeDir), like)
+              .select(col("id"), col("__cell_s").as("__prev"))
+              .join(newVecs.select(col(vecIdCol).as("id")), Seq("id"), "left_semi")
+          }
         assigned.join(broadcast(old), Seq("id"), "left")
           .withColumn("__old_cell",
             when(col("__prev").isNotNull && col("__prev") =!= col("__cell_s"),
               col("__prev")))
           .drop("__prev")
       }
+    if (sidecar)
+      graft.sources.IdLayoutSidecar.recordIntent(spark, annDir(storeDir),
+        batch.select(col("id"), col("__cell_s").as("cell"),
+          col("__old_cell").as("prev_cell")), version)
     TableSink.upsert(spark, annDir(storeDir),
       batch.withColumn("__v", lit(version)),
       Seq("id"), "__v", rehomeFromCol = Some("__old_cell"))
@@ -180,6 +201,10 @@ object Hybrid {
     Bm25Store.delete(spark, bm25Dir(storeDir), ids, idCol, name)
     TableSink.deleteByIds(spark, annDir(storeDir),
       ids.select(col(idCol).as("id")), "id")
+    // keep the id→cell sidecar garbage-free (a stale row is correct —
+    // resolve finds no copy — but would inflate candidate sets forever)
+    graft.sources.IdLayoutSidecar.removeIds(spark, annDir(storeDir),
+      ids.select(col(idCol).as("id")))
     ()
   }
 
