@@ -131,11 +131,11 @@ object IvfAnn {
       quantizedCorpus.withColumn("__cell_s", col("cell").cast("string"))
         .withColumn("__v", lit(0L)),
       Seq(idCol), "__v", numBuckets, layoutCol = Some("__cell_s"),
-      // Staleness accounting rides the manifest (atomic with the data it
-      // describes): base = rows the centroids were FITTED against,
-      // added = rows appended under those fixed centroids since. The
+      // Staleness accounting rides the manifest ([[graft.sources
+      // .IndexMeta]]): base = rows the centroids were FITTED against,
+      // added = rows mutated under those fixed centroids since. The
       // count collapses to a scan (no projection evaluates under it).
-      meta = Some(s"ivf:v1;base=${quantizedCorpus.count()};added=0"))
+      meta = Some(graft.sources.IndexMeta.fresh(quantizedCorpus.count())))
 
   /**
    * Incremental ADD to a persisted index: assign the new vectors to the
@@ -195,9 +195,8 @@ object IvfAnn {
     // counts (a sidecar counter could desync across a crash; the
     // manifest meta cannot). Re-adds inflate `added` slightly — the
     // trigger is a maintenance heuristic, erring toward rebuilding.
-    val newMeta = graft.sources.TableSink.metaOf(dir).flatMap(parseIndexMeta)
-      .map { case (base, added) =>
-        s"ivf:v1;base=$base;added=${added + newVectors.select(col(idCol)).count()}" }
+    val newMeta = graft.sources.IndexMeta.bumped(dir,
+      newVectors.select(col(idCol)).count())
     graft.sources.TableSink.upsert(spark, dir,
       batch.withColumn("__v", lit(version)),
       Seq(idCol), "__v", rehomeFromCol = Some("__old_cell"), meta = newMeta)
@@ -227,41 +226,18 @@ object IvfAnn {
     require(graft.sources.TableSink.layoutColOf(dir).isDefined,
       s"no value-addressable index at '$dir' — write one with writeIndex first")
     graft.sources.TableSink.deleteByIds(spark, dir, ids, idCol,
-      metaFor = victims =>
-        graft.sources.TableSink.metaOf(dir).flatMap(parseIndexMeta)
-          .map { case (base, added) =>
-            s"ivf:v1;base=$base;added=${added + victims.count()}" })
+      metaFor = victims => graft.sources.IndexMeta.bumped(dir, victims.count()))
     ()
-  }
-
-  private val IndexMetaRe = """ivf:v1;base=(\d+);added=(\d+)""".r
-  private def parseIndexMeta(m: String): Option[(Long, Long)] = m match {
-    case IndexMetaRe(b, a) => Some((b.toLong, a.toLong))
-    case _ => None
   }
 
   /**
    * The centroid-rebuild staleness trigger — the [[appendToIndex]]
-   * analog of the ST4 basis StalenessGuard: fixed centroids only ever
-   * erode RECALL as adds drift from the distribution they were fitted
-   * on, so the cue is volume-based — fire once the rows added since the
-   * last [[buildCells]] fit exceed `maxAddedFraction` of the rows the
-   * fit saw. Reads one manifest line, no Spark job. An index whose
-   * manifest carries no parseable `ivf:v1` meta (pre-accounting
-   * history, or foreign writer) reports TRUE — unknown provenance is
-   * exactly when a rebuild re-establishes the contract.
+   * analog of the ST4 basis StalenessGuard; the accounting semantics
+   * (and the parser) live in [[graft.sources.IndexMeta]], shared with
+   * every cell/cluster-laid-out store in the codebase.
    */
-  def needsRebuild(dir: String, maxAddedFraction: Double = 0.5): Boolean = {
-    require(maxAddedFraction > 0.0,
-      s"maxAddedFraction must be positive: $maxAddedFraction")
-    require(graft.sources.TableSink.tableExists(dir),
-      s"no persisted ANN index at '$dir' — nothing to assess")
-    graft.sources.TableSink.metaOf(dir).flatMap(parseIndexMeta) match {
-      case Some((base, added)) =>
-        added.toDouble / math.max(base, 1L).toDouble >= maxAddedFraction
-      case None => true
-    }
-  }
+  def needsRebuild(dir: String, maxAddedFraction: Double = 0.5): Boolean =
+    graft.sources.IndexMeta.needsRebuild(dir, maxAddedFraction)
 
   /**
    * The scheduled bulk rebuild [[needsRebuild]] cues: re-fit centroids
@@ -286,7 +262,7 @@ object IvfAnn {
       layoutCol = Some("__cell_s"),
       // Row-preserving pipeline: base = corpus rows (one cheap scan,
       // not a second pass of the assignment joins).
-      meta = Some(s"ivf:v1;base=${corpus.select(col(idCol)).count()};added=0"))
+      meta = Some(graft.sources.IndexMeta.fresh(corpus.select(col(idCol)).count())))
     cells
   }
 

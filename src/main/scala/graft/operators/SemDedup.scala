@@ -230,16 +230,25 @@ object SemDedupStore {
     cells.write.parquet(cellsDir(dir))
     TableSink.overwrite(spark, membersDir(dir),
       memberRows(corpus, cells, idCol, vecCol).withColumn("__v", lit(0L)),
-      Seq("id"), numBuckets, layoutCol = Some("__cl_s"))
+      Seq("id"), numBuckets, layoutCol = Some("__cl_s"),
+      // Staleness accounting from day one ([[graft.sources.IndexMeta]]):
+      // base = the rows this fit saw; [[needsRebuild]] cues the refit.
+      meta = Some(graft.sources.IndexMeta.fresh(
+        corpus.select(col(idCol)).count())))
     // id→cluster sidecar from day one: keeps every later [[absorb]]
     // re-home probe O(batch) instead of an O(corpus) projection scan.
     graft.sources.IdLayoutSidecar.backfill(spark, membersDir(dir))
   }
 
   /** The persisted centroids (probes must use the centroids the members
-    * were assigned under). */
+    * were assigned under) — resolved through the member manifest's
+    * centroid pointer when a [[rebuild]] has run ([[graft.sources
+    * .IndexMeta]].cellsPtr; table and centroids swap in ONE manifest
+    * commit), falling back to `cells/` for never-rebuilt stores. */
   def readCentroids(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(cellsDir(dir))
+    spark.read.parquet(
+      graft.sources.IndexMeta.cellsPtr(membersDir(dir))
+        .fold(cellsDir(dir))(p => s"$dir/$p"))
 
   /**
    * Batch verdicts against the standing members — exactly
@@ -313,8 +322,80 @@ object SemDedupStore {
           col("__old_cl").as("prev_cell")), version)
     TableSink.upsert(spark, membersDir(dir),
       batch.withColumn("__v", lit(version)),
-      Seq("id"), "__v", rehomeFromCol = Some("__old_cl"))
+      Seq("id"), "__v", rehomeFromCol = Some("__old_cl"),
+      // Staleness: absorbs drift the members from the centroids' fit —
+      // the bump rides the SAME commit as the rows it counts.
+      meta = graft.sources.IndexMeta.bumped(membersDir(dir),
+        newVecs.select(col(idCol)).count()))
   }
+
+  /** Has the member corpus drifted far enough from its centroid fit to
+    * warrant a [[rebuild]]? One manifest-line read ([[graft.sources
+    * .IndexMeta]] semantics: absorbs AND removals count; unknown
+    * provenance → true). Drifted centroids make clusters under-tight —
+    * near-duplicates straddling a cluster boundary stop being compared,
+    * so dedup RECALL erodes (verdicts on what IS compared stay exact). */
+  def needsRebuild(dir: String, maxAddedFraction: Double = 0.5): Boolean =
+    graft.sources.IndexMeta.needsRebuild(membersDir(dir), maxAddedFraction)
+
+  /**
+   * The scheduled centroid-refit rebuild [[needsRebuild]] cues — the
+   * semantic-store sibling of [[graft.pipelines.Hybrid.rebuild]], with
+   * the identical crash contract: new centroids to a fresh `cells_rK/`
+   * dir first; sidecar dropped (callers fall back to the correct
+   * full-scan re-home while it is absent); members re-assigned and
+   * swapped in ONE [[TableSink]] generation flip whose manifest meta
+   * carries the centroid pointer + reset accounting; sidecar
+   * backfilled. O(corpus) by design — schedule it, don't absorb-time
+   * it. Returns the new centroids.
+   */
+  def rebuild(spark: SparkSession, dir: String, nlist: Int,
+              iters: Int = 3): DataFrame = {
+    require(TableSink.tableExists(membersDir(dir)),
+      s"no semantic store at '$dir' — run init first")
+    val like = spark.range(0).select(lit(0L).as("cluster_id"),
+      lit(0L).as("id"), array().cast("array<double>").as("v"),
+      lit("").as("__cl_s"))
+    val stored = TableSink.read(spark, membersDir(dir), like)
+      .select(col("id"), col("v"))
+    val cells = IvfAnn.buildCells(stored, "id", "v", nlist, iters)
+      .select(col("cell_id"), col("cell_vec"))
+    val next = nextCellsDirName(dir)
+    cells.write.parquet(s"$dir/$next")
+    graft.sources.IdLayoutSidecar.drop(membersDir(dir))
+    TableSink.overwrite(spark, membersDir(dir),
+      memberRows(stored, cells, "id", "v").withColumn("__v", lit(0L)),
+      Seq("id"),
+      numBuckets = TableSink.numBucketsOf(membersDir(dir)).getOrElse(64),
+      layoutCol = Some("__cl_s"),
+      meta = Some(graft.sources.IndexMeta.fresh(
+        stored.select(col("id")).count(), Some(next))))
+    graft.sources.IdLayoutSidecar.backfill(spark, membersDir(dir))
+    cells
+  }
+
+  private def nextCellsDirName(dir: String): String = {
+    val re = """cells_r(\d+)""".r
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val max = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case re(k) => k.toLong }.foldLeft(0L)(math.max)
+    } finally s.close()
+    s"cells_r${max + 1}"
+  }
+
+  /** The scheduled maintenance host ([[IvfAnn.maintain]] shape): one
+    * manifest-line staleness check, the O(corpus) [[rebuild]] only when
+    * it fires. Call once per ingest cycle after the absorbs. Returns
+    * Some(new centroids) when a rebuild ran ([[probe]] resolves
+    * centroids through the manifest pointer — nothing to swap), None
+    * when the store is fresh. */
+  def maintain(spark: SparkSession, dir: String, nlist: Int,
+               iters: Int = 3, maxAddedFraction: Double = 0.5): Option[DataFrame] =
+    if (needsRebuild(dir, maxAddedFraction))
+      Some(rebuild(spark, dir, nlist, iters))
+    else None
 
   /** Remove stored vectors by id — the deletion leg of the semantic
     * store's lifecycle (the [[IvfAnn.removeFromIndex]] shape): one
@@ -328,7 +409,11 @@ object SemDedupStore {
     require(TableSink.tableExists(membersDir(dir)),
       s"no semantic store at '$dir' — run init first")
     TableSink.deleteByIds(spark, membersDir(dir),
-      ids.select(col(idCol).as("id")), "id")
+      ids.select(col(idCol).as("id")), "id",
+      // Removals drift the members from the centroids' fit too — count
+      // them into the rebuild cue (IvfAnn.removeFromIndex rationale).
+      metaFor = victims =>
+        graft.sources.IndexMeta.bumped(membersDir(dir), victims.count()))
     graft.sources.IdLayoutSidecar.removeIds(spark, membersDir(dir),
       ids.select(col(idCol).as("id")))
     ()

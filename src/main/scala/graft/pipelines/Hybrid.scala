@@ -54,7 +54,11 @@ object Hybrid {
     cells.write.mode("overwrite").parquet(cellsDir(storeDir))
     TableSink.overwrite(spark, annDir(storeDir),
       annRows(vecs, vecIdCol, vecCol, cells).withColumn("__v", lit(0L)),
-      Seq("id"), numBuckets, layoutCol = Some("__cell_s"))
+      Seq("id"), numBuckets, layoutCol = Some("__cell_s"),
+      // Staleness accounting from day one ([[graft.sources.IndexMeta]]):
+      // base = the rows this fit saw; [[needsRebuild]] cues the refit.
+      meta = Some(graft.sources.IndexMeta.fresh(
+        vecs.select(col(vecIdCol)).count())))
     // id→cell sidecar from day one: keeps every later [[appendVectors]]
     // re-home probe O(batch) instead of an O(corpus) projection scan.
     graft.sources.IdLayoutSidecar.backfill(spark, annDir(storeDir))
@@ -73,12 +77,18 @@ object Hybrid {
       .withColumn("__cell_s", col("cell").cast("string"))
 
   /** The persisted cell centroids (the serving side must probe with the
-    * centroids the ANN table was assigned under). With `tag`, the
-    * centroids pinned by [[snapshot]] — a centroid rebuild overwrites
-    * `cells/`, so a pinned search must carry its own copy. */
+    * centroids the ANN table was assigned under). The live set resolves
+    * through the ANN manifest's centroid pointer ([[graft.sources
+    * .IndexMeta]].cellsPtr — a [[rebuild]] swaps table and centroids in
+    * ONE manifest commit), falling back to `cells/` for never-rebuilt
+    * stores. With `tag`, the centroids pinned by [[snapshot]] — a pinned
+    * search must carry its own copy. */
   def readCells(spark: SparkSession, storeDir: String,
                 tag: Option[String] = None): DataFrame =
-    spark.read.parquet(tag.fold(cellsDir(storeDir))(t => cellsSnapDir(storeDir, t)))
+    spark.read.parquet(tag.fold(
+      graft.sources.IndexMeta.cellsPtr(annDir(storeDir))
+        .fold(cellsDir(storeDir))(p => s"$storeDir/$p")
+    )(t => cellsSnapDir(storeDir, t)))
 
   private def cellsSnapDir(storeDir: String, tag: String) =
     s"$storeDir/cells_snapshots/$tag"
@@ -183,8 +193,90 @@ object Hybrid {
           col("__old_cell").as("prev_cell")), version)
     TableSink.upsert(spark, annDir(storeDir),
       batch.withColumn("__v", lit(version)),
-      Seq("id"), "__v", rehomeFromCol = Some("__old_cell"))
+      Seq("id"), "__v", rehomeFromCol = Some("__old_cell"),
+      // Staleness: adds drift the corpus from the centroids' fit — the
+      // bump rides the SAME commit as the rows it counts.
+      meta = graft.sources.IndexMeta.bumped(annDir(storeDir),
+        newVecs.select(col(vecIdCol)).count()))
   }
+
+  /** Has the ANN leg drifted far enough from its centroid fit to warrant
+    * a [[rebuild]]? One manifest-line read ([[graft.sources.IndexMeta]]
+    * semantics: adds AND removals count; unknown provenance → true). */
+  def needsRebuild(storeDir: String, maxAddedFraction: Double = 0.5): Boolean =
+    graft.sources.IndexMeta.needsRebuild(annDir(storeDir), maxAddedFraction)
+
+  /**
+   * The scheduled centroid-refit rebuild for the ANN leg — what
+   * [[needsRebuild]] cues once appends/removals have drifted the stored
+   * corpus from the fixed centroids' fit (recall erosion, never
+   * correctness): re-fit nlist centroids FROM THE STORED MEMBERS,
+   * re-home every row, and swap atomically. O(corpus) by design —
+   * schedule it like [[graft.operators.IvfAnn.rebuildIndex]], not per
+   * batch. The BM25 leg is untouched (term postings have no centroid
+   * fit; its maintenance is [[Bm25Store.compact]]).
+   *
+   * Atomicity at every crash point (single-writer maintenance):
+   *  1. the new centroids write to a FRESH `cells_rK/` dir — the live
+   *     manifest still points at the old set;
+   *  2. the id→cell sidecar DROPS — callers fall back to the correct
+   *     (unpruned) full-scan re-home path while it is absent;
+   *  3. the members table overwrites in one [[TableSink]] generation
+   *     flip whose manifest meta carries the `cells_rK` pointer — table
+   *     and centroids swap TOGETHER ([[readCells]] resolves through the
+   *     pointer), and the staleness accounting resets in the same
+   *     commit;
+   *  4. the sidecar backfills, restoring the O(batch) re-home path.
+   * Snapshots taken before the rebuild still replay: [[snapshot]] pins
+   * the ANN generation and its OWN copy of the centroids, and old
+   * centroid dirs are never deleted (nlist rows each — negligible).
+   * Returns the new centroids.
+   */
+  def rebuild(spark: SparkSession, storeDir: String, nlist: Int,
+              iters: Int = 3): DataFrame = {
+    val annD = annDir(storeDir)
+    val like = spark.range(0).select(lit(0L).as("cell"), lit(0L).as("id"),
+      array().cast("array<double>").as("vec"), lit("").as("__cell_s"))
+    val stored = TableSink.read(spark, annD, like).select(col("id"), col("vec"))
+    val cells = IvfAnn.buildCells(stored, "id", "vec", nlist, iters)
+    val next = nextCellsDirName(storeDir)
+    cells.write.parquet(s"$storeDir/$next")
+    graft.sources.IdLayoutSidecar.drop(annD)
+    TableSink.overwrite(spark, annD,
+      annRows(stored, "id", "vec", cells).withColumn("__v", lit(0L)),
+      Seq("id"), numBuckets = TableSink.numBucketsOf(annD).getOrElse(64),
+      layoutCol = Some("__cell_s"),
+      meta = Some(graft.sources.IndexMeta.fresh(
+        stored.select(col("id")).count(), Some(next))))
+    graft.sources.IdLayoutSidecar.backfill(spark, annD)
+    cells
+  }
+
+  /** First unused `cells_rK` name under the store — deterministic (max
+    * existing + 1), so a crashed rebuild's orphan dir is simply skipped
+    * past on retry. */
+  private def nextCellsDirName(storeDir: String): String = {
+    val re = """cells_r(\d+)""".r
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(storeDir))
+    val max = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case re(k) => k.toLong }.foldLeft(0L)(math.max)
+    } finally s.close()
+    s"cells_r${max + 1}"
+  }
+
+  /** The scheduled maintenance host for the ANN leg ([[IvfAnn.maintain]]
+    * shape): assess staleness from one manifest line and, only when the
+    * trigger fires, pay the O(corpus) [[rebuild]]. Call once per ingest
+    * cycle after the appends. Returns Some(new centroids) when a rebuild
+    * ran (serving need not swap anything — [[search]] resolves centroids
+    * through the manifest pointer), None when the index is fresh. */
+  def maintain(spark: SparkSession, storeDir: String, nlist: Int,
+               iters: Int = 3, maxAddedFraction: Double = 0.5): Option[DataFrame] =
+    if (needsRebuild(storeDir, maxAddedFraction))
+      Some(rebuild(spark, storeDir, nlist, iters))
+    else None
 
   /** Remove documents from BOTH retrieval legs in one call — the
     * takedown counterpart of the `Bm25Store.append` + [[appendVectors]]
@@ -200,7 +292,11 @@ object Hybrid {
                       idCol: String, name: Option[String] = None): Unit = {
     Bm25Store.delete(spark, bm25Dir(storeDir), ids, idCol, name)
     TableSink.deleteByIds(spark, annDir(storeDir),
-      ids.select(col(idCol).as("id")), "id")
+      ids.select(col(idCol).as("id")), "id",
+      // Removals drift the corpus from the centroids' fit too — count
+      // them into the rebuild cue (IvfAnn.removeFromIndex rationale).
+      metaFor = victims =>
+        graft.sources.IndexMeta.bumped(annDir(storeDir), victims.count()))
     // keep the id→cell sidecar garbage-free (a stale row is correct —
     // resolve finds no copy — but would inflate candidate sets forever)
     graft.sources.IdLayoutSidecar.removeIds(spark, annDir(storeDir),

@@ -125,6 +125,16 @@ object IdLayoutSidecar {
         .withColumn("__v", lit(version)),
       Seq(idCol), "__v")
 
+  /** Remove the sidecar entirely — the first move of a layout REBUILD
+    * (re-fit centroids, re-home every row): a full rebuild moves rows
+    * arbitrarily, so a sidecar surviving into the new layout would
+    * VIOLATE the cell/prev_cell invariant. Dropping it first flips
+    * callers onto the correct (unpruned) full-scan fallback through
+    * every crash window; [[backfill]] after the new generation commits
+    * restores the O(batch) path. */
+  def drop(tableDir: String): Unit =
+    DeltaParts.rmDir(dir(tableDir))
+
   /** Drop the ids' sidecar rows (pair with the main-table delete). */
   def removeIds(spark: SparkSession, tableDir: String, ids: DataFrame,
                 idCol: String = "id"): Unit =
