@@ -2614,6 +2614,105 @@ object OracleSql {
          |FROM cur LEFT JOIN agg a USING (doc_id)
          |ORDER BY cur.doc_id""".stripMargin,
 
+    // Admission with the semantic stage on: pipe_admission_e2e's funnel
+    // + exact-dup stages, then the x_semdedup_incremental probe of the
+    // exact-novel survivors (corpus-fitted per-label centroids; every
+    // corpus vector earlier, paper order within the batch) — dropped
+    // ids verdict 'semantic_duplicate' and leave the span scrub.
+    "pipe_admission_sem_e2e" ->
+      s"""WITH w AS (SELECT doc_id, text, $words wds FROM documents WHERE doc_id % 5 = 0),
+         |lg AS (SELECT doc_id,
+         |  len(list_filter(wds, t -> t IN ('the','and','of','is','a'))) s_en,
+         |  len(list_filter(wds, t -> t IN ('der','die','und','ist','das'))) s_de,
+         |  len(list_filter(wds, t -> t IN ('el','los','y','es','una'))) s_es,
+         |  len(list_filter(wds, t -> t IN ('le','la','et','est','une'))) s_fr FROM w),
+         |lang AS (SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |  ELSE 'fr' END AS lang_pred FROM lg),
+         |qm AS (SELECT doc_id, len(wds) nt,
+         |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
+         |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
+         |q AS (SELECT doc_id, round(
+         |  least(nt / 50.0, 1.0) * 0.5 +
+         |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
+         |  FROM qm),
+         |pii AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+         |       len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) n_pii
+         |  FROM w),
+         |${gopherCtes("w")},
+         |g AS (SELECT gst.doc_id, $gopherKeepSql AS gopher_keep
+         |  FROM gst LEFT JOIN gp USING (doc_id)),
+         |cur AS (SELECT w.doc_id, (lang.lang_pred <> 'und' AND q.quality >= 0.5
+         |          AND g.gopher_keep AND pii.n_pii = 0) AS admit
+         |  FROM w JOIN lang USING (doc_id) JOIN q USING (doc_id)
+         |  JOIN pii USING (doc_id) JOIN g USING (doc_id)),
+         |novel AS (SELECT c1.doc_id FROM cur c1 JOIN documents i USING (doc_id)
+         |  WHERE c1.admit AND NOT EXISTS (
+         |    SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0
+         |    AND md5(lower(trim(c.text))) = md5(lower(trim(i.text))))),
+         |semcent AS (SELECT label clabel, pos, avg(x) m FROM (
+         |    SELECT label, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+         |    FROM embeddings WHERE vec_id % 5 <> 0) GROUP BY 1, 2),
+         |semev AS (SELECT vec_id, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+         |    FROM embeddings
+         |    WHERE vec_id % 5 <> 0 OR vec_id IN (SELECT doc_id FROM novel)),
+         |sems AS (SELECT vec_id, clabel,
+         |    sum(semev.x * semcent.m) / (sqrt(sum(semev.x * semev.x)) * sqrt(sum(semcent.m * semcent.m))) sim
+         |  FROM semev JOIN semcent ON semev.pos = semcent.pos GROUP BY vec_id, clabel),
+         |semr AS (SELECT vec_id, clabel, sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) rn FROM sems),
+         |semasg AS (SELECT vec_id, clabel cl, sim csim, round(sim, 6) ord FROM semr WHERE rn = 1),
+         |semp AS (SELECT xa.vec_id ia, xb.vec_id ib, ea.embedding va, eb.embedding vb
+         |    FROM semasg xa JOIN semasg xb ON xa.cl = xb.cl
+         |     AND xb.vec_id IN (SELECT doc_id FROM novel)
+         |     AND (xa.vec_id % 5 <> 0
+         |          OR xa.ord < xb.ord
+         |          OR (xa.ord = xb.ord AND xa.vec_id < xb.vec_id))
+         |    JOIN embeddings ea ON ea.vec_id = xa.vec_id
+         |    JOIN embeddings eb ON eb.vec_id = xb.vec_id),
+         |sempu AS (SELECT ia, ib, unnest(va)::DOUBLE x, unnest(vb)::DOUBLE y FROM semp),
+         |semps AS (SELECT ia, ib, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) sim
+         |    FROM sempu GROUP BY ia, ib),
+         |semdrop AS (SELECT DISTINCT ib doc_id FROM semps WHERE sim >= 0.3),
+         |semnovel AS (SELECT doc_id FROM novel
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)),
+         |toksall AS (SELECT doc_id, $words t FROM documents
+         |  WHERE doc_id % 5 <> 0 OR doc_id IN (SELECT doc_id FROM semnovel)),
+         |win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+         |        FROM (SELECT doc_id, t,
+         |                unnest(generate_series(1, len(t) - 7)) AS i FROM toksall)),
+         |dup AS (SELECT span FROM win GROUP BY 1
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |cover AS (SELECT DISTINCT w2.doc_id, u.pos
+         |          FROM win w2 JOIN dup USING (span),
+         |               unnest(generate_series(w2.i, w2.i + 7)) AS u(pos)
+         |          WHERE w2.doc_id IN (SELECT doc_id FROM semnovel)),
+         |tok_pos AS (SELECT doc_id, i AS pos, t[i] AS tok
+         |            FROM (SELECT doc_id, t,
+         |                    unnest(generate_series(1, len(t))) AS i FROM toksall)
+         |            WHERE doc_id IN (SELECT doc_id FROM semnovel)),
+         |agg AS (SELECT tp.doc_id, count(*) AS n_tokens,
+         |          count(c.pos) AS n_removed,
+         |          coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+         |            ' ' ORDER BY tp.pos), '') AS clean_text
+         |        FROM tok_pos tp LEFT JOIN cover c
+         |          ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+         |        GROUP BY 1)
+         |SELECT cur.doc_id,
+         |  CASE WHEN NOT cur.admit THEN 'rejected'
+         |       WHEN cur.doc_id NOT IN (SELECT doc_id FROM novel) THEN 'duplicate'
+         |       WHEN cur.doc_id IN (SELECT doc_id FROM semdrop) THEN 'semantic_duplicate'
+         |       ELSE 'admitted' END AS verdict,
+         |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM cur LEFT JOIN agg a USING (doc_id)
+         |ORDER BY cur.doc_id""".stripMargin,
+
     // Quantile sketch: exact per-group quantiles from the raw table
     // (DuckDB quantile_cont = Spark's exact `percentile` linear
     // interpolation); the sketch values must sit inside the stated

@@ -1190,6 +1190,35 @@ object SparkEntry {
       graft.pipelines.Admission.runAgainst(batch, corpus, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Admission with the OPTIONAL fourth stage on — semantic near-dup
+    // (pipe_admission_e2e's funnel + exact-dup + span scrub, plus a
+    // SemDeDup-incremental probe of the exact-novel survivors against
+    // the corpus's embeddings under fixed per-label centroids; the
+    // rewording/re-encoding case the fingerprint hash can never catch).
+    // Precedence, cheapest stage first: rejected > duplicate >
+    // semantic_duplicate > admitted. Semantic dups are excluded from
+    // the span scrub and from every absorb. The standing-store twin
+    // (SemDedupStore under storeDir/semantic, probed bucket-pruned,
+    // grown O(batch) on admit) is pinned run == runAgainst by
+    // AdmissionStoreSpec.
+    "pipe_admission_sem_e2e" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val emb = T(s, d, "embeddings")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      // Deterministic fixed centroids (the x_semdedup_incremental
+      // fixture): per-label means over the CORPUS slice's embeddings.
+      val cents = emb.join(corpus.select(col("doc_id").as("vec_id")), "vec_id")
+        .groupBy("label")
+        .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("cent"))
+      val vecsFor = (df: org.apache.spark.sql.DataFrame) => df.select("doc_id")
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      graft.pipelines.Admission.runAgainst(batch, corpus, "doc_id", "text",
+        graft.pipelines.Admission.Config(sem = Some(
+          graft.pipelines.Admission.SemStage(vecsFor, eps = 0.3,
+            centroids = Some(cents)))))
+        .orderBy("doc_id")
+    }),
     // Distributed quantile sketch (the percentile counterpart of the
     // HLL idiom): per-group approx_percentile at 1e-4 rank accuracy,
     // contract-checked in-plan against the exact quantiles with a

@@ -45,9 +45,48 @@ object Admission {
     * the FineWeb-Edu move: train [[graft.operators.QualityModel]] on the
     * weak labels, pass `QualityModel.scoreCol(_, w, b, dim)` here, and
     * the classifier's probability gates the funnel while language id,
-    * Gopher structure rules, and the PII check stay in force. */
+    * Gopher structure rules, and the PII check stay in force. `sem`
+    * switches on the OPTIONAL fourth stage ([[SemStage]]). */
   case class Config(spanK: Int = 8, minDocs: Int = 2, minQuality: Double = 0.5,
-                    scoreFn: Option[Column => Column] = None)
+                    scoreFn: Option[Column => Column] = None,
+                    sem: Option[SemStage] = None)
+
+  /**
+   * The semantic near-dup stage — stage 4 of the funnel, the SemDeDup
+   * complement of the exact-fingerprint stage (rewordings and
+   * re-encodings the hash can never catch): exact-novel curation
+   * survivors probe the standing semantic members under fixed
+   * centroids ([[graft.operators.SemDedup.incremental]] semantics —
+   * every earlier member anchors, paper order within the batch);
+   * `kept = false` → verdict `semantic_duplicate`, excluded from the
+   * span scrub and from every absorb. Precedence stays cheapest-first:
+   * rejected > duplicate > semantic_duplicate > admitted (the exact
+   * probe is a hash bucket read; the semantic probe opens the touched
+   * clusters' bucket files and pays a per-pair cosine).
+   *
+   * `vecsFor` maps a (idCol, textCol) slice of the batch to exactly
+   * (idCol, one vector column) — a select over an embedding expression
+   * (`NewsPipeline.hashEmbedding`), or a join against a precomputed
+   * embedding table; rows it drops (no embedding available) are judged
+   * by the first three stages only. In the standing form ([[run]] and
+   * friends) the members live in a [[graft.operators.SemDedupStore]]
+   * under `storeDir/semantic`, initialized by [[init]] when this stage
+   * is on — from `centroids` when given (deterministic replays), else a
+   * k-means fit at `nlist` — and maintained O(batch) in the same call
+   * as the other three stores. In the in-memory form ([[runAgainst]])
+   * the corpus side embeds through the same `vecsFor`.
+   */
+  case class SemStage(vecsFor: DataFrame => DataFrame, eps: Double,
+                      centroids: Option[DataFrame] = None, nlist: Int = 16)
+
+  /** The single non-id column of a [[SemStage.vecsFor]] frame — the
+    * stage's (id, vector) contract, enforced loudly. */
+  private def semVecCol(v: DataFrame, idCol: String): String = {
+    val rest = v.columns.filterNot(_ == idCol)
+    require(rest.length == 1 && v.columns.contains(idCol),
+      s"SemStage.vecsFor must return exactly ($idCol, <vector>): got ${v.columns.toSeq}")
+    rest.head
+  }
 
   /** The documented quality score (length, stopword, word-length terms,
     * rounded to 6) — ONE definition shared by the x_quality /
@@ -87,21 +126,28 @@ object Admission {
       .select(col(idCol), col(textCol), col("admit")).localCheckpoint(true)
   }
 
-  /** Shared verdict assembly: curation rejection beats duplication (the
-    * cheap stage guards the costly ones); scrubbed survivors admit. */
+  /** Shared verdict assembly: curation rejection beats exact duplication
+    * beats semantic duplication (each stage guards the costlier ones);
+    * scrubbed survivors admit. `semDup` is the optional stage-4 verdict
+    * set — (idCol, __semdup) rows for the semantically-dropped ids. */
   private def verdicts(batch: DataFrame, cur: DataFrame, novel: DataFrame,
-                       scrubbed: DataFrame, idCol: String): DataFrame =
-    batch.select(col(idCol))
+                       semDup: Option[DataFrame], scrubbed: DataFrame,
+                       idCol: String): DataFrame = {
+    val base = batch.select(col(idCol))
       .join(cur.select(col(idCol), col("admit")), idCol)
       .join(novel, Seq(idCol), "left")
+    semDup.fold(base.withColumn("__semdup", lit(null).cast("int")))(d =>
+        base.join(d, Seq(idCol), "left"))
       .join(scrubbed, Seq(idCol), "left")
       .select(col(idCol),
         when(!col("admit"), lit("rejected"))
           .when(col("__new").isNull, lit("duplicate"))
+          .when(col("__semdup").isNotNull, lit("semantic_duplicate"))
           .otherwise(lit("admitted")).as("verdict"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 
   /**
    * In-memory reference composition (the `pipe_admission_e2e` semantics):
@@ -116,6 +162,22 @@ object Admission {
     val novel = DedupOps.incrementalNewDocs(admitted, corpus, textCol)
       .select(col(idCol), lit(true).as("__new")).localCheckpoint(true)
     val surv = admitted.join(novel.select(idCol), idCol)
+    // Optional stage 4, in-memory form: exact-novel survivors judged by
+    // SemDedup.incremental against the CORPUS's embeddings under the
+    // stage's fixed centroids (caller-given, or fitted here) — the
+    // executable spec of the standing-store probe in computeVerdicts.
+    val (survScrub, semDup) = cfg.sem.fold((surv, Option.empty[DataFrame])) { st =>
+      val bv = st.vecsFor(surv)
+      val vecCol = semVecCol(bv, idCol)
+      val cv = st.vecsFor(corpus.select(col(idCol), col(textCol)))
+      val cents = st.centroids.getOrElse(
+        graft.operators.IvfAnn.buildCells(cv, idCol, vecCol, st.nlist))
+      val dropped = graft.operators.SemDedup.incremental(bv, cv, cents,
+          idCol, vecCol, cents.columns(0), cents.columns(1), st.eps)
+        .filter(!col("kept"))
+        .select(col("id").as(idCol), lit(1).as("__semdup")).localCheckpoint(true)
+      (surv.join(dropped.select(idCol), Seq(idCol), "left_anti"), Some(dropped))
+    }
     // scrubAgainstIndex probes the index twice (already-dup scan +
     // crossed-sum join); the in-memory composition must materialize it
     // once or the corpus-sized window+groupBy subtree executes twice.
@@ -123,15 +185,18 @@ object Admission {
     // both probes become cheap pushed scans.)
     val idx = SpanDedup.spanDigestIndex(corpus, idCol, textCol, cfg.spanK)
       .localCheckpoint(true)
-    val scrubbed = SpanDedup.scrubAgainstIndex(surv, idx, idCol, textCol,
+    val scrubbed = SpanDedup.scrubAgainstIndex(survScrub, idx, idCol, textCol,
       cfg.spanK, cfg.minDocs)
-    verdicts(batch, cur, novel, scrubbed, idCol)
+    verdicts(batch, cur, novel, semDup, scrubbed, idCol)
   }
 
   // ───────────────────────── standing-state form ─────────────────────────
 
   private def fpDir(storeDir: String) = s"$storeDir/fingerprints"
   private def spanDir(storeDir: String) = s"$storeDir/span_index"
+  /** The stage-4 member store ([[graft.operators.SemDedupStore]]) —
+    * present only when the store was initialized with `cfg.sem` on. */
+  def semDir(storeDir: String) = s"$storeDir/semantic"
   private def listParts(storeDir: String): Seq[String] =
     graft.sources.DeltaParts.list(spanDir(storeDir))
 
@@ -221,7 +286,8 @@ object Admission {
     graft.sources.AdditiveLedger.requireFresh(spanDir(storeDir),
       "admission store", extraPaths = Seq(
         java.nio.file.Paths.get(storeDir, "verdicts"),
-        java.nio.file.Paths.get(fpDir(storeDir))))
+        java.nio.file.Paths.get(fpDir(storeDir)),
+        java.nio.file.Paths.get(semDir(storeDir))))
     val fps = corpus.select(text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct()
       .withColumn("__v", lit(0L))
@@ -229,6 +295,19 @@ object Admission {
     SpanDedup.spanDigestIndex(corpus, idCol, textCol, cfg.spanK)
       .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/part_00000")
     graft.sources.DeltaParts.publish(spanDir(storeDir), Seq("part_00000"))
+    // Stage 4's member store, from the same corpus the other stores saw
+    // (SemDedupStore.init carries its own run-once refusal).
+    cfg.sem.foreach { st =>
+      val cv = st.vecsFor(corpus.select(col(idCol), col(textCol)))
+      val vecCol = semVecCol(cv, idCol)
+      st.centroids match {
+        case Some(c) => graft.operators.SemDedupStore.initWithCentroids(
+          spark, semDir(storeDir), cv, c, idCol, vecCol,
+          c.columns(0), c.columns(1))
+        case None => graft.operators.SemDedupStore.init(
+          spark, semDir(storeDir), cv, idCol, vecCol, st.nlist)
+      }
+    }
   }
 
   /** The read-only half of admission: verdicts for one batch against the
@@ -252,10 +331,22 @@ object Admission {
     val novel = inFp.join(broadcast(dupFps), Seq("__fp"), "left_anti")
       .select(col(idCol), lit(true).as("__new")).localCheckpoint(true)
     val surv = admitted.join(novel.select(idCol), idCol)
+    // Optional stage 4, standing form: the exact-novel survivors probe
+    // the member store ([[graft.operators.SemDedupStore.probe]] — the
+    // batch's clusters' bucket FILES only, incremental semantics).
+    val (survScrub, semDup) = cfg.sem.fold((surv, Option.empty[DataFrame])) { st =>
+      val bv = st.vecsFor(surv)
+      val vecCol = semVecCol(bv, idCol)
+      val dropped = graft.operators.SemDedupStore.probe(spark,
+          semDir(storeDir), bv, idCol, vecCol, st.eps)
+        .filter(!col("kept"))
+        .select(col("id").as(idCol), lit(1).as("__semdup")).localCheckpoint(true)
+      (surv.join(dropped.select(idCol), Seq(idCol), "left_anti"), Some(dropped))
+    }
     val idx = readSpanIndex(spark, storeDir)
-    val scrubbed = SpanDedup.scrubAgainstIndex(surv, idx, idCol, textCol,
+    val scrubbed = SpanDedup.scrubAgainstIndex(survScrub, idx, idCol, textCol,
       cfg.spanK, cfg.minDocs)
-    verdicts(batch, cur, novel, scrubbed, idCol).localCheckpoint(true)
+    verdicts(batch, cur, novel, semDup, scrubbed, idCol).localCheckpoint(true)
   }
 
   // Replay/compaction/crash-window mechanics live in
@@ -284,6 +375,17 @@ object Admission {
     val newFps = grown.select(text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct().withColumn("__v", lit(1L))
     TableSink.upsert(spark, fpDir(storeDir), newFps, Seq("__fp"), "__v")
+    // Stage 4's members grow by the ADMITTED docs only (the semantic
+    // dups never anchor — they were dropped for matching an anchor that
+    // already stands). Key-idempotent upsert under the monotone
+    // per-batch version, so replay inside this guard is safe, and the
+    // guard's short-circuit keeps a completed absorb from re-firing
+    // after an [[unadmit]] (same discipline as the fingerprint upsert).
+    cfg.sem.foreach { st =>
+      val gv = st.vecsFor(grown)
+      graft.operators.SemDedupStore.absorb(spark, semDir(storeDir), gv,
+        idCol, semVecCol(gv, idCol), version = semVersionOf(deltaName))
+    }
     AdditiveLedger.mutateNamed(spanDir(storeDir), Seq(spanDir(storeDir)),
         Some(deltaName)) { n =>
       SpanDedup.spanDigestIndex(grown, idCol, textCol, cfg.spanK)
@@ -310,6 +412,13 @@ object Admission {
         Seq(spanDir(storeDir))))
     out
   }
+
+  /** Monotone per-batch version for the stage-4 member upserts, derived
+    * from the delta name's counter (part_00007 → 7, part_b12 → 12) —
+    * the name counter never rewinds onto an absorbed name, so neither
+    * does this. */
+  private def semVersionOf(deltaName: String): Long =
+    "\\d+".r.findAllIn(deltaName).toSeq.lastOption.map(_.toLong).getOrElse(0L)
 
   private def verdictDir(storeDir: String, batchId: Long) =
     s"$storeDir/verdicts/batch_$batchId"
@@ -416,6 +525,12 @@ object Admission {
     val fps = rem.select(text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct()
     TableSink.delete(spark, fpDir(storeDir), fps, Seq("__fp"))
+    // Stage 4's takedown leg: the removed docs' vectors stop anchoring
+    // semantic verdicts (key-idempotent delete, absent ids no-ops).
+    cfg.sem.foreach { _ =>
+      graft.operators.SemDedupStore.remove(spark, semDir(storeDir),
+        rem.select(col(idCol)), idCol)
+    }
     AdditiveLedger.mutateNamed(spanDir(storeDir), Seq(spanDir(storeDir)),
         Some(n)) { nn =>
       SpanDedup.spanDigestIndex(rem, idCol, textCol, cfg.spanK)

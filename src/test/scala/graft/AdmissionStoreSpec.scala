@@ -314,6 +314,58 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(DeltaParts.pinned(s"$store/span_index").isEmpty)
   }
 
+  test("semantic stage: four-stage precedence; run == runAgainst with the stage on; members grow O(batch) in the same call") {
+    import graft.functions.VectorMeanFast
+    import graft.pipelines.NewsPipeline
+    // The stage's embedding is the deterministic bag-of-words hash, so a
+    // word PERMUTATION is the perfect semantic duplicate: different text
+    // (exact-novel, different fingerprint), identical embedding (cosine
+    // exactly 1.0) — the rewording case the fingerprint can never catch.
+    val vecsFor = (d: DataFrame) => d.select(col("doc_id"),
+      NewsPipeline.hashEmbedding(col("text")).as("embedding"))
+    def permute(t: String): String = t.split(" ").reverse.mkString(" ")
+    val corpus = df(Seq(901L -> goodText('r'), 902L -> (goodText('s') + " " + boiler)))
+    // Caller-pinned centroids so the in-memory and standing forms judge
+    // under the identical fixed fit (the initWithCentroids seam).
+    val cents = vecsFor(corpus)
+      .groupBy(pmod(col("doc_id"), lit(2)).as("cid"))
+      .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("cvec"))
+    val cfg = Admission.Config(sem = Some(Admission.SemStage(vecsFor,
+      eps = 0.99, centroids = Some(cents))))
+    val store = java.nio.file.Files.createTempDirectory("admission-sem").toString
+    Admission.init(spark, store, corpus, "doc_id", "text", cfg)
+    val b1 = df(Seq(
+      1L -> goodText('r'),          // exact copy of 901 → duplicate (exact beats semantic)
+      2L -> permute(goodText('r')), // bag of 901 → cos 1.0 → semantic_duplicate
+      3L -> "zz",                   // fails curation → rejected (beats everything)
+      4L -> goodText('t')))         // novel bag → admitted
+    val got1 = collectVerdicts(Admission.run(spark, store, b1, "doc_id", "text", cfg))
+    val want1 = collectVerdicts(Admission.runAgainst(b1, corpus, "doc_id", "text", cfg))
+    assert(got1 == want1, s"batch 1 diverged:\n store=$got1\n ref  =$want1")
+    assert(got1(1L)._1 == "duplicate" && got1(2L)._1 == "semantic_duplicate" &&
+      got1(3L)._1 == "rejected" && got1(4L)._1 == "admitted",
+      s"four-stage precedence: $got1")
+    // O(batch) maintenance in the SAME run call: the member store grew by
+    // the admitted doc only — rejected/duplicate/semantic-dup docs never
+    // anchor later verdicts.
+    val like = spark.range(0).select(lit(0L).as("cluster_id"), lit(0L).as("id"),
+      array().cast("array<double>").as("v"), lit("").as("__cl_s"))
+    val members = graft.sources.TableSink.read(spark,
+        s"${Admission.semDir(store)}/members", like)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(members == Set(901L, 902L, 4L),
+      s"members must be corpus + admitted only: $members")
+    // Incremental: a permutation of the b1-ADMITTED doc — only the store
+    // knows that doc — is a semantic duplicate in batch 2.
+    val b2 = df(Seq(11L -> permute(goodText('t')), 12L -> goodText('u')))
+    val corpus2 = corpus.unionByName(b1.filter(col("doc_id") === 4L))
+    val got2 = collectVerdicts(Admission.run(spark, store, b2, "doc_id", "text", cfg))
+    val want2 = collectVerdicts(Admission.runAgainst(b2, corpus2, "doc_id", "text", cfg))
+    assert(got2 == want2, s"batch 2 diverged:\n store=$got2\n ref  =$want2")
+    assert(got2(11L)._1 == "semantic_duplicate" && got2(12L)._1 == "admitted",
+      s"store must semantically remember b1's admitted doc: $got2")
+  }
+
   test("null-text rows are definitely-new (anti-join null semantics), both forms") {
     val corpus = df(Seq(201L -> goodText('v')))
     val batch = Seq((31L, goodText('w')), (32L, null.asInstanceOf[String]))
