@@ -1,0 +1,1017 @@
+package graft
+
+import graft.functions.{sig, text, vector, VectorMeanFast}
+import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, DomainModel, IvfAnn, LayoutOps, MultimodalOps, PqOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rerank, Rrf, SampleOps, SemDedup, SemDedupStore, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QShared._
+import OracleDefs._
+
+/** Text dedup families (exact / MinHash-LSH / SimHash / CDC / substring / boilerplate / line) and the admission pipeline.
+ *
+ * One `queries` entry per operator with its DuckDB oracle in
+ * `oracles` side by side (rows-only queries omit the oracle);
+ * aggregated into the driver contract by [[SparkEntry]] /
+ * [[OracleSql]]. Shared plan helpers live in [[QShared]], shared
+ * SQL fragments in [[OracleDefs]].
+ */
+private[graft] object QDedup {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_fingerprint" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(col("doc_id"), text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "x_cdc_chunks" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(transform(sig.cdcBoundaries(col("text"), 8, 31L),
+            _.cast("string")), ",").as("chunk_ends"))
+        .orderBy("doc_id")
+    }),
+    // Duplicate components: n-gram-Jaccard pairs closed into groups by
+    // min-label propagation; docs in no pair are their own singleton.
+    // The oracle replays the propagation as a recursive CTE.
+    "x_dup_components" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.02)
+      val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy("doc_id")
+    }),
+    // Duplicate-cluster size histogram — the dedup AUDIT number a
+    // release reports ("how much of the corpus is 2-copies, how much is
+    // boilerplate with 50"): same closure, then two bounded
+    // aggregations (per-component size → per-size counts); everything
+    // after the closure is component-count-sized.
+    "x_dup_histogram" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.02)
+      val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("component"))
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_components"),
+          sum(col("sz")).as("n_docs"))
+        .select(col("sz").as("cluster_size"), col("n_components"), col("n_docs"))
+        .orderBy("cluster_size")
+    }),
+    // Duplicate-count loss weighting — the keep-one-train-weighted
+    // alternative to plain dropping (the survivor carries its cluster's
+    // multiplicity so the training distribution is preserved without
+    // storing the copies): same shared closure, weight = component
+    // size, survivor = the min-id representative (free — the component
+    // label IS the min member id). One component-count-sized
+    // aggregation past the closure.
+    "x_dedup_weight" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.02)
+      val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .groupBy("component").agg(count(lit(1)).as("weight"))
+        .select(col("component").as("doc_id"), col("weight"))
+        .orderBy("doc_id")
+    }),
+    // Quality-aware dedup representative: same component closure, but
+    // the survivor is the LONGEST member (n_chars argmax, doc-id
+    // tie-break) instead of min-id — the policy real fuzzy-dedup
+    // pipelines run, where near-dup clusters keep their best copy, not
+    // an arbitrary one. Argmax via one max_by aggregation (map-side
+    // partials) — no per-component window over the corpus.
+    "x_dup_rep_quality" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.02)
+      val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      // Two consumers (the argmax and the join back) — materialize once,
+      // the x_quality_model idiom (A/B'd: 7.26 -> 6.56 isolated median;
+      // the residual over x_dup_components' ~4.35 closure is the rep
+      // aggregation + component join themselves).
+      val labeled = docs.select(col("doc_id"), col("n_chars"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"), col("n_chars"))
+        .localCheckpoint(true)
+      val rep = labeled.groupBy("component")
+        .agg(max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("rep_id"))
+      labeled.join(rep, "component")
+        .select(col("doc_id"), col("component"), col("rep_id"),
+          (col("doc_id") === col("rep_id")).as("keep"))
+        .orderBy("doc_id")
+    }),
+    // End-to-end dedup cascade: LSH candidates → Jaccard verify on
+    // candidates only → connected components → min-id representative.
+    // Same parameters as the standalone stages so the oracle replays
+    // candidate generation and closure exactly.
+    "pipe_dedup_e2e" -> ((s, d) => {
+      DedupOps.dedupCascade(T(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, k = 4, bands = 4, threshold = 0.02)
+        .orderBy("doc_id")
+    }),
+    // Full admission pipeline end-to-end — the three ingest stages a
+    // production corpus runs per batch, composed in ONE plan: (1) the
+    // curation funnel (langid + quality + Gopher + PII — the
+    // x_curation_verdict predicate) rejects junk before anything
+    // heavier runs; (2) curation survivors probe the corpus exact-dup
+    // fingerprints (Bloom-prefiltered anti-join — x_bloom_incremental's
+    // shape); (3) novel survivors span-scrub against the corpus'
+    // standing span-digest inventory (duplication counted over
+    // corpus ∪ survivors, so batch-internal boilerplate is caught too).
+    // Verdict precedence: curation rejects before dup checks — the
+    // cheaper stage guards the costlier ones, which is the point of
+    // the composition.
+    "pipe_admission_e2e" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      // The whole composition lives in the production entry point
+      // (graft.pipelines.Admission) — this query IS its in-memory form,
+      // oracle-checked; Admission.run is the standing-store twin, pinned
+      // batch-for-batch equal by AdmissionStoreSpec.
+      graft.pipelines.Admission.runAgainst(batch, corpus, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // Admission with the OPTIONAL fourth stage on — semantic near-dup
+    // (pipe_admission_e2e's funnel + exact-dup + span scrub, plus a
+    // SemDeDup-incremental probe of the exact-novel survivors against
+    // the corpus's embeddings under fixed per-label centroids; the
+    // rewording/re-encoding case the fingerprint hash can never catch).
+    // Precedence, cheapest stage first: rejected > duplicate >
+    // semantic_duplicate > admitted. Semantic dups are excluded from
+    // the span scrub and from every absorb. The standing-store twin
+    // (SemDedupStore under storeDir/semantic, probed bucket-pruned,
+    // grown O(batch) on admit) is pinned run == runAgainst by
+    // AdmissionStoreSpec.
+    "pipe_admission_sem_e2e" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val emb = T(s, d, "embeddings")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      // Deterministic fixed centroids (the x_semdedup_incremental
+      // fixture): per-label means over the CORPUS slice's embeddings.
+      val cents = emb.join(corpus.select(col("doc_id").as("vec_id")), "vec_id")
+        .groupBy("label")
+        .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("cent"))
+      val vecsFor = (df: org.apache.spark.sql.DataFrame) => df.select("doc_id")
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      graft.pipelines.Admission.runAgainst(batch, corpus, "doc_id", "text",
+        graft.pipelines.Admission.Config(sem = Some(
+          graft.pipelines.Admission.SemStage(vecsFor, eps = 0.3,
+            centroids = Some(cents)))))
+        .orderBy("doc_id")
+    }),
+    // Chunk-level dedup payoff of CDC: shared paragraphs meet on their
+    // chunk digest regardless of byte offset.
+    "x_cdc_dedup" -> ((s, d) => {
+      DedupOps.cdcChunkDups(T(s, d, "documents"), "doc_id", "text")
+        .orderBy("fp")
+    }),
+    // Incremental ingestion: bloom-prefiltered exact dedup of a new
+    // batch against an existing corpus (output == the plain anti-join,
+    // which is what the oracle runs).
+    "x_bloom_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      DedupOps.incrementalNewDocs(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          "text")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+    // Incremental NEAR-dup admission: the new batch (doc_id % 10 ∈ {8,9})
+    // probes the standing corpus LSH band index (doc_id % 10 < 8), exact
+    // Jaccard verifies only the candidates, one admission verdict per
+    // batch doc — the per-ingest shape a production pipeline runs daily
+    // (corpus side never reshuffles; see docs/PLANS.md).
+    "x_neardup_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      val idx = DedupOps.minhashBandIndex(corpus, "doc_id", "text", 3, 4, 4)
+      DedupOps.neardupIncremental(batch, corpus, idx, "doc_id", "text",
+          shingleN = 3, k = 4, bands = 4, threshold = 0.05)
+        .select(col("doc_id"), col("n_matches"), col("match_id"),
+          round(col("match_jaccard"), 6).as("match_jaccard"), col("admit"))
+        .orderBy("doc_id")
+    }),
+    // Append-only band-index refresh: the standing index (corpus side)
+    // plus the band rows of the batch docs the admission check admits —
+    // index maintenance is a union of batch-derived rows, NEVER a corpus
+    // rescan (the corpus contributes its existing index rows unchanged;
+    // shingle-less docs carry no band value and stay out of the index).
+    "x_index_refresh" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      // The standing index feeds BOTH the probe and the refreshed output;
+      // checkpoint it so the corpus minhash scan runs once (in production
+      // the standing index is a persisted table, read not recomputed).
+      val idx = DedupOps.minhashBandIndex(corpus, "doc_id", "text", 3, 4, 4)
+        .localCheckpoint(false)
+      val admitted = batch.join(
+        DedupOps.neardupIncremental(batch, corpus, idx, "doc_id", "text",
+          shingleN = 3, k = 4, bands = 4, threshold = 0.05)
+          .filter(col("admit")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      idx.unionByName(
+          DedupOps.minhashBandIndex(admitted, "doc_id", "text", 3, 4, 4))
+        .filter(col("bv") =!= "")
+        .orderBy("doc_id", "band")
+    }),
+    // The complete incremental admission: within-batch near-dup closure
+    // (one representative per batch component) AND the standing-corpus
+    // check — the verdict an ingest pipeline actually enforces.
+    "x_admit_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      val idx = DedupOps.minhashBandIndex(corpus, "doc_id", "text", 3, 4, 4)
+      DedupOps.admitIncremental(batch, corpus, idx, "doc_id", "text",
+          shingleN = 3, k = 4, bands = 4, threshold = 0.05)
+        .orderBy("doc_id")
+    }),
+    "x_exact_dup_groups" -> ((s, d) => {
+      DedupOps.exactDupGroups(T(s, d, "documents"), "doc_id", "text")
+        .select(col("fp"), col("n"),
+          array_join(transform(col("ids"), _.cast("string")), ",").as("ids"))
+        .orderBy("fp")
+    }),
+    "x_minhash_sig" -> ((s, d) => {
+      DedupOps.minhashSignatures(T(s, d, "documents"), "doc_id", "text", 3, 4)
+        .select(col("doc_id"), array_join(col("sig"), ",", "null").as("sig"))
+        .orderBy("doc_id")
+    }),
+    "x_lsh_pairs" -> ((s, d) => {
+      DedupOps.lshCandidatePairs(T(s, d, "documents"), "doc_id", "text", 3, 4, 4)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+    // LSH banding evaluation — the tuning report that decides bands×rows
+    // before a corpus-scale dedup run: candidate-stage precision/recall
+    // against the exact ≥ 0.05-Jaccard ground truth at THESE parameters
+    // (4 bands of 1 hash = high recall, low precision — the report
+    // quantifies exactly that trade). Both sides are relations the suite
+    // already proves; the comparison is two semi-join counts.
+    "x_lsh_eval" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val cand = DedupOps.lshCandidatePairs(docs, "doc_id", "text", 3, 4, 4)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.05)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val tp = cand.join(exact, Seq("id_a", "id_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_true_pairs")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_candidates"), col("n_true_pairs"), col("n_hits"),
+          when(col("n_candidates") === 0, lit(0.0))
+            .otherwise(round(col("n_hits").cast("double") / col("n_candidates"), 6))
+            .as("precision"),
+          when(col("n_true_pairs") === 0, lit(0.0))
+            .otherwise(round(col("n_hits").cast("double") / col("n_true_pairs"), 6))
+            .as("recall"))
+    }),
+    "x_ngram_jaccard" -> ((s, d) => {
+      DedupOps.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text", 3, 0.02)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    // Asymmetric containment |A∩B|/|A| (Broder 1997) — the
+    // quote-inclusion signal Jaccard misses: a short doc copied into a
+    // long one is near-invisible to resemblance but containment-1.0.
+    // Both directions per pair, kept where either rounded direction
+    // ≥ 0.4.
+    "x_containment_pairs" -> ((s, d) => {
+      DedupOps.ngramContainmentPairs(T(s, d, "documents"), "doc_id", "text", 3, 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+    // MinHash Jaccard ESTIMATE vs exact, per LSH candidate pair: the
+    // agreement fraction of the k=4 signature slots is the unbiased
+    // resemblance estimator (Broder 1997) a 100 TB pipeline uses to skip
+    // exact verification; shown side by side with the true Jaccard so
+    // the estimator itself is oracle-checked.
+    "x_minhash_est" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 4)
+      val cand = DedupOps.lshCandidatePairs(docs, "doc_id", "text", 3, 4, 4)
+        .select("id_a", "id_b")
+      // Exact side via the plain co-shingle join, intersected with the
+      // candidates. A/B'd against the cascade's candidate-restricted
+      // verify: at THESE parameters (4 bands of one hash each — high
+      // recall, low precision) candidates are a near-superset of the
+      // co-shingle pairs, so restricting measured 2× SLOWER (7.8 vs
+      // 3.5 s): each candidate pair dragged its shingle list through two
+      // joins, and the LSH subplan re-evaluated per consumer. With
+      // production banding (e.g. 16 bands × 8 hashes, tight precision)
+      // the restricted shape wins — parameter regime decides, which is
+      // why dedupCascade keeps the restricted form.
+      val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 1e-12)
+      cand
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
+        .withColumn("est",
+          size(filter(zip_with(col("sa"), col("sb"),
+            (x, y) => coalesce(x === y, lit(false))), b => b)).cast("double") / 4.0)
+        .join(exact, Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("est"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    // Intra-document line dedup — the within-page cleanup every web
+    // corpus runs (repeated nav bars / footers / menus INSIDE one page;
+    // cross-page duplication is the span index's job): keep each
+    // non-blank line's first occurrence, order preserved. Map-only
+    // higher-order-function column algebra — no shuffle, no UDF.
+    // Structure synthesized so every doc carries a real duplicate (its
+    // first line re-appended).
+    // CROSS-document boilerplate scrub (RefinedWeb recipe): lines whose
+    // trimmed text appears in ≥ 5 distinct docs (here: the synthesized
+    // per-source nav header and copyright footer, plus any naturally
+    // repeated segment) are furniture and are removed in place; text
+    // never rides an exchange (digests-only df count + scrub-list join).
+    "x_boilerplate_scrub" -> ((s, d) => {
+      val lined = concat(lit("home | about | "), col("source"),
+        lit("\n"), regexp_replace(col("text"), " value ", ".\n"),
+        lit("\n(c) 2024 "), col("source"), lit(" all rights reserved"))
+      val docs = T(s, d, "documents").select(col("doc_id"), lined.as("text"))
+      CurationOps.scrubBoilerplateLines(docs, "doc_id", "text", minDocs = 5)
+        .orderBy("doc_id")
+    }),
+    // The admission-time form on the standing line inventory: corpus =
+    // the %5≠0 slice persisted as a (digest, df) ledger, the %5=0 batch
+    // probed against it in O(batch) — total df = stored + within-batch,
+    // exact. Gated by the SAME global oracle restricted to the batch
+    // (the LineStore incremental-equality law).
+    "x_boilerplate_incremental" -> ((s, d) => {
+      val lined = concat(lit("home | about | "), col("source"),
+        lit("\n"), regexp_replace(col("text"), " value ", ".\n"),
+        lit("\n(c) 2024 "), col("source"), lit(" all rights reserved"))
+      val docs = T(s, d, "documents").select(col("doc_id"), lined.as("text"))
+      val dir = tmpStore("line_store")
+      graft.operators.LineStore.init(s, dir,
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.operators.LineStore.scrubIncremental(s, dir,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", minDocs = 5)
+        .orderBy("doc_id")
+    }),
+    "x_line_dedup" -> ((s, d) => {
+      val lined = regexp_replace(col("text"), " value ", ".\n")
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        concat(lined, lit("\n"), element_at(split(lined, "\n"), 1)).as("text"))
+      val ded = CurationOps.dedupLines(col("text"))
+      docs.select(col("doc_id"),
+          size(filter(split(col("text"), "\n"), l => trim(l) =!= "")).as("n_lines"),
+          size(filter(split(ded, "\n"), l => trim(l) =!= "")).as("n_kept"),
+          substring(ded, 1, 60).as("head"))
+        .orderBy("doc_id")
+    }),
+    "x_simhash" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(col("doc_id"), DedupOps.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+    // SimHash near-dup pairs via Manku banding: candidates from per-band
+    // buckets, Hamming verify inside buckets — fingerprints, never bodies.
+    // Operating point hamming ≤ 3 per Manku WWW'07: 16-bit bands keep
+    // buckets near-empty at corpus scale, and ≤ 3 is where actual
+    // near-dups live (at ≤ 8, >90% of reported pairs on this corpus are
+    // band-collision noise and the 7-bit bands cost ~10× the wall time).
+    "x_simhash_pairs" -> ((s, d) => {
+      DedupOps.simhashNearDupPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    // The duplicated-span inventory: 8-token windows occurring in ≥ 2
+    // distinct documents — the partial-duplication signal the document-
+    // level cascade cannot see. Runs the DIGEST-keyed scale form (the
+    // corpus-wide exchange carries 16-byte digests, never span text);
+    // SpanDedupSpec pins it pointwise equal to the string-keyed
+    // duplicatedSpans the oracle SQL replays.
+    "x_dup_spans" -> ((s, d) => {
+      SpanDedup.duplicatedSpansDigest(T(s, d, "documents"), "doc_id", "text", k = 8)
+        .orderBy("span")
+    }),
+    // Span removal: mask every token covered by a duplicated window and
+    // rebuild the surviving text in order — one row per input document,
+    // short/empty docs pass through untouched with zero counts. Digest
+    // form: the duplicated-span set probes the windows as a broadcast.
+    "x_substring_scrub" -> ((s, d) => {
+      SpanDedup.scrubSpansDigest(T(s, d, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+    // The standing span-digest inventory, summarized as its doc-frequency
+    // histogram (digest values are engine-internal; the histogram is
+    // exactly replayable from the string spans, so a hash match proves
+    // the inventory's counts are right span-for-span, collision-free).
+    "x_span_index_stats" -> ((s, d) => {
+      SpanDedup.spanDigestIndex(T(s, d, "documents"), "doc_id", "text", k = 8)
+        .groupBy("n_docs")
+        .agg(count(lit(1)).as("n_spans"), sum(col("n_occ")).as("n_occ"))
+        .orderBy("n_docs")
+    }),
+    // Admission-time span scrub: the batch (doc_id % 5 = 0) is scrubbed
+    // against the standing inventory of the corpus (doc_id % 5 <> 0) —
+    // O(batch) windows + a filter-pushed index scan, corpus text never
+    // read. Output equals the full-corpus scrub restricted to the batch.
+    "x_span_scrub_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      SpanDedup.scrubAgainstIndex(
+          docs.filter(col("doc_id") % 5 === 0),
+          SpanDedup.spanDigestIndex(
+            docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 8),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id""".stripMargin,
+    // Content-defined chunking parity: the closed-form window hash
+    // Σ cp(i)·B^(e−i) mod M over each 8-codepoint window equals the JVM
+    // kernel's O(n) rolling recurrence, so boundary sets match exactly.
+    "x_cdc_chunks" ->
+      s"""$cdcCtes
+         |SELECT doc_id, array_to_string(ends, ',') AS chunk_ends
+         |FROM b ORDER BY doc_id""".stripMargin,
+    // Chunk-level dedup: cut each document at the CDC ends, md5 every
+    // chunk, group fingerprints seen more than once.
+    "x_cdc_dedup" ->
+      s"""$cdcCtes,
+         |ch AS (SELECT doc_id, CAST(i.i AS INTEGER) AS pos,
+         |        substring(text,
+         |          CASE WHEN i.i = 1 THEN 1 ELSE CAST(ends[CAST(i.i AS INT) - 1] + 1 AS INT) END,
+         |          CAST(ends[CAST(i.i AS INT)] - CASE WHEN i.i = 1 THEN 0 ELSE ends[CAST(i.i AS INT) - 1] END AS INT)) AS chunk
+         |       FROM b, unnest(generate_series(1, len(ends))) AS i(i)),
+         |f AS (SELECT md5(chunk) fp, doc_id, pos FROM ch)
+         |SELECT fp, count(*) AS n,
+         |  string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos) AS ids
+         |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+    // Substring-level dedup (Lee et al. 2022, shingle form): 8-token
+    // windows over the shared tokenization, duplicated when seen in >= 2
+    // distinct docs. t[i:i+7] is DuckDB's 1-based INCLUSIVE slice = the
+    // engine's slice(toks, i, 8); generate_series(1, n) is empty for
+    // n < 1, matching the engine's guarded short-doc branch.
+    "x_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+        |     win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+        |             FROM (SELECT doc_id, t,
+        |                     unnest(generate_series(1, len(t) - 7)) AS i FROM toks))
+        |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occ
+        |FROM win GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY 1""".stripMargin,
+    // Span removal: coverage = distinct (doc, pos) under any duplicated
+    // window (overlaps merge via DISTINCT), kept tokens re-join in
+    // position order; docs shorter than the window (or empty) fall out
+    // of tok_pos and re-enter via the documents left join with zeros.
+    "x_substring_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+        |     win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+        |             FROM (SELECT doc_id, t,
+        |                     unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |     dup AS (SELECT span FROM win GROUP BY 1
+        |             HAVING count(DISTINCT doc_id) >= 2),
+        |     cover AS (SELECT DISTINCT w.doc_id, u.pos
+        |               FROM win w JOIN dup USING (span),
+        |                    unnest(generate_series(w.i, w.i + 7)) AS u(pos)),
+        |     tok_pos AS (SELECT doc_id, i AS pos, t[i] AS tok
+        |                 FROM (SELECT doc_id, t,
+        |                         unnest(generate_series(1, len(t))) AS i FROM toks)),
+        |     agg AS (SELECT tp.doc_id, count(*) AS n_tokens,
+        |               count(c.pos) AS n_removed,
+        |               coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+        |                 ' ' ORDER BY tp.pos), '') AS clean_text
+        |             FROM tok_pos tp LEFT JOIN cover c
+        |               ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+        |             GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+        |       coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // The engine's inventory keys spans by a 128-bit digest; the
+    // doc-frequency histogram is digest-free and replayable from the
+    // string spans — a hash match proves the digest grouping merged
+    // exactly the spans the strings would (collision-free).
+    "x_span_index_stats" ->
+      s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+        |     win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+        |             FROM (SELECT doc_id, t,
+        |                     unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |     g AS (SELECT span, count(DISTINCT doc_id) nd, count(*) nocc
+        |           FROM win GROUP BY 1)
+        |SELECT CAST(nd AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(nocc) AS BIGINT) AS n_occ
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Incremental admission scrub = the full-corpus scrub (duplication
+    // counted over corpus ∪ batch = all documents) restricted to the
+    // batch's rows — the invariant scrubAgainstIndex is built to hold.
+    "x_span_scrub_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+        |     win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+        |             FROM (SELECT doc_id, t,
+        |                     unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |     dup AS (SELECT span FROM win GROUP BY 1
+        |             HAVING count(DISTINCT doc_id) >= 2),
+        |     cover AS (SELECT DISTINCT w.doc_id, u.pos
+        |               FROM win w JOIN dup USING (span),
+        |                    unnest(generate_series(w.i, w.i + 7)) AS u(pos)),
+        |     tok_pos AS (SELECT doc_id, i AS pos, t[i] AS tok
+        |                 FROM (SELECT doc_id, t,
+        |                         unnest(generate_series(1, len(t))) AS i FROM toks)),
+        |     agg AS (SELECT tp.doc_id, count(*) AS n_tokens,
+        |               count(c.pos) AS n_removed,
+        |               coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+        |                 ' ' ORDER BY tp.pos), '') AS clean_text
+        |             FROM tok_pos tp LEFT JOIN cover c
+        |               ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+        |             GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+        |       coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id % 5 = 0
+        |ORDER BY d.doc_id""".stripMargin,
+    // The bloom prefilter is exact end-to-end (suspects get verified),
+    // so the oracle is the plain fingerprint anti-join.
+    "x_bloom_incremental" ->
+      """SELECT i.doc_id FROM documents i
+        |WHERE i.doc_id % 5 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0
+        |  AND md5(lower(trim(c.text))) = md5(lower(trim(i.text))))
+        |ORDER BY i.doc_id""".stripMargin,
+    "x_exact_dup_groups" ->
+      """SELECT md5(lower(trim(text))) AS fp, count(*) AS n,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS ids
+        |FROM documents GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+    // Incremental near-dup admission: batch (doc_id % 10 >= 8) bands
+    // probe the corpus (doc_id % 10 < 8) band index, candidates verify by
+    // exact shingle Jaccard, one verdict row per batch doc. Same
+    // signature chain as x_lsh_pairs, split across the two sides.
+    "x_neardup_incremental" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
+         |  FROM w),
+         |sig AS (SELECT doc_id, [
+         |  list_min(list_transform(s, x -> md5('0|' || x))),
+         |  list_min(list_transform(s, x -> md5('1|' || x))),
+         |  list_min(list_transform(s, x -> md5('2|' || x))),
+         |  list_min(list_transform(s, x -> md5('3|' || x)))] sg FROM sh),
+         |bnd AS (SELECT doc_id, generate_subscripts(sg, 1) band, unnest(sg) bv FROM sig),
+         |cand AS (SELECT DISTINCT b.doc_id batch_id, c.doc_id corpus_id
+         |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.bv = c.bv
+         |  WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8),
+         |m AS (SELECT doc_id, unnest(list_distinct(s)) sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
+         |i AS (SELECT cd.batch_id, cd.corpus_id, count(*) inter
+         |  FROM cand cd JOIN m a ON a.doc_id = cd.batch_id
+         |  JOIN m b2 ON b2.doc_id = cd.corpus_id AND b2.sh = a.sh GROUP BY 1, 2),
+         |mt AS (SELECT i.batch_id, i.corpus_id,
+         |    i.inter::DOUBLE / (x.n + y.n - i.inter) jac
+         |  FROM i JOIN sz x ON x.doc_id = i.batch_id
+         |  JOIN sz y ON y.doc_id = i.corpus_id
+         |  WHERE i.inter::DOUBLE / (x.n + y.n - i.inter) >= 0.05),
+         |st AS (SELECT batch_id, count(*) nm FROM mt GROUP BY 1),
+         |bst AS (SELECT batch_id, corpus_id, jac FROM (
+         |  SELECT mt.*, row_number() OVER (PARTITION BY batch_id
+         |    ORDER BY jac DESC, corpus_id) rn FROM mt) WHERE rn = 1)
+         |SELECT d.doc_id, CAST(coalesce(st.nm, 0) AS BIGINT) AS n_matches,
+         |  bst.corpus_id AS match_id, round(bst.jac, 6) AS match_jaccard,
+         |  (st.nm IS NULL) AS admit
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+         |LEFT JOIN st ON st.batch_id = d.doc_id
+         |LEFT JOIN bst ON bst.batch_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "x_minhash_sig" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
+         |  FROM w)
+         |SELECT doc_id, array_to_string(list_transform([
+         |  list_min(list_transform(s, x -> md5('0|' || x))),
+         |  list_min(list_transform(s, x -> md5('1|' || x))),
+         |  list_min(list_transform(s, x -> md5('2|' || x))),
+         |  list_min(list_transform(s, x -> md5('3|' || x)))],
+         |  h -> coalesce(h, 'null')), ',') AS sig
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    // LSH evaluation replay: the shared candidate chain vs the exact
+    // ≥ 0.05 ground truth — two counts and their rounded ratios.
+    "x_lsh_eval" ->
+      s"""WITH $lshCandCtes,
+         |ex AS (SELECT li.ia, li.ib FROM li
+         |  JOIN lsz x ON x.doc_id = li.ia JOIN lsz y ON y.doc_id = li.ib
+         |  WHERE li.inter::DOUBLE / (x.n + y.n - li.inter) >= 0.05),
+         |tp AS (SELECT c.ia, c.ib FROM cand c JOIN ex ON ex.ia = c.ia AND ex.ib = c.ib),
+         |n AS (SELECT (SELECT count(*) FROM cand) nc,
+         |             (SELECT count(*) FROM ex) ne,
+         |             (SELECT count(*) FROM tp) nh)
+         |SELECT nc AS n_candidates, ne AS n_true_pairs, nh AS n_hits,
+         |  CASE WHEN nc = 0 THEN 0.0 ELSE round(nh::DOUBLE / nc, 6) END AS precision,
+         |  CASE WHEN ne = 0 THEN 0.0 ELSE round(nh::DOUBLE / ne, 6) END AS recall
+         |FROM n""".stripMargin,
+    "x_lsh_pairs" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
+         |  FROM w),
+         |sig AS (SELECT doc_id, [
+         |  list_min(list_transform(s, x -> md5('0|' || x))),
+         |  list_min(list_transform(s, x -> md5('1|' || x))),
+         |  list_min(list_transform(s, x -> md5('2|' || x))),
+         |  list_min(list_transform(s, x -> md5('3|' || x)))] sg FROM sh),
+         |b AS (SELECT doc_id, generate_subscripts(sg, 1) band, unnest(sg) bv FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "x_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END) s
+         |  FROM w),
+         |m AS (SELECT doc_id, unnest(s) sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
+         |i AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+         |        FROM m a JOIN m b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |j AS (SELECT ia, ib, inter, inter::DOUBLE / (x.n + y.n - inter) jac
+         |        FROM i JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib)
+         |SELECT ia AS id_a, ib AS id_b, round(jac, 6) AS jaccard
+         |FROM j WHERE jac >= 0.02 ORDER BY id_a, id_b""".stripMargin,
+    // Containment replay: same 3-shingle sets, both direction ratios,
+    // keep where either ROUNDED direction reaches 0.4 (the rounded
+    // value is the shared decision key).
+    "x_containment_pairs" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END) s
+         |  FROM w),
+         |m AS (SELECT doc_id, unnest(s) sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
+         |i AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+         |        FROM m a JOIN m b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |c AS (SELECT ia, ib, round(inter::DOUBLE / x.n, 6) ca, round(inter::DOUBLE / y.n, 6) cb
+         |        FROM i JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib)
+         |SELECT ia AS id_a, ib AS id_b, ca AS cont_a_in_b, cb AS cont_b_in_a
+         |FROM c WHERE greatest(ca, cb) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    // Cross-document boilerplate scrub replay: same synthetic
+    // header/footer lines, df over DISTINCT docs per trimmed line
+    // (string-keyed — proving the Spark side's md5 digest grouping
+    // collision-free), same ≥ 5 cutoff, same in-place keep filter
+    // (whitespace-only lines structural, never counted, never removed).
+    "x_boilerplate_scrub" -> boilerplateScrubSql(""),
+    "x_boilerplate_incremental" -> boilerplateScrubSql("WHERE t.doc_id % 5 = 0"),
+    // Line-dedup replay: same synthetic duplicate (first line
+    // re-appended), keep-first via DuckDB's indexed list lambda
+    // (list_position = first occurrence, exactly Spark's
+    // array_position).
+    "x_line_dedup" ->
+      """WITH w AS (SELECT doc_id,
+        |        regexp_replace(text, ' value ', '.' || chr(10), 'g') t0 FROM documents),
+        |w2 AS (SELECT doc_id,
+        |        t0 || chr(10) || string_split(t0, chr(10))[1] t FROM w),
+        |d AS (SELECT doc_id,
+        |        list_filter(string_split(t, chr(10)), l -> trim(l) <> '') lines FROM w2),
+        |k AS (SELECT doc_id, lines,
+        |        list_filter(lines, (l, i) -> list_position(lines, l) = i) kept FROM d)
+        |SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines,
+        |  CAST(len(kept) AS INTEGER) AS n_kept,
+        |  substring(array_to_string(kept, chr(10)), 1, 60) AS head
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "x_simhash" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+        |t AS (SELECT doc_id, md5_number_lower(unnest(wds)) h FROM w),
+        |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) vote
+        |      FROM t CROSS JOIN range(64) r(b) GROUP BY doc_id, b),
+        |u AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::HUGEINT << b ELSE 0 END) sh FROM v GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       ELSE coalesce((CASE WHEN u.sh >= 9223372036854775808 THEN u.sh - 18446744073709551616
+        |                           ELSE u.sh END)::BIGINT, 0) END AS simhash
+        |FROM documents d LEFT JOIN u ON u.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "x_simhash_pairs" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+        |t AS (SELECT doc_id, md5_number_lower(unnest(wds)) h FROM w),
+        |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) vote
+        |      FROM t CROSS JOIN range(64) r(b) GROUP BY doc_id, b),
+        |u AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::HUGEINT << b ELSE 0 END) sh FROM v GROUP BY doc_id),
+        |s AS (SELECT d.doc_id,
+        |        coalesce((CASE WHEN u.sh >= 9223372036854775808 THEN u.sh - 18446744073709551616
+        |                       ELSE u.sh END)::BIGINT, 0) sh
+        |      FROM documents d LEFT JOIN u ON u.doc_id = d.doc_id
+        |      WHERE d.text IS NOT NULL)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Duplicate components: the same Jaccard pairs as x_ngram_jaccard,
+    // closed under connectivity by a recursive reachability CTE — the
+    // min reachable id IS the min-label-propagation fixpoint.
+    "x_dup_components" ->
+      s"""$dupComponentCtes
+         |SELECT doc.doc_id, coalesce(c.component, doc.doc_id) AS component
+         |FROM documents doc LEFT JOIN c ON c.id = doc.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
+    // Dedup loss-weight replay: same closure, survivor = min-id (= the
+    // component label), weight = member count.
+    "x_dedup_weight" ->
+      s"""$dupComponentCtes
+         |SELECT coalesce(c.component, doc.doc_id) AS doc_id,
+         |  count(*) AS weight
+         |FROM documents doc LEFT JOIN c ON c.id = doc.doc_id
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Cluster-size histogram: same closure, two grouped counts.
+    "x_dup_histogram" ->
+      s"""$dupComponentCtes,
+         |hmemb AS (SELECT coalesce(c.component, doc.doc_id) component
+         |      FROM documents doc LEFT JOIN c ON c.id = doc.doc_id),
+         |hsz AS (SELECT component, count(*) csz FROM hmemb GROUP BY 1)
+         |SELECT CAST(csz AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_components,
+         |  CAST(sum(csz) AS BIGINT) AS n_docs
+         |FROM hsz GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Quality-aware representative: same closure, survivor = n_chars
+    // argmax with doc-id tie-break (row_number replay of max_by).
+    "x_dup_rep_quality" ->
+      s"""$dupComponentCtes,
+         |q AS (SELECT doc.doc_id, coalesce(c.component, doc.doc_id) component,
+         |        doc.n_chars
+         |      FROM documents doc LEFT JOIN c ON c.id = doc.doc_id),
+         |rk AS (SELECT doc_id, component,
+         |         row_number() OVER (PARTITION BY component
+         |           ORDER BY n_chars DESC, doc_id ASC) rn FROM q),
+         |r1 AS (SELECT component, doc_id rep_id FROM rk WHERE rn = 1)
+         |SELECT q.doc_id, q.component, r1.rep_id,
+         |  (q.doc_id = r1.rep_id) AS keep
+         |FROM q JOIN r1 ON r1.component = q.component
+         |ORDER BY q.doc_id""".stripMargin,
+    // MinHash estimate replay: same signatures (salted-md5 mins), same
+    // candidate pairs, agreement fraction over the 4 slots vs the exact
+    // Jaccard of the same pair.
+    "x_minhash_est" ->
+      s"""WITH $lshCandCtes
+         |SELECT c.ia AS id_a, c.ib AS id_b,
+         |  len(list_filter([1, 2, 3, 4], k -> coalesce(x.sg[k] = y.sg[k], false)))::DOUBLE / 4.0 AS est,
+         |  round(li.inter::DOUBLE / (sx.n + sy.n - li.inter), 6) AS jaccard
+         |FROM cand c
+         |JOIN lsig x ON x.doc_id = c.ia JOIN lsig y ON y.doc_id = c.ib
+         |JOIN li ON li.ia = c.ia AND li.ib = c.ib
+         |JOIN lsz sx ON sx.doc_id = c.ia JOIN lsz sy ON sy.doc_id = c.ib
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Dedup cascade: LSH candidates (as x_lsh_pairs) intersected with
+    // the ≥-threshold Jaccard pairs (as x_ngram_jaccard), closed by the
+    // recursive reachability CTE (as x_dup_components); kept = the doc
+    // IS its component's min-id label.
+    "pipe_dedup_e2e" ->
+      s"""WITH RECURSIVE $lshCandCtes,
+         |p AS (SELECT li.ia, li.ib FROM li JOIN cand USING (ia, ib)
+         |  JOIN lsz x ON x.doc_id = li.ia JOIN lsz y ON y.doc_id = li.ib
+         |  WHERE inter::DOUBLE / (x.n + y.n - inter) >= 0.02),
+         |e AS (SELECT ia s, ib d FROM p UNION SELECT ib, ia FROM p),
+         |r AS (SELECT s AS id, s AS lbl FROM e
+         |      UNION
+         |      SELECT e.d, r.lbl FROM r JOIN e ON e.s = r.id),
+         |cc AS (SELECT id, min(lbl) component FROM r GROUP BY id)
+         |SELECT doc.doc_id, coalesce(cc.component, doc.doc_id) AS component,
+         |  (coalesce(cc.component, doc.doc_id) = doc.doc_id) AS kept
+         |FROM documents doc LEFT JOIN cc ON cc.id = doc.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
+    // Admission pipeline replay: the x_curation_verdict funnel restricted
+    // to the batch slice, the exact-fingerprint anti-join over its
+    // admitted docs, and the span scrub with duplication counted over
+    // corpus ∪ survivors — stage precedence mirrored by the CASE order.
+    "pipe_admission_e2e" ->
+      s"""WITH w AS (SELECT doc_id, text, $words wds FROM documents WHERE doc_id % 5 = 0),
+         |lg AS (SELECT doc_id,
+         |  len(list_filter(wds, t -> t IN ('the','and','of','is','a'))) s_en,
+         |  len(list_filter(wds, t -> t IN ('der','die','und','ist','das'))) s_de,
+         |  len(list_filter(wds, t -> t IN ('el','los','y','es','una'))) s_es,
+         |  len(list_filter(wds, t -> t IN ('le','la','et','est','une'))) s_fr FROM w),
+         |lang AS (SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |  ELSE 'fr' END AS lang_pred FROM lg),
+         |qm AS (SELECT doc_id, len(wds) nt,
+         |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
+         |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
+         |q AS (SELECT doc_id, round(
+         |  least(nt / 50.0, 1.0) * 0.5 +
+         |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
+         |  FROM qm),
+         |pii AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+         |       len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) n_pii
+         |  FROM w),
+         |${gopherCtes("w")},
+         |g AS (SELECT gst.doc_id, $gopherKeepSql AS gopher_keep
+         |  FROM gst LEFT JOIN gp USING (doc_id)),
+         |cur AS (SELECT w.doc_id, (lang.lang_pred <> 'und' AND q.quality >= 0.5
+         |          AND g.gopher_keep AND pii.n_pii = 0) AS admit
+         |  FROM w JOIN lang USING (doc_id) JOIN q USING (doc_id)
+         |  JOIN pii USING (doc_id) JOIN g USING (doc_id)),
+         |novel AS (SELECT c1.doc_id FROM cur c1 JOIN documents i USING (doc_id)
+         |  WHERE c1.admit AND NOT EXISTS (
+         |    SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0
+         |    AND md5(lower(trim(c.text))) = md5(lower(trim(i.text))))),
+         |toksall AS (SELECT doc_id, $words t FROM documents
+         |  WHERE doc_id % 5 <> 0 OR doc_id IN (SELECT doc_id FROM novel)),
+         |win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+         |        FROM (SELECT doc_id, t,
+         |                unnest(generate_series(1, len(t) - 7)) AS i FROM toksall)),
+         |dup AS (SELECT span FROM win GROUP BY 1
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |cover AS (SELECT DISTINCT w2.doc_id, u.pos
+         |          FROM win w2 JOIN dup USING (span),
+         |               unnest(generate_series(w2.i, w2.i + 7)) AS u(pos)
+         |          WHERE w2.doc_id IN (SELECT doc_id FROM novel)),
+         |tok_pos AS (SELECT doc_id, i AS pos, t[i] AS tok
+         |            FROM (SELECT doc_id, t,
+         |                    unnest(generate_series(1, len(t))) AS i FROM toksall)
+         |            WHERE doc_id IN (SELECT doc_id FROM novel)),
+         |agg AS (SELECT tp.doc_id, count(*) AS n_tokens,
+         |          count(c.pos) AS n_removed,
+         |          coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+         |            ' ' ORDER BY tp.pos), '') AS clean_text
+         |        FROM tok_pos tp LEFT JOIN cover c
+         |          ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+         |        GROUP BY 1)
+         |SELECT cur.doc_id,
+         |  CASE WHEN NOT cur.admit THEN 'rejected'
+         |       WHEN cur.doc_id NOT IN (SELECT doc_id FROM novel) THEN 'duplicate'
+         |       ELSE 'admitted' END AS verdict,
+         |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM cur LEFT JOIN agg a USING (doc_id)
+         |ORDER BY cur.doc_id""".stripMargin,
+    // Admission with the semantic stage on: pipe_admission_e2e's funnel
+    // + exact-dup stages, then the x_semdedup_incremental probe of the
+    // exact-novel survivors (corpus-fitted per-label centroids; every
+    // corpus vector earlier, paper order within the batch) — dropped
+    // ids verdict 'semantic_duplicate' and leave the span scrub.
+    "pipe_admission_sem_e2e" ->
+      s"""WITH w AS (SELECT doc_id, text, $words wds FROM documents WHERE doc_id % 5 = 0),
+         |lg AS (SELECT doc_id,
+         |  len(list_filter(wds, t -> t IN ('the','and','of','is','a'))) s_en,
+         |  len(list_filter(wds, t -> t IN ('der','die','und','ist','das'))) s_de,
+         |  len(list_filter(wds, t -> t IN ('el','los','y','es','una'))) s_es,
+         |  len(list_filter(wds, t -> t IN ('le','la','et','est','une'))) s_fr FROM w),
+         |lang AS (SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |  ELSE 'fr' END AS lang_pred FROM lg),
+         |qm AS (SELECT doc_id, len(wds) nt,
+         |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
+         |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
+         |q AS (SELECT doc_id, round(
+         |  least(nt / 50.0, 1.0) * 0.5 +
+         |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
+         |  FROM qm),
+         |pii AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+         |       len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) n_pii
+         |  FROM w),
+         |${gopherCtes("w")},
+         |g AS (SELECT gst.doc_id, $gopherKeepSql AS gopher_keep
+         |  FROM gst LEFT JOIN gp USING (doc_id)),
+         |cur AS (SELECT w.doc_id, (lang.lang_pred <> 'und' AND q.quality >= 0.5
+         |          AND g.gopher_keep AND pii.n_pii = 0) AS admit
+         |  FROM w JOIN lang USING (doc_id) JOIN q USING (doc_id)
+         |  JOIN pii USING (doc_id) JOIN g USING (doc_id)),
+         |novel AS (SELECT c1.doc_id FROM cur c1 JOIN documents i USING (doc_id)
+         |  WHERE c1.admit AND NOT EXISTS (
+         |    SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0
+         |    AND md5(lower(trim(c.text))) = md5(lower(trim(i.text))))),
+         |semcent AS (SELECT label clabel, pos, avg(x) m FROM (
+         |    SELECT label, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+         |    FROM embeddings WHERE vec_id % 5 <> 0) GROUP BY 1, 2),
+         |semev AS (SELECT vec_id, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+         |    FROM embeddings
+         |    WHERE vec_id % 5 <> 0 OR vec_id IN (SELECT doc_id FROM novel)),
+         |sems AS (SELECT vec_id, clabel,
+         |    sum(semev.x * semcent.m) / (sqrt(sum(semev.x * semev.x)) * sqrt(sum(semcent.m * semcent.m))) sim
+         |  FROM semev JOIN semcent ON semev.pos = semcent.pos GROUP BY vec_id, clabel),
+         |semr AS (SELECT vec_id, clabel, sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) rn FROM sems),
+         |semasg AS (SELECT vec_id, clabel cl, sim csim, round(sim, 6) ord FROM semr WHERE rn = 1),
+         |semp AS (SELECT xa.vec_id ia, xb.vec_id ib, ea.embedding va, eb.embedding vb
+         |    FROM semasg xa JOIN semasg xb ON xa.cl = xb.cl
+         |     AND xb.vec_id IN (SELECT doc_id FROM novel)
+         |     AND (xa.vec_id % 5 <> 0
+         |          OR xa.ord < xb.ord
+         |          OR (xa.ord = xb.ord AND xa.vec_id < xb.vec_id))
+         |    JOIN embeddings ea ON ea.vec_id = xa.vec_id
+         |    JOIN embeddings eb ON eb.vec_id = xb.vec_id),
+         |sempu AS (SELECT ia, ib, unnest(va)::DOUBLE x, unnest(vb)::DOUBLE y FROM semp),
+         |semps AS (SELECT ia, ib, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) sim
+         |    FROM sempu GROUP BY ia, ib),
+         |semdrop AS (SELECT DISTINCT ib doc_id FROM semps WHERE sim >= 0.3),
+         |semnovel AS (SELECT doc_id FROM novel
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)),
+         |toksall AS (SELECT doc_id, $words t FROM documents
+         |  WHERE doc_id % 5 <> 0 OR doc_id IN (SELECT doc_id FROM semnovel)),
+         |win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+         |        FROM (SELECT doc_id, t,
+         |                unnest(generate_series(1, len(t) - 7)) AS i FROM toksall)),
+         |dup AS (SELECT span FROM win GROUP BY 1
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |cover AS (SELECT DISTINCT w2.doc_id, u.pos
+         |          FROM win w2 JOIN dup USING (span),
+         |               unnest(generate_series(w2.i, w2.i + 7)) AS u(pos)
+         |          WHERE w2.doc_id IN (SELECT doc_id FROM semnovel)),
+         |tok_pos AS (SELECT doc_id, i AS pos, t[i] AS tok
+         |            FROM (SELECT doc_id, t,
+         |                    unnest(generate_series(1, len(t))) AS i FROM toksall)
+         |            WHERE doc_id IN (SELECT doc_id FROM semnovel)),
+         |agg AS (SELECT tp.doc_id, count(*) AS n_tokens,
+         |          count(c.pos) AS n_removed,
+         |          coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+         |            ' ' ORDER BY tp.pos), '') AS clean_text
+         |        FROM tok_pos tp LEFT JOIN cover c
+         |          ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+         |        GROUP BY 1)
+         |SELECT cur.doc_id,
+         |  CASE WHEN NOT cur.admit THEN 'rejected'
+         |       WHEN cur.doc_id NOT IN (SELECT doc_id FROM novel) THEN 'duplicate'
+         |       WHEN cur.doc_id IN (SELECT doc_id FROM semdrop) THEN 'semantic_duplicate'
+         |       ELSE 'admitted' END AS verdict,
+         |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM cur LEFT JOIN agg a USING (doc_id)
+         |ORDER BY cur.doc_id""".stripMargin,
+    // Append-only index refresh: standing corpus band rows UNION the
+    // admitted batch docs' band rows (admit = no verified corpus match,
+    // the x_neardup_incremental chain). Band is 0-based to match the
+    // engine's posexplode; null band values (shingle-less docs) stay out.
+    "x_index_refresh" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(wds) < 3 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(wds) - 2), i -> array_to_string(wds[i:i+2], ' ')) END s
+         |  FROM w),
+         |sig AS (SELECT doc_id, [
+         |  list_min(list_transform(s, x -> md5('0|' || x))),
+         |  list_min(list_transform(s, x -> md5('1|' || x))),
+         |  list_min(list_transform(s, x -> md5('2|' || x))),
+         |  list_min(list_transform(s, x -> md5('3|' || x)))] sg FROM sh),
+         |bnd AS (SELECT doc_id, generate_subscripts(sg, 1) band, unnest(sg) bv FROM sig),
+         |cand AS (SELECT DISTINCT b.doc_id batch_id, c.doc_id corpus_id
+         |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.bv = c.bv
+         |  WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8),
+         |m AS (SELECT doc_id, unnest(list_distinct(s)) sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) n FROM m GROUP BY doc_id),
+         |i AS (SELECT cd.batch_id, cd.corpus_id, count(*) inter
+         |  FROM cand cd JOIN m a ON a.doc_id = cd.batch_id
+         |  JOIN m b2 ON b2.doc_id = cd.corpus_id AND b2.sh = a.sh GROUP BY 1, 2),
+         |blocked AS (SELECT DISTINCT i.batch_id FROM i
+         |  JOIN sz x ON x.doc_id = i.batch_id JOIN sz y ON y.doc_id = i.corpus_id
+         |  WHERE i.inter::DOUBLE / (x.n + y.n - i.inter) >= 0.05)
+         |SELECT doc_id, CAST(band - 1 AS INT) AS band, bv FROM bnd
+         |WHERE bv IS NOT NULL AND (doc_id % 10 < 8
+         |  OR doc_id NOT IN (SELECT batch_id FROM blocked))
+         |ORDER BY doc_id, band""".stripMargin,
+    // Complete incremental admission: within-batch components over the
+    // LSH-candidate verified pairs restricted to batch docs (banding is
+    // per-doc deterministic, so the all-docs candidate chain filtered to
+    // batch pairs equals a batch-only run), plus the batch↔corpus
+    // verified-pair check — admit = own-component representative AND no
+    // member of the component has a corpus match (component-wide block).
+    "x_admit_incremental" ->
+      s"""WITH RECURSIVE $lshCandCtes,
+         |bp AS (SELECT li.ia, li.ib FROM li JOIN cand USING (ia, ib)
+         |  JOIN lsz x ON x.doc_id = li.ia JOIN lsz y ON y.doc_id = li.ib
+         |  WHERE li.ia % 10 >= 8 AND li.ib % 10 >= 8
+         |    AND inter::DOUBLE / (x.n + y.n - inter) >= 0.05),
+         |e AS (SELECT ia s, ib d FROM bp UNION SELECT ib, ia FROM bp),
+         |r AS (SELECT s AS id, s AS lbl FROM e
+         |      UNION
+         |      SELECT e.d, r.lbl FROM r JOIN e ON e.s = r.id),
+         |cc AS (SELECT id, min(lbl) component FROM r GROUP BY id),
+         |xp AS (SELECT CASE WHEN cand.ia % 10 >= 8 THEN cand.ia ELSE cand.ib END batch_id
+         |  FROM cand JOIN li USING (ia, ib)
+         |  JOIN lsz x ON x.doc_id = cand.ia JOIN lsz y ON y.doc_id = cand.ib
+         |  WHERE (cand.ia % 10 >= 8) <> (cand.ib % 10 >= 8)
+         |    AND li.inter::DOUBLE / (x.n + y.n - li.inter) >= 0.05),
+         |blocked AS (SELECT DISTINCT batch_id FROM xp),
+         |bcomp AS (SELECT DISTINCT coalesce(cc.component, b.batch_id) AS component
+         |  FROM blocked b LEFT JOIN cc ON cc.id = b.batch_id)
+         |SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component,
+         |  (coalesce(cc.component, d.doc_id) = d.doc_id
+         |    AND bcomp.component IS NULL) AS admit
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+         |LEFT JOIN cc ON cc.id = d.doc_id
+         |LEFT JOIN bcomp ON bcomp.component = coalesce(cc.component, d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,828 @@
+package graft
+
+import graft.functions.{sig, text, vector, VectorMeanFast}
+import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, DomainModel, IvfAnn, LayoutOps, MultimodalOps, PqOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rerank, Rrf, SampleOps, SemDedup, SemDedupStore, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QShared._
+import OracleDefs._
+
+/** Reference (Newsify) operator queries — SURVEY §2's P/J/A/T/D/M/S families and the reference e2e pipes.
+ *
+ * One `queries` entry per operator with its DuckDB oracle in
+ * `oracles` side by side (rows-only queries omit the oracle);
+ * aggregated into the driver contract by [[SparkEntry]] /
+ * [[OracleSql]]. Shared plan helpers live in [[QShared]], shared
+ * SQL fragments in [[OracleDefs]].
+ */
+private[graft] object QRef {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_event_score" -> ((s, d) => {
+      T(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          eventsScore(col("event_type")).as("score"))
+        .orderBy("event_id")
+    }),
+    "p11_freshness" -> ((s, d) => {
+      T(s, d, "events")
+        .select(col("event_id"),
+          round(Recommend.freshnessMs(col("ts"), lit(NowTs).cast("timestamp")), 6).as("freshness"))
+        .orderBy("event_id")
+    }),
+    "p12_minmax_norm" -> ((s, d) => {
+      Recommend.minMaxNorm(T(s, d, "events"), "user_id", "value", "norm")
+        .select(col("user_id"), col("event_id"), round(col("norm"), 6).as("norm"))
+        .orderBy("user_id", "event_id")
+    }),
+    "p13_time_parse" -> ((s, d) => {
+      T(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("epoch_ms"))
+        .orderBy("o_orderkey")
+    }),
+    "p15_json_extract" -> ((s, d) => {
+      T(s, d, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+        .orderBy("event_id")
+    }),
+    // MapType surface (reference user_behaviour_service.py:61 metadata
+    // map<string,string>): parse, element access, key enumeration.
+    "p19_map_metadata" -> ((s, d) => {
+      T(s, d, "events")
+        .withColumn("metadata", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+        .select(col("event_id"),
+          col("metadata")("k").cast("int").as("time_spent"),
+          array_join(map_keys(col("metadata")), ",").as("keys"))
+        .orderBy("event_id")
+    }),
+    "p16_cosine_pairs" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+      a.join(b, col("idb") === col("ida") + 1)
+        .select(col("ida"), col("idb"),
+          round(vector.cosineSim(col("ea"), col("eb")), 6).as("sim"))
+        .orderBy("ida")
+    }),
+    "j_star_revenue" -> ((s, d) => {
+      val li = T(s, d, "lineitem"); val o = T(s, d, "orders")
+      val c = T(s, d, "customer"); val n = T(s, d, "nation"); val r = T(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+    "j3_semi_join" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      val big = T(s, d, "lineitem").filter(col("l_quantity") >= 45)
+      o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+    "j7_anti_join" -> ((s, d) => {
+      T(s, d, "customer")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    "j5_hybrid_full_outer" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(sum(col("value")).as("click_score"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum(col("value")).as("buy_score"))
+      Recommend.hybrid(clicks, buys, Seq("user_id"), "click_score", "buy_score", 0.5, 0.5)
+        .select(col("user_id"),
+          round(coalesce(col("click_score"), lit(0.0)), 4).as("click_score"),
+          round(coalesce(col("buy_score"), lit(0.0)), 4).as("buy_score"),
+          round(col("score"), 4).as("score"))
+        .orderBy("user_id")
+    }),
+    "j6_jaccard_sets" -> ((s, d) => {
+      // The deduped membership relation feeds three subplans (a-side,
+      // b-side, per-group sizes); checkpoint it so the lineitem scan +
+      // distinct run once — the deployment shape, where membership is a
+      // maintained bucketed table, not a per-query derivation.
+      val m = T(s, d, "lineitem").select(col("l_orderkey").as("g"), col("l_partkey").as("m"))
+        .distinct().localCheckpoint(false)
+      SimilarityOps.jaccardJoin(
+          m.select(col("g").as("id_a"), col("m")),
+          m.select(col("g").as("id_b"), col("m")),
+          "id_a", "id_b", "m", 0.5)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "j8_knn_cosine" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      SimilarityOps.knnJoinCosine(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "j1_centroid_assign" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val cents = e.groupBy("label")
+        .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("cent"))
+      SimilarityOps.assignNearestCentroid(
+          e, cents, "vec_id", "embedding", "label", "cent", 0.3)
+        .select(col("item_id").as("vec_id"), col("assigned_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("vec_id")
+    }),
+    "a1_popularity" -> ((s, d) => {
+      Recommend.popularity(T(s, d, "events"), "user_id", 50)
+        .orderBy(desc("cnt"), col("user_id"))
+    }),
+    "a2_drift" -> ((s, d) => {
+      Recommend.drift(T(s, d, "events"), col("value"),
+          col("ts") >= lit(RecentCutoff).cast("timestamp"))
+        .select(round(col("drift_score"), 6).as("drift_score"))
+    }),
+    // Array results are serialized to canonical strings (fixed 6-decimal
+    // element format, comma-joined) so the driver's checker — which sorts
+    // result columns — can hash them; comparison stays element-level.
+    "a3_vector_mean" -> ((s, d) => {
+      T(s, d, "embeddings").groupBy("label")
+        .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("c"))
+        .select(col("label"),
+          array_join(transform(col("c"), x => format_string("%.6f", round(x, 6))), ",").as("centroid"))
+        .orderBy("label")
+    }),
+    "a5_set_union" -> ((s, d) => {
+      T(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+        .select(col("l_orderkey"),
+          array_join(transform(col("parts"), _.cast("string")), ",").as("parts"),
+          size(col("parts")).as("n_parts"))
+        .orderBy("l_orderkey")
+    }),
+    "a7_string_agg" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(col("lang"), struct(col("doc_id"), substring(col("text"), 1, 20).as("s")).as("r"))
+        .groupBy("lang")
+        .agg(array_join(transform(array_sort(collect_list(col("r"))), x => x("s")), " | ").as("txt"))
+        .orderBy("lang")
+    }),
+    "a8_diversity" -> ((s, d) => {
+      T(s, d, "documents").groupBy("lang")
+        .agg(countDistinct(col("source")).as("n_sources"), count(lit(1)).as("n_docs"))
+        .withColumn("diversity", round(col("n_sources").cast("double") / col("n_docs"), 6))
+        .orderBy("lang")
+    }),
+    "a9_sentiment" -> ((s, d) => {
+      val st = graft.functions.textStats(col("text"))
+      val sent = when(st("n_tokens") === 0, 0.0)
+        .otherwise((st("n_pos") - st("n_neg")).cast("double") / st("n_tokens"))
+      T(s, d, "documents").groupBy("lang")
+        .agg(round(avg(sent), 6).as("avg_sentiment"))
+        .orderBy("lang")
+    }),
+    "t1_topk_per_key" -> ((s, d) => {
+      Recommend.topKPerKey(T(s, d, "events"), "user_id",
+          Seq(desc("value"), col("event_id")), 10)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), desc("value"), col("event_id"))
+    }),
+    "t2_latest_n" -> ((s, d) => {
+      T(s, d, "orders")
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_orderdate"))
+    }),
+    "d2_keep_first" -> ((s, d) => {
+      DedupOps.keepFirst(T(s, d, "events"),
+          Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy("user_id", "event_type")
+    }),
+    "d5_distinct" -> ((s, d) => {
+      T(s, d, "events").select("user_id", "event_type").distinct()
+        .orderBy("user_id", "event_type")
+    }),
+    // S1 in-engine parse: build one RSS document per source from the
+    // documents table (XML-escaped), then parse entries back out with
+    // the engine's split+XPath stage. The oracle knows construction and
+    // parsing invert each other, so it checks the round-trip directly.
+    "s1_rss_parse" -> ((s, d) => {
+      val items = T(s, d, "documents").select(col("source"), col("doc_id"),
+        concat(lit("<item><title>d"), col("doc_id"),
+          lit("</title><link>https://"), col("source"), lit("/"), col("doc_id"),
+          lit("</link><description>"),
+          graft.sources.FeedOps.xmlEscape(coalesce(col("text"), lit(""))),
+          lit("</description></item>")).as("item"))
+      val feeds = items.groupBy("source")
+        .agg(concat(lit("<rss><channel>"),
+          array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("item")))),
+            x => x.getField("item")), ""),
+          lit("</channel></rss>")).as("xml"))
+      graft.sources.FeedOps.parseRssItems(feeds, "xml")
+        .select(col("source"), col("title"), col("link"), col("description"))
+        .orderBy("source", "title")
+    }),
+    "p1_projection" -> ((s, d) => {
+      T(s, d, "orders")
+        .select(col("o_orderkey"),
+          coalesce(col("o_orderpriority"), lit("NONE")).as("priority"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"))
+        .orderBy("o_orderkey")
+    }),
+    "p2_filter_notnull" -> ((s, d) => {
+      T(s, d, "events").filter(col("props").isNotNull)
+        .select(col("event_id")).orderBy("event_id")
+    }),
+    "p3_filter_nonempty" -> ((s, d) => {
+      T(s, d, "documents").filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    "p4_needs_summary" -> ((s, d) => {
+      val st = T(s, d, "events").groupBy("user_id").agg(
+        max(col("ts")).as("last_updated"),
+        max(when(col("event_type") === "signup", col("ts"))).as("last_summarized"))
+      StoryOps.needsSummary(st, "last_updated", "last_summarized")
+        .select(col("user_id")).orderBy("user_id")
+    }),
+    "p5_recent_filter" -> ((s, d) => {
+      T(s, d, "events")
+        .filter(col("ts") >= lit(RecentCutoff).cast("timestamp"))
+        .select(col("event_id")).orderBy("event_id")
+    }),
+    "p6_score_filter" -> ((s, d) => {
+      T(s, d, "events")
+        .filter(col("value").isNotNull && col("value") >= 100.0)
+        .select(col("event_id"), col("value")).orderBy("event_id")
+    }),
+    "p8_unprocessed" -> ((s, d) => {
+      T(s, d, "events")
+        .withColumn("processed", col("value") > 100.0)
+        .filter(!col("processed"))
+        .select(col("event_id")).orderBy("event_id")
+    }),
+    "p9_nonempty_vec" -> ((s, d) => {
+      T(s, d, "embeddings").filter(size(col("embedding")) > 0)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+    "p14_concat" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", col("lang"), substring(col("text"), 1, 10)).as("headline"))
+        .orderBy("doc_id")
+    }),
+    // P17 — distributed id generation. The driver-checked form is the
+    // content-addressed UUIDv3 (idempotent under re-ingestion, md5-
+    // reproducible by the oracle) plus a deterministic sequence; the
+    // reference's random-ObjectId shape (ids.uuid4 / monotonically_
+    // increasing_id) stays covered by OperatorSpec's format checks.
+    "p17_idgen" -> ((s, d) => {
+      graft.functions.ids.orderedSeqId(
+          T(s, d, "documents")
+            .select(col("doc_id"),
+              graft.functions.ids.contentUuid(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("content_id")),
+          "doc_id")
+        .select(col("doc_id"), col("content_id"), col("seq_id"))
+        .orderBy("doc_id")
+    }),
+    "p18_cast_project" -> ((s, d) => {
+      T(s, d, "orders")
+        .select(col("o_orderkey").cast("string").as("id_str"),
+          col("o_custkey").cast("int").as("cust_int"))
+        .orderBy("id_str")
+    }),
+    "j2_explode_join" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      val stories = o.groupBy(col("o_custkey").as("story_id"))
+        .agg(collect_list(col("o_orderkey")).as("arr"))
+      StoryOps.explodeJoinMembers(stories, o.select("o_orderkey", "o_totalprice"),
+          "story_id", "arr", "o_orderkey")
+        .groupBy("story_id")
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("story_id")
+    }),
+    "a6_member_list" -> ((s, d) => {
+      T(s, d, "embeddings").groupBy("label")
+        .agg(sort_array(collect_list(col("vec_id"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("label"),
+          array_join(transform(col("m"), _.cast("string")), ",").as("members"),
+          col("n_members"))
+        .orderBy("label")
+    }),
+    "a10_minmax_agg" -> ((s, d) => {
+      T(s, d, "events").groupBy("user_id")
+        .agg(max(col("value")).as("mx"), min(col("value")).as("mn"))
+        .withColumn("rng", round(col("mx") - col("mn"), 4))
+        .orderBy("user_id")
+    }),
+    "a11_counts" -> ((s, d) => {
+      T(s, d, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n")).orderBy("event_type")
+    }),
+    "t5_order_limit" -> ((s, d) => {
+      T(s, d, "events")
+        .orderBy(desc("ts"), col("event_id")).limit(20)
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+    }),
+    "t6_argmax" -> ((s, d) => {
+      T(s, d, "events").groupBy("user_id")
+        .agg(max(struct(col("value"), (-col("event_id")).as("neg"))).as("b"))
+        .select(col("user_id"), col("b.value").as("value"), (-col("b.neg")).as("event_id"))
+        .orderBy("user_id")
+    }),
+    "d1_ttl_dedup" -> ((s, d) => {
+      val ev = T(s, d, "events").withColumn("day", to_date(col("ts")))
+      DedupOps.keepFirst(ev, Seq("user_id", "event_type", "day"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("day"), col("event_id"))
+        .orderBy("user_id", "event_type", "day")
+    }),
+    "d3_jaccard_scalar" -> ((s, d) => {
+      val p = T(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      val a = p.select(col("l_orderkey").as("ka"), col("parts").as("pa"))
+      val b = p.select(col("l_orderkey").as("kb"), col("parts").as("pb"))
+      a.join(b, col("kb") === col("ka") + 1)
+        .select(col("ka"), col("kb"),
+          size(array_intersect(col("pa"), col("pb"))).as("inter"),
+          size(array_union(col("pa"), col("pb"))).as("uni"))
+        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+        .orderBy("ka")
+    }),
+    "m4_l2_normalize" -> ((s, d) => {
+      T(s, d, "embeddings").filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          array_join(transform(vector.l2Normalize(col("embedding").cast("array<double>")),
+            x => format_string("%.6f", round(x, 6))), ",").as("unit"))
+        .orderBy("vec_id")
+    }),
+    // Invariant oracle: ALS scores are model outputs, but the serving
+    // contract is exact — every rated user gets exactly k recs with dense
+    // ranks and rank-monotone scores. The oracle computes the user count
+    // from the raw events and states the per-user contract as truths.
+    "m7_als_recommend" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val ratings = ev
+        .select(col("user_id").cast("string").as("user_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("item"),
+          eventsScore(col("event_type")).as("score"))
+        .groupBy("user_id", "item").agg(sum(col("score")).as("score"))
+      val recs = RecommendML.alsTopK(ratings, "user_id", "item", "score", k = 5)
+      recs.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), min("rank").as("rmin"), max("rank").as("rmax"),
+          countDistinct("rank").as("rd"),
+          array_sort(collect_list(struct(col("rank").as("r"), col("score").as("sc")))).as("rs"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("bool_and(n = 5 AND rmin = 1 AND rmax = 5 AND rd = 5)").as("per_user_k_ok"),
+          expr("bool_and(forall(zip_with(slice(rs, 1, size(rs) - 1), slice(rs, 2, size(rs) - 1), (a, b) -> a.sc >= b.sc), x -> x))").as("monotone_ok"))
+        .select(col("n_users"), lit(5).as("k"), col("per_user_k_ok"), col("monotone_ok"))
+    }),
+    // Invariant oracle: M4-M6 surrogate memberships are model-specific,
+    // but the refinement contract is exact — one label per input vector,
+    // labels in {-1} ∪ [0, numClusters), and every surviving cluster at
+    // least minClusterSize strong (the reference's HDBSCAN noise rule).
+    "m5m6_cluster_refine" -> ((s, d) => {
+      val r = ClusterRefine.refine(T(s, d, "embeddings"), "vec_id", "embedding",
+        dim = Some(64))
+      val minSize = r.filter(col("cluster") =!= -1)
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+        .agg(coalesce(expr("bool_and(n >= 5)"), lit(true)).as("min_size_ok"))
+      r.agg(count(lit(1)).as("n_rows"), countDistinct("vec_id").as("n_ids"),
+          expr("bool_and(cluster = -1 OR (cluster >= 0 AND cluster < 10))").as("labels_ok"))
+        .crossJoin(minSize)
+        .select(col("n_rows"), (col("n_ids") === col("n_rows")).as("one_row_per_id"),
+          col("labels_ok"), col("min_size_ok"))
+    }),
+    // M10 — extractive lead-k summarization stand-in (RE2-safe sentence
+    // prefix, mirrored exactly by the DuckDB oracle).
+    "m10_summarize" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          substring(text.leadKSummary(col("text"), 2), 1, 80).as("summary"))
+        .orderBy("doc_id")
+    }),
+    // P7 — drop noise rows (cluster == -1); noise synthesized
+    // deterministically so the filter itself is oracle-checkable.
+    "p7_noise_filter" -> ((s, d) => {
+      T(s, d, "embeddings")
+        .withColumn("cluster",
+          when(col("vec_id") % 7 === 0, -1).otherwise(col("label")))
+        .filter(col("cluster") =!= -1)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
+    "a8a9_bias_reports" -> ((s, d) => {
+      val logs = T(s, d, "documents")
+        .select((col("doc_id") % 50).as("log_id"),
+          struct(col("doc_id").cast("string").as("story_id"), col("source"),
+            substring(col("text"), 1, 50).as("headline")).as("r"))
+        .groupBy("log_id")
+        .agg(collect_list(col("r")).as("recommendations"))
+        .withColumn("user_id", col("log_id").cast("string"))
+      graft.operators.Bias.processLogs(logs)
+        .select(col("log_id"),
+          round(col("diversity_score"), 6).as("diversity_score"),
+          round(col("average_sentiment"), 6).as("average_sentiment"),
+          col("bias_flag"))
+        .orderBy("log_id")
+    }),
+    // Invariant oracle: §3.1 e2e — documents as raw articles through
+    // filter → dedup → featurize → story assignment → story build. On a
+    // cold start every surviving article opens its own singleton story
+    // with a content-addressed id, so the oracle can state the exact
+    // story count (articles with non-empty text) plus the singleton and
+    // id-scheme contracts.
+    "pipe_ingest_cluster" -> ((s, d) => {
+      val raw = T(s, d, "documents").select(
+        concat(lit("doc-"), col("doc_id")).as("link"), col("lang").as("title"),
+        col("text").as("txt"), lit("2024-01-01 00:00:00").cast("timestamp").as("ingestion_time"))
+      val (_, stories) = graft.pipelines.NewsPipeline.ingestAndCluster(raw, s.emptyDataFrame)
+      stories.agg(
+        count(lit(1)).as("n_stories"),
+        sum(col("n_members")).cast("long").as("total_members"),
+        expr("bool_and(n_members = 1)").as("singletons_ok"),
+        expr("bool_and(story_id = concat('s-', md5(members[0])))").as("ids_ok"))
+    }),
+    // Invariant oracle: §3.2 e2e — hybrid ALS + content-kNN + freshness +
+    // top-N. Model scores are not SQL-reproducible, but the serving
+    // contract is: every user with events gets exactly topN rows, dense
+    // ranks, rank-monotone scores, and only story ids that exist.
+    "pipe_hybrid_e2e" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val interactions = ev.select(
+        col("user_id").cast("string").as("user_id"),
+        concat(lit("story-"), pmod(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"), lit(50))).as("story_id"),
+        when(col("event_type") === "purchase", "like")
+          .when(col("event_type") === "signup", "share")
+          .when(col("event_type") === "click", "click").otherwise("read").as("event_type"),
+        col("ts").as("event_time"))
+      // Deterministic story universe (vec_id < 200, NOT limit(200)): the
+      // stories subplan executes more than once below (hybrid arms + the
+      // FK check), and an unordered limit may pick a different row set
+      // per execution — a residue class could vanish between runs.
+      val stories = T(s, d, "embeddings").filter(col("vec_id") < 200)
+        .select(concat(lit("story-"), pmod(col("vec_id"), lit(50))).as("story_id"),
+          col("embedding"))
+        .groupBy("story_id")
+        .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("centroid"))
+        .withColumn("last_updated", lit("2024-01-20 00:00:00").cast("timestamp"))
+      val recs = graft.pipelines.NewsPipeline.hybridRecommend(
+        interactions, stories, lit(NowTs).cast("timestamp"), topN = 10, candK = 20)
+      recs.join(stories.select(col("story_id"), lit(1).as("__hit")), Seq("story_id"), "left")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), min("rank").as("rmin"), max("rank").as("rmax"),
+          countDistinct("rank").as("rd"),
+          expr("bool_and(__hit IS NOT NULL)").as("fk"),
+          array_sort(collect_list(struct(col("rank").as("r"), col("score").as("sc")))).as("rs"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("bool_and(n = 10 AND rmin = 1 AND rmax = 10 AND rd = 10)").as("per_user_n_ok"),
+          expr("bool_and(fk)").as("fk_ok"),
+          expr("bool_and(forall(zip_with(slice(rs, 1, size(rs) - 1), slice(rs, 2, size(rs) - 1), (a, b) -> a.sc >= b.sc), x -> x))").as("monotone_ok"))
+        .select(col("n_users"), lit(10).as("topn"), col("per_user_n_ok"),
+          col("fk_ok"), col("monotone_ok"))
+    }),
+    // rows-only: greedy 1-to-1 Jaccard matching (J6 full semantics).
+    "j6_greedy_match" -> ((s, d) => {
+      val m = T(s, d, "lineitem").select(col("l_orderkey").as("g"), col("l_partkey").as("m")).distinct()
+      val cand = SimilarityOps.jaccardJoin(
+          m.select(col("g").as("id_a"), col("m")),
+          m.select(col("g").as("id_b"), col("m")),
+          "id_a", "id_b", "m", 0.5)
+        .filter(col("id_a") < col("id_b"))
+      StoryOps.greedyMatch(cand, "id_a", "id_b", "jaccard")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    // The RSS round-trip: escape → build feed → split → XPath-extract
+    // inverts construction, so the expected output is the raw fields.
+    "s1_rss_parse" ->
+      """SELECT source, 'd' || doc_id AS title,
+        |  'https://' || source || '/' || doc_id AS link,
+        |  coalesce(text, '') AS description
+        |FROM documents ORDER BY source, title""".stripMargin,
+    "p10_event_score" ->
+      """SELECT event_id, event_type,
+        |  CAST(CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'click' THEN 0.1
+        |    WHEN 'view' THEN 0.01 WHEN 'signup' THEN 0.5 WHEN 'error' THEN 0.0
+        |    ELSE 0.0 END AS DOUBLE) AS score
+        |FROM events ORDER BY event_id""".stripMargin,
+    "p11_freshness" ->
+      """SELECT event_id,
+        |  round(exp(-0.1 * (epoch_ms(TIMESTAMP '2024-02-01 00:00:00') - epoch_ms(ts)) / 3600000.0), 6) AS freshness
+        |FROM events ORDER BY event_id""".stripMargin,
+    "p12_minmax_norm" ->
+      """SELECT user_id, event_id,
+        |  round(CASE WHEN mx - mn > 0 THEN value / (mx - mn) ELSE 0.0 END, 6) AS norm
+        |FROM (SELECT user_id, event_id, value,
+        |        max(value) OVER (PARTITION BY user_id) mx,
+        |        min(value) OVER (PARTITION BY user_id) mn FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "p13_time_parse" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  epoch_ms(o_orderdate) AS epoch_ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p15_json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "p19_map_metadata" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS time_spent,
+        |  regexp_extract(props, '"([a-z_]+)"', 1) AS keys
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m10_summarize" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    regexp_extract(text, '^(?:[^.!?]*[.!?]+){1,2}', 0) p FROM documents)
+        |SELECT doc_id, substr(CASE WHEN p = '' THEN text ELSE p END, 1, 80) AS summary
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "p16_cosine_pairs" ->
+      """WITH p AS (SELECT a.vec_id ida, b.vec_id idb, a.embedding ea, b.embedding eb
+        |             FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+        |u AS (SELECT ida, idb, unnest(ea)::DOUBLE x, unnest(eb)::DOUBLE y FROM p)
+        |SELECT ida, idb, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS sim
+        |FROM u GROUP BY ida, idb ORDER BY ida""".stripMargin,
+    "j_star_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "j3_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "j7_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "j5_hybrid_full_outer" ->
+      """WITH c AS (SELECT user_id, sum(value) cs FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |b AS (SELECT user_id, sum(value) bs FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+        |  round(COALESCE(cs, 0), 4) AS click_score,
+        |  round(COALESCE(bs, 0), 4) AS buy_score,
+        |  round(COALESCE(cs, 0) * 0.5 + COALESCE(bs, 0) * 0.5, 4) AS score
+        |FROM c FULL OUTER JOIN b ON c.user_id = b.user_id
+        |ORDER BY user_id""".stripMargin,
+    "j6_jaccard_sets" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey g, l_partkey p FROM lineitem),
+        |sz AS (SELECT g, count(*) n FROM m GROUP BY g),
+        |i AS (SELECT a.g ga, b.g gb, count(*) inter FROM m a JOIN m b ON a.p = b.p GROUP BY 1, 2),
+        |j AS (SELECT ga id_a, gb id_b, inter,
+        |        inter::DOUBLE / (x.n + y.n - inter) jac
+        |      FROM i JOIN sz x ON x.g = ga JOIN sz y ON y.g = gb)
+        |SELECT id_a, id_b, inter, round(jac, 6) AS jaccard
+        |FROM j WHERE jac >= 0.5 AND id_a < id_b ORDER BY id_a, id_b""".stripMargin,
+    // Greedy 1-to-1 matching is sequential by nature; the oracle replays
+    // it as a recursive CTE — each step accepts the best remaining pair
+    // in the same (jaccard DESC, id_a, id_b) string order the Spark scan
+    // uses, then drops the pairs that share an endpoint with it. One
+    // iteration per accepted match (~1.2k at sf0.01, ~3 s in DuckDB).
+    "j6_greedy_match" ->
+      """WITH RECURSIVE cand AS (
+        |  WITH m AS (SELECT DISTINCT l_orderkey g, l_partkey p FROM lineitem),
+        |  sz AS (SELECT g, count(*) n FROM m GROUP BY g),
+        |  i AS (SELECT a.g ga, b.g gb, count(*) inter FROM m a JOIN m b ON a.p = b.p GROUP BY 1, 2),
+        |  j AS (SELECT ga id_a, gb id_b, inter::DOUBLE / (x.n + y.n - inter) jac
+        |        FROM i JOIN sz x ON x.g = ga JOIN sz y ON y.g = gb)
+        |  SELECT CAST(id_a AS VARCHAR) a, CAST(id_b AS VARCHAR) b, jac j
+        |  FROM j WHERE jac >= 0.5 AND id_a < id_b
+        |),
+        |g AS (
+        |  SELECT a, b, j, false AS accepted FROM cand
+        |  UNION ALL
+        |  SELECT id_a, id_b, jj, is_best FROM (
+        |    SELECT w.a AS id_a, w.b AS id_b, w.j AS jj,
+        |      row_number() OVER (ORDER BY w.j DESC, w.a, w.b) = 1 AS is_best,
+        |      first_value(w.a) OVER (ORDER BY w.j DESC, w.a, w.b) AS ba,
+        |      first_value(w.b) OVER (ORDER BY w.j DESC, w.a, w.b) AS bb
+        |    FROM g w WHERE NOT w.accepted
+        |  ) WHERE is_best OR (id_a <> ba AND id_b <> bb)
+        |)
+        |SELECT a AS id_a, b AS id_b, round(j, 6) AS jaccard
+        |FROM g WHERE accepted ORDER BY id_a, id_b""".stripMargin,
+    "j8_knn_cosine" ->
+      """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT qid, c.vec_id nid, qe, c.embedding ce
+        |        FROM q CROSS JOIN embeddings c WHERE c.vec_id <> qid),
+        |u AS (SELECT qid, nid, unnest(qe)::DOUBLE x, unnest(ce)::DOUBLE y FROM p),
+        |s AS (SELECT qid, nid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) sim
+        |        FROM u GROUP BY qid, nid),
+        |r AS (SELECT qid, nid, sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn FROM s)
+        |SELECT qid AS query_id, nid AS neighbor_id, round(sim, 6) AS sim,
+        |  CAST(rn AS INTEGER) AS rank
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "j1_centroid_assign" ->
+      """WITH u AS (SELECT label, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+        |             FROM embeddings),
+        |cent AS (SELECT label clabel, pos, avg(x) m FROM u GROUP BY 1, 2),
+        |ev AS (SELECT vec_id, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+        |         FROM embeddings),
+        |s AS (SELECT vec_id, clabel,
+        |        sum(ev.x * cent.m) / (sqrt(sum(ev.x * ev.x)) * sqrt(sum(cent.m * cent.m))) sim
+        |      FROM ev JOIN cent ON ev.pos = cent.pos GROUP BY vec_id, clabel),
+        |r AS (SELECT vec_id, clabel, sim,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) rn FROM s)
+        |SELECT vec_id, CAST(CASE WHEN sim >= 0.3 THEN clabel ELSE -1 END AS BIGINT) AS assigned_id,
+        |  round(sim, 6) AS sim
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "a1_popularity" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 50""".stripMargin,
+    "a2_drift" ->
+      """SELECT round(CASE WHEN hist IS NULL OR hist = 0 THEN 0.0
+        |  ELSE abs(COALESCE(rec, 0) - hist) / hist END, 6) AS drift_score
+        |FROM (SELECT avg(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN value END) rec,
+        |             avg(value) hist FROM events)""".stripMargin,
+    "a3_vector_mean" ->
+      """SELECT label, string_agg(printf('%.6f', round(m, 6)), ',' ORDER BY pos) AS centroid
+        |FROM (SELECT label, pos, avg(x) m
+        |      FROM (SELECT label, generate_subscripts(embedding, 1) pos, unnest(embedding)::DOUBLE x
+        |            FROM embeddings) GROUP BY label, pos)
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "a5_set_union" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS parts,
+        |  CAST(len(list(DISTINCT l_partkey)) AS INTEGER) AS n_parts
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a7_string_agg" ->
+      """SELECT lang, string_agg(substr(text, 1, 20), ' | ' ORDER BY doc_id) AS txt
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "a8_diversity" ->
+      """SELECT lang, count(DISTINCT source) AS n_sources, count(*) AS n_docs,
+        |  round(count(DISTINCT source)::DOUBLE / count(*), 6) AS diversity
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "a9_sentiment" ->
+      s"""WITH w AS (SELECT lang, $words wds FROM documents),
+         |s AS (SELECT lang,
+         |  (len(list_filter(wds, t -> t IN ('fast','big','win','good','great'))) -
+         |   len(list_filter(wds, t -> t IN ('slow','small','error','bad','fail'))))::DOUBLE
+         |   / len(wds) sent FROM w)
+         |SELECT lang, round(avg(sent), 6) AS avg_sentiment FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "t1_topk_per_key" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) rn
+        |  FROM events) WHERE rn <= 10
+        |ORDER BY user_id, value DESC, event_id""".stripMargin,
+    "t2_latest_n" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
+    "d2_keep_first" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "d5_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "p1_projection" ->
+      """SELECT o_orderkey, COALESCE(o_orderpriority, 'NONE') AS priority,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p2_filter_notnull" ->
+      """SELECT event_id FROM events WHERE props IS NOT NULL ORDER BY event_id""".stripMargin,
+    "p3_filter_nonempty" ->
+      """SELECT doc_id FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id""".stripMargin,
+    "p4_needs_summary" ->
+      """WITH s AS (SELECT user_id, max(ts) lu,
+        |             max(CASE WHEN event_type = 'signup' THEN ts END) ls
+        |           FROM events GROUP BY user_id)
+        |SELECT user_id FROM s WHERE ls IS NULL OR lu > ls ORDER BY user_id""".stripMargin,
+    "p5_recent_filter" ->
+      """SELECT event_id FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "p6_score_filter" ->
+      """SELECT event_id, value FROM events
+        |WHERE value IS NOT NULL AND value >= 100.0 ORDER BY event_id""".stripMargin,
+    "p7_noise_filter" ->
+      """SELECT vec_id, cluster FROM (
+        |  SELECT vec_id, CASE WHEN vec_id % 7 = 0 THEN -1 ELSE label END AS cluster
+        |  FROM embeddings) WHERE cluster != -1 ORDER BY vec_id""".stripMargin,
+    "p8_unprocessed" ->
+      """SELECT event_id FROM events WHERE NOT (value > 100.0) ORDER BY event_id""".stripMargin,
+    "p9_nonempty_vec" ->
+      """SELECT vec_id FROM embeddings WHERE len(embedding) > 0 ORDER BY vec_id""".stripMargin,
+    "p14_concat" ->
+      """SELECT doc_id, concat_ws(' ', lang, substr(text, 1, 10)) AS headline
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Name-based (v3) UUID re-derived from the same md5: version nibble
+    // '3', variant from hex digit 17 mapped into 8..b.
+    "p17_idgen" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':' || text) m FROM documents)
+        |SELECT doc_id,
+        |  substr(m,1,8) || '-' || substr(m,9,4) || '-3' || substr(m,14,3) || '-' ||
+        |  (['8','9','a','b'])[(strpos('0123456789abcdef', substr(m,17,1)) - 1) % 4 + 1] ||
+        |  substr(m,18,3) || '-' || substr(m,21,12) AS content_id,
+        |  row_number() OVER (ORDER BY doc_id) AS seq_id
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "p18_cast_project" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id_str, CAST(o_custkey AS INTEGER) AS cust_int
+        |FROM orders ORDER BY id_str""".stripMargin,
+    "j2_explode_join" ->
+      """SELECT o_custkey AS story_id, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_custkey ORDER BY story_id""".stripMargin,
+    "a6_member_list" ->
+      """SELECT label, array_to_string(list_sort(list(vec_id)), ',') AS members,
+        |  count(*) AS n_members
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "a10_minmax_agg" ->
+      """SELECT user_id, max(value) AS mx, min(value) AS mn,
+        |  round(max(value) - min(value), 4) AS rng
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a11_counts" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "t5_order_limit" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms FROM events
+        |ORDER BY ts DESC, event_id LIMIT 20""".stripMargin,
+    "t6_argmax" ->
+      """SELECT user_id, value, event_id FROM (
+        |  SELECT user_id, value, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "d1_ttl_dedup" ->
+      """SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS day, event_id
+        |FROM (SELECT user_id, event_type, ts, event_id,
+        |        row_number() OVER (PARTITION BY user_id, event_type, date_trunc('day', ts)
+        |                           ORDER BY ts, event_id) rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type, day""".stripMargin,
+    "d3_jaccard_scalar" ->
+      """WITH p AS (SELECT l_orderkey k, list_sort(list(DISTINCT l_partkey)) parts
+        |           FROM lineitem GROUP BY l_orderkey)
+        |SELECT a.k AS ka, b.k AS kb,
+        |  CAST(len(list_intersect(a.parts, b.parts)) AS INTEGER) AS inter,
+        |  CAST(len(list_distinct(a.parts || b.parts)) AS INTEGER) AS uni,
+        |  round(len(list_intersect(a.parts, b.parts))::DOUBLE /
+        |        len(list_distinct(a.parts || b.parts)), 6) AS jaccard
+        |FROM p a JOIN p b ON b.k = a.k + 1 ORDER BY ka""".stripMargin,
+    "m4_l2_normalize" ->
+      """SELECT vec_id,
+        |  array_to_string(list_transform(embedding, x -> printf('%.6f', round(x::DOUBLE /
+        |    sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))), 6))), ',') AS unit
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
+    "a8a9_bias_reports" ->
+      """WITH r AS (SELECT doc_id % 50 log_id, source, substr(text, 1, 50) headline FROM documents),
+        |s AS (SELECT log_id, source,
+        |  (len(list_filter(w, t -> t IN ('fast','big','win','good','great'))) -
+        |   len(list_filter(w, t -> t IN ('slow','small','error','bad','fail'))))::DOUBLE / len(w) sent
+        |  FROM (SELECT log_id, source,
+        |        list_filter(regexp_split_to_array(lower(trim(headline)), '[ \t\n\x0b\f\r]+'), t -> t <> '') w FROM r)),
+        |g AS (SELECT log_id, count(DISTINCT source)::DOUBLE / count(*) d, avg(sent) m
+        |      FROM s GROUP BY log_id)
+        |SELECT log_id, round(d, 6) AS diversity_score, round(m, 6) AS average_sentiment,
+        |  (d < 0.5 OR m < 0.0) AS bias_flag
+        |FROM g ORDER BY log_id""".stripMargin,
+    // ALS: every user with events gets exactly k recs, dense ranks,
+    // rank-monotone scores.
+    "m7_als_recommend" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(5 AS INTEGER) AS k,
+        |  true AS per_user_k_ok, true AS monotone_ok
+        |FROM events""".stripMargin,
+    // Cluster refinement: one label per vector, labels in {-1} ∪ [0, 10),
+    // surviving clusters ≥ min size 5.
+    "m5m6_cluster_refine" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS one_row_per_id,
+        |  true AS labels_ok, true AS min_size_ok
+        |FROM embeddings""".stripMargin,
+    // Ingest pipeline cold start: every article with usable text opens a
+    // singleton story whose id is content-addressed from its link.
+    "pipe_ingest_cluster" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_stories,
+        |  CAST(count(*) AS BIGINT) AS total_members,
+        |  true AS singletons_ok, true AS ids_ok
+        |FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0""".stripMargin,
+    // Hybrid recommendation serving contract: every user with events gets
+    // exactly topN rows, dense ranks, existing story ids, rank-monotone
+    // scores.
+    "pipe_hybrid_e2e" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(10 AS INTEGER) AS topn,
+        |  true AS per_user_n_ok, true AS fk_ok, true AS monotone_ok
+        |FROM events""".stripMargin,
+  )
+}

@@ -1,0 +1,472 @@
+package graft
+
+import graft.functions.{sig, text, vector, VectorMeanFast}
+import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, DomainModel, IvfAnn, LayoutOps, MultimodalOps, PqOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rerank, Rrf, SampleOps, SemDedup, SemDedupStore, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QShared._
+import OracleDefs._
+
+/** Sketches (distinct / heavy-hitter / quantile), skew-aware joins, layout keys, and temporal joins.
+ *
+ * One `queries` entry per operator with its DuckDB oracle in
+ * `oracles` side by side (rows-only queries omit the oracle);
+ * aggregated into the driver contract by [[SparkEntry]] /
+ * [[OracleSql]]. Shared plan helpers live in [[QShared]], shared
+ * SQL fragments in [[OracleDefs]].
+ */
+private[graft] object QSketchJoin {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HLL++ cardinality estimation — the corpus-stats primitive a 100 TB
+    // deployment uses where exact countDistinct is a full shuffle of the
+    // key space: vocabulary size estimated at rsd 2% (one map-side
+    // sketch per partition, constant-size merge), checked in-plan
+    // against the exact count with a ±10% contract the oracle states.
+    "x_approx_distinct" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(explode(filter(split(lower(trim(col("text"))), text.WhitespaceRun),
+          t => t =!= "")).as("token"))
+        .agg(countDistinct(col("token")).as("n_exact"),
+          approx_count_distinct(col("token"), 0.02).as("__a"))
+        .select(col("n_exact"),
+          (abs(col("__a") - col("n_exact")) <=
+            col("n_exact") * lit(0.1)).as("approx_ok"))
+    }),
+    // Misra–Gries heavy hitters — the frequency leg of the sketch family
+    // (HLL = cardinality, approx_percentile = rank): per-source token
+    // summaries at capacity m=24, below the ~31-token vocabulary so
+    // eviction genuinely fires. The sketch shuffles ≤ m counters per
+    // group per map partition — universe-independent, the scale win over
+    // x_vocab_topk's exact (group, token) shuffle. MG estimates are
+    // partitioning-dependent but the MG BOUND is not, so the output
+    // carries exact values plus guarantee booleans (the x_approx_distinct
+    // idiom): est ≤ c and c − est ≤ n/(m+1) for EVERY token, which
+    // implies every token above the threshold survives in the sketch.
+    "x_heavy_hitters" -> ((s, d) => {
+      val m = 24
+      val toks = T(s, d, "documents").select(col("source"),
+        explode(filter(split(lower(trim(col("text"))), text.WhitespaceRun),
+          t => t =!= "")).as("token"))
+      val sk = toks.groupBy("source").agg(
+        graft.functions.MisraGriesAgg.misraGries(col("token"), m).as("__mg"),
+        count(lit(1)).as("n_tokens"))
+      val exact = toks.groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val j = exact.join(sk, "source").select(col("source"), col("token"),
+        col("c"), col("n_tokens"),
+        coalesce(element_at(col("__mg"), col("token")), lit(0L)).as("__est"),
+        (col("n_tokens").cast("double") / lit(m + 1)).as("__thr"))
+      j.groupBy("source").agg(
+          first(col("n_tokens")).as("n_tokens"),
+          sum(when(col("c") > col("__thr"), 1L).otherwise(0L)).as("n_hh"),
+          max(struct(col("c"), col("token"))).as("__top"),
+          bool_and(!(col("c") > col("__thr")) || col("__est") > 0)
+            .as("hh_in_sketch"),
+          bool_and(col("__est") <= col("c") &&
+            (col("c") - col("__est")).cast("double") <= col("__thr"))
+            .as("mg_bounds_ok"))
+        .select(col("source"), col("n_tokens"), col("n_hh"),
+          col("__top").getField("token").as("top_token"),
+          col("__top").getField("c").as("top_count"),
+          col("hh_in_sketch"), col("mg_bounds_ok"))
+        .orderBy("source")
+    }),
+    // Incremental heavy hitters — the frequency sketch's MAINTENANCE
+    // shape, the pattern every standing summary here follows (span-index
+    // merge, band-index refresh, IVF append): each ingest batch persists
+    // its per-source (misra_gries map, n) pair, and misra_gries_merge
+    // folds stored pairs into one summary that still honors the MG bound
+    // over the UNION — compaction reads m-bounded rows, never the
+    // corpus. The batch/corpus split mirrors the other x_*_incremental
+    // queries; the contract is the x_heavy_hitters one, now checked on
+    // the MERGED summary.
+    "x_hh_incremental" -> ((s, d) => {
+      val m = 24
+      val toks = T(s, d, "documents").select(col("doc_id"), col("source"),
+        explode(filter(split(lower(trim(col("text"))), text.WhitespaceRun),
+          t => t =!= "")).as("token"))
+      def sketch(slice: Column) = toks.filter(slice).groupBy("source").agg(
+        graft.functions.MisraGriesAgg.misraGries(col("token"), m).as("items"),
+        count(lit(1)).as("n"))
+      val stored = sketch(pmod(col("doc_id"), lit(5)) =!= 0)
+        .unionByName(sketch(pmod(col("doc_id"), lit(5)) === 0))
+      val merged = stored.groupBy("source")
+        .agg(graft.functions.MisraGriesAgg.misraGriesMerge(
+          col("items"), col("n"), m).as("mg"))
+        .select(col("source"), col("mg").getField("items").as("__mg"),
+          col("mg").getField("n").as("n_tokens"))
+      val exact = toks.groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val j = exact.join(merged, "source").select(col("source"), col("c"),
+        col("n_tokens"),
+        coalesce(element_at(col("__mg"), col("token")), lit(0L)).as("__est"),
+        (col("n_tokens").cast("double") / lit(m + 1)).as("__thr"))
+      j.groupBy("source").agg(
+          first(col("n_tokens")).as("n_tokens"),
+          sum(when(col("c") > col("__thr"), 1L).otherwise(0L)).as("n_hh"),
+          bool_and(!(col("c") > col("__thr")) || col("__est") > 0)
+            .as("hh_in_sketch"),
+          bool_and(col("__est") <= col("c") &&
+            (col("c") - col("__est")).cast("double") <= col("__thr"))
+            .as("mg_bounds_ok"))
+        .orderBy("source")
+    }),
+    // Incremental quantile sketch — the rank leg's MAINTENANCE shape,
+    // completing the sketch family's standing-state story (frequency =
+    // x_hh_incremental, rank = this): each ingest batch persists its
+    // per-source serialized Greenwald–Khanna summary, and
+    // quantile_sketch_merge folds stored sketches into the corpus
+    // summary — compaction reads sketch-sized rows, never the corpus.
+    // This is how x_outlier_trim's p99 admission thresholds refresh in
+    // O(batch) instead of a rescan. Rank-exact at accuracy 2^20 while
+    // per-source counts stay ≤ 2^19 (exact through ~sf10 here), so the
+    // oracle replays the documented "smallest x with cdf ≥ q" semantic
+    // over the UNION — the split and the stored-sketch fold must be
+    // invisible, the x_hh_incremental law.
+    "x_quantile_incremental" -> ((s, d) => {
+      import graft.functions.QuantileSketch._
+      val acc = 1 << 20
+      val docs = T(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars").cast("double").as("v"))
+      def sketch(slice: Column) = docs.filter(slice).groupBy("source").agg(
+        quantileSketch(col("v"), acc).as("sketch"), count(lit(1)).as("n"))
+      val stored = sketch(pmod(col("doc_id"), lit(5)) =!= 0)
+        .unionByName(sketch(pmod(col("doc_id"), lit(5)) === 0))
+      val merged = stored.groupBy("source").agg(
+        quantileSketchMerge(col("sketch")).as("sketch"), sum(col("n")).as("n_total"))
+      val qs = quantileSketchQuery(col("sketch"),
+        array(lit(0.5), lit(0.9), lit(0.99)))
+      merged.select(col("source"), col("n_total"),
+          round(element_at(qs, 1), 2).as("p50"),
+          round(element_at(qs, 2), 2).as("p90"),
+          round(element_at(qs, 3), 2).as("p99"))
+        .orderBy("source")
+    }),
+    // The PERSISTED form of x_quantile_incremental (the
+    // x_bm25_incremental pattern: build the standing store in-query so
+    // the oracle can check it): five batch appends land one O(batch)
+    // summary row per (batch, source) on the StatsStore ledger, a
+    // compaction folds them to one row per source, and the query probes
+    // the standing state — identical answers to the in-memory fold
+    // prove the stored rank statistics are current over the union.
+    "x_quantile_store" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val dir = tmpStore("stats_store")
+      graft.operators.StatsStore.init(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 1), "source", "n_chars")
+      for (i <- Seq(2, 3, 4, 0))
+        graft.operators.StatsStore.append(s, dir,
+          docs.filter(pmod(col("doc_id"), lit(5)) === i), "source", "n_chars",
+          name = Some(s"batch_$i"))
+      graft.operators.StatsStore.compact(s, dir)
+      graft.operators.StatsStore.quantiles(s, dir, Seq(0.5, 0.9, 0.99))
+        .select(col("g").as("source"), col("n").as("n_total"),
+          round(element_at(col("qs"), 1), 2).as("p50"),
+          round(element_at(col("qs"), 2), 2).as("p90"),
+          round(element_at(col("qs"), 3), 2).as("p99"))
+        .orderBy("source")
+    }),
+    // Distributed quantile sketch (the percentile counterpart of the
+    // HLL idiom): per-group approx_percentile at 1e-4 rank accuracy,
+    // contract-checked in-plan against the exact quantiles with a
+    // ±1-percentile rank window — at 100 TB only the sketch runs (fixed-
+    // size per-partition summaries, constant-size merge); the exact side
+    // exists to state the contract, like countDistinct in
+    // x_approx_distinct.
+    "x_quantile_sketch" -> ((s, d) => {
+      val q = T(s, d, "orders").groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(o_totalprice, array(0.39, 0.40, 0.41, 0.49, 0.50, 0.51, " +
+            "0.89, 0.90, 0.91, 0.98, 0.99, 1.0))").as("__e"),
+          percentile_approx(col("o_totalprice"), array(lit(0.4), lit(0.5), lit(0.9), lit(0.99)),
+            lit(10000)).as("__a"))
+      def ok(i: Int, lo: Int, hi: Int) =
+        (element_at(col("__a"), i) >= element_at(col("__e"), lo)) &&
+          (element_at(col("__a"), i) <= element_at(col("__e"), hi))
+      q.select(col("o_orderpriority"), col("n"),
+          round(element_at(col("__e"), 5), 2).as("p50_exact"),
+          round(element_at(col("__e"), 8), 2).as("p90_exact"),
+          ok(1, 1, 3).as("ok40"), ok(2, 4, 6).as("ok50"),
+          ok(3, 7, 9).as("ok90"), ok(4, 10, 12).as("ok99"))
+        .orderBy("o_orderpriority")
+    }),
+    // Z-order layout key: exact equi-width buckets (integer math) of
+    // (o_custkey, o_orderkey) interleaved into the Morton code that
+    // zorderBy clusters files on. Map-only: the min/max stats ride a
+    // broadcast 1-row cross join.
+    "x_zorder_key" -> ((s, d) => {
+      LayoutOps.zorderKey(T(s, d, "orders").select("o_orderkey", "o_custkey"),
+          "o_custkey", "o_orderkey", bits = 8)
+        .select(col("o_orderkey"), col("bucket_a"), col("bucket_b"), col("zval"))
+        .orderBy("o_orderkey")
+    }),
+    // Skew-safe equi-join: salted fact × replicated dim equals the plain
+    // join row-for-row (the oracle runs the unsalted join), while a hot
+    // l_partkey spreads over 8 reducers instead of one.
+    "x_salted_join" -> ((s, d) => {
+      SkewOps.saltedJoin(T(s, d, "lineitem"), T(s, d, "part"),
+          "l_partkey", "p_partkey", saltSource = col("l_orderkey"), salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+    // Adaptive salted join: the MG frequency sketch detects hot keys in
+    // one bounded pass and ONLY those salt — cold keys skip the salts×
+    // dim replication x_salted_join pays universally. hotFrac=0.6 on
+    // l_returnflag splits the arms DETERMINISTICALLY under the MG bound:
+    // N (~51%) always flags hot (est ≥ 0.51n − n/5 ≥ 0.3n), A/R (~25%)
+    // never do (est ≤ 0.25n < 0.3n) — so both arms execute regardless
+    // of merge order, and the union equals the plain join row-for-row.
+    "x_adaptive_salted_join" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val dim = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(round(avg(col("l_tax")), 6).as("avg_tax"))
+      SkewOps.adaptiveSaltedJoin(li, dim, "l_returnflag", "rf",
+          saltSource = col("l_orderkey"), salts = 8, hotFrac = 0.6)
+        .groupBy(col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) + col("avg_tax"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_linestatus")
+    }),
+    // Two-phase salted distinct-set: partials per (key, value-salt) are
+    // disjoint, so flatten-union equals a direct collect_set per key.
+    "x_salted_set_union" -> ((s, d) => {
+      SkewOps.saltedDistinctSet(T(s, d, "lineitem"), "l_orderkey", "l_partkey", salts = 8)
+        .select(col("l_orderkey"),
+          array_join(transform(col("values"), _.cast("string")), ",").as("parts"),
+          size(col("values")).as("n_parts"))
+        .orderBy("l_orderkey")
+    }),
+    // As-of join: every click gains the user's most recent view at or
+    // before the click (left semantics — 151 clicks at sf0.01 precede any
+    // view and carry nulls). No join node: union + one key exchange + one
+    // sort + a running last(ignoreNulls) window. The right side is
+    // pre-deduped per (user, ts) so the carried row is pinned.
+    "x_asof_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("value"))
+        .groupBy("user_id", "view_ts")
+        .agg(max(col("value")).as("view_value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      TemporalOps.asofJoin(clicks, views, Seq("user_id"), "ts", "view_ts")
+        // events.ts is tz-adjusted (timestamp_micros in T); emit NTZ so
+        // the parquet matches DuckDB's naive µs timestamps (identity
+        // under the UTC session — same wall clock, same micros).
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("view_ts").cast("timestamp_ntz").as("view_ts"), col("view_value"))
+        .orderBy("event_id")
+    }),
+    // Interval join on a time grid: each error event opens a 30-minute
+    // window; count/sum the user's events inside it. The grid bucket
+    // equals the window length, so an interval fans out to ≤ 2 cells and
+    // the inequality rides a plain equi-join — no cross product. Left
+    // join back keeps windows with only their own opening event.
+    "x_range_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val wins = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("win_id"), col("user_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      val points = ev.select(col("user_id"), col("ts"), col("value"))
+      val pairs = TemporalOps.rangeJoin(points, wins, Seq("user_id"),
+        "ts", "w_start", "w_end", bucketMicros = 30L * 60 * 1000000)
+      wins.select(col("win_id"))
+        .join(pairs.groupBy(col("win_id"))
+          .agg(count(lit(1)).as("__n"), sum(col("value")).as("__sv")), Seq("win_id"), "left")
+        .select(col("win_id"),
+          coalesce(col("__n"), lit(0L)).as("n_events"),
+          round(coalesce(col("__sv"), lit(0.0)), 4).as("sum_value"))
+        .orderBy("win_id")
+    }),
+    // Gap-based sessionization (30-min inactivity), then per-session
+    // summaries — the batch twin of Structured Streaming's
+    // session_window, replayed exactly by the oracle. One exchange + one
+    // sort serves both the lag and the running session counter.
+    "x_sessionize" -> ((s, d) => {
+      TemporalOps.sessionize(T(s, d, "events"), Seq("user_id"), "ts",
+          gapMicros = 30L * 60 * 1000000, tieBreak = Seq(col("event_id")))
+        .groupBy(col("user_id"), col("session_seq"))
+        // NTZ on output for the same reason as x_asof_join (the session
+        // math itself runs on the tz-adjusted column — unix_micros).
+        .agg(min(col("ts")).cast("timestamp_ntz").as("session_start"),
+          max(col("ts")).cast("timestamp_ntz").as("session_end"),
+          count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("user_id", "session_seq")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    // The salted join/agg must equal their unsalted forms — the oracle
+    // IS the unsalted form.
+    "x_salted_join" ->
+      """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // Adaptive salted join: the oracle is the PLAIN join — hot-key
+    // detection and selective salting must be invisible in the result.
+    "x_adaptive_salted_join" ->
+      """WITH dim AS (SELECT l_returnflag rf, round(avg(l_tax), 6) avg_tax
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_linestatus,
+        |  round(sum(l_extendedprice * (1 + avg_tax)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN dim ON l_returnflag = rf
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_salted_set_union" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS parts,
+        |  CAST(len(list(DISTINCT l_partkey)) AS INTEGER) AS n_parts
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    // As-of join replayed by DuckDB's native ASOF LEFT JOIN (greatest
+    // view_ts <= click ts per user, inclusive — identical tie rule to the
+    // engine's right-before-left sort at equal timestamps). The view side
+    // is deduped per (user, ts) on both sides so the match is pinned.
+    "x_asof_join" ->
+      """WITH v AS (SELECT user_id, ts AS view_ts, max(value) AS view_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |     c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+        |ORDER BY c.event_id""".stripMargin,
+    // Interval join as a plain inequality join (DuckDB plans IEJoin);
+    // the engine's grid-bucketed equi-join must produce the identical
+    // pair set. count(p.ts) counts matched rows only, so windows whose
+    // sole content is their opening event still replay exactly.
+    "x_range_join" ->
+      """WITH w AS (SELECT event_id AS win_id, user_id, ts AS w_start,
+        |                  ts + INTERVAL 30 MINUTE AS w_end
+        |           FROM events WHERE event_type = 'error'),
+        |     p AS (SELECT user_id, ts, value FROM events)
+        |SELECT w.win_id, CAST(count(p.ts) AS BIGINT) AS n_events,
+        |       round(coalesce(sum(p.value), 0), 4) AS sum_value
+        |FROM w LEFT JOIN p ON p.user_id = w.user_id
+        |  AND p.ts >= w.w_start AND p.ts < w.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Gap sessions: break when the gap to the previous event exceeds 30
+    // minutes (strict, microsecond-exact on both engines), running-sum
+    // the breaks into a per-user session sequence, then summarize.
+    "x_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |     s AS (SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Z-order key replay: same exact integer bucketization (// is
+    // DuckDB integer division — the engine's pmod construction computes
+    // the identical exact quotient) and an explicit bit-interleave sum.
+    "x_zorder_key" ->
+      """WITH st AS (SELECT min(o_custkey) mina, max(o_custkey) maxa,
+        |                   min(o_orderkey) minb, max(o_orderkey) maxb FROM orders),
+        |b AS (SELECT o_orderkey,
+        |        ((o_custkey - mina) * 256) // (maxa - mina + 1) AS ba,
+        |        ((o_orderkey - minb) * 256) // (maxb - minb + 1) AS bb
+        |      FROM orders CROSS JOIN st)
+        |SELECT o_orderkey, ba AS bucket_a, bb AS bucket_b,
+        |  CAST(sum(((ba >> i) & 1) * (1::BIGINT << (2 * i))
+        |         + ((bb >> i) & 1) * (1::BIGINT << (2 * i + 1))) AS BIGINT) AS zval
+        |FROM b, unnest(generate_series(0, 7)) t(i)
+        |GROUP BY 1, 2, 3 ORDER BY o_orderkey""".stripMargin,
+    // HLL cardinality: exact vocab size from the raw table; the Spark
+    // side's sketch estimate must sit within the ±10% contract.
+    "x_approx_distinct" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents)
+        |SELECT CAST(count(DISTINCT token) AS BIGINT) AS n_exact,
+        |  true AS approx_ok
+        |FROM (SELECT unnest(wds) token FROM w)""".stripMargin,
+    // Heavy hitters: exact per-source token counts + the n/(m+1)
+    // threshold (m=24 matches the engine); the two MG-guarantee booleans
+    // are identically true when the sketch honors its bound — the
+    // x_approx_distinct idiom. Top-token tie-break (count desc, token
+    // desc) mirrors Spark's max(struct(c, token)) field ordering.
+    "x_heavy_hitters" ->
+      s"""WITH t AS (SELECT source, unnest($words) token FROM documents),
+         |c AS (SELECT source, token, count(*) c FROM t GROUP BY 1, 2),
+         |n AS (SELECT source, count(*) n FROM t GROUP BY 1)
+         |SELECT c.source, n.n AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE c > n.n / 25.0) AS BIGINT) AS n_hh,
+         |  (array_agg(token ORDER BY c DESC, token DESC))[1] AS top_token,
+         |  max(c) AS top_count,
+         |  true AS hh_in_sketch, true AS mg_bounds_ok
+         |FROM c JOIN n ON c.source = n.source
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Incremental heavy hitters: exact counts over the union (the split
+    // and the stored-summary fold must be invisible); guarantee booleans
+    // identically true when the merged sketch honors the MG bound.
+    "x_hh_incremental" ->
+      s"""WITH t AS (SELECT source, unnest($words) token FROM documents),
+         |c AS (SELECT source, token, count(*) c FROM t GROUP BY 1, 2),
+         |n AS (SELECT source, count(*) n FROM t GROUP BY 1)
+         |SELECT c.source, n.n AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE c > n.n / 25.0) AS BIGINT) AS n_hh,
+         |  true AS hh_in_sketch, true AS mg_bounds_ok
+         |FROM c JOIN n ON c.source = n.source
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Incremental quantile sketch: the merged stored sketches are
+    // rank-exact at the query's accuracy, so the oracle replays the
+    // documented "smallest x with cdf >= ceil(q*n)" semantic over the
+    // UNION as a cumulative-count window (the x_outlier_trim idiom) —
+    // the batch split and the stored-sketch fold must be invisible.
+    "x_quantile_incremental" ->
+      """WITH n AS (SELECT source, count(*) n_total FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_chars,
+        |        count(*) OVER (PARTITION BY source ORDER BY n_chars) cum
+        |      FROM documents),
+        |q AS (SELECT r.source,
+        |        min(n_chars) FILTER (WHERE cum >= ceil(0.5 * n_total)) p50,
+        |        min(n_chars) FILTER (WHERE cum >= ceil(0.9 * n_total)) p90,
+        |        min(n_chars) FILTER (WHERE cum >= ceil(0.99 * n_total)) p99
+        |      FROM r JOIN n USING (source) GROUP BY 1)
+        |SELECT n.source, CAST(n.n_total AS BIGINT) AS n_total,
+        |  round(CAST(p50 AS DOUBLE), 2) AS p50,
+        |  round(CAST(p90 AS DOUBLE), 2) AS p90,
+        |  round(CAST(p99 AS DOUBLE), 2) AS p99
+        |FROM n JOIN q USING (source) ORDER BY 1""".stripMargin,
+    // Persisted stats store: identical replay to x_quantile_incremental
+    // — the store's batch split, ledger fold, and compaction must all be
+    // invisible against the union.
+    "x_quantile_store" ->
+      """WITH n AS (SELECT source, count(*) n_total FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_chars,
+        |        count(*) OVER (PARTITION BY source ORDER BY n_chars) cum
+        |      FROM documents),
+        |q AS (SELECT r.source,
+        |        min(n_chars) FILTER (WHERE cum >= ceil(0.5 * n_total)) p50,
+        |        min(n_chars) FILTER (WHERE cum >= ceil(0.9 * n_total)) p90,
+        |        min(n_chars) FILTER (WHERE cum >= ceil(0.99 * n_total)) p99
+        |      FROM r JOIN n USING (source) GROUP BY 1)
+        |SELECT n.source, CAST(n.n_total AS BIGINT) AS n_total,
+        |  round(CAST(p50 AS DOUBLE), 2) AS p50,
+        |  round(CAST(p90 AS DOUBLE), 2) AS p90,
+        |  round(CAST(p99 AS DOUBLE), 2) AS p99
+        |FROM n JOIN q USING (source) ORDER BY 1""".stripMargin,
+    // Quantile sketch: exact per-group quantiles from the raw table
+    // (DuckDB quantile_cont = Spark's exact `percentile` linear
+    // interpolation); the sketch values must sit inside the stated
+    // ±1-percentile rank windows.
+    "x_quantile_sketch" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_exact,
+        |  true AS ok40, true AS ok50, true AS ok90, true AS ok99
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
