@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
  *    (= ADC) shortlist; the caller refines the shortlist against float
  *    vectors exactly as in x_ann_ivf_pq — spec-pinned equal to the
  *    in-memory [[IvfAnn.annSearch]] over the same reconstruction.
+ *  - [[needsRebuild]]/[[rebuild]]/[[maintain]]: the scheduled
+ *    centroid+codebook refit once mutations drift past the manifest
+ *    accounting's threshold ([[graft.sources.IndexMeta]]) — codes,
+ *    cells, and codebook swap in ONE generation flip via the fit
+ *    pointer, after which the store is self-contained
+ *    ([[readCells]]/[[readCodebook]]).
  *
  * The codebook itself is m·ksub·(D/m) doubles — persist it next to the
  * index with [[writeCodebook]]/[[readCodebook]] (one tiny parquet, the
@@ -61,25 +67,50 @@ object PqStore {
       mat.withColumn("__cell_s", col("cell").cast("string"))
         .withColumn("__v", lit(0L)),
       Seq(idCol), "__v", numBuckets, layoutCol = Some("__cell_s"),
-      meta = Some(s"ivfpq:v1;base=${mat.count()};added=0"))
+      meta = Some(graft.sources.IndexMeta.fresh(mat.count())))
   }
+
+  /** The fit-artifact dir the LIVE generation was encoded under: a
+    * [[rebuild]] swaps codes, cells, and codebook atomically by writing
+    * the refit artifacts to a fresh `fit_rK/` and carrying the pointer
+    * in the same manifest commit as the re-encoded table
+    * ([[graft.sources.IndexMeta]].cellsPtr — the Hybrid.rebuild
+    * idiom); never-rebuilt stores fall back to the init-time
+    * `_codebook` / caller-held cells. */
+  private def fitDir(spark: SparkSession, dir: String): Option[String] =
+    graft.sources.IndexMeta.cellsPtr(dir).map(p => s"$dir/$p")
 
   /** Persist the codebook as one row per (sub, cid) — tiny, broadcast
     * on read; the model-store idiom. */
-  def writeCodebook(spark: SparkSession, dir: String, cb: Codebook): Unit = {
+  def writeCodebook(spark: SparkSession, dir: String, cb: Codebook): Unit =
+    writeCodebookAt(spark, s"$dir/_codebook", cb)
+
+  private def writeCodebookAt(spark: SparkSession, path: String, cb: Codebook): Unit = {
     import spark.implicits._
     cb.zipWithIndex.flatMap { case (cents, s) =>
       cents.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
     }.toSeq.toDF("sub", "cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_codebook")
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   def readCodebook(spark: SparkSession, dir: String): Codebook = {
-    val rows = spark.read.parquet(s"$dir/_codebook")
+    val path = fitDir(spark, dir).map(f => s"$f/codebook").getOrElse(s"$dir/_codebook")
+    val rows = spark.read.parquet(path)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
     val m = rows.keys.map(_._1).max + 1
     val ksub = rows.keys.map(_._2).max + 1
     Array.tabulate(m, ksub)((s, c) => rows((s, c)))
+  }
+
+  /** The coarse cells the LIVE generation was assigned under — present
+    * only after a [[rebuild]] (a freshly-written store's cells are the
+    * caller's, fitted before [[write]]); probes must use these, not a
+    * stale caller-held copy. */
+  def readCells(spark: SparkSession, dir: String): DataFrame = {
+    val f = fitDir(spark, dir).getOrElse(throw new IllegalStateException(
+      s"PQ store at '$dir' has never been rebuilt — its cells live with " +
+        "the caller that fitted them before write()"))
+    spark.read.parquet(s"$f/cells")
   }
 
   /** O(batch) add of NEW ids under the fixed (cells, cb): only the
@@ -93,13 +124,12 @@ object PqStore {
     val coded = encodeResiduals(
       IvfAnn.assignCells(newVectors, idCol, vecCol, cells),
       cells, idCol, vecCol, cb, dim)
-    val newMeta = graft.sources.TableSink.metaOf(dir).flatMap(parseMeta)
-      .map { case (base, added) =>
-        s"ivfpq:v1;base=$base;added=${added + newVectors.select(col(idCol)).count()}" }
     graft.sources.TableSink.upsert(spark, dir,
       coded.withColumn("__cell_s", col("cell").cast("string"))
         .withColumn("__v", lit(version)),
-      Seq(idCol), "__v", meta = newMeta)
+      Seq(idCol), "__v",
+      meta = graft.sources.IndexMeta.bumped(dir,
+        newVectors.select(col(idCol)).count()))
   }
 
   /** Bucket-pruned takedown; removals advance `added` (a mutation away
@@ -110,12 +140,83 @@ object PqStore {
     require(graft.sources.TableSink.layoutColOf(dir).isDefined,
       s"no PQ index at '$dir' — write one with PqStore.write first")
     graft.sources.TableSink.deleteByIds(spark, dir, ids, idCol,
-      metaFor = victims =>
-        graft.sources.TableSink.metaOf(dir).flatMap(parseMeta)
-          .map { case (base, added) =>
-            s"ivfpq:v1;base=$base;added=${added + victims.count()}" })
+      metaFor = victims => graft.sources.IndexMeta.bumped(dir, victims.count()))
     ()
   }
+
+  /** The codebook/centroid staleness trigger — [[graft.sources
+    * .IndexMeta]] semantics over this store's manifest accounting. */
+  def needsRebuild(dir: String, maxAddedFraction: Double = 0.5): Boolean =
+    graft.sources.IndexMeta.needsRebuild(dir, maxAddedFraction)
+
+  /**
+   * The scheduled bulk rebuild [[needsRebuild]] cues — the PQ member of
+   * the centroid-refit family ([[IvfAnn.rebuildIndex]],
+   * [[graft.pipelines.Hybrid.rebuild]]): refit the coarse cells AND the
+   * residual codebook over the CURRENT float corpus (PQ codes are
+   * lossy — a refit needs the originals, which the serving deployment
+   * keeps cold while this store is what stays hot), re-encode, and swap
+   * atomically: the refit artifacts write to a fresh `fit_rK/` dir
+   * first, then ONE [[graft.sources.TableSink]] generation flip carries
+   * the re-encoded codes, the fit pointer, and the reset accounting —
+   * at every crash point the live codes and the fit they were encoded
+   * under resolve together ([[readCells]]/[[readCodebook]]). O(corpus)
+   * by design; schedule it. Returns (cells, codebook) — also readable
+   * back from the store, which is now self-contained.
+   */
+  def rebuild(spark: SparkSession, dir: String, corpus: DataFrame,
+              idCol: String, vecCol: String, nlist: Int, m: Int, ksub: Int,
+              dim: Int, iters: Int = 3): (DataFrame, Codebook) = {
+    require(graft.sources.TableSink.tableExists(dir),
+      s"no PQ index at '$dir' — write one with PqStore.write first")
+    val ed = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as(vecCol))
+    val cells = IvfAnn.buildCells(ed, idCol, vecCol, nlist, iters)
+    val withResid = IvfAnn.assignCells(ed, idCol, vecCol, cells)
+      .join(broadcast(cells), col("cell") === col("cell_id"))
+      .select(col(idCol), col("cell"),
+        zip_with(col(vecCol), col("cell_vec"), (x, y) => x - y).as("__resid"))
+      .localCheckpoint(true) // every codebook Lloyd pass scans it
+    val cb = PqOps.trainCodebooks(withResid, idCol, "__resid", m, ksub, dim, iters)
+    val fit = nextFitDirName(dir)
+    cells.write.parquet(s"$dir/$fit/cells")
+    writeCodebookAt(spark, s"$dir/$fit/codebook", cb)
+    val coded = encodeResiduals(
+        IvfAnn.assignCells(ed, idCol, vecCol, cells),
+        cells, idCol, vecCol, cb, dim)
+      .withColumn("__cell_s", col("cell").cast("string"))
+      .withColumn("__v", lit(0L))
+      .localCheckpoint(true) // base count + overwrite both consume it
+    graft.sources.TableSink.overwrite(spark, dir, coded, Seq(idCol),
+      numBuckets = graft.sources.TableSink.numBucketsOf(dir).getOrElse(64),
+      layoutCol = Some("__cell_s"),
+      meta = Some(graft.sources.IndexMeta.fresh(coded.count(), Some(fit))))
+    (cells, cb)
+  }
+
+  private def nextFitDirName(dir: String): String = {
+    val re = """fit_r(\d+)""".r
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val max = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case re(k) => k.toLong }.foldLeft(0L)(math.max)
+    } finally s.close()
+    s"fit_r${max + 1}"
+  }
+
+  /** The scheduled maintenance host ([[IvfAnn.maintain]] shape): one
+    * manifest-line staleness check, the O(corpus) [[rebuild]] only when
+    * it fires. Returns Some((cells, codebook)) when a rebuild ran —
+    * callers holding the old fit must swap to these (or re-read them
+    * from the store) — and None when the index is fresh. */
+  def maintain(spark: SparkSession, dir: String, corpus: DataFrame,
+               idCol: String, vecCol: String, nlist: Int, m: Int, ksub: Int,
+               dim: Int, iters: Int = 3,
+               maxAddedFraction: Double = 0.5): Option[(DataFrame, Codebook)] =
+    if (needsRebuild(dir, maxAddedFraction))
+      Some(rebuild(spark, dir, corpus, idCol, vecCol, nlist, m, ksub, dim, iters))
+    else None
 
   /**
    * Shortlist search over the persisted codes: probe the nprobe nearest
@@ -154,11 +255,5 @@ object PqStore {
         zip_with(col("cell_vec"), PqOps.reconstruct(col("codes"), cb),
           (a, b) => a + b).as(vecCol))
     IvfAnn.annSearch(queries, recon, cells, idCol, vecCol, k, nprobe, excludeSelf)
-  }
-
-  private val MetaRe = """ivfpq:v1;base=(\d+);added=(\d+)""".r
-  private def parseMeta(m: String): Option[(Long, Long)] = m match {
-    case MetaRe(b, a) => Some((b.toLong, a.toLong))
-    case _ => None
   }
 }

@@ -397,6 +397,62 @@ object SemDedupStore {
       Some(rebuild(spark, dir, nlist, iters))
     else None
 
+  /** Does a semantic store live at `dir`? (The composite-snapshot and
+    * optional-stage callers' presence check.) */
+  def exists(dir: String): Boolean = TableSink.tableExists(membersDir(dir))
+
+  /**
+   * Pin the store's current state under `tag` — the member-table
+   * generation ([[TableSink.snapshot]]). The centroids pin THEMSELVES:
+   * a generation's manifest meta carries the centroid-set pointer it
+   * was assigned under ([[graft.sources.IndexMeta]]; absent = the
+   * init-time `cells/`, which a [[rebuild]] never overwrites — old
+   * centroid dirs are never deleted), so restoring the generation
+   * restores its centroid resolution with it. Idempotent-or-refuse on
+   * retry (the [[graft.pipelines.Hybrid.snapshot]] discipline).
+   */
+  def snapshot(dir: String, tag: String): Unit =
+    if (!snapshotPinned(dir, tag)) { TableSink.snapshot(membersDir(dir), tag); () }
+
+  /** The pre-check half of [[snapshot]], exposed for composite snapshots
+    * (check EVERY piece before mutating any — the Admission/Hybrid
+    * discipline): true when `tag` already pins the LIVE generation (a
+    * retry completing a half-taken tag), false when untagged; REFUSES
+    * when it pins an older generation (the store moved on — re-pointing
+    * would silently include post-tag state). */
+  def snapshotPinned(dir: String, tag: String): Boolean = {
+    val mD = membersDir(dir)
+    TableSink.listSnapshots(mD).get(tag) match {
+      case Some(pinned) =>
+        require(TableSink.currentSeq(mD).contains(pinned),
+          s"snapshot tag '$tag' at '$mD' already pins generation $pinned but " +
+            s"the live generation is ${TableSink.currentSeq(mD)} — the store " +
+            "moved on since a half-taken snapshot; refusing to re-point. Drop " +
+            "the tag and take a fresh one.")
+        true
+      case None => false
+    }
+  }
+
+  /** Release a [[snapshot]] tag. */
+  def dropSnapshot(dir: String, tag: String): Unit =
+    TableSink.dropSnapshot(membersDir(dir), tag)
+
+  /** Roll the member table back to a [[snapshot]] tag (generation
+    * republish, no data movement) — the restored generation's manifest
+    * meta resolves the centroids it was assigned under (see
+    * [[snapshot]]). The id→cluster sidecar is rebuilt from the restored
+    * table: rows absorbed/re-homed since the tag make the current
+    * sidecar violate its cell/prev_cell invariant against the restored
+    * layout, and a stale sidecar silently breaks re-home — so the
+    * restore pays one O(table) backfill, the honest price of time
+    * travel on a layout-addressed store. */
+  def restore(spark: SparkSession, dir: String, tag: String): Unit = {
+    TableSink.restore(membersDir(dir), tag)
+    graft.sources.IdLayoutSidecar.drop(membersDir(dir))
+    graft.sources.IdLayoutSidecar.backfill(spark, membersDir(dir))
+  }
+
   /** Remove stored vectors by id — the deletion leg of the semantic
     * store's lifecycle (the [[IvfAnn.removeFromIndex]] shape): one
     * column-pruned (id, cluster) scan locates the victims' clusters

@@ -210,14 +210,16 @@ object Admission {
     * two stores — take it between batches (admission is single-writer by
     * contract, so "between batches" is a real quiescent point). */
   def snapshot(storeDir: String, tag: String): Unit = {
-    // Replay-safe composition (the Hybrid.snapshot discipline): the
-    // fingerprint half is pre-checked BEFORE anything mutates — a
-    // retried snapshot either completes an unchanged half-taken tag
-    // (DeltaParts.snapshot is idempotent; the fp pin fills in) or
-    // refuses loudly on EITHER half if ingest/compaction ran in
-    // between (an admission run advances both stores; a compact
-    // changes the span parts-list) — never a silent re-point of the
-    // fp tag at post-tag state.
+    // Replay-safe composition (the Hybrid.snapshot discipline): every
+    // table half is pre-checked BEFORE anything mutates — a retried
+    // snapshot either completes an unchanged half-taken tag
+    // (DeltaParts.snapshot is idempotent; the table pins fill in) or
+    // refuses loudly on ANY half if ingest/compaction ran in between
+    // (an admission run advances every store; a compact changes the
+    // span parts-list) — never a silent re-point of a pin at post-tag
+    // state. When the store was initialized with the semantic stage on,
+    // its member table rides the same tag (its centroids pin
+    // themselves — see [[graft.operators.SemDedupStore.snapshot]]).
     val fpD = fpDir(storeDir)
     val existingFp = TableSink.listSnapshots(fpD).get(tag)
     existingFp.foreach { pinned =>
@@ -227,14 +229,20 @@ object Admission {
           "moved on since a half-taken snapshot; refusing to re-point. Drop " +
           "the tag and take a fresh one.")
     }
+    val sem = graft.operators.SemDedupStore.exists(semDir(storeDir))
+    // sem pre-check runs BEFORE any mutation too (refuses a stale pin)
+    if (sem) { graft.operators.SemDedupStore.snapshotPinned(semDir(storeDir), tag); () }
     graft.sources.DeltaParts.snapshot(spanDir(storeDir), tag)
     if (existingFp.isEmpty) { TableSink.snapshot(fpD, tag); () }
+    if (sem) graft.operators.SemDedupStore.snapshot(semDir(storeDir), tag)
   }
 
-  /** Release a [[snapshot]] tag on both stores. */
+  /** Release a [[snapshot]] tag on every store. */
   def dropSnapshot(storeDir: String, tag: String): Unit = {
     graft.sources.DeltaParts.dropSnapshot(spanDir(storeDir), tag)
     TableSink.dropSnapshot(fpDir(storeDir), tag)
+    if (graft.operators.SemDedupStore.exists(semDir(storeDir)))
+      graft.operators.SemDedupStore.dropSnapshot(semDir(storeDir), tag)
   }
 
   /** Roll both standing stores back to a [[snapshot]] tag — span
@@ -247,9 +255,14 @@ object Admission {
     * absorb stays a no-op (that monotonicity is what keeps crash replay
     * safe; rewinding it would let a pending replay double-absorb).
     * Re-admit rolled-back content under fresh batch ids. */
-  def restore(storeDir: String, tag: String): Unit = {
+  def restore(spark: SparkSession, storeDir: String, tag: String): Unit = {
     graft.sources.DeltaParts.restore(spanDir(storeDir), tag)
     TableSink.restore(fpDir(storeDir), tag)
+    // The semantic member table rides the same tag (its centroid
+    // resolution restores with its manifest; the id→cluster sidecar is
+    // rebuilt — see SemDedupStore.restore).
+    if (graft.operators.SemDedupStore.exists(semDir(storeDir)))
+      graft.operators.SemDedupStore.restore(spark, semDir(storeDir), tag)
   }
 
   /** The merged standing inventory. One part (the post-[[compact]] or

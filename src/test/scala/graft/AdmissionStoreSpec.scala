@@ -301,7 +301,7 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     // Restore: both stores roll back to the tag; a new batch duplicating
     // the ROLLED-BACK (721) content is novel again, while corpus content
     // from before the tag still blocks.
-    Admission.restore(store, "train-1")
+    Admission.restore(spark, store, "train-1")
     assert(spanRows(None) == pinnedSpan, "restored span reads equal the pinned state")
     val post = collectVerdicts(Admission.run(spark, store,
       df(Seq(731L -> goodText('t'), 732L -> (goodText('r') + " " + boiler))),
@@ -364,6 +364,48 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(got2 == want2, s"batch 2 diverged:\n store=$got2\n ref  =$want2")
     assert(got2(11L)._1 == "semantic_duplicate" && got2(12L)._1 == "admitted",
       s"store must semantically remember b1's admitted doc: $got2")
+  }
+
+  test("semantic stage: the member store rides snapshot/restore (anchors forgotten, sidecar rebuilt)") {
+    import graft.functions.VectorMeanFast
+    import graft.pipelines.NewsPipeline
+    val vecsFor = (d: DataFrame) => d.select(col("doc_id"),
+      NewsPipeline.hashEmbedding(col("text")).as("embedding"))
+    def permute(t: String): String = t.split(" ").reverse.mkString(" ")
+    val corpus = df(Seq(951L -> goodText('r'), 952L -> goodText('s')))
+    val cents = vecsFor(corpus)
+      .groupBy(pmod(col("doc_id"), lit(2)).as("cid"))
+      .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("cvec"))
+    val cfg = Admission.Config(sem = Some(Admission.SemStage(vecsFor,
+      eps = 0.99, centroids = Some(cents))))
+    val store = java.nio.file.Files.createTempDirectory("admission-sem-snap").toString
+    Admission.init(spark, store, corpus, "doc_id", "text", cfg)
+    Admission.snapshot(store, "pre-b1")
+    def verdictOf(id: Long, text: String): String =
+      collectVerdicts(Admission.run(spark, store,
+        df(Seq(id -> text)), "doc_id", "text", cfg))(id)._1
+    assert(verdictOf(41L, goodText('t')) == "admitted")
+    assert(verdictOf(51L, permute(goodText('t'))) == "semantic_duplicate",
+      "the absorbed anchor must catch its rewording")
+    // Roll every store back to the tag: the semantic anchor 41 is
+    // forgotten, so the same rewording now admits.
+    Admission.restore(spark, store, "pre-b1")
+    assert(verdictOf(61L, permute(goodText('t'))) == "admitted",
+      "post-restore the rolled-back anchor must not fire")
+    // The sidecar was rebuilt from the restored layout, and the store
+    // keeps functioning: 61 absorbed above, so a DIFFERENT permutation
+    // of the same bag (exact-novel text, identical embedding) is caught
+    // semantically — not exactly (61's text was the reversal; this is
+    // the rotation).
+    assert(graft.sources.IdLayoutSidecar.exists(
+      s"${Admission.semDir(store)}/members"),
+      "restore must rebuild the id→cluster sidecar")
+    def rotate(t: String): String = {
+      val w = t.split(" "); (w.drop(1) :+ w.head).mkString(" ")
+    }
+    assert(verdictOf(71L, rotate(goodText('t'))) == "semantic_duplicate",
+      "post-restore absorbs must anchor again")
+    Admission.dropSnapshot(store, "pre-b1")
   }
 
   test("null-text rows are definitely-new (anti-join null semantics), both forms") {

@@ -90,6 +90,53 @@ class PqStoreSpec extends AnyFunSuite with SparkSpec {
     assert(opened < 16, s"probe opened all $opened buckets — no pruning")
   }
 
+  test("appends trip needsRebuild; maintain refits cells+codebook once and the store becomes self-contained") {
+    val dir = tmp()
+    PqStore.write(spark, dir, coded(base), "vec_id", numBuckets = 16)
+    assert(!PqStore.needsRebuild(dir, maxAddedFraction = 0.2),
+      "a fresh fit must not cue a rebuild")
+    // extra is 1/4 of base → trips a 0.2 threshold, not the 0.5 default.
+    PqStore.append(spark, dir, extra, cells, "vec_id", "embedding", cb, Dim,
+      version = 1L)
+    assert(PqStore.needsRebuild(dir, maxAddedFraction = 0.2),
+      "the append volume must trip the staleness cue")
+    val refit = PqStore.maintain(spark, dir, ed, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, dim = Dim, maxAddedFraction = 0.2)
+    assert(refit.isDefined, "a tripped cue must fire exactly one rebuild")
+    assert(!PqStore.needsRebuild(dir, maxAddedFraction = 0.2),
+      "rebuild must reset the accounting")
+    assert(PqStore.maintain(spark, dir, ed, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, dim = Dim, maxAddedFraction = 0.2).isEmpty,
+      "an immediate re-maintain must be a no-op")
+    val (cells2, cb2) = refit.get
+    // Self-contained: the fit reads back through the manifest pointer
+    // and equals what rebuild returned.
+    val rCells = PqStore.readCells(spark, dir)
+    def cellMap(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cellMap(rCells) == cellMap(cells2),
+      "readCells must resolve the refit cells through the manifest pointer")
+    val rCb = PqStore.readCodebook(spark, dir)
+    assert(rCb.zip(cb2).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.toSeq == y.toSeq } },
+      "readCodebook must resolve the refit codebook")
+    // The rebuilt store probes exactly like an in-memory search under
+    // the SAME refit (cells2, cb2) over the union.
+    val stored = PqStore.search(dir, queries, rCells, rCb,
+      "vec_id", "embedding", k = 5, nprobe = 3)
+    val recon2 = PqStore.encodeResiduals(
+        IvfAnn.assignCells(ed, "vec_id", "embedding", cells2),
+        cells2, "vec_id", "embedding", cb2, Dim)
+      .join(broadcast(cells2), col("cell") === col("cell_id"))
+      .select(col("cell"), col("vec_id"),
+        zip_with(col("cell_vec"), PqOps.reconstruct(col("codes"), cb2),
+          (a, b) => a + b).as("embedding"))
+    val mem = IvfAnn.annSearch(queries, recon2, cells2,
+      "vec_id", "embedding", k = 5, nprobe = 3)
+    assert(rows(stored) === rows(mem),
+      "the rebuilt store must probe exactly like the in-memory refit search")
+  }
+
   test("codebook round-trips through the sidecar parquet") {
     val dir = tmp()
     PqStore.writeCodebook(spark, dir, cb)
