@@ -14,12 +14,17 @@ import org.apache.spark.sql.functions._
  * display needed for PNG/JPEG/BMP/GIF) per partition, recovering true
  * width/height/channels, an exact integer pixel-sum statistic, and a
  * 64-bit perceptual dHash for near-duplicate detection of re-encoded
- * copies. AUDIO/VIDEO codecs are not in the JDK, so those stages keep
- * the documented stub seam ([[decodeStub]], [[decodeBatches]]):
- * deterministic fake dimensions from the payload hash, with the real
- * Spark-side contract — binary column schema, partition-local batch
- * processing, feature schema — tested so a JNI/ONNX decoder swaps in by
- * changing only the inner function.
+ * copies. AUDIO decode is REAL for PCM containers: [[decodeAudio]] runs
+ * `javax.sound.sampled.AudioSystem` (same JDK module — WAV/AIFF/AU),
+ * recovering the declared format, exact frame count, and exact integer
+ * sample statistics, container-invariantly (WAV ≡ AIFF of the same
+ * samples). Compressed audio (MP3/Opus) and VIDEO codecs are not in
+ * the JDK, so those stages keep the documented stub seam
+ * ([[decodeStub]], [[decodeBatches]]): deterministic fake dimensions
+ * from the payload hash, with the real Spark-side contract — binary
+ * column schema, partition-local batch processing, feature schema —
+ * tested so a JNI/FFmpeg/ONNX decoder swaps in by changing only the
+ * inner function.
  */
 object MultimodalOps {
 
@@ -179,6 +184,113 @@ object MultimodalOps {
       cy += 1
     }
     bits
+  }
+
+  /**
+   * Decoded-audio feature row of the REAL audio codec path: the
+   * container-declared format (sample rate, channels, bit depth), the
+   * exact frame count, and exact integer sample statistics — `absSum` =
+   * Σ|sample| and `peak` = max|sample| over every channel sample — so
+   * synthetic PCM fixtures replay bit-for-bit in an arithmetic oracle.
+   * `ok=false` rows carry zeros (unreadable / non-audio / non-PCM16
+   * payloads never kill the stage).
+   */
+  case class DecodedAudio(id: Long, sampleRate: Int, channels: Int, bits: Int,
+                          nFrames: Long, absSum: Long, peak: Int, ok: Boolean)
+
+  /**
+   * REAL audio decode, partition-batched: `javax.sound.sampled
+   * .AudioSystem` (part of the JDK's `java.desktop` module,
+   * headless-safe — WAV/AIFF/AU PCM containers) parses each payload,
+   * streaming frames through a fixed buffer — no payload-sized
+   * allocation, iterator-in/iterator-out, and only the fixed-size
+   * feature row leaves the stage; payload bytes never shuffle. Input:
+   * (id long, payload binary). Compressed codecs (MP3/AAC/Opus) are
+   * not in the JDK — those payloads come back `ok=false`, the seam a
+   * JNI/FFmpeg decoder swaps into by changing only [[decodeWav]].
+   */
+  def decodeAudio(df: DataFrame): org.apache.spark.sql.Dataset[DecodedAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
+  }
+
+  /** Single-payload real audio decode (the per-row kernel of
+    * [[decodeAudio]], public for spec-level round-trip checks).
+    * Handles signed PCM16 in either endianness — the stats are
+    * container-invariant (a WAV and an AIFF of the same samples decode
+    * to identical rows). */
+  def decodeWav(id: Long, bytes: Array[Byte]): DecodedAudio =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16)
+          DecodedAudio(id, 0, 0, 0, 0L, 0L, 0, ok = false)
+        else {
+          val ch = f.getChannels
+          val frameSize = f.getFrameSize // = 2 * ch for PCM16
+          val big = f.isBigEndian
+          val buf = new Array[Byte](frameSize * 1024)
+          var nFrames = 0L
+          var absSum = 0L
+          var peak = 0
+          var read = ais.read(buf)
+          var carry = 0 // bytes of a split frame carried between reads
+          while (read > 0) {
+            val avail = carry + read
+            val whole = avail - avail % frameSize // complete frames only
+            var i = 0
+            while (i < whole) {
+              val s =
+                if (big) (buf(i) << 8) | (buf(i + 1) & 0xff)
+                else (buf(i + 1) << 8) | (buf(i) & 0xff)
+              val a = math.abs(s)
+              absSum += a
+              if (a > peak) peak = a
+              i += 2
+            }
+            nFrames += whole / frameSize
+            carry = avail - whole
+            if (carry > 0) System.arraycopy(buf, whole, buf, 0, carry)
+            read = ais.read(buf, carry, buf.length - carry)
+          }
+          DecodedAudio(id, f.getSampleRate.toInt, ch, 16, nFrames,
+            absSum, peak, ok = true)
+        }
+      } finally ais.close()
+    } catch {
+      case _: Exception => DecodedAudio(id, 0, 0, 0, 0L, 0L, 0, ok = false)
+    }
+
+  /** Deterministic synthetic PCM16 mono clip through the REAL encoder
+    * (`AudioSystem.write`) — the fixture side of the audio decode
+    * oracle, the [[synthesizePng]] sibling. `aiff = true` writes the
+    * big-endian AIFF container instead of little-endian WAV: same
+    * samples, byte-different payload — the container-invariance case. */
+  def synthesizeWav(sampleRate: Float, samples: Array[Short],
+                    aiff: Boolean = false): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate, 16, 1, true, aiff) // signed PCM16 mono; AIFF is big-endian
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      if (aiff) { data(2 * i) = (s >> 8).toByte; data(2 * i + 1) = s.toByte }
+      else { data(2 * i) = s.toByte; data(2 * i + 1) = (s >> 8).toByte }
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      if (aiff) javax.sound.sampled.AudioFileFormat.Type.AIFF
+      else javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /**

@@ -504,6 +504,31 @@ private[graft] object QVector {
         .select(col("rep_id"), col("n_members"), col("n_byte_variants"))
         .orderBy("rep_id")
     }),
+    // REAL audio decode through javax.sound.sampled (JDK PCM codecs):
+    // per-doc PCM16 mono clips — a doc_id-keyed sawtooth, length
+    // doc_id-derived — are ENCODED with the JDK WAV writer per
+    // partition, decoded back by decodeAudio streaming frames through a
+    // fixed buffer: declared format + exact frame count + exact integer
+    // |sample| sum and peak, so the oracle is pure doc_id arithmetic
+    // (PCM is lossless). Every third doc ships the SAME samples as
+    // big-endian AIFF instead — byte-different container, identical
+    // stats (the container-invariance the feature row promises).
+    // Payload bytes are born and die inside one partition.
+    "x_mm_audio_stats" -> ((s, d) => {
+      import s.implicits._
+      val wav = T(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (id % 7).toInt * 50 + 100
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 97) % 4001) - 2000).toShort)
+          (id, MultimodalOps.synthesizeWav(8000f, samples, aiff = id % 3 == 0))
+        }).toDF("id", "payload")
+      MultimodalOps.decodeAudio(wav).toDF()
+        .select(col("id").as("doc_id"), col("sampleRate").as("sample_rate"),
+          col("channels"), col("bits"), col("nFrames").as("n_frames"),
+          col("absSum").as("abs_sum"), col("peak"), col("ok"))
+        .orderBy("doc_id")
+    }),
     // Invariant oracle: IVF ANN is inherently approximate, so the
     // driver-checkable contract is (a) every query returns exactly k
     // neighbors and (b) recall vs the EXACT brute-force top-k (computed
@@ -1080,6 +1105,23 @@ private[graft] object QVector {
       """SELECT min(doc_id) AS rep_id, count(*) AS n_members,
         |  count(DISTINCT (doc_id // 40) % 3) AS n_byte_variants
         |FROM documents GROUP BY doc_id % 40 ORDER BY rep_id""".stripMargin,
+    // Audio decode: PCM is lossless and the sawtooth is doc_id
+    // arithmetic, so the oracle replays every stat exactly — including
+    // for the docs shipped as AIFF (container invariance: same
+    // samples, same stats).
+    "x_mm_audio_stats" ->
+      """WITH n AS (SELECT doc_id, doc_id % 7 * 50 + 100 AS nf FROM documents),
+        |s AS (SELECT doc_id, unnest(generate_series(0, nf - 1)) i FROM n),
+        |a AS (SELECT doc_id,
+        |        sum(abs((doc_id*31 + i*97) % 4001 - 2000)) abs_sum,
+        |        max(abs((doc_id*31 + i*97) % 4001 - 2000)) peak
+        |      FROM s GROUP BY 1)
+        |SELECT n.doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+        |  CAST(n.nf AS BIGINT) AS n_frames,
+        |  CAST(a.abs_sum AS BIGINT) AS abs_sum,
+        |  CAST(a.peak AS INTEGER) AS peak, true AS ok
+        |FROM n JOIN a USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     // Quantized-kNN invariant: shape + recall vs the float-exact top-k
     // are computed in-plan on the Spark side; the oracle states the
     // query count from the raw table and the contract as truths.

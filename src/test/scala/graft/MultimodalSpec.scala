@@ -71,4 +71,51 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!MultimodalOps.decodeImages(df).schema.exists(_.dataType ==
       org.apache.spark.sql.types.BinaryType))
   }
+
+  test("synthesizeWav -> decodeWav round-trips exact format, frames, and sample stats; WAV == AIFF") {
+    val samples = Array.tabulate(333)(i => ((i * 97 % 4001) - 2000).toShort)
+    val expAbs = samples.foldLeft(0L)((a, s) => a + math.abs(s.toLong))
+    val expPeak = samples.map(s => math.abs(s.toInt)).max
+    val wav = MultimodalOps.decodeWav(1L,
+      MultimodalOps.synthesizeWav(8000f, samples))
+    assert(wav.ok && wav.sampleRate == 8000 && wav.channels == 1 && wav.bits == 16)
+    assert(wav.nFrames == 333L && wav.absSum == expAbs && wav.peak == expPeak)
+    // Container invariance: the big-endian AIFF of the SAME samples is a
+    // byte-different payload decoding to an identical feature row.
+    val wavBytes = MultimodalOps.synthesizeWav(8000f, samples)
+    val aiffBytes = MultimodalOps.synthesizeWav(8000f, samples, aiff = true)
+    assert(!java.util.Arrays.equals(wavBytes, aiffBytes))
+    val aiff = MultimodalOps.decodeWav(1L, aiffBytes)
+    assert(aiff == wav.copy(), s"AIFF must decode to the WAV's stats: $aiff vs $wav")
+  }
+
+  test("decodeWav survives non-audio and non-PCM16 payloads as ok=false") {
+    assert(!MultimodalOps.decodeWav(1L, "not audio".getBytes).ok)
+    assert(!MultimodalOps.decodeWav(2L, Array.empty[Byte]).ok)
+    // An image payload is not audio either.
+    assert(!MultimodalOps.decodeWav(3L,
+      MultimodalOps.synthesizePng(9, 8, (_, _) => 0x112233)).ok)
+  }
+
+  test("decodeAudio: distributed decode, fixed-size feature rows only") {
+    import spark.implicits._
+    val df = spark.range(40).as[Long].map { id =>
+      val n = (id % 5).toInt * 30 + 60
+      val samples = Array.tabulate(n)(i =>
+        (((id * 31 + i.toLong * 97) % 4001) - 2000).toShort)
+      (id, MultimodalOps.synthesizeWav(8000f, samples, aiff = id % 2 == 0))
+    }.toDF("id", "payload")
+    val out = MultimodalOps.decodeAudio(df).collect().map(d => d.id -> d).toMap
+    assert(out.size == 40)
+    for (id <- 0L until 40L) {
+      val n = (id % 5).toInt * 30 + 60
+      val d = out(id)
+      assert(d.ok && d.nFrames == n.toLong && d.sampleRate == 8000)
+      val expAbs = (0 until n).map(i =>
+        math.abs((id * 31 + i.toLong * 97) % 4001 - 2000)).sum
+      assert(d.absSum == expAbs, s"id $id: ${d.absSum} vs $expAbs")
+    }
+    assert(!MultimodalOps.decodeAudio(df).schema.exists(_.dataType ==
+      org.apache.spark.sql.types.BinaryType))
+  }
 }
