@@ -529,6 +529,39 @@ private[graft] object QVector {
           col("absSum").as("abs_sum"), col("peak"), col("ok"))
         .orderBy("doc_id")
     }),
+    // Video frame-sampling over a REAL container parse + REAL per-frame
+    // decode: per-doc keyframe "videos" (the GVF1 length-indexed
+    // container of solid-colour PNG frames, doc_id/frame-keyed) are
+    // synthesized per partition; sampleVideoFrames seeks via the index
+    // to every 2nd frame ONLY (unsampled frames' bytes never touched),
+    // decodes each through javax.imageio, and emits one fixed-size
+    // feature row — frame count, sampled count, dims, exact pixel sum
+    // over the sampled frames. The inter-frame codec (H.264) is the
+    // one documented non-JDK piece; the container/seek/decode plumbing
+    // is the real stage shape. Oracle: pure doc_id arithmetic.
+    "x_mm_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val vids = T(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val nf = (id % 5).toInt + 4
+            val w = (id % 13).toInt + 8; val h = (id % 11).toInt + 8
+            val frames = (0 until nf).map { f =>
+              val r = ((id * 7 + f * 11) % 251).toInt
+              val g = ((id * 13 + f * 17) % 251).toInt
+              val b = ((id * 31 + f * 23) % 251).toInt
+              MultimodalOps.synthesizePng(w, h, (_, _) => (r << 16) | (g << 8) | b)
+            }
+            (id, MultimodalOps.synthesizeVideo(frames))
+          }
+        }.toDF("id", "payload")
+      MultimodalOps.sampleVideoFrames(vids, stride = 2).toDF()
+        .select(col("id").as("doc_id"), col("nFrames").as("n_frames"),
+          col("nSampled").as("n_sampled"), col("width"), col("height"),
+          col("lumaSum3").as("luma3_sum"), col("ok"))
+        .orderBy("doc_id")
+    }),
     // Invariant oracle: IVF ANN is inherently approximate, so the
     // driver-checkable contract is (a) every query returns exactly k
     // neighbors and (b) recall vs the EXACT brute-force top-k (computed
@@ -1122,6 +1155,22 @@ private[graft] object QVector {
         |  CAST(a.abs_sum AS BIGINT) AS abs_sum,
         |  CAST(a.peak AS INTEGER) AS peak, true AS ok
         |FROM n JOIN a USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+    // Frame sampling: PNG frames are lossless and solid-coloured, so
+    // the sampled pixel sum is pure doc_id/frame arithmetic over the
+    // every-2nd-frame index set.
+    "x_mm_frame_sample" ->
+      """WITH v AS (SELECT doc_id, doc_id % 5 + 4 AS nf,
+        |             CAST(doc_id % 13 + 8 AS INTEGER) w,
+        |             CAST(doc_id % 11 + 8 AS INTEGER) h FROM documents),
+        |f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1, 2)) fr FROM v),
+        |a AS (SELECT doc_id, count(*) ns,
+        |        sum(((doc_id*7 + fr*11) % 251 + (doc_id*13 + fr*17) % 251
+        |             + (doc_id*31 + fr*23) % 251) * w * h) luma
+        |      FROM f GROUP BY 1)
+        |SELECT v.doc_id, CAST(v.nf AS INTEGER) AS n_frames,
+        |  CAST(a.ns AS INTEGER) AS n_sampled, v.w AS width, v.h AS height,
+        |  CAST(a.luma AS BIGINT) AS luma3_sum, true AS ok
+        |FROM v JOIN a USING (doc_id) ORDER BY v.doc_id""".stripMargin,
     // Quantized-kNN invariant: shape + recall vs the float-exact top-k
     // are computed in-plan on the Spark side; the oracle states the
     // query count from the raw table and the contract as truths.

@@ -118,4 +118,46 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!MultimodalOps.decodeAudio(df).schema.exists(_.dataType ==
       org.apache.spark.sql.types.BinaryType))
   }
+
+  test("sampleVideo: stride seeks via the index — unsampled frames' bytes are NEVER touched") {
+    def frame(v: Int) = MultimodalOps.synthesizePng(10, 9, (_, _) => (v << 16) | (v << 8) | v)
+    // Frames 1 and 3 are CORRUPT junk: a stride-2 sample (frames 0, 2, 4)
+    // must still decode ok — the proof the index seek skips their bytes
+    // rather than decoding-and-ignoring them.
+    val junk = "this is not a png".getBytes
+    val vid = MultimodalOps.synthesizeVideo(Seq(
+      frame(10), junk, frame(30), junk, frame(50)))
+    val s2 = MultimodalOps.sampleVideo(1L, vid, stride = 2)
+    assert(s2.ok && s2.nFrames == 5 && s2.nSampled == 3)
+    assert(s2.width == 10 && s2.height == 9)
+    assert(s2.lumaSum3 == (10L + 30L + 50L) * 3 * 10 * 9)
+    // stride 1 hits the junk → ok=false (decode failures surface, never crash)
+    val s1 = MultimodalOps.sampleVideo(1L, vid, stride = 1)
+    assert(!s1.ok && s1.nFrames == 5 && s1.nSampled == 5)
+    // non-container payloads and empty videos
+    assert(!MultimodalOps.sampleVideo(2L, "nope".getBytes, 2).ok)
+    assert(!MultimodalOps.sampleVideo(3L, MultimodalOps.synthesizeVideo(Seq.empty), 2).ok)
+  }
+
+  test("sampleVideoFrames: distributed frame-sampling, fixed-size feature rows only") {
+    import spark.implicits._
+    val df = spark.range(30).as[Long].map { id =>
+      val nf = (id % 4).toInt + 3
+      val frames = (0 until nf).map(f =>
+        MultimodalOps.synthesizePng(9, 8, (_, _) => ((f * 20 + 5) << 16)))
+      (id, MultimodalOps.synthesizeVideo(frames))
+    }.toDF("id", "payload")
+    val out = MultimodalOps.sampleVideoFrames(df, stride = 2).collect()
+      .map(d => d.id -> d).toMap
+    assert(out.size == 30)
+    for (id <- 0L until 30L) {
+      val nf = (id % 4).toInt + 3
+      val d = out(id)
+      assert(d.ok && d.nFrames == nf && d.nSampled == (nf + 1) / 2)
+      val expLuma = (0 until nf by 2).map(f => (f * 20 + 5).toLong * 9 * 8).sum
+      assert(d.lumaSum3 == expLuma, s"id $id: ${d.lumaSum3} vs $expLuma")
+    }
+    assert(!MultimodalOps.sampleVideoFrames(df, 2).schema.exists(_.dataType ==
+      org.apache.spark.sql.types.BinaryType))
+  }
 }
