@@ -65,6 +65,64 @@ object MultimodalOps {
       round(s, 6).as("scale"))
   }
 
+  /** Resized-image feature row of the REAL resize stage: the decoded
+    * input dims, the aspect-fit output dims (= [[resizeStub]]'s
+    * geometry, now actually applied to pixels), and the exact pixel sum
+    * of the RESIZED image — re-decoded from the re-encoded output, so
+    * the row certifies the full decode→scale→encode→decode cycle. */
+  case class ResizedImage(id: Long, inW: Int, inH: Int, outW: Int, outH: Int,
+                          lumaSum3: Long, ok: Boolean)
+
+  /**
+   * REAL image resize, partition-batched: decode ([[javax.imageio]]),
+   * aspect-preserving fit into boxW×boxH (the [[resizeStub]] geometry —
+   * floor, min scale, ≥ 1px), bilinear `Graphics2D.drawImage` scale,
+   * PNG re-encode, and a verification re-decode of the output — all
+   * inside the partition; neither input nor output payload shuffles
+   * (emit the fixed-size feature row; a production sink would write
+   * the resized bytes to object storage from the same task). Input:
+   * (id long, payload binary).
+   */
+  def resizeImages(df: DataFrame, boxW: Int, boxH: Int):
+      org.apache.spark.sql.Dataset[ResizedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) => resizeImage(id, bytes, boxW, boxH) }
+      }
+  }
+
+  /** Single-payload real resize kernel (public for specs). */
+  def resizeImage(id: Long, bytes: Array[Byte], boxW: Int, boxH: Int): ResizedImage =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) ResizedImage(id, 0, 0, 0, 0, 0L, ok = false)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val s = math.min(boxW.toDouble / w, boxH.toDouble / h)
+        val ow = math.max(1, math.floor(w * s).toInt)
+        val oh = math.max(1, math.floor(h * s).toInt)
+        val out = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, ow, oh, null); ()
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val back = decodeImage(id, bos.toByteArray)
+        ResizedImage(id, w, h, ow, oh, back.lumaSum3, back.ok)
+      }
+    } catch {
+      case _: Exception => ResizedImage(id, 0, 0, 0, 0, 0L, ok = false)
+    }
+
   /** Extracted feature row of the batch decode stage. */
   case class MediaFeatures(id: Long, width: Int, height: Int, channels: Int,
                            meanByte: Double)

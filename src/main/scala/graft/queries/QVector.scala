@@ -562,6 +562,30 @@ private[graft] object QVector {
           col("lumaSum3").as("luma3_sum"), col("ok"))
         .orderBy("doc_id")
     }),
+    // REAL image resize: decode → aspect-fit bilinear Graphics2D scale
+    // into 16×16 → PNG re-encode → verification re-decode, all inside
+    // one partition (x_mm_resize pins the same geometry as column
+    // algebra; this runs it on pixels). Solid-colour inputs stay solid
+    // under bilinear scaling and PNG is lossless, so the OUTPUT pixel
+    // sum is exact doc_id arithmetic: (r+g+b) · out_w · out_h.
+    "x_mm_real_resize" -> ((s, d) => {
+      import s.implicits._
+      val png = T(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val w = (id % 29).toInt + 8; val h = (id % 13).toInt + 8
+            val r = ((id * 7) % 251).toInt; val g = ((id * 13) % 251).toInt
+            val b = ((id * 31) % 251).toInt
+            (id, MultimodalOps.synthesizePng(w, h, (_, _) => (r << 16) | (g << 8) | b))
+          }
+        }.toDF("id", "payload")
+      MultimodalOps.resizeImages(png, boxW = 16, boxH = 16).toDF()
+        .select(col("id").as("doc_id"), col("inW").as("in_w"),
+          col("inH").as("in_h"), col("outW").as("out_w"),
+          col("outH").as("out_h"), col("lumaSum3").as("luma3_sum"), col("ok"))
+        .orderBy("doc_id")
+    }),
     // Invariant oracle: IVF ANN is inherently approximate, so the
     // driver-checkable contract is (a) every query returns exactly k
     // neighbors and (b) recall vs the EXACT brute-force top-k (computed
@@ -1171,6 +1195,21 @@ private[graft] object QVector {
         |  CAST(a.ns AS INTEGER) AS n_sampled, v.w AS width, v.h AS height,
         |  CAST(a.luma AS BIGINT) AS luma3_sum, true AS ok
         |FROM v JOIN a USING (doc_id) ORDER BY v.doc_id""".stripMargin,
+    // Real resize: the aspect-fit geometry is the x_mm_resize algebra;
+    // bilinear scaling of a solid image stays solid and PNG is
+    // lossless, so the output pixel sum is exact arithmetic.
+    "x_mm_real_resize" ->
+      """WITH g AS (SELECT doc_id,
+        |    CAST(doc_id % 29 + 8 AS INTEGER) w, CAST(doc_id % 13 + 8 AS INTEGER) h,
+        |    (doc_id*7) % 251 + (doc_id*13) % 251 + (doc_id*31) % 251 AS s3
+        |  FROM documents),
+        |r AS (SELECT doc_id, w, h, s3,
+        |    greatest(1, CAST(floor(w * least(16.0 / w, 16.0 / h)) AS INTEGER)) ow,
+        |    greatest(1, CAST(floor(h * least(16.0 / w, 16.0 / h)) AS INTEGER)) oh
+        |  FROM g)
+        |SELECT doc_id, w AS in_w, h AS in_h, ow AS out_w, oh AS out_h,
+        |  CAST(s3 * ow * oh AS BIGINT) AS luma3_sum, true AS ok
+        |FROM r ORDER BY doc_id""".stripMargin,
     // Quantized-kNN invariant: shape + recall vs the float-exact top-k
     // are computed in-plan on the Spark side; the oracle states the
     // query count from the raw table and the contract as truths.

@@ -119,6 +119,21 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       org.apache.spark.sql.types.BinaryType))
   }
 
+  test("resizeImage: aspect-fit geometry + exact solid pixel sum through the real scale-encode-decode cycle") {
+    val bytes = MultimodalOps.synthesizePng(32, 20, (_, _) => (200 << 16) | (100 << 8) | 50)
+    val r = MultimodalOps.resizeImage(1L, bytes, 16, 16)
+    assert(r.ok && r.inW == 32 && r.inH == 20)
+    // s = min(16/32, 16/20) = 0.5 → 16 × 10
+    assert(r.outW == 16 && r.outH == 10, s"$r")
+    assert(r.lumaSum3 == (200L + 100 + 50) * 16 * 10)
+    // the upscale path (s > 1): 4×8 into 16×16 → s = 2 → 8×16
+    val up = MultimodalOps.resizeImage(2L,
+      MultimodalOps.synthesizePng(4, 8, (_, _) => 0x010203), 16, 16)
+    assert(up.ok && up.outW == 8 && up.outH == 16, s"$up")
+    assert(up.lumaSum3 == (1L + 2 + 3) * 8 * 16)
+    assert(!MultimodalOps.resizeImage(3L, "junk".getBytes, 16, 16).ok)
+  }
+
   test("sampleVideo: stride seeks via the index — unsampled frames' bytes are NEVER touched") {
     def frame(v: Int) = MultimodalOps.synthesizePng(10, 9, (_, _) => (v << 16) | (v << 8) | v)
     // Frames 1 and 3 are CORRUPT junk: a stride-2 sample (frames 0, 2, 4)
