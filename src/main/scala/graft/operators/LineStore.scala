@@ -78,9 +78,9 @@ object LineStore {
     }
 
   def compact(spark: SparkSession, dir: String): Unit =
-    graft.sources.AdditiveLedger.compactWith(dir, Seq(linesDir(dir))) { gen =>
+    graft.sources.AdditiveLedger.compactWith(dir, Seq(linesDir(dir))) { (gen, old) =>
       writePart(dir, gen,
-        merged(spark, dir, DeltaParts.list(dir)).localCheckpoint(true),
+        merged(spark, dir, old).localCheckpoint(true),
         ledger = false)
     }
 

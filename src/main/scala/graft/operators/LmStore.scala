@@ -122,8 +122,8 @@ object LmStore {
     * zero/negative keys gone physically). Superseded parts stay one
     * cycle for in-flight readers; snapshot-pinned parts never sweep. */
   def compact(spark: SparkSession, dir: String): Unit =
-    graft.sources.AdditiveLedger.compactWith(dir, relationRoots(dir)) { gen =>
-      val (u, b) = merged(spark, dir, DeltaParts.list(dir))
+    graft.sources.AdditiveLedger.compactWith(dir, relationRoots(dir)) { (gen, old) =>
+      val (u, b) = merged(spark, dir, old)
       writePart(dir, gen, u.localCheckpoint(true), b.localCheckpoint(true),
         ledger = false)
     }

@@ -113,6 +113,29 @@ object PqStore {
     spark.read.parquet(s"$f/cells")
   }
 
+  /** Stale-fit guard for the caller-held (cells, cb) paths: once a
+    * [[rebuild]] has run, cell ids 0..nlist-1 exist in EVERY fit, so a
+    * caller still holding the pre-rebuild fit would probe cells by the
+    * old geometry and reconstruct new codes under the old codebook —
+    * silently wrong top-k (or an append whose codes are inconsistent
+    * with the stored fit pointer). The check is driver-side and tiny
+    * (nlist + m·ksub rows) and only runs on rebuilt stores. */
+  private def requireCurrentFit(spark: SparkSession, dir: String,
+                                cells: DataFrame, cb: Codebook): Unit =
+    fitDir(spark, dir).foreach { f =>
+      def m(df: DataFrame) = df.select(col("cell_id"), col("cell_vec"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      require(m(cells) == m(spark.read.parquet(s"$f/cells")),
+        s"the caller's cells are not the fit the PQ store at '$dir' was " +
+          "rebuilt under — re-read them via PqStore.readCells")
+      val scb = readCodebook(spark, dir)
+      require(scb.length == cb.length && scb.zip(cb).forall { case (a, b) =>
+        a.length == b.length && a.zip(b).forall { case (x, y) =>
+          java.util.Arrays.equals(x, y) } },
+        s"the caller's codebook is not the fit the PQ store at '$dir' was " +
+          "rebuilt under — re-read it via PqStore.readCodebook")
+    }
+
   /** O(batch) add of NEW ids under the fixed (cells, cb): only the
     * landed cells' buckets rewrite; staleness `added` advances in the
     * same commit. */
@@ -121,6 +144,7 @@ object PqStore {
              dim: Int, version: Long): Unit = {
     require(graft.sources.TableSink.layoutColOf(dir).isDefined,
       s"no PQ index at '$dir' — write one with PqStore.write first")
+    requireCurrentFit(spark, dir, cells, cb)
     val coded = encodeResiduals(
       IvfAnn.assignCells(newVectors, idCol, vecCol, cells),
       cells, idCol, vecCol, cb, dim)
@@ -194,16 +218,8 @@ object PqStore {
     (cells, cb)
   }
 
-  private def nextFitDirName(dir: String): String = {
-    val re = """fit_r(\d+)""".r
-    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-    val max = try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case re(k) => k.toLong }.foldLeft(0L)(math.max)
-    } finally s.close()
-    s"fit_r${max + 1}"
-  }
+  private def nextFitDirName(dir: String): String =
+    graft.sources.IndexMeta.nextVersionedDir(dir, "fit_r")
 
   /** The scheduled maintenance host ([[IvfAnn.maintain]] shape): one
     * manifest-line staleness check, the O(corpus) [[rebuild]] only when
@@ -235,6 +251,7 @@ object PqStore {
     require(graft.sources.TableSink.layoutColOf(dir).isDefined,
       s"table at '$dir' has no layout column — it was not written by " +
         "PqStore.write, so cell probes cannot address its buckets")
+    requireCurrentFit(spark, dir, cells, cb)
     val probed = IvfAnn.probedCellIds(queries, cells, idCol, vecCol, nprobe)
     // Derive the stored id type from the table's own schema (one footer
     // read): a store written with string ids must present string ids in

@@ -363,27 +363,21 @@ object SemDedupStore {
     val next = nextCellsDirName(dir)
     cells.write.parquet(s"$dir/$next")
     graft.sources.IdLayoutSidecar.drop(membersDir(dir))
-    TableSink.overwrite(spark, membersDir(dir),
-      memberRows(stored, cells, "id", "v").withColumn("__v", lit(0L)),
+    // materialized ONCE: the base count and the overwrite both consume
+    // the re-assigned rows (the PqStore.rebuild discipline)
+    val rows = memberRows(stored, cells, "id", "v")
+      .withColumn("__v", lit(0L)).localCheckpoint(true)
+    TableSink.overwrite(spark, membersDir(dir), rows,
       Seq("id"),
       numBuckets = TableSink.numBucketsOf(membersDir(dir)).getOrElse(64),
       layoutCol = Some("__cl_s"),
-      meta = Some(graft.sources.IndexMeta.fresh(
-        stored.select(col("id")).count(), Some(next))))
+      meta = Some(graft.sources.IndexMeta.fresh(rows.count(), Some(next))))
     graft.sources.IdLayoutSidecar.backfill(spark, membersDir(dir))
     cells
   }
 
-  private def nextCellsDirName(dir: String): String = {
-    val re = """cells_r(\d+)""".r
-    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-    val max = try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case re(k) => k.toLong }.foldLeft(0L)(math.max)
-    } finally s.close()
-    s"cells_r${max + 1}"
-  }
+  private def nextCellsDirName(dir: String): String =
+    graft.sources.IndexMeta.nextVersionedDir(dir, "cells_r")
 
   /** The scheduled maintenance host ([[IvfAnn.maintain]] shape): one
     * manifest-line staleness check, the O(corpus) [[rebuild]] only when

@@ -127,9 +127,9 @@ object StatsStore {
     * the corpus. Superseded parts stay one cycle for in-flight readers;
     * snapshot-pinned parts are never swept. */
   def compact(spark: SparkSession, dir: String): Unit =
-    AdditiveLedger.compactWith(dir, Seq(sketchesDir(dir))) { gen =>
+    AdditiveLedger.compactWith(dir, Seq(sketchesDir(dir))) { (gen, old) =>
       writePart(dir, gen,
-        spark.read.parquet(DeltaParts.list(dir).map(p => s"${sketchesDir(dir)}/$p"): _*)
+        spark.read.parquet(old.map(p => s"${sketchesDir(dir)}/$p"): _*)
           .groupBy(col("g"))
           .agg(quantileSketchMerge(col("sketch")).as("sketch"),
             sum(col("n")).as("n")),

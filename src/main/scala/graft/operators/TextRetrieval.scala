@@ -359,14 +359,14 @@ object Bm25Store {
     * exact again, same as a Lucene segment merge. O(index);
     * postings-sized, still far under the corpus text. */
   def compact(spark: SparkSession, dir: String): Unit =
-    AdditiveLedger.compactWith(dir, relationRoots(dir)) { gen =>
+    AdditiveLedger.compactWith(dir, relationRoots(dir)) { (gen, old) =>
       // merge each additive relation from its own parts — exact integer
       // sums, no float round-trip through the assembled avgdl. Postings
       // and doc rows come back tombstone-filtered; df is rebuilt from
       // the survivors (one row per (term, doc), so count == document
       // frequency), not summed from the stale parts. The new gen
       // carries no tombstones — the rows are gone.
-      val (postings, _, st, docRows, _) = merged(spark, dir, DeltaParts.list(dir))
+      val (postings, _, st, docRows, _) = merged(spark, dir, old)
       val postingsLive = postings.localCheckpoint(true)
       val dfLive = postingsLive.groupBy(col("term")).agg(count(lit(1)).as("df"))
       writePart(dir, gen, postingsLive, dfLive, st, docRows,

@@ -242,29 +242,20 @@ object Hybrid {
     val next = nextCellsDirName(storeDir)
     cells.write.parquet(s"$storeDir/$next")
     graft.sources.IdLayoutSidecar.drop(annD)
-    TableSink.overwrite(spark, annD,
-      annRows(stored, "id", "vec", cells).withColumn("__v", lit(0L)),
+    // materialized ONCE: the base count and the overwrite both consume
+    // the re-assigned rows (the PqStore.rebuild discipline)
+    val rows = annRows(stored, "id", "vec", cells)
+      .withColumn("__v", lit(0L)).localCheckpoint(true)
+    TableSink.overwrite(spark, annD, rows,
       Seq("id"), numBuckets = TableSink.numBucketsOf(annD).getOrElse(64),
       layoutCol = Some("__cell_s"),
-      meta = Some(graft.sources.IndexMeta.fresh(
-        stored.select(col("id")).count(), Some(next))))
+      meta = Some(graft.sources.IndexMeta.fresh(rows.count(), Some(next))))
     graft.sources.IdLayoutSidecar.backfill(spark, annD)
     cells
   }
 
-  /** First unused `cells_rK` name under the store — deterministic (max
-    * existing + 1), so a crashed rebuild's orphan dir is simply skipped
-    * past on retry. */
-  private def nextCellsDirName(storeDir: String): String = {
-    val re = """cells_r(\d+)""".r
-    val s = java.nio.file.Files.list(java.nio.file.Paths.get(storeDir))
-    val max = try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case re(k) => k.toLong }.foldLeft(0L)(math.max)
-    } finally s.close()
-    s"cells_r${max + 1}"
-  }
+  private def nextCellsDirName(storeDir: String): String =
+    graft.sources.IndexMeta.nextVersionedDir(storeDir, "cells_r")
 
   /** The scheduled maintenance host for the ANN leg ([[IvfAnn.maintain]]
     * shape): assess staleness from one manifest line and, only when the

@@ -88,11 +88,15 @@ object AdditiveLedger {
     * them (publish-by-replace is the atomic step — an add would
     * transiently double-count). */
   def compactWith(dir: String, roots: Seq[String])
-                 (writeGen: String => Unit): Unit = {
+                 (writeGen: (String, Seq[String]) => Unit): Unit = {
     val old = DeltaParts.list(dir)
     if (old.size <= 1) return
     val gen = s"part_c${System.nanoTime()}"
-    writeGen(gen)
+    // The callback folds exactly the `old` listing the protect set is
+    // computed from — re-listing inside the callback would let any part
+    // landed between the two reads be folded into the gen while the
+    // sweep below treats it as an orphan.
+    writeGen(gen, old)
     val protect = old.toSet + gen ++ DeltaParts.pinned(dir)
     roots.foreach(r => DeltaParts.sweepOrphans(r, protect))
     DeltaParts.publish(dir, Seq(gen))

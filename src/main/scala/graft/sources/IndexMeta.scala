@@ -28,7 +28,10 @@ package graft.sources
  */
 object IndexMeta {
 
-  private val Re = """ivf:v1;base=(\d+);added=(\d+)(?:;cells=([^;]+))?""".r
+  // `ivfpq:v1` is accepted on read: PqStore wrote that prefix before it
+  // migrated onto this parser — rejecting it would silently freeze a
+  // legacy store's accounting and spuriously trip needsRebuild.
+  private val Re = """ivf(?:pq)?:v1;base=(\d+);added=(\d+)(?:;cells=([^;]+))?""".r
 
   def fresh(base: Long, cells: Option[String] = None): String =
     s"ivf:v1;base=$base;added=0" + cells.fold("")(c => s";cells=$c")
@@ -36,6 +39,21 @@ object IndexMeta {
   def parse(m: String): Option[(Long, Long, Option[String])] = m match {
     case Re(b, a, c) => Some((b.toLong, a.toLong, Option(c)))
     case _ => None
+  }
+
+  /** First unused `<prefix>K` dir name under `dir` (max existing + 1) —
+    * deterministic, so a crashed rebuild's orphan dir is simply skipped
+    * past on retry. ONE definition for every store's versioned fit
+    * dirs (this object's own rationale). */
+  def nextVersionedDir(dir: String, prefix: String): String = {
+    val re = (java.util.regex.Pattern.quote(prefix) + """(\d+)""").r
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val max = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case re(k) => k.toLong }.foldLeft(0L)(math.max)
+    } finally s.close()
+    s"$prefix${max + 1}"
   }
 
   /** The stored meta with `added` bumped by `delta`, pointer preserved;
