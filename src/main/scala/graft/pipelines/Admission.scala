@@ -490,6 +490,31 @@ object Admission {
       }
       .start()
 
+  /**
+   * Scheduled maintenance in ONE call — the production funnel's cron
+   * entry point after N ingest cycles: span-index [[compact]]ion
+   * (restores the single pushed scan, folds unadmit tombstones away)
+   * and, when the semantic stage is on, the member store's staleness
+   * check + centroid refit ([[graft.operators.SemDedupStore.maintain]]
+   * — one manifest-line read unless the accounting tripped, then the
+   * O(corpus-members) refit-and-swap). Returns true when a semantic
+   * rebuild ran. NOTE the refit changes the cluster partitioning, so
+   * verdicts after it correspond to `runAgainst` under the REBUILT
+   * centroids (`SemDedupStore.readCentroids`) — the fixed centroids a
+   * caller pinned at [[init]] are superseded, exactly as a recall-
+   * eroded fit should be.
+   */
+  def maintain(spark: SparkSession, storeDir: String,
+               cfg: Config = Config(),
+               maxAddedFraction: Double = 0.5): Boolean = {
+    compact(spark, storeDir)
+    cfg.sem.exists { st =>
+      graft.operators.SemDedupStore.exists(semDir(storeDir)) &&
+        graft.operators.SemDedupStore.maintain(spark, semDir(storeDir),
+          st.nlist, maxAddedFraction = maxAddedFraction).isDefined
+    }
+  }
+
   /** Scheduled span-index compaction: merge base + deltas into one part
     * (restoring the single filter-pushed scan) and publish atomically.
     * O(index) — digest-only rows, orders of magnitude under the corpus. */

@@ -408,6 +408,45 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     Admission.dropSnapshot(store, "pre-b1")
   }
 
+  test("maintain: the semantic member store refits once absorbs trip the accounting; run ≡ runAgainst under the rebuilt centroids") {
+    import graft.functions.VectorMeanFast
+    import graft.operators.SemDedupStore
+    import graft.pipelines.NewsPipeline
+    val vecsFor = (d: DataFrame) => d.select(col("doc_id"),
+      NewsPipeline.hashEmbedding(col("text")).as("embedding"))
+    def permute(t: String): String = t.split(" ").reverse.mkString(" ")
+    val corpus = df(Seq(971L -> goodText('r'), 972L -> goodText('s')))
+    val cents = vecsFor(corpus)
+      .groupBy(pmod(col("doc_id"), lit(2)).as("cid"))
+      .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("cvec"))
+    val cfg = Admission.Config(sem = Some(Admission.SemStage(vecsFor,
+      eps = 0.99, centroids = Some(cents), nlist = 2)))
+    val store = java.nio.file.Files.createTempDirectory("admission-maint").toString
+    Admission.init(spark, store, corpus, "doc_id", "text", cfg)
+    assert(!Admission.maintain(spark, store, cfg),
+      "a fresh fit must not fire the semantic rebuild")
+    // absorb ~the fitted volume (base = 2 corpus docs): trips at 0.5
+    val b1 = df(Seq(81L -> goodText('t'), 82L -> goodText('u')))
+    val v1 = collectVerdicts(Admission.run(spark, store, b1, "doc_id", "text", cfg))
+    assert(v1(81L)._1 == "admitted" && v1(82L)._1 == "admitted")
+    assert(Admission.maintain(spark, store, cfg),
+      "absorbing the fitted volume again must fire exactly one rebuild")
+    assert(!Admission.maintain(spark, store, cfg),
+      "an immediate re-maintain must be a no-op")
+    // Post-refit, the funnel keeps the equality law — under the
+    // REBUILT centroids (the fixed init-time fit is superseded).
+    val cents2 = SemDedupStore.readCentroids(spark, Admission.semDir(store))
+    val cfg2 = Admission.Config(sem = Some(Admission.SemStage(vecsFor,
+      eps = 0.99, centroids = Some(cents2), nlist = 2)))
+    val probe = df(Seq(91L -> permute(goodText('t')), 92L -> goodText('v')))
+    val corpus2 = corpus.unionByName(b1)
+    val got = collectVerdicts(Admission.run(spark, store, probe, "doc_id", "text", cfg))
+    val want = collectVerdicts(Admission.runAgainst(probe, corpus2, "doc_id", "text", cfg2))
+    assert(got == want, s"post-refit diverged:\n store=$got\n ref  =$want")
+    assert(got(91L)._1 == "semantic_duplicate" && got(92L)._1 == "admitted",
+      s"post-refit verdicts: $got")
+  }
+
   test("null-text rows are definitely-new (anti-join null semantics), both forms") {
     val corpus = df(Seq(201L -> goodText('v')))
     val batch = Seq((31L, goodText('w')), (32L, null.asInstanceOf[String]))
