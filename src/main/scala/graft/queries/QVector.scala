@@ -562,6 +562,53 @@ private[graft] object QVector {
           col("lumaSum3").as("luma3_sum"), col("ok"))
         .orderBy("doc_id")
     }),
+    // The media-ingest funnel composed end-to-end in ONE plan — the
+    // multimodal sibling of pipe_admission_e2e, every stage real:
+    // (1) payload envelope (sha256 computed map-side — bytes never
+    // shuffle, only 32-byte hashes + ids move); (2) exact keep-first
+    // per sha (byte-identical re-publishes collapse); (3) the exact
+    // survivors ALONE decode, and perceptual keep-first per dHash
+    // collapses the brightness-shifted re-encodes exact hashing can
+    // never catch; (4) only the perceptual representatives resize
+    // (decode → bilinear → re-encode → verify re-decode). The funnel
+    // order is the cost order: each stage decodes/resizes strictly
+    // fewer payloads than the one before. Oracle: group arithmetic —
+    // 40 fmix64 patterns × 3 shifts, 16×14 aspect-fit of 9×8.
+    "pipe_multimodal_e2e" -> ((s, d) => {
+      import s.implicits._
+      val png = T(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val g = (id % 40).toInt
+            val off = ((id / 40) % 3).toInt * 5
+            (id, MultimodalOps.synthesizePng(9, 8, (x, y) => {
+              val v = (java.lang.Long.remainderUnsigned(
+                MultimodalOps.fmix64(g * 1000003L + x * 1009L + y * 9176L),
+                200L).toInt + off) & 0xff
+              (v << 16) | (v << 8) | v
+            }))
+          }
+        }.toDF("id", "payload")
+      val exact = png.select(col("id"), sha2(col("payload"), 256).as("sha"))
+        .groupBy("sha")
+        .agg(min(col("id")).as("id"), count(lit(1)).as("n_copies"))
+      val feats = MultimodalOps.decodeImages(
+          png.join(exact.select("id"), "id")).toDF()
+        .select(col("id"), col("dhash"))
+      val clusters = feats.join(exact, "id")
+        .groupBy(col("dhash"))
+        .agg(min(col("id")).as("rep_id"), sum(col("n_copies")).as("n_docs"),
+          count(lit(1)).as("n_byte_variants"))
+      val resized = MultimodalOps.resizeImages(
+          png.join(clusters.select(col("rep_id").as("id")), "id"), 16, 16).toDF()
+        .select(col("id").as("rep_id"), col("outW").as("out_w"),
+          col("outH").as("out_h"), col("ok").as("resized_ok"))
+      clusters.join(resized, "rep_id")
+        .select(col("rep_id"), col("n_docs"), col("n_byte_variants"),
+          col("out_w"), col("out_h"), col("resized_ok"))
+        .orderBy("rep_id")
+    }),
     // REAL image resize: decode → aspect-fit bilinear Graphics2D scale
     // into 16×16 → PNG re-encode → verification re-decode, all inside
     // one partition (x_mm_resize pins the same geometry as column
@@ -1195,6 +1242,16 @@ private[graft] object QVector {
         |  CAST(a.ns AS INTEGER) AS n_sampled, v.w AS width, v.h AS height,
         |  CAST(a.luma AS BIGINT) AS luma3_sum, true AS ok
         |FROM v JOIN a USING (doc_id) ORDER BY v.doc_id""".stripMargin,
+    // Media funnel: the oracle predicts the 40 perceptual clusters (one
+    // per fmix64 pattern), their member counts, the 3 byte-variants per
+    // cluster, and the constant 9×8 → 16×14 aspect-fit geometry — never
+    // a hash value or a resized pixel.
+    "pipe_multimodal_e2e" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_docs,
+        |  count(DISTINCT (doc_id // 40) % 3) AS n_byte_variants,
+        |  CAST(16 AS INTEGER) AS out_w, CAST(14 AS INTEGER) AS out_h,
+        |  true AS resized_ok
+        |FROM documents GROUP BY doc_id % 40 ORDER BY rep_id""".stripMargin,
     // Real resize: the aspect-fit geometry is the x_mm_resize algebra;
     // bilinear scaling of a solid image stays solid and PNG is
     // lossless, so the output pixel sum is exact arithmetic.
