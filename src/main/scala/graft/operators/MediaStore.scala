@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.sources.TableSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Standing media-dedup store — the MULTIMODAL member of the admission
+ * store family (fingerprint table: exact text dup; span inventory:
+ * substring dup; band index: lexical near-dup; semantic members:
+ * embedding near-dup; this: media duplication). Two key-hash-bucketed
+ * [[TableSink]] relations under `dir`:
+ *
+ *  - `sha/`   — (sha256, rep_id): byte-identical duplication;
+ *  - `phash/` — (dhash, rep_id): PERCEPTUAL duplication — re-encoded /
+ *    brightness-shifted copies whose bytes differ but whose decoded
+ *    64-bit dHash ([[MultimodalOps.decodeImage]]) is bit-identical by
+ *    construction.
+ *
+ * The probe order is the cost order: the sha stage is a map-side hash
+ * plus a key-bucket-pruned read (payload bytes NEVER shuffle — only
+ * 32-byte hashes and ids move); ONLY sha-novel payloads decode (one
+ * decode per DISTINCT sha — byte-identical copies share pixels), and
+ * the dhash stage is another key-bucket-pruned read. Verdict
+ * precedence: `duplicate` (sha hit) > `near_duplicate` (dhash hit) >
+ * `novel`; only NOVEL documents' keys absorb (keep-first: a dropped
+ * document never anchors later verdicts — the Admission absorbed-set
+ * discipline), so [[run]] after [[run]] equals the arrival-ordered
+ * global keep-first fold (spec-pinned).
+ */
+object MediaStore {
+
+  private def shaDir(dir: String) = s"$dir/sha"
+  private def phDir(dir: String) = s"$dir/phash"
+
+  /** Does a media store live at `dir`? */
+  def exists(dir: String): Boolean = TableSink.tableExists(shaDir(dir))
+
+  private def shaLike(spark: SparkSession) = spark.range(0)
+    .select(lit("").as("sha"), lit(0L).as("rep_id"))
+  private def phLike(spark: SparkSession) = spark.range(0)
+    .select(lit(0L).as("dh"), lit(0L).as("rep_id"))
+
+  /** (id, sha, dh) for one decode per DISTINCT sha: byte-identical
+    * payloads share pixels, so only the min-id representative of each
+    * sha decodes and its dhash joins back by sha. Non-decodable
+    * payloads carry dh = null (they can never be perceptual anchors or
+    * victims — only exact). */
+  private def withKeys(batch: DataFrame): DataFrame = {
+    val withSha = batch.select(col("id").cast("long").as("id"), col("payload"),
+      sha2(col("payload"), 256).as("sha"))
+    val shaReps = withSha
+      .groupBy("sha").agg(min(col("id")).as("__rid"))
+      .join(withSha.select(col("id").as("__rid"), col("payload")), "__rid")
+    val dhBySha = MultimodalOps.decodeImages(
+        shaReps.select(col("__rid").as("id"), col("payload")))
+      .toDF().select(col("id").as("__rid"),
+        // dhash 0 = the decoder's too-small-to-compare marker
+        // (decodeImage: images under the 9×8 grid) — such content gets
+        // no perceptual key, same as undecodable payloads
+        when(col("ok") && col("dhash") =!= 0L, col("dhash")).as("dh"))
+      .join(shaReps.select(col("sha"), col("__rid")), "__rid")
+      .select(col("sha"), col("dh"))
+    withSha.select(col("id"), col("sha")).join(dhBySha, "sha")
+  }
+
+  /** Build both relations from the existing corpus — O(corpus), once:
+    * every distinct sha registers with its min-id representative, every
+    * distinct decodable dhash with its min-id representative (the
+    * corpus IS the admitted content; keep-first within it). REFUSES a
+    * previously-used dir (the store-family run-once contract). */
+  def init(spark: SparkSession, dir: String, corpus: DataFrame,
+           numBuckets: Int = 16): Unit = {
+    if (exists(dir) || TableSink.tableExists(phDir(dir)))
+      throw new IllegalStateException(
+        s"media store at '$dir' was already initialized — init is run-once; " +
+          "delete the store dir (or point at a fresh one) to rebuild.")
+    val keys = withKeys(corpus).localCheckpoint(true)
+    TableSink.overwrite(spark, shaDir(dir),
+      keys.groupBy("sha").agg(min(col("id")).as("rep_id"))
+        .withColumn("__v", lit(0L)),
+      Seq("sha"), numBuckets)
+    TableSink.overwrite(spark, phDir(dir),
+      keys.filter(col("dh").isNotNull)
+        .groupBy(col("dh")).agg(min(col("id")).as("rep_id"))
+        .withColumn("__v", lit(0L)),
+      Seq("dh"), numBuckets)
+  }
+
+  /**
+   * Admit one batch (id, payload) against the standing store and absorb
+   * the novel documents' keys — ONE call, the [[graft.pipelines
+   * .Admission.run]] shape. Returns (id, verdict, rep_id): verdict ∈
+   * {duplicate, near_duplicate, novel}; rep_id = the anchoring
+   * representative (−1 for novel). Batch-internal duplication follows
+   * the arrival order (id ascending): the first store-missing document
+   * of each pattern is novel and anchors the rest of its batch.
+   * Per-batch cost: O(batch) hashing + one decode per distinct novel
+   * sha + two key-bucket-pruned reads + two O(batch) upserts.
+   */
+  def run(spark: SparkSession, dir: String, batch: DataFrame,
+          version: Long): DataFrame = {
+    require(exists(dir), s"no media store at '$dir' — run init first")
+    val keys = withKeys(batch).localCheckpoint(true)
+    // stage 1: stored sha hits (bucket-pruned read of the batch's keys)
+    val shaProbe = keys.select("sha").distinct()
+    val storedSha = TableSink.readBuckets(spark, shaDir(dir), shaLike(spark),
+        TableSink.keyBucketIdsFor(shaDir(dir), shaProbe))
+      .join(broadcast(shaProbe), Seq("sha"), "left_semi")
+      .select(col("sha"), col("rep_id").as("__sha_rep"))
+    // stage 2: stored dhash hits for the sha-missing documents
+    val afterSha = keys.join(broadcast(storedSha), Seq("sha"), "left")
+    val phProbe = afterSha.filter(col("__sha_rep").isNull && col("dh").isNotNull)
+      .select("dh").distinct()
+    val storedPh = TableSink.readBuckets(spark, phDir(dir), phLike(spark),
+        TableSink.keyBucketIdsFor(phDir(dir), phProbe))
+      .join(broadcast(phProbe), Seq("dh"), "left_semi")
+      .select(col("dh"), col("rep_id").as("__ph_rep"))
+    val judged = afterSha.join(broadcast(storedPh), Seq("dh"), "left")
+    // stage 3: the batch-internal fold over fully store-missing docs —
+    // the min-id document of each pattern (dhash; null dh groups by sha
+    // instead: undecodable content can only duplicate exactly) is
+    // novel; the rest anchor to it, exactly iff they share its sha.
+    val missG = judged.filter(col("__sha_rep").isNull && col("__ph_rep").isNull)
+      .withColumn("__g0", coalesce(col("dh"), lit(-1L)))
+      .withColumn("__g1", when(col("dh").isNull, col("sha")).otherwise(lit("")))
+    val firstOf = missG.groupBy("__g0", "__g1")
+      .agg(min(col("id")).as("__first"))
+    val withFirst = missG.join(broadcast(firstOf), Seq("__g0", "__g1"))
+    val firstSha = withFirst.filter(col("id") === col("__first"))
+      .select(col("__g0"), col("__g1"), col("sha").as("__first_sha"))
+    val folded = withFirst.join(broadcast(firstSha), Seq("__g0", "__g1"))
+      .select(col("id"),
+        when(col("id") === col("__first"), lit("novel"))
+          .when(col("sha") === col("__first_sha"), lit("duplicate"))
+          .otherwise(lit("near_duplicate")).as("verdict"),
+        when(col("id") === col("__first"), lit(-1L))
+          .otherwise(col("__first")).as("rep_id"))
+    val out = judged.select(col("id"),
+        when(col("__sha_rep").isNotNull, lit("duplicate"))
+          .when(col("__ph_rep").isNotNull, lit("near_duplicate")).as("verdict"),
+        coalesce(col("__sha_rep"), col("__ph_rep")).as("rep_id"))
+      .filter(col("verdict").isNotNull)
+      .unionByName(folded)
+      .localCheckpoint(true)
+    // absorb: ONLY the novel documents' keys (keep-first — dropped
+    // documents never anchor), O(batch) key-bucket upserts
+    val novel = keys.join(
+      out.filter(col("verdict") === "novel").select("id"), "id")
+    TableSink.upsert(spark, shaDir(dir),
+      novel.select(col("sha"), col("id").as("rep_id"))
+        .withColumn("__v", lit(version)),
+      Seq("sha"), "__v")
+    TableSink.upsert(spark, phDir(dir),
+      novel.filter(col("dh").isNotNull)
+        .select(col("dh"), col("id").as("rep_id"))
+        .withColumn("__v", lit(version)),
+      Seq("dh"), "__v")
+    out
+  }
+
+  /** Takedown — the content-level inverse of absorption (the
+    * [[graft.pipelines.Admission.unadmit]] contract): given the removed
+    * documents' PAYLOADS (what was indexed), recompute both keys
+    * map-side and delete them bucket-pruned; a later re-submission of
+    * the content is novel again. Key-idempotent. */
+  def remove(spark: SparkSession, dir: String, removed: DataFrame): Unit = {
+    require(exists(dir), s"no media store at '$dir' — run init first")
+    val keys = withKeys(removed).localCheckpoint(true)
+    TableSink.delete(spark, shaDir(dir),
+      keys.select("sha").distinct(), Seq("sha"))
+    TableSink.delete(spark, phDir(dir),
+      keys.filter(col("dh").isNotNull).select("dh").distinct(), Seq("dh"))
+  }
+}

@@ -609,6 +609,40 @@ private[graft] object QVector {
           col("out_w"), col("out_h"), col("resized_ok"))
         .orderBy("rep_id")
     }),
+    // Incremental media admission against the STANDING MediaStore —
+    // the multimodal twin of x_admit_incremental: the corpus slice
+    // initializes the sha + dhash key-hash relations once; the batch
+    // probes them bucket-pruned (payload bytes never shuffle; only
+    // sha-novel payloads decode, one per distinct sha) and the novel
+    // documents absorb in the same call. Verdict precedence duplicate
+    // (sha) > near_duplicate (dhash) > novel; batch-internal fold is
+    // keep-first in id order, and DROPPED documents never anchor (the
+    // oracle encodes that: a doc whose (pattern, shift) matches only a
+    // dropped earlier batch doc is a near-duplicate of the pattern's
+    // FIRST doc, not an exact duplicate of the dropped one).
+    "x_mm_admit_incremental" -> ((s, d) => {
+      import s.implicits._
+      val all = T(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val g = (id % 40).toInt
+            val off = ((id / 40) % 3).toInt * 5
+            (id, MultimodalOps.synthesizePng(9, 8, (x, y) => {
+              val v = (java.lang.Long.remainderUnsigned(
+                MultimodalOps.fmix64(g * 1000003L + x * 1009L + y * 9176L),
+                200L).toInt + off) & 0xff
+              (v << 16) | (v << 8) | v
+            }))
+          }
+        }.toDF("id", "payload")
+      val dir = tmpStore("media_store")
+      graft.operators.MediaStore.init(s, dir, all.filter(col("id") % 5 =!= 0))
+      graft.operators.MediaStore.run(s, dir,
+          all.filter(col("id") % 5 === 0), version = 1L)
+        .select(col("id").as("doc_id"), col("verdict"), col("rep_id"))
+        .orderBy("doc_id")
+    }),
     // REAL image resize: decode → aspect-fit bilinear Graphics2D scale
     // into 16×16 → PNG re-encode → verification re-decode, all inside
     // one partition (x_mm_resize pins the same geometry as column
@@ -1252,6 +1286,34 @@ private[graft] object QVector {
         |  CAST(16 AS INTEGER) AS out_w, CAST(14 AS INTEGER) AS out_h,
         |  true AS resized_ok
         |FROM documents GROUP BY doc_id % 40 ORDER BY rep_id""".stripMargin,
+    // Media admission replay: sha ≡ (pattern, shift) and dhash ≡
+    // pattern by the fixture construction, so the whole fold is group
+    // arithmetic — corpus anchors first (exact then perceptual), then
+    // the batch-internal keep-first where only the pattern's FIRST
+    // batch doc anchors (dropped docs never register their sha).
+    "x_mm_admit_incremental" ->
+      """WITH a AS (SELECT doc_id, doc_id % 40 g, (doc_id // 40) % 3 AS sh FROM documents),
+        |c AS (SELECT * FROM a WHERE doc_id % 5 <> 0),
+        |b AS (SELECT * FROM a WHERE doc_id % 5 = 0),
+        |cg AS (SELECT g, min(doc_id) rep FROM c GROUP BY g),
+        |cs AS (SELECT g, sh, min(doc_id) rep FROM c GROUP BY g, sh),
+        |bm AS (SELECT g, min(doc_id) m FROM b GROUP BY g),
+        |bmo AS (SELECT bm.g, bm.m, bb.sh AS msh FROM bm JOIN b bb ON bb.doc_id = bm.m)
+        |SELECT b.doc_id,
+        |  CASE WHEN cs.rep IS NOT NULL THEN 'duplicate'
+        |       WHEN cg.rep IS NOT NULL THEN 'near_duplicate'
+        |       WHEN b.doc_id = bmo.m THEN 'novel'
+        |       WHEN b.sh = bmo.msh THEN 'duplicate'
+        |       ELSE 'near_duplicate' END AS verdict,
+        |  CAST(CASE WHEN cs.rep IS NOT NULL THEN cs.rep
+        |            WHEN cg.rep IS NOT NULL THEN cg.rep
+        |            WHEN b.doc_id = bmo.m THEN -1
+        |            ELSE bmo.m END AS BIGINT) AS rep_id
+        |FROM b
+        |LEFT JOIN cs ON cs.g = b.g AND cs.sh = b.sh
+        |LEFT JOIN cg ON cg.g = b.g
+        |JOIN bmo ON bmo.g = b.g
+        |ORDER BY b.doc_id""".stripMargin,
     // Real resize: the aspect-fit geometry is the x_mm_resize algebra;
     // bilinear scaling of a solid image stays solid and PNG is
     // lossless, so the output pixel sum is exact arithmetic.

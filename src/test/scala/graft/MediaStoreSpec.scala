@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{MediaStore, MultimodalOps}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The standing media-dedup store: exact (sha) before perceptual
+ * (dhash) before novel, only NOVEL documents anchor later verdicts
+ * (keep-first — a dropped document's bytes never register), takedown
+ * un-anchors content, and undecodable payloads degrade to exact-only
+ * semantics without crashing.
+ */
+class MediaStoreSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // The x_mm_phash_dedup fixture: pattern → dHash cluster, brightness
+  // shift → byte-distinct re-encode within the cluster.
+  private def img(pattern: Int, off: Int): Array[Byte] =
+    MultimodalOps.synthesizePng(9, 8, (x, y) => {
+      val v = (java.lang.Long.remainderUnsigned(
+        MultimodalOps.fmix64(pattern * 1000003L + x * 1009L + y * 9176L),
+        200L).toInt + off) & 0xff
+      (v << 16) | (v << 8) | v
+    })
+
+  private def media(rows: (Long, Array[Byte])*): DataFrame =
+    rows.toDF("id", "payload")
+
+  private def verdicts(out: DataFrame): Map[Long, (String, Long)] =
+    out.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("mediastore").toString
+
+  test("funnel verdicts + keep-first: dropped documents never anchor") {
+    val dir = tmp()
+    MediaStore.init(spark, dir, media(1L -> img(1, 0), 2L -> img(2, 0)))
+    val b1 = media(
+      11L -> img(1, 0), // exact copy of corpus 1
+      12L -> img(1, 5), // re-encode of pattern 1
+      13L -> img(3, 0), // new pattern → novel, anchors the rest
+      14L -> img(3, 5), // re-encode of 13 → dropped
+      15L -> img(3, 5)) // SAME BYTES as dropped 14
+    val v1 = verdicts(MediaStore.run(spark, dir, b1, version = 1L))
+    assert(v1(11L) == ("duplicate", 1L), s"$v1")
+    assert(v1(12L) == ("near_duplicate", 1L), s"$v1")
+    assert(v1(13L) == ("novel", -1L), s"$v1")
+    assert(v1(14L) == ("near_duplicate", 13L), s"$v1")
+    // the subtle pin: 15's bytes match only the DROPPED 14, whose sha
+    // never registered — so 15 is a near-dup of the pattern's FIRST
+    assert(v1(15L) == ("near_duplicate", 13L),
+      s"a doc matching only a dropped doc's bytes must near-dup the first: $v1")
+    // a second run probes the GROWN store: 13's keys anchor now
+    val v2 = verdicts(MediaStore.run(spark, dir,
+      media(21L -> img(3, 0), 22L -> img(3, 10)), version = 2L))
+    assert(v2(21L) == ("duplicate", 13L), s"$v2")
+    assert(v2(22L) == ("near_duplicate", 13L), s"$v2")
+  }
+
+  test("remove un-anchors content; the next submission is novel and re-anchors") {
+    val dir = tmp()
+    MediaStore.init(spark, dir, media(1L -> img(7, 0)))
+    assert(verdicts(MediaStore.run(spark, dir,
+      media(31L -> img(7, 5)), 1L))(31L)._1 == "near_duplicate")
+    MediaStore.remove(spark, dir, media(99L -> img(7, 0)))
+    val v2 = verdicts(MediaStore.run(spark, dir, media(41L -> img(7, 5)), 2L))
+    assert(v2(41L) == ("novel", -1L),
+      s"removed content must stop anchoring: $v2")
+    assert(verdicts(MediaStore.run(spark, dir,
+      media(51L -> img(7, 5)), 3L))(51L) == ("duplicate", 41L),
+      "the post-removal novel must anchor again")
+  }
+
+  test("undecodable payloads degrade to exact-only semantics") {
+    val dir = tmp()
+    MediaStore.init(spark, dir, media(1L -> "junk-one".getBytes))
+    val v = verdicts(MediaStore.run(spark, dir, media(
+      61L -> "junk-one".getBytes,
+      62L -> "junk-two".getBytes,
+      63L -> "junk-two".getBytes), 1L))
+    assert(v(61L) == ("duplicate", 1L), s"$v")
+    assert(v(62L) == ("novel", -1L), s"$v")
+    assert(v(63L) == ("duplicate", 62L), s"$v")
+    // and junk never perceptually clusters with anything
+    assert(verdicts(MediaStore.run(spark, dir,
+      media(71L -> "junk-three".getBytes), 2L))(71L)._1 == "novel")
+  }
+
+  test("init refuses a previously-used dir; run refuses a missing store") {
+    val dir = tmp()
+    MediaStore.init(spark, dir, media(1L -> img(9, 0)))
+    intercept[IllegalStateException](
+      MediaStore.init(spark, dir, media(2L -> img(9, 5))))
+    val e = intercept[IllegalArgumentException](
+      MediaStore.run(spark, s"$dir-nowhere", media(3L -> img(9, 0)), 1L))
+    assert(e.getMessage.contains("init"))
+  }
+}
