@@ -416,7 +416,12 @@ object Admission {
    * batch's buckets, one O(batch) span delta write.
    */
   def run(spark: SparkSession, storeDir: String, batch: DataFrame,
-          idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
+          idCol: String, textCol: String, cfg: Config = Config()): DataFrame =
+      // Funnel-scope single-writer lease (on top of each store's own):
+      // two concurrent runs could BOTH probe before either absorbs, and
+      // each would admit the other's duplicates — the store-level leases
+      // can't see that probe/absorb race, only the funnel scope can.
+      graft.sources.WriterLease.withLease(storeDir, "admission-run") {
     val out = computeVerdicts(spark, storeDir, batch, idCol, textCol, cfg)
     val grown = batch.select(col(idCol), col(textCol))
       .join(out.filter(col("verdict") === "admitted").select(idCol), idCol)
@@ -452,7 +457,8 @@ object Admission {
    */
   def runCommitted(spark: SparkSession, storeDir: String, batch: DataFrame,
                    idCol: String, textCol: String, batchId: Long,
-                   cfg: Config = Config()): DataFrame = {
+                   cfg: Config = Config()): DataFrame =
+      graft.sources.WriterLease.withLease(storeDir, "admission-run-committed") {
     val vd = verdictDir(storeDir, batchId)
     val committed = java.nio.file.Files.exists(java.nio.file.Paths.get(vd, "_SUCCESS"))
     if (!committed)
@@ -506,7 +512,8 @@ object Admission {
    */
   def maintain(spark: SparkSession, storeDir: String,
                cfg: Config = Config(),
-               maxAddedFraction: Double = 0.5): Boolean = {
+               maxAddedFraction: Double = 0.5): Boolean =
+      graft.sources.WriterLease.withLease(storeDir, "admission-maintain") {
     compact(spark, storeDir)
     cfg.sem.exists { st =>
       graft.operators.SemDedupStore.exists(semDir(storeDir)) &&
@@ -554,7 +561,8 @@ object Admission {
    */
   def unadmit(spark: SparkSession, storeDir: String, removed: DataFrame,
               idCol: String, textCol: String, cfg: Config = Config(),
-              name: Option[String] = None): Unit = {
+              name: Option[String] = None): Unit =
+      graft.sources.WriterLease.withLease(storeDir, "admission-unadmit") {
     import graft.sources.{AdditiveLedger, DeltaParts}
     val n = name.getOrElse(AdditiveLedger.nextName(spanDir(storeDir),
       Seq(spanDir(storeDir))))

@@ -14,6 +14,10 @@ package graft.sources
  * [[graft.pipelines.Admission]] — span inventory, with the
  * fingerprint TableSink's key-idempotent mutations sequenced around
  * the ledger dance via [[isAbsorbed]]/[[nextName]]).
+ *
+ * Mutations ([[mutateNamed]], [[compactWith]], [[recordInit]]) hold the
+ * store dir's [[WriterLease]] for their whole multi-step dance — the
+ * single-writer contract enforced fail-loud, not just documented.
  */
 object AdditiveLedger {
 
@@ -56,10 +60,11 @@ object AdditiveLedger {
 
   /** Record the init part in both ledgers (call after the part files
     * are on disk — [[DeltaParts.add]] is the atomic publish). */
-  def recordInit(dir: String, name: String): Unit = {
-    DeltaParts.add(dir, name)
-    DeltaParts.add(absorbedDir(dir), name)
-  }
+  def recordInit(dir: String, name: String): Unit =
+    WriterLease.withLease(dir, "ledger-init") {
+      DeltaParts.add(dir, name)
+      DeltaParts.add(absorbedDir(dir), name)
+    }
 
   /**
    * The named-mutation replay dance, idempotent at every crash point
@@ -72,14 +77,20 @@ object AdditiveLedger {
    *    ledger them (its last step), then the absorbed record lands.
    */
   def mutateNamed(dir: String, roots: Seq[String], name: Option[String])
-                 (write: String => Unit): Unit = {
-    val absorbed = DeltaParts.list(absorbedDir(dir))
-    val n = name.getOrElse(DeltaParts.nextIndexedName(dir, roots,
-      extraNames = absorbed))
-    if (absorbed.contains(n)) return
-    if (!DeltaParts.list(dir).contains(n)) write(n)
-    DeltaParts.add(absorbedDir(dir), n)
-  }
+                 (write: String => Unit): Unit =
+    // One lease across the whole dance: the absorbed-check, the part
+    // write (often multi-relation), and the ledger adds are one
+    // mutation — a second writer interleaving between any two of those
+    // steps is the silent-corruption case the lease exists to refuse.
+    WriterLease.withLease(dir, "ledger-mutate") {
+      val absorbed = DeltaParts.list(absorbedDir(dir))
+      val n = name.getOrElse(DeltaParts.nextIndexedName(dir, roots,
+        extraNames = absorbed))
+      if (!absorbed.contains(n)) {
+        if (!DeltaParts.list(dir).contains(n)) write(n)
+        DeltaParts.add(absorbedDir(dir), n)
+      }
+    }
 
   /** The compact cycle: write the merged generation un-ledgered, sweep
     * orphans (protecting the superseded parts one cycle for in-flight
@@ -88,17 +99,19 @@ object AdditiveLedger {
     * them (publish-by-replace is the atomic step — an add would
     * transiently double-count). */
   def compactWith(dir: String, roots: Seq[String])
-                 (writeGen: (String, Seq[String]) => Unit): Unit = {
-    val old = DeltaParts.list(dir)
-    if (old.size <= 1) return
-    val gen = s"part_c${System.nanoTime()}"
-    // The callback folds exactly the `old` listing the protect set is
-    // computed from — re-listing inside the callback would let any part
-    // landed between the two reads be folded into the gen while the
-    // sweep below treats it as an orphan.
-    writeGen(gen, old)
-    val protect = old.toSet + gen ++ DeltaParts.pinned(dir)
-    roots.foreach(r => DeltaParts.sweepOrphans(r, protect))
-    DeltaParts.publish(dir, Seq(gen))
-  }
+                 (writeGen: (String, Seq[String]) => Unit): Unit =
+    WriterLease.withLease(dir, "ledger-compact") {
+      val old = DeltaParts.list(dir)
+      if (old.size > 1) {
+        val gen = s"part_c${System.nanoTime()}"
+        // The callback folds exactly the `old` listing the protect set is
+        // computed from — re-listing inside the callback would let any part
+        // landed between the two reads be folded into the gen while the
+        // sweep below treats it as an orphan.
+        writeGen(gen, old)
+        val protect = old.toSet + gen ++ DeltaParts.pinned(dir)
+        roots.foreach(r => DeltaParts.sweepOrphans(r, protect))
+        DeltaParts.publish(dir, Seq(gen))
+      }
+    }
 }

@@ -13,7 +13,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
  * uniformly-distributed keys would dirty every bucket of a CoW table.
  *
  * Single-writer by contract (scheduled ingest/maintenance jobs, not a
- * concurrent endpoint); readers resolve either the old or the new
+ * concurrent endpoint) — the read-modify-write mutations ([[add]],
+ * [[replaceAll]], [[restore]]) enforce it fail-loud under the dir's
+ * [[WriterLease]]; readers resolve either the old or the new
  * ledger, never a torn one. Replay-safe: parts are named by their
  * batch/epoch, rewriting a part is an idempotent overwrite, and
  * [[add]] is add-if-absent.
@@ -43,11 +45,15 @@ object DeltaParts {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Append `name` to the live set if absent (replay-idempotent). */
-  def add(dir: String, name: String): Unit = {
-    val cur = list(dir)
-    if (!cur.contains(name)) publish(dir, cur :+ name)
-  }
+  /** Append `name` to the live set if absent (replay-idempotent).
+    * Read-modify-write, so it runs under the dir's [[WriterLease]] —
+    * two raced adds would otherwise each publish a list missing the
+    * other's part. */
+  def add(dir: String, name: String): Unit =
+    WriterLease.withLease(dir, "deltaparts-add") {
+      val cur = list(dir)
+      if (!cur.contains(name)) publish(dir, cur :+ name)
+    }
 
   /** The next sequentially-numbered part name, counting BOTH the ledger
     * and any part dir still on disk under `diskRoots` — a compaction
@@ -141,7 +147,9 @@ object DeltaParts {
     * them. The tag itself stays live after the restore. Single-writer
     * contract like every ledger mutation here. */
   def restore(dir: String, tag: String): Unit =
-    publish(dir, listAt(dir, tag))
+    WriterLease.withLease(dir, "deltaparts-restore") {
+      publish(dir, listAt(dir, tag))
+    }
 
   /** Replace all live parts with `keep` (compaction publish). The parts
     * it supersedes are NOT deleted here — an in-flight reader that
@@ -151,11 +159,12 @@ object DeltaParts {
     * count-based). Sweeping happens via [[sweepOrphans]] so multi-root
     * stores can clean every relation root under the one ledger.
     * Snapshot-[[pinned]] parts are always protected. */
-  def replaceAll(dir: String, keep: String): Unit = {
-    val before = list(dir)
-    sweepOrphans(dir, protect = before.toSet + keep ++ pinned(dir))
-    publish(dir, Seq(keep))
-  }
+  def replaceAll(dir: String, keep: String): Unit =
+    WriterLease.withLease(dir, "deltaparts-compact") {
+      val before = list(dir)
+      sweepOrphans(dir, protect = before.toSet + keep ++ pinned(dir))
+      publish(dir, Seq(keep))
+    }
 
   /** Delete every part dir under `root` that is neither in `protect`
     * nor a ledger file — the orphans a previous compaction left behind.

@@ -38,8 +38,11 @@ import scala.jdk.CollectionConverters._
  * `versionCol`) converges to the same table state, which is what makes
  * `foreachBatch` + checkpoint exactly-once end-to-end.
  *
- * Single-writer (a streaming query's serialized micro-batches); on a
- * production deployment this maps 1:1 onto Delta/Iceberg MERGE.
+ * Single-writer (a streaming query's serialized micro-batches),
+ * ENFORCED fail-loud: every mutation runs under the [[WriterLease]] on
+ * `dir`, so a second concurrent writer errors instead of silently
+ * losing the race's other manifest flip. On a production deployment
+ * this maps 1:1 onto Delta/Iceberg MERGE + its commit protocol.
  */
 object TableSink {
 
@@ -370,7 +373,8 @@ object TableSink {
                      rehomeFromCol: Option[String],
                      repin: Boolean = false,
                      newMeta: Option[Option[String]] = None)
-                    (merge: DataFrame => DataFrame): Unit = {
+                    (merge: DataFrame => DataFrame): Unit =
+      WriterLease.withLease(dir, "tablesink-commit") {
     val cur = currentManifest(dir)
     val nb = if (repin) numBuckets else cur.map(_.buckets).getOrElse(numBuckets)
     // An existing table's layout (or its absence) is manifest-pinned;
@@ -519,7 +523,8 @@ object TableSink {
     * atomicity, and the GC contract all hold unchanged (re-pointing
     * `_CURRENT` at the OLD manifest instead would make the next commit's
     * seq collide with a newer generation). The tag stays live. */
-  def restore(dir: String, tag: String): Unit = {
+  def restore(dir: String, tag: String): Unit =
+      WriterLease.withLease(dir, "tablesink-restore") {
     val p = snapshotDir(dir).resolve(tag)
     require(Files.exists(p), s"no snapshot '$tag' at '$dir' " +
       s"(have: ${listSnapshots(dir).keys.toSeq.sorted.mkString(", ")})")
