@@ -522,6 +522,27 @@ private[graft] object QCuration {
             <= greatest(lit(0.1) * col("n_unique"), lit(10.0))).as("distinct_ok"))
         .orderBy("source", "lang")
     }),
+    // The MAINTAINED form of the data card ([[graft.operators.CardStore]]):
+    // the corpus arrives as an init slice plus three ingest batches, each
+    // folded in O(batch) — additive sums, mergeable GK/HLL sketches, and
+    // the EXACT distinct-fingerprint count via the keep-first attributed
+    // fingerprint relation (bucket-pruned probe; a cross-batch duplicate
+    // never recounts) — and the folded card must be indistinguishable
+    // from x_data_card's one-pass global computation: SAME oracle. At
+    // 100 TB this is the dashboard that stays current per admission
+    // batch where the global pass is a scheduled luxury.
+    "x_data_card_incremental" -> ((s, d) => {
+      val dir = tmpStore("graft_cardstore")
+      val docs = T(s, d, "documents")
+      graft.operators.CardStore.init(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        "source", "lang", "text", "n_chars", qualityOf)
+      (1 to 3).foreach(i => graft.operators.CardStore.append(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(4)) === i),
+        "source", "lang", "text", "n_chars", qualityOf,
+        name = Some(f"part_b$i%d")))
+      graft.operators.CardStore.card(s, dir)
+    }),
     // Unicode NFC canonicalization — required BEFORE any hash-based
     // stage (the same visible text in composed vs decomposed form hashes
     // as different content, so exact dedup misses real duplicates).
@@ -668,6 +689,37 @@ private[graft] object QCuration {
     }),
   )
 
+  /** The x_data_card replay, shared VERBATIM by the one-pass query and
+    * the [[graft.operators.CardStore]] maintained form — the store's
+    * whole contract is that its folded card is indistinguishable. */
+  private val dataCardSql =
+    s"""WITH w AS (SELECT source, lang, n_chars, $words wds,
+       |        md5(lower(trim(text))) fp FROM documents),
+       |m AS (SELECT source, lang, n_chars, fp, len(wds) nt,
+       |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
+       |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
+       |q AS (SELECT source, lang, n_chars, fp, nt, CAST(round(round(
+       |  least(nt / 50.0, 1.0) * 0.5 +
+       |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+       |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6)
+       |  * 1000000.0) AS BIGINT) qu FROM m),
+       |n AS (SELECT source, lang, count(*) nd FROM q GROUP BY 1, 2),
+       |r AS (SELECT source, lang, n_chars,
+       |        count(*) OVER (PARTITION BY source, lang ORDER BY n_chars) cum FROM q),
+       |p AS (SELECT r.source, r.lang, min(n_chars) p50
+       |      FROM r JOIN n USING (source, lang)
+       |      WHERE cum >= ceil(0.5 * nd) GROUP BY 1, 2)
+       |SELECT q.source, q.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(qu) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS avg_quality,
+       |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+       |  round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate,
+       |  round(CAST(max(p.p50) AS DOUBLE), 2) AS p50_chars,
+       |  true AS distinct_ok
+       |FROM q JOIN p USING (source, lang)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "x_token_stats" ->
       s"""WITH w AS (SELECT doc_id, text, length(text) nc, $words wds FROM documents)
@@ -771,33 +823,10 @@ private[graft] object QCuration {
     // with cdf >= ceil(q*n)" sketch semantic; the exact fingerprint
     // distinct carries the HLL contract boolean (±max(10%, 10) — no
     // sparse mode in Spark's HLL++, so tiny cells can miss by ±1-2).
-    "x_data_card" ->
-      s"""WITH w AS (SELECT source, lang, n_chars, $words wds,
-        |        md5(lower(trim(text))) fp FROM documents),
-        |m AS (SELECT source, lang, n_chars, fp, len(wds) nt,
-        |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
-        |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
-        |q AS (SELECT source, lang, n_chars, fp, nt, CAST(round(round(
-        |  least(nt / 50.0, 1.0) * 0.5 +
-        |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
-        |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6)
-        |  * 1000000.0) AS BIGINT) qu FROM m),
-        |n AS (SELECT source, lang, count(*) nd FROM q GROUP BY 1, 2),
-        |r AS (SELECT source, lang, n_chars,
-        |        count(*) OVER (PARTITION BY source, lang ORDER BY n_chars) cum FROM q),
-        |p AS (SELECT r.source, r.lang, min(n_chars) p50
-        |      FROM r JOIN n USING (source, lang)
-        |      WHERE cum >= ceil(0.5 * nd) GROUP BY 1, 2)
-        |SELECT q.source, q.lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(sum(qu) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS avg_quality,
-        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
-        |  round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate,
-        |  round(CAST(max(p.p50) AS DOUBLE), 2) AS p50_chars,
-        |  true AS distinct_ok
-        |FROM q JOIN p USING (source, lang)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_data_card" -> dataCardSql,
+    // The maintained card must be INDISTINGUISHABLE from the global
+    // one-pass computation — same oracle, verbatim.
+    "x_data_card_incremental" -> dataCardSql,
     // NFC replay: DuckDB's nfc_normalize is the same Unicode TR15
     // canonical composition as java.text.Normalizer — byte-for-byte.
     "x_text_normalize" ->
