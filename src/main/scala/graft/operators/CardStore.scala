@@ -222,4 +222,10 @@ object CardStore {
         .write.mode("overwrite").parquet(s"${statsDir(dir)}/$gen")
     }
   }
+
+  /** Storage audit ([[graft.sources.StoreCheck]]): the stats ledger and
+    * the fingerprint relation in one report. */
+  def fsck(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StoreCheck.deltaParts(spark, dir, Seq(statsDir(dir)))
+      .unionByName(graft.sources.StoreCheck.tableSink(spark, fpsDir(dir)))
 }

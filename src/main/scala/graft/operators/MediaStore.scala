@@ -70,7 +70,8 @@ object MediaStore {
     * corpus IS the admitted content; keep-first within it). REFUSES a
     * previously-used dir (the store-family run-once contract). */
   def init(spark: SparkSession, dir: String, corpus: DataFrame,
-           numBuckets: Int = 16): Unit = {
+           numBuckets: Int = 16): Unit =
+      graft.sources.WriterLease.withLease(dir, "mediastore-init") {
     if (exists(dir) || TableSink.tableExists(phDir(dir)))
       throw new IllegalStateException(
         s"media store at '$dir' was already initialized — init is run-once; " +
@@ -99,9 +100,17 @@ object MediaStore {
    * sha + two key-bucket-pruned reads + two O(batch) upserts.
    */
   def run(spark: SparkSession, dir: String, batch: DataFrame,
-          version: Long): DataFrame = {
-    require(exists(dir), s"no media store at '$dir' — run init first")
-    val keys = withKeys(batch).localCheckpoint(true)
+          version: Long): DataFrame =
+    graft.sources.WriterLease.withLease(dir, "mediastore-run") {
+      require(exists(dir), s"no media store at '$dir' — run init first")
+      val keys = withKeys(batch).localCheckpoint(true)
+      val out = judge(spark, dir, keys)
+      absorbNovel(spark, dir, keys, out, version)
+      out
+    }
+
+  /** Stages 1–3 — the verdict relation, NO store mutation. */
+  private def judge(spark: SparkSession, dir: String, keys: DataFrame): DataFrame = {
     // stage 1: stored sha hits (bucket-pruned read of the batch's keys)
     val shaProbe = keys.select("sha").distinct()
     val storedSha = TableSink.readBuckets(spark, shaDir(dir), shaLike(spark),
@@ -143,8 +152,15 @@ object MediaStore {
       .filter(col("verdict").isNotNull)
       .unionByName(folded)
       .localCheckpoint(true)
-    // absorb: ONLY the novel documents' keys (keep-first — dropped
-    // documents never anchor), O(batch) key-bucket upserts
+    out
+  }
+
+  /** Absorb ONLY the novel documents' keys (keep-first — dropped
+    * documents never anchor), O(batch) key-bucket upserts. Idempotent
+    * for a fixed (verdicts, version): a replay upserts the identical
+    * rows under the identical keys. */
+  private def absorbNovel(spark: SparkSession, dir: String, keys: DataFrame,
+                          out: DataFrame, version: Long): Unit = {
     val novel = keys.join(
       out.filter(col("verdict") === "novel").select("id"), "id")
     TableSink.upsert(spark, shaDir(dir),
@@ -156,15 +172,71 @@ object MediaStore {
         .select(col("dh"), col("id").as("rep_id"))
         .withColumn("__v", lit(version)),
       Seq("dh"), "__v")
-    out
   }
+
+  private def verdictDir(dir: String, batchId: Long) =
+    s"$dir/verdicts/batch_$batchId"
+
+  /**
+   * Exactly-once per-micro-batch media admission — the
+   * [[graft.pipelines.Admission.runCommitted]] idiom applied to the
+   * media funnel: the batch's verdict parquet is the COMMIT POINT,
+   * written before any store mutation. A crash before the commit
+   * replays against unchanged stores; a crash after it reads the
+   * verdicts BACK (never recomputes — the store may already hold this
+   * batch's own keys, and a recompute would mark the batch a duplicate
+   * of itself) and re-absorbs idempotently (keep-first keys under the
+   * batch-id version). Payload hashing/decoding re-runs on replay —
+   * deterministic, and payload bytes still never shuffle.
+   */
+  def runCommitted(spark: SparkSession, dir: String, batch: DataFrame,
+                   batchId: Long): DataFrame =
+    graft.sources.WriterLease.withLease(dir, "mediastore-run-committed") {
+      require(exists(dir), s"no media store at '$dir' — run init first")
+      val vd = verdictDir(dir, batchId)
+      val keys = withKeys(batch).localCheckpoint(true)
+      val committed = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(vd, "_SUCCESS"))
+      if (!committed)
+        judge(spark, dir, keys).write.mode("overwrite").parquet(vd)
+      val out = spark.read.parquet(vd)
+      absorbNovel(spark, dir, keys, out, version = batchId)
+      out
+    }
+
+  /**
+   * The streaming media ingest: every micro-batch of (id, payload)
+   * runs [[runCommitted]] under its epoch id — exactly-once end-to-end
+   * (restart replays the last uncommitted epoch onto identical
+   * verdicts and store state), with the verdict history accumulating
+   * under `dir/verdicts/batch_<epoch>` as the queryable ingest log.
+   * The streaming twin of the [[graft.pipelines.Admission.stream]]
+   * text funnel, for the media lane.
+   */
+  def stream(spark: SparkSession, dir: String, source: DataFrame,
+             checkpointDir: String,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty) runCommitted(spark, dir, batch, epoch)
+          ()
+        } finally { batch.unpersist(); () }
+      }
+      .start()
 
   /** Takedown — the content-level inverse of absorption (the
     * [[graft.pipelines.Admission.unadmit]] contract): given the removed
     * documents' PAYLOADS (what was indexed), recompute both keys
     * map-side and delete them bucket-pruned; a later re-submission of
     * the content is novel again. Key-idempotent. */
-  def remove(spark: SparkSession, dir: String, removed: DataFrame): Unit = {
+  def remove(spark: SparkSession, dir: String, removed: DataFrame): Unit =
+      graft.sources.WriterLease.withLease(dir, "mediastore-remove") {
     require(exists(dir), s"no media store at '$dir' — run init first")
     val keys = withKeys(removed).localCheckpoint(true)
     TableSink.delete(spark, shaDir(dir),
@@ -172,4 +244,10 @@ object MediaStore {
     TableSink.delete(spark, phDir(dir),
       keys.filter(col("dh").isNotNull).select("dh").distinct(), Seq("dh"))
   }
+
+  /** Storage audit ([[graft.sources.StoreCheck]]): both key relations
+    * in one report. */
+  def fsck(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StoreCheck.tableSink(spark, shaDir(dir))
+      .unionByName(graft.sources.StoreCheck.tableSink(spark, phDir(dir)))
 }

@@ -468,4 +468,18 @@ object SemDedupStore {
       ids.select(col(idCol).as("id")))
     ()
   }
+
+  /** Storage audit ([[graft.sources.StoreCheck]]): the members table's
+    * referential health PLUS the composite link the generic audit
+    * cannot know — the manifest-borne centroid pointer must resolve to
+    * an existing cells dir (a vanished fit makes every probe
+    * unanswerable). */
+  def fsck(spark: SparkSession, dir: String): DataFrame = {
+    val members = graft.sources.StoreCheck.tableSink(spark, membersDir(dir))
+    val ptr = graft.sources.IndexMeta.cellsPtr(membersDir(dir))
+      .fold(cellsDir(dir))(p => s"$dir/$p")
+    members.unionByName(graft.sources.StoreCheck.row(spark, dir,
+      "centroids_resolve", java.nio.file.Files.exists(java.nio.file.Paths.get(ptr)),
+      s"centroid pointer -> $ptr"))
+  }
 }

@@ -372,6 +372,12 @@ object Bm25Store {
       writePart(dir, gen, postingsLive, dfLive, st, docRows,
         emptyTombsLike(docRows), ledger = false)
     }
+
+  /** Storage audit ([[graft.sources.StoreCheck]]): the one ledger's
+    * parts resolve across all five relation roots, tags pin present
+    * state, crash residue reports advisory. */
+  def fsck(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.sources.StoreCheck.deltaParts(spark, dir, relationRoots(dir))
 }
 
 /**

@@ -586,4 +586,20 @@ object Admission {
       DeltaParts.add(spanDir(storeDir), nn)
     }
   }
+
+  /** Storage audit of the WHOLE admission store in one report
+    * ([[graft.sources.StoreCheck]]): the span-digest ledger, the
+    * fingerprint table, and — with the semantic stage on — the member
+    * store including its centroid pointer. The scheduled pre-flight a
+    * deployment runs before trusting the funnel after a crash,
+    * restore, or migration. */
+  def fsck(spark: SparkSession, storeDir: String,
+           cfg: Config = Config()): DataFrame = {
+    val base = graft.sources.StoreCheck
+      .deltaParts(spark, spanDir(storeDir), Seq(spanDir(storeDir)))
+      .unionByName(graft.sources.StoreCheck.tableSink(spark, fpDir(storeDir)))
+    if (cfg.sem.isDefined || graft.operators.SemDedupStore.exists(semDir(storeDir)))
+      base.unionByName(graft.operators.SemDedupStore.fsck(spark, semDir(storeDir)))
+    else base
+  }
 }

@@ -367,4 +367,20 @@ object Hybrid {
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     Rrf.fuse(Seq(lex, sem), k, c)
   }
+
+  /** Storage audit of the WHOLE retrieval state in one report
+    * ([[graft.sources.StoreCheck]]): the BM25 ledger across its five
+    * relation roots, the ANN table, and the composite link between
+    * them — the ANN manifest's centroid pointer must resolve (a
+    * vanished fit strands every probed-cell read). */
+  def fsck(spark: SparkSession, storeDir: String): DataFrame = {
+    val ptr = graft.sources.IndexMeta.cellsPtr(annDir(storeDir))
+      .fold(cellsDir(storeDir))(p => s"$storeDir/$p")
+    graft.operators.Bm25Store.fsck(spark, bm25Dir(storeDir))
+      .unionByName(graft.sources.StoreCheck.tableSink(spark, annDir(storeDir)))
+      .unionByName(graft.sources.StoreCheck.row(spark, storeDir,
+        "centroids_resolve",
+        java.nio.file.Files.exists(java.nio.file.Paths.get(ptr)),
+        s"centroid pointer -> $ptr"))
+  }
 }

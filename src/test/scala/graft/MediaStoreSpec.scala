@@ -96,4 +96,43 @@ class MediaStoreSpec extends AnyFunSuite with SparkSpec {
       MediaStore.run(spark, s"$dir-nowhere", media(3L -> img(9, 0)), 1L))
     assert(e.getMessage.contains("init"))
   }
+
+  test("streaming media ingest == batch reference; replay is exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = tmp()
+    val ckpt = java.nio.file.Files.createTempDirectory("media-ckpt").toString
+    MediaStore.init(spark, dir, media(1L -> img(1, 0), 2L -> img(2, 0)))
+
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = MediaStore.stream(spark, dir, mem.toDF().toDF("id", "payload"),
+      ckpt, trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    // epoch 0: one exact dup of corpus, one novel pattern
+    mem.addData(11L -> img(1, 0), 12L -> img(3, 0))
+    q.processAllAvailable()
+    // epoch 1: re-encode of epoch 0's novel (must see it), plus junk
+    mem.addData(21L -> img(3, 7), 22L -> "junk-a".getBytes)
+    q.processAllAvailable()
+    q.stop()
+
+    val v0 = verdicts(spark.read.parquet(s"$dir/verdicts/batch_0"))
+    assert(v0(11L) == ("duplicate", 1L) && v0(12L) == ("novel", -1L), s"$v0")
+    val v1 = verdicts(spark.read.parquet(s"$dir/verdicts/batch_1"))
+    assert(v1(21L) == ("near_duplicate", 12L),
+      s"epoch 1 must anchor to epoch 0's admitted doc: $v1")
+    assert(v1(22L) == ("novel", -1L), s"$v1")
+
+    // replay epoch 1 (crash-after-commit): verdicts come from the
+    // committed log — NOT recomputed against a store that now holds
+    // this batch's own keys (a recompute would call 22 a duplicate of
+    // itself) — and the store state converges, not duplicates.
+    val replay = verdicts(MediaStore.runCommitted(spark, dir,
+      media(21L -> img(3, 7), 22L -> "junk-a".getBytes), batchId = 1L))
+    assert(replay == v1, "replay must return the committed verdicts")
+    // a later batch still sees exactly the keep-first anchors
+    val v2 = verdicts(MediaStore.run(spark, dir,
+      media(31L -> "junk-a".getBytes, 32L -> img(3, 3)), 9L))
+    assert(v2(31L) == ("duplicate", 22L) && v2(32L) == ("near_duplicate", 12L),
+      s"$v2")
+  }
 }
