@@ -141,7 +141,8 @@ object PqStore {
     * same commit. */
   def append(spark: SparkSession, dir: String, newVectors: DataFrame,
              cells: DataFrame, idCol: String, vecCol: String, cb: Codebook,
-             dim: Int, version: Long): Unit = {
+             dim: Int, version: Long): Unit =
+      graft.sources.WriterLease.withLease(dir, "pqstore-append") {
     require(graft.sources.TableSink.layoutColOf(dir).isDefined,
       s"no PQ index at '$dir' — write one with PqStore.write first")
     requireCurrentFit(spark, dir, cells, cb)
@@ -160,7 +161,8 @@ object PqStore {
     * from the fitted distribution — the [[IvfAnn.removeFromIndex]]
     * accounting argument). */
   def remove(spark: SparkSession, dir: String, ids: DataFrame,
-             idCol: String): Unit = {
+             idCol: String): Unit =
+      graft.sources.WriterLease.withLease(dir, "pqstore-remove") {
     require(graft.sources.TableSink.layoutColOf(dir).isDefined,
       s"no PQ index at '$dir' — write one with PqStore.write first")
     graft.sources.TableSink.deleteByIds(spark, dir, ids, idCol,
@@ -190,7 +192,8 @@ object PqStore {
    */
   def rebuild(spark: SparkSession, dir: String, corpus: DataFrame,
               idCol: String, vecCol: String, nlist: Int, m: Int, ksub: Int,
-              dim: Int, iters: Int = 3): (DataFrame, Codebook) = {
+              dim: Int, iters: Int = 3): (DataFrame, Codebook) =
+      graft.sources.WriterLease.withLease(dir, "pqstore-rebuild") {
     require(graft.sources.TableSink.tableExists(dir),
       s"no PQ index at '$dir' — write one with PqStore.write first")
     val ed = corpus.select(col(idCol),
@@ -272,5 +275,31 @@ object PqStore {
         zip_with(col("cell_vec"), PqOps.reconstruct(col("codes"), cb),
           (a, b) => a + b).as(vecCol))
     IvfAnn.annSearch(queries, recon, cells, idCol, vecCol, k, nprobe, excludeSelf)
+  }
+
+  /** Storage audit ([[graft.sources.StoreCheck]]): the coded table's
+    * referential health plus the fit link. A REBUILT store's manifest
+    * pins a `fit_rK/` whose cells and codebook the live codes were
+    * encoded under — both must resolve, or every reconstruction (hence
+    * every probe) is impossible. A never-rebuilt store's fit is
+    * caller-held by contract ([[write]]'s scaladoc), so an absent
+    * `_codebook` there is advisory, not a failure. */
+  def fsck(spark: SparkSession, dir: String): DataFrame = {
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    val fitRows = fitDir(spark, dir) match {
+      case Some(f) =>
+        graft.sources.StoreCheck.row(spark, dir, "fit_cells_resolve",
+            exists(s"$f/cells"), s"cells -> $f/cells")
+          .unionByName(graft.sources.StoreCheck.row(spark, dir,
+            "fit_codebook_resolves", exists(s"$f/codebook"),
+            s"codebook -> $f/codebook"))
+      case None =>
+        val cb = s"$dir/_codebook"
+        graft.sources.StoreCheck.row(spark, dir, "codebook_resolves",
+          ok = true,
+          if (exists(cb)) s"persisted at $cb"
+          else "caller-held fit (never rebuilt, no persisted codebook) — by contract")
+    }
+    graft.sources.StoreCheck.tableSink(spark, dir).unionByName(fitRows)
   }
 }

@@ -292,7 +292,9 @@ object SemDedupStore {
     * `assumeNewIds = true`. */
   def absorb(spark: SparkSession, dir: String, newVecs: DataFrame,
              idCol: String, vecCol: String, version: Long,
-             assumeNewIds: Boolean = false): Unit = {
+             assumeNewIds: Boolean = false): Unit =
+      graft.sources.WriterLease.withLease(dir, "semstore-absorb") {
+
     val cells = readCentroids(spark, dir)
     val assigned = memberRows(newVecs, cells, idCol, vecCol)
     val sidecar = graft.sources.IdLayoutSidecar.exists(membersDir(dir))
@@ -350,7 +352,9 @@ object SemDedupStore {
    * it. Returns the new centroids.
    */
   def rebuild(spark: SparkSession, dir: String, nlist: Int,
-              iters: Int = 3): DataFrame = {
+              iters: Int = 3): DataFrame =
+      graft.sources.WriterLease.withLease(dir, "semstore-rebuild") {
+
     require(TableSink.tableExists(membersDir(dir)),
       s"no semantic store at '$dir' — run init first")
     val like = spark.range(0).select(lit(0L).as("cluster_id"),
@@ -406,7 +410,11 @@ object SemDedupStore {
    * retry (the [[graft.pipelines.Hybrid.snapshot]] discipline).
    */
   def snapshot(dir: String, tag: String): Unit =
-    if (!snapshotPinned(dir, tag)) { TableSink.snapshot(membersDir(dir), tag); () }
+    graft.sources.WriterLease.withLease(dir, "semstore-snapshot") {
+      // Root-scope lease: the pinned-vs-live pre-check and the tag
+      // write must not interleave with an absorb's generation flip.
+      if (!snapshotPinned(dir, tag)) { TableSink.snapshot(membersDir(dir), tag); () }
+    }
 
   /** The pre-check half of [[snapshot]], exposed for composite snapshots
     * (check EVERY piece before mutating any — the Admission/Hybrid
@@ -441,7 +449,8 @@ object SemDedupStore {
     * layout, and a stale sidecar silently breaks re-home — so the
     * restore pays one O(table) backfill, the honest price of time
     * travel on a layout-addressed store. */
-  def restore(spark: SparkSession, dir: String, tag: String): Unit = {
+  def restore(spark: SparkSession, dir: String, tag: String): Unit =
+      graft.sources.WriterLease.withLease(dir, "semstore-restore") {
     TableSink.restore(membersDir(dir), tag)
     graft.sources.IdLayoutSidecar.drop(membersDir(dir))
     graft.sources.IdLayoutSidecar.backfill(spark, membersDir(dir))
@@ -455,7 +464,8 @@ object SemDedupStore {
     * immediately — a later [[probe]] of similar content reads the
     * surviving members only. Absent ids are no-ops. */
   def remove(spark: SparkSession, dir: String, ids: DataFrame,
-             idCol: String): Unit = {
+             idCol: String): Unit =
+      graft.sources.WriterLease.withLease(dir, "semstore-remove") {
     require(TableSink.tableExists(membersDir(dir)),
       s"no semantic store at '$dir' — run init first")
     TableSink.deleteByIds(spark, membersDir(dir),

@@ -209,7 +209,8 @@ object Admission {
     * compactions never delete pinned state. NOT transactional across the
     * two stores — take it between batches (admission is single-writer by
     * contract, so "between batches" is a real quiescent point). */
-  def snapshot(storeDir: String, tag: String): Unit = {
+  def snapshot(storeDir: String, tag: String): Unit =
+      graft.sources.WriterLease.withLease(storeDir, "admission-snapshot") {
     // Replay-safe composition (the Hybrid.snapshot discipline): every
     // table half is pre-checked BEFORE anything mutates — a retried
     // snapshot either completes an unchanged half-taken tag
@@ -238,7 +239,8 @@ object Admission {
   }
 
   /** Release a [[snapshot]] tag on every store. */
-  def dropSnapshot(storeDir: String, tag: String): Unit = {
+  def dropSnapshot(storeDir: String, tag: String): Unit =
+      graft.sources.WriterLease.withLease(storeDir, "admission-drop-snapshot") {
     graft.sources.DeltaParts.dropSnapshot(spanDir(storeDir), tag)
     TableSink.dropSnapshot(fpDir(storeDir), tag)
     if (graft.operators.SemDedupStore.exists(semDir(storeDir)))
@@ -255,7 +257,8 @@ object Admission {
     * absorb stays a no-op (that monotonicity is what keeps crash replay
     * safe; rewinding it would let a pending replay double-absorb).
     * Re-admit rolled-back content under fresh batch ids. */
-  def restore(spark: SparkSession, storeDir: String, tag: String): Unit = {
+  def restore(spark: SparkSession, storeDir: String, tag: String): Unit =
+      graft.sources.WriterLease.withLease(storeDir, "admission-restore") {
     graft.sources.DeltaParts.restore(spanDir(storeDir), tag)
     TableSink.restore(fpDir(storeDir), tag)
     // The semantic member table rides the same tag (its centroid

@@ -104,7 +104,8 @@ object Hybrid {
    * non-transactional caveat as [[Admission.snapshot]]: take it between
    * refresh batches (single-writer maintenance is the quiescent point).
    */
-  def snapshot(spark: SparkSession, storeDir: String, tag: String): Unit = {
+  def snapshot(spark: SparkSession, storeDir: String, tag: String): Unit =
+      graft.sources.WriterLease.withLease(storeDir, "hybrid-snapshot") {
     // Replay-safe composition: every piece is pre-checked or
     // self-guarding BEFORE anything mutates, so a retried snapshot
     // (crash recovery, orchestration replay) either COMPLETES an
@@ -136,7 +137,8 @@ object Hybrid {
   }
 
   /** Release a [[snapshot]] tag on all three pieces. */
-  def dropSnapshot(spark: SparkSession, storeDir: String, tag: String): Unit = {
+  def dropSnapshot(spark: SparkSession, storeDir: String, tag: String): Unit =
+      graft.sources.WriterLease.withLease(storeDir, "hybrid-drop-snapshot") {
     Bm25Store.dropSnapshot(bm25Dir(storeDir), tag)
     TableSink.dropSnapshot(annDir(storeDir), tag)
     graft.sources.DeltaParts.rmDir(cellsSnapDir(storeDir, tag))
@@ -163,7 +165,9 @@ object Hybrid {
     * `assumeNewIds = true` — a promise, not a check. */
   def appendVectors(spark: SparkSession, storeDir: String, newVecs: DataFrame,
                     vecIdCol: String, vecCol: String, version: Long,
-                    assumeNewIds: Boolean = false): Unit = {
+                    assumeNewIds: Boolean = false): Unit =
+      graft.sources.WriterLease.withLease(storeDir, "hybrid-append") {
+
     val cells = readCells(spark, storeDir)
     val assigned = annRows(newVecs, vecIdCol, vecCol, cells)
     val sidecar = graft.sources.IdLayoutSidecar.exists(annDir(storeDir))
@@ -233,7 +237,9 @@ object Hybrid {
    * Returns the new centroids.
    */
   def rebuild(spark: SparkSession, storeDir: String, nlist: Int,
-              iters: Int = 3): DataFrame = {
+              iters: Int = 3): DataFrame =
+      graft.sources.WriterLease.withLease(storeDir, "hybrid-rebuild") {
+
     val annD = annDir(storeDir)
     val like = spark.range(0).select(lit(0L).as("cell"), lit(0L).as("id"),
       array().cast("array<double>").as("vec"), lit("").as("__cell_s"))
@@ -280,7 +286,9 @@ object Hybrid {
     * serves it. Replay-idempotent per `name` on the lexical leg; the
     * semantic delete is key-idempotent by construction. */
   def removeDocuments(spark: SparkSession, storeDir: String, ids: DataFrame,
-                      idCol: String, name: Option[String] = None): Unit = {
+                      idCol: String, name: Option[String] = None): Unit =
+      graft.sources.WriterLease.withLease(storeDir, "hybrid-remove") {
+
     Bm25Store.delete(spark, bm25Dir(storeDir), ids, idCol, name)
     TableSink.deleteByIds(spark, annDir(storeDir),
       ids.select(col(idCol).as("id")), "id",

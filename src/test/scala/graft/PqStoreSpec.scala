@@ -137,6 +137,45 @@ class PqStoreSpec extends AnyFunSuite with SparkSpec {
       "the rebuilt store must probe exactly like the in-memory refit search")
   }
 
+  test("fsck: caller-held-fit and rebuilt stores audit clean; a vanished fit codebook is flagged") {
+    val dir = tmp()
+    PqStore.write(spark, dir, coded(base), "vec_id", numBuckets = 16)
+    def bad(df: DataFrame): Set[String] = df.filter(!col("ok"))
+      .select("check").collect().map(_.getString(0)).toSet
+    assert(bad(PqStore.fsck(spark, dir)).isEmpty,
+      "a never-rebuilt store's caller-held fit must not flag")
+    PqStore.rebuild(spark, dir, ed, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, dim = Dim)
+    assert(bad(PqStore.fsck(spark, dir)).isEmpty,
+      "a healthy rebuilt store must audit clean")
+    // corruption: the live fit's codebook vanishes → probes impossible
+    val fit = graft.sources.IndexMeta.cellsPtr(dir)
+      .getOrElse(fail("a rebuilt store must carry a fit pointer"))
+    graft.sources.DeltaParts.rmDir(s"$dir/$fit/codebook")
+    assert(bad(PqStore.fsck(spark, dir)) === Set("fit_codebook_resolves"))
+  }
+
+  test("a held writer lease refuses a concurrent append; state serves after release") {
+    val dir = tmp()
+    PqStore.write(spark, dir, coded(base), "vec_id", numBuckets = 16)
+    graft.sources.WriterLease.withLease(dir, "spec-holder") {
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() =>
+        try { PqStore.append(spark, dir, extra, cells, "vec_id", "embedding",
+          cb, Dim, version = 1L) }
+        catch { case x: Throwable => err.set(x) })
+      t.start(); t.join(60000)
+      assert(err.get() != null && err.get()
+        .isInstanceOf[graft.sources.WriterLease.ConcurrentWriterException],
+        s"expected a loud concurrent-writer refusal, got ${err.get()}")
+    }
+    PqStore.append(spark, dir, extra, cells, "vec_id", "embedding", cb, Dim,
+      version = 1L)
+    val stored = PqStore.search(dir, queries, cells, cb, "vec_id", "embedding",
+      k = 5, nprobe = 3)
+    assert(rows(stored) === rows(memorySearch(ed, 5, 3)))
+  }
+
   test("codebook round-trips through the sidecar parquet") {
     val dir = tmp()
     PqStore.writeCodebook(spark, dir, cb)
