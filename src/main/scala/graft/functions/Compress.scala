@@ -57,14 +57,6 @@ case class DeflateSize(child: Expression) extends UnaryExpression {
 
 object DeflateSize {
 
-  /** One reused Deflater per task thread — allocation is the cost being
-    * amortized (a fresh native context per row is ~µs but dominates the
-    * per-row work). The trade: each executor task thread retains one
-    * zlib native context (~256 KiB off-heap, invisible to heap
-    * accounting) for the life of the thread. That retention is bounded
-    * by the executor's task-thread pool size (32 threads ≈ 8 MiB per
-    * executor), never by row or partition count, so it is a documented
-    * fixed cost, not a leak. `end()` per row would forfeit the reuse. */
   private val local = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =
       new java.util.zip.Deflater(6)
