@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
  * Every column still replays the exact `x_data_card` oracle:
  *
  *  - sums (docs, tokens, chars, quality-millionths) are additive longs;
- *  - the median rides the mergeable Greenwald–Knna summary
+ *  - the median rides the mergeable Greenwald–Khanna summary
  *    ([[StatsStore]]'s rank-exact contract — the stored-sketch fold is
  *    invisible at the configured accuracy);
  *  - the DISTINCT-fingerprint count — the one card column a naive
