@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
  * [[TableSink]] relations under `dir`:
  *
  *  - `sha/`   — (sha256, rep_id): byte-identical duplication;
- *  - `phash/` — (dhash, rep_id): PERCEPTUAL duplication — re-encoded /
- *    brightness-shifted copies whose bytes differ but whose decoded
- *    64-bit dHash ([[MultimodalOps.decodeImage]]) is bit-identical by
- *    construction.
+ *  - `phash/` — (dhash, rep_id): PERCEPTUAL duplication — re-published
+ *    copies whose bytes differ but whose modality-sniffed 64-bit key
+ *    ([[MultimodalOps.perceptualKey]]) is bit-identical by
+ *    construction: the image dHash (re-encoded / brightness-shifted
+ *    stills), the audio time-segment fingerprint (container-swapped /
+ *    re-levelled recordings), or the folded video frame-signature
+ *    (re-encoded keyframe videos) — one relation, kind-salted keys.
  *
  * The probe order is the cost order: the sha stage is a map-side hash
  * plus a key-bucket-pruned read (payload bytes NEVER shuffle — only
@@ -42,23 +45,22 @@ object MediaStore {
     .select(lit(0L).as("dh"), lit(0L).as("rep_id"))
 
   /** (id, sha, dh) for one decode per DISTINCT sha: byte-identical
-    * payloads share pixels, so only the min-id representative of each
-    * sha decodes and its dhash joins back by sha. Non-decodable
-    * payloads carry dh = null (they can never be perceptual anchors or
-    * victims — only exact). */
+    * payloads share content, so only the min-id representative of each
+    * sha decodes and its modality-sniffed perceptual key
+    * ([[MultimodalOps.perceptualKey]] — image dHash, audio fingerprint,
+    * or video signature, kind-salted into one keyspace) joins back by
+    * sha. No-signal payloads (undecodable, too-small images, monotone
+    * audio) carry dh = null — they can never be perceptual anchors or
+    * victims, only exact. */
   private def withKeys(batch: DataFrame): DataFrame = {
     val withSha = batch.select(col("id").cast("long").as("id"), col("payload"),
       sha2(col("payload"), 256).as("sha"))
     val shaReps = withSha
       .groupBy("sha").agg(min(col("id")).as("__rid"))
       .join(withSha.select(col("id").as("__rid"), col("payload")), "__rid")
-    val dhBySha = MultimodalOps.decodeImages(
+    val dhBySha = MultimodalOps.perceptualKeys(
         shaReps.select(col("__rid").as("id"), col("payload")))
-      .toDF().select(col("id").as("__rid"),
-        // dhash 0 = the decoder's too-small-to-compare marker
-        // (decodeImage: images under the 9×8 grid) — such content gets
-        // no perceptual key, same as undecodable payloads
-        when(col("ok") && col("dhash") =!= 0L, col("dhash")).as("dh"))
+      .toDF().select(col("id").as("__rid"), col("key").as("dh"))
       .join(shaReps.select(col("sha"), col("__rid")), "__rid")
       .select(col("sha"), col("dh"))
     withSha.select(col("id"), col("sha")).join(dhBySha, "sha")

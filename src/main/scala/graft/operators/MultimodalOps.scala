@@ -409,6 +409,215 @@ object MultimodalOps {
       case _: Exception => SampledVideo(id, 0, 0, 0, 0, 0L, ok = false)
     }
 
+  /**
+   * Audio perceptual-fingerprint row: the exact frame count and a
+   * 64-bit fingerprint over the decoded PCM — [[DecodedImage]]'s dHash
+   * idiom rotated onto the TIME axis. The frame stream is cut into 65
+   * equal-duration segments; bit s is set iff segment s+1's mean
+   * energy (Σ|sample| over the segment's frames, all channels) exceeds
+   * segment s's, compared as exact integer cross-products
+   * (eₛ₊₁·cₛ > eₛ·cₛ₊₁ — no float division, bit-deterministic across
+   * JVMs). Invariances, by construction: container (WAV ≡ AIFF of the
+   * same samples — inherited from the decode), and VOLUME — a constant
+   * gain scales every segment energy uniformly and preserves every
+   * comparison — so re-published re-levelled copies of one recording
+   * collide while different recordings don't; the audio analogue of
+   * dHash's brightness-shift invariance. Exact-integer bound: the
+   * cross-products stay inside a long up to ~10⁹ frames of stereo
+   * PCM16 (≈ 6 h at 44.1 kHz) — beyond any single training clip.
+   */
+  case class AudioFp(id: Long, nFrames: Long, fp: Long, ok: Boolean)
+
+  /** Audio perceptual fingerprints, partition-batched: the
+    * [[decodeAudio]] streaming shape (fixed buffer, payload bytes never
+    * shuffle) emitting one [[AudioFp]] per payload. Non-PCM16 payloads
+    * and streams whose frame length the container does not declare come
+    * back `ok=false` (segment assignment needs the total upfront; every
+    * JDK container — WAV/AIFF/AU — declares it). */
+  def audioFingerprints(df: DataFrame): org.apache.spark.sql.Dataset[AudioFp] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => audioFingerprint(id, bytes) })
+  }
+
+  /** Single-payload fingerprint kernel (public for specs). */
+  def audioFingerprint(id: Long, bytes: Array[Byte]): AudioFp =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val n = ais.getFrameLength
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16 || n <= 0L)
+          AudioFp(id, 0L, 0L, ok = false)
+        else {
+          val frameSize = f.getFrameSize // = 2 * channels for PCM16
+          val big = f.isBigEndian
+          val e = new Array[Long](65)
+          val c = new Array[Long](65)
+          val buf = new Array[Byte](frameSize * 1024)
+          var frame = 0L
+          var carry = 0
+          var read = ais.read(buf)
+          while (read > 0) {
+            val avail = carry + read
+            val whole = avail - avail % frameSize // complete frames only
+            var off = 0
+            while (off < whole) {
+              val seg = math.min(frame * 65L / n, 64L).toInt
+              var b = off
+              var sum = 0L
+              while (b < off + frameSize) {
+                val s =
+                  if (big) (buf(b) << 8) | (buf(b + 1) & 0xff)
+                  else (buf(b + 1) << 8) | (buf(b) & 0xff)
+                sum += math.abs(s)
+                b += 2
+              }
+              e(seg) += sum
+              c(seg) += 1
+              frame += 1
+              off += frameSize
+            }
+            carry = avail - whole
+            if (carry > 0) System.arraycopy(buf, whole, buf, 0, carry)
+            read = ais.read(buf, carry, buf.length - carry)
+          }
+          var bits = 0L
+          var s = 0
+          while (s < 64) {
+            if (e(s + 1) * c(s) > e(s) * c(s + 1)) bits |= 1L << s
+            s += 1
+          }
+          AudioFp(id, frame, bits, ok = true)
+        }
+      } finally ais.close()
+    } catch {
+      case _: Exception => AudioFp(id, 0L, 0L, ok = false)
+    }
+
+  /**
+   * Video perceptual-signature row: the container frame count and the
+   * [[DecodedImage]] dHashes of `k` frames sampled at fixed fractional
+   * positions (frame ⌊j·n/k⌋ for j < k — position-stable across equal-
+   * length re-publishes). Equal signatures ⇒ perceptual re-encode of
+   * the same video (each frame's dHash inherits the brightness-shift
+   * invariance); at Hamming-tolerance scale the signature bands as
+   * (position, hash) keys — the SimHash banding already in
+   * [[DedupOps]], applied per sampled frame.
+   */
+  case class VideoSig(id: Long, nFrames: Int, sig: Seq[Long], ok: Boolean)
+
+  /** Video perceptual signatures, partition-batched: the
+    * [[sampleVideoFrames]] shape — length-index seek to ONLY the k
+    * sampled frames (unsampled bytes never touched), real per-frame
+    * decode, fixed-size row out, payload bytes never shuffle. */
+  def videoSignatures(df: DataFrame, k: Int):
+      org.apache.spark.sql.Dataset[VideoSig] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) => videoSignature(id, bytes, k) }
+      }
+  }
+
+  /** Single-payload signature kernel (public for specs). */
+  def videoSignature(id: Long, bytes: Array[Byte], k: Int): VideoSig =
+    try {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      if (!java.util.Arrays.equals(magic, "GVF1".getBytes))
+        VideoSig(id, 0, Nil, ok = false)
+      else {
+        val n = in.readInt()
+        if (n <= 0) VideoSig(id, 0, Nil, ok = false)
+        else {
+          val lens = Array.fill(n)(in.readInt())
+          val offs = lens.scanLeft(4 + 4 + 4 * n)(_ + _)
+          val picks = (0 until k).map(j => (j.toLong * n / k).toInt).distinct
+          var allOk = true
+          val sig = picks.map { fi =>
+            val frame = java.util.Arrays.copyOfRange(
+              bytes, offs(fi), offs(fi) + lens(fi))
+            val d = decodeImage(id, frame)
+            if (!d.ok) allOk = false
+            d.dhash
+          }
+          VideoSig(id, n, sig, ok = allOk)
+        }
+      }
+    } catch {
+      case _: Exception => VideoSig(id, 0, Nil, ok = false)
+    }
+
+  /**
+   * Modality-sniffed perceptual key: ONE 64-bit key per payload, the
+   * dispatch the [[MediaStore]] perceptual lane stands on —
+   *
+   *  - `GVF1` container → [[videoSignature]] (k = 3), the frame
+   *    dHashes folded sequentially through [[fmix64]];
+   *  - a JDK audio container (WAV/AIFF/AU) → [[audioFingerprint]];
+   *  - anything `ImageIO` decodes → the image dHash;
+   *  - undecodable / too-small-to-compare content (raw key 0 — the
+   *    decoders' no-signal marker; for audio that is a monotone-energy
+   *    clip, where "perceptually equal" is meaningless) → key = null.
+   *
+   * Audio and video raw keys are salted through [[fmix64]] before they
+   * share a relation with image dHashes, so a numeric collision across
+   * modalities cannot alias two different media kinds (equality within
+   * a kind is preserved — the mix is injective per input). `kind` names
+   * the decoded modality for observability.
+   */
+  case class PerceptualKey(id: Long, kind: String, key: java.lang.Long)
+
+  private val AudioKeySalt = 0x9e3779b97f4a7c15L
+  private val VideoKeySalt = 0xc2b2ae3d27d4eb4fL
+
+  /** Perceptual keys, partition-batched ([[decodeImages]] shape:
+    * payload bytes never shuffle, fixed-size rows out). */
+  def perceptualKeys(df: DataFrame):
+      org.apache.spark.sql.Dataset[PerceptualKey] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) => perceptualKey(id, bytes) }
+      }
+  }
+
+  /** Single-payload sniff-and-key kernel (public for specs). */
+  def perceptualKey(id: Long, bytes: Array[Byte]): PerceptualKey = {
+    def starts(m: String) = bytes.length >= m.length &&
+      java.util.Arrays.equals(bytes.take(m.length), m.getBytes)
+    if (starts("GVF1")) {
+      val v = videoSignature(id, bytes, k = 3)
+      val raw = if (!v.ok || v.sig.isEmpty || v.sig.contains(0L)) 0L
+        else v.sig.foldLeft(VideoKeySalt)((a, h) => fmix64(a ^ h))
+      PerceptualKey(id, "video", if (raw == 0L) null else raw)
+    } else {
+      val a = audioFingerprint(id, bytes)
+      if (a.ok)
+        PerceptualKey(id, "audio",
+          if (a.fp == 0L) null else fmix64(a.fp ^ AudioKeySalt))
+      else {
+        val d = decodeImage(id, bytes)
+        if (d.ok)
+          PerceptualKey(id, "image", if (d.dhash == 0L) null else d.dhash)
+        else PerceptualKey(id, "opaque", null)
+      }
+    }
+  }
+
   /** Deterministic synthetic PCM16 mono clip through the REAL encoder
     * (`AudioSystem.write`) — the fixture side of the audio decode
     * oracle, the [[synthesizePng]] sibling. `aiff = true` writes the

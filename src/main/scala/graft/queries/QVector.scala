@@ -562,6 +562,77 @@ private[graft] object QVector {
           col("lumaSum3").as("luma3_sum"), col("ok"))
         .orderBy("doc_id")
     }),
+    // Audio perceptual near-dup over REAL decoded PCM: 40 source
+    // recordings (fmix64 sample pattern keyed by doc_id % 40), each
+    // re-published as WAV, as big-endian AIFF (byte-different
+    // container), and at exactly 2× gain (byte- AND sample-different).
+    // The time-segment energy fingerprint is invariant under both —
+    // container by decode, volume because a constant gain scales every
+    // segment energy uniformly — so each group collapses to ONE
+    // cluster: the re-levelled re-publish case the payload sha can
+    // never catch. Oracle predicts the clusters from the group
+    // arithmetic, never a fingerprint value.
+    "x_mm_audio_fp_dedup" -> ((s, d) => {
+      import s.implicits._
+      val wav = T(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val g = (id % 40).toInt
+          val v = ((id / 40) % 3).toInt
+          val n = (g % 5) * 13 + 130
+          val base = Array.tabulate(n)(i =>
+            (java.lang.Long.remainderUnsigned(
+              MultimodalOps.fmix64(g * 1009L + i * 101L), 1601L) - 800L).toShort)
+          val samples = if (v == 2) base.map(x => (x * 2).toShort) else base
+          (id, MultimodalOps.synthesizeWav(8000f, samples, aiff = v == 1))
+        }).toDF("id", "payload")
+      val sha = wav.select(col("id"), sha2(col("payload"), 256).as("sha"))
+      MultimodalOps.audioFingerprints(wav).toDF()
+        .join(sha, "id")
+        .groupBy(col("fp"))
+        .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_members"),
+          countDistinct(col("sha")).as("n_byte_variants"))
+        .select(col("rep_id"), col("n_members"), col("n_byte_variants"))
+        .orderBy("rep_id")
+    }),
+    // Video perceptual near-dup over the REAL container parse + REAL
+    // per-frame decode: 40 source videos (per-frame fmix64 patterns
+    // keyed by doc_id % 40), re-published at 3 brightness shifts —
+    // byte-different payloads, pixel-different frames. The signature
+    // (dHash of k=3 index-seeked frames; unsampled bytes never
+    // touched) inherits dHash's shift invariance per frame, so each
+    // group collapses to one cluster. Exact-equality grouping here;
+    // Hamming tolerance bands the signature as (position, hash) keys —
+    // the SimHash banding idiom.
+    "x_mm_video_sig_dedup" -> ((s, d) => {
+      import s.implicits._
+      val vids = T(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val g = (id % 40).toInt
+            val off = ((id / 40) % 3).toInt * 5
+            val nf = (g % 4) + 6
+            val frames = (0 until nf).map { fr =>
+              MultimodalOps.synthesizePng(9, 8, (x, y) => {
+                val v = (java.lang.Long.remainderUnsigned(
+                  MultimodalOps.fmix64(
+                    g * 1000003L + fr * 8087L + x * 1009L + y * 9176L),
+                  200L).toInt + off) & 0xff
+                (v << 16) | (v << 8) | v
+              })
+            }
+            (id, MultimodalOps.synthesizeVideo(frames))
+          }
+        }.toDF("id", "payload")
+      val sha = vids.select(col("id"), sha2(col("payload"), 256).as("sha"))
+      MultimodalOps.videoSignatures(vids, k = 3).toDF()
+        .join(sha, "id")
+        .groupBy(col("sig"))
+        .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_members"),
+          countDistinct(col("sha")).as("n_byte_variants"))
+        .select(col("rep_id"), col("n_members"), col("n_byte_variants"))
+        .orderBy("rep_id")
+    }),
     // The media-ingest funnel composed end-to-end in ONE plan — the
     // multimodal sibling of pipe_admission_e2e, every stage real:
     // (1) payload envelope (sha256 computed map-side — bytes never
@@ -1260,6 +1331,21 @@ private[graft] object QVector {
         |  CAST(a.abs_sum AS BIGINT) AS abs_sum,
         |  CAST(a.peak AS INTEGER) AS peak, true AS ok
         |FROM n JOIN a USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+    // Audio-fingerprint contract (the x_mm_phash_dedup idiom on the
+    // time axis): the oracle predicts the CLUSTERS — one per
+    // doc_id % 40 recording, the fingerprint invariant under the
+    // container swap and the 2× gain, distinct across recordings — and
+    // the byte-variant count, never a fingerprint value.
+    "x_mm_audio_fp_dedup" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_members,
+        |  count(DISTINCT (doc_id // 40) % 3) AS n_byte_variants
+        |FROM documents GROUP BY doc_id % 40 ORDER BY rep_id""".stripMargin,
+    // Video-signature contract: one cluster per doc_id % 40 video, the
+    // per-frame dHashes invariant under the brightness shifts.
+    "x_mm_video_sig_dedup" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_members,
+        |  count(DISTINCT (doc_id // 40) % 3) AS n_byte_variants
+        |FROM documents GROUP BY doc_id % 40 ORDER BY rep_id""".stripMargin,
     // Frame sampling: PNG frames are lossless and solid-coloured, so
     // the sampled pixel sum is pure doc_id/frame arithmetic over the
     // every-2nd-frame index set.

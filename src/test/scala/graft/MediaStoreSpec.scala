@@ -87,6 +87,39 @@ class MediaStoreSpec extends AnyFunSuite with SparkSpec {
       media(71L -> "junk-three".getBytes), 2L))(71L)._1 == "novel")
   }
 
+  // The x_mm_audio_fp_dedup fixture shape: recording → fingerprint
+  // cluster, container swap / 2× gain → byte-distinct re-publish.
+  private def wav(g: Int, gain: Int, aiff: Boolean = false): Array[Byte] = {
+    val s = Array.tabulate(130)(i =>
+      ((java.lang.Long.remainderUnsigned(
+        MultimodalOps.fmix64(g * 1009L + i * 101L), 1601L) - 800L)
+        * gain).toShort)
+    MultimodalOps.synthesizeWav(8000f, s, aiff)
+  }
+
+  // The x_mm_video_sig_dedup fixture shape: per-frame patterns keyed by
+  // (video, frame), brightness shift → byte-distinct re-publish.
+  private def vid(g: Int, off: Int): Array[Byte] =
+    MultimodalOps.synthesizeVideo((0 until 6).map(fr => img(g * 50 + fr, off)))
+
+  test("perceptual lane is modality-sniffed: audio and video re-publishes cluster like images") {
+    val dir = tmp()
+    MediaStore.init(spark, dir, media(
+      1L -> img(1, 0), 2L -> wav(1, 1), 3L -> vid(1, 0)))
+    val v = verdicts(MediaStore.run(spark, dir, media(
+      11L -> wav(1, 1, aiff = true), // container swap → same fingerprint
+      12L -> wav(1, 2),              // exactly 2× gain → same fingerprint
+      13L -> vid(1, 5),              // shifted frames → same signature
+      14L -> wav(2, 1),              // different recording → novel
+      15L -> img(1, 5)), 1L)         // the image lane, unchanged
+    )
+    assert(v(11L) == ("near_duplicate", 2L), s"$v")
+    assert(v(12L) == ("near_duplicate", 2L), s"$v")
+    assert(v(13L) == ("near_duplicate", 3L), s"$v")
+    assert(v(14L) == ("novel", -1L), s"$v")
+    assert(v(15L) == ("near_duplicate", 1L), s"$v")
+  }
+
   test("init refuses a previously-used dir; run refuses a missing store") {
     val dir = tmp()
     MediaStore.init(spark, dir, media(1L -> img(9, 0)))

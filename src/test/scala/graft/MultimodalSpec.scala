@@ -175,4 +175,95 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!MultimodalOps.sampleVideoFrames(df, 2).schema.exists(_.dataType ==
       org.apache.spark.sql.types.BinaryType))
   }
+
+  test("audioFingerprint: volume- and container-invariant, distinct across 40 recordings") {
+    def samplesOf(g: Int): Array[Short] = Array.tabulate((g % 5) * 13 + 130)(i =>
+      (java.lang.Long.remainderUnsigned(
+        MultimodalOps.fmix64(g * 1009L + i * 101L), 1601L) - 800L).toShort)
+    val base = (0 until 40).map { g =>
+      MultimodalOps.audioFingerprint(g,
+        MultimodalOps.synthesizeWav(8000f, samplesOf(g)))
+    }
+    assert(base.forall(_.ok))
+    assert(base.map(_.fp).distinct.size == 40,
+      "fixture recordings must yield 40 distinct fingerprints")
+    for (g <- 0 until 40) {
+      val s = samplesOf(g)
+      val aiff = MultimodalOps.audioFingerprint(g,
+        MultimodalOps.synthesizeWav(8000f, s, aiff = true))
+      assert(aiff.ok && aiff.fp == base(g).fp,
+        s"fingerprint must be container-invariant (g=$g)")
+      val loud = MultimodalOps.audioFingerprint(g,
+        MultimodalOps.synthesizeWav(8000f, s.map(x => (x * 2).toShort)))
+      assert(loud.ok && loud.fp == base(g).fp,
+        s"fingerprint must be volume-invariant (g=$g)")
+      assert(base(g).nFrames == s.length.toLong)
+    }
+  }
+
+  test("audioFingerprint survives non-audio payloads as ok=false") {
+    assert(!MultimodalOps.audioFingerprint(1L, "not audio".getBytes).ok)
+    assert(!MultimodalOps.audioFingerprint(2L, Array.empty[Byte]).ok)
+  }
+
+  test("videoSignature: k-point index seek never touches unsampled frames; shift-invariant, distinct") {
+    def png(g: Int, fr: Int, off: Int): Array[Byte] =
+      MultimodalOps.synthesizePng(9, 8, (x, y) => {
+        val v = (java.lang.Long.remainderUnsigned(
+          MultimodalOps.fmix64(g * 1000003L + fr * 8087L + x * 1009L + y * 9176L),
+          200L).toInt + off) & 0xff
+        (v << 16) | (v << 8) | v
+      })
+    // 6 frames, k=3 → picks {0, 2, 4}; frames 1, 3, 5 are CORRUPT junk —
+    // a clean signature proves the seek skipped their bytes entirely.
+    val junk = "this is not a png".getBytes
+    def vid(g: Int, off: Int, corrupt: Boolean): Array[Byte] =
+      MultimodalOps.synthesizeVideo((0 until 6).map(fr =>
+        if (corrupt && fr % 2 == 1) junk else png(g, fr, off)))
+    val base = (0 until 40).map(g =>
+      MultimodalOps.videoSignature(g, vid(g, 0, corrupt = true), k = 3))
+    assert(base.forall(v => v.ok && v.nFrames == 6 && v.sig.size == 3))
+    assert(base.map(_.sig).distinct.size == 40,
+      "fixture videos must yield 40 distinct signatures")
+    for (g <- 0 until 40; off <- Seq(5, 10)) {
+      val shifted = MultimodalOps.videoSignature(g, vid(g, off, corrupt = false), k = 3)
+      assert(shifted.ok && shifted.sig == base(g).sig,
+        s"signature must be brightness-invariant (g=$g off=$off)")
+    }
+    // non-container and empty payloads surface as ok=false, never crash
+    assert(!MultimodalOps.videoSignature(1L, "nope".getBytes, 3).ok)
+    assert(!MultimodalOps.videoSignature(2L,
+      MultimodalOps.synthesizeVideo(Seq.empty), 3).ok)
+  }
+
+  test("perceptualKey sniffs the modality and salts the keyspaces apart") {
+    def gray(g: Int) = MultimodalOps.synthesizePng(9, 8, (x, y) => {
+      val v = java.lang.Long.remainderUnsigned(
+        MultimodalOps.fmix64(g * 1000003L + x * 1009L + y * 9176L), 200L).toInt
+      (v << 16) | (v << 8) | v
+    })
+    val samples = Array.tabulate(130)(i =>
+      (java.lang.Long.remainderUnsigned(
+        MultimodalOps.fmix64(1009L + i * 101L), 1601L) - 800L).toShort)
+    val i = MultimodalOps.perceptualKey(1L, gray(3))
+    assert(i.kind == "image" && i.key != null)
+    assert(i.key == MultimodalOps.decodeImage(1L, gray(3)).dhash,
+      "image keys stay the raw dHash")
+    val a = MultimodalOps.perceptualKey(2L,
+      MultimodalOps.synthesizeWav(8000f, samples))
+    assert(a.kind == "audio" && a.key != null)
+    assert(a.key != MultimodalOps.audioFingerprint(2L,
+      MultimodalOps.synthesizeWav(8000f, samples)).fp,
+      "audio keys are salted out of the raw-fingerprint space")
+    val v = MultimodalOps.perceptualKey(3L,
+      MultimodalOps.synthesizeVideo((0 until 6).map(f => gray(10 + f))))
+    assert(v.kind == "video" && v.key != null)
+    assert(Set(i.key, a.key, v.key).size == 3)
+    // no-signal payloads: junk is opaque, a sub-grid image keys to null
+    val junk = MultimodalOps.perceptualKey(4L, "not media".getBytes)
+    assert(junk.kind == "opaque" && junk.key == null)
+    val tiny = MultimodalOps.perceptualKey(5L,
+      MultimodalOps.synthesizePng(4, 4, (_, _) => 0x808080))
+    assert(tiny.kind == "image" && tiny.key == null)
+  }
 }
