@@ -247,6 +247,55 @@ object MediaStore {
       keys.filter(col("dh").isNotNull).select("dh").distinct(), Seq("dh"))
   }
 
+  /** Pin both key relations under `tag` — the composite replay-safe
+    * discipline ([[graft.pipelines.Admission.snapshot]]): every half is
+    * pre-checked BEFORE anything mutates, so a retried snapshot either
+    * completes an unchanged half-taken tag or refuses loudly if ingest
+    * ran in between — never a silent re-point at post-tag state. Take
+    * it between batches (single-writer maintenance is the quiescent
+    * point). */
+  def snapshot(dir: String, tag: String): Unit =
+    graft.sources.WriterLease.withLease(dir, "mediastore-snapshot") {
+      require(exists(dir), s"no media store at '$dir' — run init first")
+      val halves = Seq(shaDir(dir), phDir(dir))
+      halves.foreach { d =>
+        TableSink.listSnapshots(d).get(tag).foreach { pinned =>
+          require(TableSink.currentSeq(d).contains(pinned),
+            s"snapshot tag '$tag' at '$d' already pins generation $pinned " +
+              s"but the live generation is ${TableSink.currentSeq(d)} — the " +
+              "store moved on since a half-taken snapshot; refusing to " +
+              "re-point. Drop the tag and take a fresh one.")
+        }
+      }
+      halves.foreach { d =>
+        if (!TableSink.listSnapshots(d).contains(tag)) {
+          TableSink.snapshot(d, tag); ()
+        }
+      }
+    }
+
+  /** Release a [[snapshot]] tag on both relations. */
+  def dropSnapshot(dir: String, tag: String): Unit =
+    graft.sources.WriterLease.withLease(dir, "mediastore-drop-snapshot") {
+      TableSink.dropSnapshot(shaDir(dir), tag)
+      TableSink.dropSnapshot(phDir(dir), tag)
+    }
+
+  /** Roll both key relations back to a [[snapshot]] tag — generation
+    * republish, no data movement. CONTRACT (the
+    * [[graft.pipelines.Admission.restore]] rule): batch identities are
+    * monotone across the store's whole history — the `verdicts/` commit
+    * log is deliberately NOT rolled back, so a [[runCommitted]]
+    * replaying a post-tag `batchId` returns that batch's ORIGINAL
+    * verdicts and re-absorbs them idempotently under its own version
+    * (crash replay stays safe across the rollback). Re-admit
+    * rolled-back content under fresh batch ids. */
+  def restore(dir: String, tag: String): Unit =
+    graft.sources.WriterLease.withLease(dir, "mediastore-restore") {
+      TableSink.restore(shaDir(dir), tag)
+      TableSink.restore(phDir(dir), tag)
+    }
+
   /** Storage audit ([[graft.sources.StoreCheck]]): both key relations
     * in one report. */
   def fsck(spark: SparkSession, dir: String): DataFrame =

@@ -130,6 +130,34 @@ class MediaStoreSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("init"))
   }
 
+  test("snapshot/restore roll both key relations back; the commit log survives") {
+    val dir = tmp()
+    MediaStore.init(spark, dir, media(1L -> img(1, 0)))
+    MediaStore.runCommitted(spark, dir, media(11L -> img(2, 0)), batchId = 1L)
+    MediaStore.snapshot(dir, "t1")
+    MediaStore.runCommitted(spark, dir, media(21L -> img(3, 0)), batchId = 2L)
+    assert(verdicts(MediaStore.run(spark, dir,
+      media(31L -> img(3, 5)), 9L))(31L)._1 == "near_duplicate",
+      "post-tag content must anchor before the rollback")
+    MediaStore.restore(dir, "t1")
+    // rolled back: the post-tag pattern is unknown again...
+    val v = verdicts(MediaStore.run(spark, dir, media(41L -> img(3, 5)), 10L))
+    assert(v(41L) == ("novel", -1L), s"$v")
+    // ...while the pre-tag pattern still anchors
+    assert(verdicts(MediaStore.run(spark, dir,
+      media(51L -> img(2, 3)), 11L))(51L) == ("near_duplicate", 11L))
+    // a replayed post-tag batch returns its ORIGINAL committed verdicts
+    val replay = verdicts(MediaStore.runCommitted(spark, dir,
+      media(21L -> img(3, 0)), batchId = 2L))
+    assert(replay(21L) == ("novel", -1L),
+      s"replay must read the commit log, not recompute: $replay")
+    // a half-taken tag refuses to re-point after the store moved on
+    MediaStore.snapshot(dir, "t2")
+    graft.sources.TableSink.dropSnapshot(s"$dir/phash", "t2") // simulate half-taken
+    MediaStore.run(spark, dir, media(61L -> img(4, 0)), 12L)
+    intercept[IllegalArgumentException](MediaStore.snapshot(dir, "t2"))
+  }
+
   test("streaming media ingest == batch reference; replay is exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
