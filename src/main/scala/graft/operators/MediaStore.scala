@@ -236,15 +236,36 @@ object MediaStore {
     * [[graft.pipelines.Admission.unadmit]] contract): given the removed
     * documents' PAYLOADS (what was indexed), recompute both keys
     * map-side and delete them bucket-pruned; a later re-submission of
-    * the content is novel again. Key-idempotent. */
+    * the content is novel again. Key-idempotent.
+    *
+    * The exact (sha) keys always un-anchor. A PERCEPTUAL row is shared
+    * by a whole near-dup class, so it is deleted only when the removed
+    * content IS its anchor (the row's rep_id resolves through the
+    * removed payloads' sha rows) — a class anchored by OTHER live
+    * content survives the takedown untouched. Residual, documented: if
+    * the anchor falls while near-dup corpus members (init-time
+    * co-residents) survive, the class is un-anchored until the next
+    * submission re-registers it keep-first — the relation carries one
+    * (key, rep) row per class, not a member list, by design. */
   def remove(spark: SparkSession, dir: String, removed: DataFrame): Unit =
       graft.sources.WriterLease.withLease(dir, "mediastore-remove") {
     require(exists(dir), s"no media store at '$dir' — run init first")
     val keys = withKeys(removed).localCheckpoint(true)
-    TableSink.delete(spark, shaDir(dir),
-      keys.select("sha").distinct(), Seq("sha"))
-    TableSink.delete(spark, phDir(dir),
-      keys.filter(col("dh").isNotNull).select("dh").distinct(), Seq("dh"))
+    val shaProbe = keys.select("sha").distinct()
+    // resolve BEFORE deleting anything: which admitted docs are falling
+    val fallingReps = TableSink.readBuckets(spark, shaDir(dir), shaLike(spark),
+        TableSink.keyBucketIdsFor(shaDir(dir), shaProbe))
+      .join(broadcast(shaProbe), Seq("sha"), "left_semi")
+      .select("rep_id")
+    val dhProbe = keys.filter(col("dh").isNotNull).select("dh").distinct()
+    val dhVictims = TableSink.readBuckets(spark, phDir(dir), phLike(spark),
+        TableSink.keyBucketIdsFor(phDir(dir), dhProbe))
+      .join(broadcast(dhProbe), Seq("dh"), "left_semi")
+      .join(broadcast(fallingReps), Seq("rep_id"), "left_semi")
+      .select("dh")
+      .localCheckpoint(true) // pin the pre-delete view
+    TableSink.delete(spark, shaDir(dir), shaProbe, Seq("sha"))
+    TableSink.delete(spark, phDir(dir), dhVictims, Seq("dh"))
   }
 
   /** Pin both key relations under `tag` — the composite replay-safe

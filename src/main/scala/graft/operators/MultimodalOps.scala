@@ -422,9 +422,9 @@ object MultimodalOps {
    * gain scales every segment energy uniformly and preserves every
    * comparison — so re-published re-levelled copies of one recording
    * collide while different recordings don't; the audio analogue of
-   * dHash's brightness-shift invariance. Exact-integer bound: the
-   * cross-products stay inside a long up to ~10⁹ frames of stereo
-   * PCM16 (≈ 6 h at 44.1 kHz) — beyond any single training clip.
+   * dHash's brightness-shift invariance. The cross-products are
+   * compared in 128 bits ([[prodGt]] — `Math.multiplyHigh`), so the
+   * fingerprint is exact at ANY clip length a long can count.
    */
   case class AudioFp(id: Long, nFrames: Long, fp: Long, ok: Boolean)
 
@@ -440,6 +440,17 @@ object MultimodalOps {
     df.select(col("id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => audioFingerprint(id, bytes) })
+  }
+
+  /** `a·b > c·d` for non-negative longs, compared in 128 bits — a
+    * segment's Σ|sample| times another's frame count overflows a signed
+    * long from ~7·10⁸ frames of full-scale stereo (≈ 5 h at 44.1 kHz),
+    * which would silently flip fingerprint bits on exactly the
+    * long-form content a crawl corpus carries. */
+  private[graft] def prodGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
   }
 
   /** Single-payload fingerprint kernel (public for specs). */
@@ -489,7 +500,7 @@ object MultimodalOps {
           var bits = 0L
           var s = 0
           while (s < 64) {
-            if (e(s + 1) * c(s) > e(s) * c(s + 1)) bits |= 1L << s
+            if (prodGt(e(s + 1), c(s), e(s), c(s + 1))) bits |= 1L << s
             s += 1
           }
           AudioFp(id, frame, bits, ok = true)

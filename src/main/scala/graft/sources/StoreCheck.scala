@@ -47,6 +47,36 @@ object StoreCheck {
           detail: String): DataFrame =
     report(spark, store, Seq((check, ok, detail)))
 
+  /** The live-lease advisory row. Read-tolerant: the audit runs NEXT TO
+    * live stores, so the lease can be released (or broken) between the
+    * existence check and the read — that is "free", not a crash. */
+  private def leaseRow(dir: String): (String, Boolean, String) = {
+    val lease = Paths.get(dir, WriterLease.LeaseFile)
+    val detail =
+      try {
+        if (!Files.exists(lease)) "free"
+        else "held: " + Files.readString(lease).trim.replace('\n', ' ')
+      } catch { case _: java.io.IOException => "free (released mid-audit)" }
+    ("writer_lease", true, detail)
+  }
+
+  /** Lenient manifest-entry parse: `(bucket, relpath)` per well-formed
+    * line plus the malformed lines — the audit must REPORT a corrupt
+    * manifest (hand-migration, truncated write), never die on it. */
+  private def entryLines(m: java.nio.file.Path):
+      (Seq[(Int, String)], Seq[String]) = {
+    val good = Seq.newBuilder[(Int, String)]
+    val bad = Seq.newBuilder[String]
+    Files.readAllLines(m).asScala.filter(_.contains('\t')).foreach { l =>
+      val i = l.indexOf('\t')
+      val b = l.take(i)
+      if (i == l.lastIndexOf('\t') && b.nonEmpty && b.forall(_.isDigit))
+        good += ((b.toInt, l.drop(i + 1)))
+      else bad += l
+    }
+    (good.result(), bad.result())
+  }
+
   // ── TableSink ───────────────────────────────────────────────────────
 
   /** Audit a [[TableSink]] table: pointer/manifest resolution, every
@@ -66,15 +96,17 @@ object StoreCheck {
     out += (("current_resolves", Files.exists(mf), s"_CURRENT -> $name"))
     if (!Files.exists(mf)) return report(spark, dir, out.result())
 
-    def entriesOf(m: java.nio.file.Path): Seq[(Int, String)] =
-      Files.readAllLines(m).asScala.filter(_.contains('\t')).map { l =>
-        val Array(b, rel) = l.split('\t'); (b.toInt, rel)
-      }.toSeq
+    def entriesOf(m: java.nio.file.Path): Seq[(Int, String)] = entryLines(m)._1
     def headerOf(m: java.nio.file.Path): Map[String, String] =
       Files.readAllLines(m).asScala.filterNot(_.contains('\t'))
         .filter(_.contains('=')).map { l =>
           val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
         }.toMap
+
+    val malformed = entryLines(mf)._2
+    out += (("manifest_lines_parse", malformed.isEmpty,
+      if (malformed.isEmpty) "every entry line well-formed"
+      else s"${malformed.size} unparseable: ${malformed.take(3).mkString(" | ")}"))
 
     val header = headerOf(mf)
     val buckets = header.get("buckets").flatMap(b => scala.util.Try(b.toInt).toOption)
@@ -123,10 +155,7 @@ object StoreCheck {
           .filter(b => b.isDirectory && !kept(s"data/${gen.getName}/${b.getName}")))
     out += (("orphan_buckets", true,
       if (orphans.isEmpty) "none" else s"${orphans.length} pending GC"))
-    val lease = Paths.get(dir, WriterLease.LeaseFile)
-    out += (("writer_lease", true,
-      if (!Files.exists(lease)) "free"
-      else "held: " + Files.readString(lease).trim.replace('\n', ' ')))
+    out += leaseRow(dir)
     report(spark, dir, out.result())
   }
 
@@ -145,10 +174,8 @@ object StoreCheck {
     val layout = TableSink.layoutColOf(dir)
     val hashCols = layout.map(Seq(_)).getOrElse(keys)
     val mfName = Files.readString(m).trim
-    val entries = Files.readAllLines(Paths.get(dir, "_manifests", mfName))
-      .asScala.filter(_.contains('\t')).map { l =>
-        val Array(b, rel) = l.split('\t'); (b.toInt, s"$dir/$rel")
-      }.toSeq
+    val entries = entryLines(Paths.get(dir, "_manifests", mfName))._1
+      .map { case (b, rel) => (b, s"$dir/$rel") }
     val perBucket = entries.map { case (b, path) =>
       spark.read.parquet(path).select(hashCols.map(col): _*)
         .withColumn("__stored_bucket", lit(b))
@@ -217,10 +244,7 @@ object StoreCheck {
           !protect(f.getName)))
     out += (("orphan_parts", true,
       if (orphans.isEmpty) "none" else s"${orphans.size} sweepable next compaction"))
-    val lease = Paths.get(dir, WriterLease.LeaseFile)
-    out += (("writer_lease", true,
-      if (!Files.exists(lease)) "free"
-      else "held: " + Files.readString(lease).trim.replace('\n', ' ')))
+    out += leaseRow(dir)
     report(spark, dir, out.result())
   }
 }

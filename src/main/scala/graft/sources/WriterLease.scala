@@ -27,11 +27,18 @@ import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException, NoSuchFile
  *    [[WriterLease.ConcurrentWriterException]] naming the holder), not
  *    block: concurrent mutation of one store dir is a deployment bug to
  *    surface, not contention to wait out.
- *  - A lease older than `graft.lease.staleMs` (default 30 min — beyond
- *    any sane commit, and past the [[TableSink]] GC grace) is a crashed
- *    writer's leftover; it is broken and acquisition retried, so an
- *    unclean death never wedges the store. The break-then-create race
- *    between two healers is settled by `CREATE_NEW` itself.
+ *  - A lease older than `graft.lease.staleMs` (default 30 min) is a
+ *    crashed writer's leftover; it is broken and acquisition retried,
+ *    so an unclean death never wedges the store. The break is an
+ *    ATOMIC_MOVE of the stale file to a unique tombstone — exactly one
+ *    of two concurrent healers wins the move (the loser's move throws
+ *    and it retries into the winner's fresh lease, failing loud) —
+ *    deleting in place would let healer B delete healer A's FRESH
+ *    lease and run concurrently.
+ *  - A held lease HEARTBEATS: a daemon timer re-touches the file's
+ *    mtime every staleMs/4, so a legitimately long mutation (an
+ *    O(corpus) init or rebuild at scale) never ages into "stale" under
+ *    a live writer — staleness means a writer that stopped beating.
  *  - Re-entrant per thread and per dir, so composite mutations
  *    (a ledger dance inside [[AdditiveLedger.mutateNamed]], a store
  *    mutation inside a pipeline-root lease) take the lease once at the
@@ -69,19 +76,35 @@ object WriterLease {
     s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}/" +
       Thread.currentThread().getName
 
+  // One daemon timer thread for every heartbeat in the JVM — beats are
+  // sub-ms mtime touches, never contended work.
+  private lazy val beats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
+    })
+
   /** Run `body` holding the exclusive writer lease on `dir`. `label`
     * names the operation in the lease file and in the error the losing
     * writer sees. Reentrant: a scope already holding `dir` on this
-    * thread runs `body` directly. */
+    * thread runs `body` directly. The held lease heartbeats (mtime
+    * touch every staleMs/4), so only a writer that STOPPED — crash,
+    * kill, JVM death — ever ages into the stale break. */
   def withLease[A](dir: String, label: String)(body: => A): A = {
     val key = Paths.get(dir).toAbsolutePath.normalize.toString
     if (held.get().contains(key)) return body
-    val token = acquire(Paths.get(key, LeaseFile), label)
+    val p = Paths.get(key, LeaseFile)
+    val token = acquire(p, label)
     held.set(held.get() + (key -> token))
+    val beat = beats.scheduleAtFixedRate(
+      () => try Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case _: java.io.IOException => () }, // broken/freed: stop mattering
+      staleMs / 4, staleMs / 4, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
+      beat.cancel(false)
       held.set(held.get() - key)
-      release(Paths.get(key, LeaseFile), token)
+      release(p, token)
     }
   }
 
@@ -110,8 +133,17 @@ object WriterLease {
               s"lease at '$p' is stale but reappeared after a break — " +
                 s"refusing '$label' rather than fight over the slot")
             brokeStale = true
-            try Files.deleteIfExists(p)
-            catch { case _: java.io.IOException => () }
+            // ATOMIC_MOVE to a unique tombstone: of two concurrent
+            // healers exactly one wins the move (the loser's move throws
+            // on the vanished source and retries into the winner's fresh
+            // lease). A plain delete here would let the slower healer
+            // delete the faster one's FRESH lease — two live writers.
+            val tomb = p.resolveSibling(
+              s"$LeaseFile.broken.${java.util.UUID.randomUUID()}")
+            try {
+              Files.move(p, tomb, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              Files.deleteIfExists(tomb)
+            } catch { case _: java.io.IOException => () } // lost the break race
           } else {
             val holder =
               try new String(Files.readAllBytes(p), "UTF-8").trim.replace('\n', ' ')

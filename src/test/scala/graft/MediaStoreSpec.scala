@@ -120,6 +120,25 @@ class MediaStoreSpec extends AnyFunSuite with SparkSpec {
     assert(v(15L) == ("near_duplicate", 1L), s"$v")
   }
 
+  test("takedown of a non-anchor member keeps the perceptual class anchored") {
+    val dir = tmp()
+    // A(1) and B(2): one perceptual class, different bytes, both in corpus
+    MediaStore.init(spark, dir, media(1L -> img(11, 0), 2L -> img(11, 5)))
+    // removing B — NOT the class anchor (rep = min id = 1) — must not
+    // un-anchor the class A still represents
+    MediaStore.remove(spark, dir, media(99L -> img(11, 5)))
+    val v = verdicts(MediaStore.run(spark, dir, media(31L -> img(11, 10)), 1L))
+    assert(v(31L) == ("near_duplicate", 1L),
+      s"the class anchored by live content must survive a member takedown: $v")
+    // B's exact bytes resubmitted: its sha fell, but the class lives on
+    assert(verdicts(MediaStore.run(spark, dir,
+      media(41L -> img(11, 5)), 2L))(41L) == ("near_duplicate", 1L))
+    // removing the ANCHOR un-anchors the class — the documented residual
+    MediaStore.remove(spark, dir, media(98L -> img(11, 0)))
+    assert(verdicts(MediaStore.run(spark, dir,
+      media(51L -> img(11, 7)), 3L))(51L)._1 == "novel")
+  }
+
   test("init refuses a previously-used dir; run refuses a missing store") {
     val dir = tmp()
     MediaStore.init(spark, dir, media(1L -> img(9, 0)))

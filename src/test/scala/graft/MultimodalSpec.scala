@@ -236,6 +236,16 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       MultimodalOps.synthesizeVideo(Seq.empty), 3).ok)
   }
 
+  test("prodGt compares energy cross-products exactly past 64-bit overflow") {
+    val e = 5000000000L; val c = 3000000000L // e*c wraps a signed long
+    assert(MultimodalOps.prodGt(e + 1, c, e, c))
+    assert(!MultimodalOps.prodGt(e, c, e, c), "ties are not greater")
+    assert(!MultimodalOps.prodGt(e, c, e + 1, c))
+    // the silent trap the 128-bit compare closes: a*b wraps negative
+    assert(MultimodalOps.prodGt(Long.MaxValue / 2, 4L, 3L, 2L))
+    assert(!MultimodalOps.prodGt(3L, 2L, Long.MaxValue / 2, 4L))
+  }
+
   test("perceptualKey sniffs the modality and salts the keyspaces apart") {
     def gray(g: Int) = MultimodalOps.synthesizePng(9, 8, (x, y) => {
       val v = java.lang.Long.remainderUnsigned(

@@ -58,6 +58,23 @@ class StoreCheckSpec extends AnyFunSuite with SparkSpec {
     assert(f2.exists(_._1 == "snapshot_v1"), f2.toString)
   }
 
+  test("a malformed manifest line is REPORTED (ok=false), never thrown") {
+    val dir = freshDir("fsck-garble")
+    upsert(dir, 0, 20, 1)
+    val mf = Paths.get(dir, "_manifests",
+      Files.readString(Paths.get(dir, "_CURRENT")).trim)
+    // a truncated/hand-edited entry: non-integer bucket and an extra tab
+    Files.writeString(mf,
+      Files.readString(mf) + "oops\tdata/zz\n3\tdata/a\textra\n")
+    val r = StoreCheck.tableSink(spark, dir)
+    val f = failures(r)
+    assert(f.contains("manifest_lines_parse"), f.toString)
+    assert(f("manifest_lines_parse").contains("2 unparseable"))
+    // the audit still renders the rest of the report around the damage
+    val checks = r.select("check").as[String].collect().toSet
+    assert(checks.contains("data_files_present") && checks.contains("writer_lease"))
+  }
+
   test("rows stored under the wrong bucket: only the deep pass sees it") {
     val dir = freshDir("fsck-deep")
     upsert(dir, 0, 60, 1)

@@ -122,6 +122,26 @@ class WriterLeaseSpec extends AnyFunSuite with SparkSpec {
     Files.delete(lease)
   }
 
+  test("a held lease heartbeats — a long mutation is never broken as stale") {
+    val dir = tmp("lease-beat")
+    sys.props("graft.lease.staleMs") = "1200"
+    try {
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      WriterLease.withLease(dir, "long-running") {
+        Thread.sleep(2000) // > staleMs — only the heartbeat keeps it live
+        val t = new Thread(() =>
+          try WriterLease.withLease(dir, "intruder") {
+            err.set(new AssertionError("acquired a LIVE writer's lease"))
+          }
+          catch { case x: Throwable => err.set(x) })
+        t.start(); t.join(10000)
+      }
+      assert(err.get() != null &&
+        err.get().isInstanceOf[WriterLease.ConcurrentWriterException],
+        s"an old-but-beating lease must refuse, never break: ${err.get()}")
+    } finally { sys.props.remove("graft.lease.staleMs"); () }
+  }
+
   test("reentrancy: a pipeline-root lease nests its stores' mutations") {
     val root = tmp("lease-reent")
     val tableDir = s"$root/table"
