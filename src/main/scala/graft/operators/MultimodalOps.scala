@@ -327,10 +327,12 @@ object MultimodalOps {
 
   /**
    * Sampled-video feature row of the frame-sample stage: container
-   * frame count, how many frames the stride actually decoded, the
-   * first sampled frame's dims, and the exact pixel-sum statistic over
-   * ALL sampled frames (the [[DecodedImage.lumaSum3]] convention, so
-   * synthetic fixtures replay in an arithmetic oracle).
+   * frame count, how many frames the stride SAMPLED (attempted —
+   * failures surface via `ok`, never a shrunken count), the first
+   * successfully-decoded sampled frame's dims, and the exact pixel-sum
+   * statistic over the sampled frames that decoded (the
+   * [[DecodedImage.lumaSum3]] convention, so synthetic fixtures replay
+   * in an arithmetic oracle).
    */
   case class SampledVideo(id: Long, nFrames: Int, nSampled: Int,
                           width: Int, height: Int, lumaSum3: Long, ok: Boolean)
@@ -397,7 +399,9 @@ object MultimodalOps {
           val d = decodeImage(id, frame)
           if (!d.ok) allOk = false
           else {
-            if (sampled == 0) { w = d.width; h = d.height }
+            // dims from the first SUCCESSFUL decode — a corrupt first
+            // sample must not zero them while later frames decoded fine
+            if (w == 0 && h == 0) { w = d.width; h = d.height }
             luma += d.lumaSum3
           }
           sampled += 1
@@ -675,6 +679,22 @@ object MultimodalOps {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** The ONE 9×8 grayscale fixture pattern behind the perceptual-dedup
+    * oracles (x_mm_phash_dedup, pipe_multimodal_e2e,
+    * x_mm_admit_incremental) and their specs: fmix64 pixels keyed by
+    * pattern `g`, brightness-shifted by `off` (max shift 10 — `v < 200
+    * + 10` never clips, which is what keeps dHash shift-invariance
+    * EXACT). Shared because those oracles' cluster arithmetic is valid
+    * only while every consumer synthesizes byte-identical fixtures —
+    * a drifted copy would pin two different fixtures under one
+    * documented contract. */
+  def fixturePng(g: Int, off: Int): Array[Byte] =
+    synthesizePng(9, 8, (x, y) => {
+      val v = (java.lang.Long.remainderUnsigned(
+        fmix64(g * 1000003L + x * 1009L + y * 9176L), 200L).toInt + off) & 0xff
+      (v << 16) | (v << 8) | v
+    })
 
   /** murmur3 fmix64 — the per-pixel mixer the synthetic-pattern
     * fixtures use so distinct group keys yield distinct pixel patterns

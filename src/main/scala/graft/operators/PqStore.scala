@@ -81,9 +81,18 @@ object PqStore {
     graft.sources.IndexMeta.cellsPtr(dir).map(p => s"$dir/$p")
 
   /** Persist the codebook as one row per (sub, cid) — tiny, broadcast
-    * on read; the model-store idiom. */
-  def writeCodebook(spark: SparkSession, dir: String, cb: Codebook): Unit =
+    * on read; the model-store idiom. REFUSED once a [[rebuild]] has
+    * run: readers resolve the codebook through the fit pointer, so a
+    * write to the legacy `_codebook` path would be silently invisible —
+    * a rebuilt store's fit is swapped only by the next [[rebuild]]
+    * (codes and codebook must change together). */
+  def writeCodebook(spark: SparkSession, dir: String, cb: Codebook): Unit = {
+    require(fitDir(spark, dir).isEmpty,
+      s"the PQ store at '$dir' carries a rebuild fit pointer — readers " +
+        "resolve the codebook through it, so writeCodebook would be " +
+        "invisible; refit via PqStore.rebuild instead")
     writeCodebookAt(spark, s"$dir/_codebook", cb)
+  }
 
   private def writeCodebookAt(spark: SparkSession, path: String, cb: Codebook): Unit = {
     import spark.implicits._
@@ -208,9 +217,12 @@ object PqStore {
     val fit = nextFitDirName(dir)
     cells.write.parquet(s"$dir/$fit/cells")
     writeCodebookAt(spark, s"$dir/$fit/codebook", cb)
-    val coded = encodeResiduals(
-        IvfAnn.assignCells(ed, idCol, vecCol, cells),
-        cells, idCol, vecCol, cb, dim)
+    // Encode straight off the checkpointed (id, cell, residual) frame —
+    // re-running assignCells here would pay the O(corpus × nlist)
+    // coarse assignment a second time for nothing.
+    val coded = withResid
+      .select(col("cell"), col(idCol),
+        PqOps.encode(col("__resid"), cb, dim).as("codes"))
       .withColumn("__cell_s", col("cell").cast("string"))
       .withColumn("__v", lit(0L))
       .localCheckpoint(true) // base count + overwrite both consume it

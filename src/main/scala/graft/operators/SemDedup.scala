@@ -200,6 +200,16 @@ object SemDedupStore {
       .select(col("cluster_id"), col("id"), col("v"))
       .withColumn("__cl_s", col("cluster_id").cast("string"))
 
+  /** The stored member table's id type (one footer read) — the store
+    * keeps the caller's id verbatim, so every empty-read `like` frame
+    * must present THAT type, not an assumed long (the PqStore.search
+    * mistyping, fixed once here for every read path). */
+  private def storedIdType(spark: SparkSession,
+                           dir: String): org.apache.spark.sql.types.DataType =
+    TableSink.storedSchemaOf(spark, membersDir(dir))
+      .flatMap(_.find(_.name == "id").map(_.dataType))
+      .getOrElse(org.apache.spark.sql.types.LongType)
+
   /** Fit nlist cluster centroids over the corpus and persist centroids +
     * cluster-laid-out member vectors. O(corpus), run once; REFUSES a
     * previously-used dir (the [[graft.pipelines.Admission.init]]
@@ -268,7 +278,8 @@ object SemDedupStore {
       .assignMembers(batch, cells, idCol, vecCol, "cell_id", "cell_vec")
       .select(col("cluster_id")).distinct().collect().map(_.getLong(0)).toSeq
     val like = spark.range(0).select(lit(0L).as("cluster_id"),
-      lit(0L).as("id"), array().cast("array<double>").as("v"))
+      lit(0L).cast(storedIdType(spark, dir)).as("id"),
+      array().cast("array<double>").as("v"))
     val stored = TableSink.readBuckets(spark, membersDir(dir), like,
         TableSink.bucketIdsFor(spark, membersDir(dir), clusters.map(_.toString)))
       .filter(col("cluster_id").isin(clusters: _*))
@@ -298,7 +309,10 @@ object SemDedupStore {
     val cells = readCentroids(spark, dir)
     val assigned = memberRows(newVecs, cells, idCol, vecCol)
     val sidecar = graft.sources.IdLayoutSidecar.exists(membersDir(dir))
-    val batch =
+    // Materialized ONCE: the intent commit, the upsert, and the meta
+    // count all consume this frame — without the checkpoint each would
+    // re-run the assignment join and the re-home probe.
+    val batch = (
       if (assumeNewIds) assigned.withColumn("__old_cl", lit(null).cast("string"))
       else {
         val old =
@@ -307,7 +321,9 @@ object SemDedupStore {
                 newVecs.select(col(idCol).as("id")))
               .select(col("id"), col("__cur").as("__prev"))
           else {
-            val like = spark.range(0).select(lit(0L).as("id"), lit("").as("__cl_s"))
+            val like = spark.range(0).select(
+              lit(0L).cast(storedIdType(spark, dir)).as("id"),
+              lit("").as("__cl_s"))
             TableSink.read(spark, membersDir(dir), like)
               .select(col("id"), col("__cl_s").as("__prev"))
               .join(newVecs.select(col(idCol).as("id")), Seq("id"), "left_semi")
@@ -317,7 +333,7 @@ object SemDedupStore {
             when(col("__prev").isNotNull && col("__prev") =!= col("__cl_s"),
               col("__prev")))
           .drop("__prev")
-      }
+      }).localCheckpoint(true)
     if (sidecar)
       graft.sources.IdLayoutSidecar.recordIntent(spark, membersDir(dir),
         batch.select(col("id"), col("__cl_s").as("cell"),
@@ -327,8 +343,7 @@ object SemDedupStore {
       Seq("id"), "__v", rehomeFromCol = Some("__old_cl"),
       // Staleness: absorbs drift the members from the centroids' fit —
       // the bump rides the SAME commit as the rows it counts.
-      meta = graft.sources.IndexMeta.bumped(membersDir(dir),
-        newVecs.select(col(idCol)).count()))
+      meta = graft.sources.IndexMeta.bumped(membersDir(dir), batch.count()))
   }
 
   /** Has the member corpus drifted far enough from its centroid fit to
@@ -358,7 +373,8 @@ object SemDedupStore {
     require(TableSink.tableExists(membersDir(dir)),
       s"no semantic store at '$dir' — run init first")
     val like = spark.range(0).select(lit(0L).as("cluster_id"),
-      lit(0L).as("id"), array().cast("array<double>").as("v"),
+      lit(0L).cast(storedIdType(spark, dir)).as("id"),
+      array().cast("array<double>").as("v"),
       lit("").as("__cl_s"))
     val stored = TableSink.read(spark, membersDir(dir), like)
       .select(col("id"), col("v"))
@@ -448,11 +464,17 @@ object SemDedupStore {
     * sidecar violate its cell/prev_cell invariant against the restored
     * layout, and a stale sidecar silently breaks re-home — so the
     * restore pays one O(table) backfill, the honest price of time
-    * travel on a layout-addressed store. */
+    * travel on a layout-addressed store. Ordering (the [[rebuild]]
+    * discipline): the sidecar drops BEFORE the generation flip — at
+    * every crash point the surviving sidecar (if any) matches the live
+    * layout, or is absent and callers fall back to the full scan; drop
+    *-after-flip would leave a crash window where a stale sidecar
+    * points into the pre-restore layout and a later absorb would land
+    * a second live copy of a re-homed id. */
   def restore(spark: SparkSession, dir: String, tag: String): Unit =
       graft.sources.WriterLease.withLease(dir, "semstore-restore") {
-    TableSink.restore(membersDir(dir), tag)
     graft.sources.IdLayoutSidecar.drop(membersDir(dir))
+    TableSink.restore(membersDir(dir), tag)
     graft.sources.IdLayoutSidecar.backfill(spark, membersDir(dir))
   }
 

@@ -434,12 +434,20 @@ object Admission {
     out
   }
 
-  /** Monotone per-batch version for the stage-4 member upserts, derived
-    * from the delta name's counter (part_00007 → 7, part_b12 → 12) —
-    * the name counter never rewinds onto an absorbed name, so neither
-    * does this. */
-  private def semVersionOf(deltaName: String): Long =
-    "\\d+".r.findAllIn(deltaName).toSeq.lastOption.map(_.toLong).getOrElse(0L)
+  /** Per-batch version for the stage-4 member upserts — a PURE function
+    * of the delta name (a replay of one batch must carry the identical
+    * version), UNIQUE across both name namespaces: counter names
+    * (part_00007) map even (2·7), batch-id names (part_b7) map odd
+    * (2·7+1). Collapsing both to the bare counter would let a replayed
+    * streaming epoch tie a same-numbered run() batch and the upsert
+    * tie-break could then roll a newer vector back. Each namespace's
+    * counter never rewinds onto an absorbed name, so versions never
+    * rewind within a key either. */
+  private def semVersionOf(deltaName: String): Long = {
+    val n = "\\d+".r.findAllIn(deltaName).toSeq.lastOption
+      .map(_.toLong).getOrElse(0L)
+    if (deltaName.startsWith("part_b")) 2 * n + 1 else 2 * n
+  }
 
   private def verdictDir(storeDir: String, batchId: Long) =
     s"$storeDir/verdicts/batch_$batchId"

@@ -69,6 +69,16 @@ object Hybrid {
     * normalizes its own once at write time instead of recording the
     * writer's names. ONE definition for init and appendVectors — the
     * write paths must not drift. */
+  /** The stored ANN leg's id type (one footer read) — the store keeps
+    * the caller's id verbatim, so every empty-read `like` frame must
+    * present THAT type, not an assumed long (the PqStore.search
+    * mistyping, fixed once here for every read path). */
+  private def storedIdType(spark: SparkSession,
+                           storeDir: String): org.apache.spark.sql.types.DataType =
+    TableSink.storedSchemaOf(spark, annDir(storeDir))
+      .flatMap(_.find(_.name == "id").map(_.dataType))
+      .getOrElse(org.apache.spark.sql.types.LongType)
+
   private def annRows(vecs: DataFrame, vecIdCol: String, vecCol: String,
                       cells: DataFrame): DataFrame =
     IvfAnn.assignCells(vecs, vecIdCol, vecCol, cells)
@@ -171,7 +181,10 @@ object Hybrid {
     val cells = readCells(spark, storeDir)
     val assigned = annRows(newVecs, vecIdCol, vecCol, cells)
     val sidecar = graft.sources.IdLayoutSidecar.exists(annDir(storeDir))
-    val batch =
+    // Materialized ONCE: the intent commit, the upsert, and the meta
+    // count all consume this frame — without the checkpoint each would
+    // re-run the assignment join and the re-home probe.
+    val batch = (
       if (assumeNewIds) assigned.withColumn("__old_cell", lit(null).cast("string"))
       else {
         val old =
@@ -180,7 +193,9 @@ object Hybrid {
                 newVecs.select(col(vecIdCol).as("id")))
               .select(col("id"), col("__cur").as("__prev"))
           else {
-            val like = spark.range(0).select(lit(0L).as("id"), lit("").as("__cell_s"))
+            val like = spark.range(0).select(
+              lit(0L).cast(storedIdType(spark, storeDir)).as("id"),
+              lit("").as("__cell_s"))
             TableSink.read(spark, annDir(storeDir), like)
               .select(col("id"), col("__cell_s").as("__prev"))
               .join(newVecs.select(col(vecIdCol).as("id")), Seq("id"), "left_semi")
@@ -190,7 +205,7 @@ object Hybrid {
             when(col("__prev").isNotNull && col("__prev") =!= col("__cell_s"),
               col("__prev")))
           .drop("__prev")
-      }
+      }).localCheckpoint(true)
     if (sidecar)
       graft.sources.IdLayoutSidecar.recordIntent(spark, annDir(storeDir),
         batch.select(col("id"), col("__cell_s").as("cell"),
@@ -200,8 +215,7 @@ object Hybrid {
       Seq("id"), "__v", rehomeFromCol = Some("__old_cell"),
       // Staleness: adds drift the corpus from the centroids' fit — the
       // bump rides the SAME commit as the rows it counts.
-      meta = graft.sources.IndexMeta.bumped(annDir(storeDir),
-        newVecs.select(col(vecIdCol)).count()))
+      meta = graft.sources.IndexMeta.bumped(annDir(storeDir), batch.count()))
   }
 
   /** Has the ANN leg drifted far enough from its centroid fit to warrant
@@ -241,7 +255,11 @@ object Hybrid {
       graft.sources.WriterLease.withLease(storeDir, "hybrid-rebuild") {
 
     val annD = annDir(storeDir)
-    val like = spark.range(0).select(lit(0L).as("cell"), lit(0L).as("id"),
+    require(TableSink.tableExists(annD),
+      s"no ANN leg at '$annD' — initialize the hybrid store first " +
+        "(rebuilding a missing table would plant an empty pointer-bearing one)")
+    val like = spark.range(0).select(lit(0L).as("cell"),
+      lit(0L).cast(storedIdType(spark, storeDir)).as("id"),
       array().cast("array<double>").as("vec"), lit("").as("__cell_s"))
     val stored = TableSink.read(spark, annD, like).select(col("id"), col("vec"))
     val cells = IvfAnn.buildCells(stored, "id", "vec", nlist, iters)
@@ -340,7 +358,8 @@ object Hybrid {
       case Some(t) => TableSink.readSnapshot(spark, annDir(storeDir), t)
         .select(col("cell"), col("id"), col("vec"))
       case None =>
-        val like = spark.range(0).select(lit(0L).as("cell"), lit(0L).as("id"),
+        val like = spark.range(0).select(lit(0L).as("cell"),
+          lit(0L).cast(storedIdType(spark, storeDir)).as("id"),
           array().cast("array<double>").as("vec"))
         TableSink.readBuckets(spark, annDir(storeDir), like,
           TableSink.bucketIdsFor(spark, annDir(storeDir), probed.map(_.toString)))

@@ -485,14 +485,8 @@ private[graft] object QVector {
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.map { id =>
-            val g = (id % 40).toInt
-            val off = ((id / 40) % 3).toInt * 5
-            (id, MultimodalOps.synthesizePng(9, 8, (x, y) => {
-              val v = (java.lang.Long.remainderUnsigned(
-                MultimodalOps.fmix64(g * 1000003L + x * 1009L + y * 9176L),
-                200L).toInt + off) & 0xff
-              (v << 16) | (v << 8) | v
-            }))
+            (id, MultimodalOps.fixturePng((id % 40).toInt,
+              ((id / 40) % 3).toInt * 5))
           }
         }.toDF("id", "payload")
       val sha = png.select(col("id"), sha2(col("payload"), 256).as("sha"))
@@ -651,14 +645,8 @@ private[graft] object QVector {
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.map { id =>
-            val g = (id % 40).toInt
-            val off = ((id / 40) % 3).toInt * 5
-            (id, MultimodalOps.synthesizePng(9, 8, (x, y) => {
-              val v = (java.lang.Long.remainderUnsigned(
-                MultimodalOps.fmix64(g * 1000003L + x * 1009L + y * 9176L),
-                200L).toInt + off) & 0xff
-              (v << 16) | (v << 8) | v
-            }))
+            (id, MultimodalOps.fixturePng((id % 40).toInt,
+              ((id / 40) % 3).toInt * 5))
           }
         }.toDF("id", "payload")
       val exact = png.select(col("id"), sha2(col("payload"), 256).as("sha"))
@@ -697,14 +685,8 @@ private[graft] object QVector {
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.map { id =>
-            val g = (id % 40).toInt
-            val off = ((id / 40) % 3).toInt * 5
-            (id, MultimodalOps.synthesizePng(9, 8, (x, y) => {
-              val v = (java.lang.Long.remainderUnsigned(
-                MultimodalOps.fmix64(g * 1000003L + x * 1009L + y * 9176L),
-                200L).toInt + off) & 0xff
-              (v << 16) | (v << 8) | v
-            }))
+            (id, MultimodalOps.fixturePng((id % 40).toInt,
+              ((id / 40) % 3).toInt * 5))
           }
         }.toDF("id", "payload")
       val dir = tmpStore("media_store")

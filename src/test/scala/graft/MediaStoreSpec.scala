@@ -17,12 +17,7 @@ class MediaStoreSpec extends AnyFunSuite with SparkSpec {
   // The x_mm_phash_dedup fixture: pattern → dHash cluster, brightness
   // shift → byte-distinct re-encode within the cluster.
   private def img(pattern: Int, off: Int): Array[Byte] =
-    MultimodalOps.synthesizePng(9, 8, (x, y) => {
-      val v = (java.lang.Long.remainderUnsigned(
-        MultimodalOps.fmix64(pattern * 1000003L + x * 1009L + y * 9176L),
-        200L).toInt + off) & 0xff
-      (v << 16) | (v << 8) | v
-    })
+    MultimodalOps.fixturePng(pattern, off)
 
   private def media(rows: (Long, Array[Byte])*): DataFrame =
     rows.toDF("id", "payload")
