@@ -322,6 +322,46 @@ private[graft] object OracleDefs {
         |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rank
         |FROM fr WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** The media-admission replay — shared by x_mm_admit_incremental
+    * (all-image fixtures) and x_mm_mixed_admit (payload modality
+    * dispatched per pattern: image / audio / video through the
+    * modality-sniffed perceptual key), because BOTH fixtures keep the
+    * same invariants: payload bytes ≡ (pattern g, shift sh), perceptual
+    * key ≡ g. The corpus split (g < 30 ∧ sh < 2 ∧ even id÷120 epoch) is
+    * chosen so EVERY verdict branch is live against the standing store:
+    * batch docs exact-hit stored shas (odd-epoch copies), perceptual-hit
+    * stored patterns at a new shift, and fold batch-internally for the
+    * ten store-missing patterns (g ≥ 30). The whole fold is group
+    * arithmetic — never a hash value. */
+  private[graft] lazy val mmAdmitSql: String =
+    """WITH a AS (SELECT doc_id, (doc_id // 3) % 40 AS g, doc_id % 3 AS sh,
+        |            ((doc_id // 3) % 40 < 30 AND doc_id % 3 < 2
+        |              AND (doc_id // 120) % 2 = 0) AS in_c
+        |          FROM documents),
+        |c AS (SELECT * FROM a WHERE in_c),
+        |b AS (SELECT * FROM a WHERE NOT in_c),
+        |cg AS (SELECT g, min(doc_id) rep FROM c GROUP BY g),
+        |cs AS (SELECT g, sh, min(doc_id) rep FROM c GROUP BY g, sh),
+        |bm AS (SELECT g, min(doc_id) m FROM b
+        |       WHERE g NOT IN (SELECT g FROM cg) GROUP BY g),
+        |bmo AS (SELECT bm.g, bm.m, bb.sh AS msh
+        |        FROM bm JOIN b bb ON bb.doc_id = bm.m)
+        |SELECT b.doc_id,
+        |  CASE WHEN cs.rep IS NOT NULL THEN 'duplicate'
+        |       WHEN cg.rep IS NOT NULL THEN 'near_duplicate'
+        |       WHEN b.doc_id = bmo.m THEN 'novel'
+        |       WHEN b.sh = bmo.msh THEN 'duplicate'
+        |       ELSE 'near_duplicate' END AS verdict,
+        |  CAST(CASE WHEN cs.rep IS NOT NULL THEN cs.rep
+        |            WHEN cg.rep IS NOT NULL THEN cg.rep
+        |            WHEN b.doc_id = bmo.m THEN -1
+        |            ELSE bmo.m END AS BIGINT) AS rep_id
+        |FROM b
+        |LEFT JOIN cs ON cs.g = b.g AND cs.sh = b.sh
+        |LEFT JOIN cg ON cg.g = b.g
+        |LEFT JOIN bmo ON bmo.g = b.g
+        |ORDER BY b.doc_id""".stripMargin
+
   /** The incremental-SemDeDup replay chain — shared by
     * x_semdedup_incremental (in-memory corpus) and x_semdedup_store
     * (persisted cluster-laid-out corpus, bucket-pruned probe): same

@@ -681,18 +681,67 @@ private[graft] object QVector {
     // FIRST doc, not an exact duplicate of the dropped one).
     "x_mm_admit_incremental" -> ((s, d) => {
       import s.implicits._
+      // Corpus split chosen so every verdict branch probes the STANDING
+      // store (see OracleDefs.mmAdmitSql): batch docs exact-hit stored
+      // shas, perceptual-hit stored patterns at a new shift, and fold
+      // batch-internally for the store-missing patterns.
       val all = T(s, d, "documents").select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.map { id =>
-            (id, MultimodalOps.fixturePng((id % 40).toInt,
-              ((id / 40) % 3).toInt * 5))
+            val g = ((id / 3) % 40).toInt
+            val sh = (id % 3).toInt
+            val inC = g < 30 && sh < 2 && (id / 120) % 2 == 0
+            (id, MultimodalOps.fixturePng(g, sh * 5), inC)
           }
-        }.toDF("id", "payload")
+        }.toDF("id", "payload", "in_c")
       val dir = tmpStore("media_store")
-      graft.operators.MediaStore.init(s, dir, all.filter(col("id") % 5 =!= 0))
+      graft.operators.MediaStore.init(s, dir,
+        all.filter(col("in_c")).drop("in_c"))
       graft.operators.MediaStore.run(s, dir,
-          all.filter(col("id") % 5 === 0), version = 1L)
+          all.filter(!col("in_c")).drop("in_c"), version = 1L)
+        .select(col("id").as("doc_id"), col("verdict"), col("rep_id"))
+        .orderBy("doc_id")
+    }),
+    // The SAME standing-store admission over a MIXED-modality corpus:
+    // pattern g's payload is an image (g%3=0), a PCM recording (g%3=1:
+    // shift 0 = WAV, 1 = the byte-different AIFF container, 2 = exactly
+    // 2× gain), or a GVF1 keyframe video (g%3=2, brightness-shifted
+    // frames) — the modality-sniffed perceptual key makes all three
+    // re-publish classes cluster in ONE phash relation while the kind
+    // salts keep modalities from aliasing. Same oracle as
+    // x_mm_admit_incremental: both fixtures keep payload ≡ (g, sh) and
+    // perceptual key ≡ g, so the group arithmetic is identical.
+    "x_mm_mixed_admit" -> ((s, d) => {
+      import s.implicits._
+      val all = T(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val g = ((id / 3) % 40).toInt
+            val sh = (id % 3).toInt
+            val inC = g < 30 && sh < 2 && (id / 120) % 2 == 0
+            val payload = g % 3 match {
+              case 0 => MultimodalOps.fixturePng(g, sh * 5)
+              case 1 =>
+                val base = Array.tabulate(130 + (g % 5) * 13)(i =>
+                  (java.lang.Long.remainderUnsigned(
+                    MultimodalOps.fmix64(g * 1009L + i * 101L), 1601L)
+                    - 800L).toShort)
+                val samp = if (sh == 2) base.map(x => (x * 2).toShort) else base
+                MultimodalOps.synthesizeWav(8000f, samp, aiff = sh == 1)
+              case _ =>
+                MultimodalOps.synthesizeVideo((0 until 6).map(fr =>
+                  MultimodalOps.fixturePng(g * 50 + fr, sh * 5)))
+            }
+            (id, payload, inC)
+          }
+        }.toDF("id", "payload", "in_c")
+      val dir = tmpStore("media_store_mixed")
+      graft.operators.MediaStore.init(s, dir,
+        all.filter(col("in_c")).drop("in_c"))
+      graft.operators.MediaStore.run(s, dir,
+          all.filter(!col("in_c")).drop("in_c"), version = 1L)
         .select(col("id").as("doc_id"), col("verdict"), col("rep_id"))
         .orderBy("doc_id")
     }),
@@ -1354,34 +1403,17 @@ private[graft] object QVector {
         |  CAST(16 AS INTEGER) AS out_w, CAST(14 AS INTEGER) AS out_h,
         |  true AS resized_ok
         |FROM documents GROUP BY doc_id % 40 ORDER BY rep_id""".stripMargin,
-    // Media admission replay: sha ≡ (pattern, shift) and dhash ≡
-    // pattern by the fixture construction, so the whole fold is group
-    // arithmetic — corpus anchors first (exact then perceptual), then
-    // the batch-internal keep-first where only the pattern's FIRST
+    // Media admission replay: sha ≡ (pattern, shift) and the perceptual
+    // key ≡ pattern by the fixture construction, so the whole fold is
+    // group arithmetic (OracleDefs.mmAdmitSql) — corpus anchors first
+    // (exact then perceptual, BOTH live against the standing store),
+    // then the batch-internal keep-first where only the pattern's FIRST
     // batch doc anchors (dropped docs never register their sha).
-    "x_mm_admit_incremental" ->
-      """WITH a AS (SELECT doc_id, doc_id % 40 g, (doc_id // 40) % 3 AS sh FROM documents),
-        |c AS (SELECT * FROM a WHERE doc_id % 5 <> 0),
-        |b AS (SELECT * FROM a WHERE doc_id % 5 = 0),
-        |cg AS (SELECT g, min(doc_id) rep FROM c GROUP BY g),
-        |cs AS (SELECT g, sh, min(doc_id) rep FROM c GROUP BY g, sh),
-        |bm AS (SELECT g, min(doc_id) m FROM b GROUP BY g),
-        |bmo AS (SELECT bm.g, bm.m, bb.sh AS msh FROM bm JOIN b bb ON bb.doc_id = bm.m)
-        |SELECT b.doc_id,
-        |  CASE WHEN cs.rep IS NOT NULL THEN 'duplicate'
-        |       WHEN cg.rep IS NOT NULL THEN 'near_duplicate'
-        |       WHEN b.doc_id = bmo.m THEN 'novel'
-        |       WHEN b.sh = bmo.msh THEN 'duplicate'
-        |       ELSE 'near_duplicate' END AS verdict,
-        |  CAST(CASE WHEN cs.rep IS NOT NULL THEN cs.rep
-        |            WHEN cg.rep IS NOT NULL THEN cg.rep
-        |            WHEN b.doc_id = bmo.m THEN -1
-        |            ELSE bmo.m END AS BIGINT) AS rep_id
-        |FROM b
-        |LEFT JOIN cs ON cs.g = b.g AND cs.sh = b.sh
-        |LEFT JOIN cg ON cg.g = b.g
-        |JOIN bmo ON bmo.g = b.g
-        |ORDER BY b.doc_id""".stripMargin,
+    "x_mm_admit_incremental" -> mmAdmitSql,
+    // Identical arithmetic over the mixed image/audio/video fixture —
+    // the modality dispatch changes payload bytes, never the (g, sh)
+    // group structure the oracle predicts from.
+    "x_mm_mixed_admit" -> mmAdmitSql,
     // Real resize: the aspect-fit geometry is the x_mm_resize algebra;
     // bilinear scaling of a solid image stays solid and PNG is
     // lossless, so the output pixel sum is exact arithmetic.
