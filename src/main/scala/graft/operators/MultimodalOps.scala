@@ -386,28 +386,36 @@ object MultimodalOps {
         SampledVideo(id, 0, 0, 0, 0, 0L, ok = false)
       else {
         val n = in.readInt()
-        val lens = Array.fill(n)(in.readInt())
-        // frame f spans [offs(f), offs(f) + lens(f)); header then frames
-        val offs = lens.scanLeft(4 + 4 + 4 * n)(_ + _)
-        var f = 0
-        var sampled = 0
-        var w = 0; var h = 0
-        var luma = 0L
-        var allOk = n > 0
-        while (f < n) {
-          val frame = java.util.Arrays.copyOfRange(bytes, offs(f), offs(f) + lens(f))
-          val d = decodeImage(id, frame)
-          if (!d.ok) allOk = false
-          else {
-            // dims from the first SUCCESSFUL decode — a corrupt first
-            // sample must not zero them while later frames decoded fine
-            if (w == 0 && h == 0) { w = d.width; h = d.height }
-            luma += d.lumaSum3
+        // bound the index allocation by what the payload can actually
+        // hold (8-byte header + 4 bytes per length): a corrupt count
+        // must come back ok=false, not OOM the task (Array.fill of an
+        // unvalidated int throws Error, which no catch below sees)
+        if (n <= 0 || n > (bytes.length - 8) / 4)
+          SampledVideo(id, 0, 0, 0, 0, 0L, ok = false)
+        else {
+          val lens = Array.fill(n)(in.readInt())
+          // frame f spans [offs(f), offs(f) + lens(f)); header then frames
+          val offs = lens.scanLeft(4 + 4 + 4 * n)(_ + _)
+          var f = 0
+          var sampled = 0
+          var w = 0; var h = 0
+          var luma = 0L
+          var allOk = n > 0
+          while (f < n) {
+            val frame = java.util.Arrays.copyOfRange(bytes, offs(f), offs(f) + lens(f))
+            val d = decodeImage(id, frame)
+            if (!d.ok) allOk = false
+            else {
+              // dims from the first SUCCESSFUL decode — a corrupt first
+              // sample must not zero them while later frames decoded fine
+              if (w == 0 && h == 0) { w = d.width; h = d.height }
+              luma += d.lumaSum3
+            }
+            sampled += 1
+            f += stride
           }
-          sampled += 1
-          f += stride
+          SampledVideo(id, n, sampled, w, h, luma, ok = allOk)
         }
-        SampledVideo(id, n, sampled, w, h, luma, ok = allOk)
       }
     } catch {
       case _: Exception => SampledVideo(id, 0, 0, 0, 0, 0L, ok = false)
@@ -553,7 +561,9 @@ object MultimodalOps {
         VideoSig(id, 0, Nil, ok = false)
       else {
         val n = in.readInt()
-        if (n <= 0) VideoSig(id, 0, Nil, ok = false)
+        // same payload-capacity bound as [[sampleVideo]]: a corrupt
+        // count must come back ok=false, never an OOM-sized allocation
+        if (n <= 0 || n > (bytes.length - 8) / 4) VideoSig(id, 0, Nil, ok = false)
         else {
           val lens = Array.fill(n)(in.readInt())
           val offs = lens.scanLeft(4 + 4 + 4 * n)(_ + _)

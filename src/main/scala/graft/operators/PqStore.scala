@@ -268,13 +268,11 @@ object PqStore {
         "PqStore.write, so cell probes cannot address its buckets")
     requireCurrentFit(spark, dir, cells, cb)
     val probed = IvfAnn.probedCellIds(queries, cells, idCol, vecCol, nprobe)
-    // Derive the stored id type from the table's own schema (one footer
-    // read): a store written with string ids must present string ids in
-    // the empty-read fallback too — assuming long here mis-typed the
-    // probe for any non-long idCol.
-    val idType = graft.sources.TableSink.storedSchemaOf(spark, dir)
-      .flatMap(sch => sch.find(_.name == idCol).map(_.dataType))
-      .getOrElse(org.apache.spark.sql.types.LongType)
+    // Derive the stored id type from the table's own schema: a store
+    // written with string ids must present string ids in the empty-read
+    // fallback too — assuming long here mis-typed the probe for any
+    // non-long idCol. Memoized per generation (TableSink.storedColType).
+    val idType = graft.sources.TableSink.storedColType(spark, dir, idCol)
     val like = spark.range(0).select(lit(0L).as("cell"),
       lit(null).cast(idType).as(idCol),
       array().cast("array<tinyint>").as("codes"))

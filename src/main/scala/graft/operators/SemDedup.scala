@@ -200,15 +200,13 @@ object SemDedupStore {
       .select(col("cluster_id"), col("id"), col("v"))
       .withColumn("__cl_s", col("cluster_id").cast("string"))
 
-  /** The stored member table's id type (one footer read) — the store
-    * keeps the caller's id verbatim, so every empty-read `like` frame
-    * must present THAT type, not an assumed long (the PqStore.search
-    * mistyping, fixed once here for every read path). */
+  /** The stored member table's id type — the store keeps the caller's
+    * id verbatim, so every empty-read `like` frame must present THAT
+    * type, not an assumed long ([[TableSink.storedColType]], memoized
+    * per generation). */
   private def storedIdType(spark: SparkSession,
                            dir: String): org.apache.spark.sql.types.DataType =
-    TableSink.storedSchemaOf(spark, membersDir(dir))
-      .flatMap(_.find(_.name == "id").map(_.dataType))
-      .getOrElse(org.apache.spark.sql.types.LongType)
+    TableSink.storedColType(spark, membersDir(dir), "id")
 
   /** Fit nlist cluster centroids over the corpus and persist centroids +
     * cluster-laid-out member vectors. O(corpus), run once; REFUSES a

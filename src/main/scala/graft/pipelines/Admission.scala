@@ -398,6 +398,9 @@ object Admission {
     // guard's short-circuit keeps a completed absorb from re-firing
     // after an [[unadmit]] (same discipline as the fingerprint upsert).
     cfg.sem.foreach { st =>
+      // The member upsert is version-ordered, and versions are pure
+      // functions of the batch NAME — sound only within one namespace.
+      requireOneNamespace(storeDir, deltaName)
       val gv = st.vecsFor(grown)
       graft.operators.SemDedupStore.absorb(spark, semDir(storeDir), gv,
         idCol, semVecCol(gv, idCol), version = semVersionOf(deltaName))
@@ -436,17 +439,35 @@ object Admission {
 
   /** Per-batch version for the stage-4 member upserts — a PURE function
     * of the delta name (a replay of one batch must carry the identical
-    * version), UNIQUE across both name namespaces: counter names
-    * (part_00007) map even (2·7), batch-id names (part_b7) map odd
-    * (2·7+1). Collapsing both to the bare counter would let a replayed
-    * streaming epoch tie a same-numbered run() batch and the upsert
-    * tie-break could then roll a newer vector back. Each namespace's
-    * counter never rewinds onto an absorbed name, so versions never
-    * rewind within a key either. */
-  private def semVersionOf(deltaName: String): Long = {
-    val n = "\\d+".r.findAllIn(deltaName).toSeq.lastOption
-      .map(_.toLong).getOrElse(0L)
-    if (deltaName.startsWith("part_b")) 2 * n + 1 else 2 * n
+    * version), monotone because [[requireOneNamespace]] pins every
+    * store to ONE name namespace: counter names (part_00007 → 7) from
+    * [[run]], or batch-id names (part_b7 → 7) from [[runCommitted]]/
+    * [[stream]]. WITHIN a namespace the counter never rewinds onto an
+    * absorbed name; ACROSS namespaces no monotone pure-of-name mapping
+    * exists (the two counters advance independently — a later run()
+    * batch could carry a lower number than an earlier stream epoch and
+    * the max-version upsert would keep the stale vector), which is why
+    * mixing is refused rather than encoded. */
+  private def semVersionOf(deltaName: String): Long =
+    "\\d+".r.findAllIn(deltaName).toSeq.lastOption.map(_.toLong).getOrElse(0L)
+
+  /** Fail-loud one-namespace guard for the version semantics above: the
+    * `_absorbed` ledger (compaction-surviving — the batch-name history)
+    * must hold names of `deltaName`'s own namespace only. Init's
+    * part_00000 is namespace-neutral (version 0 precedes both). */
+  private def requireOneNamespace(storeDir: String, deltaName: String): Unit = {
+    val batchNs = deltaName.startsWith("part_b")
+    val clash = graft.sources.DeltaParts
+      .list(graft.sources.AdditiveLedger.absorbedDir(spanDir(storeDir)))
+      .filterNot(_ == "part_00000")
+      .find(n => n.startsWith("part_b") != batchNs)
+    require(clash.isEmpty,
+      s"admission store at '$storeDir' was maintained via " +
+        s"'${clash.get}' but this batch is named '$deltaName' — run() " +
+        "(counter names) and runCommitted()/stream() (batch-id names) " +
+        "cannot interleave on one store: their version sequences are " +
+        "independent, so the stage-4 max-version upsert could keep a " +
+        "stale vector. Use one ingest mode per store.")
   }
 
   private def verdictDir(storeDir: String, batchId: Long) =

@@ -64,21 +64,20 @@ object Hybrid {
     graft.sources.IdLayoutSidecar.backfill(spark, annDir(storeDir))
   }
 
+  /** The stored ANN leg's id type — the store keeps the caller's id
+    * verbatim, so every empty-read `like` frame must present THAT
+    * type, not an assumed long ([[TableSink.storedColType]], memoized
+    * per generation so the serving path pays no per-query footer
+    * read). */
+  private def storedIdType(spark: SparkSession,
+                           storeDir: String): org.apache.spark.sql.types.DataType =
+    TableSink.storedColType(spark, annDir(storeDir), "id")
+
   /** Canonical stored ANN rows (cell, id, vec, __cell_s): the serving
     * path's query frames carry arbitrary column names, so the store
     * normalizes its own once at write time instead of recording the
     * writer's names. ONE definition for init and appendVectors — the
     * write paths must not drift. */
-  /** The stored ANN leg's id type (one footer read) — the store keeps
-    * the caller's id verbatim, so every empty-read `like` frame must
-    * present THAT type, not an assumed long (the PqStore.search
-    * mistyping, fixed once here for every read path). */
-  private def storedIdType(spark: SparkSession,
-                           storeDir: String): org.apache.spark.sql.types.DataType =
-    TableSink.storedSchemaOf(spark, annDir(storeDir))
-      .flatMap(_.find(_.name == "id").map(_.dataType))
-      .getOrElse(org.apache.spark.sql.types.LongType)
-
   private def annRows(vecs: DataFrame, vecIdCol: String, vecCol: String,
                       cells: DataFrame): DataFrame =
     IvfAnn.assignCells(vecs, vecIdCol, vecCol, cells)

@@ -42,9 +42,7 @@ object IdLayoutSidecar {
   def exists(tableDir: String): Boolean = TableSink.tableExists(dir(tableDir))
 
   private def idTypeOf(spark: SparkSession, anyDir: String, idCol: String) =
-    TableSink.storedSchemaOf(spark, anyDir)
-      .flatMap(s => s.find(_.name == idCol).map(_.dataType))
-      .getOrElse(org.apache.spark.sql.types.LongType)
+    TableSink.storedColType(spark, anyDir, idCol)
 
   private def sidecarLike(spark: SparkSession, tableDir: String,
                           idCol: String): DataFrame = {

@@ -70,7 +70,11 @@ object StoreCheck {
     Files.readAllLines(m).asScala.filter(_.contains('\t')).foreach { l =>
       val i = l.indexOf('\t')
       val b = l.take(i)
-      if (i == l.lastIndexOf('\t') && b.nonEmpty && b.forall(_.isDigit))
+      // ASCII digits, int-sized: Character.isDigit admits Unicode digit
+      // classes and an overlong run overflows toInt — both must land in
+      // `bad`, never throw out of the audit
+      if (i == l.lastIndexOf('\t') && b.nonEmpty && b.length <= 9 &&
+          b.forall(c => c >= '0' && c <= '9'))
         good += ((b.toInt, l.drop(i + 1)))
       else bad += l
     }

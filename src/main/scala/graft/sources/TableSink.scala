@@ -343,6 +343,28 @@ object TableSink {
         .map(rel => spark.read.parquet(s"$dir/$rel").schema)
     }
 
+  // (dir, generation) → column type: serving hot paths (Hybrid.search)
+  // type their empty-read `like` frames per query, and the footer read
+  // behind storedSchemaOf is invariant within one generation.
+  private val colTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
+      org.apache.spark.sql.types.DataType]()
+
+  /** The stored type of one column (falls back to `LongType` for an
+    * absent/empty table) — [[storedSchemaOf]] memoized per table
+    * GENERATION, so repeated probes of an unchanged store read no
+    * footer. The single shared implementation behind every empty-read
+    * `like`-frame typing (the PqStore.search string-id mistyping,
+    * fixed once). */
+  def storedColType(spark: SparkSession, dir: String,
+                    colName: String): org.apache.spark.sql.types.DataType = {
+    val seq = currentSeq(dir).getOrElse(-1L)
+    colTypeCache.computeIfAbsent((Paths.get(dir).toAbsolutePath.normalize.toString, seq, colName),
+      _ => storedSchemaOf(spark, dir)
+        .flatMap(_.find(_.name == colName).map(_.dataType))
+        .getOrElse(org.apache.spark.sql.types.LongType))
+  }
+
   /** Read ONLY the listed buckets' files — file-level pruning for
     * value-addressable layouts: the scan never opens (or even lists
     * into) other buckets' parquet. Exact iff the caller's predicate

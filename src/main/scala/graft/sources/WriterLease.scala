@@ -95,11 +95,19 @@ object WriterLease {
     val p = Paths.get(key, LeaseFile)
     val token = acquire(p, label)
     held.set(held.get() + (key -> token))
+    val period = math.max(1L, staleMs / 4)
     val beat = beats.scheduleAtFixedRate(
-      () => try Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-        catch { case _: java.io.IOException => () }, // broken/freed: stop mattering
-      staleMs / 4, staleMs / 4, java.util.concurrent.TimeUnit.MILLISECONDS)
+      // Touch ONLY while the file still carries OUR token: a writer that
+      // was (correctly) broken as stale and resumed must not keep the
+      // NEXT holder's lease forever-fresh — that lease must age normally
+      // if its own holder crashes.
+      () => try {
+        if (new String(Files.readAllBytes(p), "UTF-8")
+            .linesIterator.contains(s"token=$token"))
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      } catch { case _: java.io.IOException => () }, // broken/freed: stop mattering
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
       beat.cancel(false)
@@ -138,12 +146,32 @@ object WriterLease {
             // on the vanished source and retries into the winner's fresh
             // lease). A plain delete here would let the slower healer
             // delete the faster one's FRESH lease — two live writers.
-            val tomb = p.resolveSibling(
-              s"$LeaseFile.broken.${java.util.UUID.randomUUID()}")
-            try {
-              Files.move(p, tomb, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              Files.deleteIfExists(tomb)
-            } catch { case _: java.io.IOException => () } // lost the break race
+            // The move alone is not enough either: a delayed healer can
+            // move a lease that was broken-and-re-acquired between its
+            // staleness read and its move — so VERIFY the tombstone
+            // still carries the bytes judged stale, and restore + refuse
+            // on mismatch.
+            val stale =
+              try Some(Files.readAllBytes(p))
+              catch { case _: java.io.IOException => None } // vanished: retry
+            if (stale.isDefined) {
+              val tomb = p.resolveSibling(
+                s"$LeaseFile.broken.${java.util.UUID.randomUUID()}")
+              try {
+                Files.move(p, tomb, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                if (java.util.Arrays.equals(Files.readAllBytes(tomb), stale.get))
+                  Files.deleteIfExists(tomb)
+                else {
+                  // we displaced a rival's FRESH lease — put it back
+                  try Files.move(tomb, p,
+                    java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                  catch { case _: java.io.IOException => () } // p refilled
+                  throw new ConcurrentWriterException(
+                    s"lease at '$p' was broken and re-acquired by another " +
+                      s"writer while '$label' was breaking it — refusing")
+                }
+              } catch { case _: java.io.IOException => () } // lost the break race
+            }
           } else {
             val holder =
               try new String(Files.readAllBytes(p), "UTF-8").trim.replace('\n', ' ')

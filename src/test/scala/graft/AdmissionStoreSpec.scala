@@ -364,6 +364,14 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(got2 == want2, s"batch 2 diverged:\n store=$got2\n ref  =$want2")
     assert(got2(11L)._1 == "semantic_duplicate" && got2(12L)._1 == "admitted",
       s"store must semantically remember b1's admitted doc: $got2")
+    // One-namespace guard: stage-4 member versions are pure functions
+    // of the batch NAME, and run() (counter names) vs runCommitted()
+    // (batch-id names) number independently — mixing them on one store
+    // could roll a newer vector back, so it must refuse loudly.
+    val e = intercept[IllegalArgumentException](
+      Admission.runCommitted(spark, store,
+        df(Seq(21L -> goodText('v'))), "doc_id", "text", batchId = 7L, cfg))
+    assert(e.getMessage.contains("cannot interleave"), e.getMessage)
   }
 
   test("semantic stage: the member store rides snapshot/restore (anchors forgotten, sidecar rebuilt)") {

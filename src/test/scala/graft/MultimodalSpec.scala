@@ -234,6 +234,12 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!MultimodalOps.videoSignature(1L, "nope".getBytes, 3).ok)
     assert(!MultimodalOps.videoSignature(2L,
       MultimodalOps.synthesizeVideo(Seq.empty), 3).ok)
+    // a corrupt frame count larger than the payload can hold must come
+    // back ok=false — NOT attempt the count-sized index allocation
+    val bomb = java.nio.ByteBuffer.allocate(12)
+      .put("GVF1".getBytes).putInt(Int.MaxValue).putInt(0).array()
+    assert(!MultimodalOps.videoSignature(3L, bomb, 3).ok)
+    assert(!MultimodalOps.sampleVideo(3L, bomb, 2).ok)
   }
 
   test("prodGt compares energy cross-products exactly past 64-bit overflow") {

@@ -63,13 +63,16 @@ class StoreCheckSpec extends AnyFunSuite with SparkSpec {
     upsert(dir, 0, 20, 1)
     val mf = Paths.get(dir, "_manifests",
       Files.readString(Paths.get(dir, "_CURRENT")).trim)
-    // a truncated/hand-edited entry: non-integer bucket and an extra tab
+    // truncated/hand-edited entries: non-integer bucket, an extra tab,
+    // an int-overflowing bucket, a Unicode-digit bucket — all must land
+    // in the report, none may throw out of the audit
     Files.writeString(mf,
-      Files.readString(mf) + "oops\tdata/zz\n3\tdata/a\textra\n")
+      Files.readString(mf) +
+        "oops\tdata/zz\n3\tdata/a\textra\n99999999999\tdata/o\n٣\tdata/u\n")
     val r = StoreCheck.tableSink(spark, dir)
     val f = failures(r)
     assert(f.contains("manifest_lines_parse"), f.toString)
-    assert(f("manifest_lines_parse").contains("2 unparseable"))
+    assert(f("manifest_lines_parse").contains("4 unparseable"))
     // the audit still renders the rest of the report around the damage
     val checks = r.select("check").as[String].collect().toSet
     assert(checks.contains("data_files_present") && checks.contains("writer_lease"))
