@@ -50,11 +50,10 @@ object LineStore {
 
   /** O(corpus), once; refuses a used dir (the [[LmStore.init]] contract). */
   def init(spark: SparkSession, dir: String, corpus: DataFrame,
-           idCol: String, textCol: String): Unit = {
-    graft.sources.AdditiveLedger.requireFresh(dir, "line store")
-    writePart(dir, "part_00000", parts(corpus, idCol, textCol, 1), ledger = false)
-    graft.sources.AdditiveLedger.recordInit(dir, "part_00000")
-  }
+           idCol: String, textCol: String): Unit =
+    graft.sources.AdditiveLedger.init(dir, "line store", "part_00000") { n =>
+      writePart(dir, n, parts(corpus, idCol, textCol, 1), ledger = false)
+    }
 
   /** O(batch) fold of NEW docs (disjoint ids); replay-idempotent by
     * `name` at every crash point, compaction included. */

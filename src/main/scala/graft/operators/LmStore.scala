@@ -79,12 +79,11 @@ object LmStore {
     * re-initializing in place would reset the parts while `_absorbed`
     * survives, silently no-opping a later replayed append. */
   def init(spark: SparkSession, dir: String, corpus: DataFrame,
-           textCol: String): Unit = {
-    graft.sources.AdditiveLedger.requireFresh(dir, "LM store")
-    val (u, b) = parts(corpus, textCol, sign = 1)
-    writePart(dir, "part_00000", u, b, ledger = false)
-    graft.sources.AdditiveLedger.recordInit(dir, "part_00000")
-  }
+           textCol: String): Unit =
+    graft.sources.AdditiveLedger.init(dir, "LM store", "part_00000") { n =>
+      val (u, b) = parts(corpus, textCol, sign = 1)
+      writePart(dir, n, u, b, ledger = false)
+    }
 
   /** Fold a batch of new reference documents into the model — O(batch),
     * the standing parts are never read. Name the part by batch/epoch id

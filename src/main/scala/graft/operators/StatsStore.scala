@@ -63,12 +63,11 @@ object StatsStore {
     * reset parts-list over a surviving `_absorbed` ledger would make a
     * later replayed append silently drop real data). */
   def init(spark: SparkSession, dir: String, corpus: DataFrame,
-           groupCol: String, valueCol: String, accuracy: Int = 1 << 20): Unit = {
-    AdditiveLedger.requireFresh(dir, "stats store")
-    writePart(dir, "part_00000",
-      summarize(corpus, groupCol, valueCol, accuracy), ledger = false)
-    AdditiveLedger.recordInit(dir, "part_00000")
-  }
+           groupCol: String, valueCol: String, accuracy: Int = 1 << 20): Unit =
+    AdditiveLedger.init(dir, "stats store", "part_00000") { n =>
+      writePart(dir, n, summarize(corpus, groupCol, valueCol, accuracy),
+        ledger = false)
+    }
 
   /** Append a batch's summaries in O(batch) — the standing parts are
     * never read. Name the part by batch/epoch id for replay-idempotent

@@ -245,13 +245,11 @@ object Bm25Store {
     * reset the parts while the `_absorbed` ledger survives, so a later
     * named [[append]] reusing a batch id would silently skip real data. */
   def init(spark: SparkSession, dir: String, corpus: DataFrame,
-           idCol: String, textCol: String): Unit = {
-    AdditiveLedger.requireFresh(dir, "BM25 store")
-    val (p, d, s, dr) = parts(corpus, idCol, textCol)
-    writePart(dir, "part_00000", p, d, s, dr, emptyTombsLike(dr),
-      ledger = false)
-    AdditiveLedger.recordInit(dir, "part_00000")
-  }
+           idCol: String, textCol: String): Unit =
+    AdditiveLedger.init(dir, "BM25 store", "part_00000") { n =>
+      val (p, d, s, dr) = parts(corpus, idCol, textCol)
+      writePart(dir, n, p, d, s, dr, emptyTombsLike(dr), ledger = false)
+    }
 
   /** Append a batch of NEW documents (disjoint doc ids from everything
     * already stored — re-appending double-counts, same contract as

@@ -298,7 +298,11 @@ object Admission {
     * the new batch's data. A rebuild gets a fresh (or fully deleted)
     * directory, never a silent overwrite. */
   def init(spark: SparkSession, storeDir: String, corpus: DataFrame,
-           idCol: String, textCol: String, cfg: Config = Config()): Unit = {
+           idCol: String, textCol: String, cfg: Config = Config()): Unit =
+      // Funnel-root lease across the whole freshness-check → multi-store
+      // write dance: two racing inits would both pass requireFresh and
+      // tear the same part paths (the AdditiveLedger.init rationale).
+      graft.sources.WriterLease.withLease(storeDir, "admission-init") {
     graft.sources.AdditiveLedger.requireFresh(spanDir(storeDir),
       "admission store", extraPaths = Seq(
         java.nio.file.Paths.get(storeDir, "verdicts"),

@@ -59,9 +59,27 @@ object AdditiveLedger {
   }
 
   /** Record the init part in both ledgers (call after the part files
-    * are on disk — [[DeltaParts.add]] is the atomic publish). */
+    * are on disk — [[DeltaParts.add]] is the atomic publish). Prefer
+    * [[init]], which holds the lease across the WHOLE freshness-check →
+    * write → record dance. */
   def recordInit(dir: String, name: String): Unit =
     WriterLease.withLease(dir, "ledger-init") {
+      DeltaParts.add(dir, name)
+      DeltaParts.add(absorbedDir(dir), name)
+    }
+
+  /** The whole init dance under ONE lease: freshness check, the init
+    * part write, and the two ledger adds. Two operators racing an init
+    * on one dir would otherwise BOTH pass [[requireFresh]] (no `_PARTS`
+    * yet), both overwrite the same part path with interleaved output,
+    * and both record — rc=0 and a silently torn store; under the lease
+    * the second initializer sees the first's `_PARTS` and refuses
+    * loudly, the contract every mutation here already keeps. */
+  def init(dir: String, what: String, name: String,
+           extraPaths: Seq[java.nio.file.Path] = Nil)(write: String => Unit): Unit =
+    WriterLease.withLease(dir, "ledger-init") {
+      requireFresh(dir, what, extraPaths)
+      write(name)
       DeltaParts.add(dir, name)
       DeltaParts.add(absorbedDir(dir), name)
     }

@@ -93,8 +93,11 @@ object DeltaParts {
     * tag at different parts (drop the tag first if that is meant).
     * Returns the pinned list. */
   def snapshot(dir: String, tag: String): Seq[String] = {
-    require(tag.nonEmpty && tag.head.isLetterOrDigit &&
-        tag.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+    // ONE tag grammar with TableSink.snapshot (ASCII, no Unicode
+    // letter classes): composite pipelines tag a TableSink half and a
+    // ledger half with the SAME string — divergent rules would let one
+    // half succeed and the other throw, a torn composite snapshot.
+    require(tag.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
       s"snapshot tag must be a simple name (letter/digit first): '$tag'")
     val parts = list(dir)
     require(parts.nonEmpty, s"no parts ledger at '$dir' to snapshot")

@@ -38,6 +38,15 @@ object FeedOps {
     StructField("pubDate", StringType), StructField("description", StringType)))
 
   def parseRssItems(df: DataFrame, xmlCol: String): DataFrame = {
+    // The parse EMITS these names (withColumn replaces in place) —
+    // refuse a frame already carrying any of them rather than silently
+    // overwriting a caller's column of the same name.
+    val emitted = Seq("title", "link", "pub_date", "description",
+      "item_xml", "__entry")
+    val clash = df.columns.filter(emitted.contains)
+    require(clash.isEmpty,
+      s"parseRssItems emits columns ${emitted.mkString(", ")}; the input " +
+        s"already has ${clash.mkString(", ")} — rename or drop them first")
     // ignoreSurroundingSpaces=false: element content round-trips intact
     // (the default would trim ' padded ' to 'padded')
     import scala.jdk.CollectionConverters._

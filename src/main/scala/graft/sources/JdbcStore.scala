@@ -70,20 +70,31 @@ object JdbcStore {
     // (sql, field order of the ?-placeholders)
     val (sql, order) =
       if (url.startsWith("jdbc:postgresql"))
-        (s"""INSERT INTO $table (${cols.mkString(", ")})
-            |VALUES (${cols.map(_ => "?").mkString(", ")})
-            |ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET
-            |${updCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")}""".stripMargin,
+        // all-key rows have nothing to update — an empty SET list is a
+        // syntax error, and presence tables (keys == all columns) are a
+        // legitimate shape: conflict means "already present", do nothing
+        (if (updCols.isEmpty)
+          s"""INSERT INTO $table (${cols.mkString(", ")})
+             |VALUES (${cols.map(_ => "?").mkString(", ")})
+             |ON CONFLICT (${keys.mkString(", ")}) DO NOTHING""".stripMargin
+        else
+          s"""INSERT INTO $table (${cols.mkString(", ")})
+             |VALUES (${cols.map(_ => "?").mkString(", ")})
+             |ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET
+             |${updCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")}""".stripMargin,
           cols)
       else {
         // ANSI MERGE keyed off the one-row dummy table (Derby disallows a
         // VALUES source); parameters are CAST so the ON clause is typed.
         def p(c: String) = s"CAST(? AS ${sqlType(schema(idx(c)).dataType)})"
+        val matched =
+          if (updCols.isEmpty) "" // empty UPDATE SET is a syntax error
+          else s"""|WHEN MATCHED THEN UPDATE SET
+                   |  ${updCols.map(c => s"$c = ${p(c)}").mkString(", ")}
+                   |""".stripMargin
         (s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1
             |ON ${keys.map(k => s"t.$k = ${p(k)}").mkString(" AND ")}
-            |WHEN MATCHED THEN UPDATE SET
-            |  ${updCols.map(c => s"$c = ${p(c)}").mkString(", ")}
-            |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+            |${matched}WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
             |  VALUES (${cols.map(p).mkString(", ")})""".stripMargin,
           keys ++ updCols ++ cols)
       }

@@ -60,24 +60,52 @@ object StoreCheck {
     ("writer_lease", true, detail)
   }
 
+  /** Crash-debris advisory: temp files a crash stranded mid-ATOMIC_MOVE
+    * (`.*.tmp` next to manifests/pointers/ledgers) and lease tombstones
+    * a healer abandoned mid-break. Harmless to correctness (nothing
+    * reads them) but they accumulate over crash-recovery cycles and no
+    * other surface reports them. */
+  private def debrisRow(dir: String): (String, Boolean, String) = {
+    def count(d: java.nio.file.Path, pred: String => Boolean): Int =
+      if (!Files.isDirectory(d)) 0
+      else Option(d.toFile.listFiles()).getOrElse(Array.empty[File])
+        .count(f => f.isFile && pred(f.getName))
+    def tmps(d: java.nio.file.Path): Int =
+      count(d, n => n.contains(".tmp"))
+    val t = tmps(Paths.get(dir)) + tmps(Paths.get(dir, "_manifests")) +
+      tmps(Paths.get(dir, "_snapshots"))
+    val tombs = count(Paths.get(dir),
+      _.startsWith(WriterLease.LeaseFile + ".broken."))
+    ("crash_debris", true,
+      if (t + tombs == 0) "none"
+      else s"$t stranded tmp file(s), $tombs abandoned lease tombstone(s) " +
+        "— unread by every path, safe to delete")
+  }
+
   /** Lenient manifest-entry parse: `(bucket, relpath)` per well-formed
     * line plus the malformed lines — the audit must REPORT a corrupt
-    * manifest (hand-migration, truncated write), never die on it. */
+    * manifest (hand-migration, truncated write), never die on it. A
+    * line is a header iff it has `=` and no tab; anything else without
+    * a tab (an entry that lost its tab to truncation) is malformed —
+    * skipping it silently would pass a manifest whose bucket reference
+    * vanished. */
   private def entryLines(m: java.nio.file.Path):
       (Seq[(Int, String)], Seq[String]) = {
     val good = Seq.newBuilder[(Int, String)]
     val bad = Seq.newBuilder[String]
-    Files.readAllLines(m).asScala.filter(_.contains('\t')).foreach { l =>
-      val i = l.indexOf('\t')
-      val b = l.take(i)
-      // ASCII digits, int-sized: Character.isDigit admits Unicode digit
-      // classes and an overlong run overflows toInt — both must land in
-      // `bad`, never throw out of the audit
-      if (i == l.lastIndexOf('\t') && b.nonEmpty && b.length <= 9 &&
-          b.forall(c => c >= '0' && c <= '9'))
-        good += ((b.toInt, l.drop(i + 1)))
-      else bad += l
-    }
+    Files.readAllLines(m).asScala
+      .filterNot(l => l.isEmpty || (!l.contains('\t') && l.contains('=')))
+      .foreach { l =>
+        val i = l.indexOf('\t')
+        val b = if (i < 0) "" else l.take(i)
+        // ASCII digits, int-sized: Character.isDigit admits Unicode digit
+        // classes and an overlong run overflows toInt — both must land in
+        // `bad`, never throw out of the audit
+        if (i > 0 && i == l.lastIndexOf('\t') && b.length <= 9 &&
+            b.forall(c => c >= '0' && c <= '9'))
+          good += ((b.toInt, l.drop(i + 1)))
+        else bad += l
+      }
     (good.result(), bad.result())
   }
 
@@ -159,6 +187,7 @@ object StoreCheck {
           .filter(b => b.isDirectory && !kept(s"data/${gen.getName}/${b.getName}")))
     out += (("orphan_buckets", true,
       if (orphans.isEmpty) "none" else s"${orphans.length} pending GC"))
+    out += debrisRow(dir)
     out += leaseRow(dir)
     report(spark, dir, out.result())
   }
@@ -248,6 +277,7 @@ object StoreCheck {
           !protect(f.getName)))
     out += (("orphan_parts", true,
       if (orphans.isEmpty) "none" else s"${orphans.size} sweepable next compaction"))
+    out += debrisRow(dir)
     out += leaseRow(dir)
     report(spark, dir, out.result())
   }

@@ -240,12 +240,19 @@ object TableSink {
   }
 
   def delete(spark: SparkSession, dir: String, keysToDrop: DataFrame,
-             keys: Seq[String], meta: Option[String] = None): Unit =
+             keys: Seq[String], meta: Option[String] = None): Unit = {
+    // Deleting from an absent table is a no-op, NOT a create: letting
+    // commit proceed would publish a phantom empty table pinning
+    // DefaultBuckets and the drop-frame's keys-only schema — the first
+    // real upsert's bucket sizing would then be silently ignored, and
+    // tableExists would lie to every consumer.
+    if (currentManifest(dir).isEmpty) return
     commit(spark, dir, keys, DefaultBuckets, None, keysToDrop, None, None,
       newMeta = meta.map(Some(_))) {
       existingDirty =>
         existingDirty.join(keysToDrop.select(keys.map(col): _*), keys, "left_anti")
     }
+  }
 
   /**
    * Replace the ENTIRE table content in one atomic commit: every
@@ -343,12 +350,16 @@ object TableSink {
         .map(rel => spark.read.parquet(s"$dir/$rel").schema)
     }
 
-  // (dir, generation) → column type: serving hot paths (Hybrid.search)
-  // type their empty-read `like` frames per query, and the footer read
-  // behind storedSchemaOf is invariant within one generation.
+  // (dir, column) → (generation, type): serving hot paths (Hybrid
+  // .search) type their empty-read `like` frames per query, and the
+  // footer read behind storedSchemaOf is invariant within one
+  // generation. The generation lives in the VALUE, not the key, so a
+  // long-lived streaming driver committing per micro-batch replaces one
+  // entry instead of accumulating a dead entry per generation forever —
+  // the map stays O(tables × probed columns).
   private val colTypeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
-      org.apache.spark.sql.types.DataType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (Long, org.apache.spark.sql.types.DataType)]()
 
   /** The stored type of one column (falls back to `LongType` for an
     * absent/empty table) — [[storedSchemaOf]] memoized per table
@@ -359,10 +370,12 @@ object TableSink {
   def storedColType(spark: SparkSession, dir: String,
                     colName: String): org.apache.spark.sql.types.DataType = {
     val seq = currentSeq(dir).getOrElse(-1L)
-    colTypeCache.computeIfAbsent((Paths.get(dir).toAbsolutePath.normalize.toString, seq, colName),
-      _ => storedSchemaOf(spark, dir)
+    val key = (Paths.get(dir).toAbsolutePath.normalize.toString, colName)
+    colTypeCache.compute(key, (_, cached) =>
+      if (cached != null && cached._1 == seq) cached
+      else (seq, storedSchemaOf(spark, dir)
         .flatMap(_.find(_.name == colName).map(_.dataType))
-        .getOrElse(org.apache.spark.sql.types.LongType))
+        .getOrElse(org.apache.spark.sql.types.LongType)))._2
   }
 
   /** Read ONLY the listed buckets' files — file-level pruning for
@@ -440,15 +453,32 @@ object TableSink {
 
     val dirtyPaths = cur.toSeq.flatMap(m =>
       m.paths.filter { case (b, _) => dirty(b) }.values.map(rel => s"$dir/$rel"))
-    // Upserts pin the batch schema; deletes infer the table's own schema
-    // (the drop-keys frame carries key columns only).
+    // Upserts pin the batch schema; deletes take the table's own MERGED
+    // schema (mixed-generation buckets may differ in width, and a
+    // single-footer inference could pick the narrow one — surviving
+    // rows rewritten through it would silently lose columns).
     val existingDirty =
       if (dirtyPaths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schemaHint.getOrElse(touched.schema))
-      else {
-        val r = spark.read
-        schemaHint.fold(r)(r.schema).parquet(dirtyPaths: _*)
+      else schemaHint match {
+        case Some(sh) =>
+          // A dirty bucket carrying a column the batch schema lacks
+          // would be rewritten WITHOUT it — silent erasure of other
+          // rows' values. Refuse: widen the batch, or overwrite().
+          // (Footer-only pass; the data read below pins the hint.)
+          val onDisk = spark.read.option("mergeSchema", "true")
+            .parquet(dirtyPaths: _*).schema.fieldNames
+          val lost = onDisk.filterNot(sh.fieldNames.contains)
+          require(lost.isEmpty,
+            s"dirty buckets of '$dir' carry column(s) ${lost.mkString(", ")} " +
+              "absent from the upsert batch — rewriting those buckets " +
+              "through the batch schema would erase the values for every " +
+              "co-resident row. Widen the batch to the table schema, or " +
+              "use overwrite() for a deliberate schema change.")
+          spark.read.schema(sh).parquet(dirtyPaths: _*)
+        case None =>
+          spark.read.option("mergeSchema", "true").parquet(dirtyPaths: _*)
       }
 
     // One job writes every dirty bucket: partitionBy splits them into

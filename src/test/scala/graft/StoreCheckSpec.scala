@@ -68,11 +68,12 @@ class StoreCheckSpec extends AnyFunSuite with SparkSpec {
     // in the report, none may throw out of the audit
     Files.writeString(mf,
       Files.readString(mf) +
-        "oops\tdata/zz\n3\tdata/a\textra\n99999999999\tdata/o\n٣\tdata/u\n")
+        "oops\tdata/zz\n3\tdata/a\textra\n99999999999\tdata/o\n٣\tdata/u\n" +
+        "12data-entry-that-lost-its-tab\n")
     val r = StoreCheck.tableSink(spark, dir)
     val f = failures(r)
     assert(f.contains("manifest_lines_parse"), f.toString)
-    assert(f("manifest_lines_parse").contains("4 unparseable"))
+    assert(f("manifest_lines_parse").contains("5 unparseable"))
     // the audit still renders the rest of the report around the damage
     val checks = r.select("check").as[String].collect().toSet
     assert(checks.contains("data_files_present") && checks.contains("writer_lease"))
