@@ -21,6 +21,20 @@ object CurationOps {
   private def toks(c: Column): Column =
     filter(split(lower(trim(c)), graft.functions.text.WhitespaceRun), t => t =!= "")
 
+  /** [[toks]] for the operators outside this file that must share the
+    * exact token stream (the [[EvalStore]] registry: a digest registered
+    * under one tokenization and probed under another silently never
+    * hits). */
+  private[operators] def tokens(c: Column): Column = toks(c)
+
+  /** Distinct word n-gram md5 digests of the token-array column named
+    * `wordsCol` — ONE digest definition shared by [[decontaminate]] and
+    * the standing [[EvalStore]] registry, and mirrored verbatim by their
+    * DuckDB oracles (n-grams travel as md5 hex, never as text). */
+  private[operators] def gramDigests(wordsCol: String, n: Int): Column = expr(
+    s"array_distinct(transform(slice($wordsCol, 1, greatest(size($wordsCol) - ${n - 1}, 0)), " +
+      s"(x, i) -> md5(concat_ws(' ', slice($wordsCol, i + 1, $n)))))")
+
   /**
    * Gopher-style repetition signals per document:
    *  - `dup_line_frac`: fraction of non-empty trimmed lines that repeat
@@ -289,14 +303,11 @@ object CurationOps {
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, n: Int = 8): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    def grams(c: Column): Column = expr(
-      s"array_distinct(transform(slice(__w, 1, greatest(size(__w) - ${n - 1}, 0)), " +
-        s"(x, i) -> md5(concat_ws(' ', slice(__w, i + 1, $n)))))")
     val evalGrams = eval.select(toks(col(textCol)).as("__w"))
-      .select(explode(grams(col("__w"))).as("__g")).distinct()
+      .select(explode(gramDigests("__w", n)).as("__g")).distinct()
       .withColumn("__hit", lit(1))
     train.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__w"))
-      .select(col("doc_id"), posexplode_outer(grams(col("__w"))).as(Seq("__i", "__g")))
+      .select(col("doc_id"), posexplode_outer(gramDigests("__w", n)).as(Seq("__i", "__g")))
       .join(broadcast(evalGrams), Seq("__g"), "left")
       .groupBy("doc_id")
       .agg(count(when(col("__hit").isNotNull, 1)).as("n_overlap"))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{sig, text, vector, VectorMeanFast}
-import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, DomainModel, IvfAnn, LayoutOps, MultimodalOps, PqOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rerank, Rrf, SampleOps, SemDedup, SemDedupStore, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
+import graft.operators.{Bm25, Bm25Store, ClusterRefine, CurationOps, DedupOps, DomainModel, GraphOps, IvfAnn, LayoutOps, MultimodalOps, PqOps, QualityModel, QuantizeOps, Recommend, RecommendML, Rerank, Rrf, SampleOps, SemDedup, SemDedupStore, SimilarityOps, SkewOps, SpanDedup, StoryOps, TemporalOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -140,6 +140,45 @@ private[graft] object QCuration {
           docs.filter(col("doc_id") % 13 =!= 0),
           docs.filter(col("doc_id") % 13 === 0),
           "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    // The STANDING decontamination registry: the eval slice split into
+    // two benchmark suites registered on the additive ledger
+    // (EvalStore) — init + register + a replayed register (must no-op)
+    // + compact — then the training slice probed against the assembled
+    // registry. Overlap counts/flags must equal x_decontaminate's
+    // batch computation over the suite union, with per-suite hit
+    // attribution on top.
+    "x_decontam_store" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val dir = tmpStore("eval_store")
+      val evalSlice = docs.filter(col("doc_id") % 13 === 0)
+      graft.operators.EvalStore.init(s, dir, "suite_a",
+        evalSlice.filter(col("doc_id") % 2 === 0), "text", n = 3)
+      graft.operators.EvalStore.register(s, dir, "suite_b",
+        evalSlice.filter(col("doc_id") % 2 === 1), "text", Some("b"))
+      // Replay of an absorbed name must be a no-op (crash-retry shape).
+      graft.operators.EvalStore.register(s, dir, "suite_b",
+        evalSlice.filter(col("doc_id") % 2 === 1), "text", Some("b"))
+      graft.operators.EvalStore.compact(s, dir)
+      graft.operators.EvalStore.probe(s, dir,
+          docs.filter(col("doc_id") % 13 =!= 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // Registering a NEW benchmark after the corpus was admitted: the
+    // retro pass screens the admitted corpus against ONLY the new
+    // suite's digests (one scan, broadcast probe) and emits the
+    // takedown ids — the Admission.unadmit feed.
+    "x_decontam_retro" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val dir = tmpStore("eval_store_retro")
+      val evalSlice = docs.filter(col("doc_id") % 13 === 0)
+      graft.operators.EvalStore.init(s, dir, "suite_a",
+        evalSlice.filter(col("doc_id") % 2 === 0), "text", n = 3)
+      graft.operators.EvalStore.register(s, dir, "suite_b",
+        evalSlice.filter(col("doc_id") % 2 === 1), "text", Some("b"))
+      graft.operators.EvalStore.retroScan(s, dir,
+          docs.filter(col("doc_id") % 13 =!= 0), "doc_id", "text", "suite_b")
         .orderBy("doc_id")
     }),
     // PII redaction: emails, IPv4s, phone-shaped digit runs — synthetic
@@ -687,6 +726,43 @@ private[graft] object QCuration {
           (col("__acc") >= col("__nmaj") / col("n_docs")).as("beats_majority"),
           col("preds_known"))
     }),
+    // Domain-graph PageRank — the Common-Crawl-style per-domain quality
+    // prior (link farms sink, referenced hubs rise). The link graph is
+    // synthesized deterministically (each doc "cites" the domain its
+    // salted digest selects — both engines derive the identical edge
+    // list), then 3 rounds of FIXED-POINT integer PageRank: every rank
+    // is a scaled long, every division floors, so the result is
+    // bit-identical across partitionings AND in DuckDB — a float
+    // PageRank could never hash-match either.
+    "x_domain_pagerank" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      // Domain index: the domain list is domain-count-sized (tiny next
+      // to the corpus); the single-partition window is the UniMax
+      // n_languages-window idiom. At true web scale this indexing rides
+      // the rankDeal range-exchange instead.
+      val si = docs.select(col("source")).distinct()
+        .withColumn("idx",
+          row_number().over(Window.orderBy("source")).cast("long") - 1)
+        .localCheckpoint(true)
+      val ns = si.agg(count(lit(1)).as("__ns"))
+      // One extra citable target beyond the crawled domains: the
+      // "external.example" sink — cited but never crawled, so it has no
+      // out-edges and keeps the dangling-mass path LIVE in this oracle
+      // (not only in GraphOpsSpec).
+      val targets = si.select(col("source").as("dst"), col("idx"))
+        .unionByName(ns.select(lit("external.example").as("dst"),
+          col("__ns").cast("long").as("idx")))
+      val edges = docs.select(col("source").as("src"), col("doc_id"))
+        .crossJoin(broadcast(ns))
+        .withColumn("__h", sig.md5BucketCol(
+          concat(lit("pr|"), col("doc_id").cast("string")), 1L << 62)
+          % (col("__ns") + 1))
+        .join(broadcast(targets), col("__h") === col("idx"))
+        .select("src", "dst")
+      GraphOps.pageRankFixedPoint(edges, iters = 3)
+        .select(col("node").as("source"), col("rank_fp"))
+        .orderBy("source")
+    }),
   )
 
   /** The x_data_card replay, shared VERBATIM by the one-pass query and
@@ -900,6 +976,47 @@ private[graft] object QCuration {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS probs_ok,
         |  true AS beats_majority, true AS preds_known
         |FROM documents""".stripMargin,
+    // Fixed-point PageRank replay: the identical digest-derived edge
+    // list, then the three integer-arithmetic rounds written out —
+    // every // is the same floor division the engine runs, so the
+    // longs match bit for bit.
+    "x_domain_pagerank" ->
+      """WITH si AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+        |            FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT count(*) AS c FROM si),
+        |tg AS (SELECT source AS dst, idx FROM si
+        |       UNION ALL SELECT 'external.example', c FROM ns),
+        |e AS (SELECT d.source AS src, tg.dst
+        |      FROM documents d, ns, tg
+        |      WHERE tg.idx = md5_number_lower('pr|' || CAST(d.doc_id AS VARCHAR))
+        |                     % 4611686018427387904 % (ns.c + 1)),
+        |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |n2 AS (SELECT count(*) AS c FROM nodes),
+        |r0 AS (SELECT node, 1000000000 // n2.c AS rank FROM nodes, n2),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank // od.od) AS s
+        |       FROM e JOIN r0 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |d1 AS (SELECT coalesce(sum(r.rank), 0) AS dang
+        |       FROM r0 r LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL),
+        |r1 AS (SELECT n.node, (150000000 // n2.c) + (85 * coalesce(c.s, 0)) // 100
+        |         + (85 * (d1.dang // n2.c)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON c.node = n.node, n2, d1),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank // od.od) AS s
+        |       FROM e JOIN r1 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |d2 AS (SELECT coalesce(sum(r.rank), 0) AS dang
+        |       FROM r1 r LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL),
+        |r2 AS (SELECT n.node, (150000000 // n2.c) + (85 * coalesce(c.s, 0)) // 100
+        |         + (85 * (d2.dang // n2.c)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON c.node = n.node, n2, d2),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank // od.od) AS s
+        |       FROM e JOIN r2 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |d3 AS (SELECT coalesce(sum(r.rank), 0) AS dang
+        |       FROM r2 r LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL),
+        |r3 AS (SELECT n.node, (150000000 // n2.c) + (85 * coalesce(c.s, 0)) // 100
+        |         + (85 * (d3.dang // n2.c)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN c3 c ON c.node = n.node, n2, d3)
+        |SELECT node AS source, CAST(rank AS BIGINT) AS rank_fp
+        |FROM r3 ORDER BY source""".stripMargin,
     // Gopher repetition rules: line structure synthesized identically,
     // then duplicate-line fraction + modal-bigram coverage.
     "x_repetition" ->
@@ -968,6 +1085,46 @@ private[graft] object QCuration {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) tb
         |LEFT JOIN c ON c.doc_id = tb.doc_id
         |ORDER BY tb.doc_id""".stripMargin,
+    // Standing registry probe: the two suites' distinct 3-gram digests
+    // (per-suite), every training doc's distinct-gram overlap vs the
+    // union plus the sorted hit-suite list.
+    "x_decontam_store" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_distinct(list_transform(generate_series(1, greatest(len(wds) - 2, 0)),
+        |          i -> md5(array_to_string(wds[i:i+2], ' ')))) gs
+        |      FROM w),
+        |ev AS (SELECT 'suite_a' AS suite, unnest(gs) g FROM g
+        |         WHERE doc_id % 13 = 0 AND doc_id % 2 = 0
+        |       UNION
+        |       SELECT 'suite_b', unnest(gs) FROM g
+        |         WHERE doc_id % 13 = 0 AND doc_id % 2 = 1),
+        |tr AS (SELECT doc_id, unnest(gs) g FROM g WHERE doc_id % 13 <> 0),
+        |c AS (SELECT t.doc_id,
+        |        count(DISTINCT CASE WHEN ev.suite IS NOT NULL THEN t.g END) n,
+        |        string_agg(DISTINCT ev.suite, ',' ORDER BY ev.suite) hs
+        |      FROM tr t LEFT JOIN ev ON ev.g = t.g GROUP BY 1)
+        |SELECT tb.doc_id, coalesce(c.n, 0) AS n_overlap,
+        |  coalesce(c.n, 0) > 0 AS contaminated,
+        |  coalesce(c.hs, '') AS hit_suites
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) tb
+        |LEFT JOIN c ON c.doc_id = tb.doc_id
+        |ORDER BY tb.doc_id""".stripMargin,
+    // Retro pass: the training corpus vs ONLY suite_b's digests,
+    // contaminated rows only.
+    "x_decontam_retro" ->
+      s"""WITH w AS (SELECT doc_id, $words wds FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_distinct(list_transform(generate_series(1, greatest(len(wds) - 2, 0)),
+        |          i -> md5(array_to_string(wds[i:i+2], ' ')))) gs
+        |      FROM w),
+        |ev AS (SELECT DISTINCT unnest(gs) g FROM g
+        |       WHERE doc_id % 13 = 0 AND doc_id % 2 = 1),
+        |tr AS (SELECT doc_id, unnest(gs) g FROM g WHERE doc_id % 13 <> 0),
+        |c AS (SELECT t.doc_id, count(ev.g) n
+        |      FROM tr t LEFT JOIN ev ON ev.g = t.g GROUP BY 1)
+        |SELECT doc_id, n AS n_overlap FROM c WHERE n > 0
+        |ORDER BY doc_id""".stripMargin,
     // PII redaction replay: same synthetic PII, same RE2-safe patterns,
     // same replacement order (emails → IPs → spaced phones → contiguous
     // phones). DuckDB backreferences are \1-style where Spark's are $1.
