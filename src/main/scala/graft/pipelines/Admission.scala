@@ -46,10 +46,32 @@ object Admission {
     * weak labels, pass `QualityModel.scoreCol(_, w, b, dim)` here, and
     * the classifier's probability gates the funnel while language id,
     * Gopher structure rules, and the PII check stay in force. `sem`
-    * switches on the OPTIONAL fourth stage ([[SemStage]]). */
+    * switches on the OPTIONAL fourth stage ([[SemStage]]); `decon`
+    * the optional eval-contamination screen ([[DeconStage]]). */
   case class Config(spanK: Int = 8, minDocs: Int = 2, minQuality: Double = 0.5,
                     scoreFn: Option[Column => Column] = None,
-                    sem: Option[SemStage] = None)
+                    sem: Option[SemStage] = None,
+                    decon: Option[DeconStage] = None)
+
+  /**
+   * The eval-decontamination stage — an OPTIONAL stage between curation
+   * and the dup probes: curation survivors probe the standing
+   * [[graft.operators.EvalStore]] registry (n-gram digest overlap with
+   * any registered benchmark suite, broadcast — the cheapest probe in
+   * the funnel after the per-row rules, which is why it runs before the
+   * store-reading dup stages). Hits → verdict `contaminated`, excluded
+   * from the dup probes, the span scrub, and every absorb — benchmark
+   * text must never enter the corpus OR its standing indexes.
+   *
+   * The registry lives OUTSIDE the admission store (one registry
+   * screens every corpus; suites register/retire on their own ledger),
+   * so this stage is read-only here: no absorb coupling, no namespace
+   * interaction, snapshot/restore of the admission store unaffected.
+   * `tag` pins a registry snapshot ("the benchmark set this corpus was
+   * screened against"). Full precedence: rejected > contaminated >
+   * duplicate > semantic_duplicate > admitted.
+   */
+  case class DeconStage(registryDir: String, tag: Option[String] = None)
 
   /**
    * The semantic near-dup stage — stage 4 of the funnel, the SemDeDup
@@ -126,21 +148,26 @@ object Admission {
       .select(col(idCol), col(textCol), col("admit")).localCheckpoint(true)
   }
 
-  /** Shared verdict assembly: curation rejection beats exact duplication
-    * beats semantic duplication (each stage guards the costlier ones);
-    * scrubbed survivors admit. `semDup` is the optional stage-4 verdict
-    * set — (idCol, __semdup) rows for the semantically-dropped ids. */
+  /** Shared verdict assembly: curation rejection beats contamination
+    * beats exact duplication beats semantic duplication (each stage
+    * guards the costlier ones); scrubbed survivors admit. `semDup` /
+    * `contam` are the optional stages' verdict sets — (idCol, flag)
+    * rows for the dropped ids. */
   private def verdicts(batch: DataFrame, cur: DataFrame, novel: DataFrame,
                        semDup: Option[DataFrame], scrubbed: DataFrame,
-                       idCol: String): DataFrame = {
-    val base = batch.select(col(idCol))
+                       idCol: String,
+                       contam: Option[DataFrame] = None): DataFrame = {
+    val base0 = batch.select(col(idCol))
       .join(cur.select(col(idCol), col("admit")), idCol)
+    val base = contam.fold(base0.withColumn("__contam", lit(null).cast("int")))(
+        d => base0.join(d, Seq(idCol), "left"))
       .join(novel, Seq(idCol), "left")
     semDup.fold(base.withColumn("__semdup", lit(null).cast("int")))(d =>
         base.join(d, Seq(idCol), "left"))
       .join(scrubbed, Seq(idCol), "left")
       .select(col(idCol),
         when(!col("admit"), lit("rejected"))
+          .when(col("__contam").isNotNull, lit("contaminated"))
           .when(col("__new").isNull, lit("duplicate"))
           .when(col("__semdup").isNotNull, lit("semantic_duplicate"))
           .otherwise(lit("admitted")).as("verdict"),
@@ -155,10 +182,26 @@ object Admission {
    * is counted over corpus ∪ curation-survivors, so batch-internal
    * boilerplate is caught too. One row per batch document.
    */
+  /** The optional contamination probe over the curation survivors:
+    * (survivors minus hits, the contaminated-id frame). ONE shape for
+    * both the in-memory and standing forms — the stage reads a standing
+    * registry either way (that is its lifecycle; see [[DeconStage]]). */
+  private def deconProbe(admitted: DataFrame, idCol: String, textCol: String,
+                         cfg: Config): (DataFrame, Option[DataFrame]) =
+    cfg.decon.fold((admitted, Option.empty[DataFrame])) { st =>
+      val hits = graft.operators.EvalStore.probe(admitted.sparkSession,
+          st.registryDir, admitted, idCol, textCol, st.tag)
+        .filter(col("contaminated"))
+        .select(col("doc_id").as(idCol), lit(1).as("__contam"))
+        .localCheckpoint(true)
+      (admitted.join(hits.select(idCol), Seq(idCol), "left_anti"), Some(hits))
+    }
+
   def runAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
                  textCol: String, cfg: Config = Config()): DataFrame = {
     val cur = curationFunnel(batch, idCol, textCol, cfg)
-    val admitted = cur.filter(col("admit")).select(col(idCol), col(textCol))
+    val admitted0 = cur.filter(col("admit")).select(col(idCol), col(textCol))
+    val (admitted, contam) = deconProbe(admitted0, idCol, textCol, cfg)
     val novel = DedupOps.incrementalNewDocs(admitted, corpus, textCol)
       .select(col(idCol), lit(true).as("__new")).localCheckpoint(true)
     val surv = admitted.join(novel.select(idCol), idCol)
@@ -187,7 +230,7 @@ object Admission {
       .localCheckpoint(true)
     val scrubbed = SpanDedup.scrubAgainstIndex(survScrub, idx, idCol, textCol,
       cfg.spanK, cfg.minDocs)
-    verdicts(batch, cur, novel, semDup, scrubbed, idCol)
+    verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam)
   }
 
   // ───────────────────────── standing-state form ─────────────────────────
@@ -340,7 +383,8 @@ object Admission {
                               batch: DataFrame, idCol: String, textCol: String,
                               cfg: Config): DataFrame = {
     val cur = curationFunnel(batch, idCol, textCol, cfg)
-    val admitted = cur.filter(col("admit")).select(col(idCol), col(textCol))
+    val admitted0 = cur.filter(col("admit")).select(col(idCol), col(textCol))
+    val (admitted, contam) = deconProbe(admitted0, idCol, textCol, cfg)
     val inFp = admitted.withColumn("__fp", text.fingerprint(col(textCol)))
       .localCheckpoint(true)
     val probeFps = inFp.select(col("__fp")).filter(col("__fp").isNotNull).distinct()
@@ -366,7 +410,8 @@ object Admission {
     val idx = readSpanIndex(spark, storeDir)
     val scrubbed = SpanDedup.scrubAgainstIndex(survScrub, idx, idCol, textCol,
       cfg.spanK, cfg.minDocs)
-    verdicts(batch, cur, novel, semDup, scrubbed, idCol).localCheckpoint(true)
+    verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam)
+      .localCheckpoint(true)
   }
 
   // Replay/compaction/crash-window mechanics live in

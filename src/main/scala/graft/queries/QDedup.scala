@@ -167,6 +167,27 @@ private[graft] object QDedup {
             centroids = Some(cents)))))
         .orderBy("doc_id")
     }),
+    // Admission with the OPTIONAL contamination screen on — the
+    // benchmark slice (doc_id % 13 = 0) registered as one suite in a
+    // standing EvalStore (5-gram digests), probed by the curation
+    // survivors BEFORE the dup stages (a broadcast digest probe is the
+    // cheapest standing check in the funnel). Hits → verdict
+    // 'contaminated', excluded from the exact-dup probe, the span
+    // scrub, and every absorb — benchmark text must never enter the
+    // corpus or its indexes. Precedence: rejected > contaminated >
+    // duplicate > admitted.
+    "pipe_admission_decon_e2e" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val dir = tmpStore("admission_decon_registry")
+      graft.operators.EvalStore.init(s, dir, "bench_v1",
+        docs.filter(col("doc_id") % 13 === 0), "text", n = 5)
+      graft.pipelines.Admission.runAgainst(batch, corpus, "doc_id", "text",
+        graft.pipelines.Admission.Config(decon = Some(
+          graft.pipelines.Admission.DeconStage(dir))))
+        .orderBy("doc_id")
+    }),
     // Chunk-level dedup payoff of CDC: shared paragraphs meet on their
     // chunk digest regardless of byte offset.
     "x_cdc_dedup" -> ((s, d) => {
@@ -945,6 +966,87 @@ private[graft] object QDedup {
          |  CASE WHEN NOT cur.admit THEN 'rejected'
          |       WHEN cur.doc_id NOT IN (SELECT doc_id FROM novel) THEN 'duplicate'
          |       WHEN cur.doc_id IN (SELECT doc_id FROM semdrop) THEN 'semantic_duplicate'
+         |       ELSE 'admitted' END AS verdict,
+         |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM cur LEFT JOIN agg a USING (doc_id)
+         |ORDER BY cur.doc_id""".stripMargin,
+    // Admission with the contamination screen: pipe_admission_e2e's
+    // funnel, plus the 5-gram digest probe of the curation survivors
+    // against the benchmark slice (doc_id % 13 = 0) — hits leave the
+    // dup probe, the span scrub, and the output as 'contaminated'.
+    "pipe_admission_decon_e2e" ->
+      s"""WITH w AS (SELECT doc_id, text, $words wds FROM documents WHERE doc_id % 5 = 0),
+         |lg AS (SELECT doc_id,
+         |  len(list_filter(wds, t -> t IN ('the','and','of','is','a'))) s_en,
+         |  len(list_filter(wds, t -> t IN ('der','die','und','ist','das'))) s_de,
+         |  len(list_filter(wds, t -> t IN ('el','los','y','es','una'))) s_es,
+         |  len(list_filter(wds, t -> t IN ('le','la','et','est','une'))) s_fr FROM w),
+         |lang AS (SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |  ELSE 'fr' END AS lang_pred FROM lg),
+         |qm AS (SELECT doc_id, len(wds) nt,
+         |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
+         |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
+         |q AS (SELECT doc_id, round(
+         |  least(nt / 50.0, 1.0) * 0.5 +
+         |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
+         |  FROM qm),
+         |pii AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+         |       len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) n_pii
+         |  FROM w),
+         |${gopherCtes("w")},
+         |g AS (SELECT gst.doc_id, $gopherKeepSql AS gopher_keep
+         |  FROM gst LEFT JOIN gp USING (doc_id)),
+         |cur AS (SELECT w.doc_id, (lang.lang_pred <> 'und' AND q.quality >= 0.5
+         |          AND g.gopher_keep AND pii.n_pii = 0) AS admit
+         |  FROM w JOIN lang USING (doc_id) JOIN q USING (doc_id)
+         |  JOIN pii USING (doc_id) JOIN g USING (doc_id)),
+         |cg AS (SELECT doc_id, list_distinct(list_transform(
+         |          generate_series(1, greatest(len(wds2) - 4, 0)),
+         |          i -> md5(array_to_string(wds2[i:i+4], ' ')))) gs
+         |       FROM (SELECT doc_id, $words wds2 FROM documents)),
+         |evg AS (SELECT DISTINCT unnest(gs) g FROM cg WHERE doc_id % 13 = 0),
+         |contam AS (SELECT DISTINCT t.doc_id
+         |  FROM (SELECT doc_id, unnest(gs) g FROM cg WHERE doc_id % 5 = 0) t
+         |  JOIN evg USING (g)
+         |  JOIN cur ON cur.doc_id = t.doc_id AND cur.admit),
+         |novel AS (SELECT c1.doc_id FROM cur c1 JOIN documents i USING (doc_id)
+         |  WHERE c1.admit AND c1.doc_id NOT IN (SELECT doc_id FROM contam)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0
+         |    AND md5(lower(trim(c.text))) = md5(lower(trim(i.text))))),
+         |toksall AS (SELECT doc_id, $words t FROM documents
+         |  WHERE doc_id % 5 <> 0 OR doc_id IN (SELECT doc_id FROM novel)),
+         |win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+         |        FROM (SELECT doc_id, t,
+         |                unnest(generate_series(1, len(t) - 7)) AS i FROM toksall)),
+         |dup AS (SELECT span FROM win GROUP BY 1
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |cover AS (SELECT DISTINCT w2.doc_id, u.pos
+         |          FROM win w2 JOIN dup USING (span),
+         |               unnest(generate_series(w2.i, w2.i + 7)) AS u(pos)
+         |          WHERE w2.doc_id IN (SELECT doc_id FROM novel)),
+         |tok_pos AS (SELECT doc_id, i AS pos, t[i] AS tok
+         |            FROM (SELECT doc_id, t,
+         |                    unnest(generate_series(1, len(t))) AS i FROM toksall)
+         |            WHERE doc_id IN (SELECT doc_id FROM novel)),
+         |agg AS (SELECT tp.doc_id, count(*) AS n_tokens,
+         |          count(c.pos) AS n_removed,
+         |          coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+         |            ' ' ORDER BY tp.pos), '') AS clean_text
+         |        FROM tok_pos tp LEFT JOIN cover c
+         |          ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+         |        GROUP BY 1)
+         |SELECT cur.doc_id,
+         |  CASE WHEN NOT cur.admit THEN 'rejected'
+         |       WHEN cur.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+         |       WHEN cur.doc_id NOT IN (SELECT doc_id FROM novel) THEN 'duplicate'
          |       ELSE 'admitted' END AS verdict,
          |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
          |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,

@@ -455,6 +455,43 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
       s"post-refit verdicts: $got")
   }
 
+  test("contamination stage: precedence, no absorb of benchmark text, run == runAgainst") {
+    import graft.operators.EvalStore
+    val corpus = df(Seq(101L -> goodText('r')))
+    // The benchmark registry holds copies of the 'c' and 'r' texts.
+    // n = 12: the shared 11-token goodText intro alone can never form a
+    // full 12-gram, so only same-seed texts overlap.
+    val bench = df(Seq(900L -> goodText('c'), 901L -> goodText('r')))
+    val registry = java.nio.file.Files.createTempDirectory("adm-registry").toString + "/r"
+    EvalStore.init(spark, registry, "suite_v1", bench, "text", n = 12)
+    val cfg = Admission.Config(decon = Some(Admission.DeconStage(registry)))
+
+    val b1 = df(Seq(
+      1L -> goodText('c'),   // novel but in-benchmark → contaminated
+      2L -> goodText('r'),   // exact corpus copy AND in-benchmark → contaminated beats duplicate
+      3L -> "zz",            // fails curation → rejected (beats contaminated)
+      4L -> goodText('x')))  // clean → admitted
+    val store = java.nio.file.Files.createTempDirectory("admission-decon").toString
+    Admission.init(spark, store, corpus, "doc_id", "text", cfg)
+    val got = collectVerdicts(Admission.run(spark, store, b1, "doc_id", "text", cfg))
+    val want = collectVerdicts(Admission.runAgainst(b1, corpus, "doc_id", "text", cfg))
+    assert(got == want, s"decon diverged:\n store=$got\n ref  =$want")
+    assert(got(1L)._1 == "contaminated" && got(2L)._1 == "contaminated" &&
+      got(3L)._1 == "rejected" && got(4L)._1 == "admitted", s"verdicts: $got")
+
+    // Benchmark text must never absorb: retire the suite (screen off) and
+    // resubmit — if doc 1's text had entered the stores it would now read
+    // 'duplicate'; it must admit. Doc 2's text was in the corpus at init,
+    // so IT stays duplicate — the store remembers the corpus, not the
+    // contaminated submission.
+    EvalStore.deregister(spark, registry, "suite_v1", bench, "text")
+    val b2 = df(Seq(21L -> goodText('c'), 22L -> goodText('r')))
+    val got2 = collectVerdicts(Admission.run(spark, store, b2, "doc_id", "text", cfg))
+    assert(got2(21L)._1 == "admitted",
+      s"contaminated text must not have been absorbed: ${got2(21L)}")
+    assert(got2(22L)._1 == "duplicate", s"corpus copy must stay duplicate: ${got2(22L)}")
+  }
+
   test("null-text rows are definitely-new (anti-join null semantics), both forms") {
     val corpus = df(Seq(201L -> goodText('v')))
     val batch = Seq((31L, goodText('w')), (32L, null.asInstanceOf[String]))
