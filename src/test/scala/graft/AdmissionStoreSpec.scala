@@ -492,6 +492,39 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(got2(22L)._1 == "duplicate", s"corpus copy must stay duplicate: ${got2(22L)}")
   }
 
+  test("retroScan -> unadmit: a benchmark registered AFTER ingest takes its data back out") {
+    import graft.operators.EvalStore
+    val corpus = df(Seq(101L -> goodText('r')))
+    val store = java.nio.file.Files.createTempDirectory("admission-retro").toString
+    Admission.init(spark, store, corpus, "doc_id", "text")
+    // Batch lands BEFORE the benchmark exists — admits cleanly.
+    val b1 = df(Seq(1L -> goodText('c')))
+    assert(collectVerdicts(Admission.run(spark, store, b1, "doc_id", "text"))(1L)._1
+      === "admitted")
+
+    // The benchmark suite arrives later, containing the admitted text.
+    val registry = java.nio.file.Files.createTempDirectory("adm-retro-reg").toString + "/r"
+    EvalStore.init(spark, registry, "late_bench", df(Seq(900L -> goodText('c'))),
+      "text", n = 12)
+    // Retro pass over the caller's corpus (base ∪ admitted) finds it...
+    val hit = EvalStore.retroScan(spark, registry, corpus.unionByName(b1),
+        "doc_id", "text", "late_bench")
+      .collect().map(_.getLong(0)).toSet
+    assert(hit === Set(1L), s"retroScan must flag exactly the admitted doc: $hit")
+    // ...and the takedown inverse removes it from every standing index.
+    Admission.unadmit(spark, store, b1.filter(col("doc_id").isin(hit.toSeq: _*)),
+      "doc_id", "text")
+
+    // Proof of removal: with the screen ON the text is contaminated (the
+    // registry holds it); with the screen OFF it ADMITS — were it still
+    // in the fingerprint store it would read 'duplicate'.
+    val cfg = Admission.Config(decon = Some(Admission.DeconStage(registry)))
+    assert(collectVerdicts(Admission.run(spark, store,
+      df(Seq(31L -> goodText('c'))), "doc_id", "text", cfg))(31L)._1 === "contaminated")
+    assert(collectVerdicts(Admission.run(spark, store,
+      df(Seq(32L -> goodText('c'))), "doc_id", "text"))(32L)._1 === "admitted")
+  }
+
   test("null-text rows are definitely-new (anti-join null semantics), both forms") {
     val corpus = df(Seq(201L -> goodText('v')))
     val batch = Seq((31L, goodText('w')), (32L, null.asInstanceOf[String]))

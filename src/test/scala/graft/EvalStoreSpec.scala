@@ -109,6 +109,17 @@ class EvalStoreSpec extends AnyFunSuite with SparkSpec {
       reference(suiteA.union(suiteB)))
   }
 
+  test("probe plan broadcasts the registry — no shuffle of the batch gram stream") {
+    val dir = tmp()
+    EvalStore.init(spark, dir, "suite_a", suiteA, "text", n = 3)
+    val plan = EvalStore.probe(spark, dir, corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"registry probe must be a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge join here shuffles the corpus-sized gram stream:\n$plan")
+  }
+
   test("init refuses a used dir; fsck is green on a healthy store") {
     val dir = tmp()
     EvalStore.init(spark, dir, "suite_a", suiteA, "text", n = 3)
