@@ -155,12 +155,21 @@ object EvalStore {
     * the new suite alone, never the whole registry re-joined). Emits
     * the takedown id list for Admission.unadmit / downstream removal. */
   def retroScan(spark: SparkSession, dir: String, corpus: DataFrame,
-                idCol: String, textCol: String, suiteName: String): DataFrame =
-    probeAgainst(corpus, idCol, textCol, gramSize(dir),
-        registry(spark, dir).filter(col("suite") === suiteName)
-          .select(col("suite"), col("g")))
+                idCol: String, textCol: String, suiteName: String): DataFrame = {
+    val reg = registry(spark, dir).filter(col("suite") === suiteName)
+      .select(col("suite"), col("g")).localCheckpoint(true)
+    // A compliance pass must refuse a typo loudly: an unknown suite
+    // would silently report "no contamination" for the whole corpus.
+    // (A registered-but-digestless suite is indistinguishable from
+    // unregistered in the additive relation — equally refused; its
+    // retro answer would be the same empty set either way.)
+    require(!reg.isEmpty,
+      s"suite '$suiteName' has no digests in the registry at '$dir' — " +
+        "registered suites are listed in registry().select('suite')")
+    probeAgainst(corpus, idCol, textCol, gramSize(dir), reg)
       .filter(col("contaminated"))
       .select(col("doc_id"), col("n_overlap"))
+  }
 
   /** Fold the live parts to one generation (exact integer sums,
     * net-zero digests gone physically). */

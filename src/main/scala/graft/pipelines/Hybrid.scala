@@ -153,6 +153,36 @@ object Hybrid {
     graft.sources.DeltaParts.rmDir(cellsSnapDir(storeDir, tag))
   }
 
+  /** Roll the LIVE retrieval state back to a [[snapshot]] tag — the
+    * lexical parts-list ([[Bm25Store.restore]]), the ANN generation
+    * ([[TableSink.restore]]), and, through the restored generation's
+    * own manifest pointer, the centroids it was assigned under (old
+    * centroid dirs are never deleted, so the pointer always resolves —
+    * see [[rebuild]]). Composite pre-check before EITHER leg mutates
+    * (the [[Admission.restore]] discipline): a half-restorable hybrid
+    * must refuse up front, or it serves lexical hits from one era and
+    * vectors from another. A crash mid-restore re-runs to completion —
+    * both pre-checks still hold and each leg's restore is idempotent
+    * (part names and generations stay write-once across restores). The
+    * id→cell sidecar drops BEFORE the generation flip and backfills
+    * after (the [[graft.operators.SemDedupStore.restore]] ordering: at
+    * every crash point the surviving sidecar matches the live layout,
+    * or is absent and the re-home path falls back to the full scan). */
+  def restore(spark: SparkSession, storeDir: String, tag: String): Unit =
+      graft.sources.WriterLease.withLease(storeDir, "hybrid-restore") {
+    val annD = annDir(storeDir)
+    require(TableSink.listSnapshots(annD).contains(tag),
+      s"snapshot tag '$tag' missing on the ANN leg at '$annD' — " +
+        "refusing a half-restorable composite")
+    require(graft.sources.DeltaParts.snapshots(bm25Dir(storeDir)).contains(tag),
+      s"snapshot tag '$tag' missing on the BM25 leg at '${bm25Dir(storeDir)}' — " +
+        "refusing a half-restorable composite")
+    Bm25Store.restore(bm25Dir(storeDir), tag)
+    graft.sources.IdLayoutSidecar.drop(annD)
+    TableSink.restore(annD, tag)
+    graft.sources.IdLayoutSidecar.backfill(spark, annD)
+  }
+
   /** O(batch) ANN-side refresh: assign new vectors to the EXISTING
     * cells and upsert — only the touched cells' buckets rewrite (the
     * [[IvfAnn.appendToIndex]] contract, float store). The BM25 twin is

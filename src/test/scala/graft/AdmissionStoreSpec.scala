@@ -492,6 +492,37 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(got2(22L)._1 == "duplicate", s"corpus copy must stay duplicate: ${got2(22L)}")
   }
 
+  test("streaming ingest screens contamination (decon cfg rides foreachBatch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.EvalStore
+    implicit val sq = spark.sqlContext
+    val corpus = df(Seq(301L -> goodText('r')))
+    val store = java.nio.file.Files.createTempDirectory("admission-dstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("admission-dstream-ckpt").toString
+    val registry = java.nio.file.Files.createTempDirectory("adm-dstream-reg").toString + "/r"
+    EvalStore.init(spark, registry, "suite", df(Seq(900L -> goodText('c'))),
+      "text", n = 12)
+    val cfg = Admission.Config(decon = Some(Admission.DeconStage(registry)))
+    Admission.init(spark, store, corpus, "doc_id", "text", cfg)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Admission.stream(spark, store,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L), cfg)
+    mem.addData(41L -> goodText('c'), 42L -> goodText('w'))
+    q.processAllAvailable()
+    mem.addData(51L -> goodText('c')) // resubmitted benchmark text
+    q.processAllAvailable()
+    q.stop()
+
+    val v0 = collectVerdicts(spark.read.parquet(s"$store/verdicts/batch_0"))
+    assert(v0(41L)._1 == "contaminated" && v0(42L)._1 == "admitted", s"epoch 0: $v0")
+    // Still contaminated in epoch 1 — and NOT 'duplicate', which would
+    // mean epoch 0 had absorbed the benchmark text.
+    val v1 = collectVerdicts(spark.read.parquet(s"$store/verdicts/batch_1"))
+    assert(v1(51L)._1 == "contaminated", s"epoch 1: $v1")
+  }
+
   test("retroScan -> unadmit: a benchmark registered AFTER ingest takes its data back out") {
     import graft.operators.EvalStore
     val corpus = df(Seq(101L -> goodText('r')))

@@ -95,6 +95,10 @@ class EvalStoreSpec extends AnyFunSuite with SparkSpec {
     val expect = reference(suiteB).collect { case (id, (n, true)) => id -> n }
     assert(retro === expect)
     assert(retro.contains(2L) && !retro.contains(3L))
+    // a typo'd suite must refuse, not report "no contamination"
+    val e = intercept[IllegalArgumentException](
+      EvalStore.retroScan(spark, dir, corpus, "doc_id", "text", "suite_nope"))
+    assert(e.getMessage.contains("no digests"))
   }
 
   test("snapshot tag replays the tagged registry across later mutations") {

@@ -104,6 +104,35 @@ class HybridSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](run(Some("run-7")))
   }
 
+  test("restore rolls the LIVE state back to a tag: both legs + centroids via the manifest pointer") {
+    import graft.operators.Bm25Store
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_restore").toString
+    val oldDocs = docs.filter(col("doc_id") =!= 0L)
+    Hybrid.init(spark, dir, oldDocs, "doc_id", "text",
+      emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding", nlist = 8)
+    def live() = fused(Hybrid.search(spark, dir, queries,
+      "qid", "qtext", "qvec", k = 10, kPerRun = 20, nprobe = 8, maxDfFrac = 1.0))
+    val before = live()
+    Hybrid.snapshot(spark, dir, "v1")
+    // A missing tag refuses BEFORE either leg mutates.
+    val e = intercept[IllegalArgumentException](Hybrid.restore(spark, dir, "vX"))
+    assert(e.getMessage.contains("half-restorable"), e.getMessage)
+    // Mutate both legs, then roll back.
+    Bm25Store.append(spark, s"$dir/bm25",
+      docs.filter(col("doc_id") === 0L), "doc_id", "text")
+    Bm25Store.compact(spark, s"$dir/bm25")
+    Hybrid.appendVectors(spark, dir,
+      emb.filter(col("vec_id") === 0L), "vec_id", "embedding", version = 1L)
+    assert(live() != before, "live search must see the appended doc")
+    Hybrid.restore(spark, dir, "v1")
+    assert(live() == before,
+      "restored live search must equal the pre-mutation results byte-identically")
+    // The store stays mutable after time travel: the append re-applies.
+    Hybrid.appendVectors(spark, dir,
+      emb.filter(col("vec_id") === 0L), "vec_id", "embedding", version = 2L)
+    assert(live() != before, "post-restore appends must land")
+  }
+
   test("appendVectors re-homes a re-added id whose updated vector changes cell (no stale duplicate)") {
     import graft.sources.TableSink
     val dir = java.nio.file.Files.createTempDirectory("hybrid_rehome").toString
