@@ -295,6 +295,12 @@ object MediaStore {
       }
     }
 
+  /** Is `tag` fully pinned on both relations? (the composite-restore
+    * pre-check — [[graft.pipelines.Release]]). */
+  def snapshotPinned(dir: String, tag: String): Boolean =
+    Seq(shaDir(dir), phDir(dir)).forall(d =>
+      TableSink.listSnapshots(d).contains(tag))
+
   /** Release a [[snapshot]] tag on both relations. */
   def dropSnapshot(dir: String, tag: String): Unit =
     graft.sources.WriterLease.withLease(dir, "mediastore-drop-snapshot") {

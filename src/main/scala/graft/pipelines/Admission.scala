@@ -282,6 +282,15 @@ object Admission {
   }
 
   /** Release a [[snapshot]] tag on every store. */
+  /** Is `tag` fully pinned across EVERY half of this store? The
+    * composite-restore pre-check ([[Release]] / callers): a tag missing
+    * on any half means a restore would tear the funnel. */
+  def snapshotPinned(storeDir: String, tag: String): Boolean =
+    graft.sources.DeltaParts.snapshots(spanDir(storeDir)).contains(tag) &&
+      TableSink.listSnapshots(fpDir(storeDir)).contains(tag) &&
+      (!graft.operators.SemDedupStore.exists(semDir(storeDir)) ||
+        graft.operators.SemDedupStore.snapshotPinned(semDir(storeDir), tag))
+
   def dropSnapshot(storeDir: String, tag: String): Unit =
       graft.sources.WriterLease.withLease(storeDir, "admission-drop-snapshot") {
     graft.sources.DeltaParts.dropSnapshot(spanDir(storeDir), tag)

@@ -145,6 +145,14 @@ object Hybrid {
       readCells(spark, storeDir).write.parquet(cdir.toString)
   }
 
+  /** Is `tag` fully pinned across all three pieces? The composite
+    * pre-check [[restore]] and [[Release]] gate on. */
+  def snapshotPinned(storeDir: String, tag: String): Boolean =
+    graft.sources.DeltaParts.snapshots(bm25Dir(storeDir)).contains(tag) &&
+      TableSink.listSnapshots(annDir(storeDir)).contains(tag) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(
+        cellsSnapDir(storeDir, tag), "_SUCCESS"))
+
   /** Release a [[snapshot]] tag on all three pieces. */
   def dropSnapshot(spark: SparkSession, storeDir: String, tag: String): Unit =
       graft.sources.WriterLease.withLease(storeDir, "hybrid-drop-snapshot") {
@@ -171,12 +179,9 @@ object Hybrid {
   def restore(spark: SparkSession, storeDir: String, tag: String): Unit =
       graft.sources.WriterLease.withLease(storeDir, "hybrid-restore") {
     val annD = annDir(storeDir)
-    require(TableSink.listSnapshots(annD).contains(tag),
-      s"snapshot tag '$tag' missing on the ANN leg at '$annD' — " +
-        "refusing a half-restorable composite")
-    require(graft.sources.DeltaParts.snapshots(bm25Dir(storeDir)).contains(tag),
-      s"snapshot tag '$tag' missing on the BM25 leg at '${bm25Dir(storeDir)}' — " +
-        "refusing a half-restorable composite")
+    require(snapshotPinned(storeDir, tag),
+      s"snapshot tag '$tag' is not fully pinned across the hybrid store " +
+        s"at '$storeDir' — refusing a half-restorable composite")
     Bm25Store.restore(bm25Dir(storeDir), tag)
     graft.sources.IdLayoutSidecar.drop(annD)
     TableSink.restore(annD, tag)

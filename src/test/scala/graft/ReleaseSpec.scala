@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EvalStore, LmStore}
+import graft.pipelines.Release
+import graft.sources.TableSink
+
+/** Cross-store release manifest: one tag pins a whole constellation.
+  *  - freeze → mutate everything → restore: every member returns to its
+  *    frozen state;
+  *  - the manifest is the commit point (freeze refuses a recorded tag);
+  *  - restore refuses a half-restorable release BEFORE anything mutates;
+  *  - drop releases every member pin, manifest deleted last;
+  *  - verify reports per-member pin health. */
+class ReleaseSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val c0 = docsOf(1L -> "the cat sat on the mat", 2L -> "a dog barks at the cat")
+  private val b1 = docsOf(3L -> "the cat runs very fast today")
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def lmState(dir: String): (Set[String], Long) = {
+    val (u, b) = LmStore.readModels(spark, dir)
+    (u.collect().map(_.getString(0)).toSet, b.count())
+  }
+
+  test("freeze -> mutate -> restore returns every member to the frozen state") {
+    val mdir = tmp("rel-manifest")
+    val lm = tmp("rel-lm") + "/s"
+    val ev = tmp("rel-ev") + "/s"
+    val tbl = tmp("rel-tbl") + "/t"
+    LmStore.init(spark, lm, c0, "text")
+    EvalStore.init(spark, ev, "suite_a", c0, "text", n = 2)
+    TableSink.upsert(spark, tbl,
+      Seq((1L, 10.0, 0L)).toDF("id", "v", "__v"), Seq("id"), "__v")
+
+    val members = Seq(Release.Member("lm", lm), Release.Member("evalstore", ev),
+      Release.Member("table", tbl))
+    Release.freeze(spark, mdir, "v1", members)
+    assert(Release.list(mdir) === Seq("v1"))
+    assert(Release.members(mdir, "v1") === members)
+    val lmAt = lmState(lm)
+    val evAt = EvalStore.probe(spark, ev, b1, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // a recorded release is immutable
+    val e = intercept[IllegalArgumentException](
+      Release.freeze(spark, mdir, "v1", members))
+    assert(e.getMessage.contains("already recorded"))
+
+    // mutate every member
+    LmStore.append(spark, lm, b1, "text")
+    EvalStore.register(spark, ev, "suite_b", b1, "text")
+    TableSink.upsert(spark, tbl,
+      Seq((2L, 20.0, 1L)).toDF("id", "v", "__v"), Seq("id"), "__v")
+    assert(lmState(lm) !== lmAt)
+
+    assert(Release.verify(spark, mdir, "v1").filter(!col("ok")).count() === 0)
+    Release.restore(spark, mdir, "v1")
+    assert(lmState(lm) === lmAt, "LM must return to the frozen model")
+    assert(EvalStore.probe(spark, ev, b1, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === evAt,
+      "registry must return to the frozen suite set")
+    val like = spark.range(0).select(lit(0L).as("id"), lit(0.0).as("v"))
+    assert(TableSink.read(spark, tbl, like).count() === 1L,
+      "table must return to the frozen generation")
+  }
+
+  test("restore refuses a half-restorable release before anything mutates") {
+    val mdir = tmp("rel-manifest2")
+    val lm = tmp("rel-lm2") + "/s"
+    val ev = tmp("rel-ev2") + "/s"
+    LmStore.init(spark, lm, c0, "text")
+    EvalStore.init(spark, ev, "suite_a", c0, "text", n = 2)
+    Release.freeze(spark, mdir, "v1",
+      Seq(Release.Member("lm", lm), Release.Member("evalstore", ev)))
+    // Tear one member's pin out from under the release.
+    EvalStore.dropSnapshot(ev, "v1")
+    val rep = Release.verify(spark, mdir, "v1")
+    assert(rep.filter(!col("ok")).count() === 1)
+    val lmBefore = lmState(lm)
+    LmStore.append(spark, lm, b1, "text")
+    val e = intercept[IllegalArgumentException](Release.restore(spark, mdir, "v1"))
+    assert(e.getMessage.contains("half-restorable"))
+    assert(lmState(lm) !== lmBefore, "no member may have been rolled back")
+  }
+
+  test("drop releases every pin and deletes the manifest; unknown kinds refuse") {
+    val mdir = tmp("rel-manifest3")
+    val lm = tmp("rel-lm3") + "/s"
+    LmStore.init(spark, lm, c0, "text")
+    Release.freeze(spark, mdir, "v1", Seq(Release.Member("lm", lm)))
+    Release.drop(spark, mdir, "v1")
+    assert(Release.list(mdir).isEmpty)
+    assert(!graft.sources.DeltaParts.snapshots(lm).contains("v1"))
+    intercept[IllegalArgumentException](Release.members(mdir, "v1"))
+    val e = intercept[IllegalArgumentException](Release.freeze(spark, mdir, "v2",
+      Seq(Release.Member("nope", lm))))
+    assert(e.getMessage.contains("unknown store kind"))
+  }
+}
