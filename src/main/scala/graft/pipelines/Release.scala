@@ -19,7 +19,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    mid-freeze leaves member tags but NO release — re-run to complete
  *    (member snapshots re-taken over unchanged stores are no-ops;
  *    a store that moved on refuses, and the half-taken tag is dropped
- *    with [[drop]]).
+ *    with the member-list [[drop]] overload — the manifest-keyed form
+ *    has nothing to read for a release that never committed).
  *  - Cross-store atomicity is the caller's quiescent window, same as
  *    every composite snapshot here ([[Admission.snapshot]] caveat):
  *    freeze between ingest batches — each member pins ITS state at its
@@ -169,6 +170,14 @@ object Release {
     members(manifestDir, tag).foreach(m => kinds(m.kind).drop(spark, m.dir, tag))
     java.nio.file.Files.deleteIfExists(manifest(manifestDir, tag)); ()
   }
+
+  /** Cleanup overload for a [[freeze]] that FAILED before its manifest
+    * committed: the release never existed, but the members snapshotted
+    * before the failure hold the tag — and the manifest-keyed [[drop]]
+    * has nothing to read. Pass the same member list the freeze got.
+    * Tolerant of members that never took the tag. */
+  def drop(spark: SparkSession, stores: Seq[Member], tag: String): Unit =
+    stores.foreach(m => kinds(m.kind).drop(spark, m.dir, tag))
 
   /** Audit: is every member still fully pinned? One report row per
     * member (the [[graft.sources.StoreCheck]] schema). */

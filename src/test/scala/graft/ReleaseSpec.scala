@@ -93,6 +93,28 @@ class ReleaseSpec extends AnyFunSuite with SparkSpec {
     assert(lmState(lm) !== lmBefore, "no member may have been rolled back")
   }
 
+  test("a failed freeze cleans up via the member-list drop and re-runs green") {
+    val mdir = tmp("rel-manifest4")
+    val lm = tmp("rel-lm4") + "/s"
+    LmStore.init(spark, lm, c0, "text")
+    val members = Seq(Release.Member("lm", lm),
+      Release.Member("evalstore", tmp("rel-ev4") + "/never-inited"))
+    // The second member has no store → its snapshot throws AFTER the
+    // first member took the tag; no manifest commits.
+    intercept[Exception](Release.freeze(spark, mdir, "v1", members))
+    assert(Release.list(mdir).isEmpty, "a failed freeze must not record a release")
+    assert(graft.sources.DeltaParts.snapshots(lm).contains("v1"),
+      "the member snapshotted before the failure holds the tag")
+    // The manifest-keyed drop has nothing to read — the member-list
+    // overload cleans the half-taken tag (tolerant of never-tagged members).
+    intercept[IllegalArgumentException](Release.drop(spark, mdir, "v1"))
+    Release.drop(spark, members, "v1")
+    assert(!graft.sources.DeltaParts.snapshots(lm).contains("v1"))
+    // And the fixed constellation freezes green.
+    Release.freeze(spark, mdir, "v1", Seq(Release.Member("lm", lm)))
+    assert(Release.list(mdir) === Seq("v1"))
+  }
+
   test("drop releases every pin and deletes the manifest; unknown kinds refuse") {
     val mdir = tmp("rel-manifest3")
     val lm = tmp("rel-lm3") + "/s"
