@@ -92,10 +92,19 @@ private[graft] object QCuration {
     }),
     // Gopher-rule repetition filter: duplicate-line fraction +
     // top-bigram coverage against the published thresholds. Documents
-    // get deterministic line structure first (the fixture is one-line).
+    // get deterministic line structure first (the fixture is one-line),
+    // and BOTH reject rules are made live (the corpus alone never
+    // crosses either threshold): every 13th doc becomes a repeated-line
+    // block (dup_line_frac fires), every 29th gains a modal bigram run
+    // (top_bigram_frac fires).
     "x_repetition" -> ((s, d) => {
       val docs = T(s, d, "documents").select(col("doc_id"),
-        regexp_replace(col("text"), " value ", "\n").as("text"))
+        when(col("doc_id") % 13 === 0,
+            lit("breaking news update\nbreaking news update\n" +
+              "breaking news update\nbreaking news update\nfresh line"))
+          .when(col("doc_id") % 29 === 0,
+            concat(col("text"), repeat(lit(" spark streaming"), 40)))
+          .otherwise(regexp_replace(col("text"), " value ", "\n")).as("text"))
       CurationOps.repetitionStats(docs, "doc_id", "text")
         .select(col("doc_id"), round(col("dup_line_frac"), 6).as("dup_line_frac"),
           round(col("top_bigram_frac"), 6).as("top_bigram_frac"), col("keep"))
@@ -219,11 +228,19 @@ private[graft] object QCuration {
     // inside whole-stage codegen (the x_langid stopword idiom), with
     // the per-doc hit count kept so the drop is auditable, not silent.
     // Stand-in lexicon: fixture tokens standing in for a real ban list.
+    // The corpus itself is clean, so banned tokens are PLANTED
+    // deterministically (the x_pii_redact idiom) — every 17th doc one
+    // hit, every 23rd two — keeping the drop branch live.
     "x_badwords_filter" -> ((s, d) => {
       val banned = Seq("spill", "crash", "corrupt")
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 17 === 0, lit(" crash")).otherwise(lit("")),
+          when(col("doc_id") % 23 === 0, lit(" spill corrupt")).otherwise(lit("")))
+          .as("text"))
       val hits = size(filter(text.tokens(col("text")),
         t => t.isInCollection(banned)))
-      T(s, d, "documents")
+      docs
         .select(col("doc_id"), hits.as("n_banned"),
           (hits === 0).as("keep"))
         .orderBy("doc_id")
@@ -322,6 +339,9 @@ private[graft] object QCuration {
     // EXACT oracle (entropy is a smooth transform of count ratios).
     // In-place column algebra over the distinct-char array — map-only,
     // O(distinct·len) per row, no shuffle.
+    // Every 19th doc collapses to a single repeated character (entropy
+    // 0) so the low-entropy drop branch is live — natural fixture prose
+    // alone never sinks under the 1.5-nat floor.
     "x_char_entropy" -> ((s, d) => {
       val chars = filter(split(col("text"), ""), c => c =!= "")
       val n = size(chars)
@@ -331,6 +351,9 @@ private[graft] object QCuration {
           c / n * log(c / n)
         }), lit(0.0), (acc, v) => acc + v))
       T(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 19 === 0, repeat(lit("a"), 64))
+            .otherwise(col("text")).as("text"))
         .select(col("doc_id"), n.as("n_chars"),
           when(n === 0, lit(0.0)).otherwise(round(ent, 6)).as("entropy"))
         .withColumn("keep", col("entropy") >= 1.5)
@@ -1020,7 +1043,12 @@ private[graft] object QCuration {
     // Gopher repetition rules: line structure synthesized identically,
     // then duplicate-line fraction + modal-bigram coverage.
     "x_repetition" ->
-      s"""WITH t AS (SELECT doc_id, regexp_replace(text, ' value ', chr(10), 'g') AS text
+      s"""WITH t AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 13 = 0 THEN
+        |               'breaking news update' || chr(10) || 'breaking news update' || chr(10) ||
+        |               'breaking news update' || chr(10) || 'breaking news update' || chr(10) || 'fresh line'
+        |             WHEN doc_id % 29 = 0 THEN text || repeat(' spark streaming', 40)
+        |             ELSE regexp_replace(text, ' value ', chr(10), 'g') END AS text
         |           FROM documents),
         |l AS (SELECT doc_id,
         |        list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') ls,
@@ -1192,7 +1220,11 @@ private[graft] object QCuration {
     // string-order the tie-break — same round-robin deal.
     // Banned-words replay: same token stream, same literal lexicon.
     "x_badwords_filter" ->
-      s"""WITH w AS (SELECT doc_id, $words wds FROM documents)
+      s"""WITH p AS (SELECT doc_id,
+         |    text || (CASE WHEN doc_id % 17 = 0 THEN ' crash' ELSE '' END)
+         |         || (CASE WHEN doc_id % 23 = 0 THEN ' spill corrupt' ELSE '' END) AS text
+         |  FROM documents),
+         |w AS (SELECT doc_id, $words wds FROM p)
          |SELECT doc_id,
          |  CAST(len(list_filter(wds, t -> t IN ('spill', 'crash', 'corrupt')))
          |    AS INTEGER) AS n_banned,
@@ -1241,8 +1273,11 @@ private[graft] object QCuration {
     // distinct chars (fp association differences sit ~1e-16, absorbed
     // by round 6).
     "x_char_entropy" ->
-      """WITH c AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, ''), x -> x <> '') ch FROM documents),
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 19 = 0 THEN repeat('a', 64) ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, ''), x -> x <> '') ch FROM p),
         |e AS (SELECT doc_id, len(ch) n,
         |  -list_sum(list_transform(list_distinct(ch), d2 ->
         |    (len(list_filter(ch, x -> x = d2))::DOUBLE / len(ch)) *

@@ -422,9 +422,16 @@ private[graft] object QRef {
         .orderBy("vec_id")
     }),
     "a8a9_bias_reports" -> ((s, d) => {
+      // The %50 log grouping meets the fixture's 20-source periodicity
+      // at gcd 10 — every log would see exactly 2 distinct sources
+      // (diversity 0.2, always flagged). Logs 0–24 get per-doc-unique
+      // sources (diversity 1.0) so BOTH flag branches are live.
+      val srcCol = when(col("doc_id") % 50 < 25,
+          concat(col("source"), lit("_"), col("doc_id").cast("string")))
+        .otherwise(col("source"))
       val logs = T(s, d, "documents")
         .select((col("doc_id") % 50).as("log_id"),
-          struct(col("doc_id").cast("string").as("story_id"), col("source"),
+          struct(col("doc_id").cast("string").as("story_id"), srcCol.as("source"),
             substring(col("text"), 1, 50).as("headline")).as("r"))
         .groupBy("log_id")
         .agg(collect_list(col("r")).as("recommendations"))
@@ -785,7 +792,9 @@ private[graft] object QRef {
         |    sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))), 6))), ',') AS unit
         |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
     "a8a9_bias_reports" ->
-      """WITH r AS (SELECT doc_id % 50 log_id, source, substr(text, 1, 50) headline FROM documents),
+      """WITH r AS (SELECT doc_id % 50 log_id,
+        |  CASE WHEN doc_id % 50 < 25 THEN source || '_' || doc_id ELSE source END AS source,
+        |  substr(text, 1, 50) headline FROM documents),
         |s AS (SELECT log_id, source,
         |  (len(list_filter(w, t -> t IN ('fast','big','win','good','great'))) -
         |   len(list_filter(w, t -> t IN ('slow','small','error','bad','fail'))))::DOUBLE / len(w) sent
