@@ -1103,6 +1103,37 @@ object CurationOps {
   }
 
   /**
+   * HTML → text extraction — the step every web-crawl pipeline runs
+   * FIRST (C4/Dolma extract text from fetched HTML before any quality
+   * rule sees it). Regex-grade extraction, the jusText/trafilatura
+   * stand-in: (1) drop `<script>`/`<style>`/comment blocks WITH their
+   * contents ((?is) dot-matches-newline, case-insensitive — RE2-safe,
+   * so the DuckDB oracle replays it verbatim); (2) every remaining tag
+   * becomes one space (block boundaries must not glue words together);
+   * (3) decode the five XML entities + `&nbsp;` (`&amp;` LAST — a
+   * double-encoded `&amp;lt;` must yield the literal `&lt;`, not a
+   * re-decoded `<`); (4) collapse whitespace runs, trim. Pure map-side
+   * column work in whole-stage codegen — no UDF, no parser object;
+   * markup-aware boilerplate classification is out of scope (the
+   * line-level [[c4LineClean]] and the corpus-level
+   * [[graft.operators.SpanDedup]] cover it downstream).
+   */
+  def htmlExtract(c: Column): Column = {
+    // Explicit whitespace classes, not \s — Java's \s includes \x0B,
+    // RE2's does not (the graft.queries.OracleDefs.words rationale).
+    val ws = "[ \\t\\n\\x0B\\f\\r]"
+    val noBlocks = regexp_replace(c,
+      s"(?is)<(script|style)\\b[^>]*>.*?</(script|style)$ws*>|<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (col0, (e, ch)) =>
+      regexp_replace(col0, e, ch)
+    }
+    trim(regexp_replace(decoded, s"$ws+", " "))
+  }
+
+  /**
    * Sequence packing (concat-and-chunk): lay documents end-to-end in a
    * deterministic order and cut the token stream into fixed-budget
    * training sequences. A document occupies stream positions

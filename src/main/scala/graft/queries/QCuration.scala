@@ -359,6 +359,27 @@ private[graft] object QCuration {
         .withColumn("keep", col("entropy") >= 1.5)
         .orderBy("doc_id")
     }),
+    // HTML -> text extraction — the step every web pipeline runs FIRST
+    // (C4/Dolma extract text from fetched HTML before any quality rule
+    // sees it). Deterministic HTML wrapper (head/style/script blocks
+    // with tag-looking script content, a comment, entities incl. a
+    // double-encoded one), then the RE2-safe extraction kernel: blocks
+    // dropped WITH contents, tags -> spaces BEFORE entity decode (so a
+    // decoded '&lt;here&gt;' stays literal text), '&amp;' decoded LAST,
+    // whitespace collapsed. Map-only, whole-stage codegen.
+    "x_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>Page</title><style type=\"text/css\">p { color: red; }</style>"),
+        lit("<script>var x = 1; if (x < 2) { x = 2; }</script></head><body><h1>"),
+        col("source"), lit("</h1><!-- nav --><p>"),
+        regexp_replace(col("text"), " value ", "</p><p>"),
+        lit("</p><div class=\"footer\">&copy; 2024 &amp; friends &lt;here&gt;" +
+          "&amp;lt;kept&amp;gt;</div></body></html>"))
+      T(s, d, "documents").select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"), CurationOps.htmlExtract(col("html")).as("clean"))
+        .withColumn("n_chars_clean", length(col("clean")))
+        .orderBy("doc_id")
+    }),
     // C4 line + page filters (terminal punctuation, >= 5 words,
     // "javascript" lines; "lorem ipsum" / brace pages; >= 3 retained
     // lines to keep the page). Structure synthesized deterministically
@@ -1286,6 +1307,29 @@ private[graft] object QCuration {
         |SELECT doc_id, CAST(n AS INTEGER) AS n_chars,
         |  CASE WHEN n = 0 THEN 0.0 ELSE round(ent, 6) END AS entropy,
         |  (CASE WHEN n = 0 THEN 0.0 ELSE round(ent, 6) END) >= 1.5 AS keep
+        |FROM e ORDER BY doc_id""".stripMargin,
+    // HTML extraction replay: same wrapper, same RE2 patterns (the
+    // kernel is RE2-safe by construction), same entity order with
+    // &amp; last, same explicit whitespace class.
+    "x_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Page</title><style type="text/css">p { color: red; }</style>' ||
+        |    '<script>var x = 1; if (x < 2) { x = 2; }</script></head><body><h1>' ||
+        |    source || '</h1><!-- nav --><p>' ||
+        |    regexp_replace(text, ' value ', '</p><p>', 'g') ||
+        |    '</p><div class="footer">&copy; 2024 &amp; friends &lt;here&gt;' ||
+        |    '&amp;lt;kept&amp;gt;</div></body></html>' AS html
+        |  FROM documents),
+        |e AS (SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<(script|style)\b[^>]*>.*?</(script|style)[ \t\n\x0b\f\r]*>|<!--.*?-->', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |    '[ \t\n\x0b\f\r]+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, clean, CAST(length(clean) AS INTEGER) AS n_chars_clean
         |FROM e ORDER BY doc_id""".stripMargin,
     // C4 line/page filters: same synthesized structure, same line
     // predicate (terminal punctuation, >= 5 words, no "javascript"),

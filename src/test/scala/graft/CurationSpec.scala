@@ -661,4 +661,30 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // doc 4: assistant:(1) unprompted(2) reply(3)
     assert(got === Set((1L, 5, 6), (1L, 10, 11), (2L, 4, 4), (4L, 2, 3)))
   }
+
+  test("htmlExtract: blocks drop with contents, tags->spaces before entity decode, &amp; last") {
+    import spark.implicits._
+    val cases = Seq(
+      1L -> "<p>plain <b>bold</b>&nbsp;text</p>",
+      2L -> "<script>if (a<b) { run(); }</script>after",
+      3L -> "<STYLE media=\"x\">h1 > p { }</STYLE>kept",
+      4L -> "a<!-- <p>gone</p> -->b",
+      // decoded &lt; stays literal text (tags stripped FIRST)
+      5L -> "&lt;p&gt;not a tag&lt;/p&gt;",
+      // double-encoded survives one level: &amp;lt; -> &lt;
+      6L -> "&amp;lt;kept&amp;gt; &amp; done",
+      7L -> "",
+      8L -> "no markup at all")
+    val got = cases.toDF("id", "h")
+      .select(col("id"), CurationOps.htmlExtract(col("h")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "plain bold text")
+    assert(got(2L) === "after", "script contents incl. tag-like '<b)' must drop")
+    assert(got(3L) === "kept", "style is case-insensitive")
+    assert(got(4L) === "a b", "comments drop with contents")
+    assert(got(5L) === "<p>not a tag</p>")
+    assert(got(6L) === "&lt;kept&gt; & done")
+    assert(got(7L) === "")
+    assert(got(8L) === "no markup at all")
+  }
 }
