@@ -74,9 +74,16 @@ object ArticleStream {
              eventTimeCol: String, minTokens: Int = 5,
              maxTokens: Int = 1000000, minQuality: Double = 0.2,
              ttl: String = "24 hours", gopherGate: Boolean = true,
-             maxCompressRatio: Double = 0.0): DataFrame = {
+             maxCompressRatio: Double = 0.0,
+             htmlInput: Boolean = false): DataFrame = {
     import graft.functions.text
     val gated = df
+      // Crawl payloads arrive as HTML: extract text FIRST (stateless
+      // regex kernel, streaming-safe) so every gate below judges prose,
+      // not markup — a tag-heavy page would otherwise pass the length
+      // band on markup bytes alone.
+      .withColumn(textCol, if (htmlInput)
+        graft.operators.CurationOps.htmlExtract(col(textCol)) else col(textCol))
       .withColumn("canonical_url",
         graft.operators.CurationOps.canonicalizeUrl(col(urlCol)))
       .withColumn("__n", text.tokenCount(col(textCol)))

@@ -58,6 +58,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation gate: htmlInput extracts text BEFORE the gates judge it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val curated = ArticleStream.curate(
+      mem.toDF().toDF("ingestion_time", "url", "text"),
+      "url", "text", "ingestion_time", minTokens = 3, minQuality = 0.0,
+      htmlInput = true)
+    val q = curated.writeStream.format("memory").queryName("html_curate_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        // real prose inside markup — survives, with the markup gone
+        (ts(1), "http://example.com/page",
+          "<html><body><p>completely different words here now</p></body></html>"),
+        // tag-heavy page whose PROSE is under minTokens — the length
+        // band must judge the extracted text, not the markup bytes
+        (ts(1), "http://example.com/thin",
+          "<div class=\"wide markup heavy wrapper element\"><span>hi</span></div>"),
+        // script-only page: nothing survives extraction
+        (ts(1), "http://example.com/js",
+          "<script>var much = 'code here today'; run(much);</script>"))
+      q.processAllAvailable()
+      val rows = spark.table("html_curate_out")
+        .select("canonical_url", "text").as[(String, String)].collect().toMap
+      assert(rows.keySet == Set("http://example.com/page"),
+        s"only the prose page survives: ${rows.keySet}")
+      assert(rows("http://example.com/page") === "completely different words here now")
+    } finally q.stop()
+  }
+
   test("streaming compression-ratio gate drops long-range-repetitive rows in-stream") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
