@@ -109,6 +109,10 @@ object Release {
 
   /** The members of a recorded release. */
   def members(manifestDir: String, tag: String): Seq[Member] = {
+    // Same grammar freeze enforces — a tag carrying '/' would resolve
+    // OUTSIDE the manifest dir on this read path.
+    require(tag.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"release tag must be a simple name (letter/digit first): '$tag'")
     val p = manifest(manifestDir, tag)
     require(java.nio.file.Files.exists(p),
       s"no release '$tag' at '$manifestDir' (have: ${list(manifestDir).mkString(", ")})")
