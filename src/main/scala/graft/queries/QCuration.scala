@@ -779,35 +779,54 @@ private[graft] object QCuration {
     // bit-identical across partitionings AND in DuckDB — a float
     // PageRank could never hash-match either.
     "x_domain_pagerank" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      // Domain index: the domain list is domain-count-sized (tiny next
-      // to the corpus); the single-partition window is the UniMax
-      // n_languages-window idiom. At true web scale this indexing rides
-      // the rankDeal range-exchange instead.
-      val si = docs.select(col("source")).distinct()
-        .withColumn("idx",
-          row_number().over(Window.orderBy("source")).cast("long") - 1)
-        .localCheckpoint(true)
-      val ns = si.agg(count(lit(1)).as("__ns"))
-      // One extra citable target beyond the crawled domains: the
-      // "external.example" sink — cited but never crawled, so it has no
-      // out-edges and keeps the dangling-mass path LIVE in this oracle
-      // (not only in GraphOpsSpec).
-      val targets = si.select(col("source").as("dst"), col("idx"))
-        .unionByName(ns.select(lit("external.example").as("dst"),
-          col("__ns").cast("long").as("idx")))
-      val edges = docs.select(col("source").as("src"), col("doc_id"))
-        .crossJoin(broadcast(ns))
-        .withColumn("__h", sig.md5BucketCol(
-          concat(lit("pr|"), col("doc_id").cast("string")), 1L << 62)
-          % (col("__ns") + 1))
-        .join(broadcast(targets), col("__h") === col("idx"))
-        .select("src", "dst")
-      GraphOps.pageRankFixedPoint(edges, iters = 3)
+      GraphOps.pageRankFixedPoint(domainLinkEdges(T(s, d, "documents")), iters = 3)
         .select(col("node").as("source"), col("rank_fp"))
         .orderBy("source")
     }),
+    // The rank's downstream consumer — authority-weighted sampling (the
+    // CommonCrawl-prioritization move: low-authority domains downweight
+    // in the mixture): each doc's selection weight is its DOMAIN's
+    // PageRank, drawn per language without replacement via the same
+    // Efraimidis–Spirakis digest keys as x_weighted_sample.
+    "x_pagerank_sample" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val ranks = GraphOps.pageRankFixedPoint(domainLinkEdges(docs), iters = 3)
+        .select(col("node").as("source"), col("rank_fp"))
+      SampleOps.weightedSample(
+          docs.join(broadcast(ranks), "source"),
+          "lang", col("doc_id"), col("rank_fp").cast("double"),
+          k = 10, salt = "prs|")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
   )
+
+  /** The deterministic domain link graph shared by x_domain_pagerank
+    * and x_pagerank_sample: each doc "cites" the domain its salted
+    * digest selects. Domain index: the domain list is
+    * domain-count-sized (tiny next to the corpus); the single-partition
+    * window is the UniMax n_languages-window idiom — at true web scale
+    * this indexing rides the rankDeal range-exchange instead. One extra
+    * citable target beyond the crawled domains ("external.example" —
+    * cited but never crawled, no out-edges) keeps the dangling-mass
+    * path LIVE in the oracles, not only in GraphOpsSpec. */
+  private def domainLinkEdges(docs: DataFrame): DataFrame = {
+    val si = docs.select(col("source")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy("source")).cast("long") - 1)
+      .localCheckpoint(true)
+    val ns = si.agg(count(lit(1)).as("__ns"))
+    val targets = si.select(col("source").as("dst"), col("idx"))
+      .unionByName(ns.select(lit("external.example").as("dst"),
+        col("__ns").cast("long").as("idx")))
+    docs.select(col("source").as("src"), col("doc_id"))
+      .crossJoin(broadcast(ns))
+      .withColumn("__h", sig.md5BucketCol(
+        concat(lit("pr|"), col("doc_id").cast("string")), 1L << 62)
+        % (col("__ns") + 1))
+      .join(broadcast(targets), col("__h") === col("idx"))
+      .select("src", "dst")
+  }
 
   /** The x_data_card replay, shared VERBATIM by the one-pass query and
     * the [[graft.operators.CardStore]] maintained form — the store's
@@ -839,6 +858,45 @@ private[graft] object QCuration {
        |  true AS distinct_ok
        |FROM q JOIN p USING (source, lang)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The fixed-point PageRank CTE block (edge synthesis + the three
+    * integer rounds) shared by the x_domain_pagerank and
+    * x_pagerank_sample oracles — ONE replay of the recurrence. */
+  private val pagerankCtes: String =
+    """si AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+        |            FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT count(*) AS c FROM si),
+        |tg AS (SELECT source AS dst, idx FROM si
+        |       UNION ALL SELECT 'external.example', c FROM ns),
+        |e AS (SELECT d.source AS src, tg.dst
+        |      FROM documents d, ns, tg
+        |      WHERE tg.idx = md5_number_lower('pr|' || CAST(d.doc_id AS VARCHAR))
+        |                     % 4611686018427387904 % (ns.c + 1)),
+        |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |n2 AS (SELECT count(*) AS c FROM nodes),
+        |r0 AS (SELECT node, 1000000000 // n2.c AS rank FROM nodes, n2),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank // od.od) AS s
+        |       FROM e JOIN r0 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |d1 AS (SELECT coalesce(sum(r.rank), 0) AS dang
+        |       FROM r0 r LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL),
+        |r1 AS (SELECT n.node, (150000000 // n2.c) + (85 * coalesce(c.s, 0)) // 100
+        |         + (85 * (d1.dang // n2.c)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON c.node = n.node, n2, d1),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank // od.od) AS s
+        |       FROM e JOIN r1 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |d2 AS (SELECT coalesce(sum(r.rank), 0) AS dang
+        |       FROM r1 r LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL),
+        |r2 AS (SELECT n.node, (150000000 // n2.c) + (85 * coalesce(c.s, 0)) // 100
+        |         + (85 * (d2.dang // n2.c)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON c.node = n.node, n2, d2),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank // od.od) AS s
+        |       FROM e JOIN r2 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |d3 AS (SELECT coalesce(sum(r.rank), 0) AS dang
+        |       FROM r2 r LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL),
+        |r3 AS (SELECT n.node, (150000000 // n2.c) + (85 * coalesce(c.s, 0)) // 100
+        |         + (85 * (d3.dang // n2.c)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN c3 c ON c.node = n.node, n2, d3)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "x_token_stats" ->
@@ -1025,42 +1083,22 @@ private[graft] object QCuration {
     // every // is the same floor division the engine runs, so the
     // longs match bit for bit.
     "x_domain_pagerank" ->
-      """WITH si AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
-        |            FROM (SELECT DISTINCT source FROM documents)),
-        |ns AS (SELECT count(*) AS c FROM si),
-        |tg AS (SELECT source AS dst, idx FROM si
-        |       UNION ALL SELECT 'external.example', c FROM ns),
-        |e AS (SELECT d.source AS src, tg.dst
-        |      FROM documents d, ns, tg
-        |      WHERE tg.idx = md5_number_lower('pr|' || CAST(d.doc_id AS VARCHAR))
-        |                     % 4611686018427387904 % (ns.c + 1)),
-        |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |n2 AS (SELECT count(*) AS c FROM nodes),
-        |r0 AS (SELECT node, 1000000000 // n2.c AS rank FROM nodes, n2),
-        |c1 AS (SELECT e.dst AS node, sum(r.rank // od.od) AS s
-        |       FROM e JOIN r0 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
-        |d1 AS (SELECT coalesce(sum(r.rank), 0) AS dang
-        |       FROM r0 r LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL),
-        |r1 AS (SELECT n.node, (150000000 // n2.c) + (85 * coalesce(c.s, 0)) // 100
-        |         + (85 * (d1.dang // n2.c)) // 100 AS rank
-        |       FROM nodes n LEFT JOIN c1 c ON c.node = n.node, n2, d1),
-        |c2 AS (SELECT e.dst AS node, sum(r.rank // od.od) AS s
-        |       FROM e JOIN r1 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
-        |d2 AS (SELECT coalesce(sum(r.rank), 0) AS dang
-        |       FROM r1 r LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL),
-        |r2 AS (SELECT n.node, (150000000 // n2.c) + (85 * coalesce(c.s, 0)) // 100
-        |         + (85 * (d2.dang // n2.c)) // 100 AS rank
-        |       FROM nodes n LEFT JOIN c2 c ON c.node = n.node, n2, d2),
-        |c3 AS (SELECT e.dst AS node, sum(r.rank // od.od) AS s
-        |       FROM e JOIN r2 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
-        |d3 AS (SELECT coalesce(sum(r.rank), 0) AS dang
-        |       FROM r2 r LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL),
-        |r3 AS (SELECT n.node, (150000000 // n2.c) + (85 * coalesce(c.s, 0)) // 100
-        |         + (85 * (d3.dang // n2.c)) // 100 AS rank
-        |       FROM nodes n LEFT JOIN c3 c ON c.node = n.node, n2, d3)
+      s"""WITH $pagerankCtes
         |SELECT node AS source, CAST(rank AS BIGINT) AS rank_fp
         |FROM r3 ORDER BY source""".stripMargin,
+    // Authority-weighted sampling: the r3 ranks joined onto docs by
+    // domain, then the x_weighted_sample Efraimidis–Spirakis draw with
+    // rank_fp as the weight.
+    "x_pagerank_sample" ->
+      s"""WITH $pagerankCtes,
+        |dw AS (SELECT d.doc_id, d.lang, r.rank
+        |       FROM documents d JOIN r3 r ON r.node = d.source)
+        |SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY round(-ln((md5_number_lower('prs|' || CAST(doc_id AS VARCHAR)) % 1000000 + 0.5)
+        |      / 1000000.0) / CAST(rank AS DOUBLE), 9), doc_id) rk
+        |  FROM dw WHERE rank > 0)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     // Gopher repetition rules: line structure synthesized identically,
     // then duplicate-line fraction + modal-bigram coverage.
     "x_repetition" ->
