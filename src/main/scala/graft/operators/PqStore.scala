@@ -91,6 +91,13 @@ object PqStore {
       s"the PQ store at '$dir' carries a rebuild fit pointer — readers " +
         "resolve the codebook through it, so writeCodebook would be " +
         "invisible; refit via PqStore.rebuild instead")
+    // A snapshot pins the codes AND the fit they were encoded under;
+    // `_codebook` is the never-rebuilt store's fit artifact, so
+    // rewriting it would silently change every pinned tag's replay.
+    require(graft.sources.TableSink.listSnapshots(dir).isEmpty,
+      s"the PQ store at '$dir' carries snapshot tags — `_codebook` is " +
+        "pinned state; refit via PqStore.rebuild (which writes a fresh " +
+        "fit dir) instead of rewriting it in place")
     writeCodebookAt(spark, s"$dir/_codebook", cb)
   }
 
@@ -312,4 +319,36 @@ object PqStore {
     }
     graft.sources.StoreCheck.tableSink(spark, dir).unionByName(fitRows)
   }
+
+  // ── Snapshot / restore ──────────────────────────────────────────────
+  //
+  // The coded table's manifest meta carries the fit pointer and fit
+  // artifacts are write-once (a rebuild writes a FRESH `fit_rK/`, never
+  // overwrites; the init-time `_codebook` is frozen by the snapshot
+  // guard in [[writeCodebook]]) — so pinning the TableSink generation
+  // pins the WHOLE store, and a restore resolves codebook and cells
+  // through the restored generation's own pointer. The Hybrid.restore
+  // idiom with zero extra copies.
+
+  /** Pin the current store state (codes + its fit, via the manifest
+    * pointer) under `tag`. */
+  def snapshot(dir: String, tag: String): Unit = {
+    graft.sources.TableSink.snapshot(dir, tag); ()
+  }
+
+  def dropSnapshot(dir: String, tag: String): Unit =
+    graft.sources.TableSink.dropSnapshot(dir, tag)
+
+  /** Is `tag` pinned? (fit artifacts are write-once, so the table pin
+    * IS the composite pin — [[graft.pipelines.Release]] pre-check). */
+  def snapshotPinned(dir: String, tag: String): Boolean =
+    graft.sources.TableSink.listSnapshots(dir).contains(tag)
+
+  /** Roll the store back to a tag: one generation republish; the
+    * restored manifest's fit pointer resolves the codebook/cells it was
+    * encoded under (old fit dirs are never deleted). */
+  def restore(dir: String, tag: String): Unit =
+    graft.sources.WriterLease.withLease(dir, "pqstore-restore") {
+      graft.sources.TableSink.restore(dir, tag)
+    }
 }

@@ -79,6 +79,10 @@ object Release {
       (_, d, t) => SemDedupStore.dropSnapshot(d, t),
       (s, d, t) => SemDedupStore.restore(s, d, t),
       (d, t) => SemDedupStore.snapshotPinned(d, t)),
+    "pq" -> Ops((_, d, t) => graft.operators.PqStore.snapshot(d, t),
+      (_, d, t) => graft.operators.PqStore.dropSnapshot(d, t),
+      (_, d, t) => graft.operators.PqStore.restore(d, t),
+      (d, t) => graft.operators.PqStore.snapshotPinned(d, t)),
     "table" -> Ops((_, d, t) => { TableSink.snapshot(d, t); () },
       (_, d, t) => TableSink.dropSnapshot(d, t),
       (_, d, t) => TableSink.restore(d, t),

@@ -184,4 +184,28 @@ class PqStoreSpec extends AnyFunSuite with SparkSpec {
     assert(back.zip(cb).forall { case (a, b) =>
       a.zip(b).forall { case (x, y) => x.toSeq == y.toSeq } })
   }
+
+  test("snapshot pins codes+fit; restore rolls back; _codebook frozen once tagged") {
+    val dir = tmp()
+    PqStore.write(spark, dir, coded(base), "vec_id", numBuckets = 16)
+    PqStore.writeCodebook(spark, dir, cb)
+    PqStore.snapshot(dir, "v1")
+    assert(PqStore.snapshotPinned(dir, "v1"))
+    val before = rows(PqStore.search(dir, queries, cells, cb, "vec_id",
+      "embedding", k = 5, nprobe = 8))
+    // `_codebook` is pinned state now — a rewrite must refuse.
+    val e = intercept[IllegalArgumentException](
+      PqStore.writeCodebook(spark, dir, cb))
+    assert(e.getMessage.contains("pinned state"))
+    // Mutate, then roll back: the restored search replays byte-identically.
+    PqStore.append(spark, dir, extra, cells, "vec_id", "embedding", cb, Dim,
+      version = 1L)
+    assert(rows(PqStore.search(dir, queries, cells, cb, "vec_id", "embedding",
+      k = 5, nprobe = 8)) !== before, "the append must be visible live")
+    PqStore.restore(dir, "v1")
+    assert(rows(PqStore.search(dir, queries, cells, cb, "vec_id", "embedding",
+      k = 5, nprobe = 8)) === before)
+    PqStore.dropSnapshot(dir, "v1")
+    assert(!PqStore.snapshotPinned(dir, "v1"))
+  }
 }
