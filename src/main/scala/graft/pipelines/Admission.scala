@@ -688,8 +688,14 @@ object Admission {
     val base = graft.sources.StoreCheck
       .deltaParts(spark, spanDir(storeDir), Seq(spanDir(storeDir)))
       .unionByName(graft.sources.StoreCheck.tableSink(spark, fpDir(storeDir)))
-    if (cfg.sem.isDefined || graft.operators.SemDedupStore.exists(semDir(storeDir)))
-      base.unionByName(graft.operators.SemDedupStore.fsck(spark, semDir(storeDir)))
-    else base
+    val withSem =
+      if (cfg.sem.isDefined || graft.operators.SemDedupStore.exists(semDir(storeDir)))
+        base.unionByName(graft.operators.SemDedupStore.fsck(spark, semDir(storeDir)))
+      else base
+    // With the contamination screen on, the registry THIS config
+    // actually probes joins the same one-call report — a funnel is only
+    // as sound as every store a verdict reads.
+    cfg.decon.fold(withSem)(st =>
+      withSem.unionByName(graft.operators.EvalStore.check(spark, st.registryDir)))
   }
 }

@@ -554,6 +554,12 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
       df(Seq(31L -> goodText('c'))), "doc_id", "text", cfg))(31L)._1 === "contaminated")
     assert(collectVerdicts(Admission.run(spark, store,
       df(Seq(32L -> goodText('c'))), "doc_id", "text"))(32L)._1 === "admitted")
+
+    // With the screen on, the one-call fsck audits the registry too.
+    val rep = Admission.fsck(spark, store, cfg)
+    assert(rep.filter(!col("ok")).count() === 0)
+    assert(rep.filter(col("check") === "gram_size_pinned").count() === 1,
+      "the decon config's registry must join the funnel report")
   }
 
   test("null-text rows are definitely-new (anti-join null semantics), both forms") {
