@@ -54,5 +54,19 @@ object SparkEntry {
     QMix.queries ++
     QSketchJoin.queries
 
+  /**
+   * The stored-family queries split at their store-build/probe seam
+   * ([[QShared.Phased]]): Bench times `init` (the one-time store build
+   * production amortizes) and `serve` (the per-batch probe the trend
+   * line tracks) separately. Every name here is ALSO a plain [[queries]]
+   * entry — the fused init-then-serve composition of the SAME
+   * definition — so Verify and the driver see identical semantics.
+   */
+  private[graft] def phasedQueries: Map[String, QShared.Phased] =
+    QCuration.phased ++
+    QDedup.phased ++
+    QVector.phased ++
+    QSketchJoin.phased
+
   def oracleSql: Map[String, String] = OracleSql.all
 }

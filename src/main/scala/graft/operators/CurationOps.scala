@@ -586,19 +586,24 @@ object CurationOps {
 
   /** Shared BPE trainer (see [[bpeMerges]] for the algorithm and scale
     * notes): returns the ordered merge table and — when `keepDict` — the
-    * final (w0, w, f) dict, lineage-truncated via localCheckpoint so
-    * consumers don't replay the merge chain per use. */
+    * final (w0, w, f) dict, lineage-truncated so consumers don't replay
+    * the merge chain per use.
+    *
+    * Driver-pacing escalation (the [[StoryOps.greedyMatch]] cap idiom in
+    * reverse): the word dict is vocab-sized — it does NOT grow with the
+    * corpus — so when it fits the driver cap the ENTIRE merge loop folds
+    * locally (identical greedy semantics, spec-pinned ≡ the distributed
+    * form), turning a 30k-merge production vocabulary from 30k
+    * sequential driver-paced Spark jobs into one collect + a local fold.
+    * Only a dict past `maxLocalDict` rows pays the distributed
+    * per-merge loop (two vocab-sized jobs per merge). The corpus is
+    * scanned ONCE either way. */
   private[graft] def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
-                       keepDict: Boolean, dictPartitions: Int = 1)
+                       keepDict: Boolean, dictPartitions: Int = 1,
+                       maxLocalDict: Int = 1 << 20)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(merges >= 1 && merges <= 10000, s"merges out of range: $merges")
     require(dictPartitions >= 1, s"dictPartitions must be >= 1: $dictPartitions")
-    // coalesce(dictPartitions), default 1: the dict is vocab-sized, so
-    // every iteration's two jobs should be single-task — 32-way task
-    // scheduling would dominate the loop's wall time at any corpus scale
-    // (the dict does not grow with the corpus). A genuinely huge vocab
-    // (~10^6 distinct words) raises `dictPartitions` instead of editing
-    // the source; the semantics don't depend on it.
     // Words ride as DOUBLE-space-delimited symbol strings: the merge
     // pattern " l  r " keeps one delimiter space on each side, so
     // token-adjacent occurrences never share a consumed character and a
@@ -606,15 +611,151 @@ object CurationOps {
     // token-level greedy merge of Sennrich's learn_bpe (single-space
     // delimiters would silently skip every second merge in runs like
     // [b,a,n,a,n,a] → checked in CurationSpec).
-    var dict = docs.select(explode(toks(col(textCol))).as("w0"))
+    val dictDf = docs.select(explode(toks(col(textCol))).as("w0"))
       .groupBy("w0").agg(count(lit(1)).as("f"))
       .select(col("w0"), concat(lit("  "),
         array_join(filter(split(col("w0"), ""), s => s =!= ""), "  "),
         lit("  ")).as("w"), col("f"))
+    // Overflow probe folded into one collect (cap+1 rows), the
+    // greedyMatch pattern: only the rare escalation re-executes the
+    // dict aggregation (inside the distributed loop's persist).
+    val probeLimit =
+      if (maxLocalDict >= Int.MaxValue - 1) Int.MaxValue else maxLocalDict + 1
+    val fetched = dictDf.limit(probeLimit).collect()
+    if (fetched.length <= maxLocalDict)
+      bpeTrainLocal(docs.sparkSession, fetched, merges, keepDict)
+    else bpeTrainDistributed(dictDf, merges, keepDict, dictPartitions)
+  }
+
+  /** Spark-string sort order (UTF8 binary over UTF-8 bytes) — the local
+    * fold's tie-breaks must reproduce the distributed
+    * `orderBy(col("l"), col("r"))` exactly, and Java's UTF-16 compareTo
+    * diverges from it above the BMP. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The merge loop as one driver-local fold over the collected dict —
+    * exact same greedy semantics as [[bpeTrainDistributed]] (argmax by
+    * (cnt desc, l asc, r asc) in Spark's string order; merges applied
+    * left-to-right non-overlapping). Pair counts update INCREMENTALLY:
+    * each merge touches only the words that contain the merged pair (an
+    * inverted pair→words index), so 10k merges over a 10^6-word dict
+    * stay O(touched words), not O(vocab · merges). */
+  private def bpeTrainLocal(spark: org.apache.spark.sql.SparkSession,
+                            rows: Array[org.apache.spark.sql.Row],
+                            merges: Int, keepDict: Boolean)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    import scala.collection.mutable
+    val n = rows.length
+    val w0s = new Array[String](n)
+    val fs = new Array[Long](n)
+    val syms = new Array[Array[String]](n)
+    val cnt = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def pairsOf(s: Array[String]): Iterator[(String, String)] =
+      if (s.length < 2) Iterator.empty
+      else (0 until s.length - 1).iterator.map(j => (s(j), s(j + 1)))
+    var i = 0
+    while (i < n) {
+      w0s(i) = rows(i).getString(0)
+      fs(i) = rows(i).getLong(2)
+      // Column 1 is the double-space-delimited form; the symbol array is
+      // equivalent and what the fold mutates.
+      syms(i) = rows(i).getString(1).trim.split(" ").filter(_.nonEmpty)
+      pairsOf(syms(i)).foreach { p =>
+        cnt.update(p, cnt.getOrElse(p, 0L) + fs(i))
+        where.getOrElseUpdate(p, mutable.Set.empty) += i
+      }
+      i += 1
+    }
+    def applyMerge(s: Array[String], l: String, r: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < s.length) {
+        if (j < s.length - 1 && s(j) == l && s(j + 1) == r) {
+          out += (l + r); j += 2
+        } else { out += s(j); j += 1 }
+      }
+      out.toArray
+    }
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= merges && cnt.nonEmpty) {
+      var bl: String = null; var br: String = null; var bc = -1L
+      cnt.foreach { case ((l, r), c) =>
+        if (c > bc || (c == bc &&
+            (utf8Lt(l, bl) || (l == bl && utf8Lt(r, br))))) {
+          bl = l; br = r; bc = c
+        }
+      }
+      out += ((rank, bl, br, bc))
+      val touched = where.getOrElse((bl, br), mutable.Set.empty).toArray
+      touched.foreach { wid =>
+        val old = syms(wid)
+        val merged = applyMerge(old, bl, br)
+        syms(wid) = merged
+        val oldPairs = pairsOf(old).toSeq
+        val newPairs = pairsOf(merged).toSeq
+        oldPairs.foreach { p =>
+          val c = cnt(p) - fs(wid)
+          if (c == 0L) cnt.remove(p) else cnt.update(p, c)
+        }
+        newPairs.foreach { p =>
+          cnt.update(p, cnt.getOrElse(p, 0L) + fs(wid))
+        }
+        (oldPairs.toSet -- newPairs.toSet).foreach { p =>
+          where.get(p).foreach { s => s -= wid; if (s.isEmpty) where.remove(p) }
+        }
+        (newPairs.toSet -- oldPairs.toSet).foreach { p =>
+          where.getOrElseUpdate(p, mutable.Set.empty) += wid
+        }
+      }
+      rank += 1
+    }
+    val kept =
+      if (!keepDict) null
+      else spark.createDataFrame(
+        (0 until n).map(j => (w0s(j), syms(j).mkString("  ", "  ", "  "), fs(j))))
+        .toDF("w0", "w", "f")
+    (out.toSeq, kept)
+  }
+
+  /** The per-merge distributed loop — the escalation for a word dict
+    * past the driver cap. Two vocab-sized jobs per merge iteration on
+    * the persisted dict, never a corpus rescan. */
+  private def bpeTrainDistributed(dictDf: DataFrame, merges: Int,
+                                  keepDict: Boolean, dictPartitions: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    // coalesce(dictPartitions), default 1: the dict is vocab-sized, so
+    // every iteration's two jobs should be single-task — 32-way task
+    // scheduling would dominate the loop's wall time at any corpus scale
+    // (the dict does not grow with the corpus). A genuinely huge vocab
+    // (~10^6 distinct words) raises `dictPartitions` instead of editing
+    // the source; the semantics don't depend on it.
+    //
+    // localCheckpoint (NOT persist) per generation: the chained
+    // `withColumn(replace(...))` lineage makes the OPTIMIZED plan double
+    // in size every iteration (measured: ~2 KB at merge 1, ~2 MB at
+    // merge 12, OOM near merge 24 just BUILDING the plan string) — a
+    // cached-but-lineage-carrying dict re-optimizes the whole chain per
+    // argmax job. Cutting lineage to a materialized RDD keeps every
+    // iteration's plan constant-size at any merge count. Dropped
+    // generations' blocks are reclaimed by Spark's ContextCleaner once
+    // unreferenced (vocab-sized each, bounded residency).
+    var dict = dictDf
       .coalesce(dictPartitions)
-      .persist()
+      .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var prev: DataFrame = null
     var rank = 1
     var exhausted = false
     while (rank <= merges && !exhausted) {
@@ -628,24 +769,17 @@ object CurationOps {
         .agg(sum("f").as("cnt"))
         .orderBy(desc("cnt"), col("l"), col("r"))
         .limit(1).collect()
-      // The argmax job also materialized `dict`'s cache, so the PREVIOUS
-      // generation can be released now without a dedicated count() job.
-      if (prev != null) { prev.unpersist(); prev = null }
       if (best.isEmpty) exhausted = true // every word is a single symbol
       else {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((rank, l, r, cnt))
-        val next = dict
+        dict = dict
           .withColumn("w", replace(col("w"), lit(s" $l  $r "), lit(s" $l$r ")))
-          .persist()
-        prev = dict
-        dict = next
+          .localCheckpoint(true)
         rank += 1
       }
     }
-    if (prev != null) prev.unpersist()
-    val kept = if (keepDict) dict.localCheckpoint(true) else null
-    dict.unpersist()
+    val kept = if (keepDict) dict else null
     (out.toSeq, kept)
   }
 
@@ -1122,8 +1256,17 @@ object CurationOps {
     // Explicit whitespace classes, not \s — Java's \s includes \x0B,
     // RE2's does not (the graft.queries.OracleDefs.words rationale).
     val ws = "[ \\t\\n\\x0B\\f\\r]"
-    val noBlocks = regexp_replace(c,
-      s"(?is)<(script|style)\\b[^>]*>.*?</(script|style)$ws*>|<!--.*?-->", " ")
+    // One pass PER block kind — RE2 has no backreferences, and the old
+    // alternation `<(script|style)…</(script|style)>` let the open and
+    // close tags mismatch: `<script>…</style>` closed a script block
+    // early, leaking raw script source into the extracted text. A final
+    // pass drops a trailing UNCLOSED script/style block (no close tag at
+    // all) so its contents can't fall through to the tag-stripper.
+    val noScript = regexp_replace(c, s"(?is)<script\\b[^>]*>.*?</script$ws*>", " ")
+    val noStyle = regexp_replace(noScript, s"(?is)<style\\b[^>]*>.*?</style$ws*>", " ")
+    val noBlocks = regexp_replace(
+      regexp_replace(noStyle, "(?s)<!--.*?-->", " "),
+      "(?is)<(?:script|style)\\b[^>]*>.*$", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")

@@ -331,9 +331,23 @@ object PqStore {
   // idiom with zero extra copies.
 
   /** Pin the current store state (codes + its fit, via the manifest
-    * pointer) under `tag`. */
+    * pointer) under `tag`. Idempotent-or-refuse (the Hybrid.snapshot
+    * idiom): a re-taken tag over an UNCHANGED store is a no-op, but a
+    * tag whose store moved on refuses loudly instead of silently
+    * re-pointing at post-mutation state — `TableSink.snapshot` alone
+    * would re-tag, and a crashed [[graft.pipelines.Release.freeze]]
+    * re-run must not commit a mixed-instants release. */
   def snapshot(dir: String, tag: String): Unit = {
-    graft.sources.TableSink.snapshot(dir, tag); ()
+    import graft.sources.TableSink
+    TableSink.listSnapshots(dir).get(tag) match {
+      case Some(pinned) =>
+        require(TableSink.currentSeq(dir).contains(pinned),
+          s"snapshot tag '$tag' at '$dir' already pins generation $pinned " +
+            s"but the live generation is ${TableSink.currentSeq(dir)} — the " +
+            "store moved on since a half-taken snapshot; refusing to " +
+            "re-point. Drop the tag and take a fresh one.")
+      case None => TableSink.snapshot(dir, tag); ()
+    }
   }
 
   def dropSnapshot(dir: String, tag: String): Unit =

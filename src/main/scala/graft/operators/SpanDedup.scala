@@ -327,4 +327,92 @@ object SpanDedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /**
+   * TRUE variable-length maximal repeated substrings — the exact
+   * ExactSubstr construction of Lee et al. 2022 the fixed-width shingle
+   * index above approximates: every maximal matched token range of
+   * length ≥ `minLen` between two occurrence sites, with its EXACT
+   * extent and both exact offsets. The shingle inventory cannot produce
+   * this: it reports fixed-k windows (a 30-token repeat is 23 separate
+   * k=8 rows, never one span with its true length) and coverage merges
+   * lose the pairwise offset alignment entirely.
+   *
+   * Construction — the distributed suffix-GROUPING form, not a suffix
+   * array: a maximal match of length m ≥ k between sites (a, i) and
+   * (b, j) is EXACTLY a maximal run of k-window matches on one
+   * "diagonal": windows (a, i+t) = (b, j+t) for t = 0..m−k, with no
+   * match at t = −1 or t = m−k+1 (string maximality — since EVERY
+   * k-window inside the match is itself duplicated and therefore
+   * present in the pair relation, runs extend to the true extent).
+   * So: (1) k-window frame keyed by the 128-bit span digest (the
+   * [[duplicatedSpansDigest]] idiom — span text never rides a
+   * corpus-wide exchange); (2) occurrence pairs per duplicated digest,
+   * canonically ordered (a < b, or a = b with i < j — within-document
+   * repeats are legitimate matches); (3) gaps-and-islands over each
+   * (a, b, i−j) diagonal (one row_number window — exactly replayable
+   * in SQL); (4) one aggregate per run → (start_a, start_b,
+   * len_tokens); (5) the representative span re-attaches map-side from
+   * doc a's tokens under a BROADCAST of the (inventory-sized) run
+   * relation — the only place span text appears, and it never shuffles.
+   *
+   * Skew guard — the suffix-array paper's linearity traded explicitly:
+   * pair generation is quadratic in a digest's occurrence count, so
+   * digests above `maxOcc` occurrences are EXCLUDED (count both sides
+   * of the cap in the fused query's oracle). Such ubiquitous spans are
+   * nav/footer furniture — [[graft.operators.LineStore]] and the
+   * coverage scrub own them; a cap-dropped common sub-window inside a
+   * rarer long repeat truncates that run (documented, replayed
+   * identically by the oracle).
+   */
+  def maximalRepeats(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int, maxOcc: Int = 64): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    require(maxOcc >= 2, s"maxOcc must be >= 2: $maxOcc")
+    val t = toks(col(textCol))
+    val starts = when(size(t) >= minLen, sequence(lit(1), size(t) - lit(minLen - 1)))
+      .otherwise(array().cast("array<int>"))
+    // Digest-only window frame: hash the window text inside the
+    // generator so span text is never materialized past the map side.
+    val win = docs
+      .select(col(idCol).as("__id"),
+        explode(transform(starts, i => {
+          val sp = concat_ws(" ", slice(t, i, lit(minLen)))
+          struct(i.as("i"), xxhash64(sp).as("h1"), xxhash64(lit(1L), sp).as("h2"))
+        })).as("__w"))
+      .select(col("__id"), col("__w.i").as("i"),
+        col("__w.h1").as("__h1"), col("__w.h2").as("__h2"))
+    val eligible = win.groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") >= 2 && col("__occ") <= maxOcc)
+      .select(col("__h1"), col("__h2"))
+    val keyed = win.join(eligible, Seq("__h1", "__h2"), "left_semi")
+    val a = keyed.select(col("__h1"), col("__h2"),
+      col("__id").as("id_a"), col("i").as("__ia"))
+    val b = keyed.select(col("__h1"), col("__h2"),
+      col("__id").as("id_b"), col("i").as("__ib"))
+    val pairs = a.join(b, Seq("__h1", "__h2"))
+      .where(col("id_a") < col("id_b") ||
+        (col("id_a") === col("id_b") && col("__ia") < col("__ib")))
+      .select(col("id_a"), col("__ia"), col("id_b"), col("__ib"),
+        (col("__ia") - col("__ib")).as("__diag"))
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("__diag")).orderBy(col("__ia"))
+    val runs = pairs
+      .withColumn("__grp", col("__ia") - row_number().over(rn))
+      .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__grp"))
+      .agg(min(col("__ia")).as("start_a"), min(col("__ib")).as("start_b"),
+        (max(col("__ia")) - min(col("__ia")) + lit(minLen)).as("len_tokens"))
+      .select(col("id_a"), col("start_a").cast("int").as("start_a"),
+        col("id_b"), col("start_b").cast("int").as("start_b"),
+        col("len_tokens").cast("int").as("len_tokens"))
+    // Representative text: map-side slice of doc a's tokens under a
+    // broadcast of the run relation — inventory-sized, the
+    // duplicatedSpansDigest re-attachment contract.
+    docs.select(col(idCol).as("id_a"), t.as("__t"))
+      .join(broadcast(runs), Seq("id_a"))
+      .select(col("id_a"), col("start_a"), col("id_b"), col("start_b"),
+        col("len_tokens"),
+        concat_ws(" ", slice(col("__t"), col("start_a"), col("len_tokens"))).as("span"))
+  }
 }

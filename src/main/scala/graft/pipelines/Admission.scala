@@ -281,7 +281,6 @@ object Admission {
     if (sem) graft.operators.SemDedupStore.snapshot(semDir(storeDir), tag)
   }
 
-  /** Release a [[snapshot]] tag on every store. */
   /** Is `tag` fully pinned across EVERY half of this store? The
     * composite-restore pre-check ([[Release]] / callers): a tag missing
     * on any half means a restore would tear the funnel. */
@@ -291,6 +290,7 @@ object Admission {
       (!graft.operators.SemDedupStore.exists(semDir(storeDir)) ||
         graft.operators.SemDedupStore.snapshotPinned(semDir(storeDir), tag))
 
+  /** Release a [[snapshot]] tag on every store. */
   def dropSnapshot(storeDir: String, tag: String): Unit =
       graft.sources.WriterLease.withLease(storeDir, "admission-drop-snapshot") {
     graft.sources.DeltaParts.dropSnapshot(spanDir(storeDir), tag)

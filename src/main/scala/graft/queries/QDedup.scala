@@ -18,6 +18,32 @@ import OracleDefs._
  */
 private[graft] object QDedup {
 
+  /** Stored-family phased form (QShared.Phased; see QVector.phased):
+    * the benchmark registry build in init; the four-stage admission
+    * funnel (with the contamination screen on) in serve. The two
+    * runAgainst-only admission pipes stay unsplit — they build no
+    * standing store, their whole cost IS the per-batch plan. */
+  private val admissionDeconPhased: Phased = (s, d) => {
+    lazy val docs = T(s, d, "documents")
+    lazy val dir = tmpStore("admission_decon_registry")
+    val init = () => {
+      graft.operators.EvalStore.init(s, dir, "bench_v1",
+        docs.filter(col("doc_id") % 13 === 0), "text", n = 5); ()
+    }
+    val serve = () => {
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      graft.pipelines.Admission.runAgainst(batch, corpus, "doc_id", "text",
+        graft.pipelines.Admission.Config(decon = Some(
+          graft.pipelines.Admission.DeconStage(dir))))
+        .orderBy("doc_id")
+    }
+    (init, serve)
+  }
+
+  private[graft] val phased: Map[String, Phased] = Map(
+    "pipe_admission_decon_e2e" -> admissionDeconPhased)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_fingerprint" -> ((s, d) => {
       T(s, d, "documents")
@@ -176,18 +202,7 @@ private[graft] object QDedup {
     // scrub, and every absorb — benchmark text must never enter the
     // corpus or its indexes. Precedence: rejected > contaminated >
     // duplicate > admitted.
-    "pipe_admission_decon_e2e" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-      val dir = tmpStore("admission_decon_registry")
-      graft.operators.EvalStore.init(s, dir, "bench_v1",
-        docs.filter(col("doc_id") % 13 === 0), "text", n = 5)
-      graft.pipelines.Admission.runAgainst(batch, corpus, "doc_id", "text",
-        graft.pipelines.Admission.Config(decon = Some(
-          graft.pipelines.Admission.DeconStage(dir))))
-        .orderBy("doc_id")
-    }),
+    "pipe_admission_decon_e2e" -> fused(admissionDeconPhased),
     // Chunk-level dedup payoff of CDC: shared paragraphs meet on their
     // chunk digest regardless of byte offset.
     "x_cdc_dedup" -> ((s, d) => {
@@ -435,6 +450,33 @@ private[graft] object QDedup {
         .agg(count(lit(1)).as("n_spans"), sum(col("n_occ")).as("n_occ"))
         .orderBy("n_docs")
     }),
+    // TRUE variable-length substring dedup (Lee et al. 2022 ExactSubstr,
+    // suffix-GROUPING form): every maximal matched token range ≥ 8
+    // tokens between two sites, exact extent + both exact offsets — the
+    // spans the fixed-k shingle index (x_dup_spans) provably cannot
+    // report as single ranges. Fixture plants a 14-token group phrase
+    // into docs 0..39 (5 docs per group of doc_id % 8) at MISALIGNED
+    // offsets (doc_id % 4 tokens in): the planted matches come back as
+    // ONE 14-token-or-longer span per doc pair with per-doc offsets the
+    // k-grid can't align; natural prose repeats surface too, replayed
+    // identically. Digest-keyed windows (text never shuffles), pair
+    // generation capped at 64 occurrences per digest (the documented
+    // skew trade vs the suffix array's linearity).
+    "x_substr_maximal" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val t = text.tokens(col("text"))
+      val grp = (col("doc_id") % 8).cast("string")
+      val o = (col("doc_id") % 4).cast("int")
+      val phrase = array_join(transform(sequence(lit(1), lit(14)),
+        j => concat(lit("seg"), grp, lit("tok"), j.cast("string"))), " ")
+      val planted = concat_ws(" ",
+        array_join(slice(t, lit(1), o), " "), phrase,
+        array_join(slice(t, o + lit(1), greatest(size(t) - o, lit(0))), " "))
+      val p = docs.select(col("doc_id"),
+        when(col("doc_id") < 40, planted).otherwise(col("text")).as("text"))
+      SpanDedup.maximalRepeats(p, "doc_id", "text", minLen = 8, maxOcc = 64)
+        .orderBy("id_a", "start_a", "id_b", "start_b")
+    }),
     // Admission-time span scrub: the batch (doc_id % 5 = 0) is scrubbed
     // against the standing inventory of the corpus (doc_id % 5 <> 0) —
     // O(batch) windows + a filter-pushed index scan, corpus text never
@@ -487,6 +529,49 @@ private[graft] object QDedup {
         |       CAST(count(*) AS BIGINT) AS n_occ
         |FROM win GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY 1""".stripMargin,
+    // Maximal-repeat replay: same planted text (list slicing replays
+    // Spark's slice — both 1-based, DuckDB's end-inclusive t[a:b] ≡
+    // slice(t, a, b-a+1); re-tokenization absorbs the double spaces the
+    // empty-prefix concat leaves; coalesce because DuckDB's
+    // array_to_string over an EMPTY slice is NULL where Spark's
+    // array_join is '' — one NULL leg would null the planted text and
+    // silently drop every offset-0 doc), same 8-token windows, cap
+    // 2..64, canonical pair order, and the SAME gaps-and-islands window
+    // (ia − row_number over each (id_a, id_b, ia−ib) diagonal). String
+    // keys here vs digests in the engine — a hash match proves the
+    // digest grouping collision-free, the x_dup_spans idiom.
+    "x_substr_maximal" ->
+      s"""WITH w0 AS (SELECT doc_id, text, $words AS wds0 FROM documents),
+        |p AS (SELECT doc_id, CASE WHEN doc_id < 40 THEN
+        |        coalesce(array_to_string(wds0[1:CAST(doc_id % 4 AS INT)], ' '), '') || ' ' ||
+        |        array_to_string(list_transform(generate_series(1, 14),
+        |          j -> 'seg' || CAST(doc_id % 8 AS VARCHAR) || 'tok' || CAST(j AS VARCHAR)), ' ')
+        |        || ' ' ||
+        |        coalesce(array_to_string(wds0[CAST(doc_id % 4 AS INT) + 1:len(wds0)], ' '), '')
+        |      ELSE text END AS text FROM w0),
+        |toks AS (SELECT doc_id, $words AS t FROM p),
+        |win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+        |        FROM (SELECT doc_id, t,
+        |                unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |elig AS (SELECT span FROM win GROUP BY 1
+        |         HAVING count(*) >= 2 AND count(*) <= 64),
+        |pr AS (SELECT a.doc_id ida, a.i ia, b.doc_id idb, b.i ib
+        |       FROM win a JOIN elig USING (span) JOIN win b USING (span)
+        |       WHERE a.doc_id < b.doc_id
+        |          OR (a.doc_id = b.doc_id AND a.i < b.i)),
+        |runs AS (SELECT ida, idb, ia, ib, ia - ib AS diag,
+        |           ia - row_number() OVER (
+        |             PARTITION BY ida, idb, ia - ib ORDER BY ia) AS grp
+        |         FROM pr),
+        |agg AS (SELECT ida, idb, min(ia) sa, min(ib) sb,
+        |          max(ia) - min(ia) + 8 AS len
+        |        FROM runs GROUP BY ida, idb, diag, grp)
+        |SELECT agg.ida AS id_a, CAST(sa AS INTEGER) AS start_a,
+        |  agg.idb AS id_b, CAST(sb AS INTEGER) AS start_b,
+        |  CAST(len AS INTEGER) AS len_tokens,
+        |  array_to_string(t[sa:sa+len-1], ' ') AS span
+        |FROM agg JOIN toks ON toks.doc_id = agg.ida
+        |ORDER BY id_a, start_a, id_b, start_b""".stripMargin,
     // Span removal: coverage = distinct (doc, pos) under any duplicated
     // window (overlaps merge via DISTINCT), kept tokens re-join in
     // position order; docs shorter than the window (or empty) fall out

@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
 private[graft] object QShared {
 
   /**
+   * A stored-family query split at its natural seam: `init` builds the
+   * standing store in-query (the one-time cost production amortizes
+   * across every batch that follows), `serve` probes it (the per-batch
+   * cost the round-over-round trend line should track). Bench times the
+   * two phases separately for these queries — their in-suite totals are
+   * init-dominated, which made every round's mover audit re-litigate
+   * host noise against store-build time (BASELINE.md r13/r14).
+   *
+   * The plain [[SparkEntry.queries]] entry is always [[fused]] over the
+   * SAME definition, so the driver-facing query and the phased bench
+   * form cannot drift.
+   */
+  private[graft] type Phased =
+    (SparkSession, String) => (() => Unit, () => DataFrame)
+
+  /** The ordinary query form of a [[Phased]] definition: init, then
+    * serve — exactly what the unsplit query did. */
+  private[graft] def fused(p: Phased): (SparkSession, String) => DataFrame =
+    (s, d) => { val (init, serve) = p(s, d); init(); serve() }
+
+  /**
    * Table loader. Physical fixture encodings drift between driver
    * regenerations (TIMESTAMP(NANOS) → µs-no-tz/NTZ so far); every query
    * is built against ONE logical schema, so the load goes through

@@ -18,6 +18,35 @@ import OracleDefs._
  */
 private[graft] object QSketchJoin {
 
+  /** Stored-family phased form (QShared.Phased; see QVector.phased):
+    * GK-sketch ledger init + batch appends + compact in init; the
+    * sketch-fold quantile answer in serve. */
+  private val quantileStorePhased: Phased = (s, d) => {
+    lazy val docs = T(s, d, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    lazy val dir = tmpStore("stats_store")
+    val init = () => {
+      graft.operators.StatsStore.init(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 1), "source", "n_chars")
+      for (i <- Seq(2, 3, 4, 0))
+        graft.operators.StatsStore.append(s, dir,
+          docs.filter(pmod(col("doc_id"), lit(5)) === i), "source", "n_chars",
+          name = Some(s"batch_$i"))
+      graft.operators.StatsStore.compact(s, dir); ()
+    }
+    val serve = () =>
+      graft.operators.StatsStore.quantiles(s, dir, Seq(0.5, 0.9, 0.99))
+        .select(col("g").as("source"), col("n").as("n_total"),
+          round(element_at(col("qs"), 1), 2).as("p50"),
+          round(element_at(col("qs"), 2), 2).as("p90"),
+          round(element_at(col("qs"), 3), 2).as("p99"))
+        .orderBy("source")
+    (init, serve)
+  }
+
+  private[graft] val phased: Map[String, Phased] = Map(
+    "x_quantile_store" -> quantileStorePhased)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // HLL++ cardinality estimation — the corpus-stats primitive a 100 TB
     // deployment uses where exact countDistinct is a full shuffle of the
@@ -149,24 +178,7 @@ private[graft] object QSketchJoin {
     // compaction folds them to one row per source, and the query probes
     // the standing state — identical answers to the in-memory fold
     // prove the stored rank statistics are current over the union.
-    "x_quantile_store" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-        .select(col("source"), col("doc_id"), col("n_chars"))
-      val dir = tmpStore("stats_store")
-      graft.operators.StatsStore.init(s, dir,
-        docs.filter(pmod(col("doc_id"), lit(5)) === 1), "source", "n_chars")
-      for (i <- Seq(2, 3, 4, 0))
-        graft.operators.StatsStore.append(s, dir,
-          docs.filter(pmod(col("doc_id"), lit(5)) === i), "source", "n_chars",
-          name = Some(s"batch_$i"))
-      graft.operators.StatsStore.compact(s, dir)
-      graft.operators.StatsStore.quantiles(s, dir, Seq(0.5, 0.9, 0.99))
-        .select(col("g").as("source"), col("n").as("n_total"),
-          round(element_at(col("qs"), 1), 2).as("p50"),
-          round(element_at(col("qs"), 2), 2).as("p90"),
-          round(element_at(col("qs"), 3), 2).as("p99"))
-        .orderBy("source")
-    }),
+    "x_quantile_store" -> fused(quantileStorePhased),
     // Distributed quantile sketch (the percentile counterpart of the
     // HLL idiom): per-group approx_percentile at 1e-4 rank accuracy,
     // contract-checked in-plan against the exact quantiles with a

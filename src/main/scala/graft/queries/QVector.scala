@@ -18,6 +18,224 @@ import OracleDefs._
  */
 private[graft] object QVector {
 
+  // ── Stored-family phased forms (QShared.Phased): init builds the
+  // standing store, serve probes it; the `queries` entries are `fused`
+  // over the SAME definitions, and Bench times the phases separately
+  // (the store build dominated these queries' in-suite totals, drowning
+  // the serve-path trend in host noise every round). All corpus-side
+  // work is bound lazily so construction costs nothing — eager steps
+  // (localCheckpoint, store writes, k-means fits) run inside `init`.
+
+  /** Standing SemDeDup store: cluster-laid-out member table + fixed
+    * centroids; probe opens only the touched clusters' bucket files. */
+  private val semdedupStorePhased: Phased = (s, d) => {
+    lazy val e = T(s, d, "embeddings")
+    lazy val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    lazy val dir = tmpStore("semdedup_store")
+    val init = () => {
+      val cents = corpus.groupBy("label")
+        .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("cent"))
+      SemDedupStore.initWithCentroids(s, dir, corpus, cents,
+        "vec_id", "embedding", "label", "cent"); ()
+    }
+    val serve = () => {
+      val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      SemDedupStore.probe(s, dir, batch, "vec_id", "embedding", eps = 0.3)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          round(col("centroid_sim"), 6).as("centroid_sim"), col("kept"))
+        .orderBy("vec_id")
+    }
+    (init, serve)
+  }
+
+  /** Incremental BM25: additive postings ledger init + O(batch) append,
+    * then the term-pruned search. */
+  private val bm25IncrementalPhased: Phased = (s, d) => {
+    lazy val docs = T(s, d, "documents")
+    lazy val dir = tmpStore("bm25_inc")
+    val init = () => {
+      Bm25Store.init(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
+      Bm25Store.append(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text"); ()
+    }
+    val serve = () => {
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          text.firstKTokens(col("text"), 5).as("qtext"))
+      Bm25.searchIndex(Bm25Store.readIndex(s, dir), queries, "qid", "qtext",
+          k = 10, maxDfFrac = 1.0)
+        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }
+    (init, serve)
+  }
+
+  /** Persisted hybrid retrieval store. nprobe = nlist makes the semantic
+    * run EXACT regardless of centroid quality, so the in-query build
+    * keeps Lloyd to one iteration — the store build is the honest price
+    * of an oracle-checkable store query (the x_bm25_incremental
+    * pattern), not the serving path, which amortizes init across
+    * batches. */
+  private val hybridStoredPhased: Phased = (s, d) => {
+    lazy val docs = T(s, d, "documents")
+    lazy val emb = T(s, d, "embeddings")
+    lazy val dir = tmpStore("hybrid_store")
+    val init = () => {
+      graft.pipelines.Hybrid.init(s, dir, docs, "doc_id", "text",
+        emb, "vec_id", "embedding", nlist = 8, iters = 1); ()
+    }
+    val serve = () => {
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          text.firstKTokens(col("text"), 5).as("qtext"))
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+      graft.pipelines.Hybrid.search(s, dir, queries, "qid", "qtext", "qvec",
+          k = 10, kPerRun = 20, nprobe = 8, maxDfFrac = 1.0)
+        .orderBy("query_id", "rank")
+    }
+    (init, serve)
+  }
+
+  /** Standing media admission (image lane). Corpus split chosen so
+    * every verdict branch probes the STANDING store (see
+    * OracleDefs.mmAdmitSql): batch docs exact-hit stored shas,
+    * perceptual-hit stored patterns at a new shift, and fold
+    * batch-internally for the store-missing patterns. Serve =
+    * MediaStore.run — the per-batch probe+absorb production repeats. */
+  private val mmAdmitPhased: Phased = (s, d) => {
+    lazy val all = {
+      import s.implicits._
+      T(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val g = ((id / 3) % 40).toInt
+            val sh = (id % 3).toInt
+            val inC = g < 30 && sh < 2 && (id / 120) % 2 == 0
+            (id, MultimodalOps.fixturePng(g, sh * 5), inC)
+          }
+        }.toDF("id", "payload", "in_c")
+    }
+    lazy val dir = tmpStore("media_store")
+    val init = () => {
+      graft.operators.MediaStore.init(s, dir,
+        all.filter(col("in_c")).drop("in_c")); ()
+    }
+    val serve = () =>
+      graft.operators.MediaStore.run(s, dir,
+          all.filter(!col("in_c")).drop("in_c"), version = 1L)
+        .select(col("id").as("doc_id"), col("verdict"), col("rep_id"))
+        .orderBy("doc_id")
+    (init, serve)
+  }
+
+  /** The mixed-modality MediaStore admission (see the `queries` comment
+    * at the registration): image / PCM / GVF1 payloads under the
+    * modality-sniffed perceptual key, same oracle as
+    * x_mm_admit_incremental. */
+  private val mmMixedAdmitPhased: Phased = (s, d) => {
+    lazy val all = {
+      import s.implicits._
+      T(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val g = ((id / 3) % 40).toInt
+            val sh = (id % 3).toInt
+            val inC = g < 30 && sh < 2 && (id / 120) % 2 == 0
+            val payload = g % 3 match {
+              case 0 => MultimodalOps.fixturePng(g, sh * 5)
+              case 1 =>
+                val base = Array.tabulate(130 + (g % 5) * 13)(i =>
+                  (java.lang.Long.remainderUnsigned(
+                    MultimodalOps.fmix64(g * 1009L + i * 101L), 1601L)
+                    - 800L).toShort)
+                val samp = if (sh == 2) base.map(x => (x * 2).toShort) else base
+                MultimodalOps.synthesizeWav(8000f, samp, aiff = sh == 1)
+              case _ =>
+                MultimodalOps.synthesizeVideo((0 until 6).map(fr =>
+                  MultimodalOps.fixturePng(g * 50 + fr, sh * 5)))
+            }
+            (id, payload, inC)
+          }
+        }.toDF("id", "payload", "in_c")
+    }
+    lazy val dir = tmpStore("media_store_mixed")
+    val init = () => {
+      graft.operators.MediaStore.init(s, dir,
+        all.filter(col("in_c")).drop("in_c")); ()
+    }
+    val serve = () =>
+      graft.operators.MediaStore.run(s, dir,
+          all.filter(!col("in_c")).drop("in_c"), version = 1L)
+        .select(col("id").as("doc_id"), col("verdict"), col("rep_id"))
+        .orderBy("doc_id")
+    (init, serve)
+  }
+
+  /** PQ at rest: cells + residual codebook fit + store write/append in
+    * init; the stored probe, the stored≡memory equality leg, and the
+    * refine/recall gate in serve. */
+  private val annPqStoredPhased: Phased = (s, d) => {
+    lazy val ed = T(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .localCheckpoint(true)
+    lazy val cells = IvfAnn.buildCells(ed, "vec_id", "embedding", nlist = 16)
+    lazy val cb = {
+      val withCells = IvfAnn.assignCells(ed, "vec_id", "embedding", cells)
+        .join(broadcast(cells), col("cell") === col("cell_id"))
+        .select(col("vec_id"), col("cell"), col("cell_vec"), col("embedding"),
+          zip_with(col("embedding"), col("cell_vec"), (x, y) => x - y).as("resid"))
+        .localCheckpoint(true)
+      PqOps.trainCodebooks(withCells, "vec_id", "resid", m = 16, ksub = 16, dim = 64)
+    }
+    lazy val dir = tmpStore("pq_store")
+    lazy val codedOf = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.PqStore.encodeResiduals(
+        IvfAnn.assignCells(df, "vec_id", "embedding", cells),
+        cells, "vec_id", "embedding", cb, 64)
+    val init = () => {
+      graft.operators.PqStore.write(s, dir,
+        codedOf(ed.filter(col("vec_id") % 5 =!= 0)), "vec_id")
+      graft.operators.PqStore.append(s, dir, ed.filter(col("vec_id") % 5 === 0),
+        cells, "vec_id", "embedding", cb, 64, version = 1L); ()
+    }
+    val serve = () => {
+      val q = ed.filter(col("vec_id") < 20)
+      val stored = graft.operators.PqStore.search(dir, q, cells, cb,
+          "vec_id", "embedding", k = 50, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val recon = codedOf(ed)
+        .join(broadcast(cells), col("cell") === col("cell_id"))
+        .select(col("cell"), col("vec_id"),
+          zip_with(col("cell_vec"), PqOps.reconstruct(col("codes"), cb),
+            (a, b) => a + b).as("embedding"))
+      val mem = IvfAnn.annSearch(q, recon, cells, "vec_id", "embedding",
+          k = 50, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val storedEq = stored.unionByName(mem).distinct().count() == stored.count() &&
+        stored.count() == mem.count()
+      val approx = refineShortlist(stored, ed, q)
+      annGate(approx, q, ed, recallMin = 0.7)
+        .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
+          lit(storedEq).as("stored_eq_memory"), col("recall_ok"))
+    }
+    (init, serve)
+  }
+
+  /** The stored-family phased registry this group contributes —
+    * aggregated by [[SparkEntry.phasedQueries]] for Bench's split
+    * timings. Every name here is also a plain `queries` entry via
+    * [[QShared.fused]]. */
+  private[graft] val phased: Map[String, Phased] = Map(
+    "x_semdedup_store" -> semdedupStorePhased,
+    "x_bm25_incremental" -> bm25IncrementalPhased,
+    "x_hybrid_stored" -> hybridStoredPhased,
+    "x_mm_admit_incremental" -> mmAdmitPhased,
+    "x_mm_mixed_admit" -> mmMixedAdmitPhased,
+    "x_ann_pq_stored" -> annPqStoredPhased)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Product quantization (Jégou et al. 2011) + exact refine — the
     // FAISS IndexRefineFlat serving shape: the corpus re-expressed as
@@ -143,20 +361,7 @@ private[graft] object QVector {
     // bucket-pruned read — same deterministic per-label centroids, so
     // the SAME oracle replays both (probe ≡ incremental is additionally
     // spec-pinned on the store's own k-means path).
-    "x_semdedup_store" -> ((s, d) => {
-      val e = T(s, d, "embeddings")
-      val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
-      val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
-      val cents = corpus.groupBy("label")
-        .agg(VectorMeanFast(col("embedding").cast("array<double>")).as("cent"))
-      val dir = tmpStore("semdedup_store")
-      SemDedupStore.initWithCentroids(s, dir, corpus, cents,
-        "vec_id", "embedding", "label", "cent")
-      SemDedupStore.probe(s, dir, batch, "vec_id", "embedding", eps = 0.3)
-        .select(col("id").as("vec_id"), col("cluster_id"),
-          round(col("centroid_sim"), 6).as("centroid_sim"), col("kept"))
-        .orderBy("vec_id")
-    }),
+    "x_semdedup_store" -> fused(semdedupStorePhased),
     // Embedding-dedup cascade end-to-end — the vector analog of
     // pipe_dedup_e2e: exact epsilon-grid cosine pairs → connected
     // components → min-id representative; one verdict row per vector.
@@ -225,21 +430,7 @@ private[graft] object QVector {
     // the last 1/5, search the assembled relation — must equal the
     // monolithic BM25 oracle over the FULL corpus, proving the appended
     // statistics are current, not stale.
-    "x_bm25_incremental" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val dir = tmpStore("bm25_inc")
-      Bm25Store.init(s, dir,
-        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
-      Bm25Store.append(s, dir,
-        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
-      val queries = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("qid"),
-          text.firstKTokens(col("text"), 5).as("qtext"))
-      Bm25.searchIndex(Bm25Store.readIndex(s, dir), queries, "qid", "qtext",
-          k = 10, maxDfFrac = 1.0)
-        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
-        .orderBy("query_id", "rank")
-    }),
+    "x_bm25_incremental" -> fused(bm25IncrementalPhased),
     // Deletion on the standing BM25 store: init over the full corpus,
     // tombstone-delete the %5 slice, compact (physical removal + df
     // rebuild — the Lucene segment-merge point where stale idf becomes
@@ -362,25 +553,7 @@ private[graft] object QVector {
     // BM25 postings read with a probed-cell file-pruned ANN read. At
     // nprobe = nlist the semantic run is exact, so the result equals the
     // in-memory x_hybrid_rrf fusion — same oracle replays both.
-    "x_hybrid_stored" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val emb = T(s, d, "embeddings")
-      val dir = tmpStore("hybrid_store")
-      // nprobe = nlist makes the semantic run EXACT regardless of
-      // centroid quality, so the in-query build keeps Lloyd to one
-      // iteration — the store build is the honest price of an
-      // oracle-checkable store query (the x_bm25_incremental pattern),
-      // not the serving path, which amortizes init across batches.
-      graft.pipelines.Hybrid.init(s, dir, docs, "doc_id", "text",
-        emb, "vec_id", "embedding", nlist = 8, iters = 1)
-      val queries = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("qid"),
-          text.firstKTokens(col("text"), 5).as("qtext"))
-        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
-      graft.pipelines.Hybrid.search(s, dir, queries, "qid", "qtext", "qvec",
-          k = 10, kPerRun = 20, nprobe = 8, maxDfFrac = 1.0)
-        .orderBy("query_id", "rank")
-    }),
+    "x_hybrid_stored" -> fused(hybridStoredPhased),
     "x_mm_meta" -> ((s, d) => {
       MultimodalOps.withPayloadMeta(
           T(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
@@ -679,30 +852,7 @@ private[graft] object QVector {
     // oracle encodes that: a doc whose (pattern, shift) matches only a
     // dropped earlier batch doc is a near-duplicate of the pattern's
     // FIRST doc, not an exact duplicate of the dropped one).
-    "x_mm_admit_incremental" -> ((s, d) => {
-      import s.implicits._
-      // Corpus split chosen so every verdict branch probes the STANDING
-      // store (see OracleDefs.mmAdmitSql): batch docs exact-hit stored
-      // shas, perceptual-hit stored patterns at a new shift, and fold
-      // batch-internally for the store-missing patterns.
-      val all = T(s, d, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions { it =>
-          javax.imageio.ImageIO.setUseCache(false)
-          it.map { id =>
-            val g = ((id / 3) % 40).toInt
-            val sh = (id % 3).toInt
-            val inC = g < 30 && sh < 2 && (id / 120) % 2 == 0
-            (id, MultimodalOps.fixturePng(g, sh * 5), inC)
-          }
-        }.toDF("id", "payload", "in_c")
-      val dir = tmpStore("media_store")
-      graft.operators.MediaStore.init(s, dir,
-        all.filter(col("in_c")).drop("in_c"))
-      graft.operators.MediaStore.run(s, dir,
-          all.filter(!col("in_c")).drop("in_c"), version = 1L)
-        .select(col("id").as("doc_id"), col("verdict"), col("rep_id"))
-        .orderBy("doc_id")
-    }),
+    "x_mm_admit_incremental" -> fused(mmAdmitPhased),
     // The SAME standing-store admission over a MIXED-modality corpus:
     // pattern g's payload is an image (g%3=0), a PCM recording (g%3=1:
     // shift 0 = WAV, 1 = the byte-different AIFF container, 2 = exactly
@@ -712,39 +862,7 @@ private[graft] object QVector {
     // salts keep modalities from aliasing. Same oracle as
     // x_mm_admit_incremental: both fixtures keep payload ≡ (g, sh) and
     // perceptual key ≡ g, so the group arithmetic is identical.
-    "x_mm_mixed_admit" -> ((s, d) => {
-      import s.implicits._
-      val all = T(s, d, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions { it =>
-          javax.imageio.ImageIO.setUseCache(false)
-          it.map { id =>
-            val g = ((id / 3) % 40).toInt
-            val sh = (id % 3).toInt
-            val inC = g < 30 && sh < 2 && (id / 120) % 2 == 0
-            val payload = g % 3 match {
-              case 0 => MultimodalOps.fixturePng(g, sh * 5)
-              case 1 =>
-                val base = Array.tabulate(130 + (g % 5) * 13)(i =>
-                  (java.lang.Long.remainderUnsigned(
-                    MultimodalOps.fmix64(g * 1009L + i * 101L), 1601L)
-                    - 800L).toShort)
-                val samp = if (sh == 2) base.map(x => (x * 2).toShort) else base
-                MultimodalOps.synthesizeWav(8000f, samp, aiff = sh == 1)
-              case _ =>
-                MultimodalOps.synthesizeVideo((0 until 6).map(fr =>
-                  MultimodalOps.fixturePng(g * 50 + fr, sh * 5)))
-            }
-            (id, payload, inC)
-          }
-        }.toDF("id", "payload", "in_c")
-      val dir = tmpStore("media_store_mixed")
-      graft.operators.MediaStore.init(s, dir,
-        all.filter(col("in_c")).drop("in_c"))
-      graft.operators.MediaStore.run(s, dir,
-          all.filter(!col("in_c")).drop("in_c"), version = 1L)
-        .select(col("id").as("doc_id"), col("verdict"), col("rep_id"))
-        .orderBy("doc_id")
-    }),
+    "x_mm_mixed_admit" -> fused(mmMixedAdmitPhased),
     // REAL image resize: decode → aspect-fit bilinear Graphics2D scale
     // into 16×16 → PNG re-encode → verification re-decode, all inside
     // one partition (x_mm_resize pins the same geometry as column
@@ -820,45 +938,7 @@ private[graft] object QVector {
     // stored shortlist must EQUAL the in-memory search over the same
     // reconstruction (the store adds no approximation), and refined
     // recall holds the x_ann_ivf_pq band.
-    "x_ann_pq_stored" -> ((s, d) => {
-      val e = T(s, d, "embeddings")
-      val ed = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-        .localCheckpoint(true)
-      val cells = IvfAnn.buildCells(ed, "vec_id", "embedding", nlist = 16)
-      val withCells = IvfAnn.assignCells(ed, "vec_id", "embedding", cells)
-        .join(broadcast(cells), col("cell") === col("cell_id"))
-        .select(col("vec_id"), col("cell"), col("cell_vec"), col("embedding"),
-          zip_with(col("embedding"), col("cell_vec"), (x, y) => x - y).as("resid"))
-        .localCheckpoint(true)
-      val cb = PqOps.trainCodebooks(withCells, "vec_id", "resid", m = 16, ksub = 16, dim = 64)
-      val dir = tmpStore("pq_store")
-      val codedOf = (df: org.apache.spark.sql.DataFrame) =>
-        graft.operators.PqStore.encodeResiduals(
-          IvfAnn.assignCells(df, "vec_id", "embedding", cells),
-          cells, "vec_id", "embedding", cb, 64)
-      graft.operators.PqStore.write(s, dir,
-        codedOf(ed.filter(col("vec_id") % 5 =!= 0)), "vec_id")
-      graft.operators.PqStore.append(s, dir, ed.filter(col("vec_id") % 5 === 0),
-        cells, "vec_id", "embedding", cb, 64, version = 1L)
-      val q = ed.filter(col("vec_id") < 20)
-      val stored = graft.operators.PqStore.search(dir, q, cells, cb,
-          "vec_id", "embedding", k = 50, nprobe = 8)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
-      val recon = codedOf(ed)
-        .join(broadcast(cells), col("cell") === col("cell_id"))
-        .select(col("cell"), col("vec_id"),
-          zip_with(col("cell_vec"), PqOps.reconstruct(col("codes"), cb),
-            (a, b) => a + b).as("embedding"))
-      val mem = IvfAnn.annSearch(q, recon, cells, "vec_id", "embedding",
-          k = 50, nprobe = 8)
-        .select(col("query_id"), col("neighbor_id"))
-      val storedEq = stored.unionByName(mem).distinct().count() == stored.count() &&
-        stored.count() == mem.count()
-      val approx = refineShortlist(stored, ed, q)
-      annGate(approx, q, ed, recallMin = 0.7)
-        .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
-          lit(storedEq).as("stored_eq_memory"), col("recall_ok"))
-    }),
+    "x_ann_pq_stored" -> fused(annPqStoredPhased),
     "x_ann_ivf" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val cells = IvfAnn.buildCells(e, "vec_id", "embedding", nlist = 16)

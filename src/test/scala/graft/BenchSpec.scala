@@ -11,11 +11,25 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
     val qs = Map[String, (SparkSession, String) => DataFrame](
       "ok_query" -> ((s, _) => s.range(100).toDF("n")),
       "poisoned" -> ((_, _) => throw new RuntimeException("boom")))
-    val (results, failures) = Bench.run(spark, sf(), qs, runs = 2)
+    val (results, stored, failures) = Bench.run(spark, sf(), qs, runs = 2)
     assert(results.map(_._1) === Seq("ok_query"))
     assert(results.head._2 > 0.0)
+    assert(stored.isEmpty, "no stored-family names in this query set")
     assert(failures.keySet === Set("poisoned"))
     assert(failures("poisoned").contains("boom"))
+  }
+
+  test("stored-family queries get split init/serve timings that sum to the total") {
+    val phasedName = "x_quantile_store" // a SparkEntry.phasedQueries member
+    val qs = SparkEntry.selectQueries(phasedName)
+    val (results, stored, failures) = Bench.run(spark, sf(), qs, runs = 1)
+    assert(failures.isEmpty, s"failures: $failures")
+    assert(results.map(_._1) === Seq(phasedName))
+    val (init, serve) = stored(phasedName)
+    assert(init > 0.0 && serve > 0.0)
+    val total = results.head._2
+    assert(math.abs(init + serve - total) < 0.05 * total + 0.01,
+      s"split must sum to the recorded total: $init + $serve vs $total")
   }
 
   test("median of 3 runs discards a single outlier pass") {
@@ -29,7 +43,7 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
         if (call == 2) Thread.sleep(3000)
         s.range(10).toDF("n")
       }))
-    val (results, _) = Bench.run(spark, sf(), qs, runs = 3)
+    val (results, _, _) = Bench.run(spark, sf(), qs, runs = 3)
     assert(results.head._2 < 3.0, s"median should not absorb the outlier: ${results.head._2}")
   }
 }

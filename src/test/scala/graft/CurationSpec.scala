@@ -227,6 +227,38 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bpeTrain: local fold == distributed per-merge loop (merge table AND dict)") {
+    import spark.implicits._
+    val docs = graft.core.Fixtures.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    // maxLocalDict = 0 forces the distributed escalation; the default
+    // routes the same training through the driver-local fold. Identical
+    // greedy semantics must mean identical artifacts.
+    val (mLocal, dLocal) =
+      CurationOps.bpeTrain(docs, "text", merges = 24, keepDict = true)
+    val (mDist, dDist) = CurationOps.bpeTrain(docs, "text", merges = 24,
+      keepDict = true, maxLocalDict = 0)
+    assert(mLocal == mDist, "merge tables must be identical")
+    def dictRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(dictRows(dLocal) === dictRows(dDist), "final dicts must be identical")
+  }
+
+  test("bpeTrain: a 1k-merge training run completes in seconds under the local fold") {
+    // The production concern the local fold exists for: a 30k-merge
+    // vocabulary as 30k sequential driver-paced Spark jobs is a
+    // scheduling disaster. Under the fold, 1k merges over the fixture
+    // corpus must be interactive — the bound is deliberately generous
+    // (CI hosts vary); the old per-merge-job path took minutes.
+    val docs = graft.core.Fixtures.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val t0 = System.nanoTime()
+    val (out, _) = CurationOps.bpeTrain(docs, "text", merges = 1000, keepDict = false)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.nonEmpty && out.size <= 1000)
+    assert(secs < 60.0, f"1k merges took $secs%.1f s — driver pacing regressed")
+  }
+
   test("bpeEncode: per-doc token counts shrink under the learned merges") {
     import spark.implicits._
     // 2 merges on "banana"-heavy text: (an) then (ban? or na?) — counts:
@@ -686,5 +718,26 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got(6L) === "&lt;kept&gt; & done")
     assert(got(7L) === "")
     assert(got(8L) === "no markup at all")
+  }
+
+  test("htmlExtract: mismatched and unclosed script/style blocks cannot leak contents") {
+    import spark.implicits._
+    val cases = Seq(
+      // Mismatched close: '</style>' must NOT close a '<script>' block —
+      // the whole run through the real '</script>' drops.
+      1L -> "<script>var a = 1;</style>var b = 2;</script>after",
+      // Unclosed trailing script: contents must not fall through to the
+      // tag-stripper as text.
+      2L -> "before<script>var secret = token();",
+      3L -> "before<style>h1 { color: red }",
+      // Style closed by '</script>' — same rule, other kind.
+      4L -> "<style>p { }</script>p { still css }</style>kept")
+    val got = cases.toDF("id", "h")
+      .select(col("id"), CurationOps.htmlExtract(col("h")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "after", "a '</style>' must not close a script block")
+    assert(got(2L) === "before", "unclosed script drops to end of input")
+    assert(got(3L) === "before", "unclosed style drops to end of input")
+    assert(got(4L) === "kept", "a '</script>' must not close a style block")
   }
 }

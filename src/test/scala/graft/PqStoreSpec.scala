@@ -208,4 +208,23 @@ class PqStoreSpec extends AnyFunSuite with SparkSpec {
     PqStore.dropSnapshot(dir, "v1")
     assert(!PqStore.snapshotPinned(dir, "v1"))
   }
+
+  test("snapshot is idempotent-or-refuse: unchanged re-take no-op, moved store refuses") {
+    val dir = tmp()
+    PqStore.write(spark, dir, coded(base), "vec_id", numBuckets = 16)
+    PqStore.snapshot(dir, "v1")
+    val pinned = graft.sources.TableSink.listSnapshots(dir)("v1")
+    // Re-take over an UNCHANGED store: a crashed Release.freeze re-run —
+    // must be a no-op, never a re-point.
+    PqStore.snapshot(dir, "v1")
+    assert(graft.sources.TableSink.listSnapshots(dir)("v1") === pinned)
+    // Mutate, then re-take the same tag: silent re-pointing would commit
+    // post-mutation state under the old name — must refuse loudly.
+    PqStore.append(spark, dir, extra, cells, "vec_id", "embedding", cb, Dim,
+      version = 1L)
+    val e = intercept[IllegalArgumentException](PqStore.snapshot(dir, "v1"))
+    assert(e.getMessage.contains("refusing to re-point"))
+    assert(graft.sources.TableSink.listSnapshots(dir)("v1") === pinned,
+      "the refused snapshot must not have moved the pin")
+  }
 }

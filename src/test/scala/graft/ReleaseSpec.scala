@@ -115,6 +115,36 @@ class ReleaseSpec extends AnyFunSuite with SparkSpec {
     assert(Release.list(mdir) === Seq("v1"))
   }
 
+  test("a freeze re-run refuses to re-point a table member that moved on") {
+    val mdir = tmp("rel-manifest5")
+    val lm = tmp("rel-lm5") + "/never-inited"
+    val tbl = tmp("rel-tbl5") + "/t"
+    TableSink.upsert(spark, tbl,
+      Seq((1L, 10.0, 0L)).toDF("id", "v", "__v"), Seq("id"), "__v")
+    val members = Seq(Release.Member("table", tbl), Release.Member("lm", lm))
+    // The lm member has no store → freeze fails AFTER the table member
+    // took the tag; no manifest commits (the crash-mid-freeze shape).
+    intercept[Exception](Release.freeze(spark, mdir, "v1", members))
+    assert(Release.list(mdir).isEmpty)
+    assert(TableSink.listSnapshots(tbl).contains("v1"))
+    // Re-run over an UNCHANGED table: the pre-check accepts the
+    // half-taken tag as a no-op and the freeze completes.
+    LmStore.init(spark, lm, c0, "text")
+    Release.freeze(spark, mdir, "v1", members)
+    assert(Release.list(mdir) === Seq("v1"))
+    Release.drop(spark, mdir, "v1")
+    // Now the dangerous shape: half-taken tag, THEN the table mutates.
+    // A bare TableSink.snapshot would silently re-point the tag at the
+    // post-mutation generation — the freeze must refuse instead.
+    TableSink.snapshot(tbl, "v2")
+    TableSink.upsert(spark, tbl,
+      Seq((2L, 20.0, 1L)).toDF("id", "v", "__v"), Seq("id"), "__v")
+    val e = intercept[IllegalArgumentException](
+      Release.freeze(spark, mdir, "v2", Seq(Release.Member("table", tbl))))
+    assert(e.getMessage.contains("refusing to re-point"))
+    assert(Release.list(mdir).isEmpty, "the refused freeze must not commit")
+  }
+
   test("drop releases every pin and deletes the manifest; unknown kinds refuse") {
     val mdir = tmp("rel-manifest3")
     val lm = tmp("rel-lm3") + "/s"

@@ -175,6 +175,59 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
       s"crossed side must push n_docs < minDocs into the scan:\n$plan")
   }
 
+  test("maximalRepeats: exact variable-length extents at misaligned offsets — " +
+    "the spans the fixed-k shingle index cannot report") {
+    import spark.implicits._
+    // A 12-token phrase planted in two docs at DIFFERENT offsets (3 and
+    // 2 tokens in), surrounded by unique prose. k = 6 windows.
+    val phrase = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    val d = Seq(
+      (1L, s"a b c $phrase x y"),
+      (2L, s"q r $phrase z"),
+      (3L, "entirely unrelated filler prose with no duplication here at all"),
+      // Within-doc overlapping self-repeat: seven 'w's — the maximal
+      // self-match is w×6 at offsets (3, 4).
+      (4L, "u v w w w w w w w tail")
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.maximalRepeats(d, "doc_id", "text", minLen = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getString(5))).toSet
+    assert(got === Set(
+      // ONE maximal 12-token match with exact per-doc offsets — a k=6
+      // shingle inventory reports this as 7 separate fixed-width rows
+      // and can never align the offsets 4-vs-3.
+      (1L, 4, 2L, 3, 12, phrase),
+      (4L, 3, 4L, 4, 6, "w w w w w w")))
+  }
+
+  test("maximalRepeats: occurrence cap excludes ubiquitous spans; runs respect it") {
+    import spark.implicits._
+    // The same 8-token phrase in 5 docs; cap 4 → every pair excluded.
+    val phrase = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val d = (1L to 5L).map(i => (i, s"unique$i lead$i $phrase tail$i")).toDF("doc_id", "text")
+    assert(SpanDedup.maximalRepeats(d, "doc_id", "text", minLen = 8, maxOcc = 4)
+      .count() === 0L)
+    // Raise the cap: C(5,2) = 10 pairs, all full extent.
+    val got = SpanDedup.maximalRepeats(d, "doc_id", "text", minLen = 8, maxOcc = 16)
+    assert(got.count() === 10L)
+    assert(got.filter(col("len_tokens") === 8 && col("span") === phrase).count() === 10L)
+  }
+
+  test("maximalRepeats: span text never enters a shuffle exchange") {
+    val exchanges = shuffleOutputs(
+      SpanDedup.maximalRepeats(docs, "doc_id", "text", minLen = 6))
+    // Windows shuffle digests + ints only; the representative span is a
+    // map-side slice under a broadcast of the run relation, so NO
+    // exchange may carry a string column (unlike duplicatedSpansDigest,
+    // whose rep pass aggregates span text — here the text re-derives
+    // from the doc's own tokens in place).
+    val withString = exchanges.count(_.exists(
+      _._2 == org.apache.spark.sql.types.StringType))
+    assert(exchanges.nonEmpty)
+    assert(withString === 0,
+      s"no exchange may carry span text: $exchanges")
+  }
+
   test("duplicatedSpansDigest: only the duplicated-representative exchange carries span text") {
     val exchanges = shuffleOutputs(
       SpanDedup.duplicatedSpansDigest(docs, "doc_id", "text", k = 8))

@@ -4,10 +4,17 @@
 Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over the sfDir tables, and
-compares: column names (sorted), row counts, and values (exact, with a
-float fallback report at 1e-9 relative tolerance so we can tell "rounding
-boundary" from "wrong answer")."""
+compares: column names (sorted), row counts, and values.
+
+The value compare is EXACT the way the driver's hash is exact: floats are
+canonicalized via repr(), which distinguishes -0.0 from 0.0 (Python's ==
+does not — exactly how a 27-row -0.0 divergence shipped as "parity-green"
+in round 14) and makes NaN equal to NaN. Decimal results (DuckDB decimal
+arithmetic) canonicalize through float first so a decimal 1.5 still equals
+a double 1.5. The old isclose(1e-9) check survives only as the DIAGNOSTIC
+label on failures: "rounding boundary" vs "wrong answer"."""
 import sys, os, json, glob, math
+from decimal import Decimal
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -19,10 +26,21 @@ def canon(rows, cols):
         out.append(tuple(tuple(v) if isinstance(v, list) else v for v in (r[i] for i in idx)))
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
+def exactv(v):
+    """Driver-faithful canonical form: repr for floats keeps the sign of
+    zero and unifies NaN; everything else compares as-is."""
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, tuple):
+        return tuple(exactv(x) for x in v)
+    return v
+
 def approx_eq(a, b):
     if a is None or b is None:
         return a is b
-    if isinstance(a, float) or isinstance(b, float):
+    if isinstance(a, float) or isinstance(b, float) or isinstance(a, Decimal) or isinstance(b, Decimal):
         try:
             return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-12)
         except (TypeError, ValueError):
@@ -58,11 +76,11 @@ def main(sf_dir, out_dir):
         if len(grows) != len(erows):
             print(f"FAIL {name}: rows spark={len(grows)} oracle={len(erows)}"); n_fail += 1; continue
         g, e = canon(grows, gcols), canon(erows, ecols)
-        bad = [(i, x, y) for i, (x, y) in enumerate(zip(g, e)) if x != y]
+        bad = [(i, x, y) for i, (x, y) in enumerate(zip(g, e)) if exactv(x) != exactv(y)]
         if not bad:
             print(f"PASS {name} ({len(grows)} rows)"); n_pass += 1; continue
         napprox = sum(1 for _, x, y in bad if approx_eq(x, y))
-        print(f"FAIL {name}: {len(bad)}/{len(g)} mismatched rows ({napprox} within 1e-9 → rounding boundary)")
+        print(f"FAIL {name}: {len(bad)}/{len(g)} mismatched rows ({napprox} within 1e-9 → rounding boundary, not wrong answer)")
         for i, x, y in bad[:3]:
             print(f"   row {i}:\n     spark  ={x}\n     oracle ={y}")
         n_fail += 1
