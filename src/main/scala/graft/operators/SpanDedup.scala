@@ -210,6 +210,50 @@ object SpanDedup {
   }
 
   /**
+   * KEEP-FIRST span removal — the survivorship policy of
+   * [[scrubSpansDigest]]: one CANONICAL occurrence of every duplicated
+   * window survives (the minimum (id, position) site — deterministic,
+   * order-free) and only the other occurrences' positions are covered.
+   * The all-copies scrub deletes duplicated content from the corpus
+   * entirely; a training pipeline usually wants exactly one copy of a
+   * license block or a famous quote to REMAIN — the keep-first rule the
+   * document/line/media dedup families here already apply, at span
+   * granularity.
+   *
+   * Two deliberate semantic differences from the all-copies scrub,
+   * both ExactSubstr-faithful (Lee et al. 2022 dedup within documents
+   * too): duplication counts total OCCURRENCES (≥ 2), not distinct
+   * documents, so a span repeated inside ONE document deduplicates;
+   * and a kept canonical site can still lose positions to an
+   * overlapping duplicated window whose own canonical lies elsewhere
+   * (coverage is a union over windows, as in the all-copies form).
+   *
+   * Scale shape: identical to [[scrubSpansDigest]] — the detection
+   * aggregate additionally carries min(struct(id, i)) per digest
+   * (partial-combinable), the duplicated set broadcasts back, and the
+   * canonical site drops out with one struct inequality before the
+   * position explode. Span text appears in no exchange.
+   */
+  def scrubSpansKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, broadcastDups: Boolean = true): DataFrame = {
+    val (h1, h2) = spanDigests(col("span"))
+    val win = spanWindows(docs, idCol, textCol, k)
+      .select(col(idCol), col("i"), h1.as("__h1"), h2.as("__h2"))
+    val dup = win
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col(idCol), col("i"))).as("__first"))
+      .where(col("__occ") >= 2)
+      .select(col("__h1"), col("__h2"), col("__first"))
+    val cover = win.join(if (broadcastDups) broadcast(dup) else dup, Seq("__h1", "__h2"))
+      .where(struct(col(idCol), col("i")) =!= col("__first"))
+      .select(col(idCol), explode(sequence(col("i"), col("i") + lit(k - 1))).as("pos"))
+      .distinct()
+      .withColumn("__cov", lit(1))
+    scrubWithCoverage(docs, idCol, textCol, cover)
+  }
+
+  /**
    * Standing span-digest inventory of a corpus — the table a production
    * ingest pipeline keeps NEXT TO the corpus so every new batch can be
    * span-scrubbed WITHOUT rescanning the corpus (the substring analog of

@@ -440,6 +440,17 @@ private[graft] object QDedup {
       SpanDedup.scrubSpansDigest(T(s, d, "documents"), "doc_id", "text", k = 8)
         .orderBy("doc_id")
     }),
+    // Keep-first span removal — the ExactSubstr survivorship policy:
+    // ONE canonical occurrence (min (doc, pos)) of every duplicated
+    // window survives, the rest scrub; duplication counts total
+    // occurrences (within-doc repeats dedup too). The all-copies scrub
+    // above deletes a license block from the corpus entirely; this
+    // keeps exactly one copy — the keep-first rule the doc/line/media
+    // families already apply, at span granularity.
+    "x_substring_scrub_keepfirst" -> ((s, d) => {
+      SpanDedup.scrubSpansKeepFirst(T(s, d, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
     // The standing span-digest inventory, summarized as its doc-frequency
     // histogram (digest values are engine-internal; the histogram is
     // exactly replayable from the string spans, so a hash match proves
@@ -586,6 +597,38 @@ private[graft] object QDedup {
         |     cover AS (SELECT DISTINCT w.doc_id, u.pos
         |               FROM win w JOIN dup USING (span),
         |                    unnest(generate_series(w.i, w.i + 7)) AS u(pos)),
+        |     tok_pos AS (SELECT doc_id, i AS pos, t[i] AS tok
+        |                 FROM (SELECT doc_id, t,
+        |                         unnest(generate_series(1, len(t))) AS i FROM toks)),
+        |     agg AS (SELECT tp.doc_id, count(*) AS n_tokens,
+        |               count(c.pos) AS n_removed,
+        |               coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+        |                 ' ' ORDER BY tp.pos), '') AS clean_text
+        |             FROM tok_pos tp LEFT JOIN cover c
+        |               ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+        |             GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+        |       coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // Keep-first replay: duplicated = total occurrences >= 2 (NOT
+    // distinct docs — within-doc repeats dedup under this policy), the
+    // canonical survivor is row_number() = 1 over (doc_id, i) per span,
+    // coverage unions over the non-canonical occurrences only.
+    "x_substring_scrub_keepfirst" ->
+      s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+        |     win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+        |             FROM (SELECT doc_id, t,
+        |                     unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |     occ AS (SELECT doc_id, i, span,
+        |               count(*) OVER (PARTITION BY span) AS n_occ,
+        |               row_number() OVER (PARTITION BY span
+        |                 ORDER BY doc_id, i) AS rn
+        |             FROM win),
+        |     cover AS (SELECT DISTINCT o.doc_id, u.pos
+        |               FROM occ o, unnest(generate_series(o.i, o.i + 7)) AS u(pos)
+        |               WHERE o.n_occ >= 2 AND o.rn > 1),
         |     tok_pos AS (SELECT doc_id, i AS pos, t[i] AS tok
         |                 FROM (SELECT doc_id, t,
         |                         unnest(generate_series(1, len(t))) AS i FROM toks)),

@@ -213,6 +213,49 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.filter(col("len_tokens") === 8 && col("span") === phrase).count() === 10L)
   }
 
+  test("scrubSpansKeepFirst: canonical occurrence survives, later copies scrub, " +
+    "within-doc repeats dedup") {
+    import spark.implicits._
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val d = Seq(
+      // doc 1 holds the canonical (min (doc, pos)) occurrence — kept.
+      (1L, s"$phrase unique one two three"),
+      // doc 2's copy is non-canonical — scrubbed.
+      (2L, s"prefix words here $phrase trailing bits"),
+      // doc 3 repeats an 8-token run TWICE within itself: first copy
+      // kept, second scrubbed (occurrence-counted, not doc-counted —
+      // the all-copies scrub would not touch this doc at all).
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 mid r1 r2 r3 r4 r5 r6 r7 r8"),
+      (4L, "wholly unique prose with no duplication anywhere at all")
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.scrubSpansKeepFirst(d, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) === ((12L, 0L, s"$phrase unique one two three")),
+      "canonical occurrence must survive untouched")
+    assert(got(2L) === ((13L, 8L, "prefix words here trailing bits")),
+      "the non-canonical copy must scrub")
+    assert(got(3L) === ((17L, 8L, "r1 r2 r3 r4 r5 r6 r7 r8 mid")),
+      "a within-doc repeat deduplicates (keep the first copy)")
+    assert(got(4L)._2 === 0L)
+    // Contrast pin: the all-copies scrub removes BOTH cross-doc copies
+    // and leaves the within-doc repeat alone (distinct-doc counting).
+    val all = SpanDedup.scrubSpansDigest(d, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(all(1L) === 8L && all(2L) === 8L && all(3L) === 0L)
+  }
+
+  test("scrubSpansKeepFirst: span text never enters a shuffle exchange") {
+    val exchanges = shuffleOutputs(
+      SpanDedup.scrubSpansKeepFirst(docs, "doc_id", "text", k = 8))
+    assert(exchanges.nonEmpty)
+    // Same contract as scrubSpansDigest: the detection and coverage
+    // exchanges carry digests + the canonical (id, i) struct + ints —
+    // never a span attribute (single tokens in the reassembly agg are
+    // the only strings anywhere).
+    assert(exchanges.forall(out => !out.exists(_._1.contains("span"))),
+      s"span text shuffled: $exchanges")
+  }
+
   test("maximalRepeats: span text never enters a shuffle exchange") {
     val exchanges = shuffleOutputs(
       SpanDedup.maximalRepeats(docs, "doc_id", "text", minLen = 6))
