@@ -346,6 +346,55 @@ object SpanDedup {
     scrubWithCoverage(batch, idCol, textCol, cover)
   }
 
+  /**
+   * Admission-time KEEP-FIRST span scrub — [[scrubSpansKeepFirst]]'s
+   * per-batch production form against the standing [[spanDigestIndex]]:
+   * the corpus arrived FIRST, so the canonical copy of any span the
+   * index already holds lives in the corpus and EVERY batch occurrence
+   * of it scrubs (mere presence, n_occ ≥ 1 — unlike the all-copies
+   * incremental scrub there is no threshold-crossing arithmetic);
+   * corpus-NOVEL spans duplicated within the batch keep their batch-
+   * canonical min (id, position) occurrence and scrub the rest. On an
+   * id-ordered ingest (every corpus id below every batch id) this is
+   * EXACTLY the global keep-first over corpus ∪ batch restricted to the
+   * batch — the incremental-equality law, spec-pinned; under arbitrary
+   * ids it is the arrival-order semantics an append-only pipeline
+   * actually wants (first INGESTED copy survives).
+   *
+   * Scale shape: O(batch) window work; the index contributes ONE
+   * map-only scan probed by a broadcast of the batch's distinct digests
+   * (the [[scrubAgainstIndex]] crossed-probe idiom), returning only the
+   * batch-relevant hit set (O(batch distinct digests)) — corpus text is
+   * never reread and the index never shuffles. `broadcastProbes =
+   * false` runs the probes shuffled for a genuinely huge batch.
+   */
+  def scrubKeepFirstAgainstIndex(batch: DataFrame, index: DataFrame,
+                                 idCol: String, textCol: String, k: Int,
+                                 broadcastProbes: Boolean = true): DataFrame = {
+    val bcast = if (broadcastProbes) (df: DataFrame) => broadcast(df)
+                else (df: DataFrame) => df
+    val (h1, h2) = spanDigests(col("span"))
+    val win = spanWindows(batch, idCol, textCol, k)
+      .select(col(idCol), col("i"), h1.as("__h1"), h2.as("__h2"))
+    val batchAgg = win
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("__bn"),
+        min(struct(col(idCol), col("i"))).as("__first"))
+    val corpusHit = index
+      .join(bcast(batchAgg.select(col("__h1"), col("__h2"))), Seq("__h1", "__h2"))
+      .select(col("__h1"), col("__h2"))
+      .withColumn("__inc", lit(1))
+    val cover = win
+      .join(bcast(batchAgg), Seq("__h1", "__h2"))
+      .join(bcast(corpusHit), Seq("__h1", "__h2"), "left")
+      .where(col("__inc").isNotNull ||
+        (col("__bn") >= 2 && struct(col(idCol), col("i")) =!= col("__first")))
+      .select(col(idCol), explode(sequence(col("i"), col("i") + lit(k - 1))).as("pos"))
+      .distinct()
+      .withColumn("__cov", lit(1))
+    scrubWithCoverage(batch, idCol, textCol, cover)
+  }
+
   /** Shared reassembly: join the (id, pos) coverage set onto the token
     * positions, keep uncovered tokens, restore order without a sort
     * exchange, zero-fill docs that produced no tokens. */

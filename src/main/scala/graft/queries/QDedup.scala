@@ -488,6 +488,21 @@ private[graft] object QDedup {
       SpanDedup.maximalRepeats(p, "doc_id", "text", minLen = 8, maxOcc = 64)
         .orderBy("id_a", "start_a", "id_b", "start_b")
     }),
+    // Admission-time KEEP-FIRST scrub: the batch probes the standing
+    // inventory — any corpus-held span scrubs from the batch entirely
+    // (the corpus copy is the canonical survivor, by arrival order),
+    // corpus-novel spans duplicated within the batch keep their batch-
+    // canonical occurrence. O(batch) windows + one map-only index scan
+    // under a broadcast of the batch's digests.
+    "x_span_keepfirst_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      SpanDedup.scrubKeepFirstAgainstIndex(
+          docs.filter(col("doc_id") % 5 === 0),
+          SpanDedup.spanDigestIndex(
+            docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 8),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
     // Admission-time span scrub: the batch (doc_id % 5 = 0) is scrubbed
     // against the standing inventory of the corpus (doc_id % 5 <> 0) —
     // O(batch) windows + a filter-pushed index scan, corpus text never
@@ -611,6 +626,47 @@ private[graft] object QDedup {
         |       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
         |       coalesce(a.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // Incremental keep-first replay: a batch window is covered iff its
+    // span exists ANYWHERE in the corpus slice (the corpus copy is
+    // canonical by arrival order — mere presence, no threshold), or it
+    // is a corpus-novel span duplicated within the batch and not the
+    // batch-canonical (doc_id, i) occurrence.
+    "x_span_keepfirst_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+        |     bw AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+        |            FROM (SELECT doc_id, t,
+        |                    unnest(generate_series(1, len(t) - 7)) AS i FROM toks)
+        |            WHERE doc_id % 5 = 0),
+        |     cw AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS span
+        |            FROM (SELECT doc_id, t,
+        |                    unnest(generate_series(1, len(t) - 7)) AS i FROM toks)
+        |            WHERE doc_id % 5 <> 0),
+        |     occ AS (SELECT doc_id, i, span,
+        |               count(*) OVER (PARTITION BY span) AS bn,
+        |               row_number() OVER (PARTITION BY span
+        |                 ORDER BY doc_id, i) AS rn
+        |             FROM bw),
+        |     cover AS (SELECT DISTINCT o.doc_id, u.pos
+        |               FROM occ o, unnest(generate_series(o.i, o.i + 7)) AS u(pos)
+        |               WHERE o.span IN (SELECT span FROM cw)
+        |                  OR (o.bn >= 2 AND o.rn > 1)),
+        |     tok_pos AS (SELECT doc_id, i AS pos, t[i] AS tok
+        |                 FROM (SELECT doc_id, t,
+        |                         unnest(generate_series(1, len(t))) AS i FROM toks)
+        |                 WHERE doc_id % 5 = 0),
+        |     agg AS (SELECT tp.doc_id, count(*) AS n_tokens,
+        |               count(c.pos) AS n_removed,
+        |               coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+        |                 ' ' ORDER BY tp.pos), '') AS clean_text
+        |             FROM tok_pos tp LEFT JOIN cover c
+        |               ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+        |             GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+        |       coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id % 5 = 0
         |ORDER BY d.doc_id""".stripMargin,
     // Keep-first replay: duplicated = total occurrences >= 2 (NOT
     // distinct docs — within-doc repeats dedup under this policy), the

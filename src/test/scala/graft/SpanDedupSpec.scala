@@ -244,6 +244,42 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     assert(all(1L) === 8L && all(2L) === 8L && all(3L) === 0L)
   }
 
+  test("scrubKeepFirstAgainstIndex == global keep-first restricted to the batch " +
+    "on an id-ordered ingest; corpus presence covers even batch-unique spans") {
+    import spark.implicits._
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    // Corpus ids (1-3) all below batch ids (10-12): the arrival-order
+    // canonical IS the global min-(doc,pos) canonical, so the
+    // incremental form must equal the global scrub restricted to batch.
+    val corpus = Seq(
+      (1L, s"$phrase corpus prose one"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 more corpus text"),
+      (3L, "unshared corpus content sits here quietly for now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // hits a corpus span ONCE — all-copies incremental scrub would
+      // need a second doc; keep-first covers it on presence alone.
+      (10L, s"lead in $phrase tail"),
+      // corpus-novel span duplicated within the batch: 10 < 11 is not
+      // relevant (different span) — 11 holds the batch-canonical copy.
+      (11L, "n1 n2 n3 n4 n5 n6 n7 n8 filler words"),
+      (12L, s"pre n1 n2 n3 n4 n5 n6 n7 n8 post")
+    ).toDF("doc_id", "text")
+    val index = SpanDedup.spanDigestIndex(corpus, "doc_id", "text", k = 8)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val inc = rows(SpanDedup.scrubKeepFirstAgainstIndex(batch, index,
+      "doc_id", "text", k = 8))
+    val global = rows(SpanDedup.scrubSpansKeepFirst(
+        corpus.unionByName(batch), "doc_id", "text", k = 8)
+      .filter(col("doc_id") >= 10L))
+    assert(inc === global, "incremental-equality law on id-ordered ingest")
+    val byId = inc.map(t => t._1 -> t).toMap
+    assert(byId(10L)._3 === 8L, "corpus-held span scrubs on presence alone")
+    assert(byId(11L)._3 === 0L, "batch-canonical copy of a corpus-novel span survives")
+    assert(byId(12L)._3 === 8L, "the later batch copy scrubs")
+  }
+
   test("scrubSpansKeepFirst: span text never enters a shuffle exchange") {
     val exchanges = shuffleOutputs(
       SpanDedup.scrubSpansKeepFirst(docs, "doc_id", "text", k = 8))
