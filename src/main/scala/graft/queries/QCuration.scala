@@ -70,9 +70,29 @@ private[graft] object QCuration {
     (init, serve)
   }
 
+  /** Standing data card: ledger init + the three O(batch) appends in
+    * init; the datasheet fold (the read production repeats per
+    * dashboard refresh) in serve. */
+  private val dataCardIncrementalPhased: Phased = (s, d) => {
+    lazy val dir = tmpStore("graft_cardstore")
+    lazy val docs = T(s, d, "documents")
+    val init = () => {
+      graft.operators.CardStore.init(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        "source", "lang", "text", "n_chars", qualityOf)
+      (1 to 3).foreach(i => graft.operators.CardStore.append(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(4)) === i),
+        "source", "lang", "text", "n_chars", qualityOf,
+        name = Some(f"part_b$i%d")))
+    }
+    val serve = () => graft.operators.CardStore.card(s, dir)
+    (init, serve)
+  }
+
   private[graft] val phased: Map[String, Phased] = Map(
     "x_decontam_store" -> decontamStorePhased,
-    "x_bigram_ppl_store" -> bigramPplStorePhased)
+    "x_bigram_ppl_store" -> bigramPplStorePhased,
+    "x_data_card_incremental" -> dataCardIncrementalPhased)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_stats" -> ((s, d) => {
@@ -647,18 +667,7 @@ private[graft] object QCuration {
     // from x_data_card's one-pass global computation: SAME oracle. At
     // 100 TB this is the dashboard that stays current per admission
     // batch where the global pass is a scheduled luxury.
-    "x_data_card_incremental" -> ((s, d) => {
-      val dir = tmpStore("graft_cardstore")
-      val docs = T(s, d, "documents")
-      graft.operators.CardStore.init(s, dir,
-        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
-        "source", "lang", "text", "n_chars", qualityOf)
-      (1 to 3).foreach(i => graft.operators.CardStore.append(s, dir,
-        docs.filter(pmod(col("doc_id"), lit(4)) === i),
-        "source", "lang", "text", "n_chars", qualityOf,
-        name = Some(f"part_b$i%d")))
-      graft.operators.CardStore.card(s, dir)
-    }),
+    "x_data_card_incremental" -> fused(dataCardIncrementalPhased),
     // Unicode NFC canonicalization — required BEFORE any hash-based
     // stage (the same visible text in composed vs decomposed form hashes
     // as different content, so exact dedup misses real duplicates).

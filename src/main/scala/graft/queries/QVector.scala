@@ -224,6 +224,67 @@ private[graft] object QVector {
     (init, serve)
   }
 
+  /** BM25 deletion gate: the full-corpus index build in init; the
+    * tombstone delete + compaction + survivor search — the maintenance
+    * operation under test — in serve. */
+  private val bm25DeletePhased: Phased = (s, d) => {
+    lazy val docs = T(s, d, "documents")
+    lazy val dir = tmpStore("bm25_del")
+    val init = () => { Bm25Store.init(s, dir, docs, "doc_id", "text"); () }
+    val serve = () => {
+      Bm25Store.delete(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id")),
+        "doc_id", name = Some("del_0"))
+      Bm25Store.compact(s, dir)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          text.firstKTokens(col("text"), 5).as("qtext"))
+      Bm25.searchIndex(Bm25Store.readIndex(s, dir), queries, "qid", "qtext",
+          k = 10, maxDfFrac = 1.0)
+        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }
+    (init, serve)
+  }
+
+  /** IVF-SQ8 deletion gate: cells + quantize + index write in init;
+    * the bucket-pruned copy-on-write delete + full-probe search + the
+    * no-removed-served/recall gates in serve. */
+  private val annDeletePhased: Phased = (s, d) => {
+    lazy val e = T(s, d, "embeddings")
+    lazy val dir = tmpStore("ann_del")
+    lazy val cells = IvfAnn.buildCells(e, "vec_id", "embedding", nlist = 16)
+    val init = () => {
+      val sq8 = IvfAnn.quantizeCells(
+        IvfAnn.assignCells(e, "vec_id", "embedding", cells), "vec_id", "embedding")
+      IvfAnn.writeIndex(s, dir, sq8, "vec_id", numBuckets = 16); ()
+    }
+    val serve = () => {
+      IvfAnn.removeFromIndex(s, dir,
+        e.filter(pmod(col("vec_id"), lit(5)) === 0).select("vec_id"), "vec_id")
+      val q = e.filter(col("vec_id") < 20)
+      val ann = IvfAnn.annSearchQuantizedStored(dir, q, cells,
+        "vec_id", "embedding", k = 5, nprobe = 16)
+      val survivors = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val exact = SimilarityOps.knnJoinCosine(q, survivors, "vec_id", "embedding",
+        k = 5, excludeSelf = true)
+      val hits = ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      val shape = ann.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_queries"), expr("bool_and(n = 5)").as("rows_ok"))
+      val clean = ann.agg(
+        expr("bool_and(neighbor_id % 5 != 0)").as("no_removed_served"))
+      val recall = hits.agg(count(lit(1)).as("hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("tot")))
+        .select((col("hit").cast("double") / col("tot") >= 0.8).as("recall_ok"))
+      shape.crossJoin(clean).crossJoin(recall)
+        .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
+          col("no_removed_served"), col("recall_ok"))
+    }
+    (init, serve)
+  }
+
   /** The stored-family phased registry this group contributes —
     * aggregated by [[SparkEntry.phasedQueries]] for Bench's split
     * timings. Every name here is also a plain `queries` entry via
@@ -231,10 +292,12 @@ private[graft] object QVector {
   private[graft] val phased: Map[String, Phased] = Map(
     "x_semdedup_store" -> semdedupStorePhased,
     "x_bm25_incremental" -> bm25IncrementalPhased,
+    "x_bm25_delete" -> bm25DeletePhased,
     "x_hybrid_stored" -> hybridStoredPhased,
     "x_mm_admit_incremental" -> mmAdmitPhased,
     "x_mm_mixed_admit" -> mmMixedAdmitPhased,
-    "x_ann_pq_stored" -> annPqStoredPhased)
+    "x_ann_pq_stored" -> annPqStoredPhased,
+    "x_ann_delete" -> annDeletePhased)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Product quantization (Jégou et al. 2011) + exact refine — the
@@ -437,22 +500,7 @@ private[graft] object QVector {
     // exact again), search. Must equal the monolithic BM25 oracle over
     // the SURVIVORS — proving the negative stats decrements, the
     // tombstone anti-join, and the rebuilt df are all current.
-    "x_bm25_delete" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val dir = tmpStore("bm25_del")
-      Bm25Store.init(s, dir, docs, "doc_id", "text")
-      Bm25Store.delete(s, dir,
-        docs.filter(pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id")),
-        "doc_id", name = Some("del_0"))
-      Bm25Store.compact(s, dir)
-      val queries = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("qid"),
-          text.firstKTokens(col("text"), 5).as("qtext"))
-      Bm25.searchIndex(Bm25Store.readIndex(s, dir), queries, "qid", "qtext",
-          k = 10, maxDfFrac = 1.0)
-        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
-        .orderBy("query_id", "rank")
-    }),
+    "x_bm25_delete" -> fused(bm25DeletePhased),
     // Hybrid retrieval: RRF fusion of the BM25 lexical run and the
     // embedding-cosine semantic run (query embedding = the query doc's
     // own vector; self-hit legitimately ranks first). Rank-based fusion
@@ -997,35 +1045,7 @@ private[graft] object QVector {
     // rows, and full-probe recall vs the exact kNN over the SURVIVORS
     // clears the quantized bound — proving the delete rewrote the
     // victims' buckets and nothing else.
-    "x_ann_delete" -> ((s, d) => {
-      val e = T(s, d, "embeddings")
-      val dir = tmpStore("ann_del")
-      val cells = IvfAnn.buildCells(e, "vec_id", "embedding", nlist = 16)
-      val sq8 = IvfAnn.quantizeCells(
-        IvfAnn.assignCells(e, "vec_id", "embedding", cells), "vec_id", "embedding")
-      IvfAnn.writeIndex(s, dir, sq8, "vec_id", numBuckets = 16)
-      IvfAnn.removeFromIndex(s, dir,
-        e.filter(pmod(col("vec_id"), lit(5)) === 0).select("vec_id"), "vec_id")
-      val q = e.filter(col("vec_id") < 20)
-      val ann = IvfAnn.annSearchQuantizedStored(dir, q, cells,
-        "vec_id", "embedding", k = 5, nprobe = 16)
-      val survivors = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
-      val exact = SimilarityOps.knnJoinCosine(q, survivors, "vec_id", "embedding",
-        k = 5, excludeSelf = true)
-      val hits = ann.select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-      val shape = ann.groupBy("query_id").agg(count(lit(1)).as("n"))
-        .agg(count(lit(1)).as("n_queries"), expr("bool_and(n = 5)").as("rows_ok"))
-      val clean = ann.agg(
-        expr("bool_and(neighbor_id % 5 != 0)").as("no_removed_served"))
-      val recall = hits.agg(count(lit(1)).as("hit"))
-        .crossJoin(exact.agg(count(lit(1)).as("tot")))
-        .select((col("hit").cast("double") / col("tot") >= 0.8).as("recall_ok"))
-      shape.crossJoin(clean).crossJoin(recall)
-        .select(col("n_queries"), lit(5).as("k"), col("rows_ok"),
-          col("no_removed_served"), col("recall_ok"))
-    }),
+    "x_ann_delete" -> fused(annDeletePhased),
   )
 
   def oracles: Map[String, String] = Map(
