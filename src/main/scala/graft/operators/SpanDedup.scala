@@ -395,6 +395,49 @@ object SpanDedup {
     scrubWithCoverage(batch, idCol, textCol, cover)
   }
 
+  /**
+   * Duplicated-span LOSS-MASK ranges — the softer alternative to
+   * scrubbing: instead of deleting duplicated spans from the text (and
+   * breaking the surrounding prose), emit the merged (start, end) token
+   * ranges a dataloader should ZERO THE LOSS on, so the model still
+   * reads boilerplate in context but never trains to reproduce it —
+   * the memorization mitigation pipelines apply when removal is too
+   * destructive. One row per maximal masked range:
+   * (id, mask_start, mask_end, mask_len), 1-based inclusive token
+   * positions; documents with no duplicated coverage produce no rows.
+   * Composes with [[graft.operators.CurationOps.lossSpans]]' span
+   * relation shape (the chat-turn mask) — a dataloader intersects the
+   * two the same way.
+   *
+   * Same detection as [[scrubSpansDigest]] (digest-keyed, broadcast
+   * duplicated set, distinct (id, pos) coverage so overlapping windows
+   * merge); ranges fall out of one gaps-and-islands window per document
+   * partition (pos − row_number), exactly replayable in SQL.
+   */
+  def dupMaskRanges(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                    minDocs: Int = 2, broadcastDups: Boolean = true): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val (h1, h2) = spanDigests(col("span"))
+    val win = spanWindows(docs, idCol, textCol, k)
+      .select(col(idCol), col("i"), h1.as("__h1"), h2.as("__h2"))
+    val dup = win
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("__h1"), col("__h2"))
+    val cover = win.join(if (broadcastDups) broadcast(dup) else dup, Seq("__h1", "__h2"))
+      .select(col(idCol), explode(sequence(col("i"), col("i") + lit(k - 1))).as("pos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    cover
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("mask_start"), max(col("pos")).as("mask_end"))
+      .select(col(idCol), col("mask_start"), col("mask_end"),
+        (col("mask_end") - col("mask_start") + 1).as("mask_len"))
+  }
+
   /** Shared reassembly: join the (id, pos) coverage set onto the token
     * positions, keep uncovered tokens, restore order without a sort
     * exchange, zero-fill docs that produced no tokens. */

@@ -488,6 +488,14 @@ private[graft] object QDedup {
       SpanDedup.maximalRepeats(p, "doc_id", "text", minLen = 8, maxOcc = 64)
         .orderBy("id_a", "start_a", "id_b", "start_b")
     }),
+    // Duplicated-span LOSS-MASK ranges — the soft alternative to
+    // scrubbing: merged (start, end) token ranges a dataloader zeroes
+    // loss on, so boilerplate stays readable in context but is never
+    // trained on. One row per maximal masked range per doc.
+    "x_dup_mask_spans" -> ((s, d) => {
+      SpanDedup.dupMaskRanges(T(s, d, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id", "mask_start")
+    }),
     // Admission-time KEEP-FIRST scrub: the batch probes the standing
     // inventory — any corpus-held span scrubs from the batch entirely
     // (the corpus copy is the canonical survivor, by arrival order),
@@ -627,6 +635,29 @@ private[graft] object QDedup {
         |       coalesce(a.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // Mask-range replay: same duplicated set (distinct-doc >= 2) and
+    // distinct coverage as the scrub oracle, then the SAME
+    // gaps-and-islands window (pos - row_number per doc) the engine
+    // runs, aggregated to merged inclusive ranges.
+    "x_dup_mask_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+        |     win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+        |             FROM (SELECT doc_id, t,
+        |                     unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |     dup AS (SELECT span FROM win GROUP BY 1
+        |             HAVING count(DISTINCT doc_id) >= 2),
+        |     cover AS (SELECT DISTINCT w.doc_id, u.pos
+        |               FROM win w JOIN dup USING (span),
+        |                    unnest(generate_series(w.i, w.i + 7)) AS u(pos)),
+        |     runs AS (SELECT doc_id, pos,
+        |                pos - row_number() OVER (
+        |                  PARTITION BY doc_id ORDER BY pos) AS grp
+        |              FROM cover)
+        |SELECT doc_id, CAST(min(pos) AS INTEGER) AS mask_start,
+        |  CAST(max(pos) AS INTEGER) AS mask_end,
+        |  CAST(max(pos) - min(pos) + 1 AS INTEGER) AS mask_len
+        |FROM runs GROUP BY doc_id, grp
+        |ORDER BY doc_id, mask_start""".stripMargin,
     // Incremental keep-first replay: a batch window is covered iff its
     // span exists ANYWHERE in the corpus slice (the corpus copy is
     // canonical by arrival order — mere presence, no threshold), or it

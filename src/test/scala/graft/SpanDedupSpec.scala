@@ -213,6 +213,26 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.filter(col("len_tokens") === 8 && col("span") === phrase).count() === 10L)
   }
 
+  test("dupMaskRanges: merged ranges cover exactly the positions the scrub removes") {
+    import spark.implicits._
+    // docs fixture: 9 shared tokens in docs 1/2/6 → overlapping
+    // duplicated windows whose coverage must merge into ONE range.
+    val ranges = SpanDedup.dupMaskRanges(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(ranges.forall { case (_, s, e, l) => l == e - s + 1 && l >= 8 })
+    // Per-doc masked token count == the all-copies scrub's n_removed —
+    // the two views of the same coverage set cannot disagree.
+    val maskedPerDoc = ranges.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val removed = SpanDedup.scrubSpansDigest(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    removed.foreach { case (id, n) =>
+      assert(maskedPerDoc.getOrElse(id, 0).toLong === n,
+        s"doc $id: mask total vs scrub n_removed") }
+    // The boiler block is one contiguous 8-token range in doc 1 and 6.
+    assert(ranges.count(_._1 == 1L) === 1)
+    assert(ranges.filter(_._1 == 6L).map(t => (t._2, t._3)).toSeq === Seq((1, 8)))
+  }
+
   test("scrubSpansKeepFirst: canonical occurrence survives, later copies scrub, " +
     "within-doc repeats dedup") {
     import spark.implicits._
