@@ -448,7 +448,18 @@ private[graft] object QDedup {
     // keeps exactly one copy — the keep-first rule the doc/line/media
     // families already apply, at span granularity.
     "x_substring_scrub_keepfirst" -> ((s, d) => {
-      SpanDedup.scrubSpansKeepFirst(T(s, d, "documents"), "doc_id", "text", k = 8)
+      // Every 17th doc gets a doc-parameterized 8-token run repeated
+      // WITHIN itself — the occurrence-counted branch (vs the all-copies
+      // scrub's distinct-doc counting) is live, not vacuous: natural
+      // fixture prose never repeats an 8-gram inside one doc.
+      val rep = array_join(transform(sequence(lit(1), lit(8)),
+        j => concat(lit("rep"), col("doc_id").cast("string"),
+          lit("x"), j.cast("string"))), " ")
+      val planted = when(col("doc_id") % 17 === 0,
+        concat(col("text"), lit(" "), rep, lit(" between "), rep))
+        .otherwise(col("text"))
+      val docs = T(s, d, "documents").select(col("doc_id"), planted.as("text"))
+      SpanDedup.scrubSpansKeepFirst(docs, "doc_id", "text", k = 8)
         .orderBy("doc_id")
     }),
     // The standing span-digest inventory, summarized as its doc-frequency
@@ -483,8 +494,17 @@ private[graft] object QDedup {
       val planted = concat_ws(" ",
         array_join(slice(t, lit(1), o), " "), phrase,
         array_join(slice(t, o + lit(1), greatest(size(t) - o, lit(0))), " "))
+      // A universal 8-token footer on EVERY doc keeps the occurrence
+      // cap live: its window occurs n_docs times (≫ 64 at sf ≥ 0.01),
+      // so the cap must drop it from pair generation — without the
+      // plant the cap branch is vacuous on natural fixture prose. The
+      // doc-unique separator token keeps doc-tail→footer boundary
+      // windows from pairing docs that merely end in the same word.
+      val footer = concat(lit(" sep"), col("doc_id").cast("string"),
+        lit(" foot1 foot2 foot3 foot4 foot5 foot6 foot7 foot8"))
       val p = docs.select(col("doc_id"),
-        when(col("doc_id") < 40, planted).otherwise(col("text")).as("text"))
+        concat(when(col("doc_id") < 40, planted).otherwise(col("text")),
+          footer).as("text"))
       SpanDedup.maximalRepeats(p, "doc_id", "text", minLen = 8, maxOcc = 64)
         .orderBy("id_a", "start_a", "id_b", "start_b")
     }),
@@ -503,7 +523,16 @@ private[graft] object QDedup {
     // canonical occurrence. O(batch) windows + one map-only index scan
     // under a broadcast of the batch's digests.
     "x_span_keepfirst_incremental" -> ((s, d) => {
-      val docs = T(s, d, "documents")
+      // Batch docs 0,5,10,15,20,25 share an 8-token phrase the corpus
+      // never holds: the corpus-NOVEL within-batch branch is live (the
+      // batch-canonical copy in doc 0 survives, the rest scrub) — at
+      // natural fixture data every batch dup also exists corpus-side
+      // and that branch would be vacuously green.
+      val planted = when(col("doc_id") % 5 === 0 && col("doc_id") < 30,
+        concat(col("text"),
+          lit(" bnov1 bnov2 bnov3 bnov4 bnov5 bnov6 bnov7 bnov8")))
+        .otherwise(col("text"))
+      val docs = T(s, d, "documents").select(col("doc_id"), planted.as("text"))
       SpanDedup.scrubKeepFirstAgainstIndex(
           docs.filter(col("doc_id") % 5 === 0),
           SpanDedup.spanDigestIndex(
@@ -582,7 +611,10 @@ private[graft] object QDedup {
         |          j -> 'seg' || CAST(doc_id % 8 AS VARCHAR) || 'tok' || CAST(j AS VARCHAR)), ' ')
         |        || ' ' ||
         |        coalesce(array_to_string(wds0[CAST(doc_id % 4 AS INT) + 1:len(wds0)], ' '), '')
-        |      ELSE text END AS text FROM w0),
+        |      ELSE text END
+        |      || ' sep' || CAST(doc_id AS VARCHAR)
+        |      || ' foot1 foot2 foot3 foot4 foot5 foot6 foot7 foot8' AS text
+        |  FROM w0),
         |toks AS (SELECT doc_id, $words AS t FROM p),
         |win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
         |        FROM (SELECT doc_id, t,
@@ -664,7 +696,10 @@ private[graft] object QDedup {
     // is a corpus-novel span duplicated within the batch and not the
     // batch-canonical (doc_id, i) occurrence.
     "x_span_keepfirst_incremental" ->
-      s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+      s"""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 AND doc_id < 30
+        |        THEN text || ' bnov1 bnov2 bnov3 bnov4 bnov5 bnov6 bnov7 bnov8'
+        |        ELSE text END AS text FROM documents),
+        |     toks AS (SELECT doc_id, $words AS t FROM p),
         |     bw AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
         |            FROM (SELECT doc_id, t,
         |                    unnest(generate_series(1, len(t) - 7)) AS i FROM toks)
@@ -704,7 +739,14 @@ private[graft] object QDedup {
     // canonical survivor is row_number() = 1 over (doc_id, i) per span,
     // coverage unions over the non-canonical occurrences only.
     "x_substring_scrub_keepfirst" ->
-      s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+      s"""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text || ' ' ||
+        |        array_to_string(list_transform(generate_series(1, 8),
+        |          j -> 'rep' || CAST(doc_id AS VARCHAR) || 'x' || CAST(j AS VARCHAR)), ' ')
+        |        || ' between ' ||
+        |        array_to_string(list_transform(generate_series(1, 8),
+        |          j -> 'rep' || CAST(doc_id AS VARCHAR) || 'x' || CAST(j AS VARCHAR)), ' ')
+        |      ELSE text END AS text FROM documents),
+        |     toks AS (SELECT doc_id, $words AS t FROM p),
         |     win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
         |             FROM (SELECT doc_id, t,
         |                     unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
