@@ -84,8 +84,17 @@ object Bench {
     * the split medians come back in the second return slot. */
   def run(spark: SparkSession, sfDir: String,
           queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-          runs: Int): (Seq[(String, Double)], Map[String, (Double, Double)], Map[String, String]) = {
-    val phased = SparkEntry.phasedQueries.filter { case (n, _) => queries.contains(n) }
+          runs: Int,
+          // The phased registry to consult for split timings. A caller
+          // timing a CUSTOM function under a name that collides with a
+          // registry entry must pass Map.empty (or its own phased form)
+          // — a colliding name here replaces the plain function with
+          // the phased definition, which for the default registry is
+          // the same computation (fused == init-then-serve of one
+          // definition) but would silently ignore a modified variant.
+          phasedAll: Map[String, QShared.Phased] = SparkEntry.phasedQueries)
+      : (Seq[(String, Double)], Map[String, (Double, Double)], Map[String, String]) = {
+    val phased = phasedAll.filter { case (n, _) => queries.contains(n) }
     val names = queries.keys.toSeq.sorted
     val timings = collection.mutable.Map.empty[String, List[Double]]
     val initT = collection.mutable.Map.empty[String, List[Double]]

@@ -593,11 +593,13 @@ object CurationOps {
     * reverse): the word dict is vocab-sized — it does NOT grow with the
     * corpus — so when it fits the driver cap the ENTIRE merge loop folds
     * locally (identical greedy semantics, spec-pinned ≡ the distributed
-    * form), turning a 30k-merge production vocabulary from 30k
-    * sequential driver-paced Spark jobs into one collect + a local fold.
-    * Only a dict past `maxLocalDict` rows pays the distributed
-    * per-merge loop (two vocab-sized jobs per merge). The corpus is
-    * scanned ONCE either way. */
+    * form), turning a production-scale merge count (capped at 10k here)
+    * from one sequential driver-paced Spark job per merge into one
+    * collect + a local fold. Only a dict past `maxLocalDict` rows pays
+    * the distributed per-merge loop (two vocab-sized jobs per merge).
+    * The corpus is scanned ONCE either way — the dict aggregation
+    * checkpoints before the overflow probe, so the escalation path
+    * reads blocks, never the corpus again. */
   private[graft] def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
                        keepDict: Boolean, dictPartitions: Int = 1,
                        maxLocalDict: Int = 1 << 20)
@@ -611,14 +613,17 @@ object CurationOps {
     // token-level greedy merge of Sennrich's learn_bpe (single-space
     // delimiters would silently skip every second merge in runs like
     // [b,a,n,a,n,a] → checked in CurationSpec).
+    // The dict aggregation (the ONE corpus scan) materializes once via
+    // localCheckpoint; both the overflow probe and — on escalation —
+    // the distributed loop read the checkpointed blocks, so neither
+    // path re-scans the corpus. Dropped blocks are reclaimed by the
+    // ContextCleaner once unreferenced (vocab-sized).
     val dictDf = docs.select(explode(toks(col(textCol))).as("w0"))
       .groupBy("w0").agg(count(lit(1)).as("f"))
       .select(col("w0"), concat(lit("  "),
         array_join(filter(split(col("w0"), ""), s => s =!= ""), "  "),
         lit("  ")).as("w"), col("f"))
-    // Overflow probe folded into one collect (cap+1 rows), the
-    // greedyMatch pattern: only the rare escalation re-executes the
-    // dict aggregation (inside the distributed loop's persist).
+      .localCheckpoint(true)
     val probeLimit =
       if (maxLocalDict >= Int.MaxValue - 1) Int.MaxValue else maxLocalDict + 1
     val fetched = dictDf.limit(probeLimit).collect()
@@ -647,10 +652,14 @@ object CurationOps {
   /** The merge loop as one driver-local fold over the collected dict —
     * exact same greedy semantics as [[bpeTrainDistributed]] (argmax by
     * (cnt desc, l asc, r asc) in Spark's string order; merges applied
-    * left-to-right non-overlapping). Pair counts update INCREMENTALLY:
-    * each merge touches only the words that contain the merged pair (an
-    * inverted pair→words index), so 10k merges over a 10^6-word dict
-    * stay O(touched words), not O(vocab · merges). */
+    * left-to-right non-overlapping). Pair-count UPDATES are incremental
+    * — each merge rewrites only the words containing the merged pair
+    * (an inverted pair→words index) — while the per-merge ARGMAX is one
+    * in-memory scan of the live pair map (byte-compares only on count
+    * ties): at the 10k-merge cap over a cap-sized dict that is ~10^10
+    * map visits worst-case, still minutes where the per-merge-Spark-job
+    * loop pays scheduler latency alone in hours; a count-bucketed
+    * argmax is the next rung if a profile ever demands it. */
   private def bpeTrainLocal(spark: org.apache.spark.sql.SparkSession,
                             rows: Array[org.apache.spark.sql.Row],
                             merges: Int, keepDict: Boolean)

@@ -331,24 +331,14 @@ object PqStore {
   // idiom with zero extra copies.
 
   /** Pin the current store state (codes + its fit, via the manifest
-    * pointer) under `tag`. Idempotent-or-refuse (the Hybrid.snapshot
-    * idiom): a re-taken tag over an UNCHANGED store is a no-op, but a
-    * tag whose store moved on refuses loudly instead of silently
-    * re-pointing at post-mutation state — `TableSink.snapshot` alone
-    * would re-tag, and a crashed [[graft.pipelines.Release.freeze]]
-    * re-run must not commit a mixed-instants release. */
-  def snapshot(dir: String, tag: String): Unit = {
-    import graft.sources.TableSink
-    TableSink.listSnapshots(dir).get(tag) match {
-      case Some(pinned) =>
-        require(TableSink.currentSeq(dir).contains(pinned),
-          s"snapshot tag '$tag' at '$dir' already pins generation $pinned " +
-            s"but the live generation is ${TableSink.currentSeq(dir)} — the " +
-            "store moved on since a half-taken snapshot; refusing to " +
-            "re-point. Drop the tag and take a fresh one.")
-      case None => TableSink.snapshot(dir, tag); ()
-    }
-  }
+    * pointer) under `tag`. Idempotent-or-refuse via
+    * [[graft.sources.TableSink.snapshotNoRepoint]]: a re-taken tag over
+    * an unchanged (content-identical) store is a no-op, a tag whose
+    * store moved on refuses loudly — a bare `TableSink.snapshot` would
+    * re-tag, and a crashed [[graft.pipelines.Release.freeze]] re-run
+    * must not commit a mixed-instants release. */
+  def snapshot(dir: String, tag: String): Unit =
+    graft.sources.TableSink.snapshotNoRepoint(dir, tag, context = "snapshot")
 
   def dropSnapshot(dir: String, tag: String): Unit =
     graft.sources.TableSink.dropSnapshot(dir, tag)

@@ -502,7 +502,8 @@ object SpanDedup {
    * identically by the oracle).
    */
   def maximalRepeats(docs: DataFrame, idCol: String, textCol: String,
-                     minLen: Int, maxOcc: Int = 64): DataFrame = {
+                     minLen: Int, maxOcc: Int = 64,
+                     broadcastRuns: Boolean = true): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")
     require(maxOcc >= 2, s"maxOcc must be >= 2: $maxOcc")
     val t = toks(col(textCol))
@@ -544,9 +545,12 @@ object SpanDedup {
         col("len_tokens").cast("int").as("len_tokens"))
     // Representative text: map-side slice of doc a's tokens under a
     // broadcast of the run relation — inventory-sized, the
-    // duplicatedSpansDigest re-attachment contract.
+    // duplicatedSpansDigest re-attachment contract. `broadcastRuns =
+    // false` falls back to a shuffled join for a corpus whose run
+    // inventory itself outgrows the driver (the broadcastDups escape
+    // hatch every sibling carries).
     docs.select(col(idCol).as("id_a"), t.as("__t"))
-      .join(broadcast(runs), Seq("id_a"))
+      .join(if (broadcastRuns) broadcast(runs) else runs, Seq("id_a"))
       .select(col("id_a"), col("start_a"), col("id_b"), col("start_b"),
         col("len_tokens"),
         concat_ws(" ", slice(col("__t"), col("start_a"), col("len_tokens"))).as("span"))

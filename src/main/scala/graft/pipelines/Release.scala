@@ -86,17 +86,9 @@ object Release {
     // Idempotent-or-refuse, like every other member kind: a bare
     // TableSink.snapshot silently RE-POINTS an existing tag, so a
     // crashed freeze re-run after an intervening mutation would commit
-    // a mixed-instants release. The Hybrid.snapshot pre-check instead:
-    // unchanged store → no-op, moved store → loud refusal.
-    "table" -> Ops((_, d, t) => TableSink.listSnapshots(d).get(t) match {
-      case Some(pinned) =>
-        require(TableSink.currentSeq(d).contains(pinned),
-          s"snapshot tag '$t' at '$d' already pins generation $pinned but " +
-            s"the live generation is ${TableSink.currentSeq(d)} — the store " +
-            "moved on since a half-taken freeze; refusing to re-point. " +
-            "Drop the half-taken release and take a fresh tag.")
-      case None => TableSink.snapshot(d, t); ()
-    },
+    // a mixed-instants release. snapshotNoRepoint: unchanged
+    // (content-identical) store → no-op, moved store → loud refusal.
+    "table" -> Ops((_, d, t) => TableSink.snapshotNoRepoint(d, t, context = "freeze"),
       (_, d, t) => TableSink.dropSnapshot(d, t),
       (_, d, t) => TableSink.restore(d, t),
       (d, t) => TableSink.listSnapshots(d).contains(t)),

@@ -478,7 +478,7 @@ private[graft] object QDedup {
     // spans the fixed-k shingle index (x_dup_spans) provably cannot
     // report as single ranges. Fixture plants a 14-token group phrase
     // into docs 0..39 (5 docs per group of doc_id % 8) at MISALIGNED
-    // offsets (doc_id % 4 tokens in): the planted matches come back as
+    // offsets ((doc_id div 8) % 4 tokens in): the planted matches come back as
     // ONE 14-token-or-longer span per doc pair with per-doc offsets the
     // k-grid can't align; natural prose repeats surface too, replayed
     // identically. Digest-keyed windows (text never shuffles), pair
@@ -488,7 +488,11 @@ private[graft] object QDedup {
       val docs = T(s, d, "documents")
       val t = text.tokens(col("text"))
       val grp = (col("doc_id") % 8).cast("string")
-      val o = (col("doc_id") % 4).cast("int")
+      // Offset varies WITHIN a group: members of group g are g, g+8,
+      // g+16, … so doc_id % 4 would be constant across a group (every
+      // planted pair diag = 0 — the misalignment claim vacuous);
+      // (doc_id div 8) % 4 walks 0,1,2,3 across the members.
+      val o = expr("(doc_id div 8) % 4").cast("int")
       val phrase = array_join(transform(sequence(lit(1), lit(14)),
         j => concat(lit("seg"), grp, lit("tok"), j.cast("string"))), " ")
       val planted = concat_ws(" ",
@@ -606,11 +610,11 @@ private[graft] object QDedup {
     "x_substr_maximal" ->
       s"""WITH w0 AS (SELECT doc_id, text, $words AS wds0 FROM documents),
         |p AS (SELECT doc_id, CASE WHEN doc_id < 40 THEN
-        |        coalesce(array_to_string(wds0[1:CAST(doc_id % 4 AS INT)], ' '), '') || ' ' ||
+        |        coalesce(array_to_string(wds0[1:CAST((doc_id // 8) % 4 AS INT)], ' '), '') || ' ' ||
         |        array_to_string(list_transform(generate_series(1, 14),
         |          j -> 'seg' || CAST(doc_id % 8 AS VARCHAR) || 'tok' || CAST(j AS VARCHAR)), ' ')
         |        || ' ' ||
-        |        coalesce(array_to_string(wds0[CAST(doc_id % 4 AS INT) + 1:len(wds0)], ' '), '')
+        |        coalesce(array_to_string(wds0[CAST((doc_id // 8) % 4 AS INT) + 1:len(wds0)], ' '), '')
         |      ELSE text END
         |      || ' sep' || CAST(doc_id AS VARCHAR)
         |      || ' foot1 foot2 foot3 foot4 foot5 foot6 foot7 foot8' AS text

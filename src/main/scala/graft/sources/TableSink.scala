@@ -117,6 +117,45 @@ object TableSink {
     * without mutating anything. */
   def currentSeq(dir: String): Option[Long] = currentManifest(dir).map(_.seq)
 
+  /**
+   * Idempotent-or-refuse snapshot — the composite-store pre-check,
+   * centralized (a bare [[snapshot]] silently RE-POINTS an existing tag,
+   * which would let a crashed composite freeze re-run commit
+   * post-mutation state under the old name). Three outcomes:
+   *
+   *  - tag absent → take it (the plain snapshot);
+   *  - tag present and the live manifest is CONTENT-identical to the
+   *    pinned one → no-op. Content, not sequence number: a
+   *    [[restore]] republishes the pinned state under a NEW seq with an
+   *    identical manifest body, and a crash-retry after such a rollback
+   *    is exactly the case a retry must complete, not refuse (manifest
+   *    bodies carry the full bucket→file map and no seq, so equal
+   *    bytes ⇔ the same table state);
+   *  - tag present and the live content differs → refuse loudly; the
+   *    store moved on since a half-taken `context`.
+   */
+  def snapshotNoRepoint(dir: String, tag: String,
+                        context: String = "snapshot"): Unit = {
+    listSnapshots(dir).get(tag) match {
+      case None => snapshot(dir, tag); ()
+      case Some(pinned) =>
+        val cur = currentManifest(dir).getOrElse(throw new IllegalStateException(
+          s"tag '$tag' exists at '$dir' but no live table does"))
+        if (cur.seq != pinned) {
+          val pinnedBody = Files.readString(manifestDir(dir).resolve(f"m-$pinned%010d"))
+          val curBody = Files.readString(manifestDir(dir).resolve(f"m-${cur.seq}%010d"))
+          require(pinnedBody == curBody,
+            s"snapshot tag '$tag' at '$dir' already pins generation $pinned but " +
+              s"the live generation is ${cur.seq} with different contents — the " +
+              s"store moved on since a half-taken $context; refusing to " +
+              "re-point. Drop the tag and take a fresh one.")
+          // Content-identical under a different seq (a rollback
+          // republished the pinned state): the existing pin already
+          // references the same bytes — nothing to do.
+        }
+    }
+  }
+
   /** The manifest-pinned layout column of the table at `dir`; None when
     * the table is absent OR key-hash-bucketed (check [[tableExists]] to
     * tell which). */

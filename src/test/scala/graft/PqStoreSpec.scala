@@ -226,5 +226,14 @@ class PqStoreSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("refusing to re-point"))
     assert(graft.sources.TableSink.listSnapshots(dir)("v1") === pinned,
       "the refused snapshot must not have moved the pin")
+    // Rollback-retry (the crash shape the pre-check must NOT block):
+    // restore republishes the pinned state under a NEW generation with
+    // identical content — re-taking the tag is a no-op completion, not
+    // a refusal (content compare, not sequence compare).
+    PqStore.restore(dir, "v1")
+    assert(!graft.sources.TableSink.currentSeq(dir).contains(pinned),
+      "restore publishes a new generation")
+    PqStore.snapshot(dir, "v1")
+    assert(graft.sources.TableSink.listSnapshots(dir)("v1") === pinned)
   }
 }

@@ -312,6 +312,21 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
       s"span text shuffled: $exchanges")
   }
 
+  test("maximalRepeats: the pair join is digest-keyed — no cartesian or nested loop") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SpanDedup.maximalRepeats(docs, "doc_id", "text", minLen = 6)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // The occurrence self-join must key on (__h1, __h2) with the
+    // canonical-order predicate as a post-filter — a planner that fell
+    // back to a nested loop would make the op all-pairs over the corpus.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay an equi-join:\n$plan")
+  }
+
   test("maximalRepeats: span text never enters a shuffle exchange") {
     val exchanges = shuffleOutputs(
       SpanDedup.maximalRepeats(docs, "doc_id", "text", minLen = 6))
