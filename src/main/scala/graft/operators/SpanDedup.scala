@@ -506,36 +506,110 @@ object SpanDedup {
                      broadcastRuns: Boolean = true): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")
     require(maxOcc >= 2, s"maxOcc must be >= 2: $maxOcc")
-    val t = toks(col(textCol))
-    val starts = when(size(t) >= minLen, sequence(lit(1), size(t) - lit(minLen - 1)))
-      .otherwise(array().cast("array<int>"))
-    // Digest-only window frame: hash the window text inside the
-    // generator so span text is never materialized past the map side.
-    val win = docs
-      .select(col(idCol).as("__id"),
-        explode(transform(starts, i => {
-          val sp = concat_ws(" ", slice(t, i, lit(minLen)))
-          struct(i.as("i"), xxhash64(sp).as("h1"), xxhash64(lit(1L), sp).as("h2"))
-        })).as("__w"))
-      .select(col("__id"), col("__w.i").as("i"),
-        col("__w.h1").as("__h1"), col("__w.h2").as("__h2"))
-    val eligible = win.groupBy(col("__h1"), col("__h2"))
-      .agg(count(lit(1)).as("__occ"))
-      .where(col("__occ") >= 2 && col("__occ") <= maxOcc)
-      .select(col("__h1"), col("__h2"))
-    val keyed = win.join(eligible, Seq("__h1", "__h2"), "left_semi")
+    val keyed = eligibleWindows(digestWindows(docs, idCol, textCol, minLen), maxOcc)
     val a = keyed.select(col("__h1"), col("__h2"),
       col("__id").as("id_a"), col("i").as("__ia"))
     val b = keyed.select(col("__h1"), col("__h2"),
       col("__id").as("id_b"), col("i").as("__ib"))
-    val pairs = a.join(b, Seq("__h1", "__h2"))
-      .where(col("id_a") < col("id_b") ||
-        (col("id_a") === col("id_b") && col("__ia") < col("__ib")))
-      .select(col("id_a"), col("__ia"), col("id_b"), col("__ib"),
-        (col("__ia") - col("__ib")).as("__diag"))
+    val pairs = a.join(b, Seq("__h1", "__h2")).where(canonicalOrder)
+    attachSpans(docs, idCol, textCol, diagonalRuns(pairs, minLen), broadcastRuns)
+  }
+
+  /**
+   * Admission-time maximal repeats — [[maximalRepeats]]' per-batch
+   * form: every maximal matched range that TOUCHES the new batch (a
+   * batch doc vs the corpus, or batch vs batch), with corpus-internal
+   * pairs never generated. The "which parts of this new document are
+   * long exact copies of something we already hold" report an
+   * ExactSubstr admission stage produces. Spec-pinned ≡ the global
+   * [[maximalRepeats]] over corpus ∪ batch restricted to pairs with a
+   * batch member (doc ids disjoint across the two inputs — the
+   * standing incremental contract).
+   *
+   * Occurrence eligibility (2 ≤ occ ≤ maxOcc) counts over the UNION —
+   * the same span population the global form sees — so the law holds
+   * exactly. Scale shape: the corpus side contributes its window scan
+   * and the union count aggregation (no standing positional index is
+   * kept — the [[spanDigestIndex]] inventory stores counts, not
+   * positions, and positions are what diagonals need; persisting the
+   * positional window relation is the suffix-array store a future
+   * round can add), but pair generation — the quadratic stage — only
+   * ever fans out batch-side occurrences.
+   */
+  def maximalRepeatsAgainst(batch: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            minLen: Int, maxOcc: Int = 64,
+                            broadcastRuns: Boolean = true): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    require(maxOcc >= 2, s"maxOcc must be >= 2: $maxOcc")
+    val bw = digestWindows(batch, idCol, textCol, minLen)
+    val cw = digestWindows(corpus, idCol, textCol, minLen)
+    val eligible = bw.unionByName(cw).groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") >= 2 && col("__occ") <= maxOcc)
+      .select(col("__h1"), col("__h2"))
+    val kb = bw.join(eligible, Seq("__h1", "__h2"), "left_semi")
+    val kc = cw.join(eligible, Seq("__h1", "__h2"), "left_semi")
+    def aSide(df: DataFrame) = df.select(col("__h1"), col("__h2"),
+      col("__id").as("id_a"), col("i").as("__ia"))
+    def bSide(df: DataFrame) = df.select(col("__h1"), col("__h2"),
+      col("__id").as("id_b"), col("i").as("__ib"))
+    // Every pair touching the batch, each exactly once: right side in
+    // the batch (left anything), plus left-batch/right-corpus — the two
+    // sets are disjoint (right ∈ batch vs right ∈ corpus).
+    val pairs = aSide(kb.unionByName(kc)).join(bSide(kb), Seq("__h1", "__h2"))
+      .where(canonicalOrder)
+      .unionByName(aSide(kb).join(bSide(kc), Seq("__h1", "__h2"))
+        .where(canonicalOrder))
+    // id_a can be a corpus doc (a corpus-vs-batch match with the corpus
+    // id smaller), so spans re-attach from the union — result-sized
+    // map-side work either way.
+    attachSpans(batch.select(col(idCol), col(textCol))
+        .unionByName(corpus.select(col(idCol), col(textCol))),
+      idCol, textCol, diagonalRuns(pairs, minLen), broadcastRuns)
+  }
+
+  /** One row per k-window keyed by the 128-bit span digest, hashed
+    * inside the generator so span text is never materialized past the
+    * map side: (__id, i, __h1, __h2). */
+  private def digestWindows(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame = {
+    val t = toks(col(textCol))
+    val starts = when(size(t) >= k, sequence(lit(1), size(t) - lit(k - 1)))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col(idCol).as("__id"),
+        explode(transform(starts, i => {
+          val sp = concat_ws(" ", slice(t, i, lit(k)))
+          struct(i.as("i"), xxhash64(sp).as("h1"), xxhash64(lit(1L), sp).as("h2"))
+        })).as("__w"))
+      .select(col("__id"), col("__w.i").as("i"),
+        col("__w.h1").as("__h1"), col("__w.h2").as("__h2"))
+  }
+
+  /** Windows whose digest occurs 2..maxOcc times in the frame. */
+  private def eligibleWindows(win: DataFrame, maxOcc: Int): DataFrame = {
+    val eligible = win.groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") >= 2 && col("__occ") <= maxOcc)
+      .select(col("__h1"), col("__h2"))
+    win.join(eligible, Seq("__h1", "__h2"), "left_semi")
+  }
+
+  /** The canonical occurrence-pair order: each unordered pair once,
+    * self-pairs by position. */
+  private def canonicalOrder: Column =
+    col("id_a") < col("id_b") ||
+      (col("id_a") === col("id_b") && col("__ia") < col("__ib"))
+
+  /** Gaps-and-islands over each (id_a, id_b, diagonal): one row per
+    * maximal run of consecutive window matches. */
+  private def diagonalRuns(pairs: DataFrame, minLen: Int): DataFrame = {
+    val withDiag = pairs.select(col("id_a"), col("__ia"), col("id_b"), col("__ib"),
+      (col("__ia") - col("__ib")).as("__diag"))
     val rn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a"), col("id_b"), col("__diag")).orderBy(col("__ia"))
-    val runs = pairs
+    withDiag
       .withColumn("__grp", col("__ia") - row_number().over(rn))
       .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__grp"))
       .agg(min(col("__ia")).as("start_a"), min(col("__ib")).as("start_b"),
@@ -543,16 +617,19 @@ object SpanDedup {
       .select(col("id_a"), col("start_a").cast("int").as("start_a"),
         col("id_b"), col("start_b").cast("int").as("start_b"),
         col("len_tokens").cast("int").as("len_tokens"))
-    // Representative text: map-side slice of doc a's tokens under a
-    // broadcast of the run relation — inventory-sized, the
-    // duplicatedSpansDigest re-attachment contract. `broadcastRuns =
-    // false` falls back to a shuffled join for a corpus whose run
-    // inventory itself outgrows the driver (the broadcastDups escape
-    // hatch every sibling carries).
-    docs.select(col(idCol).as("id_a"), t.as("__t"))
+  }
+
+  /** Representative text: map-side slice of doc a's tokens under a
+    * broadcast of the run relation — inventory-sized, the
+    * duplicatedSpansDigest re-attachment contract. `broadcastRuns =
+    * false` falls back to a shuffled join for a corpus whose run
+    * inventory itself outgrows the driver (the broadcastDups escape
+    * hatch every sibling carries). */
+  private def attachSpans(docs: DataFrame, idCol: String, textCol: String,
+                          runs: DataFrame, broadcastRuns: Boolean): DataFrame =
+    docs.select(col(idCol).as("id_a"), toks(col(textCol)).as("__t"))
       .join(if (broadcastRuns) broadcast(runs) else runs, Seq("id_a"))
       .select(col("id_a"), col("start_a"), col("id_b"), col("start_b"),
         col("len_tokens"),
         concat_ws(" ", slice(col("__t"), col("start_a"), col("len_tokens"))).as("span"))
-  }
 }

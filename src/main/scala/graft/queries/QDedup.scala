@@ -18,6 +18,43 @@ import OracleDefs._
  */
 private[graft] object QDedup {
 
+  /** The planted fixture x_substr_maximal and its incremental form
+    * share: a 14-token group phrase (group = doc_id % 8, docs < 40)
+    * inserted at offsets that VARY WITHIN a group ((doc_id div 8) % 4 —
+    * doc_id % 4 would be constant across members that differ by 8,
+    * making every planted pair diagonal-0 and the misalignment claim
+    * vacuous); a universal 8-token footer on EVERY doc keeping the
+    * occurrence cap live (n_docs ≫ 64 occurrences, confirmed dropped
+    * from every pair), behind a doc-unique separator token so
+    * doc-tail→footer boundary windows don't pair docs that merely end
+    * in the same word; and — for the incremental form only — a
+    * batch-shared 12-token phrase BEFORE the separator (each planted
+    * group holds exactly one batch member, so batch-vs-batch pairs
+    * need their own plant). */
+  private def substrPlanted(s: SparkSession, d: String,
+                            batchShared: Boolean): DataFrame = {
+    val docs = T(s, d, "documents")
+    val t = text.tokens(col("text"))
+    val grp = (col("doc_id") % 8).cast("string")
+    val o = expr("(doc_id div 8) % 4").cast("int")
+    val phrase = array_join(transform(sequence(lit(1), lit(14)),
+      j => concat(lit("seg"), grp, lit("tok"), j.cast("string"))), " ")
+    val planted = concat_ws(" ",
+      array_join(slice(t, lit(1), o), " "), phrase,
+      array_join(slice(t, o + lit(1), greatest(size(t) - o, lit(0))), " "))
+    val share =
+      if (!batchShared) lit("")
+      else when(col("doc_id") % 5 === 0 && col("doc_id") < 50,
+        lit(" bshare1 bshare2 bshare3 bshare4 bshare5 bshare6" +
+          " bshare7 bshare8 bshare9 bshare10 bshare11 bshare12"))
+        .otherwise(lit(""))
+    val footer = concat(lit(" sep"), col("doc_id").cast("string"),
+      lit(" foot1 foot2 foot3 foot4 foot5 foot6 foot7 foot8"))
+    docs.select(col("doc_id"),
+      concat(when(col("doc_id") < 40, planted).otherwise(col("text")),
+        share, footer).as("text"))
+  }
+
   /** Stored-family phased form (QShared.Phased; see QVector.phased):
     * the benchmark registry build in init; the four-stage admission
     * funnel (with the contamination screen on) in serve. The two
@@ -485,31 +522,25 @@ private[graft] object QDedup {
     // generation capped at 64 occurrences per digest (the documented
     // skew trade vs the suffix array's linearity).
     "x_substr_maximal" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val t = text.tokens(col("text"))
-      val grp = (col("doc_id") % 8).cast("string")
-      // Offset varies WITHIN a group: members of group g are g, g+8,
-      // g+16, … so doc_id % 4 would be constant across a group (every
-      // planted pair diag = 0 — the misalignment claim vacuous);
-      // (doc_id div 8) % 4 walks 0,1,2,3 across the members.
-      val o = expr("(doc_id div 8) % 4").cast("int")
-      val phrase = array_join(transform(sequence(lit(1), lit(14)),
-        j => concat(lit("seg"), grp, lit("tok"), j.cast("string"))), " ")
-      val planted = concat_ws(" ",
-        array_join(slice(t, lit(1), o), " "), phrase,
-        array_join(slice(t, o + lit(1), greatest(size(t) - o, lit(0))), " "))
-      // A universal 8-token footer on EVERY doc keeps the occurrence
-      // cap live: its window occurs n_docs times (≫ 64 at sf ≥ 0.01),
-      // so the cap must drop it from pair generation — without the
-      // plant the cap branch is vacuous on natural fixture prose. The
-      // doc-unique separator token keeps doc-tail→footer boundary
-      // windows from pairing docs that merely end in the same word.
-      val footer = concat(lit(" sep"), col("doc_id").cast("string"),
-        lit(" foot1 foot2 foot3 foot4 foot5 foot6 foot7 foot8"))
-      val p = docs.select(col("doc_id"),
-        concat(when(col("doc_id") < 40, planted).otherwise(col("text")),
-          footer).as("text"))
-      SpanDedup.maximalRepeats(p, "doc_id", "text", minLen = 8, maxOcc = 64)
+      SpanDedup.maximalRepeats(substrPlanted(s, d, batchShared = false),
+          "doc_id", "text", minLen = 8, maxOcc = 64)
+        .orderBy("id_a", "start_a", "id_b", "start_b")
+    }),
+    // Admission-time maximal repeats: every maximal matched range
+    // TOUCHING the new batch (doc_id % 5 = 0) vs the corpus or within
+    // the batch — corpus-internal pairs never generated; occurrence
+    // eligibility counts over the union so the result is exactly the
+    // global report restricted to batch-touching pairs. The extra
+    // batch-only 12-token phrase (batch docs < 50) keeps the
+    // batch-vs-batch lane live — each planted phrase group holds
+    // exactly ONE batch member (group stride 8 walks all residues
+    // mod 5), so without it only the batch-vs-corpus lane would fire.
+    "x_substr_maximal_incremental" -> ((s, d) => {
+      val p = substrPlanted(s, d, batchShared = true)
+      SpanDedup.maximalRepeatsAgainst(
+          p.filter(col("doc_id") % 5 === 0),
+          p.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", minLen = 8, maxOcc = 64)
         .orderBy("id_a", "start_a", "id_b", "start_b")
     }),
     // Duplicated-span LOSS-MASK ranges — the soft alternative to
@@ -559,6 +590,57 @@ private[graft] object QDedup {
     }),
   )
 
+  /** Shared maximal-repeat replay (x_substr_maximal and its incremental
+    * form — the same planted text, windows, union-counted eligibility,
+    * canonical pair order, and gaps-and-islands diagonals; the
+    * incremental form adds the batch-shared phrase and restricts pairs
+    * to batch-touching ones). */
+  private def substrMaximalSql(batchShared: Boolean, pairWhere: String): String = {
+    // The fragment's lines carry margin chars for the OUTER stripMargin
+    // (an already-stripped fragment would lose the first '|' of each
+    // '||' concat operator to the outer strip).
+    val share =
+      if (!batchShared) ""
+      else "\n       |      || CASE WHEN doc_id % 5 = 0 AND doc_id < 50" +
+        "\n       |           THEN ' bshare1 bshare2 bshare3 bshare4 bshare5" +
+        " bshare6 bshare7 bshare8 bshare9 bshare10 bshare11 bshare12'" +
+        "\n       |           ELSE '' END"
+    s"""WITH w0 AS (SELECT doc_id, text, $words AS wds0 FROM documents),
+       |p AS (SELECT doc_id, CASE WHEN doc_id < 40 THEN
+       |        coalesce(array_to_string(wds0[1:CAST((doc_id // 8) % 4 AS INT)], ' '), '') || ' ' ||
+       |        array_to_string(list_transform(generate_series(1, 14),
+       |          j -> 'seg' || CAST(doc_id % 8 AS VARCHAR) || 'tok' || CAST(j AS VARCHAR)), ' ')
+       |        || ' ' ||
+       |        coalesce(array_to_string(wds0[CAST((doc_id // 8) % 4 AS INT) + 1:len(wds0)], ' '), '')
+       |      ELSE text END$share
+       |      || ' sep' || CAST(doc_id AS VARCHAR)
+       |      || ' foot1 foot2 foot3 foot4 foot5 foot6 foot7 foot8' AS text
+       |  FROM w0),
+       |toks AS (SELECT doc_id, $words AS t FROM p),
+       |win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+       |        FROM (SELECT doc_id, t,
+       |                unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+       |elig AS (SELECT span FROM win GROUP BY 1
+       |         HAVING count(*) >= 2 AND count(*) <= 64),
+       |pr AS (SELECT a.doc_id ida, a.i ia, b.doc_id idb, b.i ib
+       |       FROM win a JOIN elig USING (span) JOIN win b USING (span)
+       |       WHERE $pairWhere(a.doc_id < b.doc_id
+       |          OR (a.doc_id = b.doc_id AND a.i < b.i))),
+       |runs AS (SELECT ida, idb, ia, ib, ia - ib AS diag,
+       |           ia - row_number() OVER (
+       |             PARTITION BY ida, idb, ia - ib ORDER BY ia) AS grp
+       |         FROM pr),
+       |agg AS (SELECT ida, idb, min(ia) sa, min(ib) sb,
+       |          max(ia) - min(ia) + 8 AS len
+       |        FROM runs GROUP BY ida, idb, diag, grp)
+       |SELECT agg.ida AS id_a, CAST(sa AS INTEGER) AS start_a,
+       |  agg.idb AS id_b, CAST(sb AS INTEGER) AS start_b,
+       |  CAST(len AS INTEGER) AS len_tokens,
+       |  array_to_string(t[sa:sa+len-1], ' ') AS span
+       |FROM agg JOIN toks ON toks.doc_id = agg.ida
+       |ORDER BY id_a, start_a, id_b, start_b""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "x_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id""".stripMargin,
@@ -607,41 +689,12 @@ private[graft] object QDedup {
     // (ia − row_number over each (id_a, id_b, ia−ib) diagonal). String
     // keys here vs digests in the engine — a hash match proves the
     // digest grouping collision-free, the x_dup_spans idiom.
-    "x_substr_maximal" ->
-      s"""WITH w0 AS (SELECT doc_id, text, $words AS wds0 FROM documents),
-        |p AS (SELECT doc_id, CASE WHEN doc_id < 40 THEN
-        |        coalesce(array_to_string(wds0[1:CAST((doc_id // 8) % 4 AS INT)], ' '), '') || ' ' ||
-        |        array_to_string(list_transform(generate_series(1, 14),
-        |          j -> 'seg' || CAST(doc_id % 8 AS VARCHAR) || 'tok' || CAST(j AS VARCHAR)), ' ')
-        |        || ' ' ||
-        |        coalesce(array_to_string(wds0[CAST((doc_id // 8) % 4 AS INT) + 1:len(wds0)], ' '), '')
-        |      ELSE text END
-        |      || ' sep' || CAST(doc_id AS VARCHAR)
-        |      || ' foot1 foot2 foot3 foot4 foot5 foot6 foot7 foot8' AS text
-        |  FROM w0),
-        |toks AS (SELECT doc_id, $words AS t FROM p),
-        |win AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
-        |        FROM (SELECT doc_id, t,
-        |                unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
-        |elig AS (SELECT span FROM win GROUP BY 1
-        |         HAVING count(*) >= 2 AND count(*) <= 64),
-        |pr AS (SELECT a.doc_id ida, a.i ia, b.doc_id idb, b.i ib
-        |       FROM win a JOIN elig USING (span) JOIN win b USING (span)
-        |       WHERE a.doc_id < b.doc_id
-        |          OR (a.doc_id = b.doc_id AND a.i < b.i)),
-        |runs AS (SELECT ida, idb, ia, ib, ia - ib AS diag,
-        |           ia - row_number() OVER (
-        |             PARTITION BY ida, idb, ia - ib ORDER BY ia) AS grp
-        |         FROM pr),
-        |agg AS (SELECT ida, idb, min(ia) sa, min(ib) sb,
-        |          max(ia) - min(ia) + 8 AS len
-        |        FROM runs GROUP BY ida, idb, diag, grp)
-        |SELECT agg.ida AS id_a, CAST(sa AS INTEGER) AS start_a,
-        |  agg.idb AS id_b, CAST(sb AS INTEGER) AS start_b,
-        |  CAST(len AS INTEGER) AS len_tokens,
-        |  array_to_string(t[sa:sa+len-1], ' ') AS span
-        |FROM agg JOIN toks ON toks.doc_id = agg.ida
-        |ORDER BY id_a, start_a, id_b, start_b""".stripMargin,
+    "x_substr_maximal" -> substrMaximalSql(batchShared = false, pairWhere = ""),
+    // Incremental replay: SAME CTE chain (eligibility over the union),
+    // pairs restricted to those touching the batch slice — the
+    // incremental-equality law stated as SQL.
+    "x_substr_maximal_incremental" -> substrMaximalSql(batchShared = true,
+      pairWhere = "(a.doc_id % 5 = 0 OR b.doc_id % 5 = 0) AND "),
     // Span removal: coverage = distinct (doc, pos) under any duplicated
     // window (overlaps merge via DISTINCT), kept tokens re-join in
     // position order; docs shorter than the window (or empty) fall out

@@ -312,6 +312,35 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
       s"span text shuffled: $exchanges")
   }
 
+  test("maximalRepeatsAgainst == global maximalRepeats restricted to batch-touching pairs") {
+    import spark.implicits._
+    val phrase = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    val corpus = Seq(
+      (1L, s"a b c $phrase x y"),
+      (2L, s"q r $phrase z"),          // corpus-corpus pair: must NOT appear
+      (3L, "unrelated corpus content sits here quietly")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"lead $phrase tail"),      // batch-vs-corpus (and vs 11)
+      (11L, s"$phrase immediately"),    // batch-vs-batch with 10
+      (12L, "nothing shared in this one at all")
+    ).toDF("doc_id", "text")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))).toSet
+    val inc = rows(SpanDedup.maximalRepeatsAgainst(batch, corpus,
+      "doc_id", "text", minLen = 6))
+    val batchIds = Set(10L, 11L, 12L)
+    val global = rows(SpanDedup.maximalRepeats(
+        corpus.unionByName(batch), "doc_id", "text", minLen = 6)
+      .filter(col("id_a").isin(batchIds.toSeq: _*) ||
+        col("id_b").isin(batchIds.toSeq: _*)))
+    assert(inc === global, "the incremental-equality law")
+    assert(inc.exists(t => batchIds(t._1) && batchIds(t._3)), "batch-batch lane live")
+    assert(inc.exists(t => batchIds(t._1) != batchIds(t._3)), "batch-corpus lane live")
+    assert(!inc.exists(t => !batchIds(t._1) && !batchIds(t._3)),
+      "corpus-corpus pairs must never be generated")
+  }
+
   test("maximalRepeats: the pair join is digest-keyed — no cartesian or nested loop") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
