@@ -312,6 +312,58 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
       s"span text shuffled: $exchanges")
   }
 
+  test("maximalRepeats == independent token-level reference on seeded random corpora") {
+    import spark.implicits._
+    // Reference built WITHOUT windows: walk every (doc pair, diagonal)
+    // at token level, emit maximal runs of equal tokens of length >= k
+    // — an independent construction of the same mathematical object the
+    // window/gaps-and-islands pipeline computes.
+    def ref(ids: Seq[Long], toks: Map[Long, Vector[String]], k: Int)
+        : Set[(Long, Int, Long, Int, Int)] = {
+      val out = scala.collection.mutable.Set.empty[(Long, Int, Long, Int, Int)]
+      for (a <- ids; b <- ids; if a <= b) {
+        val A = toks(a); val B = toks(b)
+        for (sa <- 1 to A.length; sb <- 1 to B.length
+             if (a < b || sa < sb) &&
+               A(sa - 1) == B(sb - 1) &&
+               (sa == 1 || sb == 1 || A(sa - 2) != B(sb - 2))) {
+          var len = 0
+          while (sa - 1 + len < A.length && sb - 1 + len < B.length &&
+            A(sa - 1 + len) == B(sb - 1 + len)) len += 1
+          if (len >= k) out += ((a, sa, b, sb, len))
+        }
+      }
+      out.toSet
+    }
+    val rng = new scala.util.Random(4242)
+    val k = 4
+    for (trial <- 1 to 4) {
+      // Tiny alphabet → dense accidental repeats, within-doc included.
+      val corpus = (1L to 8L).map { id =>
+        val n = 8 + rng.nextInt(25)
+        (id, Seq.fill(n)("wxyz".charAt(rng.nextInt(4)).toString).mkString(" "))
+      }
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+      val got = SpanDedup.maximalRepeats(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", minLen = k, maxOcc = 1 << 20)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getInt(3), r.getInt(4), r.getString(5)))
+      // Every reported span must be REAL (both slices equal the span)…
+      got.foreach { case (ia, sa, ib, sb, len, span) =>
+        val seg = toks(ia).slice(sa - 1, sa - 1 + len)
+        assert(seg == toks(ib).slice(sb - 1, sb - 1 + len),
+          s"trial $trial: phantom match ($ia,$sa)-($ib,$sb) len $len")
+        assert(span == seg.mkString(" "))
+      }
+      // …and the SET must equal the independent reference exactly
+      // (soundness and completeness, maximality included).
+      val want = ref(corpus.map(_._1), toks, k)
+      val gotSet = got.map(t => (t._1, t._2, t._3, t._4, t._5)).toSet
+      assert(gotSet === want, s"trial $trial: engine=$gotSet\n  ref=$want")
+      assert(want.nonEmpty, s"trial $trial produced no matches — fixture too sparse")
+    }
+  }
+
   test("maximalRepeatsAgainst == global maximalRepeats restricted to batch-touching pairs") {
     import spark.implicits._
     val phrase = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
