@@ -31,7 +31,8 @@ object Bench {
     // driver never sets it, so its recordings stay full-set).
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .fold(SparkEntry.queries)(SparkEntry.selectQueries)
-    val (results, stored, failures) = run(spark, sfDir, selected, runs)
+    val (results, stored, failures) =
+      run(spark, sfDir, selected, runs, SparkEntry.phasedQueries)
     def jnum(v: Double) = if (v.isNaN || v.isInfinite) "null" else v.toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
@@ -46,8 +47,12 @@ object Bench {
     println(json)
     // The driver's log-tail recording truncates the (long) stdout line;
     // the committed-artifact copy keeps every per-query number readable
-    // for round-over-round audits.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // for round-over-round audits. A name-filtered local run writes to a
+    // DISTINCT default path — a subset must never silently overwrite a
+    // previously recorded full-suite artifact (explicit BENCH_OUT wins).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "bench_partial.json"
+      else "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e") }
@@ -85,14 +90,16 @@ object Bench {
   def run(spark: SparkSession, sfDir: String,
           queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
           runs: Int,
-          // The phased registry to consult for split timings. A caller
-          // timing a CUSTOM function under a name that collides with a
-          // registry entry must pass Map.empty (or its own phased form)
-          // — a colliding name here replaces the plain function with
-          // the phased definition, which for the default registry is
-          // the same computation (fused == init-then-serve of one
-          // definition) but would silently ignore a modified variant.
-          phasedAll: Map[String, QShared.Phased] = SparkEntry.phasedQueries)
+          // The phased registry to consult for split timings — EXPLICIT
+          // opt-in, default empty: a colliding name here replaces the
+          // plain function with the phased definition, so a caller
+          // timing a CUSTOM variant under a registry name would be
+          // silently ignored if the registry were the default. Callers
+          // timing the registry's own queries (main, the driver path)
+          // pass SparkEntry.phasedQueries alongside SparkEntry.queries —
+          // the two are built from the SAME definitions by construction
+          // (queries' entry IS fused(phased) for every phased name).
+          phasedAll: Map[String, QShared.Phased] = Map.empty)
       : (Seq[(String, Double)], Map[String, (Double, Double)], Map[String, String]) = {
     val phased = phasedAll.filter { case (n, _) => queries.contains(n) }
     val names = queries.keys.toSeq.sorted

@@ -1406,9 +1406,9 @@ private[graft] object QCuration {
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?s)<!--.*?-->', ' ', 'g'),
         |      '(?is)<script\b[^>]*>.*?</script[ \t\n\x0b\f\r]*>', ' ', 'g'),
         |      '(?is)<style\b[^>]*>.*?</style[ \t\n\x0b\f\r]*>', ' ', 'g'),
-        |      '(?s)<!--.*?-->', ' ', 'g'),
         |      '(?is)<(?:script|style)\b[^>]*>.*$', ' ', 'g'),
         |      '<[^>]*>', ' ', 'g'),
         |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),

@@ -22,7 +22,8 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
   test("stored-family queries get split init/serve timings that sum to the total") {
     val phasedName = "x_quantile_store" // a SparkEntry.phasedQueries member
     val qs = SparkEntry.selectQueries(phasedName)
-    val (results, stored, failures) = Bench.run(spark, sf(), qs, runs = 1)
+    val (results, stored, failures) =
+      Bench.run(spark, sf(), qs, runs = 1, SparkEntry.phasedQueries)
     assert(failures.isEmpty, s"failures: $failures")
     assert(results.map(_._1) === Seq(phasedName))
     val (init, serve) = stored(phasedName)

@@ -740,4 +740,26 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) === "before", "unclosed style drops to end of input")
     assert(got(4L) === "kept", "a '</script>' must not close a style block")
   }
+
+  test("htmlExtract: comments strip before script/style, so commented tags cannot anchor a block") {
+    import spark.implicits._
+    val cases = Seq(
+      // An unclosed <script> open tag INSIDE a comment must not anchor
+      // the script pass and eat the visible text up to the next real
+      // </script> (the comments-first ordering under test).
+      1L -> "<!-- add <script> here --> visible <script>x = 1;</script>after",
+      // The legacy hide-from-old-browsers idiom: comment strips first,
+      // the emptied script block still collapses.
+      2L -> "<script><!-- var a = 1; --></script>kept",
+      // A commented-out STYLE open tag, same rule for the other kind.
+      3L -> "<!-- <style> --> shown <style>p { }</style>end")
+    val got = cases.toDF("id", "h")
+      .select(col("id"), CurationOps.htmlExtract(col("h")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "visible after",
+      "a commented '<script>' must not swallow the visible text")
+    assert(got(2L) === "kept", "emptied script block still collapses")
+    assert(got(3L) === "shown end",
+      "a commented '<style>' must not swallow the visible text")
+  }
 }
