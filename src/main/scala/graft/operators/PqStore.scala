@@ -21,9 +21,16 @@ import org.apache.spark.sql.functions._
  *  - [[append]]: O(batch) — assign to existing cells, residual-encode
  *    with the FIXED codebook, upsert (only the touched cells' buckets
  *    rewrite). NEW ids only — the [[Bm25Store.append]] disjoint-ids
- *    contract; re-adding an id that may have moved cells needs the
- *    re-home scan [[IvfAnn.appendToIndex]] documents, which this store
- *    intentionally does not duplicate.
+ *    contract, ENFORCED fail-loud (not just documented): every append
+ *    probes the [[graft.sources.IdLayoutSidecar]] for its batch ids
+ *    (O(batch) bucket-pruned — the SemDedupStore idiom) and REFUSES a
+ *    collision, because the cell-laid-out table cannot re-home an id
+ *    whose vector moved cells without the scan
+ *    [[IvfAnn.appendToIndex]] documents — a silent second copy in a
+ *    different cell would serve a deleted-in-spirit vector forever.
+ *    [[remove]] the old id first, then append. A store predating the
+ *    sidecar (or just restored — see [[restore]]) adopts it on the
+ *    next append via one column-pruned backfill scan.
  *  - [[remove]]: bucket-pruned copy-on-write delete
  *    ([[graft.sources.TableSink.deleteByIds]]) — one column-pruned
  *    (id, cell) scan locates victims, only their buckets rewrite.
@@ -68,6 +75,13 @@ object PqStore {
         .withColumn("__v", lit(0L)),
       Seq(idCol), "__v", numBuckets, layoutCol = Some("__cell_s"),
       meta = Some(graft.sources.IndexMeta.fresh(mat.count())))
+    // The id→cell sidecar makes append's disjoint-ids check an O(batch)
+    // bucket-pruned probe instead of a table scan; seeded straight from
+    // the checkpointed frame (no table re-read).
+    graft.sources.IdLayoutSidecar.recordIntent(spark, dir,
+      mat.select(col(idCol), col("cell").cast("string").as("cell"),
+        lit(null).cast("string").as("prev_cell")),
+      version = 0L, idCol)
   }
 
   /** The fit-artifact dir the LIVE generation was encoded under: a
@@ -154,7 +168,11 @@ object PqStore {
 
   /** O(batch) add of NEW ids under the fixed (cells, cb): only the
     * landed cells' buckets rewrite; staleness `added` advances in the
-    * same commit. */
+    * same commit. REFUSES loudly when any batch id already lives in the
+    * store (see the class note) — the collision probe is the
+    * [[graft.sources.IdLayoutSidecar]]'s O(batch) bucket-pruned
+    * resolve; a sidecar-less store (pre-sidecar history, or post-
+    * [[restore]]) is adopted first with one column-pruned backfill. */
   def append(spark: SparkSession, dir: String, newVectors: DataFrame,
              cells: DataFrame, idCol: String, vecCol: String, cb: Codebook,
              dim: Int, version: Long): Unit =
@@ -162,9 +180,29 @@ object PqStore {
     require(graft.sources.TableSink.layoutColOf(dir).isDefined,
       s"no PQ index at '$dir' — write one with PqStore.write first")
     requireCurrentFit(spark, dir, cells, cb)
+    if (!graft.sources.IdLayoutSidecar.exists(dir))
+      graft.sources.IdLayoutSidecar.backfill(spark, dir, idCol)
+    val clash = graft.sources.IdLayoutSidecar.resolve(spark, dir,
+        newVectors.select(col(idCol)), idCol)
+      .select(col(idCol)).limit(5).collect().map(_.get(0))
+    require(clash.isEmpty,
+      s"PQ store at '$dir' already holds batch ids ${clash.mkString(", ")}" +
+        " (…) — append takes NEW ids only: a colliding id whose vector " +
+        "moved cells would leave two live copies in different buckets " +
+        "(silent corruption). PqStore.remove the old ids first, or " +
+        "rebuild.")
     val coded = encodeResiduals(
-      IvfAnn.assignCells(newVectors, idCol, vecCol, cells),
-      cells, idCol, vecCol, cb, dim)
+        IvfAnn.assignCells(newVectors, idCol, vecCol, cells),
+        cells, idCol, vecCol, cb, dim)
+      .localCheckpoint(true) // sidecar intent + table upsert both consume it
+    // Intent first (the sidecar invariant: a main-table copy, if any,
+    // sits at its sidecar cell) — a crash before the table commit leaves
+    // no main copy, so resolve still reports the ids absent and a replay
+    // re-records idempotently.
+    graft.sources.IdLayoutSidecar.recordIntent(spark, dir,
+      coded.select(col(idCol), col("cell").cast("string").as("cell"),
+        lit(null).cast("string").as("prev_cell")),
+      version, idCol)
     graft.sources.TableSink.upsert(spark, dir,
       coded.withColumn("__cell_s", col("cell").cast("string"))
         .withColumn("__v", lit(version)),
@@ -183,7 +221,10 @@ object PqStore {
       s"no PQ index at '$dir' — write one with PqStore.write first")
     graft.sources.TableSink.deleteByIds(spark, dir, ids, idCol,
       metaFor = victims => graft.sources.IndexMeta.bumped(dir, victims.count()))
-    ()
+    // Keep the collision sidecar garbage-free: a removed id is a LEGAL
+    // future append (a stale sidecar row stays harmless — resolve finds
+    // no main copy — but would accumulate forever).
+    graft.sources.IdLayoutSidecar.removeIds(spark, dir, ids, idCol)
   }
 
   /** The codebook/centroid staleness trigger — [[graft.sources
@@ -233,10 +274,19 @@ object PqStore {
       .withColumn("__cell_s", col("cell").cast("string"))
       .withColumn("__v", lit(0L))
       .localCheckpoint(true) // base count + overwrite both consume it
+    // A rebuild re-homes every row, so the surviving sidecar would
+    // violate its cell/prev_cell invariant: drop FIRST (crash windows
+    // fall back to append's column-pruned adoption scan — correct,
+    // unpruned), re-seed from the checkpointed frame after the flip.
+    graft.sources.IdLayoutSidecar.drop(dir)
     graft.sources.TableSink.overwrite(spark, dir, coded, Seq(idCol),
       numBuckets = graft.sources.TableSink.numBucketsOf(dir).getOrElse(64),
       layoutCol = Some("__cell_s"),
       meta = Some(graft.sources.IndexMeta.fresh(coded.count(), Some(fit))))
+    graft.sources.IdLayoutSidecar.recordIntent(spark, dir,
+      coded.select(col(idCol), col("__cell_s").as("cell"),
+        lit(null).cast("string").as("prev_cell")),
+      version = 0L, idCol)
     (cells, cb)
   }
 
@@ -317,7 +367,15 @@ object PqStore {
           if (exists(cb)) s"persisted at $cb"
           else "caller-held fit (never rebuilt, no persisted codebook) — by contract")
     }
-    graft.sources.StoreCheck.tableSink(spark, dir).unionByName(fitRows)
+    // The collision sidecar is self-healing (append adopts a sidecar-less
+    // store with one backfill scan), so absence is advisory, not a fail.
+    val sidecarRow = graft.sources.StoreCheck.row(spark, dir,
+      "id_sidecar", ok = true,
+      if (graft.sources.IdLayoutSidecar.exists(dir))
+        s"present at ${graft.sources.IdLayoutSidecar.dir(dir)}"
+      else "absent — next append backfills (column-pruned adoption scan)")
+    graft.sources.StoreCheck.tableSink(spark, dir)
+      .unionByName(fitRows).unionByName(sidecarRow)
   }
 
   // ── Snapshot / restore ──────────────────────────────────────────────
@@ -350,9 +408,13 @@ object PqStore {
 
   /** Roll the store back to a tag: one generation republish; the
     * restored manifest's fit pointer resolves the codebook/cells it was
-    * encoded under (old fit dirs are never deleted). */
+    * encoded under (old fit dirs are never deleted). The collision
+    * sidecar tracks the LIVE generation, not the tag — it drops here
+    * and the next [[append]] adopts the restored table with one
+    * backfill scan. */
   def restore(dir: String, tag: String): Unit =
     graft.sources.WriterLease.withLease(dir, "pqstore-restore") {
       graft.sources.TableSink.restore(dir, tag)
+      graft.sources.IdLayoutSidecar.drop(dir)
     }
 }

@@ -80,6 +80,46 @@ class PqStoreSpec extends AnyFunSuite with SparkSpec {
     assert(rows(stored) === rows(memorySearch(ed.filter(col("vec_id") % 3 =!= 0), 5, 3)))
   }
 
+  test("append refuses colliding ids loudly; the store is untouched") {
+    val dir = tmp()
+    PqStore.write(spark, dir, coded(base), "vec_id", numBuckets = 16)
+    PqStore.append(spark, dir, extra, cells, "vec_id", "embedding", cb, Dim,
+      version = 1L)
+    // Re-appending ids the store already holds: the one silent-corruption
+    // door the store family never allows — must refuse, not double-encode.
+    val e = intercept[IllegalArgumentException](
+      PqStore.append(spark, dir, extra, cells, "vec_id", "embedding", cb, Dim,
+        version = 2L))
+    assert(e.getMessage.contains("already holds"))
+    assert(rows(PqStore.search(dir, queries, cells, cb, "vec_id", "embedding",
+      k = 5, nprobe = 3)) === rows(memorySearch(ed, 5, 3)),
+      "the refused append must not have mutated the store")
+    // Exactly one live copy per id (no second generation of codes).
+    val like = spark.range(0).select(lit(0L).as("cell"),
+      lit(0L).as("vec_id"), array().cast("array<tinyint>").as("codes"))
+    val dupIds = graft.sources.TableSink.read(spark, dir, like)
+      .groupBy("vec_id").count().filter(col("count") > 1)
+    assert(dupIds.isEmpty, "every id must have exactly one live row")
+  }
+
+  test("remove-then-append of the same ids is the legal re-home path; a sidecar-less store adopts on append") {
+    val dir = tmp()
+    PqStore.write(spark, dir, coded(ed), "vec_id", numBuckets = 16)
+    PqStore.remove(spark, dir, extra.select("vec_id"), "vec_id")
+    // Simulate a pre-sidecar store: drop the sidecar — append must
+    // adopt it (one column-pruned backfill) and still answer correctly.
+    graft.sources.IdLayoutSidecar.drop(dir)
+    PqStore.append(spark, dir, extra, cells, "vec_id", "embedding", cb, Dim,
+      version = 1L)
+    assert(rows(PqStore.search(dir, queries, cells, cb, "vec_id", "embedding",
+      k = 5, nprobe = 3)) === rows(memorySearch(ed, 5, 3)))
+    // And the adopted sidecar now refuses a second copy.
+    val e = intercept[IllegalArgumentException](
+      PqStore.append(spark, dir, extra, cells, "vec_id", "embedding", cb, Dim,
+        version = 2L))
+    assert(e.getMessage.contains("already holds"))
+  }
+
   test("a probe opens only the probed cells' buckets") {
     val dir = tmp()
     PqStore.write(spark, dir, coded(ed), "vec_id", numBuckets = 16)
