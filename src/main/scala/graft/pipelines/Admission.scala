@@ -47,11 +47,26 @@ object Admission {
     * the classifier's probability gates the funnel while language id,
     * Gopher structure rules, and the PII check stay in force. `sem`
     * switches on the OPTIONAL fourth stage ([[SemStage]]); `decon`
-    * the optional eval-contamination screen ([[DeconStage]]). */
+    * the optional eval-contamination screen ([[DeconStage]]).
+    *
+    * `spanKeepFirst` selects the scrub's SURVIVORSHIP policy: false
+    * (default) is the all-copies scrub ([[SpanDedup.scrubAgainstIndex]]
+    * — a span crossing `minDocs` scrubs everywhere, including the
+    * batch's own copy); true is keep-first
+    * ([[SpanDedup.scrubKeepFirstAgainstIndex]] — the corpus copy of any
+    * indexed span is the canonical survivor so every batch occurrence
+    * scrubs by mere presence, and corpus-novel spans duplicated WITHIN
+    * the batch keep their min-(id, position) occurrence). Keep-first is
+    * the policy the document/line/media dedup families here already
+    * apply — one copy of a license block should remain in the corpus.
+    * The flag rides every form identically (run / runAgainst /
+    * runCommitted / stream), so the incremental-equality law holds per
+    * flag value. */
   case class Config(spanK: Int = 8, minDocs: Int = 2, minQuality: Double = 0.5,
                     scoreFn: Option[Column => Column] = None,
                     sem: Option[SemStage] = None,
-                    decon: Option[DeconStage] = None)
+                    decon: Option[DeconStage] = None,
+                    spanKeepFirst: Boolean = false)
 
   /**
    * The eval-decontamination stage — an OPTIONAL stage between curation
@@ -228,10 +243,25 @@ object Admission {
     // both probes become cheap pushed scans.)
     val idx = SpanDedup.spanDigestIndex(corpus, idCol, textCol, cfg.spanK)
       .localCheckpoint(true)
-    val scrubbed = SpanDedup.scrubAgainstIndex(survScrub, idx, idCol, textCol,
-      cfg.spanK, cfg.minDocs)
+    val scrubbed = spanScrub(survScrub, idx, idCol, textCol, cfg)
     verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam)
   }
+
+  /** The span scrub under the configured survivorship policy — ONE
+    * selector shared by the in-memory and standing forms so the
+    * incremental-equality law holds per [[Config.spanKeepFirst]] value.
+    * Keep-first scrubs on index PRESENCE, so rows an [[unadmit]]
+    * decrement zeroed (still physically present until [[compact]] folds
+    * them) are filtered out first; the all-copies form sums counts, for
+    * which zeroed rows are naturally inert. */
+  private def spanScrub(surv: DataFrame, idx: DataFrame, idCol: String,
+                        textCol: String, cfg: Config): DataFrame =
+    if (cfg.spanKeepFirst)
+      SpanDedup.scrubKeepFirstAgainstIndex(surv,
+        idx.filter(col("n_occ") > 0), idCol, textCol, cfg.spanK)
+    else
+      SpanDedup.scrubAgainstIndex(surv, idx, idCol, textCol,
+        cfg.spanK, cfg.minDocs)
 
   // ───────────────────────── standing-state form ─────────────────────────
 
@@ -417,8 +447,7 @@ object Admission {
       (surv.join(dropped.select(idCol), Seq(idCol), "left_anti"), Some(dropped))
     }
     val idx = readSpanIndex(spark, storeDir)
-    val scrubbed = SpanDedup.scrubAgainstIndex(survScrub, idx, idCol, textCol,
-      cfg.spanK, cfg.minDocs)
+    val scrubbed = spanScrub(survScrub, idx, idCol, textCol, cfg)
     verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam)
       .localCheckpoint(true)
   }

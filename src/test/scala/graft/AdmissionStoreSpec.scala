@@ -166,6 +166,58 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(v2(61L)._1 == "duplicate")
   }
 
+  test("keep-first span policy: run == runAgainst == stream; corpus copy survives, batch copies scrub by presence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val cfgKF = Admission.Config(spanKeepFirst = true)
+    val bnov = "bnov1 bnov2 bnov3 bnov4 bnov5 bnov6 bnov7 bnov8"
+    val corpus = df(Seq(101L -> (goodText('s') + " " + boiler)))
+    val b1 = df(Seq(
+      2L -> (goodText('p') + " " + boiler),  // boiler held by the corpus → ALL batch copies scrub (presence)
+      3L -> (goodText('q') + " " + bnov),    // corpus-novel span, duplicated within the batch:
+      4L -> (goodText('t') + " " + bnov)))   //   doc 3's min-(id,pos) copy survives, doc 4's scrubs
+
+    val store = java.nio.file.Files.createTempDirectory("admission-kf").toString
+    Admission.init(spark, store, corpus, "doc_id", "text", cfgKF)
+    val got = collectVerdicts(Admission.run(spark, store, b1, "doc_id", "text", cfgKF))
+    val want = collectVerdicts(Admission.runAgainst(b1, corpus, "doc_id", "text", cfgKF))
+    assert(got == want, s"keep-first law diverged:\n store=$got\n ref  =$want")
+    assert(got(2L)._3 >= 8, s"corpus-held boiler must scrub from doc 2: ${got(2L)}")
+    assert(got(3L)._4.contains("bnov1"),
+      s"the batch-canonical copy of a corpus-novel span must SURVIVE: ${got(3L)}")
+    assert(!got(4L)._4.contains("bnov1"),
+      s"the non-canonical batch copy must scrub: ${got(4L)}")
+
+    // With the DEFAULT all-copies policy the canonical copy scrubs too —
+    // the flag is load-bearing, not a synonym.
+    val storeAC = java.nio.file.Files.createTempDirectory("admission-ac").toString
+    Admission.init(spark, storeAC, corpus, "doc_id", "text")
+    val ac = collectVerdicts(Admission.run(spark, storeAC, b1, "doc_id", "text"))
+    assert(!ac(3L)._4.contains("bnov1"),
+      s"all-copies must scrub doc 3's copy as well: ${ac(3L)}")
+
+    // The streaming form rides the same cfg (MemoryStream-pinned): a
+    // second epoch sees the first epoch's admitted docs as the corpus
+    // side of the keep-first rule.
+    val ckpt = java.nio.file.Files.createTempDirectory("admission-kf-ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Admission.stream(spark, store,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      cfg = cfgKF)
+    mem.addData(11L -> (goodText('u') + " " + bnov)) // bnov now store-held → scrubs by presence
+    q.processAllAvailable()
+    q.stop()
+    val v0 = collectVerdicts(spark.read.parquet(s"$store/verdicts/batch_0"))
+    val want0 = collectVerdicts(Admission.runAgainst(
+      df(Seq(11L -> (goodText('u') + " " + bnov))),
+      corpus.unionByName(b1.filter(col("doc_id").isin(2L, 3L, 4L))),
+      "doc_id", "text", cfgKF))
+    assert(v0 == want0, s"streaming keep-first diverged:\n stream=$v0\n ref   =$want0")
+    assert(!v0(11L)._4.contains("bnov1"),
+      s"a store-held span must scrub from a later epoch by presence: ${v0(11L)}")
+  }
+
   test("delta-name counter never rewinds onto an absorbed name across compactions") {
     // init → run(part_00001) → compact → epoch batch (part_b0) → compact
     // sweeps every numeric orphan dir; a ledger/disk-only counter would
