@@ -55,7 +55,7 @@ object SpanDedup {
   /** Tokenization shared with the other text kernels: lower, split on
     * runs of [[graft.functions.text.WhitespaceRun]] (the ONE spelled-out
     * whitespace class both engine and OracleSql use), drop empties. */
-  private def toks(textCol: Column): Column =
+  private[operators] def toks(textCol: Column): Column =
     filter(split(lower(trim(textCol)), graft.functions.text.WhitespaceRun), t => t =!= "")
 
   /** The two digest words keying a span in digest mode. xxhash64 over
@@ -529,12 +529,14 @@ object SpanDedup {
    * Occurrence eligibility (2 ≤ occ ≤ maxOcc) counts over the UNION —
    * the same span population the global form sees — so the law holds
    * exactly. Scale shape: the corpus side contributes its window scan
-   * and the union count aggregation (no standing positional index is
-   * kept — the [[spanDigestIndex]] inventory stores counts, not
-   * positions, and positions are what diagonals need; persisting the
-   * positional window relation is the suffix-array store a future
-   * round can add), but pair generation — the quadratic stage — only
-   * ever fans out batch-side occurrences.
+   * and the union count aggregation — the in-memory form re-derives
+   * corpus windows per batch, which is what [[SpanPosStore]] (the
+   * standing positional window relation + occurrence inventory)
+   * eliminates: its [[SpanPosStore.probeMaximalRepeats]] answers
+   * IDENTICALLY (spec-pinned) with the corpus side reduced to
+   * bucket-pruned scans of fixed-width stored rows. Pair generation —
+   * the quadratic stage — only ever fans out batch-side occurrences in
+   * either form.
    */
   def maximalRepeatsAgainst(batch: DataFrame, corpus: DataFrame,
                             idCol: String, textCol: String,
@@ -571,9 +573,12 @@ object SpanDedup {
 
   /** One row per k-window keyed by the 128-bit span digest, hashed
     * inside the generator so span text is never materialized past the
-    * map side: (__id, i, __h1, __h2). */
-  private def digestWindows(docs: DataFrame, idCol: String, textCol: String,
-                            k: Int): DataFrame = {
+    * map side: (__id, i, __h1, __h2). Shared with [[SpanPosStore]] —
+    * the persisted window relation MUST be derived by the same kernel
+    * the in-memory forms use, or the store's incremental-equality law
+    * breaks silently. */
+  private[operators] def digestWindows(docs: DataFrame, idCol: String, textCol: String,
+                                       k: Int): DataFrame = {
     val t = toks(col(textCol))
     val starts = when(size(t) >= k, sequence(lit(1), size(t) - lit(k - 1)))
       .otherwise(array().cast("array<int>"))
@@ -598,13 +603,13 @@ object SpanDedup {
 
   /** The canonical occurrence-pair order: each unordered pair once,
     * self-pairs by position. */
-  private def canonicalOrder: Column =
+  private[operators] def canonicalOrder: Column =
     col("id_a") < col("id_b") ||
       (col("id_a") === col("id_b") && col("__ia") < col("__ib"))
 
   /** Gaps-and-islands over each (id_a, id_b, diagonal): one row per
     * maximal run of consecutive window matches. */
-  private def diagonalRuns(pairs: DataFrame, minLen: Int): DataFrame = {
+  private[operators] def diagonalRuns(pairs: DataFrame, minLen: Int): DataFrame = {
     val withDiag = pairs.select(col("id_a"), col("__ia"), col("id_b"), col("__ib"),
       (col("__ia") - col("__ib")).as("__diag"))
     val rn = org.apache.spark.sql.expressions.Window

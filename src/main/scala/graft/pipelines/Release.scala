@@ -100,6 +100,10 @@ object Release {
       LmStore.dropSnapshot, LmStore.restore),
     "lines" -> ledgerOps((d, t) => { LineStore.snapshot(d, t); () },
       LineStore.dropSnapshot, LineStore.restore),
+    "spanpos" -> ledgerOps(
+      (d, t) => { graft.operators.SpanPosStore.snapshot(d, t); () },
+      graft.operators.SpanPosStore.dropSnapshot,
+      graft.operators.SpanPosStore.restore),
     "stats" -> ledgerOps((d, t) => { StatsStore.snapshot(d, t); () },
       StatsStore.dropSnapshot, StatsStore.restore),
     "card" -> ledgerOps((d, t) => { CardStore.snapshot(d, t); () },

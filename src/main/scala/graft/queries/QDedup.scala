@@ -78,8 +78,31 @@ private[graft] object QDedup {
     (init, serve)
   }
 
+  /** The positional span store probe (QShared.Phased): init builds the
+    * standing (id, i, digest) window relation + occurrence inventory
+    * over the corpus slice — the one-time cost that frees every later
+    * batch from re-deriving corpus windows; serve is the per-batch
+    * maximal-repeats report against the store. SAME oracle as
+    * x_substr_maximal_incremental (the store is a pure execution
+    * strategy — the law SpanPosStoreSpec pins, replayed here against
+    * DuckDB at sf scale). */
+  private val substrStorePhased: Phased = (s, d) => {
+    lazy val p = substrPlanted(s, d, batchShared = true).localCheckpoint(true)
+    lazy val dir = tmpStore("substr_pos_store")
+    val init = () => {
+      graft.operators.SpanPosStore.init(s, dir,
+        p.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 8)
+    }
+    val serve = () =>
+      graft.operators.SpanPosStore.probeMaximalRepeats(s, dir,
+          p.filter(col("doc_id") % 5 === 0), "doc_id", "text", maxOcc = 64)
+        .orderBy("id_a", "start_a", "id_b", "start_b")
+    (init, serve)
+  }
+
   private[graft] val phased: Map[String, Phased] = Map(
-    "pipe_admission_decon_e2e" -> admissionDeconPhased)
+    "pipe_admission_decon_e2e" -> admissionDeconPhased,
+    "x_substr_store" -> substrStorePhased)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_fingerprint" -> ((s, d) => {
@@ -240,6 +263,15 @@ private[graft] object QDedup {
     // corpus or its indexes. Precedence: rejected > contaminated >
     // duplicate > admitted.
     "pipe_admission_decon_e2e" -> fused(admissionDeconPhased),
+    // Incremental maximal repeats via the standing POSITIONAL span store
+    // (SpanPosStore): same answer as x_substr_maximal_incremental — the
+    // store is an execution strategy, not a semantics change — but the
+    // corpus side is bucket-pruned scans of the persisted (id, i,
+    // digest) relation instead of a per-batch re-derivation of corpus
+    // windows; corpus TEXT is never read (spans re-attach from the
+    // batch side). The last O(corpus)-text-per-batch path in the
+    // admission family, closed.
+    "x_substr_store" -> fused(substrStorePhased),
     // Chunk-level dedup payoff of CDC: shared paragraphs meet on their
     // chunk digest regardless of byte offset.
     "x_cdc_dedup" -> ((s, d) => {
@@ -694,6 +726,12 @@ private[graft] object QDedup {
     // pairs restricted to those touching the batch slice — the
     // incremental-equality law stated as SQL.
     "x_substr_maximal_incremental" -> substrMaximalSql(batchShared = true,
+      pairWhere = "(a.doc_id % 5 = 0 OR b.doc_id % 5 = 0) AND "),
+    // The store-probed form answers IDENTICALLY (the SpanPosStore law) —
+    // the oracle IS the incremental replay; a hash match proves the
+    // persisted window relation, the signed occurrence inventory, and
+    // the batch-side span re-attachment all collision- and drift-free.
+    "x_substr_store" -> substrMaximalSql(batchShared = true,
       pairWhere = "(a.doc_id % 5 = 0 OR b.doc_id % 5 = 0) AND "),
     // Span removal: coverage = distinct (doc, pos) under any duplicated
     // window (overlaps merge via DISTINCT), kept tokens re-join in
