@@ -33,17 +33,28 @@ object Bench {
       .fold(SparkEntry.queries)(SparkEntry.selectQueries)
     val (results, stored, failures) =
       run(spark, sfDir, selected, runs, SparkEntry.phasedQueries)
+    // Mover auto-audit (the round-6 protocol, mechanized): any query
+    // whose in-suite median moved >2× against the previous committed
+    // full-suite artifact re-runs ISOLATED (median-of-3, swept block
+    // manager, nothing interleaved) in the same JVM — in-suite numbers
+    // swing with suite-neighborhood GC pressure, isolated medians are
+    // the comparable per-query basis, and recording both lets the
+    // load-vs-plan verdict land without a by-hand re-measure.
+    val isolated = moverIsolated(spark, sfDir, selected, results.toMap)
     def jnum(v: Double) = if (v.isNaN || v.isInfinite) "null" else v.toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val ss = stored.toSeq.sortBy(_._1).map { case (k, (i, sv)) =>
       s"\"$k\":{\"init_s\":${jnum(i)},\"serve_s\":${jnum(sv)}}"
     }.mkString("{", ",", "}")
+    val is = isolated.toSeq.sortBy(_._1).map { case (k, (su, pr, iso)) =>
+      s"\"$k\":{\"suite_s\":${jnum(su)},\"prev_s\":${jnum(pr)},\"isolated_s\":${jnum(iso)}}"
+    }.mkString("{", ",", "}")
     val fs = failures.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + "\"" + v.replace("\"", "'") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"stored":$ss,"failed":$fs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"stored":$ss,"isolated":$is,"failed":$fs,"sf":"$sfDir"}"""
     println(json)
     // The driver's log-tail recording truncates the (long) stdout line;
     // the committed-artifact copy keeps every per-query number readable
@@ -60,6 +71,55 @@ object Bench {
     // A bench with failing queries must look failed to the driver too.
     if (failures.nonEmpty) sys.exit(1)
   }
+
+  /** The previous committed full-suite artifact to diff movers against:
+    * SPARK_GRAFT_BENCH_BASELINE wins, else the highest-numbered
+    * `bench_full_r<N>.json` in the CWD (the per-round committed copy). */
+  private def prevArtifact(): Option[java.nio.file.Path] =
+    sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+      .map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
+      .orElse {
+        val rx = """bench_full_r(\d+)\.json""".r
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case rx(n) => Some(n.toInt -> f.toPath)
+            case _ => None
+          }).sortBy(_._1).lastOption.map(_._2)
+      }
+
+  /** The flat `"queries":{…}` object of a bench artifact — a minimal
+    * pluck (values are plain numbers, no nesting inside the object). */
+  private def prevQueries(p: java.nio.file.Path): Map[String, Double] = {
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+      .fold(Map.empty[String, Double]) { m =>
+        """"([^"]+)":([-0-9.eE+]+)""".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toDouble).toMap
+      }
+  }
+
+  /** Isolated median-of-3 re-measures for every >2× mover vs the
+    * previous artifact, capped at the 8 worst (a pathological round must
+    * not double the bench); returns name → (suite_s, prev_s, isolated_s). */
+  private def moverIsolated(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      suite: Map[String, Double]): Map[String, (Double, Double, Double)] =
+    prevArtifact().map(prevQueries).filter(_.nonEmpty).fold(
+        Map.empty[String, (Double, Double, Double)]) { prev =>
+      val movers = suite.toSeq
+        .flatMap { case (n, s) => prev.get(n).map(p => (n, s, p, s / p)) }
+        .filter { case (_, _, _, r) => r > 2.0 || r < 0.5 }
+        .sortBy { case (_, _, _, r) => -math.max(r, 1.0 / r) }
+      val kept = movers.take(8)
+      if (movers.size > kept.size)
+        System.err.println(s"[bench] mover audit capped at 8 of ${movers.size}")
+      kept.map { case (n, s, p, _) =>
+        System.err.println(f"[bench] mover $n: suite $s%.2f vs prev $p%.2f — isolated re-measure")
+        val (res, _, _) = run(spark, sfDir, Map(n -> queries(n)), runs = 3,
+          SparkEntry.phasedQueries)
+        n -> (s, p, res.headOption.map(_._2).getOrElse(Double.NaN))
+      }.toMap
+    }
 
   /** Inter-query state sweep. The suite shares one JVM across ~115
     * queries × `runs` passes, and the localCheckpoint-heavy queries
