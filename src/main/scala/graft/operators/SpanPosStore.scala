@@ -89,6 +89,13 @@ object SpanPosStore {
   private def bucketOf(h1: Column, nb: Int): Column =
     pmod(h1, lit(nb.toLong)).cast("int")
 
+  /** `__b IN (buckets)` that stays well-formed on an EMPTY list (an
+    * empty batch, or a batch with zero eligible digests): `isin()` with
+    * no values is not a guaranteed-legal predicate across Spark
+    * versions, and the right answer is simply "no buckets". */
+  private def inBuckets(bs: Seq[Int]): Column =
+    if (bs.isEmpty) lit(false) else col("__b").isin(bs: _*)
+
   /** The positional window relation of one document set, bucket column
     * attached: (id, i, h1, h2, __b). Derived by the SAME kernel every
     * in-memory span op uses ([[SpanDedup.digestWindows]]) — the law
@@ -216,7 +223,7 @@ object SpanPosStore {
                   bucketFilter: Option[Seq[Int]] = None): DataFrame = {
     val names = liveNames(dir, tag)
     val wins0 = readParts(spark, windowsDir(dir), names)
-    val wins = bucketFilter.fold(wins0)(bs => wins0.filter(col("__b").isin(bs: _*)))
+    val wins = bucketFilter.fold(wins0)(bs => wins0.filter(inBuckets(bs)))
     val tombs = readParts(spark, tombsDir(dir), names).distinct()
     wins.join(tombs, Seq("id"), "left_anti")
   }
@@ -232,7 +239,7 @@ object SpanPosStore {
                  bucketFilter: Option[Seq[Int]] = None): DataFrame = {
     val names = liveNames(dir, tag)
     val all0 = readParts(spark, countsDir(dir), names)
-    val all = bucketFilter.fold(all0)(bs => all0.filter(col("__b").isin(bs: _*)))
+    val all = bucketFilter.fold(all0)(bs => all0.filter(inBuckets(bs)))
     if (names.size == 1) all
     else all.groupBy(col("h1"), col("h2"), col("__b"))
       .agg(sum(col("n_occ")).as("n_occ")).filter(col("n_occ") > 0)

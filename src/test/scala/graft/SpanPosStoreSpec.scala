@@ -127,6 +127,19 @@ class SpanPosStoreSpec extends AnyFunSuite with SparkSpec {
       "doc_id", "text", maxOcc = 16)) === atV1, "restore rolls the live state back")
   }
 
+  test("degenerate batches: empty batch and all-novel batch both probe to empty, loudly well-formed") {
+    val dir = tmp()
+    SpanPosStore.init(spark, dir, corpus, "doc_id", "text", k = 8)
+    assert(SpanPosStore.probeMaximalRepeats(spark, dir,
+      batch.limit(0), "doc_id", "text", maxOcc = 16).isEmpty,
+      "an empty batch has no batch-touching pairs")
+    val novel = Seq((2001L, (1 to 20).map(j => s"novel$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(SpanPosStore.probeMaximalRepeats(spark, dir,
+      novel, "doc_id", "text", maxOcc = 16).isEmpty,
+      "a batch sharing nothing with the corpus (zero eligible digests) probes empty")
+  }
+
   test("Release kind 'spanpos': freeze pins the store, restore rolls it back with the release") {
     val dir = tmp()
     val mdir = java.nio.file.Files.createTempDirectory("spanpos-rel").toString
