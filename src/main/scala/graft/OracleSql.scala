@@ -13,5 +13,6 @@ object OracleSql {
     QDedup.oracles ++
     QVector.oracles ++
     QMix.oracles ++
-    QSketchJoin.oracles
+    QSketchJoin.oracles ++
+    QSuffix.oracles
 }

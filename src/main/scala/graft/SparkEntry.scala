@@ -52,7 +52,8 @@ object SparkEntry {
     QDedup.queries ++
     QVector.queries ++
     QMix.queries ++
-    QSketchJoin.queries
+    QSketchJoin.queries ++
+    QSuffix.queries
 
   /**
    * The stored-family queries split at their store-build/probe seam

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -185,6 +185,29 @@ object SigKernels extends Serializable {
     }
     sk
   }
+
+  /** Longest common prefix of two strings in CODE POINTS — the unit both
+    * Spark's `length`/`substring` and DuckDB's `length`/`substr` count,
+    * so the SQL replay (monotone prefix-equality fold over
+    * `range(1, least(len(a), len(b)) + 1)`) lands on the same number even
+    * through surrogate pairs. The UTF-16 cursors stay in sync because the
+    * loop only advances past code points already proven equal. */
+  def commonPrefixLen(a: UTF8String, b: UTF8String): Int = {
+    val sa = a.toString
+    val sb = b.toString
+    val la = sa.length
+    val lb = sb.length
+    var i = 0
+    var n = 0
+    while (i < la && i < lb) {
+      val ca = sa.codePointAt(i)
+      val cb = sb.codePointAt(i)
+      if (ca != cb) return n
+      n += 1
+      i += Character.charCount(ca)
+    }
+    n
+  }
 }
 
 /** Chunk END positions (1-based, code points) from content-defined
@@ -251,6 +274,25 @@ case class CosineSketch(child: Expression, nbits: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Code-point LCP of two strings — see [[SigKernels.commonPrefixLen]].
+  * The suffix-array family's one comparison kernel: adjacent-suffix LCP
+  * over depth-bounded sort keys stays inside whole-stage codegen instead
+  * of splitting both strings to arrays. */
+case class CommonPrefixLen(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "common_prefix_len"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigKernels.commonPrefixLen(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SigKernels.commonPrefixLen($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 object sig {
   def minhash(c: Column, n: Int, k: Int): Column =
     Bridge.column(MinhashSignature(Bridge.expression(c), n, k))
@@ -259,6 +301,8 @@ object sig {
     Bridge.column(CosineSketch(Bridge.expression(c), nbits))
   def cdcBoundaries(c: Column, window: Int, mask: Long): Column =
     Bridge.column(CdcBoundaries(Bridge.expression(c), window, mask))
+  def commonPrefixLen(a: Column, b: Column): Column =
+    Bridge.column(CommonPrefixLen(Bridge.expression(a), Bridge.expression(b)))
   def md5BucketCol(c: Column, buckets: Long): Column =
     Bridge.column(Md5Bucket(Bridge.expression(c), buckets))
 

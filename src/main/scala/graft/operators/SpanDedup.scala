@@ -440,9 +440,12 @@ object SpanDedup {
 
   /** Shared reassembly: join the (id, pos) coverage set onto the token
     * positions, keep uncovered tokens, restore order without a sort
-    * exchange, zero-fill docs that produced no tokens. */
-  private def scrubWithCoverage(docs: DataFrame, idCol: String, textCol: String,
-                                cover: DataFrame): DataFrame = {
+    * exchange, zero-fill docs that produced no tokens. `cover` must be
+    * DISTINCT on (id, pos) — a repeated coverage row would duplicate the
+    * joined token. Shared with [[SuffixArrayOps.saScrub]] (its merged
+    * disjoint intervals guarantee distinctness by construction). */
+  private[operators] def scrubWithCoverage(docs: DataFrame, idCol: String, textCol: String,
+                                           cover: DataFrame): DataFrame = {
     val tokPos = docs
       .select(col(idCol), posexplode(toks(col(textCol))).as(Seq("__p", "tok")))
       .select(col(idCol), (col("__p") + 1).as("pos"), col("tok"))

@@ -1,0 +1,195 @@
+package graft
+
+import graft.functions.{sig, SigKernels}
+import graft.operators.{SpanDedup, SuffixArrayOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The suffix-array family against an INDEPENDENT local reference: token
+ * suffixes sorted by sequence order (prefix-first), brute-force
+ * all-pairs LCP for per-position duplicated lengths, and local coverage
+ * scrubbing — none of it sharing code with the distributed prefix
+ * doubling under test. The random corpus draws from a 6-token vocab
+ * (with "a"/"aa" prefix-of-token stress) at base depth 4, so doubling
+ * rounds, dense-rank ties, exhausted-prefix sentinels, and multi-round
+ * LCP escalation are all exercised on every run.
+ */
+class SuffixArraySpec extends AnyFunSuite with SparkSpec {
+
+  private val vocab = Vector("a", "b", "c", "aa", "ab", "zz")
+
+  /** 40 random docs (seeded), plus planted edges: an empty doc, a
+    * one-token doc, two exact duplicates (equal suffixes to the end —
+    * the exhausted-equal doubling branch), a pair sharing a 25-token
+    * prefix (forces LCP escalation through depths 8, 16, 32 at base 4),
+    * and a within-doc repeat. */
+  private def corpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(7)
+    val random = (1L to 40L).map { id =>
+      val n = rnd.nextInt(31)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val shared25 = Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    random ++ Seq(
+      41L -> "",
+      42L -> "b",
+      43L -> "aa ab a c b zz a aa",
+      44L -> "aa ab a c b zz a aa",
+      45L -> s"$shared25 b c",
+      46L -> s"$shared25 zz a",
+      47L -> "a b c a b c a b c zz"
+    )
+  }
+
+  private def docsDf: DataFrame = {
+    import spark.implicits._
+    corpus.toDF("doc_id", "text")
+  }
+
+  private def toks(t: String): Vector[String] =
+    t.toLowerCase.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty).toVector
+
+  /** Token-sequence lexicographic compare, prefix-first — the order the
+    * sentinel-space construction must reproduce. */
+  private def cmpSeq(a: Seq[String], b: Seq[String]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = a(i).compareTo(b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    a.length.compareTo(b.length)
+  }
+
+  /** All suffixes in (suffix, id, pos) order with 1-based total rank. */
+  private def localSa: Vector[((Long, Int), Long)] = {
+    val sufs = for {
+      (id, text) <- corpus.toVector
+      t = toks(text)
+      p <- 1 to t.length
+    } yield (id, p, t.drop(p - 1))
+    sufs.sortWith { case ((ia, pa, sa), (ib, pb, sb)) =>
+      val c = cmpSeq(sa, sb)
+      if (c != 0) c < 0 else if (ia != ib) ia < ib else pa < pb
+    }.zipWithIndex.map { case ((id, p, _), i) => ((id, p), (i + 1).toLong) }
+  }
+
+  private def lcpTok(a: Seq[String], b: Seq[String]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n && a(i) == b(i)) i += 1
+    i
+  }
+
+  /** Brute-force per-position duplicated length: max LCP against EVERY
+    * other suffix — independent of the SA-contiguity argument the
+    * distributed form relies on. */
+  private def localDupLen: Map[(Long, Int), Int] = {
+    val sufs = for {
+      (id, text) <- corpus.toVector
+      t = toks(text)
+      p <- 1 to t.length
+    } yield (id, p, t.drop(p - 1))
+    sufs.map { case (id, p, s) =>
+      val best = sufs.iterator
+        .filter { case (id2, p2, _) => (id2, p2) != ((id, p)) }
+        .map { case (_, _, s2) => lcpTok(s, s2) }
+        .foldLeft(0)(math.max)
+      ((id, p), best)
+    }.toMap
+  }
+
+  test("suffixArray total ranks equal the local reference order") {
+    val got = SuffixArrayOps.suffixArray(docsDf, "doc_id", "text", depth = 4)
+      .select("doc_id", "pos", "sa_rank")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    val want = localSa.toMap
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
+  test("adjacentLcp is exact, including multi-round escalation depths") {
+    val order = localSa.sortBy(_._2).map(_._1)
+    val sufOf = corpus.map { case (id, t) => id -> toks(t) }.toMap
+    val want = order.sliding(2).collect { case Seq((ia, pa), (ib, pb)) =>
+      ((ia, pa, ib, pb),
+        lcpTok(sufOf(ia).drop(pa - 1), sufOf(ib).drop(pb - 1)))
+    }.toMap
+    val got = SuffixArrayOps.adjacentLcp(docsDf, "doc_id", "text", depth = 4)
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)), r.getInt(4)))
+      .toMap
+    assert(got === want)
+    // The 25-token planted prefix really forces escalation: some pair
+    // must exceed 4 * 2 * 2 (two escalation rounds at base depth 4).
+    assert(want.values.max >= 17, s"plant too short: max lcp ${want.values.max}")
+  }
+
+  test("saDupLengths equals brute-force all-pairs duplicated lengths") {
+    val minLen = 3
+    val want = localDupLen.filter(_._2 >= minLen)
+    val got = SuffixArrayOps.saDupLengths(docsDf, "doc_id", "text", minLen, depth = 4)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    assert(got === want)
+  }
+
+  test("coverage law: SA dup coverage equals duplicated-window coverage (occ >= 2)") {
+    val L = 3
+    val saCover = localDupLen.iterator
+      .filter(_._2 >= L)
+      .flatMap { case ((id, p), dl) => (p until p + dl).map(q => (id, q)) }
+      .toSet
+    // Window side from the DISTRIBUTED shingle kernel: L-token windows
+    // occurring >= 2 times (same-doc repeats count), each covering its
+    // L positions.
+    val win = SpanDedup.spanWindows(docsDf, "doc_id", "text", L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val dupSpans = win.groupBy(_._3).filter(_._2.length >= 2).keySet
+    val winCover = win.iterator
+      .filter(w => dupSpans(w._3))
+      .flatMap { case (id, i, _) => (i until i + L).map(q => (id, q)) }
+      .toSet
+    assert(saCover === winCover)
+  }
+
+  test("saScrub removes exactly the covered tokens; edge docs pass through") {
+    val minLen = 3
+    val dup = localDupLen
+    val want = corpus.map { case (id, text) =>
+      val t = toks(text)
+      val cover = (1 to t.length).flatMap { p =>
+        val dl = dup.getOrElse((id, p), 0)
+        if (dl >= minLen) p until p + dl else Seq.empty
+      }.toSet
+      val kept = (1 to t.length).filterNot(cover).map(p => t(p - 1))
+      (id, (t.length.toLong, cover.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val got = SuffixArrayOps.saScrub(docsDf, "doc_id", "text", minLen, depth = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === want)
+    assert(got(41L) === ((0L, 0L, "")))  // empty doc is a total-function row
+  }
+
+  test("CommonPrefixLen counts code points, through codegen and for surrogates") {
+    // Kernel directly: surrogate-pair code points count as ONE.
+    def k(a: String, b: String): Int =
+      SigKernels.commonPrefixLen(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(k("𝕏ab", "𝕏ac") === 2)   // the shared "𝕏a": 2 code points, 3 UTF-16 units
+    assert(k("𝕏", "𝕏x") === 1)
+    assert(k("", "x") === 0)
+    assert(k("same", "same") === 4)
+    // Through the codegen expression on a DataFrame, null-intolerant.
+    import spark.implicits._
+    val rows = Seq(("abc x", "abc y"), ("q", "q"), (null, "x"))
+      .toDF("a", "b")
+      .select(sig.commonPrefixLen(col("a"), col("b")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(rows.toSeq === Seq(Some(4), Some(1), None))
+  }
+}
