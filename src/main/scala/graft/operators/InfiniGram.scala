@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Bounded ∞-gram probe (Liu et al. 2024, "Infini-gram: Scaling
+ * Unbounded n-gram Language Models to a Trillion Tokens"): for each
+ * query string, the LONGEST query suffix (up to `maxN` tokens) that
+ * occurs as a contiguous n-gram anywhere in the corpus, with its
+ * occurrence count and the most-frequent observed next token — the
+ * backoff-free n-gram LM lookup the paper serves from a suffix array,
+ * and the memorization/attribution probe a training-data pipeline runs
+ * against held-out prompts.
+ *
+ * Shape (the [[SpanDedup.duplicatedSpansDigest]] exchange economics):
+ * the corpus emits every (start, width ≤ maxN) window DIGEST-keyed with
+ * its next token — span text never materializes past the generator —
+ * and the query side's suffix digests (|queries| × maxN rows, the probe
+ * is queries-sized by nature) broadcast-prune the corpus windows
+ * MAP-SIDE before any aggregation, so the only exchanges carry the
+ * matching windows' digests and single next-tokens, sized by the
+ * queries' corpus hits, not the corpus. Window fan-out is maxN rows per
+ * corpus token — bounded and linear, the explicit price of the bounded
+ * probe; the UNBOUNDED form is what [[SuffixArrayOps]] holds the
+ * machinery for (a query suffix's longest corpus match is its LCP
+ * against its suffix-array neighbors), traded here for the one-scan
+ * digest form because admission-time probes are n-bounded in practice.
+ *
+ * Match semantics: occurrences are counted per corpus POSITION;
+ * next-token counts cover only occurrences with a following token in
+ * the same document (a match ending a document contributes to `n_occ`
+ * but no continuation — a query whose matches all end documents
+ * reports the empty top token). Ties on the continuation count break
+ * to the lexicographically smallest token, replayed identically by the
+ * oracle. Queries with no match at ANY width (e.g. a novel final
+ * token — suffixes always include the query's end) report
+ * (0, 0, '', 0); the probe is a total function over the queries.
+ */
+object InfiniGram {
+
+  /** 128-bit window digest over the TOKEN-ARRAY slice (xxhash64 hashes
+    * arrays structurally) — no joined span string is ever built, the
+    * kernel's one per-window cost being the slice itself. Grouping is
+    * identical to string keying: tokens contain no whitespace, so the
+    * (width, tokens) → span-string map is injective — the string-keyed
+    * oracle proves it per run. */
+  private def digests(w: Column, span: Column): (Column, Column) =
+    (xxhash64(w, span), xxhash64(lit(1L), w, span))
+
+  def probe(corpus: DataFrame, idCol: String, textCol: String,
+            queries: DataFrame, qIdCol: String, qTextCol: String,
+            maxN: Int = 8): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1: $maxN")
+
+    // Query suffixes, one per width 1..min(maxN, |q|): tiny by contract.
+    val qt = SpanDedup.toks(col(qTextCol))
+    val qWidths = when(size(qt) >= 1, sequence(lit(1), least(size(qt), lit(maxN))))
+      .otherwise(array().cast("array<int>"))
+    val qw = queries
+      .select(col(qIdCol).as("__qid"),
+        explode(transform(qWidths, w => {
+          val span = slice(qt, size(qt) - w + 1, w)
+          val (h1, h2) = digests(w, span)
+          struct(w.as("w"), h1.as("h1"), h2.as("h2"))
+        })).as("__s"))
+      .select(col("__qid"), col("__s.w").as("w"),
+        col("__s.h1").as("__h1"), col("__s.h2").as("__h2"))
+
+    // Corpus windows of every width 1..maxN with their next token,
+    // digest-keyed inside the generator, broadcast-pruned to the query
+    // digests BEFORE the aggregation exchange.
+    val t = SpanDedup.toks(col(textCol))
+    val starts = when(size(t) >= 1, sequence(lit(1), size(t)))
+      .otherwise(array().cast("array<int>"))
+    val cw = corpus
+      .select(explode(flatten(transform(starts, i =>
+        transform(sequence(lit(1), least(lit(maxN), size(t) - i + 1)), w => {
+          val span = slice(t, i, w)
+          val (h1, h2) = digests(w, span)
+          struct(h1.as("h1"), h2.as("h2"),
+            when(i + w <= size(t), element_at(t, i + w)).as("next"))
+        })))).as("__w"))
+      .select(col("__w.h1").as("__h1"), col("__w.h2").as("__h2"),
+        col("__w.next").as("__next"))
+    // Consumed by BOTH aggregations below — materialized once so the
+    // corpus window generation (maxN hashed slices per token, the
+    // op's only corpus-sized work) runs a single pass; the checkpoint
+    // holds only the queries' corpus hits, not the corpus.
+    val pruned = cw.join(broadcast(qw.select("__h1", "__h2").distinct()),
+      Seq("__h1", "__h2"), "left_semi")
+      .localCheckpoint(true)
+
+    val occ = pruned.groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("n_occ"))
+    val conts = pruned.where(col("__next").isNotNull)
+      .groupBy(col("__h1"), col("__h2"), col("__next"))
+      .agg(count(lit(1)).as("__cnt"))
+
+    // Longest matched width per query ((qid, w) is unique — one suffix
+    // per width), then the argmax continuation of that one n-gram.
+    val matched = qw.join(occ, Seq("__h1", "__h2"))
+    val best = matched
+      .groupBy(col("__qid"))
+      .agg(max(struct(col("w"), col("n_occ"), col("__h1"), col("__h2"))).as("__b"))
+      .select(col("__qid"), col("__b.w").as("match_len"),
+        col("__b.n_occ").as("n_occ"),
+        col("__b.__h1").as("__h1"), col("__b.__h2").as("__h2"))
+    val rn = Window.partitionBy(col("__qid"))
+      .orderBy(col("__cnt").desc, col("__next").asc)
+    val withTop = best.join(conts, Seq("__h1", "__h2"), "left")
+      .withColumn("__rn", row_number().over(rn))
+      .where(col("__rn") === 1)
+      .select(col("__qid"), col("match_len"), col("n_occ"),
+        coalesce(col("__next"), lit("")).as("top_next"),
+        coalesce(col("__cnt"), lit(0L)).as("top_cnt"))
+
+    queries.select(col(qIdCol).as("q_id"))
+      .join(withTop, col("q_id") === col("__qid"), "left")
+      .select(col("q_id"),
+        coalesce(col("match_len"), lit(0)).cast("int").as("match_len"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+        coalesce(col("top_next"), lit("")).as("top_next"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"))
+  }
+}

@@ -73,7 +73,34 @@ private[graft] object QSuffix {
     // total over the corpus (empty/short docs pass through with zeros).
     "x_sa_scrub" -> ((s, d) =>
       SuffixArrayOps.saScrub(T(s, d, "documents"), "doc_id", "text", minLen = 8)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+    // Bounded infini-gram probe: held-out docs (doc_id % 17 == 0) play
+    // the queries, the rest the corpus. Plants keep every branch live
+    // at natural sf0.01 data (match lengths otherwise top out at 3):
+    // EVEN query ids get a novel final token (no match at ANY width —
+    // a query suffix always contains the query's end); odd % 3 == 0
+    // query ids and % 11 == 5 corpus docs share a 10-token phrase, the
+    // corpus copies carrying one continuation token — the full-width
+    // saturation branch (match_len == maxN) with a real top_next;
+    // remaining odd ids probe their natural text (match_len 2-3 with
+    // one natural end-of-doc-only match).
+    "x_infinigram" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val ig = (1 to 10).map(i => s"ig$i").mkString(" ")
+      val corpus = docs.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 5, concat(col("text"), lit(s" $ig igend")))
+            .otherwise(col("text")).as("text"))
+      val queries = docs.where(col("doc_id") % 17 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" qnovel"), col("doc_id").cast("string")))
+            .when(col("doc_id") % 3 === 0, concat(col("text"), lit(s" $ig")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.InfiniGram.probe(corpus, "doc_id", "text",
+        queries, "doc_id", "text", maxN = 8)
+        .orderBy("q_id")
+    }))
 
   def oracles: Map[String, String] = Map(
     "x_suffix_array" ->
@@ -111,5 +138,50 @@ private[graft] object QSuffix {
          |       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
          |       coalesce(a.clean_text, '') AS clean_text
          |FROM documents dd LEFT JOIN agg a USING (doc_id)
-         |ORDER BY dd.doc_id""".stripMargin)
+         |ORDER BY dd.doc_id""".stripMargin,
+    // String-keyed replay of the digest-keyed probe (a hash match
+    // proves the (width, span) digesting collision-free): corpus
+    // windows of every width 1..8 with their next token, query
+    // suffixes per width, longest matched width per query, argmax
+    // continuation with the (count desc, token asc) tie-break.
+    "x_infinigram" ->
+      s"""WITH q0 AS (SELECT doc_id, CASE
+         |        WHEN doc_id % 2 = 0 THEN text || ' qnovel' || CAST(doc_id AS VARCHAR)
+         |        WHEN doc_id % 3 = 0 THEN text ||
+         |          ' ig1 ig2 ig3 ig4 ig5 ig6 ig7 ig8 ig9 ig10'
+         |        ELSE text END AS text
+         |      FROM documents WHERE doc_id % 17 = 0),
+         |qt AS (SELECT doc_id AS qid, $words AS t FROM q0),
+         |qw AS (SELECT qid, w.w AS w,
+         |         array_to_string(t[len(t) - w.w + 1:len(t)], ' ') AS span
+         |       FROM qt, unnest(generate_series(1, least(8, len(t)))) AS w(w)),
+         |c0 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 5 THEN text ||
+         |          ' ig1 ig2 ig3 ig4 ig5 ig6 ig7 ig8 ig9 ig10 igend'
+         |        ELSE text END AS text
+         |      FROM documents WHERE doc_id % 17 <> 0),
+         |ct AS (SELECT doc_id, $words AS t FROM c0),
+         |cw AS (SELECT w.w AS w, array_to_string(t[i.i:i.i + w.w - 1], ' ') AS span,
+         |         CASE WHEN i.i + w.w <= len(t) THEN t[i.i + w.w] END AS next
+         |       FROM ct, unnest(generate_series(1, len(t))) AS i(i),
+         |            unnest(generate_series(1, least(8, len(t) - i.i + 1))) AS w(w)),
+         |occ AS (SELECT w, span, count(*) AS n_occ FROM cw GROUP BY 1, 2),
+         |m AS (SELECT qid, qw.w, qw.span, n_occ,
+         |        row_number() OVER (PARTITION BY qid ORDER BY qw.w DESC) AS rn
+         |      FROM qw JOIN occ ON occ.w = qw.w AND occ.span = qw.span),
+         |best AS (SELECT qid, w, span, n_occ FROM m WHERE rn = 1),
+         |cont AS (SELECT b.qid, cw.next, count(*) AS cnt
+         |         FROM best b JOIN cw ON cw.w = b.w AND cw.span = b.span
+         |         WHERE cw.next IS NOT NULL GROUP BY 1, 2),
+         |top AS (SELECT qid, next, cnt,
+         |          row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, next) AS rn
+         |        FROM cont)
+         |SELECT q.doc_id AS q_id,
+         |  CAST(coalesce(b.w, 0) AS INTEGER) AS match_len,
+         |  CAST(coalesce(b.n_occ, 0) AS BIGINT) AS n_occ,
+         |  coalesce(t2.next, '') AS top_next,
+         |  CAST(coalesce(t2.cnt, 0) AS BIGINT) AS top_cnt
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) q
+         |LEFT JOIN best b ON b.qid = q.doc_id
+         |LEFT JOIN (SELECT * FROM top WHERE rn = 1) t2 ON t2.qid = q.doc_id
+         |ORDER BY q_id""".stripMargin)
 }
