@@ -67,7 +67,8 @@ object SparkEntry {
     QCuration.phased ++
     QDedup.phased ++
     QVector.phased ++
-    QSketchJoin.phased
+    QSketchJoin.phased ++
+    QSuffix.phased
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,17 +16,25 @@ import org.apache.spark.sql.functions._
  *
  * Shape (the [[SpanDedup.duplicatedSpansDigest]] exchange economics):
  * the corpus emits every (start, width ≤ maxN) window DIGEST-keyed with
- * its next token — span text never materializes past the generator —
- * and the query side's suffix digests (|queries| × maxN rows, the probe
- * is queries-sized by nature) broadcast-prune the corpus windows
- * MAP-SIDE before any aggregation, so the only exchanges carry the
- * matching windows' digests and single next-tokens, sized by the
- * queries' corpus hits, not the corpus. Window fan-out is maxN rows per
- * corpus token — bounded and linear, the explicit price of the bounded
- * probe; the UNBOUNDED form is what [[SuffixArrayOps]] holds the
- * machinery for (a query suffix's longest corpus match is its LCP
- * against its suffix-array neighbors), traded here for the one-scan
- * digest form because admission-time probes are n-bounded in practice.
+ * its next token — span text never materializes past the generator
+ * (the digests hash the token-array slices directly; grouping is
+ * identical to string keying because tokens contain no whitespace, and
+ * the string-keyed oracle proves it per run) — and the query side's
+ * suffix digests (|queries| × maxN rows, the probe is queries-sized by
+ * nature) broadcast-prune the corpus windows MAP-SIDE before any
+ * aggregation, so the only exchanges carry the matching windows'
+ * digests and single next-tokens, sized by the queries' corpus hits,
+ * not the corpus. Window fan-out is maxN rows per corpus token —
+ * bounded and linear, the explicit price of the bounded probe; the
+ * UNBOUNDED form is what [[SuffixArrayOps]] holds the machinery for (a
+ * query suffix's longest corpus match is its LCP against its
+ * suffix-array neighbors), traded here for the one-scan digest form
+ * because admission-time probes are n-bounded in practice.
+ *
+ * [[NgramStore]] is the standing form: the same window kernel folded
+ * into a persisted additive count ledger, making repeat probes
+ * queries-sized (no corpus rescan) — kernels and the result-assembly
+ * tail are shared one-definition here so the two forms cannot drift.
  *
  * Match semantics: occurrences are counted per corpus POSITION;
  * next-token counts cover only occurrences with a following token in
@@ -41,24 +49,19 @@ import org.apache.spark.sql.functions._
 object InfiniGram {
 
   /** 128-bit window digest over the TOKEN-ARRAY slice (xxhash64 hashes
-    * arrays structurally) — no joined span string is ever built, the
-    * kernel's one per-window cost being the slice itself. Grouping is
-    * identical to string keying: tokens contain no whitespace, so the
-    * (width, tokens) → span-string map is injective — the string-keyed
-    * oracle proves it per run. */
+    * arrays structurally) — no joined span string is ever built. */
   private def digests(w: Column, span: Column): (Column, Column) =
     (xxhash64(w, span), xxhash64(lit(1L), w, span))
 
-  def probe(corpus: DataFrame, idCol: String, textCol: String,
-            queries: DataFrame, qIdCol: String, qTextCol: String,
-            maxN: Int = 8): DataFrame = {
-    require(maxN >= 1, s"maxN must be >= 1: $maxN")
-
-    // Query suffixes, one per width 1..min(maxN, |q|): tiny by contract.
+  /** Query suffix digests, one row per width 1..min(maxN, |q|):
+    * (__qid, w, __h1, __h2). Tiny by contract — probes are
+    * queries-sized. */
+  private[operators] def querySuffixes(queries: DataFrame, qIdCol: String,
+                                       qTextCol: String, maxN: Int): DataFrame = {
     val qt = SpanDedup.toks(col(qTextCol))
     val qWidths = when(size(qt) >= 1, sequence(lit(1), least(size(qt), lit(maxN))))
       .otherwise(array().cast("array<int>"))
-    val qw = queries
+    queries
       .select(col(qIdCol).as("__qid"),
         explode(transform(qWidths, w => {
           val span = slice(qt, size(qt) - w + 1, w)
@@ -67,14 +70,19 @@ object InfiniGram {
         })).as("__s"))
       .select(col("__qid"), col("__s.w").as("w"),
         col("__s.h1").as("__h1"), col("__s.h2").as("__h2"))
+  }
 
-    // Corpus windows of every width 1..maxN with their next token,
-    // digest-keyed inside the generator, broadcast-pruned to the query
-    // digests BEFORE the aggregation exchange.
+  /** Corpus windows of every width 1..maxN with their next token
+    * (null at document end), digest-keyed inside the generator:
+    * (__h1, __h2, __next). The ONE corpus-sized kernel — shared with
+    * [[NgramStore]], whose persisted counts must group identically or
+    * the store law breaks silently. */
+  private[operators] def corpusWindows(corpus: DataFrame, textCol: String,
+                                       maxN: Int): DataFrame = {
     val t = SpanDedup.toks(col(textCol))
     val starts = when(size(t) >= 1, sequence(lit(1), size(t)))
       .otherwise(array().cast("array<int>"))
-    val cw = corpus
+    corpus
       .select(explode(flatten(transform(starts, i =>
         transform(sequence(lit(1), least(lit(maxN), size(t) - i + 1)), w => {
           val span = slice(t, i, w)
@@ -84,22 +92,18 @@ object InfiniGram {
         })))).as("__w"))
       .select(col("__w.h1").as("__h1"), col("__w.h2").as("__h2"),
         col("__w.next").as("__next"))
-    // Consumed by BOTH aggregations below — materialized once so the
-    // corpus window generation (maxN hashed slices per token, the
-    // op's only corpus-sized work) runs a single pass; the checkpoint
-    // holds only the queries' corpus hits, not the corpus.
-    val pruned = cw.join(broadcast(qw.select("__h1", "__h2").distinct()),
-      Seq("__h1", "__h2"), "left_semi")
-      .localCheckpoint(true)
+  }
 
-    val occ = pruned.groupBy(col("__h1"), col("__h2"))
-      .agg(count(lit(1)).as("n_occ"))
-    val conts = pruned.where(col("__next").isNotNull)
-      .groupBy(col("__h1"), col("__h2"), col("__next"))
-      .agg(count(lit(1)).as("__cnt"))
-
-    // Longest matched width per query ((qid, w) is unique — one suffix
-    // per width), then the argmax continuation of that one n-gram.
+  /** The result-assembly tail shared by the in-memory and stored
+    * probes: longest matched width per query ((qid, w) is unique — one
+    * suffix per width), the argmax continuation of that one n-gram
+    * (count desc, token asc), and the total-function left join back to
+    * the queries. `occ` = (__h1, __h2, n_occ); `conts` =
+    * (__h1, __h2, __next, __cnt). All three join inputs are
+    * queries-hit-sized. */
+  private[operators] def assemble(queries: DataFrame, qIdCol: String,
+                                  qw: DataFrame, occ: DataFrame,
+                                  conts: DataFrame): DataFrame = {
     val matched = qw.join(occ, Seq("__h1", "__h2"))
     val best = matched
       .groupBy(col("__qid"))
@@ -115,7 +119,6 @@ object InfiniGram {
       .select(col("__qid"), col("match_len"), col("n_occ"),
         coalesce(col("__next"), lit("")).as("top_next"),
         coalesce(col("__cnt"), lit(0L)).as("top_cnt"))
-
     queries.select(col(qIdCol).as("q_id"))
       .join(withTop, col("q_id") === col("__qid"), "left")
       .select(col("q_id"),
@@ -123,5 +126,26 @@ object InfiniGram {
         coalesce(col("n_occ"), lit(0L)).as("n_occ"),
         coalesce(col("top_next"), lit("")).as("top_next"),
         coalesce(col("top_cnt"), lit(0L)).as("top_cnt"))
+  }
+
+  def probe(corpus: DataFrame, idCol: String, textCol: String,
+            queries: DataFrame, qIdCol: String, qTextCol: String,
+            maxN: Int = 8): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1: $maxN")
+    val qw = querySuffixes(queries, qIdCol, qTextCol, maxN)
+    // Consumed by BOTH aggregations below — materialized once so the
+    // corpus window generation (maxN hashed slices per token, the
+    // op's only corpus-sized work) runs a single pass; the checkpoint
+    // holds only the queries' corpus hits, not the corpus.
+    val pruned = corpusWindows(corpus, textCol, maxN)
+      .join(broadcast(qw.select("__h1", "__h2").distinct()),
+        Seq("__h1", "__h2"), "left_semi")
+      .localCheckpoint(true)
+    val occ = pruned.groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("n_occ"))
+    val conts = pruned.where(col("__next").isNotNull)
+      .groupBy(col("__h1"), col("__h2"), col("__next"))
+      .agg(count(lit(1)).as("__cnt"))
+    assemble(queries, qIdCol, qw, occ, conts)
   }
 }

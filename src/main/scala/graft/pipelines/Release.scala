@@ -104,6 +104,10 @@ object Release {
       (d, t) => { graft.operators.SpanPosStore.snapshot(d, t); () },
       graft.operators.SpanPosStore.dropSnapshot,
       graft.operators.SpanPosStore.restore),
+    "ngram" -> ledgerOps(
+      (d, t) => { graft.operators.NgramStore.snapshot(d, t); () },
+      graft.operators.NgramStore.dropSnapshot,
+      graft.operators.NgramStore.restore),
     "stats" -> ledgerOps((d, t) => { StatsStore.snapshot(d, t); () },
       StatsStore.dropSnapshot, StatsStore.restore),
     "card" -> ledgerOps((d, t) => { CardStore.snapshot(d, t); () },

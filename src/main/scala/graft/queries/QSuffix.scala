@@ -85,24 +85,57 @@ private[graft] object QSuffix {
     // remaining odd ids probe their natural text (match_len 2-3 with
     // one natural end-of-doc-only match).
     "x_infinigram" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val ig = (1 to 10).map(i => s"ig$i").mkString(" ")
-      val corpus = docs.where(col("doc_id") % 17 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 5, concat(col("text"), lit(s" $ig igend")))
-            .otherwise(col("text")).as("text"))
-      val queries = docs.where(col("doc_id") % 17 === 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 2 === 0,
-            concat(col("text"), lit(" qnovel"), col("doc_id").cast("string")))
-            .when(col("doc_id") % 3 === 0, concat(col("text"), lit(s" $ig")))
-            .otherwise(col("text")).as("text"))
+      val (corpus, queries) = igFixture(s, d)
       graft.operators.InfiniGram.probe(corpus, "doc_id", "text",
         queries, "doc_id", "text", maxN = 8)
         .orderBy("q_id")
-    }))
+    }),
+    "x_infinigram_stored" -> fused(infinigramStoredPhased))
 
-  def oracles: Map[String, String] = Map(
+  /** The x_infinigram corpus/queries split with its liveness plants —
+    * ONE definition shared by the in-memory and stored probes (they
+    * answer the same oracle; drift here would silently decouple the
+    * NgramStore LAW from its sf-scale replay). */
+  private def igFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = T(s, d, "documents")
+    val ig = (1 to 10).map(i => s"ig$i").mkString(" ")
+    val corpus = docs.where(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 5, concat(col("text"), lit(s" $ig igend")))
+          .otherwise(col("text")).as("text"))
+    val queries = docs.where(col("doc_id") % 17 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" qnovel"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 3 === 0, concat(col("text"), lit(s" $ig")))
+          .otherwise(col("text")).as("text"))
+    (corpus, queries)
+  }
+
+  /** Stored-probe phased form (QShared.Phased): init builds the
+    * standing NgramStore over the corpus slice — the one-time cost
+    * amortized across every probe that follows; serve is the
+    * queries-sized bucket-pruned probe. SAME oracle as x_infinigram
+    * (the store is a pure execution strategy — the NgramStoreSpec LAW,
+    * replayed here against DuckDB at sf scale). */
+  private val infinigramStoredPhased: Phased = (s, d) => {
+    lazy val dir = tmpStore("ngram_store")
+    val init = () => {
+      val (corpus, _) = igFixture(s, d)
+      graft.operators.NgramStore.init(s, dir, corpus, "text", maxN = 8)
+    }
+    val serve = () => {
+      val (_, queries) = igFixture(s, d)
+      graft.operators.NgramStore.probe(s, dir, queries, "doc_id", "text")
+        .orderBy("q_id")
+    }
+    (init, serve)
+  }
+
+  private[graft] val phased: Map[String, Phased] = Map(
+    "x_infinigram_stored" -> infinigramStoredPhased)
+
+  private val oraclesBase: Map[String, String] = Map(
     "x_suffix_array" ->
       s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
          |s AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
@@ -184,4 +217,11 @@ private[graft] object QSuffix {
          |LEFT JOIN best b ON b.qid = q.doc_id
          |LEFT JOIN (SELECT * FROM top WHERE rn = 1) t2 ON t2.qid = q.doc_id
          |ORDER BY q_id""".stripMargin)
+
+  /** The stored probe answers IDENTICALLY (the NgramStore law) — the
+    * oracle IS the in-memory replay; a hash match proves the persisted
+    * signed count ledger and the bucket-pruned probe drift-free. */
+  def oracles: Map[String, String] =
+    oraclesBase + ("x_infinigram_stored" -> oraclesBase("x_infinigram"))
 }
+
