@@ -1265,23 +1265,29 @@ object CurationOps {
     // Explicit whitespace classes, not \s — Java's \s includes \x0B,
     // RE2's does not (the graft.queries.OracleDefs.words rationale).
     val ws = "[ \\t\\n\\x0B\\f\\r]"
-    // Comments strip FIRST (leftmost-match semantics): an unclosed
-    // `<script>` open tag INSIDE a comment (`<!-- add <script> here -->
-    // visible <script>x</script>`) would otherwise anchor the script
-    // pass inside the comment and eat through the next real
-    // `</script>`, deleting the intervening visible text. The legacy
-    // `<script><!-- … --></script>` hiding idiom still collapses: the
-    // script pass removes the emptied block. Then one pass PER block
-    // kind — RE2 has no backreferences, and the old alternation
-    // `<(script|style)…</(script|style)>` let the open and close tags
-    // mismatch: `<script>…</style>` closed a script block early,
-    // leaking raw script source into the extracted text. A final pass
+    // Comments and script/style blocks strip in ONE alternation pass —
+    // true leftmost-scan semantics, the only order that handles BOTH
+    // hiding directions: an unclosed `<script>` open tag INSIDE a
+    // comment (`<!-- add <script> here --> visible <script>x</script>`)
+    // — the comment starts first, so the comment alternative consumes
+    // it before the script alternative can anchor inside it and eat
+    // through the next real `</script>`; and a comment OPENER inside
+    // script source (`<script>var a = "<!--";</script>keep<!-- x -->`)
+    // — the script starts first, so the script alternative consumes
+    // through its own `</script>` before the comment alternative can
+    // swallow the visible text between the blocks (the regression a
+    // comments-first ordered pass reintroduces). The legacy
+    // `<script><!-- … --></script>` hiding idiom collapses the same
+    // way: the script block starts first. Alternatives carry their OWN
+    // close tags — RE2 has no backreferences, and a shared
+    // `</(script|style)>` closer let `<script>…</style>` close a
+    // script block early, leaking raw script source. A final pass
     // drops a trailing UNCLOSED script/style block (no close tag at
     // all) so its contents can't fall through to the tag-stripper.
-    val noComments = regexp_replace(c, "(?s)<!--.*?-->", " ")
-    val noScript = regexp_replace(noComments, s"(?is)<script\\b[^>]*>.*?</script$ws*>", " ")
-    val noStyle = regexp_replace(noScript, s"(?is)<style\\b[^>]*>.*?</style$ws*>", " ")
-    val noBlocks = regexp_replace(noStyle, "(?is)<(?:script|style)\\b[^>]*>.*$", " ")
+    val noBlocks0 = regexp_replace(c,
+      s"(?is)(?:<!--.*?-->|<script\\b[^>]*>.*?</script$ws*>|<style\\b[^>]*>.*?</style$ws*>)",
+      " ")
+    val noBlocks = regexp_replace(noBlocks0, "(?is)<(?:script|style)\\b[^>]*>.*$", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")

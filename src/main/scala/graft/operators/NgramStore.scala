@@ -59,21 +59,12 @@ object NgramStore {
   def numBuckets(dir: String): Int = meta(dir)._2
 
   private def meta(dir: String): (Int, Int) = {
-    require(java.nio.file.Files.exists(metaPath(dir)),
-      s"no n-gram store at '$dir' (missing _meta) — run init first")
-    val kv = new String(java.nio.file.Files.readAllBytes(metaPath(dir)), "UTF-8")
-      .split("\n").map(_.trim).filter(_.contains("="))
-      .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
+    val kv = graft.sources.BucketedParts.readMeta(metaPath(dir), "n-gram store")
     (kv("maxN").toInt, kv("buckets").toInt)
   }
 
   private def bucketOf(h1: Column, nb: Int): Column =
-    pmod(h1, lit(nb.toLong)).cast("int")
-
-  /** `__b IN (buckets)` that stays well-formed on an EMPTY list (the
-    * [[SpanPosStore.inBuckets]] guard). */
-  private def inBuckets(bs: Seq[Int]): Column =
-    if (bs.isEmpty) lit(false) else col("__b").isin(bs: _*)
+    graft.sources.BucketedParts.bucketOf(h1, nb)
 
   /** The signed count part of one document set: ONE aggregation over
     * the shared window kernel — (h1, h2, next, c·sign, __b), `next`
@@ -87,15 +78,12 @@ object NgramStore {
       .groupBy(col("h1"), col("h2"), col("next"), col("__b"))
       .agg((count(lit(1)) * sign).as("c"))
 
-  /** Bucket-partitioned write; an EMPTY frame writes plain (the
-    * [[SpanPosStore]] empty-partitionBy guard), reconciled at read. */
   private def writeBucketed(path: String, df: DataFrame): Unit =
-    if (df.isEmpty) df.write.mode("overwrite").parquet(path)
-    else df.write.mode("overwrite").partitionBy("__b").parquet(path)
+    graft.sources.BucketedParts.writeBucketed(path, df)
 
   private def readParts(spark: SparkSession, root: String,
                         names: Seq[String]): DataFrame =
-    names.map(n => spark.read.parquet(s"$root/$n")).reduce(_ unionByName _)
+    graft.sources.BucketedParts.readParts(spark, root, names)
 
   private def liveNames(dir: String, tag: Option[String]): Seq[String] = {
     val names = tag.fold(DeltaParts.list(dir))(t => DeltaParts.listAt(dir, t))
@@ -156,7 +144,8 @@ object NgramStore {
                 bucketFilter: Option[Seq[Int]] = None): DataFrame = {
     val names = liveNames(dir, tag)
     val all0 = readParts(spark, gramsDir(dir), names)
-    val all = bucketFilter.fold(all0)(bs => all0.filter(inBuckets(bs)))
+    val all = bucketFilter.fold(all0)(bs =>
+      all0.filter(graft.sources.BucketedParts.inBuckets(bs)))
     if (names.size == 1) all
     else all.groupBy(col("h1"), col("h2"), col("next"), col("__b"))
       .agg(sum(col("c")).as("c")).filter(col("c") > 0)

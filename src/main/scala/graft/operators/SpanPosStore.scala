@@ -78,23 +78,16 @@ object SpanPosStore {
   def numBuckets(dir: String): Int = meta(dir)._2
 
   private def meta(dir: String): (Int, Int) = {
-    require(java.nio.file.Files.exists(metaPath(dir)),
-      s"no span position store at '$dir' (missing _meta) — run init first")
-    val kv = new String(java.nio.file.Files.readAllBytes(metaPath(dir)), "UTF-8")
-      .split("\n").map(_.trim).filter(_.contains("="))
-      .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
+    val kv = graft.sources.BucketedParts.readMeta(metaPath(dir),
+      "span position store")
     (kv("k").toInt, kv("buckets").toInt)
   }
 
   private def bucketOf(h1: Column, nb: Int): Column =
-    pmod(h1, lit(nb.toLong)).cast("int")
+    graft.sources.BucketedParts.bucketOf(h1, nb)
 
-  /** `__b IN (buckets)` that stays well-formed on an EMPTY list (an
-    * empty batch, or a batch with zero eligible digests): `isin()` with
-    * no values is not a guaranteed-legal predicate across Spark
-    * versions, and the right answer is simply "no buckets". */
   private def inBuckets(bs: Seq[Int]): Column =
-    if (bs.isEmpty) lit(false) else col("__b").isin(bs: _*)
+    graft.sources.BucketedParts.inBuckets(bs)
 
   /** The positional window relation of one document set, bucket column
     * attached: (id, i, h1, h2, __b). Derived by the SAME kernel every
@@ -115,19 +108,12 @@ object SpanPosStore {
     win.groupBy(col("h1"), col("h2"), col("__b"))
       .agg((count(lit(1)) * sign).as("n_occ"))
 
-  /** Bucket-partitioned write (windows AND counts); an EMPTY frame
-    * writes plain (a partitionBy of zero rows leaves an unreadable dir
-    * with no schema footer — [[readParts]] reconciles the two layouts). */
   private def writeBucketed(path: String, df: DataFrame): Unit =
-    if (df.isEmpty) df.write.mode("overwrite").parquet(path)
-    else df.write.mode("overwrite").partitionBy("__b").parquet(path)
+    graft.sources.BucketedParts.writeBucketed(path, df)
 
-  /** Per-part read that reconciles the partitioned and the plain-empty
-    * window layouts (the partition column comes back as a data column
-    * either way; unionByName aligns the order). */
   private def readParts(spark: SparkSession, root: String,
                         names: Seq[String]): DataFrame =
-    names.map(n => spark.read.parquet(s"$root/$n")).reduce(_ unionByName _)
+    graft.sources.BucketedParts.readParts(spark, root, names)
 
   private def liveNames(dir: String, tag: Option[String]): Seq[String] = {
     val names = tag.fold(DeltaParts.list(dir))(t => DeltaParts.listAt(dir, t))

@@ -61,12 +61,21 @@ object Admission {
     * apply — one copy of a license block should remain in the corpus.
     * The flag rides every form identically (run / runAgainst /
     * runCommitted / stream), so the incremental-equality law holds per
-    * flag value. */
+    * flag value. Keep-first scrubs on index PRESENCE — `minDocs` is a
+    * threshold of the all-copies policy only, so a Config combining
+    * the two REFUSES at construction rather than silently ignoring the
+    * threshold. */
   case class Config(spanK: Int = 8, minDocs: Int = 2, minQuality: Double = 0.5,
                     scoreFn: Option[Column => Column] = None,
                     sem: Option[SemStage] = None,
                     decon: Option[DeconStage] = None,
-                    spanKeepFirst: Boolean = false)
+                    spanKeepFirst: Boolean = false) {
+    require(!spanKeepFirst || minDocs == 2,
+      s"minDocs=$minDocs has no effect under spanKeepFirst=true — " +
+        "keep-first scrubs on index presence (any corpus copy is " +
+        "canonical); leave minDocs at its default or use the " +
+        "all-copies policy")
+  }
 
   /**
    * The eval-decontamination stage — an OPTIONAL stage between curation

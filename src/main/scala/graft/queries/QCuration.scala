@@ -1405,10 +1405,8 @@ private[graft] object QCuration {
         |e AS (SELECT doc_id, trim(regexp_replace(
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |    regexp_replace(regexp_replace(regexp_replace(html,
-        |      '(?s)<!--.*?-->', ' ', 'g'),
-        |      '(?is)<script\b[^>]*>.*?</script[ \t\n\x0b\f\r]*>', ' ', 'g'),
-        |      '(?is)<style\b[^>]*>.*?</style[ \t\n\x0b\f\r]*>', ' ', 'g'),
+        |    regexp_replace(html,
+        |      '(?is)(?:<!--.*?-->|<script\b[^>]*>.*?</script[ \t\n\x0b\f\r]*>|<style\b[^>]*>.*?</style[ \t\n\x0b\f\r]*>)', ' ', 'g'),
         |      '(?is)<(?:script|style)\b[^>]*>.*$', ' ', 'g'),
         |      '<[^>]*>', ' ', 'g'),
         |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),

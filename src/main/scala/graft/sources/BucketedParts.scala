@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The digest-bucketed parts layout shared by the [[AdditiveLedger]]
+ * stores that file-prune probes by hash bucket ([[graft.operators
+ * .SpanPosStore]], [[graft.operators.NgramStore]]): a Hive-partitioned
+ * `__b = pmod(h1, buckets)` column on every part, so a reader with a
+ * bucket list opens only those buckets' FILES. One definition for the
+ * correctness-bearing guards — the empty-frame write (a partitionBy of
+ * zero rows leaves an unreadable dir with no schema footer) and the
+ * empty-bucket-list predicate (`isin()` with no values is not a
+ * guaranteed-legal predicate across Spark versions) — so a fix to
+ * either can never miss a store.
+ */
+object BucketedParts {
+
+  def bucketOf(h1: Column, numBuckets: Int): Column =
+    pmod(h1, lit(numBuckets.toLong)).cast("int")
+
+  /** `__b IN (buckets)` that stays well-formed on an EMPTY list (an
+    * empty batch / zero eligible digests): the right answer is simply
+    * "no buckets". */
+  def inBuckets(buckets: Seq[Int]): Column =
+    if (buckets.isEmpty) lit(false) else col("__b").isin(buckets: _*)
+
+  /** Bucket-partitioned write; an EMPTY frame writes plain, reconciled
+    * at read by [[readParts]] (the partition column comes back as a
+    * data column either way). */
+  def writeBucketed(path: String, df: DataFrame): Unit =
+    if (df.isEmpty) df.write.mode("overwrite").parquet(path)
+    else df.write.mode("overwrite").partitionBy("__b").parquet(path)
+
+  /** Per-part read reconciling the partitioned and plain-empty layouts
+    * (unionByName aligns the column order). */
+  def readParts(spark: SparkSession, root: String, names: Seq[String]): DataFrame =
+    names.map(n => spark.read.parquet(s"$root/$n")).reduce(_ unionByName _)
+
+  /** The `_meta` key=value pin every bucketed store writes at init
+    * (LAST inside the init callback — a crash before it leaves neither
+    * `_PARTS` nor `_meta`, so a retry re-runs clean). */
+  def readMeta(path: java.nio.file.Path, what: String): Map[String, String] = {
+    require(java.nio.file.Files.exists(path),
+      s"no $what at '${path.getParent}' (missing _meta) — run init first")
+    new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      .split("\n").map(_.trim).filter(_.contains("="))
+      .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
+  }
+}

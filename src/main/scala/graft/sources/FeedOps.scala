@@ -113,12 +113,17 @@ object FeedOps {
     * wire format) or ISO-8601, null when neither parses. Spark ≥ 3's
     * parser has no weekday token ('E' is output-only), so the optional
     * weekday prefix strips first; offset and zone-name forms each get a
-    * try_to_timestamp leg (per-row null on mismatch, never a throw). */
+    * try_to_timestamp leg (per-row null on mismatch, never a throw).
+    * RFC 822/5322 allow a ONE-digit day ('Tue, 5 Mar 2024 …' — the
+    * reference's feedparser accepts it), and the strict parser's 'dd'
+    * requires two — a single-digit day zero-pads before the legs
+    * instead of growing two more 'd MMM' legs. */
   private def rfc822OrIso(c: Column): Column = {
     val noDay = regexp_replace(c, "^[A-Za-z]{3},[ \\t]*", "")
+    val padded = regexp_replace(noDay, "^([0-9]) ", "0$1 ")
     coalesce(
-      try_to_timestamp(noDay, lit("dd MMM yyyy HH:mm:ss Z")),
-      try_to_timestamp(noDay, lit("dd MMM yyyy HH:mm:ss zzz")),
+      try_to_timestamp(padded, lit("dd MMM yyyy HH:mm:ss Z")),
+      try_to_timestamp(padded, lit("dd MMM yyyy HH:mm:ss zzz")),
       try_to_timestamp(c))
   }
 

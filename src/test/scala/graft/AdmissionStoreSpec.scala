@@ -626,4 +626,12 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     // null text fails curation (no tokens) → rejected, not a crash
     assert(got(32L)._1 == "rejected")
   }
+  test("Config refuses minDocs under keep-first (the threshold would be silently ignored)") {
+    val e = intercept[IllegalArgumentException](
+      Admission.Config(minDocs = 5, spanKeepFirst = true))
+    assert(e.getMessage.contains("minDocs"))
+    Admission.Config(minDocs = 5)             // all-copies: threshold applies
+    Admission.Config(spanKeepFirst = true)    // keep-first at the default
+  }
+
 }

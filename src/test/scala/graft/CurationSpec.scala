@@ -741,25 +741,36 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) === "kept", "a '</script>' must not close a style block")
   }
 
-  test("htmlExtract: comments strip before script/style, so commented tags cannot anchor a block") {
+  test("htmlExtract: leftmost-scan alternation — neither hiding direction can swallow visible text") {
     import spark.implicits._
     val cases = Seq(
       // An unclosed <script> open tag INSIDE a comment must not anchor
-      // the script pass and eat the visible text up to the next real
-      // </script> (the comments-first ordering under test).
+      // the script alternative and eat the visible text up to the next
+      // real </script>: the comment starts first, so it wins the scan.
       1L -> "<!-- add <script> here --> visible <script>x = 1;</script>after",
-      // The legacy hide-from-old-browsers idiom: comment strips first,
-      // the emptied script block still collapses.
+      // The legacy hide-from-old-browsers idiom: the script block
+      // starts first and consumes the whole thing, comment included.
       2L -> "<script><!-- var a = 1; --></script>kept",
       // A commented-out STYLE open tag, same rule for the other kind.
-      3L -> "<!-- <style> --> shown <style>p { }</style>end")
+      3L -> "<!-- <style> --> shown <style>p { }</style>end",
+      // The SYMMETRIC direction a comments-FIRST ordered pass gets
+      // wrong: a comment OPENER inside script source must not pair
+      // with a later real comment closer and swallow '</script>keep
+      // me' — the script block starts first, so it wins the scan.
+      4L -> "<script>var a = \"<!--\";</script>keep me<!-- note -->tail",
+      // Same direction for style source.
+      5L -> "<style>/* <!-- */ p { }</style>mid<!-- x -->end")
     val got = cases.toDF("id", "h")
       .select(col("id"), CurationOps.htmlExtract(col("h")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) === "visible after",
       "a commented '<script>' must not swallow the visible text")
-    assert(got(2L) === "kept", "emptied script block still collapses")
+    assert(got(2L) === "kept", "script block consumes its inner comment")
     assert(got(3L) === "shown end",
       "a commented '<style>' must not swallow the visible text")
+    assert(got(4L) === "keep me tail",
+      "a '<!--' inside script source must not swallow the text after the block")
+    assert(got(5L) === "mid end",
+      "a '<!--' inside style source must not swallow the text after the block")
   }
 }

@@ -39,6 +39,9 @@ class FeedOpsSpec extends AnyFunSuite with SparkSpec {
         |  <pubDate>2024-03-06 11:30:00</pubDate><description>d2</description></item>
         |<item><title>badpub</title><link>http://x/3</link>
         |  <pubDate>not a date</pubDate><description>d3</description></item>
+        |<item><title>oneday</title><link>http://x/4</link>
+        |  <pubDate>Tue, 5 Mar 2024 10:00:00 +0000</pubDate>
+        |  <description>d4</description></item>
         |<item><title>nolink</title><description>dropped</description></item>
         |</channel></rss>""".stripMargin
     val entries = FeedOps.parseRssItems(Seq(("feedA", xml)).toDF("src", "xml"), "xml")
@@ -46,7 +49,7 @@ class FeedOpsSpec extends AnyFunSuite with SparkSpec {
         FeedOps.fetchDouble(), lit("2024-03-07 00:00:00").cast("timestamp"))
       .orderBy("link")
       .collect()
-    assert(got.length == 3, "the linkless entry must drop (ingestion_service.py:52-55)")
+    assert(got.length == 4, "the linkless entry must drop (ingestion_service.py:52-55)")
     val byLink = got.map(r => r.getAs[String]("link") -> r).toMap
     val r1 = byLink("http://x/1")
     assert(r1.getAs[String]("guid") == "urn:guid-1")
@@ -59,6 +62,10 @@ class FeedOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r2.getAs[java.sql.Timestamp]("pub_date") != null, "ISO fallback parses")
     assert(byLink("http://x/3").getAs[java.sql.Timestamp]("pub_date") == null,
       "unparseable pubDate nulls its own row, never kills the batch")
+    assert(byLink("http://x/4").getAs[java.sql.Timestamp]("pub_date").toString
+      == "2024-03-05 10:00:00.0",
+      "RFC 822 allows a ONE-digit day (feedparser parses it) — " +
+        "the zero-pad leg must too")
     assert(got.forall(_.getAs[java.sql.Timestamp]("ingestion_time") != null))
   }
 
