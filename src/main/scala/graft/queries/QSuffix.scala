@@ -30,7 +30,13 @@ private[graft] object QSuffix {
     * token index over the two docs' token lists (O(1) list indexing,
     * bounded by the shorter remaining suffix). */
   private val saCtes =
-    s"""WITH toks AS (SELECT doc_id, $words AS t FROM documents),
+    s"""WITH pd AS (SELECT doc_id, CASE WHEN doc_id % 23 = 3
+       |        THEN text || ' xsepa' || CAST(doc_id AS VARCHAR) ||
+       |          ' sag1 sag2 sag3 sag4 sag5 sag6 sag7 sag8 xsepb' ||
+       |          CAST(doc_id AS VARCHAR) ||
+       |          ' sag1 sag2 sag3 sag4 sag5 sag6 sag7 sag8'
+       |        ELSE text END AS text FROM documents),
+       |toks AS (SELECT doc_id, $words AS t FROM pd),
        |s AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, t,
        |        len(t) - i + 1 AS rem,
        |        array_to_string(t[i:len(t)], ' ') AS suf
@@ -64,15 +70,17 @@ private[graft] object QSuffix {
     // Per-position exact duplicated length (>= 8 tokens): the cap-free
     // ExactSubstr report — x_substr_maximal's occurrence cap (maxOcc)
     // does not exist here; a span repeated 500x is linear work, not a
-    // dropped digest.
+    // dropped digest. Planted input (saPlanted): natural coverage at
+    // sf0.01 merges to ONE interval per doc, so the within-doc-repeat
+    // convention and the multi-interval gap branch needed a plant.
     "x_sa_dup_len" -> ((s, d) =>
-      SuffixArrayOps.saDupLengths(T(s, d, "documents"), "doc_id", "text", minLen = 8)
+      SuffixArrayOps.saDupLengths(saPlanted(s, d), "doc_id", "text", minLen = 8)
         .orderBy("doc_id", "pos")),
     // SA-based ExactSubstr scrub: variable-length coverage at
     // occurrence >= 2 (same-doc repeats count), merged intervals,
     // total over the corpus (empty/short docs pass through with zeros).
     "x_sa_scrub" -> ((s, d) =>
-      SuffixArrayOps.saScrub(T(s, d, "documents"), "doc_id", "text", minLen = 8)
+      SuffixArrayOps.saScrub(saPlanted(s, d), "doc_id", "text", minLen = 8)
         .orderBy("doc_id")),
     // Bounded infini-gram probe: held-out docs (doc_id % 17 == 0) play
     // the queries, the rest the corpus. Plants keep every branch live
@@ -91,6 +99,26 @@ private[graft] object QSuffix {
         .orderBy("q_id")
     }),
     "x_infinigram_stored" -> fused(infinigramStoredPhased))
+
+  /** x_sa_dup_len / x_sa_scrub planted fixture: docs with id % 23 == 3
+    * repeat an 8-token phrase TWICE with a doc-unique separator between
+    * the copies — a WITHIN-doc repeat (the same-doc neighbor convention
+    * the natural cross-doc near-dups never exercise) whose two coverage
+    * intervals are separated by the uncovered separator token, making
+    * the per-doc interval-merge gap branch (>= 2 disjoint islands)
+    * live under the DuckDB replay. The separators are doc-unique so
+    * boundary windows cannot weld unrelated docs. */
+  private def saPlanted(s: SparkSession, d: String): DataFrame = {
+    val sag = (1 to 8).map(i => s"sag$i").mkString(" ")
+    T(s, d, "documents").select(col("doc_id"),
+      when(col("doc_id") % 23 === 3,
+        concat(col("text"),
+          lit(" xsepa"), col("doc_id").cast("string"),
+          lit(s" $sag"),
+          lit(" xsepb"), col("doc_id").cast("string"),
+          lit(s" $sag")))
+        .otherwise(col("text")).as("text"))
+  }
 
   /** The x_infinigram corpus/queries split with its liveness plants —
     * ONE definition shared by the in-memory and stored probes (they
