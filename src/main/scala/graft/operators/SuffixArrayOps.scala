@@ -300,6 +300,24 @@ object SuffixArrayOps {
       Seq(col("__r"), col("__id"), col("pos")),
       aNames = Seq("__ra", "id_a", "pos_a", "__ka"),
       bNames = Seq("__rb", "id_b", "pos_b", "__kb"))
+    resolveLcp(base, docs, idCol, textCol, depth)
+  }
+
+  /** The exact-LCP kernel over (id_a, pos_a, __ka, id_b, pos_b, __kb)
+    * pair rows: depth-capped keys resolve the bulk in one codegen map;
+    * SATURATED pairs (lcp == current depth — a result-sized residue)
+    * escalate through doubled depths re-sliced from the docs' token
+    * arrays until exact. Shared by [[adjacentLcp]] and
+    * [[longestCorpusMatch]] (whose pair sides span two document sets —
+    * `docs` must cover every id either side carries).
+    * Termination: lcp is bounded by the shorter remaining suffix, so
+    * once d exceeds max doc tokens no pair can read lcp == d. A pair
+    * exhausted-equal at exactly the previous depth re-resolves one
+    * round late (its recomputed lcp < d) — wasted work bounded by the
+    * pair count, never wrong. */
+  private def resolveLcp(pairs: DataFrame, docs: DataFrame, idCol: String,
+                         textCol: String, depth: Int): DataFrame = {
+    val base = pairs
       .withColumn("lcp", tokenLcp(col("__ka"),
         sig.commonPrefixLen(col("__ka"), col("__kb"))))
       .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"), col("lcp"))
@@ -310,11 +328,6 @@ object SuffixArrayOps {
     var pending = base.where(col("lcp") === depth)
       .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"))
     var d = depth * 2
-    // Termination: lcp is bounded by the shorter remaining suffix, so
-    // once d exceeds max doc tokens no pair can read lcp == d. A pair
-    // exhausted-equal at exactly the previous depth re-resolves one
-    // round late (its recomputed lcp < d) — wasted work bounded by the
-    // pair count, never wrong.
     while (!pending.isEmpty) {
       val dl = lit(d)
       val rekeyed = pending
@@ -386,5 +399,139 @@ object SuffixArrayOps {
       .select(col(idCol), explode(sequence(col("__s"), col("__e"))).as("pos"))
       .withColumn("__cov", lit(1))
     SpanDedup.scrubWithCoverage(docs, idCol, textCol, cover)
+  }
+
+  /** For every QUERY suffix row (`__isq` == 1), its nearest CORPUS
+    * suffix row before AND after in `sortCols` order, as pair rows in
+    * the [[resolveLcp]] shape — corpus side (id_a, pos_a, __ka), query
+    * side (id_b, pos_b, __kb). Partition-local forward/backward fills
+    * over the range-sorted checkpoint (each partition buffers once —
+    * the reverse pass needs it; a sort partition fits by shuffle
+    * sizing), boundaries stitched from a per-partition
+    * (first-corpus-row, last-corpus-row) driver sidecar. Query rows
+    * with no corpus row on a given side emit no pair for that side. */
+  private def corpusNeighborPairs(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val ranged = rangeSorted(df, sortCols)
+    val schema = ranged.schema
+    val iId = schema.fieldIndex("__id")
+    val iPos = schema.fieldIndex("pos")
+    val iKey = schema.fieldIndex("__key")
+    val iQ = schema.fieldIndex("__isq")
+    def isQ(r: Row): Boolean = r.getInt(iQ) == 1
+    val side = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var first: Row = null
+      var last: Row = null
+      it.foreach { r => if (!isQ(r)) { if (first == null) first = r; last = r } }
+      if (last == null) Iterator.empty else Iterator((pid, first, last))
+    }.collect().sortBy(_._1)
+    val np = ranged.rdd.getNumPartitions
+    val prevFor = new Array[Row](np)
+    val nextFor = new Array[Row](np)
+    var carry: Row = null
+    var li = 0
+    var i = 0
+    while (i < np) {
+      prevFor(i) = carry
+      if (li < side.length && side(li)._1 == i) { carry = side(li)._3; li += 1 }
+      i += 1
+    }
+    carry = null; li = side.length - 1; i = np - 1
+    while (i >= 0) {
+      nextFor(i) = carry
+      if (li >= 0 && side(li)._1 == i) { carry = side(li)._2; li -= 1 }
+      i -= 1
+    }
+    val bcPrev = ranged.sparkSession.sparkContext.broadcast(prevFor)
+    val bcNext = ranged.sparkSession.sparkContext.broadcast(nextFor)
+    val rdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rows = it.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      def pair(c: Row, q: Row): Row = Row(
+        c.get(iId), c.get(iPos), c.get(iKey),
+        q.get(iId), q.get(iPos), q.get(iKey))
+      var lastC: Row = bcPrev.value(pid)
+      rows.foreach { r =>
+        if (isQ(r)) { if (lastC != null) out += pair(lastC, r) }
+        else lastC = r
+      }
+      var nextC: Row = bcNext.value(pid)
+      var j = rows.length - 1
+      while (j >= 0) {
+        val r = rows(j)
+        if (isQ(r)) { if (nextC != null) out += pair(nextC, r) }
+        else nextC = r
+        j -= 1
+      }
+      out.iterator
+    }
+    import org.apache.spark.sql.types.StructField
+    val f = schema.fields
+    ranged.sparkSession.createDataFrame(rdd, StructType(Seq(
+      StructField("id_a", f(iId).dataType, nullable = false),
+      StructField("pos_a", f(iPos).dataType, nullable = false),
+      StructField("__ka", f(iKey).dataType, nullable = false),
+      StructField("id_b", f(iId).dataType, nullable = false),
+      StructField("pos_b", f(iPos).dataType, nullable = false),
+      StructField("__kb", f(iKey).dataType, nullable = false))))
+  }
+
+  /**
+   * UNBOUNDED ∞-gram longest match — the suffix-array form of
+   * [[InfiniGram.probe]]'s length report (its scaladoc's documented
+   * alternative): for each query, the length of the LONGEST query
+   * suffix occurring anywhere in the corpus, with no maxN bound — a
+   * 100-token verbatim copy reports 100 where the bounded probe
+   * saturates at maxN.
+   *
+   * Construction: the queries join the corpus as pseudo-documents
+   * (ids offset into a disjoint range — REQUIRED disjoint, checked
+   * loudly) and the union's suffix ranks are computed once. A query
+   * suffix qs occurs in the corpus iff a corpus suffix has qs as a
+   * PREFIX, and the set of qs-prefixed strings is a contiguous range
+   * starting at qs in suffix order — so it suffices to test qs's
+   * NEAREST corpus neighbors in SA order (the successor catches
+   * proper extensions; the predecessor catches corpus suffixes EQUAL
+   * to qs, which tie-break before the query's offset ids):
+   * containment ⟺ exact LCP (the shared [[resolveLcp]] kernel) equals
+   * the query suffix's full remaining length. match_len = the max
+   * remaining length over contained suffix positions; queries with no
+   * contained suffix report 0 (the probe is total).
+   *
+   * Cost: the union SA (the log-round construction) + one
+   * range-sorted fill pass + pairwise LCP on 2 rows per QUERY suffix —
+   * nothing quadratic, no occurrence cap, no width bound.
+   */
+  def longestCorpusMatch(corpus: DataFrame, idCol: String, textCol: String,
+                         queries: DataFrame, qIdCol: String, qTextCol: String,
+                         depth: Int = 32,
+                         idOffset: Long = 1000000000L): DataFrame = {
+    val maxCid = corpus.select(max(col(idCol).cast("long")))
+      .collect().headOption.flatMap(r => Option(r.get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+    require(maxCid < idOffset,
+      s"corpus ids reach $maxCid >= idOffset $idOffset — the pseudo-doc " +
+        "id ranges must be disjoint; raise idOffset")
+    val cdocs = corpus.select(col(idCol).cast("long").as("__id"),
+      col(textCol).as("__text"))
+    val qdocs = queries.select((col(qIdCol).cast("long") + idOffset).as("__id"),
+      col(qTextCol).as("__text"))
+    val union = cdocs.unionByName(qdocs)
+    val keyed = suffixRanks(union, "__id", "__text", depth)
+      .join(suffixKeys(union, "__id", "__text", depth), Seq("__id", "pos"))
+      .withColumn("__isq", (col("__id") >= idOffset).cast("int"))
+      .select(col("__r"), col("__id"), col("pos"), col("__key"), col("__isq"))
+    val pairs = corpusNeighborPairs(keyed,
+      Seq(col("__r"), col("__id"), col("pos")))
+    val lcp = resolveLcp(pairs, union, "__id", "__text", depth)
+    val qlen = qdocs.select(col("__id").as("id_b"),
+      size(SpanDedup.toks(col("__text"))).as("__n"))
+    val contained = lcp.join(qlen, Seq("id_b"))
+      .where(col("lcp") === col("__n") - col("pos_b") + 1)
+      .groupBy(col("id_b"))
+      .agg(max(col("lcp")).as("match_len"))
+    queries.select(col(qIdCol).as("q_id"))
+      .join(contained, (col("q_id") + idOffset) === col("id_b"), "left")
+      .select(col("q_id"),
+        coalesce(col("match_len"), lit(0)).cast("int").as("match_len"))
   }
 }

@@ -98,7 +98,17 @@ private[graft] object QSuffix {
         queries, "doc_id", "text", maxN = 8)
         .orderBy("q_id")
     }),
-    "x_infinigram_stored" -> fused(infinigramStoredPhased))
+    "x_infinigram_stored" -> fused(infinigramStoredPhased),
+    // UNBOUNDED longest match via the suffix array — the same fixture
+    // as x_infinigram, demonstrating the bound in the outputs
+    // themselves: the planted 10-token phrase reports 10 here where
+    // the bounded probe saturates at maxN = 8.
+    "x_sa_longest_match" -> ((s, d) => {
+      val (corpus, queries) = igFixture(s, d)
+      SuffixArrayOps.longestCorpusMatch(corpus, "doc_id", "text",
+        queries, "doc_id", "text")
+        .orderBy("q_id")
+    }))
 
   /** x_sa_dup_len / x_sa_scrub planted fixture: docs with id % 23 == 3
     * repeat an 8-token phrase TWICE with a doc-unique separator between
@@ -246,10 +256,61 @@ private[graft] object QSuffix {
          |LEFT JOIN (SELECT * FROM top WHERE rn = 1) t2 ON t2.qid = q.doc_id
          |ORDER BY q_id""".stripMargin)
 
+  /** Unbounded longest-match replay — an INDEPENDENT construction from
+    * the engine's union SA: sort every corpus and query suffix string
+    * together once; a query suffix occurs in the corpus iff its
+    * nearest corpus neighbor in that order extends it (qs-prefixed
+    * strings form a contiguous range starting at qs — the successor
+    * catches proper extensions, the predecessor exact equals). */
+  private val longestMatchSql =
+    s"""WITH q0 AS (SELECT doc_id, CASE
+       |        WHEN doc_id % 2 = 0 THEN text || ' qnovel' || CAST(doc_id AS VARCHAR)
+       |        WHEN doc_id % 3 = 0 THEN text ||
+       |          ' ig1 ig2 ig3 ig4 ig5 ig6 ig7 ig8 ig9 ig10'
+       |        ELSE text END AS text
+       |      FROM documents WHERE doc_id % 17 = 0),
+       |c0 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 5 THEN text ||
+       |          ' ig1 ig2 ig3 ig4 ig5 ig6 ig7 ig8 ig9 ig10 igend'
+       |        ELSE text END AS text
+       |      FROM documents WHERE doc_id % 17 <> 0),
+       |ctoks AS (SELECT doc_id, $words AS t FROM c0),
+       |qtoks AS (SELECT doc_id AS qid, $words AS t FROM q0),
+       |cs AS (SELECT array_to_string(t[i.i:len(t)], ' ') AS suf
+       |       FROM ctoks, unnest(generate_series(1, len(t))) AS i(i)),
+       |qs AS (SELECT qid, CAST(len(t) - i.i + 1 AS INTEGER) AS rem,
+       |         array_to_string(t[i.i:len(t)], ' ') AS suf
+       |       FROM qtoks, unnest(generate_series(1, len(t))) AS i(i)),
+       |u AS (SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS INTEGER) AS rem,
+       |        suf, 0 AS isq FROM cs
+       |      UNION ALL SELECT qid, rem, suf, 1 FROM qs),
+       |w AS (SELECT qid, rem, suf, isq,
+       |        last_value(CASE WHEN isq = 0 THEN suf END IGNORE NULLS)
+       |          OVER (ORDER BY suf, isq
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+       |        first_value(CASE WHEN isq = 0 THEN suf END IGNORE NULLS)
+       |          OVER (ORDER BY suf, isq
+       |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+       |      FROM u),
+       |m AS (SELECT qid, max(rem) AS ml FROM w
+       |      -- TOKEN-granular containment: the trailing sentinel space
+       |      -- (the engine's own key construction) stops 'agg'
+       |      -- char-extending 'a'; token-extensions of qs still sort
+       |      -- IMMEDIATELY after qs (' ' < every token char), so the
+       |      -- nearest-neighbor test stays sound.
+       |      WHERE isq = 1 AND (starts_with(pc || ' ', suf || ' ')
+       |                      OR starts_with(nc || ' ', suf || ' '))
+       |      GROUP BY qid)
+       |SELECT q.doc_id AS q_id, CAST(coalesce(m.ml, 0) AS INTEGER) AS match_len
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) q
+       |LEFT JOIN m ON m.qid = q.doc_id
+       |ORDER BY q_id""".stripMargin
+
   /** The stored probe answers IDENTICALLY (the NgramStore law) — the
     * oracle IS the in-memory replay; a hash match proves the persisted
     * signed count ledger and the bucket-pruned probe drift-free. */
   def oracles: Map[String, String] =
-    oraclesBase + ("x_infinigram_stored" -> oraclesBase("x_infinigram"))
+    oraclesBase +
+      ("x_infinigram_stored" -> oraclesBase("x_infinigram")) +
+      ("x_sa_longest_match" -> longestMatchSql)
 }
 

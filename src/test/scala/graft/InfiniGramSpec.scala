@@ -98,6 +98,44 @@ class InfiniGramSpec extends AnyFunSuite with SparkSpec {
     assert(want(104L)._1 === 2 && want(104L)._3 === "tb" && want(104L)._4 === 2L)
   }
 
+  test("longestCorpusMatch equals the brute-force unbounded reference; beats the bounded cap") {
+    import spark.implicits._
+    def toks(t: String): Vector[String] =
+      t.toLowerCase.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty).toVector
+    // Brute force: every corpus substring of every length, then the
+    // longest contained query suffix — independent of the SA.
+    val substrings = (for {
+      (_, text) <- corpusDocs
+      t = toks(text)
+      i <- t.indices
+      w <- 1 to (t.length - i)
+    } yield t.slice(i, i + w)).toSet
+    val want = queryDocs.map { case (qid, text) =>
+      val t = toks(text)
+      val best = (t.length to 1 by -1).find(w => substrings(t.takeRight(w))).getOrElse(0)
+      qid -> best
+    }.toMap
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val queries = queryDocs.toDF("doc_id", "text")
+    // depth 4 forces doubling rounds and LCP escalation on the long
+    // planted segment; idOffset small to exercise the disjointness path.
+    val got = graft.operators.SuffixArrayOps.longestCorpusMatch(
+        corpus, "doc_id", "text", queries, "doc_id", "text",
+        depth = 4, idOffset = 100000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === want)
+    // The 9-token planted segment: unbounded reports 9 where the
+    // bounded probe (maxN = 8 in the first test) saturates at 8.
+    assert(want(101L) === 9)
+    assert(want(102L) === 0, "novel final token: no suffix matches")
+    assert(want(105L) === 0, "empty query")
+    // Disjointness contract is loud.
+    val e = intercept[IllegalArgumentException](
+      graft.operators.SuffixArrayOps.longestCorpusMatch(corpus, "doc_id", "text",
+        queries, "doc_id", "text", idOffset = 10L))
+    assert(e.getMessage.contains("idOffset"))
+  }
+
   test("exact continuation-count tie breaks to the smaller token") {
     import spark.implicits._
     val corpus = Seq((1L, "t1 t2 ta"), (2L, "t1 t2 tb")).toDF("doc_id", "text")
