@@ -28,10 +28,16 @@ object BucketedParts {
 
   /** Bucket-partitioned write; an EMPTY frame writes plain, reconciled
     * at read by [[readParts]] (the partition column comes back as a
-    * data column either way). */
+    * data column either way). The frame CLUSTERS by `__b` before the
+    * partitioned write: without it every write task emits a file into
+    * every bucket dir (tasks × buckets small files — 2048 for a
+    * 32-task, 64-bucket part; each footer is fixed overhead at write
+    * AND at every later pruned read), where the one extra hash
+    * exchange leaves ~buckets files total. */
   def writeBucketed(path: String, df: DataFrame): Unit =
     if (df.isEmpty) df.write.mode("overwrite").parquet(path)
-    else df.write.mode("overwrite").partitionBy("__b").parquet(path)
+    else df.repartition(col("__b"))
+      .write.mode("overwrite").partitionBy("__b").parquet(path)
 
   /** Per-part read reconciling the partitioned and plain-empty layouts
     * (unionByName aligns the column order). */
