@@ -78,8 +78,8 @@ object NgramStore {
       .groupBy(col("h1"), col("h2"), col("next"), col("__b"))
       .agg((count(lit(1)) * sign).as("c"))
 
-  private def writeBucketed(path: String, df: DataFrame): Unit =
-    graft.sources.BucketedParts.writeBucketed(path, df)
+  private def writeBucketed(path: String, df: DataFrame, nb: Int): Unit =
+    graft.sources.BucketedParts.writeBucketed(path, df, nb)
 
   private def readParts(spark: SparkSession, root: String,
                         names: Seq[String]): DataFrame =
@@ -101,7 +101,7 @@ object NgramStore {
     AdditiveLedger.init(dir, "n-gram store", "part_00000",
         extraPaths = Seq(metaPath(dir))) { n =>
       writeBucketed(s"${gramsDir(dir)}/$n",
-        partOf(corpus, textCol, maxN, numBuckets, sign = 1))
+        partOf(corpus, textCol, maxN, numBuckets, sign = 1), numBuckets)
       // Meta lands LAST inside the callback: a crash before this point
       // leaves neither _PARTS nor _meta, so a retry re-runs clean.
       java.nio.file.Files.write(metaPath(dir),
@@ -131,7 +131,7 @@ object NgramStore {
                      textCol: String, name: Option[String], sign: Int): Unit = {
     val (mn, nb) = meta(dir)
     AdditiveLedger.mutateNamed(dir, roots(dir), name) { n =>
-      writeBucketed(s"${gramsDir(dir)}/$n", partOf(docs, textCol, mn, nb, sign))
+      writeBucketed(s"${gramsDir(dir)}/$n", partOf(docs, textCol, mn, nb, sign), nb)
       DeltaParts.add(dir, n)
     }
   }
@@ -159,7 +159,7 @@ object NgramStore {
       writeBucketed(s"${gramsDir(dir)}/$gen",
         readParts(spark, gramsDir(dir), old)
           .groupBy(col("h1"), col("h2"), col("next"), col("__b"))
-          .agg(sum(col("c")).as("c")).filter(col("c") > 0))
+          .agg(sum(col("c")).as("c")).filter(col("c") > 0), meta(dir)._2)
     }
 
   def snapshot(dir: String, tag: String): Seq[String] = DeltaParts.snapshot(dir, tag)

@@ -108,8 +108,8 @@ object SpanPosStore {
     win.groupBy(col("h1"), col("h2"), col("__b"))
       .agg((count(lit(1)) * sign).as("n_occ"))
 
-  private def writeBucketed(path: String, df: DataFrame): Unit =
-    graft.sources.BucketedParts.writeBucketed(path, df)
+  private def writeBucketed(path: String, df: DataFrame, nb: Int): Unit =
+    graft.sources.BucketedParts.writeBucketed(path, df, nb)
 
   private def readParts(spark: SparkSession, root: String,
                         names: Seq[String]): DataFrame =
@@ -137,9 +137,9 @@ object SpanPosStore {
     AdditiveLedger.init(dir, "span position store", "part_00000",
         extraPaths = Seq(metaPath(dir))) { n =>
       val winPath = s"${windowsDir(dir)}/$n"
-      writeBucketed(winPath, windowsOf(corpus, idCol, textCol, k, numBuckets))
+      writeBucketed(winPath, windowsOf(corpus, idCol, textCol, k, numBuckets), numBuckets)
       val win = spark.read.parquet(winPath)
-      writeBucketed(s"${countsDir(dir)}/$n", countsOf(win, 1))
+      writeBucketed(s"${countsDir(dir)}/$n", countsOf(win, 1), numBuckets)
       win.select(col("id")).limit(0)
         .write.mode("overwrite").parquet(s"${tombsDir(dir)}/$n")
       // Meta lands LAST inside the callback: a crash before this point
@@ -170,9 +170,9 @@ object SpanPosStore {
         "time; run compact first (it folds tombstones away).")
     AdditiveLedger.mutateNamed(dir, roots(dir), name) { n =>
       val winPath = s"${windowsDir(dir)}/$n"
-      writeBucketed(winPath, windowsOf(batch, idCol, textCol, kk, nb))
+      writeBucketed(winPath, windowsOf(batch, idCol, textCol, kk, nb), nb)
       val win = spark.read.parquet(winPath)
-      writeBucketed(s"${countsDir(dir)}/$n", countsOf(win, 1))
+      writeBucketed(s"${countsDir(dir)}/$n", countsOf(win, 1), nb)
       win.select(col("id")).limit(0)
         .write.mode("overwrite").parquet(s"${tombsDir(dir)}/$n")
       DeltaParts.add(dir, n)
@@ -192,8 +192,8 @@ object SpanPosStore {
     AdditiveLedger.mutateNamed(dir, roots(dir), name) { n =>
       val win = windowsOf(removedDocs, idCol, textCol, kk, nb)
         .localCheckpoint(true) // negative counts + empty-window schema
-      writeBucketed(s"${windowsDir(dir)}/$n", win.limit(0))
-      writeBucketed(s"${countsDir(dir)}/$n", countsOf(win, -1))
+      writeBucketed(s"${windowsDir(dir)}/$n", win.limit(0), nb)
+      writeBucketed(s"${countsDir(dir)}/$n", countsOf(win, -1), nb)
       removedDocs.select(col(idCol).as("id")).distinct()
         .write.mode("overwrite").parquet(s"${tombsDir(dir)}/$n")
       DeltaParts.add(dir, n)
@@ -235,15 +235,16 @@ object SpanPosStore {
     * zeroed digests gone, single-part pushed reads restored. */
   def compact(spark: SparkSession, dir: String): Unit =
     AdditiveLedger.compactWith(dir, roots(dir)) { (gen, old) =>
+      val nb = meta(dir)._2
       val tombs = readParts(spark, tombsDir(dir), old).distinct()
         .localCheckpoint(true)
       val win = readParts(spark, windowsDir(dir), old)
         .join(tombs, Seq("id"), "left_anti")
-      writeBucketed(s"${windowsDir(dir)}/$gen", win)
+      writeBucketed(s"${windowsDir(dir)}/$gen", win, nb)
       writeBucketed(s"${countsDir(dir)}/$gen",
         readParts(spark, countsDir(dir), old)
           .groupBy(col("h1"), col("h2"), col("__b"))
-          .agg(sum(col("n_occ")).as("n_occ")).filter(col("n_occ") > 0))
+          .agg(sum(col("n_occ")).as("n_occ")).filter(col("n_occ") > 0), nb)
       tombs.limit(0).write.mode("overwrite").parquet(s"${tombsDir(dir)}/$gen")
     }
 

@@ -443,26 +443,36 @@ object SuffixArrayOps {
     }
     val bcPrev = ranged.sparkSession.sparkContext.broadcast(prevFor)
     val bcNext = ranged.sparkSession.sparkContext.broadcast(nextFor)
+    // Streaming pass — the kernel discipline of this file (one-row
+    // state, never a buffered partition): predecessor pairs emit
+    // inline; successor pairs buffer only the CURRENT RUN of
+    // consecutive query rows (queries are sparse among corpus suffixes
+    // by construction), flushing against each corpus row, the trailing
+    // run against the next-partition sidecar.
     val rdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val rows = it.toArray
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
       def pair(c: Row, q: Row): Row = Row(
         c.get(iId), c.get(iPos), c.get(iKey),
         q.get(iId), q.get(iPos), q.get(iKey))
       var lastC: Row = bcPrev.value(pid)
-      rows.foreach { r =>
-        if (isQ(r)) { if (lastC != null) out += pair(lastC, r) }
-        else lastC = r
+      val run = scala.collection.mutable.ArrayBuffer.empty[Row]
+      it.flatMap { r =>
+        if (isQ(r)) {
+          run += r
+          if (lastC != null) Iterator.single(pair(lastC, r)) else Iterator.empty
+        } else {
+          val flushed = run.toArray.iterator.map(q => pair(r, q))
+          run.clear()
+          lastC = r
+          flushed
+        }
+      } ++ {
+        // Reached only after the input iterator drains (Iterator.++ is
+        // by-name): the partition-trailing query run pairs with the
+        // first corpus row of a FOLLOWING partition, if any.
+        val nc = bcNext.value(pid)
+        if (nc == null) Iterator.empty
+        else run.iterator.map(q => pair(nc, q))
       }
-      var nextC: Row = bcNext.value(pid)
-      var j = rows.length - 1
-      while (j >= 0) {
-        val r = rows(j)
-        if (isQ(r)) { if (nextC != null) out += pair(nextC, r) }
-        else nextC = r
-        j -= 1
-      }
-      out.iterator
     }
     import org.apache.spark.sql.types.StructField
     val f = schema.fields
@@ -505,12 +515,23 @@ object SuffixArrayOps {
                          queries: DataFrame, qIdCol: String, qTextCol: String,
                          depth: Int = 32,
                          idOffset: Long = 1000000000L): DataFrame = {
-    val maxCid = corpus.select(max(col(idCol).cast("long")))
-      .collect().headOption.flatMap(r => Option(r.get(0)))
+    val bounds = corpus.select(max(col(idCol).cast("long")))
+      .crossJoin(queries.select(min(col(qIdCol).cast("long"))))
+      .collect().headOption
+    val maxCid = bounds.flatMap(r => Option(r.get(0)))
       .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+    val minQid = bounds.flatMap(r => Option(r.get(1)))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     require(maxCid < idOffset,
       s"corpus ids reach $maxCid >= idOffset $idOffset — the pseudo-doc " +
         "id ranges must be disjoint; raise idOffset")
+    // BOTH sides of the disjointness contract are loud: a negative
+    // query id would map BELOW the offset, silently classifying that
+    // query's suffixes as corpus (and possibly colliding with a real
+    // corpus id, fanning out the escalation join).
+    require(minQid >= 0,
+      s"query ids reach $minQid < 0 — offset ids would fall below " +
+        s"idOffset $idOffset and be misclassified as corpus")
     val cdocs = corpus.select(col(idCol).cast("long").as("__id"),
       col(textCol).as("__text"))
     val qdocs = queries.select((col(qIdCol).cast("long") + idOffset).as("__id"),

@@ -101,8 +101,10 @@ private[graft] object QSuffix {
     "x_infinigram_stored" -> fused(infinigramStoredPhased),
     // UNBOUNDED longest match via the suffix array — the same fixture
     // as x_infinigram, demonstrating the bound in the outputs
-    // themselves: the planted 10-token phrase reports 10 here where
-    // the bounded probe saturates at maxN = 8.
+    // themselves: the planted queries report 11 at sf0.01 (the
+    // 10-token plant, plus the query's pre-plant final token
+    // coinciding with a plant-carrying corpus doc's) where the
+    // bounded probe saturates at maxN = 8.
     "x_sa_longest_match" -> ((s, d) => {
       val (corpus, queries) = igFixture(s, d)
       SuffixArrayOps.longestCorpusMatch(corpus, "doc_id", "text",

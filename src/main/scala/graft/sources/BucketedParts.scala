@@ -32,12 +32,22 @@ object BucketedParts {
     * partitioned write: without it every write task emits a file into
     * every bucket dir (tasks × buckets small files — 2048 for a
     * 32-task, 64-bucket part; each footer is fixed overhead at write
-    * AND at every later pruned read), where the one extra hash
-    * exchange leaves ~buckets files total. */
-  def writeBucketed(path: String, df: DataFrame): Unit =
+    * AND at every later pruned read). When `numBuckets` is below the
+    * cluster parallelism (or a bucket runs hot), a pure bucket key
+    * would funnel whole buckets through single tasks — an `h1`-derived
+    * salt of width max(1, parallelism / numBuckets) keeps the write
+    * parallel at ~buckets × salt files (= the ideal ~buckets whenever
+    * buckets ≥ parallelism, where the salt collapses to 1). The frame
+    * must carry `h1` (every bucketed store's frames do — the bucket
+    * itself derives from it). */
+  def writeBucketed(path: String, df: DataFrame, numBuckets: Int): Unit =
     if (df.isEmpty) df.write.mode("overwrite").parquet(path)
-    else df.repartition(col("__b"))
-      .write.mode("overwrite").partitionBy("__b").parquet(path)
+    else {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      val salt = math.max(1, par / math.max(1, numBuckets))
+      df.repartition(col("__b"), pmod(xxhash64(col("h1")), lit(salt)))
+        .write.mode("overwrite").partitionBy("__b").parquet(path)
+    }
 
   /** Per-part read reconciling the partitioned and plain-empty layouts
     * (unionByName aligns the column order). */
