@@ -128,17 +128,23 @@ object InfiniGram {
         coalesce(col("top_cnt"), lit(0L)).as("top_cnt"))
   }
 
+  /** `broadcastProbes = false` degrades the digest prune to a shuffle
+    * semi join for a genuinely huge query batch (the family escape
+    * hatch — the default broadcast has no size gate, and a query set
+    * beyond the broadcast limit must not OOM the driver). */
   def probe(corpus: DataFrame, idCol: String, textCol: String,
             queries: DataFrame, qIdCol: String, qTextCol: String,
-            maxN: Int = 8): DataFrame = {
+            maxN: Int = 8, broadcastProbes: Boolean = true): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1: $maxN")
+    val bcast = if (broadcastProbes) (df: DataFrame) => broadcast(df)
+                else (df: DataFrame) => df
     val qw = querySuffixes(queries, qIdCol, qTextCol, maxN)
     // Consumed by BOTH aggregations below — materialized once so the
     // corpus window generation (maxN hashed slices per token, the
     // op's only corpus-sized work) runs a single pass; the checkpoint
     // holds only the queries' corpus hits, not the corpus.
     val pruned = corpusWindows(corpus, textCol, maxN)
-      .join(broadcast(qw.select("__h1", "__h2").distinct()),
+      .join(bcast(qw.select("__h1", "__h2").distinct()),
         Seq("__h1", "__h2"), "left_semi")
       .localCheckpoint(true)
     val occ = pruned.groupBy(col("__h1"), col("__h2"))

@@ -98,6 +98,17 @@ import org.apache.spark.sql.types.{LongType, StructType}
  * of the reference paper adds nothing for whole-document admission
  * semantics and would weld unrelated doc tails into phantom repeats).
  *
+ * STALENESS/APPEND CONTRACT: every function here derives from the
+ * corpus DataFrame it is handed, per call — a corpus that grew since
+ * the last run silently re-derives EVERYTHING (correct, but the full
+ * O(corpus · log) construction again; ranks are GLOBAL, so no
+ * incremental maintenance exists for them — one appended suffix can
+ * shift every rank). The STANDING form is [[SaStore]]: it persists
+ * the family's serving capability (the longest-match probe) as
+ * per-level window POSITIONS rather than ranks, exactly because
+ * positions are additive (append/remove O(batch)) where ranks are
+ * not.
+ *
  * Cross-validation law (spec-pinned, randomized): a token position is
  * covered by `[p, p + dup_len(p))` for some `dup_len(p) >= L` iff it is
  * covered by a duplicated L-token window (occurrence count >= 2,
@@ -449,6 +460,15 @@ object SuffixArrayOps {
     // consecutive query rows (queries are sparse among corpus suffixes
     // by construction), flushing against each corpus row, the trailing
     // run against the next-partition sidecar.
+    // BOUND: the run buffer is O(longest stretch of query suffixes with
+    // no interleaved corpus row). A query doc of entirely novel tokens
+    // clusters all its suffixes contiguously, so the worst case is
+    // O(largest query doc's token count) — and, for a query SET of
+    // mutually-novel docs sorting adjacent, up to one sort partition.
+    // Acceptable by the probe's own contract (query batches are small
+    // relative to the corpus — the op is queries-sized by design); a
+    // corpus-scale "query" side belongs in the batch SA construction,
+    // not this fill.
     val rdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       def pair(c: Row, q: Row): Row = Row(
         c.get(iId), c.get(iPos), c.get(iKey),
@@ -515,13 +535,27 @@ object SuffixArrayOps {
                          queries: DataFrame, qIdCol: String, qTextCol: String,
                          depth: Int = 32,
                          idOffset: Long = 1000000000L): DataFrame = {
-    val bounds = corpus.select(max(col(idCol).cast("long")))
-      .crossJoin(queries.select(min(col(qIdCol).cast("long"))))
+    // try_cast, not cast: under ANSI a malformed id would throw an
+    // opaque executor CAST_INVALID_INPUT mid-plan; try_cast yields NULL
+    // and the count below turns that into THIS operator's loud refusal.
+    def idAsLong(c: Column) = c.try_cast("long")
+    val bounds = corpus.select(max(idAsLong(col(idCol))),
+        count(when(idAsLong(col(idCol)).isNull, 1)))
+      .crossJoin(queries.select(min(idAsLong(col(qIdCol))),
+        count(when(idAsLong(col(qIdCol)).isNull, 1))))
       .collect().headOption
     val maxCid = bounds.flatMap(r => Option(r.get(0)))
       .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
-    val minQid = bounds.flatMap(r => Option(r.get(1)))
+    val minQid = bounds.flatMap(r => Option(r.get(2)))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // A null or non-numeric id casts to NULL: the max/min bounds above
+    // would collapse to their defaults, both disjointness guards would
+    // pass, and the union would carry all-null __id keys — silently
+    // wrong match lengths. Refuse loudly instead (same aggregate pass).
+    val badIds = bounds.map(r => (r.getLong(1), r.getLong(3))).getOrElse((0L, 0L))
+    require(badIds._1 == 0L && badIds._2 == 0L,
+      s"id columns must be non-null and numeric-castable: ${badIds._1} " +
+        s"corpus and ${badIds._2} query ids cast to NULL as long")
     require(maxCid < idOffset,
       s"corpus ids reach $maxCid >= idOffset $idOffset — the pseudo-doc " +
         "id ranges must be disjoint; raise idOffset")

@@ -26,7 +26,7 @@ object BucketedParts {
   def inBuckets(buckets: Seq[Int]): Column =
     if (buckets.isEmpty) lit(false) else col("__b").isin(buckets: _*)
 
-  /** Bucket-partitioned write; an EMPTY frame writes plain, reconciled
+  /** Bucket-partitioned write; an EMPTY frame ends up plain, reconciled
     * at read by [[readParts]] (the partition column comes back as a
     * data column either way). The frame CLUSTERS by `__b` before the
     * partitioned write: without it every write task emits a file into
@@ -39,15 +39,32 @@ object BucketedParts {
     * parallel at ~buckets × salt files (= the ideal ~buckets whenever
     * buckets ≥ parallelism, where the salt collapses to 1). The frame
     * must carry `h1` (every bucketed store's frames do — the bucket
-    * itself derives from it). */
-  def writeBucketed(path: String, df: DataFrame, numBuckets: Int): Unit =
-    if (df.isEmpty) df.write.mode("overwrite").parquet(path)
-    else {
-      val par = df.sparkSession.sparkContext.defaultParallelism
-      val salt = math.max(1, par / math.max(1, numBuckets))
-      df.repartition(col("__b"), pmod(xxhash64(col("h1")), lit(salt)))
-        .write.mode("overwrite").partitionBy("__b").parquet(path)
-    }
+    * itself derives from it).
+    *
+    * `df` is evaluated exactly ONCE (spec-pinned, BucketedPartsSpec):
+    * the former `df.isEmpty` pre-probe ran aggregated part plans a
+    * first time before the write ran them again — for the
+    * NgramStore/SpanPosStore COUNT parts that was the whole map-side
+    * window aggregation twice per init/append. Instead the partitioned
+    * write runs unconditionally; the one layout it cannot produce is
+    * the empty frame's (zero rows under partitionBy → no parquet
+    * footer, an unreadable dir), detected AFTER the write by a plain
+    * file listing (no Spark job) and reconciled by laying the schema
+    * down bare — `limit(0)` collapses to an empty LocalRelation under
+    * the optimizer, so no second evaluation there either. */
+  def writeBucketed(path: String, df: DataFrame, numBuckets: Int): Unit = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val salt = math.max(1, par / math.max(1, numBuckets))
+    df.repartition(col("__b"), pmod(xxhash64(col("h1")), lit(salt)))
+      .write.mode("overwrite").partitionBy("__b").parquet(path)
+    if (!hasParquetFile(new java.io.File(path)))
+      df.limit(0).write.mode("overwrite").parquet(path)
+  }
+
+  private def hasParquetFile(f: java.io.File): Boolean =
+    Option(f.listFiles()).getOrElse(Array.empty).exists(c =>
+      (c.isFile && c.getName.endsWith(".parquet")) ||
+        (c.isDirectory && hasParquetFile(c)))
 
   /** Per-part read reconciling the partitioned and plain-empty layouts
     * (unionByName aligns the column order). */

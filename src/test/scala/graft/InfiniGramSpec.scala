@@ -134,6 +134,26 @@ class InfiniGramSpec extends AnyFunSuite with SparkSpec {
       graft.operators.SuffixArrayOps.longestCorpusMatch(corpus, "doc_id", "text",
         queries, "doc_id", "text", idOffset = 10L))
     assert(e.getMessage.contains("idOffset"))
+    // Non-numeric ids are refused loudly — a silent cast-to-NULL would
+    // collapse the disjointness bounds to their defaults and key the
+    // union on all-null ids (wrong lengths, no error).
+    val strCorpus = corpusDocs.map { case (id, t) => (s"doc-$id", t) }
+      .toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.SuffixArrayOps.longestCorpusMatch(strCorpus, "doc_id", "text",
+        queries, "doc_id", "text"))
+    assert(e2.getMessage.contains("numeric-castable"))
+  }
+
+  test("shuffle-probe escape hatch answers identically to the broadcast default") {
+    import spark.implicits._
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val queries = queryDocs.toDF("doc_id", "text")
+    def rows(b: Boolean) = InfiniGram.probe(corpus, "doc_id", "text",
+        queries, "doc_id", "text", maxN = 8, broadcastProbes = b)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(rows(false) === rows(true))
   }
 
   test("exact continuation-count tie breaks to the smaller token") {
