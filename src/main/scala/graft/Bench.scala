@@ -33,28 +33,50 @@ object Bench {
       .fold(SparkEntry.queries)(SparkEntry.selectQueries)
     val (results, stored, failures) =
       run(spark, sfDir, selected, runs, SparkEntry.phasedQueries)
-    // Mover auto-audit (the round-6 protocol, mechanized): any query
-    // whose in-suite median moved >2× against the previous committed
-    // full-suite artifact re-runs ISOLATED (median-of-3, swept block
-    // manager, nothing interleaved) in the same JVM — in-suite numbers
-    // swing with suite-neighborhood GC pressure, isolated medians are
-    // the comparable per-query basis, and recording both lets the
-    // load-vs-plan verdict land without a by-hand re-measure.
-    val isolated = moverIsolated(spark, sfDir, selected, results.toMap)
+    // Mover auto-audit (the round-6 protocol, mechanized; widened to
+    // 1.5× and to the stored family's init/serve LEGS in round 17 —
+    // pipe_dedup_e2e's 1.94× drift evaded the old 2× total trigger,
+    // and x_ann_pq_stored's init-side drift was invisible at total
+    // granularity): any query whose in-suite median moved >1.5×
+    // against the previous committed full-suite artifact — on its
+    // total OR on either stored leg — re-runs ISOLATED (median-of-3,
+    // swept block manager, nothing interleaved) in the same JVM.
+    // In-suite numbers swing with suite-neighborhood GC pressure;
+    // isolated medians are the comparable per-query basis, and
+    // recording both lets the load-vs-plan verdict land without a
+    // by-hand re-measure.
+    val prevArt = prevArtifact()
+    val prevQ = prevArt.map(prevQueries).getOrElse(Map.empty[String, Double])
+    val prevS = prevArt.map(prevStored)
+      .getOrElse(Map.empty[String, (Double, Double)])
+    val legMovers = stored.toSeq.flatMap { case (n, (i, sv)) =>
+      prevS.get(n).filter { case (pi, ps) => moved(i, pi) || moved(sv, ps) }
+        .map(pv => n -> (i, sv, pv._1, pv._2))
+    }.toMap
+    val isolated = moverIsolated(spark, sfDir, selected, results.toMap,
+      prevQ, legMovers.keySet)
     def jnum(v: Double) = if (v.isNaN || v.isInfinite) "null" else v.toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val ss = stored.toSeq.sortBy(_._1).map { case (k, (i, sv)) =>
       s"\"$k\":{\"init_s\":${jnum(i)},\"serve_s\":${jnum(sv)}}"
     }.mkString("{", ",", "}")
-    val is = isolated.toSeq.sortBy(_._1).map { case (k, (su, pr, iso)) =>
-      s"\"$k\":{\"suite_s\":${jnum(su)},\"prev_s\":${jnum(pr)},\"isolated_s\":${jnum(iso)}}"
+    val lm = legMovers.toSeq.sortBy(_._1).map { case (k, (i, sv, pi, ps)) =>
+      s"\"$k\":{\"init_s\":${jnum(i)},\"serve_s\":${jnum(sv)}," +
+        s"\"prev_init_s\":${jnum(pi)},\"prev_serve_s\":${jnum(ps)}}"
+    }.mkString("{", ",", "}")
+    val is = isolated.toSeq.sortBy(_._1).map { case (k, (su, pr, iso, legs)) =>
+      s"\"$k\":{\"suite_s\":${jnum(su)},\"prev_s\":${jnum(pr)}," +
+        s"\"isolated_s\":${jnum(iso)}" +
+        legs.fold("") { case (i, sv) =>
+          s",\"isolated_init_s\":${jnum(i)},\"isolated_serve_s\":${jnum(sv)}" } +
+        "}"
     }.mkString("{", ",", "}")
     val fs = failures.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + "\"" + v.replace("\"", "'") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"stored":$ss,"isolated":$is,"failed":$fs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"stored":$ss,"leg_movers":$lm,"isolated":$is,"failed":$fs,"sf":"$sfDir"}"""
     println(json)
     // The driver's log-tail recording truncates the (long) stdout line;
     // the committed-artifact copy keeps every per-query number readable
@@ -87,39 +109,93 @@ object Bench {
           }).sortBy(_._1).lastOption.map(_._2)
       }
 
-  /** The flat `"queries":{…}` object of a bench artifact — a minimal
-    * pluck (values are plain numbers, no nesting inside the object). */
-  private def prevQueries(p: java.nio.file.Path): Map[String, Double] = {
-    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-      .fold(Map.empty[String, Double]) { m =>
-        """"([^"]+)":([-0-9.eE+]+)""".r.findAllMatchIn(m.group(1))
-          .map(x => x.group(1) -> x.group(2).toDouble).toMap
+  /** Mover trigger: either direction past 1.5× (was 2× through round
+    * 16 — pipe_dedup_e2e's 1.94× drift slid under it unadjudicated). */
+  private val MoverRatio = 1.5
+
+  private[graft] def moved(cur: Double, prev: Double): Boolean =
+    !cur.isNaN && !prev.isNaN && prev > 0.0 && cur > 0.0 &&
+      (cur / prev > MoverRatio || cur / prev < 1.0 / MoverRatio)
+
+  /** The top-level JSON object under `key` with balanced braces — the
+    * stored object nests one level, so the flat `[^}]*` pluck that
+    * suffices for `queries` would truncate it. */
+  private[graft] def pluckObject(txt: String, key: String): Option[String] = {
+    val k = "\"" + key + "\":"
+    val i = txt.indexOf(k)
+    val start = if (i < 0) -1 else txt.indexOf('{', i + k.length)
+    if (start < 0) None
+    else {
+      var depth = 0; var j = start; var end = -1
+      while (j < txt.length && end < 0) {
+        txt.charAt(j) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) end = j
+          case _ =>
+        }
+        j += 1
       }
+      if (end < 0) None else Some(txt.substring(start, end + 1))
+    }
   }
 
-  /** Isolated median-of-3 re-measures for every >2× mover vs the
-    * previous artifact, capped at the 8 worst (a pathological round must
-    * not double the bench); returns name → (suite_s, prev_s, isolated_s). */
+  /** The flat `"queries":{…}` object of a bench artifact. */
+  private[graft] def prevQueries(p: java.nio.file.Path): Map[String, Double] = {
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    pluckObject(txt, "queries").fold(Map.empty[String, Double]) { body =>
+      """"([^"]+)":([-0-9.eE+]+)""".r.findAllMatchIn(body)
+        .map(x => x.group(1) -> x.group(2).toDouble).toMap
+    }
+  }
+
+  /** The previous artifact's `"stored":{…}` init/serve split — the leg
+    * basis the round-17 audit diffs (an init-dominated total can hide a
+    * doubled serve leg, and vice versa). Unparseable legs → NaN. */
+  private[graft] def prevStored(p: java.nio.file.Path): Map[String, (Double, Double)] = {
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    pluckObject(txt, "stored").fold(Map.empty[String, (Double, Double)]) { body =>
+      """"([^"{]+)":\{"init_s":([^,]+),"serve_s":([^}]+)\}""".r
+        .findAllMatchIn(body)
+        .map(m => m.group(1) ->
+          (m.group(2).toDoubleOption.getOrElse(Double.NaN),
+            m.group(3).toDoubleOption.getOrElse(Double.NaN)))
+        .toMap
+    }
+  }
+
+  /** Isolated median-of-3 re-measures for every mover vs the previous
+    * artifact — total-ratio movers plus `legMoverNames` (stored-family
+    * queries whose init or serve leg tripped [[moved]]) — capped at the
+    * 8 worst (a pathological round must not double the bench); returns
+    * name → (suite_s, prev_s, isolated_s, isolated init/serve legs for
+    * stored-family names). */
   private def moverIsolated(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-      suite: Map[String, Double]): Map[String, (Double, Double, Double)] =
-    prevArtifact().map(prevQueries).filter(_.nonEmpty).fold(
-        Map.empty[String, (Double, Double, Double)]) { prev =>
-      val movers = suite.toSeq
-        .flatMap { case (n, s) => prev.get(n).map(p => (n, s, p, s / p)) }
-        .filter { case (_, _, _, r) => r > 2.0 || r < 0.5 }
-        .sortBy { case (_, _, _, r) => -math.max(r, 1.0 / r) }
-      val kept = movers.take(8)
-      if (movers.size > kept.size)
-        System.err.println(s"[bench] mover audit capped at 8 of ${movers.size}")
-      kept.map { case (n, s, p, _) =>
-        System.err.println(f"[bench] mover $n: suite $s%.2f vs prev $p%.2f — isolated re-measure")
-        val (res, _, _) = run(spark, sfDir, Map(n -> queries(n)), runs = 3,
-          SparkEntry.phasedQueries)
-        n -> (s, p, res.headOption.map(_._2).getOrElse(Double.NaN))
-      }.toMap
-    }
+      suite: Map[String, Double], prev: Map[String, Double],
+      legMoverNames: Set[String])
+      : Map[String, (Double, Double, Double, Option[(Double, Double)])] = {
+    if (prev.isEmpty && legMoverNames.isEmpty)
+      return Map.empty
+    val totalMovers = suite.toSeq
+      .flatMap { case (n, s) => prev.get(n).map(p => (n, s / p)) }
+      .filter { case (_, r) => r > MoverRatio || r < 1.0 / MoverRatio }
+    val ranked = (totalMovers.map { case (n, r) => n -> math.max(r, 1.0 / r) } ++
+        legMoverNames.filterNot(totalMovers.map(_._1).toSet)
+          .map(_ -> MoverRatio).toSeq)
+      .filter { case (n, _) => queries.contains(n) }
+      .distinct.sortBy(-_._2)
+    val kept = ranked.take(8)
+    if (ranked.size > kept.size)
+      System.err.println(s"[bench] mover audit capped at 8 of ${ranked.size}")
+    kept.map { case (n, _) =>
+      val s = suite.getOrElse(n, Double.NaN)
+      val p = prev.getOrElse(n, Double.NaN)
+      System.err.println(f"[bench] mover $n: suite $s%.2f vs prev $p%.2f — isolated re-measure")
+      val (res, st, _) = run(spark, sfDir, Map(n -> queries(n)), runs = 3,
+        SparkEntry.phasedQueries)
+      n -> (s, p, res.headOption.map(_._2).getOrElse(Double.NaN), st.get(n))
+    }.toMap
+  }
 
   /** Inter-query state sweep. The suite shares one JVM across ~115
     * queries × `runs` passes, and the localCheckpoint-heavy queries

@@ -33,6 +33,28 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
       s"split must sum to the recorded total: $init + $serve vs $total")
   }
 
+  test("mover-audit parsing: nested stored object plucks whole; legs parse; 1.5x trigger") {
+    val art = """{"metric":"total","value":9.9,"queries":{"a":1.5,"b":2.25},""" +
+      """"stored":{"s1":{"init_s":4.0,"serve_s":2.0},"s2":{"init_s":null,"serve_s":1.0}},""" +
+      """"isolated":{},"failed":{},"sf":"x"}"""
+    val p = java.nio.file.Files.createTempFile("bench", ".json")
+    java.nio.file.Files.writeString(p, art)
+    assert(Bench.pluckObject(art, "stored").get ===
+      """{"s1":{"init_s":4.0,"serve_s":2.0},"s2":{"init_s":null,"serve_s":1.0}}""",
+      "balanced-brace pluck must keep the nested entries")
+    assert(Bench.prevQueries(p) === Map("a" -> 1.5, "b" -> 2.25))
+    val st = Bench.prevStored(p)
+    assert(st("s1") === ((4.0, 2.0)))
+    assert(st("s2")._1.isNaN && st("s2")._2 === 1.0,
+      "a null leg parses to NaN, not a crash")
+    // The widened trigger: 1.94x (the round-16 escapee) now trips.
+    assert(Bench.moved(21.46, 11.04), "1.94x must trip the 1.5x trigger")
+    assert(Bench.moved(1.0, 2.0), "shrink past 1/1.5 trips too")
+    assert(!Bench.moved(1.4, 1.0), "inside the band stays quiet")
+    assert(!Bench.moved(Double.NaN, 1.0) && !Bench.moved(1.0, Double.NaN),
+      "NaN legs never trip")
+  }
+
   test("median of 3 runs discards a single outlier pass") {
     // Warm the plan path so the cold-start pass is not itself an outlier.
     spark.range(10).toDF("n").write.format("noop").mode("overwrite").save()
