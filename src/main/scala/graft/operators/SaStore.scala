@@ -1,0 +1,446 @@
+package graft.operators
+
+import graft.sources.{AdditiveLedger, BucketedParts, DeltaParts}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Standing suffix-array serving state — the persisted form of
+ * [[SuffixArrayOps.longestCorpusMatch]] (the unbounded ∞-gram probe of
+ * Liu et al. 2024, served in that paper from an on-disk suffix array;
+ * the in-memory form here rebuilds the union (corpus + queries) SA on
+ * EVERY call, O(corpus · log) per probe batch — the exact shape
+ * [[SpanPosStore]] closed for the shingle family).
+ *
+ * WHAT IS PERSISTED — positions, not ranks. Suffix-array RANKS are
+ * global: one appended suffix can shift every rank, so a stored rank
+ * order would force a full rebuild per append (the r16 verdict's own
+ * observation). This store instead persists the family's serving
+ * CAPABILITY — "is this exact token span somewhere in the corpus?" —
+ * as a BINARY-LIFTED positional window index: one relation of
+ * (doc id, position, 128-bit digest) rows for every window of width
+ * 2^a, a = 0..A (the [[SpanPosStore]] relation at log-many widths).
+ * Positions are facts about documents, so the relation is ADDITIVE:
+ * append/remove are O(batch) ledger parts, no rebuild lifecycle at
+ * all — strictly stronger than a rank store's staleness budget.
+ *
+ * WHY THAT SUFFICES — the two-window certificate (Lee et al. 2022's
+ * ExactSubstr family; the classic doubling/fingerprint composition):
+ * for 2^a <= L <= 2^(a+1), a token span of length L occurs at corpus
+ * position (id, i) iff the width-2^a windows at (id, i) AND
+ * (id, i + L - 2^a) both match the span's corresponding slices — the
+ * two half-windows overlap, so together they pin all L tokens. So
+ * "does the length-L query suffix occur?" is ONE digest-keyed
+ * position join at level a; and since occurrence of a query suffix is
+ * MONOTONE in its length (any suffix of an occurring suffix occurs),
+ * the longest match is a BINARY SEARCH on L — ceil(log2 maxLen)
+ * rounds, each a bucket-pruned, queries-hit-sized probe of one-or-few
+ * levels. No occurrence cap anywhere: a span repeated 10^6 times is
+ * 10^6 position rows per level, and the certificate join is an
+ * equi-join on (id, exact position), output bounded by the smaller
+ * side — never a pair fan-out.
+ *
+ * Storage shape (the [[graft.sources.AdditiveLedger]] family):
+ *
+ *   dir/win/<part>/__a=A/__b=K/…  (id, i, h1, h2) — width-2^a windows,
+ *                                  Hive-partitioned by (level, digest
+ *                                  bucket) so probes open only the
+ *                                  probed (level, bucket) dirs' FILES
+ *   dir/tombs/<part>/             (id) tombstoned docs
+ *   dir/_meta                     maxLen=<2^(A+1)>, buckets=<N>
+ *
+ * All widths generate in ONE corpus scan per init/append (a single
+ * explode over levels × starts); [[remove]] is a doc-id tombstone —
+ * positions are facts, so unlike the count stores no text replay is
+ * needed. [[compact]] folds tombstones away; snapshot/restore/fsck +
+ * [[graft.pipelines.Release]] kind "sa" complete the store-family
+ * lifecycle; single-writer under the dir's
+ * [[graft.sources.WriterLease]] (taken inside the ledger).
+ *
+ * LENGTH BUDGET — the one honest refusal: level A is fixed at init
+ * (maxLen = 2^(A+1), defaulted to the init corpus's longest document
+ * rounded up, never below the explicit `maxLen` floor), and a match
+ * longer than 2^(A+1) has no certifying level. [[append]] therefore
+ * REFUSES a batch whose longest document exceeds the budget (silently
+ * under-reporting long matches is the bug; spec-pinned) — rebuild at a
+ * fresh dir with a larger `maxLen` to grow it. Query length needs no
+ * budget: the search clamps at maxLen, and no match can exceed the
+ * longest stored document anyway.
+ *
+ * LAW (spec-pinned, SaStoreSpec): for a store holding exactly the
+ * document set C (under any append/remove/compact/snapshot/restore
+ * history), `SaStore.probe(store, queries)` ≡
+ * `SuffixArrayOps.longestCorpusMatch(C, queries)` — exact equality
+ * (mod the family's standing 128-bit digest-collision convention,
+ * replayed against the independent DuckDB suffix-sort oracle at sf
+ * scale by `x_sa_longest_match_stored`). Query ids must be unique
+ * (the in-memory form's own contract).
+ */
+object SaStore {
+
+  private def winDir(dir: String) = s"$dir/win"
+  private def tombsDir(dir: String) = s"$dir/tombs"
+  private def roots(dir: String) = Seq(winDir(dir), tombsDir(dir))
+  private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "_meta")
+
+  /** The length budget the store was built at: the longest certifiable
+    * match, = 2^(levels+1) for top level index `levels`. */
+  def maxLen(dir: String): Int = meta(dir)._1
+
+  def numBuckets(dir: String): Int = meta(dir)._2
+
+  private def meta(dir: String): (Int, Int) = {
+    val kv = BucketedParts.readMeta(metaPath(dir), "suffix-array store")
+    (kv("maxLen").toInt, kv("buckets").toInt)
+  }
+
+  /** Top level index A for budget M = 2^(A+1). */
+  private def topLevel(maxLen: Int): Int = 31 - Integer.numberOfLeadingZeros(maxLen) - 1
+
+  private def pow2ceil(n: Int): Int = {
+    var p = 2
+    while (p < n) p *= 2
+    p
+  }
+
+  private def bucketOf(h1: Column, nb: Int): Column =
+    BucketedParts.bucketOf(h1, nb)
+
+  /** Window digest at (width w, token slice sp) — ONE definition for
+    * the stored corpus side and the probe's query side; drift here
+    * would silently empty every match. */
+  private def dig1(w: Column, sp: Column): Column = xxhash64(w, sp)
+  private def dig2(w: Column, sp: Column): Column = xxhash64(lit(1L), w, sp)
+
+  /** Every width-2^a window of every level 0..A, one corpus scan:
+    * (id, i, h1, h2, __a, __b). Ids are cast to long for a stable
+    * parquet schema across parts — refused loudly when not castable
+    * (a silent NULL id would orphan its rows from the position join). */
+  private def windowsOf(docs: DataFrame, idCol: String, textCol: String,
+                        topA: Int, nb: Int): DataFrame = {
+    requireLongIds(docs, idCol)
+    val t = SpanDedup.toks(col(textCol))
+    val lvls = sequence(lit(0), lit(topA))
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(flatten(transform(lvls, a => {
+          val w = pow(lit(2.0), a).cast("int")
+          val starts = when(size(t) >= w, sequence(lit(1), size(t) - w + 1))
+            .otherwise(array().cast("array<int>"))
+          transform(starts, i => {
+            val sp = slice(t, i, w)
+            struct(i.as("i"), dig1(w, sp).as("h1"), dig2(w, sp).as("h2"),
+              a.as("a"))
+          })
+        }))).as("__w"))
+      .select(col("id"), col("__w.i").as("i"),
+        col("__w.h1").as("h1"), col("__w.h2").as("h2"),
+        col("__w.a").as("__a"), bucketOf(col("__w.h1"), nb).as("__b"))
+  }
+
+  private def requireLongIds(docs: DataFrame, idCol: String): Unit = {
+    val bad = docs.agg(count(when(col(idCol).try_cast("long").isNull, 1)))
+      .collect()(0).getLong(0)
+    require(bad == 0L,
+      s"id column '$idCol' must be non-null and numeric-castable: " +
+        s"$bad rows cast to NULL as long")
+  }
+
+  private def emptyWin(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id"), lit(0).as("i"),
+      lit(0L).as("h1"), lit(0L).as("h2"), lit(0).as("__a"), lit(0).as("__b"))
+
+  private def writeWin(path: String, df: DataFrame, topA: Int, nb: Int): Unit =
+    BucketedParts.writePartitioned(path, df, Seq("__a", "__b"), (topA + 1) * nb)
+
+  private def readParts(spark: SparkSession, root: String,
+                        names: Seq[String]): DataFrame =
+    BucketedParts.readParts(spark, root, names)
+
+  private def liveNames(dir: String, tag: Option[String]): Seq[String] = {
+    val names = tag.fold(DeltaParts.list(dir))(t => DeltaParts.listAt(dir, t))
+    require(names.nonEmpty, s"no suffix-array store at '$dir' — run init first")
+    names
+  }
+
+  private def requireWithinBudget(docs: DataFrame, textCol: String,
+                                  budget: Int, dir: String): Unit = {
+    val longest = docs.agg(max(size(SpanDedup.toks(col(textCol)))))
+      .collect().headOption.flatMap(r => Option(r.get(0)))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
+    require(longest <= budget,
+      s"suffix-array store at '$dir' was built with maxLen=$budget but the " +
+        s"batch holds a $longest-token document — matches beyond the budget " +
+        "have no certifying level and would silently under-report; rebuild " +
+        "at a fresh dir with a larger maxLen (init is run-once)")
+  }
+
+  /** O(corpus · log maxLen), once; REFUSES a previously-used dir (the
+    * ledger's run-once contract). `maxLen` floors the length budget —
+    * the default derives it from the corpus's longest document; set it
+    * above that when future appends will carry longer documents. */
+  def init(spark: SparkSession, dir: String, corpus: DataFrame,
+           idCol: String, textCol: String, maxLen: Int = 0,
+           numBuckets: Int = 64): Unit = {
+    require(maxLen >= 0, s"maxLen must be >= 0 (0 = derive): $maxLen")
+    require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
+    val longest = corpus.agg(max(size(SpanDedup.toks(col(textCol)))))
+      .collect().headOption.flatMap(r => Option(r.get(0)))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
+    val budget = pow2ceil(math.max(2, math.max(maxLen, longest)))
+    val topA = topLevel(budget)
+    AdditiveLedger.init(dir, "suffix-array store", "part_00000",
+        extraPaths = Seq(metaPath(dir))) { n =>
+      writeWin(s"${winDir(dir)}/$n",
+        windowsOf(corpus, idCol, textCol, topA, numBuckets), topA, numBuckets)
+      emptyWin(spark).select(col("id")).limit(0)
+        .write.mode("overwrite").parquet(s"${tombsDir(dir)}/$n")
+      // Meta lands LAST inside the callback: a crash before this point
+      // leaves neither _PARTS nor _meta, so a retry re-runs clean.
+      java.nio.file.Files.write(metaPath(dir),
+        s"maxLen=$budget\nbuckets=$numBuckets\n".getBytes("UTF-8"))
+      ()
+    }
+  }
+
+  /** O(batch · log maxLen) fold of NEW docs (disjoint ids — the family
+    * contract); replay-idempotent by `name` at every crash point.
+    * REFUSES a batch document longer than the length budget (see the
+    * class note) and ids a live tombstone holds ([[SpanPosStore]]'s
+    * silent-erasure rationale — [[compact]] first). */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+             idCol: String, textCol: String,
+             name: Option[String] = None): Unit = {
+    val (budget, nb) = meta(dir)
+    requireWithinBudget(batch, textCol, budget, dir)
+    requireLongIds(batch, idCol)
+    val tombs = readParts(spark, tombsDir(dir), liveNames(dir, None)).distinct()
+    val clash = tombs
+      .join(broadcast(batch.select(col(idCol).cast("long").as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    require(clash.isEmpty,
+      s"suffix-array store at '$dir' holds live tombstones for batch ids " +
+        s"${clash.mkString(", ")} (…) — a re-appended tombstoned id would " +
+        "be silently erased by the tombstone anti-join at read time; run " +
+        "compact first (it folds tombstones away).")
+    val topA = topLevel(budget)
+    AdditiveLedger.mutateNamed(dir, roots(dir), name) { n =>
+      writeWin(s"${winDir(dir)}/$n",
+        windowsOf(batch, idCol, textCol, topA, nb), topA, nb)
+      emptyWin(spark).select(col("id")).limit(0)
+        .write.mode("overwrite").parquet(s"${tombsDir(dir)}/$n")
+      DeltaParts.add(dir, n)
+    }
+  }
+
+  /** Takedown: tombstone the docs — O(batch), no text replay needed
+    * (positions are facts, not counts; the anti-join at read hides
+    * every tombstoned row, [[compact]] drops them physically). */
+  def remove(spark: SparkSession, dir: String, removedIds: DataFrame,
+             idCol: String, name: Option[String] = None): Unit = {
+    requireLongIds(removedIds, idCol)
+    liveNames(dir, None) // loud on an uninitialized store
+    val (budget, nb) = meta(dir)
+    val topA = topLevel(budget)
+    AdditiveLedger.mutateNamed(dir, roots(dir), name) { n =>
+      writeWin(s"${winDir(dir)}/$n", emptyWin(spark), topA, nb)
+      removedIds.select(col(idCol).cast("long").as("id")).distinct()
+        .write.mode("overwrite").parquet(s"${tombsDir(dir)}/$n")
+      DeltaParts.add(dir, n)
+    }
+  }
+
+  /** The assembled window relation (id, i, h1, h2, __a, __b),
+    * tombstones applied. `levelBuckets` prunes the partitioned scan to
+    * the probed (level → bucket list) set BEFORE assembly — the
+    * probe's file-pruning lever (spec-pinned: the plan carries __a/__b
+    * partition filters). With `tag`, the snapshot-pinned state. */
+  def readWindows(spark: SparkSession, dir: String,
+                  tag: Option[String] = None,
+                  levelBuckets: Option[Map[Int, Seq[Int]]] = None): DataFrame = {
+    val names = liveNames(dir, tag)
+    val wins0 = readParts(spark, winDir(dir), names)
+    val wins = levelBuckets.fold(wins0) { lb =>
+      val f = lb.toSeq.sortBy(_._1).map { case (a, bs) =>
+        col("__a") === a && BucketedParts.inBuckets(bs)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      wins0.filter(f)
+    }
+    val tombs = readParts(spark, tombsDir(dir), names).distinct()
+    wins.join(tombs, Seq("id"), "left_anti")
+  }
+
+  /** Scheduled fold: tombstoned rows dropped physically, parts merged
+    * to one generation, single pruned-scan reads restored. */
+  def compact(spark: SparkSession, dir: String): Unit =
+    AdditiveLedger.compactWith(dir, roots(dir)) { (gen, old) =>
+      val (budget, nb) = meta(dir)
+      val topA = topLevel(budget)
+      val tombs = readParts(spark, tombsDir(dir), old).distinct()
+        .localCheckpoint(true)
+      writeWin(s"${winDir(dir)}/$gen",
+        readParts(spark, winDir(dir), old).join(tombs, Seq("id"), "left_anti"),
+        topA, nb)
+      tombs.limit(0).write.mode("overwrite").parquet(s"${tombsDir(dir)}/$gen")
+    }
+
+  def snapshot(dir: String, tag: String): Seq[String] = DeltaParts.snapshot(dir, tag)
+  def dropSnapshot(dir: String, tag: String): Unit = DeltaParts.dropSnapshot(dir, tag)
+  def restore(dir: String, tag: String): Unit = DeltaParts.restore(dir, tag)
+
+  /** Storage audit: the two-relation ledger plus the meta pin. */
+  def fsck(spark: SparkSession, dir: String): DataFrame = {
+    val metaOk = java.nio.file.Files.exists(metaPath(dir))
+    graft.sources.StoreCheck.deltaParts(spark, dir, roots(dir))
+      .unionByName(graft.sources.StoreCheck.row(spark, dir, "meta_resolves",
+        metaOk,
+        if (metaOk) { val (m, nb) = meta(dir); s"maxLen=$m buckets=$nb" }
+        else s"missing ${metaPath(dir)} — probes cannot resolve the budget"))
+  }
+
+  /** Containment test for a batch of (q_id, L) candidates — the probe's
+    * round kernel. Returns the CONTAINED (q_id, L) pairs: the window
+    * scan is read under an (__a, __b) partition filter built from the
+    * batch's digests (file-pruned to the probed levels' buckets) and
+    * semi-joined to those digests, so only the queries' corpus HITS are
+    * ever touched. Exact-power candidates (off == 0) resolve by digest
+    * membership; the rest by the (id, position) equi-join of the two
+    * half-windows' position lists — output bounded by the smaller list,
+    * never a pair fan-out. */
+  private def testLengths(spark: SparkSession, dir: String, qt: DataFrame,
+                          cand: DataFrame, topA: Int, nb: Int,
+                          tag: Option[String],
+                          bcast: DataFrame => DataFrame): DataFrame = {
+    // Candidate probes: level a (exact integer log2 via the
+    // binary-string length — floor(log2) in floating point rounds the
+    // wrong way near exact powers), width w = 2^a, and the two
+    // half-window digests of the length-L query suffix.
+    val w = pow(lit(2.0), col("a")).cast("int")
+    val pq = cand
+      .join(qt, Seq("q_id"))
+      .withColumn("a",
+        least(length(conv(col("L").cast("string"), 10, 2)) - 1, lit(topA))
+          .cast("int"))
+      .withColumn("p0", col("__n") - col("L") + 1)
+      .withColumn("off", col("L") - w)
+      .select(col("q_id"), col("L"), col("a"), col("off"),
+        dig1(w, slice(col("__t"), col("p0"), w)).as("h1a"),
+        dig2(w, slice(col("__t"), col("p0"), w)).as("h2a"),
+        dig1(w, slice(col("__t"), col("p0") + col("off"), w)).as("h1b"),
+        dig2(w, slice(col("__t"), col("p0") + col("off"), w)).as("h2b"))
+      .localCheckpoint(true)
+    // Membership probes (off == 0) need only digest EXISTENCE — their
+    // small widths hit COMMON digests, and dragging those position
+    // lists through a checkpoint was the probe's dominant cost. The
+    // scan aggregates them to distinct digests map-side; only the
+    // positional probes' (wider, rarer) digests keep their positions.
+    val memKeys = pq.filter(col("off") === 0)
+      .select(col("a"), col("h1a").as("h1"), col("h2a").as("h2")).distinct()
+    val posKeys = pq.filter(col("off") > 0)
+      .select(col("a"), col("h1a").as("h1"), col("h2a").as("h2"))
+      .unionByName(pq.filter(col("off") > 0)
+        .select(col("a"), col("h1b").as("h1"), col("h2b").as("h2")))
+      .distinct()
+    val levelBuckets = memKeys.unionByName(posKeys)
+      .select(col("a"), bucketOf(col("h1"), nb).as("__b")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val scan = readWindows(spark, dir, tag, Some(levelBuckets))
+      .withColumnRenamed("__a", "a")
+    val lvlMem = scan.select(col("a"), col("h1"), col("h2"))
+      .join(bcast(memKeys), Seq("a", "h1", "h2"), "left_semi")
+      .distinct() // single-use: map-side partial agg, no checkpoint job
+    val lvlPos = scan
+      .join(bcast(posKeys), Seq("a", "h1", "h2"), "left_semi")
+      .select(col("a"), col("h1"), col("h2"), col("id"), col("i"))
+      .localCheckpoint(true) // the positional probes' corpus hits
+    val hitsPow = pq.filter(col("off") === 0)
+      .select(col("q_id"), col("L"), col("a"),
+        col("h1a").as("h1"), col("h2a").as("h2"))
+      .join(lvlMem, Seq("a", "h1", "h2"), "left_semi")
+      .select(col("q_id"), col("L"))
+    val posA = pq.filter(col("off") > 0)
+      .select(col("q_id"), col("L"), col("off"), col("a"),
+        col("h1a").as("h1"), col("h2a").as("h2"))
+      .join(lvlPos, Seq("a", "h1", "h2"))
+      .select(col("q_id"), col("L"), col("id"), (col("i") + col("off")).as("j"))
+    val posB = pq.filter(col("off") > 0)
+      .select(col("q_id"), col("L"), col("a"),
+        col("h1b").as("h1"), col("h2b").as("h2"))
+      .join(lvlPos, Seq("a", "h1", "h2"))
+      .select(col("q_id"), col("L"), col("id"), col("i").as("j"))
+    val hitsOff = posA.join(posB, Seq("q_id", "L", "id", "j"), "left_semi")
+      .select(col("q_id"), col("L"))
+    hitsPow.unionByName(hitsOff).distinct()
+  }
+
+  /**
+   * The stored probe — (q_id, match_len), answering identically to
+   * [[SuffixArrayOps.longestCorpusMatch]](C, queries) for the stored
+   * document set C (the class LAW), with NO corpus-sized work and a
+   * FIXED round count:
+   *
+   *  1. query tokens materialize once (queries-sized);
+   *  2. round 1 probes the whole power-of-two LADDER at once — every
+   *     L = 2^j up to the query's clamped length, one [[testLengths]]
+   *     batch (almost all membership probes). Monotonicity of
+   *     containment brackets each query: lo = largest contained rung,
+   *     hi = min(old hi, smallest missed rung − 1) — so hi − lo < lo;
+   *  3. round 2 tests EVERY remaining candidate in (lo, hi]
+   *     exhaustively in one more batch (the gap is below the matched
+   *     power, so candidate rows stay bounded by queries × match
+   *     length — the same queries-sized budget the in-memory form's
+   *     suffix explosion pays). match_len = the largest contained
+   *     candidate, else lo.
+   *
+   * Two sequential rounds total, each bucket-pruned and sized by the
+   * queries' corpus hits — vs the in-memory form's O(corpus · log)
+   * union-SA rebuild per call. `broadcastProbes = false` degrades the
+   * digest semi joins to shuffles for a genuinely huge query batch
+   * (the family escape hatch; the driver-side (level, bucket) list
+   * stays ≤ levels × numBuckets either way).
+   */
+  def probe(spark: SparkSession, dir: String, queries: DataFrame,
+            qIdCol: String, qTextCol: String,
+            tag: Option[String] = None,
+            broadcastProbes: Boolean = true): DataFrame = {
+    val (budget, nb) = meta(dir)
+    val topA = topLevel(budget)
+    val bcast = if (broadcastProbes) (df: DataFrame) => broadcast(df)
+                else (df: DataFrame) => df
+    val qt = queries
+      .select(col(qIdCol).as("q_id"), SpanDedup.toks(col(qTextCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .localCheckpoint(true)
+    val state0 = qt.select(col("q_id"),
+      least(col("__n"), lit(budget)).as("hi"))
+    // Round 1: the power ladder, 2^0 .. 2^floor(log2 hi) per query.
+    val ladder = state0.filter(col("hi") >= 1)
+      .withColumn("j", explode(sequence(lit(0),
+        length(conv(col("hi").cast("string"), 10, 2)) - 1)))
+      .select(col("q_id"), pow(lit(2.0), col("j")).cast("int").as("L"))
+    val lhits = testLengths(spark, dir, qt, ladder, topA, nb, tag, bcast)
+      .withColumn("__hit", lit(1))
+    val bracket = ladder.join(lhits, Seq("q_id", "L"), "left")
+      .groupBy(col("q_id"))
+      .agg(max(when(col("__hit") === 1, col("L"))).as("__lo"),
+        min(when(col("__hit").isNull, col("L"))).as("__miss"))
+    val state1 = state0.join(bracket, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("__lo"), lit(0)).as("lo"),
+        least(col("hi"), coalesce(col("__miss") - 1, col("hi"))).as("hi"))
+      .localCheckpoint(true)
+    // Round 2: exhaustive candidates in (lo, hi].
+    val cand = state1.filter(col("lo") < col("hi"))
+      .select(col("q_id"),
+        explode(sequence(col("lo") + 1, col("hi"))).as("L"))
+    val best = testLengths(spark, dir, qt, cand, topA, nb, tag, bcast)
+      .groupBy(col("q_id")).agg(max(col("L")).as("__best"))
+    queries.select(col(qIdCol).as("q_id"))
+      .join(state1.select(col("q_id"), col("lo")), Seq("q_id"), "left")
+      .join(best, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("__best"), col("lo"), lit(0)).cast("int").as("match_len"))
+  }
+}

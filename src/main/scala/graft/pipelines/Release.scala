@@ -108,6 +108,10 @@ object Release {
       (d, t) => { graft.operators.NgramStore.snapshot(d, t); () },
       graft.operators.NgramStore.dropSnapshot,
       graft.operators.NgramStore.restore),
+    "sa" -> ledgerOps(
+      (d, t) => { graft.operators.SaStore.snapshot(d, t); () },
+      graft.operators.SaStore.dropSnapshot,
+      graft.operators.SaStore.restore),
     "stats" -> ledgerOps((d, t) => { StatsStore.snapshot(d, t); () },
       StatsStore.dropSnapshot, StatsStore.restore),
     "card" -> ledgerOps((d, t) => { CardStore.snapshot(d, t); () },

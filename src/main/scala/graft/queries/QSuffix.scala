@@ -110,7 +110,8 @@ private[graft] object QSuffix {
       SuffixArrayOps.longestCorpusMatch(corpus, "doc_id", "text",
         queries, "doc_id", "text")
         .orderBy("q_id")
-    }))
+    }),
+    "x_sa_longest_match_stored" -> fused(saLongestStoredPhased))
 
   /** x_sa_dup_len / x_sa_scrub planted fixture: docs with id % 23 == 3
     * repeat an 8-token phrase TWICE with a doc-unique separator between
@@ -172,8 +173,35 @@ private[graft] object QSuffix {
     (init, serve)
   }
 
+  /** Stored unbounded-longest-match phased form: init builds the
+    * standing [[graft.operators.SaStore]] (the binary-lifted window
+    * ledger — the one-time cost that replaces the in-memory form's
+    * per-call union-SA rebuild); serve is the queries-sized
+    * binary-search probe over the (level, bucket)-pruned scans. SAME
+    * oracle as x_sa_longest_match (the store is a pure execution
+    * strategy — the SaStoreSpec LAW, replayed here against DuckDB's
+    * independent suffix-sort at sf scale). */
+  private val saLongestStoredPhased: Phased = (s, d) => {
+    lazy val dir = tmpStore("sa_store")
+    val init = () => {
+      val (corpus, _) = igFixture(s, d)
+      // 16 digest buckets: the layout's file count is levels × buckets
+      // and every probe scan pays the dir listing — at this corpus size
+      // 16 prunes plenty; production sizes it up with the corpus.
+      graft.operators.SaStore.init(s, dir, corpus, "doc_id", "text",
+        numBuckets = 16)
+    }
+    val serve = () => {
+      val (_, queries) = igFixture(s, d)
+      graft.operators.SaStore.probe(s, dir, queries, "doc_id", "text")
+        .orderBy("q_id")
+    }
+    (init, serve)
+  }
+
   private[graft] val phased: Map[String, Phased] = Map(
-    "x_infinigram_stored" -> infinigramStoredPhased)
+    "x_infinigram_stored" -> infinigramStoredPhased,
+    "x_sa_longest_match_stored" -> saLongestStoredPhased)
 
   private val oraclesBase: Map[String, String] = Map(
     "x_suffix_array" ->
@@ -313,6 +341,11 @@ private[graft] object QSuffix {
   def oracles: Map[String, String] =
     oraclesBase +
       ("x_infinigram_stored" -> oraclesBase("x_infinigram")) +
-      ("x_sa_longest_match" -> longestMatchSql)
+      ("x_sa_longest_match" -> longestMatchSql) +
+      // The stored probe answers IDENTICALLY (the SaStore law) — the
+      // oracle IS the in-memory replay, shared verbatim; a hash match
+      // proves the persisted level ledger and the binary-search probe
+      // drift-free against DuckDB's independent suffix-sort.
+      ("x_sa_longest_match_stored" -> longestMatchSql)
 }
 

@@ -52,11 +52,22 @@ object BucketedParts {
     * file listing (no Spark job) and reconciled by laying the schema
     * down bare — `limit(0)` collapses to an empty LocalRelation under
     * the optimizer, so no second evaluation there either. */
-  def writeBucketed(path: String, df: DataFrame, numBuckets: Int): Unit = {
+  def writeBucketed(path: String, df: DataFrame, numBuckets: Int): Unit =
+    writePartitioned(path, df, Seq("__b"), numBuckets)
+
+  /** The general form: any Hive-partition column set (e.g.
+    * [[graft.operators.SaStore]]'s (__a level, __b bucket) layout),
+    * clustered before the write so the file count stays ~dirCount ×
+    * salt instead of tasks × dirCount. `dirCount` = the product of the
+    * partition columns' cardinalities (sizes the write salt). Same
+    * one-evaluation + empty-layout reconcile contract as
+    * [[writeBucketed]]. */
+  def writePartitioned(path: String, df: DataFrame, partCols: Seq[String],
+                       dirCount: Int): Unit = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val salt = math.max(1, par / math.max(1, numBuckets))
-    df.repartition(col("__b"), pmod(xxhash64(col("h1")), lit(salt)))
-      .write.mode("overwrite").partitionBy("__b").parquet(path)
+    val salt = math.max(1, par / math.max(1, dirCount))
+    df.repartition(partCols.map(col) :+ pmod(xxhash64(col("h1")), lit(salt)): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
     if (!hasParquetFile(new java.io.File(path)))
       df.limit(0).write.mode("overwrite").parquet(path)
   }
