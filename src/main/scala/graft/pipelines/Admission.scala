@@ -64,12 +64,24 @@ object Admission {
     * flag value. Keep-first scrubs on index PRESENCE — `minDocs` is a
     * threshold of the all-copies policy only, so a Config combining
     * the two REFUSES at construction rather than silently ignoring the
-    * threshold. */
+    * threshold.
+    *
+    * DEFAULT DECISION (round 17, spec-pinned): all-copies stays the
+    * production default. The span stage scrubs TRAINING TEXT, where
+    * the Lee et al. ExactSubstr posture is "remove every copy at the
+    * threshold"; keep-first's canonical-survivor choice additionally
+    * depends on batch boundaries and id order (which copy is "first"
+    * changes when a batch is split or reordered), where all-copies
+    * gives the same admitted text under any batching. Keep-first is
+    * the right policy where IDENTITY dedup retains one canonical copy
+    * (the document/line/media families) — here it is the explicit
+    * opt-in for corpus-curation flows that need a surviving copy. */
   case class Config(spanK: Int = 8, minDocs: Int = 2, minQuality: Double = 0.5,
                     scoreFn: Option[Column => Column] = None,
                     sem: Option[SemStage] = None,
                     decon: Option[DeconStage] = None,
-                    spanKeepFirst: Boolean = false) {
+                    spanKeepFirst: Boolean = false,
+                    ngram: Option[NgramStage] = None) {
     require(!spanKeepFirst || minDocs == 2,
       s"minDocs=$minDocs has no effect under spanKeepFirst=true — " +
         "keep-first scrubs on index presence (any corpus copy is " +
@@ -96,6 +108,27 @@ object Admission {
    * duplicate > semantic_duplicate > admitted.
    */
   case class DeconStage(registryDir: String, tag: Option[String] = None)
+
+  /**
+   * The ∞-gram memorization/attribution REPORT — an optional stage that
+   * probes the whole batch against a standing
+   * [[graft.operators.NgramStore]] (Liu et al. 2024's lookup as an
+   * ingest-time report) and attaches `ngram_match_len` / `ngram_n_occ`
+   * columns to the verdict log: how long a tail of each incoming
+   * document is already VERBATIM in the reference corpus the store
+   * indexes, and how often. A report, NOT a gate — verdict precedence
+   * is untouched; the columns ride every form identically
+   * (run / runAgainst / runCommitted / stream, so the committed
+   * verdict history carries them), and the probe is queries-sized
+   * (bucket-pruned store reads — [[graft.operators.NgramStore.probe]]).
+   *
+   * Like [[DeconStage]], the store lives OUTSIDE the admission dirs
+   * (one reference corpus can screen many funnels; it maintains its
+   * own ledger), so the stage is read-only here: no absorb coupling,
+   * snapshots unaffected. `tag` pins a store snapshot ("the reference
+   * state this corpus was reported against").
+   */
+  case class NgramStage(storeDir: String, tag: Option[String] = None)
 
   /**
    * The semantic near-dup stage — stage 4 of the funnel, the SemDeDup
@@ -221,6 +254,26 @@ object Admission {
       (admitted.join(hits.select(idCol), Seq(idCol), "left_anti"), Some(hits))
     }
 
+  /** The optional ∞-gram report columns, appended to a verdict frame —
+    * ONE shape for the in-memory and standing forms (the stage reads a
+    * standing reference store either way, the [[DeconStage]] precedent).
+    * The probe is total over the batch, so the left join is exact; the
+    * coalesce only guards batch rows with duplicate ids upstream. */
+  private def ngramReport(out: DataFrame, batch: DataFrame, idCol: String,
+                          textCol: String, cfg: Config): DataFrame =
+    cfg.ngram.fold(out) { st =>
+      val rep = graft.operators.NgramStore.probe(batch.sparkSession,
+          st.storeDir, batch.select(col(idCol), col(textCol)),
+          idCol, textCol, st.tag)
+        .select(col("q_id").as(idCol),
+          col("match_len").as("ngram_match_len"),
+          col("n_occ").as("ngram_n_occ"))
+      out.join(rep, Seq(idCol), "left")
+        .withColumn("ngram_match_len",
+          coalesce(col("ngram_match_len"), lit(0)))
+        .withColumn("ngram_n_occ", coalesce(col("ngram_n_occ"), lit(0L)))
+    }
+
   def runAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
                  textCol: String, cfg: Config = Config()): DataFrame = {
     val cur = curationFunnel(batch, idCol, textCol, cfg)
@@ -253,7 +306,8 @@ object Admission {
     val idx = SpanDedup.spanDigestIndex(corpus, idCol, textCol, cfg.spanK)
       .localCheckpoint(true)
     val scrubbed = spanScrub(survScrub, idx, idCol, textCol, cfg)
-    verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam)
+    ngramReport(verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam),
+      batch, idCol, textCol, cfg)
   }
 
   /** The span scrub under the configured survivorship policy — ONE
@@ -457,7 +511,8 @@ object Admission {
     }
     val idx = readSpanIndex(spark, storeDir)
     val scrubbed = spanScrub(survScrub, idx, idCol, textCol, cfg)
-    verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam)
+    ngramReport(verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam),
+        batch, idCol, textCol, cfg)
       .localCheckpoint(true)
   }
 
@@ -732,8 +787,11 @@ object Admission {
       else base
     // With the contamination screen on, the registry THIS config
     // actually probes joins the same one-call report — a funnel is only
-    // as sound as every store a verdict reads.
-    cfg.decon.fold(withSem)(st =>
+    // as sound as every store a verdict reads. The ∞-gram report's
+    // reference store rides along for the same reason.
+    val withDecon = cfg.decon.fold(withSem)(st =>
       withSem.unionByName(graft.operators.EvalStore.check(spark, st.registryDir)))
+    cfg.ngram.fold(withDecon)(st =>
+      withDecon.unionByName(graft.operators.NgramStore.fsck(spark, st.storeDir)))
   }
 }

@@ -169,6 +169,15 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
   test("keep-first span policy: run == runAgainst == stream; corpus copy survives, batch copies scrub by presence") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
+    // The PRODUCTION DEFAULT is all-copies (spanKeepFirst = false) —
+    // decided and documented in docs/PLANS.md round 17: the funnel's
+    // span stage is the Lee et al. ExactSubstr training-text scrub
+    // ("remove every copy at the threshold"), and keep-first's
+    // canonical-survivor choice depends on batch boundaries/ordering
+    // where all-copies does not. Keep-first stays the opt-in for
+    // corpus-curation flows that must retain one canonical copy.
+    assert(!Admission.Config().spanKeepFirst,
+      "the documented production default is the all-copies scrub")
     val cfgKF = Admission.Config(spanKeepFirst = true)
     val bnov = "bnov1 bnov2 bnov3 bnov4 bnov5 bnov6 bnov7 bnov8"
     val corpus = df(Seq(101L -> (goodText('s') + " " + boiler)))
@@ -216,6 +225,68 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(v0 == want0, s"streaming keep-first diverged:\n stream=$v0\n ref   =$want0")
     assert(!v0(11L)._4.contains("bnov1"),
       s"a store-held span must scrub from a later epoch by presence: ${v0(11L)}")
+  }
+
+  test("ngram report stage: columns ride run == runAgainst == stream; report, never gate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // The reference corpus the ∞-gram store indexes — OUTSIDE the
+    // admission store, its own lifecycle (the DeconStage shape).
+    val memPhrase = "m1 m2 m3 m4 m5 m6"
+    val reference = df(Seq(9001L -> ("lead tokens " + memPhrase),
+      9002L -> ("other lead " + memPhrase)))
+    val ngramDir = java.nio.file.Files.createTempDirectory("adm-ngram").toString + "/store"
+    graft.operators.NgramStore.init(spark, ngramDir, reference, "text", maxN = 4)
+    val cfg = Admission.Config(ngram = Some(Admission.NgramStage(ngramDir)))
+
+    val corpus = df(Seq(101L -> goodText('r')))
+    val b1 = df(Seq(
+      1L -> (goodText('p') + " " + memPhrase), // tail is verbatim in the reference
+      2L -> goodText('q'),                      // no reference overlap at the tail
+      3L -> "zz"))                              // rejected — the report still covers it
+    val store = java.nio.file.Files.createTempDirectory("admission-ng").toString
+    Admission.init(spark, store, corpus, "doc_id", "text", cfg)
+
+    def collectFull(v: DataFrame): Map[Long, (String, Int, Long)] =
+      v.select(col("doc_id"), col("verdict"),
+          col("ngram_match_len"), col("ngram_n_occ"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getInt(2), r.getLong(3))).toMap
+
+    val got = Admission.run(spark, store, b1, "doc_id", "text", cfg)
+    assert(got.columns.takeRight(2).toSeq ===
+      Seq("ngram_match_len", "ngram_n_occ"))
+    val g = collectFull(got)
+    val want = collectFull(Admission.runAgainst(b1, corpus, "doc_id", "text", cfg))
+    assert(g === want, s"ngram-stage law diverged:\n store=$g\n ref  =$want")
+    // The report equals the store's own probe (maxN = 4 saturation).
+    assert(g(1L)._2 === 4 && g(1L)._3 === 2L,
+      s"doc 1's tail is verbatim in both reference docs: ${g(1L)}")
+    assert(g(3L)._1 === "rejected" && g(3L)._2 === 0,
+      "a rejected doc still carries its (zero) report")
+    // Report, never gate: verdicts identical to a stage-off funnel.
+    val storeOff = java.nio.file.Files.createTempDirectory("admission-ngoff").toString
+    Admission.init(spark, storeOff, corpus, "doc_id", "text")
+    val off = collectVerdicts(Admission.run(spark, storeOff, b1, "doc_id", "text"))
+    assert(g.view.mapValues(_._1).toMap === off.view.mapValues(_._1).toMap,
+      "the stage must not change any verdict")
+
+    // The streaming form rides the same cfg; the committed verdict log
+    // carries the report columns.
+    val ckpt = java.nio.file.Files.createTempDirectory("admission-ng-ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Admission.stream(spark, store,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      cfg = cfg)
+    mem.addData(11L -> (goodText('u') + " lead " + memPhrase))
+    q.processAllAvailable()
+    q.stop()
+    val v0 = spark.read.parquet(s"$store/verdicts/batch_0")
+    assert(v0.columns.contains("ngram_match_len"),
+      "the committed verdict history must carry the report")
+    val r0 = collectFull(v0)
+    assert(r0(11L)._2 === 4, s"the streamed doc's tail saturates maxN: ${r0(11L)}")
   }
 
   test("delta-name counter never rewinds onto an absorbed name across compactions") {
