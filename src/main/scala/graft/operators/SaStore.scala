@@ -299,15 +299,17 @@ object SaStore {
         else s"missing ${metaPath(dir)} — probes cannot resolve the budget"))
   }
 
-  /** Containment test for a batch of (q_id, L) candidates — the probe's
-    * round kernel. Returns the CONTAINED (q_id, L) pairs: the window
-    * scan is read under an (__a, __b) partition filter built from the
-    * batch's digests (file-pruned to the probed levels' buckets) and
-    * semi-joined to those digests, so only the queries' corpus HITS are
-    * ever touched. Exact-power candidates (off == 0) resolve by digest
-    * membership; the rest by the (id, position) equi-join of the two
-    * half-windows' position lists — output bounded by the smaller list,
-    * never a pair fan-out. */
+  /** Occurrence test for a batch of anchored (q_id, pos, L) candidates
+    * — the probe kernel shared by the whole-suffix probe (pos = the
+    * suffix start) and the per-position [[probeDupLengths]]. Returns
+    * the candidates whose L-token span at `pos` occurs in the stored
+    * corpus: the window scan is read under an (__a, __b) partition
+    * filter built from the batch's digests (file-pruned to the probed
+    * levels' buckets) and semi-joined to those digests, so only the
+    * queries' corpus HITS are ever touched. Exact-power candidates
+    * (off == 0) resolve by digest membership; the rest by the
+    * (id, position) equi-join of the two half-windows' position lists
+    * — output bounded by the smaller list, never a pair fan-out. */
   private def testLengths(spark: SparkSession, dir: String, qt: DataFrame,
                           cand: DataFrame, topA: Int, nb: Int,
                           tag: Option[String],
@@ -315,20 +317,19 @@ object SaStore {
     // Candidate probes: level a (exact integer log2 via the
     // binary-string length — floor(log2) in floating point rounds the
     // wrong way near exact powers), width w = 2^a, and the two
-    // half-window digests of the length-L query suffix.
+    // half-window digests of the L-token span at pos.
     val w = pow(lit(2.0), col("a")).cast("int")
     val pq = cand
       .join(qt, Seq("q_id"))
       .withColumn("a",
         least(length(conv(col("L").cast("string"), 10, 2)) - 1, lit(topA))
           .cast("int"))
-      .withColumn("p0", col("__n") - col("L") + 1)
       .withColumn("off", col("L") - w)
-      .select(col("q_id"), col("L"), col("a"), col("off"),
-        dig1(w, slice(col("__t"), col("p0"), w)).as("h1a"),
-        dig2(w, slice(col("__t"), col("p0"), w)).as("h2a"),
-        dig1(w, slice(col("__t"), col("p0") + col("off"), w)).as("h1b"),
-        dig2(w, slice(col("__t"), col("p0") + col("off"), w)).as("h2b"))
+      .select(col("q_id"), col("pos"), col("L"), col("a"), col("off"),
+        dig1(w, slice(col("__t"), col("pos"), w)).as("h1a"),
+        dig2(w, slice(col("__t"), col("pos"), w)).as("h2a"),
+        dig1(w, slice(col("__t"), col("pos") + col("off"), w)).as("h1b"),
+        dig2(w, slice(col("__t"), col("pos") + col("off"), w)).as("h2b"))
       .localCheckpoint(true)
     // Membership probes (off == 0) need only digest EXISTENCE — their
     // small widths hit COMMON digests, and dragging those position
@@ -356,22 +357,23 @@ object SaStore {
       .select(col("a"), col("h1"), col("h2"), col("id"), col("i"))
       .localCheckpoint(true) // the positional probes' corpus hits
     val hitsPow = pq.filter(col("off") === 0)
-      .select(col("q_id"), col("L"), col("a"),
+      .select(col("q_id"), col("pos"), col("L"), col("a"),
         col("h1a").as("h1"), col("h2a").as("h2"))
       .join(lvlMem, Seq("a", "h1", "h2"), "left_semi")
-      .select(col("q_id"), col("L"))
+      .select(col("q_id"), col("pos"), col("L"))
     val posA = pq.filter(col("off") > 0)
-      .select(col("q_id"), col("L"), col("off"), col("a"),
+      .select(col("q_id"), col("pos"), col("L"), col("off"), col("a"),
         col("h1a").as("h1"), col("h2a").as("h2"))
       .join(lvlPos, Seq("a", "h1", "h2"))
-      .select(col("q_id"), col("L"), col("id"), (col("i") + col("off")).as("j"))
+      .select(col("q_id"), col("pos"), col("L"),
+        col("id"), (col("i") + col("off")).as("j"))
     val posB = pq.filter(col("off") > 0)
-      .select(col("q_id"), col("L"), col("a"),
+      .select(col("q_id"), col("pos"), col("L"), col("a"),
         col("h1b").as("h1"), col("h2b").as("h2"))
       .join(lvlPos, Seq("a", "h1", "h2"))
-      .select(col("q_id"), col("L"), col("id"), col("i").as("j"))
-    val hitsOff = posA.join(posB, Seq("q_id", "L", "id", "j"), "left_semi")
-      .select(col("q_id"), col("L"))
+      .select(col("q_id"), col("pos"), col("L"), col("id"), col("i").as("j"))
+    val hitsOff = posA.join(posB, Seq("q_id", "pos", "L", "id", "j"), "left_semi")
+      .select(col("q_id"), col("pos"), col("L"))
     hitsPow.unionByName(hitsOff).distinct()
   }
 
@@ -413,28 +415,32 @@ object SaStore {
       .select(col(qIdCol).as("q_id"), SpanDedup.toks(col(qTextCol)).as("__t"))
       .withColumn("__n", size(col("__t")))
       .localCheckpoint(true)
-    val state0 = qt.select(col("q_id"),
+    val state0 = qt.select(col("q_id"), col("__n"),
       least(col("__n"), lit(budget)).as("hi"))
-    // Round 1: the power ladder, 2^0 .. 2^floor(log2 hi) per query.
+    // Round 1: the power ladder, 2^0 .. 2^floor(log2 hi) per query —
+    // each rung anchored at the suffix start pos = n - L + 1.
     val ladder = state0.filter(col("hi") >= 1)
       .withColumn("j", explode(sequence(lit(0),
         length(conv(col("hi").cast("string"), 10, 2)) - 1)))
-      .select(col("q_id"), pow(lit(2.0), col("j")).cast("int").as("L"))
+      .select(col("q_id"), pow(lit(2.0), col("j")).cast("int").as("L"),
+        col("__n"))
+      .select(col("q_id"), (col("__n") - col("L") + 1).as("pos"), col("L"))
     val lhits = testLengths(spark, dir, qt, ladder, topA, nb, tag, bcast)
       .withColumn("__hit", lit(1))
-    val bracket = ladder.join(lhits, Seq("q_id", "L"), "left")
+    val bracket = ladder.join(lhits, Seq("q_id", "pos", "L"), "left")
       .groupBy(col("q_id"))
       .agg(max(when(col("__hit") === 1, col("L"))).as("__lo"),
         min(when(col("__hit").isNull, col("L"))).as("__miss"))
     val state1 = state0.join(bracket, Seq("q_id"), "left")
-      .select(col("q_id"),
+      .select(col("q_id"), col("__n"),
         coalesce(col("__lo"), lit(0)).as("lo"),
         least(col("hi"), coalesce(col("__miss") - 1, col("hi"))).as("hi"))
       .localCheckpoint(true)
     // Round 2: exhaustive candidates in (lo, hi].
     val cand = state1.filter(col("lo") < col("hi"))
-      .select(col("q_id"),
+      .select(col("q_id"), col("__n"),
         explode(sequence(col("lo") + 1, col("hi"))).as("L"))
+      .select(col("q_id"), (col("__n") - col("L") + 1).as("pos"), col("L"))
     val best = testLengths(spark, dir, qt, cand, topA, nb, tag, bcast)
       .groupBy(col("q_id")).agg(max(col("L")).as("__best"))
     queries.select(col(qIdCol).as("q_id"))
@@ -443,4 +449,97 @@ object SaStore {
       .select(col("q_id"),
         coalesce(col("__best"), col("lo"), lit(0)).cast("int").as("match_len"))
   }
+
+  /**
+   * Per-position duplicated lengths of a batch AGAINST the stored
+   * corpus — answers identically to
+   * [[SuffixArrayOps.dupLengthsAgainst]](C, batch, minLen) for the
+   * stored document set C (the class LAW's per-position form):
+   * (idCol, pos, dup_len >= minLen) where dup_len is the exact length
+   * of the longest substring starting at `pos` that occurs anywhere
+   * in the corpus. The cap-free ExactSubstr ADMISSION report, served:
+   *
+   *  1. one anchored [[testLengths]] batch at L = minLen screens EVERY
+   *     batch position (positions that cannot reach minLen never
+   *     probe) — usually the big kill, duplicated regions are the
+   *     minority;
+   *  2. survivors run the whole-suffix probe's ladder + bracket rounds
+   *     anchored at their position, bracketed below by minLen.
+   *
+   * Three fixed rounds, all bucket-pruned and survivor-sized; total
+   * probe rows bounded by batch tokens + survivors × their match
+   * lengths — O(batch), never O(corpus).
+   */
+  def probeDupLengths(spark: SparkSession, dir: String, batch: DataFrame,
+                      idCol: String, textCol: String, minLen: Int,
+                      tag: Option[String] = None,
+                      broadcastProbes: Boolean = true): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1: $minLen")
+    val (budget, nb) = meta(dir)
+    val topA = topLevel(budget)
+    val bcast = if (broadcastProbes) (df: DataFrame) => broadcast(df)
+                else (df: DataFrame) => df
+    val qt = batch
+      .select(col(idCol).as("q_id"), SpanDedup.toks(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .localCheckpoint(true)
+    // Round 0: the minLen screen over every position that could reach it.
+    val anchors = qt.filter(col("__n") >= minLen)
+      .select(col("q_id"),
+        explode(sequence(lit(1), col("__n") - minLen + 1)).as("pos"),
+        col("__n"))
+      // dup_len is bounded by the remaining tokens AND the store's
+      // length budget (batch docs may be longer than the budget — only
+      // the STORED side is budget-capped, and no corpus doc exceeds it).
+      .withColumn("hi", least(col("__n") - col("pos") + 1, lit(budget)))
+      .select(col("q_id"), col("pos"), col("hi"))
+    val surv = testLengths(spark, dir, qt,
+        anchors.select(col("q_id"), col("pos"), lit(minLen).as("L")),
+        topA, nb, tag, bcast)
+      .select(col("q_id"), col("pos"))
+      .join(anchors, Seq("q_id", "pos"))
+      .localCheckpoint(true) // (q_id, pos, hi) — the duplicated minority
+    // Round 1: the power ladder ABOVE minLen, per surviving anchor.
+    val ladder = surv.filter(col("hi") > minLen)
+      .withColumn("j", explode(sequence(lit(0),
+        length(conv(col("hi").cast("string"), 10, 2)) - 1)))
+      .select(col("q_id"), col("pos"),
+        pow(lit(2.0), col("j")).cast("int").as("L"))
+      .filter(col("L") > minLen)
+    val lhits = testLengths(spark, dir, qt, ladder, topA, nb, tag, bcast)
+      .withColumn("__hit", lit(1))
+    val bracket = ladder.join(lhits, Seq("q_id", "pos", "L"), "left")
+      .groupBy(col("q_id"), col("pos"))
+      .agg(max(when(col("__hit") === 1, col("L"))).as("__lo"),
+        min(when(col("__hit").isNull, col("L"))).as("__miss"))
+    val state1 = surv.join(bracket, Seq("q_id", "pos"), "left")
+      .select(col("q_id"), col("pos"),
+        greatest(coalesce(col("__lo"), lit(0)), lit(minLen)).as("lo"),
+        least(col("hi"), coalesce(col("__miss") - 1, col("hi"))).as("hi"))
+      .localCheckpoint(true)
+    // Round 2: exhaustive candidates in (lo, hi] per surviving anchor.
+    val cand = state1.filter(col("lo") < col("hi"))
+      .select(col("q_id"), col("pos"),
+        explode(sequence(col("lo") + 1, col("hi"))).as("L"))
+    val best = testLengths(spark, dir, qt, cand, topA, nb, tag, bcast)
+      .groupBy(col("q_id"), col("pos")).agg(max(col("L")).as("__best"))
+    state1.join(best, Seq("q_id", "pos"), "left")
+      .select(col("q_id").as(idCol), col("pos"),
+        coalesce(col("__best"), col("lo")).cast("int").as("dup_len"))
+  }
+
+  /** ExactSubstr admission scrub against the STORED corpus — remove
+    * every batch token covered by a >= `minLen` run occurring anywhere
+    * in the corpus; ≡ [[SuffixArrayOps.saScrubAgainst]](C, batch)
+    * (spec-pinned), with the corpus side reduced to the
+    * [[probeDupLengths]] store probes. The standing, cap-free,
+    * variable-length counterpart of
+    * [[SpanDedup.scrubAgainstIndex]]'s fixed-k screen. */
+  def scrub(spark: SparkSession, dir: String, batch: DataFrame,
+            idCol: String, textCol: String, minLen: Int,
+            tag: Option[String] = None,
+            broadcastProbes: Boolean = true): DataFrame =
+    SuffixArrayOps.scrubFromDupLengths(batch, idCol, textCol,
+      probeDupLengths(spark, dir, batch, idCol, textCol, minLen, tag,
+        broadcastProbes))
 }

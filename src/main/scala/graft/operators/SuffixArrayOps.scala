@@ -392,8 +392,21 @@ object SuffixArrayOps {
    * contract holds by construction.
    */
   def saScrub(docs: DataFrame, idCol: String, textCol: String,
-              minLen: Int, depth: Int = 32): DataFrame = {
-    val dl = saDupLengths(docs, idCol, textCol, minLen, depth)
+              minLen: Int, depth: Int = 32): DataFrame =
+    scrubFromDupLengths(docs, idCol, textCol,
+      saDupLengths(docs, idCol, textCol, minLen, depth))
+
+  /** The scrub tail shared by every dup-length producer ([[saScrub]],
+    * [[saScrubAgainst]], [[SaStore.scrub]]): coverage intervals
+    * [pos, pos + dup_len) merge per-doc BEFORE exploding
+    * (running-max gaps-and-islands), so the coverage relation is
+    * disjoint — exactly n_removed rows — and
+    * [[SpanDedup.scrubWithCoverage]]'s distinctness contract holds by
+    * construction. `dl` = (idCol, pos, dup_len). */
+  private[operators] def scrubFromDupLengths(docs: DataFrame, idCol: String,
+                                             textCol: String,
+                                             dl0: DataFrame): DataFrame = {
+    val dl = dl0
       .select(col(idCol), col("pos"), (col("pos") + col("dup_len") - 1).as("__end"))
     val before = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -535,6 +548,71 @@ object SuffixArrayOps {
                          queries: DataFrame, qIdCol: String, qTextCol: String,
                          depth: Int = 32,
                          idOffset: Long = 1000000000L): DataFrame = {
+    val (lcp, qdocs) = corpusNeighborLcp(corpus, idCol, textCol,
+      queries, qIdCol, qTextCol, depth, idOffset)
+    val qlen = qdocs.select(col("__id").as("id_b"),
+      size(SpanDedup.toks(col("__text"))).as("__n"))
+    val contained = lcp.join(qlen, Seq("id_b"))
+      .where(col("lcp") === col("__n") - col("pos_b") + 1)
+      .groupBy(col("id_b"))
+      .agg(max(col("lcp")).as("match_len"))
+    queries.select(col(qIdCol).as("q_id"))
+      .join(contained, (col("q_id") + idOffset) === col("id_b"), "left")
+      .select(col("q_id"),
+        coalesce(col("match_len"), lit(0)).cast("int").as("match_len"))
+  }
+
+  /**
+   * Per-position duplicated length of `batch` AGAINST `corpus` — the
+   * incremental-admission form of [[saDupLengths]]: (idCol of batch,
+   * pos, dup_len) where dup_len is the exact length of the longest
+   * substring starting at `pos` in the batch document that occurs
+   * ANYWHERE IN THE CORPUS (batch-internal repeats deliberately do not
+   * count — the standing corpus is the dedup authority), for positions
+   * with dup_len >= `minLen`. Construction: the union SA's
+   * nearest-corpus fill ([[corpusNeighborPairs]]) + the exact LCP
+   * kernel — a batch position's longest corpus match is its max LCP
+   * against its two nearest CORPUS suffixes in SA order (the same
+   * contiguity property [[saDupLengths]] uses, restricted to the
+   * corpus side). Same per-call cost shape as [[longestCorpusMatch]]
+   * (the union SA rebuilds every call) — [[SaStore.probeDupLengths]]
+   * is the standing form.
+   */
+  def dupLengthsAgainst(corpus: DataFrame, idCol: String, textCol: String,
+                        batch: DataFrame, bIdCol: String, bTextCol: String,
+                        minLen: Int, depth: Int = 32,
+                        idOffset: Long = 1000000000L): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1: $minLen")
+    val (lcp, _) = corpusNeighborLcp(corpus, idCol, textCol,
+      batch, bIdCol, bTextCol, depth, idOffset)
+    lcp.groupBy(col("id_b"), col("pos_b"))
+      .agg(max(col("lcp")).as("dup_len"))
+      .where(col("dup_len") >= minLen)
+      .select((col("id_b") - idOffset).as(bIdCol), col("pos_b").as("pos"),
+        col("dup_len").cast("int").as("dup_len"))
+  }
+
+  /** ExactSubstr admission scrub of `batch` against `corpus` — remove
+    * every batch token covered by a >= `minLen` run occurring anywhere
+    * in the corpus; [[saScrub]]'s coverage/merge/reassembly tail over
+    * [[dupLengthsAgainst]]. The cap-free, variable-length counterpart
+    * of [[SpanDedup.scrubAgainstIndex]]'s fixed-k digest screen. */
+  def saScrubAgainst(corpus: DataFrame, idCol: String, textCol: String,
+                     batch: DataFrame, bIdCol: String, bTextCol: String,
+                     minLen: Int, depth: Int = 32): DataFrame =
+    scrubFromDupLengths(batch, bIdCol, bTextCol,
+      dupLengthsAgainst(corpus, idCol, textCol, batch, bIdCol, bTextCol,
+        minLen, depth))
+
+  /** The shared union-SA nearest-corpus LCP pass: exact LCP pair rows
+    * (corpus side a, query side b — `id_b` still OFFSET) plus the
+    * offset query pseudo-doc frame. Factored from
+    * [[longestCorpusMatch]]; [[dupLengthsAgainst]] consumes the same
+    * pairs without the containment filter. */
+  private def corpusNeighborLcp(corpus: DataFrame, idCol: String, textCol: String,
+                                queries: DataFrame, qIdCol: String, qTextCol: String,
+                                depth: Int,
+                                idOffset: Long): (DataFrame, DataFrame) = {
     // try_cast, not cast: under ANSI a malformed id would throw an
     // opaque executor CAST_INVALID_INPUT mid-plan; try_cast yields NULL
     // and the count below turns that into THIS operator's loud refusal.
@@ -577,16 +655,6 @@ object SuffixArrayOps {
       .select(col("__r"), col("__id"), col("pos"), col("__key"), col("__isq"))
     val pairs = corpusNeighborPairs(keyed,
       Seq(col("__r"), col("__id"), col("pos")))
-    val lcp = resolveLcp(pairs, union, "__id", "__text", depth)
-    val qlen = qdocs.select(col("__id").as("id_b"),
-      size(SpanDedup.toks(col("__text"))).as("__n"))
-    val contained = lcp.join(qlen, Seq("id_b"))
-      .where(col("lcp") === col("__n") - col("pos_b") + 1)
-      .groupBy(col("id_b"))
-      .agg(max(col("lcp")).as("match_len"))
-    queries.select(col(qIdCol).as("q_id"))
-      .join(contained, (col("q_id") + idOffset) === col("id_b"), "left")
-      .select(col("q_id"),
-        coalesce(col("match_len"), lit(0)).cast("int").as("match_len"))
+    (resolveLcp(pairs, union, "__id", "__text", depth), qdocs)
   }
 }

@@ -111,7 +111,15 @@ private[graft] object QSuffix {
         queries, "doc_id", "text")
         .orderBy("q_id")
     }),
-    "x_sa_longest_match_stored" -> fused(saLongestStoredPhased))
+    "x_sa_longest_match_stored" -> fused(saLongestStoredPhased),
+    // The cap-free ExactSubstr ADMISSION forms, served from the
+    // standing SaStore: per-position duplicated lengths of the batch
+    // against the stored corpus, and the scrub built on them — the
+    // production shape of Lee et al.'s dedup-new-data-against-corpus,
+    // with the corpus side reduced to (level, bucket)-pruned store
+    // probes (three fixed rounds, O(batch)).
+    "x_sa_dup_len_stored" -> fused(saDupLenStoredPhased),
+    "x_sa_scrub_stored" -> fused(saScrubStoredPhased))
 
   /** x_sa_dup_len / x_sa_scrub planted fixture: docs with id % 23 == 3
     * repeat an 8-token phrase TWICE with a doc-unique separator between
@@ -199,9 +207,42 @@ private[graft] object QSuffix {
     (init, serve)
   }
 
+  /** The admission-form phased pair: init builds the SaStore over the
+    * corpus slice; serve probes/scrubs the HELD-OUT docs (the batch) —
+    * O(batch) against the standing state, no corpus rescan. Distinct
+    * store prefixes: Verify runs distinct queries concurrently and a
+    * shared dir would race its own re-init. */
+  private def saAdmissionPhased(prefix: String,
+      serveFn: (SparkSession, String, DataFrame) => DataFrame): Phased = (s, d) => {
+    lazy val dir = tmpStore(prefix)
+    val init = () => {
+      val (corpus, _) = igFixture(s, d)
+      graft.operators.SaStore.init(s, dir, corpus, "doc_id", "text",
+        numBuckets = 16)
+    }
+    val serve = () => {
+      val (_, batch) = igFixture(s, d)
+      serveFn(s, dir, batch)
+    }
+    (init, serve)
+  }
+
+  private val saDupLenStoredPhased: Phased =
+    saAdmissionPhased("sa_store_dl", (s, dir, batch) =>
+      graft.operators.SaStore.probeDupLengths(s, dir, batch,
+          "doc_id", "text", minLen = 8)
+        .orderBy("doc_id", "pos"))
+
+  private val saScrubStoredPhased: Phased =
+    saAdmissionPhased("sa_store_scrub", (s, dir, batch) =>
+      graft.operators.SaStore.scrub(s, dir, batch, "doc_id", "text", minLen = 8)
+        .orderBy("doc_id"))
+
   private[graft] val phased: Map[String, Phased] = Map(
     "x_infinigram_stored" -> infinigramStoredPhased,
-    "x_sa_longest_match_stored" -> saLongestStoredPhased)
+    "x_sa_longest_match_stored" -> saLongestStoredPhased,
+    "x_sa_dup_len_stored" -> saDupLenStoredPhased,
+    "x_sa_scrub_stored" -> saScrubStoredPhased)
 
   private val oraclesBase: Map[String, String] = Map(
     "x_suffix_array" ->
@@ -335,6 +376,91 @@ private[graft] object QSuffix {
        |LEFT JOIN m ON m.qid = q.doc_id
        |ORDER BY q_id""".stripMargin
 
+  /** Per-position duplicated-length replay AGAINST the corpus — the
+    * same independent union-suffix-sort construction as
+    * [[longestMatchSql]], without the containment filter: a batch
+    * position's longest corpus match is its max TOKEN-level LCP
+    * against its nearest corpus suffixes in suffix order (token
+    * prefixes of a string P occupy the contiguous [P, "P"+c) string
+    * range — every token char exceeds ' ' — so the nearest corpus
+    * string-neighbor on the max-LCP side shares the maximal token
+    * prefix; the x_sa_dup_len oracle's own lead()-over-suffix-order
+    * argument). LCP via the list-compare `list_position` fold with
+    * the nullif(0) guard the class note pins. */
+  private val againstCtes =
+    s"""WITH q0 AS (SELECT doc_id, CASE
+       |        WHEN doc_id % 2 = 0 THEN text || ' qnovel' || CAST(doc_id AS VARCHAR)
+       |        WHEN doc_id % 3 = 0 THEN text ||
+       |          ' ig1 ig2 ig3 ig4 ig5 ig6 ig7 ig8 ig9 ig10'
+       |        ELSE text END AS text
+       |      FROM documents WHERE doc_id % 17 = 0),
+       |c0 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 5 THEN text ||
+       |          ' ig1 ig2 ig3 ig4 ig5 ig6 ig7 ig8 ig9 ig10 igend'
+       |        ELSE text END AS text
+       |      FROM documents WHERE doc_id % 17 <> 0),
+       |ctoks AS (SELECT doc_id, $words AS t FROM c0),
+       |qtoks AS (SELECT doc_id AS qid, $words AS t FROM q0),
+       |cs AS (SELECT t, CAST(i.i AS INTEGER) AS pos,
+       |         CAST(len(t) - i.i + 1 AS INTEGER) AS rem,
+       |         array_to_string(t[i.i:len(t)], ' ') AS suf
+       |       FROM ctoks, unnest(generate_series(1, len(t))) AS i(i)),
+       |qs AS (SELECT qid, t, CAST(i.i AS INTEGER) AS pos,
+       |         CAST(len(t) - i.i + 1 AS INTEGER) AS rem,
+       |         array_to_string(t[i.i:len(t)], ' ') AS suf
+       |       FROM qtoks, unnest(generate_series(1, len(t))) AS i(i)),
+       |u AS (SELECT CAST(NULL AS BIGINT) AS qid, t, pos, rem, suf, 0 AS isq FROM cs
+       |      UNION ALL SELECT qid, t, pos, rem, suf, 1 FROM qs),
+       |w AS (SELECT qid, t, pos, rem, isq,
+       |        last_value(CASE WHEN isq = 0
+       |            THEN struct_pack(ct := t, cpos := pos, crem := rem) END
+       |          IGNORE NULLS) OVER (ORDER BY suf, isq
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+       |        first_value(CASE WHEN isq = 0
+       |            THEN struct_pack(ct := t, cpos := pos, crem := rem) END
+       |          IGNORE NULLS) OVER (ORDER BY suf, isq
+       |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+       |      FROM u),
+       |d AS (SELECT qid AS doc_id, pos, greatest(
+       |        CASE WHEN pc IS NULL THEN 0 ELSE
+       |          coalesce(nullif(list_position(list_transform(
+       |              generate_series(1, least(rem, pc.crem)),
+       |              j -> t[pos + j - 1] = pc.ct[pc.cpos + j - 1]), false), 0) - 1,
+       |            least(rem, pc.crem)) END,
+       |        CASE WHEN nc IS NULL THEN 0 ELSE
+       |          coalesce(nullif(list_position(list_transform(
+       |              generate_series(1, least(rem, nc.crem)),
+       |              j -> t[pos + j - 1] = nc.ct[nc.cpos + j - 1]), false), 0) - 1,
+       |            least(rem, nc.crem)) END) AS dl
+       |      FROM w WHERE isq = 1)""".stripMargin
+
+  private val saDupLenStoredSql =
+    s"""$againstCtes
+       |SELECT doc_id, pos, CAST(dl AS INTEGER) AS dup_len
+       |FROM d WHERE dl >= 8 ORDER BY doc_id, pos""".stripMargin
+
+  /** Coverage replay over the BATCH docs — the x_sa_scrub reassembly
+    * tail, against-corpus dup lengths feeding it. */
+  private val saScrubStoredSql =
+    s"""$againstCtes,
+       |cov AS (SELECT DISTINCT doc_id, u2.cp AS pos
+       |        FROM d, unnest(generate_series(d.pos, d.pos + d.dl - 1)) AS u2(cp)
+       |        WHERE d.dl >= 8),
+       |tok_pos AS (SELECT qid AS doc_id, CAST(i.i AS INTEGER) AS pos, t[i.i] AS tok
+       |            FROM qtoks, unnest(generate_series(1, len(t))) AS i(i)),
+       |agg AS (SELECT tp.doc_id, count(*) AS n_tokens,
+       |          count(c.pos) AS n_removed,
+       |          coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+       |            ' ' ORDER BY tp.pos), '') AS clean_text
+       |        FROM tok_pos tp LEFT JOIN cov c
+       |          ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+       |        GROUP BY 1)
+       |SELECT q.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+       |       coalesce(a.clean_text, '') AS clean_text
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) q
+       |LEFT JOIN agg a USING (doc_id)
+       |ORDER BY q.doc_id""".stripMargin
+
   /** The stored probe answers IDENTICALLY (the NgramStore law) — the
     * oracle IS the in-memory replay; a hash match proves the persisted
     * signed count ledger and the bucket-pruned probe drift-free. */
@@ -346,6 +472,8 @@ private[graft] object QSuffix {
       // oracle IS the in-memory replay, shared verbatim; a hash match
       // proves the persisted level ledger and the binary-search probe
       // drift-free against DuckDB's independent suffix-sort.
-      ("x_sa_longest_match_stored" -> longestMatchSql)
+      ("x_sa_longest_match_stored" -> longestMatchSql) +
+      ("x_sa_dup_len_stored" -> saDupLenStoredSql) +
+      ("x_sa_scrub_stored" -> saScrubStoredSql)
 }
 

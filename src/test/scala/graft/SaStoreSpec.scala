@@ -82,6 +82,57 @@ class SaStoreSpec extends AnyFunSuite with SparkSpec {
       broadcastProbes = false)) === g)
   }
 
+  test("per-position LAW: probeDupLengths == in-memory dupLengthsAgainst == brute force; scrub == saScrubAgainst") {
+    val dir = tmp()
+    SaStore.init(spark, dir, docs, "doc_id", "text", numBuckets = 16)
+    val batch = queries // reuse the fixture's plant-bearing probe docs
+    def dlRows(df: DataFrame): Set[(Long, Int, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val got = dlRows(SaStore.probeDupLengths(spark, dir, batch,
+      "doc_id", "text", minLen = 4))
+    val inMem = dlRows(SuffixArrayOps.dupLengthsAgainst(docs, "doc_id", "text",
+      batch, "doc_id", "text", minLen = 4, depth = 4))
+    assert(got === inMem, "store probe must equal the in-memory form")
+    // Independent brute force: corpus substring set, longest prefix of
+    // each batch-position suffix present in it.
+    def toks(t: String): Vector[String] =
+      t.toLowerCase.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty).toVector
+    val substrings = (for {
+      (id, text) <- (0L until 40L).map(i => (i, mkText(i)))
+      t = toks(text); i <- t.indices; w <- 1 to (t.length - i)
+    } yield t.slice(i, i + w)).toSet
+    val brute = (for {
+      (qid, text) <- Seq(901L -> ("zz " + (1 to 9).map(j => s"p$j").mkString(" ")),
+        902L -> fullDocText, 903L -> "b a q1 q2 q3 q4",
+        904L -> "never gonna match qnovel", 905L -> "", 906L -> "c d a b")
+      t = toks(text); p <- t.indices
+      dl = (t.length - p to 1 by -1)
+        .find(l => substrings(t.slice(p, p + l))).getOrElse(0)
+      if dl >= 4
+    } yield (qid, p + 1, dl)).toSet
+    assert(got === brute, "store probe must equal the brute-force reference")
+    assert(got.exists { case (q, _, dl) => q == 901L && dl == 9 },
+      "the 9-token plant must report from its first position")
+    // The scrub laws: store scrub == in-memory scrubAgainst, and the
+    // plant-covered tokens actually leave.
+    def scrubRows(df: DataFrame): Set[(Long, Long, Long, String)] =
+      df.select(col("doc_id"), col("n_tokens"), col("n_removed"), col("clean_text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+    val gotScrub = scrubRows(SaStore.scrub(spark, dir, batch,
+      "doc_id", "text", minLen = 4))
+    val inMemScrub = scrubRows(SuffixArrayOps.saScrubAgainst(docs, "doc_id", "text",
+      batch, "doc_id", "text", minLen = 4, depth = 4))
+    assert(gotScrub === inMemScrub, "store scrub must equal the in-memory form")
+    val byId = gotScrub.map(r => r._1 -> r).toMap
+    assert(!byId(901L)._4.contains("p1") && byId(901L)._3 >= 9,
+      s"the planted span must scrub: ${byId(901L)}")
+    assert(byId(902L)._3 === byId(902L)._2,
+      "a verbatim corpus doc scrubs entirely")
+    assert(byId(904L)._4.contains("qnovel"),
+      "novel text survives untouched")
+  }
+
   test("append folds O(batch): probe == in-memory over the union; named replay idempotent") {
     val dir = tmp()
     val c1 = docs.filter(col("doc_id") < 25)
