@@ -403,7 +403,7 @@ object SuffixArrayOps {
     * disjoint — exactly n_removed rows — and
     * [[SpanDedup.scrubWithCoverage]]'s distinctness contract holds by
     * construction. `dl` = (idCol, pos, dup_len). */
-  private[operators] def scrubFromDupLengths(docs: DataFrame, idCol: String,
+  private[graft] def scrubFromDupLengths(docs: DataFrame, idCol: String,
                                              textCol: String,
                                              dl0: DataFrame): DataFrame = {
     val dl = dl0

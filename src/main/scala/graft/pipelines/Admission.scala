@@ -81,13 +81,45 @@ object Admission {
                     sem: Option[SemStage] = None,
                     decon: Option[DeconStage] = None,
                     spanKeepFirst: Boolean = false,
-                    ngram: Option[NgramStage] = None) {
+                    ngram: Option[NgramStage] = None,
+                    exactSpans: Option[ExactSpanStage] = None) {
     require(!spanKeepFirst || minDocs == 2,
       s"minDocs=$minDocs has no effect under spanKeepFirst=true — " +
         "keep-first scrubs on index presence (any corpus copy is " +
         "canonical); leave minDocs at its default or use the " +
         "all-copies policy")
+    // The exact policy REPLACES the fixed-k scrub wholesale: its own
+    // minLen is the only threshold (occurrence >= 2, variable length),
+    // so a Config combining it with the fixed-k knobs would silently
+    // ignore them — refuse instead.
+    require(exactSpans.isEmpty || (!spanKeepFirst && minDocs == 2),
+      "exactSpans replaces the fixed-k span scrub — spanKeepFirst and " +
+        "a non-default minDocs have no effect under it; drop them or " +
+        "use the fixed-k policy")
   }
+
+  /**
+   * The EXACT span-scrub policy — [[SuffixArrayOps]]' cap-free,
+   * variable-length ExactSubstr scrub (Lee et al. 2022) in place of
+   * the fixed-k digest screen: a survivor token is removed when it is
+   * covered by a run of >= `minLen` tokens occurring (occurrence
+   * count >= 2, same-doc repeats included) in the corpus ∪ the
+   * batch's exact-novel survivors — the same counting scope as the
+   * fixed-k stage, at exact extents with no occurrence cap. In the
+   * standing form the corpus side is a [[graft.operators.SaStore]]
+   * under `storeDir/exact_spans` — probed O(batch)
+   * ([[graft.operators.SaStore.probeDupLengths]]), grown O(batch) in
+   * absorb, takedown-inverted in [[unadmit]], compacted in
+   * [[maintain]], riding the composite snapshot/restore/fsck; the
+   * batch-internal side is a batch-sized in-memory
+   * [[SuffixArrayOps.saDupLengths]] either way.
+   *
+   * `maxLen` floors the store's length budget at [[init]] (0 derives
+   * it from the init corpus) — [[graft.operators.SaStore.append]]
+   * refuses documents beyond it, so set the floor above the longest
+   * document ingest will ever admit, or re-init to grow it.
+   */
+  case class ExactSpanStage(minLen: Int = 8, maxLen: Int = 0)
 
   /**
    * The eval-decontamination stage — an OPTIONAL stage between curation
@@ -298,16 +330,45 @@ object Admission {
         .select(col("id").as(idCol), lit(1).as("__semdup")).localCheckpoint(true)
       (surv.join(dropped.select(idCol), Seq(idCol), "left_anti"), Some(dropped))
     }
-    // scrubAgainstIndex probes the index twice (already-dup scan +
-    // crossed-sum join); the in-memory composition must materialize it
-    // once or the corpus-sized window+groupBy subtree executes twice.
-    // (The standing-state form reads the PERSISTED inventory instead —
-    // both probes become cheap pushed scans.)
-    val idx = SpanDedup.spanDigestIndex(corpus, idCol, textCol, cfg.spanK)
-      .localCheckpoint(true)
-    val scrubbed = spanScrub(survScrub, idx, idCol, textCol, cfg)
+    val scrubbed = cfg.exactSpans match {
+      case Some(st) =>
+        // The exact policy's corpus side, in-memory form: the union-SA
+        // nearest-corpus max-LCP per survivor position. The survivor
+        // frame materializes first — it is batch-sized and the SA
+        // construction scans its side of the union log-many times
+        // (ranks, keys, LCP escalation), which would re-execute the
+        // funnel join tree each pass.
+        val survX = survScrub.localCheckpoint(true)
+        exactScrub(survX,
+          graft.operators.SuffixArrayOps.dupLengthsAgainst(corpus, idCol,
+            textCol, survX, idCol, textCol, st.minLen),
+          st.minLen, idCol, textCol)
+      case None =>
+        // scrubAgainstIndex probes the index twice (already-dup scan +
+        // crossed-sum join); the in-memory composition must materialize
+        // it once or the corpus-sized window+groupBy subtree executes
+        // twice. (The standing-state form reads the PERSISTED inventory
+        // instead — both probes become cheap pushed scans.)
+        val idx = SpanDedup.spanDigestIndex(corpus, idCol, textCol, cfg.spanK)
+          .localCheckpoint(true)
+        spanScrub(survScrub, idx, idCol, textCol, cfg)
+    }
     ngramReport(verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam),
       batch, idCol, textCol, cfg)
+  }
+
+  /** The exact policy's scrub assembly — ONE definition for the
+    * in-memory and standing forms (only the CORPUS-side dup-length
+    * producer differs): corpus-side coverage ∪ the batch-internal
+    * [[graft.operators.SuffixArrayOps.saDupLengths]] over the
+    * survivors (batch-sized — the union SA of the batch only), merged
+    * and reassembled by the shared scrub tail. */
+  private def exactScrub(surv: DataFrame, dlCorpus: DataFrame, minLen: Int,
+                         idCol: String, textCol: String): DataFrame = {
+    val dlBatch = graft.operators.SuffixArrayOps.saDupLengths(
+      surv, idCol, textCol, minLen, depth = 16)
+    graft.operators.SuffixArrayOps.scrubFromDupLengths(surv, idCol, textCol,
+      dlCorpus.unionByName(dlBatch))
   }
 
   /** The span scrub under the configured survivorship policy — ONE
@@ -333,6 +394,12 @@ object Admission {
   /** The stage-4 member store ([[graft.operators.SemDedupStore]]) —
     * present only when the store was initialized with `cfg.sem` on. */
   def semDir(storeDir: String) = s"$storeDir/semantic"
+  /** The exact-policy span store ([[graft.operators.SaStore]]) —
+    * present only when initialized with `cfg.exactSpans` on. */
+  def exactDir(storeDir: String) = s"$storeDir/exact_spans"
+  private def exactExists(storeDir: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(exactDir(storeDir), "_PARTS"))
   private def listParts(storeDir: String): Seq[String] =
     graft.sources.DeltaParts.list(spanDir(storeDir))
 
@@ -372,6 +439,11 @@ object Admission {
     graft.sources.DeltaParts.snapshot(spanDir(storeDir), tag)
     if (existingFp.isEmpty) { TableSink.snapshot(fpD, tag); () }
     if (sem) graft.operators.SemDedupStore.snapshot(semDir(storeDir), tag)
+    // The exact-policy store rides the same tag (a DeltaParts pin —
+    // idempotent under replay, like the span inventory's).
+    if (exactExists(storeDir)) {
+      graft.operators.SaStore.snapshot(exactDir(storeDir), tag); ()
+    }
   }
 
   /** Is `tag` fully pinned across EVERY half of this store? The
@@ -381,7 +453,9 @@ object Admission {
     graft.sources.DeltaParts.snapshots(spanDir(storeDir)).contains(tag) &&
       TableSink.listSnapshots(fpDir(storeDir)).contains(tag) &&
       (!graft.operators.SemDedupStore.exists(semDir(storeDir)) ||
-        graft.operators.SemDedupStore.snapshotPinned(semDir(storeDir), tag))
+        graft.operators.SemDedupStore.snapshotPinned(semDir(storeDir), tag)) &&
+      (!exactExists(storeDir) ||
+        graft.sources.DeltaParts.snapshots(exactDir(storeDir)).contains(tag))
 
   /** Release a [[snapshot]] tag on every store. */
   def dropSnapshot(storeDir: String, tag: String): Unit =
@@ -390,6 +464,8 @@ object Admission {
     TableSink.dropSnapshot(fpDir(storeDir), tag)
     if (graft.operators.SemDedupStore.exists(semDir(storeDir)))
       graft.operators.SemDedupStore.dropSnapshot(semDir(storeDir), tag)
+    if (exactExists(storeDir))
+      graft.operators.SaStore.dropSnapshot(exactDir(storeDir), tag)
   }
 
   /** Roll both standing stores back to a [[snapshot]] tag — span
@@ -411,6 +487,8 @@ object Admission {
     // rebuilt — see SemDedupStore.restore).
     if (graft.operators.SemDedupStore.exists(semDir(storeDir)))
       graft.operators.SemDedupStore.restore(spark, semDir(storeDir), tag)
+    if (exactExists(storeDir))
+      graft.operators.SaStore.restore(exactDir(storeDir), tag)
   }
 
   /** The merged standing inventory. One part (the post-[[compact]] or
@@ -452,7 +530,8 @@ object Admission {
       "admission store", extraPaths = Seq(
         java.nio.file.Paths.get(storeDir, "verdicts"),
         java.nio.file.Paths.get(fpDir(storeDir)),
-        java.nio.file.Paths.get(semDir(storeDir))))
+        java.nio.file.Paths.get(semDir(storeDir)),
+        java.nio.file.Paths.get(exactDir(storeDir))))
     val fps = corpus.select(text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct()
       .withColumn("__v", lit(0L))
@@ -472,6 +551,12 @@ object Admission {
         case None => graft.operators.SemDedupStore.init(
           spark, semDir(storeDir), cv, idCol, vecCol, st.nlist)
       }
+    }
+    // The exact-policy span store, from the same corpus (its own
+    // run-once refusal rides the AdditiveLedger).
+    cfg.exactSpans.foreach { st =>
+      graft.operators.SaStore.init(spark, exactDir(storeDir), corpus,
+        idCol, textCol, maxLen = st.maxLen)
     }
   }
 
@@ -509,8 +594,17 @@ object Admission {
         .select(col("id").as(idCol), lit(1).as("__semdup")).localCheckpoint(true)
       (surv.join(dropped.select(idCol), Seq(idCol), "left_anti"), Some(dropped))
     }
-    val idx = readSpanIndex(spark, storeDir)
-    val scrubbed = spanScrub(survScrub, idx, idCol, textCol, cfg)
+    val scrubbed = cfg.exactSpans match {
+      case Some(st) =>
+        // The exact policy's corpus side, standing form: the SaStore's
+        // (level, bucket)-pruned per-position probe — O(batch).
+        exactScrub(survScrub,
+          graft.operators.SaStore.probeDupLengths(spark, exactDir(storeDir),
+            survScrub, idCol, textCol, st.minLen),
+          st.minLen, idCol, textCol)
+      case None =>
+        spanScrub(survScrub, readSpanIndex(spark, storeDir), idCol, textCol, cfg)
+    }
     ngramReport(verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam),
         batch, idCol, textCol, cfg)
       .localCheckpoint(true)
@@ -555,6 +649,14 @@ object Admission {
       val gv = st.vecsFor(grown)
       graft.operators.SemDedupStore.absorb(spark, semDir(storeDir), gv,
         idCol, semVecCol(gv, idCol), version = semVersionOf(deltaName))
+    }
+    // The exact-policy span store grows by the same admitted docs —
+    // O(batch) level parts, replay-idempotent per deltaName in its OWN
+    // ledger (a crash between this append and the span-ledger record
+    // below replays both; each short-circuits on its absorbed name).
+    cfg.exactSpans.foreach { _ =>
+      graft.operators.SaStore.append(spark, exactDir(storeDir), grown,
+        idCol, textCol, name = Some(deltaName))
     }
     AdditiveLedger.mutateNamed(spanDir(storeDir), Seq(spanDir(storeDir)),
         Some(deltaName)) { n =>
@@ -698,6 +800,8 @@ object Admission {
                maxAddedFraction: Double = 0.5): Boolean =
       graft.sources.WriterLease.withLease(storeDir, "admission-maintain") {
     compact(spark, storeDir)
+    if (exactExists(storeDir))
+      graft.operators.SaStore.compact(spark, exactDir(storeDir))
     cfg.sem.exists { st =>
       graft.operators.SemDedupStore.exists(semDir(storeDir)) &&
         graft.operators.SemDedupStore.maintain(spark, semDir(storeDir),
@@ -760,6 +864,12 @@ object Admission {
       graft.operators.SemDedupStore.remove(spark, semDir(storeDir),
         rem.select(col(idCol)), idCol)
     }
+    // The exact-policy store's takedown: a doc-id tombstone (positions
+    // are facts — no text replay), replay-idempotent per name.
+    cfg.exactSpans.foreach { _ =>
+      graft.operators.SaStore.remove(spark, exactDir(storeDir),
+        rem.select(col(idCol)), idCol, name = Some(s"rm_$n"))
+    }
     AdditiveLedger.mutateNamed(spanDir(storeDir), Seq(spanDir(storeDir)),
         Some(n)) { nn =>
       SpanDedup.spanDigestIndex(rem, idCol, textCol, cfg.spanK)
@@ -781,10 +891,14 @@ object Admission {
     val base = graft.sources.StoreCheck
       .deltaParts(spark, spanDir(storeDir), Seq(spanDir(storeDir)))
       .unionByName(graft.sources.StoreCheck.tableSink(spark, fpDir(storeDir)))
-    val withSem =
+    val withSem0 =
       if (cfg.sem.isDefined || graft.operators.SemDedupStore.exists(semDir(storeDir)))
         base.unionByName(graft.operators.SemDedupStore.fsck(spark, semDir(storeDir)))
       else base
+    val withSem =
+      if (cfg.exactSpans.isDefined || exactExists(storeDir))
+        withSem0.unionByName(graft.operators.SaStore.fsck(spark, exactDir(storeDir)))
+      else withSem0
     // With the contamination screen on, the registry THIS config
     // actually probes joins the same one-call report — a funnel is only
     // as sound as every store a verdict reads. The ∞-gram report's

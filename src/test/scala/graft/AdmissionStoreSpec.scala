@@ -289,6 +289,71 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(r0(11L)._2 === 4, s"the streamed doc's tail saturates maxN: ${r0(11L)}")
   }
 
+  test("exact span policy: run == runAgainst across batches; store grows/shrinks with absorb/unadmit; refusals loud") {
+    val cfgEx = Admission.Config(exactSpans = Some(Admission.ExactSpanStage(
+      minLen = 8, maxLen = 256)))
+    // Variable-length plants: a 9-token corpus-shared run (the exact
+    // policy reports its TRUE extent) and an 11-token batch-internal
+    // run (the saDupLengths leg of the union coverage).
+    val span9 = (1 to 9).map(j => s"ex$j").mkString(" ")
+    val span11 = (1 to 11).map(j => s"bx$j").mkString(" ")
+    val corpus = df(Seq(101L -> (goodText('r') + " " + span9)))
+    val b1 = df(Seq(
+      2L -> (goodText('p') + " " + span9),   // corpus-shared 9-run scrubs
+      3L -> (goodText('q') + " " + span11),  // batch-internal 11-run, copy A
+      4L -> (goodText('t') + " " + span11),  // batch-internal 11-run, copy B
+      5L -> "zz"))                           // rejected
+    val store = java.nio.file.Files.createTempDirectory("admission-exact").toString
+    Admission.init(spark, store, corpus, "doc_id", "text", cfgEx)
+
+    val got1 = collectVerdicts(Admission.run(spark, store, b1, "doc_id", "text", cfgEx))
+    val want1 = collectVerdicts(Admission.runAgainst(b1, corpus, "doc_id", "text", cfgEx))
+    assert(got1 == want1, s"exact-policy law diverged:\n store=$got1\n ref  =$want1")
+    assert(got1(2L)._1 == "admitted" && got1(2L)._3 >= 9,
+      s"the 9-token corpus-shared run must scrub at its true extent: ${got1(2L)}")
+    assert(!got1(2L)._4.contains("ex1"), s"span tokens must leave: ${got1(2L)}")
+    assert(got1(3L)._3 >= 11 && got1(4L)._3 >= 11,
+      s"the batch-internal 11-run scrubs BOTH copies (all-copies, occ >= 2): " +
+        s"${got1(3L)} / ${got1(4L)}")
+    assert(got1(5L)._1 == "rejected")
+
+    // Batch 2 sees batch 1's ADMITTED spans via the standing SaStore.
+    val b2 = df(Seq(11L -> (goodText('u') + " " + span11)))
+    val got2 = collectVerdicts(Admission.run(spark, store, b2, "doc_id", "text", cfgEx))
+    val want2 = collectVerdicts(Admission.runAgainst(b2,
+      corpus.unionByName(b1.filter(col("doc_id").isin(2L, 3L, 4L))),
+      "doc_id", "text", cfgEx))
+    assert(got2 == want2, s"batch-2 exact law diverged:\n store=$got2\n ref  =$want2")
+    assert(got2(11L)._3 >= 11,
+      s"a batch-1-admitted span must scrub from batch 2: ${got2(11L)}")
+
+    // Unadmit the span11 carriers; after maintain (compacts the
+    // tombstones), the store answers as if they were never absorbed.
+    Admission.unadmit(spark, store, b1.filter(col("doc_id").isin(3L, 4L)),
+      "doc_id", "text", cfgEx, name = Some("rm_b1ex"))
+    Admission.maintain(spark, store, cfgEx)
+    val got3 = collectVerdicts(Admission.run(spark, store, b2
+        .withColumn("doc_id", col("doc_id") + 10L), "doc_id", "text", cfgEx))
+    val want3 = collectVerdicts(Admission.runAgainst(
+      b2.withColumn("doc_id", col("doc_id") + 10L),
+      corpus.unionByName(b1.filter(col("doc_id") === 2L))
+        .unionByName(b2), "doc_id", "text", cfgEx))
+    assert(got3 == want3, s"post-unadmit exact law diverged:\n store=$got3\n ref  =$want3")
+
+    // Config refusals: the exact policy replaces the fixed-k knobs.
+    val e1 = intercept[IllegalArgumentException](Admission.Config(
+      spanKeepFirst = true, exactSpans = Some(Admission.ExactSpanStage())))
+    assert(e1.getMessage.contains("exactSpans"))
+    val e2 = intercept[IllegalArgumentException](Admission.Config(
+      minDocs = 3, exactSpans = Some(Admission.ExactSpanStage())))
+    assert(e2.getMessage.contains("exactSpans"))
+
+    // fsck covers the exact store; snapshot pins it.
+    assert(Admission.fsck(spark, store, cfgEx).filter(!col("ok")).isEmpty)
+    Admission.snapshot(store, "vex")
+    assert(Admission.snapshotPinned(store, "vex"))
+  }
+
   test("delta-name counter never rewinds onto an absorbed name across compactions") {
     // init → run(part_00001) → compact → epoch batch (part_b0) → compact
     // sweeps every numeric orphan dir; a ledger/disk-only counter would
