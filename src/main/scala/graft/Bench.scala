@@ -53,8 +53,13 @@ object Bench {
       prevS.get(n).filter { case (pi, ps) => moved(i, pi) || moved(sv, ps) }
         .map(pv => n -> (i, sv, pv._1, pv._2))
     }.toMap
+    // Rank leg movers by their REAL drift so the cap-8 cannot evict a
+    // 10x init-leg regression in favor of milder total movers.
+    val legSeverity = legMovers.view.mapValues { case (i, sv, pi, ps) =>
+      Seq(ratioOf(i, pi), ratioOf(sv, ps)).max
+    }.toMap
     val isolated = moverIsolated(spark, sfDir, selected, results.toMap,
-      prevQ, legMovers.keySet)
+      prevQ, legSeverity)
     def jnum(v: Double) = if (v.isNaN || v.isInfinite) "null" else v.toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
@@ -114,8 +119,13 @@ object Bench {
   private val MoverRatio = 1.5
 
   private[graft] def moved(cur: Double, prev: Double): Boolean =
-    !cur.isNaN && !prev.isNaN && prev > 0.0 && cur > 0.0 &&
-      (cur / prev > MoverRatio || cur / prev < 1.0 / MoverRatio)
+    ratioOf(cur, prev) > MoverRatio
+
+  /** Symmetric drift severity: max(cur/prev, prev/cur), 1.0 when either
+    * side is unusable (NaN / nonpositive — never a mover). */
+  private[graft] def ratioOf(cur: Double, prev: Double): Double =
+    if (cur.isNaN || prev.isNaN || prev <= 0.0 || cur <= 0.0) 1.0
+    else math.max(cur / prev, prev / cur)
 
   /** The top-level JSON object under `key` with balanced braces — the
     * stored object nests one level, so the flat `[^}]*` pluck that
@@ -172,16 +182,17 @@ object Bench {
   private def moverIsolated(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
       suite: Map[String, Double], prev: Map[String, Double],
-      legMoverNames: Set[String])
+      legSeverity: Map[String, Double])
       : Map[String, (Double, Double, Double, Option[(Double, Double)])] = {
-    if (prev.isEmpty && legMoverNames.isEmpty)
+    if (prev.isEmpty && legSeverity.isEmpty)
       return Map.empty
     val totalMovers = suite.toSeq
-      .flatMap { case (n, s) => prev.get(n).map(p => (n, s / p)) }
-      .filter { case (_, r) => r > MoverRatio || r < 1.0 / MoverRatio }
-    val ranked = (totalMovers.map { case (n, r) => n -> math.max(r, 1.0 / r) } ++
-        legMoverNames.filterNot(totalMovers.map(_._1).toSet)
-          .map(_ -> MoverRatio).toSeq)
+      .flatMap { case (n, s) => prev.get(n).map(p => (n, ratioOf(s, p))) }
+      .filter { case (_, r) => r > MoverRatio }
+    val totalNames = totalMovers.map(_._1).toSet
+    val ranked = (totalMovers.map { case (n, r) =>
+        n -> math.max(r, legSeverity.getOrElse(n, 1.0)) } ++
+        legSeverity.filterNot { case (n, _) => totalNames(n) }.toSeq)
       .filter { case (n, _) => queries.contains(n) }
       .distinct.sortBy(-_._2)
     val kept = ranked.take(8)

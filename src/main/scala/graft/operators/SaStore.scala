@@ -163,6 +163,29 @@ object SaStore {
     names
   }
 
+  /** Every [[append]] admission check, with NO mutation — callable as
+    * a PRE-flight by composite stores ([[graft.pipelines.Admission]]'s
+    * absorb) whose other halves mutate first: a refusal surfacing only
+    * mid-absorb would leave the sibling stores holding a batch this
+    * store rejected. */
+  private[graft] def requireAppendable(spark: SparkSession, dir: String,
+                                       batch: DataFrame, idCol: String,
+                                       textCol: String): Unit = {
+    val budget = meta(dir)._1
+    requireWithinBudget(batch, textCol, budget, dir)
+    requireLongIds(batch, idCol)
+    val tombs = readParts(spark, tombsDir(dir), liveNames(dir, None)).distinct()
+    val clash = tombs
+      .join(broadcast(batch.select(col(idCol).cast("long").as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    require(clash.isEmpty,
+      s"suffix-array store at '$dir' holds live tombstones for batch ids " +
+        s"${clash.mkString(", ")} (…) — a re-appended tombstoned id would " +
+        "be silently erased by the tombstone anti-join at read time; run " +
+        "compact first (it folds tombstones away).")
+  }
+
   private def requireWithinBudget(docs: DataFrame, textCol: String,
                                   budget: Int, dir: String): Unit = {
     val longest = docs.agg(max(size(SpanDedup.toks(col(textCol)))))
@@ -211,19 +234,13 @@ object SaStore {
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              idCol: String, textCol: String,
              name: Option[String] = None): Unit = {
+    // A replay of an ABSORBED named mutation is a documented no-op at
+    // every crash point — short-circuit before the admission checks,
+    // which legitimately fail for state that changed SINCE completion
+    // (e.g. the appended ids were tombstoned later).
+    if (name.exists(n => AdditiveLedger.isAbsorbed(dir, n))) return
+    requireAppendable(spark, dir, batch, idCol, textCol)
     val (budget, nb) = meta(dir)
-    requireWithinBudget(batch, textCol, budget, dir)
-    requireLongIds(batch, idCol)
-    val tombs = readParts(spark, tombsDir(dir), liveNames(dir, None)).distinct()
-    val clash = tombs
-      .join(broadcast(batch.select(col(idCol).cast("long").as("id")).distinct()),
-        Seq("id"), "left_semi")
-      .limit(5).collect().map(_.get(0))
-    require(clash.isEmpty,
-      s"suffix-array store at '$dir' holds live tombstones for batch ids " +
-        s"${clash.mkString(", ")} (…) — a re-appended tombstoned id would " +
-        "be silently erased by the tombstone anti-join at read time; run " +
-        "compact first (it folds tombstones away).")
     val topA = topLevel(budget)
     AdditiveLedger.mutateNamed(dir, roots(dir), name) { n =>
       writeWin(s"${winDir(dir)}/$n",

@@ -92,10 +92,10 @@ object Admission {
     // minLen is the only threshold (occurrence >= 2, variable length),
     // so a Config combining it with the fixed-k knobs would silently
     // ignore them — refuse instead.
-    require(exactSpans.isEmpty || (!spanKeepFirst && minDocs == 2),
-      "exactSpans replaces the fixed-k span scrub — spanKeepFirst and " +
-        "a non-default minDocs have no effect under it; drop them or " +
-        "use the fixed-k policy")
+    require(exactSpans.isEmpty || (!spanKeepFirst && minDocs == 2 && spanK == 8),
+      "exactSpans replaces the fixed-k span scrub — spanKeepFirst, a " +
+        "non-default minDocs, and a non-default spanK have no effect " +
+        "under it; drop them or use the fixed-k policy")
   }
 
   /**
@@ -400,6 +400,21 @@ object Admission {
   private def exactExists(storeDir: String): Boolean =
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(exactDir(storeDir), "_PARTS"))
+  /** The span policy is pinned PER STORE at [[init]] (the exact store
+    * exists iff the store was initialized under `exactSpans`): running
+    * the other policy against it would silently scrub against a stale
+    * or absent index — refuse loudly instead. */
+  private def requirePolicyMatch(storeDir: String, cfg: Config): Unit = {
+    val ex = exactExists(storeDir)
+    require(cfg.exactSpans.isDefined == ex,
+      if (ex) s"admission store at '$storeDir' was initialized under the " +
+        "EXACT span policy (exact_spans/ present) but this Config has " +
+        "exactSpans off — the fixed-k inventory there is a name-ledger " +
+        "shell, not a live index; pass the exact Config"
+      else s"admission store at '$storeDir' was initialized under the " +
+        "fixed-k policy (no exact_spans/) but this Config sets " +
+        "exactSpans — init a store under the exact policy instead")
+  }
   private def listParts(storeDir: String): Seq[String] =
     graft.sources.DeltaParts.list(spanDir(storeDir))
 
@@ -536,7 +551,13 @@ object Admission {
       .filter(col("__fp").isNotNull).distinct()
       .withColumn("__v", lit(0L))
     TableSink.overwrite(spark, fpDir(storeDir), fps, Seq("__fp"))
-    SpanDedup.spanDigestIndex(corpus, idCol, textCol, cfg.spanK)
+    // Under the exact policy nothing ever reads the fixed-k inventory
+    // (the SaStore is the span authority and the policy is pinned per
+    // store — requirePolicyMatch); its parts stay as NAME-LEDGER
+    // shells so the absorb/replay mechanics are policy-agnostic, but
+    // their CONTENT is empty — the O(corpus·k) window aggregation
+    // would be pure waste.
+    spanIndexOf(corpus, idCol, textCol, cfg)
       .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/part_00000")
     graft.sources.DeltaParts.publish(spanDir(storeDir), Seq("part_00000"))
     // Stage 4's member store, from the same corpus the other stores saw
@@ -594,13 +615,19 @@ object Admission {
         .select(col("id").as(idCol), lit(1).as("__semdup")).localCheckpoint(true)
       (surv.join(dropped.select(idCol), Seq(idCol), "left_anti"), Some(dropped))
     }
+    requirePolicyMatch(storeDir, cfg)
     val scrubbed = cfg.exactSpans match {
       case Some(st) =>
         // The exact policy's corpus side, standing form: the SaStore's
-        // (level, bucket)-pruned per-position probe — O(batch).
-        exactScrub(survScrub,
+        // (level, bucket)-pruned per-position probe — O(batch). The
+        // survivor frame materializes first (batch-sized): the batch
+        // SA, the store probe, and the scrub tail each consume it, and
+        // an uncached frame would re-execute the whole funnel join
+        // tree (curation + fingerprint reads) per consumer.
+        val survX = survScrub.localCheckpoint(true)
+        exactScrub(survX,
           graft.operators.SaStore.probeDupLengths(spark, exactDir(storeDir),
-            survScrub, idCol, textCol, st.minLen),
+            survX, idCol, textCol, st.minLen),
           st.minLen, idCol, textCol)
       case None =>
         spanScrub(survScrub, readSpanIndex(spark, storeDir), idCol, textCol, cfg)
@@ -633,6 +660,15 @@ object Admission {
     import graft.sources.{AdditiveLedger, DeltaParts}
     if (AdditiveLedger.isAbsorbed(spanDir(storeDir), deltaName)) return
     val grown = grown0.localCheckpoint(true)
+    // PRE-FLIGHT the exact store's admission checks before ANY half
+    // mutates: its refusals (live tombstone on a re-admitted id, a doc
+    // beyond the length budget) surfacing only mid-absorb would leave
+    // the fingerprint table holding a batch the span store rejected —
+    // the retry would then verdict those docs duplicates of themselves.
+    cfg.exactSpans.foreach { _ =>
+      graft.operators.SaStore.requireAppendable(spark, exactDir(storeDir),
+        grown, idCol, textCol)
+    }
     val newFps = grown.select(text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct().withColumn("__v", lit(1L))
     TableSink.upsert(spark, fpDir(storeDir), newFps, Seq("__fp"), "__v")
@@ -660,10 +696,19 @@ object Admission {
     }
     AdditiveLedger.mutateNamed(spanDir(storeDir), Seq(spanDir(storeDir)),
         Some(deltaName)) { n =>
-      SpanDedup.spanDigestIndex(grown, idCol, textCol, cfg.spanK)
+      spanIndexOf(grown, idCol, textCol, cfg)
         .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$n")
       DeltaParts.add(spanDir(storeDir), n)
     }
+  }
+
+  /** The fixed-k inventory content of one document set — EMPTY under
+    * the exact policy (see [[init]]'s shell note; the schema stays so
+    * compaction and merge reads are uniform). */
+  private def spanIndexOf(docs: DataFrame, idCol: String, textCol: String,
+                          cfg: Config): DataFrame = {
+    val idx = SpanDedup.spanDigestIndex(docs, idCol, textCol, cfg.spanK)
+    if (cfg.exactSpans.isDefined) idx.limit(0) else idx
   }
 
   /**
@@ -851,6 +896,9 @@ object Admission {
               name: Option[String] = None): Unit =
       graft.sources.WriterLease.withLease(storeDir, "admission-unadmit") {
     import graft.sources.{AdditiveLedger, DeltaParts}
+    // A fixed-k Config against an exact store would silently SKIP the
+    // SaStore tombstone and the removed content would stay probe-able.
+    requirePolicyMatch(storeDir, cfg)
     val n = name.getOrElse(AdditiveLedger.nextName(spanDir(storeDir),
       Seq(spanDir(storeDir))))
     if (AdditiveLedger.isAbsorbed(spanDir(storeDir), n)) return
@@ -872,7 +920,7 @@ object Admission {
     }
     AdditiveLedger.mutateNamed(spanDir(storeDir), Seq(spanDir(storeDir)),
         Some(n)) { nn =>
-      SpanDedup.spanDigestIndex(rem, idCol, textCol, cfg.spanK)
+      spanIndexOf(rem, idCol, textCol, cfg)
         .select(col("__h1"), col("__h2"),
           (-col("n_docs")).as("n_docs"), (-col("n_occ")).as("n_occ"))
         .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/$nn")

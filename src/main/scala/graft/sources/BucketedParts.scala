@@ -64,6 +64,14 @@ object BucketedParts {
     * [[writeBucketed]]. */
   def writePartitioned(path: String, df: DataFrame, partCols: Seq[String],
                        dirCount: Int): Unit = {
+    // The empty-layout probe below lists via java.io — on a remote FS
+    // scheme it would see nothing and the limit(0) reconcile would
+    // OVERWRITE the data just written. The store family is local-path
+    // by construction (every _meta/_PARTS file is java.nio); make that
+    // assumption loud rather than silently destructive.
+    require(!path.contains("://"),
+      s"bucketed stores are local-filesystem only (java.io layout " +
+        s"probes and java.nio metadata): '$path'")
     val par = df.sparkSession.sparkContext.defaultParallelism
     val salt = math.max(1, par / math.max(1, dirCount))
     df.repartition(partCols.map(col) :+ pmod(xxhash64(col("h1")), lit(salt)): _*)
