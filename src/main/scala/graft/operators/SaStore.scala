@@ -327,16 +327,15 @@ object SaStore {
     * (off == 0) resolve by digest membership; the rest by the
     * (id, position) equi-join of the two half-windows' position lists
     * — output bounded by the smaller list, never a pair fan-out. */
-  private def testLengths(spark: SparkSession, dir: String, qt: DataFrame,
-                          cand: DataFrame, topA: Int, nb: Int,
-                          tag: Option[String],
-                          bcast: DataFrame => DataFrame): DataFrame = {
-    // Candidate probes: level a (exact integer log2 via the
-    // binary-string length — floor(log2) in floating point rounds the
-    // wrong way near exact powers), width w = 2^a, and the two
-    // half-window digests of the L-token span at pos.
+  /** Candidate probes: level a (exact integer log2 via the
+    * binary-string length — floor(log2) in floating point rounds the
+    * wrong way near exact powers), width w = 2^a, and the two
+    * half-window digests of the L-token span at pos. Shared by the
+    * existence kernel ([[testLengths]]) and the counting kernel
+    * ([[countOccurrences]]); checkpointed (queries-sized). */
+  private def candDigests(qt: DataFrame, cand: DataFrame, topA: Int): DataFrame = {
     val w = pow(lit(2.0), col("a")).cast("int")
-    val pq = cand
+    cand
       .join(qt, Seq("q_id"))
       .withColumn("a",
         least(length(conv(col("L").cast("string"), 10, 2)) - 1, lit(topA))
@@ -348,6 +347,13 @@ object SaStore {
         dig1(w, slice(col("__t"), col("pos") + col("off"), w)).as("h1b"),
         dig2(w, slice(col("__t"), col("pos") + col("off"), w)).as("h2b"))
       .localCheckpoint(true)
+  }
+
+  private def testLengths(spark: SparkSession, dir: String, qt: DataFrame,
+                          cand: DataFrame, topA: Int, nb: Int,
+                          tag: Option[String],
+                          bcast: DataFrame => DataFrame): DataFrame = {
+    val pq = candDigests(qt, cand, topA)
     // Membership probes (off == 0) need only digest EXISTENCE — their
     // small widths hit COMMON digests, and dragging those position
     // lists through a checkpoint was the probe's dominant cost. The
@@ -465,6 +471,76 @@ object SaStore {
       .join(best, Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("__best"), col("lo"), lit(0)).cast("int").as("match_len"))
+  }
+
+  /** Corpus occurrence COUNT of each (q_id, pos, L) span: the
+    * certificate join kept as rows instead of a semi — every surviving
+    * row is one real corpus occurrence (positions are unique per
+    * level, and the posB side matches at most one row per posA row),
+    * so the count is exact and the exchange is result-sized. Exact
+    * powers ride the positional lane too — counting needs positions. */
+  private def countOccurrences(spark: SparkSession, dir: String, qt: DataFrame,
+                               cand: DataFrame, topA: Int, nb: Int,
+                               tag: Option[String],
+                               bcast: DataFrame => DataFrame): DataFrame = {
+    val pq = candDigests(qt, cand, topA)
+    val posKeys = pq.select(col("a"), col("h1a").as("h1"), col("h2a").as("h2"))
+      .unionByName(pq.select(col("a"), col("h1b").as("h1"), col("h2b").as("h2")))
+      .distinct()
+    val levelBuckets = posKeys
+      .select(col("a"), bucketOf(col("h1"), nb).as("__b")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val lvlPos = readWindows(spark, dir, tag, Some(levelBuckets))
+      .withColumnRenamed("__a", "a")
+      .join(bcast(posKeys), Seq("a", "h1", "h2"), "left_semi")
+      .select(col("a"), col("h1"), col("h2"), col("id"), col("i"))
+      .localCheckpoint(true)
+    val posA = pq
+      .select(col("q_id"), col("pos"), col("L"), col("off"), col("a"),
+        col("h1a").as("h1"), col("h2a").as("h2"))
+      .join(lvlPos, Seq("a", "h1", "h2"))
+      .select(col("q_id"), col("pos"), col("L"),
+        col("id"), col("i").as("ia"), (col("i") + col("off")).as("j"))
+    val posB = pq
+      .select(col("q_id"), col("pos"), col("L"), col("a"),
+        col("h1b").as("h1"), col("h2b").as("h2"))
+      .join(lvlPos, Seq("a", "h1", "h2"))
+      .select(col("q_id"), col("pos"), col("L"), col("id"), col("i").as("j"))
+    posA.join(posB, Seq("q_id", "pos", "L", "id", "j"), "left_semi")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
+  /**
+   * [[probe]] plus the corpus OCCURRENCE COUNT of each query's longest
+   * match — (q_id, match_len, n_occ), the full ∞-gram report shape
+   * ([[InfiniGram.probe]]'s n_occ) at UNBOUNDED width: one extra
+   * counting round after the search converges, its certificate join
+   * kept as rows (result-sized — every row is a real occurrence of
+   * the matched span). match_len = 0 reports n_occ = 0.
+   */
+  def probeWithCounts(spark: SparkSession, dir: String, queries: DataFrame,
+                      qIdCol: String, qTextCol: String,
+                      tag: Option[String] = None,
+                      broadcastProbes: Boolean = true): DataFrame = {
+    val (budget, nb) = meta(dir)
+    val topA = topLevel(budget)
+    val bcast = if (broadcastProbes) (df: DataFrame) => broadcast(df)
+                else (df: DataFrame) => df
+    val m = probe(spark, dir, queries, qIdCol, qTextCol, tag, broadcastProbes)
+      .localCheckpoint(true)
+    val qt = queries
+      .select(col(qIdCol).as("q_id"), SpanDedup.toks(col(qTextCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .localCheckpoint(true)
+    val cand = m.filter(col("match_len") >= 1).join(qt, Seq("q_id"))
+      .select(col("q_id"), (col("__n") - col("match_len") + 1).as("pos"),
+        col("match_len").as("L"))
+    val counts = countOccurrences(spark, dir, qt, cand, topA, nb, tag, bcast)
+    m.join(counts, Seq("q_id"), "left")
+      .select(col("q_id"), col("match_len"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"))
   }
 
   /**

@@ -119,7 +119,11 @@ private[graft] object QSuffix {
     // with the corpus side reduced to (level, bucket)-pruned store
     // probes (three fixed rounds, O(batch)).
     "x_sa_dup_len_stored" -> fused(saDupLenStoredPhased),
-    "x_sa_scrub_stored" -> fused(saScrubStoredPhased))
+    "x_sa_scrub_stored" -> fused(saScrubStoredPhased),
+    // The counted unbounded probe: match_len + the corpus occurrence
+    // count of the matched span (InfiniGram.probe's n_occ at unbounded
+    // width) — one extra result-sized certificate-count round.
+    "x_sa_match_counts" -> fused(saMatchCountsPhased))
 
   /** x_sa_dup_len / x_sa_scrub planted fixture: docs with id % 23 == 3
     * repeat an 8-token phrase TWICE with a doc-unique separator between
@@ -238,11 +242,27 @@ private[graft] object QSuffix {
       graft.operators.SaStore.scrub(s, dir, batch, "doc_id", "text", minLen = 8)
         .orderBy("doc_id"))
 
+  private val saMatchCountsPhased: Phased = (s, d) => {
+    lazy val dir = tmpStore("sa_store_cnt")
+    val init = () => {
+      val (corpus, _) = igFixture(s, d)
+      graft.operators.SaStore.init(s, dir, corpus, "doc_id", "text",
+        numBuckets = 16)
+    }
+    val serve = () => {
+      val (_, queries) = igFixture(s, d)
+      graft.operators.SaStore.probeWithCounts(s, dir, queries, "doc_id", "text")
+        .orderBy("q_id")
+    }
+    (init, serve)
+  }
+
   private[graft] val phased: Map[String, Phased] = Map(
     "x_infinigram_stored" -> infinigramStoredPhased,
     "x_sa_longest_match_stored" -> saLongestStoredPhased,
     "x_sa_dup_len_stored" -> saDupLenStoredPhased,
-    "x_sa_scrub_stored" -> saScrubStoredPhased)
+    "x_sa_scrub_stored" -> saScrubStoredPhased,
+    "x_sa_match_counts" -> saMatchCountsPhased)
 
   private val oraclesBase: Map[String, String] = Map(
     "x_suffix_array" ->
@@ -333,7 +353,7 @@ private[graft] object QSuffix {
     * nearest corpus neighbor in that order extends it (qs-prefixed
     * strings form a contiguous range starting at qs — the successor
     * catches proper extensions, the predecessor exact equals). */
-  private val longestMatchSql =
+  private val longestMatchCtes =
     s"""WITH q0 AS (SELECT doc_id, CASE
        |        WHEN doc_id % 2 = 0 THEN text || ' qnovel' || CAST(doc_id AS VARCHAR)
        |        WHEN doc_id % 3 = 0 THEN text ||
@@ -370,10 +390,34 @@ private[graft] object QSuffix {
        |      -- nearest-neighbor test stays sound.
        |      WHERE isq = 1 AND (starts_with(pc || ' ', suf || ' ')
        |                      OR starts_with(nc || ' ', suf || ' '))
-       |      GROUP BY qid)
+       |      GROUP BY qid)""".stripMargin
+
+  private val longestMatchSql =
+    s"""$longestMatchCtes
        |SELECT q.doc_id AS q_id, CAST(coalesce(m.ml, 0) AS INTEGER) AS match_len
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) q
        |LEFT JOIN m ON m.qid = q.doc_id
+       |ORDER BY q_id""".stripMargin
+
+  /** The counted form: the matched span string materializes per query
+    * (queries-sized) and its corpus occurrences are counted by a
+    * direct window-equality scan — an INDEPENDENT counting of what the
+    * engine counts via the certificate join. */
+  private val saMatchCountsSql =
+    s"""$longestMatchCtes,
+       |spanq AS (SELECT m.qid, m.ml,
+       |            array_to_string(q2.t[len(q2.t) - m.ml + 1:len(q2.t)], ' ') AS span
+       |          FROM m JOIN qtoks q2 ON q2.qid = m.qid WHERE m.ml >= 1),
+       |occ AS (SELECT s2.qid, count(*) AS n_occ
+       |        FROM spanq s2, ctoks c,
+       |             unnest(generate_series(1, len(c.t) - s2.ml + 1)) AS i(i)
+       |        WHERE array_to_string(c.t[i.i:i.i + s2.ml - 1], ' ') = s2.span
+       |        GROUP BY 1)
+       |SELECT q.doc_id AS q_id, CAST(coalesce(m.ml, 0) AS INTEGER) AS match_len,
+       |       CAST(coalesce(occ.n_occ, 0) AS BIGINT) AS n_occ
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) q
+       |LEFT JOIN m ON m.qid = q.doc_id
+       |LEFT JOIN occ ON occ.qid = q.doc_id
        |ORDER BY q_id""".stripMargin
 
   /** Per-position duplicated-length replay AGAINST the corpus — the
@@ -474,6 +518,7 @@ private[graft] object QSuffix {
       // drift-free against DuckDB's independent suffix-sort.
       ("x_sa_longest_match_stored" -> longestMatchSql) +
       ("x_sa_dup_len_stored" -> saDupLenStoredSql) +
-      ("x_sa_scrub_stored" -> saScrubStoredSql)
+      ("x_sa_scrub_stored" -> saScrubStoredSql) +
+      ("x_sa_match_counts" -> saMatchCountsSql)
 }
 

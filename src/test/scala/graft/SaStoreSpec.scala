@@ -133,6 +133,34 @@ class SaStoreSpec extends AnyFunSuite with SparkSpec {
       "novel text survives untouched")
   }
 
+  test("probeWithCounts: n_occ equals the brute-force occurrence count of the longest match") {
+    val dir = tmp()
+    SaStore.init(spark, dir, docs, "doc_id", "text", numBuckets = 16)
+    def toks(t: String): Vector[String] =
+      t.toLowerCase.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty).toVector
+    val corpusToks = (0L until 40L).map(i => toks(mkText(i)))
+    def countOcc(span: Vector[String]): Long =
+      corpusToks.map(t => (0 to t.length - span.length)
+        .count(i => t.slice(i, i + span.length) == span).toLong).sum
+    val want = Seq(901L -> ("zz " + (1 to 9).map(j => s"p$j").mkString(" ")),
+      902L -> fullDocText, 903L -> "b a q1 q2 q3 q4",
+      904L -> "never gonna match qnovel", 905L -> "", 906L -> "c d a b")
+      .map { case (qid, text) =>
+        val t = toks(text)
+        val ml = (t.length to 1 by -1)
+          .find(l => countOcc(t.takeRight(l)) > 0).getOrElse(0)
+        (qid, ml, if (ml == 0) 0L else countOcc(t.takeRight(ml)))
+      }.toSet
+    val got = SaStore.probeWithCounts(spark, dir, queries, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+    val byQ = got.map(r => r._1 -> r).toMap
+    assert(byQ(901L)._3 >= 1L && byQ(904L) === ((904L, 0, 0L)))
+    // The 4-token plant (q1..q4) appears in every id % 7 == 5 doc —
+    // a genuinely multi-occurrence count.
+    assert(byQ(903L)._3 >= 2L, s"plant occurs in several docs: ${byQ(903L)}")
+  }
+
   test("append folds O(batch): probe == in-memory over the union; named replay idempotent") {
     val dir = tmp()
     val c1 = docs.filter(col("doc_id") < 25)
