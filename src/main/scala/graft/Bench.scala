@@ -31,6 +31,12 @@ object Bench {
     // driver never sets it, so its recordings stay full-set).
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .fold(SparkEntry.queries)(SparkEntry.selectQueries)
+    // Resolved BEFORE the mover audit: the audit must never compare
+    // against its own output file (an orphan same-name artifact from a
+    // killed run once made the audit read "no movers" — round 17).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "bench_partial.json"
+      else "bench_full.json")
     val (results, stored, failures) =
       run(spark, sfDir, selected, runs, SparkEntry.phasedQueries)
     // Mover auto-audit (the round-6 protocol, mechanized; widened to
@@ -45,7 +51,7 @@ object Bench {
     // isolated medians are the comparable per-query basis, and
     // recording both lets the load-vs-plan verdict land without a
     // by-hand re-measure.
-    val prevArt = prevArtifact()
+    val prevArt = prevArtifact(Some(outPath))
     val prevQ = prevArt.map(prevQueries).getOrElse(Map.empty[String, Double])
     val prevS = prevArt.map(prevStored)
       .getOrElse(Map.empty[String, (Double, Double)])
@@ -88,9 +94,6 @@ object Bench {
     // for round-over-round audits. A name-filtered local run writes to a
     // DISTINCT default path — a subset must never silently overwrite a
     // previously recorded full-suite artifact (explicit BENCH_OUT wins).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "bench_partial.json"
-      else "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e") }
@@ -101,8 +104,15 @@ object Bench {
 
   /** The previous committed full-suite artifact to diff movers against:
     * SPARK_GRAFT_BENCH_BASELINE wins, else the highest-numbered
-    * `bench_full_r<N>.json` in the CWD (the per-round committed copy). */
-  private def prevArtifact(): Option[java.nio.file.Path] =
+    * `bench_full_r<N>.json` in the CWD (the per-round committed copy) —
+    * EXCLUDING this run's own `selfOut` target: an artifact under the
+    * current round's name (e.g. left by a killed earlier run whose
+    * forked JVM outlived its pipeline) would otherwise become its own
+    * baseline and silently mute every mover. */
+  private[graft] def prevArtifact(selfOut: Option[String] = None)
+      : Option[java.nio.file.Path] = {
+    val self = selfOut.map(o =>
+      java.nio.file.Paths.get(o).toAbsolutePath.normalize)
     sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
       .map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
       .orElse {
@@ -111,8 +121,12 @@ object Bench {
           .flatMap(f => f.getName match {
             case rx(n) => Some(n.toInt -> f.toPath)
             case _ => None
-          }).sortBy(_._1).lastOption.map(_._2)
+          })
+          .filterNot { case (_, p) =>
+            self.contains(p.toAbsolutePath.normalize) }
+          .sortBy(_._1).lastOption.map(_._2)
       }
+  }
 
   /** Mover trigger: either direction past 1.5× (was 2× through round
     * 16 — pipe_dedup_e2e's 1.94× drift slid under it unadjudicated). */

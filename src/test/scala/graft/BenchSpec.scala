@@ -55,6 +55,31 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
       "NaN legs never trip")
   }
 
+  test("prevArtifact never resolves this run's own output as the baseline") {
+    // prevArtifact lists the PROCESS CWD, so plant two fixture
+    // artifacts there (numbered far above any real round): with the
+    // highest as selfOut the resolver must fall back to the next one —
+    // the round-17 orphan case, where a killed run's surviving JVM
+    // wrote the current round's artifact first and the final run
+    // compared against itself ("no movers").
+    val rp7 = java.nio.file.Paths.get("bench_full_r99998.json")
+    val rp8 = java.nio.file.Paths.get("bench_full_r99999.json")
+    java.nio.file.Files.writeString(rp7, "{}")
+    java.nio.file.Files.writeString(rp8, "{}")
+    try {
+      assert(Bench.prevArtifact(Some(rp8.toString))
+        .map(_.getFileName.toString).contains("bench_full_r99998.json"),
+        "selfOut must be excluded; the next-highest artifact wins")
+      assert(Bench.prevArtifact(None)
+        .map(_.getFileName.toString).contains("bench_full_r99999.json"),
+        "without selfOut the highest-numbered artifact is the baseline")
+    } finally {
+      java.nio.file.Files.deleteIfExists(rp7)
+      java.nio.file.Files.deleteIfExists(rp8)
+      ()
+    }
+  }
+
   test("median of 3 runs discards a single outlier pass") {
     // Warm the plan path so the cold-start pass is not itself an outlier.
     spark.range(10).toDF("n").write.format("noop").mode("overwrite").save()
