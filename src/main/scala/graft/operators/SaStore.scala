@@ -482,35 +482,10 @@ object SaStore {
   private def countOccurrences(spark: SparkSession, dir: String, qt: DataFrame,
                                cand: DataFrame, topA: Int, nb: Int,
                                tag: Option[String],
-                               bcast: DataFrame => DataFrame): DataFrame = {
-    val pq = candDigests(qt, cand, topA)
-    val posKeys = pq.select(col("a"), col("h1a").as("h1"), col("h2a").as("h2"))
-      .unionByName(pq.select(col("a"), col("h1b").as("h1"), col("h2b").as("h2")))
-      .distinct()
-    val levelBuckets = posKeys
-      .select(col("a"), bucketOf(col("h1"), nb).as("__b")).distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    val lvlPos = readWindows(spark, dir, tag, Some(levelBuckets))
-      .withColumnRenamed("__a", "a")
-      .join(bcast(posKeys), Seq("a", "h1", "h2"), "left_semi")
-      .select(col("a"), col("h1"), col("h2"), col("id"), col("i"))
-      .localCheckpoint(true)
-    val posA = pq
-      .select(col("q_id"), col("pos"), col("L"), col("off"), col("a"),
-        col("h1a").as("h1"), col("h2a").as("h2"))
-      .join(lvlPos, Seq("a", "h1", "h2"))
-      .select(col("q_id"), col("pos"), col("L"),
-        col("id"), col("i").as("ia"), (col("i") + col("off")).as("j"))
-    val posB = pq
-      .select(col("q_id"), col("pos"), col("L"), col("a"),
-        col("h1b").as("h1"), col("h2b").as("h2"))
-      .join(lvlPos, Seq("a", "h1", "h2"))
-      .select(col("q_id"), col("pos"), col("L"), col("id"), col("i").as("j"))
-    posA.join(posB, Seq("q_id", "pos", "L", "id", "j"), "left_semi")
+                               bcast: DataFrame => DataFrame): DataFrame =
+    occurrenceSites(spark, dir, qt, cand, topA, nb, tag, bcast)
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_occ"))
-  }
 
   /**
    * [[probe]] plus the corpus OCCURRENCE COUNT of each query's longest
@@ -541,6 +516,78 @@ object SaStore {
     m.join(counts, Seq("q_id"), "left")
       .select(col("q_id"), col("match_len"),
         coalesce(col("n_occ"), lit(0L)).as("n_occ"))
+  }
+
+  /**
+   * ATTRIBUTION: the corpus SITES of each query's longest match —
+   * (q_id, match_len, doc_id, pos), one row per corpus occurrence of
+   * the matched span, capped at `maxSites` per query by the
+   * deterministic (doc_id, pos) order (a span repeated 10^6 times is
+   * a report the consumer caps, not an exchange the engine must
+   * survive — the occurrence rows themselves are result-sized either
+   * way, the cap bounds the OUTPUT). The "where did this memorized
+   * text come from?" report over [[probe]]'s answer; queries with no
+   * match emit no rows (the probe itself is the total function).
+   */
+  def attributeMatches(spark: SparkSession, dir: String, queries: DataFrame,
+                       qIdCol: String, qTextCol: String, maxSites: Int = 10,
+                       tag: Option[String] = None,
+                       broadcastProbes: Boolean = true): DataFrame = {
+    require(maxSites >= 1, s"maxSites must be >= 1: $maxSites")
+    val (budget, nb) = meta(dir)
+    val topA = topLevel(budget)
+    val bcast = if (broadcastProbes) (df: DataFrame) => broadcast(df)
+                else (df: DataFrame) => df
+    val m = probe(spark, dir, queries, qIdCol, qTextCol, tag, broadcastProbes)
+      .localCheckpoint(true)
+    val qt = queries
+      .select(col(qIdCol).as("q_id"), SpanDedup.toks(col(qTextCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .localCheckpoint(true)
+    val cand = m.filter(col("match_len") >= 1).join(qt, Seq("q_id"))
+      .select(col("q_id"), (col("__n") - col("match_len") + 1).as("pos"),
+        col("match_len").as("L"))
+    val sites = occurrenceSites(spark, dir, qt, cand, topA, nb, tag, bcast)
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("id"), col("ia"))
+    sites.withColumn("__rn", row_number().over(rn))
+      .where(col("__rn") <= maxSites)
+      .select(col("q_id"), col("L").as("match_len"),
+        col("id").as("doc_id"), col("ia").as("pos"))
+  }
+
+  /** The certificate join kept as SITE rows (q_id, pos, L, id, ia) —
+    * the row basis [[countOccurrences]] counts and
+    * [[attributeMatches]] reports. */
+  private def occurrenceSites(spark: SparkSession, dir: String, qt: DataFrame,
+                              cand: DataFrame, topA: Int, nb: Int,
+                              tag: Option[String],
+                              bcast: DataFrame => DataFrame): DataFrame = {
+    val pq = candDigests(qt, cand, topA)
+    val posKeys = pq.select(col("a"), col("h1a").as("h1"), col("h2a").as("h2"))
+      .unionByName(pq.select(col("a"), col("h1b").as("h1"), col("h2b").as("h2")))
+      .distinct()
+    val levelBuckets = posKeys
+      .select(col("a"), bucketOf(col("h1"), nb).as("__b")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val lvlPos = readWindows(spark, dir, tag, Some(levelBuckets))
+      .withColumnRenamed("__a", "a")
+      .join(bcast(posKeys), Seq("a", "h1", "h2"), "left_semi")
+      .select(col("a"), col("h1"), col("h2"), col("id"), col("i"))
+      .localCheckpoint(true)
+    val posA = pq
+      .select(col("q_id"), col("pos"), col("L"), col("off"), col("a"),
+        col("h1a").as("h1"), col("h2a").as("h2"))
+      .join(lvlPos, Seq("a", "h1", "h2"))
+      .select(col("q_id"), col("pos"), col("L"),
+        col("id"), col("i").as("ia"), (col("i") + col("off")).as("j"))
+    val posB = pq
+      .select(col("q_id"), col("pos"), col("L"), col("a"),
+        col("h1b").as("h1"), col("h2b").as("h2"))
+      .join(lvlPos, Seq("a", "h1", "h2"))
+      .select(col("q_id"), col("pos"), col("L"), col("id"), col("i").as("j"))
+    posA.join(posB, Seq("q_id", "pos", "L", "id", "j"), "left_semi")
   }
 
   /**

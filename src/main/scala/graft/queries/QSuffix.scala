@@ -123,7 +123,11 @@ private[graft] object QSuffix {
     // The counted unbounded probe: match_len + the corpus occurrence
     // count of the matched span (InfiniGram.probe's n_occ at unbounded
     // width) — one extra result-sized certificate-count round.
-    "x_sa_match_counts" -> fused(saMatchCountsPhased))
+    "x_sa_match_counts" -> fused(saMatchCountsPhased),
+    // ATTRIBUTION: the corpus SITES (doc, position) of each query's
+    // longest match, capped per query — "where did this memorized
+    // text come from?", the report the ∞-gram family exists for.
+    "x_sa_attribution" -> fused(saAttributionPhased))
 
   /** x_sa_dup_len / x_sa_scrub planted fixture: docs with id % 23 == 3
     * repeat an 8-token phrase TWICE with a doc-unique separator between
@@ -257,12 +261,29 @@ private[graft] object QSuffix {
     (init, serve)
   }
 
+  private val saAttributionPhased: Phased = (s, d) => {
+    lazy val dir = tmpStore("sa_store_attr")
+    val init = () => {
+      val (corpus, _) = igFixture(s, d)
+      graft.operators.SaStore.init(s, dir, corpus, "doc_id", "text",
+        numBuckets = 16)
+    }
+    val serve = () => {
+      val (_, queries) = igFixture(s, d)
+      graft.operators.SaStore.attributeMatches(s, dir, queries,
+          "doc_id", "text", maxSites = 5)
+        .orderBy("q_id", "doc_id", "pos")
+    }
+    (init, serve)
+  }
+
   private[graft] val phased: Map[String, Phased] = Map(
     "x_infinigram_stored" -> infinigramStoredPhased,
     "x_sa_longest_match_stored" -> saLongestStoredPhased,
     "x_sa_dup_len_stored" -> saDupLenStoredPhased,
     "x_sa_scrub_stored" -> saScrubStoredPhased,
-    "x_sa_match_counts" -> saMatchCountsPhased)
+    "x_sa_match_counts" -> saMatchCountsPhased,
+    "x_sa_attribution" -> saAttributionPhased)
 
   private val oraclesBase: Map[String, String] = Map(
     "x_suffix_array" ->
@@ -505,6 +526,23 @@ private[graft] object QSuffix {
        |LEFT JOIN agg a USING (doc_id)
        |ORDER BY q.doc_id""".stripMargin
 
+  /** Attribution replay: the matched span's corpus sites by direct
+    * window equality, capped per query at the engine's own
+    * deterministic (doc, pos) order. */
+  private val saAttributionSql =
+    s"""$longestMatchCtes,
+       |spanq AS (SELECT m.qid, m.ml,
+       |            array_to_string(q2.t[len(q2.t) - m.ml + 1:len(q2.t)], ' ') AS span
+       |          FROM m JOIN qtoks q2 ON q2.qid = m.qid WHERE m.ml >= 1),
+       |sites AS (SELECT s2.qid, s2.ml, c.doc_id, CAST(i.i AS INTEGER) AS pos,
+       |            row_number() OVER (PARTITION BY s2.qid
+       |                               ORDER BY c.doc_id, i.i) AS rn
+       |          FROM spanq s2, ctoks c,
+       |               unnest(generate_series(1, len(c.t) - s2.ml + 1)) AS i(i)
+       |          WHERE array_to_string(c.t[i.i:i.i + s2.ml - 1], ' ') = s2.span)
+       |SELECT qid AS q_id, CAST(ml AS INTEGER) AS match_len, doc_id, pos
+       |FROM sites WHERE rn <= 5 ORDER BY q_id, doc_id, pos""".stripMargin
+
   /** The stored probe answers IDENTICALLY (the NgramStore law) — the
     * oracle IS the in-memory replay; a hash match proves the persisted
     * signed count ledger and the bucket-pruned probe drift-free. */
@@ -519,6 +557,7 @@ private[graft] object QSuffix {
       ("x_sa_longest_match_stored" -> longestMatchSql) +
       ("x_sa_dup_len_stored" -> saDupLenStoredSql) +
       ("x_sa_scrub_stored" -> saScrubStoredSql) +
-      ("x_sa_match_counts" -> saMatchCountsSql)
+      ("x_sa_match_counts" -> saMatchCountsSql) +
+      ("x_sa_attribution" -> saAttributionSql)
 }
 

@@ -159,6 +159,22 @@ class SaStoreSpec extends AnyFunSuite with SparkSpec {
     // The 4-token plant (q1..q4) appears in every id % 7 == 5 doc —
     // a genuinely multi-occurrence count.
     assert(byQ(903L)._3 >= 2L, s"plant occurs in several docs: ${byQ(903L)}")
+    // Attribution: the reported sites really carry the matched span,
+    // the per-query cap holds, and site count == n_occ under the cap.
+    val sites = SaStore.attributeMatches(spark, dir, queries,
+        "doc_id", "text", maxSites = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(sites.groupBy(_._1).values.forall(_.length <= 3), "cap holds")
+    val q901 = queries.collect().find(_.getLong(0) == 901L).get.getString(1)
+    val span901 = toks(q901).takeRight(byQ(901L)._2)
+    sites.filter(_._1 == 901L).foreach { case (_, ml, did, pos) =>
+      assert(ml === byQ(901L)._2)
+      assert(corpusToks(did.toInt).slice(pos - 1, pos - 1 + ml) === span901,
+        s"site ($did, $pos) must really carry the matched span")
+    }
+    assert(sites.count(_._1 == 903L) ===
+      math.min(3L, byQ(903L)._3), "sites == min(cap, n_occ)")
+    assert(!sites.exists(_._1 == 904L), "no-match queries emit no sites")
   }
 
   test("append folds O(batch): probe == in-memory over the union; named replay idempotent") {
