@@ -616,6 +616,18 @@ object SaStore {
                       broadcastProbes: Boolean = true): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1: $minLen")
     val (budget, nb) = meta(dir)
+    // A minLen beyond the length budget needs no probe at all: no
+    // STORED document exceeds the budget, so no corpus substring can
+    // reach minLen — the exact answer is empty. The short-circuit is
+    // also the correctness guard: past the budget there is no
+    // certifying level (candDigests clamps at topA and the two
+    // half-windows of an L > 2^(topA+1) candidate leave an uncovered
+    // gap), so letting the round-0 screen run would certify spans
+    // that do not occur. probe() needs no twin guard — it clamps its
+    // search at the budget before any candidate forms.
+    if (minLen > budget)
+      return batch.select(col(idCol), lit(0).as("pos"), lit(0).as("dup_len"))
+        .limit(0)
     val topA = topLevel(budget)
     val bcast = if (broadcastProbes) (df: DataFrame) => broadcast(df)
                 else (df: DataFrame) => df

@@ -665,9 +665,17 @@ object Admission {
     // beyond the length budget) surfacing only mid-absorb would leave
     // the fingerprint table holding a batch the span store rejected —
     // the retry would then verdict those docs duplicates of themselves.
+    // …but NOT on a replay of an append the exact store already
+    // completed (mirroring SaStore.append's own short-circuit
+    // ordering): the checks legitimately fail for state that changed
+    // SINCE completion — a crash between the completed exact-store
+    // append and the span-ledger record below, followed by an unadmit
+    // tombstoning those ids, must replay to a quiet no-op on this leg,
+    // not a loud tombstone-clash refusal.
     cfg.exactSpans.foreach { _ =>
-      graft.operators.SaStore.requireAppendable(spark, exactDir(storeDir),
-        grown, idCol, textCol)
+      if (!AdditiveLedger.isAbsorbed(exactDir(storeDir), deltaName))
+        graft.operators.SaStore.requireAppendable(spark, exactDir(storeDir),
+          grown, idCol, textCol)
     }
     val newFps = grown.select(text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct().withColumn("__v", lit(1L))

@@ -64,26 +64,34 @@ object BucketedParts {
     * [[writeBucketed]]. */
   def writePartitioned(path: String, df: DataFrame, partCols: Seq[String],
                        dirCount: Int): Unit = {
-    // The empty-layout probe below lists via java.io — on a remote FS
-    // scheme it would see nothing and the limit(0) reconcile would
-    // OVERWRITE the data just written. The store family is local-path
-    // by construction (every _meta/_PARTS file is java.nio); make that
-    // assumption loud rather than silently destructive.
-    require(!path.contains("://"),
-      s"bucketed stores are local-filesystem only (java.io layout " +
-        s"probes and java.nio metadata): '$path'")
+    // The store family is local-filesystem by construction (every
+    // _meta/_PARTS file is java.nio) — and the refusal must hold for
+    // the path Spark would RESOLVE, not just for explicit '://'
+    // strings: on a deployment whose default FS is remote, a
+    // scheme-less path writes to that remote FS, a local probe would
+    // see an empty dir, and the limit(0) reconcile below would
+    // OVERWRITE the data just written. So the check and the
+    // empty-layout probe both go through the Hadoop FileSystem the
+    // path actually resolves to.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    require(scheme == "file",
+      s"bucketed stores are local-filesystem only (java.nio ledger/meta " +
+        s"files): '$path' resolves to filesystem scheme '$scheme'")
     val par = df.sparkSession.sparkContext.defaultParallelism
     val salt = math.max(1, par / math.max(1, dirCount))
     df.repartition(partCols.map(col) :+ pmod(xxhash64(col("h1")), lit(salt)): _*)
       .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
-    if (!hasParquetFile(new java.io.File(path)))
+    if (!hasParquetFile(fs, fs.makeQualified(hPath)))
       df.limit(0).write.mode("overwrite").parquet(path)
   }
 
-  private def hasParquetFile(f: java.io.File): Boolean =
-    Option(f.listFiles()).getOrElse(Array.empty).exists(c =>
-      (c.isFile && c.getName.endsWith(".parquet")) ||
-        (c.isDirectory && hasParquetFile(c)))
+  private def hasParquetFile(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+        (st.isDirectory && hasParquetFile(fs, st.getPath)))
 
   /** Per-part read reconciling the partitioned and plain-empty layouts
     * (unionByName aligns the column order). */

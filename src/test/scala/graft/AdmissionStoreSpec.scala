@@ -354,6 +354,38 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(Admission.snapshotPinned(store, "vex"))
   }
 
+  test("exact policy: a committed batch's replay completes after a crash-window unadmit") {
+    import graft.sources.{AdditiveLedger, DeltaParts}
+    val cfgEx = Admission.Config(exactSpans = Some(Admission.ExactSpanStage(
+      minLen = 8, maxLen = 256)))
+    val corpus = df(Seq(101L -> goodText('r')))
+    val b1 = df(Seq(2L -> goodText('p')))
+    val store = java.nio.file.Files.createTempDirectory("admission-exre").toString
+    Admission.init(spark, store, corpus, "doc_id", "text", cfgEx)
+    val out1 = collectVerdicts(Admission.runCommitted(spark, store, b1,
+      "doc_id", "text", 1L, cfgEx))
+    assert(out1(2L)._1 == "admitted")
+    // Takedown of the admitted content: tombstones its id in the exact store.
+    Admission.unadmit(spark, store, b1, "doc_id", "text", cfgEx,
+      name = Some("rm_x"))
+    // Reproduce the crash window "exact-store append completed, span-ledger
+    // record not yet landed": under the exact policy the span delta part is
+    // an empty shell, so rewinding part_b1 out of the span ledgers IS that
+    // state — the exact store's own _absorbed record still holds part_b1.
+    val span = s"$store/span_index"
+    DeltaParts.publish(span, DeltaParts.list(span).filterNot(_ == "part_b1"))
+    val abs = AdditiveLedger.absorbedDir(span)
+    DeltaParts.publish(abs, DeltaParts.list(abs).filterNot(_ == "part_b1"))
+    // The replay must complete idempotently — the absorbed exact-store
+    // append skips its pre-flight (whose tombstone-clash check
+    // legitimately fails for state the LATER unadmit changed) — and
+    // return the batch's ORIGINAL committed verdicts.
+    val replay = collectVerdicts(Admission.runCommitted(spark, store, b1,
+      "doc_id", "text", 1L, cfgEx))
+    assert(replay === out1,
+      s"replay must read back the committed verdicts:\n got=$replay\n want=$out1")
+  }
+
   test("delta-name counter never rewinds onto an absorbed name across compactions") {
     // init → run(part_00001) → compact → epoch batch (part_b0) → compact
     // sweeps every numeric orphan dir; a ledger/disk-only counter would

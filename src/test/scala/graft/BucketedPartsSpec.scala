@@ -45,6 +45,26 @@ class BucketedPartsSpec extends AnyFunSuite with SparkSpec {
       "partition column reconciles back as a data column")
   }
 
+  test("layout probe resolves through the Hadoop FileSystem: file: URIs work, remote schemes refuse") {
+    // A file:-qualified URI resolves to the local FS and must round-trip
+    // (the former string check refused any '://' — including this, the
+    // one scheme the store family actually supports)…
+    val path = "file://" + tmp()
+    BucketedParts.writeBucketed(path, countedPart(100L), 8)
+    assert(spark.read.parquet(path).agg(sum("c")).collect()(0).getLong(0) === 100L)
+    // …and the empty-layout reconcile probes the SAME filesystem.
+    val path2 = "file://" + tmp()
+    BucketedParts.writeBucketed(path2, countedPart(100L).filter(col("c") < 0L), 8)
+    assert(spark.read.parquet(path2).count() === 0L)
+    // A path resolving to a REMOTE scheme refuses loudly before any
+    // write: a local probe of a remote write would read "empty" and the
+    // reconcile would overwrite the data just written.
+    val e = intercept[IllegalArgumentException](
+      BucketedParts.writeBucketed("hdfs://localhost:1/nope", countedPart(10L), 8))
+    assert(e.getMessage.contains("local-filesystem") &&
+      e.getMessage.contains("hdfs"))
+  }
+
   test("empty frame writes once and reconciles to a readable plain layout") {
     val path = tmp()
     EvalTicker.n.set(0L)

@@ -235,6 +235,32 @@ class SaStoreSpec extends AnyFunSuite with SparkSpec {
       "the rebuilt store certifies matches past the old budget")
   }
 
+  test("minLen beyond the length budget is the exact empty answer, not a phantom certificate") {
+    val dir = tmp()
+    // A repetitive corpus: budget 16 (topA = 3, window widths up to 8).
+    // The batch doc repeats one token far past the budget, so for any
+    // L > 2^(topA+1) both CLAMPED half-windows occur in the store —
+    // without the guard the round-0 screen's windows leave an uncovered
+    // gap and it certifies dup_len = minLen spans that occur NOWHERE
+    // (no stored doc even reaches minLen tokens).
+    val corpus = Seq((1L, Seq.fill(16)("r").mkString(" "))).toDF("doc_id", "text")
+    SaStore.init(spark, dir, corpus, "doc_id", "text", numBuckets = 4)
+    assert(SaStore.maxLen(dir) === 16)
+    val batch = Seq((901L, Seq.fill(40)("r").mkString(" "))).toDF("doc_id", "text")
+    val got = SaStore.probeDupLengths(spark, dir, batch, "doc_id", "text",
+      minLen = 17)
+    assert(got.isEmpty,
+      "no stored doc exceeds the budget — the exact answer is empty")
+    // The scrub law holds at the degenerate point too: nothing leaves.
+    val s = SaStore.scrub(spark, dir, batch, "doc_id", "text", minLen = 17)
+      .collect().head
+    assert(s.getAs[Long]("n_removed") === 0L && s.getAs[Long]("n_tokens") === 40L)
+    // At the budget itself the same store still reports real duplication
+    // (off == w: the two half-windows tile the span exactly).
+    assert(SaStore.probeDupLengths(spark, dir, batch, "doc_id", "text",
+      minLen = 16).count() > 0)
+  }
+
   test("non-numeric ids refused loudly at init, append, and remove") {
     val dir = tmp()
     val strDocs = Seq(("doc-1", "a b c")).toDF("doc_id", "text")
