@@ -121,6 +121,13 @@ import org.apache.spark.sql.types.{LongType, StructType}
  */
 object SuffixArrayOps {
 
+  /** The corpus-neighbor fill's per-task query-run buffer cap
+    * ([[corpusNeighborPairs]]): ~2M rows ≈ low hundreds of MB of
+    * buffered suffix keys — far above any admission batch (the fill's
+    * contract is a queries-sized side), far below a corpus-scale
+    * partition. */
+  private[graft] val DefaultMaxQueryRun: Int = 1 << 21
+
   /** One row per token-start suffix: (__id, pos, __key) with `pos` the
     * 1-based token position and `__key` the depth-capped prefix plus
     * the trailing sentinel space. Map-side only; the guarded `sequence`
@@ -155,7 +162,14 @@ object SuffixArrayOps {
     * (dense) rank. Key comparison is by the key columns' Catalyst
     * values (strings/longs here). */
   private def stitchedRank(ranged: DataFrame, keyCols: Seq[String],
-                           dense: Boolean, out: String): DataFrame = {
+                           dense: Boolean, out: String): DataFrame =
+    stitchedRankCounted(ranged, keyCols, dense, out)._1
+
+  /** [[stitchedRank]] plus the two counts its sidecar already holds:
+    * (frame, distinct-key count = the final cum offset, total rows) —
+    * free fuel for the prefix-doubling early exit in [[suffixRanks]]. */
+  private def stitchedRankCounted(ranged: DataFrame, keyCols: Seq[String],
+                                  dense: Boolean, out: String): (DataFrame, Long, Long) = {
     val schema = ranged.schema
     val kIdx = keyCols.map(schema.fieldIndex)
     def keyOf(r: Row): Seq[Any] = kIdx.map(r.get)
@@ -191,9 +205,10 @@ object SuffixArrayOps {
         Row.fromSeq(r.toSeq :+ (off + local))
       }
     }
-    ranged.sparkSession.createDataFrame(rdd,
+    (ranged.sparkSession.createDataFrame(rdd,
       StructType(schema.fields :+
-        org.apache.spark.sql.types.StructField(out, LongType, nullable = false)))
+        org.apache.spark.sql.types.StructField(out, LongType, nullable = false))),
+      cum, side.map(_._2).sum)
   }
 
   /** 1-based global TOTAL rank in `sortCols` order (one range exchange,
@@ -207,7 +222,14 @@ object SuffixArrayOps {
     * partitions — the stitch merges them back. */
   private def denseRank(df: DataFrame, keyCols: Seq[String], tieCols: Seq[String],
                         out: String): DataFrame =
-    stitchedRank(rangeSorted(df, (keyCols ++ tieCols).map(col)),
+    denseRankCounted(df, keyCols, tieCols, out)._1
+
+  /** [[denseRank]] with (distinct-class count, row count) — both read
+    * from the stitch sidecar the rank pass runs anyway. */
+  private def denseRankCounted(df: DataFrame, keyCols: Seq[String],
+                               tieCols: Seq[String],
+                               out: String): (DataFrame, Long, Long) =
+    stitchedRankCounted(rangeSorted(df, (keyCols ++ tieCols).map(col)),
       keyCols, dense = true, out)
 
   /** Every consecutive row pair in `sortCols` order: one range
@@ -254,21 +276,37 @@ object SuffixArrayOps {
   private[operators] def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
                                      depth: Int): DataFrame = {
     require(depth >= 2, s"base depth must be >= 2: $depth")
-    var s = denseRank(suffixKeys(docs, idCol, textCol, depth),
+    val (s0, classes0, rows) = denseRankCounted(
+      suffixKeys(docs, idCol, textCol, depth),
       Seq("__key"), Seq("__id", "pos"), "__r")
-      .select(col("__id"), col("pos"), col("__r"))
+    var s = s0.select(col("__id"), col("pos"), col("__r"))
     val maxLen = docs.select(max(size(SpanDedup.toks(col(textCol)))))
       .collect().headOption.flatMap(r => Option(r.get(0)))
       .map(_.asInstanceOf[Int]).getOrElse(0)
     var w = depth
-    while (w < maxLen) {
+    var classes = classes0
+    // EARLY EXIT (the classic prefix-doubling stop, read for free from
+    // the rank stitch's sidecar): once every suffix holds a DISTINCT
+    // rank the order is total and further rounds cannot change it; and
+    // once a doubling splits NO class the partition is final even with
+    // equal suffixes still sharing ranks (no refinement at 2w ⟹ none
+    // at any width — the standard stability induction), which is the
+    // exit corpora with exact-duplicate documents take. Natural text
+    // therefore pays ~log(longest repeated span) rounds, not
+    // log(longest document) — the difference between 2 and 7 rounds on
+    // web-scale docs.
+    var done = classes == rows
+    while (!done && w < maxLen) {
       val shifted = s.select(col("__id"), (col("pos") - lit(w)).as("pos"),
         col("__r").as("__r2"))
       val paired = s.join(shifted, Seq("__id", "pos"), "left")
         .select(col("__id"), col("pos"), col("__r"),
           coalesce(col("__r2"), lit(0L)).as("__r2"))
-      s = denseRank(paired, Seq("__r", "__r2"), Seq("__id", "pos"), "__rn")
-        .select(col("__id"), col("pos"), col("__rn").as("__r"))
+      val (s2, c2, _) = denseRankCounted(paired, Seq("__r", "__r2"),
+        Seq("__id", "pos"), "__rn")
+      s = s2.select(col("__id"), col("pos"), col("__rn").as("__r"))
+      done = c2 == rows || c2 == classes
+      classes = c2
       w *= 2
     }
     s
@@ -333,12 +371,41 @@ object SuffixArrayOps {
         sig.commonPrefixLen(col("__ka"), col("__kb"))))
       .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"), col("lcp"))
       .localCheckpoint(true)
+    escalateLcp(base.where(col("lcp") < depth),
+      base.where(col("lcp") === depth)
+        .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b")),
+      docs, idCol, textCol, depth * 2)
+  }
+
+  /** Exact LCP for pair rows carrying NO keys — the base round
+    * re-slices width-`depth` keys from the docs' token arrays, then
+    * escalates exactly like [[resolveLcp]]. Used where the pair set is
+    * far SMALLER than the suffix relation (the corpus-neighbor fill:
+    * ~3 pairs per query suffix): re-deriving keys for the pairs costs
+    * pairs-sized joins, where carrying keys would regenerate the whole
+    * suffix-key relation, join it corpus-sized onto the ranks, and drag
+    * the strings through the fill's range exchange. */
+  private def resolveLcpBySlicing(pairs: DataFrame, docs: DataFrame,
+                                  idCol: String, textCol: String,
+                                  depth: Int): DataFrame =
+    escalateLcp(
+      pairs.select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"),
+        lit(0).cast("int").as("lcp")).limit(0),
+      pairs.select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b")),
+      docs, idCol, textCol, depth)
+
+  /** The shared escalation loop: rekey `pending` at width `d0` from the
+    * docs' token arrays, resolve lcp < d, double until no pair
+    * saturates; `resolved0` carries any pairs already resolved at
+    * widths below d0. */
+  private def escalateLcp(resolved0: DataFrame, pending0: DataFrame,
+                          docs: DataFrame, idCol: String, textCol: String,
+                          d0: Int): DataFrame = {
     val toksDf = docs.select(col(idCol).as("__tid"),
       SpanDedup.toks(col(textCol)).as("__t"))
-    var resolved = base.where(col("lcp") < depth)
-    var pending = base.where(col("lcp") === depth)
-      .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"))
-    var d = depth * 2
+    var resolved = resolved0
+    var pending = pending0
+    var d = d0
     while (!pending.isEmpty) {
       val dl = lit(d)
       val rekeyed = pending
@@ -426,53 +493,80 @@ object SuffixArrayOps {
   }
 
   /** For every QUERY suffix row (`__isq` == 1), its nearest CORPUS
-    * suffix row before AND after in `sortCols` order, as pair rows in
-    * the [[resolveLcp]] shape — corpus side (id_a, pos_a, __ka), query
-    * side (id_b, pos_b, __kb). Partition-local forward/backward fills
-    * over the range-sorted checkpoint (each partition buffers once —
-    * the reverse pass needs it; a sort partition fits by shuffle
-    * sizing), boundaries stitched from a per-partition
-    * (first-corpus-row, last-corpus-row) driver sidecar. Query rows
-    * with no corpus row on a given side emit no pair for that side. */
-  private def corpusNeighborPairs(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    * suffix row before AND after in `sortCols` order, as KEYLESS pair
+    * rows — corpus side (id_a, pos_a), query side (id_b, pos_b), LCP
+    * resolution deferred to [[resolveLcpBySlicing]] (pairs-sized key
+    * re-derivation beats carrying suffix-key strings through this
+    * fill's range exchange AND the corpus-sized ranks⋈keys join that
+    * used to precede it). Partition-local forward/backward fills over
+    * the range-sorted checkpoint, boundaries stitched from a
+    * per-partition (first-corpus-row, last-corpus-row, last-query-row)
+    * driver sidecar. Query rows with no corpus row on a given side emit
+    * no pair for that side.
+    *
+    * `withQueryPairs` ALSO emits every consecutive query-query pair
+    * (previous query row as side a) — adjacency among the query rows of
+    * the union sort IS adjacency in the query-only SA (a constant id
+    * offset preserves the tie order), so these pairs carry the
+    * query-internal max-LCP signal ([[saDupLengths]]' adjacent pairs)
+    * from the SAME ranked stream, sparing the second SA construction
+    * the exact admission scrub used to pay. */
+  private[graft] def corpusNeighborPairs(df: DataFrame, sortCols: Seq[Column],
+      withQueryPairs: Boolean = false,
+      maxQueryRun: Int = DefaultMaxQueryRun): DataFrame = {
     val ranged = rangeSorted(df, sortCols)
     val schema = ranged.schema
     val iId = schema.fieldIndex("__id")
     val iPos = schema.fieldIndex("pos")
-    val iKey = schema.fieldIndex("__key")
     val iQ = schema.fieldIndex("__isq")
     def isQ(r: Row): Boolean = r.getInt(iQ) == 1
     val side = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var first: Row = null
       var last: Row = null
-      it.foreach { r => if (!isQ(r)) { if (first == null) first = r; last = r } }
-      if (last == null) Iterator.empty else Iterator((pid, first, last))
+      var lastQ: Row = null
+      it.foreach { r =>
+        if (!isQ(r)) { if (first == null) first = r; last = r }
+        else if (withQueryPairs) lastQ = r
+      }
+      if (last == null && lastQ == null) Iterator.empty
+      else Iterator((pid, first, last, lastQ))
     }.collect().sortBy(_._1)
     val np = ranged.rdd.getNumPartitions
     val prevFor = new Array[Row](np)
+    val prevQFor = new Array[Row](np)
     val nextFor = new Array[Row](np)
     var carry: Row = null
+    var carryQ: Row = null
     var li = 0
     var i = 0
     while (i < np) {
       prevFor(i) = carry
-      if (li < side.length && side(li)._1 == i) { carry = side(li)._3; li += 1 }
+      prevQFor(i) = carryQ
+      if (li < side.length && side(li)._1 == i) {
+        if (side(li)._3 != null) carry = side(li)._3
+        if (side(li)._4 != null) carryQ = side(li)._4
+        li += 1
+      }
       i += 1
     }
     carry = null; li = side.length - 1; i = np - 1
     while (i >= 0) {
       nextFor(i) = carry
-      if (li >= 0 && side(li)._1 == i) { carry = side(li)._2; li -= 1 }
+      if (li >= 0 && side(li)._1 == i) {
+        if (side(li)._2 != null) carry = side(li)._2
+        li -= 1
+      }
       i -= 1
     }
     val bcPrev = ranged.sparkSession.sparkContext.broadcast(prevFor)
+    val bcPrevQ = ranged.sparkSession.sparkContext.broadcast(prevQFor)
     val bcNext = ranged.sparkSession.sparkContext.broadcast(nextFor)
     // Streaming pass — the kernel discipline of this file (one-row
-    // state, never a buffered partition): predecessor pairs emit
-    // inline; successor pairs buffer only the CURRENT RUN of
-    // consecutive query rows (queries are sparse among corpus suffixes
-    // by construction), flushing against each corpus row, the trailing
-    // run against the next-partition sidecar.
+    // state, never a buffered partition): predecessor pairs (corpus and
+    // query sided) emit inline; successor pairs buffer only the CURRENT
+    // RUN of consecutive query rows (queries are sparse among corpus
+    // suffixes by construction), flushing against each corpus row, the
+    // trailing run against the next-partition sidecar.
     // BOUND: the run buffer is O(longest stretch of query suffixes with
     // no interleaved corpus row). A query doc of entirely novel tokens
     // clusters all its suffixes contiguously, so the worst case is
@@ -481,17 +575,34 @@ object SuffixArrayOps {
     // Acceptable by the probe's own contract (query batches are small
     // relative to the corpus — the op is queries-sized by design); a
     // corpus-scale "query" side belongs in the batch SA construction,
-    // not this fill.
+    // not this fill — and the bound is ENFORCED, not assumed: a run
+    // past `maxQueryRun` refuses loudly below.
     val rdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       def pair(c: Row, q: Row): Row = Row(
-        c.get(iId), c.get(iPos), c.get(iKey),
-        q.get(iId), q.get(iPos), q.get(iKey))
+        c.get(iId), c.get(iPos), q.get(iId), q.get(iPos))
       var lastC: Row = bcPrev.value(pid)
+      var lastQ: Row = bcPrevQ.value(pid)
       val run = scala.collection.mutable.ArrayBuffer.empty[Row]
       it.flatMap { r =>
         if (isQ(r)) {
           run += r
-          if (lastC != null) Iterator.single(pair(lastC, r)) else Iterator.empty
+          // ENFORCED bound (not just documented): a run this long means
+          // the query side is approaching corpus scale — outside this
+          // fill's queries-sized contract — and silently buffering it
+          // is the OOM nobody can attribute. Refuse loudly instead.
+          if (run.length > maxQueryRun)
+            throw new IllegalStateException(
+              s"corpus-neighbor fill buffered $maxQueryRun consecutive " +
+                "query suffixes with no interleaved corpus row — the " +
+                "query side is approaching corpus scale, which this " +
+                "queries-sized fill does not serve; split the query " +
+                "batch (the op's contract) or raise maxQueryRun if the " +
+                "executors genuinely have the memory")
+          val qq = if (withQueryPairs && lastQ != null)
+            Iterator.single(pair(lastQ, r)) else Iterator.empty
+          if (withQueryPairs) lastQ = r
+          qq ++ (if (lastC != null) Iterator.single(pair(lastC, r))
+                 else Iterator.empty)
         } else {
           val flushed = run.toArray.iterator.map(q => pair(r, q))
           run.clear()
@@ -512,10 +623,8 @@ object SuffixArrayOps {
     ranged.sparkSession.createDataFrame(rdd, StructType(Seq(
       StructField("id_a", f(iId).dataType, nullable = false),
       StructField("pos_a", f(iPos).dataType, nullable = false),
-      StructField("__ka", f(iKey).dataType, nullable = false),
       StructField("id_b", f(iId).dataType, nullable = false),
-      StructField("pos_b", f(iPos).dataType, nullable = false),
-      StructField("__kb", f(iKey).dataType, nullable = false))))
+      StructField("pos_b", f(iPos).dataType, nullable = false))))
   }
 
   /**
@@ -592,6 +701,43 @@ object SuffixArrayOps {
         col("dup_len").cast("int").as("dup_len"))
   }
 
+  /**
+   * Per-position duplicated length of `batch` against corpus ∪ (batch
+   * minus the position's own suffix) — the exact admission policy's
+   * FULL coverage ([[graft.pipelines.Admission]]'s exact scrub:
+   * corpus-side AND batch-internal duplication both count) from ONE
+   * union SA: ≡ the max-merge of [[dupLengthsAgainst]] and
+   * [[saDupLengths]](batch) (spec-pinned), but where that pair builds
+   * the union (corpus ∪ batch) SA and then a SECOND batch-only SA, the
+   * batch-internal signal here rides the SAME ranked stream — the
+   * union sort's query rows keep the batch-only SA's relative order
+   * (the constant id offset preserves tie order), so consecutive
+   * query-query pairs ARE the batch SA's adjacent pairs
+   * ([[corpusNeighborPairs]]' `withQueryPairs` lane). One construction,
+   * one fill pass, one LCP kernel run over both pair kinds.
+   */
+  def dupLengthsAgainstAndWithin(corpus: DataFrame, idCol: String, textCol: String,
+                                 batch: DataFrame, bIdCol: String, bTextCol: String,
+                                 minLen: Int, depth: Int = 32,
+                                 idOffset: Long = 1000000000L): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    val (lcp, _) = corpusNeighborLcp(corpus, idCol, textCol,
+      batch, bIdCol, bTextCol, depth, idOffset, withQueryPairs = true)
+    // Corpus-query pairs contribute to their query (b) side only (the
+    // a side filters out below — corpus positions are not reported);
+    // query-query pairs contribute to BOTH sides, exactly as
+    // saDupLengths folds its adjacent pairs.
+    lcp.select(col("id_a").as("__id"), col("pos_a").as("pos"), col("lcp"))
+      .unionByName(lcp.select(col("id_b").as("__id"), col("pos_b").as("pos"),
+        col("lcp")))
+      .where(col("__id") >= idOffset)
+      .groupBy(col("__id"), col("pos"))
+      .agg(max(col("lcp")).as("dup_len"))
+      .where(col("dup_len") >= minLen)
+      .select((col("__id") - idOffset).as(bIdCol), col("pos"),
+        col("dup_len").cast("int").as("dup_len"))
+  }
+
   /** ExactSubstr admission scrub of `batch` against `corpus` — remove
     * every batch token covered by a >= `minLen` run occurring anywhere
     * in the corpus; [[saScrub]]'s coverage/merge/reassembly tail over
@@ -611,8 +757,8 @@ object SuffixArrayOps {
     * pairs without the containment filter. */
   private def corpusNeighborLcp(corpus: DataFrame, idCol: String, textCol: String,
                                 queries: DataFrame, qIdCol: String, qTextCol: String,
-                                depth: Int,
-                                idOffset: Long): (DataFrame, DataFrame) = {
+                                depth: Int, idOffset: Long,
+                                withQueryPairs: Boolean = false): (DataFrame, DataFrame) = {
     // try_cast, not cast: under ANSI a malformed id would throw an
     // opaque executor CAST_INVALID_INPUT mid-plan; try_cast yields NULL
     // and the count below turns that into THIS operator's loud refusal.
@@ -650,11 +796,10 @@ object SuffixArrayOps {
       col(qTextCol).as("__text"))
     val union = cdocs.unionByName(qdocs)
     val keyed = suffixRanks(union, "__id", "__text", depth)
-      .join(suffixKeys(union, "__id", "__text", depth), Seq("__id", "pos"))
       .withColumn("__isq", (col("__id") >= idOffset).cast("int"))
-      .select(col("__r"), col("__id"), col("pos"), col("__key"), col("__isq"))
+      .select(col("__r"), col("__id"), col("pos"), col("__isq"))
     val pairs = corpusNeighborPairs(keyed,
-      Seq(col("__r"), col("__id"), col("pos")))
-    (resolveLcp(pairs, union, "__id", "__text", depth), qdocs)
+      Seq(col("__r"), col("__id"), col("pos")), withQueryPairs)
+    (resolveLcpBySlicing(pairs, union, "__id", "__text", depth), qdocs)
   }
 }

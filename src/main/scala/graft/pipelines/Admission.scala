@@ -332,17 +332,21 @@ object Admission {
     }
     val scrubbed = cfg.exactSpans match {
       case Some(st) =>
-        // The exact policy's corpus side, in-memory form: the union-SA
-        // nearest-corpus max-LCP per survivor position. The survivor
-        // frame materializes first — it is batch-sized and the SA
-        // construction scans its side of the union log-many times
-        // (ranks, keys, LCP escalation), which would re-execute the
-        // funnel join tree each pass.
+        // The exact policy, in-memory form: ONE union-SA construction
+        // serves BOTH coverage legs — the nearest-corpus max-LCP per
+        // survivor position AND the survivor-internal adjacent-pair
+        // lengths ride the same ranked stream
+        // (SuffixArrayOps.dupLengthsAgainstAndWithin) — where this
+        // path used to build the union SA and then a SECOND batch-only
+        // SA for the within-batch leg. The survivor frame materializes
+        // first: it is batch-sized and the SA construction scans its
+        // side of the union log-many times (ranks, keys, LCP
+        // escalation), which would re-execute the funnel join tree
+        // each pass.
         val survX = survScrub.localCheckpoint(true)
-        exactScrub(survX,
-          graft.operators.SuffixArrayOps.dupLengthsAgainst(corpus, idCol,
-            textCol, survX, idCol, textCol, st.minLen),
-          st.minLen, idCol, textCol)
+        graft.operators.SuffixArrayOps.scrubFromDupLengths(survX, idCol,
+          textCol, graft.operators.SuffixArrayOps.dupLengthsAgainstAndWithin(
+            corpus, idCol, textCol, survX, idCol, textCol, st.minLen))
       case None =>
         // scrubAgainstIndex probes the index twice (already-dup scan +
         // crossed-sum join); the in-memory composition must materialize
@@ -357,12 +361,15 @@ object Admission {
       batch, idCol, textCol, cfg)
   }
 
-  /** The exact policy's scrub assembly — ONE definition for the
-    * in-memory and standing forms (only the CORPUS-side dup-length
-    * producer differs): corpus-side coverage ∪ the batch-internal
-    * [[graft.operators.SuffixArrayOps.saDupLengths]] over the
-    * survivors (batch-sized — the union SA of the batch only), merged
-    * and reassembled by the shared scrub tail. */
+  /** The exact policy's scrub assembly, STANDING form: the corpus side
+    * arrives as [[graft.operators.SaStore.probeDupLengths]]' O(batch)
+    * store probe, the batch-internal side as
+    * [[graft.operators.SuffixArrayOps.saDupLengths]] over the survivors
+    * (batch-sized — the SA of the batch only), merged and reassembled
+    * by the shared scrub tail. The in-memory form ([[runAgainst]]) no
+    * longer splits: [[graft.operators.SuffixArrayOps
+    * .dupLengthsAgainstAndWithin]] serves both legs from ONE union SA —
+    * pinned equal to this composition by SuffixArraySpec. */
   private def exactScrub(surv: DataFrame, dlCorpus: DataFrame, minLen: Int,
                          idCol: String, textCol: String): DataFrame = {
     val dlBatch = graft.operators.SuffixArrayOps.saDupLengths(

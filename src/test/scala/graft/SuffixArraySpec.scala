@@ -176,6 +176,78 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
     assert(got(41L) === ((0L, 0L, "")))  // empty doc is a total-function row
   }
 
+  test("dupLengthsAgainstAndWithin: one union SA equals brute force and the two-SA composition") {
+    import spark.implicits._
+    val batchRows = Seq(
+      901L -> "aa ab a c b zz a aa",              // verbatim corpus doc 43
+      902L -> "n1 n2 n3 n4 n5 n6 n7 n8 n9 tailx", // batch-internal 9-run, copy A
+      903L -> "zz n1 n2 n3 n4 n5 n6 n7 n8 n9",    // copy B — novel to the corpus
+      904L -> "novelone noveltwo novelthree",     // matches nothing anywhere
+      905L -> "",                                 // empty doc
+      906L -> "a b c a b c zz")                   // natural + within-doc repeat
+    val batch = batchRows.toDF("doc_id", "text")
+    val minLen = 3
+    val got = SuffixArrayOps.dupLengthsAgainstAndWithin(docsDf, "doc_id", "text",
+        batch, "doc_id", "text", minLen, depth = 4, idOffset = 100000L)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    // Brute force: per batch position, max LCP over every corpus suffix
+    // AND every OTHER batch suffix — independent of any SA argument.
+    val corpusSufs = corpus.toVector.flatMap { case (_, text) =>
+      val t = toks(text); t.indices.map(t.drop) }
+    val batchSufs = for {
+      (id, text) <- batchRows.toVector; t = toks(text); p <- 1 to t.length
+    } yield (id, p, t.drop(p - 1))
+    val want = batchSufs.map { case (id, p, s) =>
+      val vsCorpus = corpusSufs.iterator.map(lcpTok(s, _)).foldLeft(0)(math.max)
+      val vsBatch = batchSufs.iterator
+        .filter { case (id2, p2, _) => (id2, p2) != ((id, p)) }
+        .map { case (_, _, s2) => lcpTok(s, s2) }.foldLeft(0)(math.max)
+      ((id, p), math.max(vsCorpus, vsBatch))
+    }.filter(_._2 >= minLen).toMap
+    assert(got === want)
+    // The plants really exercise both lanes: the corpus-verbatim doc
+    // matches whole from pos 1; the batch-internal 9-run (novel to the
+    // corpus) reaches 9 only via the query-query pair lane.
+    assert(got((901L, 1)) === 8)
+    assert(got((902L, 1)) === 9)
+    // Scrub-level law: the one-construction coverage equals the former
+    // two-SA composition (dupLengthsAgainst ∪ saDupLengths) — the
+    // equality Admission's exact policy relies on.
+    def scrubRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val one = scrubRows(SuffixArrayOps.scrubFromDupLengths(batch, "doc_id", "text",
+      SuffixArrayOps.dupLengthsAgainstAndWithin(docsDf, "doc_id", "text",
+        batch, "doc_id", "text", minLen, depth = 4, idOffset = 100000L)))
+    val two = scrubRows(SuffixArrayOps.scrubFromDupLengths(batch, "doc_id", "text",
+      SuffixArrayOps.dupLengthsAgainst(docsDf, "doc_id", "text",
+          batch, "doc_id", "text", minLen, depth = 4, idOffset = 100000L)
+        .unionByName(SuffixArrayOps.saDupLengths(batch, "doc_id", "text",
+          minLen, depth = 4))))
+    assert(one === two)
+  }
+
+  test("corpus-neighbor fill: the query-run buffer bound is enforced loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // One corpus row, 2000 query rows on one hot key: every partition of
+    // the range sort holds a long corpus-free query run.
+    val rows = (Seq((0L, 1, "a ", 0)) ++
+      (1 to 2000).map(i => (100000L + i, 1, "q ", 1)))
+      .toDF("__id", "pos", "__key", "__isq")
+    val sortCols = Seq(col("__key"), col("__id"), col("pos"))
+    // Under the cap the fill serves: every query row pairs with the one
+    // corpus predecessor (via the boundary sidecar), none with a successor.
+    assert(SuffixArrayOps.corpusNeighborPairs(rows, sortCols,
+      maxQueryRun = 5000).count() === 2000L)
+    // Over the cap it refuses loudly instead of buffering without bound.
+    val e = intercept[Exception](
+      SuffixArrayOps.corpusNeighborPairs(rows, sortCols,
+        maxQueryRun = 10).count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("corpus scale")), s"unexpected: $e")
+  }
+
   test("CommonPrefixLen counts code points, through codegen and for surrogates") {
     // Kernel directly: surrogate-pair code points count as ONE.
     def k(a: String, b: String): Int =
