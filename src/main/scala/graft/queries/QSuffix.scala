@@ -127,7 +127,14 @@ private[graft] object QSuffix {
     // ATTRIBUTION: the corpus SITES (doc, position) of each query's
     // longest match, capped per query — "where did this memorized
     // text come from?", the report the ∞-gram family exists for.
-    "x_sa_attribution" -> fused(saAttributionPhased))
+    "x_sa_attribution" -> fused(saAttributionPhased),
+    // TAKEDOWN gate (the x_bm25_delete / x_ann_delete precedent for
+    // this store): remove two doc-id slices around a compact — wave A
+    // folds physically into the compacted generation, wave B stays a
+    // live tombstone part hidden by the read-side anti-join — then
+    // probe; the oracle replays the SURVIVOR corpus only, so a removed
+    // doc serving any match is a hash mismatch.
+    "x_sa_remove" -> fused(saRemovePhased))
 
   /** x_sa_dup_len / x_sa_scrub planted fixture: docs with id % 23 == 3
     * repeat an 8-token phrase TWICE with a doc-unique separator between
@@ -277,13 +284,43 @@ private[graft] object QSuffix {
     (init, serve)
   }
 
+  /** The takedown-path phased form: init builds the store over the
+    * corpus, tombstones the victim slices in two waves AROUND a compact
+    * (so the serve probe reads a compacted generation AND a live
+    * tombstone part at once — both erasure lanes in one gate); serve is
+    * the ordinary probe. Wave overlap (ids in both slices) is the
+    * re-tombstone-after-compact no-op, deliberately exercised. */
+  private val saRemovePhased: Phased = (s, d) => {
+    lazy val dir = tmpStore("sa_store_rm")
+    val init = () => {
+      val (corpus, _) = igFixture(s, d)
+      graft.operators.SaStore.init(s, dir, corpus, "doc_id", "text",
+        numBuckets = 16)
+      // Wave A: every plant carrier — the takedown must visibly change
+      // answers (the planted 11-matches die with their only sites).
+      graft.operators.SaStore.remove(s, dir,
+        corpus.filter(col("doc_id") % 11 === 5).select("doc_id"), "doc_id")
+      graft.operators.SaStore.compact(s, dir)
+      // Wave B, post-compact: stays a live tombstone part at serve.
+      graft.operators.SaStore.remove(s, dir,
+        corpus.filter(col("doc_id") % 13 === 4).select("doc_id"), "doc_id")
+    }
+    val serve = () => {
+      val (_, queries) = igFixture(s, d)
+      graft.operators.SaStore.probe(s, dir, queries, "doc_id", "text")
+        .orderBy("q_id")
+    }
+    (init, serve)
+  }
+
   private[graft] val phased: Map[String, Phased] = Map(
     "x_infinigram_stored" -> infinigramStoredPhased,
     "x_sa_longest_match_stored" -> saLongestStoredPhased,
     "x_sa_dup_len_stored" -> saDupLenStoredPhased,
     "x_sa_scrub_stored" -> saScrubStoredPhased,
     "x_sa_match_counts" -> saMatchCountsPhased,
-    "x_sa_attribution" -> saAttributionPhased)
+    "x_sa_attribution" -> saAttributionPhased,
+    "x_sa_remove" -> saRemovePhased)
 
   private val oraclesBase: Map[String, String] = Map(
     "x_suffix_array" ->
@@ -373,8 +410,13 @@ private[graft] object QSuffix {
     * together once; a query suffix occurs in the corpus iff its
     * nearest corpus neighbor in that order extends it (qs-prefixed
     * strings form a contiguous range starting at qs — the successor
-    * catches proper extensions, the predecessor exact equals). */
-  private val longestMatchCtes =
+    * catches proper extensions, the predecessor exact equals).
+    * `corpusWhere` selects the corpus slice — the default is the whole
+    * igFixture corpus; x_sa_remove narrows it to the survivors of the
+    * takedown (the store's removed docs must answer exactly as if they
+    * were never there). */
+  private def longestMatchCtes(
+      corpusWhere: String = "doc_id % 17 <> 0"): String =
     s"""WITH q0 AS (SELECT doc_id, CASE
        |        WHEN doc_id % 2 = 0 THEN text || ' qnovel' || CAST(doc_id AS VARCHAR)
        |        WHEN doc_id % 3 = 0 THEN text ||
@@ -384,7 +426,7 @@ private[graft] object QSuffix {
        |c0 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 5 THEN text ||
        |          ' ig1 ig2 ig3 ig4 ig5 ig6 ig7 ig8 ig9 ig10 igend'
        |        ELSE text END AS text
-       |      FROM documents WHERE doc_id % 17 <> 0),
+       |      FROM documents WHERE $corpusWhere),
        |ctoks AS (SELECT doc_id, $words AS t FROM c0),
        |qtoks AS (SELECT doc_id AS qid, $words AS t FROM q0),
        |cs AS (SELECT array_to_string(t[i.i:len(t)], ' ') AS suf
@@ -414,7 +456,7 @@ private[graft] object QSuffix {
        |      GROUP BY qid)""".stripMargin
 
   private val longestMatchSql =
-    s"""$longestMatchCtes
+    s"""${longestMatchCtes()}
        |SELECT q.doc_id AS q_id, CAST(coalesce(m.ml, 0) AS INTEGER) AS match_len
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) q
        |LEFT JOIN m ON m.qid = q.doc_id
@@ -425,7 +467,7 @@ private[graft] object QSuffix {
     * direct window-equality scan — an INDEPENDENT counting of what the
     * engine counts via the certificate join. */
   private val saMatchCountsSql =
-    s"""$longestMatchCtes,
+    s"""${longestMatchCtes()},
        |spanq AS (SELECT m.qid, m.ml,
        |            array_to_string(q2.t[len(q2.t) - m.ml + 1:len(q2.t)], ' ') AS span
        |          FROM m JOIN qtoks q2 ON q2.qid = m.qid WHERE m.ml >= 1),
@@ -530,7 +572,7 @@ private[graft] object QSuffix {
     * window equality, capped per query at the engine's own
     * deterministic (doc, pos) order. */
   private val saAttributionSql =
-    s"""$longestMatchCtes,
+    s"""${longestMatchCtes()},
        |spanq AS (SELECT m.qid, m.ml,
        |            array_to_string(q2.t[len(q2.t) - m.ml + 1:len(q2.t)], ' ') AS span
        |          FROM m JOIN qtoks q2 ON q2.qid = m.qid WHERE m.ml >= 1),
@@ -542,6 +584,19 @@ private[graft] object QSuffix {
        |          WHERE array_to_string(c.t[i.i:i.i + s2.ml - 1], ' ') = s2.span)
        |SELECT qid AS q_id, CAST(ml AS INTEGER) AS match_len, doc_id, pos
        |FROM sites WHERE rn <= 5 ORDER BY q_id, doc_id, pos""".stripMargin
+
+  /** Takedown replay: the SAME independent union-suffix-sort as
+    * longestMatchSql, over the corpus MINUS both victim slices — the
+    * removed docs must answer exactly as if they were never stored
+    * (the plant carriers are all in wave A, so the planted 11-matches
+    * must fall back to the queries' natural text). */
+  private val saRemoveSql =
+    s"""${longestMatchCtes(
+        "doc_id % 17 <> 0 AND doc_id % 11 <> 5 AND doc_id % 13 <> 4")}
+       |SELECT q.doc_id AS q_id, CAST(coalesce(m.ml, 0) AS INTEGER) AS match_len
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) q
+       |LEFT JOIN m ON m.qid = q.doc_id
+       |ORDER BY q_id""".stripMargin
 
   /** The stored probe answers IDENTICALLY (the NgramStore law) — the
     * oracle IS the in-memory replay; a hash match proves the persisted
@@ -558,6 +613,7 @@ private[graft] object QSuffix {
       ("x_sa_dup_len_stored" -> saDupLenStoredSql) +
       ("x_sa_scrub_stored" -> saScrubStoredSql) +
       ("x_sa_match_counts" -> saMatchCountsSql) +
-      ("x_sa_attribution" -> saAttributionSql)
+      ("x_sa_attribution" -> saAttributionSql) +
+      ("x_sa_remove" -> saRemoveSql)
 }
 
