@@ -672,6 +672,65 @@ object SuffixArrayOps {
   }
 
   /**
+   * ATTRIBUTION, in-memory reference form — the corpus SITES of each
+   * query's longest match: (q_id, match_len, doc_id, pos), one row per
+   * corpus occurrence of the matched span, capped at `maxSites` per
+   * query by the deterministic (doc_id, pos) order —
+   * [[SaStore.attributeMatches]]' exact shape computed from a corpus
+   * DataFrame: [[longestCorpusMatch]] finds the lengths, then ONE
+   * corpus window pass at the matched DISTINCT lengths digest-joins
+   * the spans (128-bit, the family's standing collision convention —
+   * the span strings never ride the exchange). Queries with no match
+   * emit no rows. O(corpus tokens × distinct matched lengths) per
+   * call — the documented in-memory reference cost; the standing form
+   * is the store probe.
+   */
+  def attributeCorpusMatches(corpus: DataFrame, idCol: String, textCol: String,
+                             queries: DataFrame, qIdCol: String, qTextCol: String,
+                             maxSites: Int = 10, depth: Int = 32,
+                             idOffset: Long = 1000000000L): DataFrame = {
+    require(maxSites >= 1, s"maxSites must be >= 1: $maxSites")
+    val m = longestCorpusMatch(corpus, idCol, textCol,
+        queries, qIdCol, qTextCol, depth, idOffset)
+      .filter(col("match_len") >= 1).localCheckpoint(true)
+    val ls = m.select(col("match_len")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (ls.isEmpty)
+      return m.select(col("q_id"), col("match_len"),
+        lit(0L).as("doc_id"), lit(0).as("pos")).limit(0)
+    def d1(l: Column, sp: Column) = xxhash64(l, sp)
+    def d2(l: Column, sp: Column) = xxhash64(lit(1L), l, sp)
+    val qt = queries.select(col(qIdCol).as("q_id"),
+      SpanDedup.toks(col(qTextCol)).as("__t"))
+    val qs = m.join(qt, Seq("q_id"))
+      .select(col("q_id"), col("match_len"),
+        concat_ws(" ", slice(col("__t"),
+          size(col("__t")) - col("match_len") + 1, col("match_len"))).as("__sp"))
+      .select(col("q_id"), col("match_len"),
+        d1(col("match_len"), col("__sp")).as("h1"),
+        d2(col("match_len"), col("__sp")).as("h2"))
+    val t = SpanDedup.toks(col(textCol))
+    val lsArr = array(ls.map(l => lit(l)): _*)
+    val cw = corpus.select(col(idCol).cast("long").as("doc_id"),
+      explode(flatten(transform(lsArr, l => {
+        val starts = when(size(t) >= l, sequence(lit(1), size(t) - l + 1))
+          .otherwise(array().cast("array<int>"))
+        transform(starts, i => {
+          val sp = concat_ws(" ", slice(t, i, l))
+          struct(i.as("pos"), l.as("L"), d1(l, sp).as("h1"), d2(l, sp).as("h2"))
+        })
+      }))).as("__w"))
+      .select(col("doc_id"), col("__w.pos").as("pos"),
+        col("__w.L").as("match_len"), col("__w.h1").as("h1"),
+        col("__w.h2").as("h2"))
+    val rn = Window.partitionBy(col("q_id")).orderBy(col("doc_id"), col("pos"))
+    cw.join(broadcast(qs), Seq("match_len", "h1", "h2"))
+      .withColumn("__rn", row_number().over(rn))
+      .where(col("__rn") <= maxSites)
+      .select(col("q_id"), col("match_len"), col("doc_id"), col("pos"))
+  }
+
+  /**
    * Per-position duplicated length of `batch` AGAINST `corpus` — the
    * incremental-admission form of [[saDupLengths]]: (idCol of batch,
    * pos, dup_len) where dup_len is the exact length of the longest

@@ -118,8 +118,30 @@ object Admission {
    * it from the init corpus) — [[graft.operators.SaStore.append]]
    * refuses documents beyond it, so set the floor above the longest
    * document ingest will ever admit, or re-init to grow it.
+   *
+   * `attributeSites` > 0 switches on the ATTRIBUTION REPORT — the
+   * memorization AUDIT a production funnel wants alongside the
+   * [[NgramStage]] report, at unbounded width and with the sources
+   * NAMED: two columns on the verdict frame, `sa_match_len` (how long
+   * a tail of each incoming document is already verbatim in the
+   * corpus the exact store indexes — 0 when none) and `sa_sites` (the
+   * corpus sites of that match as an array of (doc_id, pos) structs,
+   * capped at `attributeSites` per doc in deterministic (doc_id, pos)
+   * order — empty when none). A REPORT, never a gate: verdict
+   * precedence is untouched, the columns cover the WHOLE batch
+   * (rejected docs included — the [[NgramStage]] idiom), ride every
+   * form identically (run / runAgainst / runCommitted / stream, so
+   * the committed verdict history carries them), and are computed
+   * against the store state BEFORE absorb. Standing form probes
+   * [[graft.operators.SaStore.attributeMatches]] (queries-hit-sized);
+   * in-memory form is [[graft.operators.SuffixArrayOps
+   * .attributeCorpusMatches]] — pinned equal by AdmissionStoreSpec.
    */
-  case class ExactSpanStage(minLen: Int = 8, maxLen: Int = 0)
+  case class ExactSpanStage(minLen: Int = 8, maxLen: Int = 0,
+                            attributeSites: Int = 0) {
+    require(attributeSites >= 0,
+      s"attributeSites must be >= 0 (0 = report off): $attributeSites")
+  }
 
   /**
    * The eval-decontamination stage — an OPTIONAL stage between curation
@@ -306,6 +328,28 @@ object Admission {
         .withColumn("ngram_n_occ", coalesce(col("ngram_n_occ"), lit(0L)))
     }
 
+  /** The optional exact-span ATTRIBUTION report columns, appended to a
+    * verdict frame — ONE assembly for the in-memory and standing forms
+    * (only the site producer differs; the [[ngramReport]] idiom).
+    * `attrib` maps the configured cap to (q_id, match_len, doc_id,
+    * pos) site rows over the whole batch; rows aggregate to one
+    * (sa_match_len, sa_sites) pair per doc, sites sorted for a
+    * deterministic array. Report, never gate. */
+  private def saReport(out: DataFrame, idCol: String, cfg: Config,
+                       attrib: ExactSpanStage => DataFrame): DataFrame =
+    cfg.exactSpans.filter(_.attributeSites > 0).fold(out) { st =>
+      val sites = attrib(st)
+        .groupBy(col("q_id"))
+        .agg(max(col("match_len")).as("sa_match_len"),
+          sort_array(collect_list(struct(col("doc_id"), col("pos"))))
+            .as("sa_sites"))
+        .withColumnRenamed("q_id", idCol)
+      out.join(sites, Seq(idCol), "left")
+        .withColumn("sa_match_len", coalesce(col("sa_match_len"), lit(0)))
+        .withColumn("sa_sites", coalesce(col("sa_sites"),
+          array().cast("array<struct<doc_id:bigint,pos:int>>")))
+    }
+
   def runAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
                  textCol: String, cfg: Config = Config()): DataFrame = {
     val cur = curationFunnel(batch, idCol, textCol, cfg)
@@ -357,8 +401,13 @@ object Admission {
           .localCheckpoint(true)
         spanScrub(survScrub, idx, idCol, textCol, cfg)
     }
-    ngramReport(verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam),
-      batch, idCol, textCol, cfg)
+    saReport(
+      ngramReport(verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam),
+        batch, idCol, textCol, cfg),
+      idCol, cfg,
+      st => graft.operators.SuffixArrayOps.attributeCorpusMatches(
+        corpus, idCol, textCol, batch.select(col(idCol), col(textCol)),
+        idCol, textCol, st.attributeSites))
   }
 
   /** The exact policy's scrub assembly, STANDING form: the corpus side
@@ -639,8 +688,13 @@ object Admission {
       case None =>
         spanScrub(survScrub, readSpanIndex(spark, storeDir), idCol, textCol, cfg)
     }
-    ngramReport(verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam),
-        batch, idCol, textCol, cfg)
+    saReport(
+      ngramReport(verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam),
+        batch, idCol, textCol, cfg),
+      idCol, cfg,
+      st => graft.operators.SaStore.attributeMatches(spark,
+        exactDir(storeDir), batch.select(col(idCol), col(textCol)),
+        idCol, textCol, st.attributeSites))
       .localCheckpoint(true)
   }
 

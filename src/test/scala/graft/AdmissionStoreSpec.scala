@@ -354,6 +354,68 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
     assert(Admission.snapshotPinned(store, "vex"))
   }
 
+  test("exact attribution report: columns ride run == runAgainst == stream; report, never gate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val span9 = (1 to 9).map(j => s"at$j").mkString(" ")
+    val cfgA = Admission.Config(exactSpans = Some(Admission.ExactSpanStage(
+      minLen = 8, maxLen = 256, attributeSites = 2)))
+    // THREE corpus carriers of the 9-token tail — more sites than the cap.
+    val corpus = df(Seq(
+      101L -> (goodText('r') + " " + span9),
+      102L -> (goodText('s') + " " + span9),
+      103L -> (goodText('t') + " " + span9)))
+    val b1 = df(Seq(
+      1L -> (goodText('p') + " " + span9), // tail verbatim in all three
+      2L -> goodText('q'),                 // no tail overlap
+      3L -> "zz"))                         // rejected — the report still covers it
+    val store = java.nio.file.Files.createTempDirectory("admission-attr").toString
+    Admission.init(spark, store, corpus, "doc_id", "text", cfgA)
+
+    def collectAttr(v: DataFrame): Map[Long, (String, Int, Seq[(Long, Int)])] =
+      v.select(col("doc_id"), col("verdict"), col("sa_match_len"), col("sa_sites"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2),
+          r.getSeq[org.apache.spark.sql.Row](3)
+            .map(s => (s.getLong(0), s.getInt(1))).toSeq))).toMap
+
+    val got = Admission.run(spark, store, b1, "doc_id", "text", cfgA)
+    assert(got.columns.takeRight(2).toSeq === Seq("sa_match_len", "sa_sites"))
+    val g = collectAttr(got)
+    val want = collectAttr(Admission.runAgainst(b1, corpus, "doc_id", "text", cfgA))
+    assert(g === want, s"attribution law diverged:\n store=$g\n ref  =$want")
+    assert(g(1L)._2 === 9 && g(1L)._3.length === 2,
+      s"unbounded match with the site cap holding: ${g(1L)}")
+    assert(g(1L)._3.map(_._1) === Seq(101L, 102L),
+      s"sites deterministic by (doc_id, pos): ${g(1L)}")
+    assert(g(2L)._2 < 9 && g(3L)._1 === "rejected" && g(3L)._3.isEmpty,
+      s"no-match and rejected docs carry (0-ish, empty) reports: $g")
+    // Report, never gate: verdicts identical to the attribution-off policy.
+    val off = collectVerdicts(Admission.runAgainst(b1, corpus, "doc_id", "text",
+      Admission.Config(exactSpans = Some(Admission.ExactSpanStage(
+        minLen = 8, maxLen = 256)))))
+    assert(g.view.mapValues(_._1).toMap === off.view.mapValues(_._1).toMap,
+      "the report must not change any verdict")
+
+    // Streaming rides the same cfg; the committed verdict log carries the
+    // report, computed against the GROWN store (batch 1's admitted copy of
+    // the span is now the lowest-id site, still capped).
+    val ckpt = java.nio.file.Files.createTempDirectory("admission-attr-ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Admission.stream(spark, store,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      cfg = cfgA)
+    mem.addData(11L -> (goodText('u') + " " + span9))
+    q.processAllAvailable()
+    q.stop()
+    val v0 = spark.read.parquet(s"$store/verdicts/batch_0")
+    assert(v0.columns.contains("sa_sites"),
+      "the committed verdict history must carry the attribution report")
+    val r0 = collectAttr(v0)
+    assert(r0(11L)._2 === 9 && r0(11L)._3.map(_._1) === Seq(1L, 101L),
+      s"the absorbed batch-1 copy must attribute as the lowest-id site: ${r0(11L)}")
+  }
+
   test("exact policy: a committed batch's replay completes after a crash-window unadmit") {
     import graft.sources.{AdditiveLedger, DeltaParts}
     val cfgEx = Admission.Config(exactSpans = Some(Admission.ExactSpanStage(
