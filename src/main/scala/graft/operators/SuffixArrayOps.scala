@@ -122,11 +122,21 @@ import org.apache.spark.sql.types.{LongType, StructType}
 object SuffixArrayOps {
 
   /** The corpus-neighbor fill's per-task query-run buffer cap
-    * ([[corpusNeighborPairs]]): ~2M rows ≈ low hundreds of MB of
-    * buffered suffix keys — far above any admission batch (the fill's
-    * contract is a queries-sized side), far below a corpus-scale
-    * partition. */
+    * ([[corpusNeighborPairs]]): ~2M KEYLESS rows (rank, id, pos, isq —
+    * the fill carries no suffix strings) ≈ tens of MB of buffered Rows
+    * per task — far above any admission batch (the fill's contract is
+    * a queries-sized side), far below a corpus-scale partition. A
+    * deployment that legitimately needs more (one enormous novel-text
+    * document is a contiguous run by construction) raises it per
+    * session via [[MaxQueryRunConf]] — no API change needed. */
   private[graft] val DefaultMaxQueryRun: Int = 1 << 21
+
+  /** Session-conf override for the run cap — the refusal's documented
+    * exit, reachable from every public entry point
+    * ([[longestCorpusMatch]], [[dupLengthsAgainst]],
+    * [[dupLengthsAgainstAndWithin]], the Admission exact policy)
+    * without threading a parameter through them. */
+  val MaxQueryRunConf = "spark.graft.sa.maxQueryRun"
 
   /** One row per token-start suffix: (__id, pos, __key) with `pos` the
     * 1-based token position and `__key` the depth-capped prefix plus
@@ -513,7 +523,13 @@ object SuffixArrayOps {
     * the exact admission scrub used to pay. */
   private[graft] def corpusNeighborPairs(df: DataFrame, sortCols: Seq[Column],
       withQueryPairs: Boolean = false,
-      maxQueryRun: Int = DefaultMaxQueryRun): DataFrame = {
+      maxQueryRun: Int = 0): DataFrame = {
+    // 0 (the public entry points' value) resolves the cap from the
+    // session conf so the refusal's remedy is actually reachable.
+    val maxRun =
+      if (maxQueryRun > 0) maxQueryRun
+      else df.sparkSession.conf.getOption(MaxQueryRunConf)
+        .map(_.toInt).getOrElse(DefaultMaxQueryRun)
     val ranged = rangeSorted(df, sortCols)
     val schema = ranged.schema
     val iId = schema.fieldIndex("__id")
@@ -590,14 +606,15 @@ object SuffixArrayOps {
           // the query side is approaching corpus scale — outside this
           // fill's queries-sized contract — and silently buffering it
           // is the OOM nobody can attribute. Refuse loudly instead.
-          if (run.length > maxQueryRun)
+          if (run.length > maxRun)
             throw new IllegalStateException(
-              s"corpus-neighbor fill buffered $maxQueryRun consecutive " +
+              s"corpus-neighbor fill buffered $maxRun consecutive " +
                 "query suffixes with no interleaved corpus row — the " +
                 "query side is approaching corpus scale, which this " +
                 "queries-sized fill does not serve; split the query " +
-                "batch (the op's contract) or raise maxQueryRun if the " +
-                "executors genuinely have the memory")
+                s"batch (the op's contract) or raise $MaxQueryRunConf " +
+                "in the session conf if the executors genuinely have " +
+                "the memory")
           val qq = if (withQueryPairs && lastQ != null)
             Iterator.single(pair(lastQ, r)) else Iterator.empty
           if (withQueryPairs) lastQ = r

@@ -721,6 +721,18 @@ object Admission {
     import graft.sources.{AdditiveLedger, DeltaParts}
     if (AdditiveLedger.isAbsorbed(spanDir(storeDir), deltaName)) return
     val grown = grown0.localCheckpoint(true)
+    // Mid-absorb PROGRESS MARKER (exact policy only): the exact store's
+    // own absorbed record for this name proves the first run got PAST
+    // the fingerprint upsert and the sem absorb (they precede the
+    // append in program order) — so a replay that sees it must not
+    // re-fire those side effects. They are key-idempotent, so skipping
+    // is harmless on a plain crash replay, and it is REQUIRED after a
+    // crash + unadmit: re-firing them would resurrect the taken-down
+    // fingerprints/vectors while the exact store keeps its tombstones —
+    // a torn state that verdicts future submissions of the removed
+    // content 'duplicate' forever.
+    val exactAbsorbed = cfg.exactSpans.nonEmpty &&
+      AdditiveLedger.isAbsorbed(exactDir(storeDir), deltaName)
     // PRE-FLIGHT the exact store's admission checks before ANY half
     // mutates: its refusals (live tombstone on a re-admitted id, a doc
     // beyond the length budget) surfacing only mid-absorb would leave
@@ -729,31 +741,30 @@ object Admission {
     // …but NOT on a replay of an append the exact store already
     // completed (mirroring SaStore.append's own short-circuit
     // ordering): the checks legitimately fail for state that changed
-    // SINCE completion — a crash between the completed exact-store
-    // append and the span-ledger record below, followed by an unadmit
-    // tombstoning those ids, must replay to a quiet no-op on this leg,
-    // not a loud tombstone-clash refusal.
+    // SINCE completion — e.g. a later unadmit tombstoned these ids.
     cfg.exactSpans.foreach { _ =>
-      if (!AdditiveLedger.isAbsorbed(exactDir(storeDir), deltaName))
+      if (!exactAbsorbed)
         graft.operators.SaStore.requireAppendable(spark, exactDir(storeDir),
           grown, idCol, textCol)
     }
-    val newFps = grown.select(text.fingerprint(col(textCol)).as("__fp"))
-      .filter(col("__fp").isNotNull).distinct().withColumn("__v", lit(1L))
-    TableSink.upsert(spark, fpDir(storeDir), newFps, Seq("__fp"), "__v")
-    // Stage 4's members grow by the ADMITTED docs only (the semantic
-    // dups never anchor — they were dropped for matching an anchor that
-    // already stands). Key-idempotent upsert under the monotone
-    // per-batch version, so replay inside this guard is safe, and the
-    // guard's short-circuit keeps a completed absorb from re-firing
-    // after an [[unadmit]] (same discipline as the fingerprint upsert).
-    cfg.sem.foreach { st =>
-      // The member upsert is version-ordered, and versions are pure
-      // functions of the batch NAME — sound only within one namespace.
-      requireOneNamespace(storeDir, deltaName)
-      val gv = st.vecsFor(grown)
-      graft.operators.SemDedupStore.absorb(spark, semDir(storeDir), gv,
-        idCol, semVecCol(gv, idCol), version = semVersionOf(deltaName))
+    if (!exactAbsorbed) {
+      val newFps = grown.select(text.fingerprint(col(textCol)).as("__fp"))
+        .filter(col("__fp").isNotNull).distinct().withColumn("__v", lit(1L))
+      TableSink.upsert(spark, fpDir(storeDir), newFps, Seq("__fp"), "__v")
+      // Stage 4's members grow by the ADMITTED docs only (the semantic
+      // dups never anchor — they were dropped for matching an anchor that
+      // already stands). Key-idempotent upsert under the monotone
+      // per-batch version, so replay inside this guard is safe, and the
+      // guard's short-circuit keeps a completed absorb from re-firing
+      // after an [[unadmit]] (same discipline as the fingerprint upsert).
+      cfg.sem.foreach { st =>
+        // The member upsert is version-ordered, and versions are pure
+        // functions of the batch NAME — sound only within one namespace.
+        requireOneNamespace(storeDir, deltaName)
+        val gv = st.vecsFor(grown)
+        graft.operators.SemDedupStore.absorb(spark, semDir(storeDir), gv,
+          idCol, semVecCol(gv, idCol), version = semVersionOf(deltaName))
+      }
     }
     // The exact-policy span store grows by the same admitted docs —
     // O(batch) level parts, replay-idempotent per deltaName in its OWN

@@ -64,21 +64,28 @@ object BucketedParts {
     * [[writeBucketed]]. */
   def writePartitioned(path: String, df: DataFrame, partCols: Seq[String],
                        dirCount: Int): Unit = {
-    // The store family is local-filesystem by construction (every
-    // _meta/_PARTS file is java.nio) — and the refusal must hold for
-    // the path Spark would RESOLVE, not just for explicit '://'
-    // strings: on a deployment whose default FS is remote, a
-    // scheme-less path writes to that remote FS, a local probe would
-    // see an empty dir, and the limit(0) reconcile below would
-    // OVERWRITE the data just written. So the check and the
-    // empty-layout probe both go through the Hadoop FileSystem the
-    // path actually resolves to.
+    // The store family is local-filesystem PLAIN-PATH by construction:
+    // the sibling ledger/meta layer (_PARTS, _meta, _absorbed) is
+    // java.nio over the SAME dir string, so an accepted path must mean
+    // the same location to java.nio and to Spark's writer. Two refusals
+    // cover the two ways that can tear:
+    //  - an EXPLICIT scheme (even file://) — Spark would resolve it,
+    //    but java.nio would treat 'file:/x' as a literal relative dir
+    //    and silently split the store across two locations;
+    //  - a scheme-less path on a deployment whose DEFAULT FS is remote
+    //    — Spark writes remotely, the local layout probe reads "empty",
+    //    and the limit(0) reconcile below would OVERWRITE the data just
+    //    written (the resolution check a bare '://' string match
+    //    cannot make).
     val hPath = new org.apache.hadoop.fs.Path(path)
+    val explicit = Option(hPath.toUri.getScheme)
     val fs = hPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    require(scheme == "file",
-      s"bucketed stores are local-filesystem only (java.nio ledger/meta " +
-        s"files): '$path' resolves to filesystem scheme '$scheme'")
+    val resolved = Option(fs.getUri.getScheme).getOrElse("file")
+    require(explicit.isEmpty && resolved == "file",
+      s"bucketed stores are local-filesystem PLAIN paths (the ledger/" +
+        s"meta layer is java.nio over the same string): '$path' " +
+        explicit.fold(s"resolves to default-filesystem scheme '$resolved'")(
+          s => s"carries explicit scheme '$s'"))
     val par = df.sparkSession.sparkContext.defaultParallelism
     val salt = math.max(1, par / math.max(1, dirCount))
     df.repartition(partCols.map(col) :+ pmod(xxhash64(col("h1")), lit(salt)): _*)

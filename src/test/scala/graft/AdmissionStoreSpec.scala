@@ -446,6 +446,16 @@ class AdmissionStoreSpec extends AnyFunSuite with SparkSpec {
       "doc_id", "text", 1L, cfgEx))
     assert(replay === out1,
       s"replay must read back the committed verdicts:\n got=$replay\n want=$out1")
+    // …and it must NOT resurrect the unadmitted content in the OTHER
+    // legs: the exact store's absorbed record proves the fingerprint
+    // upsert already ran once, so the replay skips it — a fresh
+    // submission of the taken-down text is novel again (a resurrected
+    // fingerprint would verdict it 'duplicate' forever while the exact
+    // store keeps saying removed).
+    val resub = collectVerdicts(Admission.runCommitted(spark, store,
+      df(Seq(42L -> goodText('p'))), "doc_id", "text", 2L, cfgEx))
+    assert(resub(42L)._1 == "admitted",
+      s"taken-down content must be re-admittable after the replay: $resub")
   }
 
   test("delta-name counter never rewinds onto an absorbed name across compactions") {

@@ -45,24 +45,24 @@ class BucketedPartsSpec extends AnyFunSuite with SparkSpec {
       "partition column reconciles back as a data column")
   }
 
-  test("layout probe resolves through the Hadoop FileSystem: file: URIs work, remote schemes refuse") {
-    // A file:-qualified URI resolves to the local FS and must round-trip
-    // (the former string check refused any '://' — including this, the
-    // one scheme the store family actually supports)…
-    val path = "file://" + tmp()
-    BucketedParts.writeBucketed(path, countedPart(100L), 8)
-    assert(spark.read.parquet(path).agg(sum("c")).collect()(0).getLong(0) === 100L)
-    // …and the empty-layout reconcile probes the SAME filesystem.
-    val path2 = "file://" + tmp()
-    BucketedParts.writeBucketed(path2, countedPart(100L).filter(col("c") < 0L), 8)
-    assert(spark.read.parquet(path2).count() === 0L)
-    // A path resolving to a REMOTE scheme refuses loudly before any
-    // write: a local probe of a remote write would read "empty" and the
+  test("path guard: plain local paths only — explicit schemes and remote resolution both refuse") {
+    // An EXPLICIT scheme refuses even when it is file:// — the sibling
+    // ledger/meta layer is java.nio over the same string, which would
+    // read 'file:/x' as a literal relative dir and split the store.
+    val e1 = intercept[IllegalArgumentException](
+      BucketedParts.writeBucketed("file://" + tmp(), countedPart(10L), 8))
+    assert(e1.getMessage.contains("explicit scheme 'file'"))
+    // A path RESOLVING to a remote default FS refuses before any write:
+    // a local probe of a remote write would read "empty" and the
     // reconcile would overwrite the data just written.
-    val e = intercept[IllegalArgumentException](
+    val e2 = intercept[IllegalArgumentException](
       BucketedParts.writeBucketed("hdfs://localhost:1/nope", countedPart(10L), 8))
-    assert(e.getMessage.contains("local-filesystem") &&
-      e.getMessage.contains("hdfs"))
+    assert(e2.getMessage.contains("hdfs"))
+    // The one accepted form — a plain path under a local default FS —
+    // round-trips (pinned by every other test in this suite).
+    val ok = tmp()
+    BucketedParts.writeBucketed(ok, countedPart(100L), 8)
+    assert(spark.read.parquet(ok).agg(sum("c")).collect()(0).getLong(0) === 100L)
   }
 
   test("empty frame writes once and reconciles to a readable plain layout") {

@@ -246,6 +246,17 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("corpus scale")), s"unexpected: $e")
+    // The session-conf route — the refusal's documented exit, reachable
+    // without any API parameter (public callers pass no cap).
+    spark.conf.set(SuffixArrayOps.MaxQueryRunConf, "10")
+    try {
+      val e2 = intercept[Exception](
+        SuffixArrayOps.corpusNeighborPairs(rows, sortCols).count())
+      assert(msgs(e2).exists(_.contains(SuffixArrayOps.MaxQueryRunConf)),
+        s"the refusal must name its conf exit: $e2")
+      spark.conf.set(SuffixArrayOps.MaxQueryRunConf, "5000")
+      assert(SuffixArrayOps.corpusNeighborPairs(rows, sortCols).count() === 2000L)
+    } finally spark.conf.unset(SuffixArrayOps.MaxQueryRunConf)
   }
 
   test("CommonPrefixLen counts code points, through codegen and for surrogates") {
