@@ -528,8 +528,17 @@ object SuffixArrayOps {
     // session conf so the refusal's remedy is actually reachable.
     val maxRun =
       if (maxQueryRun > 0) maxQueryRun
-      else df.sparkSession.conf.getOption(MaxQueryRunConf)
-        .map(_.toInt).getOrElse(DefaultMaxQueryRun)
+      else df.sparkSession.conf.getOption(MaxQueryRunConf).map { raw =>
+        // Parse loudly: a malformed or non-positive conf value must
+        // name the key it came from, not surface as a bare
+        // NumberFormatException mid-job.
+        val n = try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$MaxQueryRunConf must be a positive int, got '$raw'")
+        }
+        require(n > 0, s"$MaxQueryRunConf must be a positive int, got '$raw'")
+        n
+      }.getOrElse(DefaultMaxQueryRun)
     val ranged = rangeSorted(df, sortCols)
     val schema = ranged.schema
     val iId = schema.fieldIndex("__id")
@@ -601,20 +610,25 @@ object SuffixArrayOps {
       val run = scala.collection.mutable.ArrayBuffer.empty[Row]
       it.flatMap { r =>
         if (isQ(r)) {
-          run += r
           // ENFORCED bound (not just documented): a run this long means
           // the query side is approaching corpus scale — outside this
           // fill's queries-sized contract — and silently buffering it
-          // is the OOM nobody can attribute. Refuse loudly instead.
-          if (run.length > maxRun)
+          // is the OOM nobody can attribute. Refuse loudly instead,
+          // BEFORE appending, so the buffer never actually exceeds the
+          // stated cap. (The throw is executor-side, so Spark retries
+          // the task spark.task.maxFailures times — each attempt
+          // re-buffers up to the cap and refuses again — before the
+          // job fails with this message.)
+          if (run.length >= maxRun)
             throw new IllegalStateException(
-              s"corpus-neighbor fill buffered $maxRun consecutive " +
+              s"corpus-neighbor fill hit more than $maxRun consecutive " +
                 "query suffixes with no interleaved corpus row — the " +
                 "query side is approaching corpus scale, which this " +
                 "queries-sized fill does not serve; split the query " +
                 s"batch (the op's contract) or raise $MaxQueryRunConf " +
                 "in the session conf if the executors genuinely have " +
-                "the memory")
+                "the memory (the refusal repeats on each task retry)")
+          run += r
           val qq = if (withQueryPairs && lastQ != null)
             Iterator.single(pair(lastQ, r)) else Iterator.empty
           if (withQueryPairs) lastQ = r

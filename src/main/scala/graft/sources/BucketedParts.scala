@@ -78,14 +78,21 @@ object BucketedParts {
     //    written (the resolution check a bare '://' string match
     //    cannot make).
     val hPath = new org.apache.hadoop.fs.Path(path)
+    // Explicit-scheme refusal FIRST: resolving the FileSystem for an
+    // s3://-style path would need the connector jar on the classpath
+    // (an opaque 'No FileSystem for scheme' crash) and would build a
+    // remote client just to refuse it.
     val explicit = Option(hPath.toUri.getScheme)
-    val fs = hPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    val resolved = Option(fs.getUri.getScheme).getOrElse("file")
-    require(explicit.isEmpty && resolved == "file",
+    require(explicit.isEmpty,
       s"bucketed stores are local-filesystem PLAIN paths (the ledger/" +
         s"meta layer is java.nio over the same string): '$path' " +
-        explicit.fold(s"resolves to default-filesystem scheme '$resolved'")(
-          s => s"carries explicit scheme '$s'"))
+        s"carries explicit scheme '${explicit.get}'")
+    val fs = hPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val resolved = Option(fs.getUri.getScheme).getOrElse("file")
+    require(resolved == "file",
+      s"bucketed stores are local-filesystem PLAIN paths (the ledger/" +
+        s"meta layer is java.nio over the same string): '$path' " +
+        s"resolves to default-filesystem scheme '$resolved'")
     val par = df.sparkSession.sparkContext.defaultParallelism
     val salt = math.max(1, par / math.max(1, dirCount))
     df.repartition(partCols.map(col) :+ pmod(xxhash64(col("h1")), lit(salt)): _*)

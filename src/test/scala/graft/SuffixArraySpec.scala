@@ -256,6 +256,15 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
         s"the refusal must name its conf exit: $e2")
       spark.conf.set(SuffixArrayOps.MaxQueryRunConf, "5000")
       assert(SuffixArrayOps.corpusNeighborPairs(rows, sortCols).count() === 2000L)
+      // A malformed or non-positive conf value refuses NAMING the key,
+      // not as a context-free NumberFormatException.
+      for (bad <- Seq("banana", "-3", "0")) {
+        spark.conf.set(SuffixArrayOps.MaxQueryRunConf, bad)
+        val e3 = intercept[Exception](
+          SuffixArrayOps.corpusNeighborPairs(rows, sortCols).count())
+        assert(msgs(e3).exists(m => m.contains(SuffixArrayOps.MaxQueryRunConf)
+          && m.contains(bad)), s"bad-conf refusal must name key+value: $e3")
+      }
     } finally spark.conf.unset(SuffixArrayOps.MaxQueryRunConf)
   }
 
