@@ -134,7 +134,15 @@ private[graft] object QSuffix {
     // live tombstone part hidden by the read-side anti-join — then
     // probe; the oracle replays the SURVIVOR corpus only, so a removed
     // doc serving any match is a hash mismatch.
-    "x_sa_remove" -> fused(saRemovePhased))
+    "x_sa_remove" -> fused(saRemovePhased),
+    // The takedown gate extended to the ADMISSION probes (r18 verdict
+    // task 5): the funnel's exact policy consumes probeDupLengths and
+    // attributeMatches — post-takedown each is replayed against the
+    // survivor corpus (dup lengths by the union-suffix-sort max-LCP
+    // construction, sites by direct window equality), so a tombstoned
+    // doc contributing a length or a named site is a hash mismatch.
+    "x_sa_remove_duplen" -> fused(saRemoveDupLenPhased),
+    "x_sa_remove_attr" -> fused(saRemoveAttrPhased))
 
   /** x_sa_dup_len / x_sa_scrub planted fixture: docs with id % 23 == 3
     * repeat an 8-token phrase TWICE with a doc-unique separator between
@@ -290,28 +298,63 @@ private[graft] object QSuffix {
     * tombstone part at once — both erasure lanes in one gate); serve is
     * the ordinary probe. Wave overlap (ids in both slices) is the
     * re-tombstone-after-compact no-op, deliberately exercised. */
-  private val saRemovePhased: Phased = (s, d) => {
-    lazy val dir = tmpStore("sa_store_rm")
-    val init = () => {
-      val (corpus, _) = igFixture(s, d)
-      graft.operators.SaStore.init(s, dir, corpus, "doc_id", "text",
-        numBuckets = 16)
-      // Wave A: every plant carrier — the takedown must visibly change
-      // answers (the planted 11-matches die with their only sites).
-      graft.operators.SaStore.remove(s, dir,
-        corpus.filter(col("doc_id") % 11 === 5).select("doc_id"), "doc_id")
-      graft.operators.SaStore.compact(s, dir)
-      // Wave B, post-compact: stays a live tombstone part at serve.
-      graft.operators.SaStore.remove(s, dir,
-        corpus.filter(col("doc_id") % 13 === 4).select("doc_id"), "doc_id")
-    }
-    val serve = () => {
-      val (_, queries) = igFixture(s, d)
-      graft.operators.SaStore.probe(s, dir, queries, "doc_id", "text")
-        .orderBy("q_id")
-    }
-    (init, serve)
+  /** The shared takedown init (build + wave A remove + compact +
+    * wave B remove — both erasure lanes live at serve); each remove
+    * query gets its own store prefix (Verify runs queries concurrently
+    * and a shared dir would race its own re-init), and a DIFFERENT
+    * serve probe — the admission funnel consumes probeDupLengths /
+    * attributeMatches, so the takedown gate must cover them too, not
+    * just the longest-match probe. */
+  private def saRemoveInit(s: SparkSession, d: String, dir: String): Unit = {
+    val (corpus, _) = igFixture(s, d)
+    graft.operators.SaStore.init(s, dir, corpus, "doc_id", "text",
+      numBuckets = 16)
+    // Wave A: every plant carrier — the takedown must visibly change
+    // answers (the planted 11-matches die with their only sites).
+    graft.operators.SaStore.remove(s, dir,
+      corpus.filter(col("doc_id") % 11 === 5).select("doc_id"), "doc_id")
+    graft.operators.SaStore.compact(s, dir)
+    // Wave B, post-compact: stays a live tombstone part at serve.
+    graft.operators.SaStore.remove(s, dir,
+      corpus.filter(col("doc_id") % 13 === 4).select("doc_id"), "doc_id")
   }
+
+  private def saRemovePhasedWith(prefix: String,
+      serveFn: (SparkSession, String, DataFrame) => DataFrame): Phased =
+    (s, d) => {
+      lazy val dir = tmpStore(prefix)
+      val init = () => saRemoveInit(s, d, dir)
+      val serve = () => {
+        val (_, queries) = igFixture(s, d)
+        serveFn(s, dir, queries)
+      }
+      (init, serve)
+    }
+
+  private val saRemovePhased: Phased =
+    saRemovePhasedWith("sa_store_rm", (s, dir, queries) =>
+      graft.operators.SaStore.probe(s, dir, queries, "doc_id", "text")
+        .orderBy("q_id"))
+
+  /** Takedown × the ADMISSION probe: the funnel's exact policy reads
+    * probeDupLengths/scrub, so a removed doc surviving in the
+    * per-position dup-length report would poison admissions silently —
+    * replayed here against the survivor-corpus suffix sort. */
+  private val saRemoveDupLenPhased: Phased =
+    saRemovePhasedWith("sa_store_rm_dl", (s, dir, batch) =>
+      graft.operators.SaStore.probeDupLengths(s, dir, batch,
+          "doc_id", "text", minLen = 8)
+        .orderBy("doc_id", "pos"))
+
+  /** Takedown × ATTRIBUTION: a report naming a tombstoned site would
+    * resurrect taken-down text in the audit trail — the sites must
+    * come from survivors only, and match lengths must shrink with
+    * them (wave A carries every plant). */
+  private val saRemoveAttrPhased: Phased =
+    saRemovePhasedWith("sa_store_rm_at", (s, dir, queries) =>
+      graft.operators.SaStore.attributeMatches(s, dir, queries,
+          "doc_id", "text", maxSites = 5)
+        .orderBy("q_id", "doc_id", "pos"))
 
   private[graft] val phased: Map[String, Phased] = Map(
     "x_infinigram_stored" -> infinigramStoredPhased,
@@ -320,7 +363,9 @@ private[graft] object QSuffix {
     "x_sa_scrub_stored" -> saScrubStoredPhased,
     "x_sa_match_counts" -> saMatchCountsPhased,
     "x_sa_attribution" -> saAttributionPhased,
-    "x_sa_remove" -> saRemovePhased)
+    "x_sa_remove" -> saRemovePhased,
+    "x_sa_remove_duplen" -> saRemoveDupLenPhased,
+    "x_sa_remove_attr" -> saRemoveAttrPhased)
 
   private val oraclesBase: Map[String, String] = Map(
     "x_suffix_array" ->
@@ -494,7 +539,7 @@ private[graft] object QSuffix {
     * prefix; the x_sa_dup_len oracle's own lead()-over-suffix-order
     * argument). LCP via the list-compare `list_position` fold with
     * the nullif(0) guard the class note pins. */
-  private val againstCtes =
+  private def againstCtes(corpusWhere: String = "doc_id % 17 <> 0") =
     s"""WITH q0 AS (SELECT doc_id, CASE
        |        WHEN doc_id % 2 = 0 THEN text || ' qnovel' || CAST(doc_id AS VARCHAR)
        |        WHEN doc_id % 3 = 0 THEN text ||
@@ -504,7 +549,7 @@ private[graft] object QSuffix {
        |c0 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 5 THEN text ||
        |          ' ig1 ig2 ig3 ig4 ig5 ig6 ig7 ig8 ig9 ig10 igend'
        |        ELSE text END AS text
-       |      FROM documents WHERE doc_id % 17 <> 0),
+       |      FROM documents WHERE $corpusWhere),
        |ctoks AS (SELECT doc_id, $words AS t FROM c0),
        |qtoks AS (SELECT doc_id AS qid, $words AS t FROM q0),
        |cs AS (SELECT t, CAST(i.i AS INTEGER) AS pos,
@@ -540,15 +585,17 @@ private[graft] object QSuffix {
        |            least(rem, nc.crem)) END) AS dl
        |      FROM w WHERE isq = 1)""".stripMargin
 
-  private val saDupLenStoredSql =
-    s"""$againstCtes
+  private def saDupLenSqlFor(corpusWhere: String) =
+    s"""${againstCtes(corpusWhere)}
        |SELECT doc_id, pos, CAST(dl AS INTEGER) AS dup_len
        |FROM d WHERE dl >= 8 ORDER BY doc_id, pos""".stripMargin
+
+  private val saDupLenStoredSql = saDupLenSqlFor("doc_id % 17 <> 0")
 
   /** Coverage replay over the BATCH docs — the x_sa_scrub reassembly
     * tail, against-corpus dup lengths feeding it. */
   private val saScrubStoredSql =
-    s"""$againstCtes,
+    s"""${againstCtes()},
        |cov AS (SELECT DISTINCT doc_id, u2.cp AS pos
        |        FROM d, unnest(generate_series(d.pos, d.pos + d.dl - 1)) AS u2(cp)
        |        WHERE d.dl >= 8),
@@ -571,8 +618,8 @@ private[graft] object QSuffix {
   /** Attribution replay: the matched span's corpus sites by direct
     * window equality, capped per query at the engine's own
     * deterministic (doc, pos) order. */
-  private val saAttributionSql =
-    s"""${longestMatchCtes()},
+  private def saAttributionSqlFor(corpusWhere: String) =
+    s"""${longestMatchCtes(corpusWhere)},
        |spanq AS (SELECT m.qid, m.ml,
        |            array_to_string(q2.t[len(q2.t) - m.ml + 1:len(q2.t)], ' ') AS span
        |          FROM m JOIN qtoks q2 ON q2.qid = m.qid WHERE m.ml >= 1),
@@ -585,14 +632,19 @@ private[graft] object QSuffix {
        |SELECT qid AS q_id, CAST(ml AS INTEGER) AS match_len, doc_id, pos
        |FROM sites WHERE rn <= 5 ORDER BY q_id, doc_id, pos""".stripMargin
 
+  private val saAttributionSql = saAttributionSqlFor("doc_id % 17 <> 0")
+
+  /** The survivor slice after the takedown's two victim waves. */
+  private val survivorWhere =
+    "doc_id % 17 <> 0 AND doc_id % 11 <> 5 AND doc_id % 13 <> 4"
+
   /** Takedown replay: the SAME independent union-suffix-sort as
     * longestMatchSql, over the corpus MINUS both victim slices — the
     * removed docs must answer exactly as if they were never stored
     * (the plant carriers are all in wave A, so the planted 11-matches
     * must fall back to the queries' natural text). */
   private val saRemoveSql =
-    s"""${longestMatchCtes(
-        "doc_id % 17 <> 0 AND doc_id % 11 <> 5 AND doc_id % 13 <> 4")}
+    s"""${longestMatchCtes(survivorWhere)}
        |SELECT q.doc_id AS q_id, CAST(coalesce(m.ml, 0) AS INTEGER) AS match_len
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) q
        |LEFT JOIN m ON m.qid = q.doc_id
@@ -614,6 +666,10 @@ private[graft] object QSuffix {
       ("x_sa_scrub_stored" -> saScrubStoredSql) +
       ("x_sa_match_counts" -> saMatchCountsSql) +
       ("x_sa_attribution" -> saAttributionSql) +
-      ("x_sa_remove" -> saRemoveSql)
+      ("x_sa_remove" -> saRemoveSql) +
+      // The takedown gate on the admission probes: the same replays as
+      // the siblings above, over the survivor corpus only.
+      ("x_sa_remove_duplen" -> saDupLenSqlFor(survivorWhere)) +
+      ("x_sa_remove_attr" -> saAttributionSqlFor(survivorWhere))
 }
 
