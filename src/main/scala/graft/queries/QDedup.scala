@@ -240,6 +240,33 @@ private[graft] object QDedup {
           graft.pipelines.Admission.ExactSpanStage(minLen = 8))))
         .orderBy("doc_id")
     }),
+    // The exact funnel WITH the attribution report on (attributeSites
+    // > 0): the verdict frame carries sa_match_len + sa_sites over the
+    // WHOLE batch (rejected docs included — a report, never a gate).
+    // The sites array flattens to one row per (doc, site) via
+    // posexplode_outer so the driver's hash covers the composed
+    // verdict+report frame exactly (no-site docs keep one row with -1
+    // sentinels); the oracle replays the same funnel CTEs plus the
+    // independent union-suffix-sort tail-match + window-equality site
+    // construction.
+    "pipe_admission_attr_e2e" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      graft.pipelines.Admission.runAgainst(batch, corpus, "doc_id", "text",
+          graft.pipelines.Admission.Config(exactSpans = Some(
+            graft.pipelines.Admission.ExactSpanStage(minLen = 8,
+              attributeSites = 3))))
+        .select(col("doc_id"), col("verdict"), col("n_tokens"),
+          col("n_removed"), col("clean_text"), col("sa_match_len"),
+          posexplode_outer(col("sa_sites")))
+        .select(col("doc_id"), col("verdict"), col("n_tokens"),
+          col("n_removed"), col("clean_text"), col("sa_match_len"),
+          coalesce(col("pos").cast("int"), lit(-1)).as("site_ord"),
+          coalesce(col("col.doc_id"), lit(-1L)).as("site_doc"),
+          coalesce(col("col.pos"), lit(-1)).as("site_pos"))
+        .orderBy("doc_id", "site_ord")
+    }),
     // Admission with the OPTIONAL fourth stage on — semantic near-dup
     // (pipe_admission_e2e's funnel + exact-dup + span scrub, plus a
     // SemDeDup-incremental probe of the exact-novel survivors against
@@ -688,6 +715,112 @@ private[graft] object QDedup {
        |FROM agg JOIN toks ON toks.doc_id = agg.ida
        |ORDER BY id_a, start_a, id_b, start_b""".stripMargin
   }
+
+  /** The EXACT-policy funnel replay, CTE chain only (through `agg`):
+    * pipe_admission_e2e's funnel + exact-dup stages verbatim, then the
+    * variable-length coverage — corpus side by the independent
+    * union-suffix-sort max-LCP construction (the x_sa_dup_len_stored
+    * oracle's shape), batch-internal side by the x_sa_dup_len
+    * adjacent-LCP construction restricted to survivors; a token leaves
+    * under ANY >= 8 interval from either side. Shared by the exact
+    * funnel oracle and its attribution-report extension. */
+  private val exactFunnelCtes =
+    s"""WITH w AS (SELECT doc_id, text, $words wds FROM documents WHERE doc_id % 5 = 0),
+         |lg AS (SELECT doc_id,
+         |  len(list_filter(wds, t -> t IN ('the','and','of','is','a'))) s_en,
+         |  len(list_filter(wds, t -> t IN ('der','die','und','ist','das'))) s_de,
+         |  len(list_filter(wds, t -> t IN ('el','los','y','es','una'))) s_es,
+         |  len(list_filter(wds, t -> t IN ('le','la','et','est','une'))) s_fr FROM w),
+         |lang AS (SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |  ELSE 'fr' END AS lang_pred FROM lg),
+         |qm AS (SELECT doc_id, len(wds) nt,
+         |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
+         |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
+         |q AS (SELECT doc_id, round(
+         |  least(nt / 50.0, 1.0) * 0.5 +
+         |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
+         |  FROM qm),
+         |pii AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+         |       len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) n_pii
+         |  FROM w),
+         |${gopherCtes("w")},
+         |g AS (SELECT gst.doc_id, $gopherKeepSql AS gopher_keep
+         |  FROM gst LEFT JOIN gp USING (doc_id)),
+         |cur AS (SELECT w.doc_id, (lang.lang_pred <> 'und' AND q.quality >= 0.5
+         |          AND g.gopher_keep AND pii.n_pii = 0) AS admit
+         |  FROM w JOIN lang USING (doc_id) JOIN q USING (doc_id)
+         |  JOIN pii USING (doc_id) JOIN g USING (doc_id)),
+         |novel AS (SELECT c1.doc_id FROM cur c1 JOIN documents i USING (doc_id)
+         |  WHERE c1.admit AND NOT EXISTS (
+         |    SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0
+         |    AND md5(lower(trim(c.text))) = md5(lower(trim(i.text))))),
+         |ct0 AS (SELECT doc_id, $words t FROM documents WHERE doc_id % 5 <> 0),
+         |st0 AS (SELECT doc_id, $words t FROM documents
+         |        WHERE doc_id IN (SELECT doc_id FROM novel)),
+         |cs2 AS (SELECT t, CAST(i.i AS INTEGER) AS pos,
+         |          CAST(len(t) - i.i + 1 AS INTEGER) AS rem,
+         |          array_to_string(t[i.i:len(t)], ' ') AS suf
+         |        FROM ct0, unnest(generate_series(1, len(t))) AS i(i)),
+         |qs2 AS (SELECT doc_id, t, CAST(i.i AS INTEGER) AS pos,
+         |          CAST(len(t) - i.i + 1 AS INTEGER) AS rem,
+         |          array_to_string(t[i.i:len(t)], ' ') AS suf
+         |        FROM st0, unnest(generate_series(1, len(t))) AS i(i)),
+         |u2 AS (SELECT CAST(NULL AS BIGINT) AS doc_id, t, pos, rem, suf, 0 AS isq FROM cs2
+         |       UNION ALL SELECT doc_id, t, pos, rem, suf, 1 FROM qs2),
+         |w2 AS (SELECT doc_id, t, pos, rem, isq,
+         |         last_value(CASE WHEN isq = 0
+         |             THEN struct_pack(ct := t, cpos := pos, crem := rem) END
+         |           IGNORE NULLS) OVER (ORDER BY suf, isq
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+         |         first_value(CASE WHEN isq = 0
+         |             THEN struct_pack(ct := t, cpos := pos, crem := rem) END
+         |           IGNORE NULLS) OVER (ORDER BY suf, isq
+         |             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+         |       FROM u2),
+         |dc AS (SELECT doc_id, pos, greatest(
+         |         CASE WHEN pc IS NULL THEN 0 ELSE
+         |           coalesce(nullif(list_position(list_transform(
+         |               generate_series(1, least(rem, pc.crem)),
+         |               j -> t[pos + j - 1] = pc.ct[pc.cpos + j - 1]), false), 0) - 1,
+         |             least(rem, pc.crem)) END,
+         |         CASE WHEN nc IS NULL THEN 0 ELSE
+         |           coalesce(nullif(list_position(list_transform(
+         |               generate_series(1, least(rem, nc.crem)),
+         |               j -> t[pos + j - 1] = nc.ct[nc.cpos + j - 1]), false), 0) - 1,
+         |             least(rem, nc.crem)) END) AS dl
+         |       FROM w2 WHERE isq = 1),
+         |o2 AS (SELECT doc_id, pos, t, rem,
+         |         lead(doc_id) OVER w3 AS nid, lead(pos) OVER w3 AS npos,
+         |         lead(t) OVER w3 AS nt, lead(rem) OVER w3 AS nrem
+         |       FROM qs2 WINDOW w3 AS (ORDER BY suf, doc_id, pos)),
+         |pr2 AS (SELECT doc_id, pos, nid, npos,
+         |          coalesce(nullif(list_position(list_transform(
+         |              generate_series(1, least(rem, nrem)),
+         |              j -> t[pos + j - 1] = nt[npos + j - 1]), false), 0) - 1,
+         |            least(rem, nrem)) AS lcp
+         |        FROM o2 WHERE nid IS NOT NULL),
+         |db AS (SELECT doc_id, pos, max(lcp) AS dl FROM (
+         |         SELECT doc_id, pos, lcp FROM pr2
+         |         UNION ALL SELECT nid AS doc_id, npos AS pos, lcp FROM pr2)
+         |       GROUP BY 1, 2),
+         |dall AS (SELECT doc_id, pos, dl FROM dc WHERE dl >= 8
+         |         UNION ALL SELECT doc_id, pos, dl FROM db WHERE dl >= 8),
+         |cover AS (SELECT DISTINCT doc_id, u3.cp AS pos
+         |          FROM dall, unnest(generate_series(dall.pos, dall.pos + dall.dl - 1)) AS u3(cp)),
+         |tok_pos AS (SELECT doc_id, CAST(i.i AS INTEGER) AS pos, t[i.i] AS tok
+         |            FROM st0, unnest(generate_series(1, len(t))) AS i(i)),
+         |agg AS (SELECT tp.doc_id, count(*) AS n_tokens,
+         |          count(c.pos) AS n_removed,
+         |          coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+         |            ' ' ORDER BY tp.pos), '') AS clean_text
+         |        FROM tok_pos tp LEFT JOIN cover c
+         |          ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+         |        GROUP BY 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "x_fingerprint" ->
@@ -1242,6 +1375,7 @@ private[graft] object QDedup {
          |  coalesce(a.clean_text, '') AS clean_text
          |FROM cur LEFT JOIN agg a USING (doc_id)
          |ORDER BY cur.doc_id""".stripMargin,
+
     // The EXACT-policy replay: pipe_admission_e2e's funnel + exact-dup
     // stages verbatim, then the variable-length coverage — corpus side
     // by the independent union-suffix-sort max-LCP construction (the
@@ -1249,102 +1383,7 @@ private[graft] object QDedup {
     // x_sa_dup_len adjacent-LCP construction restricted to survivors;
     // a token leaves under ANY >= 8 interval from either side.
     "pipe_admission_exact_e2e" ->
-      s"""WITH w AS (SELECT doc_id, text, $words wds FROM documents WHERE doc_id % 5 = 0),
-         |lg AS (SELECT doc_id,
-         |  len(list_filter(wds, t -> t IN ('the','and','of','is','a'))) s_en,
-         |  len(list_filter(wds, t -> t IN ('der','die','und','ist','das'))) s_de,
-         |  len(list_filter(wds, t -> t IN ('el','los','y','es','una'))) s_es,
-         |  len(list_filter(wds, t -> t IN ('le','la','et','est','une'))) s_fr FROM w),
-         |lang AS (SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
-         |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
-         |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
-         |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
-         |  ELSE 'fr' END AS lang_pred FROM lg),
-         |qm AS (SELECT doc_id, len(wds) nt,
-         |  len(list_filter(wds, t -> t IN $stops))::DOUBLE / len(wds) stop_ratio,
-         |  list_sum(list_transform(wds, t -> length(t)))::DOUBLE / len(wds) awl FROM w),
-         |q AS (SELECT doc_id, round(
-         |  least(nt / 50.0, 1.0) * 0.5 +
-         |  (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25 +
-         |  (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
-         |  FROM qm),
-         |pii AS (SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
-         |       len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) n_pii
-         |  FROM w),
-         |${gopherCtes("w")},
-         |g AS (SELECT gst.doc_id, $gopherKeepSql AS gopher_keep
-         |  FROM gst LEFT JOIN gp USING (doc_id)),
-         |cur AS (SELECT w.doc_id, (lang.lang_pred <> 'und' AND q.quality >= 0.5
-         |          AND g.gopher_keep AND pii.n_pii = 0) AS admit
-         |  FROM w JOIN lang USING (doc_id) JOIN q USING (doc_id)
-         |  JOIN pii USING (doc_id) JOIN g USING (doc_id)),
-         |novel AS (SELECT c1.doc_id FROM cur c1 JOIN documents i USING (doc_id)
-         |  WHERE c1.admit AND NOT EXISTS (
-         |    SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0
-         |    AND md5(lower(trim(c.text))) = md5(lower(trim(i.text))))),
-         |ct0 AS (SELECT doc_id, $words t FROM documents WHERE doc_id % 5 <> 0),
-         |st0 AS (SELECT doc_id, $words t FROM documents
-         |        WHERE doc_id IN (SELECT doc_id FROM novel)),
-         |cs2 AS (SELECT t, CAST(i.i AS INTEGER) AS pos,
-         |          CAST(len(t) - i.i + 1 AS INTEGER) AS rem,
-         |          array_to_string(t[i.i:len(t)], ' ') AS suf
-         |        FROM ct0, unnest(generate_series(1, len(t))) AS i(i)),
-         |qs2 AS (SELECT doc_id, t, CAST(i.i AS INTEGER) AS pos,
-         |          CAST(len(t) - i.i + 1 AS INTEGER) AS rem,
-         |          array_to_string(t[i.i:len(t)], ' ') AS suf
-         |        FROM st0, unnest(generate_series(1, len(t))) AS i(i)),
-         |u2 AS (SELECT CAST(NULL AS BIGINT) AS doc_id, t, pos, rem, suf, 0 AS isq FROM cs2
-         |       UNION ALL SELECT doc_id, t, pos, rem, suf, 1 FROM qs2),
-         |w2 AS (SELECT doc_id, t, pos, rem, isq,
-         |         last_value(CASE WHEN isq = 0
-         |             THEN struct_pack(ct := t, cpos := pos, crem := rem) END
-         |           IGNORE NULLS) OVER (ORDER BY suf, isq
-         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
-         |         first_value(CASE WHEN isq = 0
-         |             THEN struct_pack(ct := t, cpos := pos, crem := rem) END
-         |           IGNORE NULLS) OVER (ORDER BY suf, isq
-         |             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
-         |       FROM u2),
-         |dc AS (SELECT doc_id, pos, greatest(
-         |         CASE WHEN pc IS NULL THEN 0 ELSE
-         |           coalesce(nullif(list_position(list_transform(
-         |               generate_series(1, least(rem, pc.crem)),
-         |               j -> t[pos + j - 1] = pc.ct[pc.cpos + j - 1]), false), 0) - 1,
-         |             least(rem, pc.crem)) END,
-         |         CASE WHEN nc IS NULL THEN 0 ELSE
-         |           coalesce(nullif(list_position(list_transform(
-         |               generate_series(1, least(rem, nc.crem)),
-         |               j -> t[pos + j - 1] = nc.ct[nc.cpos + j - 1]), false), 0) - 1,
-         |             least(rem, nc.crem)) END) AS dl
-         |       FROM w2 WHERE isq = 1),
-         |o2 AS (SELECT doc_id, pos, t, rem,
-         |         lead(doc_id) OVER w3 AS nid, lead(pos) OVER w3 AS npos,
-         |         lead(t) OVER w3 AS nt, lead(rem) OVER w3 AS nrem
-         |       FROM qs2 WINDOW w3 AS (ORDER BY suf, doc_id, pos)),
-         |pr2 AS (SELECT doc_id, pos, nid, npos,
-         |          coalesce(nullif(list_position(list_transform(
-         |              generate_series(1, least(rem, nrem)),
-         |              j -> t[pos + j - 1] = nt[npos + j - 1]), false), 0) - 1,
-         |            least(rem, nrem)) AS lcp
-         |        FROM o2 WHERE nid IS NOT NULL),
-         |db AS (SELECT doc_id, pos, max(lcp) AS dl FROM (
-         |         SELECT doc_id, pos, lcp FROM pr2
-         |         UNION ALL SELECT nid AS doc_id, npos AS pos, lcp FROM pr2)
-         |       GROUP BY 1, 2),
-         |dall AS (SELECT doc_id, pos, dl FROM dc WHERE dl >= 8
-         |         UNION ALL SELECT doc_id, pos, dl FROM db WHERE dl >= 8),
-         |cover AS (SELECT DISTINCT doc_id, u3.cp AS pos
-         |          FROM dall, unnest(generate_series(dall.pos, dall.pos + dall.dl - 1)) AS u3(cp)),
-         |tok_pos AS (SELECT doc_id, CAST(i.i AS INTEGER) AS pos, t[i.i] AS tok
-         |            FROM st0, unnest(generate_series(1, len(t))) AS i(i)),
-         |agg AS (SELECT tp.doc_id, count(*) AS n_tokens,
-         |          count(c.pos) AS n_removed,
-         |          coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
-         |            ' ' ORDER BY tp.pos), '') AS clean_text
-         |        FROM tok_pos tp LEFT JOIN cover c
-         |          ON c.doc_id = tp.doc_id AND c.pos = tp.pos
-         |        GROUP BY 1)
+      s"""$exactFunnelCtes
          |SELECT cur.doc_id,
          |  CASE WHEN NOT cur.admit THEN 'rejected'
          |       WHEN cur.doc_id NOT IN (SELECT doc_id FROM novel) THEN 'duplicate'
@@ -1354,6 +1393,58 @@ private[graft] object QDedup {
          |  coalesce(a.clean_text, '') AS clean_text
          |FROM cur LEFT JOIN agg a USING (doc_id)
          |ORDER BY cur.doc_id""".stripMargin,
+    // The exact funnel + attribution report: the same funnel CTEs, plus
+    // an INDEPENDENT tail-match construction over the whole batch (the
+    // x_sa_attribution oracle's shape on the funnel's slices) — longest
+    // batch-doc tail occurring in the corpus via the union suffix sort
+    // (token-granular sentinel-space containment), then the matched
+    // span's corpus sites by direct window equality, capped at 3 in
+    // (doc_id, pos) order, flattened to one row per site with -1
+    // sentinels for no-site docs.
+    "pipe_admission_attr_e2e" ->
+      s"""$exactFunnelCtes,
+         |aqs AS (SELECT doc_id AS qid, CAST(len(wds) - i.i + 1 AS INTEGER) AS rem,
+         |          array_to_string(wds[i.i:len(wds)], ' ') AS suf
+         |        FROM w, unnest(generate_series(1, len(wds))) AS i(i)),
+         |au AS (SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS INTEGER) AS rem,
+         |         suf, 0 AS isq FROM cs2
+         |       UNION ALL SELECT qid, rem, suf, 1 FROM aqs),
+         |aw AS (SELECT qid, rem, suf, isq,
+         |         last_value(CASE WHEN isq = 0 THEN suf END IGNORE NULLS)
+         |           OVER (ORDER BY suf, isq
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+         |         first_value(CASE WHEN isq = 0 THEN suf END IGNORE NULLS)
+         |           OVER (ORDER BY suf, isq
+         |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+         |       FROM au),
+         |am AS (SELECT qid, max(rem) AS ml FROM aw
+         |       WHERE isq = 1 AND (starts_with(pc || ' ', suf || ' ')
+         |                       OR starts_with(nc || ' ', suf || ' '))
+         |       GROUP BY qid),
+         |aspan AS (SELECT am.qid, am.ml,
+         |            array_to_string(wb.wds[len(wb.wds) - am.ml + 1:len(wb.wds)], ' ') AS span
+         |          FROM am JOIN w wb ON wb.doc_id = am.qid WHERE am.ml >= 1),
+         |asite AS (SELECT s3.qid, s3.ml, c.doc_id, CAST(i.i AS INTEGER) AS pos,
+         |            row_number() OVER (PARTITION BY s3.qid
+         |                               ORDER BY c.doc_id, i.i) AS rn
+         |          FROM aspan s3, ct0 c,
+         |               unnest(generate_series(1, len(c.t) - s3.ml + 1)) AS i(i)
+         |          WHERE array_to_string(c.t[i.i:i.i + s3.ml - 1], ' ') = s3.span)
+         |SELECT cur.doc_id,
+         |  CASE WHEN NOT cur.admit THEN 'rejected'
+         |       WHEN cur.doc_id NOT IN (SELECT doc_id FROM novel) THEN 'duplicate'
+         |       ELSE 'admitted' END AS verdict,
+         |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(a.clean_text, '') AS clean_text,
+         |  CAST(coalesce(am.ml, 0) AS INTEGER) AS sa_match_len,
+         |  CAST(coalesce(st.rn - 1, -1) AS INTEGER) AS site_ord,
+         |  CAST(coalesce(st.doc_id, -1) AS BIGINT) AS site_doc,
+         |  CAST(coalesce(st.pos, -1) AS INTEGER) AS site_pos
+         |FROM cur LEFT JOIN agg a USING (doc_id)
+         |LEFT JOIN am ON am.qid = cur.doc_id
+         |LEFT JOIN (SELECT * FROM asite WHERE rn <= 3) st ON st.qid = cur.doc_id
+         |ORDER BY cur.doc_id, site_ord""".stripMargin,
     // Admission with the semantic stage on: pipe_admission_e2e's funnel
     // + exact-dup stages, then the x_semdedup_incremental probe of the
     // exact-novel survivors (corpus-fitted per-label centroids; every
