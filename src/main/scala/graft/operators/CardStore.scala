@@ -85,7 +85,7 @@ object CardStore {
            accuracy: Int = 1 << 20, numBuckets: Int = 16): Unit =
     WriterLease.withLease(dir, "cardstore-init") {
       AdditiveLedger.requireFresh(dir, "card store",
-        extraPaths = Seq(java.nio.file.Paths.get(fpsDir(dir), "_CURRENT")))
+        extraPaths = Seq(s"${fpsDir(dir)}/_CURRENT"))
       val enriched = enrich(corpus, srcCol, langCol, textCol, nCharsCol,
         quality).localCheckpoint(true)
       val fps = enriched.select(col("source"), col("lang"), col("__fp"))

@@ -39,14 +39,13 @@ import org.apache.spark.sql.functions._
 object EvalStore {
 
   private def gramsDir(dir: String) = s"$dir/grams"
-  private def nPath(dir: String) = java.nio.file.Paths.get(dir, "_N")
+  private def nPath(dir: String) = s"$dir/_N"
 
   /** The n-gram size this registry was initialized with. */
   def gramSize(dir: String): Int = {
-    require(java.nio.file.Files.exists(nPath(dir)),
+    require(graft.sources.StoreFs.get.exists(nPath(dir)),
       s"no eval registry at '$dir' — run init first")
-    new String(java.nio.file.Files.readAllBytes(nPath(dir)),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    graft.sources.StoreFs.get.readString(nPath(dir)).trim.toInt
   }
 
   /** One suite's (suite, g, c) rows; sign −1 is the [[deregister]] part. */
@@ -66,9 +65,7 @@ object EvalStore {
     require(suiteName.nonEmpty, "suite name must be non-empty")
     AdditiveLedger.init(dir, "eval registry", "part_00000",
         extraPaths = Seq(nPath(dir))) { nm =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      java.nio.file.Files.write(nPath(dir),
-        s"$n\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.sources.StoreFs.get.writeAtomic(nPath(dir), s"$n\n")
       part(suiteName, suite, textCol, n, sign = 1)
         .write.mode("overwrite").parquet(s"${gramsDir(dir)}/$nm")
     }
@@ -195,7 +192,7 @@ object EvalStore {
   /** Storage audit — the additive-ledger fsck plus the `_N` pin. */
   def check(spark: SparkSession, dir: String): DataFrame = {
     val base = StoreCheck.deltaParts(spark, dir, Seq(gramsDir(dir)))
-    val nOk = java.nio.file.Files.exists(nPath(dir)) &&
+    val nOk = graft.sources.StoreFs.get.exists(nPath(dir)) &&
       scala.util.Try(gramSize(dir)).toOption.exists(_ >= 1)
     base.unionByName(StoreCheck.row(spark, dir, "gram_size_pinned", nOk,
       if (nOk) s"n=${gramSize(dir)}" else s"missing/invalid ${nPath(dir)}"))

@@ -197,8 +197,7 @@ object MediaStore {
       require(exists(dir), s"no media store at '$dir' — run init first")
       val vd = verdictDir(dir, batchId)
       val keys = withKeys(batch).localCheckpoint(true)
-      val committed = java.nio.file.Files.exists(
-        java.nio.file.Paths.get(vd, "_SUCCESS"))
+      val committed = graft.sources.StoreFs.get.exists(s"$vd/_SUCCESS")
       if (!committed)
         judge(spark, dir, keys).write.mode("overwrite").parquet(vd)
       val out = spark.read.parquet(vd)

@@ -50,7 +50,7 @@ object NgramStore {
 
   private def gramsDir(dir: String) = s"$dir/grams"
   private def roots(dir: String) = Seq(gramsDir(dir))
-  private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "_meta")
+  private def metaPath(dir: String) = s"$dir/_meta"
 
   /** The width bound the store was built at (probes run at it — mixing
     * widths would silently under-match, so it is not a probe param). */
@@ -104,8 +104,8 @@ object NgramStore {
         partOf(corpus, textCol, maxN, numBuckets, sign = 1), numBuckets)
       // Meta lands LAST inside the callback: a crash before this point
       // leaves neither _PARTS nor _meta, so a retry re-runs clean.
-      java.nio.file.Files.write(metaPath(dir),
-        s"maxN=$maxN\nbuckets=$numBuckets\n".getBytes("UTF-8"))
+      graft.sources.BucketedParts.writeMeta(metaPath(dir),
+        Seq("maxN" -> maxN.toString, "buckets" -> numBuckets.toString))
       ()
     }
   }
@@ -168,7 +168,7 @@ object NgramStore {
 
   /** Storage audit: the grams ledger plus the meta pin. */
   def fsck(spark: SparkSession, dir: String): DataFrame = {
-    val metaOk = java.nio.file.Files.exists(metaPath(dir))
+    val metaOk = graft.sources.StoreFs.get.exists(metaPath(dir))
     graft.sources.StoreCheck.deltaParts(spark, dir, roots(dir))
       .unionByName(graft.sources.StoreCheck.row(spark, dir, "meta_resolves",
         metaOk,

@@ -352,7 +352,7 @@ object PqStore {
     * caller-held by contract ([[write]]'s scaladoc), so an absent
     * `_codebook` there is advisory, not a failure. */
   def fsck(spark: SparkSession, dir: String): DataFrame = {
-    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    def exists(p: String) = graft.sources.StoreFs.get.exists(p)
     val fitRows = fitDir(spark, dir) match {
       case Some(f) =>
         graft.sources.StoreCheck.row(spark, dir, "fit_cells_resolve",

@@ -81,7 +81,7 @@ object SaStore {
   private def winDir(dir: String) = s"$dir/win"
   private def tombsDir(dir: String) = s"$dir/tombs"
   private def roots(dir: String) = Seq(winDir(dir), tombsDir(dir))
-  private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "_meta")
+  private def metaPath(dir: String) = s"$dir/_meta"
 
   /** The length budget the store was built at: the longest certifiable
     * match, = 2^(levels+1) for top level index `levels`. */
@@ -220,8 +220,8 @@ object SaStore {
         .write.mode("overwrite").parquet(s"${tombsDir(dir)}/$n")
       // Meta lands LAST inside the callback: a crash before this point
       // leaves neither _PARTS nor _meta, so a retry re-runs clean.
-      java.nio.file.Files.write(metaPath(dir),
-        s"maxLen=$budget\nbuckets=$numBuckets\n".getBytes("UTF-8"))
+      BucketedParts.writeMeta(metaPath(dir),
+        Seq("maxLen" -> budget.toString, "buckets" -> numBuckets.toString))
       ()
     }
   }
@@ -308,7 +308,7 @@ object SaStore {
 
   /** Storage audit: the two-relation ledger plus the meta pin. */
   def fsck(spark: SparkSession, dir: String): DataFrame = {
-    val metaOk = java.nio.file.Files.exists(metaPath(dir))
+    val metaOk = graft.sources.StoreFs.get.exists(metaPath(dir))
     graft.sources.StoreCheck.deltaParts(spark, dir, roots(dir))
       .unionByName(graft.sources.StoreCheck.row(spark, dir, "meta_resolves",
         metaOk,

@@ -229,7 +229,7 @@ object SemDedupStore {
                         centIdCol: String, centVecCol: String,
                         numBuckets: Int = 64): Unit = {
     if (TableSink.tableExists(membersDir(dir)) ||
-        java.nio.file.Files.exists(java.nio.file.Paths.get(cellsDir(dir))))
+        graft.sources.StoreFs.get.exists(cellsDir(dir)))
       throw new IllegalStateException(
         s"semantic store at '$dir' was already initialized — init is " +
           "run-once; delete the store dir (or point at a fresh one) to rebuild.")
@@ -509,7 +509,7 @@ object SemDedupStore {
     val ptr = graft.sources.IndexMeta.cellsPtr(membersDir(dir))
       .fold(cellsDir(dir))(p => s"$dir/$p")
     members.unionByName(graft.sources.StoreCheck.row(spark, dir,
-      "centroids_resolve", java.nio.file.Files.exists(java.nio.file.Paths.get(ptr)),
+      "centroids_resolve", graft.sources.StoreFs.get.exists(ptr),
       s"centroid pointer -> $ptr"))
   }
 }

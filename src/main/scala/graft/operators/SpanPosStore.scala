@@ -69,7 +69,7 @@ object SpanPosStore {
   private def tombsDir(dir: String) = s"$dir/tombs"
   private def roots(dir: String) =
     Seq(windowsDir(dir), countsDir(dir), tombsDir(dir))
-  private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "_meta")
+  private def metaPath(dir: String) = s"$dir/_meta"
 
   /** The window width the store was built at (probes run at this k). */
   def k(dir: String): Int = meta(dir)._1
@@ -144,8 +144,8 @@ object SpanPosStore {
         .write.mode("overwrite").parquet(s"${tombsDir(dir)}/$n")
       // Meta lands LAST inside the callback: a crash before this point
       // leaves neither _PARTS nor _meta, so a retry re-runs clean.
-      java.nio.file.Files.write(metaPath(dir),
-        s"k=$k\nbuckets=$numBuckets\n".getBytes("UTF-8"))
+      graft.sources.BucketedParts.writeMeta(metaPath(dir),
+        Seq("k" -> k.toString, "buckets" -> numBuckets.toString))
       ()
     }
   }
@@ -254,7 +254,7 @@ object SpanPosStore {
 
   /** Storage audit: the three-relation ledger plus the meta pin. */
   def fsck(spark: SparkSession, dir: String): DataFrame = {
-    val metaOk = java.nio.file.Files.exists(metaPath(dir))
+    val metaOk = graft.sources.StoreFs.get.exists(metaPath(dir))
     graft.sources.StoreCheck.deltaParts(spark, dir, roots(dir))
       .unionByName(graft.sources.StoreCheck.row(spark, dir, "meta_resolves",
         metaOk,

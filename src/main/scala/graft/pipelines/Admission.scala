@@ -454,8 +454,7 @@ object Admission {
     * present only when initialized with `cfg.exactSpans` on. */
   def exactDir(storeDir: String) = s"$storeDir/exact_spans"
   private def exactExists(storeDir: String): Boolean =
-    java.nio.file.Files.exists(
-      java.nio.file.Paths.get(exactDir(storeDir), "_PARTS"))
+    graft.sources.StoreFs.get.exists(s"${exactDir(storeDir)}/_PARTS")
   /** The span policy is pinned PER STORE at [[init]] (the exact store
     * exists iff the store was initialized under `exactSpans`): running
     * the other policy against it would silently scrub against a stale
@@ -599,10 +598,8 @@ object Admission {
       graft.sources.WriterLease.withLease(storeDir, "admission-init") {
     graft.sources.AdditiveLedger.requireFresh(spanDir(storeDir),
       "admission store", extraPaths = Seq(
-        java.nio.file.Paths.get(storeDir, "verdicts"),
-        java.nio.file.Paths.get(fpDir(storeDir)),
-        java.nio.file.Paths.get(semDir(storeDir)),
-        java.nio.file.Paths.get(exactDir(storeDir))))
+        s"$storeDir/verdicts", fpDir(storeDir),
+        semDir(storeDir), exactDir(storeDir)))
     val fps = corpus.select(text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull).distinct()
       .withColumn("__v", lit(0L))
@@ -870,7 +867,7 @@ object Admission {
                    cfg: Config = Config()): DataFrame =
       graft.sources.WriterLease.withLease(storeDir, "admission-run-committed") {
     val vd = verdictDir(storeDir, batchId)
-    val committed = java.nio.file.Files.exists(java.nio.file.Paths.get(vd, "_SUCCESS"))
+    val committed = graft.sources.StoreFs.get.exists(s"$vd/_SUCCESS")
     if (!committed)
       computeVerdicts(spark, storeDir, batch, idCol, textCol, cfg)
         .write.mode("overwrite").parquet(vd)

@@ -133,16 +133,16 @@ object Hybrid {
     }
     Bm25Store.snapshot(bm25Dir(storeDir), tag)   // idempotent-or-refuse
     if (existingAnn.isEmpty) TableSink.snapshot(annD, tag)
-    val cdir = java.nio.file.Paths.get(cellsSnapDir(storeDir, tag))
+    val cdir = cellsSnapDir(storeDir, tag)
+    val sfs = graft.sources.StoreFs.get
     // A partial cells copy (no _SUCCESS) is a crash artifact: rewrite it;
     // a complete copy is kept (cells at tag time == cells now, or the
     // ANN pre-check above would have refused — a centroid rebuild
     // republishes the ANN generation).
-    if (java.nio.file.Files.exists(cdir) &&
-        !java.nio.file.Files.exists(cdir.resolve("_SUCCESS")))
-      graft.sources.DeltaParts.rmDir(cdir.toString)
-    if (!java.nio.file.Files.exists(cdir))
-      readCells(spark, storeDir).write.parquet(cdir.toString)
+    if (sfs.exists(cdir) && !sfs.exists(s"$cdir/_SUCCESS"))
+      graft.sources.DeltaParts.rmDir(cdir)
+    if (!sfs.exists(cdir))
+      readCells(spark, storeDir).write.parquet(cdir)
   }
 
   /** Is `tag` fully pinned across all three pieces? The composite
@@ -150,8 +150,8 @@ object Hybrid {
   def snapshotPinned(storeDir: String, tag: String): Boolean =
     graft.sources.DeltaParts.snapshots(bm25Dir(storeDir)).contains(tag) &&
       TableSink.listSnapshots(annDir(storeDir)).contains(tag) &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(
-        cellsSnapDir(storeDir, tag), "_SUCCESS"))
+      graft.sources.StoreFs.get.exists(
+        s"${cellsSnapDir(storeDir, tag)}/_SUCCESS")
 
   /** Release a [[snapshot]] tag on all three pieces. */
   def dropSnapshot(spark: SparkSession, storeDir: String, tag: String): Unit =
@@ -441,7 +441,7 @@ object Hybrid {
       .unionByName(graft.sources.StoreCheck.tableSink(spark, annDir(storeDir)))
       .unionByName(graft.sources.StoreCheck.row(spark, storeDir,
         "centroids_resolve",
-        java.nio.file.Files.exists(java.nio.file.Paths.get(ptr)),
+        graft.sources.StoreFs.get.exists(ptr),
         s"centroid pointer -> $ptr"))
   }
 }

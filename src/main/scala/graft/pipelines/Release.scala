@@ -117,16 +117,14 @@ object Release {
     "card" -> ledgerOps((d, t) => { CardStore.snapshot(d, t); () },
       CardStore.dropSnapshot, CardStore.restore))
 
-  private def manifest(manifestDir: String, tag: String): java.nio.file.Path =
-    java.nio.file.Paths.get(manifestDir, s"release_$tag")
+  private def manifest(manifestDir: String, tag: String): String =
+    s"$manifestDir/release_$tag"
 
   /** The releases recorded under `manifestDir`, newest-name-last. */
-  def list(manifestDir: String): Seq[String] = {
-    val d = new java.io.File(manifestDir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.startsWith("release_"))
-      .map(_.stripPrefix("release_")).sorted.toSeq
-  }
+  def list(manifestDir: String): Seq[String] =
+    graft.sources.StoreFs.get.list(manifestDir)
+      .map(_.name).filter(_.startsWith("release_"))
+      .map(_.stripPrefix("release_")).sorted
 
   /** The members of a recorded release. */
   def members(manifestDir: String, tag: String): Seq[Member] = {
@@ -135,9 +133,9 @@ object Release {
     require(tag.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
       s"release tag must be a simple name (letter/digit first): '$tag'")
     val p = manifest(manifestDir, tag)
-    require(java.nio.file.Files.exists(p),
+    require(graft.sources.StoreFs.get.exists(p),
       s"no release '$tag' at '$manifestDir' (have: ${list(manifestDir).mkString(", ")})")
-    java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+    graft.sources.StoreFs.get.readLines(p)
       .filter(_.nonEmpty).map { line =>
         line.split('\t') match {
           case Array(k, d) => Member(k, d)
@@ -162,17 +160,17 @@ object Release {
     val dup = stores.groupBy(_.dir).collect { case (d, ms) if ms.size > 1 => d }
     require(dup.isEmpty, s"store dir(s) listed twice: ${dup.mkString(", ")}")
     val p = manifest(manifestDir, tag)
-    require(!java.nio.file.Files.exists(p),
+    require(!graft.sources.StoreFs.get.exists(p),
       s"release '$tag' already recorded at '$manifestDir' — releases are " +
         "immutable; pick a new tag (or drop the old release first)")
     stores.foreach(m => kinds(m.kind).snap(spark, m.dir, tag))
-    java.nio.file.Files.createDirectories(p.getParent)
-    val tmp = p.getParent.resolve(s".release_$tag.tmp.${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp,
-      stores.map(m => s"${m.kind}\t${m.dir}").mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // Exclusive-create publish via the seam: the manifest write is the
+    // commit point, and a raced same-tag freeze loses the create and
+    // refuses (the old no-replace ATOMIC_MOVE semantics, kept).
+    require(graft.sources.StoreFs.get.createNew(p,
+        stores.map(m => s"${m.kind}\t${m.dir}").mkString("", "\n", "\n")),
+      s"release '$tag' already recorded at '$manifestDir' — releases are " +
+        "immutable; pick a new tag (or drop the old release first)")
   }
 
   /** Roll EVERY member back to the release — refusing up front if any
@@ -193,7 +191,7 @@ object Release {
     * stays listed until its pins are gone. */
   def drop(spark: SparkSession, manifestDir: String, tag: String): Unit = {
     members(manifestDir, tag).foreach(m => kinds(m.kind).drop(spark, m.dir, tag))
-    java.nio.file.Files.deleteIfExists(manifest(manifestDir, tag)); ()
+    graft.sources.StoreFs.get.deleteIfExists(manifest(manifestDir, tag)); ()
   }
 
   /** Cleanup overload for a [[freeze]] that FAILED before its manifest

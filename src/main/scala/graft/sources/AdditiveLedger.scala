@@ -46,11 +46,11 @@ object AdditiveLedger {
     * later replayed append. `extraPaths` adds store-specific prior-life
     * markers (the Admission verdict history / fingerprint table). */
   def requireFresh(dir: String, what: String,
-                   extraPaths: Seq[java.nio.file.Path] = Nil): Unit = {
+                   extraPaths: Seq[String] = Nil): Unit = {
     val priorLife = (Seq(
-      java.nio.file.Paths.get(dir, "_PARTS"),
-      java.nio.file.Paths.get(absorbedDir(dir), "_PARTS")
-    ) ++ extraPaths).filter(java.nio.file.Files.exists(_))
+      s"$dir/_PARTS",
+      s"${absorbedDir(dir)}/_PARTS"
+    ) ++ extraPaths).filter(StoreFs.get.exists(_))
     if (priorLife.nonEmpty)
       throw new IllegalStateException(
         s"$what at '$dir' was already initialized " +
@@ -76,7 +76,7 @@ object AdditiveLedger {
     * the second initializer sees the first's `_PARTS` and refuses
     * loudly, the contract every mutation here already keeps. */
   def init(dir: String, what: String, name: String,
-           extraPaths: Seq[java.nio.file.Path] = Nil)(write: String => Unit): Unit =
+           extraPaths: Seq[String] = Nil)(write: String => Unit): Unit =
     WriterLease.withLease(dir, "ledger-init") {
       requireFresh(dir, what, extraPaths)
       write(name)

@@ -77,22 +77,12 @@ object BucketedParts {
     //    and the limit(0) reconcile below would OVERWRITE the data just
     //    written (the resolution check a bare '://' string match
     //    cannot make).
+    // The tear-refusal lives in the seam (ONE place for the whole
+    // store family): the active StoreFs decides which paths both it
+    // and Spark resolve to the same location.
+    StoreFs.get.requireCompatible(path, df.sparkSession)
     val hPath = new org.apache.hadoop.fs.Path(path)
-    // Explicit-scheme refusal FIRST: resolving the FileSystem for an
-    // s3://-style path would need the connector jar on the classpath
-    // (an opaque 'No FileSystem for scheme' crash) and would build a
-    // remote client just to refuse it.
-    val explicit = Option(hPath.toUri.getScheme)
-    require(explicit.isEmpty,
-      s"bucketed stores are local-filesystem PLAIN paths (the ledger/" +
-        s"meta layer is java.nio over the same string): '$path' " +
-        s"carries explicit scheme '${explicit.get}'")
     val fs = hPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    val resolved = Option(fs.getUri.getScheme).getOrElse("file")
-    require(resolved == "file",
-      s"bucketed stores are local-filesystem PLAIN paths (the ledger/" +
-        s"meta layer is java.nio over the same string): '$path' " +
-        s"resolves to default-filesystem scheme '$resolved'")
     val par = df.sparkSession.sparkContext.defaultParallelism
     val salt = math.max(1, par / math.max(1, dirCount))
     df.repartition(partCols.map(col) :+ pmod(xxhash64(col("h1")), lit(salt)): _*)
@@ -115,11 +105,19 @@ object BucketedParts {
   /** The `_meta` key=value pin every bucketed store writes at init
     * (LAST inside the init callback — a crash before it leaves neither
     * `_PARTS` nor `_meta`, so a retry re-runs clean). */
-  def readMeta(path: java.nio.file.Path, what: String): Map[String, String] = {
-    require(java.nio.file.Files.exists(path),
-      s"no $what at '${path.getParent}' (missing _meta) — run init first")
-    new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+  def readMeta(path: String, what: String): Map[String, String] = {
+    val fs = StoreFs.get
+    require(fs.exists(path),
+      s"no $what at '${path.split('/').dropRight(1).mkString("/")}' " +
+        "(missing _meta) — run init first")
+    fs.readString(path)
       .split("\n").map(_.trim).filter(_.contains("="))
       .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
   }
+
+  /** The `_meta` write half — atomic publish via the seam, so a meta
+    * flip is old-or-new like every other ledger file. */
+  def writeMeta(path: String, kv: Seq[(String, String)]): Unit =
+    StoreFs.get.writeAtomic(path,
+      kv.map { case (k, v) => s"$k=$v" }.mkString("\n") + "\n")
 }

@@ -1,16 +1,15 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 /**
  * A tiny additive-parts ledger: a directory of immutable parquet part
  * dirs plus one `_PARTS` file naming the live ones, published
- * atomically (temp + move — the [[TableSink]] `_CURRENT` idiom). The
- * storage primitive behind every "standing state that refreshes by
- * additive delta + scheduled compaction" store (span-digest inventory,
- * BM25 postings/df/stats): per-batch writes stay O(batch) — a new part
- * dir and a one-line ledger update — where a row-keyed upsert of
- * uniformly-distributed keys would dirty every bucket of a CoW table.
+ * atomically ([[StoreFs.writeAtomic]] — the [[TableSink]] `_CURRENT`
+ * idiom). The storage primitive behind every "standing state that
+ * refreshes by additive delta + scheduled compaction" store
+ * (span-digest inventory, BM25 postings/df/stats): per-batch writes
+ * stay O(batch) — a new part dir and a one-line ledger update — where
+ * a row-keyed upsert of uniformly-distributed keys would dirty every
+ * bucket of a CoW table.
  *
  * Single-writer by contract (scheduled ingest/maintenance jobs, not a
  * concurrent endpoint) — the read-modify-write mutations ([[add]],
@@ -19,31 +18,29 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
  * ledger, never a torn one. Replay-safe: parts are named by their
  * batch/epoch, rewriting a part is an idempotent overwrite, and
  * [[add]] is add-if-absent.
+ *
+ * All filesystem access rides the [[StoreFs]] seam; the semantics each
+ * operation needs are documented there.
  */
 object DeltaParts {
 
-  private def partsFile(dir: String) = Paths.get(dir, "_PARTS")
-  private def snapsDir(dir: String) = Paths.get(dir, "_snapshots")
+  private def fs = StoreFs.get
 
-  private def readNames(p: java.nio.file.Path): Seq[String] =
-    new String(Files.readAllBytes(p), "UTF-8")
-      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  private def partsFile(dir: String) = s"$dir/_PARTS"
+  private def snapsDir(dir: String) = s"$dir/_snapshots"
+
+  private def readNames(p: String): Seq[String] =
+    fs.readString(p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
 
   /** Live part names, oldest first; empty when the store is absent. */
   def list(dir: String): Seq[String] = {
     val p = partsFile(dir)
-    if (Files.exists(p)) readNames(p) else Seq.empty
+    if (fs.exists(p)) readNames(p) else Seq.empty
   }
 
   /** Atomically publish `parts` as the live set. */
-  def publish(dir: String, parts: Seq[String]): Unit = {
-    val d = Paths.get(dir)
-    Files.createDirectories(d)
-    val tmp = d.resolve(s"_PARTS.tmp.${java.util.UUID.randomUUID()}")
-    Files.write(tmp, (parts.mkString("\n") + "\n").getBytes("UTF-8"))
-    Files.move(tmp, partsFile(dir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def publish(dir: String, parts: Seq[String]): Unit =
+    fs.writeAtomic(partsFile(dir), parts.mkString("\n") + "\n")
 
   /** Append `name` to the live set if absent (replay-idempotent).
     * Read-modify-write, so it runs under the dir's [[WriterLease]] —
@@ -65,8 +62,7 @@ object DeltaParts {
                       prefix: String = "part_",
                       extraNames: Seq[String] = Nil): String = {
     val onDisk = diskRoots.flatMap(r =>
-      Option(new java.io.File(r).listFiles()).getOrElse(Array.empty)
-        .filter(_.isDirectory).map(_.getName))
+      fs.list(r).filter(_.isDirectory).map(_.name))
     // extraNames: histories the counter must NEVER rewind past even when
     // neither ledger nor disk still names them (e.g. an absorbed-record
     // ledger after compactions swept the numeric orphans — regenerating
@@ -101,36 +97,33 @@ object DeltaParts {
       s"snapshot tag must be a simple name (letter/digit first): '$tag'")
     val parts = list(dir)
     require(parts.nonEmpty, s"no parts ledger at '$dir' to snapshot")
-    val p = snapsDir(dir).resolve(tag)
-    if (Files.exists(p)) {
+    val p = s"${snapsDir(dir)}/$tag"
+    if (fs.exists(p)) {
       val prior = readNames(p)
       require(prior == parts,
         s"snapshot tag '$tag' at '$dir' already pins $prior — refusing to " +
           s"re-point it at $parts; drop the tag first if that is intended")
       return parts
     }
-    Files.createDirectories(snapsDir(dir))
-    val tmp = snapsDir(dir).resolve(s".$tag.tmp.${java.util.UUID.randomUUID()}")
-    Files.write(tmp, (parts.mkString("\n") + "\n").getBytes("UTF-8"))
-    Files.move(tmp, p,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    fs.writeAtomic(p, parts.mkString("\n") + "\n")
     parts
   }
 
   /** The parts-list `tag` pinned — read-at-tag for time travel. */
   def listAt(dir: String, tag: String): Seq[String] = {
-    val p = snapsDir(dir).resolve(tag)
-    require(Files.exists(p), s"no snapshot '$tag' at '$dir' " +
+    val p = s"${snapsDir(dir)}/$tag"
+    require(fs.exists(p), s"no snapshot '$tag' at '$dir' " +
       s"(tags: ${snapshots(dir).keys.toSeq.sorted.mkString(", ")})")
     readNames(p)
   }
 
-  /** Every live tag → its pinned parts. Temp files (dot-leading) are
-    * invisible ([[snapshot]] rejects dot-leading tags). */
+  /** Every live tag → its pinned parts. Temp files (dot-leading, the
+    * [[StoreFs.writeAtomic]] debris convention) are invisible
+    * ([[snapshot]] rejects dot-leading tags). */
   def snapshots(dir: String): Map[String, Seq[String]] =
-    Option(snapsDir(dir).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("."))
-      .map(f => f.getName -> readNames(f.toPath)).toMap
+    fs.list(snapsDir(dir))
+      .filter(e => e.isFile && !e.name.startsWith("."))
+      .map(e => e.name -> readNames(s"${snapsDir(dir)}/${e.name}")).toMap
 
   /** Union of every tag's pinned parts — what sweeps must protect. */
   def pinned(dir: String): Set[String] =
@@ -139,7 +132,7 @@ object DeltaParts {
   /** Release a tag; its parts become sweepable next compaction cycle
     * (unless the live ledger or another tag still names them). */
   def dropSnapshot(dir: String, tag: String): Unit = {
-    Files.deleteIfExists(snapsDir(dir).resolve(tag)); ()
+    fs.deleteIfExists(s"${snapsDir(dir)}/$tag"); ()
   }
 
   /** Roll the live ledger back to a [[snapshot]]: publish the pinned
@@ -176,15 +169,10 @@ object DeltaParts {
     * reserved ledger/metadata namespace (`_PARTS`, sibling ledgers like
     * an absorbed-record dir) and are never swept. */
   def sweepOrphans(root: String, protect: Set[String]): Unit =
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !f.getName.startsWith("_") && !protect(f.getName))
-      .foreach(f => rmDir(f.getPath))
+    fs.list(root)
+      .filter(e => e.isDirectory && !e.name.startsWith("_") && !protect(e.name))
+      .foreach(e => rmDir(s"$root/${e.name}"))
 
   /** Best-effort recursive delete of an unreferenced part dir. */
-  def rmDir(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(path))
-  }
+  def rmDir(path: String): Unit = fs.deleteRecursively(path)
 }

@@ -47,12 +47,8 @@ object IndexMeta {
     * dirs (this object's own rationale). */
   def nextVersionedDir(dir: String, prefix: String): String = {
     val re = (java.util.regex.Pattern.quote(prefix) + """(\d+)""").r
-    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-    val max = try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case re(k) => k.toLong }.foldLeft(0L)(math.max)
-    } finally s.close()
+    val max = StoreFs.get.list(dir).map(_.name)
+      .collect { case re(k) => k.toLong }.foldLeft(0L)(math.max)
     s"$prefix${max + 1}"
   }
 

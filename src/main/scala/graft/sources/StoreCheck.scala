@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
 
-import java.io.File
-import java.nio.file.{Files, Paths}
+// Filesystem access rides the [[StoreFs]] seam (driver-side metadata
+// reads only).
 import scala.jdk.CollectionConverters._
 
 /**
@@ -29,6 +29,8 @@ import scala.jdk.CollectionConverters._
  */
 object StoreCheck {
 
+  private def fs = StoreFs.get
+
   private val schema = StructType(Seq(
     StructField("store", StringType, nullable = false),
     StructField("check", StringType, nullable = false),
@@ -51,11 +53,11 @@ object StoreCheck {
     * live stores, so the lease can be released (or broken) between the
     * existence check and the read — that is "free", not a crash. */
   private def leaseRow(dir: String): (String, Boolean, String) = {
-    val lease = Paths.get(dir, WriterLease.LeaseFile)
+    val lease = s"$dir/${WriterLease.LeaseFile}"
     val detail =
       try {
-        if (!Files.exists(lease)) "free"
-        else "held: " + Files.readString(lease).trim.replace('\n', ' ')
+        if (!fs.exists(lease)) "free"
+        else "held: " + fs.readString(lease).trim.replace('\n', ' ')
       } catch { case _: java.io.IOException => "free (released mid-audit)" }
     ("writer_lease", true, detail)
   }
@@ -66,15 +68,12 @@ object StoreCheck {
     * reads them) but they accumulate over crash-recovery cycles and no
     * other surface reports them. */
   private def debrisRow(dir: String): (String, Boolean, String) = {
-    def count(d: java.nio.file.Path, pred: String => Boolean): Int =
-      if (!Files.isDirectory(d)) 0
-      else Option(d.toFile.listFiles()).getOrElse(Array.empty[File])
-        .count(f => f.isFile && pred(f.getName))
-    def tmps(d: java.nio.file.Path): Int =
+    def count(d: String, pred: String => Boolean): Int =
+      fs.list(d).count(e => e.isFile && pred(e.name))
+    def tmps(d: String): Int =
       count(d, n => n.contains(".tmp"))
-    val t = tmps(Paths.get(dir)) + tmps(Paths.get(dir, "_manifests")) +
-      tmps(Paths.get(dir, "_snapshots"))
-    val tombs = count(Paths.get(dir),
+    val t = tmps(dir) + tmps(s"$dir/_manifests") + tmps(s"$dir/_snapshots")
+    val tombs = count(dir,
       _.startsWith(WriterLease.LeaseFile + ".broken."))
     ("crash_debris", true,
       if (t + tombs == 0) "none"
@@ -89,11 +88,11 @@ object StoreCheck {
     * a tab (an entry that lost its tab to truncation) is malformed —
     * skipping it silently would pass a manifest whose bucket reference
     * vanished. */
-  private def entryLines(m: java.nio.file.Path):
+  private def entryLines(m: String):
       (Seq[(Int, String)], Seq[String]) = {
     val good = Seq.newBuilder[(Int, String)]
     val bad = Seq.newBuilder[String]
-    Files.readAllLines(m).asScala
+    fs.readLines(m)
       .filterNot(l => l.isEmpty || (!l.contains('\t') && l.contains('=')))
       .foreach { l =>
         val i = l.indexOf('\t')
@@ -118,19 +117,19 @@ object StoreCheck {
     * `_LEASE`. */
   def tableSink(spark: SparkSession, dir: String): DataFrame = {
     val out = Seq.newBuilder[(String, Boolean, String)]
-    val ptr = Paths.get(dir, "_CURRENT")
-    if (!Files.exists(ptr)) {
+    val ptr = s"$dir/_CURRENT"
+    if (!fs.exists(ptr)) {
       out += (("current_resolves", false, s"no _CURRENT at '$dir'"))
       return report(spark, dir, out.result())
     }
-    val name = Files.readString(ptr).trim
-    val mf = Paths.get(dir, "_manifests", name)
-    out += (("current_resolves", Files.exists(mf), s"_CURRENT -> $name"))
-    if (!Files.exists(mf)) return report(spark, dir, out.result())
+    val name = fs.readString(ptr).trim
+    val mf = s"$dir/_manifests/$name"
+    out += (("current_resolves", fs.exists(mf), s"_CURRENT -> $name"))
+    if (!fs.exists(mf)) return report(spark, dir, out.result())
 
-    def entriesOf(m: java.nio.file.Path): Seq[(Int, String)] = entryLines(m)._1
-    def headerOf(m: java.nio.file.Path): Map[String, String] =
-      Files.readAllLines(m).asScala.filterNot(_.contains('\t'))
+    def entriesOf(m: String): Seq[(Int, String)] = entryLines(m)._1
+    def headerOf(m: String): Map[String, String] =
+      fs.readLines(m).filterNot(_.contains('\t'))
         .filter(_.contains('=')).map { l =>
           val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
         }.toMap
@@ -154,9 +153,9 @@ object StoreCheck {
       else s"out of range: ${badRange.map(_._1).mkString(",")}"))
 
     val missing = entries.filter { case (_, rel) =>
-      val d = new File(s"$dir/$rel")
-      !d.isDirectory || Option(d.listFiles()).getOrElse(Array.empty)
-        .count(f => f.isFile && f.getName.endsWith(".parquet")) == 0
+      val d = s"$dir/$rel"
+      !fs.isDirectory(d) ||
+        fs.list(d).count(e => e.isFile && e.name.endsWith(".parquet")) == 0
     }
     out += (("data_files_present", missing.isEmpty,
       if (missing.isEmpty) "every referenced bucket dir has parquet files"
@@ -165,12 +164,12 @@ object StoreCheck {
 
     // snapshot tags: tag → manifest → files, each link checked
     TableSink.listSnapshots(dir).toSeq.sortBy(_._1).foreach { case (tag, seq) =>
-      val tm = Paths.get(dir, "_manifests", f"m-$seq%010d")
-      if (!Files.exists(tm))
+      val tm = f"$dir/_manifests/m-$seq%010d"
+      if (!fs.exists(tm))
         out += ((s"snapshot_$tag", false, s"pinned manifest m-$seq missing"))
       else {
         val gone = entriesOf(tm).filterNot { case (_, rel) =>
-          new File(s"$dir/$rel").isDirectory }
+          fs.isDirectory(s"$dir/$rel") }
         out += ((s"snapshot_$tag", gone.isEmpty,
           if (gone.isEmpty) s"pins m-$seq, all files present"
           else s"pinned files missing: ${gone.map(_._2).take(5).mkString(", ")}"))
@@ -178,15 +177,14 @@ object StoreCheck {
     }
 
     // advisory: orphan generation dirs (pending GC) and a live lease
-    val kept = Option(Paths.get(dir, "_manifests").toFile.listFiles())
-      .getOrElse(Array.empty).filter(_.getName.startsWith("m-"))
-      .flatMap(m => entriesOf(m.toPath).map(_._2)).toSet
-    val orphans = Option(new File(s"$dir/data").listFiles()).getOrElse(Array.empty)
+    val kept = fs.list(s"$dir/_manifests").filter(_.name.startsWith("m-"))
+      .flatMap(m => entriesOf(s"$dir/_manifests/${m.name}").map(_._2)).toSet
+    val orphans = fs.list(s"$dir/data")
       .filter(_.isDirectory).flatMap(gen =>
-        Option(gen.listFiles()).getOrElse(Array.empty)
-          .filter(b => b.isDirectory && !kept(s"data/${gen.getName}/${b.getName}")))
+        fs.list(s"$dir/data/${gen.name}")
+          .filter(b => b.isDirectory && !kept(s"data/${gen.name}/${b.name}")))
     out += (("orphan_buckets", true,
-      if (orphans.isEmpty) "none" else s"${orphans.length} pending GC"))
+      if (orphans.isEmpty) "none" else s"${orphans.size} pending GC"))
     out += debrisRow(dir)
     out += leaseRow(dir)
     report(spark, dir, out.result())
@@ -201,13 +199,13 @@ object StoreCheck {
     * probe. Cost: one full scan of (keys ∪ layout) columns. */
   def tableSinkDeep(spark: SparkSession, dir: String,
                     keys: Seq[String]): DataFrame = {
-    val m = Paths.get(dir, "_CURRENT")
-    require(Files.exists(m), s"no table at '$dir'")
+    val m = s"$dir/_CURRENT"
+    require(fs.exists(m), s"no table at '$dir'")
     val nb = TableSink.numBucketsOf(dir).get
     val layout = TableSink.layoutColOf(dir)
     val hashCols = layout.map(Seq(_)).getOrElse(keys)
-    val mfName = Files.readString(m).trim
-    val entries = entryLines(Paths.get(dir, "_manifests", mfName))._1
+    val mfName = fs.readString(m).trim
+    val entries = entryLines(s"$dir/_manifests/$mfName")._1
       .map { case (b, rel) => (b, s"$dir/$rel") }
     val perBucket = entries.map { case (b, path) =>
       spark.read.parquet(path).select(hashCols.map(col): _*)
@@ -247,7 +245,7 @@ object StoreCheck {
     // Bm25Store five-relation shape) — a part missing under any root is
     // a torn store, not a partial one.
     def missingUnder(p: String): Seq[String] =
-      rs.filterNot(r => new File(s"$r/$p").isDirectory)
+      rs.filterNot(r => fs.isDirectory(s"$r/$p"))
     val missing = live.flatMap(p => missingUnder(p).map(r => s"$r/$p"))
     out += (("part_dirs_present", missing.isEmpty,
       if (missing.isEmpty)
@@ -272,9 +270,9 @@ object StoreCheck {
     }
     val protect = live.toSet ++ DeltaParts.pinned(dir)
     val orphans = rs.flatMap(r =>
-      Option(new File(r).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && !f.getName.startsWith("_") &&
-          !protect(f.getName)))
+      fs.list(r)
+        .filter(e => e.isDirectory && !e.name.startsWith("_") &&
+          !protect(e.name)))
     out += (("orphan_parts", true,
       if (orphans.isEmpty) "none" else s"${orphans.size} sweepable next compaction"))
     out += debrisRow(dir)

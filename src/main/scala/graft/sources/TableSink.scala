@@ -3,9 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.io.File
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+// All filesystem access rides the [[StoreFs]] seam - the semantics
+// each operation needs (atomic publish, listing consistency, mtimes
+// for the GC grace window) are documented on the trait.
 
 /**
  * Parquet table store with MERGE-style upsert (reference S7: the Mongo
@@ -63,28 +63,20 @@ object TableSink {
   private def gcGraceMs: Long =
     sys.props.get("graft.sink.gcGraceMs").map(_.toLong).getOrElse(15L * 60 * 1000)
 
-  private def ptrPath(dir: String): Path = Paths.get(dir, "_CURRENT")
-  private def manifestDir(dir: String): Path = Paths.get(dir, "_manifests")
+  private def fs = StoreFs.get
+
+  private def ptrPath(dir: String): String = s"$dir/_CURRENT"
+  private def manifestDir(dir: String): String = s"$dir/_manifests"
 
   private case class Manifest(seq: Long, buckets: Int, layoutCol: Option[String],
                               meta: Option[String], paths: Map[Int, String])
 
-  /** Write `content` to a temp file in the same directory, then ATOMIC_MOVE
-    * onto `target` — readers of `target` see old bytes or new, never both. */
-  private def atomicWrite(target: Path, content: String): Unit = {
-    Files.createDirectories(target.getParent)
-    val tmp = Files.createTempFile(target.getParent, "." + target.getFileName.toString, ".tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
   private def currentManifest(dir: String): Option[Manifest] = {
     val p = ptrPath(dir)
-    if (!Files.exists(p)) return None
-    val name = Files.readString(p).trim
-    val mf = manifestDir(dir).resolve(name)
-    val lines = Files.readAllLines(mf).asScala.toSeq
+    if (!fs.exists(p)) return None
+    val name = fs.readString(p).trim
+    val mf = s"${manifestDir(dir)}/$name"
+    val lines = fs.readLines(mf)
     val buckets = lines.head.stripPrefix("buckets=").toInt
     val (layout, rest0) = lines.tail match {
       case l +: r if l.startsWith("bucketcol=") => (Some(l.stripPrefix("bucketcol=")), r)
@@ -142,8 +134,8 @@ object TableSink {
         val cur = currentManifest(dir).getOrElse(throw new IllegalStateException(
           s"tag '$tag' exists at '$dir' but no live table does"))
         if (cur.seq != pinned) {
-          val pinnedBody = Files.readString(manifestDir(dir).resolve(f"m-$pinned%010d"))
-          val curBody = Files.readString(manifestDir(dir).resolve(f"m-${cur.seq}%010d"))
+          val pinnedBody = fs.readString(f"${manifestDir(dir)}/m-$pinned%010d")
+          val curBody = fs.readString(f"${manifestDir(dir)}/m-${cur.seq}%010d")
           require(pinnedBody == curBody,
             s"snapshot tag '$tag' at '$dir' already pins generation $pinned but " +
               s"the live generation is ${cur.seq} with different contents — the " +
@@ -409,7 +401,7 @@ object TableSink {
   def storedColType(spark: SparkSession, dir: String,
                     colName: String): org.apache.spark.sql.types.DataType = {
     val seq = currentSeq(dir).getOrElse(-1L)
-    val key = (Paths.get(dir).toAbsolutePath.normalize.toString, colName)
+    val key = (fs.canonical(dir), colName)
     colTypeCache.compute(key, (_, cached) =>
       if (cached != null && cached._1 == seq) cached
       else (seq, storedSchemaOf(spark, dir)
@@ -449,6 +441,12 @@ object TableSink {
                      newMeta: Option[Option[String]] = None)
                     (merge: DataFrame => DataFrame): Unit =
       WriterLease.withLease(dir, "tablesink-commit") {
+    // Same tear-refusal as BucketedParts, from the seam: a commit hands
+    // `dir` to BOTH Spark (the generation's parquet write below) and
+    // the seam (manifest/pointer flips) — a path the two resolve
+    // differently would publish a manifest naming files that landed
+    // elsewhere.
+    fs.requireCompatible(dir, spark)
     val cur = currentManifest(dir)
     val nb = if (repin) numBuckets else cur.map(_.buckets).getOrElse(numBuckets)
     // An existing table's layout (or its absence) is manifest-pinned;
@@ -531,10 +529,9 @@ object TableSink {
 
     // New manifest: clean buckets keep their existing paths; dirty buckets
     // point at this generation (absent subdir = bucket emptied by delete).
-    val written = Option(new File(s"$dir/$genRel").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
-      .map(f => f.getName.stripPrefix("__bucket=").toInt -> s"$genRel/${f.getName}")
+    val written = fs.list(s"$dir/$genRel")
+      .filter(e => e.isDirectory && e.name.startsWith("__bucket="))
+      .map(e => e.name.stripPrefix("__bucket=").toInt -> s"$genRel/${e.name}")
       .toMap
     val cleanPaths = cur.map(_.paths.view.filterKeys(b => !dirty(b)).toMap)
       .getOrElse(Map.empty[Int, String])
@@ -542,9 +539,9 @@ object TableSink {
     val name = f"m-$seq%010d"
     val header = s"buckets=$nb" +: (layout.map(c => s"bucketcol=$c").toSeq ++
       meta.map(m => s"meta=$m").toSeq)
-    atomicWrite(manifestDir(dir).resolve(name),
+    fs.writeAtomic(s"${manifestDir(dir)}/$name",
       (header ++ entries.map { case (b, p) => s"$b\t$p" }).mkString("\n"))
-    atomicWrite(ptrPath(dir), name)
+    fs.writeAtomic(ptrPath(dir), name)
     gc(dir, keepManifests = KeepGenerations)
   }
 
@@ -557,7 +554,7 @@ object TableSink {
   // every data file they reference) are exempt from both GC bounds
   // until the tag is dropped.
 
-  private def snapshotDir(dir: String): Path = Paths.get(dir, "_snapshots")
+  private def snapshotDir(dir: String): String = s"$dir/_snapshots"
 
   /** Pin the CURRENT generation under `tag`; returns its sequence
     * number. Re-tagging an existing tag re-points it (atomic). */
@@ -570,7 +567,7 @@ object TableSink {
       s"snapshot tag must be a simple name (letter/digit first): '$tag'")
     val m = currentManifest(dir).getOrElse(
       throw new IllegalStateException(s"no table at '$dir' to snapshot"))
-    atomicWrite(snapshotDir(dir).resolve(tag), f"m-${m.seq}%010d")
+    fs.writeAtomic(s"${snapshotDir(dir)}/$tag", f"m-${m.seq}%010d")
     m.seq
   }
 
@@ -578,22 +575,22 @@ object TableSink {
     * Dot-prefixed entries are atomicWrite temp files, never tags
     * ([[snapshot]] rejects dot-leading names). */
   def listSnapshots(dir: String): Map[String, Long] =
-    Option(snapshotDir(dir).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile).filterNot(_.getName.startsWith("."))
-      .map(f => f.getName ->
-        Files.readString(f.toPath).trim.stripPrefix("m-").toLong).toMap
+    fs.list(snapshotDir(dir))
+      .filter(_.isFile).filterNot(_.name.startsWith("."))
+      .map(e => e.name -> fs.readString(s"${snapshotDir(dir)}/${e.name}")
+        .trim.stripPrefix("m-").toLong).toMap
 
   /** Read the table EXACTLY as it was when `tag` was taken. Fails loud
     * on an unknown tag; a pinned generation's files cannot have been
     * GC'd while its tag lives. */
   def readSnapshot(spark: SparkSession, dir: String, tag: String): DataFrame = {
-    val p = snapshotDir(dir).resolve(tag)
-    require(Files.exists(p), s"no snapshot '$tag' at '$dir' " +
+    val p = s"${snapshotDir(dir)}/$tag"
+    require(fs.exists(p), s"no snapshot '$tag' at '$dir' " +
       s"(have: ${listSnapshots(dir).keys.toSeq.sorted.mkString(", ")})")
-    val name = Files.readString(p).trim
-    val mf = manifestDir(dir).resolve(name)
-    val paths = Files.readAllLines(mf).asScala.filter(_.contains('\t'))
-      .map(l => s"$dir/${l.split('\t')(1)}").toSeq.sorted
+    val name = fs.readString(p).trim
+    val mf = s"${manifestDir(dir)}/$name"
+    val paths = fs.readLines(mf).filter(_.contains('\t'))
+      .map(l => s"$dir/${l.split('\t')(1)}").sorted
     if (paths.isEmpty) throw new IllegalStateException(
       s"snapshot '$tag' at '$dir' pinned an EMPTY table generation " +
         "(every bucket was emptied before the tag) — there is no schema " +
@@ -605,7 +602,7 @@ object TableSink {
   /** Unpin `tag`; the generation becomes reclaimable at the next commit's
     * GC (subject to the normal recency/grace bounds). */
   def dropSnapshot(dir: String, tag: String): Unit = {
-    Files.deleteIfExists(snapshotDir(dir).resolve(tag)); ()
+    fs.deleteIfExists(s"${snapshotDir(dir)}/$tag"); ()
   }
 
   /** Roll the live table back to a snapshot: publish a NEW generation
@@ -616,16 +613,16 @@ object TableSink {
     * seq collide with a newer generation). The tag stays live. */
   def restore(dir: String, tag: String): Unit =
       WriterLease.withLease(dir, "tablesink-restore") {
-    val p = snapshotDir(dir).resolve(tag)
-    require(Files.exists(p), s"no snapshot '$tag' at '$dir' " +
+    val p = s"${snapshotDir(dir)}/$tag"
+    require(fs.exists(p), s"no snapshot '$tag' at '$dir' " +
       s"(have: ${listSnapshots(dir).keys.toSeq.sorted.mkString(", ")})")
-    val content = Files.readString(manifestDir(dir).resolve(Files.readString(p).trim))
-    val maxSeq = Option(manifestDir(dir).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("m-"))
-      .map(_.getName.stripPrefix("m-").toLong).max
+    val content = fs.readString(s"${manifestDir(dir)}/${fs.readString(p).trim}")
+    val maxSeq = fs.list(manifestDir(dir))
+      .filter(_.name.startsWith("m-"))
+      .map(_.name.stripPrefix("m-").toLong).max
     val name = f"m-${maxSeq + 1}%010d"
-    atomicWrite(manifestDir(dir).resolve(name), content)
-    atomicWrite(ptrPath(dir), name)
+    fs.writeAtomic(s"${manifestDir(dir)}/$name", content)
+    fs.writeAtomic(ptrPath(dir), name)
     gc(dir, KeepGenerations)
   }
 
@@ -635,30 +632,28 @@ object TableSink {
     * any data subdir no kept manifest references. Current readers are
     * unaffected; one older generation survives as rollback. */
   private def gc(dir: String, keepManifests: Int): Unit = {
-    val mfs = Option(manifestDir(dir).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("m-")).sortBy(_.getName)
+    val mfs = fs.list(manifestDir(dir))
+      .filter(_.name.startsWith("m-")).sortBy(_.name)
     val cutoff = System.currentTimeMillis() - gcGraceMs
     val pinned = listSnapshots(dir).values.map(s => f"m-$s%010d").toSet
     val (beyondCount, kept0) = mfs.splitAt(math.max(0, mfs.length - keepManifests))
-    val (old, graced) = beyondCount.partition(f =>
-      f.lastModified() < cutoff && !pinned(f.getName))
+    val (old, graced) = beyondCount.partition(e =>
+      e.lastModifiedMillis < cutoff && !pinned(e.name))
     val kept = graced ++ kept0
     // Header lines carry no '\t' (buckets=N, optional bucketcol=...);
     // everything else is a "bucket<TAB>path" entry.
     val referenced = kept.flatMap(m =>
-      Files.readAllLines(m.toPath).asScala.filter(_.contains('\t'))
+      fs.readLines(s"${manifestDir(dir)}/${m.name}").filter(_.contains('\t'))
         .map(_.split('\t')(1))).toSet
-    old.foreach(_.delete())
-    def rm(f: File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-    }
-    val dataRoot = new File(s"$dir/data")
-    Option(dataRoot.listFiles()).getOrElse(Array.empty)
+    old.foreach(e => fs.deleteIfExists(s"${manifestDir(dir)}/${e.name}"))
+    val dataRoot = s"$dir/data"
+    fs.list(dataRoot)
       .filter(_.isDirectory).foreach { gen =>
-        Option(gen.listFiles()).getOrElse(Array.empty)
-          .filter(b => b.isDirectory && !referenced(s"data/${gen.getName}/${b.getName}"))
-          .foreach(rm)
-        if (Option(gen.listFiles()).getOrElse(Array.empty).isEmpty) gen.delete()
+        fs.list(s"$dataRoot/${gen.name}")
+          .filter(b => b.isDirectory && !referenced(s"data/${gen.name}/${b.name}"))
+          .foreach(b => fs.deleteRecursively(s"$dataRoot/${gen.name}/${b.name}"))
+        if (fs.list(s"$dataRoot/${gen.name}").isEmpty)
+          fs.deleteIfExists(s"$dataRoot/${gen.name}")
       }
   }
 }

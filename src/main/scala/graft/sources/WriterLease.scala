@@ -1,6 +1,8 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException, NoSuchFileException, StandardOpenOption}
+// All filesystem access rides the [[StoreFs]] seam (exclusive create,
+// atomic tombstone moves, mtime heartbeats — the semantics each op
+// needs are documented on the trait).
 
 /**
  * Fail-loud single-writer enforcement for the on-disk stores.
@@ -90,10 +92,11 @@ object WriterLease {
     * touch every staleMs/4), so only a writer that STOPPED — crash,
     * kill, JVM death — ever ages into the stale break. */
   def withLease[A](dir: String, label: String)(body: => A): A = {
-    val key = Paths.get(dir).toAbsolutePath.normalize.toString
+    val fs = StoreFs.get
+    val key = fs.canonical(dir)
     if (held.get().contains(key)) return body
-    val p = Paths.get(key, LeaseFile)
-    val token = acquire(p, label)
+    val p = s"$key/$LeaseFile"
+    val token = acquire(fs, p, label)
     held.set(held.get() + (key -> token))
     val period = math.max(1L, staleMs / 4)
     val beat = beats.scheduleAtFixedRate(
@@ -102,99 +105,91 @@ object WriterLease {
       // NEXT holder's lease forever-fresh — that lease must age normally
       // if its own holder crashes.
       () => try {
-        if (new String(Files.readAllBytes(p), "UTF-8")
+        if (new String(fs.readBytes(p), "UTF-8")
             .linesIterator.contains(s"token=$token"))
-          Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          fs.touch(p)
       } catch { case _: java.io.IOException => () }, // broken/freed: stop mattering
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
       beat.cancel(false)
       held.set(held.get() - key)
-      release(p, token)
+      release(fs, p, token)
     }
   }
 
   /** Acquire or fail loud; breaks a stale lease (crashed holder). */
-  private def acquire(p: Path, label: String): String = {
+  private def acquire(fs: StoreFs, p: String, label: String): String = {
     val token = java.util.UUID.randomUUID().toString
     val content = s"token=$token\nowner=$owner\nlabel=$label\n"
+    val parent = p.stripSuffix("/" + LeaseFile)
     var brokeStale = false
     while (true) {
-      Files.createDirectories(p.getParent)
-      try {
-        Files.write(p, content.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
-        return token
-      } catch {
-        case _: FileAlreadyExistsException =>
-          val age =
-            try Some(System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis)
-            catch { case _: NoSuchFileException => None } // freed meanwhile: retry
-          if (age.isEmpty) {
-            // fall through to the retry loop
-          } else if (age.get > staleMs) {
-            // One break attempt: if the slot refills we either lost the
-            // CREATE_NEW race to a FRESH writer (fail below) or something
-            // is rewriting stale leases — fail rather than loop.
-            if (brokeStale) throw new ConcurrentWriterException(
-              s"lease at '$p' is stale but reappeared after a break — " +
-                s"refusing '$label' rather than fight over the slot")
-            brokeStale = true
-            // ATOMIC_MOVE to a unique tombstone: of two concurrent
-            // healers exactly one wins the move (the loser's move throws
-            // on the vanished source and retries into the winner's fresh
-            // lease). A plain delete here would let the slower healer
-            // delete the faster one's FRESH lease — two live writers.
-            // The move alone is not enough either: a delayed healer can
-            // move a lease that was broken-and-re-acquired between its
-            // staleness read and its move — so VERIFY the tombstone
-            // still carries the bytes judged stale, and restore + refuse
-            // on mismatch.
-            val stale =
-              try Some(Files.readAllBytes(p))
-              catch { case _: java.io.IOException => None } // vanished: retry
-            if (stale.isDefined) {
-              val tomb = p.resolveSibling(
-                s"$LeaseFile.broken.${java.util.UUID.randomUUID()}")
-              try {
-                Files.move(p, tomb, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                if (java.util.Arrays.equals(Files.readAllBytes(tomb), stale.get))
-                  Files.deleteIfExists(tomb)
-                else {
-                  // we displaced a rival's FRESH lease — put it back
-                  try Files.move(tomb, p,
-                    java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                  catch { case _: java.io.IOException => () } // p refilled
-                  throw new ConcurrentWriterException(
-                    s"lease at '$p' was broken and re-acquired by another " +
-                      s"writer while '$label' was breaking it — refusing")
-                }
-              } catch { case _: java.io.IOException => () } // lost the break race
+      if (fs.createNew(p, content)) return token
+      // the slot is occupied: live holder, stale holder, or freed race
+      val age = fs.lastModifiedMillis(p)
+        .map(System.currentTimeMillis() - _) // None = freed meanwhile: retry
+      if (age.isEmpty) {
+        // fall through to the retry loop
+      } else if (age.get > staleMs) {
+        // One break attempt: if the slot refills we either lost the
+        // exclusive-create race to a FRESH writer (fail below) or
+        // something is rewriting stale leases — fail rather than loop.
+        if (brokeStale) throw new ConcurrentWriterException(
+          s"lease at '$p' is stale but reappeared after a break — " +
+            s"refusing '$label' rather than fight over the slot")
+        brokeStale = true
+        // Atomic no-replace move to a unique tombstone: of two
+        // concurrent healers exactly one wins the move (the loser's
+        // move throws on the vanished source and retries into the
+        // winner's fresh lease). A plain delete here would let the
+        // slower healer delete the faster one's FRESH lease — two live
+        // writers. The move alone is not enough either: a delayed
+        // healer can move a lease that was broken-and-re-acquired
+        // between its staleness read and its move — so VERIFY the
+        // tombstone still carries the bytes judged stale, and restore
+        // + refuse on mismatch.
+        val stale =
+          try Some(fs.readBytes(p))
+          catch { case _: java.io.IOException => None } // vanished: retry
+        if (stale.isDefined) {
+          val tomb = s"$parent/$LeaseFile.broken.${java.util.UUID.randomUUID()}"
+          try {
+            fs.moveAtomic(p, tomb)
+            if (java.util.Arrays.equals(fs.readBytes(tomb), stale.get))
+              fs.deleteIfExists(tomb)
+            else {
+              // we displaced a rival's FRESH lease — put it back
+              try fs.moveAtomic(tomb, p)
+              catch { case _: java.io.IOException => () } // p refilled
+              throw new ConcurrentWriterException(
+                s"lease at '$p' was broken and re-acquired by another " +
+                  s"writer while '$label' was breaking it — refusing")
             }
-          } else {
-            val holder =
-              try new String(Files.readAllBytes(p), "UTF-8").trim.replace('\n', ' ')
-              catch { case _: java.io.IOException => "<unreadable>" }
-            throw new ConcurrentWriterException(
-              s"store at '${p.getParent}' has a live writer lease ($holder, " +
-                s"age ${age.get / 1000}s) — refusing concurrent '$label'. These " +
-                "stores are single-writer; serialize the jobs, or if the " +
-                "holder crashed wait out graft.lease.staleMs " +
-                s"(${staleMs / 1000}s) for the stale break.")
-          }
-          // stale and already broken once, or vanished: loop to CREATE_NEW
+          } catch { case _: java.io.IOException => () } // lost the break race
+        }
+      } else {
+        val holder =
+          try new String(fs.readBytes(p), "UTF-8").trim.replace('\n', ' ')
+          catch { case _: java.io.IOException => "<unreadable>" }
+        throw new ConcurrentWriterException(
+          s"store at '$parent' has a live writer lease ($holder, " +
+            s"age ${age.get / 1000}s) — refusing concurrent '$label'. These " +
+            "stores are single-writer; serialize the jobs, or if the " +
+            "holder crashed wait out graft.lease.staleMs " +
+            s"(${staleMs / 1000}s) for the stale break.")
       }
+      // stale and already broken once, or vanished: loop to exclusive create
     }
     throw new IllegalStateException("unreachable")
   }
 
   /** Delete the lease only if it is still ours (token check). */
-  private def release(p: Path, token: String): Unit = {
+  private def release(fs: StoreFs, p: String, token: String): Unit = {
     try {
-      val mine = new String(Files.readAllBytes(p), "UTF-8")
+      val mine = new String(fs.readBytes(p), "UTF-8")
         .linesIterator.contains(s"token=$token")
-      if (mine) Files.deleteIfExists(p)
+      if (mine) fs.deleteIfExists(p)
     } catch { case _: java.io.IOException => () } // already broken/freed
     ()
   }

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+// Filesystem access rides the [[graft.sources.StoreFs]] seam (atomic
+// publish + lenient read).
 
 /**
  * Tiny driver-side store for the pruned-ST4 projection basis: one text
@@ -45,14 +45,9 @@ object BasisStore {
         Nil
     }
 
-  def save(path: String, basis: Seq[Array[Double]]): Unit = {
-    val target = Paths.get(path)
-    if (target.getParent != null) Files.createDirectories(target.getParent)
-    val tmp = Files.createTempFile(target.getParent, "." + target.getFileName.toString, ".tmp")
-    Files.writeString(tmp, basis.map(_.mkString(",")).mkString("\n"))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  def save(path: String, basis: Seq[Array[Double]]): Unit =
+    graft.sources.StoreFs.get.writeAtomic(path,
+      basis.map(_.mkString(",")).mkString("\n"))
 
   /** Load the basis, or Nil when no basis has been published yet — or
     * when the file is unreadable/damaged (impossible via [[save]]'s
@@ -60,10 +55,10 @@ object BasisStore {
     * grid, not kill the stream: a missing basis costs pruning power
     * only). */
   def load(path: String): Seq[Array[Double]] = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) Nil
+    val fs = graft.sources.StoreFs.get
+    if (!fs.exists(path)) Nil
     else try
-      Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+      fs.readLines(path).filter(_.nonEmpty)
         .map(_.split(',').map(_.toDouble).toArray)
     catch {
       case e @ (_: NumberFormatException | _: java.io.IOException) =>
