@@ -51,10 +51,23 @@ object Bench {
     // isolated medians are the comparable per-query basis, and
     // recording both lets the load-vs-plan verdict land without a
     // by-hand re-measure.
-    val prevArt = prevArtifact(Some(outPath))
+    val prevArts = prevArtifacts(Some(outPath))
+    val prevArt = prevArts.headOption
     val prevQ = prevArt.map(prevQueries).getOrElse(Map.empty[String, Double])
     val prevS = prevArt.map(prevStored)
       .getOrElse(Map.empty[String, (Double, Double)])
+    // CUMULATIVE guard (round-19): the per-round mover audit compares
+    // against prev only, so creep arriving in sub-1.5× steps
+    // (x_mm_mixed_admit 8.03 → 9.47 → 10.80 across r16→r18 — each step
+    // under the bar, cumulatively 1.34×) is structurally invisible to
+    // it. Diff each query against the MIN of the last 3 committed
+    // artifacts as well: the min is the best recent idle-ish reading,
+    // so load spikes in any one round can't ratchet the baseline up.
+    // Regression-only (a query FASTER than the 3-round min is an
+    // improvement, not creep).
+    val cumMovers = cumMoversOf(results.toMap,
+      prevArts.take(3).map(prevQueries))
+    val cumSeverity = cumMovers.view.mapValues { case (c, m) => c / m }.toMap
     val legMovers = stored.toSeq.flatMap { case (n, (i, sv)) =>
       prevS.get(n).filter { case (pi, ps) => moved(i, pi) || moved(sv, ps) }
         .map(pv => n -> (i, sv, pv._1, pv._2))
@@ -65,7 +78,7 @@ object Bench {
       Seq(ratioOf(i, pi), ratioOf(sv, ps)).max
     }.toMap
     val isolated = moverIsolated(spark, sfDir, selected, results.toMap,
-      prevQ, legSeverity)
+      prevQ, legSeverity, cumSeverity)
     def jnum(v: Double) = if (v.isNaN || v.isInfinite) "null" else v.toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
@@ -86,8 +99,12 @@ object Bench {
     val fs = failures.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + "\"" + v.replace("\"", "'") + "\"" }
       .mkString("{", ",", "}")
+    val cm = cumMovers.toSeq.sortBy(_._1).map { case (k, (c, m)) =>
+      s"\"$k\":{\"cur_s\":${jnum(c)},\"min3_s\":${jnum(m)}," +
+        s"\"ratio\":${jnum(c / m)}}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"stored":$ss,"leg_movers":$lm,"isolated":$is,"failed":$fs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"stored":$ss,"leg_movers":$lm,"cum_movers":$cm,"isolated":$is,"failed":$fs,"sf":"$sfDir"}"""
     println(json)
     // The driver's log-tail recording truncates the (long) stdout line;
     // the committed-artifact copy keeps every per-query number readable
@@ -110,27 +127,48 @@ object Bench {
     * forked JVM outlived its pipeline) would otherwise become its own
     * baseline and silently mute every mover. */
   private[graft] def prevArtifact(selfOut: Option[String] = None)
-      : Option[java.nio.file.Path] = {
+      : Option[java.nio.file.Path] = prevArtifacts(selfOut).headOption
+
+  /** All candidate baselines, best-first: the explicit
+    * SPARK_GRAFT_BENCH_BASELINE (if set and present), then the
+    * committed `bench_full_r<N>.json` copies newest-first — the head is
+    * the per-round mover baseline (the old [[prevArtifact]] contract),
+    * the first 3 feed the cumulative min-of-recent-rounds guard. */
+  private[graft] def prevArtifacts(selfOut: Option[String] = None)
+      : Seq[java.nio.file.Path] = {
     val self = selfOut.map(o =>
       java.nio.file.Paths.get(o).toAbsolutePath.normalize)
-    sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+    val env = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
       .map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
-      .orElse {
-        val rx = """bench_full_r(\d+)\.json""".r
-        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-          .flatMap(f => f.getName match {
-            case rx(n) => Some(n.toInt -> f.toPath)
-            case _ => None
-          })
-          .filterNot { case (_, p) =>
-            self.contains(p.toAbsolutePath.normalize) }
-          .sortBy(_._1).lastOption.map(_._2)
-      }
+    val rx = """bench_full_r(\d+)\.json""".r
+    val committed = Option(new java.io.File(".").listFiles())
+      .getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case rx(n) => Some(n.toInt -> f.toPath)
+        case _ => None
+      })
+      .filterNot { case (_, p) =>
+        self.contains(p.toAbsolutePath.normalize) }
+      .sortBy(-_._1).map(_._2).toSeq
+    env.toSeq ++ committed.filterNot(p => env.exists(e =>
+      e.toAbsolutePath.normalize == p.toAbsolutePath.normalize))
   }
 
   /** Mover trigger: either direction past 1.5× (was 2× through round
     * 16 — pipe_dedup_e2e's 1.94× drift slid under it unadjudicated). */
   private val MoverRatio = 1.5
+
+  /** The cumulative movers: queries whose current reading exceeds
+    * 1.5× the MIN across the given recent artifacts' per-query maps
+    * (name → (current, min)). Regression-only by design. */
+  private[graft] def cumMoversOf(cur: Map[String, Double],
+      recent: Seq[Map[String, Double]]): Map[String, (Double, Double)] = {
+    val minQ = recent.flatMap(_.toSeq).groupMapReduce(_._1)(_._2)(math.min)
+    cur.flatMap { case (n, c) =>
+      minQ.get(n).filter(m => m > 0.0 && !c.isNaN && c > m * MoverRatio)
+        .map(m => n -> (c, m))
+    }
+  }
 
   private[graft] def moved(cur: Double, prev: Double): Boolean =
     ratioOf(cur, prev) > MoverRatio
@@ -196,17 +234,27 @@ object Bench {
   private def moverIsolated(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
       suite: Map[String, Double], prev: Map[String, Double],
-      legSeverity: Map[String, Double])
+      legSeverity: Map[String, Double],
+      cumSeverity: Map[String, Double] = Map.empty)
       : Map[String, (Double, Double, Double, Option[(Double, Double)])] = {
-    if (prev.isEmpty && legSeverity.isEmpty)
+    if (prev.isEmpty && legSeverity.isEmpty && cumSeverity.isEmpty)
       return Map.empty
     val totalMovers = suite.toSeq
       .flatMap { case (n, s) => prev.get(n).map(p => (n, ratioOf(s, p))) }
       .filter { case (_, r) => r > MoverRatio }
     val totalNames = totalMovers.map(_._1).toSet
+    // Cumulative movers join the re-measure queue too — the isolated
+    // median is exactly the load-vs-plan adjudication basis the
+    // cum_movers section needs, and a cum mover is by construction not
+    // (necessarily) a per-round mover.
     val ranked = (totalMovers.map { case (n, r) =>
-        n -> math.max(r, legSeverity.getOrElse(n, 1.0)) } ++
-        legSeverity.filterNot { case (n, _) => totalNames(n) }.toSeq)
+        n -> Seq(r, legSeverity.getOrElse(n, 1.0),
+          cumSeverity.getOrElse(n, 1.0)).max } ++
+        legSeverity.filterNot { case (n, _) => totalNames(n) }
+          .map { case (n, r) =>
+            n -> math.max(r, cumSeverity.getOrElse(n, 1.0)) }.toSeq ++
+        cumSeverity.filterNot { case (n, _) =>
+          totalNames(n) || legSeverity.contains(n) }.toSeq)
       .filter { case (n, _) => queries.contains(n) }
       .distinct.sortBy(-_._2)
     val kept = ranked.take(8)

@@ -80,6 +80,39 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cumulative guard: sub-bar creep vs min of recent rounds trips; improvements don't") {
+    // The r16→r18 shape: each step under 1.5×, cumulative 1.6× — the
+    // per-round audit is blind to it, the min-of-recent guard is not.
+    val r16 = Map("creep" -> 8.0, "flat" -> 5.0, "faster" -> 9.0)
+    val r17 = Map("creep" -> 10.0, "flat" -> 5.2, "faster" -> 8.0)
+    val cur = Map("creep" -> 12.9, "flat" -> 5.1, "faster" -> 4.0,
+      "new_q" -> 3.0, "nan_q" -> Double.NaN)
+    val cm = Bench.cumMoversOf(cur, Seq(r17, r16))
+    assert(cm.keySet === Set("creep"), s"got: $cm")
+    assert(cm("creep") === ((12.9, 8.0)), "min across rounds is the basis")
+    // No recent artifacts → no cum movers (round 1 posture).
+    assert(Bench.cumMoversOf(cur, Nil).isEmpty)
+  }
+
+  test("prevArtifacts orders newest-first and excludes self") {
+    val rp7 = java.nio.file.Paths.get("bench_full_r99998.json")
+    val rp8 = java.nio.file.Paths.get("bench_full_r99999.json")
+    java.nio.file.Files.writeString(rp7, "{}")
+    java.nio.file.Files.writeString(rp8, "{}")
+    try {
+      val names = Bench.prevArtifacts(Some(rp8.toString))
+        .map(_.getFileName.toString)
+      assert(names.head === "bench_full_r99998.json")
+      assert(!names.contains("bench_full_r99999.json"), "self excluded")
+      // The real committed artifacts follow, still newest-first.
+      assert(names.tail.headOption.forall(_.startsWith("bench_full_r")))
+    } finally {
+      java.nio.file.Files.deleteIfExists(rp7)
+      java.nio.file.Files.deleteIfExists(rp8)
+      ()
+    }
+  }
+
   test("median of 3 runs discards a single outlier pass") {
     // Warm the plan path so the cold-start pass is not itself an outlier.
     spark.range(10).toDF("n").write.format("noop").mode("overwrite").save()
