@@ -333,10 +333,16 @@ object SaStore {
     * half-window digests of the L-token span at pos. Shared by the
     * existence kernel ([[testLengths]]) and the counting kernel
     * ([[countOccurrences]]); checkpointed (queries-sized). */
-  private def candDigests(qt: DataFrame, cand: DataFrame, topA: Int): DataFrame = {
+  private def candDigests(qt: DataFrame, cand: DataFrame, topA: Int,
+                          bcast: DataFrame => DataFrame): DataFrame = {
     val w = pow(lit(2.0), col("a")).cast("int")
     cand
-      .join(qt, Seq("q_id"))
+      // qt is doc-level (one row per query doc) — the strictly smaller
+      // side of this per-candidate join; as a checkpointed RDD scan it
+      // has no stats, so without the hint every candDigests call paid a
+      // two-exchange SMJ. Rides the family's broadcastProbes escape
+      // hatch like every other probe-side broadcast.
+      .join(bcast(qt), Seq("q_id"))
       .withColumn("a",
         least(length(conv(col("L").cast("string"), 10, 2)) - 1, lit(topA))
           .cast("int"))
@@ -353,7 +359,7 @@ object SaStore {
                           cand: DataFrame, topA: Int, nb: Int,
                           tag: Option[String],
                           bcast: DataFrame => DataFrame): DataFrame = {
-    val pq = candDigests(qt, cand, topA)
+    val pq = candDigests(qt, cand, topA, bcast)
     // Membership probes (off == 0) need only digest EXISTENCE — their
     // small widths hit COMMON digests, and dragging those position
     // lists through a checkpoint was the probe's dominant cost. The
@@ -379,21 +385,27 @@ object SaStore {
       .join(bcast(posKeys), Seq("a", "h1", "h2"), "left_semi")
       .select(col("a"), col("h1"), col("h2"), col("id"), col("i"))
       .localCheckpoint(true) // the positional probes' corpus hits
+    // lvlMem is bounded by the DISTINCT probe digests (≤ memKeys — a
+    // projection of the queries), so it broadcasts safely; lvlPos is
+    // bounded only by the queries' corpus HITS (a 10^6-times-repeated
+    // span is 10^6 position rows — the cap-free case this family
+    // exists for), so the positional joins broadcast the queries-sized
+    // pq side instead and lvlPos never rides a build side.
     val hitsPow = pq.filter(col("off") === 0)
       .select(col("q_id"), col("pos"), col("L"), col("a"),
         col("h1a").as("h1"), col("h2a").as("h2"))
-      .join(lvlMem, Seq("a", "h1", "h2"), "left_semi")
+      .join(bcast(lvlMem), Seq("a", "h1", "h2"), "left_semi")
       .select(col("q_id"), col("pos"), col("L"))
-    val posA = pq.filter(col("off") > 0)
-      .select(col("q_id"), col("pos"), col("L"), col("off"), col("a"),
-        col("h1a").as("h1"), col("h2a").as("h2"))
-      .join(lvlPos, Seq("a", "h1", "h2"))
+    val posA = lvlPos
+      .join(bcast(pq.filter(col("off") > 0)
+        .select(col("q_id"), col("pos"), col("L"), col("off"), col("a"),
+          col("h1a").as("h1"), col("h2a").as("h2"))), Seq("a", "h1", "h2"))
       .select(col("q_id"), col("pos"), col("L"),
         col("id"), (col("i") + col("off")).as("j"))
-    val posB = pq.filter(col("off") > 0)
-      .select(col("q_id"), col("pos"), col("L"), col("a"),
-        col("h1b").as("h1"), col("h2b").as("h2"))
-      .join(lvlPos, Seq("a", "h1", "h2"))
+    val posB = lvlPos
+      .join(bcast(pq.filter(col("off") > 0)
+        .select(col("q_id"), col("pos"), col("L"), col("a"),
+          col("h1b").as("h1"), col("h2b").as("h2"))), Seq("a", "h1", "h2"))
       .select(col("q_id"), col("pos"), col("L"), col("id"), col("i").as("j"))
     val hitsOff = posA.join(posB, Seq("q_id", "pos", "L", "id", "j"), "left_semi")
       .select(col("q_id"), col("pos"), col("L"))
@@ -448,13 +460,17 @@ object SaStore {
       .select(col("q_id"), pow(lit(2.0), col("j")).cast("int").as("L"),
         col("__n"))
       .select(col("q_id"), (col("__n") - col("L") + 1).as("pos"), col("L"))
+    // Every right side below is bounded by the query count (hit rows,
+    // per-query brackets, per-query bests) — broadcast under the same
+    // probe-contract flag, so the whole bracket/assembly tail plans
+    // map-side instead of paying an SMJ exchange pair per join.
     val lhits = testLengths(spark, dir, qt, ladder, topA, nb, tag, bcast)
       .withColumn("__hit", lit(1))
-    val bracket = ladder.join(lhits, Seq("q_id", "pos", "L"), "left")
+    val bracket = ladder.join(bcast(lhits), Seq("q_id", "pos", "L"), "left")
       .groupBy(col("q_id"))
       .agg(max(when(col("__hit") === 1, col("L"))).as("__lo"),
         min(when(col("__hit").isNull, col("L"))).as("__miss"))
-    val state1 = state0.join(bracket, Seq("q_id"), "left")
+    val state1 = state0.join(bcast(bracket), Seq("q_id"), "left")
       .select(col("q_id"), col("__n"),
         coalesce(col("__lo"), lit(0)).as("lo"),
         least(col("hi"), coalesce(col("__miss") - 1, col("hi"))).as("hi"))
@@ -467,8 +483,8 @@ object SaStore {
     val best = testLengths(spark, dir, qt, cand, topA, nb, tag, bcast)
       .groupBy(col("q_id")).agg(max(col("L")).as("__best"))
     queries.select(col(qIdCol).as("q_id"))
-      .join(state1.select(col("q_id"), col("lo")), Seq("q_id"), "left")
-      .join(best, Seq("q_id"), "left")
+      .join(bcast(state1.select(col("q_id"), col("lo"))), Seq("q_id"), "left")
+      .join(bcast(best), Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("__best"), col("lo"), lit(0)).cast("int").as("match_len"))
   }
@@ -509,11 +525,11 @@ object SaStore {
       .select(col(qIdCol).as("q_id"), SpanDedup.toks(col(qTextCol)).as("__t"))
       .withColumn("__n", size(col("__t")))
       .localCheckpoint(true)
-    val cand = m.filter(col("match_len") >= 1).join(qt, Seq("q_id"))
+    val cand = m.filter(col("match_len") >= 1).join(bcast(qt), Seq("q_id"))
       .select(col("q_id"), (col("__n") - col("match_len") + 1).as("pos"),
         col("match_len").as("L"))
     val counts = countOccurrences(spark, dir, qt, cand, topA, nb, tag, bcast)
-    m.join(counts, Seq("q_id"), "left")
+    m.join(bcast(counts), Seq("q_id"), "left")
       .select(col("q_id"), col("match_len"),
         coalesce(col("n_occ"), lit(0L)).as("n_occ"))
   }
@@ -544,7 +560,7 @@ object SaStore {
       .select(col(qIdCol).as("q_id"), SpanDedup.toks(col(qTextCol)).as("__t"))
       .withColumn("__n", size(col("__t")))
       .localCheckpoint(true)
-    val cand = m.filter(col("match_len") >= 1).join(qt, Seq("q_id"))
+    val cand = m.filter(col("match_len") >= 1).join(bcast(qt), Seq("q_id"))
       .select(col("q_id"), (col("__n") - col("match_len") + 1).as("pos"),
         col("match_len").as("L"))
     val sites = occurrenceSites(spark, dir, qt, cand, topA, nb, tag, bcast)
@@ -563,7 +579,7 @@ object SaStore {
                               cand: DataFrame, topA: Int, nb: Int,
                               tag: Option[String],
                               bcast: DataFrame => DataFrame): DataFrame = {
-    val pq = candDigests(qt, cand, topA)
+    val pq = candDigests(qt, cand, topA, bcast)
     val posKeys = pq.select(col("a"), col("h1a").as("h1"), col("h2a").as("h2"))
       .unionByName(pq.select(col("a"), col("h1b").as("h1"), col("h2b").as("h2")))
       .distinct()
@@ -576,16 +592,18 @@ object SaStore {
       .join(bcast(posKeys), Seq("a", "h1", "h2"), "left_semi")
       .select(col("a"), col("h1"), col("h2"), col("id"), col("i"))
       .localCheckpoint(true)
-    val posA = pq
-      .select(col("q_id"), col("pos"), col("L"), col("off"), col("a"),
-        col("h1a").as("h1"), col("h2a").as("h2"))
-      .join(lvlPos, Seq("a", "h1", "h2"))
+    // Broadcast the queries-sized pq side, never lvlPos — same
+    // heavy-repetition rationale as [[testLengths]]' positional lane.
+    val posA = lvlPos
+      .join(bcast(pq
+        .select(col("q_id"), col("pos"), col("L"), col("off"), col("a"),
+          col("h1a").as("h1"), col("h2a").as("h2"))), Seq("a", "h1", "h2"))
       .select(col("q_id"), col("pos"), col("L"),
         col("id"), col("i").as("ia"), (col("i") + col("off")).as("j"))
-    val posB = pq
-      .select(col("q_id"), col("pos"), col("L"), col("a"),
-        col("h1b").as("h1"), col("h2b").as("h2"))
-      .join(lvlPos, Seq("a", "h1", "h2"))
+    val posB = lvlPos
+      .join(bcast(pq
+        .select(col("q_id"), col("pos"), col("L"), col("a"),
+          col("h1b").as("h1"), col("h2b").as("h2"))), Seq("a", "h1", "h2"))
       .select(col("q_id"), col("pos"), col("L"), col("id"), col("i").as("j"))
     posA.join(posB, Seq("q_id", "pos", "L", "id", "j"), "left_semi")
   }
@@ -649,7 +667,15 @@ object SaStore {
         anchors.select(col("q_id"), col("pos"), lit(minLen).as("L")),
         topA, nb, tag, bcast)
       .select(col("q_id"), col("pos"))
-      .join(anchors, Seq("q_id", "pos"))
+      // Survivor `hi` recomputes from the doc-level lengths (one row
+      // per query doc, broadcast) instead of joining back to the
+      // token-level anchors frame — the screen's survivors are a
+      // subset of the anchors' (q_id, pos) by construction, so
+      // least(__n - pos + 1, budget) re-derives the identical value
+      // without a batch-token-sized SMJ.
+      .join(bcast(qt.select(col("q_id"), col("__n"))), Seq("q_id"))
+      .select(col("q_id"), col("pos"),
+        least(col("__n") - col("pos") + 1, lit(budget)).as("hi"))
       .localCheckpoint(true) // (q_id, pos, hi) — the duplicated minority
     // Round 1: the power ladder ABOVE minLen, per surviving anchor.
     val ladder = surv.filter(col("hi") > minLen)
@@ -660,11 +686,14 @@ object SaStore {
       .filter(col("L") > minLen)
     val lhits = testLengths(spark, dir, qt, ladder, topA, nb, tag, bcast)
       .withColumn("__hit", lit(1))
-    val bracket = ladder.join(lhits, Seq("q_id", "pos", "L"), "left")
+    // Right sides bounded by the survivor anchors (the duplicated
+    // minority) — broadcast under the probe-contract flag, as in
+    // [[probe]]'s bracket/assembly tail.
+    val bracket = ladder.join(bcast(lhits), Seq("q_id", "pos", "L"), "left")
       .groupBy(col("q_id"), col("pos"))
       .agg(max(when(col("__hit") === 1, col("L"))).as("__lo"),
         min(when(col("__hit").isNull, col("L"))).as("__miss"))
-    val state1 = surv.join(bracket, Seq("q_id", "pos"), "left")
+    val state1 = surv.join(bcast(bracket), Seq("q_id", "pos"), "left")
       .select(col("q_id"), col("pos"),
         greatest(coalesce(col("__lo"), lit(0)), lit(minLen)).as("lo"),
         least(col("hi"), coalesce(col("__miss") - 1, col("hi"))).as("hi"))
@@ -675,7 +704,7 @@ object SaStore {
         explode(sequence(col("lo") + 1, col("hi"))).as("L"))
     val best = testLengths(spark, dir, qt, cand, topA, nb, tag, bcast)
       .groupBy(col("q_id"), col("pos")).agg(max(col("L")).as("__best"))
-    state1.join(best, Seq("q_id", "pos"), "left")
+    state1.join(bcast(best), Seq("q_id", "pos"), "left")
       .select(col("q_id").as(idCol), col("pos"),
         coalesce(col("__best"), col("lo")).cast("int").as("dup_len"))
   }

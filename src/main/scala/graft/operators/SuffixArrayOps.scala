@@ -49,10 +49,12 @@ import org.apache.spark.sql.types.{LongType, StructType}
  *     Each round is one int-keyed self-join plus one dense rank, with
  *     the rank pass's `localCheckpoint` pinning lineage flat (the BPE
  *     loop's exponential-plan lesson, round 15).
- *  4. Total order `sa_rank` ([[suffixArray]]): one [[totalRank]] over
- *     (final rank, id, pos) — equal suffixes tie-break
- *     deterministically, matching the oracle's ORDER BY (suffix, id,
- *     pos).
+ *  4. Total order `sa_rank` ([[suffixArray]]): a stitched row number
+ *     over the final rank frame, which the construction leaves
+ *     PHYSICALLY in (final rank, id, pos) order (the [[suffixRanks]]
+ *     ORDER INVARIANT) — equal suffixes tie-break deterministically,
+ *     matching the oracle's ORDER BY (suffix, id, pos), with no
+ *     re-sort exchange.
  *
  * The rank passes are ONE range exchange each, not three: a window
  * over the range partitions would re-exchange the corpus (checkpointed
@@ -221,12 +223,6 @@ object SuffixArrayOps {
       cum, side.map(_._2).sum)
   }
 
-  /** 1-based global TOTAL rank in `sortCols` order (one range exchange,
-    * stitched map-side — see the class note). */
-  private def totalRank(df: DataFrame, sortCols: Seq[Column], keyNames: Seq[String],
-                        out: String): DataFrame =
-    stitchedRank(rangeSorted(df, sortCols), keyNames, dense = false, out)
-
   /** 1-based global DENSE rank of `keyCols` (equal keys share a rank);
     * `tieCols` make the range key unique so hot keys split across
     * partitions — the stitch merges them back. */
@@ -282,7 +278,20 @@ object SuffixArrayOps {
   }
 
   /** Dense full-suffix ranks (__id, pos, __r): equal ranks ⟺ equal
-    * token suffixes, rank order = suffix order (prefix-first). */
+    * token suffixes, rank order = suffix order (prefix-first).
+    *
+    * ORDER INVARIANT (consumers rely on it — [[suffixArray]]'s
+    * order-preserving total rank, [[corpusNeighborLcp]]'s sort-free
+    * fill): the returned frame's PHYSICAL row order is
+    * (__r asc, __id asc, pos asc) on every exit path. Base-only exit:
+    * the frame is the (__key, __id, pos) range-sorted checkpoint
+    * (key order = suffix order = rank order, ties already (id, pos)).
+    * After any doubling round: the frame is a narrow projection over
+    * that round's (__r, __r2, __id, pos) range-sorted checkpoint, and
+    * the new rank is dense in exactly that order (tie cols included).
+    * Narrow projections and the stitch's mapPartitions preserve
+    * partition indices and intra-partition order, so the invariant
+    * survives to the caller. */
   private[operators] def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
                                      depth: Int): DataFrame = {
     require(depth >= 2, s"base depth must be >= 2: $depth")
@@ -307,11 +316,16 @@ object SuffixArrayOps {
     // web-scale docs.
     var done = classes == rows
     while (!done && w < maxLen) {
-      val shifted = s.select(col("__id"), (col("pos") - lit(w)).as("pos"),
-        col("__r").as("__r2"))
-      val paired = s.join(shifted, Seq("__id", "pos"), "left")
-        .select(col("__id"), col("pos"), col("__r"),
-          coalesce(col("__r2"), lit(0L)).as("__r2"))
+      // rank_w(p+w) is a partition-local window read, not a self-join:
+      // positions are contiguous 1..n per doc (suffixKeys emits
+      // sequence(1, n)), so a ROW offset of w in (id, pos) order IS a
+      // position offset of w. One hash exchange on __id per round where
+      // the old (s ⋈ s-shifted) SMJ exchanged the rank relation twice
+      // and scanned it twice. Missing position (p+w > n) → lead() null
+      // → 0, the standard rank sentinel (ranks are >= 1).
+      val win = Window.partitionBy(col("__id")).orderBy(col("pos"))
+      val paired = s.select(col("__id"), col("pos"), col("__r"),
+        coalesce(lead(col("__r"), w).over(win), lit(0L)).as("__r2"))
       val (s2, c2, _) = denseRankCounted(paired, Seq("__r", "__r2"),
         Seq("__id", "pos"), "__rn")
       s = s2.select(col("__id"), col("pos"), col("__rn").as("__r"))
@@ -328,8 +342,13 @@ object SuffixArrayOps {
    */
   def suffixArray(docs: DataFrame, idCol: String, textCol: String,
                   depth: Int = 32): DataFrame =
-    totalRank(suffixRanks(docs, idCol, textCol, depth),
-      Seq(col("__r"), col("__id"), col("pos")), Seq("__r", "__id", "pos"), "sa_rank")
+    // No re-sort: suffixRanks' ORDER INVARIANT means the frame is
+    // already physically in (__r, __id, pos) order, so the total rank
+    // is a plain stitched row number over it — the old totalRank paid a
+    // full range exchange (sampling pass + shuffle + sort + checkpoint)
+    // to re-establish the order the construction just produced.
+    stitchedRank(suffixRanks(docs, idCol, textCol, depth).localCheckpoint(true),
+      Seq.empty, dense = false, "sa_rank")
       .withColumnRenamed("__id", idCol)
       .drop("__r")
 
@@ -523,7 +542,16 @@ object SuffixArrayOps {
     * the exact admission scrub used to pay. */
   private[graft] def corpusNeighborPairs(df: DataFrame, sortCols: Seq[Column],
       withQueryPairs: Boolean = false,
-      maxQueryRun: Int = 0): DataFrame = {
+      maxQueryRun: Int = 0,
+      assumeSorted: Boolean = false,
+      // With `pairFlagCol`, only query rows whose flag == 1 join the
+      // query-query lane (chain AND emission) — the restriction-of-a-
+      // total-order property: adjacency among the flagged rows of the
+      // union sort IS adjacency in the flagged-only SA, exactly as the
+      // query lane itself restricts the union. The corpus-query lane
+      // always covers EVERY query row. None = all query rows flagged
+      // (the historical behavior).
+      pairFlagCol: Option[String] = None): DataFrame = {
     // 0 (the public entry points' value) resolves the cap from the
     // session conf so the refusal's remedy is actually reachable.
     val maxRun =
@@ -539,19 +567,29 @@ object SuffixArrayOps {
         require(n > 0, s"$MaxQueryRunConf must be a positive int, got '$raw'")
         n
       }.getOrElse(DefaultMaxQueryRun)
-    val ranged = rangeSorted(df, sortCols)
+    // `assumeSorted`: the caller certifies df is ALREADY physically in
+    // `sortCols` order (the suffixRanks ORDER INVARIANT — the fill's one
+    // in-engine caller feeds it a narrow projection of the final rank
+    // checkpoint). Skipping the redundant range re-sort saves the
+    // sampling pass + a full corpus-sized exchange per fill; the
+    // checkpoint stays (the sidecar + pair passes below read the frame
+    // three times).
+    val ranged = if (assumeSorted) df.localCheckpoint(true)
+                 else rangeSorted(df, sortCols)
     val schema = ranged.schema
     val iId = schema.fieldIndex("__id")
     val iPos = schema.fieldIndex("pos")
     val iQ = schema.fieldIndex("__isq")
+    val iF = pairFlagCol.map(schema.fieldIndex)
     def isQ(r: Row): Boolean = r.getInt(iQ) == 1
+    def isFlagged(r: Row): Boolean = iF.forall(i => r.getInt(i) == 1)
     val side = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var first: Row = null
       var last: Row = null
       var lastQ: Row = null
       it.foreach { r =>
         if (!isQ(r)) { if (first == null) first = r; last = r }
-        else if (withQueryPairs) lastQ = r
+        else if (withQueryPairs && isFlagged(r)) lastQ = r
       }
       if (last == null && lastQ == null) Iterator.empty
       else Iterator((pid, first, last, lastQ))
@@ -629,9 +667,10 @@ object SuffixArrayOps {
                 "in the session conf if the executors genuinely have " +
                 "the memory (the refusal repeats on each task retry)")
           run += r
-          val qq = if (withQueryPairs && lastQ != null)
+          val flagged = withQueryPairs && isFlagged(r)
+          val qq = if (flagged && lastQ != null)
             Iterator.single(pair(lastQ, r)) else Iterator.empty
-          if (withQueryPairs) lastQ = r
+          if (flagged) lastQ = r
           qq ++ (if (lastC != null) Iterator.single(pair(lastC, r))
                  else Iterator.empty)
         } else {
@@ -719,11 +758,21 @@ object SuffixArrayOps {
   def attributeCorpusMatches(corpus: DataFrame, idCol: String, textCol: String,
                              queries: DataFrame, qIdCol: String, qTextCol: String,
                              maxSites: Int = 10, depth: Int = 32,
-                             idOffset: Long = 1000000000L): DataFrame = {
+                             idOffset: Long = 1000000000L): DataFrame =
+    attributeSitesFor(corpus, idCol, textCol, queries, qIdCol, qTextCol,
+      longestCorpusMatch(corpus, idCol, textCol,
+        queries, qIdCol, qTextCol, depth, idOffset), maxSites)
+
+  /** The site-report tail of [[attributeCorpusMatches]] over
+    * PRECOMPUTED (q_id, match_len) lengths — so a caller that already
+    * holds them (the attribution-reporting admission funnel reads them
+    * off [[dupLengthsAndCorpusMatches]]' shared union SA) skips the
+    * second [[longestCorpusMatch]] construction entirely. */
+  def attributeSitesFor(corpus: DataFrame, idCol: String, textCol: String,
+                        queries: DataFrame, qIdCol: String, qTextCol: String,
+                        matches: DataFrame, maxSites: Int = 10): DataFrame = {
     require(maxSites >= 1, s"maxSites must be >= 1: $maxSites")
-    val m = longestCorpusMatch(corpus, idCol, textCol,
-        queries, qIdCol, qTextCol, depth, idOffset)
-      .filter(col("match_len") >= 1).localCheckpoint(true)
+    val m = matches.filter(col("match_len") >= 1).localCheckpoint(true)
     val ls = m.select(col("match_len")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (ls.isEmpty)
@@ -848,7 +897,11 @@ object SuffixArrayOps {
   private def corpusNeighborLcp(corpus: DataFrame, idCol: String, textCol: String,
                                 queries: DataFrame, qIdCol: String, qTextCol: String,
                                 depth: Int, idOffset: Long,
-                                withQueryPairs: Boolean = false): (DataFrame, DataFrame) = {
+                                withQueryPairs: Boolean = false,
+                                // Pre-offset query ids whose rows alone join
+                                // the query-query lane (None = all of them) —
+                                // [[dupLengthsAndCorpusMatches]]' survivor set.
+                                pairFlagIds: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     // try_cast, not cast: under ANSI a malformed id would throw an
     // opaque executor CAST_INVALID_INPUT mid-plan; try_cast yields NULL
     // and the count below turns that into THIS operator's loud refusal.
@@ -885,11 +938,101 @@ object SuffixArrayOps {
     val qdocs = queries.select((col(qIdCol).cast("long") + idOffset).as("__id"),
       col(qTextCol).as("__text"))
     val union = cdocs.unionByName(qdocs)
-    val keyed = suffixRanks(union, "__id", "__text", depth)
+    val ranked = suffixRanks(union, "__id", "__text", depth)
       .withColumn("__isq", (col("__id") >= idOffset).cast("int"))
-      .select(col("__r"), col("__id"), col("pos"), col("__isq"))
+    // The flag attaches via a BROADCAST left join (flag ids are a
+    // queries-sized list): BroadcastHashJoin streams the probe side
+    // partition-by-partition, so the ORDER INVARIANT the sort-free
+    // fill relies on survives the attach.
+    val keyed = pairFlagIds match {
+      case None =>
+        ranked.select(col("__r"), col("__id"), col("pos"), col("__isq"))
+      case Some(f) =>
+        val fl = broadcast(f.select(
+          (col(f.columns.head).cast("long") + idOffset).as("__id"),
+          lit(1).as("__flag")).distinct())
+        ranked.join(fl, Seq("__id"), "left")
+          .select(col("__r"), col("__id"), col("pos"), col("__isq"),
+            coalesce(col("__flag"), lit(0)).as("__flag"))
+    }
     val pairs = corpusNeighborPairs(keyed,
-      Seq(col("__r"), col("__id"), col("pos")), withQueryPairs)
+      Seq(col("__r"), col("__id"), col("pos")), withQueryPairs,
+      // keyed is a narrow projection of suffixRanks' output — already
+      // physically in (__r, __id, pos) order (the ORDER INVARIANT).
+      assumeSorted = true,
+      pairFlagCol = pairFlagIds.map(_ => "__flag"))
     (resolveLcpBySlicing(pairs, union, "__id", "__text", depth), qdocs)
+  }
+
+  /**
+   * ONE union SA serving BOTH exact-admission reports at once — the
+   * per-position duplicated lengths of the SURVIVORS against
+   * corpus ∪ survivors ([[dupLengthsAgainstAndWithin]]'s answer for
+   * the survivor slice) AND the longest-corpus-match lengths of the
+   * WHOLE batch ([[longestCorpusMatch]]'s answer), where the
+   * attribution-reporting admission funnel used to build two separate
+   * union SAs (one per report) over almost the same rows.
+   *
+   * Correctness rests on the restriction property the query lane
+   * already uses: the suffix order of any row subset is the
+   * restriction of the union's suffix order, so (a) a survivor
+   * suffix's nearest corpus neighbors are unchanged by the extra
+   * rejected-batch rows (the corpus lane tracks corpus rows only),
+   * and (b) consecutive FLAGGED query rows (the fill's flag lane,
+   * flag = survivor) are exactly the survivor-only SA's adjacent
+   * pairs — the same argument that makes the query lane equal the
+   * batch-only SA. Both reports read the SAME resolved LCP pair
+   * relation, split by lane (a corpus-query pair has id_a < idOffset;
+   * a survivor-survivor pair has both sides offset).
+   *
+   * Returns (dupLengths limited to `survivors` — (bIdCol, pos,
+   * dup_len >= minLen), matches over the whole batch — (q_id,
+   * match_len >= 0 total)). `survivors` is a one-column frame of
+   * batch ids (⊆ batch — the admission funnel's exact-novel set).
+   */
+  def dupLengthsAndCorpusMatches(corpus: DataFrame, idCol: String, textCol: String,
+                                 batch: DataFrame, bIdCol: String, bTextCol: String,
+                                 survivors: DataFrame, minLen: Int,
+                                 depth: Int = 32,
+                                 idOffset: Long = 1000000000L): (DataFrame, DataFrame) = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    val (lcp0, qdocs) = corpusNeighborLcp(corpus, idCol, textCol,
+      batch, bIdCol, bTextCol, depth, idOffset, withQueryPairs = true,
+      pairFlagIds = Some(survivors))
+    val lcp = lcp0.localCheckpoint(true) // consumed by both lanes below
+    val cq = lcp.where(col("id_a") < idOffset)
+    val ss = lcp.where(col("id_a") >= idOffset)
+    // Scrub lane — dupLengthsAgainstAndWithin's fold, restricted to the
+    // survivors: corpus-query pairs contribute to their (survivor)
+    // query side; survivor-survivor pairs to both sides. The semi join
+    // drops the rejected docs' corpus-pair rows (they are not scrubbed;
+    // broadcast — the survivor list is batch-sized).
+    val svOff = broadcast(survivors.select(
+      (col(survivors.columns.head).cast("long") + idOffset).as("__sid")).distinct())
+    val dl = cq.join(svOff, col("id_b") === col("__sid"), "left_semi")
+      .select(col("id_b").as("__id"), col("pos_b").as("pos"), col("lcp"))
+      .unionByName(ss.select(col("id_a").as("__id"), col("pos_a").as("pos"),
+        col("lcp")))
+      .unionByName(ss.select(col("id_b").as("__id"), col("pos_b").as("pos"),
+        col("lcp")))
+      .groupBy(col("__id"), col("pos"))
+      .agg(max(col("lcp")).as("dup_len"))
+      .where(col("dup_len") >= minLen)
+      .select((col("__id") - idOffset).as(bIdCol), col("pos"),
+        col("dup_len").cast("int").as("dup_len"))
+    // Attribution lane — longestCorpusMatch's containment tail over the
+    // corpus-query pairs (ALL batch rows; the flag never narrows this
+    // lane).
+    val qlen = qdocs.select(col("__id").as("id_b"),
+      size(SpanDedup.toks(col("__text"))).as("__n"))
+    val contained = cq.join(qlen, Seq("id_b"))
+      .where(col("lcp") === col("__n") - col("pos_b") + 1)
+      .groupBy(col("id_b"))
+      .agg(max(col("lcp")).as("match_len"))
+    val matches = batch.select(col(bIdCol).as("q_id"))
+      .join(contained, (col("q_id") + idOffset) === col("id_b"), "left")
+      .select(col("q_id"),
+        coalesce(col("match_len"), lit(0)).cast("int").as("match_len"))
+    (dl, matches)
   }
 }

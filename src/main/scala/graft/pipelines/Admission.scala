@@ -374,7 +374,7 @@ object Admission {
         .select(col("id").as(idCol), lit(1).as("__semdup")).localCheckpoint(true)
       (surv.join(dropped.select(idCol), Seq(idCol), "left_anti"), Some(dropped))
     }
-    val scrubbed = cfg.exactSpans match {
+    val (scrubbed, saMatches) = cfg.exactSpans match {
       case Some(st) =>
         // The exact policy, in-memory form: ONE union-SA construction
         // serves BOTH coverage legs — the nearest-corpus max-LCP per
@@ -388,26 +388,54 @@ object Admission {
         // escalation), which would re-execute the funnel join tree
         // each pass.
         val survX = survScrub.localCheckpoint(true)
-        graft.operators.SuffixArrayOps.scrubFromDupLengths(survX, idCol,
-          textCol, graft.operators.SuffixArrayOps.dupLengthsAgainstAndWithin(
-            corpus, idCol, textCol, survX, idCol, textCol, st.minLen))
+        if (st.attributeSites > 0) {
+          // With the attribution report on, ONE union SA over
+          // corpus ∪ batch serves the scrub's dup lengths (survivor
+          // lane) AND the report's match lengths (whole-batch lane) —
+          // SuffixArrayOps.dupLengthsAndCorpusMatches — where this
+          // path used to build a second, almost identical union SA
+          // inside attributeCorpusMatches for the lengths alone.
+          val (dl, m) = graft.operators.SuffixArrayOps
+            .dupLengthsAndCorpusMatches(corpus, idCol, textCol,
+              batch.select(col(idCol), col(textCol)), idCol, textCol,
+              survX.select(col(idCol)), st.minLen)
+          (graft.operators.SuffixArrayOps.scrubFromDupLengths(survX, idCol,
+            textCol, dl), Some(m))
+        } else
+          (graft.operators.SuffixArrayOps.scrubFromDupLengths(survX, idCol,
+            textCol, graft.operators.SuffixArrayOps.dupLengthsAgainstAndWithin(
+              corpus, idCol, textCol, survX, idCol, textCol, st.minLen)),
+            Option.empty[org.apache.spark.sql.DataFrame])
       case None =>
-        // scrubAgainstIndex probes the index twice (already-dup scan +
-        // crossed-sum join); the in-memory composition must materialize
-        // it once or the corpus-sized window+groupBy subtree executes
-        // twice. (The standing-state form reads the PERSISTED inventory
-        // instead — both probes become cheap pushed scans.)
-        val idx = SpanDedup.spanDigestIndex(corpus, idCol, textCol, cfg.spanK)
-          .localCheckpoint(true)
-        spanScrub(survScrub, idx, idCol, textCol, cfg)
+        (fixedKScrub(corpus, survScrub, idCol, textCol, cfg),
+          Option.empty[org.apache.spark.sql.DataFrame])
     }
     saReport(
       ngramReport(verdicts(batch, cur, novel, semDup, scrubbed, idCol, contam),
         batch, idCol, textCol, cfg),
       idCol, cfg,
-      st => graft.operators.SuffixArrayOps.attributeCorpusMatches(
-        corpus, idCol, textCol, batch.select(col(idCol), col(textCol)),
-        idCol, textCol, st.attributeSites))
+      st => saMatches.fold(
+        graft.operators.SuffixArrayOps.attributeCorpusMatches(
+          corpus, idCol, textCol, batch.select(col(idCol), col(textCol)),
+          idCol, textCol, st.attributeSites))(m =>
+        graft.operators.SuffixArrayOps.attributeSitesFor(
+          corpus, idCol, textCol, batch.select(col(idCol), col(textCol)),
+          idCol, textCol, m, st.attributeSites)))
+  }
+
+  /** The fixed-k digest-screen scrub (the non-exact default policy),
+    * factored out of [[runAgainst]]'s policy dispatch. */
+  private def fixedKScrub(corpus: DataFrame, survScrub: DataFrame,
+                          idCol: String, textCol: String,
+                          cfg: Config): DataFrame = {
+    // scrubAgainstIndex probes the index twice (already-dup scan +
+    // crossed-sum join); the in-memory composition must materialize
+    // it once or the corpus-sized window+groupBy subtree executes
+    // twice. (The standing-state form reads the PERSISTED inventory
+    // instead — both probes become cheap pushed scans.)
+    val idx = SpanDedup.spanDigestIndex(corpus, idCol, textCol, cfg.spanK)
+      .localCheckpoint(true)
+    spanScrub(survScrub, idx, idCol, textCol, cfg)
   }
 
   /** The exact policy's scrub assembly, STANDING form: the corpus side
