@@ -48,51 +48,36 @@ import org.apache.spark.sql.functions._
  */
 object InfiniGram {
 
-  /** 128-bit window digest over the TOKEN-ARRAY slice (xxhash64 hashes
-    * arrays structurally) — no joined span string is ever built. */
-  private def digests(w: Column, span: Column): (Column, Column) =
-    (xxhash64(w, span), xxhash64(lit(1L), w, span))
-
   /** Query suffix digests, one row per width 1..min(maxN, |q|):
     * (__qid, w, __h1, __h2). Tiny by contract — probes are
-    * queries-sized. */
+    * queries-sized. Digests come from the compiled chained kernel
+    * ([[graft.functions.WindowKernels]]) — ONE definition with the
+    * corpus side below; drift here would silently empty every match. */
   private[operators] def querySuffixes(queries: DataFrame, qIdCol: String,
-                                       qTextCol: String, maxN: Int): DataFrame = {
-    val qt = SpanDedup.toks(col(qTextCol))
-    val qWidths = when(size(qt) >= 1, sequence(lit(1), least(size(qt), lit(maxN))))
-      .otherwise(array().cast("array<int>"))
+                                       qTextCol: String, maxN: Int): DataFrame =
     queries
       .select(col(qIdCol).as("__qid"),
-        explode(transform(qWidths, w => {
-          val span = slice(qt, size(qt) - w + 1, w)
-          val (h1, h2) = digests(w, span)
-          struct(w.as("w"), h1.as("h1"), h2.as("h2"))
-        })).as("__s"))
+        explode(graft.functions.windows.suffixDigests(
+          SpanDedup.toks(col(qTextCol)), maxN)).as("__s"))
       .select(col("__qid"), col("__s.w").as("w"),
         col("__s.h1").as("__h1"), col("__s.h2").as("__h2"))
-  }
 
   /** Corpus windows of every width 1..maxN with their next token
     * (null at document end), digest-keyed inside the generator:
     * (__h1, __h2, __next). The ONE corpus-sized kernel — shared with
     * [[NgramStore]], whose persisted counts must group identically or
-    * the store law breaks silently. */
+    * the store law breaks silently. Compiled chained-digest kernel
+    * (optimization round 19): the former nested-transform + per-window
+    * `slice` + array-hash form was interpreted per element and measured
+    * ~5 s of this op's ~7 s at sf0.1; the kernel is one compiled pass,
+    * one hash step per (window, extra token), zero slice allocations. */
   private[operators] def corpusWindows(corpus: DataFrame, textCol: String,
-                                       maxN: Int): DataFrame = {
-    val t = SpanDedup.toks(col(textCol))
-    val starts = when(size(t) >= 1, sequence(lit(1), size(t)))
-      .otherwise(array().cast("array<int>"))
+                                       maxN: Int): DataFrame =
     corpus
-      .select(explode(flatten(transform(starts, i =>
-        transform(sequence(lit(1), least(lit(maxN), size(t) - i + 1)), w => {
-          val span = slice(t, i, w)
-          val (h1, h2) = digests(w, span)
-          struct(h1.as("h1"), h2.as("h2"),
-            when(i + w <= size(t), element_at(t, i + w)).as("next"))
-        })))).as("__w"))
+      .select(explode(graft.functions.windows.ngramWindows(
+        SpanDedup.toks(col(textCol)), maxN)).as("__w"))
       .select(col("__w.h1").as("__h1"), col("__w.h2").as("__h2"),
         col("__w.next").as("__next"))
-  }
 
   /** The result-assembly tail shared by the in-memory and stored
     * probes: longest matched width per query ((qid, w) is unique — one

@@ -106,33 +106,25 @@ object SaStore {
   private def bucketOf(h1: Column, nb: Int): Column =
     BucketedParts.bucketOf(h1, nb)
 
-  /** Window digest at (width w, token slice sp) — ONE definition for
-    * the stored corpus side and the probe's query side; drift here
-    * would silently empty every match. */
-  private def dig1(w: Column, sp: Column): Column = xxhash64(w, sp)
-  private def dig2(w: Column, sp: Column): Column = xxhash64(lit(1L), w, sp)
-
   /** Every width-2^a window of every level 0..A, one corpus scan:
     * (id, i, h1, h2, __a, __b). Ids are cast to long for a stable
     * parquet schema across parts — refused loudly when not castable
-    * (a silent NULL id would orphan its rows from the position join). */
+    * (a silent NULL id would orphan its rows from the position join).
+    * Digests come from the compiled chained kernel
+    * ([[graft.functions.WindowKernels.powerWindows]]) — ONE definition
+    * with the probe side ([[candDigests]]' windowDigestPair, the same
+    * chain); drift here would silently empty every match. The former
+    * per-level nested-transform + `slice` + array-hash form was
+    * interpreted per element (the ∞-gram generator's measured cost
+    * shape); the kernel is one compiled forward chain per position,
+    * emitting at each power width. */
   private def windowsOf(docs: DataFrame, idCol: String, textCol: String,
                         topA: Int, nb: Int): DataFrame = {
     requireLongIds(docs, idCol)
-    val t = SpanDedup.toks(col(textCol))
-    val lvls = sequence(lit(0), lit(topA))
     docs
       .select(col(idCol).cast("long").as("id"),
-        explode(flatten(transform(lvls, a => {
-          val w = pow(lit(2.0), a).cast("int")
-          val starts = when(size(t) >= w, sequence(lit(1), size(t) - w + 1))
-            .otherwise(array().cast("array<int>"))
-          transform(starts, i => {
-            val sp = slice(t, i, w)
-            struct(i.as("i"), dig1(w, sp).as("h1"), dig2(w, sp).as("h2"),
-              a.as("a"))
-          })
-        }))).as("__w"))
+        explode(graft.functions.windows.powerWindows(
+          SpanDedup.toks(col(textCol)), topA)).as("__w"))
       .select(col("id"), col("__w.i").as("i"),
         col("__w.h1").as("h1"), col("__w.h2").as("h2"),
         col("__w.a").as("__a"), bucketOf(col("__w.h1"), nb).as("__b"))
@@ -347,11 +339,15 @@ object SaStore {
         least(length(conv(col("L").cast("string"), 10, 2)) - 1, lit(topA))
           .cast("int"))
       .withColumn("off", col("L") - w)
+      // The two half-window digests chain through the SAME compiled
+      // kernel as the stored side (windowsOf) — one definition.
+      .withColumn("__da", graft.functions.windows.windowDigestPair(
+        col("__t"), col("pos"), w))
+      .withColumn("__db", graft.functions.windows.windowDigestPair(
+        col("__t"), col("pos") + col("off"), w))
       .select(col("q_id"), col("pos"), col("L"), col("a"), col("off"),
-        dig1(w, slice(col("__t"), col("pos"), w)).as("h1a"),
-        dig2(w, slice(col("__t"), col("pos"), w)).as("h2a"),
-        dig1(w, slice(col("__t"), col("pos") + col("off"), w)).as("h1b"),
-        dig2(w, slice(col("__t"), col("pos") + col("off"), w)).as("h2b"))
+        col("__da.h1").as("h1a"), col("__da.h2").as("h2a"),
+        col("__db.h1").as("h1b"), col("__db.h2").as("h2b"))
       .localCheckpoint(true)
   }
 
