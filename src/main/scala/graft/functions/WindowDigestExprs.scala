@@ -145,6 +145,36 @@ object WindowKernels extends Serializable {
     new GenericArrayData(out.toArray)
   }
 
+  /** Every FIXED-width-k window of the token array as
+    * struct(i 1-based, h1, h2) — the [[graft.operators.SpanDedup]]
+    * shingle relation (digestWindows), chained identically to
+    * [[windowDigestPair]](t, i, k). Documents shorter than k produce
+    * an empty array (the spanWindows short-doc branch). */
+  def fixedWindows(t: ArrayData, k: Int): ArrayData = {
+    val n = t.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) { toks(j) = t.getUTF8String(j); j += 1 }
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h1 = Seed1
+      var h2 = Seed2
+      var p = i
+      val end = i + k
+      while (p < end) {
+        val tok = toks(p)
+        h1 = step(tok, h1)
+        h2 = step(tok, h2)
+        p += 1
+      }
+      out(i) = new GenericInternalRow(Array[Any](i + 1, h1, h2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The digest pair of ONE window (pos 1-based, width w) — the probe
     * side of the [[graft.operators.SaStore]] certificate
     * ([[graft.operators.SaStore]].candDigests); chains identically to
@@ -216,6 +246,22 @@ case class PowerWindowDigests(child: Expression, topA: Int) extends UnaryExpress
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** [[WindowKernels.fixedWindows]] as an expression. */
+case class FixedWindowDigests(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1: $k")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "fixed_window_digests"
+  override def nullSafeEval(input: Any): Any =
+    WindowKernels.fixedWindows(input.asInstanceOf[ArrayData], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WindowKernels.fixedWindows($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** [[WindowKernels.windowDigestPair]] as an expression over
   * (token-array, 1-based pos, width). */
 case class WindowDigestPair(first: Expression, second: Expression, third: Expression)
@@ -243,6 +289,8 @@ object windows {
     Bridge.column(NgramSuffixDigests(Bridge.expression(toks), maxN))
   def powerWindows(toks: Column, topA: Int): Column =
     Bridge.column(PowerWindowDigests(Bridge.expression(toks), topA))
+  def fixedWindows(toks: Column, k: Int): Column =
+    Bridge.column(FixedWindowDigests(Bridge.expression(toks), k))
   def windowDigestPair(toks: Column, pos: Column, w: Column): Column =
     Bridge.column(WindowDigestPair(Bridge.expression(toks),
       Bridge.expression(pos), Bridge.expression(w)))

@@ -58,10 +58,15 @@ object SpanDedup {
   private[operators] def toks(textCol: Column): Column =
     filter(split(lower(trim(textCol)), graft.functions.text.WhitespaceRun), t => t =!= "")
 
-  /** The two digest words keying a span in digest mode. xxhash64 over
-    * (seed-literal, span) — different seed literal, independent hash. */
-  private def spanDigests(span: Column): (Column, Column) =
-    (xxhash64(span), xxhash64(lit(1L), span))
+  // Digest-mode keying: the compiled fixed-width window kernel
+  // ([[graft.functions.WindowKernels.fixedWindows]] — seed-chained
+  // xxhash64 over the window's token strings, the family's ONE digest
+  // convention; see [[digestWindows]]). The former per-window
+  // xxhash64(concat_ws(" ", slice(...))) form built every window's text
+  // inside an interpreted HOF lambda just to hash it — the kernel
+  // generates the whole per-document relation in one compiled pass with
+  // zero slice/string allocations (optimization round 19, measured on
+  // the ∞-gram twin of this pattern).
 
   /**
    * One row per k-token window: (id, i, span) with i the 1-based start
@@ -120,26 +125,30 @@ object SpanDedup {
   def duplicatedSpansDigest(docs: DataFrame, idCol: String, textCol: String, k: Int,
                             minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    val win = spanWindows(docs, idCol, textCol, k)
-    val (h1, h2) = spanDigests(col("span"))
-    val keyed = win.withColumn("__h1", h1).withColumn("__h2", h2)
-    val counts = keyed
-      // span is pruned out of this subtree by Catalyst (nothing below the
-      // aggregate references it), so the exchange key+payload is
-      // (h1, h2, doc id, partial counts) only.
+    val win = digestWindows(docs, idCol, textCol, k)
+    val counts = win
       .groupBy(col("__h1"), col("__h2"))
-      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
+      .agg(countDistinct(col("__id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .where(col("n_docs") >= minDocs)
     // The counts relation is consumed ONCE (a single broadcast) and its
-    // per-key stats ride the representative-span aggregation as
+    // per-key stats ride the representative-site aggregation as
     // key-constant max's — a second counts join would re-evaluate the
-    // corpus-scanning aggregate subtree under a second broadcast.
-    keyed
+    // corpus-scanning aggregate subtree under a second broadcast. Span
+    // text re-attaches from the representative doc's tokens under a
+    // broadcast of the inventory-sized site relation (the [[attachSpans]]
+    // idiom) — the old string-keyed pass 2 rebuilt EVERY window's text a
+    // second time just to aggregate one representative per digest.
+    val sites = win
       .join(broadcast(counts), Seq("__h1", "__h2"))
       .groupBy(col("__h1"), col("__h2"))
-      .agg(min(col("span")).as("span"),
+      .agg(min(struct(col("__id"), col("i"))).as("__site"),
         max(col("n_docs")).as("n_docs"), max(col("n_occ")).as("n_occ"))
-      .select(col("span"), col("n_docs"), col("n_occ"))
+      .select(col("__site.__id").as("__sid"), col("__site.i").as("__si"),
+        col("n_docs"), col("n_occ"))
+    docs.select(col(idCol).as("__sid"), toks(col(textCol)).as("__t"))
+      .join(broadcast(sites), Seq("__sid"))
+      .select(concat_ws(" ", slice(col("__t"), col("__si"), lit(k))).as("span"),
+        col("n_docs"), col("n_occ"))
   }
 
   /**
@@ -183,9 +192,8 @@ object SpanDedup {
   def scrubSpansDigest(docs: DataFrame, idCol: String, textCol: String, k: Int,
                        minDocs: Int = 2, broadcastDups: Boolean = true): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    val (h1, h2) = spanDigests(col("span"))
-    val win = spanWindows(docs, idCol, textCol, k)
-      .select(col(idCol), col("i"), h1.as("__h1"), h2.as("__h2"))
+    val win = digestWindows(docs, idCol, textCol, k)
+      .select(col("__id").as(idCol), col("i"), col("__h1"), col("__h2"))
     // The window relation is CONSUMED twice (detection aggregate +
     // coverage probe) but deliberately re-evaluated map-side rather than
     // persisted or exchange-pinned. Measured alternative (round 11,
@@ -236,9 +244,8 @@ object SpanDedup {
    */
   def scrubSpansKeepFirst(docs: DataFrame, idCol: String, textCol: String,
                           k: Int, broadcastDups: Boolean = true): DataFrame = {
-    val (h1, h2) = spanDigests(col("span"))
-    val win = spanWindows(docs, idCol, textCol, k)
-      .select(col(idCol), col("i"), h1.as("__h1"), h2.as("__h2"))
+    val win = digestWindows(docs, idCol, textCol, k)
+      .select(col("__id").as(idCol), col("i"), col("__h1"), col("__h2"))
     val dup = win
       .groupBy(col("__h1"), col("__h2"))
       .agg(count(lit(1)).as("__occ"),
@@ -275,9 +282,8 @@ object SpanDedup {
    */
   def spanDigestIndex(corpus: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
-    val (h1, h2) = spanDigests(col("span"))
-    spanWindows(corpus, idCol, textCol, k)
-      .select(col(idCol), h1.as("__h1"), h2.as("__h2"))
+    digestWindows(corpus, idCol, textCol, k)
+      .select(col("__id").as(idCol), col("__h1"), col("__h2"))
       .groupBy(col("__h1"), col("__h2"))
       .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
   }
@@ -324,9 +330,8 @@ object SpanDedup {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val bcast = if (broadcastProbes) (df: DataFrame) => broadcast(df)
                 else (df: DataFrame) => df
-    val (h1, h2) = spanDigests(col("span"))
-    val win = spanWindows(batch, idCol, textCol, k)
-      .select(col(idCol), col("i"), h1.as("__h1"), h2.as("__h2"))
+    val win = digestWindows(batch, idCol, textCol, k)
+      .select(col("__id").as(idCol), col("i"), col("__h1"), col("__h2"))
     val batchCounts = win
       .groupBy(col("__h1"), col("__h2"))
       .agg(countDistinct(col(idCol)).as("__bn"))
@@ -373,9 +378,8 @@ object SpanDedup {
                                  broadcastProbes: Boolean = true): DataFrame = {
     val bcast = if (broadcastProbes) (df: DataFrame) => broadcast(df)
                 else (df: DataFrame) => df
-    val (h1, h2) = spanDigests(col("span"))
-    val win = spanWindows(batch, idCol, textCol, k)
-      .select(col(idCol), col("i"), h1.as("__h1"), h2.as("__h2"))
+    val win = digestWindows(batch, idCol, textCol, k)
+      .select(col("__id").as(idCol), col("i"), col("__h1"), col("__h2"))
     val batchAgg = win
       .groupBy(col("__h1"), col("__h2"))
       .agg(count(lit(1)).as("__bn"),
@@ -417,9 +421,8 @@ object SpanDedup {
   def dupMaskRanges(docs: DataFrame, idCol: String, textCol: String, k: Int,
                     minDocs: Int = 2, broadcastDups: Boolean = true): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    val (h1, h2) = spanDigests(col("span"))
-    val win = spanWindows(docs, idCol, textCol, k)
-      .select(col(idCol), col("i"), h1.as("__h1"), h2.as("__h2"))
+    val win = digestWindows(docs, idCol, textCol, k)
+      .select(col("__id").as(idCol), col("i"), col("__h1"), col("__h2"))
     val dup = win
       .groupBy(col("__h1"), col("__h2"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
@@ -582,15 +585,10 @@ object SpanDedup {
     * breaks silently. */
   private[operators] def digestWindows(docs: DataFrame, idCol: String, textCol: String,
                                        k: Int): DataFrame = {
-    val t = toks(col(textCol))
-    val starts = when(size(t) >= k, sequence(lit(1), size(t) - lit(k - 1)))
-      .otherwise(array().cast("array<int>"))
+    require(k >= 2, s"span width k must be >= 2: $k")
     docs
       .select(col(idCol).as("__id"),
-        explode(transform(starts, i => {
-          val sp = concat_ws(" ", slice(t, i, lit(k)))
-          struct(i.as("i"), xxhash64(sp).as("h1"), xxhash64(lit(1L), sp).as("h2"))
-        })).as("__w"))
+        explode(graft.functions.windows.fixedWindows(toks(col(textCol)), k)).as("__w"))
       .select(col("__id"), col("__w.i").as("i"),
         col("__w.h1").as("__h1"), col("__w.h2").as("__h2"))
   }

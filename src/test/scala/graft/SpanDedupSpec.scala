@@ -423,19 +423,21 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
       s"no exchange may carry span text: $exchanges")
   }
 
-  test("duplicatedSpansDigest: only the duplicated-representative exchange carries span text") {
+  test("duplicatedSpansDigest: span text never enters a shuffle exchange") {
     val exchanges = shuffleOutputs(
       SpanDedup.duplicatedSpansDigest(docs, "doc_id", "text", k = 8))
-    // The span text can only travel as a string-typed attribute (here,
-    // the partial min(span) buffer — named `min` in the plan, hence the
-    // type check). The corpus-wide counting aggregation must shuffle
-    // digests + longs only; the single string-bearing exchange is the
-    // representative-span aggregation over the already-filtered
-    // duplicated windows (inventory-sized).
+    // The corpus-wide counting aggregation and the representative-SITE
+    // aggregation both shuffle digests + ints/longs only; the span text
+    // re-derives map-side from the representative doc's own tokens under
+    // a broadcast of the inventory-sized site relation (the
+    // maximalRepeats attachSpans shape) — so NO exchange may carry a
+    // string column. (The former shape aggregated min(span) TEXT over
+    // the duplicated windows, paying one inventory-sized string-bearing
+    // exchange; the site form removed it — optimization round 19.)
     val withString = exchanges.count(_.exists(
       _._2 == org.apache.spark.sql.types.StringType))
-    assert(exchanges.length >= 2, s"expected count + rep exchanges: $exchanges")
-    assert(withString == 1,
-      s"expected exactly one string-bearing exchange: $exchanges")
+    assert(exchanges.length >= 2, s"expected count + site exchanges: $exchanges")
+    assert(withString === 0,
+      s"no exchange may carry span text: $exchanges")
   }
 }
