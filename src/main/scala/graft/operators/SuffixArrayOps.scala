@@ -347,7 +347,12 @@ object SuffixArrayOps {
     // is a plain stitched row number over it — the old totalRank paid a
     // full range exchange (sampling pass + shuffle + sort + checkpoint)
     // to re-establish the order the construction just produced.
-    stitchedRank(suffixRanks(docs, idCol, textCol, depth).localCheckpoint(true),
+    // No extra materialization either: suffixRanks' output is a narrow
+    // projection over the last rank pass's checkpoint, so the stitch's
+    // two passes replay a cheap map instead of pinning a second
+    // corpus-sized copy in the block manager (an eager localCheckpoint
+    // here measured as pure overhead — r20 A/B).
+    stitchedRank(suffixRanks(docs, idCol, textCol, depth),
       Seq.empty, dense = false, "sa_rank")
       .withColumnRenamed("__id", idCol)
       .drop("__r")
