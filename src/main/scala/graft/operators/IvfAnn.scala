@@ -16,13 +16,32 @@ import org.apache.spark.sql.functions._
  */
 object IvfAnn {
 
-  /** Assign each corpus vector to its nearest of the given cell centroids. */
+  /** The collected centroid matrix for the map-side assignment kernel —
+    * nlist rows by contract (tiny at any corpus scale). */
+  private def centroidMatrix(centroids: DataFrame): graft.functions.CentroidKernels.Cents = {
+    val rows = centroids
+      .select(col("cell_id").cast("long"), col("cell_vec").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    new graft.functions.CentroidKernels.Cents(rows.map(_._1), rows.map(_._2))
+  }
+
+  /** Assign each corpus vector to its nearest of the given cell
+    * centroids. Map-only (optimization round 20): the compiled
+    * [[graft.functions.CentroidKernels]] argmax replays the former
+    * crossJoin → argmax-aggregation → join-back plan's cell ids
+    * bit-identically (same cosine kernel, same ordering, lowest-id
+    * ties) with ZERO exchanges instead of three-plus. */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
-                  centroids: DataFrame): DataFrame =
-    SimilarityOps.assignNearestCentroid(corpus, centroids, idCol, vecCol,
-        "cell_id", "cell_vec", threshold = -2.0)
-      .select(col("item_id").as(idCol), col("assigned_id").as("cell"))
-      .join(corpus, idCol)
+                  centroids: DataFrame): DataFrame = {
+    val cents = centroidMatrix(centroids)
+    if (cents.ids.isEmpty)
+      // the old aggregation form assigned nothing when no centroids
+      // existed (empty crossJoin) — preserve the empty result
+      corpus.filter(lit(false)).withColumn("cell", lit(0L))
+    else corpus.withColumn("cell",
+      graft.functions.centroid.nearestCell(col(vecCol), cents))
+  }
 
   /** Build nlist cell centroids by k-means over the corpus (one pass via
     * our vector-mean aggregate after a seeded random init assignment). */
@@ -39,17 +58,26 @@ object IvfAnn {
       .withColumn("cell_id", pmod(xxhash64(col("item_id")), lit(nlist.toLong)))
       .groupBy("cell_id")
       .agg(VectorMeanFast(col("v")).as("cell_vec"))
-    // Lloyd step: assign (ids + sim only through the argmax shuffle),
-    // then join the ids back to the cached base for the means. A fused
-    // single-aggregation variant that carries vectors through the
-    // per-item groupBy was measured SLOWER (vectors are the heavy shuffle
-    // payload; ids are not) — keep the two-stage shape.
+    // Lloyd step: map-side kernel assignment (zero exchanges — see
+    // [[assignCells]]) straight into the vector-mean aggregation, whose
+    // partial fold bounds the one remaining shuffle at nlist rows per
+    // partition. The former shape (crossJoin → argmax exchange → join
+    // back to base → means) paid three corpus-sized exchanges per pass
+    // for the same cell ids; the kernel picks them bit-identically.
+    // (Centroid COORDINATES still carry the usual last-ulp jitter of
+    // parallel double summation — the partial means now fold in base's
+    // partition order rather than the join output's — which is the
+    // documented buildCells contract: downstream checks are threshold
+    // invariants, never exact centroid replays.)
     (1 to iters).foreach { _ =>
-      val assigned = SimilarityOps.assignNearestCentroid(
-        base, cells, "item_id", "v", "cell_id", "cell_vec", threshold = -2.0)
-      cells = assigned.join(base, "item_id")
-        .groupBy(col("assigned_id").as("cell_id"))
-        .agg(VectorMeanFast(col("v")).as("cell_vec"))
+      val cents = centroidMatrix(cells)
+      // empty corpus → empty init aggregation: keep the empty cell
+      // table (the old crossJoin form converged to the same)
+      if (cents.ids.nonEmpty)
+        cells = base
+          .withColumn("cell_id", graft.functions.centroid.nearestCell(col("v"), cents))
+          .groupBy("cell_id")
+          .agg(VectorMeanFast(col("v")).as("cell_vec"))
     }
     // Materialize the finished cell table as a local relation — it is
     // nlist rows by construction (the caller sizes nlist; even at 100 TB
@@ -93,8 +121,7 @@ object IvfAnn {
     corpusWithCells
       .withColumn("__scale", QuantizeOps.int8Scale(col(vecCol)))
       .select(col("cell"), col(idCol), col("__scale").as("scale"),
-        transform(QuantizeOps.quantizeInt8(col(vecCol), col("__scale")),
-          c => c.cast("tinyint")).as("codes"))
+        graft.functions.quant.quantizeTiny(col(vecCol), col("__scale")).as("codes"))
 
   /**
    * ANN top-k over the [[quantizeCells]] store: probe the nprobe nearest
@@ -112,7 +139,7 @@ object IvfAnn {
                          excludeSelf: Boolean = true): DataFrame =
     probeTopK(queries, cells, idCol, vecCol, k, nprobe, excludeSelf,
       quantizedCorpus.select(col("cell"), col(idCol).as("neighbor_id"),
-        transform(col("codes"), c => c.cast("double") * col("scale")).as("cv")),
+        graft.functions.quant.dequantize(col("codes"), col("scale")).as("cv")),
       quantizedCorpus.schema(idCol).dataType)
 
   /**

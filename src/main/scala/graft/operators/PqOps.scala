@@ -54,24 +54,13 @@ object PqOps {
     transform(sequence(lit(0), lit(m - 1)), s => slice(vec, s * dsub + 1, lit(dsub)))
   }
 
-  /** Squared L2 between two equal-length array<double> columns. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
-
-  /** Nearest-centroid id (0-based) of `sv` within the literal centroid
-    * list `cents` (array<array<double>>): argmin L2, first-min (= lowest
-    * id) on ties. */
-  private def argminCentroid(sv: Column, cents: Column): Column = {
-    val dists = transform(cents, c => l2sq(sv, c))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
-
-  /** The trained codebook as a nested literal: CB(s)(c) = centroid c of
-    * subspace s, each a D/m-dim array<double>. */
+  /** The trained codebook: CB(s)(c) = centroid c of subspace s, each a
+    * D/m-dim array<double>. Rides every expression as ONE codegen
+    * reference object ([[graft.functions.PqKernels]]) — the former
+    * nested literal was inlined verbatim into every consuming
+    * expression (142 KB physical plans) and evaluated through
+    * interpreted HOF lambdas. */
   type Codebook = Array[Array[Array[Double]]]
-
-  private def cbLit(cb: Codebook): Column =
-    typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
 
   /**
    * Train `m` per-subspace codebooks of `ksub` centroids by `iters`
@@ -101,7 +90,7 @@ object PqOps {
     }
     (1 to iters).foreach { _ =>
       val assigned = rows.withColumn("cid",
-        argminCentroid(col("sv"), element_at(cbLit(cb), col("sub") + 1)))
+        graft.functions.pq.assignSub(col("sub"), col("sv"), cb))
       val upd = means(assigned)
       cb = Array.tabulate(m, ksub)((s, c) => upd.getOrElse((s, c), cb(s)(c)))
     }
@@ -116,15 +105,27 @@ object PqOps {
     * s = nearest centroid id in subspace s. Map-only codegen. ksub must
     * stay ≤ 128 so the tinyint storage claim is honest. */
   def encode(vec: Column, cb: Codebook, dim: Int): Column = {
-    val m = cb.length
+    require(dim % cb.length == 0, s"dim $dim must divide into ${cb.length} subspaces")
     require(cb.forall(_.length <= 128), "ksub > 128 does not fit tinyint codes")
-    zip_with(subvectors(vec.cast("array<double>"), m, dim),
-        cbLit(cb), (sv, cents) => argminCentroid(sv, cents).cast("tinyint"))
+    graft.functions.pq.encode(vec, cb)
+  }
+
+  /** [[encode]] of (vec − cell) fused into one pass — the residual
+    * encode ([[PqStore.encodeResiduals]]) without the intermediate
+    * zip_with array. */
+  def encodeResidual(vec: Column, cell: Column, cb: Codebook, dim: Int): Column = {
+    require(dim % cb.length == 0, s"dim $dim must divide into ${cb.length} subspaces")
+    require(cb.forall(_.length <= 128), "ksub > 128 does not fit tinyint codes")
+    graft.functions.pq.encodeResidual(vec, cell, cb)
   }
 
   /** Reconstruction: concat of each subspace's coded centroid —
     * the vector ADC scores against. Map-only codegen. */
   def reconstruct(codes: Column, cb: Codebook): Column =
-    flatten(zip_with(codes, cbLit(cb),
-      (c, cents) => element_at(cents, c.cast("int") + 1)))
+    graft.functions.pq.reconstruct(codes, cb)
+
+  /** cell + [[reconstruct]](codes) in one pass — the ADC scan
+    * projection of the residual-coded stores. */
+  def reconstructAdd(codes: Column, cell: Column, cb: Codebook): Column =
+    graft.functions.pq.reconstructAdd(codes, cell, cb)
 }

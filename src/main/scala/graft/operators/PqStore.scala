@@ -59,8 +59,7 @@ object PqStore {
     corpusWithCells
       .join(broadcast(cells), col("cell") === col("cell_id"))
       .select(col("cell"), col(idCol),
-        PqOps.encode(zip_with(col(vecCol).cast("array<double>"), col("cell_vec"),
-          (x, y) => x - y), cb, dim).as("codes"))
+        PqOps.encodeResidual(col(vecCol), col("cell_vec"), cb, dim).as("codes"))
 
   /** Persist an [[encodeResiduals]] corpus cell-addressably (the
     * [[IvfAnn.writeIndex]] layout + staleness meta). The coded frame is
@@ -339,8 +338,7 @@ object PqStore {
     val recon = corpus
       .join(broadcast(cells), col("cell") === col("cell_id"))
       .select(col("cell"), col(idCol),
-        zip_with(col("cell_vec"), PqOps.reconstruct(col("codes"), cb),
-          (a, b) => a + b).as(vecCol))
+        PqOps.reconstructAdd(col("codes"), col("cell_vec"), cb).as(vecCol))
     IvfAnn.annSearch(queries, recon, cells, idCol, vecCol, k, nprobe, excludeSelf)
   }
 

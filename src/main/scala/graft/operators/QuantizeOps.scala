@@ -26,25 +26,23 @@ import org.apache.spark.sql.functions._
  */
 object QuantizeOps {
 
-  /** Symmetric per-vector int8 scale: max|x| / 127 (0.0 when empty). */
+  /** Symmetric per-vector int8 scale: max|x| / 127 (0.0 when empty).
+    * Compiled kernel ([[graft.functions.QuantKernels]]) — the former
+    * `array_max(transform(..., abs))` ran interpreted per coordinate. */
   def int8Scale(vec: Column): Column =
-    coalesce(array_max(transform(vec.cast("array<double>"), x => abs(x))), lit(0.0)) /
-      lit(127.0)
+    coalesce(graft.functions.quant.maxAbs(vec), lit(0.0)) / lit(127.0)
 
   /** Quantized int8 codes for `vec` under `scale` (from [[int8Scale]]):
     * floor(x/scale + 0.5) clamped to [−127, 127]; zero scale → zero
-    * codes (the vector is all-zero by construction of the scale). */
+    * codes (the vector is all-zero by construction of the scale).
+    * Compiled kernel, same arithmetic. */
   def quantizeInt8(vec: Column, scale: Column): Column =
-    transform(vec.cast("array<double>"), x =>
-      when(scale === 0.0, lit(0))
-        .otherwise(greatest(lit(-127.0), least(lit(127.0), floor(x / scale + 0.5)))
-          .cast("int")))
+    graft.functions.quant.quantizeInt8(vec, scale)
 
   /** Max per-coordinate reconstruction error of codes `q` under `scale`
-    * against the original vector (0.0 when empty). */
+    * against the original vector (0.0 when empty). Compiled kernel. */
   def maxAbsError(vec: Column, q: Column, scale: Column): Column =
-    coalesce(array_max(zip_with(vec.cast("array<double>"), q,
-      (x, c) => abs(x - c.cast("double") * scale))), lit(0.0))
+    coalesce(graft.functions.quant.maxAbsError(vec, q, scale), lit(0.0))
 
   /** The quantization contract as a predicate: reconstruction within
     * scale/2 per coordinate (1e-9 relative slack for fp jitter). */

@@ -209,8 +209,7 @@ private[graft] object QVector {
       val recon = codedOf(ed)
         .join(broadcast(cells), col("cell") === col("cell_id"))
         .select(col("cell"), col("vec_id"),
-          zip_with(col("cell_vec"), PqOps.reconstruct(col("codes"), cb),
-            (a, b) => a + b).as("embedding"))
+          PqOps.reconstructAdd(col("codes"), col("cell_vec"), cb).as("embedding"))
       val mem = IvfAnn.annSearch(q, recon, cells, "vec_id", "embedding",
           k = 50, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"))
@@ -966,8 +965,7 @@ private[graft] object QVector {
       val coded = withCells.select(col("vec_id"), col("cell"), col("cell_vec"),
         PqOps.encode(col("resid"), cb, dim = 64).as("codes"))
       val recon = coded.select(col("cell"), col("vec_id"),
-        zip_with(col("cell_vec"), PqOps.reconstruct(col("codes"), cb),
-          (a, b) => a + b).as("embedding"))
+        PqOps.reconstructAdd(col("codes"), col("cell_vec"), cb).as("embedding"))
       val q = ed.filter(col("vec_id") < 20)
       val shortlist = IvfAnn.annSearch(q, recon, cells, "vec_id", "embedding",
           k = 50, nprobe = 8)

@@ -139,6 +139,136 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSpec {
     assert(bucketed.forall(r => r.getLong(1) == r.getLong(2)))
   }
 
+  // ── PQ / SQ8 / centroid kernels (optimization round 20) ──────────────
+  // The former column formulations, preserved verbatim as the reference.
+
+  private def vecs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    ((1 to 60).map(i => (i.toLong,
+      Array.fill(16)(rnd.nextDouble() * 2 - 1).toSeq)) ++ Seq(
+      (61L, Seq.fill(16)(0.0)),            // zero vector (zero scale / norm)
+      (62L, Seq(0.25, -0.5, 0.75, -1.0)))  // shorter than dim
+    ).toDF("id", "v")
+  }
+
+  private def pqRefCodebook: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(5)
+    Array.fill(4, 8, 4)(rnd.nextDouble() - 0.5)
+  }
+
+  test("PQ encode/reconstruct kernels == HOF column formulations") {
+    import graft.operators.PqOps
+    val cb = pqRefCodebook
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    def argminCentroid(sv: org.apache.spark.sql.Column, cents: org.apache.spark.sql.Column) = {
+      val dists = transform(cents, c => l2sq(sv, c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val dsub = 4
+    val refEncode = zip_with(
+      transform(sequence(lit(0), lit(3)), s => slice(col("v"), s * dsub + 1, lit(dsub))),
+      cbLit, (sv, cents) => argminCentroid(sv, cents).cast("tinyint"))
+    // full-length vectors only: the HOF form null-poisons short vectors
+    // (a never-produced input), the kernel zero-fills — documented
+    val full = vecs.filter(size(col("v")) === 16)
+    val k = full.select(col("id"), PqOps.encode(col("v"), cb, 16).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val c = full.select(col("id"), refEncode.as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(k == c)
+    val refRecon = flatten(zip_with(col("c"), cbLit,
+      (cd, cents) => element_at(cents, cd.cast("int") + 1)))
+    val coded = full.select(col("id"), col("v"), PqOps.encode(col("v"), cb, 16).as("c"))
+    val kr = coded.select(col("id"), PqOps.reconstruct(col("c"), cb).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cr = coded.select(col("id"), refRecon.as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(kr == cr)
+    // the fusions: residual encode == encode(zip_with minus); add == zip_with plus
+    val cell = typedlit(Seq.fill(16)(0.125))
+    val kres = coded.select(col("id"),
+        PqOps.encodeResidual(col("v"), cell, cb, 16).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val cres = full.select(col("id"),
+        PqOps.encode(zip_with(col("v"), cell, (x, y) => x - y), cb, 16).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(kres == cres)
+    val kadd = coded.select(col("id"),
+        PqOps.reconstructAdd(col("c"), cell, cb).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cadd = coded.select(col("id"),
+        zip_with(cell, PqOps.reconstruct(col("c"), cb), (a, b) => a + b).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(kadd == cadd)
+  }
+
+  test("SQ8 quantize/dequantize kernels == HOF column formulations") {
+    import graft.operators.QuantizeOps
+    val refScale = coalesce(array_max(transform(col("v"), x => abs(x))), lit(0.0)) / lit(127.0)
+    val refQuant = transform(col("v"), x =>
+      when(col("scale") === 0.0, lit(0))
+        .otherwise(greatest(lit(-127.0), least(lit(127.0), floor(x / col("scale") + 0.5)))
+          .cast("int")))
+    val base = vecs.withColumn("scale", QuantizeOps.int8Scale(col("v")))
+    val ks = vecs.select(col("id"), QuantizeOps.int8Scale(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cs = vecs.select(col("id"), refScale.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ks == cs)
+    val kq = base.select(col("id"), QuantizeOps.quantizeInt8(col("v"), col("scale")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val cq = base.select(col("id"), refQuant.as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(kq == cq)
+    val quant = base.withColumn("q", QuantizeOps.quantizeInt8(col("v"), col("scale")))
+      .withColumn("qt", graft.functions.quant.quantizeTiny(col("v"), col("scale")))
+    // tinyint fusion == int codes cast down
+    val tk = quant.select(col("id"), col("qt"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val tc = quant.select(col("id"), transform(col("q"), c => c.cast("tinyint")).as("qt"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(tk == tc)
+    // dequantize == transform(codes * scale), both code widths
+    val dk = quant.select(col("id"), graft.functions.quant.dequantize(col("qt"), col("scale")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val dc = quant.select(col("id"),
+        transform(col("qt"), c => c.cast("double") * col("scale")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(dk == dc)
+    // maxAbsError == array_max(zip_with(...)) with the 0.0 coalesce
+    val ek = quant.select(col("id"), QuantizeOps.maxAbsError(col("v"), col("q"), col("scale")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ec = quant.select(col("id"),
+        coalesce(array_max(zip_with(col("v"), col("q"),
+          (x, c) => abs(x - c.cast("double") * col("scale")))), lit(0.0)).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ek == ec)
+  }
+
+  test("nearest-centroid kernel == crossJoin argmax aggregation (ties to lowest id)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val cents = ((0 until 7).map(c => (c.toLong,
+      Array.fill(16)(rnd.nextDouble() * 2 - 1).toSeq)) :+
+      // duplicate centroid vector under a HIGHER id: ties must resolve low
+      (7L, Seq.fill(16)(0.0))).toDF("cell_id", "cell_vec")
+    val dupOfZero = cents.collect().find(_.getLong(0) == 0L).get.getSeq[Double](1)
+    val cents2 = cents.unionByName(Seq((8L, dupOfZero)).toDF("cell_id", "cell_vec"))
+    val assignedK = graft.operators.IvfAnn.assignCells(vecs, "id", "v", cents2)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val assignedC = graft.operators.SimilarityOps.assignNearestCentroid(
+        vecs, cents2, "id", "v", "cell_id", "cell_vec", threshold = -2.0)
+      .select(col("item_id"), col("assigned_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assignedK == assignedC)
+    // the duplicated centroid (id 8 == id 0) must never win a tie
+    assert(!assignedK.values.exists(_ == 8L))
+  }
+
   test("HashEmbedding: unit norm, deterministic, token-order invariant in aggregate") {
     val e1 = docs.select(col("id"), graft.functions.HashEmbed(col("text"), 32).as("e"))
     val norms = e1.select(
