@@ -53,8 +53,18 @@ object MediaStore {
     * audio) carry dh = null — they can never be perceptual anchors or
     * victims, only exact. */
   private def withKeys(batch: DataFrame): DataFrame = {
+    // Materialized ONCE (optimization round 20): the rep aggregation,
+    // the rep-payload join-back, and the final id join are three
+    // differently-keyed consumers, so without the checkpoint each
+    // re-evaluated the payload SOURCE (a full re-read — or re-synthesis,
+    // for generated fixtures — plus a sha256 of every payload, three
+    // times per call). The checkpoint stores payload bytes as LOCAL
+    // disk-backed blocks — nothing shuffles, per the class contract;
+    // the per-batch run holds batch-sized state, init corpus-sized
+    // (its documented O(corpus)-once price).
     val withSha = batch.select(col("id").cast("long").as("id"), col("payload"),
       sha2(col("payload"), 256).as("sha"))
+      .localCheckpoint(true)
     val shaReps = withSha
       .groupBy("sha").agg(min(col("id")).as("__rid"))
       .join(withSha.select(col("id").as("__rid"), col("payload")), "__rid")
