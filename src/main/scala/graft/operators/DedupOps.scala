@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.functions.text
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -572,11 +573,76 @@ object DedupOps {
    * (id, label) rows, and the returned frame is likewise
    * checkpoint-backed, so consuming it never re-runs the loop.
    */
+  /** Session-conf override for the driver union-find cutoff of
+    * [[connectedComponents]] — edge sets at or under it (after the
+    * symmetric-distinct materialization) close on the driver in one
+    * collect instead of the iterative label loop. The default (~4M
+    * directed edges ≈ tens of MB of (long, long) rows) is the same
+    * driver-boundedness budget the broadcast-side choices use. */
+  val CcDriverMaxEdgesConf = "spark.graft.cc.driverMaxEdges"
+  private[graft] val DefaultCcDriverMaxEdges = 1L << 22
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(true)
+    // Size-adaptive closure (optimization round 20): a BOUNDED edge set
+    // — the common case after LSH-verify pruning, and knowable for free
+    // from the materialized frame — closes on the driver with one
+    // collect + union-find (min-label semantics, value-identical to the
+    // loop's fixpoint) instead of ~3 exchanges + a checkpoint + a
+    // convergence probe PER ROUND. Unbounded graphs (or non-long ids)
+    // take the distributed loop below unchanged; the cutoff is
+    // session-conf'd ([[CcDriverMaxEdgesConf]]), scale-independent.
+    val longIds = edges.schema.fields.forall(_.dataType == LongType)
+    val maxDriverEdges = edges.sparkSession.conf
+      .getOption(CcDriverMaxEdgesConf).map { raw =>
+        val n = try raw.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$CcDriverMaxEdgesConf must be a non-negative long, got '$raw'")
+        }
+        require(n >= 0, s"$CcDriverMaxEdgesConf must be a non-negative long, got '$raw'")
+        n
+      }.getOrElse(DefaultCcDriverMaxEdges)
+    if (longIds && maxDriverEdges > 0 &&
+        edges.limit((maxDriverEdges + 1).min(Int.MaxValue.toLong).toInt)
+          .count() <= maxDriverEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != x) { // path halving
+          val gp = parent.get(p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.get(x)
+        }
+        x
+      }
+      edges.collect().foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by MIN root: the component label must be the smallest
+        // member id, exactly the loop's min-label fixpoint
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val out = new Array[Row](parent.size())
+      val it = parent.keySet().iterator()
+      var i = 0
+      while (it.hasNext) { val id = it.next(); out(i) = Row(id, find(id)); i += 1 }
+      val spark = edges.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq,
+          math.max(1, spark.sparkContext.defaultParallelism / 4)),
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("component", LongType, nullable = false))))
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(true)
     var done = labels.isEmpty

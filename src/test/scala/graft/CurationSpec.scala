@@ -417,10 +417,23 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val none = graft.operators.DedupOps.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
     assert(none.count() == 0)
-    // Out-of-budget propagation must THROW, never return partial labels.
-    intercept[IllegalStateException] {
-      graft.operators.DedupOps.connectedComponents(pairs, "id_a", "id_b", maxIter = 0)
-    }
+    // The distributed loop (forced via the driver-cutoff conf) computes
+    // the SAME min-label fixpoint as the driver union-find path — the
+    // r20 size-adaptive closure's equality law.
+    val key = graft.operators.DedupOps.CcDriverMaxEdgesConf
+    spark.conf.set(key, "0")
+    try {
+      val loop = graft.operators.DedupOps.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(loop == got)
+      // Out-of-budget propagation must THROW, never return partial labels.
+      intercept[IllegalStateException] {
+        graft.operators.DedupOps.connectedComponents(pairs, "id_a", "id_b", maxIter = 0)
+      }
+    } finally spark.conf.unset(key)
+    // The driver path ignores maxIter (it always converges): no throw.
+    assert(graft.operators.DedupOps.connectedComponents(pairs, "id_a", "id_b",
+      maxIter = 0).count() == 6)
   }
 
   test("canonicalizeUrl: two crawls of one page collide; distinct pages do not") {
