@@ -140,6 +140,14 @@ object SuffixArrayOps {
     * without threading a parameter through them. */
   val MaxQueryRunConf = "spark.graft.sa.maxQueryRun"
 
+  /** Session-conf override for the doubling round's pos-block size
+    * ([[suffixRanks]]'s skew guard): a document longer than this many
+    * tokens splits across `(doc, block)` window partitions per round
+    * instead of serializing one task — see the loop comment. Docs at or
+    * under it (the common case) pay nothing. */
+  val DoublingBlockConf = "spark.graft.sa.doublingBlock"
+  private[graft] val DefaultDoublingBlock = 1 << 16
+
   /** One row per token-start suffix: (__id, pos, __key) with `pos` the
     * 1-based token position and `__key` the depth-capped prefix plus
     * the trailing sentinel space. Map-side only; the guarded `sequence`
@@ -292,9 +300,17 @@ object SuffixArrayOps {
     * Narrow projections and the stitch's mapPartitions preserve
     * partition indices and intra-partition order, so the invariant
     * survives to the caller. */
-  private[operators] def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
-                                     depth: Int): DataFrame = {
+  private[graft] def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
+                                 depth: Int): DataFrame = {
     require(depth >= 2, s"base depth must be >= 2: $depth")
+    val blockConf = docs.sparkSession.conf.getOption(DoublingBlockConf).map { raw =>
+      val n = try raw.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$DoublingBlockConf must be a positive int, got '$raw'")
+      }
+      require(n > 0, s"$DoublingBlockConf must be a positive int, got '$raw'")
+      n
+    }.getOrElse(DefaultDoublingBlock)
     val (s0, classes0, rows) = denseRankCounted(
       suffixKeys(docs, idCol, textCol, depth),
       Seq("__key"), Seq("__id", "pos"), "__r")
@@ -319,13 +335,48 @@ object SuffixArrayOps {
       // rank_w(p+w) is a partition-local window read, not a self-join:
       // positions are contiguous 1..n per doc (suffixKeys emits
       // sequence(1, n)), so a ROW offset of w in (id, pos) order IS a
-      // position offset of w. One hash exchange on __id per round where
-      // the old (s ⋈ s-shifted) SMJ exchanged the rank relation twice
-      // and scanned it twice. Missing position (p+w > n) → lead() null
-      // → 0, the standard rank sentinel (ranks are >= 1).
-      val win = Window.partitionBy(col("__id")).orderBy(col("pos"))
-      val paired = s.select(col("__id"), col("pos"), col("__r"),
-        coalesce(lead(col("__r"), w).over(win), lit(0L)).as("__r2"))
+      // position offset of w. One hash exchange per round where the old
+      // (s ⋈ s-shifted) SMJ exchanged the rank relation twice and
+      // scanned it twice. Missing position (p+w > n) → lead() null → 0,
+      // the standard rank sentinel (ranks are >= 1).
+      //
+      // SKEW GUARD (r20): `partition by __id` alone puts a document's
+      // ENTIRE rank relation in one window task per round — at corpus
+      // scale one book-length outlier serializes the round. The window
+      // partitions by (__id, pos-block) instead, block size
+      // B = max(conf, w): each block's first w rows are DONATED to the
+      // previous block (flagged, dropped after the read), so the last
+      // native rows of a block still see lead(w) — positions stay
+      // contiguous inside the padded partition, and the computed value
+      // is exactly the unsalted window's. Docs ≤ B tokens live in block
+      // 0 with zero donated copies — the common case pays only the
+      // extra grouping column; only outliers split. Late rounds where
+      // w outgrows the conf block degrade gracefully (B = w keeps the
+      // donation bounded at 2× rows, len/w blocks), and the early exit
+      // usually ends the loop before they run.
+      val bSize = math.max(blockConf, w).toLong
+      val paired = if (bSize >= maxLen) {
+        // no doc spans a block — the guard is structurally inert, and
+        // the donated-rows union would only re-scan the rank frame; the
+        // plain per-doc window is the same partitioning
+        val win = Window.partitionBy(col("__id")).orderBy(col("pos"))
+        s.select(col("__id"), col("pos"), col("__r"),
+          coalesce(lead(col("__r"), w).over(win), lit(0L)).as("__r2"))
+      } else {
+        val blk = floor((col("pos") - 1) / lit(bSize.toDouble)).cast("long")
+        val native = s.select(col("__id"), col("pos"), col("__r"),
+          blk.as("__blk"), lit(1).as("__nat"))
+        val donated = native.filter(col("__blk") >= 1 &&
+            (col("pos") - 1) % lit(bSize) < lit(w.toLong))
+          .select(col("__id"), col("pos"), col("__r"),
+            (col("__blk") - 1).as("__blk"), lit(0).as("__nat"))
+        val win = Window.partitionBy(col("__id"), col("__blk")).orderBy(col("pos"))
+        native.unionByName(donated)
+          .select(col("__id"), col("pos"), col("__r"), col("__nat"),
+            coalesce(lead(col("__r"), w).over(win), lit(0L)).as("__r2"))
+          .filter(col("__nat") === 1)
+          .select(col("__id"), col("pos"), col("__r"), col("__r2"))
+      }
       val (s2, c2, _) = denseRankCounted(paired, Seq("__r", "__r2"),
         Seq("__id", "pos"), "__rn")
       s = s2.select(col("__id"), col("pos"), col("__rn").as("__r"))

@@ -112,6 +112,53 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("ORDER INVARIANT: suffixRanks' physical row order is (__r, __id, pos)") {
+    // The sort-free total rank (suffixArray) and the sort-free
+    // corpus-neighbor fill both RELY on this physical order; prose alone
+    // would let a future repartition/AQE change break them silently.
+    // Read rows per partition in partition-index order — exactly how the
+    // stitch consumes them — and assert the concatenation is sorted.
+    val ranked = SuffixArrayOps.suffixRanks(docsDf, "doc_id", "text", depth = 4)
+    val rows = ranked.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.map(r => (pid, r.getLong(2), r.getLong(0), r.getInt(1)))
+    }.collect()
+    val inOrder = rows.sortBy(_._1) // stable: preserves intra-partition order
+    val keys = inOrder.map { case (_, r, id, pos) => (r, id, pos) }
+    assert(keys.nonEmpty)
+    assert(keys.sliding(2).forall {
+      case Array(a, b) => implicitly[Ordering[(Long, Long, Int)]].lteq(a, b)
+      case _ => true
+    }, "suffixRanks' physical order diverged from (__r, __id, pos)")
+    // and partition indices themselves must carry the global order:
+    // every partition's first key >= the previous partition's last
+    assert(keys.toSeq == keys.toSeq.sorted)
+  }
+
+  test("skew guard: a pathologically long doc completes, split across pos-blocks") {
+    import spark.implicits._
+    val key = SuffixArrayOps.DoublingBlockConf
+    // One 4200-token doc (vocab-random, so real doubling rounds) next to
+    // normal docs; a 512-token block forces the guard to split it ~9
+    // ways per round instead of serializing one window task.
+    val rnd = new scala.util.Random(13)
+    val long = (1 to 4200).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (corpus :+ (99L -> long)).toDF("doc_id", "text")
+    val expected = {
+      // unsalted reference: block far above every doc length → the guard
+      // is structurally inert (single block per doc)
+      spark.conf.set(key, (1 << 20).toString)
+      try SuffixArrayOps.suffixArray(docs, "doc_id", "text", depth = 4)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+      finally spark.conf.unset(key)
+    }
+    spark.conf.set(key, "512")
+    try {
+      val got = SuffixArrayOps.suffixArray(docs, "doc_id", "text", depth = 4)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+      assert(got === expected)
+    } finally spark.conf.unset(key)
+  }
+
   test("adjacentLcp is exact, including multi-round escalation depths") {
     val order = localSa.sortBy(_._2).map(_._1)
     val sufOf = corpus.map { case (id, t) => id -> toks(t) }.toMap
