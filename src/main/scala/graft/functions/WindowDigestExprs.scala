@@ -27,7 +27,16 @@ import org.apache.spark.sql.graft.Bridge
  * (window, extra token).
  *
  * DIGEST DEFINITION (changed in lockstep on every producing and
- * probing side — the values are internal, never an output column):
+ * probing side — and PERSISTED by the span/SA/n-gram store family:
+ * [[graft.operators.SpanPosStore]] and [[graft.operators.SaStore]]
+ * keep (h1, h2) window rows on disk, [[graft.operators.NgramStore]]
+ * its window inventory, and [[graft.operators.SpanDedup.spanDigestIndex]]
+ * emits __h1/__h2 as its OUTPUT schema, persisted by the admission
+ * funnel's span_index parts — so a store built under one convention
+ * silently stops matching probes built under another. Every persisting
+ * store stamps [[WindowKernels.DigestConventionId]] into its `_meta`
+ * at init and require-matches it at read/probe time; a store predating
+ * the current convention must be REBUILT):
  * a window's two 64-bit words are seed-chained xxhash64 over its
  * token strings,
  *
@@ -44,6 +53,13 @@ import org.apache.spark.sql.graft.Bridge
  * the kernel O(1) per extra width where the array hash was O(w).
  */
 object WindowKernels extends Serializable {
+
+  /** The persisted-digest compatibility id ([[graft.sources
+    * .BucketedParts.digestStamp]]): bump it whenever the chaining
+    * convention below changes, so every digest-persisting store refuses
+    * a cross-convention probe loudly instead of silently matching
+    * nothing. v2 = the r19 seed-chained form (no width prefix). */
+  val DigestConventionId = "xxh64-chain-v2"
 
   private val Seed1 = 42L
   private val Seed2 = XXH64.hashLong(1L, 42L)

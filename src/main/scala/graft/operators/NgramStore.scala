@@ -60,6 +60,7 @@ object NgramStore {
 
   private def meta(dir: String): (Int, Int) = {
     val kv = graft.sources.BucketedParts.readMeta(metaPath(dir), "n-gram store")
+    graft.sources.BucketedParts.requireDigestMatch(kv, "n-gram store", dir)
     (kv("maxN").toInt, kv("buckets").toInt)
   }
 
@@ -105,7 +106,8 @@ object NgramStore {
       // Meta lands LAST inside the callback: a crash before this point
       // leaves neither _PARTS nor _meta, so a retry re-runs clean.
       graft.sources.BucketedParts.writeMeta(metaPath(dir),
-        Seq("maxN" -> maxN.toString, "buckets" -> numBuckets.toString))
+        Seq("maxN" -> maxN.toString, "buckets" -> numBuckets.toString,
+          graft.sources.BucketedParts.digestStamp))
       ()
     }
   }

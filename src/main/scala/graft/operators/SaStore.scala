@@ -91,6 +91,7 @@ object SaStore {
 
   private def meta(dir: String): (Int, Int) = {
     val kv = BucketedParts.readMeta(metaPath(dir), "suffix-array store")
+    BucketedParts.requireDigestMatch(kv, "suffix-array store", dir)
     (kv("maxLen").toInt, kv("buckets").toInt)
   }
 
@@ -213,7 +214,8 @@ object SaStore {
       // Meta lands LAST inside the callback: a crash before this point
       // leaves neither _PARTS nor _meta, so a retry re-runs clean.
       BucketedParts.writeMeta(metaPath(dir),
-        Seq("maxLen" -> budget.toString, "buckets" -> numBuckets.toString))
+        Seq("maxLen" -> budget.toString, "buckets" -> numBuckets.toString,
+          BucketedParts.digestStamp))
       ()
     }
   }

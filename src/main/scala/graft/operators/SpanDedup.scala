@@ -123,8 +123,14 @@ object SpanDedup {
    * inventory, not the corpus).
    */
   def duplicatedSpansDigest(docs: DataFrame, idCol: String, textCol: String, k: Int,
-                            minDocs: Int = 2): DataFrame = {
+                            minDocs: Int = 2,
+                            // the family-standard escape hatch: false runs the
+                            // inventory-sized joins shuffled when the duplicated-
+                            // span inventory outgrows the driver/broadcast limit
+                            broadcastDups: Boolean = true): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val bcast = if (broadcastDups) (df: DataFrame) => broadcast(df)
+                else (df: DataFrame) => df
     val win = digestWindows(docs, idCol, textCol, k)
     val counts = win
       .groupBy(col("__h1"), col("__h2"))
@@ -139,14 +145,14 @@ object SpanDedup {
     // idiom) — the old string-keyed pass 2 rebuilt EVERY window's text a
     // second time just to aggregate one representative per digest.
     val sites = win
-      .join(broadcast(counts), Seq("__h1", "__h2"))
+      .join(bcast(counts), Seq("__h1", "__h2"))
       .groupBy(col("__h1"), col("__h2"))
       .agg(min(struct(col("__id"), col("i"))).as("__site"),
         max(col("n_docs")).as("n_docs"), max(col("n_occ")).as("n_occ"))
       .select(col("__site.__id").as("__sid"), col("__site.i").as("__si"),
         col("n_docs"), col("n_occ"))
     docs.select(col(idCol).as("__sid"), toks(col(textCol)).as("__t"))
-      .join(broadcast(sites), Seq("__sid"))
+      .join(bcast(sites), Seq("__sid"))
       .select(concat_ws(" ", slice(col("__t"), col("__si"), lit(k))).as("span"),
         col("n_docs"), col("n_occ"))
   }

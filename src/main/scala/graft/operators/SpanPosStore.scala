@@ -80,6 +80,11 @@ object SpanPosStore {
   private def meta(dir: String): (Int, Int) = {
     val kv = graft.sources.BucketedParts.readMeta(metaPath(dir),
       "span position store")
+    // The persisted (h1, h2) windows/counts only match probes computed
+    // under the SAME digest convention — refuse a cross-convention (or
+    // pre-stamp) store loudly instead of silently matching nothing.
+    graft.sources.BucketedParts.requireDigestMatch(kv,
+      "span position store", dir)
     (kv("k").toInt, kv("buckets").toInt)
   }
 
@@ -145,7 +150,8 @@ object SpanPosStore {
       // Meta lands LAST inside the callback: a crash before this point
       // leaves neither _PARTS nor _meta, so a retry re-runs clean.
       graft.sources.BucketedParts.writeMeta(metaPath(dir),
-        Seq("k" -> k.toString, "buckets" -> numBuckets.toString))
+        Seq("k" -> k.toString, "buckets" -> numBuckets.toString,
+          graft.sources.BucketedParts.digestStamp))
       ()
     }
   }

@@ -601,6 +601,14 @@ object Admission {
     val parts = tag.fold(listParts(storeDir))(t =>
       graft.sources.DeltaParts.listAt(spanDir(storeDir), t))
     require(parts.nonEmpty, s"no span index under '${spanDir(storeDir)}' — run init first")
+    // The parts persist (__h1, __h2) digests: require the convention
+    // they were built under (stamped at init) to match this build's —
+    // a cross-convention probe silently matches nothing and admits
+    // duplicated content; such a store must be re-initialized.
+    graft.sources.BucketedParts.requireDigestMatch(
+      graft.sources.BucketedParts.readMeta(s"${spanDir(storeDir)}/_meta",
+        "admission span index"),
+      "admission span index", spanDir(storeDir))
     val dfs = parts.map(p => spark.read.parquet(s"${spanDir(storeDir)}/$p"))
     if (dfs.size == 1) dfs.head
     else SpanDedup.mergeSpanIndexesAll(dfs).localCheckpoint(true)
@@ -640,6 +648,11 @@ object Admission {
     // would be pure waste.
     spanIndexOf(corpus, idCol, textCol, cfg)
       .write.mode("overwrite").parquet(s"${spanDir(storeDir)}/part_00000")
+    // Digest-convention stamp BEFORE publish (crash ordering: a retry
+    // overwrites it atomically) — the parts persist (__h1, __h2), so a
+    // probe from another convention must refuse, not silently miss.
+    graft.sources.BucketedParts.writeMeta(s"${spanDir(storeDir)}/_meta",
+      Seq("k" -> cfg.spanK.toString, graft.sources.BucketedParts.digestStamp))
     graft.sources.DeltaParts.publish(spanDir(storeDir), Seq("part_00000"))
     // Stage 4's member store, from the same corpus the other stores saw
     // (SemDedupStore.init carries its own run-once refusal).

@@ -120,4 +120,30 @@ object BucketedParts {
   def writeMeta(path: String, kv: Seq[(String, String)]): Unit =
     StoreFs.get.writeAtomic(path,
       kv.map { case (k, v) => s"$k=$v" }.mkString("\n") + "\n")
+
+  /** The digest-convention stamp every store persisting
+    * [[graft.functions.WindowKernels]] digests writes into its `_meta`
+    * at init: the kernels' chaining convention is a compatibility
+    * surface — a store built under one convention and probed under
+    * another returns NO hits (scrubs pass everything, duplicated
+    * content admits) with no error anywhere. */
+  val DigestKey = "digest"
+  def digestStamp: (String, String) =
+    DigestKey -> graft.functions.WindowKernels.DigestConventionId
+
+  /** The read-side require-match of [[digestStamp]]: absent (a store
+    * predating the stamp = predating the current convention) or
+    * mismatched stamps refuse loudly — the store must be rebuilt. */
+  def requireDigestMatch(kv: Map[String, String], what: String,
+                         dir: String): Unit = {
+    val cur = graft.functions.WindowKernels.DigestConventionId
+    val got = kv.get(DigestKey)
+    require(got.contains(cur),
+      s"$what at '$dir' was built under digest convention " +
+        got.getOrElse("<unstamped — a pre-stamp build>") +
+        s" but this build computes $cur; persisted digests from another " +
+        "convention match NOTHING (scrubs would silently admit " +
+        "duplicated content) — rebuild the store under the current " +
+        "convention")
+  }
 }
