@@ -35,8 +35,15 @@ import org.apache.spark.sql.functions._
  */
 object ScaleCurve {
 
-  private def sweep(spark: SparkSession): Unit = {
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  /** Inter-measurement sweep SPARING the harness's own pinned frames
+    * (`keep`): the first run of this harness unpersisted its fixed
+    * query-batch checkpoints mid-flight and every later read died with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — a local checkpoint is not
+    * recomputable by design. */
+  private def sweep(spark: SparkSession, keep: collection.Set[Int]): Unit = {
+    spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !keep.contains(id) }
+      .values.foreach(_.unpersist(blocking = true))
     spark.catalog.clearCache()
   }
 
@@ -45,10 +52,11 @@ object ScaleCurve {
   }
 
   /** Median-of-3 timed evaluations of `df()` through the noop sink. */
-  private def timeServe(spark: SparkSession, df: () => DataFrame): Double = {
+  private def timeServe(spark: SparkSession, keep: collection.Set[Int],
+                        df: () => DataFrame): Double = {
     val ts = (1 to 3).map { _ =>
       val t = timeOnce(df().write.format("noop").mode("overwrite").save())
-      sweep(spark); t
+      sweep(spark, keep); t
     }.sorted
     ts(1)
   }
@@ -79,18 +87,27 @@ object ScaleCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Pinned-frame registry: every harness-owned checkpoint registers
+    // its persisted RDD ids here so sweeps never evict them.
+    val pinned = scala.collection.mutable.Set[Int]()
+    def pin(df: DataFrame): DataFrame = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val c = df.localCheckpoint(true)
+      pinned ++= spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+      c
+    }
     val baseDocs = QShared.T(spark, sfDir, "documents")
       .select("doc_id", "text")
     val baseVecs = QShared.T(spark, sfDir, "embeddings")
       .select("vec_id", "embedding", "label")
-    val queries = baseDocs.filter(col("doc_id") % 17 === 0)
-      .localCheckpoint(true) // fixed probe batch across scales (~300 docs)
-    val bmQueries = baseDocs.filter(col("doc_id") % 97 === 0)
+    val queries = pin(baseDocs.filter(col("doc_id") % 17 === 0))
+      // fixed probe batch across scales (~300 docs)
+    val bmQueries = pin(baseDocs.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("qid"),
-        graft.functions.text.firstKTokens(col("text"), 5).as("qtext"))
-      .localCheckpoint(true)
-    val vecQueries = baseVecs.filter(col("vec_id") % 20 === 0)
-      .select("vec_id", "embedding").localCheckpoint(true)
+        graft.functions.text.firstKTokens(col("text"), 5).as("qtext")))
+    val vecQueries = pin(baseVecs.filter(col("vec_id") % 20 === 0)
+      .select("vec_id", "embedding"))
+    val globalPinned = pinned.toSet
 
     val tmpRoot = java.nio.file.Files
       .createTempDirectory("graft_scale").toString
@@ -110,22 +127,22 @@ object ScaleCurve {
     // store dir (stores are init-once) and a freshly materialized grown
     // corpus (localCheckpoint — growth cost is charged to neither leg).
     for (m <- scales) {
-      val corpus = grow(baseDocs, m, "doc_id", Some("text"))
-        .repartition(cpus.toInt).localCheckpoint(true)
+      val corpus = pin(grow(baseDocs, m, "doc_id", Some("text"))
+        .repartition(cpus.toInt))
       val nRows = corpus.count()
-      val vecs = grow(baseVecs, m, "vec_id", None)
-        .repartition(cpus.toInt).localCheckpoint(true)
+      val vecs = pin(grow(baseVecs, m, "vec_id", None)
+        .repartition(cpus.toInt))
       val nVecs = vecs.count()
-      sweep(spark)
+      sweep(spark, pinned)
 
       def run(store: String, dirAs: Option[String] = None)(
           init: String => Unit)(
           serve: String => DataFrame)(twin: () => DataFrame): Unit =
         if (only.forall(_.contains(store))) {
           val dir = dirFor(dirAs.getOrElse(store), m)
-          val iS = timeOnce(init(dir)); sweep(spark)
-          val sS = timeServe(spark, () => serve(dir))
-          val tS = timeServe(spark, twin)
+          val iS = timeOnce(init(dir)); sweep(spark, pinned)
+          val sS = timeServe(spark, pinned, () => serve(dir))
+          val tS = timeServe(spark, pinned, twin)
           record(store, m, if (store == "semdedup" || store == "ivf") nVecs
             else nRows, iS, sS, tS)
         }
@@ -201,10 +218,9 @@ object ScaleCurve {
       // SemDedup.incremental against the full vector corpus. (Probe
       // cost tracks TOUCHED-CLUSTER size — sublinear only insofar as
       // the batch touches few clusters; recorded, not assumed.)
-      lazy val cents = baseVecs.groupBy("label")
+      lazy val cents = pin(baseVecs.groupBy("label")
         .agg(graft.functions.VectorMeanFast(
-          col("embedding").cast("array<double>")).as("cent"))
-        .localCheckpoint(true)
+          col("embedding").cast("array<double>")).as("cent")))
       run("semdedup") { dir =>
         graft.operators.SemDedupStore.initWithCentroids(spark, dir, vecs,
           cents, "vec_id", "embedding", "label", "cent")
@@ -220,8 +236,8 @@ object ScaleCurve {
       // assign+search over the full corpus. nlist scales with the
       // corpus like the bucket counts (fixed nprobe → probed fraction
       // shrinks as the corpus grows, the IVF design point).
-      lazy val cells = graft.operators.IvfAnn.buildCells(vecs,
-        "vec_id", "embedding", nlist = nbFor(m)).localCheckpoint(true)
+      lazy val cells = pin(graft.operators.IvfAnn.buildCells(vecs,
+        "vec_id", "embedding", nlist = nbFor(m)))
       run("ivf") { dir =>
         val sq8 = graft.operators.IvfAnn.quantizeCells(
           graft.operators.IvfAnn.assignCells(vecs, "vec_id", "embedding",
@@ -236,6 +252,11 @@ object ScaleCurve {
           graft.operators.IvfAnn.assignCells(vecs, "vec_id", "embedding",
             cells), cells, "vec_id", "embedding", k = 5, nprobe = 4)
       }
+
+      // Scale teardown: this scale's pins (corpus/vecs/cents/cells)
+      // release; the cross-scale query batches stay.
+      pinned.filterInPlace(globalPinned.contains)
+      sweep(spark, pinned)
     }
 
     try java.nio.file.Files.writeString(
